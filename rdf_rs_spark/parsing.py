@@ -1,0 +1,582 @@
+"""Pure-Python N-Triples / Turtle document parsers.
+
+These run *inside* Arrow-batched Spark UDFs (one document per row →
+many triple rows, see ``rdf_rs_spark.sources``) and are also directly
+unit-testable without a Spark session. They re-express the semantics of
+the reference's pull lexer/parser stack (scholtzan/rdf-rs,
+``src/reader/lexer/turtle_lexer.rs``, ``src/reader/turtle_parser.rs``,
+``src/reader/n_triples_parser.rs``) as a position-indexed scanner — a
+from-scratch design, not a translation.
+
+Reference semantics preserved exactly (the correctness contract, see
+SURVEY.md §2.1):
+
+- whitespace is only ``\\n \\r `` and space — tabs are token chars
+  (reference ``src/reader/input_reader.rs:12-14``)
+- node delimiter set is ``\\n \\r space .``
+  (reference ``src/reader/input_reader.rs:22-24``)
+- ``@prefix``/``PREFIX`` and ``@base``/``BASE``, case-insensitive
+  (reference ``src/reader/lexer/turtle_lexer.rs:21-82``)
+- QName → IRI expansion appends ``path.replace(':', '/')`` to the
+  namespace IRI (reference ``src/reader/turtle_parser.rs:182-183``)
+- unquoted numerics: ``xsd:integer`` when they parse as i64, else
+  ``xsd:double`` when they parse as f64; decimal-point vs. ``.``
+  delimiter disambiguated by speculative parse (reference
+  ``src/reader/lexer/turtle_lexer.rs:85-126,337-341``)
+- bare ``true``/``false`` → ``xsd:boolean``; bare ``a`` → ``rdf:type``
+- collections desugar to rdf:first/rest/nil cons-lists with fresh blank
+  nodes allocated in the reference's exact order (rest-node before
+  element, reference ``src/reader/turtle_parser.rs:312-369``)
+- ``[ … ]`` allocates an unlabeled blank node, inlining its
+  predicate-object list (reference ``src/reader/turtle_parser.rs:296-307``)
+- literal bodies are raw text up to the closing delimiter — the
+  reference performs no escape-sequence decoding
+- graceful EOF: a partial document yields the triples parsed so far
+  (reference ``src/reader/turtle_parser.rs:74-76``)
+
+Documented deviations (deterministic fixes of upstream bugs, SURVEY.md
+§7.3): an object list ``,`` after a ``;`` attaches to the *most recent*
+predicate (standard Turtle) rather than the first; the N-Triples lexer
+does not swallow the character following a plain literal; prefixes are
+stored without the trailing ``:``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from .terms import (
+    KIND_BLANK,
+    KIND_IRI,
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    Term,
+    TripleRow,
+    XSD_BOOLEAN,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    blank,
+    iri,
+    is_double_literal,
+    is_integer_literal,
+    literal,
+    term_to_subj_col,
+)
+
+_WS = " \n\r"
+_NODE_DELIM = " \n\r."
+
+
+class ParseError(ValueError):
+    pass
+
+
+class _EndOfInput(ParseError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# Tokens: plain tuples. tok[0] is the tag.
+#   ('uri', text) ('blank', label) ('qname', prefix, path)
+#   ('literal', lex, datatype, lang) ('a',) ('dot',) ('semi',) ('comma',)
+#   ('lparen',) ('rparen',) ('lbracket',) ('rbracket',)
+#   ('base', uri) ('prefix', name, uri) ('comment', text) ('eof',)
+# --------------------------------------------------------------------------
+
+
+class TurtleScanner:
+    """Position-indexed tokenizer for Turtle (and superset of N-Triples)."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+        self._peeked: Optional[tuple] = None
+
+    # -- char helpers -----------------------------------------------------
+
+    def _skip_ws(self) -> None:
+        t, n = self.text, len(self.text)
+        i = self.pos
+        while i < n and t[i] in _WS:
+            i += 1
+        self.pos = i
+
+    def _until(self, stop_chars: str, start: Optional[int] = None) -> Tuple[str, int]:
+        """Chars from start (default pos) up to the first stop char.
+
+        Returns (chunk, index_of_stop). index == len(text) at EOF.
+        """
+        t, n = self.text, len(self.text)
+        i = self.pos if start is None else start
+        j = i
+        while j < n and t[j] not in stop_chars:
+            j += 1
+        return t[i:j], j
+
+    # -- token interface --------------------------------------------------
+
+    def peek_token(self) -> tuple:
+        if self._peeked is None:
+            self._peeked = self.next_token()
+        return self._peeked
+
+    def next_token(self) -> tuple:
+        if self._peeked is not None:
+            tok, self._peeked = self._peeked, None
+            return tok
+        self._skip_ws()
+        t, n = self.text, len(self.text)
+        if self.pos >= n:
+            return ("eof",)
+        c = t[self.pos]
+        if c == "#":
+            return self._comment()
+        if c == "@":
+            self.pos += 1
+            return self._base_or_prefix()
+        if c in "\"'":
+            return self._literal()
+        if c == "<":
+            return self._uri_token()
+        if c == "_":
+            return self._blank_token()
+        if c == ".":
+            tok = self._try_numeric()
+            if tok is not None:
+                return tok
+            self.pos += 1
+            return ("dot",)
+        if c == ",":
+            self.pos += 1
+            return ("comma",)
+        if c == ";":
+            self.pos += 1
+            return ("semi",)
+        if c == "(":
+            self.pos += 1
+            return ("lparen",)
+        if c == ")":
+            self.pos += 1
+            return ("rparen",)
+        if c == "[":
+            self.pos += 1
+            return ("lbracket",)
+        if c == "]":
+            self.pos += 1
+            return ("rbracket",)
+        if c in "PBpb":
+            tok = self._try_directive()
+            if tok is not None:
+                return tok
+        if c in "tf":
+            tok = self._try_boolean()
+            if tok is not None:
+                return tok
+        if c == "a":
+            word, j = self._until(_NODE_DELIM)
+            if word == "a":
+                self.pos = j
+                return ("a",)
+        if c in "+-" or c.isdigit():
+            tok = self._try_numeric()
+            if tok is not None:
+                return tok
+            raise ParseError("invalid numeric literal at %d" % self.pos)
+        return self._qname_token()
+
+    # -- token rules ------------------------------------------------------
+
+    def _comment(self) -> tuple:
+        body, j = self._until("\n\r", self.pos + 1)
+        self.pos = min(j + 1, len(self.text))
+        return ("comment", body.strip())
+
+    def _base_or_prefix(self) -> tuple:
+        tok = self._try_directive()
+        if tok is None:
+            raise ParseError("invalid @-directive at %d" % self.pos)
+        return tok
+
+    def _try_directive(self) -> Optional[tuple]:
+        t = self.text
+        head5 = t[self.pos : self.pos + 5].lower()
+        head7 = t[self.pos : self.pos + 7].lower()
+        if head5 == "base ":
+            _, j = self._until("<")
+            self.pos = j
+            u = self._uri_token()
+            return ("base", u[1])
+        if head7 == "prefix ":
+            self.pos += 7
+            name, j = self._until(":")
+            self.pos = min(j + 1, len(t))
+            _, j = self._until("<")
+            self.pos = j
+            u = self._uri_token()
+            return ("prefix", name.strip(), u[1])
+        return None
+
+    def _uri_token(self) -> tuple:
+        body, j = self._until(">", self.pos + 1)
+        if j >= len(self.text):
+            raise _EndOfInput("unterminated IRI")
+        self.pos = j + 1
+        return ("uri", body)
+
+    def _blank_token(self) -> tuple:
+        t = self.text
+        if self.pos + 1 >= len(t) or t[self.pos + 1] != ":":
+            raise ParseError("invalid blank node at %d" % self.pos)
+        label, j = self._until(_NODE_DELIM, self.pos + 2)
+        self.pos = j
+        return ("blank", label)
+
+    def _try_boolean(self) -> Optional[tuple]:
+        word, j = self._until(_NODE_DELIM)
+        if word in ("true", "false"):
+            self.pos = j
+            return ("literal", word, XSD_BOOLEAN, None)
+        return None
+
+    def _try_numeric(self) -> Optional[tuple]:
+        body, j = self._until(_NODE_DELIM)
+        # speculative decimal: delimiter '.' may belong to the number
+        if j < len(self.text) and self.text[j] == ".":
+            rest, k = self._until(_NODE_DELIM, j + 1)
+            combined = body + "." + rest
+            if is_double_literal(combined):
+                self.pos = k
+                return ("literal", combined, XSD_DOUBLE, None)
+        if is_integer_literal(body):
+            self.pos = j
+            return ("literal", body, XSD_INTEGER, None)
+        if is_double_literal(body):
+            self.pos = j
+            return ("literal", body, XSD_DOUBLE, None)
+        return None
+
+    def _literal(self) -> tuple:
+        t, n = self.text, len(self.text)
+        delim = t[self.pos]
+        self.pos += 1
+        if t[self.pos : self.pos + 2] == delim * 2:
+            # multiline: body runs to the next occurrence of 3 delimiters
+            self.pos += 2
+            end = t.find(delim * 3, self.pos)
+            if end < 0:
+                raise _EndOfInput("unterminated multiline literal")
+            lex = t[self.pos : end]
+            self.pos = end + 3
+        else:
+            lex, j = self._until(delim)
+            if j >= n:
+                raise _EndOfInput("unterminated literal")
+            self.pos = j + 1
+        # suffix: language tag or datatype
+        if self.pos < n and t[self.pos] == "@":
+            lang, j = self._until(_NODE_DELIM, self.pos + 1)
+            self.pos = j
+            return ("literal", lex, None, lang)
+        if t[self.pos : self.pos + 2] == "^^":
+            self.pos += 2
+            if self.pos < n and t[self.pos] == "<":
+                u = self._uri_token()
+                return ("literal", lex, u[1], None)
+            q = self._qname_token()
+            return ("literal", lex, ("qname", q[1], q[2]), None)
+        return ("literal", lex, None, None)
+
+    def _qname_token(self) -> tuple:
+        prefix, j = self._until(":")
+        if j >= len(self.text):
+            raise _EndOfInput("invalid QName (no ':')")
+        path, k = self._until(_NODE_DELIM, j + 1)
+        self.pos = k
+        return ("qname", prefix, path)
+
+
+# --------------------------------------------------------------------------
+# Turtle document parser
+# --------------------------------------------------------------------------
+
+
+class TurtleDocument:
+    """Parse result: triples + per-document state (base URI, prefix map)."""
+
+    def __init__(self) -> None:
+        self.base_uri: Optional[str] = None
+        self.namespaces: Dict[str, str] = {}
+        self.triples: List[TripleRow] = []
+        self._next_blank = 0
+
+    def fresh_blank(self) -> Term:
+        # reference ``src/graph.rs:268-276``: auto0, auto1, ... per document;
+        # distributed runs skolemize these afterwards (deterministic, keyed
+        # on document identity — see rdf_rs_spark.pipeline).
+        t = blank("auto%d" % self._next_blank)
+        self._next_blank += 1
+        return t
+
+    def add(self, subj: Term, pred: Term, obj: Term) -> None:
+        # pred is stored in subject-column encoding so Turtle's (legal at
+        # parse time, rejected at write time) blank-node predicates survive
+        self.triples.append(
+            TripleRow(
+                term_to_subj_col(subj),
+                term_to_subj_col(pred),
+                obj.kind,
+                obj.lex,
+                obj.datatype,
+                obj.lang,
+            )
+        )
+
+
+class TurtleParser:
+    """Recursive-descent Turtle parser over :class:`TurtleScanner` tokens."""
+
+    def __init__(self, text: str):
+        self.scanner = TurtleScanner(text)
+        self.doc = TurtleDocument()
+
+    def parse(self) -> TurtleDocument:
+        while True:
+            try:
+                tok = self.scanner.peek_token()
+            except _EndOfInput:
+                return self.doc
+            tag = tok[0]
+            if tag == "comment":
+                self.scanner.next_token()
+            elif tag == "eof":
+                return self.doc
+            elif tag == "base":
+                self.scanner.next_token()
+                self._expect_dot("base directive")
+                self.doc.base_uri = tok[1]
+            elif tag == "prefix":
+                self.scanner.next_token()
+                self._expect_dot("prefix directive")
+                self.doc.namespaces[tok[1]] = tok[2]
+            elif tag in ("uri", "blank", "qname", "lparen", "lbracket"):
+                triples = self._read_triples()
+                self.doc.triples.extend(triples)
+            else:
+                raise ParseError("unexpected token %r" % (tok,))
+
+    # ------------------------------------------------------------------
+
+    def _expect_dot(self, what: str) -> None:
+        tok = self.scanner.next_token()
+        if tok[0] != "dot":
+            raise ParseError("%s does not end with '.'" % what)
+
+    def _read_triples(self) -> List[TripleRow]:
+        subject = self._read_subject()
+        return self._read_predicate_object_list(subject)
+
+    def _read_subject(self) -> Term:
+        tok = self.scanner.next_token()
+        tag = tok[0]
+        if tag == "blank":
+            return blank(tok[1])
+        if tag == "qname":
+            return iri(self._expand_qname(tok[1], tok[2]))
+        if tag == "uri":
+            return self._resolve_uri(tok[1])
+        if tag == "lparen":
+            return self._read_collection()
+        if tag == "lbracket":
+            return self._read_unlabeled_blank()
+        raise ParseError("invalid token for Turtle subject: %r" % (tok,))
+
+    def _read_predicate_object_list(self, subject: Term) -> List[TripleRow]:
+        rows: List[TripleRow] = []
+
+        def push(pred: Term, obj: Term) -> None:
+            rows.append(
+                TripleRow(
+                    term_to_subj_col(subject),
+                    term_to_subj_col(pred),
+                    obj.kind,
+                    obj.lex,
+                    obj.datatype,
+                    obj.lang,
+                )
+            )
+
+        predicate, obj = self._read_predicate_with_object()
+        push(predicate, obj)
+        while True:
+            tok = self.scanner.next_token()
+            tag = tok[0]
+            if tag in ("dot", "rbracket"):
+                break
+            if tag == "semi":
+                predicate, obj = self._read_predicate_with_object()
+                push(predicate, obj)
+            elif tag == "comma":
+                # attaches to the most recent predicate (fixes the upstream
+                # shadowing bug at reference turtle_parser.rs:215-218)
+                obj = self._read_object()
+                push(predicate, obj)
+            else:
+                raise ParseError("invalid token in predicate-object list: %r" % (tok,))
+        return rows
+
+    def _read_predicate_with_object(self) -> Tuple[Term, Term]:
+        tok = self.scanner.next_token()
+        tag = tok[0]
+        if tag == "uri":
+            pred = self._resolve_uri(tok[1])
+        elif tag == "a":
+            pred = iri(RDF_TYPE)
+        elif tag == "qname":
+            pred = iri(self._expand_qname(tok[1], tok[2]))
+        elif tag == "blank":
+            pred = blank(tok[1])
+        else:
+            raise ParseError("invalid token for Turtle predicate: %r" % (tok,))
+        return pred, self._read_object()
+
+    def _read_object(self) -> Term:
+        tok = self.scanner.next_token()
+        tag = tok[0]
+        if tag == "blank":
+            return blank(tok[1])
+        if tag == "uri":
+            return self._resolve_uri(tok[1])
+        if tag == "qname":
+            return iri(self._expand_qname(tok[1], tok[2]))
+        if tag == "literal":
+            dt = tok[2]
+            if isinstance(dt, tuple):  # QName datatype
+                dt = self._expand_qname(dt[1], dt[2])
+            return literal(tok[1], dt, tok[3])
+        if tag == "lparen":
+            return self._read_collection()
+        if tag == "lbracket":
+            return self._read_unlabeled_blank()
+        raise ParseError("invalid token for Turtle object: %r" % (tok,))
+
+    def _read_unlabeled_blank(self) -> Term:
+        subject = self.doc.fresh_blank()
+        if self.scanner.peek_token()[0] == "rbracket":
+            self.scanner.next_token()
+        else:
+            rows = self._read_predicate_object_list(subject)
+            self.doc.triples.extend(rows)
+        return subject
+
+    def _read_collection(self) -> Term:
+        if self.scanner.peek_token()[0] == "rparen":
+            self.scanner.next_token()
+            return iri(RDF_NIL)
+        head = self.doc.fresh_blank()
+        node = head
+        while True:
+            # the reference allocates the rest-node *before* reading the
+            # element (turtle_parser.rs:328-329) — kept for identical
+            # auto<N> labeling
+            rest = self.doc.fresh_blank()
+            obj = self._read_object()
+            self.doc.add(node, iri(RDF_FIRST), obj)
+            if self.scanner.peek_token()[0] == "rparen":
+                self.scanner.next_token()
+                self.doc.add(node, iri(RDF_REST), iri(RDF_NIL))
+                break
+            self.doc.add(node, iri(RDF_REST), rest)
+            node = rest
+        return head
+
+    def _expand_qname(self, prefix: str, path: str) -> str:
+        ns = self.doc.namespaces.get(prefix)
+        if ns is None:
+            raise ParseError("namespace does not exist for prefix: %r" % prefix)
+        # the idiosyncratic ':' -> '/' rewrite inside local names
+        # (reference turtle_parser.rs:182-183); inverse applied by the
+        # Turtle writer's QName compression
+        return ns + path.replace(":", "/")
+
+    def _resolve_uri(self, text: str) -> Term:
+        # '#fragment' resolution against @base (reference graph.rs:339-350)
+        if text.startswith("#") and self.doc.base_uri:
+            return iri(self.doc.base_uri + text)
+        return iri(text)
+
+
+def parse_turtle(text: str) -> TurtleDocument:
+    return TurtleParser(text).parse()
+
+
+# --------------------------------------------------------------------------
+# N-Triples document parser (strict line-oriented subset)
+# --------------------------------------------------------------------------
+
+_NT_TOKENS = ("uri", "blank", "literal", "dot", "comment", "eof")
+
+
+def parse_ntriples(text: str) -> List[TripleRow]:
+    """Parse an N-Triples document (reference n_triples_parser.rs:46-186).
+
+    Subject must be blank|IRI, predicate IRI, object any term; statements
+    end with '.'. Reuses the Turtle scanner restricted to NT tokens (the
+    reference NT lexer is a strict subset of its Turtle lexer).
+    """
+    scanner = TurtleScanner(text)
+    rows: List[TripleRow] = []
+    while True:
+        try:
+            tok = scanner.next_token()
+        except _EndOfInput:
+            return rows
+        tag = tok[0]
+        if tag == "comment":
+            continue
+        if tag == "eof":
+            return rows
+        if tag == "blank":
+            subj: Term = blank(tok[1])
+        elif tag == "uri":
+            subj = iri(tok[1])
+        else:
+            raise ParseError("invalid subject in N-Triples: %r" % (tok,))
+        ptok = scanner.next_token()
+        if ptok[0] != "uri":
+            raise ParseError("invalid predicate in N-Triples: %r" % (ptok,))
+        otok = scanner.next_token()
+        if otok[0] == "uri":
+            obj: Term = iri(otok[1])
+        elif otok[0] == "blank":
+            obj = blank(otok[1])
+        elif otok[0] == "literal":
+            dt = otok[2]
+            if isinstance(dt, tuple):
+                raise ParseError("QName datatypes are not valid in N-Triples")
+            # bare numerics/booleans are Turtle-only; in strict NT the lexer
+            # would reject them, but accepting typed tokens here is harmless
+            obj = literal(otok[1], dt, otok[3])
+        else:
+            raise ParseError("invalid object in N-Triples: %r" % (otok,))
+        dtok = scanner.next_token()
+        if dtok[0] != "dot":
+            raise ParseError("N-Triples statement does not end with '.'")
+        rows.append(
+            TripleRow(
+                term_to_subj_col(subj), ptok[1], obj.kind, obj.lex, obj.datatype, obj.lang
+            )
+        )
+
+
+def parse_ntriples_line(line: str) -> Optional[TripleRow]:
+    """Parse a single N-Triples line (line-splittable fast path).
+
+    Returns None for blank/comment-only lines.
+    """
+    stripped = line.strip()
+    if not stripped or stripped.startswith("#"):
+        return None
+    rows = parse_ntriples(stripped)
+    return rows[0] if rows else None

@@ -1,0 +1,131 @@
+"""Pure-Python N-Triples / Turtle serializers.
+
+The distributed fast path for N-Triples is pure column expressions
+(``rdf_rs_spark.writers.ntriples``); these Python implementations define
+the byte-exact golden behavior (ported from the reference writer tests)
+and drive the per-subject-block Turtle emitter used inside
+``applyInPandas`` (``rdf_rs_spark.writers.turtle``).
+
+Reference: ``src/writer/n_triples_writer.rs``, ``src/writer/turtle_writer.rs``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+from .terms import (
+    KIND_BLANK,
+    KIND_LITERAL,
+    Term,
+    TripleRow,
+    format_term_nt,
+    format_term_turtle,
+    subject_term,
+)
+
+
+class WriteError(ValueError):
+    pass
+
+
+def _validate(term: Term, segment: str, turtle: bool) -> None:
+    """Node write-validation (reference ``n_triples_writer.rs:153-191``,
+    ``turtle_writer.rs:177-215``): no blank predicates; literals only in
+    object position; language and datatype mutually exclusive."""
+    if term.kind == KIND_BLANK and segment == "predicate":
+        raise WriteError("Blank nodes are not allowed as predicates.")
+    if term.kind == KIND_LITERAL:
+        if segment != "object":
+            raise WriteError("Literals are only allowed as objects.")
+        if term.lang is not None and term.datatype is not None:
+            raise WriteError("Literal has data type and language.")
+    if not turtle and term.kind == KIND_BLANK and segment == "predicate":
+        raise WriteError("Blank nodes are not allowed as predicates.")
+
+
+def triple_to_ntriples(row: TripleRow) -> str:
+    """One ``s p o .`` line (reference ``n_triples_writer.rs:99-127``)."""
+    subj = subject_term(row.subj)
+    pred = subject_term(row.pred)
+    obj = row.obj
+    _validate(subj, "subject", False)
+    _validate(pred, "predicate", False)
+    _validate(obj, "object", False)
+    return "%s %s %s ." % (format_term_nt(subj), format_term_nt(pred), format_term_nt(obj))
+
+
+def write_ntriples_string(rows: Iterable[TripleRow]) -> str:
+    """Newline-joined N-Triples serialization, insertion order (reference
+    ``n_triples_writer.rs:38-53`` appends '\\n' after every line)."""
+    return "".join(triple_to_ntriples(r) + "\n" for r in rows)
+
+
+def write_turtle_string(
+    rows: Iterable[TripleRow],
+    base_uri: Optional[str] = None,
+    namespaces: Optional[Dict[str, str]] = None,
+) -> str:
+    """Turtle serialization with subject/predicate grouping (reference
+    ``turtle_writer.rs:54-167``): @base line, @prefix lines, global sort by
+    node order, ``;`` between predicates of one subject, ``,`` between
+    objects of one predicate, alignment indentation.
+
+    Deviation: prefix lines are emitted in sorted order (the reference
+    iterates a HashMap — nondeterministic).
+    """
+    namespaces = namespaces or {}
+    out: List[str] = []
+    if base_uri:
+        out.append("@base " + _fmt_uri(base_uri, namespaces) + " .\n")
+    for prefix in sorted(namespaces):
+        out.append("@prefix %s: <%s> .\n" % (prefix, namespaces[prefix]))
+
+    triples = sorted(rows, key=lambda r: r.sort_key())
+
+    prev_subj: Optional[str] = None
+    prev_pred: Optional[str] = None
+    pred_indent = 0
+    obj_indent = 0
+    for row in triples:
+        subj_t = subject_term(row.subj)
+        pred_t = subject_term(row.pred)
+        obj_t = row.obj
+        _validate(subj_t, "subject", True)
+        _validate(pred_t, "predicate", True)
+        _validate(obj_t, "object", True)
+        if prev_subj == row.subj:
+            if prev_pred == row.pred:
+                out.append(" ,\n")
+                out.append(" " * obj_indent)
+            else:
+                out.append(" ;\n")
+                pred_text = format_term_turtle(pred_t, namespaces)
+                out.append(" " * pred_indent)
+                out.append(pred_text)
+                prev_pred = row.pred
+                out.append(" ")
+                obj_indent = pred_indent + len(pred_text) + 1
+        else:
+            if prev_subj is not None:
+                out.append(" .\n")
+            subj_text = format_term_turtle(subj_t, namespaces)
+            out.append(subj_text)
+            prev_subj = row.subj
+            out.append(" ")
+            pred_text = format_term_turtle(pred_t, namespaces)
+            out.append(pred_text)
+            prev_pred = row.pred
+            out.append(" ")
+            pred_indent = len(subj_text) + 1
+            obj_indent = pred_indent + len(pred_text) + 1
+        out.append(format_term_turtle(obj_t, namespaces))
+
+    if triples:
+        out.append(" .")
+    return "".join(out)
+
+
+def _fmt_uri(uri_text: str, namespaces: Dict[str, str]) -> str:
+    from .terms import _format_uri_turtle
+
+    return _format_uri_turtle(uri_text, namespaces)

@@ -1,0 +1,279 @@
+"""RDF term model: kind codes, sort ranks, XSD/RDF constants, escaping.
+
+Re-expresses the reference data model (scholtzan/rdf-rs) for a columnar
+Spark engine:
+
+- ``Node`` 3-variant sum type (reference ``src/node.rs:5-18``) becomes a
+  flattened 6-column row: subjects are always IRI-or-blank and predicates
+  always IRI (parser invariants, reference
+  ``src/reader/n_triples_parser.rs:139-159``), so only the object carries
+  the full (kind, lex, datatype, lang) struct.
+- Node equality is structural string equality (reference ``src/node.rs:4``);
+  node ordering is variant-order-first (UriNode < LiteralNode < BlankNode)
+  then lexicographic — used by the Turtle writer's global sort (reference
+  ``src/writer/turtle_writer.rs:60-61``).
+
+Everything here is pure Python / pure column expressions; no Spark session
+required at import time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+# --------------------------------------------------------------------------
+# Kind codes (storage) and sort ranks (reference Ord order) — deliberately
+# two distinct mappings, see SURVEY.md §2.9.
+# --------------------------------------------------------------------------
+
+KIND_IRI = 0
+KIND_BLANK = 1
+KIND_LITERAL = 2
+
+#: Rank used to reproduce Rust's derive(Ord) variant order:
+#: UriNode < LiteralNode < BlankNode (reference ``src/node.rs:5-18``).
+SORT_RANK = {KIND_IRI: 0, KIND_LITERAL: 1, KIND_BLANK: 2}
+
+# --------------------------------------------------------------------------
+# Vocabulary constants (reference ``src/specs/xml_specs.rs:23-37`` and
+# ``src/specs/rdf_syntax_specs.rs:18-27``).
+# --------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_STRING = XSD + "string"
+XSD_DECIMAL = XSD + "decimal"
+XSD_DOUBLE = XSD + "double"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATE = XSD + "date"
+XSD_LONG = XSD + "long"
+XSD_UNSIGNED_LONG = XSD + "unsignedLong"
+XSD_INT = XSD + "int"
+XSD_INTEGER = XSD + "integer"
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+
+I64_MIN = -(2**63)
+I64_MAX = 2**63 - 1
+
+
+# --------------------------------------------------------------------------
+# Python-side term tuple (used inside Arrow-batched UDFs and pure tests).
+# --------------------------------------------------------------------------
+
+
+class Term(NamedTuple):
+    """One RDF term, flattened. ``datatype``/``lang`` only for literals."""
+
+    kind: int
+    lex: str
+    datatype: Optional[str] = None
+    lang: Optional[str] = None
+
+    def sort_key(self) -> Tuple:
+        # Option<T> ordering in Rust: None < Some(_); LiteralNode field
+        # order is (literal, data_type, language).
+        return (
+            SORT_RANK[self.kind],
+            self.lex,
+            (self.datatype is not None, self.datatype or ""),
+            (self.lang is not None, self.lang or ""),
+        )
+
+
+def iri(value: str) -> Term:
+    return Term(KIND_IRI, value)
+
+
+def blank(label: str) -> Term:
+    return Term(KIND_BLANK, label)
+
+
+def literal(
+    lex: str, datatype: Optional[str] = None, lang: Optional[str] = None
+) -> Term:
+    if datatype is not None and lang is not None:
+        # Mutually exclusive, enforced at write time in the reference
+        # (``src/writer/n_triples_writer.rs:178-185``).
+        raise ValueError("literal cannot carry both datatype and language")
+    return Term(KIND_LITERAL, lex, datatype, lang)
+
+
+class TripleRow(NamedTuple):
+    """Flattened triple row — mirrors the Spark table schema."""
+
+    subj: str  # IRI text or blank label prefixed '_:'
+    pred: str  # IRI text
+    obj_kind: int
+    obj_lex: str
+    obj_datatype: Optional[str] = None
+    obj_lang: Optional[str] = None
+
+    @property
+    def obj(self) -> Term:
+        return Term(self.obj_kind, self.obj_lex, self.obj_datatype, self.obj_lang)
+
+    def sort_key(self) -> Tuple:
+        return (subject_sort_key(self.subj), self.pred, self.obj.sort_key())
+
+
+def subject_term(subj: str) -> Term:
+    """Decode the subject column back to a term (blank labels carry '_:')."""
+    if subj.startswith("_:"):
+        return blank(subj[2:])
+    return iri(subj)
+
+
+def subject_sort_key(subj: str) -> Tuple:
+    return subject_term(subj).sort_key()
+
+
+def term_to_subj_col(term: Term) -> str:
+    if term.kind == KIND_BLANK:
+        return "_:" + term.lex
+    if term.kind == KIND_IRI:
+        return term.lex
+    raise ValueError("literals are not valid subjects")
+
+
+# --------------------------------------------------------------------------
+# Literal classification — reference ``src/specs/turtle_specs.rs:56-96``.
+# --------------------------------------------------------------------------
+
+
+def is_integer_literal(s: str) -> bool:
+    """True iff ``s`` parses as a Rust i64 (reference ``turtle_specs.rs:75-80``)."""
+    t = s.strip() if False else s  # rust parse does not trim; keep exact
+    if not t:
+        return False
+    body = t[1:] if t[0] in "+-" else t
+    if not body or not body.isdigit() or not body.isascii():
+        return False
+    try:
+        return I64_MIN <= int(t) <= I64_MAX
+    except ValueError:
+        return False
+
+
+def is_double_literal(s: str) -> bool:
+    """True iff ``s`` parses as a Rust f64 (reference ``turtle_specs.rs:56-62``).
+
+    Python's float() is a close superset; exclude the Python-only
+    underscore/whitespace forms so semantics match.
+    """
+    if not s or "_" in s or s != s.strip():
+        return False
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def is_boolean_literal(s: str) -> bool:
+    return s in ("true", "false")
+
+
+def is_plain_literal(lex: str, datatype: Optional[str]) -> bool:
+    """Reference ``src/specs/turtle_specs.rs:21-43``."""
+    if is_double_literal(lex) and datatype == XSD_DECIMAL:
+        return True
+    if is_boolean_literal(lex) and datatype == XSD_BOOLEAN:
+        return True
+    if is_integer_literal(lex) and datatype in (XSD_INTEGER, XSD_UNSIGNED_LONG, XSD_LONG):
+        return True
+    return False
+
+
+# --------------------------------------------------------------------------
+# Literal escaping — mirrors Rust's ``str::escape_debug`` used by both
+# formatters (reference ``src/writer/formatter/n_triples_formatter.rs:44-58``),
+# including the non-standard ``\'`` escape the reference tests pin down.
+# --------------------------------------------------------------------------
+
+_ESCAPE_MAP = {
+    "\t": "\\t",
+    "\r": "\\r",
+    "\n": "\\n",
+    "\\": "\\\\",
+    "'": "\\'",
+    '"': '\\"',
+    "\0": "\\0",
+}
+
+
+def escape_debug(s: str) -> str:
+    out = []
+    for ch in s:
+        mapped = _ESCAPE_MAP.get(ch)
+        if mapped is not None:
+            out.append(mapped)
+        elif ch.isprintable():
+            out.append(ch)
+        else:
+            out.append("\\u{%x}" % ord(ch))
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# Node → N-Triples / Turtle text (python side, used by the grouping Turtle
+# writer inside applyInPandas and by pure unit tests; the distributed
+# N-Triples serializer re-expresses the same logic as column expressions in
+# ``rdf_rs_spark.writers.ntriples``).
+# --------------------------------------------------------------------------
+
+
+def format_term_nt(term: Term) -> str:
+    """Reference ``src/writer/formatter/n_triples_formatter.rs:22-73``."""
+    if term.kind == KIND_IRI:
+        return "<" + term.lex + ">"
+    if term.kind == KIND_BLANK:
+        return "_:" + term.lex
+    out = '"' + escape_debug(term.lex) + '"'
+    if term.lang is not None:
+        out += "@" + term.lang
+    if term.datatype is not None:
+        out += "^^<" + term.datatype + ">"
+    return out
+
+
+def format_term_turtle(term: Term, namespaces: Optional[dict] = None) -> str:
+    """Reference ``src/writer/formatter/turtle_formatter.rs:25-105``.
+
+    Deviations (documented per SURVEY.md §7.3): QName compression uses
+    deterministic longest-prefix match instead of the reference's HashMap
+    iteration order; bare integer/boolean rendering follows the reference
+    *code* (its own test at ``turtle_formatter.rs:236-249`` contradicts the
+    implementation and is treated as the upstream bug).
+    """
+    namespaces = namespaces or {}
+    if term.kind == KIND_BLANK:
+        return "_:" + term.lex
+    if term.kind == KIND_IRI:
+        return _format_uri_turtle(term.lex, namespaces)
+    # literal
+    if is_boolean_literal(term.lex) and term.lang is None and term.datatype is None:
+        return term.lex
+    if is_integer_literal(term.lex) and term.lang is None:
+        return term.lex
+    out = '"' + escape_debug(term.lex) + '"'
+    if term.lang is not None:
+        out += "@" + term.lang
+    if term.datatype is not None:
+        out += "^^" + _format_uri_turtle(term.datatype, namespaces)
+    return out
+
+
+def _format_uri_turtle(uri_text: str, namespaces: dict) -> str:
+    best_prefix, best_ns = None, ""
+    for prefix, ns in namespaces.items():
+        if uri_text.startswith(ns) and len(ns) > len(best_ns):
+            best_prefix, best_ns = prefix, ns
+    if best_prefix is not None:
+        # inverse of the parser's ':' -> '/' QName rewrite (reference
+        # ``src/writer/formatter/turtle_formatter.rs:89-94``)
+        return best_prefix + ":" + uri_text[len(best_ns):].replace("/", ":")
+    return "<" + uri_text + ">"

@@ -1,0 +1,288 @@
+"""Ported reference parser/lexer tests (no Spark needed).
+
+Sources: /root/reference/src/reader/turtle_parser.rs:372-637,
+/root/reference/src/reader/lexer/turtle_lexer.rs:439-673,
+/root/reference/src/reader/n_triples_parser.rs:188-200.
+"""
+
+import pytest
+
+from rdf_rs_spark.parsing import TurtleScanner, parse_ntriples, parse_turtle
+from rdf_rs_spark.terms import XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER
+
+# ---------------------------------------------------------------- lexer ---
+
+
+def toks(text, n):
+    sc = TurtleScanner(text)
+    return [sc.next_token() for _ in range(n)]
+
+
+def test_lexer_base_directive():
+    assert toks("@base <http://example.org/> .", 2) == [
+        ("base", "http://example.org/"),
+        ("dot",),
+    ]
+
+
+def test_lexer_sparql_base_directive():
+    assert toks("BASE <http://example.org/> .", 2) == [
+        ("base", "http://example.org/"),
+        ("dot",),
+    ]
+
+
+def test_lexer_prefix_directive():
+    assert toks("@prefix foaf: <http://xmlns.com/foaf/0.1/> .", 2) == [
+        ("prefix", "foaf", "http://xmlns.com/foaf/0.1/"),
+        ("dot",),
+    ]
+
+
+def test_lexer_sparql_prefix_directive():
+    assert toks("PREFIX foaf: <http://xmlns.com/foaf/0.1/> .", 2) == [
+        ("prefix", "foaf", "http://xmlns.com/foaf/0.1/"),
+        ("dot",),
+    ]
+
+
+def test_lexer_comment():
+    assert toks("# Hello World!\n# Foo", 2) == [
+        ("comment", "Hello World!"),
+        ("comment", "Foo"),
+    ]
+
+
+def test_lexer_literal():
+    assert toks('"a"', 1) == [("literal", "a", None, None)]
+
+
+def test_lexer_uri():
+    assert toks("<example.org/a>", 1) == [("uri", "example.org/a")]
+
+
+def test_lexer_literal_with_language():
+    assert toks('"a"@abc', 1) == [("literal", "a", None, "abc")]
+
+
+def test_lexer_blank_node():
+    assert toks(". _:auto .", 2) == [("dot",), ("blank", "auto")]
+
+
+def test_lexer_qname():
+    assert toks(" abc:def:ghij  gggg:gggg   abc:dd .", 3) == [
+        ("qname", "abc", "def:ghij"),
+        ("qname", "gggg", "gggg"),
+        ("qname", "abc", "dd"),
+    ]
+
+
+def test_lexer_literal_with_datatype():
+    assert toks('"a"^^<example.org/abc>', 1) == [
+        ("literal", "a", "example.org/abc", None)
+    ]
+
+
+def test_lexer_literal_with_qname_datatype():
+    assert toks('"a"^^ex:abc:asdf', 1) == [
+        ("literal", "a", ("qname", "ex", "abc:asdf"), None)
+    ]
+
+
+def test_lexer_triple_delimiter():
+    assert toks('. "a"   . ', 3) == [("dot",), ("literal", "a", None, None), ("dot",)]
+
+
+def test_lexer_multiline_literal():
+    assert toks("'''don't do \"this\"'''", 1) == [
+        ("literal", 'don\'t do "this"', None, None)
+    ]
+
+
+def test_lexer_numeric_literals():
+    got = toks("4 1.2 -5.123 -.123 .123 5e10 .", 6)
+    assert got == [
+        ("literal", "4", XSD_INTEGER, None),
+        ("literal", "1.2", XSD_DOUBLE, None),
+        ("literal", "-5.123", XSD_DOUBLE, None),
+        ("literal", "-.123", XSD_DOUBLE, None),
+        ("literal", ".123", XSD_DOUBLE, None),
+        ("literal", "5e10", XSD_DOUBLE, None),
+    ]
+
+
+def test_lexer_boolean_literals():
+    assert toks("true false .", 3) == [
+        ("literal", "true", XSD_BOOLEAN, None),
+        ("literal", "false", XSD_BOOLEAN, None),
+        ("dot",),
+    ]
+
+
+def test_lexer_a_keyword():
+    assert toks("<s> a <o> .", 4) == [("uri", "s"), ("a",), ("uri", "o"), ("dot",)]
+
+
+# ------------------------------------------------------------ NT parser ---
+
+NT_DOC = """<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://xmlns.com/foaf/0.1/Document> .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://purl.org/dc/terms/title> "N-Triples"@en-US .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://xmlns.com/foaf/0.1/maker> _:art .
+_:art <http://xmlns.com/foaf/0.1/name> "Art Barstow" ."""
+
+
+def test_nt_parse_four_triples():
+    rows = parse_ntriples(NT_DOC)
+    assert len(rows) == 4
+    assert rows[1].obj_lang == "en-US"
+    assert rows[2].obj_lex == "art"
+    assert rows[3].subj == "_:art"
+
+
+def test_nt_parse_comments_skipped():
+    rows = parse_ntriples("# a comment\n<s> <p> <o> .\n# another")
+    assert len(rows) == 1
+
+
+# -------------------------------------------------------- Turtle parser ---
+
+
+def test_read_n_triples_as_turtle():
+    assert len(parse_turtle(NT_DOC).triples) == 4
+
+
+UNCOMPRESSED = """@base <http://example.org/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> rdf:type foaf:Document .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://purl.org/dc/terms/title> "N-Triples"@en-US .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> foaf:maker _:art .
+_:art foaf:name "Art Barstow" ."""
+
+
+def test_read_uncompressed_turtle():
+    doc = parse_turtle(UNCOMPRESSED)
+    assert len(doc.triples) == 4
+    assert len(doc.namespaces) == 2
+    assert doc.base_uri == "http://example.org/"
+    # QName expansion
+    assert doc.triples[0].pred == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert doc.triples[0].obj_lex == "http://xmlns.com/foaf/0.1/Document"
+
+
+COMPRESSED = """@base <http://example.org/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> rdf:type foaf:Document ;
+                                              <http://purl.org/dc/terms/title> "N-Triples"@en-US ;
+                                              foaf:maker _:art .
+
+_:art foaf:name "Art Barstow" ,
+                "Art Барстоу" ,
+                "아트 바스트" ."""
+
+
+def test_read_compressed_turtle():
+    doc = parse_turtle(COMPRESSED)
+    assert len(doc.triples) == 6
+    assert len(doc.namespaces) == 2
+    assert doc.base_uri == "http://example.org/"
+    # ';' fans out to same subject, ',' to same subject+predicate
+    subjects = {r.subj for r in doc.triples[:3]}
+    assert subjects == {"http://www.w3.org/2001/sw/RDFCore/ntriples/"}
+    assert {r.pred for r in doc.triples[3:]} == {"http://xmlns.com/foaf/0.1/name"}
+    assert doc.triples[4].obj_lex == "Art Барстоу"
+
+
+def test_parsing_turtle_base_uri():
+    assert parse_turtle("@base <http://example/> .").base_uri == "http://example/"
+
+
+def test_parsing_turtle_sparql_base_uri():
+    assert parse_turtle("BASE <http://example/> .").base_uri == "http://example/"
+
+
+def test_parsing_turtle_prefix():
+    assert parse_turtle("@prefix p: <http://p.example/> .").namespaces == {
+        "p": "http://p.example/"
+    }
+
+
+def test_parsing_turtle_sparql_prefix():
+    assert parse_turtle("PREFIX p: <http://p.example/> .").namespaces == {
+        "p": "http://p.example/"
+    }
+
+
+def test_read_turtle_with_empty_prefix():
+    doc = parse_turtle("@prefix : <http://example/> .\n :subject :predicate :object .")
+    assert len(doc.triples) == 1
+    assert doc.triples[0].subj == "http://example/subject"
+
+
+def test_read_collection():
+    assert len(parse_turtle("_:a _:b ( _:c _:g ) . ").triples) == 5
+
+
+def test_read_empty_collection():
+    doc = parse_turtle("() _:b (  ) .")
+    assert len(doc.triples) == 1
+    assert doc.triples[0].subj == "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    assert doc.triples[0].obj_lex == "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+
+def test_read_nested_collections():
+    assert len(parse_turtle("( _:a (_:b _:c ) ) _:b ( _:b ( ( ( ) ) ) ) .").triples) == 17
+
+
+def test_read_empty_unlabeled_node():
+    doc = parse_turtle("[ ] _:b [ ] .")
+    assert len(doc.triples) == 1
+    assert doc.triples[0].subj == "_:auto0"
+    assert doc.triples[0].obj_lex == "auto1"
+
+
+def test_read_unlabeled_nodes():
+    doc = parse_turtle(
+        """[ _:a _:g ] _:b [ _:c [
+      _:s _:d ,
+          [ _:asd _:asdf ] ;
+      _:g _:h
+    ] ] ."""
+    )
+    assert len(doc.triples) == 7
+
+
+def test_read_fragment():
+    doc = parse_turtle(
+        '@base <https://example.com/alice/card> .\n <#this>  a  <#Example> .'
+    )
+    assert len(doc.triples) == 1
+    assert doc.base_uri == "https://example.com/alice/card"
+    assert doc.triples[0].subj == "https://example.com/alice/card#this"
+    assert doc.triples[0].pred == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert doc.triples[0].obj_lex == "https://example.com/alice/card#Example"
+
+
+def test_eof_at_statement_boundary_returns_graph():
+    # graceful EOF at a statement boundary returns the graph built so far
+    # (reference turtle_parser.rs:74-76); EOF *inside* a statement is an
+    # error the reference propagates (the '?' at turtle_parser.rs:71)
+    doc = parse_turtle('<s> <p> "complete" .\n   ')
+    assert len(doc.triples) == 1
+    from rdf_rs_spark.parsing import ParseError
+
+    with pytest.raises(ParseError):
+        parse_turtle('<s> <p> "complete" .\n<s2> <p2> <unterminated')
+
+
+def test_comma_after_semicolon_attaches_to_latest_predicate():
+    # documented deviation from the reference's predicate-shadowing bug
+    doc = parse_turtle("<s> <p1> <o1> ; <p2> <o2> , <o3> .")
+    assert [(r.pred, r.obj_lex) for r in doc.triples] == [
+        ("p1", "o1"),
+        ("p2", "o2"),
+        ("p2", "o3"),
+    ]
