@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports end-to-end KG-construction throughput (triples/sec) — the
+BASELINE.json headline metric — under the "kg_triples_per_sec" key.
+Each query is forced end-to-end with a noop write (count() would let
+Catalyst prune the serialization/parse work under test).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rdf_rs_spark.entry_queries import QUERIES  # noqa: E402
+from rdf_rs_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "kg_pipeline_e2e",
+    "kg_triples_materialize",
+    "rdf_bgp_join",
+    "rdf_bgp_optional",
+    "rdf_ntriples_format",
+    "rdf_ntriples_parse",
+    "rdf_turtle_parse",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "dedup_simhash_signatures",
+    "ann_cosine_topk",
+    "embedding_neardup_pairs",
+    "docs_quality_score",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_topk_revenue",
+    "events_sessionize",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("rdf_rs_spark_bench", cpus=cpus)
+
+    timings = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # KG throughput: pipeline triples/sec (triples counted once, then the
+    # already-timed e2e run's wall clock is reused)
+    kg_df = QUERIES["kg_pipeline_e2e"](spark, sf_dir)
+    n_triples = kg_df.count()
+    kg_tps = round(n_triples / timings["kg_pipeline_e2e"], 1)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "kg_pipeline_triples": n_triples,
+                "kg_triples_per_sec": kg_tps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,727 @@
+"""Driver-contract queries: every operator exposed as (Spark callable,
+DuckDB oracle SQL) pairs over the shared testdata tables.
+
+Each Spark callable takes (spark, sf_dir) → DataFrame; the oracle SQL
+runs on DuckDB views named after the parquet files. Column names and
+integer-scaled values are aligned so the driver's order-insensitive
+value-hash matches. Float outputs are avoided (scaled to bigint) —
+cross-engine float formatting is not hash-stable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score_e3,
+    token_count,
+)
+from .graph import RdfGraph
+from .operators.ann import cosine_topk, embedding_neardup
+from .operators.bgp import TriplePattern, bgp_join, select
+from .operators.dedup import dedup_exact, dedup_minhash_lsh, dedup_ngram_jaccard, simhash64
+from .operators.table_to_triples import EX, star_schema_triples
+from .pipeline import page_triples, skolemize
+from .sources.ntriples import parse_ntriples_lines
+from .sources.turtle import parse_turtle_docs
+from .sources.webpages import synthesize_alias_dict, synthesize_web_pages
+from .terms import RDF_TYPE, XSD_INTEGER
+from .writers.ntriples import nt_lines
+
+# --------------------------------------------------------------------------
+# shared loading
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star_schema_triples(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    )
+
+
+# the same triple construction as ANSI SQL (DuckDB oracle side)
+TRIPLES_CTE = f"""
+WITH triples AS (
+  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+         '{RDF_TYPE}' AS pred, CAST(0 AS TINYINT) AS obj_kind,
+         'http://kg.example.org/Nation' AS obj_lex,
+         CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+  FROM nation
+  UNION ALL
+  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/name', CAST(2 AS TINYINT), n_name,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/inRegion', CAST(0 AS TINYINT),
+         'http://kg.example.org/region/' || CAST(n_regionkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'http://kg.example.org/region/' || CAST(r_regionkey AS VARCHAR),
+         '{RDF_TYPE}', CAST(0 AS TINYINT), 'http://kg.example.org/Region',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM region
+  UNION ALL
+  SELECT 'http://kg.example.org/region/' || CAST(r_regionkey AS VARCHAR),
+         'http://kg.example.org/name', CAST(2 AS TINYINT), r_name,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM region
+  UNION ALL
+  SELECT 'http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         '{RDF_TYPE}', CAST(0 AS TINYINT), 'http://kg.example.org/Customer',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         'http://kg.example.org/name', CAST(2 AS TINYINT), c_name,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         'http://kg.example.org/inNation', CAST(0 AS TINYINT),
+         'http://kg.example.org/nation/' || CAST(c_nationkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         'http://kg.example.org/address', CAST(1 AS TINYINT),
+         'addr' || CAST(c_custkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT '_:addr' || CAST(c_custkey AS VARCHAR),
+         'http://kg.example.org/segment', CAST(2 AS TINYINT), c_mktsegment,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey % 2 = 0
+)
+"""
+
+_T6 = "subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang"
+
+# DuckDB-side shingle helpers (match rdf_rs_spark.functions.text semantics)
+_DD_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_DD_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len({toks}) - 2, 0)),"
+    " i -> array_to_string(({toks})[i:i+2], ' ')))"
+).format(toks=_DD_TOKENS)
+
+
+def _dd_minhash(i: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('seed{i}:' || s)))"
+
+
+def _dd_bands() -> str:
+    cols = [_dd_minhash(i) for i in range(16)]
+    bands = []
+    for b in range(4):
+        parts = ", ".join(cols[b * 4 + r] for r in range(4))
+        bands.append(f"concat_ws('|', {parts})")
+    return "[" + ", ".join(bands) + "]"
+
+
+# --------------------------------------------------------------------------
+# query registry
+# --------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---- KG materialization + reference CRUD/filter surface -------------------
+
+
+@q("kg_triples_materialize", TRIPLES_CTE + f"SELECT DISTINCT {_T6} FROM triples")
+def kg_triples_materialize(spark, sf_dir):
+    return _triples(spark, sf_dir).dropDuplicates()
+
+
+@q(
+    "rdf_filter_subject",
+    TRIPLES_CTE + f"SELECT {_T6} FROM triples WHERE subj = 'http://kg.example.org/nation/7'",
+)
+def rdf_filter_subject(spark, sf_dir):
+    from .terms import iri
+
+    return RdfGraph(_triples(spark, sf_dir)).triples_with_subject(iri(EX + "nation/7"))
+
+
+@q(
+    "rdf_filter_predicate",
+    TRIPLES_CTE + f"SELECT {_T6} FROM triples WHERE pred = 'http://kg.example.org/inRegion'",
+)
+def rdf_filter_predicate(spark, sf_dir):
+    from .terms import iri
+
+    return RdfGraph(_triples(spark, sf_dir)).triples_with_predicate(iri(EX + "inRegion"))
+
+
+@q(
+    "rdf_filter_object",
+    TRIPLES_CTE
+    + f"SELECT {_T6} FROM triples WHERE obj_kind = 0 AND obj_lex = 'http://kg.example.org/region/2'",
+)
+def rdf_filter_object(spark, sf_dir):
+    from .terms import iri
+
+    return RdfGraph(_triples(spark, sf_dir)).triples_with_object(iri(EX + "region/2"))
+
+
+@q(
+    "rdf_filter_subject_predicate",
+    TRIPLES_CTE
+    + f"""SELECT {_T6} FROM triples
+       WHERE subj = 'http://kg.example.org/nation/3' AND pred = 'http://kg.example.org/name'""",
+)
+def rdf_filter_subject_predicate(spark, sf_dir):
+    from .terms import iri
+
+    return RdfGraph(_triples(spark, sf_dir)).triples_with_subject_and_predicate(
+        iri(EX + "nation/3"), iri(EX + "name")
+    )
+
+
+@q(
+    "rdf_filter_predicate_object",
+    TRIPLES_CTE
+    + f"""SELECT {_T6} FROM triples
+       WHERE pred = 'http://kg.example.org/inNation' AND obj_kind = 0
+         AND obj_lex = 'http://kg.example.org/nation/5'""",
+)
+def rdf_filter_predicate_object(spark, sf_dir):
+    from .terms import iri
+
+    return RdfGraph(_triples(spark, sf_dir)).triples_with_predicate_and_object(
+        iri(EX + "inNation"), iri(EX + "nation/5")
+    )
+
+
+@q(
+    "rdf_blank_nodes",
+    TRIPLES_CTE
+    + """SELECT blank_id FROM (
+         SELECT substring(subj, 3) AS blank_id FROM triples WHERE starts_with(subj, '_:')
+         UNION ALL
+         SELECT obj_lex FROM triples WHERE obj_kind = 1
+       )""",
+)
+def rdf_blank_nodes(spark, sf_dir):
+    return RdfGraph(_triples(spark, sf_dir)).blank_nodes()
+
+
+@q(
+    "rdf_remove_triples",
+    TRIPLES_CTE + f"SELECT {_T6} FROM triples WHERE pred <> 'http://kg.example.org/address'",
+)
+def rdf_remove_triples(spark, sf_dir):
+    g = RdfGraph(_triples(spark, sf_dir))
+    todel = g.df.filter(F.col("pred") == EX + "address")
+    return g.remove_triples(todel).df
+
+
+@q(
+    "rdf_count_by_predicate",
+    TRIPLES_CTE + "SELECT pred, COUNT(*) AS n FROM triples GROUP BY pred",
+)
+def rdf_count_by_predicate(spark, sf_dir):
+    return _triples(spark, sf_dir).groupBy("pred").agg(F.count("*").alias("n"))
+
+
+# ---- BGP / SPARQL-equivalent queries --------------------------------------
+
+
+@q(
+    "rdf_bgp_join",
+    TRIPLES_CTE
+    + """SELECT t1.subj AS c, t2.obj_lex AS cname, t4.obj_lex AS rname
+       FROM triples t1
+       JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = 'http://kg.example.org/name'
+       JOIN triples t3 ON t3.subj = t1.obj_lex AND t3.pred = 'http://kg.example.org/inRegion'
+       JOIN triples t4 ON t4.subj = t3.obj_lex AND t4.pred = 'http://kg.example.org/name'
+       WHERE t1.pred = 'http://kg.example.org/inNation'""",
+)
+def rdf_bgp_join(spark, sf_dir):
+    return select(
+        _triples(spark, sf_dir),
+        [
+            TriplePattern("?c", EX + "inNation", "?n"),
+            TriplePattern("?c", EX + "name", "?cname"),
+            TriplePattern("?n", EX + "inRegion", "?r"),
+            TriplePattern("?r", EX + "name", "?rname"),
+        ],
+        variables=["?c", "?cname", "?rname"],
+    )
+
+
+@q(
+    "rdf_bgp_optional",
+    TRIPLES_CTE
+    + """SELECT t1.subj AS c, opt.seg AS seg
+       FROM triples t1
+       LEFT JOIN (
+         SELECT a.subj AS c2, s.obj_lex AS seg
+         FROM triples a
+         JOIN triples s ON s.subj = '_:' || a.obj_lex AND s.pred = 'http://kg.example.org/segment'
+         WHERE a.pred = 'http://kg.example.org/address'
+       ) opt ON opt.c2 = t1.subj
+       WHERE t1.pred = '{rdf_type}' AND t1.obj_lex = 'http://kg.example.org/Customer'""".replace(
+        "{rdf_type}", RDF_TYPE
+    ),
+)
+def rdf_bgp_optional(spark, sf_dir):
+    return bgp_join(
+        _triples(spark, sf_dir),
+        [TriplePattern("?c", RDF_TYPE, EX + "Customer")],
+        optional=[
+            TriplePattern("?c", EX + "address", "?a"),
+            TriplePattern("?a", EX + "segment", "?seg"),
+        ],
+    ).select("c", "seg")
+
+
+@q(
+    "rdf_distinct_objects",
+    TRIPLES_CTE
+    + "SELECT DISTINCT obj_lex AS name FROM triples WHERE pred = 'http://kg.example.org/name'",
+)
+def rdf_distinct_objects(spark, sf_dir):
+    return select(
+        _triples(spark, sf_dir),
+        [TriplePattern("?s", EX + "name", "?name")],
+        variables=["?name"],
+        distinct=True,
+    )
+
+
+@q(
+    "rdf_order_terms",
+    TRIPLES_CTE
+    + """SELECT obj_kind, obj_lex, obj_datatype, obj_lang FROM (
+         SELECT DISTINCT obj_kind, obj_lex, obj_datatype, obj_lang,
+                CASE obj_kind WHEN 0 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS rk
+         FROM triples
+       ) ORDER BY rk, obj_lex, coalesce(obj_datatype, ''), coalesce(obj_lang, '') LIMIT 100""",
+)
+def rdf_order_terms(spark, sf_dir):
+    # T3: node ordering (UriNode < LiteralNode < BlankNode, then lexicographic)
+    t = _triples(spark, sf_dir).select("obj_kind", "obj_lex", "obj_datatype", "obj_lang").distinct()
+    rk = (
+        F.when(F.col("obj_kind") == 0, 0).when(F.col("obj_kind") == 2, 1).otherwise(2)
+    )
+    return (
+        t.withColumn("rk", rk)
+        .orderBy("rk", "obj_lex", F.coalesce("obj_datatype", F.lit("")), F.coalesce("obj_lang", F.lit("")))
+        .limit(100)
+        .drop("rk")
+    )
+
+
+# ---- codecs over the graph --------------------------------------------------
+
+
+@q(
+    "rdf_ntriples_format",
+    TRIPLES_CTE
+    + """SELECT (CASE WHEN starts_with(subj, '_:') THEN subj ELSE '<' || subj || '>' END)
+       || ' <' || pred || '> ' ||
+       (CASE WHEN obj_kind = 0 THEN '<' || obj_lex || '>'
+             WHEN obj_kind = 1 THEN '_:' || obj_lex
+             ELSE '"' || obj_lex || '"' ||
+                  (CASE WHEN obj_lang IS NOT NULL THEN '@' || obj_lang ELSE '' END) ||
+                  (CASE WHEN obj_datatype IS NOT NULL THEN '^^<' || obj_datatype || '>' ELSE '' END)
+        END) || ' .' AS value
+       FROM triples""",
+)
+def rdf_ntriples_format(spark, sf_dir):
+    return nt_lines(_triples(spark, sf_dir))
+
+
+_NT_GEN_SQL = """
+SELECT '<http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) || '> ' ||
+       '<http://kg.example.org/name> "' || n_name || '"@en .' AS value
+FROM nation
+"""
+
+
+@q(
+    "rdf_ntriples_parse",
+    """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+       'http://kg.example.org/name' AS pred, CAST(2 AS TINYINT) AS obj_kind,
+       n_name AS obj_lex, CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST('en' AS VARCHAR) AS obj_lang FROM nation""",
+)
+def rdf_ntriples_parse(spark, sf_dir):
+    lines = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("<" + EX + "nation/"),
+            F.col("n_nationkey").cast("string"),
+            F.lit("> <" + EX + 'name> "'),
+            F.col("n_name"),
+            F.lit('"@en .'),
+        ).alias("value")
+    )
+    return parse_ntriples_lines(lines, "value", engine="sql")
+
+
+@q(
+    "rdf_ntriples_parse_python",
+    """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+       'http://kg.example.org/name' AS pred, CAST(2 AS TINYINT) AS obj_kind,
+       n_name AS obj_lex, CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST('en' AS VARCHAR) AS obj_lang FROM nation""",
+)
+def rdf_ntriples_parse_python(spark, sf_dir):
+    lines = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("<" + EX + "nation/"),
+            F.col("n_nationkey").cast("string"),
+            F.lit("> <" + EX + 'name> "'),
+            F.col("n_name"),
+            F.lit('"@en .'),
+        ).alias("value")
+    )
+    return parse_ntriples_lines(lines, "value", engine="python")
+
+
+@q(
+    "rdf_turtle_parse",
+    f"""SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang FROM (
+      SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+             '{RDF_TYPE}' AS pred, CAST(0 AS TINYINT) AS obj_kind,
+             'http://kg.example.org/Nation' AS obj_lex,
+             CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+      FROM nation
+      UNION ALL
+      SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+             'http://kg.example.org/name', CAST(2 AS TINYINT), n_name,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+             'http://kg.example.org/pop', CAST(2 AS TINYINT),
+             CAST(n_nationkey % 7 AS VARCHAR),
+             CAST('{XSD_INTEGER}' AS VARCHAR), CAST(NULL AS VARCHAR) FROM nation
+    )""",
+)
+def rdf_turtle_parse(spark, sf_dir):
+    # builds one Turtle doc per nation exercising directives, QName ':'->'/'
+    # expansion, the 'a' keyword, ';' lists and bare-integer typing
+    docs = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("@prefix ex: <" + EX + "> .\n"),
+            F.lit("ex:nation:"),
+            F.col("n_nationkey").cast("string"),
+            F.lit(" a ex:Nation ;\n  ex:name \""),
+            F.col("n_name"),
+            F.lit('" ;\n  ex:pop '),
+            (F.col("n_nationkey") % 7).cast("string"),
+            F.lit(" ."),
+        ).alias("content"),
+    )
+    return parse_turtle_docs(docs, "content", "doc_id").drop("src_url")
+
+
+@q(
+    "rdf_skolemize",
+    """SELECT '_:sk' || sha256('http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR)
+           || ' _:addr' || CAST(c_custkey AS VARCHAR)) AS subj,
+       'http://kg.example.org/segment' AS pred, c_mktsegment AS obj_lex
+       FROM customer WHERE c_custkey % 2 = 0""",
+)
+def rdf_skolemize(spark, sf_dir):
+    addr = _triples(spark, sf_dir).filter(F.col("pred") == EX + "segment")
+    addr = addr.withColumn(
+        "src_url",
+        F.concat(F.lit(EX + "customer/"), F.regexp_extract("subj", r"_:addr(\d+)", 1)),
+    )
+    return skolemize(addr, "src_url").select("subj", "pred", "obj_lex")
+
+
+# ---- training-data ops: documents ------------------------------------------
+
+
+@q(
+    "docs_token_count",
+    """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens
+       FROM documents""",
+)
+def docs_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@q(
+    "docs_quality_score",
+    f"""SELECT doc_id, floor(1000 * (
+         0.5 * least(len(toks), 100) / 100.0
+         + 0.3 * (1.0 - CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END)
+         + 0.2 * CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks)
+             ELSE 0.0 END))::BIGINT AS quality_e3
+       FROM (SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+             FROM documents)""",
+)
+def docs_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_e3(F.col("text")).alias("quality_e3"))
+
+
+@q(
+    "docs_lang_id",
+    """SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            WHEN regexp_matches(text, '[éèêàçœ]') THEN 'fr'
+            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+            ELSE 'en' END AS lang_pred
+       FROM documents""",
+)
+def docs_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "docs_fingerprint",
+    """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+       FROM documents""",
+)
+def docs_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "dedup_exact_docs",
+    """SELECT dup_key, min(doc_id) AS keep_id, count(*) AS n_members
+       FROM (SELECT md5(array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ')) AS dup_key,
+                    doc_id FROM documents)
+       GROUP BY dup_key""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 3)))
+    return dedup_exact(d, key)
+
+
+@q(
+    "dedup_minhash_pairs",
+    f"""WITH docs AS (
+      SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM documents
+      WHERE len({_DD_TOKENS}) >= 3
+    ), sigs AS (
+      SELECT id, shingles, {_dd_bands()} AS bands FROM docs
+    ), exploded AS (
+      SELECT id, shingles, generate_subscripts(bands, 1) AS band_idx, unnest(bands) AS band_key
+      FROM sigs
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.shingles AS sh_a, b.shingles AS sh_b
+      FROM exploded a JOIN exploded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    )
+    SELECT id_a, id_b FROM pairs
+    WHERE len(list_intersect(sh_a, sh_b)) * 1.0 / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5""",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(d, F.col("text"), jaccard_threshold=0.5)
+
+
+@q(
+    "dedup_ngram_jaccard_pairs",
+    f"""WITH docs AS (
+      SELECT lang AS block, doc_id AS id, {_DD_SHINGLES} AS shingles FROM documents
+      WHERE len({_DD_TOKENS}) >= 3
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           floor(len(list_intersect(a.shingles, b.shingles)) * 1000.0
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))))::BIGINT AS jaccard_e3
+    FROM docs a JOIN docs b ON a.block = b.block AND a.id < b.id
+    WHERE floor(len(list_intersect(a.shingles, b.shingles)) * 1000.0
+                / len(list_distinct(list_concat(a.shingles, b.shingles)))) >= 20""",
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ngram_jaccard(d, F.col("text"), F.col("lang"), threshold_e3=20)
+
+
+@q("dedup_simhash_signatures")  # no SQL oracle: 64-bit simhash bit math
+def dedup_simhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.col("text")).alias("sig"))
+
+
+@q(
+    "multimodal_bytes",
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS sha
+       FROM documents""",
+)
+def multimodal_bytes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha"),
+    )
+
+
+# ---- similarity search: embeddings ------------------------------------------
+
+
+@q(
+    "ann_cosine_topk",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.qe, v.e)
+               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cos
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 3), k=5).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@q(
+    "embedding_neardup_pairs",
+    """WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE floor(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) * 10000) >= 9500""",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(e, F.col("label"), threshold_e4=9500)
+
+
+# ---- core analytics (bench anchors) -----------------------------------------
+
+
+@q(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       sum(floor(l_quantity * 100)::BIGINT) AS sum_qty_e2,
+       sum(floor(l_extendedprice * 100)::BIGINT) AS sum_price_e2,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_e2"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_price_e2"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3_topk_revenue",
+    """SELECT o_orderkey, revenue_e2 FROM (
+      SELECT l.l_orderkey AS o_orderkey,
+             sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS revenue_e2
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY l.l_orderkey
+    ) ORDER BY revenue_e2 DESC, o_orderkey ASC LIMIT 10""",
+)
+def tpch_q3_topk_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+            ).alias("revenue_e2")
+        )
+        .orderBy(F.col("revenue_e2").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "events_user_seq",
+    """SELECT event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       FROM events""",
+)
+def events_user_seq(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).cast("bigint").alias("rn"))
+
+
+@q(
+    "events_sessionize",
+    """SELECT user_id, event_id,
+       sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       FROM (SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             FROM events)""",
+)
+def events_sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id", "event_id", F.sum(gap).over(wsum).cast("bigint").alias("session_idx")
+    )
+
+
+# ---- end-to-end KG pipeline (non-SQL-expressible: Turtle islands + linking) --
+
+
+@q("kg_pipeline_e2e")  # rows-only check: mapInPandas Turtle parse + skolem
+def kg_pipeline_e2e(spark, sf_dir):
+    scale = {"0.001": 200, "0.01": 1000, "0.1": 5000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    pages = synthesize_web_pages(spark, n)
+    aliases = synthesize_alias_dict(spark)
+    return page_triples(pages, aliases)

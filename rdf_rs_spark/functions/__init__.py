@@ -1,0 +1,17 @@
+from .text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score_e3,
+    token_count,
+    tokens_col,
+    word_shingles,
+)
+
+__all__ = [
+    "tokens_col",
+    "token_count",
+    "quality_score_e3",
+    "lang_id",
+    "doc_fingerprint",
+    "word_shingles",
+]

@@ -1,0 +1,79 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure built-in column expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path. Each function's semantics are deliberately
+ANSI-SQL-expressible so the DuckDB oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+#: marker character classes for the n-gram/charclass language heuristic
+_LANG_MARKERS = [
+    ("zh", r"[一-鿿]"),
+    ("de", r"[äöüß]"),
+    ("fr", r"[éèêàçœ]"),
+    ("es", r"[ñ¿¡]"),
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text)).cast("bigint")
+
+
+def quality_score_e3(text: Column) -> Column:
+    """Quality score scaled to integer milli-units (hash-stable):
+
+    ``1000 * (0.5*min(tokens,100)/100 + 0.3*(1 - punct/chars) + 0.2*stopword_ratio)``
+    """
+    toks = tokens_col(text)
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    punct = (F.length(text) - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+    score = (
+        0.5 * F.least(n_tokens, F.lit(100.0)) / 100.0
+        + 0.3 * (1.0 - F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)))
+        + 0.2 * F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    )
+    return F.floor(score * 1000).cast("bigint")
+
+
+def lang_id(text: Column) -> Column:
+    """Character-class language heuristic (n-gram-free, SQL-expressible)."""
+    expr = None
+    for lang, pattern in _LANG_MARKERS:
+        cond = text.rlike(pattern)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise("en")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the case- and
+    whitespace-normalized text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (distinct, for Jaccard)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    # guard: sequence(1, 0) would produce a *descending* sequence in Spark
+    grams = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    return F.array_distinct(grams)

@@ -1,0 +1,176 @@
+"""RdfGraph — the reference ``Graph`` API over a triples DataFrame.
+
+Re-expresses reference ``src/graph.rs`` / ``src/triple.rs``: the
+in-memory ``Vec<Triple>`` becomes a DataFrame; every ``get_triples_with_*``
+linear scan (``src/triple.rs:109-166``) becomes a Catalyst-pushed filter;
+``remove_triple``'s retain (``src/triple.rs:104-106``) becomes an
+anti-join. Namespaces and the base URI are per-graph driver-side
+metadata (broadcast to UDFs when needed), not per-row data.
+
+Bag vs set: like the reference store, this facade keeps bag semantics —
+``add_triples`` appends without dedup; the KG pipeline applies
+``deduplicate()`` explicitly before materializing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .parsing import parse_ntriples, parse_turtle
+from .schema import TRIPLE_COLS, TRIPLES_SCHEMA
+from .serializing import write_ntriples_string
+from .terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, Term, TripleRow
+from .writers.ntriples import nt_lines
+from .writers.turtle import write_turtle_string_distributed
+
+
+class RdfGraph:
+    def __init__(
+        self,
+        df: DataFrame,
+        base_uri: Optional[str] = None,
+        namespaces: Optional[Dict[str, str]] = None,
+    ):
+        self.df = df.select(*TRIPLE_COLS)
+        self.base_uri = base_uri
+        self.namespaces = dict(namespaces or {})
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "RdfGraph":
+        return cls(spark.createDataFrame([], TRIPLES_SCHEMA))
+
+    @classmethod
+    def from_rows(cls, spark: SparkSession, rows: Iterable[TripleRow], **kw) -> "RdfGraph":
+        rows = list(rows)
+        if not rows:
+            return cls.empty(spark)
+        return cls(spark.createDataFrame(rows, TRIPLES_SCHEMA), **kw)
+
+    @classmethod
+    def from_turtle_string(cls, spark: SparkSession, text: str) -> "RdfGraph":
+        doc = parse_turtle(text)
+        g = cls.from_rows(spark, doc.triples)
+        g.base_uri = doc.base_uri
+        g.namespaces = doc.namespaces
+        return g
+
+    @classmethod
+    def from_ntriples_string(cls, spark: SparkSession, text: str) -> "RdfGraph":
+        return cls.from_rows(spark, parse_ntriples(text))
+
+    # -- namespaces / base (reference graph.rs:93-162) ----------------------
+
+    def set_base_uri(self, uri: str) -> None:
+        self.base_uri = uri
+
+    def add_namespace(self, prefix: str, uri: str) -> None:
+        self.namespaces[prefix.rstrip(":")] = uri
+
+    def namespace_uri_by_prefix(self, prefix: str) -> str:
+        try:
+            return self.namespaces[prefix.rstrip(":")]
+        except KeyError:
+            raise KeyError("Namespace does not exist for prefix: " + prefix)
+
+    # -- mutation (reference triple.rs:99-106, graph.rs:372-402) ------------
+
+    def add_triples(self, other: DataFrame) -> "RdfGraph":
+        return RdfGraph(
+            self.df.unionByName(other.select(*TRIPLE_COLS)),
+            self.base_uri,
+            self.namespaces,
+        )
+
+    def remove_triples(self, todel: DataFrame) -> "RdfGraph":
+        """Removes ALL structurally-equal copies (reference retain
+        semantics) via a null-safe left anti-join."""
+        cond = [self.df[c].eqNullSafe(todel[c]) for c in TRIPLE_COLS]
+        return RdfGraph(
+            self.df.join(todel.select(*TRIPLE_COLS), cond, "left_anti"),
+            self.base_uri,
+            self.namespaces,
+        )
+
+    def deduplicate(self) -> "RdfGraph":
+        return RdfGraph(self.df.dropDuplicates(TRIPLE_COLS), self.base_uri, self.namespaces)
+
+    # -- cardinality ---------------------------------------------------------
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def is_empty(self) -> bool:
+        return self.df.isEmpty()
+
+    # -- selection (reference triple.rs:109-195) -----------------------------
+
+    @staticmethod
+    def _subject_text(term: Term) -> str:
+        return ("_:" + term.lex) if term.kind == KIND_BLANK else term.lex
+
+    def triples_with_subject(self, term: Term) -> DataFrame:
+        return self.df.filter(F.col("subj") == self._subject_text(term))
+
+    def triples_with_predicate(self, term: Term) -> DataFrame:
+        return self.df.filter(F.col("pred") == self._subject_text(term))
+
+    def _object_pred(self, term: Term):
+        return (
+            (F.col("obj_kind") == term.kind)
+            & (F.col("obj_lex") == term.lex)
+            & F.col("obj_datatype").eqNullSafe(F.lit(term.datatype))
+            & F.col("obj_lang").eqNullSafe(F.lit(term.lang))
+        )
+
+    def triples_with_object(self, term: Term) -> DataFrame:
+        return self.df.filter(self._object_pred(term))
+
+    def triples_with_subject_and_object(self, s: Term, o: Term) -> DataFrame:
+        return self.df.filter(
+            (F.col("subj") == self._subject_text(s)) & self._object_pred(o)
+        )
+
+    def triples_with_subject_and_predicate(self, s: Term, p: Term) -> DataFrame:
+        return self.df.filter(
+            (F.col("subj") == self._subject_text(s))
+            & (F.col("pred") == self._subject_text(p))
+        )
+
+    def triples_with_predicate_and_object(self, p: Term, o: Term) -> DataFrame:
+        return self.df.filter(
+            (F.col("pred") == self._subject_text(p)) & self._object_pred(o)
+        )
+
+    def blank_nodes(self) -> DataFrame:
+        """Blank node labels (with duplicates, subject position first per
+        triple — reference ``triple.rs:169-195`` pushes subject then object)."""
+        node = F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(F.col("subj").startswith("_:"), F.expr("substring(subj, 3)")),
+                    F.when(F.col("obj_kind") == KIND_BLANK, F.col("obj_lex")),
+                )
+            )
+        )
+        return self.df.select(node.alias("blank_id"))
+
+    # -- export ---------------------------------------------------------------
+
+    def to_ntriples_string(self) -> str:
+        rows = [TripleRow(*r) for r in self.df.collect()]
+        return write_ntriples_string(rows)
+
+    def to_ntriples_lines(self) -> DataFrame:
+        return nt_lines(self.df)
+
+    def to_turtle_string(self) -> str:
+        return write_turtle_string_distributed(
+            self.df, base_uri=self.base_uri, namespaces=self.namespaces
+        )
+
+    def collect_rows(self) -> List[TripleRow]:
+        return [TripleRow(*r) for r in self.df.collect()]

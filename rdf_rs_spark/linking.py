@@ -1,0 +1,97 @@
+"""Mention detection + entity-link scoring against a broadcast alias
+dictionary, with MinHash/LSH blocking for fuzzy surface forms.
+
+Exact path (the pipeline hot path, zero Python):
+
+    tokens = explode(array_distinct(split(lower(text))))
+    mentions = tokens ⋈ broadcast(alias_dict)          -- broadcast hash join
+    best    = argmax_{candidates} prior                -- window over (url, alias)
+
+Ambiguity (every 7th alias maps to multiple entities) resolves by max
+prior with entity IRI as the deterministic tiebreak.
+
+Fuzzy path: character-3-gram MinHash bands on both sides → band-key
+equi-join (LSH blocking, never the cross product) → exact Jaccard
+verify ≥ τ → score = prior * jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .operators.dedup import minhash_bands, minhash_signature
+
+
+def detect_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """(url, token) distinct candidate surface forms."""
+    tokens = F.explode(
+        F.array_distinct(F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", "")), r"\s+"))
+    )
+    return pages.select(F.col("url"), tokens.alias("token")).filter(F.col("token") != "")
+
+
+def link_mentions(
+    pages: DataFrame, alias_dict: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact-match linking. Returns (url, alias, entity_iri, prior)."""
+    mentions = detect_mentions(pages, text_col)
+    cands = mentions.join(
+        F.broadcast(alias_dict), mentions["token"] == alias_dict["alias"], "inner"
+    ).select("url", "alias", "entity_iri", "prior")
+    w = Window.partitionBy("url", "alias").orderBy(
+        F.col("prior").desc(), F.col("entity_iri").asc()
+    )
+    return (
+        cands.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def link_mentions_fuzzy(
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.4,
+) -> DataFrame:
+    """LSH-blocked fuzzy linking for OOV surface forms.
+
+    Returns (url, token, entity_iri, score_e4) with score = prior*jaccard
+    in integer 1e-4 units."""
+    mentions = detect_mentions(pages, text_col).withColumn(
+        "m_sh", _char_shingle_expr("token")
+    )
+    aliases = alias_dict.withColumn("a_sh", _char_shingle_expr("alias"))
+
+    m_bands = mentions.withColumn(
+        "bands", minhash_bands(minhash_signature(F.col("m_sh")))
+    ).select("url", "token", "m_sh", F.explode("bands").alias("band_key"))
+    a_bands = aliases.withColumn(
+        "bands", minhash_bands(minhash_signature(F.col("a_sh")))
+    ).select("alias", "entity_iri", "prior", "a_sh", F.explode("bands").alias("band_key"))
+
+    inter = F.size(F.array_intersect("m_sh", "a_sh")).cast("double")
+    union = F.size(F.array_union("m_sh", "a_sh")).cast("double")
+    cands = (
+        m_bands.join(F.broadcast(a_bands), "band_key")
+        .dropDuplicates(["url", "token", "alias", "entity_iri"])
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .withColumn("score_e4", F.floor(F.col("jaccard") * F.col("prior") * 10000).cast("bigint"))
+    )
+    w = Window.partitionBy("url", "token").orderBy(
+        F.col("score_e4").desc(), F.col("entity_iri").asc()
+    )
+    return (
+        cands.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("url", "token", "entity_iri", "score_e4")
+    )
+
+
+def _char_shingle_expr(col_name: str, k: int = 3) -> Column:
+    return F.expr(
+        f"case when length({col_name}) < {k} then array({col_name}) "
+        f"else array_distinct(transform(sequence(1, length({col_name}) - {k - 1}), "
+        f"i -> substring({col_name}, i, {k}))) end"
+    )

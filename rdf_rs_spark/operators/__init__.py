@@ -1,0 +1,10 @@
+from .bgp import TriplePattern, bgp_join, select
+from .table_to_triples import star_schema_triples, table_to_triples
+
+__all__ = [
+    "TriplePattern",
+    "bgp_join",
+    "select",
+    "table_to_triples",
+    "star_schema_triples",
+]

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  set against the corpus; dot products via ``zip_with``/``aggregate``
+  (JVM-side, no UDF); per-query top-k via window rank. The full scan is
+  embarrassingly parallel; at 100 TB this is the verification baseline.
+- ``lsh_cosine_topk``: the scale path — sign-random-projection LSH
+  buckets (deterministic seeded hyperplanes) shrink each query's
+  candidate set to its bucket (+ optional multi-probe), then exact
+  re-rank within candidates.
+- ``embedding_neardup``: blocked near-duplicate pairs (cosine ≥ τ).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded).
+
+    Returns (query_id, neighbor_id, rank). The query side is broadcast —
+    the corpus is never shuffled."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes (pure function of seed)."""
+    planes = []
+    state = seed
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            # xorshift64* — reproducible across runs/executors, no RNG dep
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            u = ((state * 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF) / 2**64
+            vec.append(2.0 * u - 1.0)
+        planes.append(vec)
+    return planes
+
+
+def srp_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket,
+    exact cosine re-rank within. At 10^12 vectors the bucket join replaces
+    the full cross product with a 1/2^n_planes-selective equi-join."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("bucket", srp_bucket(F.col("cv"), dim, n_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("bucket", srp_bucket(F.col("qv"), dim, n_planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    block: Column,
+    threshold_e4: int = 9900,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate id pairs within blocks, cosine ≥ threshold/1e4.
+
+    Output is id-only (float-free) for stable cross-engine hashing."""
+    v = df.select(
+        block.alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a = v.select("block", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select("block", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_e4", F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("bigint"))
+        .filter(F.col("cos_e4") >= threshold_e4)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,148 @@
+"""Basic-graph-pattern execution over the triples table.
+
+The reference parses SPARQL SELECT queries into an AST but its executor
+is empty (``src/sparql/query_processor.rs`` is one blank line;
+``README.md:96`` lists SPARQL querying as future work). This module
+delivers the semantics that AST can represent — SELECT / DISTINCT /
+projection / triple patterns / OPTIONAL — as a compilation from pattern
+lists to a Catalyst join tree (SURVEY.md §2.7):
+
+- each pattern → ``triples.filter(<fixed terms>).select(<var renames>)``
+- a BGP → chain of inner equi-joins on shared variable columns
+- OPTIONAL group → left outer join
+- DISTINCT → dropDuplicates
+- ORDER BY / LIMIT → orderBy / limit
+
+Catalyst handles join ordering, broadcast-vs-sort-merge selection, and
+pushes each pattern's equality filters into the scan. At 100 TB the
+triples table is bucketed by subject hash, so subject-keyed self-joins
+co-locate without an extra shuffle.
+
+Variables are written ``?name``. Fixed terms: plain strings match IRIs
+(or ``_:``-blank subjects); :class:`rdf_rs_spark.terms.Term` values
+match any term exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..terms import KIND_BLANK, KIND_IRI, Term
+
+FixedOrVar = Union[str, Term]
+
+
+def _is_var(x: FixedOrVar) -> bool:
+    return isinstance(x, str) and x.startswith("?")
+
+
+@dataclass
+class TriplePattern:
+    """One SPARQL triple pattern (reference ``src/sparql/pattern.rs:62-98``)."""
+
+    subject: FixedOrVar
+    predicate: FixedOrVar
+    object: FixedOrVar
+
+    def compile(self, triples: DataFrame) -> DataFrame:
+        df = triples
+        proj: List[Column] = []
+        # subject
+        if _is_var(self.subject):
+            proj.append(F.col("subj").alias(self.subject[1:]))
+        else:
+            df = df.filter(F.col("subj") == _subject_text(self.subject))
+        # predicate
+        if _is_var(self.predicate):
+            proj.append(F.col("pred").alias(self.predicate[1:]))
+        else:
+            df = df.filter(F.col("pred") == _subject_text(self.predicate))
+        # object
+        if _is_var(self.object):
+            # variables bind the object's *subject-encoding* when it is a
+            # resource (IRI/blank) so it can join against subj columns;
+            # literals bind their lexical form
+            proj.append(
+                F.when(F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex")))
+                .otherwise(F.col("obj_lex"))
+                .alias(self.object[1:])
+            )
+        else:
+            df = df.filter(_object_filter(self.object))
+        return df.select(*proj) if proj else df.select(F.lit(1).alias("__match"))
+
+
+def _subject_text(x: FixedOrVar) -> str:
+    if isinstance(x, Term):
+        return ("_:" + x.lex) if x.kind == KIND_BLANK else x.lex
+    return x
+
+
+def _object_filter(x: FixedOrVar) -> Column:
+    if isinstance(x, Term):
+        return (
+            (F.col("obj_kind") == x.kind)
+            & (F.col("obj_lex") == x.lex)
+            & F.col("obj_datatype").eqNullSafe(F.lit(x.datatype))
+            & F.col("obj_lang").eqNullSafe(F.lit(x.lang))
+        )
+    # plain string: IRI or blank in subject encoding
+    if x.startswith("_:"):
+        return (F.col("obj_kind") == KIND_BLANK) & (F.col("obj_lex") == x[2:])
+    return (F.col("obj_kind") == KIND_IRI) & (F.col("obj_lex") == x)
+
+
+def bgp_join(
+    triples: DataFrame,
+    patterns: Sequence[TriplePattern],
+    optional: Sequence[TriplePattern] = (),
+) -> DataFrame:
+    """Compile a BGP (+ one OPTIONAL group) into a join tree."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    result = patterns[0].compile(triples)
+    for pat in patterns[1:]:
+        right = pat.compile(triples)
+        shared = sorted(set(result.columns) & set(right.columns))
+        result = result.join(right, on=shared, how="inner") if shared else result.crossJoin(right)
+    if optional:
+        opt = optional[0].compile(triples)
+        for pat in optional[1:]:
+            right = pat.compile(triples)
+            shared = sorted(set(opt.columns) & set(right.columns))
+            opt = opt.join(right, on=shared, how="inner") if shared else opt.crossJoin(right)
+        shared = sorted(set(result.columns) & set(opt.columns))
+        result = result.join(opt, on=shared, how="left")
+    return result
+
+
+def select(
+    triples: DataFrame,
+    patterns: Sequence[TriplePattern],
+    variables: Optional[Sequence[str]] = None,
+    distinct: bool = False,
+    optional: Sequence[TriplePattern] = (),
+    order_by: Optional[Sequence[str]] = None,
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """SPARQL SELECT semantics (reference query.rs / sparql_parser.rs):
+    projection (``None`` = ``SELECT *``), DISTINCT, OPTIONAL, ORDER BY,
+    LIMIT."""
+    df = bgp_join(triples, patterns, optional=optional)
+    if variables is not None:
+        df = df.select(*[v.lstrip("?") for v in variables])
+    if distinct:
+        df = df.dropDuplicates()
+    if order_by:
+        df = df.orderBy(*[v.lstrip("?") for v in order_by])
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def ask(triples: DataFrame, patterns: Sequence[TriplePattern]) -> bool:
+    """SPARQL ASK (enum-only in the reference, ``src/sparql/query.rs:8-18``)."""
+    return not bgp_join(triples, patterns).isEmpty()

@@ -1,0 +1,238 @@
+"""Deduplication operators for web-scale corpora.
+
+Strategies (SURVEY.md training-pipeline mandate):
+
+- exact: hash-groupBy on a normalized key — one shuffle, map-side
+  partial aggregation.
+- salted exact: two-phase dedup for hot-key skew (north_rule: "triple
+  dedup via salted repartition on subject hash") — local dropDuplicates
+  per salted partition, then global. At 1000 executors a single hot
+  subject (e.g. rdf:type) otherwise lands on one reducer.
+- MinHash + LSH banding: shingle → per-seed min of seeded md5 hashes →
+  band → bucket join. Candidate pairs only ever materialize per bucket
+  (never the O(n²) cross product); verification joins back to the
+  shingle arrays.
+- SimHash: 64-bit signature via Arrow-batched pandas UDF (bit-parallel
+  numpy), near-dup candidates by banded 16-bit sub-keys (hamming ≤ 3
+  guaranteed to collide on ≥1 of 4 bands).
+- n-gram Jaccard: blocked pairwise verify with array_intersect —
+  JVM-side, no UDF.
+
+Everything except the SimHash signature is pure built-in expressions.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.text import tokens_col, word_shingles
+
+# ----------------------------------------------------------- exact --------
+
+
+def dedup_exact(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Keep min(id) per key; emit group size. One hash-aggregate shuffle."""
+    return (
+        df.select(key.alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_members"))
+    )
+
+
+def dedup_salted(
+    df: DataFrame, subset: Sequence[str], salt_buckets: int = 64
+) -> DataFrame:
+    """Two-phase distinct: repartition on (hash(subset), salt) and drop
+    local duplicates, then a global dropDuplicates. The salt spreads a
+    hot key over ``salt_buckets`` reducers in phase 1, so phase 2 sees at
+    most ``salt_buckets`` rows per hot key instead of all of them."""
+    salted = df.withColumn(
+        "__salt", (F.xxhash64(*[F.col(c) for c in subset]) % salt_buckets).cast("int")
+    )
+    local = salted.repartition(F.col("__salt"), *[F.col(c) for c in subset]).dropDuplicates(
+        [*subset, "__salt"]
+    )
+    return local.drop("__salt").dropDuplicates(list(subset))
+
+
+# ------------------------------------------------------- MinHash/LSH ------
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _seeded_md5(seed: str):
+    # must stay a unary lambda — a second parameter would make Spark's
+    # transform() treat it as the (element, index) form
+    return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<string> minhash signature: element i is the lexicographic min
+    of ``md5('seed<i>:' || shingle)`` over the shingle set. Seeded md5
+    keeps Spark and any ANSI-SQL oracle bit-identical."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_md5(f"seed{i}:")))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_bands(signature: Column, n_bands: int = N_BANDS) -> Column:
+    """Concatenate signature rows into band keys."""
+    rows = ROWS_PER_BAND
+    return F.array(
+        *[
+            F.concat_ws("|", *[signature.getItem(b * rows + r) for r in range(rows)])
+            for b in range(n_bands)
+        ]
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text: Column,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Returns (id_a, id_b) with id_a < id_b and Jaccard(shingles) ≥ τ.
+    Scale path: the only shuffles are the band-key self-join (bucketed by
+    band value, AQE skew-split) and the final distinct.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), word_shingles(text, shingle_k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = docs.withColumn("bands", minhash_bands(minhash_signature(F.col("shingles"))))
+    exploded = sig.select(
+        "id", "shingles", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    left = exploded.select(
+        F.col("band_idx"), F.col("band_key"), F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = exploded.select(
+        F.col("band_idx"), F.col("band_key"), F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------- n-gram Jaccard ---------
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    text: Column,
+    block: Column,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_e3: int = 300,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard (exact within blocks).
+
+    Returns (id_a, id_b, jaccard_e3) — Jaccard in integer milli-units so
+    result hashing is float-free. The block column bounds the pair count
+    (lang, length bucket, …); the unblocked exact variant is the MinHash
+    path above.
+    """
+    docs = df.select(
+        block.alias("block"),
+        F.col(id_col).alias("id"),
+        word_shingles(text, shingle_k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a = docs.select("block", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select("block", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_e3", F.floor(inter * 1000.0 / union).cast("bigint"))
+        .filter(F.col("jaccard_e3") >= threshold_e3)
+        .select("id_a", "id_b", "jaccard_e3")
+    )
+
+
+# ----------------------------------------------------------- SimHash ------
+
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched, numpy
+    bit-parallel — no per-row Python loops over bits)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split()
+        if not toks:
+            continue
+        # deterministic 64-bit token hashes (blake2b seeded)
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    __import__("hashlib").blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                for tok in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def dedup_simhash(
+    df: DataFrame, text: Column, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4 sub-keys of 16 bits — any pair
+    within hamming ≤ 3 shares at least one band (pigeonhole). Verify with
+    bit_count(xor)."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text).alias("sig"))
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select("band_idx", "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = bands.select("band_idx", "band_key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,92 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
+The actual codec step is STUBBED (no image/audio libs in this
+container): ``decode_stub=True`` produces deterministic fake features
+(a seeded digest of the bytes), while the Spark-side plumbing — schema,
+batch shape, partitioning, UDF signature — is real and tested. Swap
+``_decode_image`` for a PIL/libvips call on a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Real decode would go here (PIL.Image.open + resize + normalize)."""
+    raise NotImplementedError("image codec libraries not available in this container")
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in features: bytes of sha512(payload) scaled."""
+    dig = hashlib.sha512(payload).digest()
+    return np.frombuffer(dig[:dim], dtype=np.uint8).astype(np.float32) / 255.0
+
+
+def extract_media_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """media rows → feature rows, Arrow-batched. Narrow (no shuffle);
+    partition count follows the input, so 10^9 media rows fan across the
+    cluster with batch-size-bounded executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                payload = bytes(r.payload) if r.payload is not None else b""
+                if decode_stub:
+                    feats = _fake_features(payload)
+                else:
+                    feats = _decode_image(payload)
+                rows.append(
+                    (
+                        r.media_id,
+                        len(payload),
+                        hashlib.sha256(payload).hexdigest(),
+                        feats.tolist(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "sha256", "features"])
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling *plan*: expands (media_id, n_frames meta) into
+    per-frame work items without touching payloads — the expansion is pure
+    column math so the (huge) binary column is never shuffled."""
+    n_frames = F.coalesce(F.element_at(F.col("meta"), "n_frames").cast("int"), F.lit(0))
+    return df.select(
+        "media_id",
+        F.explode(
+            F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,122 @@
+"""Relational → RDF triple construction (direct-mapping style).
+
+The KG-construction analogue of the reference's node factories
+(``src/graph.rs:181-350``): each source row fans out into one triple
+per mapped column. Implemented with ``stack`` (a single generated
+Project+Expand over one table scan — no shuffle, no UDF) rather than N
+unioned selects.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, RDF_TYPE
+
+EX = "http://kg.example.org/"
+
+
+def obj_iri(col: Column) -> Tuple[Column, Column, Column, Column]:
+    return (F.lit(KIND_IRI), col, F.lit(None).cast("string"), F.lit(None).cast("string"))
+
+
+def obj_blank(col: Column) -> Tuple[Column, Column, Column, Column]:
+    return (F.lit(KIND_BLANK), col, F.lit(None).cast("string"), F.lit(None).cast("string"))
+
+
+def obj_literal(
+    col: Column, datatype: Optional[str] = None, lang: Optional[str] = None
+) -> Tuple[Column, Column, Column, Column]:
+    return (
+        F.lit(KIND_LITERAL),
+        col.cast("string"),
+        F.lit(datatype).cast("string"),
+        F.lit(lang).cast("string"),
+    )
+
+
+def table_to_triples(
+    df: DataFrame,
+    subj: Column,
+    mappings: Sequence[Tuple[str, Tuple[Column, Column, Column, Column]]],
+) -> DataFrame:
+    """Fan one row out into ``len(mappings)`` triples.
+
+    ``mappings`` is a list of (predicate IRI, object 4-tuple from
+    :func:`obj_iri`/:func:`obj_blank`/:func:`obj_literal`).
+    Uses ``inline(array(struct(...)))`` — one scan, narrow, codegen'd.
+    """
+    structs = [
+        F.struct(
+            F.lit(pred).alias("pred"),
+            kind.cast("tinyint").alias("obj_kind"),
+            lex.alias("obj_lex"),
+            dt.alias("obj_datatype"),
+            lang.alias("obj_lang"),
+        )
+        for pred, (kind, lex, dt, lang) in mappings
+    ]
+    return (
+        df.select(subj.alias("subj"), F.inline(F.array(*structs)))
+        .filter(F.col("obj_lex").isNotNull())
+        .select("subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang")
+    )
+
+
+def star_schema_triples(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Triple-ize the TPC-H-ish star schema (test/bench KG source).
+
+    Customers get an address blank node only for even keys — exercises
+    blank-node handling and OPTIONAL (left-join) query paths.
+    """
+    n = table_to_triples(
+        nation,
+        F.concat(F.lit(EX + "nation/"), F.col("n_nationkey").cast("string")),
+        [
+            (RDF_TYPE, obj_iri(F.lit(EX + "Nation"))),
+            (EX + "name", obj_literal(F.col("n_name"))),
+            (
+                EX + "inRegion",
+                obj_iri(F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string"))),
+            ),
+        ],
+    )
+    r = table_to_triples(
+        region,
+        F.concat(F.lit(EX + "region/"), F.col("r_regionkey").cast("string")),
+        [
+            (RDF_TYPE, obj_iri(F.lit(EX + "Region"))),
+            (EX + "name", obj_literal(F.col("r_name"))),
+        ],
+    )
+    c = table_to_triples(
+        customer,
+        F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string")),
+        [
+            (RDF_TYPE, obj_iri(F.lit(EX + "Customer"))),
+            (EX + "name", obj_literal(F.col("c_name"))),
+            (
+                EX + "inNation",
+                obj_iri(F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string"))),
+            ),
+            (
+                EX + "address",
+                obj_blank(
+                    F.when(
+                        F.col("c_custkey") % 2 == 0,
+                        F.concat(F.lit("addr"), F.col("c_custkey").cast("string")),
+                    )
+                ),
+            ),
+        ],
+    )
+    addr = table_to_triples(
+        customer.filter(F.col("c_custkey") % 2 == 0),
+        F.concat(F.lit("_:addr"), F.col("c_custkey").cast("string")),
+        [(EX + "segment", obj_literal(F.col("c_mktsegment")))],
+    )
+    return n.unionByName(r).unionByName(c).unionByName(addr)

@@ -87,11 +87,17 @@ class _EndOfInput(ParseError):
 
 
 class TurtleScanner:
-    """Position-indexed tokenizer for Turtle (and superset of N-Triples)."""
+    """Position-indexed tokenizer for Turtle (and superset of N-Triples).
 
-    def __init__(self, text: str):
+    ``nt_mode=True`` restricts the dispatch to the reference N-Triples
+    lexer's vocabulary (``# " < _ .`` only — reference
+    ``n_triples_lexer.rs:180-201``), so garbage input errors instead of
+    being scanned as a QName."""
+
+    def __init__(self, text: str, nt_mode: bool = False):
         self.text = text
         self.pos = 0
+        self.nt_mode = nt_mode
         self._peeked: Optional[tuple] = None
 
     # -- char helpers -----------------------------------------------------
@@ -131,6 +137,8 @@ class TurtleScanner:
         if self.pos >= n:
             return ("eof",)
         c = t[self.pos]
+        if self.nt_mode and c not in '#"<_.':
+            raise ParseError("Invalid NTriples input: %r" % c)
         if c == "#":
             return self._comment()
         if c == "@":
@@ -143,6 +151,9 @@ class TurtleScanner:
         if c == "_":
             return self._blank_token()
         if c == ".":
+            if self.nt_mode:
+                self.pos += 1
+                return ("dot",)
             tok = self._try_numeric()
             if tok is not None:
                 return tok
@@ -525,7 +536,7 @@ def parse_ntriples(text: str) -> List[TripleRow]:
     end with '.'. Reuses the Turtle scanner restricted to NT tokens (the
     reference NT lexer is a strict subset of its Turtle lexer).
     """
-    scanner = TurtleScanner(text)
+    scanner = TurtleScanner(text, nt_mode=True)
     rows: List[TripleRow] = []
     while True:
         try:

@@ -1,0 +1,205 @@
+"""End-to-end KG-construction pipeline over Common-Crawl-style pages.
+
+Stages (north_star):
+
+1. text extraction (vectorized, byte-identical per url to the corpus
+   ``text`` column — asserted in tests)
+2. RDF-island parsing (Turtle, Arrow-batched ``mapInPandas``)
+3. mention detection + entity-link scoring (broadcast alias dict)
+4. canonicalization: IRI normalization, blank-node skolemization keyed
+   on (url, warc_ts), literal datatype coercion per the parser rules
+5. triple dedup via salted repartition on subject hash (hot-entity skew)
+6. materialize to a parquet graph table partitioned by subject-hash
+   bucket (Iceberg's ``bucket(subj)`` transform in a catalog-backed
+   deployment; plain parquet keyed by the same bucket column here)
+
+Resumability: inputs are split into ``n_buckets`` deterministic
+url-hash buckets (the unit of checkpointing). Each bucket commits
+(triples + a lineage row with counters) atomically-enough for a rerun
+to skip it: on resume, committed fingerprints are anti-joined away. All
+IDs are content-addressed (skolem hashes), so a resumed run emits
+byte-identical triples.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .linking import link_mentions
+from .schema import LINEAGE_SCHEMA, TRIPLE_COLS
+from .sources.turtle import parse_turtle_docs
+from .sources.webpages import extract_rdf_island, extract_text
+from .operators.dedup import dedup_salted
+from .operators.table_to_triples import EX
+from .terms import KIND_IRI, KIND_LITERAL, RDF_TYPE, XSD_STRING
+
+
+def skolemize(triples: DataFrame, key_col: str = "src_url") -> DataFrame:
+    """Replace per-document blank labels (``_:auto0`` …) with globally
+    unique deterministic skolem IRIs keyed on the document identity —
+    the distributed replacement for the reference's global ``next_id``
+    counter (``src/graph.rs:268-276``). Content-addressed, so retries,
+    resumes and different parallelism levels all emit identical labels."""
+
+    def sk(col):
+        return F.concat(
+            F.lit("_:sk"),
+            F.sha2(F.concat_ws(" ", F.col(key_col), col), 256),
+        )
+
+    return (
+        triples.withColumn(
+            "subj", F.when(F.col("subj").startswith("_:"), sk(F.col("subj"))).otherwise(F.col("subj"))
+        )
+        .withColumn(
+            "obj_lex",
+            F.when(
+                (F.col("obj_kind") == 1),
+                F.substring(sk(F.concat(F.lit("_:"), F.col("obj_lex"))), 3, 66),
+            ).otherwise(F.col("obj_lex")),
+        )
+    )
+
+
+def page_triples(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """One bucket's pages → canonical deduped triples (+ src_url)."""
+    pages = pages.select(
+        "url", "warc_ts", "lang", extract_text(F.col("html")).alias("text"),
+        extract_rdf_island(F.col("html")).alias("ttl"),
+    )
+
+    # page metadata triples — pure column fan-out
+    meta = pages.select(
+        F.col("url").alias("subj"),
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit(RDF_TYPE).alias("pred"),
+                    F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
+                    F.lit(EX + "WebPage").alias("obj_lex"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                ),
+                F.struct(
+                    F.lit(EX + "lang").alias("pred"),
+                    F.lit(KIND_LITERAL).cast("tinyint").alias("obj_kind"),
+                    F.col("lang").alias("obj_lex"),
+                    F.lit(XSD_STRING).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                ),
+            )
+        ),
+    ).withColumn("src_url", F.col("subj"))
+
+    # embedded RDF islands → triples, skolemized per (url, warc_ts)
+    islands = parse_turtle_docs(
+        pages.filter(F.length("ttl") > 0).select(
+            F.concat_ws(" ", "url", F.col("warc_ts").cast("string")).alias("doc_id"),
+            F.col("ttl").alias("content"),
+            "url",
+        ),
+        content_col="content",
+        id_col="doc_id",
+    )
+    islands = skolemize(islands, "src_url").withColumn(
+        "src_url", F.split(F.col("src_url"), " ").getItem(0)
+    )
+
+    # entity links → mention triples
+    links = link_mentions(pages, alias_dict)
+    mentions = links.select(
+        F.col("url").alias("subj"),
+        F.lit(EX + "mentions").alias("pred"),
+        F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
+        F.col("entity_iri").alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.col("url").alias("src_url"),
+    )
+
+    all_triples = meta.unionByName(islands).unionByName(mentions)
+    # salted two-phase dedup on the full triple key (hot subjects such as
+    # the top entity IRIs would otherwise hot-spot one reducer)
+    return dedup_salted(all_triples, TRIPLE_COLS + ["src_url"])
+
+
+@dataclass
+class PipelineResult:
+    triples_path: str
+    lineage_path: str
+    buckets_processed: int
+    docs_parsed: int
+    triples_emitted: int
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    run_id: str = "run1",
+    n_buckets: int = 8,
+    subj_buckets: int = 64,
+    fail_after_buckets: Optional[int] = None,
+) -> PipelineResult:
+    """Bucket-checkpointed pipeline run. ``fail_after_buckets`` simulates a
+    mid-run kill for the resume test."""
+    triples_path = f"{out_dir}/triples"
+    lineage_path = f"{out_dir}/lineage"
+
+    pages = pages.withColumn(
+        "__bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+    committed = set()
+    try:
+        lineage = spark.read.parquet(lineage_path)
+        committed = {
+            r.partition_id
+            for r in lineage.filter(F.col("status") == "committed").select("partition_id").collect()
+        }
+    except Exception:
+        pass
+
+    done = 0
+    total_docs = 0
+    total_triples = 0
+    for b in range(n_buckets):
+        if b in committed:
+            continue
+        if fail_after_buckets is not None and done >= fail_after_buckets:
+            raise RuntimeError("simulated mid-run kill after %d buckets" % done)
+        bucket_pages = pages.filter(F.col("__bucket") == b).drop("__bucket")
+        # order-independent, constant-size fingerprint (sum of url hashes) —
+        # a collect_list fingerprint would not survive 10^9-row buckets
+        fingerprint = str(
+            bucket_pages.select(F.expr("bit_xor(xxhash64(url))").alias("fp")).collect()[0]["fp"]
+        )
+        docs = bucket_pages.count()
+        triples = page_triples(bucket_pages, alias_dict).withColumn(
+            "src_bucket", F.pmod(F.xxhash64("subj"), F.lit(subj_buckets)).cast("int")
+        )
+        triples = triples.cache()
+        n_triples = triples.count()
+        n_mentions = triples.filter(F.col("pred") == EX + "mentions").count()
+        (
+            triples.write.mode("append")
+            .partitionBy("src_bucket")
+            .parquet(triples_path)
+        )
+        triples.unpersist()
+        lineage_row = [
+            (run_id, b, fingerprint, "committed", docs, n_mentions, n_triples, None)
+        ]
+        spark.createDataFrame(lineage_row, LINEAGE_SCHEMA).withColumn(
+            "committed_at", F.current_timestamp()
+        ).write.mode("append").parquet(lineage_path)
+        done += 1
+        total_docs += docs
+        total_triples += n_triples
+
+    return PipelineResult(triples_path, lineage_path, done, total_docs, total_triples)

@@ -1,0 +1,8 @@
+from .inspect import explain_str, has_pushed_filters, count_exchanges, wholestage_codegen_spans
+
+__all__ = [
+    "explain_str",
+    "has_pushed_filters",
+    "count_exchanges",
+    "wholestage_codegen_spans",
+]

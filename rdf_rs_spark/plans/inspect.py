@@ -1,0 +1,35 @@
+"""Physical-plan inspection helpers — the ".explain and iterate" loop
+from the build brief, made assertable so perf properties (pushdown, no
+extra shuffles, codegen coverage) are pinned by tests instead of eyeballs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def has_pushed_filters(df: DataFrame, fragment: str) -> bool:
+    """True when the parquet scan carries a pushed filter mentioning
+    ``fragment`` (Catalyst predicate pushdown reached the source)."""
+    plan = explain_str(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan."""
+    plan = explain_str(df, "simple")
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    plan = explain_str(df, "simple")
+    return plan.count("WholeStageCodegen")

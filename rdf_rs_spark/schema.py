@@ -1,0 +1,56 @@
+"""Spark schemas for the triples table and related datasets.
+
+The graph table flattens the reference's ``Triple {subject, predicate,
+object: Node}`` (``src/triple.rs:16-20``) into six columns — subjects
+are IRI-or-blank and predicates IRI (parser invariants), so only the
+object carries the full term struct. See SURVEY.md §1.1/§2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+TRIPLE_FIELDS = [
+    T.StructField("subj", T.StringType(), False),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("obj_kind", T.ByteType(), False),
+    T.StructField("obj_lex", T.StringType(), False),
+    T.StructField("obj_datatype", T.StringType(), True),
+    T.StructField("obj_lang", T.StringType(), True),
+]
+
+TRIPLES_SCHEMA = T.StructType(TRIPLE_FIELDS)
+
+#: triples + provenance, as emitted by the document parsers / KG pipeline
+TRIPLES_WITH_SRC_SCHEMA = T.StructType(
+    TRIPLE_FIELDS
+    + [
+        T.StructField("src_url", T.StringType(), True),
+    ]
+)
+
+#: Common-Crawl-style web page input (BASELINE.json input_hint)
+WEB_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("input_fingerprint", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("docs_parsed", T.LongType(), False),
+        T.StructField("mentions_linked", T.LongType(), False),
+        T.StructField("triples_emitted", T.LongType(), False),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+TRIPLE_COLS = [f.name for f in TRIPLE_FIELDS]

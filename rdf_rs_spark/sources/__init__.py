@@ -1,0 +1,4 @@
+from .ntriples import parse_ntriples_lines, read_ntriples
+from .turtle import parse_turtle_docs
+
+__all__ = ["read_ntriples", "parse_ntriples_lines", "parse_turtle_docs"]

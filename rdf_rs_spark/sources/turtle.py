@@ -1,0 +1,59 @@
+"""Distributed Turtle source.
+
+Turtle is NOT line-splittable (stateful ``@prefix``/``@base``
+directives, multiline literals — reference
+``src/reader/turtle_parser.rs:48-92``), so the unit of parallelism is
+one *document* per row. Parsing happens inside an Arrow-batched
+``mapInPandas`` that explodes each document into triple rows — the
+UDTF shape from SURVEY.md §2.8. Blank labels are emitted per-document
+(``auto0, auto1, …`` exactly like the reference's per-graph counter);
+the caller skolemizes them with :func:`rdf_rs_spark.pipeline.skolemize`
+so two executors can never collide.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..parsing import ParseError, parse_turtle
+from ..schema import TRIPLES_WITH_SRC_SCHEMA
+
+
+def parse_turtle_docs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: Optional[str] = "doc_id",
+    errors: str = "skip",
+) -> DataFrame:
+    """documents DataFrame → triples DataFrame (+ ``src_url`` provenance).
+
+    ``errors='skip'`` drops malformed documents (counted upstream by the
+    pipeline's lineage stage); ``errors='raise'`` propagates, mirroring
+    the reference's strict decode.
+    """
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
+        for pdf in batches:
+            out = []
+            ids = pdf[id_col] if id_col and id_col in pdf.columns else [None] * len(pdf)
+            for doc_id, content in zip(ids, pdf[content_col]):
+                if content is None:
+                    continue
+                try:
+                    doc = parse_turtle(content)
+                except ParseError:
+                    if errors == "raise":
+                        raise
+                    continue
+                sid = None if doc_id is None else str(doc_id)
+                for t in doc.triples:
+                    out.append(
+                        (t.subj, t.pred, t.obj_kind, t.obj_lex, t.obj_datatype, t.obj_lang, sid)
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(parse_batches, schema=TRIPLES_WITH_SRC_SCHEMA)

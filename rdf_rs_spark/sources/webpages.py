@@ -1,0 +1,124 @@
+"""Synthetic Common-Crawl-style web corpus + deterministic text extraction.
+
+Input shape per BASELINE.json input_hint:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+Everything is a pure function of (seed, row index) — built with
+``spark.range`` + column expressions, so the corpus itself generates
+distributed (no driver-side materialization at 10^12 rows).
+
+The ``text`` column carries the *expected* boilerplate-stripped
+extraction; :func:`extract_text` must reproduce it byte-identically
+per url (the per-row invariant from BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+LANGS = ["en", "en-US", "de", "fr"]
+
+#: embedded RDF islands (Turtle), cycled by row index — drawn from the
+#: reference conformance corpus shapes (FIXTURES.md §4)
+TTL_PAYLOADS = [
+    '@prefix ex: <http://kg.example.org/> . ex:page{i} ex:topic "topic{t}" ; ex:rank {r} .',
+    '@prefix ex: <http://kg.example.org/> . ex:page{i} a ex:Article . _:a0 ex:about ex:page{i} .',
+    '@base <http://kg.example.org/pages> . <#p{i}> a <http://kg.example.org/Section> .',
+    '@prefix ex: <http://kg.example.org/> . ex:page{i} ex:tags ( "t1" "t2" ) .',
+]
+
+N_ENTITIES = 100
+HOT_ENTITY_EVERY = 20  # 5% of rows mention the hot entity ent/E0
+
+
+def synthesize_web_pages(spark: SparkSession, n_rows: int, n_hosts: int = 1000) -> DataFrame:
+    """Deterministic corpus (seed folded into the content templates)."""
+    i = F.col("id")
+    url = F.concat(
+        F.lit("https://ex"),
+        (i % n_hosts).cast("string"),
+        F.lit(".example.org/page/"),
+        i.cast("string"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1735689600) + i)  # 2025-01-01T00:00:00Z + i s
+    lang = F.element_at(F.array(*[F.lit(l) for l in LANGS]), (i % 4 + 1).cast("int"))
+
+    ent_k = (i % N_ENTITIES).cast("string")
+    hot = i % HOT_ENTITY_EVERY == 0
+    body = F.concat(
+        F.lit("Article "),
+        i.cast("string"),
+        F.lit(" discusses alias"),
+        ent_k,
+        F.lit(" and also alias"),
+        ((i + 7) % N_ENTITIES).cast("string"),
+        F.when(hot, F.lit(" plus the famous alias0")).otherwise(F.lit("")),
+        F.lit(" in depth."),
+    )
+
+    ttl_arr = F.array(*[F.lit(p) for p in TTL_PAYLOADS])
+    ttl_template = F.element_at(ttl_arr, (i % len(TTL_PAYLOADS) + 1).cast("int"))
+    ttl = ttl_template
+    ttl = F.replace(ttl, F.lit("{i}"), i.cast("string"))
+    ttl = F.replace(ttl, F.lit("{t}"), (i % 13).cast("string"))
+    ttl = F.replace(ttl, F.lit("{r}"), (i % 7).cast("string"))
+
+    html_str = F.concat(
+        F.lit("<html><head><title>Page "),
+        i.cast("string"),
+        F.lit('</title></head><body><nav>site nav boilerplate</nav><article>'),
+        body,
+        F.lit('</article><script type="text/turtle">'),
+        ttl,
+        F.lit("</script><footer>copyright boilerplate</footer></body></html>"),
+    )
+
+    return spark.range(n_rows).select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        body.alias("text"),
+        lang.alias("lang"),
+    )
+
+
+def html_string(html: Column) -> Column:
+    return F.decode(html, "UTF-8")
+
+
+def extract_text(html: Column) -> Column:
+    """Boilerplate-stripped article text — byte-identical per url to the
+    corpus ``text`` column. Pure regexp (JVM-side); a real-world extractor
+    would swap in an Arrow-batched readability UDF behind this signature."""
+    return F.regexp_extract(html_string(html), r"<article>(.*?)</article>", 1)
+
+
+def extract_rdf_island(html: Column) -> Column:
+    """The embedded Turtle payload (empty string when absent)."""
+    return F.regexp_extract(
+        html_string(html), r'<script type="text/turtle">(.*?)</script>', 1
+    )
+
+
+def synthesize_alias_dict(spark: SparkSession, n_entities: int = N_ENTITIES) -> DataFrame:
+    """alias → entity_iri (+ prior). Every 7th alias is ambiguous (2 extra
+    candidate entities with lower priors) per FIXTURES.md §2."""
+    base = spark.range(n_entities).select(
+        F.concat(F.lit("alias"), F.col("id").cast("string")).alias("alias"),
+        F.concat(F.lit("http://kg.example.org/entity/E"), F.col("id").cast("string")).alias(
+            "entity_iri"
+        ),
+        (1.0 - F.col("id").cast("double") / (2.0 * n_entities)).alias("prior"),
+    )
+    amb = (
+        spark.range(n_entities)
+        .filter(F.col("id") % 7 == 0)
+        .select(
+            F.concat(F.lit("alias"), F.col("id").cast("string")).alias("alias"),
+            F.concat(
+                F.lit("http://kg.example.org/entity/E"),
+                ((F.col("id") + 1) % n_entities).cast("string"),
+            ).alias("entity_iri"),
+            (0.3 - F.col("id").cast("double") / (10.0 * n_entities)).alias("prior"),
+        )
+    )
+    return base.unionByName(amb)

@@ -1,0 +1,3 @@
+from .ingest import stream_ntriples_directory, triple_counts_by_window
+
+__all__ = ["stream_ntriples_directory", "triple_counts_by_window"]

@@ -1,0 +1,9 @@
+from .ntriples import escape_debug_col, nt_lines, write_ntriples
+from .turtle import write_turtle_string_distributed
+
+__all__ = [
+    "escape_debug_col",
+    "nt_lines",
+    "write_ntriples",
+    "write_turtle_string_distributed",
+]

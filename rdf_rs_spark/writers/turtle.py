@@ -1,0 +1,119 @@
+"""Distributed Turtle sink.
+
+The reference writer (``src/writer/turtle_writer.rs:54-167``) globally
+sorts all triples, then walks them with previous-subject /
+previous-predicate state. The stateful walk only ever looks *within*
+one subject group (indentation is a function of the subject/predicate
+text lengths), so it distributes as:
+
+    orderBy(term sort key) → groupBy(subj) → applyInPandas(block emitter)
+
+Each per-subject block is byte-identical to what the reference's loop
+emits for that subject; blocks joined with `` .\\n`` in subject order
+reproduce the full document byte-for-byte (modulo the documented
+deterministic prefix ordering).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..serializing import write_turtle_string
+from ..terms import (
+    KIND_BLANK,
+    KIND_IRI,
+    KIND_LITERAL,
+    Term,
+    TripleRow,
+    format_term_turtle,
+    subject_term,
+)
+
+_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("sort_rank", T.IntegerType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("block", T.StringType()),
+    ]
+)
+
+
+def _subject_block(rows: List[TripleRow], namespaces: Dict[str, str]) -> str:
+    """Emit one subject's Turtle block (no trailing terminator)."""
+    rows = sorted(rows, key=lambda r: r.sort_key())
+    out: List[str] = []
+    prev_pred: Optional[str] = None
+    pred_indent = 0
+    obj_indent = 0
+    for row in rows:
+        pred_t = subject_term(row.pred)
+        if pred_t.kind == KIND_BLANK:
+            raise ValueError("Blank nodes are not allowed as predicates in Turtle.")
+        obj_t = row.obj
+        if obj_t.kind == KIND_LITERAL and obj_t.lang and obj_t.datatype:
+            raise ValueError("Literal has data type and language.")
+        if prev_pred is None:
+            subj_text = format_term_turtle(subject_term(row.subj), namespaces)
+            pred_text = format_term_turtle(pred_t, namespaces)
+            out.append(subj_text + " " + pred_text + " ")
+            pred_indent = len(subj_text) + 1
+            obj_indent = pred_indent + len(pred_text) + 1
+            prev_pred = row.pred
+        elif prev_pred == row.pred:
+            out.append(" ,\n" + " " * obj_indent)
+        else:
+            pred_text = format_term_turtle(pred_t, namespaces)
+            out.append(" ;\n" + " " * pred_indent + pred_text + " ")
+            obj_indent = pred_indent + len(pred_text) + 1
+            prev_pred = row.pred
+        out.append(format_term_turtle(obj_t, namespaces))
+    return "".join(out)
+
+
+def write_turtle_string_distributed(
+    df: DataFrame,
+    base_uri: Optional[str] = None,
+    namespaces: Optional[Dict[str, str]] = None,
+) -> str:
+    """Serialize a (small-result) triples DataFrame to one Turtle string.
+
+    Block emission runs distributed via ``applyInPandas`` per subject;
+    only the final ordered concatenation happens on the driver (the
+    reference API returns a single in-memory string, so a driver-side
+    join is inherent to the contract — for bulk exports use
+    ``write_ntriples`` which stays fully distributed).
+    """
+    namespaces = namespaces or {}
+    ns_items = dict(namespaces)
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            TripleRow(
+                r.subj, r.pred, r.obj_kind, r.obj_lex,
+                None if pd.isna(r.obj_datatype) else r.obj_datatype,
+                None if pd.isna(r.obj_lang) else r.obj_lang,
+            )
+            for r in pdf.itertuples()
+        ]
+        subj = rows[0].subj
+        rank = 2 if subj.startswith("_:") else 0
+        return pd.DataFrame(
+            [(rank, subj, _subject_block(rows, ns_items))],
+            columns=["sort_rank", "subj", "block"],
+        )
+
+    blocks = (
+        df.groupBy("subj")
+        .applyInPandas(emit, schema=_BLOCK_SCHEMA)
+        .orderBy("sort_rank", F.when(F.col("sort_rank") == 2, F.expr("substring(subj, 3)")).otherwise(F.col("subj")))
+        .collect()
+    )
+
+    header = write_turtle_string([], base_uri=base_uri, namespaces=namespaces)
+    body = " .\n".join(r.block for r in blocks)
+    if blocks:
+        body += " ."
+    return header + body

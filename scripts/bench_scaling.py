@@ -1,0 +1,76 @@
+"""Two-parallelism scaling run (sandbox proxy for N vs 4N executors).
+
+Runs the identical KG-construction job on the identical input at
+local[8] and local[32] in separate JVMs, reports throughput at both and
+efficiency = (T_8 / T_32) / 4, and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO"])
+from rdf_rs_spark.session import get_spark
+from rdf_rs_spark.entry_queries import QUERIES
+
+cpus = int(sys.argv[1])
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("scaling", cpus=cpus)
+fn = QUERIES["kg_pipeline_e2e"]
+# warm-up (JVM/codegen) on a small slice
+fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+t0 = time.perf_counter()
+df = fn(spark, sf_dir)
+df.write.format("noop").mode("overwrite").save()
+wall = time.perf_counter() - t0
+n = fn(spark, sf_dir).count()
+print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3), "triples": n,
+                  "triples_per_sec": round(n / wall, 1)}))
+spark.stop()
+"""
+
+
+def run(cpus: int) -> dict:
+    env = dict(os.environ, REPO=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus)], capture_output=True, text=True, env=env
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    r8 = run(8)
+    r32 = run(32)
+    eff = round((r8["wall_sec"] / r32["wall_sec"]) / 4.0, 3)
+    result = {"local8": r8, "local32": r32, "scaling_efficiency": eff}
+    print(json.dumps(result))
+    md = f"""# BENCH BASELINE — scaling (two-cluster-size proxy)
+
+Same KG-construction job (`kg_pipeline_e2e`: synthesize → extract →
+parse RDF islands → link mentions → skolemize → salted dedup), same
+input, two parallelism levels (sandbox proxy for N vs 4N executors).
+
+| parallelism | wall (s) | triples | triples/sec |
+|---|---|---|---|
+| local[8]  | {r8['wall_sec']} | {r8['triples']} | {r8['triples_per_sec']} |
+| local[32] | {r32['wall_sec']} | {r32['triples']} | {r32['triples_per_sec']} |
+
+**Scaling efficiency (T_8 / T_32) / 4 = {eff}** (target ≥ 0.8 per
+BASELINE.json north_rule; note local-mode shares one JVM heap and disk,
+so this proxy understates multi-executor scaling).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

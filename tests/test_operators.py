@@ -1,0 +1,237 @@
+"""Operator tests: table→triples, BGP joins, dedup family, ANN, text fns,
+multimodal plumbing. Uses the driver-generated sf0.001 testdata."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score_e3,
+    token_count,
+)
+from rdf_rs_spark.linking import link_mentions_fuzzy
+from rdf_rs_spark.operators.ann import cosine_topk, embedding_neardup, lsh_cosine_topk
+from rdf_rs_spark.operators.bgp import TriplePattern, ask, bgp_join, select
+from rdf_rs_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_salted,
+    dedup_simhash,
+)
+from rdf_rs_spark.operators.multimodal import extract_media_features, frame_sample_plan
+from rdf_rs_spark.operators.table_to_triples import EX, star_schema_triples
+from rdf_rs_spark.terms import RDF_TYPE
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    return customer, nation, region
+
+
+@pytest.fixture(scope="module")
+def triples(spark, star):
+    return star_schema_triples(*star).cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_star_schema_triples_counts(spark, star, triples):
+    customer, nation, region = star
+    n_cust = customer.count()
+    n_even = customer.filter(F.col("c_custkey") % 2 == 0).count()
+    expected = nation.count() * 3 + region.count() * 2 + n_cust * 3 + n_even * 2
+    assert triples.count() == expected
+    # every customer has exactly one type triple
+    assert (
+        triples.filter((F.col("pred") == RDF_TYPE) & (F.col("obj_lex") == EX + "Customer")).count()
+        == n_cust
+    )
+
+
+def test_bgp_join_three_patterns(spark, star, triples):
+    customer, nation, region = star
+    out = select(
+        triples,
+        [
+            TriplePattern("?c", EX + "inNation", "?n"),
+            TriplePattern("?n", EX + "inRegion", "?r"),
+            TriplePattern("?r", EX + "name", "?rname"),
+        ],
+        variables=["?c", "?rname"],
+    )
+    assert out.count() == customer.count()
+    assert set(out.columns) == {"c", "rname"}
+
+
+def test_bgp_optional_left_join(spark, star, triples):
+    customer, _, _ = star
+    out = bgp_join(
+        triples,
+        [TriplePattern("?c", RDF_TYPE, EX + "Customer")],
+        optional=[
+            TriplePattern("?c", EX + "address", "?a"),
+            TriplePattern("?a", EX + "segment", "?seg"),
+        ],
+    )
+    n_cust = customer.count()
+    n_even = customer.filter(F.col("c_custkey") % 2 == 0).count()
+    assert out.count() == n_cust
+    assert out.filter(F.col("seg").isNull()).count() == n_cust - n_even
+
+
+def test_ask(spark, triples):
+    assert ask(triples, [TriplePattern("?s", RDF_TYPE, EX + "Region")])
+    assert not ask(triples, [TriplePattern("?s", RDF_TYPE, EX + "Starship")])
+
+
+def test_select_distinct_order_limit(spark, triples):
+    out = select(
+        triples,
+        [TriplePattern("?n", EX + "inRegion", "?r")],
+        variables=["?r"],
+        distinct=True,
+        order_by=["?r"],
+        limit=3,
+    )
+    rows = [r.r for r in out.collect()]
+    assert rows == sorted(rows) and len(rows) == 3
+
+
+def test_dedup_exact_and_salted(spark, docs):
+    key = F.substring("text", 1, 20)
+    groups = dedup_exact(docs, key)
+    assert groups.count() <= docs.count()
+    assert groups.agg(F.sum("n_members")).collect()[0][0] == docs.count()
+    deduped = dedup_salted(docs.select("lang", "source"), ["lang", "source"])
+    assert (
+        deduped.count()
+        == docs.select("lang", "source").distinct().count()
+    )
+
+
+def test_dedup_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),  # near-dup of 1
+        (3, "completely different content about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(df, F.col("text")).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dedup_simhash_finds_near_dups(spark):
+    # long docs -> stable majority votes -> tiny hamming for 1-token edits
+    base = " ".join(f"tok{i}" for i in range(100))
+    rows = [(1, base), (2, base + " extra"), (3, "x y z entirely unrelated words")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup_simhash(df, F.col("text"), max_hamming=3).collect()}
+    assert (1, 2) in pairs
+    assert all(p[1] != 3 for p in pairs)
+
+
+def test_dedup_ngram_jaccard(spark):
+    rows = [
+        (1, "en", "a b c d e f g h"),
+        (2, "en", "a b c d e f g x"),
+        (3, "en", "p q r s t u v w"),
+        (4, "de", "a b c d e f g h"),  # other block: never paired with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup_ngram_jaccard(df, F.col("text"), F.col("lang"), threshold_e3=300).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs and (1, 4) not in pairs
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = cosine_topk(embeddings, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(1 <= r.rank <= 5 and r.query_id != r.neighbor_id for r in rows)
+
+
+def test_lsh_topk_is_subset_quality(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    approx = lsh_cosine_topk(embeddings, queries, dim=64, k=5, n_planes=4)
+    exact = cosine_topk(embeddings, queries, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a) > 0
+    # same-bucket recall should be nontrivial on clustered embeddings
+    assert len(a & e) >= 3
+
+
+def test_embedding_neardup_blocked(spark, embeddings):
+    out = embedding_neardup(embeddings.limit(200), F.col("label"), threshold_e4=9000)
+    for r in out.collect():
+        assert r.id_a < r.id_b
+
+
+def test_fuzzy_linking_lsh(spark):
+    pages = spark.createDataFrame(
+        [("u1", "article about internationalbusinessmachine here")],
+        "url string, text string",
+    )
+    aliases = spark.createDataFrame(
+        [("internationalbusinessmachines", "http://kg.example.org/entity/E42", 0.9)],
+        "alias string, entity_iri string, prior double",
+    )
+    out = link_mentions_fuzzy(pages, aliases, jaccard_threshold=0.5).collect()
+    assert any(r.token == "internationalbusinessmachine" and r.entity_iri.endswith("E42") for r in out)
+
+
+def test_text_functions_match_python(spark, docs):
+    sample = docs.limit(50).select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("tc"),
+        quality_score_e3(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lid"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    import hashlib
+    import re
+
+    for r in sample.collect():
+        toks = r.text.split()
+        assert r.tc == len(toks)
+        norm = re.sub(r"\s+", " ", r.text.strip()).lower()
+        assert r.fp == hashlib.md5(norm.encode()).hexdigest()
+        assert r.lid in ("en", "de", "fr", "es", "zh")
+        assert 0 <= r.q <= 1000
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    media = docs.limit(20).select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("n_frames"), F.lit("90")).alias("meta"),
+    )
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 20
+    assert all(len(f.features) == 16 and f.n_bytes > 0 for f in feats)
+    plan = frame_sample_plan(media, every_n=30)
+    assert plan.count() == 20 * 3  # frames 0, 30, 60

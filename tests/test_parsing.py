@@ -144,6 +144,16 @@ def test_nt_parse_comments_skipped():
     assert len(rows) == 1
 
 
+def test_nt_rejects_non_nt_vocabulary():
+    # the reference NT lexer dispatches only on '# " < _ .' and errors on
+    # anything else (n_triples_lexer.rs:186-201)
+    from rdf_rs_spark.parsing import ParseError
+
+    for bad in ["this is not a triple", "@prefix p: <http://x> .", "'sq' <p> <o> ."]:
+        with pytest.raises(ParseError):
+            parse_ntriples(bad)
+
+
 # -------------------------------------------------------- Turtle parser ---
 
 

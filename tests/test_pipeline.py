@@ -1,0 +1,140 @@
+"""End-to-end KG pipeline tests: byte-identical extraction, P/R vs a
+pure-Python replay of reference semantics, skolem determinism, resume."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.table_to_triples import EX
+from rdf_rs_spark.parsing import parse_turtle
+from rdf_rs_spark.pipeline import page_triples, run_pipeline, skolemize
+from rdf_rs_spark.sources.webpages import (
+    HOT_ENTITY_EVERY,
+    LANGS,
+    N_ENTITIES,
+    TTL_PAYLOADS,
+    extract_text,
+    synthesize_alias_dict,
+    synthesize_web_pages,
+)
+from rdf_rs_spark.terms import RDF_TYPE, XSD_STRING
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_web_pages(spark, N_PAGES).cache()
+
+
+@pytest.fixture(scope="module")
+def aliases(spark):
+    return synthesize_alias_dict(spark).cache()
+
+
+def test_extraction_byte_identical_per_url(spark, pages):
+    # the per-row invariant from BASELINE.json input_hint
+    mismatches = pages.filter(extract_text(F.col("html")) != F.col("text")).count()
+    assert mismatches == 0
+
+
+def _python_oracle(i: int):
+    """Replay reference semantics for page i entirely in Python."""
+    url = f"https://ex{i % 1000}.example.org/page/{i}"
+    ts = 1735689600 + i
+    import datetime
+
+    ts_str = datetime.datetime.fromtimestamp(ts, datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    lang = LANGS[i % 4]
+    hot = " plus the famous alias0" if i % HOT_ENTITY_EVERY == 0 else ""
+    body = (
+        f"Article {i} discusses alias{i % N_ENTITIES} and also "
+        f"alias{(i + 7) % N_ENTITIES}{hot} in depth."
+    )
+    ttl = (
+        TTL_PAYLOADS[i % 4]
+        .replace("{i}", str(i))
+        .replace("{t}", str(i % 13))
+        .replace("{r}", str(i % 7))
+    )
+    triples = set()
+    triples.add((url, RDF_TYPE, 0, EX + "WebPage", None, None))
+    triples.add((url, EX + "lang", 2, lang, XSD_STRING, None))
+    # mentions: distinct alias tokens; best candidate is always the base
+    # entity (priors: base >= 0.505 > ambiguous <= 0.3)
+    toks = set(re.sub(r"[^\w\s]", "", body.lower()).split())
+    for t in toks:
+        m = re.fullmatch(r"alias(\d+)", t)
+        if m and int(m.group(1)) < N_ENTITIES:
+            triples.add(
+                (url, EX + "mentions", 0, f"http://kg.example.org/entity/E{m.group(1)}", None, None)
+            )
+    # RDF island with deterministic skolemization keyed on (url, warc_ts)
+    key = f"{url} {ts_str}"
+    for row in parse_turtle(ttl).triples:
+        subj, pred, k, lex, dt, lg = row
+        if subj.startswith("_:"):
+            subj = "_:sk" + hashlib.sha256(f"{key} {subj}".encode()).hexdigest()
+        if k == 1:
+            lex = "sk" + hashlib.sha256(f"{key} _:{lex}".encode()).hexdigest()
+        triples.add((subj, pred, k, lex, dt, lg))
+    return triples
+
+
+def test_pipeline_precision_recall_vs_reference_replay(spark, pages, aliases):
+    got = {
+        (r.subj, r.pred, r.obj_kind, r.obj_lex, r.obj_datatype, r.obj_lang)
+        for r in page_triples(pages, aliases).collect()
+    }
+    expected = set()
+    for i in range(N_PAGES):
+        expected |= _python_oracle(i)
+    tp = len(got & expected)
+    precision = tp / len(got)
+    recall = tp / len(expected)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall,
+        list(got - expected)[:5], list(expected - got)[:5])
+    # with deterministic skolemization the match should in fact be exact
+    assert got == expected
+
+
+def test_skolemization_is_deterministic_across_parallelism(spark, pages, aliases):
+    a = page_triples(pages.repartition(2), aliases)
+    b = page_triples(pages.repartition(11), aliases)
+    sa = {tuple(r) for r in a.collect()}
+    sb = {tuple(r) for r in b.collect()}
+    assert sa == sb
+
+
+def test_pipeline_run_and_resume(spark, pages, aliases, tmp_path):
+    full_dir = str(tmp_path / "full")
+    res = run_pipeline(spark, pages, aliases, full_dir, n_buckets=8)
+    assert res.buckets_processed == 8
+    assert res.docs_parsed == N_PAGES
+    full = spark.read.parquet(res.triples_path)
+    assert full.count() == res.triples_emitted
+    # no duplicate triples post salted dedup
+    cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
+    assert full.count() == full.dropDuplicates(cols).count()
+
+    # killed run: fails after 3 buckets, resume completes the other 5
+    resume_dir = str(tmp_path / "resume")
+    with pytest.raises(RuntimeError):
+        run_pipeline(spark, pages, aliases, resume_dir, n_buckets=8, fail_after_buckets=3)
+    lineage = spark.read.parquet(f"{resume_dir}/lineage")
+    assert lineage.filter(F.col("status") == "committed").count() == 3
+    res2 = run_pipeline(spark, pages, aliases, resume_dir, n_buckets=8)
+    assert res2.buckets_processed == 5  # committed buckets were skipped
+    lineage = spark.read.parquet(f"{resume_dir}/lineage")
+    assert lineage.count() == 8
+    assert lineage.agg(F.sum("docs_parsed")).collect()[0][0] == N_PAGES
+    resumed = spark.read.parquet(f"{resume_dir}/triples")
+    assert {tuple(r) for r in resumed.select(*cols).collect()} == {
+        tuple(r) for r in full.select(*cols).collect()
+    }
+    # graph table is partitioned by subject-hash bucket
+    assert "src_bucket" in resumed.columns

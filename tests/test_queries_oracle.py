@@ -1,0 +1,82 @@
+"""Mirror of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.01; compare row counts and
+order-insensitive value multisets (NULL-safe, stringified)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, float):
+        return "%.9g" % v
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _multiset(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        key = tuple(_norm(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    qfn = entry_mod.queries()[name]
+    sdf = qfn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), (
+        scols, dcols)
+    assert len(srows) == len(drows), f"{name}: spark={len(srows)} duckdb={len(drows)}"
+    ms, md = _multiset(srows, [c.lower() for c in scols]), _multiset(drows, [c.lower() for c in dcols])
+    if ms != md:
+        only_s = [k for k in ms if ms[k] != md.get(k, 0)][:3]
+        only_d = [k for k in md if md[k] != ms.get(k, 0)][:3]
+        raise AssertionError(f"{name}: value mismatch; spark-only={only_s} duck-only={only_d}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_rows_only_queries_run(spark):
+    # queries without an oracle still must execute and return rows
+    for name, fn in entry_mod.queries().items():
+        if name in entry_mod.oracle_sql():
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.count() >= 0, name

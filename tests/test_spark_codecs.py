@@ -1,0 +1,144 @@
+"""Distributed codec tests: NT SQL/python engines, Turtle mapInPandas,
+NT column-expression writer, distributed Turtle writer, RdfGraph facade."""
+
+import pytest
+
+from rdf_rs_spark.graph import RdfGraph
+from rdf_rs_spark.parsing import parse_ntriples
+from rdf_rs_spark.schema import TRIPLES_SCHEMA
+from rdf_rs_spark.serializing import triple_to_ntriples, write_turtle_string
+from rdf_rs_spark.sources import parse_ntriples_lines, parse_turtle_docs
+from rdf_rs_spark.terms import TripleRow, XSD_INTEGER, blank, iri, literal
+from rdf_rs_spark.writers import nt_lines
+
+NT_DOC = """<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://xmlns.com/foaf/0.1/Document> .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://purl.org/dc/terms/title> "N-Triples"@en-US .
+<http://www.w3.org/2001/sw/RDFCore/ntriples/> <http://xmlns.com/foaf/0.1/maker> _:art .
+_:art <http://xmlns.com/foaf/0.1/name> "Art Barstow" ."""
+
+
+def _lines_df(spark, text):
+    return spark.createDataFrame([(l,) for l in text.split("\n")], "value string")
+
+
+@pytest.mark.parametrize("engine", ["sql", "python"])
+def test_nt_engines_match_reference_parser(spark, engine):
+    got = parse_ntriples_lines(_lines_df(spark, NT_DOC), engine=engine)
+    expected = {tuple(r) for r in parse_ntriples(NT_DOC)}
+    assert {tuple(r) for r in got.collect()} == expected
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in TRIPLES_SCHEMA.fields
+    ]
+
+
+def test_nt_sql_engine_typed_literal_and_comments(spark):
+    text = (
+        "# comment line\n"
+        '<http://s> <http://p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        "\n"
+        "<http://s> <http://p2> _:b0 ."
+    )
+    rows = {tuple(r) for r in parse_ntriples_lines(_lines_df(spark, text)).collect()}
+    assert rows == {
+        ("http://s", "http://p", 2, "42", XSD_INTEGER, None),
+        ("http://s", "http://p2", 1, "b0", None, None),
+    }
+
+
+TTL_DOC = """@base <http://example.org/> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+<http://d/> a foaf:Document ;
+    foaf:maker _:art .
+_:art foaf:name "Art" , "Артур" .
+<#frag> foaf:topic ( 1 2.5 ) ."""
+
+
+def test_turtle_docs_parser(spark):
+    df = spark.createDataFrame([("doc1", TTL_DOC)], "doc_id string, content string")
+    got = parse_turtle_docs(df, "content", "doc_id").collect()
+    assert len(got) == 9  # 2 doc triples + 2 names + 1 frag-topic + 4 collection
+    assert all(r.src_url == "doc1" for r in got)
+    by_pred = {}
+    for r in got:
+        by_pred.setdefault(r.pred, []).append(r)
+    assert len(by_pred["http://xmlns.com/foaf/0.1/name"]) == 2
+    frag = [r for r in got if r.subj == "http://example.org/#frag"]
+    assert len(frag) == 1
+
+
+def test_turtle_docs_parser_skips_malformed(spark):
+    df = spark.createDataFrame(
+        [("good", "<s> <p> <o> ."), ("bad", "<s> <p> % .")],
+        "doc_id string, content string",
+    )
+    got = parse_turtle_docs(df).collect()
+    assert {r.src_url for r in got} == {"good"}
+
+
+ROWS = [
+    TripleRow("http://s", "http://p", 0, "http://o", None, None),
+    TripleRow("http://s", "http://p", 2, "hi 'quote'", None, "en"),
+    TripleRow("_:b0", "http://p2", 2, "7", XSD_INTEGER, None),
+]
+
+
+def test_nt_lines_match_python_formatter(spark):
+    df = spark.createDataFrame(ROWS, TRIPLES_SCHEMA)
+    got = {r.value for r in nt_lines(df).collect()}
+    assert got == {triple_to_ntriples(r) for r in ROWS}
+
+
+def test_nt_lines_validation(spark):
+    bad = [TripleRow("_:a", "_:p", 0, "http://o", None, None)]
+    df = spark.createDataFrame(bad, TRIPLES_SCHEMA)
+    assert nt_lines(df, on_invalid="drop").count() == 0
+    with pytest.raises(Exception):
+        nt_lines(df, on_invalid="error").collect()
+
+
+def test_distributed_turtle_writer_matches_reference_layout(spark):
+    p1 = "http://example.org/show/localName"
+    p2 = "http://example.org/test"
+    rows = [
+        TripleRow("_:auto0", p1, 1, "auto1", None, None),
+        TripleRow("_:auto2", p1, 1, "auto1", None, None),
+        TripleRow("_:auto0", p2, 1, "auto3", None, None),
+        TripleRow("_:auto2", p2, 1, "auto3", None, None),
+    ]
+    g = RdfGraph.from_rows(spark, rows)
+    assert g.to_turtle_string() == write_turtle_string(rows)
+
+
+def test_graph_facade_filters_and_mutation(spark):
+    g = RdfGraph.from_ntriples_string(spark, NT_DOC)
+    assert g.count() == 4
+    assert not g.is_empty()
+    s = iri("http://www.w3.org/2001/sw/RDFCore/ntriples/")
+    assert g.triples_with_subject(s).count() == 3
+    assert g.triples_with_predicate(iri("http://xmlns.com/foaf/0.1/name")).count() == 1
+    assert g.triples_with_object(blank("art")).count() == 1
+    assert g.triples_with_object(literal("Art Barstow")).count() == 1
+    assert (
+        g.triples_with_subject_and_predicate(s, iri("http://xmlns.com/foaf/0.1/maker")).count()
+        == 1
+    )
+    assert g.triples_with_predicate_and_object(
+        iri("http://purl.org/dc/terms/title"), literal("N-Triples", lang="en-US")
+    ).count() == 1
+    assert g.triples_with_subject_and_object(s, blank("art")).count() == 1
+    # blank nodes with duplicates: _:art appears as object once + subject once
+    assert sorted(r.blank_id for r in g.blank_nodes().collect()) == ["art", "art"]
+    # bag semantics: re-adding keeps duplicates (reference triple.rs:99-101)
+    g2 = g.add_triples(g.triples_with_subject(s))
+    assert g2.count() == 7
+    # remove_triple removes ALL structurally equal copies (retain semantics)
+    g3 = g2.remove_triples(g.triples_with_subject(s))
+    assert g3.count() == 1
+    assert g2.deduplicate().count() == 4
+
+
+def test_graph_roundtrip_via_spark(spark):
+    g = RdfGraph.from_turtle_string(spark, TTL_DOC)
+    nt = g.to_ntriples_string()
+    g2 = RdfGraph.from_ntriples_string(spark, nt)
+    assert {tuple(r) for r in g2.collect_rows()} == {tuple(r) for r in g.collect_rows()}
