@@ -717,7 +717,7 @@ def events_sessionize(spark, sf_dir):
 
 @q("kg_pipeline_e2e")  # rows-only check: mapInPandas Turtle parse + skolem
 def kg_pipeline_e2e(spark, sf_dir):
-    scale = {"0.001": 200, "0.01": 1000, "0.1": 5000}
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
     n = 1000
     for k, v in scale.items():
         if sf_dir.rstrip("/").endswith("sf" + k):

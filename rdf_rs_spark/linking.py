@@ -38,13 +38,12 @@ def link_mentions(
     cands = mentions.join(
         F.broadcast(alias_dict), mentions["token"] == alias_dict["alias"], "inner"
     ).select("url", "alias", "entity_iri", "prior")
-    w = Window.partitionBy("url", "alias").orderBy(
-        F.col("prior").desc(), F.col("entity_iri").asc()
-    )
-    return (
-        cands.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
+    # argmax via min_by over (-prior, entity_iri): one map-side-combining
+    # hash aggregate instead of a sort-based window — same deterministic
+    # winner (max prior, entity IRI as tiebreak), one shuffle, no sort
+    return cands.groupBy("url", "alias").agg(
+        F.expr("min_by(entity_iri, struct(-prior, entity_iri))").alias("entity_iri"),
+        F.max("prior").alias("prior"),
     )
 
 

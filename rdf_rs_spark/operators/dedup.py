@@ -96,6 +96,32 @@ def minhash_bands(signature: Column, n_bands: int = N_BANDS) -> Column:
     )
 
 
+def minhash_band_table(
+    docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(id, shingles) → (id, band_idx, band_key).
+
+    Explode-then-aggregate shape: one row per (doc, shingle), the 16
+    seeded hashes computed side by side, then 16 map-side-combining
+    ``min`` aggregates. Keeping the minhash as a *row* computation avoids
+    inlining the shingle expression into 16 nested array lambdas (a
+    codegen/optimizer blow-up) and scales to billions of shingles with a
+    single hash-aggregate shuffle."""
+    ex = docs.select("id", F.explode("shingles").alias("s"))
+    hs = ex.select(
+        "id", *[F.md5(F.concat(F.lit(f"seed{i}:"), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    mins = hs.groupBy("id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)])
+    rows = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)])
+            for b in range(n_bands)
+        ]
+    )
+    return mins.select("id", F.posexplode(bands).alias("band_idx", "band_key"))
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text: Column,
@@ -106,32 +132,31 @@ def dedup_minhash_lsh(
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     Returns (id_a, id_b) with id_a < id_b and Jaccard(shingles) ≥ τ.
-    Scale path: the only shuffles are the band-key self-join (bucketed by
-    band value, AQE skew-split) and the final distinct.
+    Shuffles: signature aggregate, band self-join (AQE skew-split),
+    pair distinct, and the two verification joins back to the shingle
+    sets — candidate pairs only, never the O(n²) cross product.
     """
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(text, shingle_k).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sig = docs.withColumn("bands", minhash_bands(minhash_signature(F.col("shingles"))))
-    exploded = sig.select(
-        "id", "shingles", F.posexplode("bands").alias("band_idx", "band_key")
-    )
-    left = exploded.select(
-        F.col("band_idx"), F.col("band_key"), F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = exploded.select(
-        F.col("band_idx"), F.col("band_key"), F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    # docs feeds three consumers (band table + both verification sides) and
+    # bands two (the self-join) — persist so the shingle/md5 work runs once
+    docs = docs.persist()
+    bands = minhash_band_table(docs).persist()
     pairs = (
-        left.join(right, ["band_idx", "band_key"])
+        bands.alias("l")
+        .join(bands.alias("r"), ["band_idx", "band_key"])
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    a = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        pairs.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
     )

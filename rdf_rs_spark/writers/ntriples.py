@@ -31,7 +31,10 @@ def escape_debug_col(col: Column) -> Column:
     # remaining C0 controls -> \u{x} (lowercase hex, no padding)
     for cp in list(range(1, 9)) + [11, 12] + list(range(14, 32)) + [127]:
         c = F.regexp_replace(c, chr(cp), "\\\\u{%x}" % cp)
-    return c
+    # fast path: most lexical forms contain no escapable chars — one rlike
+    # gates the 30-deep regexp_replace chain
+    needs = col.rlike("[\\x00-\\x1f\\x7f\\\\'\"]")
+    return F.when(needs, c).otherwise(col)
 
 
 def _fmt_subjectish(col: Column) -> Column:
