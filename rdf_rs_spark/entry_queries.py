@@ -712,6 +712,142 @@ def events_sessionize(spark, sf_dir):
     )
 
 
+@q(
+    "sparql_select_exec",
+    TRIPLES_CTE
+    + """SELECT t2.obj_lex AS cname, t4.obj_lex AS rname
+       FROM triples t1
+       JOIN triples t2 ON t2.subj = t1.subj AND t2.pred = 'http://kg.example.org/name'
+       JOIN triples t3 ON t3.subj = t1.obj_lex AND t3.pred = 'http://kg.example.org/inRegion'
+       JOIN triples t4 ON t4.subj = t3.obj_lex AND t4.pred = 'http://kg.example.org/name'
+       WHERE t1.pred = 'http://kg.example.org/inNation'""",
+)
+def sparql_select_exec(spark, sf_dir):
+    """SPARQL text front-end → executable plan (reference parses this
+    grammar but never executes it — query_processor.rs is empty)."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?cname ?rname WHERE {
+             ?c ex:inNation ?n .
+             ?c ex:name ?cname .
+             ?n ex:inRegion ?r .
+             ?r ex:name ?rname .
+           }""",
+    )
+
+
+@q(
+    "rdf_turtle_write_blocks",
+    """SELECT subj,
+       '<' || subj || '> <' || 'http://kg.example.org/inRegion' || '> <' || reg || '> ;' || chr(10)
+       || repeat(' ', length(subj) + 3) || '<http://kg.example.org/name> "' || nm || '"' AS block
+       FROM (
+         SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+                'http://kg.example.org/region/' || CAST(n_regionkey AS VARCHAR) AS reg,
+                n_name AS nm
+         FROM nation)""",
+)
+def rdf_turtle_write_blocks(spark, sf_dir):
+    """Distributed Turtle writer: per-subject grouped blocks with the
+    reference's ';' predicate grouping and alignment indentation
+    (turtle_writer.rs:54-122). Predicates sort inRegion < name."""
+    from .writers.turtle import _BLOCK_SCHEMA, _subject_block
+    import pandas as pd
+    from .terms import TripleRow
+
+    t = _triples(spark, sf_dir).filter(
+        F.col("pred").isin(EX + "inRegion", EX + "name")
+        & F.col("subj").startswith(EX + "nation/")
+    )
+
+    def emit(pdf):
+        rows = [
+            TripleRow(
+                r.subj, r.pred, r.obj_kind, r.obj_lex,
+                None if pd.isna(r.obj_datatype) else r.obj_datatype,
+                None if pd.isna(r.obj_lang) else r.obj_lang,
+            )
+            for r in pdf.itertuples()
+        ]
+        return pd.DataFrame(
+            [(0, rows[0].subj, _subject_block(rows, {}))],
+            columns=["sort_rank", "subj", "block"],
+        )
+
+    return (
+        t.groupBy("subj").applyInPandas(emit, schema=_BLOCK_SCHEMA).select("subj", "block")
+    )
+
+
+@q(
+    "events_tumbling_window",
+    """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n,
+       sum(floor(value * 100)::BIGINT) AS sum_value_e2
+       FROM events GROUP BY 1, 2""",
+)
+def events_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_value_e2"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value_e2")
+    )
+
+
+@q(
+    "part_brand_stats",
+    """SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size,
+       max(p_size) AS max_size, sum(floor(p_retailprice * 100)::BIGINT) AS sum_price_e2
+       FROM part GROUP BY p_brand""",
+)
+def part_brand_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.sum(F.floor(F.col("p_retailprice") * 100).cast("bigint")).alias("sum_price_e2"),
+    )
+
+
+@q(
+    "supplier_nation_broadcast_join",
+    """SELECT s.s_suppkey, n.n_name AS nation_name, r.r_name AS region_name
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def supplier_nation_broadcast_join(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+    )
+
+
+@q(
+    "multimodal_frame_plan",
+    """SELECT CAST(doc_id AS VARCHAR) AS media_id, unnest(generate_series(0, frames - 1, 30)) AS frame_idx
+       FROM (SELECT doc_id, (n_chars % 100) AS frames FROM documents) WHERE frames > 0""",
+)
+def multimodal_frame_plan(spark, sf_dir):
+    from .operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.create_map(F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")).alias("meta"),
+    )
+    return frame_sample_plan(d, every_n=30)
+
+
 # ---- end-to-end KG pipeline (non-SQL-expressible: Turtle islands + linking) --
 
 

@@ -1,0 +1,290 @@
+"""SPARQL SELECT front-end: query text → executable DataFrame plan.
+
+The reference lexes and parses SPARQL SELECT into an AST
+(``src/reader/sparql_parser.rs:69-221``, ``src/sparql/query.rs``,
+``src/sparql/pattern.rs``) but its executor is empty
+(``src/sparql/query_processor.rs`` is a blank line; README lists
+SPARQL querying under Future Work). This module covers the grammar
+subset that AST can represent — SELECT [DISTINCT|REDUCED] vars|*,
+WHERE { triple patterns with ``;``/``,`` lists, OPTIONAL { … },
+nested groups }, PREFIX/BASE, ORDER BY, LIMIT, OFFSET — and compiles
+it onto :mod:`rdf_rs_spark.operators.bgp` (joins via Catalyst).
+
+UNION and FILTER were lexed-but-unimplemented in the reference
+(``sparql_parser.rs:211-216``); they are accepted here and executed
+(unionByName / rlike or comparison filters) — a documented extension.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.bgp import TriplePattern, bgp_join
+from .terms import RDF_TYPE, Term, literal
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>\#[^\n]*)
+  | (?P<iri><[^>]*>)
+  | (?P<lit>"[^"]*"(?:@[\w-]+|\^\^<[^>]*>)?)
+  | (?P<var>[?$][A-Za-z_][\w]*)
+  | (?P<blank>_:[\w]+)
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH)\b)
+  | (?P<a>\ba\b)
+  | (?P<qname>[\w-]*:[\w./-]*)
+  | (?P<punct>[{}().;,*=<>!])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> List[Tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"SPARQL lex error at {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+@dataclass
+class SparqlQuery:
+    variables: Optional[List[str]]  # None == SELECT *
+    distinct: bool
+    patterns: List[TriplePattern]
+    optional: List[TriplePattern]
+    union_groups: List[List[TriplePattern]]
+    filters: List[str]
+    order_by: List[Tuple[str, bool]]  # (var, ascending)
+    limit: Optional[int]
+    offset: Optional[int]
+    prefixes: Dict[str, str] = field(default_factory=dict)
+    base: Optional[str] = None
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_punct(self, ch: str):
+        k, v = self.next()
+        if v != ch:
+            raise ValueError(f"expected {ch!r}, got {v!r}")
+
+    # -- grammar ----------------------------------------------------------
+
+    def parse(self) -> SparqlQuery:
+        prefixes: Dict[str, str] = {}
+        base = None
+        while self.peek()[0] == "kw" and self.peek()[1].upper() in ("PREFIX", "BASE"):
+            kw = self.next()[1].upper()
+            if kw == "PREFIX":
+                _, name = self.next()  # qname-like 'p:'
+                _, iri = self.next()
+                prefixes[name.rstrip(":")] = iri[1:-1]
+            else:
+                _, iri = self.next()
+                base = iri[1:-1]
+        k, v = self.next()
+        if not (k == "kw" and v.upper() == "SELECT"):
+            # the reference likewise rejects non-SELECT query types
+            # (sparql_parser.rs:69-88)
+            raise ValueError("only SELECT queries are supported")
+        distinct = False
+        if self.peek()[1].upper() in ("DISTINCT", "REDUCED"):
+            distinct = True  # REDUCED may legally dedup
+            self.next()
+        variables: Optional[List[str]] = None
+        if self.peek()[1] == "*":
+            self.next()
+        else:
+            variables = []
+            while self.peek()[0] == "var":
+                variables.append(self.next()[1])
+        if self.peek()[1].upper() == "WHERE":
+            self.next()
+        self.expect_punct("{")
+        q = SparqlQuery(variables, distinct, [], [], [], [], [], None, None, prefixes, base)
+        self._parse_group(q, q.patterns)
+        # solution modifiers
+        while self.peek()[0] != "eof":
+            k, v = self.next()
+            up = v.upper()
+            if up == "ORDER":
+                self.next()  # BY
+                while True:
+                    nk, nv = self.peek()
+                    if nk == "var":
+                        q.order_by.append((self.next()[1], True))
+                    elif nv.upper() in ("ASC", "DESC"):
+                        asc = self.next()[1].upper() == "ASC"
+                        self.expect_punct("(")
+                        q.order_by.append((self.next()[1], asc))
+                        self.expect_punct(")")
+                    else:
+                        break
+            elif up == "LIMIT":
+                q.limit = int(self.next()[1])
+            elif up == "OFFSET":
+                q.offset = int(self.next()[1])
+            else:
+                raise ValueError(f"unexpected token {v!r}")
+        return q
+
+    def _parse_group(self, q: SparqlQuery, sink: List[TriplePattern]):
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.next()
+                return
+            if k == "kw" and v.upper() == "OPTIONAL":
+                self.next()
+                self.expect_punct("{")
+                self._parse_group(q, q.optional)
+                continue
+            if k == "kw" and v.upper() == "FILTER":
+                self.next()
+                q.filters.append(self._parse_filter())
+                continue
+            if v == "{":
+                # nested group: joined into the parent BGP (reference
+                # parse_group recursion, sparql_parser.rs:206-210)
+                self.next()
+                group: List[TriplePattern] = []
+                self._parse_group(q, group)
+                if self.peek()[1].upper() == "UNION":
+                    self.next()
+                    self.expect_punct("{")
+                    other: List[TriplePattern] = []
+                    self._parse_group(q, other)
+                    q.union_groups.append(group)
+                    q.union_groups.append(other)
+                else:
+                    sink.extend(group)
+                continue
+            self._parse_triple_block(q, sink)
+
+    def _parse_triple_block(self, q: SparqlQuery, sink: List[TriplePattern]):
+        subj = self._term(q)
+        while True:
+            pred = self._term(q, predicate=True)
+            while True:
+                obj = self._term(q)
+                sink.append(TriplePattern(subj, pred, obj))
+                if self.peek()[1] == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek()[1] == ";":
+                self.next()
+                continue
+            if self.peek()[1] == ".":
+                self.next()
+            return
+
+    def _parse_filter(self) -> str:
+        """FILTER ( expr ) / FILTER REGEX(?v, "re") → Spark SQL condition."""
+        k, v = self.next()
+        if k == "kw" and v.upper() == "REGEX":
+            self.expect_punct("(")
+            var = self.next()[1].lstrip("?$")
+            self.expect_punct(",")
+            pattern = self.next()[1]
+            self.expect_punct(")")
+            lit_text = pattern[1 : pattern.rindex('"')]
+            return f"{var} RLIKE '{lit_text}'"
+        if v != "(":
+            raise ValueError("FILTER expects '(' or REGEX")
+        depth, parts = 1, []
+        while depth:
+            k, v = self.next()
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            parts.append(v.lstrip("?$") if k == "var" else v)
+        expr = " ".join(parts).replace("! =", "!=").replace("< =", "<=").replace("> =", ">=")
+        # SPARQL string literals are valid SQL strings after quote swap
+        return expr.replace('"', "'")
+
+    def _term(self, q: SparqlQuery, predicate: bool = False):
+        k, v = self.next()
+        if k == "var":
+            return "?" + v[1:]
+        if k == "iri":
+            iri_text = v[1:-1]
+            if iri_text.startswith("#") and q.base:
+                iri_text = q.base + iri_text
+            return iri_text
+        if k == "a" or (predicate and v == "a"):
+            return RDF_TYPE
+        if k == "qname":
+            prefix, path = v.split(":", 1)
+            ns = q.prefixes.get(prefix)
+            if ns is None:
+                raise ValueError(f"Namespace does not exist for prefix: {prefix!r}")
+            return ns + path.replace(":", "/")
+        if k == "blank":
+            return v
+        if k == "lit":
+            m = re.fullmatch(r'"([^"]*)"(?:@([\w-]+)|\^\^<([^>]*)>)?', v)
+            return literal(m.group(1), m.group(3), m.group(2))
+        if k == "num":
+            from .terms import XSD_DOUBLE, XSD_INTEGER
+
+            return literal(v, XSD_DOUBLE if "." in v else XSD_INTEGER)
+        raise ValueError(f"invalid term token {v!r}")
+
+
+def parse_sparql(text: str) -> SparqlQuery:
+    return _Parser(text).parse()
+
+
+def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
+    """Parse and execute a SPARQL SELECT over the triples DataFrame."""
+    q = parse_sparql(text)
+    if q.union_groups:
+        branches = [bgp_join(triples, q.patterns + g, optional=q.optional) for g in q.union_groups]
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b, allowMissingColumns=True)
+    else:
+        df = bgp_join(triples, q.patterns, optional=q.optional)
+    for cond in q.filters:
+        df = df.filter(F.expr(cond))
+    if q.variables is not None:
+        df = df.select(*[v.lstrip("?$") for v in q.variables])
+    if q.distinct:
+        df = df.dropDuplicates()
+    if q.order_by:
+        df = df.orderBy(
+            *[F.col(v.lstrip("?$")).asc() if asc else F.col(v.lstrip("?$")).desc() for v, asc in q.order_by]
+        )
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

@@ -19,21 +19,27 @@ RUNNER = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO"])
 from rdf_rs_spark.session import get_spark
-from rdf_rs_spark.entry_queries import QUERIES
+from rdf_rs_spark.sources.webpages import synthesize_web_pages, synthesize_alias_dict
+from rdf_rs_spark.pipeline import page_triples
 
 cpus = int(sys.argv[1])
-sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+n_pages = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "2000000"))
+trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 spark = get_spark("scaling", cpus=cpus)
-fn = QUERIES["kg_pipeline_e2e"]
-# warm-up (JVM/codegen) on a small slice
-fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-t0 = time.perf_counter()
-df = fn(spark, sf_dir)
-df.write.format("noop").mode("overwrite").save()
-wall = time.perf_counter() - t0
-n = fn(spark, sf_dir).count()
-print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3), "triples": n,
-                  "triples_per_sec": round(n / wall, 1)}))
+aliases = synthesize_alias_dict(spark)
+# warm-up (JVM/codegen/Arrow channels) on a small slice
+page_triples(synthesize_web_pages(spark, 500), aliases).write.format("noop").mode("overwrite").save()
+walls = []
+for _ in range(trials):
+    t0 = time.perf_counter()
+    df = page_triples(synthesize_web_pages(spark, n_pages), aliases)
+    df.write.format("noop").mode("overwrite").save()
+    walls.append(time.perf_counter() - t0)
+wall = sorted(walls)[len(walls) // 2]  # median
+n = page_triples(synthesize_web_pages(spark, n_pages), aliases).count()
+print(json.dumps({"cpus": cpus, "pages": n_pages, "wall_sec": round(wall, 3),
+                  "walls": [round(w, 2) for w in walls],
+                  "triples": n, "triples_per_sec": round(n / wall, 1)}))
 spark.stop()
 """
 
@@ -55,14 +61,15 @@ def main() -> None:
     print(json.dumps(result))
     md = f"""# BENCH BASELINE — scaling (two-cluster-size proxy)
 
-Same KG-construction job (`kg_pipeline_e2e`: synthesize → extract →
-parse RDF islands → link mentions → skolemize → salted dedup), same
-input, two parallelism levels (sandbox proxy for N vs 4N executors).
+Same KG-construction job (synthesize → extract → parse RDF islands →
+link mentions → skolemize → salted dedup over {r8['pages']} pages),
+same input, two parallelism levels (sandbox proxy for N vs 4N
+executors per BASELINE.json north_rule + driver instruction).
 
-| parallelism | wall (s) | triples | triples/sec |
-|---|---|---|---|
-| local[8]  | {r8['wall_sec']} | {r8['triples']} | {r8['triples_per_sec']} |
-| local[32] | {r32['wall_sec']} | {r32['triples']} | {r32['triples_per_sec']} |
+| parallelism | wall median (s) | trials (s) | triples | triples/sec |
+|---|---|---|---|---|
+| local[8]  | {r8['wall_sec']} | {r8['walls']} | {r8['triples']} | {r8['triples_per_sec']} |
+| local[32] | {r32['wall_sec']} | {r32['walls']} | {r32['triples']} | {r32['triples_per_sec']} |
 
 **Scaling efficiency (T_8 / T_32) / 4 = {eff}** (target ≥ 0.8 per
 BASELINE.json north_rule; note local-mode shares one JVM heap and disk,

@@ -1,0 +1,141 @@
+"""SPARQL front-end tests: parsing (ported reference expectations) +
+execution over the star-schema KG."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.table_to_triples import EX, star_schema_triples
+from rdf_rs_spark.sparql import execute_sparql, parse_sparql
+from rdf_rs_spark.terms import RDF_TYPE
+
+
+# ---- parsing (reference sparql_parser.rs:358-404 shapes) -------------------
+
+
+def test_parse_select_with_variables():
+    q = parse_sparql("SELECT ?a ?b WHERE { ?a <http://p> ?b . }")
+    assert q.variables == ["?a", "?b"]
+    assert len(q.patterns) == 1
+    assert q.patterns[0].subject == "?a" and q.patterns[0].object == "?b"
+
+
+def test_parse_select_star_distinct():
+    q = parse_sparql("SELECT DISTINCT * { ?s ?p ?o }")  # WHERE keyword optional
+    assert q.variables is None and q.distinct
+
+
+def test_parse_prefix_and_qname_expansion():
+    q = parse_sparql(
+        "PREFIX ex: <http://kg.example.org/> SELECT ?n WHERE { ?n a ex:Nation . }"
+    )
+    assert q.patterns[0].predicate == RDF_TYPE
+    assert q.patterns[0].object == "http://kg.example.org/Nation"
+
+
+def test_parse_unknown_prefix_errors():
+    # reference: InvalidNamespace (namespace.rs:131-139)
+    with pytest.raises(ValueError, match="Namespace does not exist"):
+        parse_sparql("SELECT ?n WHERE { ?n a ex:Nation . }")
+
+
+def test_parse_rejects_non_select():
+    # reference decode rejects non-SELECT (sparql_parser.rs:69-88)
+    with pytest.raises(ValueError, match="only SELECT"):
+        parse_sparql("ASK { ?s ?p ?o }")
+
+
+def test_parse_predicate_object_lists():
+    q = parse_sparql("SELECT ?s { ?s <http://p1> ?a ; <http://p2> ?b , ?c . }")
+    assert [(p.predicate, p.object) for p in q.patterns] == [
+        ("http://p1", "?a"),
+        ("http://p2", "?b"),
+        ("http://p2", "?c"),
+    ]
+
+
+def test_parse_modifiers():
+    q = parse_sparql("SELECT ?s { ?s ?p ?o } ORDER BY DESC(?s) LIMIT 5 OFFSET 2")
+    assert q.order_by == [("?s", False)] and q.limit == 5 and q.offset == 2
+
+
+# ---- execution -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    sf = "/root/testdata/sf0.001"
+    return star_schema_triples(
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        spark.read.parquet(f"{sf}/region.parquet"),
+    ).cache()
+
+
+def test_execute_bgp_join(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?cname ?rname WHERE {
+             ?c ex:inNation ?n .
+             ?c ex:name ?cname .
+             ?n ex:inRegion ?r .
+             ?r ex:name ?rname .
+           }""",
+    )
+    assert out.count() == 150
+    assert set(out.columns) == {"cname", "rname"}
+
+
+def test_execute_optional(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c ?seg WHERE {
+             ?c a ex:Customer .
+             OPTIONAL { ?c ex:address ?a . ?a ex:segment ?seg . }
+           }""",
+    )
+    assert out.count() == 150
+    assert out.filter(F.col("seg").isNull()).count() == 75
+
+
+def test_execute_distinct_order_limit(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT DISTINCT ?rname WHERE { ?r a ex:Region . ?r ex:name ?rname . }
+           ORDER BY ?rname LIMIT 3""",
+    )
+    names = [r.rname for r in out.collect()]
+    assert names == sorted(names) and len(names) == 3
+
+
+def test_execute_filter_regex(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rname WHERE { ?r a ex:Region . ?r ex:name ?rname .
+             FILTER REGEX(?rname, "^A") }""",
+    )
+    names = {r.rname for r in out.collect()}
+    assert names and all(n.startswith("A") for n in names)
+
+
+def test_execute_union(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?x WHERE {
+             { ?x a ex:Region . } UNION { ?x a ex:Nation . }
+           }""",
+    )
+    assert out.count() == 30  # 5 regions + 25 nations
+
+
+def test_execute_fixed_literal_object(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?r WHERE { ?r ex:name "ASIA" . }""",
+    )
+    assert [r.r for r in out.collect()] == [EX + "region/2"]
