@@ -848,6 +848,225 @@ def multimodal_frame_plan(spark, sf_dir):
     return frame_sample_plan(d, every_n=30)
 
 
+# ---- F4 + bag mutation + collection desugar + QName compression ------------
+
+
+@q(
+    "rdf_filter_subject_object",
+    TRIPLES_CTE
+    + f"""SELECT {_T6} FROM triples
+       WHERE subj = 'http://kg.example.org/nation/7'
+         AND obj_kind = 0 AND obj_lex = 'http://kg.example.org/Nation'""",
+)
+def rdf_filter_subject_object(spark, sf_dir):
+    from .terms import iri
+
+    return RdfGraph(_triples(spark, sf_dir)).triples_with_subject_and_object(
+        iri(EX + "nation/7"), iri(EX + "Nation")
+    )
+
+
+@q(
+    "rdf_add_triples",
+    TRIPLES_CTE
+    + f"""SELECT {_T6} FROM triples
+       UNION ALL
+       SELECT 'http://kg.example.org/region/' || CAST(r_regionkey AS VARCHAR),
+              'http://kg.example.org/name', CAST(2 AS TINYINT), r_name,
+              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM region""",
+)
+def rdf_add_triples(spark, sf_dir):
+    """M1/M2: ``add_triples`` keeps bag semantics — re-adding the region
+    name triples yields structurally-equal duplicates, exactly like the
+    reference's append-only ``TripleStore`` (``src/triple.rs:99-101``)."""
+    g = RdfGraph(_triples(spark, sf_dir))
+    dup = g.df.filter(F.col("pred") == EX + "name").filter(
+        F.col("subj").startswith(EX + "region/")
+    )
+    return g.add_triples(dup).df
+
+
+@q(
+    "rdf_turtle_parse_collection",
+    f"""WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name FROM nation)
+    SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, src_url FROM (
+      SELECT 'http://kg.example.org/nation/' || k AS subj,
+             'http://kg.example.org/tags' AS pred, CAST(1 AS TINYINT) AS obj_kind,
+             'auto0' AS obj_lex, CAST(NULL AS VARCHAR) AS obj_datatype,
+             CAST(NULL AS VARCHAR) AS obj_lang, k AS src_url FROM n
+      UNION ALL
+      SELECT '_:auto0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+             CAST(2 AS TINYINT), 'first', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), k FROM n
+      UNION ALL
+      SELECT '_:auto0', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+             CAST(1 AS TINYINT), 'auto1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), k FROM n
+      UNION ALL
+      SELECT '_:auto1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+             CAST(2 AS TINYINT), 't' || k, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), k FROM n
+      UNION ALL
+      SELECT '_:auto1', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+             CAST(0 AS TINYINT), 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil',
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), k FROM n
+    )""",
+)
+def rdf_turtle_parse_collection(spark, sf_dir):
+    """T1: Turtle ``( … )`` desugars to rdf:first/rest/nil cons-lists with
+    the reference's exact fresh-blank allocation order (rest-node before
+    element, ``src/reader/turtle_parser.rs:312-369``)."""
+    docs = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("@prefix ex: <" + EX + "> .\n"),
+            F.lit("ex:nation:"),
+            F.col("n_nationkey").cast("string"),
+            F.lit(' ex:tags ( "first" "t'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('" ) .'),
+        ).alias("content"),
+    )
+    return parse_turtle_docs(docs, "content", "doc_id")
+
+
+_TTL_NAMESPACES = {"ex": EX, "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"}
+
+
+@q(
+    "rdf_turtle_qname_compress",
+    TRIPLES_CTE
+    + """, iris AS (
+      SELECT pred AS uri FROM triples UNION SELECT obj_lex FROM triples WHERE obj_kind = 0
+    )
+    SELECT DISTINCT CASE
+      WHEN starts_with(uri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#')
+        THEN 'rdf:' || replace(substring(uri, 44), '/', ':')
+      WHEN starts_with(uri, 'http://kg.example.org/')
+        THEN 'ex:' || replace(substring(uri, 23), '/', ':')
+      ELSE '<' || uri || '>' END AS qname
+    FROM iris""",
+)
+def rdf_turtle_qname_compress(spark, sf_dir):
+    """W6: longest-prefix QName compression with the ``/`` -> ``:`` local
+    name rewrite (inverse of the parser's expansion quirk)."""
+    from .writers.turtle import qname_col
+
+    t = _triples(spark, sf_dir)
+    iris = t.select(F.col("pred").alias("uri")).union(
+        t.filter(F.col("obj_kind") == 0).select(F.col("obj_lex").alias("uri"))
+    ).distinct()
+    return iris.select(qname_col(F.col("uri"), _TTL_NAMESPACES).alias("qname")).distinct()
+
+
+# ---- SPARQL front-end: UNION / FILTER / ORDER-LIMIT (executed extensions) ---
+
+
+@q(
+    "sparql_union_exec",
+    TRIPLES_CTE
+    + """SELECT subj AS s FROM triples WHERE pred = 'http://kg.example.org/inNation'
+       UNION ALL
+       SELECT subj FROM triples WHERE pred = 'http://kg.example.org/inRegion'""",
+)
+def sparql_union_exec(spark, sf_dir):
+    """Q8: UNION was lexed-but-unimplemented in the reference
+    (``sparql_parser.rs:216``); executed here as unionByName."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?s WHERE {
+             { ?s ex:inNation ?n . } UNION { ?s ex:inRegion ?r . }
+           }""",
+    )
+
+
+@q(
+    "sparql_filter_regex",
+    TRIPLES_CTE
+    + """SELECT obj_lex AS name FROM triples
+       WHERE pred = 'http://kg.example.org/name' AND regexp_matches(obj_lex, '^A')""",
+)
+def sparql_filter_regex(spark, sf_dir):
+    """Q9: FILTER REGEX — lexed only in the reference
+    (``FilterPattern {}`` is empty, ``src/sparql/pattern.rs:101-103``);
+    compiled to ``rlike`` here."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?name WHERE { ?c ex:name ?name . FILTER REGEX(?name, "^A") }""",
+    )
+
+
+@q(
+    "sparql_order_limit",
+    TRIPLES_CTE
+    + f"""SELECT t1.obj_lex AS name FROM triples t1
+       JOIN triples t2 ON t1.subj = t2.subj AND t2.pred = '{RDF_TYPE}'
+         AND t2.obj_lex = 'http://kg.example.org/Region'
+       WHERE t1.pred = 'http://kg.example.org/name'
+       ORDER BY name LIMIT 3""",
+)
+def sparql_order_limit(spark, sf_dir):
+    """Q11: ORDER BY / LIMIT solution modifiers (keywords lexed only in
+    the reference, ``src/specs/sparql_specs.rs:6-28``)."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?name WHERE { ?r a ex:Region . ?r ex:name ?name . }
+           ORDER BY ?name LIMIT 3""",
+    )
+
+
+# ---- ANN scale path: SRP-LSH bucketed top-k ---------------------------------
+
+
+def _planes_sql_literal() -> str:
+    from .operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    return "[" + ", ".join("[" + ", ".join(repr(x) for x in p) + "]" for p in planes) + "]"
+
+
+@q(
+    "ann_lsh_topk",
+    f"""WITH planes AS (SELECT {_planes_sql_literal()} AS ps),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    vb AS (
+      SELECT vec_id, e,
+             list_sum(list_transform(generate_series(1, 8),
+                p -> CASE WHEN list_dot_product(e, ps[p]) > 0 THEN (1 << (p - 1)) ELSE 0 END)) AS bucket
+      FROM v CROSS JOIN planes
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.qe, c.e)
+               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+      FROM vb c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5""",
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Scale-path ANN: sign-random-projection buckets (deterministic
+    seeded hyperplanes) shrink candidates to the query's bucket before
+    the exact cosine re-rank — the 1/2^8-selective equi-join replaces
+    the cross product at 10^12 vectors."""
+    from .operators.ann import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 # ---- end-to-end KG pipeline (non-SQL-expressible: Turtle islands + linking) --
 
 

@@ -1,14 +1,18 @@
 """Mention detection + entity-link scoring against a broadcast alias
 dictionary, with MinHash/LSH blocking for fuzzy surface forms.
 
-Exact path (the pipeline hot path, zero Python):
+Exact path (the pipeline hot path, zero Python, zero wide shuffle):
 
-    tokens = explode(array_distinct(split(lower(text))))
-    mentions = tokens ⋈ broadcast(alias_dict)          -- broadcast hash join
-    best    = argmax_{candidates} prior                -- window over (url, alias)
+    best    = argmax_{dict rows} prior per alias       -- on the TINY dict side
+    tokens  = explode(array_distinct(split(lower(text))))
+    mentions = tokens ⋈ broadcast(best)                -- broadcast hash join
 
 Ambiguity (every 7th alias maps to multiple entities) resolves by max
-prior with entity IRI as the deterministic tiebreak.
+prior with entity IRI as the deterministic tiebreak. The argmax is
+independent of the page, so it collapses onto the alias dictionary
+*before* the join: the billions of mention rows never shuffle at all —
+the whole stage is a narrow map + broadcast probe. (The naive plan,
+argmax per (url, alias) after the join, shuffles every mention row.)
 
 Fuzzy path: character-3-gram MinHash bands on both sides → band-key
 equi-join (LSH blocking, never the cross product) → exact Jaccard
@@ -33,18 +37,23 @@ def detect_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
 def link_mentions(
     pages: DataFrame, alias_dict: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Exact-match linking. Returns (url, alias, entity_iri, prior)."""
-    mentions = detect_mentions(pages, text_col)
-    cands = mentions.join(
-        F.broadcast(alias_dict), mentions["token"] == alias_dict["alias"], "inner"
-    ).select("url", "alias", "entity_iri", "prior")
-    # argmax via min_by over (-prior, entity_iri): one map-side-combining
-    # hash aggregate instead of a sort-based window — same deterministic
-    # winner (max prior, entity IRI as tiebreak), one shuffle, no sort
-    return cands.groupBy("url", "alias").agg(
+    """Exact-match linking. Returns (url, alias, entity_iri, prior).
+
+    The winner per alias is page-independent, so disambiguation runs on
+    the dictionary (dozens-to-millions of rows) instead of the mention
+    stream (billions of rows): argmax via min_by over (-prior,
+    entity_iri) — deterministic (max prior, entity IRI tiebreak) — then
+    one broadcast probe per mention. Mentions are already distinct per
+    (url, token), so the join output needs no further dedup and the
+    stage contains NO shuffle of mention rows."""
+    best = alias_dict.groupBy("alias").agg(
         F.expr("min_by(entity_iri, struct(-prior, entity_iri))").alias("entity_iri"),
         F.max("prior").alias("prior"),
     )
+    mentions = detect_mentions(pages, text_col)
+    return mentions.join(
+        F.broadcast(best), mentions["token"] == best["alias"], "inner"
+    ).select("url", "alias", "entity_iri", "prior")
 
 
 def link_mentions_fuzzy(

@@ -43,6 +43,7 @@ stored without the trailing ``:``.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from .terms import (
@@ -67,6 +68,50 @@ from .terms import (
 
 _WS = " \n\r"
 _NODE_DELIM = " \n\r."
+
+# Compiled scanners for the two hot character classes — behaviorally
+# identical to the per-char loops they replace (same stop sets), just
+# C-speed. ``match(text, pos).end()`` returns the first stop position.
+_WS_RE = re.compile(r"[ \n\r]*")
+_NOT_NODE_DELIM_RE = re.compile(r"[^ \n\r.]*")
+_NOT_CRLF_RE = re.compile(r"[^\n\r]*")
+
+# One-shot fast path for the overwhelmingly common token shapes. Each
+# branch matches ONLY inputs whose slow-path interpretation is provably
+# identical (anything ambiguous — directives, literal suffixes,
+# multiline/single-quote literals, speculative decimals, quirky QName
+# prefixes with embedded spaces, >18-digit numerics — fails the match
+# and falls through to the handwritten dispatch). Branch notes:
+#   uri    closing '>' required (unterminated falls back and raises)
+#   dot    only when NOT followed by a digit (".5" is a double literal)
+#   lit    simple double-quoted literal: no '"' in body (the scanner does
+#          no escape decoding), not a '"""' multiline opener, and no
+#          @lang/^^datatype suffix following
+#   a      the rdf:type keyword, only when delimited by { \n\r.} or EOF
+#   int    <=18 digits always fits i64; delimiter must be whitespace/EOF
+#          ('.' would need the speculative-decimal path)
+#   qname  sane prefixes only ([A-Za-z][A-Za-z0-9_-]*) — the reference's
+#          scan-to-first-':' quirk for weird prefixes takes the slow path
+_FAST_RE = re.compile(
+    r"(?P<uri><[^>]*>)"
+    r"|(?P<punct>[,;()\[\]])"
+    r"|(?P<dot>\.(?![0-9]))"
+    r"|(?P<blank>_:[^ \n\r.]*)"
+    r'|(?P<lit>"(?!"")[^"]*"(?!["@^]))'
+    r"|(?P<a>a(?=[ \n\r.]|$))"
+    r"|(?P<int>[+-]?[0-9]{1,18}(?=[ \n\r]|$))"
+    r"|(?P<qname>[A-Za-z][A-Za-z0-9_\-]*:[^ \n\r.]*)"
+)
+# N-Triples mode: only the NT token vocabulary (# " < _ .) — dot is an
+# immediate statement terminator (no numeric speculation in NT).
+_NT_FAST_RE = re.compile(
+    r"(?P<uri><[^>]*>)"
+    r"|(?P<dot>\.)"
+    r"|(?P<blank>_:[^ \n\r.]*)"
+    r'|(?P<lit>"(?!"")[^"]*"(?!["@^]))'
+)
+_PUNCT_TOK = {",": ("comma",), ";": ("semi",), "(": ("lparen",), ")": ("rparen",),
+              "[": ("lbracket",), "]": ("rbracket",)}
 
 
 class ParseError(ValueError):
@@ -103,22 +148,28 @@ class TurtleScanner:
     # -- char helpers -----------------------------------------------------
 
     def _skip_ws(self) -> None:
-        t, n = self.text, len(self.text)
-        i = self.pos
-        while i < n and t[i] in _WS:
-            i += 1
-        self.pos = i
+        self.pos = _WS_RE.match(self.text, self.pos).end()
 
     def _until(self, stop_chars: str, start: Optional[int] = None) -> Tuple[str, int]:
         """Chars from start (default pos) up to the first stop char.
 
         Returns (chunk, index_of_stop). index == len(text) at EOF.
         """
-        t, n = self.text, len(self.text)
+        t = self.text
         i = self.pos if start is None else start
-        j = i
-        while j < n and t[j] not in stop_chars:
-            j += 1
+        if stop_chars == _NODE_DELIM:
+            j = _NOT_NODE_DELIM_RE.match(t, i).end()
+        elif len(stop_chars) == 1:
+            j = t.find(stop_chars, i)
+            if j < 0:
+                j = len(t)
+        elif stop_chars == "\n\r":
+            j = _NOT_CRLF_RE.match(t, i).end()
+        else:
+            n = len(t)
+            j = i
+            while j < n and t[j] not in stop_chars:
+                j += 1
         return t[i:j], j
 
     # -- token interface --------------------------------------------------
@@ -136,6 +187,27 @@ class TurtleScanner:
         t, n = self.text, len(self.text)
         if self.pos >= n:
             return ("eof",)
+        m = (_NT_FAST_RE if self.nt_mode else _FAST_RE).match(t, self.pos)
+        if m is not None:
+            self.pos = m.end()
+            g = m.lastgroup
+            if g == "qname":
+                s = m.group()
+                p = s.index(":")
+                return ("qname", s[:p], s[p + 1 :])
+            if g == "uri":
+                return ("uri", m.group()[1:-1])
+            if g == "lit":
+                return ("literal", m.group()[1:-1], None, None)
+            if g == "punct":
+                return _PUNCT_TOK[m.group()]
+            if g == "dot":
+                return ("dot",)
+            if g == "blank":
+                return ("blank", m.group()[2:])
+            if g == "a":
+                return ("a",)
+            return ("literal", m.group(), XSD_INTEGER, None)
         c = t[self.pos]
         if self.nt_mode and c not in '#"<_.':
             raise ParseError("Invalid NTriples input: %r" % c)
@@ -154,9 +226,13 @@ class TurtleScanner:
             if self.nt_mode:
                 self.pos += 1
                 return ("dot",)
-            tok = self._try_numeric()
-            if tok is not None:
-                return tok
+            # speculative decimal (".5" is a double) can only succeed when a
+            # digit follows — an empty body + non-digit rest never parses as
+            # f64, so the common statement terminator skips the speculation
+            if self.pos + 1 < n and t[self.pos + 1].isdigit():
+                tok = self._try_numeric()
+                if tok is not None:
+                    return tok
             self.pos += 1
             return ("dot",)
         if c == ",":

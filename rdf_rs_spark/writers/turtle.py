@@ -32,6 +32,27 @@ from ..terms import (
     subject_term,
 )
 
+def qname_col(col, namespaces: Dict[str, str]):
+    """Vectorized Turtle QName compression (reference
+    ``src/writer/formatter/turtle_formatter.rs:80-105``): longest-prefix
+    match over the namespace map (deterministic — the reference's
+    HashMap first-match order is nondeterministic, documented deviation),
+    with the inverse ``/`` -> ``:`` rewrite inside the local name; IRIs
+    with no matching namespace render as ``<uri>``. Pure column
+    expressions — a ``when`` chain ordered longest namespace first, so
+    the whole compression stays inside whole-stage codegen."""
+    result = None
+    for prefix, ns in sorted(namespaces.items(), key=lambda kv: (-len(kv[1]), kv[0])):
+        cond = col.startswith(ns)
+        val = F.concat(
+            F.lit(prefix + ":"),
+            F.translate(col.substr(F.lit(len(ns) + 1), F.length(col)), "/", ":"),
+        )
+        result = F.when(cond, val) if result is None else result.when(cond, val)
+    fallback = F.concat(F.lit("<"), col, F.lit(">"))
+    return fallback if result is None else result.otherwise(fallback)
+
+
 _BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("sort_rank", T.IntegerType()),
