@@ -1,0 +1,85 @@
+"""Scale-critical physical-plan shapes, pinned as assertions.
+
+Each test encodes a property that must survive a 100x scale-up: a
+shuffle that appears here would become the bottleneck on a
+1000-executor cluster, so its absence is part of the operator's
+contract, not an optimization detail.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.linking import link_mentions
+from rdf_rs_spark.operators.ann import cosine_topk, lsh_cosine_topk
+from rdf_rs_spark.operators.dedup import dedup_salted
+from rdf_rs_spark.plans.inspect import count_exchanges, explain_str
+from rdf_rs_spark.sources.webpages import synthesize_alias_dict, synthesize_web_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synthesize_web_pages(spark, 500)
+
+
+def test_link_mentions_no_mention_shuffle(spark, pages):
+    """The mention stream (billions of rows at scale) must reach the
+    result through narrow ops + a broadcast probe only; the lone hash
+    exchange allowed is the dict-side argmax over ~100 rows."""
+    df = link_mentions(pages, synthesize_alias_dict(spark))
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    # mention side: Range -> Project -> Generate -> Filter -> Join. The only
+    # hashpartitioning exchange sits under the BroadcastExchange (dict agg).
+    assert count_exchanges(df) <= 1
+
+
+def test_salted_dedup_two_phase(spark, pages):
+    """Salted dedup = exactly two exchanges (salted local phase, global
+    phase) — not one per hot key, not an extra sort."""
+    df = dedup_salted(pages.select("url", "lang"), ["url", "lang"], salt_buckets=8)
+    assert count_exchanges(df) == 2
+
+
+def test_cosine_topk_corpus_never_shuffles_prejoin(spark):
+    """Brute-force ANN broadcasts the query side; the corpus must not
+    hash-shuffle before the join (only the per-query window ranking
+    repartitions the *scored pairs*, which are |Q|x smaller)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = cosine_topk(e, e.filter(F.col("vec_id") < 3), k=5)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert count_exchanges(df) <= 1
+
+
+def test_lsh_topk_is_equijoin_not_cross(spark):
+    """The SRP-LSH path must plan a bucket equi-join (hash join), never a
+    nested-loop cross product."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = lsh_cosine_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bgp_pattern_filters_push_to_scan(spark):
+    """Each BGP pattern's fixed-term equality must reach the parquet scan
+    as a pushed filter (partition/row-group pruning at scale)."""
+    from rdf_rs_spark.operators.bgp import TriplePattern, bgp_join
+    import tempfile, os
+
+    from rdf_rs_spark.operators.table_to_triples import EX, star_schema_triples
+
+    t = star_schema_triples(
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        spark.read.parquet(f"{SF}/nation.parquet"),
+        spark.read.parquet(f"{SF}/region.parquet"),
+    )
+    path = os.path.join(tempfile.mkdtemp(), "triples")
+    t.write.parquet(path)
+    triples = spark.read.parquet(path)
+    df = bgp_join(triples, [TriplePattern("?s", EX + "inRegion", "?o")])
+    from rdf_rs_spark.plans.inspect import has_pushed_filters
+
+    assert has_pushed_filters(df, "pred")

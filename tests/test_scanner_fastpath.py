@@ -1,0 +1,86 @@
+"""The compiled-regex fast path in TurtleScanner must be
+observationally identical to the handwritten dispatch it shortcuts.
+We force the slow path by swapping the fast regexes for never-matching
+ones and compare full token streams over generated documents."""
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import rdf_rs_spark.parsing as parsing
+from rdf_rs_spark.parsing import ParseError, TurtleScanner, _EndOfInput
+
+_NEVER = re.compile(r"(?!x)x")
+
+
+def tokens(text: str, nt_mode: bool = False):
+    """Full token stream (or the error that ends it)."""
+    sc = TurtleScanner(text, nt_mode=nt_mode)
+    out = []
+    while True:
+        try:
+            tok = sc.next_token()
+        except _EndOfInput as e:
+            out.append(("<<end-of-input>>", str(e)))
+            return out
+        except ParseError as e:
+            out.append(("<<parse-error>>", str(e)))
+            return out
+        out.append(tok)
+        if tok[0] == "eof":
+            return out
+
+
+def slow_tokens(text: str, nt_mode: bool = False):
+    saved = parsing._FAST_RE, parsing._NT_FAST_RE
+    parsing._FAST_RE = parsing._NT_FAST_RE = _NEVER
+    try:
+        return tokens(text, nt_mode)
+    finally:
+        parsing._FAST_RE, parsing._NT_FAST_RE = saved
+
+
+# vocabulary biased toward every fast-path branch plus its edge cases
+_PIECES = st.sampled_from(
+    [
+        "<http://e.org/x>", "<>", "<unterminated", "ex:name", "ex:a:b",
+        "a", "alias0:x", "prefix:x", "base:y", "_:b1", "_:", "_",
+        '"lit"', '""', '"with space"', '"x"@en', '"x"^^<http://dt>',
+        '"x"^^ex:dt', "'single'", '"""multi\nline"""', '"unterminated',
+        ".", ",", ";", "(", ")", "[", "]", "42", "+7", "-0", "3.14",
+        ".5", "42.", "1e5", "1.5e3", "9999999999999999999999", "true",
+        "false", "t", "f", "tag:v", "@prefix ex: <http://e.org/> .",
+        "@base <http://b.org> .", "PREFIX p: <http://p.org/>",
+        "BASE <http://b2.org>", "# comment", "42abc", "5:x", "p refix:x",
+        "éx:unicode", "a.", "a:x", "0", "00", "1,2",
+    ]
+)
+_SEP = st.sampled_from([" ", "  ", "\n", "\r\n", " \n "])
+
+
+@st.composite
+def turtle_docs(draw):
+    n = draw(st.integers(min_value=0, max_value=12))
+    parts = [draw(_PIECES) for _ in range(n)]
+    seps = [draw(_SEP) for _ in range(n)]
+    return "".join(s + p for s, p in zip(seps, parts))
+
+
+@settings(max_examples=400, deadline=None)
+@given(turtle_docs())
+def test_fast_path_matches_slow_path_turtle(doc):
+    assert tokens(doc) == slow_tokens(doc)
+
+
+@settings(max_examples=400, deadline=None)
+@given(turtle_docs())
+def test_fast_path_matches_slow_path_nt(doc):
+    assert tokens(doc, nt_mode=True) == slow_tokens(doc, nt_mode=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=' \n\r.<>"_:;,()[]abextf0159#@^\'-+', max_size=60))
+def test_fast_path_matches_slow_path_chars(doc):
+    assert tokens(doc) == slow_tokens(doc)
+    assert tokens(doc, nt_mode=True) == slow_tokens(doc, nt_mode=True)
