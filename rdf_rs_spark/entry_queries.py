@@ -1021,6 +1021,44 @@ def sparql_order_limit(spark, sf_dir):
     )
 
 
+@q(
+    "sparql_construct",
+    TRIPLES_CTE
+    + """SELECT DISTINCT t1.subj AS subj, 'http://kg.example.org/locatedIn' AS pred,
+         CAST(0 AS TINYINT) AS obj_kind, t2.obj_lex AS obj_lex,
+         CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+       FROM triples t1
+       JOIN triples t2 ON t2.subj = t1.obj_lex AND t2.pred = 'http://kg.example.org/inRegion'
+       WHERE t1.pred = 'http://kg.example.org/inNation'""",
+)
+def sparql_construct(spark, sf_dir):
+    """Q10 CONSTRUCT (enum-only in the reference, ``src/sparql/query.rs:8-18``
+    — decode rejects it): template instantiation over the BGP solutions,
+    emitting a new deduplicated triples graph."""
+    from .operators.bgp import construct
+
+    return construct(
+        _triples(spark, sf_dir),
+        [
+            TriplePattern("?c", EX + "inNation", "?n"),
+            TriplePattern("?n", EX + "inRegion", "?r"),
+        ],
+        template=[TriplePattern("?c", EX + "locatedIn", "?r")],
+    )
+
+
+@q(
+    "sparql_describe",
+    TRIPLES_CTE + f"SELECT {_T6} FROM triples WHERE subj = 'http://kg.example.org/nation/4'",
+)
+def sparql_describe(spark, sf_dir):
+    """Q10 DESCRIBE (enum-only in the reference): all triples about the
+    described resource."""
+    from .operators.bgp import describe
+
+    return describe(_triples(spark, sf_dir), EX + "nation/4")
+
+
 # ---- ANN scale path: SRP-LSH bucketed top-k ---------------------------------
 
 

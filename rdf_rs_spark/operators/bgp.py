@@ -146,3 +146,79 @@ def select(
 def ask(triples: DataFrame, patterns: Sequence[TriplePattern]) -> bool:
     """SPARQL ASK (enum-only in the reference, ``src/sparql/query.rs:8-18``)."""
     return not bgp_join(triples, patterns).isEmpty()
+
+
+def describe(triples: DataFrame, subject: FixedOrVar) -> DataFrame:
+    """SPARQL DESCRIBE (enum-only in the reference): every triple whose
+    subject is the described resource."""
+    return triples.filter(F.col("subj") == _subject_text(subject))
+
+
+def construct(
+    triples: DataFrame,
+    patterns: Sequence[TriplePattern],
+    template: Sequence[TriplePattern],
+) -> DataFrame:
+    """SPARQL CONSTRUCT (enum-only in the reference): solve the WHERE
+    BGP, then instantiate each template pattern per solution row and
+    union the results into a new triples DataFrame (deduplicated —
+    CONSTRUCT emits a graph, i.e. a set).
+
+    Template variables must be bound by the WHERE patterns; fixed terms
+    materialize as constants. Variables always instantiate as
+    IRI-or-blank objects (subject-encoding carries blanks as ``_:…``),
+    matching how pattern variables capture resources."""
+    sols = bgp_join(triples, patterns)
+    outs = []
+    for t in template:
+
+        def term_cols(x: FixedOrVar, is_object: bool):
+            if _is_var(x):
+                col = F.col(x[1:])
+                if not is_object:
+                    return [col]
+                return [
+                    F.when(col.startswith("_:"), F.lit(int(KIND_BLANK)))
+                    .otherwise(F.lit(int(KIND_IRI)))
+                    .cast("tinyint"),
+                    F.when(col.startswith("_:"), F.expr(f"substring({x[1:]}, 3)")).otherwise(col),
+                    F.lit(None).cast("string"),
+                    F.lit(None).cast("string"),
+                ]
+            if isinstance(x, Term):
+                if not is_object:
+                    return [F.lit(_subject_text(x))]
+                return [
+                    F.lit(int(x.kind)).cast("tinyint"),
+                    F.lit(x.lex),
+                    F.lit(x.datatype).cast("string"),
+                    F.lit(x.lang).cast("string"),
+                ]
+            if not is_object:
+                return [F.lit(x)]
+            if x.startswith("_:"):
+                return [
+                    F.lit(int(KIND_BLANK)).cast("tinyint"), F.lit(x[2:]),
+                    F.lit(None).cast("string"), F.lit(None).cast("string"),
+                ]
+            return [
+                F.lit(int(KIND_IRI)).cast("tinyint"), F.lit(x),
+                F.lit(None).cast("string"), F.lit(None).cast("string"),
+            ]
+
+        cols = (
+            [term_cols(t.subject, False)[0].alias("subj")]
+            + [term_cols(t.predicate, False)[0].alias("pred")]
+            + [
+                c.alias(n)
+                for c, n in zip(
+                    term_cols(t.object, True),
+                    ["obj_kind", "obj_lex", "obj_datatype", "obj_lang"],
+                )
+            ]
+        )
+        outs.append(sols.select(*cols))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result.dropDuplicates()
