@@ -1,0 +1,33 @@
+"""Cross-micro-batch stateful dedup (applyInPandasWithState)."""
+
+from rdf_rs_spark.streaming.ingest import stream_ntriples_directory
+from rdf_rs_spark.streaming.stateful import first_seen_triples
+
+
+def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    # batch 1: two triples; batch 2: one repeat + one new
+    (src / "a.nt").write_text(
+        "<http://s1> <http://p1> <http://o1> .\n<http://s2> <http://p1> \"x\" .\n"
+    )
+    (src / "b.nt").write_text(
+        "<http://s1> <http://p1> <http://o1> .\n<http://s3> <http://p2> _:b .\n"
+    )
+    triples = stream_ntriples_directory(spark, str(src), max_files_per_trigger=1)
+    deduped = first_seen_triples(triples)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select subj, pred, obj_lex from first_seen_test").collect()
+    got = sorted((r.subj, r.pred, r.obj_lex) for r in rows)
+    assert got == [
+        ("http://s1", "http://p1", "http://o1"),
+        ("http://s2", "http://p1", "x"),
+        ("http://s3", "http://p2", "b"),
+    ]
