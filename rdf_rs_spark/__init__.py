@@ -1,0 +1,31 @@
+"""rdf_rs_spark — PySpark-native knowledge-graph construction engine.
+
+From-scratch re-expression of scholtzan/rdf-rs's capabilities
+(term/triple model, Turtle & N-Triples codecs, graph CRUD/filter API,
+SPARQL SELECT semantics) as distributed DataFrame jobs, plus the
+web-scale KG-construction pipeline (extraction, entity linking,
+skolemization, salted dedup, lineage/resume) and training-data
+operators (dedup families, ANN, text analysis, multimodal plumbing).
+
+Heavy submodules (operators, sources, writers, streaming) are imported
+lazily by their own paths; this namespace only re-exports the light
+core so ``import rdf_rs_spark`` stays cheap on executors.
+"""
+
+from .graph import RdfGraph
+from .parsing import ParseError, parse_ntriples, parse_turtle
+from .session import get_spark
+from .terms import Term, TripleRow, blank, iri, literal
+
+__all__ = [
+    "RdfGraph",
+    "ParseError",
+    "parse_ntriples",
+    "parse_turtle",
+    "get_spark",
+    "Term",
+    "TripleRow",
+    "blank",
+    "iri",
+    "literal",
+]
