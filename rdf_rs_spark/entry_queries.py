@@ -109,7 +109,13 @@ _DD_SHINGLES = (
 
 
 def _dd_minhash(i: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('seed{i}:' || s)))"
+    # one-permutation MinHash slot i: min md5 whose leading hex digit is
+    # hex(i) — mirrors rdf_rs_spark.operators.dedup.minhash_band_table
+    d = "0123456789abcdef"[i]
+    return (
+        "list_min(list_filter(list_transform(shingles, s -> md5('seed:' || s)),"
+        f" h -> substring(h, 1, 1) = '{d}'))"
+    )
 
 
 def _dd_bands() -> str:

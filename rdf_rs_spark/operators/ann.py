@@ -47,16 +47,19 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, rank). The query side is broadcast —
     the corpus is never shuffled."""
+    # norms are per-vector, not per-pair: compute them once before the
+    # join (HOF lambdas are interpreted, so a per-pair norm would rescan
+    # both arrays for every candidate) — same fold order, same bits
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -110,15 +113,19 @@ def lsh_cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", srp_bucket(F.col("cv"), dim, n_planes))
+    ).withColumn("bucket", srp_bucket(F.col("cv"), dim, n_planes)).withColumn(
+        "cn", norm(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", srp_bucket(F.col("qv"), dim, n_planes))
+    ).withColumn("bucket", srp_bucket(F.col("qv"), dim, n_planes)).withColumn(
+        "qn", norm(F.col("qv"))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -142,13 +149,18 @@ def embedding_neardup(
         block.alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    a = v.select("block", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = v.select("block", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    ).withColumn("n", norm(F.col("v")))
+    a = v.select("block", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select("block", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
         a.join(b, "block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_e4", F.floor(cosine(F.col("va"), F.col("vb")) * 10000).cast("bigint"))
+        .withColumn(
+            "cos_e4",
+            F.floor(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000).cast(
+                "bigint"
+            ),
+        )
         .filter(F.col("cos_e4") >= threshold_e4)
         .select("id_a", "id_b")
     )

@@ -96,22 +96,34 @@ def minhash_bands(signature: Column, n_bands: int = N_BANDS) -> Column:
     )
 
 
+_HEX = "0123456789abcdef"
+
+
 def minhash_band_table(
     docs: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> DataFrame:
     """(id, shingles) → (id, band_idx, band_key).
 
-    Explode-then-aggregate shape: one row per (doc, shingle), the 16
-    seeded hashes computed side by side, then 16 map-side-combining
-    ``min`` aggregates. Keeping the minhash as a *row* computation avoids
-    inlining the shingle expression into 16 nested array lambdas (a
-    codegen/optimizer blow-up) and scales to billions of shingles with a
-    single hash-aggregate shuffle."""
+    One-permutation MinHash (Li/Owen/Zhang 2012): ONE md5 per shingle,
+    binned into ``n_hashes`` signature slots by the hash's own leading
+    hex digit, min per (doc, bin). Equivalent banding quality to
+    independent seeded hashes at 1/``n_hashes`` the hashing cost, and
+    still a single map-side-combining hash-aggregate shuffle — the
+    explode-then-aggregate shape scales to billions of shingles. Empty
+    bins (P≈(15/16)^|shingles|) stay NULL; ``concat_ws`` drops them from
+    the band key identically on Spark and any ANSI-SQL oracle."""
+    assert n_hashes == 16, "bins are the 16 leading hex digits"
     ex = docs.select("id", F.explode("shingles").alias("s"))
     hs = ex.select(
-        "id", *[F.md5(F.concat(F.lit(f"seed{i}:"), F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
+        "id",
+        F.md5(F.concat(F.lit("seed:"), F.col("s"))).alias("h"),
+    ).withColumn("bin", F.substring("h", 1, 1))
+    mins = hs.groupBy("id").agg(
+        *[
+            F.min(F.when(F.col("bin") == d, F.col("h"))).alias(f"m{i}")
+            for i, d in enumerate(_HEX)
+        ]
     )
-    mins = hs.groupBy("id").agg(*[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)])
     rows = n_hashes // n_bands
     bands = F.array(
         *[
