@@ -1111,6 +1111,105 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+# ---- beyond-reference analytics: grouping sets, frames, set ops -------------
+
+
+@q(
+    "part_cube_stats",
+    """SELECT p_brand, p_type, count(*) AS n,
+       sum(floor(p_retailprice * 100)::BIGINT) AS sum_price_e2
+       FROM part GROUP BY CUBE (p_brand, p_type)""",
+)
+def part_cube_stats(spark, sf_dir):
+    """CUBE grouping sets (absent in the reference — SURVEY.md §2.3)."""
+    p = _t(spark, sf_dir, "part")
+    return p.cube("p_brand", "p_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("p_retailprice") * 100).cast("bigint")).alias("sum_price_e2"),
+    )
+
+
+@q(
+    "orders_rollup_by_priority",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def orders_rollup_by_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@q(
+    "lineitem_running_sum_frame",
+    """SELECT l_orderkey, l_linenumber,
+       sum(floor(l_extendedprice * 100)::BIGINT)
+         OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_price_e2
+       FROM lineitem""",
+)
+def lineitem_running_sum_frame(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        # RANGE (tie-inclusive) frame: (l_orderkey, l_linenumber) is not
+        # unique in the synthetic data, and a ROWS frame over duplicate
+        # sort keys is engine-order-dependent
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .over(w)
+        .alias("running_price_e2"),
+    )
+
+
+@q(
+    "customers_except_orderers",
+    """SELECT c_custkey FROM customer
+       EXCEPT SELECT o_custkey AS c_custkey FROM orders""",
+)
+def customers_except_orderers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o).distinct()
+
+
+@q(
+    "suppliers_intersect_customer_nations",
+    """SELECT s_nationkey AS nationkey FROM supplier
+       INTERSECT SELECT c_nationkey FROM customer""",
+)
+def suppliers_intersect_customer_nations(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    return s.intersect(c)
+
+
+@q(
+    "orders_date_math",
+    """SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95,
+       upper(substring(o_orderpriority, 1, 1)) AS prio_initial
+       FROM orders""",
+)
+def orders_date_math(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_95"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+    )
+
+
 # ---- end-to-end KG pipeline (non-SQL-expressible: Turtle islands + linking) --
 
 
