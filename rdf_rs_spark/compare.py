@@ -1,0 +1,170 @@
+"""Graph comparison with blank-node bijection matching (P/R gate).
+
+The north-star correctness metric compares emitted (subj, pred, obj)
+sets against the reference's at P/R >= 0.95, "blank nodes matched up to
+bijection": the reference labels blanks with a sequential global
+counter (``auto<N>``, ``src/graph.rs:268-276``) while the distributed
+pipeline emits content-addressed skolem labels — the two graphs are
+equal only up to a relabeling of blank nodes.
+
+``canonicalize_blanks`` replaces every blank label with a
+Weisfeiler-Leman-style context hash: round 0 colors a blank by the
+multiset of its incident (role, predicate, ground-term) edges; each
+further round re-hashes with the current colors of *neighboring*
+blanks. Two rounds separate any blank structure the codecs can emit
+(cons-list chains, ``[ … ]`` nests); automorphic blanks legitimately
+share a color, which set-comparison tolerates. All DataFrame ops —
+two self-joins and a sorted-list aggregate per round, no driver loops —
+so the gate itself runs at corpus scale.
+
+``graph_pr`` then computes precision/recall over the canonicalized
+triple sets, per graph (``graph_col``) because blank labels are
+document-scoped in both pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from .schema import TRIPLE_COLS
+
+_BLANK_SENTINEL = "\x02b"  # stands in for a neighboring blank's color
+
+
+def _ground_obj(df: DataFrame):
+    """Stable encoding of a non-blank object term."""
+    return F.concat_ws(
+        "\x01",
+        F.col("obj_kind").cast("string"),
+        F.col("obj_lex"),
+        F.coalesce(F.col("obj_datatype"), F.lit("")),
+        F.coalesce(F.col("obj_lang"), F.lit("")),
+    )
+
+
+def canonicalize_blanks(
+    df: DataFrame, graph_col: Optional[str] = "src_url", iters: int = 2
+) -> DataFrame:
+    """Return ``df`` with every blank label replaced by ``_:c<hash>`` of
+    its structural context (bijection-invariant)."""
+    g = F.coalesce(F.col(graph_col), F.lit("")) if graph_col else F.lit("")
+    t = df.withColumn("__g", g)
+
+    subj_blank = F.col("subj").startswith("_:")
+    obj_blank = F.col("obj_kind") == 1
+
+    # colors: (graph, label, color); round 0 uses ground context only
+    def contributions(colors: Optional[DataFrame]) -> DataFrame:
+        base = t
+        if colors is not None:
+            sc = colors.select(
+                F.col("__g").alias("__sg"), F.col("label").alias("__sl"),
+                F.col("color").alias("__subj_color"),
+            )
+            oc = colors.select(
+                F.col("__g").alias("__og"), F.col("label").alias("__ol"),
+                F.col("color").alias("__obj_color"),
+            )
+            base = (
+                base.join(
+                    sc,
+                    (F.col("__g") == F.col("__sg"))
+                    & (F.expr("substring(subj, 3)") == F.col("__sl")),
+                    "left",
+                )
+                .join(
+                    oc,
+                    (F.col("__g") == F.col("__og")) & (F.col("obj_lex") == F.col("__ol")),
+                    "left",
+                )
+            )
+            subj_repr = F.coalesce(F.col("__subj_color"), F.col("subj"))
+            obj_repr = F.when(
+                obj_blank, F.coalesce(F.col("__obj_color"), F.lit(_BLANK_SENTINEL))
+            ).otherwise(_ground_obj(base))
+        else:
+            subj_repr = F.when(subj_blank, F.lit(_BLANK_SENTINEL)).otherwise(F.col("subj"))
+            obj_repr = F.when(obj_blank, F.lit(_BLANK_SENTINEL)).otherwise(_ground_obj(base))
+
+        as_subj = base.filter(subj_blank).select(
+            "__g",
+            F.expr("substring(subj, 3)").alias("label"),
+            F.concat_ws("\x00", F.lit("S"), F.col("pred"), obj_repr).alias("edge"),
+        )
+        as_obj = base.filter(obj_blank).select(
+            "__g",
+            F.col("obj_lex").alias("label"),
+            F.concat_ws("\x00", F.lit("O"), F.col("pred"), subj_repr).alias("edge"),
+        )
+        return as_subj.unionByName(as_obj)
+
+    colors = None
+    for _ in range(iters):
+        colors = (
+            contributions(colors)
+            .groupBy("__g", "label")
+            .agg(F.md5(F.concat_ws("\x03", F.sort_array(F.collect_list("edge")))).alias("color"))
+        )
+
+    if colors is None:  # iters == 0: identity
+        return df
+
+    sc = colors.select(
+        F.col("__g").alias("__sg"), F.col("label").alias("__sl"), F.col("color").alias("__scol")
+    )
+    oc = colors.select(
+        F.col("__g").alias("__og"), F.col("label").alias("__ol"), F.col("color").alias("__ocol")
+    )
+    out = (
+        t.join(
+            sc,
+            (F.col("__g") == F.col("__sg")) & (F.expr("substring(subj, 3)") == F.col("__sl")),
+            "left",
+        )
+        .join(oc, (F.col("__g") == F.col("__og")) & (F.col("obj_lex") == F.col("__ol")), "left")
+        .withColumn(
+            "subj",
+            F.when(subj_blank, F.concat(F.lit("_:c"), F.col("__scol"))).otherwise(F.col("subj")),
+        )
+        .withColumn(
+            "obj_lex",
+            F.when(obj_blank, F.concat(F.lit("c"), F.col("__ocol"))).otherwise(F.col("obj_lex")),
+        )
+    )
+    keep = list(df.columns)
+    return out.select(*keep)
+
+
+def graph_pr(
+    actual: DataFrame, expected: DataFrame, graph_col: Optional[str] = "src_url"
+) -> dict:
+    """Precision/recall of ``actual`` vs ``expected`` triple sets after
+    blank-bijection canonicalization. Returns counts + P/R floats."""
+    cols = ([graph_col] if graph_col else []) + list(TRIPLE_COLS)
+    nullable = ["obj_datatype", "obj_lang"]
+    # NULL-safe match: a vanilla equi-join drops every row whose datatype
+    # or lang is NULL (NULL <> NULL in join conditions)
+    a = (
+        canonicalize_blanks(actual, graph_col)
+        .select(*cols)
+        .na.fill("\x00NULL", subset=nullable)
+        .dropDuplicates()
+    )
+    e = (
+        canonicalize_blanks(expected, graph_col)
+        .select(*cols)
+        .na.fill("\x00NULL", subset=nullable)
+        .dropDuplicates()
+    )
+    n_a = a.count()
+    n_e = e.count()
+    n_match = a.join(e, on=cols, how="inner").count()
+    return {
+        "actual": n_a,
+        "expected": n_e,
+        "matched": n_match,
+        "precision": (n_match / n_a) if n_a else 1.0,
+        "recall": (n_match / n_e) if n_e else 1.0,
+    }

@@ -1,0 +1,59 @@
+"""Blank-node-bijection P/R gate (north-star correctness metric)."""
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.compare import canonicalize_blanks, graph_pr
+from rdf_rs_spark.pipeline import skolemize
+from rdf_rs_spark.sources.turtle import parse_turtle_docs
+
+
+def _docs(spark):
+    # collections, [ ] nests, labeled blanks — every blank-emitting syntax
+    rows = []
+    for i in range(20):
+        rows.append(
+            (
+                f"doc{i}",
+                "@prefix ex: <http://e.org/> .\n"
+                f'ex:p{i} ex:tags ( "a" "b{i}" ) .\n'
+                f"ex:p{i} ex:author [ ex:name \"au{i}\" ] .\n"
+                f"_:x ex:cites ex:p{i} .",
+            )
+        )
+    return spark.createDataFrame(rows, "doc_id string, content string")
+
+
+def test_skolemized_output_matches_reference_labels_up_to_bijection(spark):
+    parsed = parse_turtle_docs(_docs(spark), "content", "doc_id")
+    expected = parsed  # reference-style per-document auto<N> labels
+    actual = skolemize(parsed, "src_url")  # pipeline's content-addressed labels
+    pr = graph_pr(actual, expected, graph_col="src_url")
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+    assert pr["matched"] == pr["expected"] > 0
+
+
+def test_pr_detects_missing_and_extra_triples(spark):
+    parsed = parse_turtle_docs(_docs(spark), "content", "doc_id")
+    # drop every cites-edge from the actual side -> recall < 1
+    actual = parsed.filter(F.col("pred") != "http://e.org/cites")
+    pr = graph_pr(skolemize(actual, "src_url"), parsed, graph_col="src_url")
+    assert pr["recall"] < 1.0 and pr["precision"] == 1.0, pr
+
+
+def test_canonical_labels_are_label_invariant(spark):
+    parsed = parse_turtle_docs(_docs(spark), "content", "doc_id")
+    relabeled = parsed.withColumn(
+        "subj",
+        F.when(
+            F.col("subj").startswith("_:"),
+            F.concat(F.lit("_:zz"), F.expr("substring(subj, 3)")),
+        ).otherwise(F.col("subj")),
+    ).withColumn(
+        "obj_lex",
+        F.when(F.col("obj_kind") == 1, F.concat(F.lit("zz"), F.col("obj_lex"))).otherwise(
+            F.col("obj_lex")
+        ),
+    )
+    a = canonicalize_blanks(parsed).select("src_url", "subj", "pred", "obj_lex").collect()
+    b = canonicalize_blanks(relabeled).select("src_url", "subj", "pred", "obj_lex").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
