@@ -27,6 +27,31 @@ def stream_ntriples_directory(
     return parse_ntriples_lines(lines, "value", engine="sql")
 
 
+def stream_turtle_directory(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Streaming triples from a landing directory of .ttl documents.
+
+    Turtle is stateful (directives, multiline literals) and therefore
+    NOT line-splittable — the unit of ingestion is one whole file per
+    row (``wholetext``), fed to the same Arrow-batched document parser
+    the batch path uses. Blank labels stay document-scoped; callers
+    skolemize with the file path as the document key."""
+    from ..sources.turtle import parse_turtle_docs
+
+    docs = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select(
+            F.input_file_name().alias("doc_id"),
+            F.col("value").alias("content"),
+        )
+    )
+    return parse_turtle_docs(docs, "content", "doc_id")
+
+
 def triple_counts_by_window(
     triples: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
 ) -> DataFrame:

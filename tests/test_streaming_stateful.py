@@ -31,3 +31,35 @@ def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
         ("http://s2", "http://p1", "x"),
         ("http://s3", "http://p2", "b"),
     ]
+
+
+def test_streaming_turtle_directory(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from rdf_rs_spark.streaming.ingest import stream_turtle_directory
+
+    src = tmp_path / "ttl_landing"
+    src.mkdir()
+    (src / "a.ttl").write_text(
+        "@prefix ex: <http://e.org/> .\nex:s ex:p \"v\" ;\n  a ex:Thing .\n"
+    )
+    (src / "b.ttl").write_text("<http://e.org/x> <http://e.org/q> ( \"l1\" ) .\n")
+    triples = stream_turtle_directory(spark, str(src))
+    q = (
+        triples.writeStream.format("memory")
+        .queryName("ttl_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select subj, pred, obj_lex, src_url from ttl_stream_test").collect()
+    preds = sorted(r.pred for r in rows)
+    assert preds == [
+        "http://e.org/p",
+        "http://e.org/q",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#first",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    ]
+    # provenance carries the source file; blank labels are doc-scoped
+    assert all(r.src_url.endswith(".ttl") for r in rows)
