@@ -1210,6 +1210,56 @@ def orders_date_math(spark, sf_dir):
     )
 
 
+@q(
+    "docs_deterministic_sample",
+    """SELECT doc_id, lang FROM documents
+       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '333333333333'""",
+)
+def docs_deterministic_sample(spark, sf_dir):
+    """Content-hash sampling: reproducible on any cluster size / resume
+    (df.sample() is partition-split-dependent and is not)."""
+    from .operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(d, F.col("doc_id"), 0.2).select("doc_id", "lang")
+
+
+@q(
+    "docs_stratified_sample",
+    """SELECT doc_id, lang FROM documents
+       WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
+         CASE WHEN lang = 'en' THEN '199999999999'
+              WHEN lang = 'de' THEN 'cccccccccccc'
+              ELSE '000000000000' END""",
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Per-stratum rates (keep 10% en, 80% de, drop the rest) — the
+    standard curation shape for web-scale corpora."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, F.col("lang"), F.col("doc_id"), {"en": 0.1, "de": 0.8}
+    ).select("doc_id", "lang")
+
+
+@q(
+    "lineitem_quantity_percentiles",
+    """SELECT l_returnflag,
+       CAST(floor(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_e2,
+       CAST(floor(quantile_cont(l_quantity, 0.9) * 100) AS BIGINT) AS p90_e2
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def lineitem_quantity_percentiles(spark, sf_dir):
+    """Exact (not approximate) percentiles — cross-engine deterministic,
+    unlike approx_percentile sketches."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.floor(F.expr("percentile(l_quantity, 0.5)") * 100).cast("bigint").alias("p50_e2"),
+        F.floor(F.expr("percentile(l_quantity, 0.9)") * 100).cast("bigint").alias("p90_e2"),
+    )
+
+
 # ---- end-to-end KG pipeline (non-SQL-expressible: Turtle islands + linking) --
 
 

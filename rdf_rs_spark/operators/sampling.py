@@ -1,0 +1,50 @@
+"""Deterministic sampling for training-data curation.
+
+``df.sample()`` is seed-dependent per partition-split and therefore not
+reproducible across cluster sizes or resumes; these samplers decide
+membership from a content hash of a key column, so the same row is
+in/out of the sample on any cluster, at any parallelism, on any rerun —
+the same property the pipeline's skolemization relies on. Hash = md5
+(hex) compared against a rate-scaled threshold prefix, which any
+ANSI-SQL oracle can replay exactly. Filters are narrow (no shuffle) and
+push to the scan where the key is a stored column.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_DIGITS = 12  # 48 bits of the md5 prefix decide membership
+_SPACE = 16 ** _HEX_DIGITS
+
+
+def _threshold(rate: float) -> str:
+    t = min(max(int(rate * _SPACE), 0), _SPACE)
+    return format(t, f"0{_HEX_DIGITS}x")
+
+
+def sample_hash_col(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, _HEX_DIGITS)
+
+
+def deterministic_sample(df: DataFrame, key: Column, rate: float) -> DataFrame:
+    """Keep ~``rate`` of rows, decided by md5(key) — stable everywhere."""
+    return df.filter(sample_hash_col(key) < _threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame, strata: Column, key: Column, rates: Dict[str, float], default_rate: float = 0.0
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. keep 100% of rare languages,
+    1% of English) — the standard curation shape for web-scale corpora."""
+    thr = None
+    for value, rate in sorted(rates.items()):
+        cond = strata == value
+        t = F.lit(_threshold(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(_threshold(default_rate)) if thr is None else thr.otherwise(
+        F.lit(_threshold(default_rate))
+    )
+    return df.filter(sample_hash_col(key) < thr)
