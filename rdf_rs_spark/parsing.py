@@ -139,6 +139,8 @@ class TurtleScanner:
     ``n_triples_lexer.rs:180-201``), so garbage input errors instead of
     being scanned as a QName."""
 
+    __slots__ = ("text", "pos", "nt_mode", "_peeked")
+
     def __init__(self, text: str, nt_mode: bool = False):
         self.text = text
         self.pos = 0
@@ -392,6 +394,8 @@ class TurtleScanner:
 class TurtleDocument:
     """Parse result: triples + per-document state (base URI, prefix map)."""
 
+    __slots__ = ("base_uri", "namespaces", "triples", "_next_blank")
+
     def __init__(self) -> None:
         self.base_uri: Optional[str] = None
         self.namespaces: Dict[str, str] = {}
@@ -423,6 +427,8 @@ class TurtleDocument:
 
 class TurtleParser:
     """Recursive-descent Turtle parser over :class:`TurtleScanner` tokens."""
+
+    __slots__ = ("scanner", "doc")
 
     def __init__(self, text: str):
         self.scanner = TurtleScanner(text)
