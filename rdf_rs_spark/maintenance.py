@@ -1,0 +1,52 @@
+"""Graph-table maintenance: small-file compaction.
+
+Every resumed/appended pipeline run adds one parquet file per
+(input-bucket x subject-bucket) combination; at 10^12 documents the
+triples table accretes millions of small files and scan planning
+dominates query time. ``compact_triples`` rewrites the table to one
+file per subject-hash bucket directory — the plain-parquet stand-in for
+Iceberg's ``rewrite_data_files`` (an Iceberg deployment gets snapshot
+isolation on top; here the swap is a directory rename, so readers must
+be quiesced, which is the honest limit of parquet-only table layouts).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def compact_triples(
+    spark: SparkSession, triples_path: str, partition_col: str = "src_bucket"
+) -> dict:
+    """Rewrite the bucketed triples table with one file per bucket dir.
+
+    Returns {files_before, files_after, rows}."""
+
+    def parquet_files(root: str) -> int:
+        total = 0
+        for _, _, files in os.walk(root):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    before = parquet_files(triples_path)
+    df = spark.read.parquet(triples_path)
+    rows = df.count()
+    tmp = triples_path.rstrip("/") + ".compact.tmp"
+    old = triples_path.rstrip("/") + ".compact.old"
+    # one shuffle keyed on the partition column: every bucket lands wholly
+    # inside one task, so the partitioned writer emits exactly one file
+    # per bucket directory
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    os.rename(triples_path, old)
+    os.rename(tmp, triples_path)
+    shutil.rmtree(old)
+    after = parquet_files(triples_path)
+    return {"files_before": before, "files_after": after, "rows": rows}

@@ -155,12 +155,14 @@ def run_pipeline(
         "__bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )
 
-    committed = set()
+    committed = {}
     try:
         lineage = spark.read.parquet(lineage_path)
         committed = {
-            r.partition_id
-            for r in lineage.filter(F.col("status") == "committed").select("partition_id").collect()
+            r.partition_id: r.input_fingerprint
+            for r in lineage.filter(F.col("status") == "committed")
+            .select("partition_id", "input_fingerprint")
+            .collect()
         }
     except Exception:
         pass
@@ -169,16 +171,27 @@ def run_pipeline(
     total_docs = 0
     total_triples = 0
     for b in range(n_buckets):
-        if b in committed:
-            continue
-        if fail_after_buckets is not None and done >= fail_after_buckets:
-            raise RuntimeError("simulated mid-run kill after %d buckets" % done)
         bucket_pages = pages.filter(F.col("__bucket") == b).drop("__bucket")
-        # order-independent, constant-size fingerprint (sum of url hashes) —
+        # order-independent, constant-size fingerprint (xor of url hashes) —
         # a collect_list fingerprint would not survive 10^9-row buckets
         fingerprint = str(
             bucket_pages.select(F.expr("bit_xor(xxhash64(url))").alias("fp")).collect()[0]["fp"]
         )
+        if b in committed:
+            # a committed bucket may only be skipped when the CURRENT input
+            # hashes to what was committed — silently skipping a changed
+            # bucket would leave the graph a mix of two different inputs
+            if committed[b] != fingerprint:
+                raise RuntimeError(
+                    f"resume fingerprint mismatch for bucket {b}: committed "
+                    f"{committed[b]!r} vs current input {fingerprint!r}; the "
+                    "input changed since the original run — write to a fresh "
+                    "out_dir (append-only parquet cannot retract the stale "
+                    "bucket; an Iceberg deployment would row-level-delete it)"
+                )
+            continue
+        if fail_after_buckets is not None and done >= fail_after_buckets:
+            raise RuntimeError("simulated mid-run kill after %d buckets" % done)
         docs = bucket_pages.count()
         triples = page_triples(bucket_pages, alias_dict).withColumn(
             "src_bucket", F.pmod(F.xxhash64("subj"), F.lit(subj_buckets)).cast("int")

@@ -138,3 +138,35 @@ def test_pipeline_run_and_resume(spark, pages, aliases, tmp_path):
     }
     # graph table is partitioned by subject-hash bucket
     assert "src_bucket" in resumed.columns
+
+
+def test_resume_rejects_changed_input(spark, pages, aliases, tmp_path):
+    """A committed bucket may only be skipped if the current input hashes
+    to what was committed — resuming over different pages must fail loudly
+    instead of producing a silent mix of two corpora."""
+    out = str(tmp_path / "changed")
+    run_pipeline(spark, pages, aliases, out, n_buckets=4)
+    other = synthesize_web_pages(spark, N_PAGES + 7)
+    with pytest.raises(RuntimeError, match="fingerprint mismatch"):
+        run_pipeline(spark, other, aliases, out, n_buckets=4)
+
+
+def test_compact_triples_preserves_content(spark, pages, aliases, tmp_path):
+    from rdf_rs_spark.maintenance import compact_triples
+
+    out = str(tmp_path / "compact")
+    run_pipeline(spark, pages, aliases, out, n_buckets=4)
+    tp = out + "/triples"
+    before = spark.read.parquet(tp)
+    before_rows = sorted(map(tuple, before.collect()))
+    stats = compact_triples(spark, tp)
+    after = spark.read.parquet(tp)
+    assert sorted(map(tuple, after.collect())) == before_rows
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == len(before_rows)
+    # exactly one file per bucket directory
+    import os
+    for d in os.listdir(tp):
+        if d.startswith("src_bucket="):
+            n = sum(1 for f in os.listdir(os.path.join(tp, d)) if f.endswith(".parquet"))
+            assert n == 1, (d, n)
