@@ -1211,6 +1211,32 @@ def orders_date_math(spark, sf_dir):
 
 
 @q(
+    "multimodal_audio_chunks",
+    """SELECT media_id, chunk_idx - 1 AS chunk_idx, start_ms,
+       least(start_ms + 30000, dur) AS end_ms FROM (
+         SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                CAST((n_chars * 500) AS BIGINT) AS dur,
+                generate_subscripts(generate_series(0, (n_chars * 500) - 1, 30000), 1) AS chunk_idx,
+                unnest(generate_series(0, (n_chars * 500) - 1, 30000)) AS start_ms
+         FROM documents WHERE n_chars > 0)""",
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    from .operators.multimodal import audio_chunk_plan
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.create_map(
+            F.lit("duration_ms"), (F.col("n_chars") * 500).cast("string")
+        ).alias("meta"),
+    )
+    return audio_chunk_plan(d, chunk_ms=30000).withColumn(
+        "chunk_idx", F.col("chunk_idx").cast("bigint")
+    ).withColumn("start_ms", F.col("start_ms").cast("bigint")).withColumn(
+        "end_ms", F.col("end_ms").cast("bigint")
+    )
+
+
+@q(
     "docs_deterministic_sample",
     """SELECT doc_id, lang FROM documents
        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '333333333333'""",

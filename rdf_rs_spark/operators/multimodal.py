@@ -77,6 +77,27 @@ def extract_media_features(df: DataFrame, decode_stub: bool = True) -> DataFrame
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 30000) -> DataFrame:
+    """Audio chunking *plan*: (media_id, duration_ms meta) → per-chunk
+    work items (chunk_idx, start_ms, end_ms) — same payload-free
+    expansion shape as :func:`frame_sample_plan`, so the binary column
+    never shuffles; the decode UDF later seeks each (start, end)."""
+    dur = F.coalesce(F.element_at(F.col("meta"), "duration_ms").cast("long"), F.lit(0))
+    starts = F.when(
+        dur > 0, F.sequence(F.lit(0).cast("long"), dur - 1, F.lit(chunk_ms).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return df.select(
+        "media_id",
+        F.posexplode(starts).alias("chunk_idx", "start_ms"),
+        dur.alias("__dur"),
+    ).select(
+        "media_id",
+        "chunk_idx",
+        "start_ms",
+        F.least(F.col("start_ms") + chunk_ms, F.col("__dur")).alias("end_ms"),
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: expands (media_id, n_frames meta) into
     per-frame work items without touching payloads — the expansion is pure
