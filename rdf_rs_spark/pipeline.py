@@ -200,7 +200,11 @@ def run_pipeline(
         n_triples = triples.count()
         n_mentions = triples.filter(F.col("pred") == EX + "mentions").count()
         (
-            triples.write.mode("append")
+            # cluster by bucket before the partitioned write: without this
+            # every dedup task holds rows for every bucket and the writer
+            # emits tasks x buckets small files per commit
+            triples.repartition(F.col("src_bucket"))
+            .write.mode("append")
             .partitionBy("src_bucket")
             .parquet(triples_path)
         )
