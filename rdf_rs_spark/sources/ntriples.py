@@ -31,11 +31,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..parsing import ParseError, parse_ntriples_line
 from ..schema import TRIPLES_SCHEMA
 
-# one master pattern; groups: 1 subj_iri 2 subj_blank 3 pred 4 obj_iri
-# 5 obj_blank 6 lit 7 lang 8 datatype
+# one master pattern capturing WHOLE tokens; groups: 1 subj_tok 2 pred
+# 3 obj_tok. Term kinds are decided by each token's first character —
+# regexp_extract cannot distinguish an unset inner group from an empty
+# match, which would mis-type legal empty IRIs (``<>``)
 NT_LINE_PATTERN = (
-    r'^[ \t]*(?:<([^>]*)>|_:([^ \r\n.]+))[ \t]+<([^>]*)>[ \t]+'
-    r'(?:<([^>]*)>|_:([^ \r\n.]+)|"([^"]*)"(?:@([^ \r\n.]+)|\^\^<([^>]*)>)?)'
+    r'^[ \t]*((?:<[^>]*>|_:[^ \r\n.]+))[ \t]+<([^>]*)>[ \t]+'
+    r'((?:<[^>]*>|_:[^ \r\n.]+|"[^"]*"(?:@[^ \r\n.]+|\^\^<[^>]*>)?))'
     r'[ \t]*\.[ \t]*$'
 )
 
@@ -54,26 +56,39 @@ def parse_ntriples_lines(
     line = F.col(line_col)
     matched = line.rlike(NT_LINE_PATTERN)
     is_comment = F.trim(line).startswith("#") | (F.trim(line) == "")
+    subj_tok = _g(line, 1)
+    obj_tok = _g(line, 3)
+    st = F.col("__st")
+    ot = F.col("__ot")
+    ot_first = F.substring(ot, 1, 1)
     parsed = (
         df.filter(~is_comment)
-        .withColumn("__m", matched)
-        .filter(F.col("__m"))  # malformed lines dropped; python engine raises
+        .filter(matched)  # malformed lines dropped; python engine raises
+        .withColumn("__st", subj_tok)
+        .withColumn("__ot", obj_tok)
         .select(
-            F.when(_g(line, 1) != "", _g(line, 1))
-            .otherwise(F.concat(F.lit("_:"), _g(line, 2)))
+            # blank subjects keep their "_:" prefix (subject-column encoding)
+            F.when(st.startswith("<"), st.substr(F.lit(2), F.length(st) - 2))
+            .otherwise(st)
             .alias("subj"),
-            _g(line, 3).alias("pred"),
-            F.when(_g(line, 4) != "", F.lit(0))
-            .when(_g(line, 5) != "", F.lit(1))
+            _g(line, 2).alias("pred"),
+            F.when(ot_first == "<", F.lit(0))
+            .when(ot_first == "_", F.lit(1))
             .otherwise(F.lit(2))
             .cast("tinyint")
             .alias("obj_kind"),
-            F.when(_g(line, 4) != "", _g(line, 4))
-            .when(_g(line, 5) != "", _g(line, 5))
-            .otherwise(_g(line, 6))
+            F.when(ot_first == "<", ot.substr(F.lit(2), F.length(ot) - 2))
+            .when(ot_first == "_", F.expr("substring(__ot, 3)"))
+            .otherwise(F.regexp_extract(ot, r'^"([^"]*)"', 1))
             .alias("obj_lex"),
-            F.when(_g(line, 8) != "", _g(line, 8)).alias("obj_datatype"),
-            F.when(_g(line, 7) != "", _g(line, 7)).alias("obj_lang"),
+            F.when(
+                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1) != "",
+                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1),
+            ).alias("obj_datatype"),
+            F.when(
+                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1) != "",
+                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1),
+            ).alias("obj_lang"),
         )
     )
     return parsed

@@ -142,3 +142,20 @@ def test_graph_roundtrip_via_spark(spark):
     nt = g.to_ntriples_string()
     g2 = RdfGraph.from_ntriples_string(spark, nt)
     assert {tuple(r) for r in g2.collect_rows()} == {tuple(r) for r in g.collect_rows()}
+
+
+def test_nt_sql_engine_empty_iri_and_suffix_edges(spark):
+    """Empty IRIs (<>) are legal; datatype IRIs containing '@' must not
+    be mistaken for language tags."""
+    lines = spark.createDataFrame(
+        [
+            ("<> <http://p> <> .",),
+            ('<http://s> <http://p> ""@en .',),
+            ('<http://s> <http://p> "x"^^<mailto:a@b> .',),
+        ],
+        "value string",
+    )
+    rows = {tuple(r) for r in parse_ntriples_lines(lines, engine="sql").collect()}
+    assert ("", "http://p", 0, "", None, None) in rows
+    assert ("http://s", "http://p", 2, "", None, "en") in rows
+    assert ("http://s", "http://p", 2, "x", "mailto:a@b", None) in rows
