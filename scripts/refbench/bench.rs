@@ -1,0 +1,55 @@
+// Single-node throughput bench for the reference library: parse the
+// same 4 Turtle island payload shapes the Spark engine's synthetic
+// corpus uses, then serialize the accumulated graph to N-Triples.
+use rdf::reader::rdf_parser::RdfParser;
+use rdf::reader::turtle_parser::TurtleParser;
+use rdf::reader::n_triples_parser::NTriplesParser;
+use rdf::writer::rdf_writer::RdfWriter;
+use rdf::writer::n_triples_writer::NTriplesWriter;
+use std::time::Instant;
+
+fn payload(i: usize) -> String {
+    match i % 4 {
+        0 => format!("@prefix ex: <http://kg.example.org/> . ex:page{i} ex:topic \"topic{t}\" ; ex:rank {r} .", i = i, t = i % 13, r = i % 7),
+        1 => format!("@prefix ex: <http://kg.example.org/> . ex:page{i} a ex:Article . _:a0 ex:about ex:page{i} .", i = i),
+        2 => format!("@base <http://kg.example.org/pages> . <#p{i}> a <http://kg.example.org/Section> .", i = i),
+        _ => format!("@prefix ex: <http://kg.example.org/> . ex:page{i} ex:tags ( \"t1\" \"t2\" ) .", i = i),
+    }
+}
+
+fn main() {
+    let n: usize = std::env::args().nth(1).and_then(|s| s.parse().ok()).unwrap_or(100000);
+    let docs: Vec<String> = (0..n).map(payload).collect();
+
+    // parse
+    let t0 = Instant::now();
+    let mut graphs = Vec::with_capacity(n);
+    let mut triples = 0usize;
+    for d in &docs {
+        let g = TurtleParser::from_string(d.clone()).decode().expect("parse");
+        triples += g.count();
+        graphs.push(g);
+    }
+    let parse_s = t0.elapsed().as_secs_f64();
+
+    // serialize to N-Triples
+    let t1 = Instant::now();
+    let writer = NTriplesWriter::new();
+    let mut nt_bytes = 0usize;
+    for g in &graphs {
+        nt_bytes += writer.write_to_string(g).expect("write").len();
+    }
+    let write_s = t1.elapsed().as_secs_f64();
+
+    // re-parse the serialized NT (line-oriented path)
+    let all_nt: String = graphs.iter().map(|g| writer.write_to_string(g).unwrap()).collect();
+    let t2 = Instant::now();
+    let g2 = NTriplesParser::from_string(all_nt).decode().expect("ntparse");
+    let ntparse_s = t2.elapsed().as_secs_f64();
+
+    println!(
+        "{{\"docs\": {}, \"triples\": {}, \"parse_sec\": {:.3}, \"docs_per_sec\": {:.0}, \"triples_per_sec_parse\": {:.0}, \"nt_write_sec\": {:.3}, \"nt_bytes\": {}, \"nt_reparse_sec\": {:.3}, \"nt_triples\": {}, \"nt_triples_per_sec\": {:.0}}}",
+        n, triples, parse_s, n as f64 / parse_s, triples as f64 / parse_s,
+        write_s, nt_bytes, ntparse_s, g2.count(), g2.count() as f64 / ntparse_s
+    );
+}
