@@ -1,0 +1,17 @@
+// Conformance oracle helper: parse each Turtle file named on argv with
+// the REFERENCE library and print its N-Triples serialization, with a
+// "### <path>" separator line before each document's output.
+use rdf::reader::rdf_parser::RdfParser;
+use rdf::reader::turtle_parser::TurtleParser;
+use rdf::writer::rdf_writer::RdfWriter;
+use rdf::writer::n_triples_writer::NTriplesWriter;
+
+fn main() {
+    let writer = NTriplesWriter::new();
+    for path in std::env::args().skip(1) {
+        let text = std::fs::read_to_string(&path).expect("read");
+        let graph = TurtleParser::from_string(text).decode().expect("parse");
+        println!("### {}", path);
+        print!("{}", writer.write_to_string(&graph).expect("write"));
+    }
+}
