@@ -97,3 +97,51 @@ def test_nt_output_byte_identical_to_reference(ref_binary, tmp_path, idx):
     assert ours_nt == ref_nt, (
         f"doc {idx} mismatch\nDOC:\n{doc}\nREF:\n{ref_nt}\nOURS:\n{ours_nt}"
     )
+
+
+def test_pipeline_pr_vs_compiled_reference(ref_binary, spark, tmp_path):
+    """North-star P/R gate measured against the REAL reference: parse the
+    synthetic corpus's RDF islands with the compiled reference library,
+    then compare the pipeline's skolemized triples to the
+    reference-emitted set up to blank-node bijection. Target >= 0.95;
+    expected 1.0."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.compare import graph_pr
+    from rdf_rs_spark.pipeline import skolemize
+    from rdf_rs_spark.parsing import parse_ntriples
+    from rdf_rs_spark.schema import TRIPLES_WITH_SRC_SCHEMA
+    from rdf_rs_spark.sources.turtle import parse_turtle_docs
+    from rdf_rs_spark.sources.webpages import extract_rdf_island, synthesize_web_pages
+
+    n = 2000
+    pages = synthesize_web_pages(spark, n).select(
+        F.col("url").alias("doc_id"), extract_rdf_island(F.col("html")).alias("ttl")
+    )
+    docs = [(r.doc_id, r.ttl) for r in pages.collect() if r.ttl]
+
+    paths = []
+    for i, (_, ttl) in enumerate(docs):
+        p = tmp_path / f"island{i}.ttl"
+        p.write_text(ttl)
+        paths.append(str(p))
+    out = subprocess.run(
+        [ref_binary, *paths], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-300:]
+
+    expected_rows = []
+    section_docs = out.stdout.split("### ")[1:]
+    assert len(section_docs) == len(docs)
+    for (doc_id, _), section in zip(docs, section_docs):
+        _, _, body = section.partition("\n")
+        for row in parse_ntriples(body):
+            expected_rows.append((*row, doc_id))
+    expected = spark.createDataFrame(expected_rows, TRIPLES_WITH_SRC_SCHEMA)
+
+    actual = skolemize(
+        parse_turtle_docs(pages.filter(F.length("ttl") > 0), "ttl", "doc_id"), "src_url"
+    )
+    pr = graph_pr(actual, expected, graph_col="src_url")
+    assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, pr
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
