@@ -3,14 +3,24 @@
 // "### <path>" separator line before each document's output.
 use rdf::reader::rdf_parser::RdfParser;
 use rdf::reader::turtle_parser::TurtleParser;
+use rdf::reader::n_triples_parser::NTriplesParser;
 use rdf::writer::rdf_writer::RdfWriter;
 use rdf::writer::n_triples_writer::NTriplesWriter;
 
 fn main() {
     let writer = NTriplesWriter::new();
+    let mut nt_mode = false;
     for path in std::env::args().skip(1) {
+        if path == "--nt" {
+            nt_mode = true;
+            continue;
+        }
         let text = std::fs::read_to_string(&path).expect("read");
-        let graph = TurtleParser::from_string(text).decode().expect("parse");
+        let graph = if nt_mode {
+            NTriplesParser::from_string(text).decode().expect("parse")
+        } else {
+            TurtleParser::from_string(text).decode().expect("parse")
+        };
         println!("### {}", path);
         print!("{}", writer.write_to_string(&graph).expect("write"));
     }

@@ -65,6 +65,27 @@ CORPUS = [
     '@prefix ex: <http://e.org/> . ex:s ex:p "x" . ex:t ex:q "y" .',
     'PREFIX ex: <http://e.org/> . ex:s ex:p ex:o .',
     '@prefix ex: <http://e.org/> . ex:s ex:big 99999999999999999999 .',  # > i64 -> double
+    '@prefix ex: <http://e.org/> .\n# mid comment\nex:s ex:p "x" .',
+    "@prefix ex: <http://e.org/> . ex:s ex:p '''single multi''' .",
+    '@prefix ex: <http://e.org/> . ex:s ex:p ( ( "a" ) ( "b" ) ) .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p [ ex:q [ ex:r "deep" ] ] .',
+    '@prefix ex: <http://e.org/> . [ ex:name "subj" ] ex:p "o" .',
+    '@prefix ex: <http://e.org/> . ( "a" ) ex:p "o" .',
+    '@base <http://b.org/x> . @prefix ex: <http://e.org/> . ex:s ex:link <#f> .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p -7 .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p +3 .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p .5 .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p 2e10 .',
+    "@prefix ex: <http://e.org/> . ex:s ex:p \"q'uote\" .",  # escape_debug \' quirk
+]
+
+# N-Triples conformance corpus (parsed with the reference NTriplesParser
+# via the harness's --nt flag)
+NT_CORPUS = [
+    '<http://s> <http://p> <http://o> .',
+    '<http://s> <http://p> "lit" .\n<http://s2> <http://p2> _:b .',
+    '# comment line\n<http://s> <http://p> "x"@en .',
+    '_:b1 <http://p> "typed"^^<http://dt> .',
 ]
 
 
@@ -97,6 +118,22 @@ def test_nt_output_byte_identical_to_reference(ref_binary, tmp_path, idx):
     assert ours_nt == ref_nt, (
         f"doc {idx} mismatch\nDOC:\n{doc}\nREF:\n{ref_nt}\nOURS:\n{ours_nt}"
     )
+
+
+@pytest.mark.parametrize("idx", range(len(NT_CORPUS)))
+def test_nt_parser_byte_identical_to_reference(ref_binary, tmp_path, idx):
+    from rdf_rs_spark.parsing import parse_ntriples
+
+    doc = NT_CORPUS[idx]
+    path = tmp_path / f"doc{idx}.nt"
+    path.write_text(doc)
+    out = subprocess.run(
+        [ref_binary, "--nt", str(path)], capture_output=True, text=True, timeout=60
+    )
+    assert out.returncode == 0, out.stderr[-300:]
+    ref_nt = out.stdout.split("\n", 1)[1] if "\n" in out.stdout else ""
+    ours_nt = write_ntriples_string(parse_ntriples(doc))
+    assert ours_nt == ref_nt, f"NT doc {idx}\nREF:\n{ref_nt}\nOURS:\n{ours_nt}"
 
 
 def test_pipeline_pr_vs_compiled_reference(ref_binary, spark, tmp_path):
