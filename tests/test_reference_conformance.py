@@ -182,3 +182,95 @@ def test_pipeline_pr_vs_compiled_reference(ref_binary, spark, tmp_path):
     pr = graph_pr(actual, expected, graph_col="src_url")
     assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, pr
     assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def _gen_doc(rng) -> str:
+    """Random Turtle doc from the grammar subset the reference parses
+    correctly (excludes verified upstream bugs: bare booleans, bare
+    numerics inside collections, ','-after-';' shadowing)."""
+
+    def qname():
+        return "ex:" + rng.choice(["s", "t", "page", "item"]) + str(rng.randrange(30))
+
+    def uri():
+        return f"<http://gen.org/r{rng.randrange(50)}>"
+
+    def blank_label():
+        return "_:b" + str(rng.randrange(9))
+
+    def literal_():
+        body = rng.choice(["w", "word", "two words", "it's", "x y z", ""])
+        suffix = rng.choice(["", "", "", "@en", "@de-AT", "^^<http://dt.org/t>"])
+        return f'"{body}"{suffix}'
+
+    def simple_object(depth):
+        r = rng.random()
+        if r < 0.3:
+            return literal_()
+        if r < 0.5:
+            return qname()
+        if r < 0.65:
+            return uri()
+        if r < 0.75:
+            return blank_label()
+        if r < 0.8:
+            return str(rng.randrange(-99, 1000))
+        if r < 0.85:
+            return f"{rng.randrange(100)}.{rng.randrange(100)}"
+        if depth >= 2:
+            return literal_()
+        if r < 0.93:
+            els = " ".join(
+                rng.choice([literal_(), qname(), uri()]) for _ in range(rng.randrange(3))
+            )
+            return f"( {els} )"
+        inner = f"{qname()} {simple_object(depth + 1)}"
+        return f"[ {inner} ]"
+
+    def predicate():
+        return rng.choice([qname(), uri(), "a"])
+
+    stmts = []
+    for _ in range(rng.randrange(1, 5)):
+        subj = rng.choice([qname(), uri(), blank_label()])
+        if rng.random() < 0.3:
+            # ';' predicate list (no ',' mixing — upstream shadowing bug)
+            pol = " ; ".join(f"{predicate()} {simple_object(0)}" for _ in range(2, 4))
+            stmts.append(f"{subj} {pol} .")
+        elif rng.random() < 0.3:
+            # ',' object list under a single predicate
+            objs = " , ".join(simple_object(0) for _ in range(2, 4))
+            stmts.append(f"{subj} {predicate()} {objs} .")
+        else:
+            stmts.append(f"{subj} {predicate()} {simple_object(0)} .")
+    return "@prefix ex: <http://gen.org/ns/> .\n" + "\n".join(stmts)
+
+
+def test_differential_fuzz_vs_reference(ref_binary, tmp_path):
+    """1000 seeded random documents, parsed by the compiled reference and
+    by our parser, NT serializations byte-compared in one batch."""
+    import random
+
+    rng = random.Random(20260817)
+    docs = [_gen_doc(rng) for _ in range(1000)]
+    paths = []
+    for i, doc in enumerate(docs):
+        p = tmp_path / f"fuzz{i}.ttl"
+        p.write_text(doc)
+        paths.append(str(p))
+    out = subprocess.run(
+        [ref_binary, *paths], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, f"reference failed on a fuzz doc: {out.stderr[-500:]}"
+    sections = out.stdout.split("### ")[1:]
+    assert len(sections) == len(docs)
+    mismatches = []
+    for i, (doc, section) in enumerate(zip(docs, sections)):
+        _, _, ref_nt = section.partition("\n")
+        ours_nt = write_ntriples_string(parse_turtle(doc).triples)
+        if ours_nt != ref_nt:
+            mismatches.append((i, doc, ref_nt, ours_nt))
+    assert not mismatches, (
+        f"{len(mismatches)} of {len(docs)} differ; first:\n"
+        f"DOC:\n{mismatches[0][1]}\nREF:\n{mismatches[0][2]}\nOURS:\n{mismatches[0][3]}"
+    )
