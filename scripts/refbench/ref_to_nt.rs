@@ -6,13 +6,18 @@ use rdf::reader::turtle_parser::TurtleParser;
 use rdf::reader::n_triples_parser::NTriplesParser;
 use rdf::writer::rdf_writer::RdfWriter;
 use rdf::writer::n_triples_writer::NTriplesWriter;
+use rdf::writer::turtle_writer::TurtleWriter;
 
 fn main() {
-    let writer = NTriplesWriter::new();
     let mut nt_mode = false;
+    let mut ttl_out = false;
     for path in std::env::args().skip(1) {
         if path == "--nt" {
             nt_mode = true;
+            continue;
+        }
+        if path == "--ttl-out" {
+            ttl_out = true;
             continue;
         }
         let text = std::fs::read_to_string(&path).expect("read");
@@ -22,6 +27,15 @@ fn main() {
             TurtleParser::from_string(text).decode().expect("parse")
         };
         println!("### {}", path);
-        print!("{}", writer.write_to_string(&graph).expect("write"));
+        if ttl_out {
+            // round-trip through the reference Turtle writer (uses the
+            // graph's own namespaces; byte-deterministic only when the
+            // graph holds at most one prefix)
+            let writer = TurtleWriter::new(&graph.namespaces());
+            print!("{}", writer.write_to_string(&graph).expect("write"));
+        } else {
+            let writer = NTriplesWriter::new();
+            print!("{}", writer.write_to_string(&graph).expect("write"));
+        }
     }
 }
