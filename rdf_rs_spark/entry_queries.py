@@ -746,6 +746,25 @@ def sparql_select_exec(spark, sf_dir):
 
 
 @q(
+    "rdf_sql_text_query",
+    TRIPLES_CTE
+    + """SELECT pred, count(*) AS n_resources FROM triples
+       WHERE obj_kind = 0 GROUP BY pred""",
+)
+def rdf_sql_text_query(spark, sf_dir):
+    """Ad-hoc SQL-text querying of the graph (the brief's
+    ``spark.sql("SELECT ... FROM triples ...")`` path): the triples
+    DataFrame registers as a temp view and Spark's own parser/optimizer
+    take over — the capability the reference's empty query_processor
+    never delivered."""
+    _triples(spark, sf_dir).createOrReplaceTempView("triples_view")
+    return spark.sql(
+        "SELECT pred, count(*) AS n_resources FROM triples_view "
+        "WHERE obj_kind = 0 GROUP BY pred"
+    )
+
+
+@q(
     "rdf_turtle_write_blocks",
     """SELECT subj,
        '<' || subj || '> <' || 'http://kg.example.org/inRegion' || '> <' || reg || '> ;' || chr(10)

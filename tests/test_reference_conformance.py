@@ -274,3 +274,52 @@ def test_differential_fuzz_vs_reference(ref_binary, tmp_path):
         f"{len(mismatches)} of {len(docs)} differ; first:\n"
         f"DOC:\n{mismatches[0][1]}\nREF:\n{mismatches[0][2]}\nOURS:\n{mismatches[0][3]}"
     )
+
+
+def test_differential_fuzz_nt_vs_reference(ref_binary, tmp_path):
+    """Seeded random N-Triples documents through both NT parsers."""
+    import random
+
+    rng = random.Random(20260818)
+    docs = []
+    for _ in range(400):
+        lines = []
+        for _ in range(rng.randrange(1, 6)):
+            subj = rng.choice([f"<http://s.org/{rng.randrange(20)}>", f"_:b{rng.randrange(9)}"])
+            pred = f"<http://p.org/{rng.randrange(10)}>"
+            r = rng.random()
+            if r < 0.4:
+                obj = f"<http://o.org/{rng.randrange(20)}>"
+            elif r < 0.55:
+                obj = f"_:o{rng.randrange(9)}"
+            elif r < 0.7:
+                obj = f'"{rng.choice(["v", "two words", "", "it4"])}"'
+            elif r < 0.85:
+                obj = f'"{rng.choice(["v", "w"])}"@{rng.choice(["en", "de-AT"])}'
+            else:
+                obj = f'"{rng.randrange(100)}"^^<http://www.w3.org/2001/XMLSchema#int>'
+            lines.append(f"{subj} {pred} {obj} .")
+            if rng.random() < 0.15:
+                lines.append("# comment")
+        docs.append("\n".join(lines))
+
+    from rdf_rs_spark.parsing import parse_ntriples
+
+    paths = []
+    for i, doc in enumerate(docs):
+        p = tmp_path / f"fuzz{i}.nt"
+        p.write_text(doc)
+        paths.append(str(p))
+    out = subprocess.run(
+        [ref_binary, "--nt", *paths], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    sections = out.stdout.split("### ")[1:]
+    assert len(sections) == len(docs)
+    bad = []
+    for i, (doc, section) in enumerate(zip(docs, sections)):
+        _, _, ref_nt = section.partition("\n")
+        ours_nt = write_ntriples_string(parse_ntriples(doc))
+        if ours_nt != ref_nt:
+            bad.append((i, doc, ref_nt, ours_nt))
+    assert not bad, f"{len(bad)} differ; first: {bad[0]}"
