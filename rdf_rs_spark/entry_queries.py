@@ -1084,6 +1084,36 @@ def sparql_describe(spark, sf_dir):
     return describe(_triples(spark, sf_dir), EX + "nation/4")
 
 
+@q(
+    "sparql_two_optionals",
+    TRIPLES_CTE
+    + """SELECT t1.subj AS c,
+         CASE WHEN a.obj_lex IS NULL THEN NULL ELSE '_:' || a.obj_lex END AS addr,
+         nn.obj_lex AS nation
+       FROM triples t1
+       LEFT JOIN triples a ON a.subj = t1.subj AND a.pred = 'http://kg.example.org/address'
+       LEFT JOIN triples nn ON nn.subj = t1.subj AND nn.pred = 'http://kg.example.org/inNation'
+       WHERE t1.pred = '{rdf_type}' AND t1.obj_lex = 'http://kg.example.org/Customer'""".replace(
+        "{rdf_type}", RDF_TYPE
+    ),
+)
+def sparql_two_optionals(spark, sf_dir):
+    """Independent OPTIONAL clauses = separate left joins (Q6 executed
+    with standard multi-OPTIONAL semantics; the reference only parsed
+    the flag and never consumed it)."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c ?addr ?nation WHERE {
+             ?c a ex:Customer .
+             OPTIONAL { ?c ex:address ?addr . }
+             OPTIONAL { ?c ex:inNation ?nation . }
+           }""",
+    )
+
+
 # ---- ANN scale path: SRP-LSH bucketed top-k ---------------------------------
 
 

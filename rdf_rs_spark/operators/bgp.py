@@ -98,9 +98,14 @@ def _object_filter(x: FixedOrVar) -> Column:
 def bgp_join(
     triples: DataFrame,
     patterns: Sequence[TriplePattern],
-    optional: Sequence[TriplePattern] = (),
+    optional: Sequence = (),
 ) -> DataFrame:
-    """Compile a BGP (+ one OPTIONAL group) into a join tree."""
+    """Compile a BGP (+ OPTIONAL groups) into a join tree.
+
+    ``optional`` accepts either a flat pattern list (one OPTIONAL group)
+    or a list of groups — each group solves independently (inner joins
+    within) and left-joins onto the required solutions in order, the
+    standard SPARQL semantics for multiple OPTIONAL clauses."""
     if not patterns:
         raise ValueError("empty BGP")
     result = patterns[0].compile(triples)
@@ -108,9 +113,16 @@ def bgp_join(
         right = pat.compile(triples)
         shared = sorted(set(result.columns) & set(right.columns))
         result = result.join(right, on=shared, how="inner") if shared else result.crossJoin(right)
-    if optional:
-        opt = optional[0].compile(triples)
-        for pat in optional[1:]:
+    groups: List[Sequence[TriplePattern]]
+    if optional and isinstance(optional[0], TriplePattern):
+        groups = [list(optional)]
+    else:
+        groups = [list(g) for g in optional]
+    for group in groups:
+        if not group:
+            continue
+        opt = group[0].compile(triples)
+        for pat in group[1:]:
             right = pat.compile(triples)
             shared = sorted(set(opt.columns) & set(right.columns))
             opt = opt.join(right, on=shared, how="inner") if shared else opt.crossJoin(right)

@@ -64,7 +64,7 @@ class SparqlQuery:
     variables: Optional[List[str]]  # None == SELECT *
     distinct: bool
     patterns: List[TriplePattern]
-    optional: List[TriplePattern]
+    optional: List[List[TriplePattern]]  # one entry per OPTIONAL clause
     union_groups: List[List[TriplePattern]]
     filters: List[str]
     order_by: List[Tuple[str, bool]]  # (var, ascending)
@@ -161,7 +161,9 @@ class _Parser:
             if k == "kw" and v.upper() == "OPTIONAL":
                 self.next()
                 self.expect_punct("{")
-                self._parse_group(q, q.optional)
+                group: List[TriplePattern] = []
+                self._parse_group(q, group)
+                q.optional.append(group)  # each OPTIONAL = its own left join
                 continue
             if k == "kw" and v.upper() == "FILTER":
                 self.next()

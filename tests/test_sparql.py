@@ -139,3 +139,35 @@ def test_execute_fixed_literal_object(spark, triples):
            SELECT ?r WHERE { ?r ex:name "ASIA" . }""",
     )
     assert [r.r for r in out.collect()] == [EX + "region/2"]
+
+
+def test_two_independent_optional_clauses(spark):
+    """Each OPTIONAL {} is its own left join: a subject with only an
+    email must still bind ?email (a merged group would null both)."""
+    from rdf_rs_spark.graph import RdfGraph
+    from rdf_rs_spark.sparql import execute_sparql
+
+    g = RdfGraph.from_turtle_string(
+        spark,
+        """@prefix ex: <http://e.org/> .
+           ex:p1 a ex:Person ; ex:addr "a1" .
+           ex:p2 a ex:Person ; ex:email "e2" .
+           ex:p3 a ex:Person ; ex:addr "a3" ; ex:email "e3" .
+           ex:p4 a ex:Person .""",
+    )
+    out = execute_sparql(
+        g.df,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?p ?addr ?email WHERE {
+             ?p a ex:Person .
+             OPTIONAL { ?p ex:addr ?addr . }
+             OPTIONAL { ?p ex:email ?email . }
+           }""",
+    )
+    rows = {(r.p, r.addr, r.email) for r in out.collect()}
+    assert rows == {
+        ("http://e.org/p1", "a1", None),
+        ("http://e.org/p2", None, "e2"),
+        ("http://e.org/p3", "a3", "e3"),
+        ("http://e.org/p4", None, None),
+    }
