@@ -199,6 +199,8 @@ def _gen_doc(rng) -> str:
         return "_:b" + str(rng.randrange(9))
 
     def literal_():
+        if rng.random() < 0.08:
+            return '"""multi\nline ' + str(rng.randrange(10)) + '"""'
         body = rng.choice(["w", "word", "two words", "it's", "x y z", ""])
         suffix = rng.choice(["", "", "", "@en", "@de-AT", "^^<http://dt.org/t>"])
         return f'"{body}"{suffix}'
@@ -243,7 +245,11 @@ def _gen_doc(rng) -> str:
             stmts.append(f"{subj} {predicate()} {objs} .")
         else:
             stmts.append(f"{subj} {predicate()} {simple_object(0)} .")
-    return "@prefix ex: <http://gen.org/ns/> .\n" + "\n".join(stmts)
+    header = "@prefix ex: <http://gen.org/ns/> .\n"
+    if rng.random() < 0.3:
+        header += "@base <http://base.org/doc" + str(rng.randrange(9)) + "> .\n"
+        stmts.append(f"<#frag{rng.randrange(9)}> {predicate()} {simple_object(0)} .")
+    return header + "\n".join(stmts)
 
 
 def test_differential_fuzz_vs_reference(ref_binary, tmp_path):
