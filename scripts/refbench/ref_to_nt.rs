@@ -11,6 +11,8 @@ use rdf::writer::turtle_writer::TurtleWriter;
 fn main() {
     let mut nt_mode = false;
     let mut ttl_out = false;
+    let mut prefixes: std::collections::HashMap<String, rdf::uri::Uri> =
+        std::collections::HashMap::new();
     for path in std::env::args().skip(1) {
         if path == "--nt" {
             nt_mode = true;
@@ -18,6 +20,16 @@ fn main() {
         }
         if path == "--ttl-out" {
             ttl_out = true;
+            continue;
+        }
+        if let Some(spec) = path.strip_prefix("--prefix=") {
+            // --prefix=name=uri : a clean namespace map for the Turtle
+            // writer (the parser-stored map keeps the trailing colon and
+            // round-trips as `ex::`, an upstream inconsistency)
+            let mut it = spec.splitn(2, '=');
+            let name = it.next().unwrap().to_string();
+            let uri = it.next().unwrap().to_string();
+            prefixes.insert(name, rdf::uri::Uri::new(uri));
             continue;
         }
         let text = std::fs::read_to_string(&path).expect("read");
@@ -28,10 +40,13 @@ fn main() {
         };
         println!("### {}", path);
         if ttl_out {
-            // round-trip through the reference Turtle writer (uses the
-            // graph's own namespaces; byte-deterministic only when the
-            // graph holds at most one prefix)
-            let writer = TurtleWriter::new(&graph.namespaces());
+            // explicit --prefix map when given (deterministic when <=1
+            // prefix); else the graph's own parser-stored namespaces
+            let writer = if prefixes.is_empty() {
+                TurtleWriter::new(graph.namespaces())
+            } else {
+                TurtleWriter::new(&prefixes)
+            };
             print!("{}", writer.write_to_string(&graph).expect("write"));
         } else {
             let writer = NTriplesWriter::new();

@@ -329,3 +329,67 @@ def test_differential_fuzz_nt_vs_reference(ref_binary, tmp_path):
         if ours_nt != ref_nt:
             bad.append((i, doc, ref_nt, ours_nt))
     assert not bad, f"{len(bad)} differ; first: {bad[0]}"
+
+
+def test_turtle_writer_byte_identical_to_reference(ref_binary, tmp_path):
+    """Turtle WRITER conformance vs the living reference: parse identical
+    N-Triples with both implementations, serialize as Turtle with the
+    same (single-prefix) namespace map, compare bodies byte-for-byte —
+    global term-order sort, ';'/',' grouping, alignment indentation and
+    bare-literal rendering all included. (The reference prints prefix
+    directives from the graph's parser-filled namespace map, empty for
+    NT input, so only the body is compared.)"""
+    import random
+
+    from rdf_rs_spark.parsing import parse_ntriples
+    from rdf_rs_spark.serializing import write_turtle_string
+
+    rng = random.Random(20260819)
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    docs = []
+    for _ in range(100):
+        lines = []
+        for _ in range(rng.randrange(2, 9)):
+            subj = rng.choice(
+                [f"<http://e.org/s{rng.randrange(5)}>", f"_:b{rng.randrange(3)}"]
+            )
+            pred = f"<http://e.org/p{rng.randrange(4)}>"
+            r = rng.random()
+            if r < 0.35:
+                obj = f"<http://e.org/o{rng.randrange(6)}>"
+            elif r < 0.5:
+                obj = f"_:o{rng.randrange(3)}"
+            elif r < 0.7:
+                obj = f'"{rng.choice(["v", "w w", "zz"])}"'
+            elif r < 0.85:
+                obj = f'"{rng.randrange(500)}"^^<{xsd_int}>'
+            else:
+                obj = f'"{rng.choice(["x", "y"])}"@en'
+            lines.append(f"{subj} {pred} {obj} .")
+        docs.append("\n".join(lines))
+
+    paths = []
+    for i, doc in enumerate(docs):
+        p = tmp_path / f"tw{i}.nt"
+        p.write_text(doc)
+        paths.append(str(p))
+    out = subprocess.run(
+        [ref_binary, "--nt", "--ttl-out", "--prefix=ex=http://e.org/", *paths],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-400:]
+    sections = out.stdout.split("### ")[1:]
+    assert len(sections) == len(docs)
+    bad = []
+    for i, (doc, section) in enumerate(zip(docs, sections)):
+        _, _, ref_ttl = section.partition("\n")
+        ours = write_turtle_string(parse_ntriples(doc), namespaces={"ex": "http://e.org/"})
+        ours_body = "".join(
+            l for l in ours.splitlines(keepends=True) if not l.startswith("@prefix")
+        )
+        if ours_body != ref_ttl:
+            bad.append((i, doc, ref_ttl, ours_body))
+    assert not bad, (
+        f"{len(bad)}/{len(docs)} differ; first:\nDOC:\n{bad[0][1]}\n"
+        f"REF:\n{bad[0][2]}\nOURS:\n{bad[0][3]}"
+    )
