@@ -93,22 +93,24 @@ _NOT_CRLF_RE = re.compile(r"[^\n\r]*")
 #   qname  sane prefixes only ([A-Za-z][A-Za-z0-9_-]*) — the reference's
 #          scan-to-first-':' quirk for weird prefixes takes the slow path
 _FAST_RE = re.compile(
-    r"(?P<uri><[^>]*>)"
+    r"[ \n\r]*"
+    r"(?:(?P<uri><[^>]*>)"
     r"|(?P<punct>[,;()\[\]])"
     r"|(?P<dot>\.(?![0-9]))"
     r"|(?P<blank>_:[^ \n\r.]*)"
     r'|(?P<lit>"(?!"")[^"]*"(?!["@^]))'
     r"|(?P<a>a(?=[ \n\r.]|$))"
     r"|(?P<int>[+-]?[0-9]{1,18}(?=[ \n\r]|$))"
-    r"|(?P<qname>[A-Za-z][A-Za-z0-9_\-]*:[^ \n\r.]*)"
+    r"|(?P<qname>[A-Za-z][A-Za-z0-9_\-]*:[^ \n\r.]*))"
 )
 # N-Triples mode: only the NT token vocabulary (# " < _ .) — dot is an
 # immediate statement terminator (no numeric speculation in NT).
 _NT_FAST_RE = re.compile(
-    r"(?P<uri><[^>]*>)"
+    r"[ \n\r]*"
+    r"(?:(?P<uri><[^>]*>)"
     r"|(?P<dot>\.)"
     r"|(?P<blank>_:[^ \n\r.]*)"
-    r'|(?P<lit>"(?!"")[^"]*"(?!["@^]))'
+    r'|(?P<lit>"(?!"")[^"]*"(?!["@^])))'
 )
 _PUNCT_TOK = {",": ("comma",), ";": ("semi",), "(": ("lparen",), ")": ("rparen",),
               "[": ("lbracket",), "]": ("rbracket",)}
@@ -185,31 +187,34 @@ class TurtleScanner:
         if self._peeked is not None:
             tok, self._peeked = self._peeked, None
             return tok
-        self._skip_ws()
-        t, n = self.text, len(self.text)
-        if self.pos >= n:
-            return ("eof",)
+        t = self.text
+        # the fast regex consumes leading whitespace itself — one C-level
+        # match replaces the separate skip + token scan
         m = (_NT_FAST_RE if self.nt_mode else _FAST_RE).match(t, self.pos)
         if m is not None:
             self.pos = m.end()
             g = m.lastgroup
             if g == "qname":
-                s = m.group()
+                s = m.group(g)
                 p = s.index(":")
                 return ("qname", s[:p], s[p + 1 :])
             if g == "uri":
-                return ("uri", m.group()[1:-1])
+                return ("uri", m.group(g)[1:-1])
             if g == "lit":
-                return ("literal", m.group()[1:-1], None, None)
+                return ("literal", m.group(g)[1:-1], None, None)
             if g == "punct":
-                return _PUNCT_TOK[m.group()]
+                return _PUNCT_TOK[m.group(g)]
             if g == "dot":
                 return ("dot",)
             if g == "blank":
-                return ("blank", m.group()[2:])
+                return ("blank", m.group(g)[2:])
             if g == "a":
                 return ("a",)
-            return ("literal", m.group(), XSD_INTEGER, None)
+            return ("literal", m.group(g), XSD_INTEGER, None)
+        self._skip_ws()
+        n = len(t)
+        if self.pos >= n:
+            return ("eof",)
         c = t[self.pos]
         if self.nt_mode and c not in '#"<_.':
             raise ParseError("Invalid NTriples input: %r" % c)
