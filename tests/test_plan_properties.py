@@ -83,3 +83,17 @@ def test_bgp_pattern_filters_push_to_scan(spark):
     from rdf_rs_spark.plans.inspect import has_pushed_filters
 
     assert has_pushed_filters(df, "pred")
+
+
+def test_multimodal_plans_never_shuffle_payload(spark):
+    """Frame/chunk expansion works on metadata only — the (huge) binary
+    payload column is pruned from the scan and no exchange appears."""
+    from rdf_rs_spark.operators.multimodal import audio_chunk_plan, frame_sample_plan
+
+    media = spark.createDataFrame(
+        [("m1", "video", bytearray(b"\x00" * 64), {"n_frames": "120", "duration_ms": "90000"})],
+        "media_id string, media_type string, payload binary, meta map<string,string>",
+    )
+    for plan in (frame_sample_plan(media), audio_chunk_plan(media)):
+        assert count_exchanges(plan) == 0
+        assert "payload" not in plan.columns
