@@ -77,6 +77,12 @@ CORPUS = [
     '@prefix ex: <http://e.org/> . ex:s ex:p .5 .',
     '@prefix ex: <http://e.org/> . ex:s ex:p 2e10 .',
     "@prefix ex: <http://e.org/> . ex:s ex:p \"q'uote\" .",  # escape_debug \' quirk
+    '@prefix ex: <http://e.org/> . ex:s ex:p "héllo wörld" .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p "日本語テキスト" .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p "emoji 🙂 end" .',
+    '@prefix ex: <http://é.org/ü> . ex:s ex:p "x" .',
+    '@prefix ex: <http://e.org/> . ex:s ex:p "tab\there" .',     # tab inside literal
+    '@prefix ex: <http://e.org/> . ex:s ex:p "control\x01char" .',  # escape_debug \u{1}
 ]
 
 # N-Triples conformance corpus (parsed with the reference NTriplesParser
