@@ -196,3 +196,28 @@ def test_distributed_turtle_writer_matches_pure_python(spark):
     df = RdfGraph.from_rows(spark, rows).df
     got = write_turtle_string_distributed(df, namespaces=ns)
     assert got == expected
+
+
+def test_qname_col_matches_python_formatter(spark):
+    """The vectorized when-chain QName compression and the pure-Python
+    formatter must agree (longest-prefix match, '/'->':' rewrite,
+    <uri> fallback)."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.terms import _format_uri_turtle
+    from rdf_rs_spark.writers.turtle import qname_col
+
+    ns = {
+        "ex": "http://e.org/",
+        "exdeep": "http://e.org/deep/",
+        "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    }
+    iris = [
+        "http://e.org/a", "http://e.org/deep/x", "http://e.org/deep/x/y",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://other.org/z", "http://e.org/", "http://e.org/a:b",
+    ]
+    expected = [_format_uri_turtle(u, ns) for u in iris]
+    df = spark.createDataFrame([(u,) for u in iris], "uri string")
+    got = [r.q for r in df.select(qname_col(F.col("uri"), ns).alias("q")).collect()]
+    assert got == expected

@@ -171,3 +171,18 @@ def test_two_independent_optional_clauses(spark):
         ("http://e.org/p3", "a3", "e3"),
         ("http://e.org/p4", None, None),
     }
+
+
+def test_offset_executes(spark):
+    from rdf_rs_spark.graph import RdfGraph
+    from rdf_rs_spark.sparql import execute_sparql
+
+    g = RdfGraph.from_turtle_string(
+        spark,
+        '@prefix ex: <http://e.org/> . ex:a ex:v "1" . ex:b ex:v "2" . ex:c ex:v "3" . ex:d ex:v "4" .',
+    )
+    out = execute_sparql(
+        g.df,
+        "PREFIX ex: <http://e.org/> SELECT ?o WHERE { ?s ex:v ?o . } ORDER BY ?o LIMIT 2 OFFSET 1",
+    )
+    assert [r.o for r in out.collect()] == ["2", "3"]
