@@ -621,11 +621,14 @@ def ann_cosine_topk(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE floor(list_dot_product(a.e, b.e)
-          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) * 10000) >= 9500""",
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) * 10000) >= 2900""",
 )
 def embedding_neardup_pairs(spark, sf_dir):
+    # threshold sits at ~p99 of the within-label cosine distribution of the
+    # synthetic embeddings (max ≈ 0.51), so the gate verifies a non-empty
+    # pair set at every sf — 0.95 would make this a trivially-empty check
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup(e, F.col("label"), threshold_e4=9500)
+    return embedding_neardup(e, F.col("label"), threshold_e4=2900)
 
 
 # ---- core analytics (bench anchors) -----------------------------------------

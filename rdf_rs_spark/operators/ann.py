@@ -1,23 +1,32 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
-  set against the corpus; dot products via ``zip_with``/``aggregate``
-  (JVM-side, no UDF); per-query top-k via window rank. The full scan is
-  embarrassingly parallel; at 100 TB this is the verification baseline.
+  set against the corpus; the corpus is never shuffled. Pair scoring is
+  an Arrow-batched numpy kernel (interpreted higher-order-function
+  lambdas cost ~100x on the per-pair hot path; see CLAUDE.md).
 - ``lsh_cosine_topk``: the scale path — sign-random-projection LSH
   buckets (deterministic seeded hyperplanes) shrink each query's
-  candidate set to its bucket (+ optional multi-probe), then exact
-  re-rank within candidates.
-- ``embedding_neardup``: blocked near-duplicate pairs (cosine ≥ τ).
+  candidate set to its bucket, then exact re-rank within candidates.
+- ``embedding_neardup``: blocked near-duplicate pairs (cosine ≥ τ) via a
+  per-block gram matrix in ``applyInPandas`` — O(n·d + n²) numpy work
+  per block instead of materializing n² 2×d-wide join rows.
+
+Numeric contract: every kernel accumulates dot products and norms in
+STRICT dimension order (``for d: acc += a[:,d]*b[:,d]``), which is
+bit-identical to the left fold of ``F.aggregate(F.zip_with(...))`` that
+these kernels replaced — scores, bucket signs, and rank tie-breaks are
+unchanged to the last ulp, so the DuckDB oracles keep matching.
 """
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional
+from typing import List
 
-from pyspark.sql import Column, DataFrame, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql import Window
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -36,6 +45,34 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _stack(s: pd.Series) -> np.ndarray:
+    """Series-of-arrays → (n, d) float64 matrix (empty-safe)."""
+    if len(s) == 0:
+        return np.zeros((0, 0))
+    return np.stack([np.asarray(v, dtype=np.float64) for v in s])
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot with sequential per-dimension accumulation (the bit
+    pattern of a left fold, vectorized ACROSS rows instead of along
+    dimensions)."""
+    acc = np.zeros(len(a), dtype=np.float64)
+    for d in range(a.shape[1] if a.ndim == 2 else 0):
+        acc += a[:, d] * b[:, d]
+    return acc
+
+
+def pair_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine(a, b) with pre-hoisted norms, as one Arrow-batched kernel."""
+
+    @pandas_udf(T.DoubleType())
+    def _cos(va: pd.Series, vb: pd.Series, sna: pd.Series, snb: pd.Series) -> pd.Series:
+        A, B = _stack(va), _stack(vb)
+        return pd.Series(_seq_dot(A, B) / (sna.to_numpy() * snb.to_numpy()))
+
+    return _cos(a, b, na, nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,10 +83,10 @@ def cosine_topk(
     """Exact top-k neighbors per query (self-matches excluded).
 
     Returns (query_id, neighbor_id, rank). The query side is broadcast —
-    the corpus is never shuffled."""
+    the corpus is never shuffled before the join; the only exchange is
+    the per-query window ranking over the |Q|·|C| scored pairs."""
     # norms are per-vector, not per-pair: compute them once before the
-    # join (HOF lambdas are interpreted, so a per-pair norm would rescan
-    # both arrays for every candidate) — same fold order, same bits
+    # join so the per-pair kernel is a single fused dot+divide
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
@@ -59,7 +96,7 @@ def cosine_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -89,13 +126,37 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
 
 
 def srp_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-random-projection bucket id (0 .. 2^n_planes-1)."""
+    """Sign-random-projection bucket id (0 .. 2^n_planes-1), pure column
+    expressions — the reference formulation the Arrow kernel below must
+    match bit-for-bit (kept for cross-validation in tests)."""
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         proj = dot(vec, F.array(*[F.lit(x) for x in plane]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def srp_bucket_arrow(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """``srp_bucket`` as one Arrow-batched kernel: n_planes sequential-fold
+    projections per batch instead of n_planes interpreted array folds per
+    row. Sign decisions are bit-identical to the column-expression form."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf(T.IntegerType())
+    def _bucket(vs: pd.Series) -> pd.Series:
+        M = _stack(vs)
+        if len(M) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        out = np.zeros(len(M), dtype=np.int64)
+        for i, plane in enumerate(planes):
+            acc = np.zeros(len(M), dtype=np.float64)
+            for d in range(dim):
+                acc += M[:, d] * plane[d]
+            out += (acc > 0).astype(np.int64) << i
+        return pd.Series(out.astype(np.int32))
+
+    return _bucket(vec)
 
 
 def lsh_cosine_topk(
@@ -113,19 +174,19 @@ def lsh_cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", srp_bucket(F.col("cv"), dim, n_planes)).withColumn(
+    ).withColumn("bucket", srp_bucket_arrow(F.col("cv"), dim, n_planes)).withColumn(
         "cn", norm(F.col("cv"))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", srp_bucket(F.col("qv"), dim, n_planes)).withColumn(
+    ).withColumn("bucket", srp_bucket_arrow(F.col("qv"), dim, n_planes)).withColumn(
         "qn", norm(F.col("qv"))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn("cos", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -144,23 +205,48 @@ def embedding_neardup(
 ) -> DataFrame:
     """Near-duplicate id pairs within blocks, cosine ≥ threshold/1e4.
 
-    Output is id-only (float-free) for stable cross-engine hashing."""
+    One shuffle (hash partition by block), then a per-block gram matrix
+    in ``applyInPandas``: norms + all-pairs dots as d rank-1 numpy
+    updates, upper triangle filtered by threshold. Blocking keys are
+    chosen to bound block size (lang, length bucket, label, …), so a
+    block always fits one task — the previous self-join formulation
+    materialized n² join rows each carrying both d-wide vectors and
+    scored them with interpreted per-element folds.
+
+    Output is id-only (float-free) for stable cross-engine hashing.
+    Null blocks are dropped (join semantics of the blocked formulation).
+    """
     v = df.select(
         block.alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("n", norm(F.col("v")))
-    a = v.select("block", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = v.select("block", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_e4",
-            F.floor(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000).cast(
-                "bigint"
-            ),
-        )
-        .filter(F.col("cos_e4") >= threshold_e4)
-        .select("id_a", "id_b")
+    ).filter(F.col("block").isNotNull())
+    id_field = v.schema["id"].dataType
+    out_schema = T.StructType(
+        [T.StructField("id_a", id_field), T.StructField("id_b", id_field)]
     )
+    thr = threshold_e4
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(pdf["id"].dtype)
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        M = _stack(pdf["v"])
+        d = M.shape[1]
+        # sequential-fold norms and gram matrix (bit parity with the
+        # left-fold column expressions this replaced)
+        nrm = np.zeros(n, dtype=np.float64)
+        G = np.zeros((n, n), dtype=np.float64)
+        for k_ in range(d):
+            col = M[:, k_]
+            nrm += col * col
+            G += np.outer(col, col)
+        nrm = np.sqrt(nrm)
+        cos_e4 = np.floor(G / np.outer(nrm, nrm) * 10000.0)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = (cos_e4[ia, ib] >= thr) & (ids[ia] < ids[ib])
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+
+    return v.groupBy("block").applyInPandas(per_block, out_schema)

@@ -189,6 +189,75 @@ def test_embedding_neardup_blocked(spark, embeddings):
         assert r.id_a < r.id_b
 
 
+def test_srp_bucket_arrow_matches_column_expr(spark, embeddings):
+    """The Arrow SRP kernel must reproduce the column-expression fold
+    bit-for-bit — a flipped sign on a near-zero projection would silently
+    reshuffle LSH buckets."""
+    from rdf_rs_spark.operators.ann import srp_bucket, srp_bucket_arrow
+
+    v = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    both = v.select(
+        "vec_id",
+        srp_bucket(F.col("v"), dim=64).alias("ref"),
+        srp_bucket_arrow(F.col("v"), dim=64).alias("arrow"),
+    )
+    assert both.filter(F.col("ref") != F.col("arrow")).count() == 0
+
+
+def test_pair_cosine_matches_interpreted_fold(spark, embeddings):
+    """pair_cosine (numpy sequential-fold) ≡ the interpreted
+    aggregate/zip_with fold, to the last ulp."""
+    from rdf_rs_spark.operators.ann import dot, norm, pair_cosine
+
+    v = embeddings.limit(40).select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    a = v.select(F.col("id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+    both = pairs.select(
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("ref"),
+        pair_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")).alias("arrow"),
+    )
+    assert both.filter(F.col("ref") != F.col("arrow")).count() == 0
+
+
+def test_embedding_neardup_matches_join_formulation(spark, embeddings):
+    """Per-block gram-matrix path ≡ the blocked self-join + interpreted
+    per-pair fold it replaced (non-empty at this threshold)."""
+    from rdf_rs_spark.operators.ann import dot, norm
+
+    thr = 2900
+    v = embeddings.select(
+        F.col("label").alias("block"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+    a = v.select("block", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select("block", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    ref = (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_e4",
+            F.floor(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 10000
+            ).cast("bigint"),
+        )
+        .filter(F.col("cos_e4") >= thr)
+        .select("id_a", "id_b")
+    )
+    ref_pairs = {(r.id_a, r.id_b) for r in ref.collect()}
+    new_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup(embeddings, F.col("label"), threshold_e4=thr).collect()
+    }
+    assert len(new_pairs) > 0
+    assert new_pairs == ref_pairs
+
+
 def test_fuzzy_linking_lsh(spark):
     pages = spark.createDataFrame(
         [("u1", "article about internationalbusinessmachine here")],
