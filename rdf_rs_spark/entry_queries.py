@@ -516,6 +516,78 @@ def docs_fingerprint(spark, sf_dir):
 
 
 @q(
+    "docs_repetition_score",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                  FROM documents WHERE length(trim(text)) > 0),
+    g AS (SELECT doc_id, len(toks) AS n_tokens,
+          unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS gram
+          FROM t),
+    c AS (SELECT doc_id, n_tokens, gram, count(*) AS cnt FROM g GROUP BY doc_id, n_tokens, gram)
+    SELECT doc_id, floor(max(cnt) * 2 * 1000.0 / max(n_tokens))::BIGINT AS rep_e3
+    FROM c GROUP BY doc_id""",
+)
+def docs_repetition_score(spark, sf_dir):
+    """Gopher-style repeated-2-gram coverage in milli-units (docs with <2
+    tokens produce no grams and are absent)."""
+    from .operators.corpus import repetition_score_e3
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_score_e3(d, F.col("text"), k=2)
+
+
+@q(
+    "docs_decontaminate",
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+    g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 3, 0)),
+          i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM t),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT doc_id, count(*)::BIGINT AS n_hits
+    FROM train JOIN bench USING (gram) GROUP BY doc_id""",
+)
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 97 != 0) sharing
+    any distinct word 4-gram with the held-out eval slice (doc_id % 97
+    == 0); the eval gram set is broadcast — no corpus shuffle."""
+    from .operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), k=4
+    )
+
+
+@q(
+    "corpus_domain_stats",
+    f"""SELECT source AS domain, lang, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       floor(avg(q_e3))::BIGINT AS mean_quality_e3
+    FROM (SELECT source, lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+          floor(1000 * (
+            0.5 * least(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 100) / 100.0
+            + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)
+                ELSE 0.0 END)
+            + 0.2 * CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    t -> list_contains({_STOP_SQL}, t))) * 1.0
+                / len(regexp_split_to_array(trim(text), '\\s+')) END)) AS q_e3
+          FROM documents)
+    GROUP BY source, lang""",
+)
+def corpus_domain_stats(spark, sf_dir):
+    """C4-style corpus composition audit per (source domain, lang)."""
+    from .operators.corpus import domain_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return domain_stats(d, F.col("text"), F.col("source"), F.col("lang"))
+
+
+@q(
     "dedup_exact_docs",
     """SELECT dup_key, min(doc_id) AS keep_id, count(*) AS n_members
        FROM (SELECT md5(array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:3], ' ')) AS dup_key,

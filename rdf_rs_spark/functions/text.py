@@ -65,8 +65,8 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles as an array<string> (distinct, for Jaccard).
+def word_grams(text: Column, k: int = 3) -> Column:
+    """Word k-grams WITH multiplicity, as an array<string>.
 
     The tokenization is bound ONCE per row by routing it through a
     single-element-array ``transform`` whose lambda variable carries the
@@ -86,4 +86,9 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         )
 
     bound = F.transform(F.array(tokens_col(text)), grams)
-    return F.array_distinct(F.element_at(bound, 1))
+    return F.element_at(bound, 1)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (distinct, for Jaccard)."""
+    return F.array_distinct(word_grams(text, k))

@@ -1,0 +1,103 @@
+"""Corpus-level quality and contamination operators for training-data
+pipelines (SURVEY.md training-pipeline mandate, beyond-reference).
+
+- ``repetition_score_e3``: Gopher-style repeated-n-gram quality signal —
+  the fraction of a document's tokens covered by its single most
+  frequent word k-gram (Rae et al. 2021 §A1.1 use such thresholds to
+  drop boilerplate/spam). Exact, via explode → two-level aggregate;
+  both aggregates combine map-side, so the shuffle carries at most one
+  row per (doc, distinct-gram), never the raw token stream.
+- ``decontaminate``: benchmark-overlap flagging — training docs sharing
+  any word k-gram with a held-out evaluation corpus (the n-gram-overlap
+  method reported for GPT-3/PaLM training sets). The benchmark gram set
+  is broadcast: eval suites are tiny (≤ millions of grams) next to a
+  100 TB corpus, so the corpus is never shuffled — a narrow hash-probe
+  per training gram.
+- ``domain_stats``: per-source corpus composition report (doc counts,
+  token mass, quality quantiles) — the C4-style audit table produced
+  before sampling weights are chosen.
+
+All outputs are integer-scaled (hash-stable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import quality_score_e3, token_count, word_grams, word_shingles
+
+
+def repetition_score_e3(
+    df: DataFrame, text: Column, k: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, rep_e3): milli-fraction of tokens covered by the most frequent
+    word k-gram — ``floor(max_gram_count * k * 1000 / n_tokens)``.
+
+    Documents with fewer than ``k`` tokens produce no grams and are
+    absent from the output (they cannot be repetitive)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        token_count(text).alias("n_tokens"),
+        F.explode(word_grams(text, k)).alias("gram"),
+    )
+    per_gram = grams.groupBy("id", "n_tokens", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy("id", "n_tokens")
+        .agg(F.max("cnt").alias("max_cnt"))
+        .select(
+            F.col("id").alias(id_col),
+            F.floor(F.col("max_cnt") * k * 1000.0 / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("rep_e3"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_hits): training docs sharing ≥1 distinct word k-gram with
+    the benchmark corpus, with the count of distinct contaminated grams.
+
+    The benchmark side collapses to a distinct gram set and is broadcast;
+    the training side stays partition-local (no corpus shuffle before the
+    per-doc count)."""
+    bg = (
+        bench.select(F.explode(word_shingles(F.col(text_col), k)).alias("gram"))
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), k)).alias("gram")
+    )
+    return (
+        tg.join(F.broadcast(bg), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("id").alias(id_col), F.col("n_hits").cast("bigint"))
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    text: Column,
+    domain: Column,
+    lang: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus composition per (domain, lang): doc count, token mass, and
+    integer-scaled mean quality — one map-side-combining aggregate."""
+    rows = df.select(
+        domain.alias("domain"),
+        lang.alias("lang"),
+        token_count(text).alias("n_tokens"),
+        quality_score_e3(text).alias("q_e3"),
+    )
+    return rows.groupBy("domain", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.floor(F.avg("q_e3")).cast("bigint").alias("mean_quality_e3"),
+    )

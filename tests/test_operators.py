@@ -258,6 +258,47 @@ def test_embedding_neardup_matches_join_formulation(spark, embeddings):
     assert new_pairs == ref_pairs
 
 
+def test_repetition_score_exact(spark):
+    from rdf_rs_spark.operators.corpus import repetition_score_e3
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w"), (3, "t")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.rep_e3 for r in repetition_score_e3(df, F.col("text"), k=2).collect()}
+    # doc1: 6 tokens, "a b" appears 3x → floor(3*2*1000/6) = 1000 (fully covered)
+    assert out[1] == 1000
+    # doc2: 4 tokens, all 2-grams unique → floor(1*2*1000/4) = 500
+    assert out[2] == 500
+    # doc3: single token — no grams, absent
+    assert 3 not in out
+
+
+def test_decontaminate_flags_overlap(spark):
+    from rdf_rs_spark.operators.corpus import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_hits for r in decontaminate(train, bench, k=4).collect()}
+    assert out == {1: 1}  # only "quick brown fox jumps" is shared
+
+
+def test_domain_stats_composition(spark, docs):
+    from rdf_rs_spark.operators.corpus import domain_stats
+
+    out = domain_stats(docs, F.col("text"), F.col("source"), F.col("lang"))
+    rows = out.collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.total_tokens >= 0 and 0 <= r.mean_quality_e3 <= 1000 for r in rows)
+
+
 def test_fuzzy_linking_lsh(spark):
     pages = spark.createDataFrame(
         [("u1", "article about internationalbusinessmachine here")],

@@ -63,6 +63,23 @@ def test_lsh_topk_is_equijoin_not_cross(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_corpus_never_shuffles_prejoin(spark):
+    """Decontamination probes a broadcast benchmark gram set: the training
+    gram stream (the 100 TB side) must reach the join without a shuffle.
+    The only hash exchanges are the bench-side distinct and the final
+    per-doc count — both tiny."""
+    from rdf_rs_spark.operators.corpus import decontaminate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), k=4
+    )
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_exchanges(df) <= 2
+
+
 def test_bgp_pattern_filters_push_to_scan(spark):
     """Each BGP pattern's fixed-term equality must reach the parquet scan
     as a pushed filter (partition/row-group pruning at scale)."""
