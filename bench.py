@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "embedding_neardup_pairs",
     "docs_quality_score",
+    "docs_repetition_score",
+    "docs_decontaminate",
+    "corpus_domain_stats",
     "tpch_q1_pricing_summary",
     "tpch_q3_topk_revenue",
     "events_sessionize",

@@ -4,9 +4,10 @@ pipelines (SURVEY.md training-pipeline mandate, beyond-reference).
 - ``repetition_score_e3``: Gopher-style repeated-n-gram quality signal —
   the fraction of a document's tokens covered by its single most
   frequent word k-gram (Rae et al. 2021 §A1.1 use such thresholds to
-  drop boilerplate/spam). Exact, via explode → two-level aggregate;
-  both aggregates combine map-side, so the shuffle carries at most one
-  row per (doc, distinct-gram), never the raw token stream.
+  drop boilerplate/spam). Per-document and therefore NARROW: one
+  Arrow-batched kernel, zero shuffles — an explode → groupBy(doc, gram)
+  formulation would shuffle the corpus's entire gram stream to compute
+  a row-local statistic.
 - ``decontaminate``: benchmark-overlap flagging — training docs sharing
   any word k-gram with a held-out evaluation corpus (the n-gram-overlap
   method reported for GPT-3/PaLM training sets). The benchmark gram set
@@ -22,34 +23,45 @@ All outputs are integer-scaled (hash-stable across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import re
+from collections import Counter
 
-from ..functions.text import quality_score_e3, token_count, word_grams, word_shingles
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.text import quality_score_e3, token_count, word_shingles
+
+#: ASCII \S+ ≡ Java's \s complement ([ \t\n\x0B\f\r]) — the same token
+#: boundaries as functions.text.tokens_col (trim + split on \s+)
+_TOKEN_RE = re.compile(r"\S+", re.ASCII)
 
 
 def repetition_score_e3(
     df: DataFrame, text: Column, k: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, rep_e3): milli-fraction of tokens covered by the most frequent
-    word k-gram — ``floor(max_gram_count * k * 1000 / n_tokens)``.
+    word k-gram — ``floor(max_gram_count * k * 1000 / n_tokens)``
+    (pure integer arithmetic, so engines agree exactly).
 
     Documents with fewer than ``k`` tokens produce no grams and are
     absent from the output (they cannot be repetitive)."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        token_count(text).alias("n_tokens"),
-        F.explode(word_grams(text, k)).alias("gram"),
-    )
-    per_gram = grams.groupBy("id", "n_tokens", "gram").agg(F.count("*").alias("cnt"))
-    return (
-        per_gram.groupBy("id", "n_tokens")
-        .agg(F.max("cnt").alias("max_cnt"))
-        .select(
-            F.col("id").alias(id_col),
-            F.floor(F.col("max_cnt") * k * 1000.0 / F.col("n_tokens"))
-            .cast("bigint")
-            .alias("rep_e3"),
-        )
+
+    @pandas_udf(T.LongType())
+    def _rep(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = _TOKEN_RE.findall(t) if t else []
+            n = len(toks)
+            if n < k:
+                out.append(None)
+                continue
+            counts = Counter(tuple(toks[i : i + k]) for i in range(n - k + 1))
+            out.append(max(counts.values()) * k * 1000 // n)
+        return pd.Series(out, dtype="Int64")
+
+    return df.select(F.col(id_col), _rep(text).alias("rep_e3")).filter(
+        F.col("rep_e3").isNotNull()
     )
 
 

@@ -63,6 +63,30 @@ def test_lsh_topk_is_equijoin_not_cross(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_repetition_score_is_narrow(spark):
+    """Repetition scoring is per-document: the plan must contain NO
+    shuffle at all — an explode + groupBy formulation would move the
+    corpus's whole gram stream."""
+    from rdf_rs_spark.operators.corpus import repetition_score_e3
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = repetition_score_e3(d, F.col("text"), k=2)
+    assert count_exchanges(df) == 0
+
+
+def test_repetition_tokenizer_matches_column_expr(spark):
+    """The Arrow kernel's ASCII \\S+ tokenization must agree with
+    tokens_col (trim + Java \\s+ split) on the corpus — a boundary
+    mismatch would shift every k-gram."""
+    from rdf_rs_spark.functions.text import tokens_col
+    from rdf_rs_spark.operators.corpus import _TOKEN_RE
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = d.select("text", tokens_col(F.col("text")).alias("toks")).collect()
+    for r in rows:
+        assert _TOKEN_RE.findall(r.text or "") == list(r.toks)
+
+
 def test_decontaminate_corpus_never_shuffles_prejoin(spark):
     """Decontamination probes a broadcast benchmark gram set: the training
     gram stream (the 100 TB side) must reach the join without a shuffle.
