@@ -107,31 +107,40 @@ def minhash_band_table(
     One-permutation MinHash (Li/Owen/Zhang 2012): ONE md5 per shingle,
     binned into ``n_hashes`` signature slots by the hash's own leading
     hex digit, min per (doc, bin). Equivalent banding quality to
-    independent seeded hashes at 1/``n_hashes`` the hashing cost, and
-    still a single map-side-combining hash-aggregate shuffle — the
-    explode-then-aggregate shape scales to billions of shingles. Empty
-    bins (P≈(15/16)^|shingles|) stay NULL; ``concat_ws`` drops them from
-    the band key identically on Spark and any ANSI-SQL oracle."""
+    independent seeded hashes at 1/``n_hashes`` the hashing cost.
+
+    The signature is PER-DOCUMENT, so it's computed in one narrow
+    Arrow-batched kernel — no shuffle; an explode → groupBy(id)
+    formulation would move the corpus's whole shingle stream to build a
+    row-local value. Band keys are byte-identical to the SQL form
+    (``hashlib.md5`` of the UTF-8 shingle ≡ ``F.md5`` ≡ DuckDB ``md5``;
+    empty bins dropped from the key exactly like ``concat_ws``)."""
     assert n_hashes == 16, "bins are the 16 leading hex digits"
-    ex = docs.select("id", F.explode("shingles").alias("s"))
-    hs = ex.select(
-        "id",
-        F.md5(F.concat(F.lit("seed:"), F.col("s"))).alias("h"),
-    ).withColumn("bin", F.substring("h", 1, 1))
-    mins = hs.groupBy("id").agg(
-        *[
-            F.min(F.when(F.col("bin") == d, F.col("h"))).alias(f"m{i}")
-            for i, d in enumerate(_HEX)
-        ]
-    )
     rows = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.concat_ws("|", *[F.col(f"m{b * rows + r}") for r in range(rows)])
-            for b in range(n_bands)
-        ]
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _bands(shingle_arrays: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for sh in shingle_arrays:
+            mins: List = [None] * 16
+            for s in sh:
+                h = hashlib.md5(("seed:" + s).encode("utf-8")).hexdigest()
+                b = int(h[0], 16)
+                if mins[b] is None or h < mins[b]:
+                    mins[b] = h
+            out.append(
+                [
+                    "|".join(x for x in mins[b * rows : (b + 1) * rows] if x is not None)
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return docs.select(
+        "id", F.posexplode(_bands(F.col("shingles"))).alias("band_idx", "band_key")
     )
-    return mins.select("id", F.posexplode(bands).alias("band_idx", "band_key"))
 
 
 def dedup_minhash_lsh(

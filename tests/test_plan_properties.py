@@ -87,6 +87,46 @@ def test_repetition_tokenizer_matches_column_expr(spark):
         assert _TOKEN_RE.findall(r.text or "") == list(r.toks)
 
 
+def test_minhash_band_table_is_narrow(spark):
+    """The MinHash signature is per-document: banding must be one narrow
+    Arrow stage with NO shuffle (the band self-join that follows is the
+    first legitimate exchange)."""
+    from rdf_rs_spark.functions.text import word_shingles
+    from rdf_rs_spark.operators.dedup import minhash_band_table
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = d.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    assert count_exchanges(minhash_band_table(docs)) == 0
+
+
+def test_minhash_band_table_matches_aggregate_formulation(spark):
+    """Arrow banding kernel ≡ the explode → 16-way min aggregate it
+    replaced, byte-for-byte on every (id, band_idx, band_key)."""
+    from rdf_rs_spark.functions.text import word_shingles
+    from rdf_rs_spark.operators.dedup import _HEX, minhash_band_table
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = d.select(
+        F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    ex = docs.select("id", F.explode("shingles").alias("s"))
+    hs = ex.select("id", F.md5(F.concat(F.lit("seed:"), F.col("s"))).alias("h")).withColumn(
+        "bin", F.substring("h", 1, 1)
+    )
+    mins = hs.groupBy("id").agg(
+        *[F.min(F.when(F.col("bin") == c, F.col("h"))).alias(f"m{i}") for i, c in enumerate(_HEX)]
+    )
+    bands = F.array(
+        *[F.concat_ws("|", *[F.col(f"m{b * 4 + r}") for r in range(4)]) for b in range(4)]
+    )
+    ref = mins.select("id", F.posexplode(bands).alias("band_idx", "band_key"))
+    got = {(r.id, r.band_idx, r.band_key) for r in minhash_band_table(docs).collect()}
+    want = {(r.id, r.band_idx, r.band_key) for r in ref.collect()}
+    assert got == want
+
+
 def test_decontaminate_corpus_never_shuffles_prejoin(spark):
     """Decontamination probes a broadcast benchmark gram set: the training
     gram stream (the 100 TB side) must reach the join without a shuffle.
