@@ -472,6 +472,23 @@ _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
 
 @q(
+    "docs_bpe_token_count",
+    r"""SELECT doc_id,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT
+         AS n_bpe_tokens
+       FROM documents""",
+)
+def docs_bpe_token_count(spark, sf_dir):
+    """LLM-tokenizer-style counting: the GPT-2-ish pre-split regex,
+    restricted to the Java-regex ∩ RE2 subset so both engines match
+    identically (leftmost-first alternation in both)."""
+    from .functions.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@q(
     "docs_quality_score",
     f"""SELECT doc_id, floor(1000 * (
          0.5 * least(len(toks), 100) / 100.0

@@ -31,6 +31,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text)).cast("bigint")
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style, simplified to the subset
+#: both Java regex and RE2 support — no lookarounds): contraction tails,
+#: space-prefixed letter runs, digit runs, punctuation runs. Both engines
+#: use leftmost-first alternation, so matches agree.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-style token count: non-overlapping matches of the BPE-ish
+    pre-tokenizer regex (whitespace between matches is skipped, not
+    counted). The whitespace counter above approximates words; this one
+    approximates LLM tokenizer pre-splitting."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("bigint")
+
+
 def quality_score_e3(text: Column) -> Column:
     """Quality score scaled to integer milli-units (hash-stable):
 

@@ -258,6 +258,22 @@ def test_embedding_neardup_matches_join_formulation(spark, embeddings):
     assert new_pairs == ref_pairs
 
 
+def test_bpe_token_count_exact(spark):
+    from rdf_rs_spark.functions.text import bpe_token_count
+
+    cases = [
+        (1, "don't stop", 3),  # don | 't | " stop"
+        (2, "abc123 déjà-vu!", 6),  # abc | 123 | " déjà" | - | vu | !
+        (3, "", 0),
+        (4, "   ", 0),  # pure whitespace: no matches
+        (5, "a  b", 2),  # multi-space gap: " b" still one token
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "doc_id long, text string")
+    out = {r.doc_id: r.n for r in df.select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    for i, _, want in cases:
+        assert out[i] == want, (i, out[i], want)
+
+
 def test_repetition_score_exact(spark):
     from rdf_rs_spark.operators.corpus import repetition_score_e3
 
