@@ -1252,6 +1252,20 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@q("ann_ivf_topk")  # no SQL oracle: iterative k-means training (rows-only gate;
+# recall and determinism are pinned in tests/test_operators.py)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF scale path: spherical-k-means coarse quantizer (deterministic
+    content-hash init, Arrow-kernel partial sums), nprobe cluster probe,
+    exact re-rank within candidates."""
+    from .operators.ann import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
 # ---- beyond-reference analytics: grouping sets, frames, set ops -------------
 
 

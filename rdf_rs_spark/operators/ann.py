@@ -196,6 +196,150 @@ def lsh_cosine_topk(
     )
 
 
+def spherical_kmeans(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic spherical k-means coarse quantizer (the IVF training
+    step). Returns k unit-norm centroids.
+
+    - init: the k corpus vectors with the smallest ``sha2(id)`` —
+      content-addressed, so retries/resume/any parallelism pick the same
+      seeds (no RNG, no ``takeSample``).
+    - each Lloyd iteration: assignment is a narrow Arrow kernel against
+      the broadcast centroid matrix; the mean-update aggregates
+      PARTIAL (cluster, count, sum-vector) rows per Arrow batch, so the
+      shuffle carries ≤ batches × k tiny rows — never the vector stream.
+    - only k × dim doubles ever reach the driver.
+    """
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = (
+        v.withColumn("h", F.sha2(F.col("id").cast("string"), 256))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+
+    def unit(m: np.ndarray) -> np.ndarray:
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        n[n == 0] = 1.0
+        return m / n
+
+    centroids = unit(np.array([r.v for r in seeds], dtype=np.float64))
+
+    part_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(iters):
+        C = centroids  # bind the current iteration's matrix into the closure
+
+        def partials(batches, C=C):
+            for pdf in batches:
+                M = _stack(pdf["v"])
+                if len(M) == 0:
+                    continue
+                Mu = M / np.maximum(np.sqrt((M * M).sum(axis=1, keepdims=True)), 1e-300)
+                assign = np.argmax(Mu @ C.T, axis=1)  # ties → lowest cluster id
+                rows = []
+                for c in np.unique(assign):
+                    sel = M[assign == c]
+                    rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "s"])
+
+        parts = v.mapInPandas(partials, part_schema)
+        # the tiny partials (≤ batches × k rows) are safe to explode
+        sums = (
+            parts.select("cluster", "n", F.posexplode("s").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("x").alias("sx"), F.sum(F.when(F.col("d") == 0, F.col("n"))).alias("cnt"))
+            .collect()
+        )
+        new = np.array(centroids)
+        counts = np.zeros(k)
+        acc = np.zeros((k, dim))
+        for r in sums:
+            acc[r.cluster, r.d] = r.sx
+            if r.d == 0:
+                counts[r.cluster] = r.cnt
+        nonempty = counts > 0
+        new[nonempty] = unit(acc[nonempty] / counts[nonempty, None])
+        centroids = new
+    return centroids.tolist()
+
+
+def ivf_assign(vec: Column, centroids: List[List[float]], nprobe: int = 1) -> Column:
+    """The ``nprobe`` nearest centroid ids (by cosine) as array<int> —
+    one narrow Arrow kernel against the broadcast centroid matrix."""
+    C = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vs: pd.Series) -> pd.Series:
+        M = _stack(vs)
+        if len(M) == 0:
+            return pd.Series([], dtype="object")
+        Mu = M / np.maximum(np.sqrt((M * M).sum(axis=1, keepdims=True)), 1e-300)
+        scores = Mu @ C.T
+        # stable top-nprobe: argsort on (-score, cluster_id)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _assign(vec)
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means coarse quantizer, corpus
+    vectors indexed by nearest centroid, queries probe their ``nprobe``
+    nearest clusters and re-rank exactly within the candidates.
+
+    At 10^12 vectors the cluster equi-join replaces the cross product
+    with an ``nprobe/n_clusters``-selective probe, and (unlike SRP-LSH)
+    the partition is data-adaptive — cells follow the corpus density."""
+    cents = spherical_kmeans(corpus, dim, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn(
+        "cluster", F.element_at(ivf_assign(F.col("cv"), cents, nprobe=1), 1)
+    ).withColumn("cn", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "cluster", F.explode(ivf_assign(F.col("qv"), cents, nprobe=nprobe))
+    ).withColumn("qn", norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     block: Column,
