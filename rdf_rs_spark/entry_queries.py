@@ -617,9 +617,7 @@ def dedup_exact_docs(spark, sf_dir):
     return dedup_exact(d, key)
 
 
-@q(
-    "dedup_minhash_pairs",
-    f"""WITH docs AS (
+_DD_MINHASH_CTES = f"""docs AS (
       SELECT doc_id AS id, {_DD_SHINGLES} AS shingles FROM documents
       WHERE len({_DD_TOKENS}) >= 3
     ), sigs AS (
@@ -631,13 +629,43 @@ def dedup_exact_docs(spark, sf_dir):
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.shingles AS sh_a, b.shingles AS sh_b
       FROM exploded a JOIN exploded b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
-    )
-    SELECT id_a, id_b FROM pairs
-    WHERE len(list_intersect(sh_a, sh_b)) * 1.0 / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5""",
-)
+    ), verified AS (
+      SELECT id_a, id_b FROM pairs
+      WHERE len(list_intersect(sh_a, sh_b)) * 1.0 / len(list_distinct(list_concat(sh_a, sh_b))) >= 0.5
+    )"""
+
+
+@q("dedup_minhash_pairs", f"WITH {_DD_MINHASH_CTES}\n    SELECT id_a, id_b FROM verified")
 def dedup_minhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup_minhash_lsh(d, F.col("text"), jaccard_threshold=0.5)
+
+
+@q(
+    "dedup_neardup_clusters",
+    f"""WITH RECURSIVE {_DD_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    )
+    SELECT src AS id, min(dst) AS component, (src = min(dst)) AS keep
+    FROM reach GROUP BY src""",
+)
+def dedup_neardup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate groups via min-label-propagation
+    connected components; `keep` marks the canonical survivor (min id).
+    Labels are integers, so the recursive-closure oracle replays the
+    fixpoint exactly."""
+    from .operators.components import neardup_clusters
+    from .operators.dedup import dedup_minhash_lsh as _mh
+
+    d = _t(spark, sf_dir, "documents")
+    return neardup_clusters(_mh(d, F.col("text"), jaccard_threshold=0.5))
 
 
 @q(

@@ -1,0 +1,65 @@
+"""Connected components over an edge list — the clustering step that
+turns near-duplicate PAIRS into duplicate GROUPS (one canonical doc kept
+per component; the others dropped from the training corpus).
+
+Min-label propagation: every node's label converges to the smallest
+node id in its component, in O(diameter) rounds. Near-dup components
+are small cliques/chains (diameter ≲ 3), so convergence is fast; each
+round is one join + one map-side-combining min aggregate, and the label
+frame is persisted + localCheckpoint'ed per round so the iterative plan
+doesn't accumulate lineage (on a cluster, set a checkpoint dir and use
+``checkpoint`` instead). Labels only ever decrease, integer-exact —
+results are engine-independent, so a recursive-closure SQL oracle can
+replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges`` (undirected);
+    ``component`` = min node id of the component. Isolated nodes (no
+    edges) are not emitted — their component is trivially themselves."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        joined = labels.join(nb, labels["id"] == nb["s"], "left").select(
+            "id",
+            "label",
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("new_label"),
+        )
+        joined = joined.localCheckpoint(eager=True)
+        changed = joined.filter(F.col("new_label") < F.col("label")).count()
+        labels = joined.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def neardup_clusters(pairs: DataFrame) -> DataFrame:
+    """(id, component, keep) from near-dup pairs: every clustered doc with
+    its component id and whether it's the canonical survivor (the min id).
+    Downstream: ``filter(~keep)`` is the drop list."""
+    cc = connected_components(pairs)
+    return cc.select(
+        "id", "component", (F.col("id") == F.col("component")).alias("keep")
+    )

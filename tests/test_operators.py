@@ -293,6 +293,21 @@ def test_embedding_neardup_matches_join_formulation(spark, embeddings):
     assert new_pairs == ref_pairs
 
 
+def test_connected_components_exact(spark):
+    from rdf_rs_spark.operators.components import connected_components, neardup_clusters
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    keep = {r.id: r.keep for r in neardup_clusters(edges).collect()}
+    assert keep == {1: True, 2: False, 3: False, 4: False,
+                    10: True, 11: False, 12: False, 20: True, 21: False}
+
+
 def test_bpe_token_count_exact(spark):
     from rdf_rs_spark.functions.text import bpe_token_count
 
