@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "docs_repetition_score",
     "docs_decontaminate",
     "corpus_domain_stats",
+    "corpus_curation_pipeline",
     "tpch_q1_pricing_summary",
     "tpch_q3_topk_revenue",
     "events_sessionize",

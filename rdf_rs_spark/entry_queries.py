@@ -1280,6 +1280,78 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_curation_pipeline",
+    f"""WITH RECURSIVE {_DD_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ),
+    reach AS (
+      SELECT s AS src, s AS dst FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    droplist AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> min(dst)),
+    rt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+    rg AS (SELECT doc_id, len(toks) AS n_tokens,
+           unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS gram
+           FROM rt),
+    rc AS (SELECT doc_id, n_tokens, gram, count(*) AS cnt FROM rg GROUP BY doc_id, n_tokens, gram),
+    rep AS (SELECT doc_id, floor(max(cnt) * 2 * 1000.0 / max(n_tokens))::BIGINT AS rep_e3
+            FROM rc GROUP BY doc_id),
+    base AS (SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+       floor(1000 * (
+         0.5 * least(len(toks), 100) / 100.0
+         + 0.3 * (1.0 - CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END)
+         + 0.2 * CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks)
+             ELSE 0.0 END))::BIGINT AS quality_e3
+       FROM (SELECT doc_id, lang, text,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+             FROM documents))
+    SELECT b.doc_id, b.n_tokens, b.quality_e3
+    FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+    WHERE b.lang = 'en' AND b.quality_e3 >= 450 AND coalesce(r.rep_e3, 0) <= 150
+      AND b.doc_id NOT IN (SELECT doc_id FROM droplist)""",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The full training-corpus curation pass as ONE declarative job:
+    language filter → quality floor → repetition cap → near-dup
+    drop-list anti-join. Every stage is an operator registered above;
+    this entry pins their composition. Scale shape: per-doc scores are
+    narrow; the only joins are doc_id-keyed (rep) and an anti-join
+    against the tiny drop list (AQE broadcasts it)."""
+    from .operators.components import neardup_clusters
+    from .operators.corpus import repetition_score_e3
+    from .operators.dedup import dedup_minhash_lsh as _mh
+
+    d = _t(spark, sf_dir, "documents")
+    rep = repetition_score_e3(d, F.col("text"), k=2)
+    drop = (
+        neardup_clusters(_mh(d, F.col("text"), jaccard_threshold=0.5))
+        .filter(~F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return (
+        d.filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            quality_score_e3(F.col("text")).alias("quality_e3"),
+        )
+        .filter(F.col("quality_e3") >= 450)
+        .join(rep, "doc_id", "left")
+        .filter(F.coalesce(F.col("rep_e3"), F.lit(0)) <= 150)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality_e3")
+    )
+
+
 @q("ann_ivf_topk")  # no SQL oracle: iterative k-means training (rows-only gate;
 # recall and determinism are pinned in tests/test_operators.py)
 def ann_ivf_topk(spark, sf_dir):
