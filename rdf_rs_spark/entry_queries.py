@@ -1281,6 +1281,33 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @q(
+    "corpus_pack_sequences",
+    """WITH toks AS (SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens
+       FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+         (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT AS shard
+       FROM toks WHERE n_tokens > 0),
+    c AS (SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM s)
+    SELECT doc_id, shard, (cum - n_tokens)::BIGINT AS tok_offset,
+       floor((cum - n_tokens) / 512)::BIGINT AS seq_first,
+       floor((cum - 1) / 512)::BIGINT AS seq_last
+    FROM c""",
+)
+def corpus_pack_sequences(spark, sf_dir):
+    """Causal-LM sequence packing plan: hash-sharded doc concatenation cut
+    every 512 tokens; each doc's stream offset and sequence span."""
+    from .operators.corpus import pack_token_stream
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_token_stream(d, F.col("text"), seq_len=512, n_shards=8)
+
+
+@q(
     "corpus_curation_pipeline",
     f"""WITH RECURSIVE {_DD_MINHASH_CTES},
     edges AS (

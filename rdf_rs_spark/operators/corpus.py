@@ -93,6 +93,55 @@ def decontaminate(
     )
 
 
+def md5_shard(col: Column, n_shards: int) -> Column:
+    """Deterministic cross-engine hash shard: first 8 md5 hex digits as an
+    integer, mod ``n_shards`` (Spark ``conv(…,16,10)`` ≡ DuckDB
+    ``('0x'||…)::BIGINT``). Content-addressed like every other id here —
+    identical across engines, retries, and cluster sizes."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % n_shards
+    ).cast("int")
+
+
+def pack_token_stream(
+    df: DataFrame,
+    text: Column,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence-packing plan: docs are hash-sharded, concatenated
+    in doc_id order within each shard, and the token stream is cut every
+    ``seq_len`` tokens (documents may straddle sequence boundaries — the
+    standard causal-LM packing). Emits per doc:
+    (doc_id, shard, tok_offset, seq_first, seq_last).
+
+    One shuffle (the per-shard running-sum window); shards are the write
+    parallelism unit, so n_shards scales with the cluster. Zero-token
+    docs contribute nothing to the stream and are excluded."""
+    rows = df.select(
+        F.col(id_col).alias("doc_id"), token_count(text).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    rows = rows.withColumn("shard", md5_shard(F.col("doc_id"), n_shards))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = rows.withColumn("cum", F.sum("n_tokens").over(w))
+    off = F.col("cum") - F.col("n_tokens")
+    return rows.select(
+        "doc_id",
+        "shard",
+        off.cast("bigint").alias("tok_offset"),
+        F.floor(off / seq_len).cast("bigint").alias("seq_first"),
+        F.floor((F.col("cum") - 1) / seq_len).cast("bigint").alias("seq_last"),
+    )
+
+
 def domain_stats(
     df: DataFrame,
     text: Column,

@@ -293,6 +293,30 @@ def test_embedding_neardup_matches_join_formulation(spark, embeddings):
     assert new_pairs == ref_pairs
 
 
+def test_pack_token_stream_invariants(spark, docs):
+    from rdf_rs_spark.functions.text import token_count
+    from rdf_rs_spark.operators.corpus import pack_token_stream
+
+    out = pack_token_stream(docs, F.col("text"), seq_len=128, n_shards=4)
+    ntok = {r.doc_id: r.n for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    by_shard = {}
+    for r in out.collect():
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            # the concatenated stream has no gaps and no overlaps
+            assert r.tok_offset == cum
+            cum += ntok[r.doc_id]
+            assert r.seq_first == r.tok_offset // 128
+            assert r.seq_last == (cum - 1) // 128
+    # input partitioning must not change the plan's output
+    again = {tuple(r) for r in pack_token_stream(docs.repartition(13), F.col("text"), seq_len=128, n_shards=4).collect()}
+    assert again == {tuple(r) for r in out.collect()}
+
+
 def test_connected_components_exact(spark):
     from rdf_rs_spark.operators.components import connected_components, neardup_clusters
 
