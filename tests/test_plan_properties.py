@@ -144,6 +144,27 @@ def test_decontaminate_corpus_never_shuffles_prejoin(spark):
     assert count_exchanges(df) <= 2
 
 
+def test_pack_sequences_single_exchange(spark):
+    """Sequence packing is one hash shuffle (the per-shard running-sum
+    window) — nothing else moves."""
+    from rdf_rs_spark.operators.corpus import pack_token_stream
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert count_exchanges(pack_token_stream(d, F.col("text"), seq_len=128, n_shards=4)) == 1
+
+
+def test_curation_pipeline_join_shapes(spark):
+    """The curation pass joins the corpus twice: the tiny near-dup drop
+    list must come in as a broadcast (anti) join; the corpus-sized
+    repetition join may sort-merge. No more than 3 hash exchanges."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["corpus_curation_pipeline"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert count_exchanges(df) <= 3
+
+
 def test_bgp_pattern_filters_push_to_scan(spark):
     """Each BGP pattern's fixed-term equality must reach the parquet scan
     as a pushed filter (partition/row-group pruning at scale)."""
