@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "corpus_curation_pipeline",
     "tpch_q1_pricing_summary",
     "tpch_q3_topk_revenue",
+    "tpch_q5_local_supplier_volume",
     "events_sessionize",
 ]
 

@@ -803,6 +803,50 @@ def tpch_q3_topk_revenue(spark, sf_dir):
 
 
 @q(
+    "tpch_q5_local_supplier_volume",
+    """SELECT n.n_name,
+       sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS revenue_e2
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n.n_name""",
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """Six-table join (Catalyst reorders; nation/region/supplier broadcast
+    as small dims) — the classic join-ordering stress query."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+            ).alias("revenue_e2")
+        )
+    )
+
+
+@q(
     "events_user_seq",
     """SELECT event_id,
        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
