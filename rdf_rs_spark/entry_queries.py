@@ -803,6 +803,42 @@ def tpch_q3_topk_revenue(spark, sf_dir):
 
 
 @q(
+    "kg_entity_degrees",
+    TRIPLES_CTE
+    + """, outd AS (SELECT subj AS iri, count(*) AS out_degree FROM triples GROUP BY subj),
+    ind AS (SELECT obj_lex AS iri, count(*) AS in_degree FROM triples
+            WHERE obj_kind = 0 GROUP BY obj_lex)
+    SELECT iri, coalesce(out_degree, 0)::BIGINT AS out_degree,
+           coalesce(in_degree, 0)::BIGINT AS in_degree
+    FROM outd FULL OUTER JOIN ind USING (iri)
+    ORDER BY coalesce(out_degree, 0) + coalesce(in_degree, 0) DESC, iri ASC
+    LIMIT 20""",
+)
+def kg_entity_degrees(spark, sf_dir):
+    """Graph analytics on the materialized KG: per-entity in/out degree,
+    top-20 hubs (deterministic tie-break). Both aggregates combine
+    map-side; the full-outer join is degree-table-sized, not
+    triple-table-sized."""
+    t = _triples(spark, sf_dir)
+    outd = t.groupBy(F.col("subj").alias("iri")).agg(F.count("*").alias("out_degree"))
+    ind = (
+        t.filter(F.col("obj_kind") == 0)
+        .groupBy(F.col("obj_lex").alias("iri"))
+        .agg(F.count("*").alias("in_degree"))
+    )
+    return (
+        outd.join(ind, "iri", "full_outer")
+        .select(
+            "iri",
+            F.coalesce("out_degree", F.lit(0)).cast("bigint").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("bigint").alias("in_degree"),
+        )
+        .orderBy((F.col("out_degree") + F.col("in_degree")).desc(), F.col("iri").asc())
+        .limit(20)
+    )
+
+
+@q(
     "tpch_q5_local_supplier_volume",
     """SELECT n.n_name,
        sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT) AS revenue_e2
