@@ -1388,6 +1388,34 @@ def corpus_pack_sequences(spark, sf_dir):
 
 
 @q(
+    "corpus_sampling_weights",
+    """SELECT source AS domain, n_docs,
+       floor(1000000 * sqrt(n_docs * 1.0 / total))::BIGINT AS weight_e6
+       FROM (SELECT source, count(*) AS n_docs,
+             (SELECT count(*) FROM documents) AS total
+             FROM documents GROUP BY source)""",
+)
+def corpus_sampling_weights(spark, sf_dir):
+    """Temperature-based domain reweighting (α=0.5): unnormalized sampling
+    weight ∝ sqrt(domain share). Every value derives from integers via
+    exactly-rounded IEEE ops (divide, sqrt, multiply) with NO cross-row
+    float accumulation, so both engines produce identical bits."""
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()
+    return (
+        d.groupBy(F.col("source").alias("domain"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "domain",
+            "n_docs",
+            F.floor(1000000 * F.sqrt(F.col("n_docs") * 1.0 / total))
+            .cast("bigint")
+            .alias("weight_e6"),
+        )
+    )
+
+
+@q(
     "corpus_curation_pipeline",
     f"""WITH RECURSIVE {_DD_MINHASH_CTES},
     edges AS (
