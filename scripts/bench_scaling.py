@@ -149,10 +149,21 @@ host's oversubscription ceiling, not the job's scalability; the
 multi-executor cluster each executor brings its own cores, which is the
 regime N->4N models.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump(result, f, indent=2)
+    # only a full-protocol run may replace the recorded evidence — a
+    # reduced smoke run (fewer pages/trials) would silently clobber the
+    # headline numbers the docs cite
+    full_protocol = r_n["pages"] >= 1_000_000 and len(r_n["walls"]) >= 5
+    if full_protocol:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write(md)
+        with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+            json.dump(result, f, indent=2)
+    else:
+        sys.stderr.write(
+            "bench_scaling: reduced run (pages=%d, trials=%d) — BENCH/ files "
+            "NOT updated; run with defaults to record evidence\n"
+            % (r_n["pages"], len(r_n["walls"]))
+        )
 
 
 if __name__ == "__main__":
