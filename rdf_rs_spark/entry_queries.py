@@ -1026,6 +1026,31 @@ def events_tumbling_window(spark, sf_dir):
 
 
 @q(
+    "events_sliding_window",
+    """SELECT make_timestamp((win_epoch * 1000000)::BIGINT) AS win_start, event_type,
+       count(*) AS n, sum(floor(value * 100)::BIGINT) AS sum_value_e2
+       FROM (SELECT event_type, value,
+             unnest([floor(epoch(ts) / 1800) * 1800,
+                     floor(epoch(ts) / 1800) * 1800 - 1800]) AS win_epoch
+             FROM events)
+       GROUP BY win_epoch, event_type""",
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding 1-hour windows every 30 min (each event lands in 2
+    overlapping windows) — ``F.window(slide)`` native; the oracle
+    enumerates both window starts per event arithmetically."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_value_e2"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value_e2")
+    )
+
+
+@q(
     "part_brand_stats",
     """SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size,
        max(p_size) AS max_size, sum(floor(p_retailprice * 100)::BIGINT) AS sum_price_e2
