@@ -51,6 +51,30 @@ def _force(df) -> int:
     return 0
 
 
+def _burn(_: int) -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return time.perf_counter() - t0
+
+
+def _calibrate() -> dict:
+    """Cheap host-steal probe (~3 s): how many of 8 concurrent CPU-bound
+    Python workers does the host actually run in parallel right now?
+    Recorded alongside the timings so a reader can tell a slow engine
+    from a stolen host (single trials vary up to 4x on this sandbox)."""
+    import multiprocessing as mp
+
+    solo = _burn(0)
+    with mp.Pool(8) as p:
+        worst = max(p.map(_burn, range(8)))
+    return {
+        "burn_solo_sec": round(solo, 2),
+        "effective_cores_at_8": round(8 * solo / worst, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -111,6 +135,7 @@ def main() -> None:
                 "kg_triples_per_sec_median": kg_tps_median,
                 "kg_tps_pages": tp_pages,
                 "kg_tps_triples": tp_triples,
+                "host_calibration": _calibrate(),
             }
         )
     )
