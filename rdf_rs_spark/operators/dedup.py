@@ -27,10 +27,10 @@ from typing import List, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.text import tokens_col, word_shingles
+from ..functions.text import word_shingles
 
 # ----------------------------------------------------------- exact --------
 
