@@ -533,6 +533,34 @@ def docs_fingerprint(spark, sf_dir):
 
 
 @q(
+    "docs_winnow_fingerprints",
+    """WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+    h AS (SELECT doc_id,
+          list_transform(generate_series(1, length(text) - 7),
+            i -> list_reduce(
+                   list_transform(generate_series(0, 7),
+                                  j -> unicode(substring(text, i + j, 1))::BIGINT),
+                   (a, b) -> (a * 257 + b) % 2147483647)) AS hs
+          FROM t),
+    wnd AS (SELECT doc_id,
+            CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+                 ELSE list_transform(generate_series(1, len(hs) - 7),
+                                     i -> list_min(hs[i:i+7]))
+            END AS fps
+            FROM h)
+    SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wnd""",
+)
+def docs_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (char 8-grams, window 8) — the
+    edit-robust fingerprint set, vs. the whole-document md5 of
+    `docs_fingerprint`. Exact integer arithmetic both engines."""
+    from .operators.corpus import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, F.col("text"), k=8, w=8)
+
+
+@q(
     "docs_repetition_score",
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
                   FROM documents WHERE length(trim(text)) > 0),

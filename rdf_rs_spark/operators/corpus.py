@@ -93,6 +93,53 @@ def decontaminate(
     )
 
 
+#: Rabin-Karp rolling-hash parameters (integer-exact in any engine)
+_RK_BASE = 257
+_RK_MOD = 2147483647  # 2^31 - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame, text: Column, k: int = 8, w: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowed rolling-hash document fingerprints (Schleimer et al. 2003):
+    polynomial hash of every char k-gram (Horner mod 2^31-1), then the
+    minimum hash of each length-``w`` window, deduplicated — a compact
+    fingerprint set robust to local edits (unlike a whole-document md5).
+
+    Narrow Arrow kernel, zero shuffles; all arithmetic is exact int64
+    (values stay < 2^40 before each mod), so a SQL oracle replays the
+    identical fingerprints. Docs shorter than ``k`` chars have no grams
+    and are absent; docs with fewer than ``w`` grams emit the min of
+    what they have. Output: one (id, fp) row per distinct fingerprint."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _fps(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if not t or len(t) < k:
+                out.append([])
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            n = len(codes) - k + 1
+            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = np.zeros(n, dtype=np.int64)
+            for j in range(k):  # Horner, mod each step — exact, engine-independent
+                h = (h * _RK_BASE + grams[:, j]) % _RK_MOD
+            if n <= w:
+                fps = {int(h.min())}
+            else:
+                wins = np.lib.stride_tricks.sliding_window_view(h, w)
+                fps = set(wins.min(axis=1).tolist())
+            out.append(sorted(fps))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), F.explode(_fps(text)).alias("fp")
+    )
+
+
 def md5_shard(col: Column, n_shards: int) -> Column:
     """Deterministic cross-engine hash shard: first 8 md5 hex digits as an
     integer, mod ``n_shards`` (Spark ``conv(…,16,10)`` ≡ DuckDB

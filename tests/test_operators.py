@@ -293,6 +293,26 @@ def test_embedding_neardup_matches_join_formulation(spark, embeddings):
     assert new_pairs == ref_pairs
 
 
+def test_winnow_fingerprints_edit_robust(spark):
+    from rdf_rs_spark.operators.corpus import winnow_fingerprints
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    edited = base.replace("lazy", "hazy")  # one local edit
+    df = spark.createDataFrame([(1, base), (2, edited), (3, "tiny")], "doc_id long, text string")
+    out = winnow_fingerprints(df, F.col("text"), k=8, w=8)
+    assert count_exchanges(out) == 0  # narrow: per-document computation
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    # a local edit preserves most fingerprints (md5 would share none)
+    inter = len(fps[1] & fps[2])
+    union = len(fps[1] | fps[2])
+    assert inter / union > 0.5
+    assert fps[1] != fps[2]
+    assert 3 not in fps  # shorter than k chars → no grams
+
+
 def test_pack_token_stream_invariants(spark, docs):
     from rdf_rs_spark.functions.text import token_count
     from rdf_rs_spark.operators.corpus import pack_token_stream
