@@ -4,10 +4,11 @@ Strategies (SURVEY.md training-pipeline mandate):
 
 - exact: hash-groupBy on a normalized key — one shuffle, map-side
   partial aggregation.
-- salted exact: two-phase dedup for hot-key skew (north_rule: "triple
-  dedup via salted repartition on subject hash") — local dropDuplicates
-  per salted partition, then global. At 1000 executors a single hot
-  subject (e.g. rdf:type) otherwise lands on one reducer.
+- salted exact: single-shuffle dedup for hot-key skew (north_rule: "triple
+  dedup via salted repartition on subject hash") — the subject-salted
+  repartition makes the local dropDuplicates provably global. At 1000
+  executors a single hot subject (e.g. rdf:type) otherwise lands on one
+  reducer.
 - MinHash + LSH banding: shingle → per-seed min of seeded md5 hashes →
   band → bucket join. Candidate pairs only ever materialize per bucket
   (never the O(n²) cross product); verification joins back to the
@@ -47,17 +48,26 @@ def dedup_exact(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 def dedup_salted(
     df: DataFrame, subset: Sequence[str], salt_buckets: int = 64
 ) -> DataFrame:
-    """Two-phase distinct: repartition on (hash(subset), salt) and drop
-    local duplicates, then a global dropDuplicates. The salt spreads a
-    hot key over ``salt_buckets`` reducers in phase 1, so phase 2 sees at
-    most ``salt_buckets`` rows per hot key instead of all of them."""
+    """Salted-repartition distinct in ONE shuffle (north_rule: "triple
+    dedup via salted repartition on subject hash").
+
+    The salt is ``xxhash64(subset[0])`` — the subject hash — so every
+    copy of an identical row lands in the same partition (same subject →
+    same salt, and the repartition hash covers the full key), while a
+    hot subject's DISTINCT triples spread over the full-key hash instead
+    of one reducer. The local ``dropDuplicates`` over (subset, salt) is
+    therefore provably GLOBAL: a second global-dedup pass would reshuffle
+    the entire (already unique) output to remove nothing — at 10^12
+    triples that redundant phase is the single biggest avoidable shuffle
+    in the pipeline. The grouping set equals the partitioning set, so
+    Catalyst plans the aggregate without an extra exchange."""
     salted = df.withColumn(
-        "__salt", (F.xxhash64(*[F.col(c) for c in subset]) % salt_buckets).cast("int")
+        "__salt", (F.xxhash64(F.col(subset[0])) % salt_buckets).cast("int")
     )
     local = salted.repartition(F.col("__salt"), *[F.col(c) for c in subset]).dropDuplicates(
         [*subset, "__salt"]
     )
-    return local.drop("__salt").dropDuplicates(list(subset))
+    return local.drop("__salt")
 
 
 # ------------------------------------------------------- MinHash/LSH ------

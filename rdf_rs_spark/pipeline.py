@@ -122,7 +122,7 @@ def page_triples(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
     )
 
     all_triples = meta.unionByName(islands).unionByName(mentions)
-    # salted two-phase dedup on the full triple key (hot subjects such as
+    # salted single-shuffle dedup on the full triple key (hot subjects such as
     # the top entity IRIs would otherwise hot-spot one reducer)
     return dedup_salted(all_triples, TRIPLE_COLS + ["src_url"])
 

@@ -35,11 +35,14 @@ def test_link_mentions_no_mention_shuffle(spark, pages):
     assert count_exchanges(df) <= 1
 
 
-def test_salted_dedup_two_phase(spark, pages):
-    """Salted dedup = exactly two exchanges (salted local phase, global
-    phase) — not one per hot key, not an extra sort."""
+def test_salted_dedup_single_shuffle(spark, pages):
+    """Salted dedup = exactly ONE exchange: the subject-salted
+    repartition co-locates every copy of an identical row (salt is a
+    function of the key prefix and the partition hash covers the full
+    key), so the local dropDuplicates is globally complete — a second
+    global pass would reshuffle the whole output to remove nothing."""
     df = dedup_salted(pages.select("url", "lang"), ["url", "lang"], salt_buckets=8)
-    assert count_exchanges(df) == 2
+    assert count_exchanges(df) == 1
 
 
 def test_cosine_topk_corpus_never_shuffles_prejoin(spark):
