@@ -409,6 +409,25 @@ def test_domain_stats_composition(spark, docs):
     assert all(r.total_tokens >= 0 and 0 <= r.mean_quality_e3 <= 1000 for r in rows)
 
 
+def test_seeded_minhash_bands_arrow_matches_column_expr(spark, docs):
+    """The Arrow seeded-band kernel must reproduce the column-expression
+    signature path byte-for-byte — any drift silently reshapes every
+    LSH blocking join that uses it."""
+    from rdf_rs_spark.functions.text import word_shingles
+    from rdf_rs_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+        seeded_minhash_bands_arrow,
+    )
+
+    d = docs.select(word_shingles(F.col("text"), 3).alias("sh")).filter(F.size("sh") > 0)
+    both = d.select(
+        minhash_bands(minhash_signature(F.col("sh"))).alias("ref"),
+        seeded_minhash_bands_arrow(F.col("sh")).alias("arrow"),
+    )
+    assert both.filter(F.col("ref") != F.col("arrow")).count() == 0
+
+
 def test_fuzzy_linking_lsh(spark):
     pages = spark.createDataFrame(
         [("u1", "article about internationalbusinessmachine here")],
