@@ -1079,6 +1079,43 @@ def events_sliding_window(spark, sf_dir):
 
 
 @q(
+    "events_asof_last_signup",
+    """SELECT event_id,
+       last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id,
+       coalesce(floor(epoch(ts))::BIGINT - last_value(CASE WHEN event_type = 'signup' THEN floor(epoch(ts))::BIGINT END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS secs_since_signup
+       FROM events""",
+)
+def events_asof_last_signup(spark, sf_dir):
+    """As-of join via the merged-stream window trick: each event picks up
+    the latest signup at-or-before it for the same user with ONE
+    partition-by-user window — no range join, no per-pair explosion
+    (the naive formulation joins every event to every earlier signup
+    and re-ranks). -1 when no prior signup exists."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_signup = F.col("event_type") == "signup"
+    return e.select(
+        "event_id",
+        F.last(F.when(is_signup, F.col("event_id")), ignorenulls=True).over(w).alias("asof_signup_id"),
+        F.coalesce(
+            F.unix_timestamp("ts").cast("bigint")
+            - F.last(
+                F.when(is_signup, F.unix_timestamp("ts").cast("bigint")), ignorenulls=True
+            ).over(w),
+            F.lit(-1),
+        ).alias("secs_since_signup"),
+    )
+
+
+@q(
     "part_brand_stats",
     """SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size,
        max(p_size) AS max_size, sum(floor(p_retailprice * 100)::BIGINT) AS sum_price_e2
