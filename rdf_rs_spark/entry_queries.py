@@ -1116,6 +1116,44 @@ def events_asof_last_signup(spark, sf_dir):
 
 
 @q(
+    "events_range_join_errors",
+    """SELECT p.event_id AS purchase_id, e.event_id AS error_id
+       FROM events p JOIN events e
+         ON p.user_id = e.user_id
+        AND p.event_type = 'purchase' AND e.event_type = 'error'
+        AND floor(epoch(p.ts))::BIGINT - floor(epoch(e.ts))::BIGINT BETWEEN 0 AND 300""",
+)
+def events_range_join_errors(spark, sf_dir):
+    """Range join, bucketed: purchases paired with same-user errors in the
+    preceding 300s. The time axis is bucketed at the range width and the
+    probe side explodes into its two candidate buckets, so the plan is a
+    hash equi-join on (user, bucket) + an exact range filter — a naive
+    theta-join plans a nested-loop cross product over every
+    (purchase, error) pair of a user."""
+    ev = _t(spark, sf_dir, "events")
+    win = 300
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").cast("bigint").alias("pt"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_timestamp("ts").cast("bigint").alias("et"),
+    ).withColumn("bucket", F.floor(F.col("et") / win))
+    p2 = p.withColumn(
+        "bucket",
+        F.explode(F.array(F.floor(F.col("pt") / win), F.floor(F.col("pt") / win) - 1)),
+    )
+    return (
+        p2.join(e, ["user_id", "bucket"])
+        .filter((F.col("pt") - F.col("et")).between(0, win))
+        .select("purchase_id", "error_id")
+    )
+
+
+@q(
     "part_brand_stats",
     """SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size,
        max(p_size) AS max_size, sum(floor(p_retailprice * 100)::BIGINT) AS sum_price_e2
