@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .operators.dedup import seeded_minhash_bands_arrow
+from .operators.dedup import seeded_char_minhash_bands_arrow
 
 
 def detect_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,14 +72,16 @@ def link_mentions_fuzzy(
     aliases = alias_dict.withColumn("a_sh", _char_shingle_expr("alias"))
 
     # mention side = the big stream: bands via the narrow Arrow kernel
-    # (byte-identical keys to the column form, no interpreted folds);
-    # alias side is dictionary-sized, either form is fine — use the same
-    # kernel so both sides share one code path
+    # (byte-identical keys to the column form, no interpreted folds).
+    # The kernel shingles the raw token internally — feeding it the
+    # m_sh EXPRESSION would share a subexpression with the projection
+    # and trip Spark's proxy inside ArrowEvalPython. Alias side is
+    # dictionary-sized; same kernel so both sides share one code path.
     m_bands = mentions.withColumn(
-        "bands", seeded_minhash_bands_arrow(F.col("m_sh"))
+        "bands", seeded_char_minhash_bands_arrow(F.col("token"))
     ).select("url", "token", "m_sh", F.explode("bands").alias("band_key"))
     a_bands = aliases.withColumn(
-        "bands", seeded_minhash_bands_arrow(F.col("a_sh"))
+        "bands", seeded_char_minhash_bands_arrow(F.col("alias"))
     ).select("alias", "entity_iri", "prior", "a_sh", F.explode("bands").alias("band_key"))
 
     inter = F.size(F.array_intersect("m_sh", "a_sh")).cast("double")

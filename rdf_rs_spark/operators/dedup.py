@@ -106,40 +106,70 @@ def minhash_bands(signature: Column, n_bands: int = N_BANDS) -> Column:
     )
 
 
+def _seeded_bands_of(shingle_sets, n_hashes: int, n_bands: int) -> list:
+    """Seeded-md5 band keys per shingle collection — byte-identical to
+    ``minhash_bands(minhash_signature(...))`` (same ``md5('seed<i>:'||s)``
+    inputs, lexicographic mins, ``|`` joins; empty set → concat_ws-style
+    "" bands). The min is over a SET, so shingle order is irrelevant."""
+    import hashlib
+
+    rows = n_hashes // n_bands
+    seeds = [f"seed{i}:".encode() for i in range(n_hashes)]
+    out = []
+    for sh in shingle_sets:
+        sig = [
+            min(hashlib.md5(seed + s.encode("utf-8")).hexdigest() for s in sh)
+            if len(sh)
+            else None
+            for seed in seeds
+        ]
+        out.append(
+            [
+                "|".join(x for x in sig[b * rows : (b + 1) * rows] if x is not None)
+                for b in range(n_bands)
+            ]
+        )
+    return out
+
+
 def seeded_minhash_bands_arrow(
     shingles: Column, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
 ) -> Column:
     """``minhash_bands(minhash_signature(...))`` as one narrow Arrow
-    kernel — byte-identical band keys (same ``md5('seed<i>:' || s)``
-    inputs, same lexicographic mins, same ``|`` joins), without the
-    n_hashes interpreted array folds per row. Use on the BIG side of an
-    LSH blocking join (e.g. the mention stream in fuzzy linking — at
-    10^9 mentions the interpreted fold is the stage bottleneck)."""
-    rows = n_hashes // n_bands
+    kernel over a prepared shingle-array column, without the n_hashes
+    interpreted array folds per row. NOTE: feed it a MATERIALIZED column
+    (attribute reference), not the same complex expression another
+    projection reuses — Spark's subexpression elimination wraps shared
+    exprs in a proxy that ArrowEvalPython cannot evaluate. For string
+    inputs prefer :func:`seeded_char_minhash_bands_arrow`, which
+    shingles inside the kernel and has no such sharing."""
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def _bands(arrs: pd.Series) -> pd.Series:
-        import hashlib
-
-        seeds = [f"seed{i}:".encode() for i in range(n_hashes)]
-        out = []
-        for sh in arrs:
-            # empty set → all-null signature → concat_ws-style "" bands
-            sig = [
-                min(hashlib.md5(seed + s.encode("utf-8")).hexdigest() for s in sh)
-                if len(sh)
-                else None
-                for seed in seeds
-            ]
-            out.append(
-                [
-                    "|".join(x for x in sig[b * rows : (b + 1) * rows] if x is not None)
-                    for b in range(n_bands)
-                ]
-            )
-        return pd.Series(out)
+        return pd.Series(_seeded_bands_of(arrs, n_hashes, n_bands))
 
     return _bands(shingles)
+
+
+def seeded_char_minhash_bands_arrow(
+    strings: Column, k: int = 3, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> Column:
+    """Seeded band keys straight from a STRING column: distinct char
+    k-grams (strings shorter than ``k`` shingle to themselves, matching
+    ``_char_shingle_expr``) hashed inside one narrow Arrow kernel. Use on
+    the BIG side of an LSH blocking join (the mention stream in fuzzy
+    linking — at 10^9 mentions the interpreted fold is the bottleneck);
+    takes a plain attribute, so no shared-subexpression hazard."""
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _bands(vals: pd.Series) -> pd.Series:
+        sets = [
+            {t} if len(t) < k else {t[i : i + k] for i in range(len(t) - k + 1)}
+            for t in vals
+        ]
+        return pd.Series(_seeded_bands_of(sets, n_hashes, n_bands))
+
+    return _bands(strings)
 
 
 _HEX = "0123456789abcdef"

@@ -420,10 +420,42 @@ def test_seeded_minhash_bands_arrow_matches_column_expr(spark, docs):
         seeded_minhash_bands_arrow,
     )
 
-    d = docs.select(word_shingles(F.col("text"), 3).alias("sh")).filter(F.size("sh") > 0)
+    # materialize the shingle column first: feeding the SAME complex
+    # expression to a pandas UDF and an interpreted HOF in one projection
+    # trips Spark's subexpression-elimination proxy inside ArrowEvalPython
+    d = (
+        docs.select(word_shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    d.count()
     both = d.select(
         minhash_bands(minhash_signature(F.col("sh"))).alias("ref"),
         seeded_minhash_bands_arrow(F.col("sh")).alias("arrow"),
+    )
+    try:
+        assert both.filter(F.col("ref") != F.col("arrow")).count() == 0
+    finally:
+        d.unpersist()
+
+
+def test_seeded_char_bands_match_column_expr(spark, docs):
+    """The string-input band kernel (shingles computed in Python) must
+    equal the JVM char-shingle + signature column path — same band keys
+    or every fuzzy-linking block changes."""
+    from rdf_rs_spark.linking import _char_shingle_expr
+    from rdf_rs_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+        seeded_char_minhash_bands_arrow,
+    )
+
+    toks = docs.select(
+        F.explode(F.slice(F.split(F.trim("text"), r"\s+"), 1, 6)).alias("token")
+    ).filter(F.col("token") != "")
+    both = toks.select(
+        minhash_bands(minhash_signature(_char_shingle_expr("token"))).alias("ref"),
+        seeded_char_minhash_bands_arrow(F.col("token")).alias("arrow"),
     )
     assert both.filter(F.col("ref") != F.col("arrow")).count() == 0
 
