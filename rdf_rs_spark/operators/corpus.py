@@ -37,6 +37,17 @@ from ..functions.text import quality_score_e3, token_count, word_shingles
 _TOKEN_RE = re.compile(r"\S+", re.ASCII)
 
 
+def repetition_of(t, k: int = 2):
+    """Pure per-document repetition score (None when fewer than k tokens);
+    the kernel body, exposed for property tests."""
+    toks = _TOKEN_RE.findall(t) if t else []
+    n = len(toks)
+    if n < k:
+        return None
+    counts = Counter(tuple(toks[i : i + k]) for i in range(n - k + 1))
+    return max(counts.values()) * k * 1000 // n
+
+
 def repetition_score_e3(
     df: DataFrame, text: Column, k: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -49,16 +60,7 @@ def repetition_score_e3(
 
     @pandas_udf(T.LongType())
     def _rep(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = _TOKEN_RE.findall(t) if t else []
-            n = len(toks)
-            if n < k:
-                out.append(None)
-                continue
-            counts = Counter(tuple(toks[i : i + k]) for i in range(n - k + 1))
-            out.append(max(counts.values()) * k * 1000 // n)
-        return pd.Series(out, dtype="Int64")
+        return pd.Series([repetition_of(t, k) for t in texts], dtype="Int64")
 
     return df.select(F.col(id_col), _rep(text).alias("rep_e3")).filter(
         F.col("rep_e3").isNotNull()
@@ -98,6 +100,27 @@ _RK_BASE = 257
 _RK_MOD = 2147483647  # 2^31 - 1
 
 
+def winnow_of(t, k: int = 8, w: int = 8):
+    """Pure per-document winnowed fingerprint set (sorted list); the
+    kernel body, exposed for property tests. Empty for len(t) < k."""
+    import numpy as np
+
+    if not t or len(t) < k:
+        return []
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    n = len(codes) - k + 1
+    grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):  # Horner, mod each step — exact, engine-independent
+        h = (h * _RK_BASE + grams[:, j]) % _RK_MOD
+    if n <= w:
+        fps = {int(h.min())}
+    else:
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        fps = set(wins.min(axis=1).tolist())
+    return sorted(fps)
+
+
 def winnow_fingerprints(
     df: DataFrame, text: Column, k: int = 8, w: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -114,26 +137,7 @@ def winnow_fingerprints(
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _fps(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for t in texts:
-            if not t or len(t) < k:
-                out.append([])
-                continue
-            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-            n = len(codes) - k + 1
-            grams = np.lib.stride_tricks.sliding_window_view(codes, k)
-            h = np.zeros(n, dtype=np.int64)
-            for j in range(k):  # Horner, mod each step — exact, engine-independent
-                h = (h * _RK_BASE + grams[:, j]) % _RK_MOD
-            if n <= w:
-                fps = {int(h.min())}
-            else:
-                wins = np.lib.stride_tricks.sliding_window_view(h, w)
-                fps = set(wins.min(axis=1).tolist())
-            out.append(sorted(fps))
-        return pd.Series(out)
+        return pd.Series([winnow_of(t, k, w) for t in texts])
 
     return df.select(
         F.col(id_col), F.explode(_fps(text)).alias("fp")

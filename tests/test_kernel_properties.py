@@ -1,0 +1,92 @@
+"""Property tests for the pure Python bodies of the Arrow kernels —
+each compared against an independent brute-force model over generated
+inputs (no Spark session needed; the Spark-side wiring is covered by
+the oracle and parity tests)."""
+
+import hashlib
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from rdf_rs_spark.operators.corpus import repetition_of, winnow_of
+from rdf_rs_spark.operators.dedup import _seeded_bands_of
+
+_WORDS = st.lists(st.sampled_from("a b c aa ab bb abc xyz w1 w2".split()), max_size=40)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_WORDS)
+def test_repetition_matches_float_floor_model(words):
+    """Integer division must equal the float-floor formula the SQL oracle
+    uses (safe because |max_cnt*k*1000 - m*n| >= 1 for integers)."""
+    t = " ".join(words)
+    got = repetition_of(t, k=2)
+    n = len(words)
+    if n < 2:
+        assert got is None
+        return
+    from collections import Counter
+
+    counts = Counter(tuple(words[i : i + 2]) for i in range(n - 1))
+    assert got == math.floor(max(counts.values()) * 2 * 1000.0 / n)
+    assert 0 < got <= 1000 * 2  # a k-gram covers at most all tokens... scaled
+
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF), max_size=60
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_TEXT)
+def test_winnow_matches_bruteforce_model(t):
+    """Numpy Horner + sliding-min ≡ a per-gram/per-window Python loop."""
+    k = w = 4
+    got = winnow_of(t, k=k, w=w)
+    if len(t) < k:
+        assert got == []
+        return
+    hs = []
+    for i in range(len(t) - k + 1):
+        acc = 0
+        for ch in t[i : i + k]:
+            acc = (acc * 257 + ord(ch)) % 2147483647
+        hs.append(acc)
+    if len(hs) <= w:
+        want = {min(hs)}
+    else:
+        want = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+    assert got == sorted(want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=6), max_size=8))
+def test_seeded_bands_match_model(shingles):
+    """Band builder ≡ the naive per-seed min over md5 strings."""
+    got = _seeded_bands_of([shingles], 16, 4)[0]
+    sig = []
+    for i in range(16):
+        hs = [hashlib.md5(f"seed{i}:{s}".encode()).hexdigest() for s in shingles]
+        sig.append(min(hs) if hs else None)
+    want = [
+        "|".join(x for x in sig[b * 4 : (b + 1) * 4] if x is not None) for b in range(4)
+    ]
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(_TEXT, _TEXT)
+def test_winnow_shared_prefix_shares_fingerprints(a, b):
+    """Documents sharing a long prefix share the prefix's fingerprints —
+    the locality property that makes winnowing edit-robust."""
+    prefix = "0123456789abcdefghij"  # 20 chars >> k + w
+    fa, fb = set(winnow_of(prefix + a, 4, 4)), set(winnow_of(prefix + b, 4, 4))
+    # the first (20 - k + 1) - w + 1 = 14 windows lie fully inside the prefix
+    hs = []
+    for i in range(len(prefix) - 3):
+        acc = 0
+        for ch in prefix[i : i + 4]:
+            acc = (acc * 257 + ord(ch)) % 2147483647
+        hs.append(acc)
+    prefix_fps = {min(hs[i : i + 4]) for i in range(14)}
+    assert prefix_fps <= fa and prefix_fps <= fb
