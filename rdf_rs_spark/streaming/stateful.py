@@ -40,13 +40,20 @@ def _fingerprint(row_vals) -> int:
 def first_seen_triples(
     triples: DataFrame,
     n_buckets: int = 64,
-    ttl: str | None = None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming-deduped triples: each structurally-identical triple is
     emitted exactly once across all micro-batches (within the state TTL
     when one is set)."""
 
     def dedup_group(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # TTL expiry: evict the fingerprint set — without this the
+            # update below would re-arm the timer and state would grow
+            # forever; dedup beyond the TTL is the batch job's concern
+            state.remove()
+            yield pd.DataFrame([], columns=list(TRIPLE_COLS))
+            return
         if state.exists:
             (seen_list,) = state.get
             seen = set(seen_list)
@@ -60,15 +67,17 @@ def first_seen_triples(
                     seen.add(fp)
                     fresh.append(vals)
         state.update((list(seen),))
-        if ttl is not None:
-            state.setTimeoutDuration(ttl)
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(fresh, columns=list(TRIPLE_COLS))
 
     keyed = triples.withColumn(
         "__g", F.pmod(F.xxhash64(*[F.col(c) for c in TRIPLE_COLS]), F.lit(n_buckets)).cast("int")
     )
     timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout if ttl is not None else GroupStateTimeout.NoTimeout
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
     )
     return keyed.groupBy("__g").applyInPandasWithState(
         dedup_group,

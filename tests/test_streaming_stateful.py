@@ -33,6 +33,50 @@ def test_first_seen_dedups_across_micro_batches(spark, tmp_path):
     ]
 
 
+def _wait_rows(spark, table, n, timeout=90):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if spark.sql(f"select count(*) c from {table}").first().c >= n:
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_first_seen_ttl_evicts_state(spark, tmp_path):
+    """ProcessingTime TTL must EVICT: after expiry the same triple is
+    re-emitted (state.remove on hasTimedOut — without it the handler
+    re-arms the timer and state grows forever)."""
+    import time
+
+    src = tmp_path / "landing_ttl"
+    src.mkdir()
+    (src / "a.nt").write_text("<http://s1> <http://p1> <http://o1> .\n")
+    triples = stream_ntriples_directory(spark, str(src), max_files_per_trigger=1)
+    deduped = first_seen_triples(triples, ttl_ms=1000)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ttl_evict_test")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert _wait_rows(spark, "ttl_evict_test", 1)
+        time.sleep(2.5)  # let the TTL lapse with no traffic for s1's group
+        # a batch with data for a DIFFERENT group fires s1's group timeout
+        (src / "b.nt").write_text("<http://sB> <http://pB> <http://oB> .\n")
+        assert _wait_rows(spark, "ttl_evict_test", 2)
+        time.sleep(1.5)
+        (src / "c.nt").write_text("<http://s1> <http://p1> <http://o1> .\n")
+        assert _wait_rows(spark, "ttl_evict_test", 3), "triple not re-emitted after TTL eviction"
+        rows = spark.sql("select subj from ttl_evict_test").collect()
+        assert sum(1 for r in rows if r.subj == "http://s1") == 2
+    finally:
+        q.stop()
+
+
 def test_streaming_turtle_directory(spark, tmp_path):
     from pyspark.sql import functions as F
     from rdf_rs_spark.streaming.ingest import stream_turtle_directory
