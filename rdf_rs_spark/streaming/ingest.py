@@ -53,12 +53,20 @@ def stream_turtle_directory(
 
 
 def triple_counts_by_window(
-    triples: DataFrame, window: str = "10 seconds", watermark: str = "30 seconds"
+    triples: DataFrame,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    event_col: str | None = None,
 ) -> DataFrame:
     """Per-predicate counts over event-time windows with late-data
-    tolerance; ``ingest_ts`` defaults to processing time when the feed
-    carries no event timestamp."""
-    with_ts = triples.withColumn("ingest_ts", F.current_timestamp())
+    tolerance. ``event_col`` names the feed's event-time column (e.g. a
+    WARC fetch timestamp); without one, ``ingest_ts`` falls back to
+    processing time — which also makes the watermark vacuous, since
+    processing-time rows are never late."""
+    with_ts = triples.withColumn(
+        "ingest_ts",
+        F.col(event_col) if event_col is not None else F.current_timestamp(),
+    )
     return (
         with_ts.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window).alias("win"), F.col("pred"))

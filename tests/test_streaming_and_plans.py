@@ -41,6 +41,67 @@ def test_streaming_windowed_counts_builds(spark, tmp_path):
     assert triples.isStreaming
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows with a real watermark: a row arriving after the
+    watermark passed its window must be EXCLUDED from the emitted count
+    (append mode finalizes a window only once the watermark passes it)."""
+    import json as _json
+    import time
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "wm_landing"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("pred", T.StringType())]
+    )
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"ts": ts, "pred": p}) for ts, p in rows) + "\n"
+        )
+
+    # window 10s, watermark 5s; W1 = [00:00:10, 00:00:20)
+    write("a.json", [("2024-01-01 00:00:12", "p1"), ("2024-01-01 00:00:15", "p1"),
+                     ("2024-01-01 00:01:40", "adv")])  # advances watermark past W1
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    agg = triple_counts_by_window(stream, window="10 seconds", watermark="5 seconds",
+                                  event_col="ts")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # 1. wait until the reported watermark passed W1's end (00:00:20)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            wm = (p or {}).get("eventTime", {}).get("watermark", "")
+            if wm and wm >= "2024-01-01T00:00:20":
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(f"watermark never advanced: {q.lastProgress}")
+        # 2. NOW the 00:00:13 row is genuinely late; the same batch keeps
+        #    the stream flowing and finalizes W1
+        write("b.json", [("2024-01-01 00:00:13", "p1"), ("2024-01-01 00:01:50", "adv")])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select count(*) c from wm_test where pred = 'p1'").first().c:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select win, pred, n_triples from wm_test where pred = 'p1'").collect()
+        assert len(rows) == 1
+        # the late 00:00:13 row (behind the watermark) must not be counted
+        assert rows[0].n_triples == 2
+        assert rows[0].win.start.strftime("%H:%M:%S") == "00:00:10"
+    finally:
+        q.stop()
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").filter(
         F.col("l_orderkey") == 42
