@@ -84,9 +84,13 @@ def calibrate_cores() -> dict:
 
 def run(cpus: int) -> dict:
     env = dict(os.environ, REPO=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus)], capture_output=True, text=True, env=env
-    )
+    # pin the WHOLE process tree (JVM task threads + Python UDF workers)
+    # to exactly `cpus` host cores: an unpinned local[N] on a many-core
+    # host lets the JVM pipeline and the N Python workers overlap across
+    # >N cores, which flatters the small configuration and corrupts the
+    # N-vs-4N ratio — a real N-core executor has no such spare capacity
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", RUNNER, str(cpus)]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
