@@ -381,6 +381,33 @@ def rdf_ntriples_parse(spark, sf_dir):
 
 
 @q(
+    "rdf_ntriples_rejects",
+    """SELECT '<http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR)
+       || '> <http://kg.example.org/name> "' || c_name || '"' AS line
+       FROM customer WHERE c_custkey % 2 = 1""",
+)
+def rdf_ntriples_rejects(spark, sf_dir):
+    """Dead-letter observability: lines with odd custkeys are corrupted
+    (trailing ' .' removed) and must land in the rejects view — the
+    oracle derives the expected set independently of the regex, so this
+    checks the parser's accept/reject boundary, not its mirror."""
+    from .sources.ntriples import ntriples_rejects
+
+    c = _t(spark, sf_dir, "customer")
+    lines = c.select(
+        F.concat(
+            F.lit("<" + EX + "customer/"),
+            F.col("c_custkey").cast("string"),
+            F.lit("> <" + EX + 'name> "'),
+            F.col("c_name"),
+            F.lit('"'),
+            F.when(F.col("c_custkey") % 2 == 1, F.lit("")).otherwise(F.lit(" .")),
+        ).alias("value")
+    )
+    return ntriples_rejects(lines, "value")
+
+
+@q(
     "rdf_ntriples_parse_python",
     """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
        'http://kg.example.org/name' AS pred, CAST(2 AS TINYINT) AS obj_kind,

@@ -94,6 +94,19 @@ def parse_ntriples_lines(
     return parsed
 
 
+def ntriples_rejects(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """Dead-letter view of the SQL engine: the non-comment, non-blank
+    lines ``parse_ntriples_lines(engine='sql')`` silently drops. At
+    corpus scale a feed's malformation rate must be OBSERVED, not
+    inferred — route this to a quarantine sink / counter next to the
+    parse. Narrow (same scan, complementary filter)."""
+    line = F.col(line_col)
+    is_comment = F.trim(line).startswith("#") | (F.trim(line) == "")
+    return df.filter(~is_comment).filter(~line.rlike(NT_LINE_PATTERN)).select(
+        line.alias("line")
+    )
+
+
 def _parse_lines_python(df: DataFrame, line_col: str) -> DataFrame:
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
