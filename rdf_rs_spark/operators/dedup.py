@@ -200,6 +200,12 @@ def minhash_band_table(
 
         out = []
         for sh in shingle_arrays:
+            if len(sh) == 0:
+                # empty shingle sets emit NO bands (matching the old
+                # explode→groupBy formulation) — otherwise every empty doc
+                # would collide into one giant "" candidate bucket
+                out.append([])
+                continue
             mins: List = [None] * 16
             for s in sh:
                 h = hashlib.md5(("seed:" + s).encode("utf-8")).hexdigest()
@@ -301,7 +307,14 @@ def dedup_ngram_jaccard(
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched, numpy
-    bit-parallel — no per-row Python loops over bits)."""
+    bit-parallel — no per-row Python loops over bits).
+
+    The per-token 64-bit hash is the leading 16 hex chars of md5 —
+    replayable in any ANSI-SQL engine (DuckDB:
+    ``('0x' || substring(md5(tok), 1, 16))::UBIGINT``), which makes the
+    whole signature oracle-able; blake2b was not."""
+    import hashlib
+
     out = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
         if not t:
@@ -309,12 +322,9 @@ def simhash64(texts: pd.Series) -> pd.Series:
         toks = t.split()
         if not toks:
             continue
-        # deterministic 64-bit token hashes (blake2b seeded)
         hs = np.fromiter(
             (
-                int.from_bytes(
-                    __import__("hashlib").blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
+                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
                 for tok in toks
             ),
             dtype=np.uint64,

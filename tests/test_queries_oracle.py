@@ -46,6 +46,25 @@ def _multiset(rows, cols):
 
 ORACLE_NAMES = sorted(entry_mod.oracle_sql().keys())
 
+# DuckDB column type → the Spark simpleString(s) it hashes identically to.
+# Anything NOT in this map (HUGEINT above all — DuckDB sum(BIGINT) widens
+# to int128, Spark stays int64, and the driver's value hash is
+# type-sensitive even when the numbers agree) fails the gate. This is the
+# exact blind spot that shipped 7 red rows in round 1: the old gate
+# stringified values through Python and could not see the width change.
+_DUCK_TO_SPARK = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "VARCHAR": {"string"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "BOOLEAN": {"boolean"},
+    "TIMESTAMP": {"timestamp"},
+    "DATE": {"date"},
+}
+
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, duck, name):
@@ -54,12 +73,27 @@ def test_query_matches_oracle(spark, duck, name):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(entry_mod.oracle_sql()[name])
+    sql = entry_mod.oracle_sql()[name]
+    dtypes = {
+        r[0].lower(): r[1] for r in duck.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    res = duck.execute(sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
 
     assert sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols), (
         scols, dcols)
+
+    stypes = {f.name.lower(): f.dataType.simpleString() for f in sdf.schema.fields}
+    for col, dt in dtypes.items():
+        allowed = _DUCK_TO_SPARK.get(dt.upper())
+        assert allowed is not None, (
+            f"{name}.{col}: oracle type {dt} has no hash-stable Spark "
+            f"counterpart (cast it, e.g. sum(...)::BIGINT)"
+        )
+        assert stypes[col] in allowed, (
+            f"{name}.{col}: oracle {dt} vs spark {stypes[col]}"
+        )
     assert len(srows) == len(drows), f"{name}: spark={len(srows)} duckdb={len(drows)}"
     ms, md = _multiset(srows, [c.lower() for c in scols]), _multiset(drows, [c.lower() for c in dcols])
     if ms != md:
