@@ -31,9 +31,10 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "dedup_minhash_pairs",
     "dedup_simhash_signatures",
+    "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "embedding_neardup_pairs",
+    "embedding_similar_pairs",
     "docs_quality_score",
     "docs_repetition_score",
     "docs_decontaminate",
@@ -100,11 +101,13 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(tp_df)
         walls.append(time.perf_counter() - t0)
-    # headline = best-of-5 (deliverable capacity: host CPU steal varies
-    # trials up to 4x — calibration in BENCH/BASELINE.md); median kept too
+    # headline `kg_triples_per_sec` = MEDIAN of 5 (the repo's stated
+    # protocol; comparable across rounds). The best-of figure — closer to
+    # deliverable capacity when the host steals CPU mid-run — is reported
+    # under its own explicitly-named key, never as the headline.
     tp_triples = page_triples(synthesize_web_pages(spark, tp_pages), aliases).count()
-    kg_tps = round(tp_triples / min(walls), 1)
-    kg_tps_median = round(tp_triples / sorted(walls)[2], 1)
+    kg_tps_best = round(tp_triples / min(walls), 1)
+    kg_tps = round(tp_triples / sorted(walls)[2], 1)
 
     # min-of-2 per query (steal varies single trials up to 4x), but under a
     # wall-clock budget: in a steal storm every trial is slow anyway, and a
@@ -139,7 +142,7 @@ def main() -> None:
                 "cpus": cpus,
                 "kg_pipeline_triples": n_triples,
                 "kg_triples_per_sec": kg_tps,
-                "kg_triples_per_sec_median": kg_tps_median,
+                "kg_triples_per_sec_best": kg_tps_best,
                 "kg_tps_pages": tp_pages,
                 "kg_tps_triples": tp_triples,
                 "host_calibration": _calibrate(),

@@ -211,10 +211,12 @@ def spherical_kmeans(
       content-addressed, so retries/resume/any parallelism pick the same
       seeds (no RNG, no ``takeSample``).
     - each Lloyd iteration: assignment is a narrow Arrow kernel against
-      the broadcast centroid matrix; the mean-update aggregates
-      PARTIAL (cluster, count, sum-vector) rows per Arrow batch, so the
-      shuffle carries ≤ batches × k tiny rows — never the vector stream.
-    - only k × dim doubles ever reach the driver.
+      the broadcast centroid matrix; the mean-update emits PARTIAL
+      (cluster, count, sum-vector) rows per Arrow batch — never the
+      vector stream — which are collected (no shuffle) and summed
+      driver-side in sorted order so the float accumulation order does
+      not depend on partitioning or task scheduling.
+    - only batches × k sum-vectors ever reach the driver.
     """
     v = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -256,21 +258,20 @@ def spherical_kmeans(
                     rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
                 yield pd.DataFrame(rows, columns=["cluster", "n", "s"])
 
-        parts = v.mapInPandas(partials, part_schema)
-        # the tiny partials (≤ batches × k rows) are safe to explode
-        sums = (
-            parts.select("cluster", "n", F.posexplode("s").alias("d", "x"))
-            .groupBy("cluster", "d")
-            .agg(F.sum("x").alias("sx"), F.sum(F.when(F.col("d") == 0, F.col("n"))).alias("cnt"))
-            .collect()
-        )
+        # the partials are tiny (≤ batches × k rows of k×dim doubles) —
+        # collect them and accumulate DRIVER-SIDE in a sorted order: a
+        # distributed F.sum over doubles adds in partition-arrival order,
+        # so the centroid bits (and cluster assignments near ties) would
+        # drift with partitioning/scheduling. Sorting the partials first
+        # makes the accumulation order a pure function of their values.
+        rows = v.mapInPandas(partials, part_schema).collect()
+        rows.sort(key=lambda r: (r["cluster"], r["n"], tuple(r["s"])))
         new = np.array(centroids)
         counts = np.zeros(k)
         acc = np.zeros((k, dim))
-        for r in sums:
-            acc[r.cluster, r.d] = r.sx
-            if r.d == 0:
-                counts[r.cluster] = r.cnt
+        for r in rows:
+            acc[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
         nonempty = counts > 0
         new[nonempty] = unit(acc[nonempty] / counts[nonempty, None])
         centroids = new
