@@ -190,6 +190,42 @@ def test_bgp_pattern_filters_push_to_scan(spark):
     assert has_pushed_filters(df, "pred")
 
 
+def test_subject_lookup_prunes_buckets(spark, tmp_path):
+    """SURVEY §4's partition-pruning claim, pinned: a subject lookup on
+    the bucketed triples table must carry a src_bucket PartitionFilter
+    (planning-time directory pruning — 1/n of the table scanned) and the
+    subj equality as a pushed data filter. Also checks the result is the
+    same rows a full-scan filter finds."""
+    from rdf_rs_spark.sources.graph_table import (
+        read_triples,
+        subject_bucket,
+        triples_for_subject,
+    )
+    from rdf_rs_spark.operators.table_to_triples import EX, star_schema_triples
+
+    t = star_schema_triples(
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        spark.read.parquet(f"{SF}/nation.parquet"),
+        spark.read.parquet(f"{SF}/region.parquet"),
+    ).withColumn("src_bucket", subject_bucket(F.col("subj"), 16))
+    path = str(tmp_path / "triples")
+    t.repartition(F.col("src_bucket")).write.partitionBy("src_bucket").parquet(path)
+
+    table = read_triples(spark, path)
+    subject = EX + "nation/7"
+    df = triples_for_subject(table, subject, n_buckets=16)
+    plan = explain_str(df)  # formatted mode carries scan metadata
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and any("src_bucket" in ln and "=" in ln for ln in part_lines), plan
+    from rdf_rs_spark.plans.inspect import has_pushed_filters
+
+    assert has_pushed_filters(df, "subj")
+
+    want = sorted(map(tuple, table.filter(F.col("subj") == subject).drop("src_bucket").collect()))
+    got = sorted(map(tuple, df.drop("src_bucket").collect()))
+    assert got == want and len(got) > 0
+
+
 def test_multimodal_plans_never_shuffle_payload(spark):
     """Frame/chunk expansion works on metadata only — the (huge) binary
     payload column is pruned from the scan and no exchange appears."""
