@@ -1935,6 +1935,107 @@ def lineitem_quantity_percentiles(spark, sf_dir):
     )
 
 
+# ---- corpus ops: PII scrubbing, link extraction, vocabulary -----------------
+
+_PII_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@q(
+    "docs_pii_redact",
+    f"""WITH e AS (SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id || '@example.com now'
+                      ELSE '' END AS s
+       FROM documents)
+    SELECT doc_id,
+       len(regexp_extract_all(s, '{_PII_RX}'))::BIGINT AS n_hits,
+       md5(regexp_replace(s, '{_PII_RX}', '<REDACTED>', 'g')) AS redacted_fp
+    FROM e""",
+)
+def docs_pii_redact(spark, sf_dir):
+    """PII scrubbing over the corpus: emails redacted + per-doc counts.
+    The synthetic docs carry no PII, so every third doc gets a
+    deterministic injected address — the redactor must catch exactly
+    those and leave everything else byte-identical (checked via the
+    md5 of the redacted text, so the oracle rows stay narrow)."""
+    from .operators.corpus import redact_pattern
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    r = redact_pattern(d, F.col("text"))
+    return r.select("doc_id", "n_hits", F.md5("redacted").alias("redacted_fp"))
+
+
+@q(
+    "docs_outlink_stats",
+    """WITH e AS (SELECT doc_id,
+         text || CASE WHEN doc_id % 2 = 0
+                      THEN ' see https://' || source || '.example.org/p/' || (doc_id % 7)
+                           || ' and https://hub.example.net/x'
+                      ELSE '' END AS s
+       FROM documents),
+    l AS (SELECT doc_id, regexp_extract_all(s, 'https?://[A-Za-z0-9._/-]+') AS links FROM e)
+    SELECT doc_id, len(links)::BIGINT AS n_links,
+       len(list_distinct(list_transform(links,
+           u -> regexp_extract(u, '^https?://([^/]+)', 1))))::BIGINT AS n_hosts
+    FROM l""",
+)
+def docs_outlink_stats(spark, sf_dir):
+    """Link-graph extraction (crawl-frontier / citation-analysis shape):
+    URL mentions and distinct hosts per doc, as narrow per-row array
+    math. Every second doc gets two deterministic injected links (one
+    host varying with the source domain) since the synthetic text has
+    none of its own."""
+    from .operators.corpus import outlink_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" see https://"),
+                    F.col("source"),
+                    F.lit(".example.org/p/"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(" and https://hub.example.net/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return outlink_stats(d, F.col("text"))
+
+
+@q(
+    "corpus_token_histogram",
+    """SELECT tok, count(*)::BIGINT AS n FROM (
+         SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+         FROM documents)
+       GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""",
+)
+def corpus_token_histogram(spark, sf_dir):
+    """Global vocabulary top-20 (count desc, token asc tie-break) — the
+    token-frequency aggregate behind tokenizer/vocab construction."""
+    from .operators.corpus import token_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return token_histogram(d, F.col("text"), top_n=20)
+
+
 # ---- SPARQL ASK / SELECT * / graph stats / inline blank nodes ---------------
 
 
@@ -2103,14 +2204,15 @@ _VERIFY_FIRST = [
     "docs_deterministic_sample",
     "docs_stratified_sample",
     "kg_pipeline_e2e",
+    # new corpus ops this round
+    "docs_pii_redact",
+    "docs_outlink_stats",
+    "corpus_token_histogram",
     # round-1-green anchors re-confirmed inside the head window
     "kg_triples_materialize",
     "rdf_turtle_parse",
-    "rdf_ntriples_parse",
-    "rdf_bgp_join",
     "dedup_minhash_pairs",
     "dedup_neardup_clusters",
-    "events_asof_last_signup",
 ]
 
 

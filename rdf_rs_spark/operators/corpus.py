@@ -193,6 +193,69 @@ def pack_token_stream(
     )
 
 
+#: cross-engine regex subset (Java ∩ RE2): char classes + bounded
+#: quantifiers only — no lookaround, no backrefs
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9._/-]+"
+
+
+def redact_pattern(
+    df: DataFrame,
+    text: Column,
+    pattern: str = EMAIL_RE,
+    replacement: str = "<REDACTED>",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII scrubbing: (id, n_hits, redacted) — every match of ``pattern``
+    replaced, with the per-doc match count. Purely narrow column
+    expressions (regexp on the JVM, zero shuffle, zero Python); the
+    pattern must stay inside the Java∩RE2 subset so a SQL oracle replays
+    it byte-identically."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.regexp_replace(text, pattern, replacement).alias("redacted"),
+    )
+
+
+def outlink_stats(
+    df: DataFrame, text: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Link-graph extraction: (id, n_links, n_hosts) — URL mentions per
+    document and the distinct host count. Everything is per-row array
+    math (extract_all → transform → array_distinct), so the plan is
+    narrow; the host-level link graph aggregate downstream is the only
+    shuffle a crawl-frontier consumer would add."""
+    links = F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))
+    hosts = F.array_distinct(
+        F.transform(links, lambda u: F.regexp_extract(u, r"^https?://([^/]+)", 1))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(links).cast("bigint").alias("n_links"),
+        F.size(hosts).cast("bigint").alias("n_hosts"),
+    )
+
+
+def token_histogram(df: DataFrame, text: Column, top_n: int = 20) -> DataFrame:
+    """Global token frequency top-N (the vocabulary-building aggregate):
+    explode tokens → map-side-combining count → deterministic top-N
+    (count desc, token asc). The token-stream shuffle is inherent to a
+    global vocabulary; partial aggregation bounds it to one row per
+    (task, distinct-token)."""
+    from ..functions.text import tokens_col
+
+    toks = df.select(F.explode(tokens_col(text)).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(top_n)
+    )
+
+
 def domain_stats(
     df: DataFrame,
     text: Column,

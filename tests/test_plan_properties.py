@@ -190,6 +190,30 @@ def test_bgp_pattern_filters_push_to_scan(spark):
     assert has_pushed_filters(df, "pred")
 
 
+def test_redact_and_outlinks_are_narrow(spark):
+    """PII redaction and link extraction are per-row regex/array math:
+    zero shuffles, zero Python stages."""
+    from rdf_rs_spark.operators.corpus import outlink_stats, redact_pattern
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert count_exchanges(redact_pattern(d, F.col("text"))) == 0
+    assert count_exchanges(outlink_stats(d, F.col("text"))) == 0
+    for df in (redact_pattern(d, F.col("text")), outlink_stats(d, F.col("text"))):
+        assert "ArrowEvalPython" not in explain_str(df, "simple")
+
+
+def test_token_histogram_partial_aggregates(spark):
+    """The vocabulary aggregate must partial-aggregate map-side (one
+    hash exchange for the final merge, plus the top-N sort)."""
+    from rdf_rs_spark.operators.corpus import token_histogram
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = token_histogram(d, F.col("text"))
+    plan = explain_str(df, "simple")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert count_exchanges(df) <= 2
+
+
 def test_subject_lookup_prunes_buckets(spark, tmp_path):
     """SURVEY §4's partition-pruning claim, pinned: a subject lookup on
     the bucketed triples table must carry a src_bucket PartitionFilter
