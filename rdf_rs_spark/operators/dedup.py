@@ -344,8 +344,12 @@ def dedup_simhash(
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: 4 sub-keys of 16 bits — any pair
     within hamming ≤ 3 shares at least one band (pigeonhole). Verify with
-    bit_count(xor)."""
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(text).alias("sig"))
+    bit_count(xor).
+
+    The signature table feeds BOTH sides of the band self-join — persist
+    it so the per-token md5 Arrow kernel runs once per doc, not twice
+    (same reason ``dedup_minhash_lsh`` persists its docs/bands)."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text).alias("sig")).persist()
     bands = sigs.select(
         "id",
         "sig",
