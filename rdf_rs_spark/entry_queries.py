@@ -2036,6 +2036,99 @@ def corpus_token_histogram(spark, sf_dir):
     return token_histogram(d, F.col("text"), top_n=20)
 
 
+@q(
+    "corpus_top_docs_per_domain",
+    f"""WITH scored AS (
+      SELECT source, doc_id, floor(1000 * (
+         0.5 * least(len(toks), 100) / 100.0
+         + 0.3 * (1.0 - CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0.0 END)
+         + 0.2 * CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks)
+             ELSE 0.0 END))::BIGINT AS quality_e3
+       FROM (SELECT source, doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+             FROM documents))
+    SELECT source, doc_id, quality_e3, rk FROM (
+      SELECT source, doc_id, quality_e3,
+             row_number() OVER (PARTITION BY source ORDER BY quality_e3 DESC, doc_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3""",
+)
+def corpus_top_docs_per_domain(spark, sf_dir):
+    """Per-domain exemplar selection: the 3 highest-quality docs per
+    source (deterministic tie-break) — the grouped-top-k shape behind
+    few-shot example curation. One window shuffle on the domain key."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("quality_e3").desc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", quality_score_e3(F.col("text")).alias("quality_e3"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@q(
+    "corpus_term_salience",
+    """WITH dt AS (SELECT DISTINCT doc_id, unnest(
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+       FROM documents),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM dt GROUP BY tok)
+    SELECT doc_id, tok AS rare_tok, df FROM (
+      SELECT dt.doc_id, dt.tok, df.df,
+             row_number() OVER (PARTITION BY dt.doc_id ORDER BY df.df ASC, dt.tok ASC) AS rk
+      FROM dt JOIN df USING (tok)
+    ) WHERE rk = 1""",
+)
+def corpus_term_salience(spark, sf_dir):
+    """Rarest-term extraction (keyword/salience shape): global document
+    frequency per token, then each doc's lowest-df token (ties broken
+    lexicographically). The df table is vocabulary-sized, so at corpus
+    scale it broadcasts onto the token stream; integer df only — no
+    ln()-based tf-idf floats whose last ulp differs across engines."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions.text import tokens_col
+
+    dt = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")).distinct()
+    df_tbl = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+    return (
+        dt.join(F.broadcast(df_tbl), "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("tok").alias("rare_tok"), "df")
+    )
+
+
+@q(
+    "kg_two_hop_counts",
+    TRIPLES_CTE
+    + """SELECT t1.subj, count(*) AS n_paths, count(DISTINCT t2.obj_lex) AS n_targets
+       FROM triples t1 JOIN triples t2 ON t1.obj_lex = t2.subj
+       WHERE t1.obj_kind = 0 AND t2.obj_kind = 0
+       GROUP BY t1.subj""",
+)
+def kg_two_hop_counts(spark, sf_dir):
+    """Graph analytics: 2-hop IRI path and distinct-target counts per
+    origin entity — the neighborhood-expansion join every KG reachability
+    query starts from (subject-keyed equi-join, no cross product)."""
+    t = _triples(spark, sf_dir)
+    a = t.filter(F.col("obj_kind") == 0).select("subj", F.col("obj_lex").alias("mid"))
+    b = t.filter(F.col("obj_kind") == 0).select(
+        F.col("subj").alias("mid"), F.col("obj_lex").alias("target")
+    )
+    return (
+        a.join(b, "mid")
+        .groupBy("subj")
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("target").alias("n_targets"),
+        )
+    )
+
+
 # ---- SPARQL ASK / SELECT * / graph stats / inline blank nodes ---------------
 
 
