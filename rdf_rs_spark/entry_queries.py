@@ -2297,15 +2297,15 @@ _VERIFY_FIRST = [
     "docs_deterministic_sample",
     "docs_stratified_sample",
     "kg_pipeline_e2e",
-    # new corpus ops this round
+    # new corpus/analytics ops this round
     "docs_pii_redact",
     "docs_outlink_stats",
     "corpus_token_histogram",
-    # round-1-green anchors re-confirmed inside the head window
+    "corpus_top_docs_per_domain",
+    "corpus_term_salience",
+    "kg_two_hop_counts",
+    # round-1-green anchor re-confirmed inside the head window
     "kg_triples_materialize",
-    "rdf_turtle_parse",
-    "dedup_minhash_pairs",
-    "dedup_neardup_clusters",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Suggest next round's `_VERIFY_FIRST` head window.
+
+The driver's correctness gate records rows for the FIRST 50 entries of
+``queries()`` only (verified in round 1), so each round the registry
+head must rotate: entries that have never received a green driver row —
+or whose last row was red — go first; entries already green in any
+``CORRECTNESS_r*.json`` rotate to the back.
+
+Usage (from the repo root, no Spark needed):
+
+    python scripts/rotate_verify_window.py
+
+Prints the suggested head-50 as a Python list literal to paste into
+``rdf_rs_spark/entry_queries.py::_VERIFY_FIRST``, plus a coverage
+summary. Purely advisory — the builder still curates the list (e.g. to
+re-check entries whose oracle changed in the current round).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def green(row: dict) -> bool:
+    return bool(row.get("rows_match") and row.get("schema_match") and row.get("hash_match"))
+
+
+def rows_only_ok(row: dict) -> bool:
+    # no-oracle entries get a weaker rows-only check; count a non-error row
+    return row.get("err") in (None, "no_oracle") and row.get("spark_rows") is not None
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry  # noqa: E402
+
+    names = list(entry.queries())
+    oracled = set(entry.oracle_sql())
+
+    ever_green: set[str] = set()
+    last_status: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        data = json.load(open(path))
+        for name, row in data.items():
+            ok = green(row) if name in oracled else rows_only_ok(row)
+            last_status[name] = "green" if ok else "red"
+            if ok:
+                ever_green.add(name)
+
+    never_checked = [n for n in names if n not in last_status]
+    red = [n for n in names if last_status.get(n) == "red"]
+    green_names = [n for n in names if n in ever_green and last_status.get(n) == "green"]
+
+    head = (red + never_checked + green_names)[:WINDOW]
+    print(f"# registry: {len(names)} entries; ever-green {len(ever_green)}, "
+          f"red-last {len(red)}, never-checked {len(never_checked)}")
+    print("_VERIFY_FIRST = [")
+    for n in head:
+        print(f'    "{n}",')
+    print("]")
+    uncovered = [n for n in names if n not in ever_green and n not in head]
+    if uncovered:
+        print(f"# NOTE: {len(uncovered)} never-green entries do NOT fit this "
+              f"round's window; they must rotate in next round: {uncovered}")
+
+
+if __name__ == "__main__":
+    main()
