@@ -2225,6 +2225,51 @@ def rdf_turtle_parse_inline_bnode(spark, sf_dir):
     return parse_turtle_docs(docs, "content", "doc_id")
 
 
+# ---- entity linking (exact path), fully oracled -----------------------------
+
+
+@q(
+    "kg_entity_linking",
+    """WITH p AS (
+      SELECT i,
+        'https://ex' || (i % 1000) || '.example.org/page/' || i AS url,
+        'Article ' || i || ' discusses alias' || (i % 100) || ' and also alias'
+          || ((i + 7) % 100)
+          || CASE WHEN i % 20 = 0 THEN ' plus the famous alias0' ELSE '' END
+          || ' in depth.' AS body
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)),
+    toks AS (
+      SELECT DISTINCT url,
+        unnest(regexp_split_to_array(
+          lower(regexp_replace(body, '[^\\w\\s]', '', 'g')), '\\s+')) AS token
+      FROM p),
+    dict AS (
+      SELECT 'alias' || k AS alias, 'http://kg.example.org/entity/E' || k AS entity_iri,
+             floor((1.0 - k / 200.0) * 1000000)::BIGINT AS prior_e6
+      FROM (SELECT unnest(generate_series(0, 99)) AS k))
+    SELECT t.url, d.alias, d.entity_iri, d.prior_e6
+    FROM toks t JOIN dict d ON t.token = d.alias""",
+)
+def kg_entity_linking(spark, sf_dir):
+    """North-star stage 3 as its own oracled entry: mention detection +
+    broadcast exact-match linking over the synthetic corpus (fixed 2000
+    pages — the corpus is a pure function of the row index, so the
+    oracle regenerates it in SQL). The ambiguous every-7th aliases
+    resolve dict-side by max prior (base rows always beat the 0.3-prior
+    alternates), so the oracle only needs the base dictionary; the prior
+    is e6-scaled through identical IEEE ops in both engines."""
+    from .linking import link_mentions
+
+    pages = synthesize_web_pages(spark, 2000)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return links.select(
+        "url",
+        "alias",
+        "entity_iri",
+        F.floor(F.col("prior") * 1000000).cast("bigint").alias("prior_e6"),
+    )
+
+
 # ---- end-to-end KG pipeline (non-SQL-expressible: Turtle islands + linking) --
 
 
@@ -2304,8 +2349,7 @@ _VERIFY_FIRST = [
     "corpus_top_docs_per_domain",
     "corpus_term_salience",
     "kg_two_hop_counts",
-    # round-1-green anchor re-confirmed inside the head window
-    "kg_triples_materialize",
+    "kg_entity_linking",
 ]
 
 
