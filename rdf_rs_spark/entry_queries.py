@@ -2091,7 +2091,9 @@ def corpus_term_salience(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     from .functions.text import tokens_col
 
-    dt = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")).distinct()
+    # the distinct (doc, token) set feeds BOTH the df aggregate and the
+    # probe side — persist so the explode+distinct runs once
+    dt = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")).distinct().persist()
     df_tbl = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
     return (

@@ -304,39 +304,37 @@ def dedup_ngram_jaccard(
 # ----------------------------------------------------------- SimHash ------
 
 
-@pandas_udf(T.LongType())
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-batched, numpy
-    bit-parallel — no per-row Python loops over bits).
-
-    The per-token 64-bit hash is the leading 16 hex chars of md5 —
-    replayable in any ANSI-SQL engine (DuckDB:
+def simhash_of(t) -> int:
+    """Pure per-document 64-bit SimHash (int64 range); the kernel body,
+    exposed for property tests. The per-token 64-bit hash is the leading
+    16 hex chars of md5 — replayable in any ANSI-SQL engine (DuckDB:
     ``('0x' || substring(md5(tok), 1, 16))::UBIGINT``), which makes the
     whole signature oracle-able; blake2b was not."""
     import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        hs = np.fromiter(
-            (
-                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
-                for tok in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        acc = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(acc > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig)
-    return pd.Series(out)
+    toks = t.split() if t else []
+    if not toks:
+        return 0
+    hs = np.fromiter(
+        (int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16) for tok in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for b in np.nonzero(acc > 0)[0]:
+        sig |= np.uint64(1) << np.uint64(b)
+    return int(np.int64(sig))
+
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched; numpy
+    bit-parallel per document — no per-row Python loops over bits)."""
+    return pd.Series(
+        [simhash_of(t) for t in texts], dtype="int64"
+    )
 
 
 def dedup_simhash(

@@ -9,7 +9,7 @@ import math
 from hypothesis import given, settings, strategies as st
 
 from rdf_rs_spark.operators.corpus import repetition_of, winnow_of
-from rdf_rs_spark.operators.dedup import _seeded_bands_of
+from rdf_rs_spark.operators.dedup import _seeded_bands_of, simhash_of
 
 _WORDS = st.lists(st.sampled_from("a b c aa ab bb abc xyz w1 w2".split()), max_size=40)
 
@@ -90,3 +90,44 @@ def test_winnow_shared_prefix_shares_fingerprints(a, b):
         hs.append(acc)
     prefix_fps = {min(hs[i : i + 4]) for i in range(14)}
     assert prefix_fps <= fa and prefix_fps <= fb
+
+
+@settings(max_examples=300, deadline=None)
+@given(_WORDS)
+def test_simhash_matches_bitstring_model(words):
+    """The numpy bit-parallel SimHash must equal an independent
+    string-arithmetic model: per token, the 64-bit hash as a binary
+    STRING (leading 16 md5 hex chars), then a per-position '1'-majority
+    vote; sign bit handled by the int64 two's-complement reinterpret."""
+    t = " ".join(words)
+    got = simhash_of(t)
+    toks = t.split()
+    if not toks:
+        assert got == 0
+        return
+    bitstrings = [
+        bin(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))[2:].zfill(64)
+        for tok in toks
+    ]
+    sig = 0
+    for pos in range(64):  # pos 0 = MSB of the bitstring = bit 63
+        ones = sum(1 for bs in bitstrings if bs[pos] == "1")
+        if ones * 2 > len(bitstrings):
+            sig |= 1 << (63 - pos)
+    if sig >= 1 << 63:  # reinterpret as int64
+        sig -= 1 << 64
+    assert got == sig
+
+
+@settings(max_examples=200, deadline=None)
+@given(_WORDS, st.integers(0, 63))
+def test_simhash_band_collision_guarantee(words, flip):
+    """Pigeonhole property the pairs query relies on: flipping any
+    single bit of a signature leaves at least 3 of the 4 16-bit bands
+    identical (hamming<=3 pairs always share a band)."""
+    t = " ".join(words)
+    a = simhash_of(t) & ((1 << 64) - 1)
+    b = a ^ (1 << flip)
+    bands_a = [(a >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands_b = [(b >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert sum(x == y for x, y in zip(bands_a, bands_b)) == 3
