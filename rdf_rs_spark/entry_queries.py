@@ -757,9 +757,7 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 # the sign bit is assembled via int64 min-value addition so the output
 # BIGINT is bit-identical to Spark's LongType signature.
 _DD_SIMHASH_CTES = """toks AS (
-      SELECT doc_id,
-        CASE WHEN length(trim(text)) = 0 THEN []
-             ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk
       FROM documents
     ), hs AS (
       SELECT doc_id, list_transform(tk, t -> ('0x' || substring(md5(t), 1, 16))::UBIGINT) AS h
@@ -1937,7 +1935,10 @@ def lineitem_quantity_percentiles(spark, sf_dir):
 
 # ---- corpus ops: PII scrubbing, link extraction, vocabulary -----------------
 
-_PII_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+# the oracle interpolates the SAME constants the operators default to —
+# a widened pattern on one side cannot silently un-pair query and oracle
+from .operators.corpus import EMAIL_RE as _PII_RX  # noqa: E402
+from .operators.corpus import URL_RE as _URL_RX  # noqa: E402
 
 
 @q(
@@ -1980,13 +1981,13 @@ def docs_pii_redact(spark, sf_dir):
 
 @q(
     "docs_outlink_stats",
-    """WITH e AS (SELECT doc_id,
+    f"""WITH e AS (SELECT doc_id,
          text || CASE WHEN doc_id % 2 = 0
                       THEN ' see https://' || source || '.example.org/p/' || (doc_id % 7)
                            || ' and https://hub.example.net/x'
                       ELSE '' END AS s
        FROM documents),
-    l AS (SELECT doc_id, regexp_extract_all(s, 'https?://[A-Za-z0-9._/-]+') AS links FROM e)
+    l AS (SELECT doc_id, regexp_extract_all(s, '{_URL_RX}') AS links FROM e)
     SELECT doc_id, len(links)::BIGINT AS n_links,
        len(list_distinct(list_transform(links,
            u -> regexp_extract(u, '^https?://([^/]+)', 1))))::BIGINT AS n_hosts

@@ -214,8 +214,9 @@ def spherical_kmeans(
       the broadcast centroid matrix; the mean-update emits PARTIAL
       (cluster, count, sum-vector) rows per Arrow batch — never the
       vector stream — which are collected (no shuffle) and summed
-      driver-side in sorted order so the float accumulation order does
-      not depend on partitioning or task scheduling.
+      driver-side in sorted order: run-to-run deterministic for a fixed
+      partition layout (batch composition itself still varies across
+      layouts; ties near cluster boundaries can shift with it).
     - only batches × k sum-vectors ever reach the driver.
     """
     v = corpus.select(
@@ -260,10 +261,13 @@ def spherical_kmeans(
 
         # the partials are tiny (≤ batches × k rows of k×dim doubles) —
         # collect them and accumulate DRIVER-SIDE in a sorted order: a
-        # distributed F.sum over doubles adds in partition-arrival order,
-        # so the centroid bits (and cluster assignments near ties) would
-        # drift with partitioning/scheduling. Sorting the partials first
-        # makes the accumulation order a pure function of their values.
+        # distributed F.sum over doubles adds in partition-ARRIVAL order,
+        # so reruns on the same layout could differ. Sorting makes the
+        # accumulation a pure function of the partial VALUES — exact
+        # run-to-run determinism for a fixed partition layout. (The
+        # partials themselves are per-Arrow-batch, so a DIFFERENT layout
+        # can still shift centroid bits near ties; full layout
+        # independence would need a canonical per-vector ordering.)
         rows = v.mapInPandas(partials, part_schema).collect()
         rows.sort(key=lambda r: (r["cluster"], r["n"], tuple(r["s"])))
         new = np.array(centroids)

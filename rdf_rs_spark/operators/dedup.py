@@ -309,10 +309,18 @@ def simhash_of(t) -> int:
     exposed for property tests. The per-token 64-bit hash is the leading
     16 hex chars of md5 — replayable in any ANSI-SQL engine (DuckDB:
     ``('0x' || substring(md5(tok), 1, 16))::UBIGINT``), which makes the
-    whole signature oracle-able; blake2b was not."""
+    whole signature oracle-able; blake2b was not.
+
+    Tokenization is the repo-wide ASCII ``\\S+`` convention (one
+    definition, ``operators.corpus._TOKEN_RE`` ≡ DuckDB
+    ``regexp_extract_all(text, '\\S+')``) — NOT Python ``str.split()``,
+    which also splits Unicode whitespace and would silently diverge
+    from any SQL oracle on e.g. a non-breaking space."""
     import hashlib
 
-    toks = t.split() if t else []
+    from .corpus import _TOKEN_RE
+
+    toks = _TOKEN_RE.findall(t) if t else []
     if not toks:
         return 0
     hs = np.fromiter(
@@ -346,7 +354,10 @@ def dedup_simhash(
 
     The signature table feeds BOTH sides of the band self-join — persist
     it so the per-token md5 Arrow kernel runs once per doc, not twice
-    (same reason ``dedup_minhash_lsh`` persists its docs/bands)."""
+    (same reason ``dedup_minhash_lsh`` persists its docs/bands). The
+    persist outlives the returned lazy DataFrame; long-lived sessions
+    issuing many such queries should ``spark.catalog.clearCache()``
+    between them (bench.py and the oracle gate both do)."""
     sigs = df.select(F.col(id_col).alias("id"), simhash64(text).alias("sig")).persist()
     bands = sigs.select(
         "id",

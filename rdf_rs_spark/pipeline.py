@@ -193,8 +193,13 @@ def run_pipeline(
         if fail_after_buckets is not None and done >= fail_after_buckets:
             raise RuntimeError("simulated mid-run kill after %d buckets" % done)
         docs = bucket_pages.count()
+        from .sources.graph_table import subject_bucket
+
+        # ONE definition of the bucketing function, shared with the
+        # read side (`triples_for_subject`) — a divergent copy here would
+        # make bucket-pruned lookups silently scan the wrong partition
         triples = page_triples(bucket_pages, alias_dict).withColumn(
-            "src_bucket", F.pmod(F.xxhash64("subj"), F.lit(subj_buckets)).cast("int")
+            "src_bucket", subject_bucket(F.col("subj"), subj_buckets)
         )
         triples = triples.cache()
         n_triples = triples.count()

@@ -94,6 +94,11 @@ def test_query_matches_oracle(spark, duck, name):
         assert stypes[col] in allowed, (
             f"{name}.{col}: oracle {dt} vs spark {stypes[col]}"
         )
+    # several operators persist shared intermediates (MinHash docs/bands,
+    # SimHash signatures, salience token sets) and cannot unpersist a
+    # lazy result — drop them here so a 90-query session stays bounded
+    spark.catalog.clearCache()
+
     assert len(srows) == len(drows), f"{name}: spark={len(srows)} duckdb={len(drows)}"
     ms, md = _multiset(srows, [c.lower() for c in scols]), _multiset(drows, [c.lower() for c in dcols])
     if ms != md:
