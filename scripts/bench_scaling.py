@@ -158,8 +158,21 @@ regime N->4N models.
     # headline numbers the docs cite
     full_protocol = r_n["pages"] >= 1_000_000 and len(r_n["walls"]) >= 5
     if full_protocol:
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        # hand-maintained sections (methodology notes, round deltas,
+        # related evidence) live below the marker and survive regeneration
+        preserved = ""
+        marker = "<!-- hand-maintained below -->"
+        try:
+            old = open(path).read()
+            if marker in old:
+                preserved = old[old.index(marker):]
+        except FileNotFoundError:
+            pass
+        with open(path, "w") as f:
             f.write(md)
+            if preserved:
+                f.write("\n" + preserved)
         with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
             json.dump(result, f, indent=2)
     else:
