@@ -2228,6 +2228,42 @@ def rdf_turtle_parse_inline_bnode(spark, sf_dir):
     return parse_turtle_docs(docs, "content", "doc_id")
 
 
+@q(
+    "rdf_write_validation_rejects",
+    """SELECT 'http://kg.example.org/customer/' || c_custkey AS subj,
+       CASE WHEN c_custkey % 7 = 0 THEN '_:p' ELSE 'http://kg.example.org/name' END AS pred,
+       CAST(2 AS TINYINT) AS obj_kind, c_name AS obj_lex,
+       CASE WHEN c_custkey % 5 = 0 OR c_custkey % 7 = 0
+            THEN 'http://www.w3.org/2001/XMLSchema#string' END AS obj_datatype,
+       CASE WHEN c_custkey % 5 = 0 THEN 'en' END AS obj_lang,
+       CASE WHEN c_custkey % 7 = 0 THEN 'blank_predicate'
+            WHEN c_custkey % 5 = 0 THEN 'lang_and_datatype' END AS reason
+       FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 5 = 0""",
+)
+def rdf_write_validation_rejects(spark, sf_dir):
+    """W4 write-validation surfaced as a driver query: triples the
+    reference writer refuses (blank predicate wins over lang+datatype
+    when both apply, matching the validator's check order) land in a
+    dead-letter view with the reason."""
+    from .writers.ntriples import validation_rejects
+
+    c = _t(spark, sf_dir, "customer")
+    rows = c.select(
+        F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("_:p"))
+        .otherwise(F.lit(EX + "name"))
+        .alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        F.col("c_name").alias("obj_lex"),
+        F.when(
+            (F.col("c_custkey") % 5 == 0) | (F.col("c_custkey") % 7 == 0),
+            F.lit("http://www.w3.org/2001/XMLSchema#string"),
+        ).alias("obj_datatype"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("en")).alias("obj_lang"),
+    )
+    return validation_rejects(rows)
+
+
 # ---- entity linking (exact path), fully oracled -----------------------------
 
 

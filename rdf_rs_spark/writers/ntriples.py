@@ -88,5 +88,23 @@ def nt_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
     return df.select(guarded.alias("value"))
 
 
+def validation_rejects(df: DataFrame) -> DataFrame:
+    """W4 as a dead-letter view: every triple the reference writer would
+    refuse (``n_triples_writer.rs:153-191`` / ``turtle_writer.rs:177-215``),
+    with the reason. The ``error``/``drop`` modes of :func:`nt_lines`
+    enforce validation inline; at pipeline scale the observable variant —
+    route rejects to a side table, serialize the rest — is what an
+    operator actually monitors (same shape as ``ntriples_rejects`` on the
+    parse side). Reasons mirror the reference's error messages: blank
+    predicate, lang+datatype literal."""
+    reason = F.when(
+        F.col("pred").startswith("_:"), F.lit("blank_predicate")
+    ).when(
+        (F.col("obj_lang").isNotNull()) & (F.col("obj_datatype").isNotNull()),
+        F.lit("lang_and_datatype"),
+    )
+    return df.withColumn("reason", reason).filter(F.col("reason").isNotNull())
+
+
 def write_ntriples(df: DataFrame, path: str, on_invalid: str = "error") -> None:
     nt_lines(df, on_invalid=on_invalid).write.mode("overwrite").text(path)
