@@ -1,0 +1,61 @@
+"""End-to-end streaming KG construction: a landing stream of crawled
+pages → extract → parse RDF islands → link → skolemize → dedup →
+append to the bucketed graph table.
+
+The composition is ``foreachBatch`` over the SAME batch operators the
+batch pipeline uses (``pipeline.page_triples``): inside a micro-batch a
+DataFrame is just a DataFrame, so the whole battle-tested batch plan
+(broadcast linking, salted single-shuffle dedup, bucketed write) runs
+unchanged — the streaming engine contributes source tracking, the
+checkpoint log, and exactly-once file-sink semantics. This is the
+standard production shape for "stream into a table" jobs; the
+pure-streaming operators (watermarked windows, cross-micro-batch
+stateful dedup) live in :mod:`.ingest` and :mod:`.stateful` for the
+cases that genuinely need them.
+
+Cross-batch duplicate triples (the same subject re-crawled in a later
+micro-batch) are tolerated at the table level: every ID is
+content-addressed, so duplicates are structurally identical rows that
+the next compaction or any reader-side ``dedup_salted`` pass collapses;
+bounded-horizon online suppression is :func:`.stateful.first_seen_triples`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..pipeline import page_triples
+from ..sources.graph_table import subject_bucket
+
+
+def stream_pages_to_graph(
+    pages_stream: DataFrame,
+    alias_dict: DataFrame,
+    triples_path: str,
+    checkpoint_path: str,
+    subj_buckets: int = 64,
+    available_now: bool = True,
+):
+    """Start the streaming KG-construction query; returns the handle.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops (the batch-backfill trigger); ``False`` runs continuously."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        triples = page_triples(batch_df, alias_dict).withColumn(
+            "src_bucket", subject_bucket(F.col("subj"), subj_buckets)
+        )
+        (
+            triples.repartition(F.col("src_bucket"))
+            .write.mode("append")
+            .partitionBy("src_bucket")
+            .parquet(triples_path)
+        )
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
