@@ -2229,6 +2229,48 @@ def rdf_turtle_parse_inline_bnode(spark, sf_dir):
 
 
 @q(
+    "lineitem_returnflag_pivot",
+    """SELECT l_linestatus,
+       sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_A,
+       sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS n_N,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_R
+       FROM lineitem GROUP BY l_linestatus""",
+)
+def lineitem_returnflag_pivot(spark, sf_dir):
+    """PIVOT with an explicit value list (unlisted values would make the
+    output schema data-dependent — never acceptable in a fixed-contract
+    pipeline); compiles to one map-side-combining aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_linestatus",
+            F.coalesce("A", F.lit(0)).cast("bigint").alias("n_A"),
+            F.coalesce("N", F.lit(0)).cast("bigint").alias("n_N"),
+            F.coalesce("R", F.lit(0)).cast("bigint").alias("n_R"),
+        )
+    )
+
+
+@q(
+    "customers_with_orders_semi",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def customers_with_orders_semi(spark, sf_dir):
+    """EXISTS as a left-semi join (the complement of the EXCEPT-based
+    anti query): no row multiplication, the probe side short-circuits on
+    first match."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@q(
     "rdf_write_validation_rejects",
     """SELECT 'http://kg.example.org/customer/' || c_custkey AS subj,
        CASE WHEN c_custkey % 7 = 0 THEN '_:p' ELSE 'http://kg.example.org/name' END AS pred,

@@ -252,6 +252,38 @@ def test_subject_lookup_prunes_buckets(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Spark-native bucketing (the Iceberg bucket-transform analogue for
+    managed tables): two tables bucketed on the join key must sort-merge
+    join with ZERO exchanges — at 100 TB this is the difference between
+    a co-located join and reshuffling both fact tables every query."""
+    import uuid
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    suffix = uuid.uuid4().hex[:8]
+    names = [f"orders_b_{suffix}", f"lineitem_b_{suffix}"]
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(names[0])
+    )
+    (
+        l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(names[1])
+    )
+    try:
+        ob = spark.table(names[0])
+        lb = spark.table(names[1])
+        joined = lb.join(
+            ob.hint("merge"), lb.l_orderkey == ob.o_orderkey
+        ).select("l_orderkey", "o_orderdate")
+        assert count_exchanges(joined) == 0, explain_str(joined, "simple")
+        assert joined.count() == l.count()
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
 def test_multimodal_plans_never_shuffle_payload(spark):
     """Frame/chunk expansion works on metadata only — the (huge) binary
     payload column is pruned from the scan and no exchange appears."""
