@@ -27,6 +27,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    pointer_jumping: bool = True,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges`` (undirected);
     ``component`` = min node id of the component. Isolated nodes (no
@@ -50,23 +51,22 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nb_min"))
         )
-        # pointer jump: the label IS a node id — fetch that node's label
-        grand = labels.select(
-            F.col("id").alias("g_id"), F.col("label").alias("g_label")
-        )
-        joined = (
-            labels.join(nb, labels["id"] == nb["s"], "left")
-            .join(grand, labels["label"] == grand["g_id"], "left")
-            .select(
-                "id",
-                "label",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nb_min", "label"),
-                    F.coalesce("g_label", "label"),
-                ).alias("new_label"),
+        joined = labels.join(nb, labels["id"] == nb["s"], "left")
+        if pointer_jumping:
+            # pointer jump: the label IS a node id — fetch that node's
+            # label too (halves the remaining path each round)
+            grand = labels.select(
+                F.col("id").alias("g_id"), F.col("label").alias("g_label")
             )
-        )
+            joined = joined.join(grand, labels["label"] == grand["g_id"], "left")
+            new_label = F.least(
+                F.col("label"),
+                F.coalesce("nb_min", "label"),
+                F.coalesce("g_label", "label"),
+            )
+        else:
+            new_label = F.least(F.col("label"), F.coalesce("nb_min", "label"))
+        joined = joined.select("id", "label", new_label.alias("new_label"))
         joined = joined.localCheckpoint(eager=True)
         changed = joined.filter(F.col("new_label") < F.col("label")).count()
         labels = joined.select("id", F.col("new_label").alias("label"))
