@@ -2306,6 +2306,106 @@ def rdf_write_validation_rejects(spark, sf_dir):
     return validation_rejects(rows)
 
 
+# ---- named graphs / quads (beyond-reference: GRAPH, FROM, N-Quads) ----------
+
+
+def _quads(spark, sf_dir):
+    """The star-schema triples as a QUAD store: each entity's triples in
+    a per-entity-type named graph; blank-subject rows stay in the
+    default graph (NULL)."""
+    t = _triples(spark, sf_dir)
+    g = (
+        F.when(F.col("subj").startswith(EX + "customer/"), F.lit(EX + "g/customer"))
+        .when(F.col("subj").startswith(EX + "nation/"), F.lit(EX + "g/nation"))
+        .when(F.col("subj").startswith(EX + "region/"), F.lit(EX + "g/region"))
+    )
+    return t.withColumn("graph", g)
+
+
+@q(
+    "rdf_nquads_parse",
+    """SELECT 'http://kg.example.org/nation/' || n_nationkey AS subj,
+       'http://kg.example.org/name' AS pred, CAST(2 AS TINYINT) AS obj_kind,
+       n_name AS obj_lex, CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       CASE WHEN n_nationkey % 2 = 0
+            THEN 'http://kg.example.org/g/region' || n_regionkey END AS graph
+       FROM nation""",
+)
+def rdf_nquads_parse(spark, sf_dir):
+    """N-Quads ingestion (the Common-Crawl RDF dump codec; beyond the
+    triples-only reference): even nations carry a per-region graph
+    label, odd ones omit it and land in the default graph (NULL)."""
+    from .sources.nquads import parse_nquads_lines
+
+    lines = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("<" + EX + "nation/"),
+            F.col("n_nationkey").cast("string"),
+            F.lit("> <" + EX + 'name> "'),
+            F.col("n_name"),
+            F.lit('"'),
+            F.when(
+                F.col("n_nationkey") % 2 == 0,
+                F.concat(
+                    F.lit(" <" + EX + "g/region"),
+                    F.col("n_regionkey").cast("string"),
+                    F.lit(">"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" ."),
+        ).alias("value")
+    )
+    return parse_nquads_lines(lines, "value")
+
+
+@q(
+    "sparql_graph_exec",
+    TRIPLES_CTE
+    + """SELECT subj AS s, 'http://kg.example.org/g/customer' AS g
+       FROM triples
+       WHERE pred = '{rdf_type}' AND obj_kind = 0
+         AND obj_lex = 'http://kg.example.org/Customer'""".replace(
+        "{rdf_type}", RDF_TYPE
+    ),
+)
+def sparql_graph_exec(spark, sf_dir):
+    """GRAPH ?g {{ … }} executed over the quad store (the reference
+    lexes GRAPH but rejects it): the variable binds each solution's
+    named graph."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _quads(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?s ?g WHERE { GRAPH ?g { ?s a ex:Customer . } }""",
+    )
+
+
+@q(
+    "sparql_from_exec",
+    TRIPLES_CTE
+    + """SELECT subj AS n, obj_lex AS name FROM triples
+       WHERE pred = 'http://kg.example.org/name'
+         AND starts_with(subj, 'http://kg.example.org/nation/')""",
+)
+def sparql_from_exec(spark, sf_dir):
+    """FROM <g> dataset clause executed over the quad store (lexed-only
+    in the reference): the default graph becomes the union of the FROM
+    graphs, so this plain (non-GRAPH) pattern — which without FROM would
+    see only the NULL-graph rows — ranges over exactly the nation graph.
+    Customer/region name triples (other named graphs) and the
+    default-graph blank-node rows must both stay excluded."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _quads(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?n ?name FROM <http://kg.example.org/g/nation>
+           WHERE { ?n ex:name ?name . }""",
+    )
+
+
 # ---- entity linking (exact path), fully oracled -----------------------------
 
 

@@ -41,15 +41,45 @@ def _is_var(x: FixedOrVar) -> bool:
 
 @dataclass
 class TriplePattern:
-    """One SPARQL triple pattern (reference ``src/sparql/pattern.rs:62-98``)."""
+    """One SPARQL triple pattern (reference ``src/sparql/pattern.rs:62-98``).
+
+    ``graph`` extends the reference's triple patterns to QUADS (the
+    reference lexes GRAPH/FROM/NAMED but rejects them,
+    ``src/specs/sparql_specs.rs:6-28``): ``None`` matches the dataset's
+    default graph, a variable binds the named graph's IRI, a fixed term
+    pins one named graph. Ignored when the input has no ``graph``
+    column (a plain triples table)."""
 
     subject: FixedOrVar
     predicate: FixedOrVar
     object: FixedOrVar
+    graph: Optional[FixedOrVar] = None
 
-    def compile(self, triples: DataFrame) -> DataFrame:
+    def compile(
+        self,
+        triples: DataFrame,
+        default_graphs: Optional[Sequence[str]] = None,
+        named_graphs: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
         df = triples
         proj: List[Column] = []
+        # graph (quad stores only): SPARQL dataset semantics — patterns
+        # outside GRAPH see the default graph (NULL rows, or the FROM
+        # union); GRAPH patterns range over named graphs (non-NULL, or
+        # the FROM NAMED list)
+        if "graph" in triples.columns:
+            if self.graph is None:
+                if default_graphs:
+                    df = df.filter(F.col("graph").isin(list(default_graphs)))
+                else:
+                    df = df.filter(F.col("graph").isNull())
+            elif _is_var(self.graph):
+                df = df.filter(F.col("graph").isNotNull())
+                if named_graphs:
+                    df = df.filter(F.col("graph").isin(list(named_graphs)))
+                proj.append(F.col("graph").alias(self.graph[1:]))
+            else:
+                df = df.filter(F.col("graph") == _subject_text(self.graph))
         # subject
         if _is_var(self.subject):
             proj.append(F.col("subj").alias(self.subject[1:]))
@@ -99,18 +129,26 @@ def bgp_join(
     triples: DataFrame,
     patterns: Sequence[TriplePattern],
     optional: Sequence = (),
+    default_graphs: Optional[Sequence[str]] = None,
+    named_graphs: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Compile a BGP (+ OPTIONAL groups) into a join tree.
 
     ``optional`` accepts either a flat pattern list (one OPTIONAL group)
     or a list of groups — each group solves independently (inner joins
     within) and left-joins onto the required solutions in order, the
-    standard SPARQL semantics for multiple OPTIONAL clauses."""
+    standard SPARQL semantics for multiple OPTIONAL clauses.
+    ``default_graphs`` / ``named_graphs`` carry FROM / FROM NAMED dataset
+    clauses down to every pattern (quad stores only)."""
     if not patterns:
         raise ValueError("empty BGP")
-    result = patterns[0].compile(triples)
+
+    def comp(p: TriplePattern) -> DataFrame:
+        return p.compile(triples, default_graphs=default_graphs, named_graphs=named_graphs)
+
+    result = comp(patterns[0])
     for pat in patterns[1:]:
-        right = pat.compile(triples)
+        right = comp(pat)
         shared = sorted(set(result.columns) & set(right.columns))
         result = result.join(right, on=shared, how="inner") if shared else result.crossJoin(right)
     groups: List[Sequence[TriplePattern]]
@@ -121,9 +159,9 @@ def bgp_join(
     for group in groups:
         if not group:
             continue
-        opt = group[0].compile(triples)
+        opt = comp(group[0])
         for pat in group[1:]:
-            right = pat.compile(triples)
+            right = comp(pat)
             shared = sorted(set(opt.columns) & set(right.columns))
             opt = opt.join(right, on=shared, how="inner") if shared else opt.crossJoin(right)
         shared = sorted(set(result.columns) & set(opt.columns))

@@ -1,0 +1,80 @@
+"""Distributed N-Quads source (the named-graph extension of N-Triples).
+
+The reference has no quad support at all (its store is triples-only,
+``src/triple.rs``); N-Quads is nevertheless the codec the web-scale
+corpus world actually ships — Common Crawl publishes its extracted RDF
+as .nq — so the engine reads it natively. Grammar = the N-Triples line
+grammar plus one optional graph label (IRI or blank) before the ``.``;
+the line stays self-contained, so ingestion is the same
+``spark.read.text`` + single-regexp whole-stage-codegen parse as
+:mod:`.ntriples`, with one extra capture group. A missing graph label
+means the DEFAULT graph → NULL in the ``graph`` column, which is
+exactly what :class:`rdf_rs_spark.operators.bgp.TriplePattern` treats
+as the default graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# N-Triples master pattern + optional graph token (group 4)
+NQ_LINE_PATTERN = (
+    r'^[ \t]*((?:<[^>]*>|_:[^ \r\n.]+))[ \t]+<([^>]*)>[ \t]+'
+    r'((?:<[^>]*>|_:[^ \r\n.]+|"[^"]*"(?:@[^ \r\n.]+|\^\^<[^>]*>)?))'
+    r'(?:[ \t]+((?:<[^>]*>|_:[^ \r\n.]+)))?[ \t]*\.[ \t]*$'
+)
+
+
+def _g(line: Column, idx: int) -> Column:
+    return F.regexp_extract(line, NQ_LINE_PATTERN, idx)
+
+
+def parse_nquads_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """lines DataFrame → quads DataFrame (triples schema + ``graph``)."""
+    line = F.col(line_col)
+    matched = line.rlike(NQ_LINE_PATTERN)
+    is_comment = F.trim(line).startswith("#") | (F.trim(line) == "")
+    st = F.col("__st")
+    ot = F.col("__ot")
+    gt = F.col("__gt")
+    ot_first = F.substring(ot, 1, 1)
+    return (
+        df.filter(~is_comment)
+        .filter(matched)
+        .withColumn("__st", _g(line, 1))
+        .withColumn("__ot", _g(line, 3))
+        .withColumn("__gt", _g(line, 4))
+        .select(
+            F.when(st.startswith("<"), st.substr(F.lit(2), F.length(st) - 2))
+            .otherwise(st)
+            .alias("subj"),
+            _g(line, 2).alias("pred"),
+            F.when(ot_first == "<", F.lit(0))
+            .when(ot_first == "_", F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("tinyint")
+            .alias("obj_kind"),
+            F.when(ot_first == "<", ot.substr(F.lit(2), F.length(ot) - 2))
+            .when(ot_first == "_", F.expr("substring(__ot, 3)"))
+            .otherwise(F.regexp_extract(ot, r'^"([^"]*)"', 1))
+            .alias("obj_lex"),
+            F.when(
+                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1) != "",
+                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1),
+            ).alias("obj_datatype"),
+            F.when(
+                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1) != "",
+                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1),
+            ).alias("obj_lang"),
+            # graph label in subject encoding; absent → NULL (default graph)
+            F.when(gt == "", F.lit(None).cast("string"))
+            .when(gt.startswith("<"), gt.substr(F.lit(2), F.length(gt) - 2))
+            .otherwise(gt)
+            .alias("graph"),
+        )
+    )
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Read .nq files into the quads table."""
+    return parse_nquads_lines(spark.read.text(path), "value")

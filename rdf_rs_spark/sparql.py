@@ -72,6 +72,8 @@ class SparqlQuery:
     offset: Optional[int]
     prefixes: Dict[str, str] = field(default_factory=dict)
     base: Optional[str] = None
+    from_graphs: List[str] = field(default_factory=list)  # FROM <g>
+    from_named: List[str] = field(default_factory=list)  # FROM NAMED <g>
 
 
 class _Parser:
@@ -122,10 +124,20 @@ class _Parser:
             variables = []
             while self.peek()[0] == "var":
                 variables.append(self.next()[1])
+        q = SparqlQuery(variables, distinct, [], [], [], [], [], None, None, prefixes, base)
+        # dataset clauses (lexed-but-rejected in the reference,
+        # src/specs/sparql_specs.rs:6-28) — executed here over quad stores
+        while self.peek()[0] == "kw" and self.peek()[1].upper() == "FROM":
+            self.next()
+            named = False
+            if self.peek()[1].upper() == "NAMED":
+                self.next()
+                named = True
+            _, iri = self.next()
+            (q.from_named if named else q.from_graphs).append(iri[1:-1])
         if self.peek()[1].upper() == "WHERE":
             self.next()
         self.expect_punct("{")
-        q = SparqlQuery(variables, distinct, [], [], [], [], [], None, None, prefixes, base)
         self._parse_group(q, q.patterns)
         # solution modifiers
         while self.peek()[0] != "eof":
@@ -168,6 +180,18 @@ class _Parser:
             if k == "kw" and v.upper() == "FILTER":
                 self.next()
                 q.filters.append(self._parse_filter())
+                continue
+            if k == "kw" and v.upper() == "GRAPH":
+                # GRAPH term { patterns } — each inner pattern carries the
+                # graph term (quad matching; requires a 'graph' column)
+                self.next()
+                gterm = self._term(q)
+                self.expect_punct("{")
+                group: List[TriplePattern] = []
+                self._parse_group(q, group)
+                from dataclasses import replace
+
+                sink.extend(replace(p, graph=gterm) for p in group)
                 continue
             if v == "{":
                 # nested group: joined into the parent BGP (reference
@@ -268,13 +292,17 @@ def parse_sparql(text: str) -> SparqlQuery:
 def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
     """Parse and execute a SPARQL SELECT over the triples DataFrame."""
     q = parse_sparql(text)
+    gkw = dict(default_graphs=q.from_graphs or None, named_graphs=q.from_named or None)
     if q.union_groups:
-        branches = [bgp_join(triples, q.patterns + g, optional=q.optional) for g in q.union_groups]
+        branches = [
+            bgp_join(triples, q.patterns + g, optional=q.optional, **gkw)
+            for g in q.union_groups
+        ]
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
     else:
-        df = bgp_join(triples, q.patterns, optional=q.optional)
+        df = bgp_join(triples, q.patterns, optional=q.optional, **gkw)
     for cond in q.filters:
         df = df.filter(F.expr(cond))
     if q.variables is not None:

@@ -186,3 +186,83 @@ def test_offset_executes(spark):
         "PREFIX ex: <http://e.org/> SELECT ?o WHERE { ?s ex:v ?o . } ORDER BY ?o LIMIT 2 OFFSET 1",
     )
     assert [r.o for r in out.collect()] == ["2", "3"]
+
+
+def _quad_df(spark):
+    rows = [
+        # (subj, pred, kind, lex, dt, lang, graph)
+        ("http://e.org/s1", "http://e.org/p", 2, "in-g1", None, None, "http://e.org/g1"),
+        ("http://e.org/s2", "http://e.org/p", 2, "in-g2", None, None, "http://e.org/g2"),
+        ("http://e.org/s3", "http://e.org/p", 2, "in-default", None, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+
+
+def test_graph_fixed_term_pins_one_graph(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    out = execute_sparql(
+        _quad_df(spark),
+        """PREFIX ex: <http://e.org/>
+           SELECT ?o WHERE { GRAPH ex:g1 { ?s ex:p ?o . } }""",
+    )
+    assert [r.o for r in out.collect()] == ["in-g1"]
+
+
+def test_plain_pattern_sees_only_default_graph(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    out = execute_sparql(
+        _quad_df(spark),
+        "PREFIX ex: <http://e.org/> SELECT ?o WHERE { ?s ex:p ?o . }",
+    )
+    assert [r.o for r in out.collect()] == ["in-default"]
+
+
+def test_from_named_restricts_graph_var(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    out = execute_sparql(
+        _quad_df(spark),
+        """PREFIX ex: <http://e.org/>
+           SELECT ?o ?g FROM NAMED <http://e.org/g2>
+           WHERE { GRAPH ?g { ?s ex:p ?o . } }""",
+    )
+    assert [(r.o, r.g) for r in out.collect()] == [("in-g2", "http://e.org/g2")]
+
+
+def test_graph_clause_ignored_on_triple_store(spark):
+    """A GRAPH pattern over a plain triples table (no graph column)
+    degrades to ordinary triple matching — the variable stays unbound
+    rather than erroring, so triple-only callers are unaffected."""
+    from rdf_rs_spark.graph import RdfGraph
+    from rdf_rs_spark.operators.bgp import TriplePattern, bgp_join
+
+    g = RdfGraph.from_turtle_string(
+        spark, '@prefix ex: <http://e.org/> . ex:a ex:p "x" .'
+    )
+    out = bgp_join(g.df, [TriplePattern("?s", "http://e.org/p", "?o", graph="?g")])
+    assert [r.asDict() for r in out.collect()] == [
+        {"s": "http://e.org/a", "o": "x"}
+    ]
+
+
+def test_nquads_parse_graph_labels(spark):
+    from rdf_rs_spark.sources.nquads import parse_nquads_lines
+
+    lines = spark.createDataFrame(
+        [
+            ('<http://e.org/s> <http://e.org/p> "v" <http://e.org/g> .',),
+            ('<http://e.org/s> <http://e.org/p> "w" _:gb .',),
+            ('<http://e.org/s> <http://e.org/p> "d" .',),
+            ("# comment",),
+            ('<malformed> <line> "x" <g> <extra> .',),
+        ],
+        "value string",
+    )
+    got = {(r.obj_lex, r.graph) for r in parse_nquads_lines(lines).collect()}
+    assert got == {("v", "http://e.org/g"), ("w", "_:gb"), ("d", None)}
