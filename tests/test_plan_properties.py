@@ -296,3 +296,17 @@ def test_multimodal_plans_never_shuffle_payload(spark):
     for plan in (frame_sample_plan(media), audio_chunk_plan(media)):
         assert count_exchanges(plan) == 0
         assert "payload" not in plan.columns
+
+
+def test_nquads_parse_is_narrow(spark):
+    """N-Quads parsing, like NT, must be a pure scan-side projection:
+    no shuffle, no Python stage."""
+    from rdf_rs_spark.sources.nquads import parse_nquads_lines
+
+    lines = spark.createDataFrame(
+        [('<http://e.org/s> <http://e.org/p> "v" <http://e.org/g> .',)],
+        "value string",
+    )
+    df = parse_nquads_lines(lines)
+    assert count_exchanges(df) == 0
+    assert "ArrowEvalPython" not in explain_str(df, "simple")
