@@ -129,6 +129,23 @@ def main() -> None:
 
     n_triples = QUERIES["kg_pipeline_e2e"](spark, sf_dir).count()
 
+    # the recorded PINNED scaling evidence (taskset medians, separate
+    # JVMs — see BENCH/BASELINE.md): carried alongside so one
+    # steal-storm window in the unpinned in-bench measurement above
+    # cannot misrepresent the engine's throughput
+    pinned = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "scaling.json")) as f:
+            s = json.load(f)
+        pinned = {
+            "efficiency_n_to_4n": s.get("scaling_efficiency"),
+            "local8_triples_per_sec": s.get("local8", {}).get("triples_per_sec"),
+            "local32_triples_per_sec": s.get("local32", {}).get("triples_per_sec"),
+        }
+    except Exception:
+        pass
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -145,6 +162,8 @@ def main() -> None:
                 "kg_triples_per_sec_best": kg_tps_best,
                 "kg_tps_pages": tp_pages,
                 "kg_tps_triples": tp_triples,
+                "kg_tps_walls_sec": [round(w, 2) for w in walls],
+                "pinned_scaling": pinned,
                 "host_calibration": _calibrate(),
             }
         )

@@ -2406,6 +2406,37 @@ def sparql_from_exec(spark, sf_dir):
     )
 
 
+@q(
+    "rdf_nquads_format",
+    """SELECT '<http://kg.example.org/nation/' || n_nationkey || '> '
+       || '<http://kg.example.org/name> "' || n_name || '"'
+       || CASE WHEN n_nationkey % 2 = 0
+               THEN ' <http://kg.example.org/g/region' || n_regionkey || '>'
+               ELSE '' END
+       || ' .' AS value
+       FROM nation""",
+)
+def rdf_nquads_format(spark, sf_dir):
+    """N-Quads writer (codec symmetry with the parser): default-graph
+    rows serialize as plain NT statements, named-graph rows carry the
+    label — the exact inverse of `rdf_nquads_parse`'s input."""
+    from .writers.ntriples import nq_lines
+
+    quads = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit(EX + "nation/"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit(EX + "name").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        F.col("n_name").alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.when(
+            F.col("n_nationkey") % 2 == 0,
+            F.concat(F.lit(EX + "g/region"), F.col("n_regionkey").cast("string")),
+        ).alias("graph"),
+    )
+    return nq_lines(quads)
+
+
 # ---- entity linking (exact path), fully oracled -----------------------------
 
 

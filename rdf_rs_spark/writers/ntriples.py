@@ -88,6 +88,40 @@ def nt_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
     return df.select(guarded.alias("value"))
 
 
+def nq_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
+    """Quads DataFrame → N-Quads lines: the NT statement with the
+    named-graph label before the ``.``; default-graph rows (NULL graph,
+    or no graph column at all) serialize as plain N-Triples statements,
+    so the output round-trips through :mod:`..sources.nquads` exactly.
+    Same write-validation semantics as :func:`nt_lines`."""
+    if "graph" not in df.columns:
+        return nt_lines(df, on_invalid=on_invalid)
+    invalid = F.col("pred").startswith("_:") | (
+        F.col("obj_lang").isNotNull() & F.col("obj_datatype").isNotNull()
+    )
+    graph_tok = F.when(F.col("graph").isNull(), F.lit("")).otherwise(
+        F.concat(F.lit(" "), _fmt_subjectish(F.col("graph")))
+    )
+    line = F.concat(
+        F.concat_ws(
+            " ",
+            _fmt_subjectish(F.col("subj")),
+            _fmt_subjectish(F.col("pred")),
+            _fmt_object(
+                F.col("obj_kind"), F.col("obj_lex"), F.col("obj_datatype"), F.col("obj_lang")
+            ),
+        ),
+        graph_tok,
+        F.lit(" ."),
+    )
+    if on_invalid == "drop":
+        return df.filter(~invalid).select(line.alias("value"))
+    guarded = F.when(
+        invalid, F.raise_error(F.lit("invalid quad for N-Quads serialization"))
+    ).otherwise(line)
+    return df.select(guarded.alias("value"))
+
+
 def validation_rejects(df: DataFrame) -> DataFrame:
     """W4 as a dead-letter view: every triple the reference writer would
     refuse (``n_triples_writer.rs:153-191`` / ``turtle_writer.rs:177-215``),

@@ -266,3 +266,14 @@ def test_nquads_parse_graph_labels(spark):
     )
     got = {(r.obj_lex, r.graph) for r in parse_nquads_lines(lines).collect()}
     assert got == {("v", "http://e.org/g"), ("w", "_:gb"), ("d", None)}
+
+
+def test_nquads_roundtrip(spark):
+    """write → parse must reproduce the quad rows exactly, including
+    NULL-graph (default graph) statements."""
+    from rdf_rs_spark.sources.nquads import parse_nquads_lines
+    from rdf_rs_spark.writers.ntriples import nq_lines
+
+    quads = _quad_df(spark)
+    back = parse_nquads_lines(nq_lines(quads), "value")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, quads.collect()))
