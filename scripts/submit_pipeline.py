@@ -21,7 +21,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# under spark-submit --py-files the zip lands on sys.path; for a plain
+# `python scripts/submit_pipeline.py` invocation, fall back to the repo
+# root so the package resolves either way
+try:
+    import rdf_rs_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
