@@ -137,6 +137,47 @@ def canonicalize_blanks(
     return out.select(*keep)
 
 
+def graph_pr_df(
+    actual: DataFrame, expected: DataFrame, graph_col: Optional[str] = "src_url"
+) -> DataFrame:
+    """:func:`graph_pr` as ONE DataFrame plan (no driver-side counts):
+    a single full-outer join over the canonicalized triple keys feeds
+    one aggregate row — (n_actual, n_expected, n_matched, precision_e6,
+    recall_e6). The e6 ratios floor ``matched * 1e6 / total`` so the
+    result is hash-stable across engines."""
+    cols = ([graph_col] if graph_col else []) + list(TRIPLE_COLS)
+    nullable = ["obj_datatype", "obj_lang"]
+
+    def keyed(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            canonicalize_blanks(df, graph_col)
+            .select(*cols)
+            .na.fill("\x00NULL", subset=nullable)
+            .dropDuplicates()
+            .select(F.concat_ws("\x01", *cols).alias("key"))
+            .withColumn(flag, F.lit(1))
+        )
+
+    j = keyed(actual, "in_a").join(keyed(expected, "in_e"), "key", "full_outer")
+    return j.agg(
+        F.count("in_a").cast("bigint").alias("n_actual"),
+        F.count("in_e").cast("bigint").alias("n_expected"),
+        F.count(F.when(F.col("in_a").isNotNull() & F.col("in_e").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_matched"),
+    ).select(
+        "n_actual",
+        "n_expected",
+        "n_matched",
+        F.floor(F.col("n_matched") * 1000000.0 / F.col("n_actual"))
+        .cast("bigint")
+        .alias("precision_e6"),
+        F.floor(F.col("n_matched") * 1000000.0 / F.col("n_expected"))
+        .cast("bigint")
+        .alias("recall_e6"),
+    )
+
+
 def graph_pr(
     actual: DataFrame, expected: DataFrame, graph_col: Optional[str] = "src_url"
 ) -> dict:

@@ -2437,6 +2437,132 @@ def rdf_nquads_format(spark, sf_dir):
     return nq_lines(quads)
 
 
+@q(
+    "kg_graph_pr_gate",
+    TRIPLES_CTE
+    + """, tot AS (SELECT count(*) AS c FROM (SELECT DISTINCT {t6} FROM triples)),
+    dropped AS (SELECT count(*) AS d FROM customer WHERE c_custkey % 3 = 0)
+    SELECT (c - d) AS n_actual, c AS n_expected, (c - d) AS n_matched,
+       floor((c - d) * 1000000.0 / (c - d))::BIGINT AS precision_e6,
+       floor((c - d) * 1000000.0 / c)::BIGINT AS recall_e6
+    FROM tot, dropped""".replace("{t6}", _T6),
+)
+def kg_graph_pr_gate(spark, sf_dir):
+    """The north-star P/R comparator as a driver query: the 'actual'
+    graph drops every 3rd customer's name triple AND relabels every
+    blank node (``addr<k>`` → ``x<k>``); the WL canonicalization must
+    match the relabeled blanks up to bijection, so precision stays 1.0
+    and recall reflects exactly the dropped rows — counts the oracle
+    derives arithmetically."""
+    from .compare import graph_pr_df
+
+    expected = _triples(spark, sf_dir)
+    custkey = F.regexp_extract("subj", r"customer/(\d+)$", 1)
+    dropped_name = (
+        (F.col("pred") == EX + "name")
+        & F.col("subj").startswith(EX + "customer/")
+        & (custkey.cast("bigint") % 3 == 0)
+    )
+    actual = (
+        expected.filter(~dropped_name)
+        .withColumn("subj", F.regexp_replace("subj", r"^_:addr", "_:x"))
+        .withColumn(
+            "obj_lex",
+            F.when(
+                F.col("obj_kind") == 1, F.regexp_replace("obj_lex", r"^addr", "x")
+            ).otherwise(F.col("obj_lex")),
+        )
+    )
+    return graph_pr_df(actual, expected, graph_col=None)
+
+
+# ---- fuzzy entity linking (LSH-blocked), fully oracled ----------------------
+
+
+def _dd_char_shingles(expr: str) -> str:
+    """DuckDB char-3-gram distinct shingles, mirroring
+    ``linking._char_shingle_expr`` (strings shorter than 3 shingle to
+    themselves)."""
+    return (
+        f"CASE WHEN length({expr}) < 3 THEN [{expr}] "
+        f"ELSE list_distinct(list_transform(generate_series(1, length({expr}) - 2), "
+        f"i -> substring({expr}, i, 3))) END"
+    )
+
+
+def _dd_seeded_bands(sh_col: str) -> str:
+    """DuckDB replay of ``dedup._seeded_bands_of`` over a shingle-array
+    column: 16 seeded-md5 minima, 4 '|'-joined bands."""
+    mins = [
+        f"list_min(list_transform({sh_col}, s -> md5('seed{i}:' || s)))"
+        for i in range(16)
+    ]
+    bands = [
+        "concat_ws('|', " + ", ".join(mins[b * 4 + r] for r in range(4)) + ")"
+        for b in range(4)
+    ]
+    return "[" + ", ".join(bands) + "]"
+
+
+@q(
+    "kg_entity_linking_fuzzy",
+    f"""WITH m AS (
+      SELECT 'https://m.example.org/' || i AS url,
+             'alias' || i || CASE WHEN i % 5 = 0 THEN 'x' ELSE '' END AS token
+      FROM (SELECT unnest(generate_series(0, 99)) AS i)),
+    d AS (
+      SELECT 'alias' || k AS alias, 'http://kg.example.org/entity/E' || k AS entity_iri,
+             1.0 - k / 200.0 AS prior
+      FROM (SELECT unnest(generate_series(0, 99)) AS k)
+      UNION ALL
+      SELECT 'alias' || k, 'http://kg.example.org/entity/E' || ((k + 1) % 100),
+             0.3 - k / 1000.0
+      FROM (SELECT unnest(generate_series(0, 99)) AS k) WHERE k % 7 = 0),
+    msh AS (SELECT url, token, {_dd_char_shingles('token')} AS sh FROM m),
+    ash AS (SELECT alias, entity_iri, prior, {_dd_char_shingles('alias')} AS sh FROM d),
+    mb AS (SELECT url, token, sh, unnest({_dd_seeded_bands('sh')}) AS band_key FROM msh),
+    ab AS (SELECT alias, entity_iri, prior, sh,
+                  unnest({_dd_seeded_bands('sh')}) AS band_key FROM ash),
+    cands AS (
+      SELECT DISTINCT m.url, m.token, a.alias, a.entity_iri, a.prior,
+             m.sh AS m_sh, a.sh AS a_sh
+      FROM mb m JOIN ab a ON m.band_key = a.band_key),
+    scored AS (
+      SELECT url, token, entity_iri,
+             floor((len(list_intersect(m_sh, a_sh))::DOUBLE
+                    / len(list_distinct(list_concat(m_sh, a_sh)))::DOUBLE)
+                   * prior * 10000)::BIGINT AS score_e4,
+             len(list_intersect(m_sh, a_sh))::DOUBLE
+               / len(list_distinct(list_concat(m_sh, a_sh)))::DOUBLE AS jaccard
+      FROM cands),
+    kept AS (SELECT * FROM scored WHERE jaccard >= 0.4)
+    SELECT url, token, entity_iri, score_e4 FROM (
+      SELECT url, token, entity_iri, score_e4,
+             row_number() OVER (PARTITION BY url, token
+                                ORDER BY score_e4 DESC, entity_iri ASC) AS rk
+      FROM kept
+    ) WHERE rk = 1""",
+)
+def kg_entity_linking_fuzzy(spark, sf_dir):
+    """The FUZZY linking path end-to-end with a full SQL replay: 100
+    single-token mentions (every 5th carries a trailing-x typo), LSH
+    candidate blocking via the 16-seeded-md5 char-3-gram bands (the
+    oracle reproduces the exact band keys, so the candidate SET — not
+    just the scores — is verified), exact Jaccard ≥ 0.4, score =
+    jaccard × prior in e4 units, best candidate per mention."""
+    from .linking import link_mentions_fuzzy
+
+    pages = spark.range(100).select(
+        F.concat(F.lit("https://m.example.org/"), F.col("id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("alias"),
+            F.col("id").cast("string"),
+            F.when(F.col("id") % 5 == 0, F.lit("x")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return link_mentions_fuzzy(pages, synthesize_alias_dict(spark), jaccard_threshold=0.4)
+
+
 # ---- entity linking (exact path), fully oracled -----------------------------
 
 
