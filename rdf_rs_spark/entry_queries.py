@@ -2677,8 +2677,10 @@ _VERIFY_FIRST = [
     "lineitem_quantity_percentiles",
     "multimodal_audio_chunks",
     "multimodal_frame_plan",
-    "docs_deterministic_sample",
-    "docs_stratified_sample",
+    # north-star comparator + fuzzy-linking path take priority over the
+    # two content-hash sampling filters for round-2 verification slots
+    "kg_graph_pr_gate",
+    "kg_entity_linking_fuzzy",
     "kg_pipeline_e2e",
     # new corpus/analytics ops this round
     "docs_pii_redact",
