@@ -144,8 +144,11 @@ def q(name: str, sql: str | None = None):
             # the DRIVER owns the session: calendar/window functions and
             # string→timestamp casts resolve in the session timezone, so a
             # non-UTC driver session would silently shift date boundaries
-            # vs the (naive-UTC) DuckDB oracle. Pin it per invocation.
+            # vs the (naive-UTC) DuckDB oracle. Pin it per invocation;
+            # likewise ANSI mode, where off-mode turns overflow/bad-cast
+            # errors into silent NULLs that would hash differently.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.ansi.enabled", "true")
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
