@@ -28,20 +28,59 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     pointer_jumping: bool = True,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges`` (undirected);
     ``component`` = min node id of the component. Isolated nodes (no
     edges) are not emitted — their component is trivially themselves.
 
-    Raises ``RuntimeError`` if labels have not converged after
-    ``max_iter`` rounds (with pointer jumping that needs a component of
-    diameter ≳ 2^25 — but a silent wrong answer is never acceptable)."""
+    Scale-adaptive, the same way Catalyst picks broadcast joins: the
+    (deduplicated) edge list is counted once — an action the iterative
+    path pays anyway for its first convergence check — and when it fits
+    under ``driver_threshold`` rows the components come from a
+    driver-side union-find over the collected edges (exact, one job, no
+    per-round checkpoint barriers). Above the threshold the distributed
+    min-label + pointer-jumping fixpoint runs. Both paths produce the
+    identical min-node-id labeling. Set ``driver_threshold=0`` to force
+    the distributed path.
+
+    Raises ``RuntimeError`` if the distributed labels have not converged
+    after ``max_iter`` rounds (with pointer jumping that needs a
+    component of diameter ≳ 2^25 — but a silent wrong answer is never
+    acceptable)."""
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
         .persist()
     )
+    if driver_threshold and sym.count() <= driver_threshold:
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            parent.setdefault(r.s, r.s)
+            parent.setdefault(r.d, r.d)
+            ra, rb = find(r.s), find(r.d)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = comp_min.get(root)
+            if cur is None or node < cur:
+                comp_min[root] = node
+        out = [(node, comp_min[find(node)]) for node in sorted(parent)]
+        spark = edges.sparkSession
+        sym.unpersist()
+        df = spark.createDataFrame(out, ["id", "component"])
+        return df
     labels = sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     converged = False

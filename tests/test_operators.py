@@ -506,3 +506,20 @@ def test_multimodal_feature_plumbing(spark, docs):
     assert all(len(f.features) == 16 and f.n_bytes > 0 for f in feats)
     plan = frame_sample_plan(media, every_n=30)
     assert plan.count() == 20 * 3  # frames 0, 30, 60
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver-side union-find (small-graph fast path) and the
+    distributed min-label fixpoint (driver_threshold=0) must produce the
+    identical min-node-id labeling — including a longer chain that needs
+    several propagation rounds."""
+    from rdf_rs_spark.operators.components import connected_components
+
+    rows = [(i, i + 1) for i in range(0, 12)]  # one 13-node chain
+    rows += [(100, 101), (101, 102), (200, 201)]
+    edges = spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+    fast = sorted(map(tuple, connected_components(edges).collect()))
+    dist = sorted(map(tuple, connected_components(edges, driver_threshold=0).collect()))
+    assert fast == dist
+    comp = dict(fast)
+    assert comp[12] == 0 and comp[102] == 100 and comp[201] == 200
