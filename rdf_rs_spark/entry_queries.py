@@ -2460,11 +2460,14 @@ def kg_graph_pr_gate(spark, sf_dir):
     from .compare import graph_pr_df
 
     expected = _triples(spark, sf_dir)
-    custkey = F.regexp_extract("subj", r"customer/(\d+)$", 1)
+    # try_cast: regexp_extract yields '' on non-customer subjects, and a
+    # plain ANSI cast of '' would raise if predicate reordering ever
+    # evaluated it ahead of the startswith conjunct
+    custkey = F.regexp_extract("subj", r"customer/(\d+)$", 1).try_cast("bigint")
     dropped_name = (
         (F.col("pred") == EX + "name")
         & F.col("subj").startswith(EX + "customer/")
-        & (custkey.cast("bigint") % 3 == 0)
+        & (custkey % 3 == 0)
     )
     actual = (
         expected.filter(~dropped_name)

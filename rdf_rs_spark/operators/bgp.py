@@ -58,28 +58,43 @@ class TriplePattern:
     def compile(
         self,
         triples: DataFrame,
-        default_graphs: Optional[Sequence[str]] = None,
-        named_graphs: Optional[Sequence[str]] = None,
+        dataset: Optional[tuple] = None,
     ) -> DataFrame:
         df = triples
         proj: List[Column] = []
-        # graph (quad stores only): SPARQL dataset semantics — patterns
-        # outside GRAPH see the default graph (NULL rows, or the FROM
-        # union); GRAPH patterns range over named graphs (non-NULL, or
-        # the FROM NAMED list)
+        # graph (quad stores only): SPARQL dataset semantics. ``dataset``
+        # is None when the query has NO FROM/FROM NAMED clause (default
+        # graph = the NULL rows, named graphs = every non-NULL graph);
+        # otherwise it is ``(from_graphs, from_named)`` and the dataset
+        # is EXACTLY what those lists describe — an absent FROM means an
+        # empty default graph, an absent FROM NAMED means an empty
+        # named-graph set, and a fixed GRAPH term outside FROM NAMED
+        # matches nothing.
         if "graph" in triples.columns:
             if self.graph is None:
-                if default_graphs:
-                    df = df.filter(F.col("graph").isin(list(default_graphs)))
-                else:
+                if dataset is None:
                     df = df.filter(F.col("graph").isNull())
+                elif dataset[0]:
+                    df = df.filter(F.col("graph").isin(list(dataset[0])))
+                else:
+                    df = df.filter(F.lit(False))
             elif _is_var(self.graph):
-                df = df.filter(F.col("graph").isNotNull())
-                if named_graphs:
-                    df = df.filter(F.col("graph").isin(list(named_graphs)))
+                if dataset is None:
+                    df = df.filter(F.col("graph").isNotNull())
+                elif dataset[1]:
+                    df = df.filter(
+                        F.col("graph").isNotNull()
+                        & F.col("graph").isin(list(dataset[1]))
+                    )
+                else:
+                    df = df.filter(F.lit(False))
                 proj.append(F.col("graph").alias(self.graph[1:]))
             else:
-                df = df.filter(F.col("graph") == _subject_text(self.graph))
+                text = _subject_text(self.graph)
+                if dataset is not None and text not in (dataset[1] or []):
+                    df = df.filter(F.lit(False))
+                else:
+                    df = df.filter(F.col("graph") == text)
         # subject
         if _is_var(self.subject):
             proj.append(F.col("subj").alias(self.subject[1:]))
@@ -129,8 +144,7 @@ def bgp_join(
     triples: DataFrame,
     patterns: Sequence[TriplePattern],
     optional: Sequence = (),
-    default_graphs: Optional[Sequence[str]] = None,
-    named_graphs: Optional[Sequence[str]] = None,
+    dataset: Optional[tuple] = None,
 ) -> DataFrame:
     """Compile a BGP (+ OPTIONAL groups) into a join tree.
 
@@ -138,13 +152,13 @@ def bgp_join(
     or a list of groups — each group solves independently (inner joins
     within) and left-joins onto the required solutions in order, the
     standard SPARQL semantics for multiple OPTIONAL clauses.
-    ``default_graphs`` / ``named_graphs`` carry FROM / FROM NAMED dataset
-    clauses down to every pattern (quad stores only)."""
+    ``dataset`` carries the FROM / FROM NAMED clauses (see
+    :meth:`TriplePattern.compile`) down to every pattern."""
     if not patterns:
         raise ValueError("empty BGP")
 
     def comp(p: TriplePattern) -> DataFrame:
-        return p.compile(triples, default_graphs=default_graphs, named_graphs=named_graphs)
+        return p.compile(triples, dataset=dataset)
 
     result = comp(patterns[0])
     for pat in patterns[1:]:

@@ -56,6 +56,15 @@ def connected_components(
     )
     if driver_threshold and sym.count() <= driver_threshold:
         rows = sym.collect()
+        # schema comes from the input, not Python-value inference: an
+        # empty edge list must still yield a typed empty frame, and int
+        # node ids must not silently widen
+        from pyspark.sql import types as T
+
+        id_type = sym.schema["s"].dataType
+        out_schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component", id_type)]
+        )
         parent: dict = {}
 
         def find(x):
@@ -79,8 +88,7 @@ def connected_components(
         out = [(node, comp_min[find(node)]) for node in sorted(parent)]
         spark = edges.sparkSession
         sym.unpersist()
-        df = spark.createDataFrame(out, ["id", "component"])
-        return df
+        return spark.createDataFrame(out, out_schema)
     labels = sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     converged = False

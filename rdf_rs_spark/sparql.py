@@ -133,8 +133,12 @@ class _Parser:
             if self.peek()[1].upper() == "NAMED":
                 self.next()
                 named = True
-            _, iri = self.next()
-            (q.from_named if named else q.from_graphs).append(iri[1:-1])
+            # _term resolves both <iri> and prefixed-name forms (same
+            # resolution as GRAPH terms — the front-end stays consistent)
+            target = self._term(q)
+            if not isinstance(target, str) or target.startswith(("?", "$", "_:")):
+                raise ValueError(f"FROM expects an IRI, got {target!r}")
+            (q.from_named if named else q.from_graphs).append(target)
         if self.peek()[1].upper() == "WHERE":
             self.next()
         self.expect_punct("{")
@@ -164,7 +168,11 @@ class _Parser:
                 raise ValueError(f"unexpected token {v!r}")
         return q
 
-    def _parse_group(self, q: SparqlQuery, sink: List[TriplePattern]):
+    def _parse_group(self, q: SparqlQuery, sink: List[TriplePattern], graph=None):
+        """``graph`` is the enclosing GRAPH term (scoping context): every
+        pattern produced anywhere inside — directly, in OPTIONAL groups,
+        or in UNION branches — carries it; a nested GRAPH overrides it
+        for its own block."""
         while True:
             k, v = self.peek()
             if v == "}":
@@ -174,7 +182,7 @@ class _Parser:
                 self.next()
                 self.expect_punct("{")
                 group: List[TriplePattern] = []
-                self._parse_group(q, group)
+                self._parse_group(q, group, graph)
                 q.optional.append(group)  # each OPTIONAL = its own left join
                 continue
             if k == "kw" and v.upper() == "FILTER":
@@ -182,42 +190,40 @@ class _Parser:
                 q.filters.append(self._parse_filter())
                 continue
             if k == "kw" and v.upper() == "GRAPH":
-                # GRAPH term { patterns } — each inner pattern carries the
-                # graph term (quad matching; requires a 'graph' column)
+                # GRAPH term { … } — quad matching; requires a 'graph'
+                # column on the store
                 self.next()
                 gterm = self._term(q)
                 self.expect_punct("{")
-                group: List[TriplePattern] = []
-                self._parse_group(q, group)
-                from dataclasses import replace
-
-                sink.extend(replace(p, graph=gterm) for p in group)
+                self._parse_group(q, sink, gterm)
                 continue
             if v == "{":
                 # nested group: joined into the parent BGP (reference
                 # parse_group recursion, sparql_parser.rs:206-210)
                 self.next()
                 group: List[TriplePattern] = []
-                self._parse_group(q, group)
+                self._parse_group(q, group, graph)
                 if self.peek()[1].upper() == "UNION":
                     self.next()
                     self.expect_punct("{")
                     other: List[TriplePattern] = []
-                    self._parse_group(q, other)
+                    self._parse_group(q, other, graph)
                     q.union_groups.append(group)
                     q.union_groups.append(other)
                 else:
                     sink.extend(group)
                 continue
-            self._parse_triple_block(q, sink)
+            self._parse_triple_block(q, sink, graph)
 
-    def _parse_triple_block(self, q: SparqlQuery, sink: List[TriplePattern]):
+    def _parse_triple_block(
+        self, q: SparqlQuery, sink: List[TriplePattern], graph=None
+    ):
         subj = self._term(q)
         while True:
             pred = self._term(q, predicate=True)
             while True:
                 obj = self._term(q)
-                sink.append(TriplePattern(subj, pred, obj))
+                sink.append(TriplePattern(subj, pred, obj, graph=graph))
                 if self.peek()[1] == ",":
                     self.next()
                     continue
@@ -292,17 +298,22 @@ def parse_sparql(text: str) -> SparqlQuery:
 def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
     """Parse and execute a SPARQL SELECT over the triples DataFrame."""
     q = parse_sparql(text)
-    gkw = dict(default_graphs=q.from_graphs or None, named_graphs=q.from_named or None)
+    # dataset is None when no FROM/FROM NAMED clause exists — the
+    # distinction matters: an explicit dataset with an empty side means
+    # "empty graph set", not "no restriction"
+    dataset = (
+        (q.from_graphs, q.from_named) if (q.from_graphs or q.from_named) else None
+    )
     if q.union_groups:
         branches = [
-            bgp_join(triples, q.patterns + g, optional=q.optional, **gkw)
+            bgp_join(triples, q.patterns + g, optional=q.optional, dataset=dataset)
             for g in q.union_groups
         ]
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
     else:
-        df = bgp_join(triples, q.patterns, optional=q.optional, **gkw)
+        df = bgp_join(triples, q.patterns, optional=q.optional, dataset=dataset)
     for cond in q.filters:
         df = df.filter(F.expr(cond))
     if q.variables is not None:

@@ -6,8 +6,13 @@ The composition is ``foreachBatch`` over the SAME batch operators the
 batch pipeline uses (``pipeline.page_triples``): inside a micro-batch a
 DataFrame is just a DataFrame, so the whole battle-tested batch plan
 (broadcast linking, salted single-shuffle dedup, bucketed write) runs
-unchanged — the streaming engine contributes source tracking, the
-checkpoint log, and exactly-once file-sink semantics. This is the
+unchanged — the streaming engine contributes source tracking and the
+checkpoint log. ``foreachBatch`` itself is only AT-LEAST-ONCE (a crash
+between the file commit and the checkpoint write replays the batch), so
+the writer is made idempotent by construction: each micro-batch
+overwrites its own ``batch=<id>`` partition directory, and a replayed
+batch rewrites identical content-addressed rows instead of appending a
+second copy — at-least-once execution, exactly-once OUTPUT. This is the
 standard production shape for "stream into a table" jobs; the
 pure-streaming operators (watermarked windows, cross-micro-batch
 stateful dedup) live in :mod:`.ingest` and :mod:`.stateful` for the
@@ -45,11 +50,14 @@ def stream_pages_to_graph(
         triples = page_triples(batch_df, alias_dict).withColumn(
             "src_bucket", subject_bucket(F.col("subj"), subj_buckets)
         )
+        # batch-id-scoped overwrite = idempotent under foreachBatch's
+        # at-least-once replay; readers open `triples_path` and see
+        # batch=<id> as an ordinary partition column
         (
             triples.repartition(F.col("src_bucket"))
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("src_bucket")
-            .parquet(triples_path)
+            .parquet(f"{triples_path}/batch={batch_id}")
         )
 
     writer = (

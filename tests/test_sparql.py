@@ -277,3 +277,70 @@ def test_nquads_roundtrip(spark):
     quads = _quad_df(spark)
     back = parse_nquads_lines(nq_lines(quads), "value")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, quads.collect()))
+
+
+def test_optional_inside_graph_scopes_to_graph(spark):
+    """OPTIONAL parsed inside a GRAPH block must match inside that named
+    graph, not the default graph."""
+    from rdf_rs_spark.sparql import execute_sparql
+
+    rows = [
+        ("http://e.org/s1", "http://e.org/p", 2, "v", None, None, "http://e.org/g1"),
+        ("http://e.org/s1", "http://e.org/q", 2, "extra", None, None, "http://e.org/g1"),
+    ]
+    quads = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    out = execute_sparql(
+        quads,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?o ?r WHERE {
+             GRAPH ex:g1 { ?s ex:p ?o . OPTIONAL { ?s ex:q ?r . } }
+           }""",
+    )
+    assert [(r.o, r.r) for r in out.collect()] == [("v", "extra")]
+
+
+def test_from_accepts_prefixed_name(spark):
+    from rdf_rs_spark.sparql import parse_sparql
+
+    q = parse_sparql(
+        """PREFIX ex: <http://e.org/>
+           SELECT ?o FROM ex:g1 WHERE { ?s ex:p ?o . }"""
+    )
+    assert q.from_graphs == ["http://e.org/g1"]
+
+
+def test_fixed_graph_outside_from_named_is_empty(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    out = execute_sparql(
+        _quad_df(spark),
+        """PREFIX ex: <http://e.org/>
+           SELECT ?o FROM NAMED <http://e.org/g2>
+           WHERE { GRAPH ex:g1 { ?s ex:p ?o . } }""",
+    )
+    assert out.count() == 0
+
+
+def test_from_only_dataset_has_empty_named_set(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    out = execute_sparql(
+        _quad_df(spark),
+        """PREFIX ex: <http://e.org/>
+           SELECT ?o FROM <http://e.org/g1>
+           WHERE { GRAPH ?g { ?s ex:p ?o . } }""",
+    )
+    assert out.count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from rdf_rs_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    fast = connected_components(edges)
+    assert fast.count() == 0
+    assert [f.dataType.simpleString() for f in fast.schema.fields] == ["bigint", "bigint"]
