@@ -182,30 +182,15 @@ def graph_pr(
     actual: DataFrame, expected: DataFrame, graph_col: Optional[str] = "src_url"
 ) -> dict:
     """Precision/recall of ``actual`` vs ``expected`` triple sets after
-    blank-bijection canonicalization. Returns counts + P/R floats."""
-    cols = ([graph_col] if graph_col else []) + list(TRIPLE_COLS)
-    nullable = ["obj_datatype", "obj_lang"]
-    # NULL-safe match: a vanilla equi-join drops every row whose datatype
-    # or lang is NULL (NULL <> NULL in join conditions)
-    a = (
-        canonicalize_blanks(actual, graph_col)
-        .select(*cols)
-        .na.fill("\x00NULL", subset=nullable)
-        .dropDuplicates()
-    )
-    e = (
-        canonicalize_blanks(expected, graph_col)
-        .select(*cols)
-        .na.fill("\x00NULL", subset=nullable)
-        .dropDuplicates()
-    )
-    n_a = a.count()
-    n_e = e.count()
-    n_match = a.join(e, on=cols, how="inner").count()
+    blank-bijection canonicalization. Returns counts + P/R floats.
+
+    Thin driver-side wrapper over :func:`graph_pr_df` — one definition
+    of the canonicalize/normalize/match pipeline, one Spark job."""
+    r = graph_pr_df(actual, expected, graph_col).collect()[0]
     return {
-        "actual": n_a,
-        "expected": n_e,
-        "matched": n_match,
-        "precision": (n_match / n_a) if n_a else 1.0,
-        "recall": (n_match / n_e) if n_e else 1.0,
+        "actual": r.n_actual,
+        "expected": r.n_expected,
+        "matched": r.n_matched,
+        "precision": (r.n_matched / r.n_actual) if r.n_actual else 1.0,
+        "recall": (r.n_matched / r.n_expected) if r.n_expected else 1.0,
     }

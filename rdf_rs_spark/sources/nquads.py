@@ -17,11 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-# N-Triples master pattern + optional graph token (group 4)
+from .ntriples import NT_TERMS_PATTERN, term_columns
+
+# the SHARED N-Triples term grammar + one optional graph token (group 4)
+# — a grammar or decode fix in sources/ntriples.py flows here for free
 NQ_LINE_PATTERN = (
-    r'^[ \t]*((?:<[^>]*>|_:[^ \r\n.]+))[ \t]+<([^>]*)>[ \t]+'
-    r'((?:<[^>]*>|_:[^ \r\n.]+|"[^"]*"(?:@[^ \r\n.]+|\^\^<[^>]*>)?))'
-    r'(?:[ \t]+((?:<[^>]*>|_:[^ \r\n.]+)))?[ \t]*\.[ \t]*$'
+    NT_TERMS_PATTERN
+    + r'(?:[ \t]+((?:<[^>]*>|_:[^ \r\n.]+)))?[ \t]*\.[ \t]*$'
 )
 
 
@@ -34,44 +36,21 @@ def parse_nquads_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
     line = F.col(line_col)
     matched = line.rlike(NQ_LINE_PATTERN)
     is_comment = F.trim(line).startswith("#") | (F.trim(line) == "")
-    st = F.col("__st")
-    ot = F.col("__ot")
     gt = F.col("__gt")
-    ot_first = F.substring(ot, 1, 1)
+    graph = (
+        # graph label in subject encoding; absent → NULL (default graph)
+        F.when(gt == "", F.lit(None).cast("string"))
+        .when(gt.startswith("<"), gt.substr(F.lit(2), F.length(gt) - 2))
+        .otherwise(gt)
+        .alias("graph")
+    )
     return (
         df.filter(~is_comment)
         .filter(matched)
         .withColumn("__st", _g(line, 1))
         .withColumn("__ot", _g(line, 3))
         .withColumn("__gt", _g(line, 4))
-        .select(
-            F.when(st.startswith("<"), st.substr(F.lit(2), F.length(st) - 2))
-            .otherwise(st)
-            .alias("subj"),
-            _g(line, 2).alias("pred"),
-            F.when(ot_first == "<", F.lit(0))
-            .when(ot_first == "_", F.lit(1))
-            .otherwise(F.lit(2))
-            .cast("tinyint")
-            .alias("obj_kind"),
-            F.when(ot_first == "<", ot.substr(F.lit(2), F.length(ot) - 2))
-            .when(ot_first == "_", F.expr("substring(__ot, 3)"))
-            .otherwise(F.regexp_extract(ot, r'^"([^"]*)"', 1))
-            .alias("obj_lex"),
-            F.when(
-                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1) != "",
-                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1),
-            ).alias("obj_datatype"),
-            F.when(
-                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1) != "",
-                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1),
-            ).alias("obj_lang"),
-            # graph label in subject encoding; absent → NULL (default graph)
-            F.when(gt == "", F.lit(None).cast("string"))
-            .when(gt.startswith("<"), gt.substr(F.lit(2), F.length(gt) - 2))
-            .otherwise(gt)
-            .alias("graph"),
-        )
+        .select(*term_columns(lambda i: _g(line, i)), graph)
     )
 
 

@@ -34,16 +34,54 @@ from ..schema import TRIPLES_SCHEMA
 # one master pattern capturing WHOLE tokens; groups: 1 subj_tok 2 pred
 # 3 obj_tok. Term kinds are decided by each token's first character —
 # regexp_extract cannot distinguish an unset inner group from an empty
-# match, which would mis-type legal empty IRIs (``<>``)
-NT_LINE_PATTERN = (
+# match, which would mis-type legal empty IRIs (``<>``). The terms
+# fragment is shared with the N-Quads grammar (NT + optional graph
+# label, ``sources/nquads.py``) so the two codecs cannot drift.
+NT_TERMS_PATTERN = (
     r'^[ \t]*((?:<[^>]*>|_:[^ \r\n.]+))[ \t]+<([^>]*)>[ \t]+'
     r'((?:<[^>]*>|_:[^ \r\n.]+|"[^"]*"(?:@[^ \r\n.]+|\^\^<[^>]*>)?))'
-    r'[ \t]*\.[ \t]*$'
 )
+NT_LINE_PATTERN = NT_TERMS_PATTERN + r'[ \t]*\.[ \t]*$'
 
 
 def _g(line: Column, idx: int) -> Column:
     return F.regexp_extract(line, NT_LINE_PATTERN, idx)
+
+
+def term_columns(extract) -> list:
+    """The six triple columns decoded from the shared term grammar.
+
+    ``extract(i)`` must yield capture group ``i`` of the line pattern in
+    use, and the caller must have prepared ``__st``/``__ot`` columns
+    holding groups 1 and 3 (the subject/object tokens). One definition
+    serves both the NT and NQ parsers."""
+    st = F.col("__st")
+    ot = F.col("__ot")
+    ot_first = F.substring(ot, 1, 1)
+    return [
+        # blank subjects keep their "_:" prefix (subject-column encoding)
+        F.when(st.startswith("<"), st.substr(F.lit(2), F.length(st) - 2))
+        .otherwise(st)
+        .alias("subj"),
+        extract(2).alias("pred"),
+        F.when(ot_first == "<", F.lit(0))
+        .when(ot_first == "_", F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("tinyint")
+        .alias("obj_kind"),
+        F.when(ot_first == "<", ot.substr(F.lit(2), F.length(ot) - 2))
+        .when(ot_first == "_", F.expr("substring(__ot, 3)"))
+        .otherwise(F.regexp_extract(ot, r'^"([^"]*)"', 1))
+        .alias("obj_lex"),
+        F.when(
+            F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1) != "",
+            F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1),
+        ).alias("obj_datatype"),
+        F.when(
+            F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1) != "",
+            F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1),
+        ).alias("obj_lang"),
+    ]
 
 
 def parse_ntriples_lines(
@@ -56,42 +94,13 @@ def parse_ntriples_lines(
     line = F.col(line_col)
     matched = line.rlike(NT_LINE_PATTERN)
     is_comment = F.trim(line).startswith("#") | (F.trim(line) == "")
-    subj_tok = _g(line, 1)
-    obj_tok = _g(line, 3)
-    st = F.col("__st")
-    ot = F.col("__ot")
-    ot_first = F.substring(ot, 1, 1)
-    parsed = (
+    return (
         df.filter(~is_comment)
         .filter(matched)  # malformed lines dropped; python engine raises
-        .withColumn("__st", subj_tok)
-        .withColumn("__ot", obj_tok)
-        .select(
-            # blank subjects keep their "_:" prefix (subject-column encoding)
-            F.when(st.startswith("<"), st.substr(F.lit(2), F.length(st) - 2))
-            .otherwise(st)
-            .alias("subj"),
-            _g(line, 2).alias("pred"),
-            F.when(ot_first == "<", F.lit(0))
-            .when(ot_first == "_", F.lit(1))
-            .otherwise(F.lit(2))
-            .cast("tinyint")
-            .alias("obj_kind"),
-            F.when(ot_first == "<", ot.substr(F.lit(2), F.length(ot) - 2))
-            .when(ot_first == "_", F.expr("substring(__ot, 3)"))
-            .otherwise(F.regexp_extract(ot, r'^"([^"]*)"', 1))
-            .alias("obj_lex"),
-            F.when(
-                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1) != "",
-                F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1),
-            ).alias("obj_datatype"),
-            F.when(
-                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1) != "",
-                F.regexp_extract(ot, r'^"[^"]*"@(.*)$', 1),
-            ).alias("obj_lang"),
-        )
+        .withColumn("__st", _g(line, 1))
+        .withColumn("__ot", _g(line, 3))
+        .select(*term_columns(lambda i: _g(line, i)))
     )
-    return parsed
 
 
 def ntriples_rejects(df: DataFrame, line_col: str = "value") -> DataFrame:

@@ -61,6 +61,24 @@ def _fmt_object(kind: Column, lex: Column, datatype: Column, lang: Column) -> Co
     )
 
 
+def _reject_reason() -> Column:
+    """The ONE definition of the reference's write-validation rules
+    (``n_triples_writer.rs:153-191`` / ``turtle_writer.rs:177-215``):
+    NULL for valid rows, else the reason — shared by the NT/NQ sinks'
+    error/drop modes and the dead-letter view, so the three surfaces
+    can never disagree about what is invalid."""
+    return F.when(
+        F.col("pred").startswith("_:"), F.lit("blank_predicate")
+    ).when(
+        F.col("obj_lang").isNotNull() & F.col("obj_datatype").isNotNull(),
+        F.lit("lang_and_datatype"),
+    )
+
+
+def _invalid() -> Column:
+    return _reject_reason().isNotNull()
+
+
 def nt_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
     """triples DataFrame → single-column ``value`` DataFrame of NT lines.
 
@@ -68,9 +86,7 @@ def nt_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
     blank predicates and lang+datatype literals are invalid.
     ``on_invalid='error'`` raises at execution time, ``'drop'`` filters.
     """
-    invalid = F.col("pred").startswith("_:") | (
-        F.col("obj_lang").isNotNull() & F.col("obj_datatype").isNotNull()
-    )
+    invalid = _invalid()
     line = F.concat_ws(
         " ",
         _fmt_subjectish(F.col("subj")),
@@ -96,9 +112,7 @@ def nq_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
     Same write-validation semantics as :func:`nt_lines`."""
     if "graph" not in df.columns:
         return nt_lines(df, on_invalid=on_invalid)
-    invalid = F.col("pred").startswith("_:") | (
-        F.col("obj_lang").isNotNull() & F.col("obj_datatype").isNotNull()
-    )
+    invalid = _invalid()
     graph_tok = F.when(F.col("graph").isNull(), F.lit("")).otherwise(
         F.concat(F.lit(" "), _fmt_subjectish(F.col("graph")))
     )
@@ -131,13 +145,7 @@ def validation_rejects(df: DataFrame) -> DataFrame:
     operator actually monitors (same shape as ``ntriples_rejects`` on the
     parse side). Reasons mirror the reference's error messages: blank
     predicate, lang+datatype literal."""
-    reason = F.when(
-        F.col("pred").startswith("_:"), F.lit("blank_predicate")
-    ).when(
-        (F.col("obj_lang").isNotNull()) & (F.col("obj_datatype").isNotNull()),
-        F.lit("lang_and_datatype"),
-    )
-    return df.withColumn("reason", reason).filter(F.col("reason").isNotNull())
+    return df.withColumn("reason", _reject_reason()).filter(F.col("reason").isNotNull())
 
 
 def write_ntriples(df: DataFrame, path: str, on_invalid: str = "error") -> None:
