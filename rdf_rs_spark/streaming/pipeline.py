@@ -33,18 +33,11 @@ from ..pipeline import page_triples
 from ..sources.graph_table import subject_bucket
 
 
-def stream_pages_to_graph(
-    pages_stream: DataFrame,
-    alias_dict: DataFrame,
-    triples_path: str,
-    checkpoint_path: str,
-    subj_buckets: int = 64,
-    available_now: bool = True,
-):
-    """Start the streaming KG-construction query; returns the handle.
-
-    ``available_now=True`` drains everything currently in the source and
-    stops (the batch-backfill trigger); ``False`` runs continuously."""
+def batch_writer(alias_dict: DataFrame, triples_path: str, subj_buckets: int = 64):
+    """The per-micro-batch write function (the ``foreachBatch`` body),
+    exposed so the replay-idempotence property is directly testable:
+    calling it twice with the same ``(batch_df, batch_id)`` — exactly
+    what an at-least-once replay does — must leave the table unchanged."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         triples = page_triples(batch_df, alias_dict).withColumn(
@@ -60,9 +53,25 @@ def stream_pages_to_graph(
             .parquet(f"{triples_path}/batch={batch_id}")
         )
 
+    return process
+
+
+def stream_pages_to_graph(
+    pages_stream: DataFrame,
+    alias_dict: DataFrame,
+    triples_path: str,
+    checkpoint_path: str,
+    subj_buckets: int = 64,
+    available_now: bool = True,
+):
+    """Start the streaming KG-construction query; returns the handle.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops (the batch-backfill trigger); ``False`` runs continuously."""
     writer = (
-        pages_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_path)
+        pages_stream.writeStream.foreachBatch(
+            batch_writer(alias_dict, triples_path, subj_buckets)
+        ).option("checkpointLocation", checkpoint_path)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -166,3 +166,23 @@ def test_streaming_pages_to_graph_matches_batch(spark, tmp_path):
     q2 = stream_pages_to_graph(stream2, aliases, out, ckpt, subj_buckets=8)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_streaming_replay_is_idempotent(spark, tmp_path):
+    """An at-least-once replay re-invokes the foreachBatch body with the
+    same (batch_df, batch_id); the batch-id-scoped overwrite must leave
+    the table byte-identical instead of appending a second copy."""
+    from rdf_rs_spark.sources.webpages import (
+        synthesize_alias_dict,
+        synthesize_web_pages,
+    )
+    from rdf_rs_spark.streaming.pipeline import batch_writer
+
+    pages = synthesize_web_pages(spark, 40)
+    out = str(tmp_path / "graph")
+    write = batch_writer(synthesize_alias_dict(spark), out, subj_buckets=4)
+    write(pages, 0)
+    rows_before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    write(pages, 0)  # the replay
+    rows_after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert rows_after == rows_before and len(rows_after) > 0
