@@ -146,15 +146,18 @@ def graph_pr_df(
     recall_e6). The e6 ratios floor ``matched * 1e6 / total`` so the
     result is hash-stable across engines."""
     cols = ([graph_col] if graph_col else []) + list(TRIPLE_COLS)
-    nullable = ["obj_datatype", "obj_lang"]
 
     def keyed(df: DataFrame, flag: str) -> DataFrame:
+        # every string key column is null-filled (a delimiter-joined key
+        # would silently SKIP nulls in concat_ws and could alias values
+        # containing the delimiter); the join key is a struct of the
+        # actual columns, so matching is injective by construction
+        canon = canonicalize_blanks(df, graph_col).select(*cols)
+        str_cols = [f.name for f in canon.schema.fields if f.dataType.simpleString() == "string"]
         return (
-            canonicalize_blanks(df, graph_col)
-            .select(*cols)
-            .na.fill("\x00NULL", subset=nullable)
+            canon.na.fill("\x00NULL", subset=str_cols)
             .dropDuplicates()
-            .select(F.concat_ws("\x01", *cols).alias("key"))
+            .select(F.struct(*cols).alias("key"))
             .withColumn(flag, F.lit(1))
         )
 

@@ -61,22 +61,35 @@ def _fmt_object(kind: Column, lex: Column, datatype: Column, lang: Column) -> Co
     )
 
 
-def _reject_reason() -> Column:
+def _reject_reason(with_graph: bool = False) -> Column:
     """The ONE definition of the reference's write-validation rules
     (``n_triples_writer.rs:153-191`` / ``turtle_writer.rs:177-215``):
     NULL for valid rows, else the reason — shared by the NT/NQ sinks'
     error/drop modes and the dead-letter view, so the three surfaces
-    can never disagree about what is invalid."""
-    return F.when(
+    can never disagree about what is invalid.
+
+    ``with_graph=True`` (quad sinks) additionally validates the graph
+    term: a non-NULL graph must be either a well-formed blank label or
+    an IRI-shaped token (no whitespace / angle brackets / quotes) —
+    anything else would serialize to a malformed N-Quads line that the
+    parser later silently drops, breaking round-trip with no error."""
+    base = F.when(
         F.col("pred").startswith("_:"), F.lit("blank_predicate")
     ).when(
         F.col("obj_lang").isNotNull() & F.col("obj_datatype").isNotNull(),
         F.lit("lang_and_datatype"),
     )
+    if not with_graph:
+        return base
+    g = F.col("graph")
+    graph_ok = g.rlike(r"^_:[A-Za-z][A-Za-z0-9_]*$") | (
+        ~g.rlike(r"[\s<>\"]") & ~g.startswith("_:") & (F.length(g) > 0)
+    )
+    return base.when(g.isNotNull() & ~graph_ok, F.lit("invalid_graph"))
 
 
-def _invalid() -> Column:
-    return _reject_reason().isNotNull()
+def _invalid(with_graph: bool = False) -> Column:
+    return _reject_reason(with_graph).isNotNull()
 
 
 def nt_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
@@ -112,7 +125,7 @@ def nq_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
     Same write-validation semantics as :func:`nt_lines`."""
     if "graph" not in df.columns:
         return nt_lines(df, on_invalid=on_invalid)
-    invalid = _invalid()
+    invalid = _invalid(with_graph=True)
     graph_tok = F.when(F.col("graph").isNull(), F.lit("")).otherwise(
         F.concat(F.lit(" "), _fmt_subjectish(F.col("graph")))
     )
@@ -144,8 +157,10 @@ def validation_rejects(df: DataFrame) -> DataFrame:
     route rejects to a side table, serialize the rest — is what an
     operator actually monitors (same shape as ``ntriples_rejects`` on the
     parse side). Reasons mirror the reference's error messages: blank
-    predicate, lang+datatype literal."""
-    return df.withColumn("reason", _reject_reason()).filter(F.col("reason").isNotNull())
+    predicate, lang+datatype literal; quad inputs additionally surface
+    malformed graph terms (``invalid_graph``)."""
+    reason = _reject_reason(with_graph="graph" in df.columns)
+    return df.withColumn("reason", reason).filter(F.col("reason").isNotNull())
 
 
 def write_ntriples(df: DataFrame, path: str, on_invalid: str = "error") -> None:

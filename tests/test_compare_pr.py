@@ -57,3 +57,34 @@ def test_canonical_labels_are_label_invariant(spark):
     a = canonicalize_blanks(parsed).select("src_url", "subj", "pred", "obj_lex").collect()
     b = canonicalize_blanks(relabeled).select("src_url", "subj", "pred", "obj_lex").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pr_key_not_aliased_by_null_or_separator(spark):
+    """ADVICE r2: the old concat_ws('\\x01') key silently skipped NULLs
+    (shifting the remaining columns into alignment) and aliased values
+    containing the separator. The struct key must keep such rows
+    DISTINCT: a NULL src_url row and a row whose subj absorbs the next
+    column's text are different triples."""
+    schema = (
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, src_url string"
+    )
+    # actual: NULL src_url; expected: src_url present -> must NOT match
+    a = spark.createDataFrame(
+        [("http://s", "http://p", 0, "http://o", None, None, None)], schema
+    )
+    e = spark.createDataFrame(
+        [("http://s", "http://p", 0, "http://o", None, None, "u1")], schema
+    )
+    pr = graph_pr(a, e, graph_col="src_url")
+    assert pr["matched"] == 0, pr
+    # separator injection: subj carrying "\x01pred" vs the real 2-column
+    # split must stay distinct
+    a2 = spark.createDataFrame(
+        [("http://s\x01http://p", "x", 2, "v", None, None, "u")], schema
+    )
+    e2 = spark.createDataFrame(
+        [("http://s", "http://p\x01x", 2, "v", None, None, "u")], schema
+    )
+    pr2 = graph_pr(a2, e2, graph_col="src_url")
+    assert pr2["matched"] == 0, pr2

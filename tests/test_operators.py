@@ -523,3 +523,17 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist
     comp = dict(fast)
     assert comp[12] == 0 and comp[102] == 100 and comp[201] == 200
+
+
+def test_corpus_has_no_vertical_tab(spark):
+    """ADVICE r2: the DuckDB oracles tokenize with RE2 '\\S+' whose \\s
+    EXCLUDES vertical tab (\\x0B), while the Spark/Python '\\s' includes
+    it — a \\v-bearing document would silently un-pair a query from its
+    oracle. Pin the corpus invariant the gate relies on, at the test SF
+    and the driver's correctness SF."""
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf):
+            continue
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        n = docs.filter(F.col("text").contains("\x0b")).count()
+        assert n == 0, f"{sf}: {n} documents contain \\x0B"

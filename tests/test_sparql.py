@@ -344,3 +344,41 @@ def test_connected_components_empty_edges(spark):
     fast = connected_components(edges)
     assert fast.count() == 0
     assert [f.dataType.simpleString() for f in fast.schema.fields] == ["bigint", "bigint"]
+
+
+def test_nq_writer_validates_graph_term(spark):
+    """ADVICE r2: a malformed graph term (whitespace / '>' / bad blank
+    label) must surface through every validation mode — reason row in
+    the dead-letter view, filtered under drop, raised under error —
+    instead of serializing a line the parser later silently discards."""
+    from rdf_rs_spark.writers.ntriples import nq_lines, validation_rejects
+
+    rows = [
+        ("http://e.org/s", "http://e.org/p", 2, "v", None, None, "http://e.org/g"),
+        ("http://e.org/s", "http://e.org/p", 2, "v", None, None, "_:gb"),
+        ("http://e.org/s", "http://e.org/p", 2, "v", None, None, None),
+        ("http://e.org/s", "http://e.org/p", 2, "v", None, None, "has space"),
+        ("http://e.org/s", "http://e.org/p", 2, "v", None, None, "bad>angle"),
+        ("http://e.org/s", "http://e.org/p", 2, "v", None, None, "_:9startsdigit"),
+    ]
+    quads = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    rejects = validation_rejects(quads)
+    assert {(r.graph, r.reason) for r in rejects.collect()} == {
+        ("has space", "invalid_graph"),
+        ("bad>angle", "invalid_graph"),
+        ("_:9startsdigit", "invalid_graph"),
+    }
+    kept = nq_lines(quads, on_invalid="drop")
+    assert kept.count() == 3
+    # the surviving lines all round-trip
+    from rdf_rs_spark.sources.nquads import parse_nquads_lines
+
+    assert parse_nquads_lines(kept, "value").count() == 3
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        nq_lines(quads, on_invalid="error").write.format("noop").mode("overwrite").save()
