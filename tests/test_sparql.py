@@ -382,3 +382,89 @@ def test_nq_writer_validates_graph_term(spark):
 
     with _pt.raises(Exception):
         nq_lines(quads, on_invalid="error").write.format("noop").mode("overwrite").save()
+
+
+def test_bgp_pattern_ordering_most_constant_first():
+    """VERDICT r2 #3: a connected BGP written worst-first must be
+    reordered so the most-constant pattern anchors the join tree and
+    every later pattern connects to the already-bound variables."""
+    from rdf_rs_spark.operators.bgp import TriplePattern, order_patterns
+
+    worst_first = [
+        TriplePattern("?s", "?p", "?o"),                       # 0 bound
+        TriplePattern("?s", "http://e.org/knows", "?f"),       # 1 bound
+        TriplePattern("http://e.org/alice", "http://e.org/name", "?n"),  # 2 bound, disconnected
+        TriplePattern("?f", "http://e.org/name", "?n"),        # 1 bound, connects both
+    ]
+    got = order_patterns(worst_first)
+    # anchor = the 2-bound pattern; then its ?n connects the name pattern,
+    # whose ?f connects knows, whose ?s connects the unbound scan last
+    assert got[0] is worst_first[2]
+    assert got[1] is worst_first[3]
+    assert got[2] is worst_first[1]
+    assert got[3] is worst_first[0]
+    # ties keep written order: a well-ordered query is untouched
+    assert order_patterns(got) == got
+
+
+def test_bgp_worst_first_order_same_results(spark):
+    """Reordering must not change solutions (inner joins commute)."""
+    from rdf_rs_spark.operators.bgp import TriplePattern, bgp_join
+
+    rows = [
+        ("http://e.org/alice", "http://e.org/knows", 0, "http://e.org/bob", None, None),
+        ("http://e.org/bob", "http://e.org/name", 2, "Bob", None, None),
+        ("http://e.org/alice", "http://e.org/name", 2, "Alice", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+    pats = [
+        TriplePattern("?s", "?p", "?o"),
+        TriplePattern("?s", "http://e.org/knows", "?f"),
+        TriplePattern("?f", "http://e.org/name", "?n"),
+    ]
+    out = {tuple(r) for r in bgp_join(t, pats).select("s", "f", "n", "p", "o").collect()}
+    assert out == {
+        ("http://e.org/alice", "http://e.org/bob", "Bob", "http://e.org/knows", "http://e.org/bob"),
+        ("http://e.org/alice", "http://e.org/bob", "Bob", "http://e.org/name", "Alice"),
+    }
+
+
+def test_repeated_variable_in_pattern_is_equality(spark):
+    """ADVICE r2: ``?x ?p ?x`` (and a GRAPH variable reusing a bound
+    name) must enforce equality and project ONE column, not emit two
+    ambiguous same-named columns."""
+    from rdf_rs_spark.operators.bgp import TriplePattern, bgp_join
+    from rdf_rs_spark.sparql import execute_sparql
+
+    rows = [
+        ("http://e.org/self", "http://e.org/is", 0, "http://e.org/self", None, None),
+        ("http://e.org/a", "http://e.org/is", 0, "http://e.org/b", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+    out = bgp_join(t, [TriplePattern("?x", "http://e.org/is", "?x")])
+    assert out.columns == ["x"]
+    assert [r.x for r in out.collect()] == ["http://e.org/self"]
+
+    # GRAPH ?x { ?x ?p ?o } — graph name must equal the subject
+    qrows = [
+        ("http://e.org/g1", "http://e.org/p", 2, "v", None, None, "http://e.org/g1"),
+        ("http://e.org/other", "http://e.org/p", 2, "w", None, None, "http://e.org/g1"),
+    ]
+    quads = spark.createDataFrame(
+        qrows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    got = execute_sparql(
+        quads, "SELECT ?x ?o WHERE { GRAPH ?x { ?x ?p ?o } }"
+    )
+    assert got.columns == ["x", "o"]
+    assert [tuple(r) for r in got.collect()] == [("http://e.org/g1", "v")]
