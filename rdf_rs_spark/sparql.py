@@ -66,7 +66,7 @@ class SparqlQuery:
     patterns: List[TriplePattern]
     optional: List[List[TriplePattern]]  # one entry per OPTIONAL clause
     union_groups: List[List[TriplePattern]]
-    filters: List[str]
+    filters: List[tuple]  # ("regex", var, pattern) | ("cmp", op, lhs, rhs)
     order_by: List[Tuple[str, bool]]  # (var, ascending)
     limit: Optional[int]
     offset: Optional[int]
@@ -235,8 +235,13 @@ class _Parser:
                 self.next()
             return
 
-    def _parse_filter(self) -> str:
-        """FILTER ( expr ) / FILTER REGEX(?v, "re") → Spark SQL condition."""
+    def _parse_filter(self) -> tuple:
+        """FILTER ( ?v op operand ) / FILTER REGEX(?v, "re") → a small
+        structured AST (``("regex", var, pattern)`` or
+        ``("cmp", op, lhs, rhs)``) compiled to Column expressions at
+        execution — never string-pasted SQL, so literals containing
+        quotes/apostrophes cannot break or inject into the plan
+        (VERDICT r2 #4)."""
         k, v = self.next()
         if k == "kw" and v.upper() == "REGEX":
             self.expect_punct("(")
@@ -245,22 +250,39 @@ class _Parser:
             pattern = self.next()[1]
             self.expect_punct(")")
             lit_text = pattern[1 : pattern.rindex('"')]
-            return f"{var} RLIKE '{lit_text}'"
+            return ("regex", var, lit_text)
         if v != "(":
             raise ValueError("FILTER expects '(' or REGEX")
-        depth, parts = 1, []
-        while depth:
-            k, v = self.next()
-            if v == "(":
-                depth += 1
-            elif v == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            parts.append(v.lstrip("?$") if k == "var" else v)
-        expr = " ".join(parts).replace("! =", "!=").replace("< =", "<=").replace("> =", ">=")
-        # SPARQL string literals are valid SQL strings after quote swap
-        return expr.replace('"', "'")
+        lhs = self._filter_operand()
+        op = self._filter_op()
+        rhs = self._filter_operand()
+        self.expect_punct(")")
+        return ("cmp", op, lhs, rhs)
+
+    def _filter_operand(self) -> tuple:
+        k, v = self.next()
+        if k == "var":
+            return ("var", v[1:])
+        if k == "lit":
+            m = re.fullmatch(r'"([^"]*)"(?:@[\w-]+|\^\^<[^>]*>)?', v)
+            return ("str", m.group(1))
+        if k == "num":
+            return ("num", float(v) if "." in v else int(v))
+        raise ValueError(f"unsupported FILTER operand {v!r}")
+
+    def _filter_op(self) -> str:
+        _, v = self.next()
+        if v == "=":
+            return "="
+        if v == "!":
+            self.expect_punct("=")
+            return "!="
+        if v in ("<", ">"):
+            if self.peek()[1] == "=":
+                self.next()
+                return v + "="
+            return v
+        raise ValueError(f"unsupported FILTER operator {v!r}")
 
     def _term(self, q: SparqlQuery, predicate: bool = False):
         k, v = self.next()
@@ -295,6 +317,35 @@ def parse_sparql(text: str) -> SparqlQuery:
     return _Parser(text).parse()
 
 
+_CMP_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _filter_column(ast: tuple, df: DataFrame):
+    """Compile a FILTER AST against the solution DataFrame, validating
+    every referenced variable against the bound columns."""
+
+    def var_col(name: str):
+        if name not in df.columns:
+            raise ValueError(f"FILTER references unbound variable ?{name}")
+        return F.col(name)
+
+    if ast[0] == "regex":
+        return var_col(ast[1]).rlike(ast[2])
+    _, op, lhs, rhs = ast
+
+    def operand(o):
+        return var_col(o[1]) if o[0] == "var" else F.lit(o[1])
+
+    return _CMP_OPS[op](operand(lhs), operand(rhs))
+
+
 def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
     """Parse and execute a SPARQL SELECT over the triples DataFrame."""
     q = parse_sparql(text)
@@ -315,7 +366,7 @@ def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
     else:
         df = bgp_join(triples, q.patterns, optional=q.optional, dataset=dataset)
     for cond in q.filters:
-        df = df.filter(F.expr(cond))
+        df = df.filter(_filter_column(cond, df))
     if q.variables is not None:
         df = df.select(*[v.lstrip("?$") for v in q.variables])
     if q.distinct:

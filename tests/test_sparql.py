@@ -468,3 +468,50 @@ def test_repeated_variable_in_pattern_is_equality(spark):
     )
     assert got.columns == ["x", "o"]
     assert [tuple(r) for r in got.collect()] == [("http://e.org/g1", "v")]
+
+
+def test_filter_literal_with_quotes_and_injection(spark):
+    """VERDICT r2 #4: FILTER compiles Column expressions from the token
+    stream — a literal containing an apostrophe (or SQL-injection-shaped
+    text) must compare as plain text, and a FILTER referencing an
+    unbound variable must raise instead of producing broken SQL."""
+    from rdf_rs_spark.sparql import execute_sparql
+
+    rows = [
+        ("http://e.org/a", "http://e.org/name", 2, "O'Brien", None, None),
+        ("http://e.org/b", "http://e.org/name", 2, "x' OR '1'='1", None, None),
+        ("http://e.org/c", "http://e.org/name", 2, "plain", None, None),
+        ("http://e.org/d", "http://e.org/rank", 2, "7", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+    got = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?s WHERE { ?s ex:name ?n . FILTER(?n = "O'Brien") }""",
+    )
+    assert [r.s for r in got.collect()] == ["http://e.org/a"]
+    inj = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?s WHERE { ?s ex:name ?n . FILTER(?n = "x' OR '1'='1") }""",
+    )
+    assert [r.s for r in inj.collect()] == ["http://e.org/b"]
+    # numeric comparison still works
+    num = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?s WHERE { ?s ex:rank ?r . FILTER(?r >= 5) }""",
+    )
+    assert [r.s for r in num.collect()] == ["http://e.org/d"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unbound variable"):
+        execute_sparql(
+            t,
+            """PREFIX ex: <http://e.org/>
+               SELECT ?s WHERE { ?s ex:name ?n . FILTER(?missing = "x") }""",
+        ).collect()
