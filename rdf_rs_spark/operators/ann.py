@@ -259,23 +259,39 @@ def spherical_kmeans(
                     rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
                 yield pd.DataFrame(rows, columns=["cluster", "n", "s"])
 
-        # the partials are tiny (≤ batches × k rows of k×dim doubles) —
-        # collect them and accumulate DRIVER-SIDE in a sorted order: a
-        # distributed F.sum over doubles adds in partition-ARRIVAL order,
-        # so reruns on the same layout could differ. Sorting makes the
-        # accumulation a pure function of the partial VALUES — exact
-        # run-to-run determinism for a fixed partition layout. (The
-        # partials themselves are per-Arrow-batch, so a DIFFERENT layout
-        # can still shift centroid bits near ties; full layout
+        # the per-batch partials are pre-aggregated PER CLUSTER
+        # distributed-side before the collect, so only k rows (one
+        # count + one dim-wide sum each) ever reach the driver — at
+        # 100 TB "batches × k × dim doubles" on the driver would be
+        # multi-GB (VERDICT r2 #5). Determinism is preserved exactly:
+        # a plain F.sum over doubles adds in partition-ARRIVAL order,
+        # so instead each cluster's partials are array_sort-ed by
+        # (n, s) — the same key the old driver-side sort used — and
+        # left-folded with zip_with, which is bit-identical to the
+        # sequential numpy accumulation it replaces. (The partials
+        # themselves are per-Arrow-batch, so a DIFFERENT partition
+        # layout can still shift centroid bits near ties; full layout
         # independence would need a canonical per-vector ordering.)
-        rows = v.mapInPandas(partials, part_schema).collect()
-        rows.sort(key=lambda r: (r["cluster"], r["n"], tuple(r["s"])))
+        zero_vec = F.array_repeat(F.lit(0.0), dim)
+        rows = (
+            v.mapInPandas(partials, part_schema)
+            .groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n_total"),
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("n", "s"))),
+                    zero_vec,
+                    lambda acc, x: F.zip_with(acc, x["s"], lambda a, b: a + b),
+                ).alias("s_total"),
+            )
+            .collect()
+        )
         new = np.array(centroids)
         counts = np.zeros(k)
         acc = np.zeros((k, dim))
         for r in rows:
-            acc[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
-            counts[r["cluster"]] += r["n"]
+            acc[r["cluster"]] = np.asarray(r["s_total"], dtype=np.float64)
+            counts[r["cluster"]] = r["n_total"]
         nonempty = counts > 0
         new[nonempty] = unit(acc[nonempty] / counts[nonempty, None])
         centroids = new
