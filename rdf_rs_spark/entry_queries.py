@@ -1752,13 +1752,67 @@ def corpus_curation_pipeline(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     """IVF scale path: spherical-k-means coarse quantizer (deterministic
     content-hash init, Arrow-kernel partial sums), nprobe cluster probe,
-    exact re-rank within candidates."""
+    exact re-rank within candidates.
+
+    Why no oracle (adjudication, VERDICT r2 #2): the Lloyd iterations
+    score assignments through BLAS matmuls (``Mu @ C.T``) whose
+    pairwise/FMA summation order no SQL engine reproduces, and each
+    iteration feeds the next — one ulp of drift near a cell boundary
+    re-assigns a vector and cascades into different centroids, so a
+    DuckDB replay cannot be made bit-stable. The SEARCH path given
+    fixed centroids IS oracle-able and is driver-verified as
+    ``ann_ivf_seeded_topk`` below; recall + run-to-run determinism of
+    the trained quantizer are pinned in tests/test_operators.py."""
     from .operators.ann import ivf_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5).withColumn(
         "rank", F.col("rank").cast("bigint")
     )
+
+
+@q(
+    "ann_ivf_seeded_topk",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY sha256(vec_id::VARCHAR)) - 1 AS cid,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS c
+      FROM (SELECT vec_id, e FROM v ORDER BY sha256(vec_id::VARCHAR) LIMIT 8)),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.e, c.c) DESC, c.cid ASC) AS rk
+      FROM v CROSS JOIN cents c),
+    corpus AS (
+      SELECT a.vec_id AS neighbor_id, a.cid AS cluster, v.e AS cv
+      FROM assign a JOIN v ON a.vec_id = v.vec_id WHERE a.rk = 1),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.cid AS cluster, v.e AS qv
+      FROM assign a JOIN v ON a.vec_id = v.vec_id
+      WHERE a.vec_id < 3 AND a.rk <= 2),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+             list_dot_product(p.qv, c.cv)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      FROM corpus c JOIN probes p ON c.cluster = p.cluster
+      WHERE c.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5""",
+)
+def ann_ivf_seeded_topk(spark, sf_dir):
+    """The IVF *search* path under the driver's full value-hash gate:
+    content-hash seeded centroids (no Lloyd iterations), sequential-fold
+    assignment (bit parity with ``list_dot_product``), nprobe=2 probe,
+    exact re-rank. Complements the rows-only trained variant above."""
+    from .operators.ann import ivf_seeded_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_seeded_topk(
+        e, e.filter(F.col("vec_id") < 3), k=5, n_clusters=8, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
 # ---- beyond-reference analytics: grouping sets, frames, set ops -------------

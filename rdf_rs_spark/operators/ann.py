@@ -361,6 +361,107 @@ def ivf_cosine_topk(
     )
 
 
+def seeded_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic IVF coarse quantizer WITHOUT iterative training:
+    the ``n_clusters`` corpus vectors with the smallest ``sha2(id)``
+    (the same content-addressed rule k-means uses for init), unit-
+    normalized. Every arithmetic step is a sequential left fold, so a
+    SQL engine can replay the centroids bit-for-bit — this is what
+    makes the seeded IVF search path fully oracle-able (the TRAINED
+    quantizer is not: its Lloyd iterations go through BLAS matmuls
+    whose pairwise/FMA summation no SQL engine reproduces)."""
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = (
+        v.withColumn("h", F.sha2(F.col("id").cast("string"), 256))
+        .orderBy("h")
+        .limit(n_clusters)
+        .collect()
+    )
+    S = np.array([r.v for r in seeds], dtype=np.float64)
+    # sequential per-dimension accumulation — the bit pattern of
+    # list_dot_product(e, e) in the oracle
+    acc = np.zeros(len(S), dtype=np.float64)
+    for d in range(S.shape[1]):
+        acc += S[:, d] * S[:, d]
+    return (S / np.sqrt(acc)[:, None]).tolist()
+
+
+def ivf_assign_seq(vec: Column, centroids: List[List[float]], nprobe: int = 1) -> Column:
+    """``nprobe`` nearest centroids by RAW dot product (centroids are
+    unit-norm, and dividing by the vector's own norm cannot change its
+    argmax order), scored with strict per-dimension sequential
+    accumulation — bit-identical to ``list_dot_product(v, c)`` — so an
+    SQL oracle replays the assignment exactly. Ties break to the
+    lowest centroid id in both engines."""
+    C = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vs: pd.Series) -> pd.Series:
+        M = _stack(vs)
+        if len(M) == 0:
+            return pd.Series([], dtype="object")
+        scores = np.zeros((len(M), len(C)), dtype=np.float64)
+        for j in range(len(C)):
+            accj = np.zeros(len(M), dtype=np.float64)
+            for d in range(M.shape[1]):
+                accj += M[:, d] * C[j, d]
+            scores[:, j] = accj
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _assign(vec)
+
+
+def ivf_seeded_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search path with deterministic seeded centroids: corpus
+    vectors indexed by nearest centroid, queries probe their ``nprobe``
+    nearest cells, exact cosine re-rank within the candidates. Same
+    plan shape as :func:`ivf_cosine_topk` (cluster equi-join with the
+    broadcast query side — ``nprobe/n_clusters``-selective instead of a
+    cross product), but with the quantizer fixed by content hash so the
+    WHOLE path — seed selection, normalization, assignment, probe,
+    re-rank — replays in ANSI SQL (VERDICT r2 #2)."""
+    cents = seeded_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn(
+        "cluster", F.element_at(ivf_assign_seq(F.col("cv"), cents, nprobe=1), 1)
+    ).withColumn("cn", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn(
+        "cluster", F.explode(ivf_assign_seq(F.col("qv"), cents, nprobe=nprobe))
+    ).withColumn("qn", norm(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", pair_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     block: Column,

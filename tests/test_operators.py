@@ -537,3 +537,21 @@ def test_corpus_has_no_vertical_tab(spark):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
         n = docs.filter(F.col("text").contains("\x0b")).count()
         assert n == 0, f"{sf}: {n} documents contain \\x0B"
+
+
+def test_ivf_seeded_topk_matches_bruteforce_when_probing_all(spark, embeddings):
+    """Seeded IVF with nprobe == n_clusters degenerates to brute force;
+    a selective probe must stay deterministic across runs."""
+    from rdf_rs_spark.operators.ann import cosine_topk, ivf_seeded_topk
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.neighbor_id, r.rank)
+             for r in cosine_topk(embeddings, queries, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_seeded_topk(embeddings, queries, k=5, n_clusters=8, nprobe=8).collect()}
+    assert full == exact
+    a = {(r.query_id, r.neighbor_id)
+         for r in ivf_seeded_topk(embeddings, queries, k=5, n_clusters=8, nprobe=2).collect()}
+    b = {(r.query_id, r.neighbor_id)
+         for r in ivf_seeded_topk(embeddings, queries, k=5, n_clusters=8, nprobe=2).collect()}
+    assert a == b and len(a) > 0
