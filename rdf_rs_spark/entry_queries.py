@@ -2668,11 +2668,80 @@ def kg_entity_linking(spark, sf_dir):
     )
 
 
-# ---- end-to-end KG pipeline (non-SQL-expressible: Turtle islands + linking) --
+# ---- end-to-end KG pipeline, fully oracled ----------------------------------
+#
+# The synthetic corpus is a pure function of the row index, so the WHOLE
+# pipeline output — metadata fan-out, the four Turtle island templates
+# (plain predicates, labeled blank, @base fragment, collection desugar),
+# content-addressed skolemization (sha256 of "url ts _:<label>"),
+# mention linking, and the set-semantics dedup — regenerates in ANSI
+# SQL. Blank labels per template are fixed by the parser: a labeled
+# blank keeps its label (`_:a0`), collection nodes allocate `auto0`,
+# `auto1` in desugar order (reference `src/reader/turtle_parser.rs`
+# collection handling; pinned by tests/test_parsing.py).
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
-@q("kg_pipeline_e2e")  # rows-only check: mapInPandas Turtle parse + skolem
+def _kg_e2e_oracle(n: int) -> str:
+    """DuckDB replay of ``page_triples(synthesize_web_pages(n))`` for a
+    fixed page count (the driver's correctness gate runs at sf=0.01 →
+    n=2000, same convention as ``kg_entity_linking``)."""
+    sk = "'_:sk' || sha256(url || ' ' || ts || ' _:{label}')"
+    return f"""WITH p AS (
+      SELECT i,
+        'https://ex' || (i % 1000) || '.example.org/page/' || i AS url,
+        (TIMESTAMP '2025-01-01 00:00:00' + i * INTERVAL 1 SECOND)::VARCHAR AS ts,
+        'http://kg.example.org/page' || i AS pg,
+        (['en','en-US','de','fr'])[(i % 4) + 1] AS lang
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)),
+    allt AS (
+      SELECT url AS subj, '{RDF_TYPE}' AS pred, 0::TINYINT AS obj_kind,
+             'http://kg.example.org/WebPage' AS obj_lex,
+             CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+             url AS src_url
+      FROM p
+      UNION ALL SELECT url, 'http://kg.example.org/lang', 2::TINYINT, lang,
+             'http://www.w3.org/2001/XMLSchema#string', NULL, url FROM p
+      UNION ALL SELECT url, 'http://kg.example.org/mentions', 0::TINYINT,
+             'http://kg.example.org/entity/E' || k, NULL, NULL, url
+      FROM (SELECT url, i % 100 AS k FROM p
+            UNION ALL SELECT url, (i + 7) % 100 FROM p
+            UNION ALL SELECT url, 0 FROM p WHERE i % 20 = 0)
+      UNION ALL SELECT pg, 'http://kg.example.org/topic', 2::TINYINT,
+             'topic' || (i % 13), NULL, NULL, url FROM p WHERE i % 4 = 0
+      UNION ALL SELECT pg, 'http://kg.example.org/rank', 2::TINYINT,
+             (i % 7)::VARCHAR, 'http://www.w3.org/2001/XMLSchema#integer', NULL, url
+      FROM p WHERE i % 4 = 0
+      UNION ALL SELECT pg, '{RDF_TYPE}', 0::TINYINT,
+             'http://kg.example.org/Article', NULL, NULL, url FROM p WHERE i % 4 = 1
+      UNION ALL SELECT {sk.format(label="a0")}, 'http://kg.example.org/about',
+             0::TINYINT, pg, NULL, NULL, url FROM p WHERE i % 4 = 1
+      UNION ALL SELECT 'http://kg.example.org/pages#p' || i, '{RDF_TYPE}', 0::TINYINT,
+             'http://kg.example.org/Section', NULL, NULL, url FROM p WHERE i % 4 = 2
+      UNION ALL SELECT pg, 'http://kg.example.org/tags', 1::TINYINT,
+             'sk' || sha256(url || ' ' || ts || ' _:auto0'), NULL, NULL, url
+      FROM p WHERE i % 4 = 3
+      UNION ALL SELECT {sk.format(label="auto0")}, '{_RDF_NS}first', 2::TINYINT,
+             't1', NULL, NULL, url FROM p WHERE i % 4 = 3
+      UNION ALL SELECT {sk.format(label="auto0")}, '{_RDF_NS}rest', 1::TINYINT,
+             'sk' || sha256(url || ' ' || ts || ' _:auto1'), NULL, NULL, url
+      FROM p WHERE i % 4 = 3
+      UNION ALL SELECT {sk.format(label="auto1")}, '{_RDF_NS}first', 2::TINYINT,
+             't2', NULL, NULL, url FROM p WHERE i % 4 = 3
+      UNION ALL SELECT {sk.format(label="auto1")}, '{_RDF_NS}rest', 0::TINYINT,
+             '{_RDF_NS}nil', NULL, NULL, url FROM p WHERE i % 4 = 3)
+    SELECT DISTINCT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, src_url
+    FROM allt"""
+
+
+@q("kg_pipeline_e2e", _kg_e2e_oracle(2000))
 def kg_pipeline_e2e(spark, sf_dir):
+    """North-star end-to-end run under the FULL value-hash gate
+    (VERDICT r2 #2 — was rows-only): distributed Turtle-island parse
+    (mapInPandas) → broadcast entity linking → content-addressed
+    skolemization → salted single-shuffle dedup, compared triple-by-
+    triple against the SQL regeneration of the deterministic corpus."""
     scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
     n = 1000
     for k, v in scale.items():
@@ -2681,6 +2750,33 @@ def kg_pipeline_e2e(spark, sf_dir):
     pages = synthesize_web_pages(spark, n)
     aliases = synthesize_alias_dict(spark)
     return page_triples(pages, aliases)
+
+
+@q("streaming_batch_body", _kg_e2e_oracle(500))
+def streaming_batch_body(spark, sf_dir):
+    """The streaming write path's SEMANTICS under the driver gate
+    (VERDICT r2 #6 — streaming sinks themselves cannot be driver
+    queries): run the ``foreachBatch`` writer body
+    (``streaming/pipeline.py::batch_writer``) over a static 500-page
+    micro-batch TWICE with the same batch id — exactly what an
+    at-least-once replay does — and read the table back. The replayed
+    overwrite must leave the ``batch=<id>`` partition equal to one
+    clean run, which the corpus-regeneration oracle then verifies
+    value-by-value (the stream==batch drain property is pinned in
+    tests/test_streaming_and_plans.py)."""
+    import tempfile
+
+    from .streaming.pipeline import batch_writer
+
+    batch = synthesize_web_pages(spark, 500)
+    aliases = synthesize_alias_dict(spark)
+    out = tempfile.mkdtemp(prefix="rdf_stream_batch_")
+    process = batch_writer(aliases, out, subj_buckets=8)
+    process(batch, 7)
+    process(batch, 7)  # at-least-once replay of the same micro-batch
+    return spark.read.parquet(f"{out}/batch=7").select(
+        "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"
+    )
 
 
 # --------------------------------------------------------------------------
