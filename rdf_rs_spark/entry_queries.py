@@ -2790,62 +2790,63 @@ def streaming_batch_body(spark, sf_dir):
 # registered — this only changes dict iteration order.
 
 _VERIFY_FIRST = [
-    # changed this round (oracle ::BIGINT casts / tz-proof epoch outputs)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_topk_revenue",
-    "tpch_q5_local_supplier_volume",
-    "events_sessionize",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "part_brand_stats",
-    # newly oracle-able / new this round
-    "dedup_simhash_signatures",
-    "dedup_simhash_pairs",
-    "embedding_similar_pairs",
-    "embedding_neardup_pairs",
-    "sparql_ask",
-    "sparql_select_star",
-    "rdf_graph_stats",
-    "rdf_turtle_parse_inline_bnode",
-    "corpus_sampling_weights",
-    # registered in round 1 but never driver-checked (registry tail)
-    "rdf_add_triples",
-    "rdf_filter_subject_object",
-    "rdf_turtle_parse_collection",
-    "rdf_turtle_qname_compress",
+    # round 3 head window. Priority: (a) never driver-checked (the 9
+    # late round-2 registrations + the 2 new round-3 entries), (b)
+    # entries whose oracle/plan/impl changed this round (e2e oracle,
+    # seeded IVF, compare-key change, BGP ordering, FILTER compile),
+    # (c) fill with round-1-only greens whose evidence is oldest.
+    "rdf_write_validation_rejects",
+    "rdf_nquads_parse",
+    "rdf_nquads_format",
+    "sparql_graph_exec",
+    "sparql_from_exec",
+    "lineitem_returnflag_pivot",
+    "customers_with_orders_semi",
+    "docs_deterministic_sample",
+    "docs_stratified_sample",
+    "ann_ivf_seeded_topk",
+    "streaming_batch_body",
+    # changed this round
+    "kg_pipeline_e2e",
+    "ann_ivf_topk",
+    "kg_graph_pr_gate",
+    "rdf_bgp_join",
+    "rdf_bgp_optional",
+    "sparql_select_exec",
+    "sparql_two_optionals",
     "sparql_union_exec",
     "sparql_filter_regex",
     "sparql_order_limit",
+    "sparql_select_star",
+    "sparql_ask",
     "sparql_construct",
     "sparql_describe",
-    "sparql_two_optionals",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "corpus_pack_sequences",
-    "corpus_curation_pipeline",
-    "customers_except_orderers",
-    "suppliers_intersect_customer_nations",
-    "supplier_nation_broadcast_join",
-    "orders_date_math",
-    "orders_rollup_by_priority",
-    "part_cube_stats",
-    "lineitem_running_sum_frame",
-    "lineitem_quantity_percentiles",
-    "multimodal_audio_chunks",
-    "multimodal_frame_plan",
-    # north-star comparator + fuzzy-linking path take priority over the
-    # two content-hash sampling filters for round-2 verification slots
-    "kg_graph_pr_gate",
-    "kg_entity_linking_fuzzy",
-    "kg_pipeline_e2e",
-    # new corpus/analytics ops this round
-    "docs_pii_redact",
-    "docs_outlink_stats",
-    "corpus_token_histogram",
-    "corpus_top_docs_per_domain",
-    "corpus_term_salience",
-    "kg_two_hop_counts",
-    "kg_entity_linking",
+    # round-1-only greens, oldest evidence first
+    "kg_triples_materialize",
+    "rdf_filter_subject",
+    "rdf_filter_predicate",
+    "rdf_filter_object",
+    "rdf_filter_subject_predicate",
+    "rdf_filter_predicate_object",
+    "rdf_blank_nodes",
+    "rdf_remove_triples",
+    "rdf_count_by_predicate",
+    "rdf_distinct_objects",
+    "rdf_order_terms",
+    "rdf_ntriples_format",
+    "rdf_ntriples_parse",
+    "rdf_ntriples_rejects",
+    "rdf_ntriples_parse_python",
+    "rdf_turtle_parse",
+    "rdf_skolemize",
+    "docs_token_count",
+    "docs_bpe_token_count",
+    "docs_quality_score",
+    "docs_lang_id",
+    "docs_fingerprint",
+    "docs_winnow_fingerprints",
+    "docs_repetition_score",
+    "docs_decontaminate",
 ]
 
 

@@ -310,3 +310,31 @@ def test_nquads_parse_is_narrow(spark):
     df = parse_nquads_lines(lines)
     assert count_exchanges(df) == 0
     assert "ArrowEvalPython" not in explain_str(df, "simple")
+
+
+def test_exists_semi_plans_semi_join_not_inner_distinct(spark):
+    """EXISTS must compile to a LEFT-SEMI hash join — an inner join +
+    distinct would multiply each customer by its order count and then
+    shuffle the blow-up away (VERDICT r2 #8)."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["customers_with_orders_semi"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert "Distinct" not in plan and "dropDuplicates" not in plan
+
+
+def test_pivot_is_two_stage_combining_aggregate(spark):
+    """PIVOT with an explicit value list must plan Spark's canonical
+    two-stage shape — a map-side-combining (group, pivot-col) pre-agg
+    feeding ONE pivotfirst aggregate — never one aggregation per pivot
+    value, and the scan must read only the two columns involved
+    (VERDICT r2 #8)."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["lineitem_returnflag_pivot"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert plan.count("partial_pivotfirst") == 1, plan
+    assert plan.count("partial_count") == 1, plan  # pre-agg combines map-side
+    assert count_exchanges(df) == 2
+    assert "ReadSchema: struct<l_returnflag:string,l_linestatus:string>" in plan
