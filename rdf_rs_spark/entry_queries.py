@@ -1504,6 +1504,110 @@ def sparql_order_limit(spark, sf_dir):
 
 
 @q(
+    "sparql_filter_bool",
+    TRIPLES_CTE
+    + f"""SELECT t1.obj_lex AS name FROM triples t1
+       JOIN triples t2 ON t1.subj = t2.subj AND t2.pred = '{RDF_TYPE}'
+         AND t2.obj_lex = 'http://kg.example.org/Nation'
+       WHERE t1.pred = 'http://kg.example.org/name'
+         AND (regexp_matches(t1.obj_lex, '_1[0-9]$')
+              OR (t1.obj_lex = 'NATION_3' AND NOT t1.obj_lex = 'NATION_4'))""",
+)
+def sparql_filter_bool(spark, sf_dir):
+    """FILTER boolean operators ``|| && !`` (SPARQL 1.1 §17 precedence:
+    ``||`` loosest, then ``&&``, then unary ``!``) — an executed
+    extension; the reference lexes FILTER and stops
+    (``src/sparql/pattern.rs:101-103``). Compiled from the token stream
+    to Column conjunctions, never pasted SQL."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?name WHERE { ?n a ex:Nation . ?n ex:name ?name .
+             FILTER(REGEX(?name, "_1[0-9]$") || ?name = "NATION_3" && !(?name = "NATION_4")) }""",
+    )
+
+
+@q(
+    "sparql_values_exec",
+    TRIPLES_CTE
+    + f"""SELECT t1.obj_lex AS name, v.tag AS tag FROM triples t1
+       JOIN triples t2 ON t1.subj = t2.subj AND t2.pred = '{RDF_TYPE}'
+         AND t2.obj_lex = 'http://kg.example.org/Nation'
+       JOIN (VALUES ('NATION_2', 'americas'), ('NATION_7', 'americas'),
+                    ('NATION_24', 'asia'), ('NOSUCHLAND', 'x')) AS v(name, tag)
+         ON v.name = t1.obj_lex
+       WHERE t1.pred = 'http://kg.example.org/name'""",
+)
+def sparql_values_exec(spark, sf_dir):
+    """VALUES inline data (SPARQL 1.1 §10.2, executed extension): the
+    literal relation joins the solutions on its shared variables —
+    Catalyst broadcasts it, so at scale this is a constant-side
+    broadcast probe, never a shuffle. Unmatched rows drop (join
+    semantics); simplified vs the spec's UNDEF outer behavior."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?name ?tag WHERE { ?n a ex:Nation . ?n ex:name ?name .
+             VALUES (?name ?tag) { ("NATION_2" "americas") ("NATION_7" "americas")
+                                   ("NATION_24" "asia") ("NOSUCHLAND" "x") } }""",
+    )
+
+
+@q(
+    "sparql_bind_exec",
+    TRIPLES_CTE
+    + f"""SELECT t1.obj_lex AS name, (v.w::BIGINT * 10 + 1)::BIGINT AS score
+       FROM triples t1
+       JOIN triples t2 ON t1.subj = t2.subj AND t2.pred = '{RDF_TYPE}'
+         AND t2.obj_lex = 'http://kg.example.org/Nation'
+       JOIN (VALUES ('NATION_2', '2'), ('NATION_7', '3')) AS v(name, w)
+         ON v.name = t1.obj_lex
+       WHERE t1.pred = 'http://kg.example.org/name'""",
+)
+def sparql_bind_exec(spark, sf_dir):
+    """BIND(expr AS ?v) with arithmetic precedence (SPARQL 1.1 §10.1,
+    executed extension): value expressions compile to Column arithmetic
+    — integer-typed in BOTH engines (Spark coerces the string-bound
+    variable to bigint against integer literals; the oracle casts its
+    INTEGER result to match), keeping the value hash float-free."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?name ?score WHERE { ?n a ex:Nation . ?n ex:name ?name .
+             VALUES (?name ?w) { ("NATION_2" 2) ("NATION_7" 3) }
+             BIND(?w * 10 + 1 AS ?score) }""",
+    )
+
+
+@q(
+    "sparql_group_count",
+    TRIPLES_CTE
+    + """SELECT pred AS p, count(*) AS n, count(DISTINCT subj) AS subjects,
+       min(CASE WHEN obj_kind = 1 THEN '_:' || obj_lex ELSE obj_lex END) AS lo
+       FROM triples GROUP BY pred""",
+)
+def sparql_group_count(spark, sf_dir):
+    """SPARQL 1.1 aggregates (COUNT/COUNT DISTINCT/MIN + GROUP BY,
+    executed extension): compiles onto groupBy().agg() — one
+    map-side-combining hash aggregate, the same plan a hand-written
+    DataFrame aggregation gets."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?subjects)
+                  (MIN(?o) AS ?lo)
+           WHERE { ?s ?p ?o } GROUP BY ?p""",
+    )
+
+
+@q(
     "sparql_construct",
     TRIPLES_CTE
     + """SELECT DISTINCT t1.subj AS subj, 'http://kg.example.org/locatedIn' AS pred,
@@ -2821,6 +2925,11 @@ _VERIFY_FIRST = [
     "sparql_ask",
     "sparql_construct",
     "sparql_describe",
+    # new SPARQL 1.1 executed extensions (round 3)
+    "sparql_filter_bool",
+    "sparql_values_exec",
+    "sparql_bind_exec",
+    "sparql_group_count",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
@@ -2843,10 +2952,6 @@ _VERIFY_FIRST = [
     "docs_bpe_token_count",
     "docs_quality_score",
     "docs_lang_id",
-    "docs_fingerprint",
-    "docs_winnow_fingerprints",
-    "docs_repetition_score",
-    "docs_decontaminate",
 ]
 
 

@@ -35,10 +35,10 @@ _TOKEN_RE = re.compile(
   | (?P<var>[?$][A-Za-z_][\w]*)
   | (?P<blank>_:[\w]+)
   | (?P<num>\d+(?:\.\d+)?)
-  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH)\b)
+  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG)\b)
   | (?P<a>\ba\b)
   | (?P<qname>[\w-]*:[\w./-]*)
-  | (?P<punct>[{}().;,*=<>!])
+  | (?P<punct>&&|\|\||[{}().;,*=<>!+/-])
     """,
     re.VERBOSE,
 )
@@ -66,7 +66,7 @@ class SparqlQuery:
     patterns: List[TriplePattern]
     optional: List[List[TriplePattern]]  # one entry per OPTIONAL clause
     union_groups: List[List[TriplePattern]]
-    filters: List[tuple]  # ("regex", var, pattern) | ("cmp", op, lhs, rhs)
+    filters: List[tuple]  # boolean ASTs: regex/cmp/and/or/not over value exprs
     order_by: List[Tuple[str, bool]]  # (var, ascending)
     limit: Optional[int]
     offset: Optional[int]
@@ -74,6 +74,11 @@ class SparqlQuery:
     base: Optional[str] = None
     from_graphs: List[str] = field(default_factory=list)  # FROM <g>
     from_named: List[str] = field(default_factory=list)  # FROM NAMED <g>
+    binds: List[Tuple[str, tuple]] = field(default_factory=list)  # BIND(expr AS ?v)
+    values_clause: Optional[Tuple[List[str], List[List[str]]]] = None  # VALUES
+    group_by: List[str] = field(default_factory=list)  # GROUP BY ?v …
+    # (func, distinct, var-or-None-for-*, alias) per SELECT aggregate
+    aggregates: List[Tuple[str, bool, Optional[str], str]] = field(default_factory=list)
 
 
 class _Parser:
@@ -118,13 +123,48 @@ class _Parser:
             distinct = True  # REDUCED may legally dedup
             self.next()
         variables: Optional[List[str]] = None
+        aggregates: List[Tuple[str, bool, Optional[str], str]] = []
         if self.peek()[1] == "*":
             self.next()
         else:
             variables = []
-            while self.peek()[0] == "var":
-                variables.append(self.next()[1])
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    variables.append(self.next()[1])
+                elif v == "(":
+                    # ( COUNT|SUM|MIN|MAX|AVG ( [DISTINCT] ?v | * ) AS ?alias )
+                    # — SPARQL 1.1 aggregates, an executed extension
+                    self.next()
+                    fk, fv = self.next()
+                    func = fv.upper()
+                    if fk != "kw" or func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                        raise ValueError(f"unsupported SELECT expression {fv!r}")
+                    self.expect_punct("(")
+                    agg_distinct = False
+                    if self.peek()[1].upper() == "DISTINCT":
+                        self.next()
+                        agg_distinct = True
+                    ak, av = self.next()
+                    if av == "*":
+                        target = None
+                        if func != "COUNT":
+                            raise ValueError(f"{func}(*) is not a SPARQL aggregate")
+                    elif ak == "var":
+                        target = av[1:]
+                    else:
+                        raise ValueError(f"aggregate expects a variable or *, got {av!r}")
+                    self.expect_punct(")")
+                    if self.next()[1].upper() != "AS":
+                        raise ValueError("aggregate requires AS ?alias")
+                    alias = self.next()[1]
+                    self.expect_punct(")")
+                    aggregates.append((func, agg_distinct, target, alias[1:]))
+                    variables.append(alias)
+                else:
+                    break
         q = SparqlQuery(variables, distinct, [], [], [], [], [], None, None, prefixes, base)
+        q.aggregates = aggregates
         # dataset clauses (lexed-but-rejected in the reference,
         # src/specs/sparql_specs.rs:6-28) — executed here over quad stores
         while self.peek()[0] == "kw" and self.peek()[1].upper() == "FROM":
@@ -164,9 +204,55 @@ class _Parser:
                 q.limit = int(self.next()[1])
             elif up == "OFFSET":
                 q.offset = int(self.next()[1])
+            elif up == "GROUP":
+                if self.next()[1].upper() != "BY":
+                    raise ValueError("GROUP must be followed by BY")
+                while self.peek()[0] == "var":
+                    q.group_by.append(self.next()[1][1:])
             else:
                 raise ValueError(f"unexpected token {v!r}")
         return q
+
+    def _parse_values(self, q: SparqlQuery) -> None:
+        """VALUES ?v { t … } / VALUES ( ?a ?b ) { ( t t ) … } — SPARQL
+        1.1 §10.2 inline data, executed as a (broadcastable) join."""
+        self.next()  # VALUES
+        vars_: List[str] = []
+        k, v = self.next()
+        if k == "var":
+            vars_.append(v[1:])
+        elif v == "(":
+            while self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            self.expect_punct(")")
+        else:
+            raise ValueError("VALUES expects ?var or ( ?vars )")
+        self.expect_punct("{")
+        rows: List[List[str]] = []
+        while self.peek()[1] != "}":
+            if len(vars_) == 1 and self.peek()[1] != "(":
+                rows.append([self._values_term(q)])
+                continue
+            self.expect_punct("(")
+            row = []
+            while self.peek()[1] != ")":
+                row.append(self._values_term(q))
+            self.next()
+            if len(row) != len(vars_):
+                raise ValueError("VALUES row width does not match variable list")
+            rows.append(row)
+        self.next()
+        q.values_clause = (vars_, rows)
+
+    def _values_term(self, q: SparqlQuery) -> str:
+        """One VALUES datum, as the lexical form pattern variables bind
+        (IRIs resolve through PREFIX/BASE like any other term)."""
+        t = self._term(q)
+        if isinstance(t, Term):
+            return t.lex
+        if isinstance(t, str) and t.startswith("?"):
+            raise ValueError("VALUES data must be constant terms")
+        return t
 
     def _parse_group(self, q: SparqlQuery, sink: List[TriplePattern], graph=None):
         """``graph`` is the enclosing GRAPH term (scoping context): every
@@ -188,6 +274,21 @@ class _Parser:
             if k == "kw" and v.upper() == "FILTER":
                 self.next()
                 q.filters.append(self._parse_filter())
+                continue
+            if k == "kw" and v.upper() == "BIND":
+                # BIND ( value-expr AS ?v ) — SPARQL 1.1 §10.1, executed
+                # extension; compiled to withColumn at execution
+                self.next()
+                self.expect_punct("(")
+                expr = self._value_expr()
+                if self.next()[1].upper() != "AS":
+                    raise ValueError("BIND requires AS ?var")
+                var = self.next()[1]
+                self.expect_punct(")")
+                q.binds.append((var[1:], expr))
+                continue
+            if k == "kw" and v.upper() == "VALUES":
+                self._parse_values(q)
                 continue
             if k == "kw" and v.upper() == "GRAPH":
                 # GRAPH term { … } — quad matching; requires a 'graph'
@@ -236,31 +337,83 @@ class _Parser:
             return
 
     def _parse_filter(self) -> tuple:
-        """FILTER ( ?v op operand ) / FILTER REGEX(?v, "re") → a small
-        structured AST (``("regex", var, pattern)`` or
-        ``("cmp", op, lhs, rhs)``) compiled to Column expressions at
-        execution — never string-pasted SQL, so literals containing
-        quotes/apostrophes cannot break or inject into the plan
-        (VERDICT r2 #4)."""
-        k, v = self.next()
+        """FILTER ( bool-expr ) / FILTER REGEX(?v, "re") → a small
+        structured AST compiled to Column expressions at execution —
+        never string-pasted SQL, so literals containing quotes or
+        apostrophes cannot break or inject into the plan (VERDICT r2
+        #4). Boolean grammar (SPARQL 1.1 §17, an executed extension —
+        the reference lexes FILTER and stops): ``||`` over ``&&`` over
+        unary ``!`` over comparisons / REGEX / parens."""
+        k, v = self.peek()
         if k == "kw" and v.upper() == "REGEX":
+            return self._parse_bool_unary()
+        if v != "(":
+            raise ValueError("FILTER expects '(' or REGEX")
+        self.next()
+        node = self._parse_bool_expr()
+        self.expect_punct(")")
+        return node
+
+    def _parse_bool_expr(self) -> tuple:
+        node = self._parse_bool_and()
+        while self.peek()[1] == "||":
+            self.next()
+            node = ("or", node, self._parse_bool_and())
+        return node
+
+    def _parse_bool_and(self) -> tuple:
+        node = self._parse_bool_unary()
+        while self.peek()[1] == "&&":
+            self.next()
+            node = ("and", node, self._parse_bool_unary())
+        return node
+
+    def _parse_bool_unary(self) -> tuple:
+        k, v = self.peek()
+        if v == "!" and self.toks[self.i + 1][1] != "=":
+            self.next()
+            return ("not", self._parse_bool_unary())
+        if k == "kw" and v.upper() == "REGEX":
+            self.next()
             self.expect_punct("(")
             var = self.next()[1].lstrip("?$")
             self.expect_punct(",")
             pattern = self.next()[1]
             self.expect_punct(")")
-            lit_text = pattern[1 : pattern.rindex('"')]
-            return ("regex", var, lit_text)
-        if v != "(":
-            raise ValueError("FILTER expects '(' or REGEX")
-        lhs = self._filter_operand()
+            return ("regex", var, pattern[1 : pattern.rindex('"')])
+        if v == "(":
+            self.next()
+            node = self._parse_bool_expr()
+            self.expect_punct(")")
+            return node
+        lhs = self._value_expr()
         op = self._filter_op()
-        rhs = self._filter_operand()
-        self.expect_punct(")")
+        rhs = self._value_expr()
         return ("cmp", op, lhs, rhs)
 
-    def _filter_operand(self) -> tuple:
+    def _value_expr(self) -> tuple:
+        """Arithmetic value expression (used by FILTER comparisons and
+        BIND): ``* /`` over ``+ -`` over atoms (var / literal / number /
+        parenthesized)."""
+        node = self._value_term()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            node = ("arith", op, node, self._value_term())
+        return node
+
+    def _value_term(self) -> tuple:
+        node = self._value_atom()
+        while self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            node = ("arith", op, node, self._value_atom())
+        return node
+
+    def _value_atom(self) -> tuple:
         k, v = self.next()
+        if v == "(":
+            node = self._value_expr()
+            self.expect_punct(")")
+            return node
         if k == "var":
             return ("var", v[1:])
         if k == "lit":
@@ -268,7 +421,7 @@ class _Parser:
             return ("str", m.group(1))
         if k == "num":
             return ("num", float(v) if "." in v else int(v))
-        raise ValueError(f"unsupported FILTER operand {v!r}")
+        raise ValueError(f"unsupported value expression atom {v!r}")
 
     def _filter_op(self) -> str:
         _, v = self.next()
@@ -327,23 +480,43 @@ _CMP_OPS = {
 }
 
 
+_ARITH_OPS = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+}
+
+
+def _value_column(ast: tuple, df: DataFrame):
+    """Compile a value-expression AST (var / literal / number /
+    arithmetic) against the solution DataFrame, validating every
+    referenced variable against the bound columns."""
+    kind = ast[0]
+    if kind == "var":
+        if ast[1] not in df.columns:
+            raise ValueError(f"expression references unbound variable ?{ast[1]}")
+        return F.col(ast[1])
+    if kind in ("str", "num"):
+        return F.lit(ast[1])
+    if kind == "arith":
+        return _ARITH_OPS[ast[1]](_value_column(ast[2], df), _value_column(ast[3], df))
+    raise ValueError(f"unsupported value expression {ast!r}")
+
+
 def _filter_column(ast: tuple, df: DataFrame):
-    """Compile a FILTER AST against the solution DataFrame, validating
-    every referenced variable against the bound columns."""
-
-    def var_col(name: str):
-        if name not in df.columns:
-            raise ValueError(f"FILTER references unbound variable ?{name}")
-        return F.col(name)
-
-    if ast[0] == "regex":
-        return var_col(ast[1]).rlike(ast[2])
+    """Compile a FILTER boolean AST against the solution DataFrame."""
+    kind = ast[0]
+    if kind == "regex":
+        return _value_column(("var", ast[1]), df).rlike(ast[2])
+    if kind == "and":
+        return _filter_column(ast[1], df) & _filter_column(ast[2], df)
+    if kind == "or":
+        return _filter_column(ast[1], df) | _filter_column(ast[2], df)
+    if kind == "not":
+        return ~_filter_column(ast[1], df)
     _, op, lhs, rhs = ast
-
-    def operand(o):
-        return var_col(o[1]) if o[0] == "var" else F.lit(o[1])
-
-    return _CMP_OPS[op](operand(lhs), operand(rhs))
+    return _CMP_OPS[op](_value_column(lhs, df), _value_column(rhs, df))
 
 
 def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
@@ -365,8 +538,36 @@ def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
             df = df.unionByName(b, allowMissingColumns=True)
     else:
         df = bgp_join(triples, q.patterns, optional=q.optional, dataset=dataset)
+    if q.values_clause is not None:
+        # inline data: joined on the shared variables (Catalyst
+        # broadcasts the literal relation), cartesian when disjoint
+        vars_, rows = q.values_clause
+        inline = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in rows], ", ".join(f"{v} string" for v in vars_)
+        )
+        shared = sorted(set(df.columns) & set(vars_))
+        df = df.join(inline, on=shared, how="inner") if shared else df.crossJoin(inline)
+    for var, expr in q.binds:
+        # each BIND sees the bindings of the previous one (§10.1)
+        df = df.withColumn(var, _value_column(expr, df))
     for cond in q.filters:
         df = df.filter(_filter_column(cond, df))
+    if q.aggregates or q.group_by:
+        aggs = []
+        for func, adistinct, target, alias in q.aggregates:
+            if target is not None and target not in df.columns:
+                raise ValueError(f"aggregate references unbound variable ?{target}")
+            if func == "COUNT" and target is None:
+                col = F.count(F.lit(1))
+            elif adistinct:
+                # the lexer guarantees `target` is a plain identifier, so
+                # this is a fixed-shape expression, not pasted user text
+                col = F.expr(f"{func.lower()}(DISTINCT {target})")
+            else:
+                col = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
+                       "MAX": F.max, "AVG": F.avg}[func](F.col(target))
+            aggs.append(col.alias(alias))
+        df = df.groupBy(*[F.col(g) for g in q.group_by]).agg(*aggs)
     if q.variables is not None:
         df = df.select(*[v.lstrip("?$") for v in q.variables])
     if q.distinct:

@@ -515,3 +515,86 @@ def test_filter_literal_with_quotes_and_injection(spark):
             """PREFIX ex: <http://e.org/>
                SELECT ?s WHERE { ?s ex:name ?n . FILTER(?missing = "x") }""",
         ).collect()
+
+
+def _people_triples(spark):
+    rows = [
+        ("http://e.org/a", "http://e.org/name", 2, "Alice", None, None),
+        ("http://e.org/a", "http://e.org/age", 2, "30", None, None),
+        ("http://e.org/b", "http://e.org/name", 2, "Bob", None, None),
+        ("http://e.org/b", "http://e.org/age", 2, "25", None, None),
+        ("http://e.org/c", "http://e.org/name", 2, "Carol", None, None),
+        ("http://e.org/c", "http://e.org/age", 2, "35", None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+
+
+def test_filter_boolean_operators(spark):
+    """|| over && over unary ! (SPARQL 1.1 §17 precedence)."""
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = _people_triples(spark)
+    got = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?n WHERE { ?s ex:name ?n . ?s ex:age ?a .
+             FILTER(?a > 26 && !(?n = "Carol") || ?n = "Bob") }""",
+    )
+    assert sorted(r.n for r in got.collect()) == ["Alice", "Bob"]
+
+
+def test_bind_arithmetic_precedence(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = _people_triples(spark)
+    got = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?n ?x WHERE { ?s ex:name ?n . ?s ex:age ?a .
+             BIND(?a * 2 + 1 AS ?x) }""",
+    )
+    assert sorted((r.n, r.x) for r in got.collect()) == [
+        ("Alice", 61), ("Bob", 51), ("Carol", 71)]
+
+
+def test_values_inline_join(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = _people_triples(spark)
+    got = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?n ?tag WHERE { ?s ex:name ?n .
+             VALUES (?n ?tag) { ("Alice" "x") ("Bob" "y") ("Nobody" "z") } }""",
+    )
+    assert sorted((r.n, r.tag) for r in got.collect()) == [("Alice", "x"), ("Bob", "y")]
+    # single-variable short form
+    one = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?n WHERE { ?s ex:name ?n . VALUES ?n { "Carol" } }""",
+    )
+    assert [r.n for r in one.collect()] == ["Carol"]
+
+
+def test_sparql_aggregates_group_by(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = _people_triples(spark)
+    got = execute_sparql(
+        t,
+        """SELECT ?p (COUNT(*) AS ?n) (MIN(?o) AS ?lo)
+           WHERE { ?s ?p ?o } GROUP BY ?p""",
+    )
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("http://e.org/age", 3, "25"),
+        ("http://e.org/name", 3, "Alice"),
+    ]
+    glob = execute_sparql(
+        t, "SELECT (COUNT(DISTINCT ?s) AS ?subjects) WHERE { ?s ?p ?o }"
+    )
+    assert glob.collect()[0].subjects == 3
