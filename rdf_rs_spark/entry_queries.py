@@ -1608,6 +1608,50 @@ def sparql_group_count(spark, sf_dir):
 
 
 @q(
+    "sparql_path_plus",
+    """WITH RECURSIVE e AS (
+      SELECT i AS src, i // 2 AS dst
+      FROM (SELECT unnest(generate_series(1, 499)) AS i)),
+    anc AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT a.src, e.dst FROM anc a JOIN e ON a.dst = e.src)
+    SELECT 'http://kg.example.org/org/' || src AS x,
+           'http://kg.example.org/org/' || dst AS boss
+    FROM anc""",
+)
+def sparql_path_plus(spark, sf_dir):
+    """SPARQL 1.1 §9 property path ``p+`` (executed extension — the
+    reference has no path support): semi-naive transitive closure with
+    per-round ``localCheckpoint`` (``operators/paths.py``), solved here
+    over a 500-node synthetic reporting tree (node i's parent is i//2 —
+    pure function of the index, so the DuckDB ``WITH RECURSIVE``
+    closure replays it exactly). Integer-only node ids keep the
+    fixpoint oracle-able, the same trick the connected-components
+    entry uses."""
+    from .sparql import execute_sparql
+
+    org = spark.range(1, 500).select(
+        F.concat(F.lit("http://kg.example.org/org/"), F.col("id").cast("string")).alias(
+            "subj"
+        ),
+        F.lit(EX + "parent").alias("pred"),
+        F.lit(0).cast("tinyint").alias("obj_kind"),
+        F.concat(
+            F.lit("http://kg.example.org/org/"),
+            F.floor(F.col("id") / 2).cast("long").cast("string"),
+        ).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    return execute_sparql(
+        org,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?x ?boss WHERE { ?x ex:parent+ ?boss }""",
+    )
+
+
+@q(
     "sparql_construct",
     TRIPLES_CTE
     + """SELECT DISTINCT t1.subj AS subj, 'http://kg.example.org/locatedIn' AS pred,
@@ -2930,6 +2974,7 @@ _VERIFY_FIRST = [
     "sparql_values_exec",
     "sparql_bind_exec",
     "sparql_group_count",
+    "sparql_path_plus",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
@@ -2951,7 +2996,6 @@ _VERIFY_FIRST = [
     "docs_token_count",
     "docs_bpe_token_count",
     "docs_quality_score",
-    "docs_lang_id",
 ]
 
 

@@ -54,6 +54,11 @@ class TriplePattern:
     predicate: FixedOrVar
     object: FixedOrVar
     graph: Optional[FixedOrVar] = None
+    #: SPARQL 1.1 property-path modifier on the predicate: ``"+"``
+    #: (one-or-more) compiles the pattern over the predicate's
+    #: transitive closure (``operators/paths.py``). Requires a FIXED
+    #: predicate; ``None`` = plain single-step match.
+    path: Optional[str] = None
 
     def variables(self) -> List[str]:
         """Variable names (without ``?``) this pattern binds, in term order."""
@@ -80,6 +85,8 @@ class TriplePattern:
         triples: DataFrame,
         dataset: Optional[tuple] = None,
     ) -> DataFrame:
+        if self.path is not None:
+            return self._compile_path(triples, dataset)
         df = triples
         proj: List[Column] = []
         # graph (quad stores only): SPARQL dataset semantics. ``dataset``
@@ -156,6 +163,49 @@ class TriplePattern:
         if not out_cols:
             return df.select(F.lit(1).alias("__match"))
         return df.select(*out_cols)
+
+    def _compile_path(
+        self, triples: DataFrame, dataset: Optional[tuple]
+    ) -> DataFrame:
+        """``?s <p>+ ?o``: solve the pattern over the predicate's
+        transitive closure (SPARQL 1.1 §9, executed extension — the
+        reference has no paths). GRAPH scoping applies to the EDGE SET
+        before the closure runs: a path never crosses out of the graphs
+        the enclosing dataset clause selects."""
+        from .paths import predicate_closure
+
+        if self.path != "+":
+            raise ValueError(f"unsupported property path {self.path!r}")
+        if _is_var(self.predicate):
+            raise ValueError("property paths require a fixed predicate")
+        df = triples
+        if "graph" in triples.columns:
+            if self.graph is not None and _is_var(self.graph):
+                # would need one closure PER named graph (a path must not
+                # hop between graphs) — out of the supported subset
+                raise ValueError("property paths do not support a GRAPH variable")
+            if self.graph is None:
+                if dataset is None:
+                    df = df.filter(F.col("graph").isNull())
+                elif dataset[0]:
+                    df = df.filter(F.col("graph").isin(list(dataset[0])))
+                else:
+                    df = df.filter(F.lit(False))
+            else:
+                df = df.filter(F.col("graph") == _subject_text(self.graph))
+        closure = predicate_closure(df, _subject_text(self.predicate))
+        proj: List[Column] = []
+        if _is_var(self.subject):
+            proj.append(F.col("src").alias(self.subject[1:]))
+        else:
+            closure = closure.filter(F.col("src") == _subject_text(self.subject))
+        if _is_var(self.object):
+            proj.append(F.col("dst").alias(self.object[1:]))
+        else:
+            closure = closure.filter(F.col("dst") == _subject_text(self.object))
+        if not proj:
+            return closure.select(F.lit(1).alias("__match"))
+        return closure.select(*proj)
 
 
 def _subject_text(x: FixedOrVar) -> str:

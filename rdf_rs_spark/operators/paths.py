@@ -1,0 +1,76 @@
+"""SPARQL 1.1 property paths (§9) — the ``p+`` transitive closure.
+
+The reference has no path support at all (its SPARQL executor is empty,
+``src/sparql/query_processor.rs``); this is an executed beyond-reference
+extension. The closure is computed SEMI-NAIVE: each round joins only the
+NEW pairs (the frontier) against the edge set, anti-joins what is
+already known, and stops when the frontier drains — the standard
+datalog evaluation shape, and the only one that survives at scale
+(naive re-derivation grows quadratically in round count).
+
+Scale notes (same discipline as ``operators/components.py``):
+- every round ``localCheckpoint(eager=True)`` truncates the lineage —
+  an uncheckpointed loop re-executes the whole history each round;
+- the frontier extends only through RESOURCE nodes (``dst_is_node``):
+  a literal can terminate a path but never continue one, so the join
+  never fans out through literal lexical forms that might collide with
+  IRI text;
+- cycles terminate naturally: the anti-join makes every round's
+  frontier strictly new pairs, and the pair space is finite;
+- a non-converging input (deeper than ``max_iters``) raises instead of
+  silently truncating the relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
+    """One-or-more-step reachability over ``(src, dst, dst_is_node)``
+    edges. Returns the same three columns; ``max_iters`` bounds the
+    DIAMETER (pairs double per round is not attempted — one edge-join
+    per round keeps every round a single shuffle)."""
+    closure = edges.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    frontier = closure
+    hop = edges.select(
+        F.col("src").alias("mid"), F.col("dst"), F.col("dst_is_node")
+    )
+    for _ in range(max_iters):
+        grown = (
+            frontier.filter(F.col("dst_is_node"))
+            .select(F.col("src"), F.col("dst").alias("mid"))
+            .join(hop, "mid")
+            .select("src", "dst", "dst_is_node")
+            .dropDuplicates(["src", "dst"])
+        )
+        new = grown.join(
+            closure.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if new.isEmpty():
+            return closure
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    raise RuntimeError(
+        f"transitive closure did not converge within {max_iters} rounds"
+    )
+
+
+def predicate_closure(triples: DataFrame, pred: str, max_iters: int = 30) -> DataFrame:
+    """The ``<pred>+`` relation over a triples table: (src, dst,
+    dst_is_node) where dst carries the object's subject-encoding for
+    resources (blanks as ``_:…``) and the lexical form for literals —
+    the same encoding pattern variables bind, so the result joins
+    against other patterns directly."""
+    from ..terms import KIND_BLANK, KIND_LITERAL
+
+    e = triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("src"),
+        F.when(
+            F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+        )
+        .otherwise(F.col("obj_lex"))
+        .alias("dst"),
+        (F.col("obj_kind") != KIND_LITERAL).alias("dst_is_node"),
+    )
+    return transitive_closure(e, max_iters=max_iters)

@@ -322,9 +322,17 @@ class _Parser:
         subj = self._term(q)
         while True:
             pred = self._term(q, predicate=True)
+            path = None
+            if self.peek()[1] == "+" and not (
+                isinstance(pred, str) and pred.startswith("?")
+            ):
+                # SPARQL 1.1 §9 one-or-more path: <p>+ / qname+ (executed
+                # extension; fixed predicates only)
+                self.next()
+                path = "+"
             while True:
                 obj = self._term(q)
-                sink.append(TriplePattern(subj, pred, obj, graph=graph))
+                sink.append(TriplePattern(subj, pred, obj, graph=graph, path=path))
                 if self.peek()[1] == ",":
                     self.next()
                     continue

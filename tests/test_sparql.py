@@ -598,3 +598,50 @@ def test_sparql_aggregates_group_by(spark):
         t, "SELECT (COUNT(DISTINCT ?s) AS ?subjects) WHERE { ?s ?p ?o }"
     )
     assert glob.collect()[0].subjects == 3
+
+
+def test_property_path_plus_cycle_and_literal_endpoint(spark):
+    """p+ closure: cycles converge (finite pair space, anti-join
+    frontier), literals terminate but never extend a path, and every
+    node reaches the full cycle."""
+    from rdf_rs_spark.sparql import execute_sparql
+
+    rows = [
+        ("http://e/a", "http://e/p", 0, "http://e/b", None, None),
+        ("http://e/b", "http://e/p", 0, "http://e/c", None, None),
+        ("http://e/c", "http://e/p", 0, "http://e/a", None, None),
+        ("http://e/d", "http://e/p", 0, "http://e/a", None, None),
+        ("http://e/c", "http://e/p", 2, "lit-x", None, None),
+        ("http://e/a", "http://e/q", 0, "http://e/z", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+    out = execute_sparql(t, "SELECT ?s ?o WHERE { ?s <http://e/p>+ ?o }")
+    got = {(r.s, r.o) for r in out.collect()}
+    cyc = ["http://e/a", "http://e/b", "http://e/c"]
+    want = {(s, o) for s in cyc for o in cyc}
+    want |= {(s, "lit-x") for s in cyc}
+    want |= {("http://e/d", o) for o in cyc + ["lit-x"]}
+    assert got == want
+    # fixed endpoints both sides
+    ask = execute_sparql(
+        t, "SELECT ?s WHERE { ?s <http://e/p>+ <http://e/b> }"
+    )
+    assert sorted(r.s for r in ask.collect()) == [
+        "http://e/a", "http://e/b", "http://e/c", "http://e/d"]
+
+
+def test_property_path_rejects_variable_predicate(spark):
+    from rdf_rs_spark.operators.bgp import TriplePattern, bgp_join
+    import pytest as _pt
+
+    t = spark.createDataFrame(
+        [("s", "p", 0, "o", None, None)],
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+    with _pt.raises(ValueError, match="fixed predicate"):
+        bgp_join(t, [TriplePattern("?s", "?p", "?o", path="+")]).collect()
