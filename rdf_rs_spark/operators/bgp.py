@@ -54,11 +54,13 @@ class TriplePattern:
     predicate: FixedOrVar
     object: FixedOrVar
     graph: Optional[FixedOrVar] = None
-    #: SPARQL 1.1 property-path modifier on the predicate: ``"+"``
-    #: (one-or-more) compiles the pattern over the predicate's
-    #: transitive closure (``operators/paths.py``). Requires a FIXED
-    #: predicate; ``None`` = plain single-step match.
-    path: Optional[str] = None
+    #: SPARQL 1.1 property path on the predicate position: ``"+"``
+    #: (one-or-more over a FIXED ``predicate`` — compiled onto the
+    #: predicate's transitive closure) or a path AST tuple
+    #: (``link/inv/seq/alt/plus/star/opt``, with ``predicate`` unused —
+    #: evaluated by ``operators/paths.py::eval_path``). ``None`` =
+    #: plain single-step match.
+    path: Union[str, tuple, None] = None
 
     def variables(self) -> List[str]:
         """Variable names (without ``?``) this pattern binds, in term order."""
@@ -167,16 +169,19 @@ class TriplePattern:
     def _compile_path(
         self, triples: DataFrame, dataset: Optional[tuple]
     ) -> DataFrame:
-        """``?s <p>+ ?o``: solve the pattern over the predicate's
-        transitive closure (SPARQL 1.1 §9, executed extension — the
-        reference has no paths). GRAPH scoping applies to the EDGE SET
-        before the closure runs: a path never crosses out of the graphs
-        the enclosing dataset clause selects."""
-        from .paths import predicate_closure
+        """``?s <p>+ ?o`` (and the general path forms): solve the
+        pattern over the path's pair relation (SPARQL 1.1 §9, executed
+        extension — the reference has no paths). ``path`` is either the
+        compact ``"+"`` (fixed-predicate transitive closure) or a path
+        AST (``link/inv/seq/alt/plus/star/opt`` — ``operators/paths.py
+        eval_path``). GRAPH scoping applies to the EDGE SET before the
+        closure runs: a path never crosses out of the graphs the
+        enclosing dataset clause selects."""
+        from .paths import eval_path, predicate_closure
 
-        if self.path != "+":
+        if self.path != "+" and not isinstance(self.path, tuple):
             raise ValueError(f"unsupported property path {self.path!r}")
-        if _is_var(self.predicate):
+        if self.path == "+" and _is_var(self.predicate):
             raise ValueError("property paths require a fixed predicate")
         df = triples
         if "graph" in triples.columns:
@@ -193,7 +198,10 @@ class TriplePattern:
                     df = df.filter(F.lit(False))
             else:
                 df = df.filter(F.col("graph") == _subject_text(self.graph))
-        closure = predicate_closure(df, _subject_text(self.predicate))
+        if self.path == "+":
+            closure = predicate_closure(df, _subject_text(self.predicate))
+        else:
+            closure = eval_path(df, self.path)
         proj: List[Column] = []
         if _is_var(self.subject):
             proj.append(F.col("src").alias(self.subject[1:]))
@@ -202,7 +210,16 @@ class TriplePattern:
         if _is_var(self.object):
             proj.append(F.col("dst").alias(self.object[1:]))
         else:
-            closure = closure.filter(F.col("dst") == _subject_text(self.object))
+            obj = self.object
+            if isinstance(obj, Term) and obj.kind not in (KIND_IRI, KIND_BLANK):
+                cond = F.col("dst") == obj.lex
+                if "dst_is_node" in closure.columns:
+                    cond = cond & ~F.col("dst_is_node")
+            else:
+                cond = F.col("dst") == _subject_text(obj)
+                if "dst_is_node" in closure.columns and isinstance(self.path, tuple):
+                    cond = cond & F.col("dst_is_node")
+            closure = closure.filter(cond)
         if not proj:
             return closure.select(F.lit(1).alias("__match"))
         return closure.select(*proj)

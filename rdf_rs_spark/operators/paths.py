@@ -56,6 +56,138 @@ def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     )
 
 
+def pair_closure(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+    """One-or-more-step reachability over ``(src, src_is_node, dst,
+    dst_is_node)`` pairs — the general-path sibling of
+    :func:`transitive_closure`. Steps join on BOTH the node text and
+    its resource flag, so a literal ``"x"`` never chains through an IRI
+    ``x`` that happens to share lexical form (general paths can start
+    or pass through literals via inverse steps, so the source side
+    carries a flag too)."""
+    key = ["src", "src_is_node", "dst", "dst_is_node"]
+    closure = pairs.dropDuplicates(key).localCheckpoint(eager=True)
+    hop = pairs.select(
+        F.col("src").alias("mid"),
+        F.col("src_is_node").alias("mid_is_node"),
+        F.col("dst"),
+        F.col("dst_is_node"),
+    )
+    frontier = closure
+    for _ in range(max_iters):
+        grown = (
+            frontier.select(
+                F.col("src"),
+                F.col("src_is_node"),
+                F.col("dst").alias("mid"),
+                F.col("dst_is_node").alias("mid_is_node"),
+            )
+            .join(hop, ["mid", "mid_is_node"])
+            .select(*key)
+            .dropDuplicates(key)
+        )
+        new = grown.join(closure, key, "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            return closure
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    raise RuntimeError(
+        f"path closure did not converge within {max_iters} rounds"
+    )
+
+
+def _link_pairs(triples: DataFrame, pred: str) -> DataFrame:
+    """The single-step pair relation of one fixed predicate."""
+    from ..terms import KIND_BLANK, KIND_LITERAL
+
+    return triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("src"),
+        F.lit(True).alias("src_is_node"),
+        F.when(
+            F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+        )
+        .otherwise(F.col("obj_lex"))
+        .alias("dst"),
+        (F.col("obj_kind") != KIND_LITERAL).alias("dst_is_node"),
+    )
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """Every term of the graph as ``(node, is_node)`` — the domain of
+    the zero-length path (SPARQL 1.1 §9.3: a zero-or-more / zero-or-one
+    path matches every graph term reflexively)."""
+    from ..terms import KIND_BLANK, KIND_LITERAL
+
+    subs = triples.select(F.col("subj").alias("node"), F.lit(True).alias("is_node"))
+    objs = triples.select(
+        F.when(
+            F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+        )
+        .otherwise(F.col("obj_lex"))
+        .alias("node"),
+        (F.col("obj_kind") != KIND_LITERAL).alias("is_node"),
+    )
+    return subs.unionByName(objs).dropDuplicates(["node", "is_node"])
+
+
+def eval_path(triples: DataFrame, ast: tuple, max_iters: int = 30) -> DataFrame:
+    """Evaluate a property-path AST (``rdf_rs_spark.sparql`` grammar:
+    ``link / inv / seq / alt / plus / star / opt``) to its pair
+    relation ``(src, src_is_node, dst, dst_is_node)``.
+
+    Plain links and seq/alt keep BAG multiplicity (SPARQL 1.1 §18.4
+    path translation — they rewrite to triple patterns / joins /
+    unions); the unbounded forms (``+ * ?``) are DISTINCT by
+    definition (ALP). Sequence joins match on node text AND resource
+    flag, so literal intermediates (reachable via inverse steps, e.g.
+    ``p/^p``) chain correctly without IRI/literal text collisions."""
+    kind = ast[0]
+    if kind == "link":
+        return _link_pairs(triples, ast[1])
+    if kind == "inv":
+        sub = eval_path(triples, ast[1], max_iters)
+        return sub.select(
+            F.col("dst").alias("src"),
+            F.col("dst_is_node").alias("src_is_node"),
+            F.col("src").alias("dst"),
+            F.col("src_is_node").alias("dst_is_node"),
+        )
+    if kind == "seq":
+        left = eval_path(triples, ast[1], max_iters).alias("l")
+        right = eval_path(triples, ast[2], max_iters).alias("r")
+        return left.join(
+            right,
+            (F.col("l.dst") == F.col("r.src"))
+            & (F.col("l.dst_is_node") == F.col("r.src_is_node")),
+        ).select(
+            F.col("l.src").alias("src"),
+            F.col("l.src_is_node").alias("src_is_node"),
+            F.col("r.dst").alias("dst"),
+            F.col("r.dst_is_node").alias("dst_is_node"),
+        )
+    if kind == "alt":
+        return eval_path(triples, ast[1], max_iters).unionByName(
+            eval_path(triples, ast[2], max_iters)
+        )
+    if kind == "plus":
+        return pair_closure(eval_path(triples, ast[1], max_iters), max_iters)
+    if kind in ("star", "opt"):
+        base = (
+            pair_closure(eval_path(triples, ast[1], max_iters), max_iters)
+            if kind == "star"
+            else eval_path(triples, ast[1], max_iters)
+        )
+        identity = _graph_terms(triples).select(
+            F.col("node").alias("src"),
+            F.col("is_node").alias("src_is_node"),
+            F.col("node").alias("dst"),
+            F.col("is_node").alias("dst_is_node"),
+        )
+        return base.unionByName(identity).dropDuplicates(
+            ["src", "src_is_node", "dst", "dst_is_node"]
+        )
+    raise ValueError(f"unsupported property-path node {kind!r}")
+
+
 def predicate_closure(triples: DataFrame, pred: str, max_iters: int = 30) -> DataFrame:
     """The ``<pred>+`` relation over a triples table: (src, dst,
     dst_is_node) where dst carries the object's subject-encoding for

@@ -13,6 +13,11 @@ it onto :mod:`rdf_rs_spark.operators.bgp` (joins via Catalyst).
 UNION and FILTER were lexed-but-unimplemented in the reference
 (``sparql_parser.rs:211-216``); they are accepted here and executed
 (unionByName / rlike or comparison filters) — a documented extension.
+Further SPARQL 1.1 extensions executed beyond the reference's grammar:
+property paths (``+ * ? / | ^`` over fixed predicates, §9), MINUS
+(§8.3.3), HAVING (§11.4.1 — conditions over the SELECT aggregate
+aliases), and FILTER [NOT] EXISTS (§8.1.1, as top-level filters over
+plain triple-pattern groups).
 """
 
 from __future__ import annotations
@@ -35,10 +40,10 @@ _TOKEN_RE = re.compile(
   | (?P<var>[?$][A-Za-z_][\w]*)
   | (?P<blank>_:[\w]+)
   | (?P<num>\d+(?:\.\d+)?)
-  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG)\b)
+  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG|MINUS|HAVING|EXISTS|NOT)\b)
   | (?P<a>\ba\b)
-  | (?P<qname>[\w-]*:[\w./-]*)
-  | (?P<punct>&&|\|\||[{}().;,*=<>!+/-])
+  | (?P<qname>[\w-]*:[\w-]*)
+  | (?P<punct>&&|\|\||[{}().;,*=<>!+/|^?-])
     """,
     re.VERBOSE,
 )
@@ -79,6 +84,8 @@ class SparqlQuery:
     group_by: List[str] = field(default_factory=list)  # GROUP BY ?v …
     # (func, distinct, var-or-None-for-*, alias) per SELECT aggregate
     aggregates: List[Tuple[str, bool, Optional[str], str]] = field(default_factory=list)
+    minus_groups: List[List[TriplePattern]] = field(default_factory=list)  # MINUS { … }
+    having: List[tuple] = field(default_factory=list)  # HAVING ( bool-expr )
 
 
 class _Parser:
@@ -209,6 +216,11 @@ class _Parser:
                     raise ValueError("GROUP must be followed by BY")
                 while self.peek()[0] == "var":
                     q.group_by.append(self.next()[1][1:])
+            elif up == "HAVING":
+                # HAVING ( bool-expr ) — SPARQL 1.1 §11.4.1; conditions
+                # reference the SELECT aggregate aliases (or group keys)
+                # and filter the aggregated solutions
+                q.having.append(self._parse_filter(q))
             else:
                 raise ValueError(f"unexpected token {v!r}")
         return q
@@ -273,7 +285,15 @@ class _Parser:
                 continue
             if k == "kw" and v.upper() == "FILTER":
                 self.next()
-                q.filters.append(self._parse_filter())
+                q.filters.append(self._parse_filter(q, graph))
+                continue
+            if k == "kw" and v.upper() == "MINUS":
+                # MINUS { … } — SPARQL 1.1 §8.3.3: solutions compatible
+                # with (and domain-overlapping) some MINUS solution are
+                # removed. Sub-group restricted to plain triple patterns.
+                self.next()
+                self.expect_punct("{")
+                q.minus_groups.append(self._parse_plain_group(q, graph))
                 continue
             if k == "kw" and v.upper() == "BIND":
                 # BIND ( value-expr AS ?v ) — SPARQL 1.1 §10.1, executed
@@ -316,20 +336,29 @@ class _Parser:
                 continue
             self._parse_triple_block(q, sink, graph)
 
+    def _parse_plain_group(self, q: SparqlQuery, graph=None) -> List[TriplePattern]:
+        """A ``{ … }`` group restricted to plain triple patterns — the
+        sub-group form MINUS and [NOT] EXISTS accept (nested OPTIONAL /
+        FILTER / UNION inside these operators is outside the executed
+        subset and rejected explicitly)."""
+        sink: List[TriplePattern] = []
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.next()
+                return sink
+            if k == "kw" and v.upper() in ("OPTIONAL", "FILTER", "MINUS", "GRAPH", "BIND", "VALUES"):
+                raise ValueError(
+                    f"{v.upper()} is not supported inside MINUS/EXISTS groups"
+                )
+            self._parse_triple_block(q, sink, graph)
+
     def _parse_triple_block(
         self, q: SparqlQuery, sink: List[TriplePattern], graph=None
     ):
         subj = self._term(q)
         while True:
-            pred = self._term(q, predicate=True)
-            path = None
-            if self.peek()[1] == "+" and not (
-                isinstance(pred, str) and pred.startswith("?")
-            ):
-                # SPARQL 1.1 §9 one-or-more path: <p>+ / qname+ (executed
-                # extension; fixed predicates only)
-                self.next()
-                path = "+"
+            pred, path = self._parse_predicate_path(q)
             while True:
                 obj = self._term(q)
                 sink.append(TriplePattern(subj, pred, obj, graph=graph, path=path))
@@ -344,15 +373,90 @@ class _Parser:
                 self.next()
             return
 
-    def _parse_filter(self) -> tuple:
+    def _parse_predicate_path(self, q: SparqlQuery):
+        """Predicate position: a variable, a plain fixed predicate, or a
+        SPARQL 1.1 §9 property path over FIXED predicates (executed
+        extension — the reference has no paths). Grammar (standard
+        precedence): alternative ``|`` over sequence ``/`` over inverse
+        ``^`` over postfix ``+ * ?`` over primary (iri / ``a`` /
+        parenthesized path).
+
+        Returns ``(predicate, path)``: a plain term gives ``(term,
+        None)``; a bare one-or-more link keeps the compact ``(iri,
+        "+")`` form (``operators/bgp.py`` compiles it directly onto
+        ``predicate_closure``); any other shape returns ``(None,
+        <path-AST>)`` with nodes ``("link", iri) / ("inv", P) /
+        ("seq", P, Q) / ("alt", P, Q) / ("plus"|"star"|"opt", P)``."""
+        if self.peek()[0] == "var":
+            return self._term(q, predicate=True), None
+        ast = self._parse_path_alt(q)
+        if ast[0] == "link":
+            return ast[1], None
+        if ast[0] == "plus" and ast[1][0] == "link":
+            return ast[1][1], "+"
+        return None, ast
+
+    def _parse_path_alt(self, q: SparqlQuery) -> tuple:
+        node = self._parse_path_seq(q)
+        while self.peek()[1] == "|":
+            self.next()
+            node = ("alt", node, self._parse_path_seq(q))
+        return node
+
+    def _parse_path_seq(self, q: SparqlQuery) -> tuple:
+        node = self._parse_path_elt(q)
+        while self.peek()[1] == "/":
+            self.next()
+            node = ("seq", node, self._parse_path_elt(q))
+        return node
+
+    def _parse_path_elt(self, q: SparqlQuery) -> tuple:
+        inverse = False
+        if self.peek()[1] == "^":
+            self.next()
+            inverse = True
+        if self.peek()[1] == "(":
+            self.next()
+            node = self._parse_path_alt(q)
+            self.expect_punct(")")
+        else:
+            t = self._term(q, predicate=True)
+            if isinstance(t, str) and t.startswith("?"):
+                raise ValueError("property paths require fixed predicates")
+            node = ("link", t)
+        mod = self.peek()[1]
+        if mod in ("+", "*", "?"):
+            self.next()
+            node = ({"+": "plus", "*": "star", "?": "opt"}[mod], node)
+        if inverse:
+            node = ("inv", node)
+        return node
+
+    def _parse_filter(self, q: SparqlQuery, graph=None) -> tuple:
         """FILTER ( bool-expr ) / FILTER REGEX(?v, "re") → a small
         structured AST compiled to Column expressions at execution —
         never string-pasted SQL, so literals containing quotes or
         apostrophes cannot break or inject into the plan (VERDICT r2
         #4). Boolean grammar (SPARQL 1.1 §17, an executed extension —
         the reference lexes FILTER and stops): ``||`` over ``&&`` over
-        unary ``!`` over comparisons / REGEX / parens."""
+        unary ``!`` over comparisons / REGEX / parens. FILTER [NOT]
+        EXISTS { … } (§8.1.1) is accepted as a TOP-LEVEL filter only
+        (compiled to a semi/anti join, which cannot nest inside a
+        row-local boolean expression)."""
         k, v = self.peek()
+        if k == "kw" and v.upper() in ("EXISTS", "NOT"):
+            negate = v.upper() == "NOT"
+            self.next()
+            if negate:
+                nk, nv = self.next()
+                if nv.upper() != "EXISTS":
+                    raise ValueError("NOT must be followed by EXISTS in FILTER")
+            self.expect_punct("{")
+            # the group's patterns parse in the caller's q via a fresh
+            # sink — graph scoping inside EXISTS is not supported (the
+            # group sees the default graph like its enclosing block)
+            group = self._parse_plain_group(q, graph)
+            return ("notexists" if negate else "exists", group)
         if k == "kw" and v.upper() == "REGEX":
             return self._parse_bool_unary()
         if v != "(":
@@ -559,7 +663,33 @@ def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
         # each BIND sees the bindings of the previous one (§10.1)
         df = df.withColumn(var, _value_column(expr, df))
     for cond in q.filters:
-        df = df.filter(_filter_column(cond, df))
+        if cond[0] in ("exists", "notexists"):
+            # FILTER [NOT] EXISTS { … } (§8.1.1): solve the group over
+            # the same dataset, then semi/anti join on the shared
+            # variables — Catalyst broadcasts the (usually small,
+            # deduplicated) key relation. A group sharing no variable
+            # degenerates to a scalar emptiness test.
+            sub = bgp_join(triples, cond[1], dataset=dataset)
+            shared = sorted(set(df.columns) & set(sub.columns))
+            if shared:
+                keys = sub.select(*shared).dropDuplicates()
+                how = "left_semi" if cond[0] == "exists" else "left_anti"
+                df = df.join(keys, on=shared, how=how)
+            else:
+                nonempty = not sub.isEmpty()
+                df = df.filter(F.lit(nonempty if cond[0] == "exists" else not nonempty))
+        else:
+            df = df.filter(_filter_column(cond, df))
+    for group in q.minus_groups:
+        # MINUS (§8.3.3): drop solutions compatible with a MINUS
+        # solution on a non-empty shared domain; disjoint domains
+        # remove nothing. Sub-groups are plain BGPs, so every MINUS
+        # solution binds all its variables and the anti-join's
+        # null-rejecting equality matches SPARQL compatibility.
+        sub = bgp_join(triples, group, dataset=dataset)
+        shared = sorted(set(df.columns) & set(sub.columns))
+        if shared:
+            df = df.join(sub.select(*shared).dropDuplicates(), on=shared, how="left_anti")
     if q.aggregates or q.group_by:
         aggs = []
         for func, adistinct, target, alias in q.aggregates:
@@ -576,6 +706,10 @@ def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
                        "MAX": F.max, "AVG": F.avg}[func](F.col(target))
             aggs.append(col.alias(alias))
         df = df.groupBy(*[F.col(g) for g in q.group_by]).agg(*aggs)
+    for cond in q.having:
+        # HAVING (§11.4.1) filters the aggregated solutions; conditions
+        # reference the SELECT aggregate aliases or group keys
+        df = df.filter(_filter_column(cond, df))
     if q.variables is not None:
         df = df.select(*[v.lstrip("?$") for v in q.variables])
     if q.distinct:

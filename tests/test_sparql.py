@@ -645,3 +645,148 @@ def test_property_path_rejects_variable_predicate(spark):
     )
     with _pt.raises(ValueError, match="fixed predicate"):
         bgp_join(t, [TriplePattern("?s", "?p", "?o", path="+")]).collect()
+
+
+# ---- SPARQL 1.1 extensions: paths / MINUS / EXISTS / HAVING ----------------
+
+
+def _path_fixture(spark):
+    rows = [
+        ("http://e/a", "http://e/p", 0, "http://e/b", None, None),
+        ("http://e/b", "http://e/p", 0, "http://e/c", None, None),
+        ("http://e/a", "http://e/q", 0, "http://e/d", None, None),
+        # literal object whose lexical form COLLIDES with an IRI node:
+        ("http://e/b", "http://e/p", 2, "http://e/c", None, None),
+        ("http://e/z", "http://e/p", 2, "shared", None, None),
+        ("http://e/y", "http://e/p", 2, "shared", None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+
+
+def test_path_sequence_and_alternative(spark):
+    t = _path_fixture(spark)
+    seq = execute_sparql(t, "SELECT ?s ?o WHERE { ?s <http://e/p>/<http://e/p> ?o }")
+    # a -p-> b -p-> c (IRI route) and a -p-> b -p-> "c"(literal route):
+    # the literal object is a distinct solution with equal text
+    assert sorted((r.s, r.o) for r in seq.collect()) == [
+        ("http://e/a", "http://e/c"),
+        ("http://e/a", "http://e/c"),
+    ]
+    alt = execute_sparql(
+        t, "SELECT ?s ?o WHERE { ?s (<http://e/p>|<http://e/q>) ?o . "
+           "FILTER (?s = \"http://e/a\") }"
+    )
+    assert sorted((r.s, r.o) for r in alt.collect()) == [
+        ("http://e/a", "http://e/b"),
+        ("http://e/a", "http://e/d"),
+    ]
+
+
+def test_path_inverse_through_literal_intermediate(spark):
+    """p/^p chains THROUGH a literal: z -p-> "shared" <-p- y. The pair
+    join matches on node text AND resource flag, so the literal
+    "http://e/c" never chains into the IRI http://e/c's outgoing
+    edges."""
+    t = _path_fixture(spark)
+    out = execute_sparql(
+        t, "SELECT ?s ?o WHERE { ?s <http://e/p>/^<http://e/p> ?o }"
+    )
+    got = sorted((r.s, r.o) for r in out.collect())
+    # z/y pair up via "shared" (both directions + reflexive); a via b;
+    # b's IRI-c and literal-c objects each self-pair b, and the two
+    # routes cross-pair b with itself — but NEVER b with c's children
+    assert ("http://e/z", "http://e/y") in got
+    assert ("http://e/y", "http://e/z") in got
+    # the literal "http://e/c" must not flow through IRI c: c has no
+    # incoming ^p continuation, so c never appears in any pair
+    assert all("http://e/c" not in (s, o) for s, o in got)
+    # b pairs only with itself (two routes: IRI-c and literal-c objects)
+    b_pairs = {(s, o) for s, o in got if s == "http://e/b"}
+    assert b_pairs == {("http://e/b", "http://e/b")}
+
+
+def test_path_star_and_opt_include_zero_length(spark):
+    t = _path_fixture(spark)
+    star = execute_sparql(
+        t, "SELECT ?o WHERE { <http://e/a> <http://e/p>* ?o }"
+    )
+    # closure is distinct per (text, flag): literal-c and IRI-c differ
+    # by flag but both surface as text "http://e/c"
+    assert sorted(r.o for r in star.collect()) == [
+        "http://e/a", "http://e/b", "http://e/c", "http://e/c",
+    ]
+    opt = execute_sparql(
+        t, "SELECT ?o WHERE { <http://e/d> <http://e/p>? ?o }"
+    )
+    # d has no outgoing p: zero-length only
+    assert [r.o for r in opt.collect()] == ["http://e/d"]
+
+
+def test_parse_path_shapes():
+    q = parse_sparql("SELECT ?s { ?s <http://p>+ ?o }")
+    assert q.patterns[0].path == "+" and q.patterns[0].predicate == "http://p"
+    q = parse_sparql("SELECT ?s { ?s ^<http://p> ?o }")
+    assert q.patterns[0].path == ("inv", ("link", "http://p"))
+    q = parse_sparql("SELECT ?s { ?s (<http://p>/<http://q>)* ?o }")
+    assert q.patterns[0].path == (
+        "star", ("seq", ("link", "http://p"), ("link", "http://q")))
+    with pytest.raises(ValueError, match="fixed predicates"):
+        parse_sparql("SELECT ?s { ?s (?p|<http://q>) ?o }")
+
+
+def test_minus_and_disjoint_minus(spark):
+    t = _path_fixture(spark)
+    out = execute_sparql(
+        t,
+        "SELECT ?s WHERE { ?s <http://e/p> ?o . "
+        "MINUS { ?s <http://e/q> ?d } }",
+    )
+    # a is removed (it has a q edge); b/z/y stay
+    assert sorted({r.s for r in out.collect()}) == [
+        "http://e/b", "http://e/y", "http://e/z"]
+    disjoint = execute_sparql(
+        t,
+        "SELECT ?s WHERE { ?s <http://e/q> ?d . "
+        "MINUS { ?x <http://e/p> ?y } }",
+    )
+    # no shared variable: SPARQL §8.3.3 removes nothing
+    assert [r.s for r in disjoint.collect()] == ["http://e/a"]
+
+
+def test_filter_exists_and_not_exists(spark):
+    t = _path_fixture(spark)
+    exists = execute_sparql(
+        t,
+        "SELECT ?s WHERE { ?s <http://e/p> ?o . "
+        "FILTER EXISTS { ?s <http://e/q> ?d } }",
+    )
+    assert sorted({r.s for r in exists.collect()}) == ["http://e/a"]
+    notex = execute_sparql(
+        t,
+        "SELECT ?s WHERE { ?s <http://e/p> ?o . "
+        "FILTER NOT EXISTS { ?s <http://e/q> ?d } }",
+    )
+    assert sorted({r.s for r in notex.collect()}) == [
+        "http://e/b", "http://e/y", "http://e/z"]
+
+
+def test_having_filters_aggregates(spark):
+    t = _path_fixture(spark)
+    out = execute_sparql(
+        t,
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <http://e/p> ?o } "
+        "GROUP BY ?s HAVING (?n > 1)",
+    )
+    assert [(r.s, r.n) for r in out.collect()] == [("http://e/b", 2)]
+
+
+def test_exists_group_rejects_nested_operators():
+    with pytest.raises(ValueError, match="not supported inside"):
+        parse_sparql(
+            "SELECT ?s { ?s <http://p> ?o . "
+            "FILTER EXISTS { OPTIONAL { ?s <http://q> ?x } } }"
+        )
