@@ -1631,7 +1631,19 @@ def sparql_path_plus(spark, sf_dir):
     entry uses."""
     from .sparql import execute_sparql
 
-    org = spark.range(1, 500).select(
+    return execute_sparql(
+        _org_triples(spark),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?x ?boss WHERE { ?x ex:parent+ ?boss }""",
+    )
+
+
+def _org_triples(spark):
+    """The 500-node synthetic reporting tree the path entries share:
+    node i's parent is i//2 — a pure function of the index, so every
+    DuckDB oracle regenerates the identical edge set from
+    ``generate_series`` (the ``sparql_path_plus`` recipe)."""
+    return spark.range(1, 500).select(
         F.concat(F.lit("http://kg.example.org/org/"), F.col("id").cast("string")).alias(
             "subj"
         ),
@@ -1644,10 +1656,162 @@ def sparql_path_plus(spark, sf_dir):
         F.lit(None).cast("string").alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"),
     )
+
+
+_ORG_E = """WITH e AS (
+      SELECT i AS src, i // 2 AS dst
+      FROM (SELECT unnest(generate_series(1, 499)) AS i))"""
+
+
+@q(
+    "sparql_path_seq",
+    _ORG_E
+    + """
+    SELECT 'http://kg.example.org/org/' || e1.src AS x,
+           'http://kg.example.org/org/' || e2.dst AS g
+    FROM e e1 JOIN e e2 ON e1.dst = e2.src""",
+)
+def sparql_path_seq(spark, sf_dir):
+    """SPARQL 1.1 §9 path sequence ``p/p`` (executed extension): the
+    grandparent relation over the reporting tree — compiled to one
+    equi-join of the edge relation with itself (bag semantics, §18.4
+    translation), which the oracle replays as a SQL self-join."""
+    from .sparql import execute_sparql
+
     return execute_sparql(
-        org,
+        _org_triples(spark),
         """PREFIX ex: <http://kg.example.org/>
-           SELECT ?x ?boss WHERE { ?x ex:parent+ ?boss }""",
+           SELECT ?x ?g WHERE { ?x ex:parent/ex:parent ?g }""",
+    )
+
+
+@q(
+    "sparql_path_alt_inverse",
+    _ORG_E
+    + """
+    SELECT 'http://kg.example.org/org/' || src AS x,
+           'http://kg.example.org/org/' || dst AS y
+    FROM e
+    UNION ALL
+    SELECT 'http://kg.example.org/org/' || dst,
+           'http://kg.example.org/org/' || src
+    FROM e""",
+)
+def sparql_path_alt_inverse(spark, sf_dir):
+    """SPARQL 1.1 §9 path alternative + inverse ``(p|^p)`` (executed
+    extension): the undirected parent relation — a bag union of the
+    edge set with its swap, replayed as SQL UNION ALL."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _org_triples(spark),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?x ?y WHERE { ?x (ex:parent|^ex:parent) ?y }""",
+    )
+
+
+@q(
+    "sparql_path_star",
+    """WITH RECURSIVE e AS (
+      SELECT i AS src, i // 2 AS dst
+      FROM (SELECT unnest(generate_series(1, 499)) AS i)),
+    anc AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT a.src, e.dst FROM anc a JOIN e ON a.dst = e.src),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)
+    SELECT 'http://kg.example.org/org/' || x AS x,
+           'http://kg.example.org/org/' || b AS b
+    FROM (SELECT src AS x, dst AS b FROM anc
+          UNION SELECT n, n FROM nodes)""",
+)
+def sparql_path_star(spark, sf_dir):
+    """SPARQL 1.1 §9 zero-or-more path ``p*`` (executed extension):
+    the ``p+`` closure unioned with the zero-length identity over
+    EVERY graph term (§9.3 — reflexive on nodes(G)), distinct by
+    definition (ALP). The oracle adds the identity rows to the same
+    recursive closure ``sparql_path_plus`` replays."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _org_triples(spark),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?x ?b WHERE { ?x ex:parent* ?b }""",
+    )
+
+
+@q(
+    "sparql_minus_exec",
+    TRIPLES_CTE
+    + """SELECT t.subj AS c, t.obj_lex AS n FROM triples t
+       WHERE t.pred = 'http://kg.example.org/inNation'
+         AND NOT EXISTS (SELECT 1 FROM triples a
+                         WHERE a.pred = 'http://kg.example.org/address'
+                           AND a.subj = t.subj)""",
+)
+def sparql_minus_exec(spark, sf_dir):
+    """SPARQL 1.1 §8.3.3 MINUS (executed extension — the reference's
+    SPARQL surface stops at the lexer): customers WITHOUT an address
+    triple (the star schema gives even-keyed customers one), compiled
+    to a left-anti join on the shared variable."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c ?n WHERE {
+             ?c ex:inNation ?n .
+             MINUS { ?c ex:address ?a }
+           }""",
+    )
+
+
+@q(
+    "sparql_exists_exec",
+    TRIPLES_CTE
+    + """SELECT t.subj AS c FROM triples t
+       WHERE t.pred = 'http://kg.example.org/inNation'
+         AND EXISTS (SELECT 1 FROM triples a
+                     WHERE a.pred = 'http://kg.example.org/address'
+                       AND a.subj = t.subj)""",
+)
+def sparql_exists_exec(spark, sf_dir):
+    """SPARQL 1.1 §8.1.1 FILTER EXISTS (executed extension): customers
+    WITH an address triple, compiled to a left-semi join on the shared
+    variable against the deduplicated sub-group solutions."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c WHERE {
+             ?c ex:inNation ?n .
+             FILTER EXISTS { ?c ex:address ?a }
+           }""",
+    )
+
+
+@q(
+    "sparql_having_exec",
+    TRIPLES_CTE
+    + """SELECT t.obj_lex AS n, count(*) AS k FROM triples t
+       WHERE t.pred = 'http://kg.example.org/inNation'
+       GROUP BY t.obj_lex
+       HAVING count(*) > 6 AND count(*) < 70""",
+)
+def sparql_having_exec(spark, sf_dir):
+    """SPARQL 1.1 §11.4.1 HAVING (executed extension): nations by
+    customer count, kept only inside a count band so the filter
+    discriminates at both the sf0.001 test scale (~6/nation) and the
+    driver's sf0.01 (~60/nation). The condition compiles through the
+    same token-built boolean ASTs as FILTER — never pasted SQL."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?n (COUNT(?c) AS ?k) WHERE { ?c ex:inNation ?n }
+           GROUP BY ?n HAVING (?k > 6 && ?k < 70)""",
     )
 
 
@@ -2975,6 +3139,12 @@ _VERIFY_FIRST = [
     "sparql_bind_exec",
     "sparql_group_count",
     "sparql_path_plus",
+    "sparql_path_seq",
+    "sparql_path_alt_inverse",
+    "sparql_path_star",
+    "sparql_minus_exec",
+    "sparql_exists_exec",
+    "sparql_having_exec",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
@@ -2990,12 +3160,6 @@ _VERIFY_FIRST = [
     "rdf_ntriples_format",
     "rdf_ntriples_parse",
     "rdf_ntriples_rejects",
-    "rdf_ntriples_parse_python",
-    "rdf_turtle_parse",
-    "rdf_skolemize",
-    "docs_token_count",
-    "docs_bpe_token_count",
-    "docs_quality_score",
 ]
 
 
