@@ -177,7 +177,7 @@ class TriplePattern:
         eval_path``). GRAPH scoping applies to the EDGE SET before the
         closure runs: a path never crosses out of the graphs the
         enclosing dataset clause selects."""
-        from .paths import eval_path, predicate_closure
+        from .paths import eval_path_bounded, predicate_closure
 
         if self.path != "+" and not isinstance(self.path, tuple):
             raise ValueError(f"unsupported property path {self.path!r}")
@@ -198,10 +198,20 @@ class TriplePattern:
                     df = df.filter(F.lit(False))
             else:
                 df = df.filter(F.col("graph") == _subject_text(self.graph))
-        if self.path == "+":
+        def _endpoint_seed(term) -> tuple:
+            if isinstance(term, Term) and term.kind not in (KIND_IRI, KIND_BLANK):
+                return (term.lex, False)
+            return (_subject_text(term), True)
+
+        src_seed = None if _is_var(self.subject) else _endpoint_seed(self.subject)
+        dst_seed = None if _is_var(self.object) else _endpoint_seed(self.object)
+        ast = ("plus", ("link", _subject_text(self.predicate))) if self.path == "+" else self.path
+        if self.path == "+" and src_seed is None and dst_seed is None:
+            # unbounded ?s p+ ?o keeps the 3-column predicate closure
+            # (the full-graph relation IS the answer here)
             closure = predicate_closure(df, _subject_text(self.predicate))
         else:
-            closure = eval_path(df, self.path)
+            closure = eval_path_bounded(df, ast, src_seed=src_seed, dst_seed=dst_seed)
         proj: List[Column] = []
         if _is_var(self.subject):
             proj.append(F.col("src").alias(self.subject[1:]))

@@ -23,6 +23,8 @@ Scale notes (same discipline as ``operators/components.py``):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -56,16 +58,32 @@ def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     )
 
 
-def pair_closure(pairs: DataFrame, max_iters: int = 30) -> DataFrame:
+def pair_closure(
+    pairs: DataFrame, max_iters: int = 30, sources: Optional[DataFrame] = None
+) -> DataFrame:
     """One-or-more-step reachability over ``(src, src_is_node, dst,
     dst_is_node)`` pairs — the general-path sibling of
     :func:`transitive_closure`. Steps join on BOTH the node text and
     its resource flag, so a literal ``"x"`` never chains through an IRI
     ``x`` that happens to share lexical form (general paths can start
     or pass through literals via inverse steps, so the source side
-    carries a flag too)."""
+    carries a flag too).
+
+    ``sources`` (columns ``src, src_is_node``) restricts the closure to
+    pairs STARTING there — the BFS cone of the seed set. For a path
+    pattern with a fixed endpoint this touches only the reachable
+    subgraph instead of materializing the whole graph's closure and
+    filtering after, which is the difference between O(cone) and
+    O(graph) at 100 TB. The seed semi-join broadcasts (seeds are
+    typically one term)."""
     key = ["src", "src_is_node", "dst", "dst_is_node"]
-    closure = pairs.dropDuplicates(key).localCheckpoint(eager=True)
+    if sources is not None:
+        pairs_seeded = pairs.join(
+            F.broadcast(sources), ["src", "src_is_node"], "left_semi"
+        )
+    else:
+        pairs_seeded = pairs
+    closure = pairs_seeded.dropDuplicates(key).localCheckpoint(eager=True)
     hop = pairs.select(
         F.col("src").alias("mid"),
         F.col("src_is_node").alias("mid_is_node"),
@@ -186,6 +204,61 @@ def eval_path(triples: DataFrame, ast: tuple, max_iters: int = 30) -> DataFrame:
             ["src", "src_is_node", "dst", "dst_is_node"]
         )
     raise ValueError(f"unsupported property-path node {kind!r}")
+
+
+def _swap_pairs(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.col("dst").alias("src"),
+        F.col("dst_is_node").alias("src_is_node"),
+        F.col("src").alias("dst"),
+        F.col("src_is_node").alias("dst_is_node"),
+    )
+
+
+def eval_path_bounded(
+    triples: DataFrame,
+    ast: tuple,
+    src_seed: Optional[tuple] = None,
+    dst_seed: Optional[tuple] = None,
+    max_iters: int = 30,
+) -> DataFrame:
+    """:func:`eval_path`, but when the pattern fixes an endpoint of an
+    UNBOUNDED path (``+``/``*``), run the closure as a seeded BFS from
+    that endpoint instead of materializing the whole graph's closure
+    and filtering afterwards — O(reachable cone) vs O(graph), the only
+    shape that survives a fixed-source reachability query over a
+    100 TB triple store. Seeds are ``(text, is_node)`` tuples; a fixed
+    OBJECT seeds the reversed pair relation and swaps back. Bounded
+    non-closure forms (seq/alt/inv/opt/link) need no special handling:
+    Catalyst pushes the endpoint equality into the join/union branches.
+    The caller still applies its endpoint filters — seeding is a
+    strict superset-free optimization, not a semantic change."""
+    if ast[0] not in ("plus", "star") or (src_seed is None and dst_seed is None):
+        return eval_path(triples, ast, max_iters)
+
+    def seed_df(seed: tuple) -> DataFrame:
+        return triples.sparkSession.createDataFrame(
+            [seed], "src string, src_is_node boolean"
+        )
+
+    pairs = eval_path(triples, ast[1], max_iters)
+    if src_seed is not None:
+        closure = pair_closure(pairs, max_iters, sources=seed_df(src_seed))
+    else:
+        closure = _swap_pairs(
+            pair_closure(_swap_pairs(pairs), max_iters, sources=seed_df(dst_seed))
+        )
+    if ast[0] == "star":
+        identity = _graph_terms(triples).select(
+            F.col("node").alias("src"),
+            F.col("is_node").alias("src_is_node"),
+            F.col("node").alias("dst"),
+            F.col("is_node").alias("dst_is_node"),
+        )
+        closure = closure.unionByName(identity).dropDuplicates(
+            ["src", "src_is_node", "dst", "dst_is_node"]
+        )
+    return closure
 
 
 def predicate_closure(triples: DataFrame, pred: str, max_iters: int = 30) -> DataFrame:

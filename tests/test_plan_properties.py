@@ -338,3 +338,37 @@ def test_pivot_is_two_stage_combining_aggregate(spark):
     assert plan.count("partial_count") == 1, plan  # pre-agg combines map-side
     assert count_exchanges(df) == 2
     assert "ReadSchema: struct<l_returnflag:string,l_linestatus:string>" in plan
+
+
+def test_sparql_exists_is_semi_join(spark):
+    """FILTER EXISTS compiles to a left-semi join on the shared
+    variable — never inner + distinct (which would multiply each
+    solution by the sub-group's match count before shuffling the
+    blow-up away)."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["sparql_exists_exec"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_sparql_minus_is_anti_join(spark):
+    """MINUS compiles to a left-anti join on the shared variables; the
+    kept side never re-shuffles to remove what an anti-join drops in
+    one pass."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["sparql_minus_exec"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan, plan
+
+
+def test_sparql_path_seq_is_equijoin_with_pushed_filters(spark):
+    """A path sequence plans one hash equi-join of the two edge
+    relations; each side's predicate equality is pushed below the
+    join (no cartesian, no post-join predicate filtering)."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["sparql_path_seq"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan

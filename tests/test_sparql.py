@@ -790,3 +790,38 @@ def test_exists_group_rejects_nested_operators():
             "SELECT ?s { ?s <http://p> ?o . "
             "FILTER EXISTS { OPTIONAL { ?s <http://q> ?x } } }"
         )
+
+
+def test_path_plus_fixed_subject_seeded_bfs(spark):
+    """<s> p+ ?o runs a seeded BFS from the fixed subject (the closure
+    touches only s's reachable cone — eval_path_bounded), and must
+    equal the full closure filtered to src = s."""
+    rows = [
+        ("http://e/a", "http://e/p", 0, "http://e/b", None, None),
+        ("http://e/b", "http://e/p", 0, "http://e/c", None, None),
+        ("http://e/c", "http://e/p", 0, "http://e/a", None, None),
+        ("http://e/d", "http://e/p", 0, "http://e/a", None, None),
+        ("http://e/c", "http://e/p", 2, "lit-x", None, None),
+        # disconnected island that a seeded BFS never visits
+        ("http://e/u", "http://e/p", 0, "http://e/v", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+    out = execute_sparql(t, "SELECT ?o WHERE { <http://e/d> <http://e/p>+ ?o }")
+    assert sorted(r.o for r in out.collect()) == [
+        "http://e/a", "http://e/b", "http://e/c", "lit-x"]
+
+
+def test_path_star_fixed_subject_includes_self(spark):
+    t = _path_fixture(spark)
+    out = execute_sparql(t, "SELECT ?o WHERE { <http://e/d> <http://e/p>* ?o }")
+    # d has no outgoing p edges but is a node of the graph: zero-length
+    assert [r.o for r in out.collect()] == ["http://e/d"]
+    out2 = execute_sparql(
+        t, "SELECT ?o WHERE { <http://e/a> (<http://e/p>)+ ?o }"
+    )
+    assert sorted(r.o for r in out2.collect()) == [
+        "http://e/b", "http://e/c", "http://e/c"]
