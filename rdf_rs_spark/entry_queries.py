@@ -1816,6 +1816,66 @@ def sparql_having_exec(spark, sf_dir):
 
 
 @q(
+    "sparql_subquery_agg",
+    TRIPLES_CTE
+    + """SELECT rn.obj_lex AS rname, counts.cnt AS cnt
+       FROM triples nr
+       JOIN triples rn ON rn.subj = nr.obj_lex
+        AND rn.pred = 'http://kg.example.org/name'
+       JOIN (SELECT obj_lex AS n, count(*) AS cnt FROM triples
+             WHERE pred = 'http://kg.example.org/inNation'
+             GROUP BY obj_lex) counts ON counts.n = nr.subj
+       WHERE nr.pred = 'http://kg.example.org/inRegion'""",
+)
+def sparql_subquery_agg(spark, sf_dir):
+    """SPARQL 1.1 §12 subquery (executed extension): per-nation
+    customer counts computed in a nested ``{ SELECT … GROUP BY }`` and
+    joined to the enclosing region-name pattern on the projected
+    variable — the aggregated relation is small, so Catalyst broadcasts
+    it into the outer join."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rname ?cnt WHERE {
+             ?n ex:inRegion ?r . ?r ex:name ?rname .
+             { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c ex:inNation ?n }
+               GROUP BY ?n }
+           }""",
+    )
+
+
+@q(
+    "sparql_bound_filter",
+    TRIPLES_CTE
+    + """SELECT t.subj AS c FROM triples t
+       WHERE t.pred = '""" + RDF_TYPE + """'
+         AND t.obj_lex = 'http://kg.example.org/Customer'
+         AND NOT EXISTS (SELECT 1 FROM triples a
+                         WHERE a.pred = 'http://kg.example.org/address'
+                           AND a.subj = t.subj)""",
+)
+def sparql_bound_filter(spark, sf_dir):
+    """SPARQL §17.4.1.1 BOUND over an OPTIONAL binding (executed
+    extension): the negation-by-failure idiom — customers whose
+    OPTIONAL address never bound (odd custkeys in the star schema),
+    i.e. ``FILTER (!BOUND(?a))`` compiled to a null test on the
+    left-join output."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c WHERE {
+             ?c a ex:Customer .
+             OPTIONAL { ?c ex:address ?a }
+             FILTER (!BOUND(?a))
+           }""",
+    )
+
+
+@q(
     "sparql_construct",
     TRIPLES_CTE
     + """SELECT DISTINCT t1.subj AS subj, 'http://kg.example.org/locatedIn' AS pred,
@@ -3145,6 +3205,8 @@ _VERIFY_FIRST = [
     "sparql_minus_exec",
     "sparql_exists_exec",
     "sparql_having_exec",
+    "sparql_subquery_agg",
+    "sparql_bound_filter",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
@@ -3157,9 +3219,7 @@ _VERIFY_FIRST = [
     "rdf_count_by_predicate",
     "rdf_distinct_objects",
     "rdf_order_terms",
-    "rdf_ntriples_format",
     "rdf_ntriples_parse",
-    "rdf_ntriples_rejects",
 ]
 
 

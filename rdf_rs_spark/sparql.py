@@ -40,7 +40,7 @@ _TOKEN_RE = re.compile(
   | (?P<var>[?$][A-Za-z_][\w]*)
   | (?P<blank>_:[\w]+)
   | (?P<num>\d+(?:\.\d+)?)
-  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG|MINUS|HAVING|EXISTS|NOT)\b)
+  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG|MINUS|HAVING|EXISTS|NOT|BOUND)\b)
   | (?P<a>\ba\b)
   | (?P<qname>[\w-]*:[\w-]*)
   | (?P<punct>&&|\|\||[{}().;,*=<>!+/|^?-])
@@ -86,6 +86,7 @@ class SparqlQuery:
     aggregates: List[Tuple[str, bool, Optional[str], str]] = field(default_factory=list)
     minus_groups: List[List[TriplePattern]] = field(default_factory=list)  # MINUS { … }
     having: List[tuple] = field(default_factory=list)  # HAVING ( bool-expr )
+    subqueries: List["SparqlQuery"] = field(default_factory=list)  # { SELECT … }
 
 
 class _Parser:
@@ -120,11 +121,21 @@ class _Parser:
             else:
                 _, iri = self.next()
                 base = iri[1:-1]
-        k, v = self.next()
-        if not (k == "kw" and v.upper() == "SELECT"):
+        if not (self.peek()[0] == "kw" and self.peek()[1].upper() == "SELECT"):
             # the reference likewise rejects non-SELECT query types
             # (sparql_parser.rs:69-88)
             raise ValueError("only SELECT queries are supported")
+        return self._select_core(prefixes, base, end="eof")
+
+    def _select_core(
+        self, prefixes: Dict[str, str], base: Optional[str], end: str
+    ) -> SparqlQuery:
+        """One SELECT query body (from the SELECT keyword through its
+        solution modifiers). ``end`` is the terminator: ``"eof"`` for
+        the top-level query, ``"}"`` for a SPARQL 1.1 §12 subquery
+        (which inherits the enclosing prologue)."""
+        k, v = self.next()
+        assert k == "kw" and v.upper() == "SELECT"
         distinct = False
         if self.peek()[1].upper() in ("DISTINCT", "REDUCED"):
             distinct = True  # REDUCED may legally dedup
@@ -191,7 +202,9 @@ class _Parser:
         self.expect_punct("{")
         self._parse_group(q, q.patterns)
         # solution modifiers
-        while self.peek()[0] != "eof":
+        while not (
+            self.peek()[0] == "eof" if end == "eof" else self.peek()[1] == "}"
+        ):
             k, v = self.next()
             up = v.upper()
             if up == "ORDER":
@@ -223,6 +236,8 @@ class _Parser:
                 q.having.append(self._parse_filter(q))
             else:
                 raise ValueError(f"unexpected token {v!r}")
+        if end == "}":
+            self.expect_punct("}")
         return q
 
     def _parse_values(self, q: SparqlQuery) -> None:
@@ -319,9 +334,18 @@ class _Parser:
                 self._parse_group(q, sink, gterm)
                 continue
             if v == "{":
+                self.next()
+                if self.peek()[0] == "kw" and self.peek()[1].upper() == "SELECT":
+                    # { SELECT … } — SPARQL 1.1 §12 subquery (executed
+                    # extension): evaluated independently, joined to the
+                    # enclosing group on its projected variables. Inherits
+                    # the enclosing prologue.
+                    q.subqueries.append(
+                        self._select_core(q.prefixes, q.base, end="}")
+                    )
+                    continue
                 # nested group: joined into the parent BGP (reference
                 # parse_group recursion, sparql_parser.rs:206-210)
-                self.next()
                 group: List[TriplePattern] = []
                 self._parse_group(q, group, graph)
                 if self.peek()[1].upper() == "UNION":
@@ -457,7 +481,7 @@ class _Parser:
             # group sees the default graph like its enclosing block)
             group = self._parse_plain_group(q, graph)
             return ("notexists" if negate else "exists", group)
-        if k == "kw" and v.upper() == "REGEX":
+        if k == "kw" and v.upper() in ("REGEX", "BOUND"):
             return self._parse_bool_unary()
         if v != "(":
             raise ValueError("FILTER expects '(' or REGEX")
@@ -493,6 +517,14 @@ class _Parser:
             pattern = self.next()[1]
             self.expect_punct(")")
             return ("regex", var, pattern[1 : pattern.rindex('"')])
+        if k == "kw" and v.upper() == "BOUND":
+            # BOUND(?v) — SPARQL 1.1 §17.4.1.1: true where the OPTIONAL
+            # variable carries a binding (non-NULL solution column)
+            self.next()
+            self.expect_punct("(")
+            var = self.next()[1].lstrip("?$")
+            self.expect_punct(")")
+            return ("bound", var)
         if v == "(":
             self.next()
             node = self._parse_bool_expr()
@@ -621,6 +653,10 @@ def _filter_column(ast: tuple, df: DataFrame):
     kind = ast[0]
     if kind == "regex":
         return _value_column(("var", ast[1]), df).rlike(ast[2])
+    if kind == "bound":
+        if ast[1] not in df.columns:
+            raise ValueError(f"BOUND references unknown variable ?{ast[1]}")
+        return F.col(ast[1]).isNotNull()
     if kind == "and":
         return _filter_column(ast[1], df) & _filter_column(ast[2], df)
     if kind == "or":
@@ -633,13 +669,17 @@ def _filter_column(ast: tuple, df: DataFrame):
 
 def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
     """Parse and execute a SPARQL SELECT over the triples DataFrame."""
-    q = parse_sparql(text)
+    return _execute(triples, parse_sparql(text))
+
+
+def _execute(triples: DataFrame, q: SparqlQuery) -> DataFrame:
     # dataset is None when no FROM/FROM NAMED clause exists — the
     # distinction matters: an explicit dataset with an empty side means
     # "empty graph set", not "no restriction"
     dataset = (
         (q.from_graphs, q.from_named) if (q.from_graphs or q.from_named) else None
     )
+    subqueries = list(q.subqueries)
     if q.union_groups:
         branches = [
             bgp_join(triples, q.patterns + g, optional=q.optional, dataset=dataset)
@@ -648,8 +688,18 @@ def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
-    else:
+    elif q.patterns or not subqueries:
         df = bgp_join(triples, q.patterns, optional=q.optional, dataset=dataset)
+    else:
+        # a group consisting only of a subquery: its solutions ARE the
+        # group's solutions
+        df = _execute(triples, subqueries.pop(0))
+    for sub in subqueries:
+        # { SELECT … } (§12): evaluated bottom-up, joined on the
+        # projected variables it shares with the enclosing solutions
+        sdf = _execute(triples, sub)
+        shared = sorted(set(df.columns) & set(sdf.columns))
+        df = df.join(sdf, on=shared, how="inner") if shared else df.crossJoin(sdf)
     if q.values_clause is not None:
         # inline data: joined on the shared variables (Catalyst
         # broadcasts the literal relation), cartesian when disjoint

@@ -825,3 +825,50 @@ def test_path_star_fixed_subject_includes_self(spark):
     )
     assert sorted(r.o for r in out2.collect()) == [
         "http://e/b", "http://e/c", "http://e/c"]
+
+
+def test_subquery_joins_on_projected_vars(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rname ?cnt WHERE {
+             ?n ex:inRegion ?r . ?r ex:name ?rname .
+             { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c ex:inNation ?n }
+               GROUP BY ?n }
+           }""",
+    )
+    rows = out.collect()
+    assert len(rows) == 25  # one per nation
+    assert sum(r.cnt for r in rows) == 150  # every customer counted once
+
+
+def test_subquery_only_group_is_scalar(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?cnt WHERE {
+             { SELECT (COUNT(?c) AS ?cnt) WHERE { ?c a ex:Customer } }
+           }""",
+    )
+    assert [r.cnt for r in out.collect()] == [150]
+
+
+def test_bound_filter_on_optional(spark, triples):
+    unbound = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c WHERE { ?c a ex:Customer .
+             OPTIONAL { ?c ex:address ?a } FILTER (!BOUND(?a)) }""",
+    )
+    bound = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c WHERE { ?c a ex:Customer .
+             OPTIONAL { ?c ex:address ?a } FILTER BOUND(?a) }""",
+    )
+    assert unbound.count() == 75 and bound.count() == 75
+    with pytest.raises(ValueError, match="unknown variable"):
+        execute_sparql(
+            triples,
+            "SELECT ?s { ?s ?p ?o . FILTER BOUND(?nope) }",
+        ).collect()
