@@ -113,11 +113,12 @@ def pair_closure(
     )
 
 
-def _link_pairs(triples: DataFrame, pred: str) -> DataFrame:
-    """The single-step pair relation of one fixed predicate."""
+def _edge_pairs(edges: DataFrame) -> DataFrame:
+    """Project a filtered triples table to its ``(src, src_is_node,
+    dst, dst_is_node)`` pair relation (objects in subject-encoding)."""
     from ..terms import KIND_BLANK, KIND_LITERAL
 
-    return triples.filter(F.col("pred") == pred).select(
+    return edges.select(
         F.col("subj").alias("src"),
         F.lit(True).alias("src_is_node"),
         F.when(
@@ -127,6 +128,11 @@ def _link_pairs(triples: DataFrame, pred: str) -> DataFrame:
         .alias("dst"),
         (F.col("obj_kind") != KIND_LITERAL).alias("dst_is_node"),
     )
+
+
+def _link_pairs(triples: DataFrame, pred: str) -> DataFrame:
+    """The single-step pair relation of one fixed predicate."""
+    return _edge_pairs(triples.filter(F.col("pred") == pred))
 
 
 def _graph_terms(triples: DataFrame) -> DataFrame:
@@ -149,7 +155,7 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
 
 def eval_path(triples: DataFrame, ast: tuple, max_iters: int = 30) -> DataFrame:
     """Evaluate a property-path AST (``rdf_rs_spark.sparql`` grammar:
-    ``link / inv / seq / alt / plus / star / opt``) to its pair
+    ``link / nps / inv / seq / alt / plus / star / opt``) to its pair
     relation ``(src, src_is_node, dst, dst_is_node)``.
 
     Plain links and seq/alt keep BAG multiplicity (SPARQL 1.1 §18.4
@@ -161,6 +167,10 @@ def eval_path(triples: DataFrame, ast: tuple, max_iters: int = 30) -> DataFrame:
     kind = ast[0]
     if kind == "link":
         return _link_pairs(triples, ast[1])
+    if kind == "nps":
+        # §9.1 negated property set: one step over any predicate NOT in
+        # the set — still a single narrow scan-side filter, never a join
+        return _edge_pairs(triples.filter(~F.col("pred").isin(list(ast[1]))))
     if kind == "inv":
         sub = eval_path(triples, ast[1], max_iters)
         return sub.select(

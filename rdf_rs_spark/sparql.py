@@ -14,10 +14,21 @@ UNION and FILTER were lexed-but-unimplemented in the reference
 (``sparql_parser.rs:211-216``); they are accepted here and executed
 (unionByName / rlike or comparison filters) — a documented extension.
 Further SPARQL 1.1 extensions executed beyond the reference's grammar:
-property paths (``+ * ? / | ^`` over fixed predicates, §9), MINUS
-(§8.3.3), HAVING (§11.4.1 — conditions over the SELECT aggregate
-aliases), and FILTER [NOT] EXISTS (§8.1.1, as top-level filters over
-plain triple-pattern groups).
+property paths (``+ * ? / | ^`` over fixed predicates, §9) including
+negated property sets (``!p`` / ``!(p|q)``, §9.1), MINUS (§8.3.3),
+HAVING (§11.4.1 — conditions over the SELECT aggregate aliases),
+FILTER [NOT] EXISTS (§8.1.1, as top-level filters over plain
+triple-pattern groups), subqueries (§12), and the §17.4 function
+library over string-encoded bindings: STR / STRLEN / UCASE / LCASE /
+SUBSTR / CONCAT / REPLACE / STRBEFORE / STRAFTER / ABS / ROUND /
+FLOOR / CEIL / COALESCE / IF in value positions, CONTAINS /
+STRSTARTS / STRENDS / isBlank / BOUND / ``IN`` in boolean positions,
+and GROUP_CONCAT / SAMPLE aggregates. LANG() / DATATYPE() / isIRI /
+isLiteral are deliberately absent: solution bindings carry the
+subject-encoded lexical form only (a literal ``"http://x"`` and the
+IRI ``http://x`` are indistinguishable post-binding), so a term-kind
+accessor would silently lie — isBlank is safe because ``_:`` cannot
+begin an IRI or a plain literal produced by the KG pipeline.
 """
 
 from __future__ import annotations
@@ -43,6 +54,7 @@ _TOKEN_RE = re.compile(
   | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG|MINUS|HAVING|EXISTS|NOT|BOUND)\b)
   | (?P<a>\ba\b)
   | (?P<qname>[\w-]*:[\w-]*)
+  | (?P<ident>[A-Za-z_][\w]*)
   | (?P<punct>&&|\|\||[{}().;,*=<>!+/|^?-])
     """,
     re.VERBOSE,
@@ -82,8 +94,11 @@ class SparqlQuery:
     binds: List[Tuple[str, tuple]] = field(default_factory=list)  # BIND(expr AS ?v)
     values_clause: Optional[Tuple[List[str], List[List[str]]]] = None  # VALUES
     group_by: List[str] = field(default_factory=list)  # GROUP BY ?v …
-    # (func, distinct, var-or-None-for-*, alias) per SELECT aggregate
-    aggregates: List[Tuple[str, bool, Optional[str], str]] = field(default_factory=list)
+    # (func, distinct, var-or-None-for-*, alias, param) per SELECT
+    # aggregate; param is GROUP_CONCAT's separator (else None)
+    aggregates: List[Tuple[str, bool, Optional[str], str, Optional[str]]] = field(
+        default_factory=list
+    )
     minus_groups: List[List[TriplePattern]] = field(default_factory=list)  # MINUS { … }
     having: List[tuple] = field(default_factory=list)  # HAVING ( bool-expr )
     subqueries: List["SparqlQuery"] = field(default_factory=list)  # { SELECT … }
@@ -141,7 +156,7 @@ class _Parser:
             distinct = True  # REDUCED may legally dedup
             self.next()
         variables: Optional[List[str]] = None
-        aggregates: List[Tuple[str, bool, Optional[str], str]] = []
+        aggregates: List[Tuple[str, bool, Optional[str], str, Optional[str]]] = []
         if self.peek()[1] == "*":
             self.next()
         else:
@@ -151,12 +166,16 @@ class _Parser:
                 if k == "var":
                     variables.append(self.next()[1])
                 elif v == "(":
-                    # ( COUNT|SUM|MIN|MAX|AVG ( [DISTINCT] ?v | * ) AS ?alias )
-                    # — SPARQL 1.1 aggregates, an executed extension
+                    # ( AGG ( [DISTINCT] ?v | * [; SEPARATOR "s"] ) AS ?alias )
+                    # — SPARQL 1.1 §11.2 aggregates, an executed
+                    # extension; GROUP_CONCAT and SAMPLE (§18.5.1.7-8)
+                    # alongside the arithmetic five
                     self.next()
                     fk, fv = self.next()
                     func = fv.upper()
-                    if fk != "kw" or func not in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
+                    if fk not in ("kw", "ident") or func not in (
+                        "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"
+                    ):
                         raise ValueError(f"unsupported SELECT expression {fv!r}")
                     self.expect_punct("(")
                     agg_distinct = False
@@ -172,12 +191,24 @@ class _Parser:
                         target = av[1:]
                     else:
                         raise ValueError(f"aggregate expects a variable or *, got {av!r}")
+                    param = None
+                    if self.peek()[1] == ";":
+                        # GROUP_CONCAT(?v ; SEPARATOR "sep") — §18.5.1.7
+                        self.next()
+                        sk, sv = self.next()
+                        if func != "GROUP_CONCAT" or sv.upper() != "SEPARATOR":
+                            raise ValueError("only GROUP_CONCAT takes ; SEPARATOR")
+                        self.expect_punct("=")
+                        lk, lv = self.next()
+                        if lk != "lit":
+                            raise ValueError("SEPARATOR expects a string literal")
+                        param = lv[1 : lv.rindex('"')]
                     self.expect_punct(")")
                     if self.next()[1].upper() != "AS":
                         raise ValueError("aggregate requires AS ?alias")
                     alias = self.next()[1]
                     self.expect_punct(")")
-                    aggregates.append((func, agg_distinct, target, alias[1:]))
+                    aggregates.append((func, agg_distinct, target, alias[1:], param))
                     variables.append(alias)
                 else:
                     break
@@ -409,8 +440,9 @@ class _Parser:
         None)``; a bare one-or-more link keeps the compact ``(iri,
         "+")`` form (``operators/bgp.py`` compiles it directly onto
         ``predicate_closure``); any other shape returns ``(None,
-        <path-AST>)`` with nodes ``("link", iri) / ("inv", P) /
-        ("seq", P, Q) / ("alt", P, Q) / ("plus"|"star"|"opt", P)``."""
+        <path-AST>)`` with nodes ``("link", iri) / ("nps", (iris,)) /
+        ("inv", P) / ("seq", P, Q) / ("alt", P, Q) /
+        ("plus"|"star"|"opt", P)``."""
         if self.peek()[0] == "var":
             return self._term(q, predicate=True), None
         ast = self._parse_path_alt(q)
@@ -439,7 +471,13 @@ class _Parser:
         if self.peek()[1] == "^":
             self.next()
             inverse = True
-        if self.peek()[1] == "(":
+        if self.peek()[1] == "!":
+            # !iri / !(p|q|…) — §9.1 negated property set (forward
+            # members only; inverse members ^p inside the set are out
+            # of the executed subset and rejected explicitly)
+            self.next()
+            node = ("nps", tuple(self._parse_nps_set(q)))
+        elif self.peek()[1] == "(":
             self.next()
             node = self._parse_path_alt(q)
             self.expect_punct(")")
@@ -455,6 +493,31 @@ class _Parser:
         if inverse:
             node = ("inv", node)
         return node
+
+    def _parse_nps_set(self, q: SparqlQuery) -> List[str]:
+        """The predicate set of a §9.1 negated property set: a single
+        IRI or ``( p | q | … )``; every member must be a fixed forward
+        predicate."""
+
+        def member() -> str:
+            if self.peek()[1] == "^":
+                raise ValueError(
+                    "negated property sets support forward predicates only"
+                )
+            t = self._term(q, predicate=True)
+            if not isinstance(t, str) or t.startswith(("?", "$", "_:")):
+                raise ValueError("negated property sets require fixed IRIs")
+            return t
+
+        if self.peek()[1] != "(":
+            return [member()]
+        self.next()
+        preds = [member()]
+        while self.peek()[1] == "|":
+            self.next()
+            preds.append(member())
+        self.expect_punct(")")
+        return preds
 
     def _parse_filter(self, q: SparqlQuery, graph=None) -> tuple:
         """FILTER ( bool-expr ) / FILTER REGEX(?v, "re") → a small
@@ -481,7 +544,9 @@ class _Parser:
             # group sees the default graph like its enclosing block)
             group = self._parse_plain_group(q, graph)
             return ("notexists" if negate else "exists", group)
-        if k == "kw" and v.upper() in ("REGEX", "BOUND"):
+        if (k == "kw" and v.upper() in ("REGEX", "BOUND")) or self._at_fn(
+            self._BOOL_FNS
+        ):
             return self._parse_bool_unary()
         if v != "(":
             raise ValueError("FILTER expects '(' or REGEX")
@@ -504,6 +569,25 @@ class _Parser:
             node = ("and", node, self._parse_bool_unary())
         return node
 
+    #: §17.4 boolean-valued functions over string-encoded bindings
+    _BOOL_FNS = {"CONTAINS": 2, "STRSTARTS": 2, "STRENDS": 2, "ISBLANK": 1}
+    #: §17.4 value functions (name → arity; -1 = variadic, tuples =
+    #: allowed arities)
+    _VALUE_FNS = {
+        "STR": (1,), "STRLEN": (1,), "UCASE": (1,), "LCASE": (1,),
+        "SUBSTR": (2, 3), "CONCAT": (-1,), "REPLACE": (3,),
+        "STRBEFORE": (2,), "STRAFTER": (2,), "ABS": (1,), "ROUND": (1,),
+        "FLOOR": (1,), "CEIL": (1,), "COALESCE": (-1,), "IF": (3,),
+    }
+
+    def _at_fn(self, names) -> bool:
+        k, v = self.peek()
+        return (
+            k in ("kw", "ident")
+            and v.upper() in names
+            and self.toks[self.i + 1][1] == "("
+        )
+
     def _parse_bool_unary(self) -> tuple:
         k, v = self.peek()
         if v == "!" and self.toks[self.i + 1][1] != "=":
@@ -525,15 +609,49 @@ class _Parser:
             var = self.next()[1].lstrip("?$")
             self.expect_punct(")")
             return ("bound", var)
+        if self._at_fn(self._BOOL_FNS):
+            name = self.next()[1].upper()
+            args = self._fn_args()
+            if len(args) != self._BOOL_FNS[name]:
+                raise ValueError(f"{name} expects {self._BOOL_FNS[name]} arguments")
+            return ("boolfn", name, args)
         if v == "(":
             self.next()
             node = self._parse_bool_expr()
             self.expect_punct(")")
             return node
         lhs = self._value_expr()
+        nk, nv = self.peek()
+        if nk in ("kw", "ident") and nv.upper() in ("IN", "NOT"):
+            # expr [NOT] IN ( const, … ) — §17.4.1.9-10
+            negate = nv.upper() == "NOT"
+            self.next()
+            if negate and self.next()[1].upper() != "IN":
+                raise ValueError("NOT must be followed by IN in expressions")
+            self.expect_punct("(")
+            items = []
+            while self.peek()[1] != ")":
+                item = self._value_expr()
+                if item[0] not in ("str", "num"):
+                    raise ValueError("IN lists must contain constant terms")
+                items.append(item[1])
+                if self.peek()[1] == ",":
+                    self.next()
+            self.next()
+            return ("in", negate, lhs, items)
         op = self._filter_op()
         rhs = self._value_expr()
         return ("cmp", op, lhs, rhs)
+
+    def _fn_args(self) -> List[tuple]:
+        self.expect_punct("(")
+        args: List[tuple] = []
+        while self.peek()[1] != ")":
+            args.append(self._value_expr())
+            if self.peek()[1] == ",":
+                self.next()
+        self.next()
+        return args
 
     def _value_expr(self) -> tuple:
         """Arithmetic value expression (used by FILTER comparisons and
@@ -553,6 +671,26 @@ class _Parser:
         return node
 
     def _value_atom(self) -> tuple:
+        if self._at_fn(self._VALUE_FNS):
+            name = self.next()[1].upper()
+            if name == "IF":
+                # IF(bool-expr, then, else) — §17.4.1.2; the condition
+                # is a boolean expression, not a value expression
+                self.expect_punct("(")
+                cond = self._parse_bool_expr()
+                self.expect_punct(",")
+                then = self._value_expr()
+                self.expect_punct(",")
+                other = self._value_expr()
+                self.expect_punct(")")
+                return ("fn", "IF", [cond, then, other])
+            args = self._fn_args()
+            arity = self._VALUE_FNS[name]
+            if arity != (-1,) and len(args) not in arity:
+                raise ValueError(f"{name} expects {arity} arguments, got {len(args)}")
+            if arity == (-1,) and not args:
+                raise ValueError(f"{name} expects at least one argument")
+            return ("fn", name, args)
         k, v = self.next()
         if v == "(":
             node = self._value_expr()
@@ -563,6 +701,11 @@ class _Parser:
         if k == "lit":
             m = re.fullmatch(r'"([^"]*)"(?:@[\w-]+|\^\^<[^>]*>)?', v)
             return ("str", m.group(1))
+        if k == "iri":
+            # a bare <iri> in a value position compares/lists by its
+            # text, matching the subject-encoded bindings (no BASE
+            # resolution here — expressions are prologue-independent)
+            return ("str", v[1:-1])
         if k == "num":
             return ("num", float(v) if "." in v else int(v))
         raise ValueError(f"unsupported value expression atom {v!r}")
@@ -634,8 +777,8 @@ _ARITH_OPS = {
 
 def _value_column(ast: tuple, df: DataFrame):
     """Compile a value-expression AST (var / literal / number /
-    arithmetic) against the solution DataFrame, validating every
-    referenced variable against the bound columns."""
+    arithmetic / §17.4 function call) against the solution DataFrame,
+    validating every referenced variable against the bound columns."""
     kind = ast[0]
     if kind == "var":
         if ast[1] not in df.columns:
@@ -645,7 +788,61 @@ def _value_column(ast: tuple, df: DataFrame):
         return F.lit(ast[1])
     if kind == "arith":
         return _ARITH_OPS[ast[1]](_value_column(ast[2], df), _value_column(ast[3], df))
+    if kind == "fn":
+        return _fn_column(ast[1], ast[2], df)
     raise ValueError(f"unsupported value expression {ast!r}")
+
+
+def _fn_column(name: str, args: List[tuple], df: DataFrame):
+    """One §17.4 value-function call compiled to a Column expression —
+    never pasted SQL text; every function is a JVM built-in, so the
+    whole FILTER/BIND stays inside whole-stage codegen."""
+    if name == "IF":
+        # args[0] is a boolean AST (condition), the rest value ASTs
+        return F.when(
+            _filter_column(args[0], df), _value_column(args[1], df)
+        ).otherwise(_value_column(args[2], df))
+    cols = [_value_column(a, df) for a in args]
+    if name == "STR":
+        return cols[0].cast("string")
+    if name == "STRLEN":
+        return F.length(cols[0])
+    if name == "UCASE":
+        return F.upper(cols[0])
+    if name == "LCASE":
+        return F.lower(cols[0])
+    if name == "SUBSTR":
+        # SPARQL SUBSTR is 1-based like Spark's; the 2-argument form
+        # runs to the end of the string
+        length = cols[2].cast("int") if len(cols) == 3 else F.length(cols[0])
+        return cols[0].substr(cols[1].cast("int"), length)
+    if name == "CONCAT":
+        return F.concat(*[c.cast("string") for c in cols])
+    if name == "REPLACE":
+        # §17.4.3.15 is regex-based and replaces every occurrence —
+        # exactly Spark's regexp_replace (DuckDB needs the 'g' flag)
+        return F.regexp_replace(cols[0], cols[1], cols[2])
+    if name == "STRBEFORE":
+        # empty string when the needle does not occur (§17.4.3.12)
+        pos = F.instr(cols[0], cols[1])
+        return F.when(pos > 0, cols[0].substr(F.lit(1), pos - 1)).otherwise(F.lit(""))
+    if name == "STRAFTER":
+        pos = F.instr(cols[0], cols[1])
+        return F.when(
+            pos > 0,
+            cols[0].substr(pos + F.length(cols[1]), F.length(cols[0])),
+        ).otherwise(F.lit(""))
+    if name == "ABS":
+        return F.abs(cols[0])
+    if name == "ROUND":
+        return F.round(cols[0], 0)
+    if name == "FLOOR":
+        return F.floor(cols[0])
+    if name == "CEIL":
+        return F.ceil(cols[0])
+    if name == "COALESCE":
+        return F.coalesce(*cols)
+    raise ValueError(f"unsupported function {name}")
 
 
 def _filter_column(ast: tuple, df: DataFrame):
@@ -657,6 +854,22 @@ def _filter_column(ast: tuple, df: DataFrame):
         if ast[1] not in df.columns:
             raise ValueError(f"BOUND references unknown variable ?{ast[1]}")
         return F.col(ast[1]).isNotNull()
+    if kind == "boolfn":
+        name, args = ast[1], [_value_column(a, df) for a in ast[2]]
+        if name == "CONTAINS":
+            return args[0].contains(args[1])
+        if name == "STRSTARTS":
+            return args[0].startswith(args[1])
+        if name == "STRENDS":
+            return args[0].endswith(args[1])
+        # ISBLANK: bindings subject-encode blank nodes as "_:label";
+        # IRIs cannot begin with "_:" (scheme grammar), so the prefix
+        # test is exact for resource bindings
+        return args[0].startswith("_:")
+    if kind == "in":
+        _, negate, lhs, items = ast
+        col = _value_column(lhs, df).isin(list(items))
+        return ~col if negate else col
     if kind == "and":
         return _filter_column(ast[1], df) & _filter_column(ast[2], df)
     if kind == "or":
@@ -742,11 +955,27 @@ def _execute(triples: DataFrame, q: SparqlQuery) -> DataFrame:
             df = df.join(sub.select(*shared).dropDuplicates(), on=shared, how="left_anti")
     if q.aggregates or q.group_by:
         aggs = []
-        for func, adistinct, target, alias in q.aggregates:
+        for func, adistinct, target, alias, param in q.aggregates:
             if target is not None and target not in df.columns:
                 raise ValueError(f"aggregate references unbound variable ?{target}")
             if func == "COUNT" and target is None:
                 col = F.count(F.lit(1))
+            elif func == "GROUP_CONCAT":
+                # §18.5.1.7 leaves element order undefined; sorting the
+                # collected array pins ONE deterministic serialization
+                # (cross-run and cross-engine stable — the DuckDB oracle
+                # replays it as string_agg(… ORDER BY …))
+                base = (
+                    F.collect_set(F.col(target))
+                    if adistinct
+                    else F.collect_list(F.col(target))
+                )
+                col = F.array_join(F.array_sort(base), param if param is not None else " ")
+            elif func == "SAMPLE":
+                # §18.5.1.8 allows any value from the group; min() is
+                # the deterministic choice (same discipline as the
+                # seeded-IVF / GROUP_CONCAT determinism pins)
+                col = F.min(F.col(target))
             elif adistinct:
                 # the lexer guarantees `target` is a plain identifier, so
                 # this is a fixed-shape expression, not pasted user text

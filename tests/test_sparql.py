@@ -872,3 +872,181 @@ def test_bound_filter_on_optional(spark, triples):
             triples,
             "SELECT ?s { ?s ?p ?o . FILTER BOUND(?nope) }",
         ).collect()
+
+
+# ---- §17.4 function library / NPS / GROUP_CONCAT (round-3 extensions) ------
+
+
+def test_nps_single_step(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?x WHERE {
+             <http://kg.example.org/nation/0>
+               !(ex:name|<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>) ?x
+           }""",
+    )
+    # nation 0 carries type / name / inRegion; only inRegion survives
+    assert [r.x for r in out.collect()] == ["http://kg.example.org/region/0"]
+
+
+def test_nps_rejects_variables_and_inverse(spark):
+    with pytest.raises(ValueError, match="fixed IRIs"):
+        parse_sparql("SELECT ?o { ?s !?p ?o }")
+    with pytest.raises(ValueError, match="forward predicates only"):
+        parse_sparql("SELECT ?o { ?s !(^<http://p>) ?o }")
+
+
+def test_string_functions_in_bind(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?lo ?len ?pre ?both WHERE {
+             ?r a ex:Region . ?r ex:name ?rn .
+             BIND(LCASE(?rn) AS ?lo)
+             BIND(STRLEN(?rn) AS ?len)
+             BIND(SUBSTR(?rn, 1, 2) AS ?pre)
+             BIND(CONCAT(?rn, "/", LCASE(?rn)) AS ?both)
+           } ORDER BY ?lo""",
+    )
+    rows = out.collect()
+    assert [r.lo for r in rows] == [
+        "africa", "america", "asia", "europe", "middle east"]
+    assert rows[0].len == 6 and rows[0].pre == "AF"
+    assert rows[4].both == "MIDDLE EAST/middle east"
+
+
+def test_strbefore_strafter_replace(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?before ?after ?rep WHERE {
+             ?r a ex:Region . ?r ex:name ?rn .
+             FILTER (?rn = "MIDDLE EAST")
+             BIND(STRBEFORE(?rn, " ") AS ?before)
+             BIND(STRAFTER(?rn, " ") AS ?after)
+             BIND(REPLACE(?rn, "E", "e") AS ?rep)
+           }""",
+    )
+    r = out.collect()[0]
+    assert (r.before, r.after, r.rep) == ("MIDDLE", "EAST", "MIDDLe eAST")
+    # absent needle -> empty string (§17.4.3.12)
+    out2 = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?b WHERE { ?r a ex:Region . ?r ex:name ?rn .
+             FILTER (?rn = "ASIA") BIND(STRBEFORE(?rn, "zz") AS ?b) }""",
+    )
+    assert out2.collect()[0].b == ""
+
+
+def test_bool_functions_and_in(spark, triples):
+    contains = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rn WHERE { ?r a ex:Region . ?r ex:name ?rn .
+             FILTER CONTAINS(?rn, "ER") }""",
+    )
+    assert sorted(r.rn for r in contains.collect()) == ["AMERICA"]
+    starts = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rn WHERE { ?r a ex:Region . ?r ex:name ?rn .
+             FILTER (STRSTARTS(?rn, "A") && !STRENDS(?rn, "CA")) }""",
+    )
+    assert sorted(r.rn for r in starts.collect()) == ["ASIA"]
+    inlist = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rn WHERE { ?r a ex:Region . ?r ex:name ?rn .
+             FILTER (?rn IN ("ASIA", "EUROPE")) }""",
+    )
+    assert sorted(r.rn for r in inlist.collect()) == ["ASIA", "EUROPE"]
+    notin = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rn WHERE { ?r a ex:Region . ?r ex:name ?rn .
+             FILTER (?rn NOT IN ("ASIA", "EUROPE")) }""",
+    )
+    assert notin.count() == 3
+    with pytest.raises(ValueError, match="constant terms"):
+        parse_sparql('SELECT ?s { ?s ?p ?o . FILTER (?o IN (?s)) }')
+
+
+def test_in_accepts_iris(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?n WHERE { ?n ex:inRegion ?r .
+             FILTER (?r IN (<http://kg.example.org/region/2>)) }""",
+    )
+    assert out.count() == 5  # five nations per region
+
+
+def test_isblank_on_address(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c WHERE { ?c ex:address ?a . FILTER isBlank(?a) }""",
+    )
+    assert out.count() == 75  # every address object is a blank node
+    none = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c WHERE { ?c ex:name ?cn . ?c a ex:Customer .
+             FILTER isBlank(?cn) }""",
+    )
+    assert none.count() == 0
+
+
+def test_if_and_coalesce_over_optional(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c ?has ?addr WHERE {
+             ?c a ex:Customer .
+             OPTIONAL { ?c ex:address ?a }
+             BIND(IF(BOUND(?a), "yes", "no") AS ?has)
+             BIND(COALESCE(?a, "none") AS ?addr)
+           }""",
+    )
+    rows = out.collect()
+    assert sum(1 for r in rows if r.has == "yes") == 75
+    assert sum(1 for r in rows if r.addr == "none") == 75
+
+
+def test_group_concat_and_sample(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rname (GROUP_CONCAT(?nname ; SEPARATOR="|") AS ?names)
+                  (SAMPLE(?nname) AS ?first)
+           WHERE {
+             ?n ex:inRegion ?r . ?n ex:name ?nname . ?r ex:name ?rname .
+           } GROUP BY ?rname ORDER BY ?rname""",
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    all_names = []
+    for r in rows:
+        parts = r.names.split("|")
+        # sorted concatenation, deterministic; SAMPLE pinned to min
+        assert parts == sorted(parts) and len(parts) == 5
+        assert r.first == parts[0]
+        all_names.extend(parts)
+    assert len(set(all_names)) == 25  # every nation appears exactly once
+
+
+def test_group_concat_distinct(spark, triples):
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT (GROUP_CONCAT(DISTINCT ?rn ; SEPARATOR=",") AS ?all)
+           WHERE { ?n ex:inRegion ?r . ?r ex:name ?rn . }""",
+    )
+    assert out.collect()[0].all == "AFRICA,AMERICA,ASIA,EUROPE,MIDDLE EAST"
+
+
+def test_unknown_function_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported"):
+        parse_sparql('SELECT ?s { ?s ?p ?o . FILTER (FNORD(?o) = 1) }')
