@@ -1876,6 +1876,137 @@ def sparql_bound_filter(spark, sf_dir):
 
 
 @q(
+    "sparql_string_funcs",
+    TRIPLES_CTE
+    + """SELECT lower(r.obj_lex) AS lo, length(r.obj_lex)::INTEGER AS len,
+       substring(r.obj_lex, 1, 3) AS pre,
+       CASE WHEN position(' ' IN r.obj_lex) > 0
+            THEN substring(r.obj_lex, 1, position(' ' IN r.obj_lex) - 1)
+            ELSE '' END || '-' || replace(r.obj_lex, 'A', 'a') AS tag,
+       CASE WHEN contains(r.obj_lex, ' ') THEN 'multi' ELSE 'single' END AS kind
+       FROM triples r
+       JOIN triples t ON t.subj = r.subj AND t.pred = '""" + RDF_TYPE + """'
+         AND t.obj_lex = 'http://kg.example.org/Region'
+       WHERE r.pred = 'http://kg.example.org/name'""",
+)
+def sparql_string_funcs(spark, sf_dir):
+    """SPARQL 1.1 §17.4 value functions in BIND (executed extension):
+    LCASE / STRLEN / SUBSTR / CONCAT / STRBEFORE / REPLACE / IF /
+    CONTAINS compile to JVM Column expressions (never pasted SQL —
+    the FILTER r2 lesson), so the whole projection stays inside
+    whole-stage codegen. STRLEN is int-typed in both engines (Spark
+    ``length`` is int32; the oracle casts DuckDB's BIGINT down)."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?lo ?len ?pre ?tag ?kind WHERE {
+             ?r a ex:Region . ?r ex:name ?rn .
+             BIND(LCASE(?rn) AS ?lo)
+             BIND(STRLEN(?rn) AS ?len)
+             BIND(SUBSTR(?rn, 1, 3) AS ?pre)
+             BIND(CONCAT(STRBEFORE(?rn, " "), "-", REPLACE(?rn, "A", "a")) AS ?tag)
+             BIND(IF(CONTAINS(?rn, " "), "multi", "single") AS ?kind)
+           }""",
+    )
+
+
+@q(
+    "sparql_boolfn_in",
+    TRIPLES_CTE
+    + """SELECT a.subj AS c, s.obj_lex AS seg
+       FROM triples a
+       JOIN triples s ON s.subj = '_:' || a.obj_lex
+         AND s.pred = 'http://kg.example.org/segment'
+       WHERE a.pred = 'http://kg.example.org/address' AND a.obj_kind = 1
+         AND contains(s.obj_lex, 'I')
+         AND starts_with(a.subj, 'http://')
+         AND NOT ends_with(s.obj_lex, 'URE')
+         AND s.obj_lex NOT IN ('MACHINERY')""",
+)
+def sparql_boolfn_in(spark, sf_dir):
+    """SPARQL 1.1 §17.4 boolean functions and [NOT] IN in FILTER
+    (executed extension): isBlank / CONTAINS / STRSTARTS / STRENDS and
+    the IN list compile to Column predicates pushed below the BGP join
+    — each lands on its own pattern's scan, so selectivity is applied
+    before any shuffle. The blank address hop also pins the
+    subject-encoding bridge (``_:`` + lex) across a join."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c ?seg WHERE {
+             ?c ex:address ?a . ?a ex:segment ?seg .
+             FILTER (isBlank(?a) && CONTAINS(?seg, "I")
+                     && STRSTARTS(?c, "http://")
+                     && !STRENDS(?seg, "URE")
+                     && ?seg NOT IN ("MACHINERY"))
+           }""",
+    )
+
+
+@q(
+    "sparql_nps_exec",
+    TRIPLES_CTE
+    + """SELECT subj AS s,
+       CASE WHEN obj_kind = 1 THEN '_:' || obj_lex ELSE obj_lex END AS o
+       FROM triples
+       WHERE pred NOT IN ('http://kg.example.org/name',
+                          'http://kg.example.org/segment')""",
+)
+def sparql_nps_exec(spark, sf_dir):
+    """SPARQL 1.1 §9.1 negated property set ``!(p|q)`` (executed
+    extension): one step over every predicate NOT in the set — a
+    single narrow scan-side ``NOT IN`` filter on the predicate column
+    (``operators/paths.py`` ``nps``), never a join or an anti-join, so
+    at 100 TB it is exactly as cheap as a fixed-predicate pattern."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?s ?o WHERE { ?s !(ex:name|ex:segment) ?o }""",
+    )
+
+
+@q(
+    "sparql_group_concat",
+    TRIPLES_CTE
+    + """SELECT rn.obj_lex AS rname,
+       string_agg(nn.obj_lex, '|' ORDER BY nn.obj_lex) AS names,
+       min(nn.obj_lex) AS first,
+       string_agg(DISTINCT nn.obj_lex, ',' ORDER BY nn.obj_lex) AS dnames
+       FROM triples nr
+       JOIN triples rn ON rn.subj = nr.obj_lex
+         AND rn.pred = 'http://kg.example.org/name'
+       JOIN triples nn ON nn.subj = nr.subj
+         AND nn.pred = 'http://kg.example.org/name'
+       WHERE nr.pred = 'http://kg.example.org/inRegion'
+       GROUP BY rn.obj_lex""",
+)
+def sparql_group_concat(spark, sf_dir):
+    """SPARQL 1.1 §18.5.1.7-8 GROUP_CONCAT (plain + DISTINCT, with
+    SEPARATOR) and SAMPLE (executed extension): §18.5.1.7 leaves
+    element order undefined, so the engine sorts the collected array —
+    ONE deterministic serialization that the oracle replays as
+    ``string_agg(… ORDER BY …)``; SAMPLE is pinned to ``min`` under the
+    same determinism discipline as seeded IVF."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rname (GROUP_CONCAT(?nname ; SEPARATOR="|") AS ?names)
+                  (SAMPLE(?nname) AS ?first)
+                  (GROUP_CONCAT(DISTINCT ?nname ; SEPARATOR=",") AS ?dnames)
+           WHERE { ?n ex:inRegion ?r . ?r ex:name ?rname . ?n ex:name ?nname }
+           GROUP BY ?rname""",
+    )
+
+
+@q(
     "sparql_construct",
     TRIPLES_CTE
     + """SELECT DISTINCT t1.subj AS subj, 'http://kg.example.org/locatedIn' AS pred,
@@ -3207,6 +3338,10 @@ _VERIFY_FIRST = [
     "sparql_having_exec",
     "sparql_subquery_agg",
     "sparql_bound_filter",
+    "sparql_string_funcs",
+    "sparql_boolfn_in",
+    "sparql_nps_exec",
+    "sparql_group_concat",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
@@ -3216,10 +3351,6 @@ _VERIFY_FIRST = [
     "rdf_filter_predicate_object",
     "rdf_blank_nodes",
     "rdf_remove_triples",
-    "rdf_count_by_predicate",
-    "rdf_distinct_objects",
-    "rdf_order_terms",
-    "rdf_ntriples_parse",
 ]
 
 
