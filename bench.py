@@ -145,6 +145,10 @@ def main() -> None:
         if trials:
             medians[name] = round(sorted(trials)[len(trials) // 2], 3)
             spreads[name] = round(max(trials) / min(trials), 2)
+            # the headline stays min-of-N: fold these extra trials into
+            # the per-query min so one steal-storm window during the
+            # first two trials cannot inflate the recorded total
+            timings[name] = round(min(timings[name], min(trials)), 3)
 
     n_triples = QUERIES["kg_pipeline_e2e"](spark, sf_dir).count()
 
