@@ -3238,6 +3238,63 @@ def _kg_e2e_oracle(n: int) -> str:
     FROM allt"""
 
 
+def _pagerank_oracle(n: int) -> str:
+    """DuckDB replay of the 5-round integer PageRank fixpoint over the
+    deterministic corpus's entity co-mention graph: regenerate the
+    mention sets per page (the ``_kg_e2e_oracle`` recipe), build the
+    distinct directed co-mention pairs, then unroll the five rounds as
+    CTEs — integer sums are order-independent, so the SQL replay is
+    bit-identical to the distributed fixpoint."""
+    rounds = ""
+    prev = "r0"
+    for k in range(1, 6):
+        rounds += f""",
+    r{k} AS (
+      SELECT nd.node,
+             (150000 + (85 * COALESCE(s.inc, 0)) // 100)::BIGINT AS rank_e6
+      FROM nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_e6 // o.d) AS inc
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN outd o ON o.src = e.src
+        GROUP BY e.dst) s ON s.node = nd.node)"""
+        prev = f"r{k}"
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nd AS (SELECT DISTINCT src AS node FROM edges
+           UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node, 1000000::BIGINT AS rank_e6 FROM nd){rounds}
+    SELECT node AS entity, rank_e6 FROM r5"""
+
+
+@q("kg_entity_pagerank", _pagerank_oracle(2000))
+def kg_entity_pagerank(spark, sf_dir):
+    """Entity-salience PageRank over the KG's co-mention graph
+    (beyond-reference graph analytics): link the deterministic corpus,
+    build distinct directed co-mention pairs (a circulant k→k±7 ring
+    plus the famous-entity hub E0), and run 5 rounds of integer-scaled
+    PageRank (``operators/pagerank.py`` — BIGINT millionths, DIV-only
+    arithmetic, per-round localCheckpoint). Fully under the value-hash
+    gate: the oracle unrolls the identical fixpoint as five CTEs."""
+    from .linking import link_mentions
+    from .operators.pagerank import comention_edges, pagerank_e6
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    ranks = pagerank_e6(comention_edges(links), iters=5)
+    return ranks.select(F.col("node").alias("entity"), "rank_e6")
+
+
 @q("kg_pipeline_e2e", _kg_e2e_oracle(2000))
 def kg_pipeline_e2e(spark, sf_dir):
     """North-star end-to-end run under the FULL value-hash gate
@@ -3342,6 +3399,7 @@ _VERIFY_FIRST = [
     "sparql_boolfn_in",
     "sparql_nps_exec",
     "sparql_group_concat",
+    "kg_entity_pagerank",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
@@ -3350,7 +3408,6 @@ _VERIFY_FIRST = [
     "rdf_filter_subject_predicate",
     "rdf_filter_predicate_object",
     "rdf_blank_nodes",
-    "rdf_remove_triples",
 ]
 
 

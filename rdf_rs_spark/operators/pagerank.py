@@ -1,0 +1,110 @@
+"""Integer-scaled PageRank over an edge relation (entity salience).
+
+Beyond-reference graph analytics (the reference stops at triple
+storage/query — ``src/graph.rs`` has no traversal API): a
+training-data pipeline ranks linked entities (and hosts, and
+documents) by graph centrality to pick canonical pages, weight
+samples, and prioritize human review. This is the classic iterative
+fixpoint over the KG's link structure, expressed Spark-first.
+
+Determinism / oracle-ability: ranks are BIGINT millionths (``_e6``)
+and every update uses integer arithmetic only::
+
+    rank'(v) = base_e6 + (damping_e2 * Σ_{u→v} (rank(u) DIV outdeg(u))) DIV 100
+
+Integer sums are order-independent, so the result is bit-identical
+across partitionings, retries, and engines — a DuckDB oracle replays
+the whole fixpoint as ``iters`` unrolled CTEs (the same discipline as
+the connected-components closure and the seeded-IVF folds). A float
+PageRank would tie the value hash to summation order; _e6 units keep
+~6 significant digits, ample for ranking.
+
+Scale shape (100 TB / 10^9-node graphs): the edge relation is the big
+side. It is hash-partitioned on ``src`` ONCE and persisted; each round
+shuffles only the rank vector (2 narrow columns) onto that layout and
+the contribution stream onto ``dst`` — the classic two-exchange Pregel
+round. Per-round ``localCheckpoint`` truncates the growing lineage
+(the iterative-DataFrame lesson from connected components /
+k-means). Dangling nodes (outdeg 0) contribute no mass — documented
+simplification, mirrored exactly by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank_e6(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_e2: int = 85,
+    base_e6: int = 150_000,
+    init_e6: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``iters`` rounds of integer PageRank over ``edges``; returns
+    ``(node, rank_e6)`` for every node appearing as a source or target.
+
+    Unnormalized (init 1.0 per node): ranks order nodes and compare
+    across runs, which is what the curation pipeline needs — nothing
+    downstream wants a probability simplex.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    # outdeg is static: attach it to the edge relation once, so each
+    # round's join carries it for free instead of re-joining a degree
+    # table every iteration
+    edeg = e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+    edeg = edeg.repartition("src").persist()
+    edeg.count()  # materialize before the loop reuses it iters times
+    nodes = nodes.persist()
+
+    ranks = nodes.withColumn("rank_e6", F.lit(init_e6).cast("long"))
+    for _ in range(iters):
+        incoming = (
+            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e6 DIV outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_e6)
+                    + F.expr(f"({damping_e2} * coalesce(inc, 0L)) DIV 100")
+                ).cast("long").alias("rank_e6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edeg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def comention_edges(links: DataFrame, id_col: str = "url", entity_col: str = "entity_iri") -> DataFrame:
+    """Distinct directed co-mention pairs: ``a → b`` iff some document
+    mentions both entities. Both directions are emitted (co-mention is
+    symmetric); self-loops dropped.
+
+    The per-document self-join is bounded by mentions-per-document
+    (single digits), so the pair fan-out is linear in documents — never
+    the global cross product. The global DISTINCT is one hash-agg
+    shuffle of the (already small) pair relation.
+    """
+    m = links.select(F.col(id_col).alias("d"), F.col(entity_col).alias("e")).distinct()
+    pairs = (
+        m.alias("a")
+        .join(m.alias("b"), F.col("a.d") == F.col("b.d"))
+        .filter(F.col("a.e") != F.col("b.e"))
+        .select(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
+        .distinct()
+    )
+    return pairs

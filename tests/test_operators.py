@@ -555,3 +555,66 @@ def test_ivf_seeded_topk_matches_bruteforce_when_probing_all(spark, embeddings):
     b = {(r.query_id, r.neighbor_id)
          for r in ivf_seeded_topk(embeddings, queries, k=5, n_clusters=8, nprobe=2).collect()}
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------------ pagerank ----
+
+
+def test_pagerank_two_cycle_is_exact_fixpoint(spark):
+    """A→B→A with outdeg 1 each: 150000 + 85%·1000000 = 1000000 — the
+    init IS the fixpoint, so every round must reproduce it exactly."""
+    from rdf_rs_spark.operators.pagerank import pagerank_e6
+
+    edges = spark.createDataFrame([("A", "B"), ("B", "A")], ["src", "dst"])
+    ranks = {r.node: r.rank_e6 for r in pagerank_e6(edges, iters=3).collect()}
+    assert ranks == {"A": 1000000, "B": 1000000}
+
+
+def test_pagerank_chain_hand_computed(spark):
+    """A→B: A has no inlinks, so after round 1 rank(A) = 150000 and
+    stays; B then settles at 150000 + (85·150000) DIV 100 = 277500."""
+    from rdf_rs_spark.operators.pagerank import pagerank_e6
+
+    edges = spark.createDataFrame([("A", "B")], ["src", "dst"])
+    r1 = {r.node: r.rank_e6 for r in pagerank_e6(edges, iters=1).collect()}
+    assert r1 == {"A": 150000, "B": 1000000}
+    r3 = {r.node: r.rank_e6 for r in pagerank_e6(edges, iters=3).collect()}
+    assert r3 == {"A": 150000, "B": 277500}
+
+
+def test_pagerank_integer_division_splits_mass(spark):
+    """Hub H→{X,Y,Z}: each contribution is rank DIV 3 — integer
+    division, not float — so X gets 150000 + 85·(1000000 DIV 3) DIV 100
+    = 433333 after round 1."""
+    from rdf_rs_spark.operators.pagerank import pagerank_e6
+
+    edges = spark.createDataFrame(
+        [("H", "X"), ("H", "Y"), ("H", "Z")], ["src", "dst"])
+    r1 = {r.node: r.rank_e6 for r in pagerank_e6(edges, iters=1).collect()}
+    assert r1["X"] == r1["Y"] == r1["Z"] == 150000 + (85 * (1000000 // 3)) // 100
+    assert r1["H"] == 150000
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer sums are order-independent: a 1-partition run and a
+    16-partition run must emit identical rank vectors."""
+    from rdf_rs_spark.operators.pagerank import pagerank_e6
+
+    rows = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)] + [
+        ("n0", "n5"), ("n5", "n0")]
+    wide = spark.createDataFrame(rows, ["src", "dst"]).repartition(16)
+    narrow = spark.createDataFrame(rows, ["src", "dst"]).coalesce(1)
+    a = sorted((r.node, r.rank_e6) for r in pagerank_e6(wide, iters=4).collect())
+    b = sorted((r.node, r.rank_e6) for r in pagerank_e6(narrow, iters=4).collect())
+    assert a == b
+
+
+def test_comention_edges_symmetric_no_self_loops(spark):
+    from rdf_rs_spark.operators.pagerank import comention_edges
+
+    links = spark.createDataFrame(
+        [("d1", "E1"), ("d1", "E2"), ("d1", "E2"), ("d2", "E2"),
+         ("d2", "E3"), ("d3", "E9")],
+        ["url", "entity_iri"])
+    pairs = {(r.src, r.dst) for r in comention_edges(links).collect()}
+    assert pairs == {("E1", "E2"), ("E2", "E1"), ("E2", "E3"), ("E3", "E2")}
