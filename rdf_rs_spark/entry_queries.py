@@ -3238,6 +3238,80 @@ def _kg_e2e_oracle(n: int) -> str:
     FROM allt"""
 
 
+def _url_canonical_oracle(n: int) -> str:
+    """Closed-form ground truth for the URL canonicalization entry: the
+    oracle regenerates the EXPECTED canonical straight from the row
+    index (never by mirroring the canonicalizer), so the SQL verifies
+    the implementation against an independent derivation."""
+    raw = """CASE WHEN i % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+        CASE WHEN i % 3 = 0 THEN 'EX' || (i % 50) || '.EXAMPLE.ORG'
+             ELSE 'ex' || (i % 50) || '.example.org' END ||
+        CASE WHEN i % 4 = 0 THEN ':443' ELSE '' END ||
+        '/page/' || (i % 200) ||
+        CASE WHEN i % 5 = 0 THEN '?utm_source=feed&b=2&a=1'
+             WHEN i % 5 = 1 THEN '?a=1&b=2'
+             WHEN i % 5 = 2 THEN '?b=2&a=1' ELSE '' END ||
+        CASE WHEN i % 7 = 0 THEN '#sec' || i ELSE '' END"""
+    return f"""WITH p AS (
+      SELECT i, {raw} AS raw,
+        'https://ex' || (i % 50) || '.example.org/page/' || (i % 200) ||
+        CASE WHEN i % 5 IN (0, 1, 2) THEN '?a=1&b=2' ELSE '' END AS canonical
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i))
+    SELECT canonical AS canonical_url, count(*) AS n_variants,
+           count(DISTINCT raw) AS n_distinct_raw, min(raw) AS min_raw
+    FROM p GROUP BY canonical"""
+
+
+@q("docs_url_canonical", _url_canonical_oracle(2000))
+def docs_url_canonical(spark, sf_dir):
+    """URL canonicalization + canonical-URL collapse (beyond-reference
+    crawl-pipeline step): deterministic messy variants (scheme/host
+    case, default ports, utm params, fragments, param order) are
+    canonicalized by ``functions/urls.py::canonicalize_url`` — one
+    narrow JVM projection, zero shuffle — then grouped by canonical
+    form (2000 raw URLs collapse to 200 pages). The oracle derives the
+    expected canonical in closed form from the row index, so it checks
+    the canonicalizer against independent ground truth."""
+    from .functions.urls import canonicalize_url
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    i = F.col("id")
+    raw = F.concat(
+        F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("EX"), (i % 50).cast("string"), F.lit(".EXAMPLE.ORG")),
+        ).otherwise(
+            F.concat(F.lit("ex"), (i % 50).cast("string"), F.lit(".example.org"))
+        ),
+        F.when(i % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (i % 200).cast("string"),
+        F.when(i % 5 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(i % 5 == 1, F.lit("?a=1&b=2"))
+        .when(i % 5 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.concat(F.lit("#sec"), i.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        spark.range(n)
+        .select(raw.alias("raw"))
+        .groupBy(canonicalize_url(F.col("raw")).alias("canonical_url"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.countDistinct("raw").alias("n_distinct_raw"),
+            F.min("raw").alias("min_raw"),
+        )
+    )
+
+
 def _pagerank_oracle(n: int) -> str:
     """DuckDB replay of the 5-round integer PageRank fixpoint over the
     deterministic corpus's entity co-mention graph: regenerate the
@@ -3400,6 +3474,7 @@ _VERIFY_FIRST = [
     "sparql_nps_exec",
     "sparql_group_concat",
     "kg_entity_pagerank",
+    "docs_url_canonical",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
@@ -3407,7 +3482,6 @@ _VERIFY_FIRST = [
     "rdf_filter_object",
     "rdf_filter_subject_predicate",
     "rdf_filter_predicate_object",
-    "rdf_blank_nodes",
 ]
 
 

@@ -1,0 +1,52 @@
+"""URL canonicalization — the crawl-pipeline step before exact dedup.
+
+Beyond-reference corpus operator: a crawl sees the same resource under
+many spellings (scheme/host case, default ports, tracking params,
+fragments, query-param order). Canonicalizing before the URL-keyed
+dedup/groupBy is what makes "one row per page" true at 100 TB — and it
+is a pure narrow projection (JVM string/array built-ins, zero shuffle,
+whole-stage codegen), so it composes into any scan for free.
+
+Rules (the common subset of the Google/Moz canonicalization guidance):
+
+1. drop the ``#fragment``
+2. lowercase scheme and host
+3. strip default ports ``:80`` / ``:443``
+4. drop ``utm*`` tracking parameters
+5. sort the surviving query parameters (param order is not semantic)
+
+Per-element lambdas here are trivial (one ``startswith`` per param) —
+the interpreted-HOF lesson (`functions/text.py::word_shingles`) only
+forbids non-trivial expressions inside the lambda.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute ``scheme://host[:port]/path[?q]``
+    URL as a single Column expression."""
+    no_frag = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    rest = F.substring_index(no_frag, "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    host = F.regexp_replace(F.lower(hostport), ":(443|80)$", "")
+    # everything after the host: path + optional query
+    path_q = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 30))
+    path = F.substring_index(path_q, "?", 1)
+    query = F.when(
+        path_q.contains("?"), F.substring_index(path_q, "?", -1)
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"), lambda p: ~p.startswith("utm")
+    )
+    q_canon = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q_canon != "", F.concat(F.lit("?"), q_canon)).otherwise(F.lit("")),
+    )

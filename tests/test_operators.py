@@ -618,3 +618,23 @@ def test_comention_edges_symmetric_no_self_loops(spark):
         ["url", "entity_iri"])
     pairs = {(r.src, r.dst) for r in comention_edges(links).collect()}
     assert pairs == {("E1", "E2"), ("E2", "E1"), ("E2", "E3"), ("E3", "E2")}
+
+
+def test_canonicalize_url_rules(spark):
+    from rdf_rs_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTPS://EX3.EXAMPLE.ORG:443/page/7?utm_source=x&b=2&a=1#frag",
+         "https://ex3.example.org/page/7?a=1&b=2"),
+        ("http://Host.COM:80/p", "http://host.com/p"),
+        ("https://h.com:8080/p", "https://h.com:8080/p"),  # non-default port kept
+        ("https://h.com/p?b=2&a=1", "https://h.com/p?a=1&b=2"),
+        ("https://h.com/p?utm_campaign=z", "https://h.com/p"),
+        ("https://h.com/p", "https://h.com/p"),
+        ("https://h.com/p#only-frag", "https://h.com/p"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], ["raw"])
+    out = df.select("raw", canonicalize_url(F.col("raw")).alias("c")).collect()
+    expected = dict(cases)
+    for r in out:
+        assert r.c == expected[r.raw], (r.raw, r.c)
