@@ -2598,6 +2598,29 @@ def corpus_token_histogram(spark, sf_dir):
 
 
 @q(
+    "corpus_inverted_index",
+    """SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf,
+         array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',') AS postings_head
+       FROM (
+         SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                ELSE regexp_split_to_array(trim(text), '\\s+') END) AS tok
+         FROM documents)
+       GROUP BY tok""",
+)
+def corpus_inverted_index(spark, sf_dir):
+    """Inverted-index construction (beyond-reference retrieval step):
+    token → (document frequency, term frequency, sorted posting-list
+    head). One map-side-combining aggregate; the posting HEAD bounds
+    the per-token row so a hot token cannot produce a gigabyte-scale
+    reducer row at 100 TB. Deterministic (sorted set, fixed slice), so
+    the DuckDB oracle replays it exactly."""
+    from .operators.corpus import inverted_index
+
+    d = _t(spark, sf_dir, "documents")
+    return inverted_index(d, F.col("text"))
+
+
+@q(
     "corpus_top_docs_per_domain",
     f"""WITH scored AS (
       SELECT source, doc_id, floor(1000 * (
@@ -3475,13 +3498,13 @@ _VERIFY_FIRST = [
     "sparql_group_concat",
     "kg_entity_pagerank",
     "docs_url_canonical",
+    "corpus_inverted_index",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
     "rdf_filter_predicate",
     "rdf_filter_object",
     "rdf_filter_subject_predicate",
-    "rdf_filter_predicate_object",
 ]
 
 

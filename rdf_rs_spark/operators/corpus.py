@@ -276,3 +276,35 @@ def domain_stats(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.floor(F.avg("q_e3")).cast("bigint").alias("mean_quality_e3"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text: Column,
+    id_col: str = "doc_id",
+    postings_head: int = 20,
+) -> DataFrame:
+    """Inverted index over the corpus: per token, document frequency,
+    total term frequency, and the head of the (numerically sorted)
+    posting list — the retrieval/BM25 building block and the join side
+    of sparse-retrieval training data.
+
+    Shape at 100 TB: the token-stream shuffle is inherent (a posting
+    list is a global per-token object); partial aggregation combines
+    map-side, and the posting HEAD (not the full list) bounds the
+    reducer-side row to ``postings_head`` ids — the full list per hot
+    token ("the") would otherwise be a gigabyte-scale single row. The
+    head is deterministic (sorted set, fixed slice), so the operator is
+    value-stable across partitionings.
+    """
+    from ..functions.text import tokens_col
+
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok"))
+    return toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, postings_head),
+            ",",
+        ).alias("postings_head"),
+    )

