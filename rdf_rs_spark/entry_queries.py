@@ -3369,6 +3369,48 @@ def _pagerank_oracle(n: int) -> str:
     SELECT node AS entity, rank_e6 FROM r5"""
 
 
+def _triangle_oracle(n: int) -> str:
+    """DuckDB replay of per-node triangle counts over the regenerated
+    co-mention graph: same ordered 3-way self-join (a < b < c), same
+    corner crediting — integer counts, order-independent."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    eo AS (SELECT src, dst FROM edges WHERE src < dst),
+    tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+            FROM eo ab
+            JOIN eo bc ON ab.dst = bc.src
+            JOIN eo ac ON ac.src = ab.src AND ac.dst = bc.dst),
+    corners AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+    SELECT node, count(*) AS triangles FROM corners GROUP BY node"""
+
+
+@q("kg_comention_triangles", _triangle_oracle(2000))
+def kg_comention_triangles(spark, sf_dir):
+    """Per-entity triangle counts over the co-mention graph
+    (beyond-reference graph analytics — local clustering signal used to
+    separate hub entities from clique entities). Ordered 3-way
+    self-join (``operators/pagerank.py::triangle_count``): each
+    triangle enumerated once as a < b < c, then each corner credited —
+    equi-joins only, never an all-pairs product."""
+    from .linking import link_mentions
+    from .operators.pagerank import comention_edges, triangle_count
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return triangle_count(comention_edges(links))
+
+
 @q("kg_entity_pagerank", _pagerank_oracle(2000))
 def kg_entity_pagerank(spark, sf_dir):
     """Entity-salience PageRank over the KG's co-mention graph
@@ -3499,12 +3541,12 @@ _VERIFY_FIRST = [
     "kg_entity_pagerank",
     "docs_url_canonical",
     "corpus_inverted_index",
+    "kg_comention_triangles",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
     "rdf_filter_predicate",
     "rdf_filter_object",
-    "rdf_filter_subject_predicate",
 ]
 
 

@@ -108,3 +108,32 @@ def comention_edges(links: DataFrame, id_col: str = "url", entity_col: str = "en
         .distinct()
     )
     return pairs
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph given as a
+    directed edge relation (both directions present, no self-loops —
+    exactly what :func:`comention_edges` emits).
+
+    The classic ordered 3-way self-join: enumerate each triangle once
+    as ``a < b < c`` (string order), then credit each corner. Ordering
+    the intermediate wedge by ``a < b < c`` keeps the join from
+    exploding on high-degree hubs twice over — the standard
+    degree-ordering trick; at 100 TB one would additionally orient
+    edges by (degree, id) to cap wedge fan-out on power-law graphs,
+    which this synthetic circulant does not need.
+
+    Integer counts → order-independent → value-stable across
+    partitionings and SQL-replayable.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") < F.col("dst"))
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select("b"))
+        .union(tri.select("c"))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("triangles"))

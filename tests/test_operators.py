@@ -638,3 +638,24 @@ def test_canonicalize_url_rules(spark):
     expected = dict(cases)
     for r in out:
         assert r.c == expected[r.raw], (r.raw, r.c)
+
+
+def test_triangle_count_hand_computed(spark):
+    """K4 minus one edge = 2 triangles sharing an edge: the two shared
+    corners sit in 2 triangles each, the outer corners in 1."""
+    from rdf_rs_spark.operators.pagerank import triangle_count
+
+    und = [("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    out = {r.node: r.triangles for r in triangle_count(edges).collect()}
+    assert out == {"A": 1, "B": 2, "C": 2, "D": 1}
+
+
+def test_triangle_count_empty_on_triangle_free_graph(spark):
+    from rdf_rs_spark.operators.pagerank import triangle_count
+
+    und = [("A", "B"), ("B", "C"), ("C", "D")]  # a path: no triangles
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    assert triangle_count(edges).count() == 0
