@@ -131,3 +131,45 @@ def test_simhash_band_collision_guarantee(words, flip):
     bands_a = [(a >> (16 * i)) & 0xFFFF for i in range(4)]
     bands_b = [(b >> (16 * i)) & 0xFFFF for i in range(4)]
     assert sum(x == y for x, y in zip(bands_a, bands_b)) == 3
+
+
+def test_canonicalize_url_grid_vs_python_reference(spark):
+    """Exhaustive grid over URL component variants (scheme case x host
+    case x port x query x fragment), checked against an independent
+    pure-Python canonicalizer implementing the same five rules — the
+    Spark expression must agree on every combination."""
+    from rdf_rs_spark.functions.urls import canonicalize_url
+    from pyspark.sql import functions as F
+
+    def py_canon(u):
+        u = u.split("#", 1)[0]
+        scheme, rest = u.split("://", 1)
+        hostport, sep, path_q = rest.partition("/")
+        host = hostport.lower()
+        for p in (":443", ":80"):
+            if host.endswith(p):
+                host = host[: -len(p)]
+        path_q = sep + path_q
+        path, qsep, q = path_q.partition("?")
+        params = [p for p in q.split("&") if not p.startswith("utm")]
+        qc = "&".join(sorted(params)) if qsep else ""
+        return f"{scheme.lower()}://{host}{path}" + (f"?{qc}" if qc else "")
+
+    schemes = ["https", "HTTPS", "http", "hTTp"]
+    hosts = ["ex.org", "EX.ORG", "Sub.Ex.Org"]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["/", "/a/b", "/page/7"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_x=1&a=1", "?utm_x=1", "?z=3&utm_y=2&a=1"]
+    frags = ["", "#x", "#sec/9?fake=1"]
+    urls = [
+        s + "://" + h + po + pa + q + f
+        for s in schemes for h in hosts for po in ports
+        for pa in paths for q in queries for f in frags
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["raw"])
+    got = {
+        r.raw: r.c
+        for r in df.select("raw", canonicalize_url(F.col("raw")).alias("c")).collect()
+    }
+    bad = [(u, got[u], py_canon(u)) for u in urls if got[u] != py_canon(u)]
+    assert not bad, bad[:5]
