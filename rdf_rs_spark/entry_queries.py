@@ -2222,14 +2222,15 @@ def corpus_curation_pipeline(spark, sf_dir):
     language filter → quality floor → repetition cap → near-dup
     drop-list anti-join. Every stage is an operator registered above;
     this entry pins their composition. Scale shape: per-doc scores are
-    narrow; the only joins are doc_id-keyed (rep) and an anti-join
-    against the tiny drop list (AQE broadcasts it)."""
+    narrow and INLINE — the repetition Arrow kernel runs on the rows
+    that already passed the lang/quality filters (no full-corpus score
+    + doc_id join-back); the only join is the anti-join against the
+    tiny drop list (AQE broadcasts it)."""
     from .operators.components import neardup_clusters
-    from .operators.corpus import repetition_score_e3
+    from .operators.corpus import repetition_e3_col
     from .operators.dedup import dedup_minhash_lsh as _mh
 
     d = _t(spark, sf_dir, "documents")
-    rep = repetition_score_e3(d, F.col("text"), k=2)
     drop = (
         neardup_clusters(_mh(d, F.col("text"), jaccard_threshold=0.5))
         .filter(~F.col("keep"))
@@ -2239,11 +2240,14 @@ def corpus_curation_pipeline(spark, sf_dir):
         d.filter(F.col("lang") == "en")
         .select(
             "doc_id",
+            "text",
             token_count(F.col("text")).alias("n_tokens"),
             quality_score_e3(F.col("text")).alias("quality_e3"),
         )
         .filter(F.col("quality_e3") >= 450)
-        .join(rep, "doc_id", "left")
+        # NULL below k tokens == absent row in the old join-back form:
+        # both coalesce to 0 and survive the cap
+        .withColumn("rep_e3", repetition_e3_col(F.col("text"), k=2))
         .filter(F.coalesce(F.col("rep_e3"), F.lit(0)) <= 150)
         .join(drop, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality_e3")

@@ -48,6 +48,19 @@ def repetition_of(t, k: int = 2):
     return max(counts.values()) * k * 1000 // n
 
 
+def repetition_e3_col(text: Column, k: int = 2) -> Column:
+    """The repetition score as a scalar Arrow-UDF COLUMN (NULL below k
+    tokens) — composable inline into an already-filtered projection, so
+    a curation pass can score only the surviving rows instead of
+    computing over the full corpus and joining back on doc_id."""
+
+    @pandas_udf(T.LongType())
+    def _rep(texts: pd.Series) -> pd.Series:
+        return pd.Series([repetition_of(t, k) for t in texts], dtype="Int64")
+
+    return _rep(text)
+
+
 def repetition_score_e3(
     df: DataFrame, text: Column, k: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -57,14 +70,9 @@ def repetition_score_e3(
 
     Documents with fewer than ``k`` tokens produce no grams and are
     absent from the output (they cannot be repetitive)."""
-
-    @pandas_udf(T.LongType())
-    def _rep(texts: pd.Series) -> pd.Series:
-        return pd.Series([repetition_of(t, k) for t in texts], dtype="Int64")
-
-    return df.select(F.col(id_col), _rep(text).alias("rep_e3")).filter(
-        F.col("rep_e3").isNotNull()
-    )
+    return df.select(
+        F.col(id_col), repetition_e3_col(text, k).alias("rep_e3")
+    ).filter(F.col("rep_e3").isNotNull())
 
 
 def decontaminate(

@@ -157,14 +157,20 @@ def test_pack_sequences_single_exchange(spark):
 
 
 def test_curation_pipeline_join_shapes(spark):
-    """The curation pass joins the corpus twice: the tiny near-dup drop
-    list must come in as a broadcast (anti) join; the corpus-sized
-    repetition join may sort-merge. No more than 3 hash exchanges."""
+    """The curation pass must contain exactly ONE join: the anti-join
+    against the tiny near-dup drop list (AQE broadcasts it at runtime —
+    the drop list's stats sit behind a checkpointed RDD, so the static
+    plan may show sort-merge). The repetition score is INLINE on the
+    filtered stream — a second, corpus-sized doc_id join here would be
+    a regression. No more than 3 hash exchanges."""
     import __spark_entry__ as entry_mod
 
     df = entry_mod.queries()["corpus_curation_pipeline"](spark, SF)
     plan = explain_str(df, "simple")
-    assert "BroadcastHashJoin" in plan
+    joins = sum(plan.count(j) for j in
+                ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, plan
+    assert "LeftAnti" in plan
     assert count_exchanges(df) <= 3
 
 
