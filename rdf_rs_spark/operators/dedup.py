@@ -198,6 +198,10 @@ def minhash_band_table(
     def _bands(shingle_arrays: pd.Series) -> pd.Series:
         import hashlib
 
+        # shingles repeat heavily ACROSS documents (shared boilerplate,
+        # common phrases); memoizing the digest per Arrow batch trades a
+        # dict probe for an md5 — same digests, deterministic
+        memo: dict = {}
         out = []
         for sh in shingle_arrays:
             if len(sh) == 0:
@@ -208,7 +212,10 @@ def minhash_band_table(
                 continue
             mins: List = [None] * 16
             for s in sh:
-                h = hashlib.md5(("seed:" + s).encode("utf-8")).hexdigest()
+                h = memo.get(s)
+                if h is None:
+                    h = hashlib.md5(("seed:" + s).encode("utf-8")).hexdigest()
+                    memo[s] = h
                 b = int(h[0], 16)
                 if mins[b] is None or h < mins[b]:
                     mins[b] = h
