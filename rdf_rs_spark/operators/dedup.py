@@ -311,7 +311,7 @@ def dedup_ngram_jaccard(
 # ----------------------------------------------------------- SimHash ------
 
 
-def simhash_of(t) -> int:
+def simhash_of(t, _memo=None) -> int:
     """Pure per-document 64-bit SimHash (int64 range); the kernel body,
     exposed for property tests. The per-token 64-bit hash is the leading
     16 hex chars of md5 — replayable in any ANSI-SQL engine (DuckDB:
@@ -324,19 +324,36 @@ def simhash_of(t) -> int:
     which also splits Unicode whitespace and would silently diverge
     from any SQL oracle on e.g. a non-breaking space."""
     import hashlib
+    from collections import Counter
 
     from .corpus import _TOKEN_RE
 
     toks = _TOKEN_RE.findall(t) if t else []
     if not toks:
         return 0
-    hs = np.fromiter(
-        (int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16) for tok in toks),
-        dtype=np.uint64,
-        count=len(toks),
-    )
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-    acc = (2 * bits - 1).sum(axis=0)
+    # accumulate per UNIQUE token weighted by its count: integer
+    # addition is commutative, so the per-bit sums are bit-identical to
+    # the per-occurrence form while hashing each distinct token once
+    cnt = Counter(toks)
+    uniq = list(cnt)
+    if _memo is None:
+        hs_iter = (
+            int(hashlib.md5(u.encode("utf-8")).hexdigest()[:16], 16) for u in uniq
+        )
+    else:
+
+        def _h(u):
+            v = _memo.get(u)
+            if v is None:
+                v = int(hashlib.md5(u.encode("utf-8")).hexdigest()[:16], 16)
+                _memo[u] = v
+            return v
+
+        hs_iter = (_h(u) for u in uniq)
+    hs = np.fromiter(hs_iter, dtype=np.uint64, count=len(uniq))
+    w = np.fromiter((cnt[u] for u in uniq), dtype=np.int64, count=len(uniq))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
     sig = np.uint64(0)
     for b in np.nonzero(acc > 0)[0]:
         sig |= np.uint64(1) << np.uint64(b)
@@ -346,9 +363,12 @@ def simhash_of(t) -> int:
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched; numpy
-    bit-parallel per document — no per-row Python loops over bits)."""
+    bit-parallel per document — no per-row Python loops over bits).
+    Token digests are memoized per batch (vocabulary repeats heavily
+    across documents)."""
+    memo: dict = {}
     return pd.Series(
-        [simhash_of(t) for t in texts], dtype="int64"
+        [simhash_of(t, _memo=memo) for t in texts], dtype="int64"
     )
 
 
