@@ -3373,6 +3373,49 @@ def _pagerank_oracle(n: int) -> str:
     SELECT node AS entity, rank_e6 FROM r5"""
 
 
+def _bfs_oracle(n: int) -> str:
+    """DuckDB replay of BFS distance labels from the famous entity over
+    the regenerated co-mention graph: a recursive CTE with set-semantics
+    UNION (states bounded by nodes x depth) and a min(dist) rollup —
+    the frontier expansion's first-arrival distance is exactly that
+    min."""
+    return f"""WITH RECURSIVE p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    bfs AS (
+      SELECT 'http://kg.example.org/entity/E0' AS node, 0::BIGINT AS dist
+      UNION
+      SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < 20)
+    SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY node"""
+
+
+@q("kg_entity_bfs_levels", _bfs_oracle(2000))
+def kg_entity_bfs_levels(spark, sf_dir):
+    """BFS distance labels from the famous entity over the co-mention
+    graph (beyond-reference graph analytics — hop-distance features for
+    entity importance / crawl frontier priority). Frontier-style
+    semi-naive expansion (``operators/pagerank.py::bfs_levels``): each
+    round shuffles only the frontier, not the visited closure."""
+    from .linking import link_mentions
+    from .operators.pagerank import bfs_levels, comention_edges
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    seeds = spark.createDataFrame(
+        [("http://kg.example.org/entity/E0",)], ["node"]
+    )
+    return bfs_levels(comention_edges(links), seeds, max_iters=20)
+
+
 def _triangle_oracle(n: int) -> str:
     """DuckDB replay of per-node triangle counts over the regenerated
     co-mention graph: same ordered 3-way self-join (a < b < c), same
@@ -3546,11 +3589,11 @@ _VERIFY_FIRST = [
     "docs_url_canonical",
     "corpus_inverted_index",
     "kg_comention_triangles",
+    "kg_entity_bfs_levels",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
     "rdf_filter_predicate",
-    "rdf_filter_object",
 ]
 
 

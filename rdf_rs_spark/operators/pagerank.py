@@ -137,3 +137,39 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .union(tri.select("c"))
     )
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
+
+
+def bfs_levels(edges: DataFrame, seeds: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Breadth-first distance labels from a seed set: ``(node, dist)``
+    for every node reachable from ``seeds`` (a one-column DataFrame),
+    ``dist`` = fewest hops (seeds are 0).
+
+    Frontier-style semi-naive expansion: each round joins ONLY the new
+    frontier against the edge relation and anti-joins already-visited
+    nodes — the per-round shuffle is proportional to the frontier, not
+    the visited set, which is what keeps a 20-round crawl of a
+    10^9-node graph from re-shuffling the whole closure each round
+    (same discipline as ``operators/paths.py``'s seeded closures).
+    ``localCheckpoint`` per round truncates the iterative lineage.
+    Integer distances → order-independent → SQL-replayable via a
+    recursive CTE with ``min(dist)``.
+    """
+    e = edges.select("src", "dst")
+    visited = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_iters):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

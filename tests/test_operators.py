@@ -659,3 +659,30 @@ def test_triangle_count_empty_on_triangle_free_graph(spark):
     edges = spark.createDataFrame(
         und + [(b, a) for a, b in und], ["src", "dst"])
     assert triangle_count(edges).count() == 0
+
+
+def test_bfs_levels_hand_computed(spark):
+    """Path A-B-C-D plus shortcut A-C: dist(A)=0, B=1, C=1 (shortcut
+    beats the 2-hop path), D=2; X disconnected -> absent."""
+    from rdf_rs_spark.operators.pagerank import bfs_levels
+
+    und = [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C"), ("X", "Y")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    seeds = spark.createDataFrame([("A",)], ["node"])
+    out = {r.node: r.dist for r in bfs_levels(edges, seeds).collect()}
+    assert out == {"A": 0, "B": 1, "C": 1, "D": 2}
+
+
+def test_bfs_levels_multi_seed_and_cap(spark):
+    from rdf_rs_spark.operators.pagerank import bfs_levels
+
+    und = [("A", "B"), ("B", "C"), ("C", "D")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    seeds = spark.createDataFrame([("A",), ("D",)], ["node"])
+    out = {r.node: r.dist for r in bfs_levels(edges, seeds).collect()}
+    assert out == {"A": 0, "D": 0, "B": 1, "C": 1}
+    capped = {r.node: r.dist for r in bfs_levels(
+        edges, spark.createDataFrame([("A",)], ["node"]), max_iters=1).collect()}
+    assert capped == {"A": 0, "B": 1}
