@@ -1050,3 +1050,59 @@ def test_group_concat_distinct(spark, triples):
 def test_unknown_function_rejected(spark):
     with pytest.raises(ValueError, match="unsupported"):
         parse_sparql('SELECT ?s { ?s ?p ?o . FILTER (FNORD(?o) = 1) }')
+
+
+def test_nquads_roundtrip_fuzz(spark):
+    """Seeded random quads — unicode, lang tags, datatypes, blank
+    subjects/objects, named/blank/default graphs — must survive
+    write → parse exactly (the codec-symmetry property at fuzz depth).
+
+    Domain note (reference parity, not a gap): both parsers keep
+    literal lexical forms VERBATIM as written — escape sequences are
+    not decoded on read, exactly like the reference's lexer — so the
+    write→parse identity holds on the clean lexical space (no raw
+    quote/backslash/control characters), which is where the pipeline's
+    literals live. escape_debug's handling of the specials themselves
+    is pinned byte-exactly in test_reference_conformance."""
+    import random
+
+    from rdf_rs_spark.sources.nquads import parse_nquads_lines
+    from rdf_rs_spark.writers.ntriples import nq_lines
+
+    rng = random.Random(20260817)
+    # clean lexical space only: no quote/backslash/control chars AND no
+    # apostrophe (the reference's escape_debug escapes \' — a pinned
+    # non-standard quirk, covered by the conformance suite)
+    lits = ["v", "", "two words", "uni‑çödé ☃", "it4", "end.",
+            "a,b;c", "x  y", "<angle>", "100%", "q?=p&r"]
+    rows = []
+    for i in range(300):
+        subj = rng.choice([f"http://s.org/{rng.randrange(30)}", f"_:b{rng.randrange(9)}"])
+        pred = f"http://p.org/{rng.randrange(12)}"
+        r = rng.random()
+        if r < 0.35:
+            kind, lex, dt, lang = 0, f"http://o.org/{rng.randrange(30)}", None, None
+        elif r < 0.5:
+            kind, lex, dt, lang = 1, f"o{rng.randrange(9)}", None, None
+        elif r < 0.7:
+            kind, lex, dt, lang = 2, rng.choice(lits), None, None
+        elif r < 0.85:
+            kind, lex, dt, lang = 2, rng.choice(lits), None, rng.choice(["en", "de-AT"])
+        else:
+            kind, lex, dt, lang = (
+                2, str(rng.randrange(1000)),
+                "http://www.w3.org/2001/XMLSchema#integer", None)
+        graph = rng.choice([None, f"http://g.org/{rng.randrange(4)}", f"_:g{rng.randrange(3)}"])
+        rows.append((subj, pred, kind, lex, dt, lang, graph))
+    quads = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    back = parse_nquads_lines(nq_lines(quads), "value")
+    from collections import Counter
+
+    got = Counter(map(tuple, back.collect()))
+    want = Counter(map(tuple, quads.collect()))
+    assert sum(got.values()) == sum(want.values())
+    assert got == want
