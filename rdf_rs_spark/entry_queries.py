@@ -2785,6 +2785,29 @@ def rdf_graph_stats(spark, sf_dir):
 
 
 @q(
+    "rdf_void_description",
+    TRIPLES_CTE
+    + f"""SELECT 'dataset' AS kind, '' AS key, count(*) AS n_triples,
+         count(DISTINCT subj) AS n_distinct_subjects FROM triples
+       UNION ALL
+       SELECT 'class', obj_lex, count(*), count(DISTINCT subj)
+       FROM triples WHERE pred = '{RDF_TYPE}' GROUP BY obj_lex
+       UNION ALL
+       SELECT 'property', pred, count(*), count(DISTINCT subj)
+       FROM triples GROUP BY pred""",
+)
+def rdf_void_description(spark, sf_dir):
+    """VoID dataset description (W3C; beyond-reference summary surface):
+    the dataset row plus class and property partitions with triple and
+    distinct-subject counts — what a publisher ships next to a dump and
+    what a planner reads instead of scanning 100 TB
+    (``operators/void.py``)."""
+    from .operators.void import void_description
+
+    return void_description(_triples(spark, sf_dir))
+
+
+@q(
     "rdf_turtle_parse_inline_bnode",
     """WITH n AS (SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name FROM nation)
     SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, src_url FROM (
@@ -3590,10 +3613,10 @@ _VERIFY_FIRST = [
     "corpus_inverted_index",
     "kg_comention_triangles",
     "kg_entity_bfs_levels",
+    "rdf_void_description",
     # round-1-only greens, oldest evidence first
     "kg_triples_materialize",
     "rdf_filter_subject",
-    "rdf_filter_predicate",
 ]
 
 

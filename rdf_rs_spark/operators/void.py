@@ -1,0 +1,56 @@
+"""VoID dataset statistics (W3C Vocabulary of Interlinked Datasets).
+
+Beyond-reference analytics: a VoID description is the standard summary
+an RDF publisher ships next to a dataset — total triples, distinct
+subjects/objects, class partitions (per ``rdf:type`` object) and
+property partitions (per predicate). The reference stores triples but
+has no summary surface; at 100 TB this is also what a query planner
+and a curation dashboard read instead of scanning the graph.
+
+One narrow pass per partition kind (three map-side-combining
+aggregates over the same scan, unioned) — Spark schedules the shared
+scan once per aggregate; a grouping-sets formulation would widen every
+row instead. All outputs are integer counts → value-stable and
+SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..terms import RDF_TYPE
+
+
+def void_description(triples: DataFrame) -> DataFrame:
+    """``(kind, key, n_triples, n_distinct_subjects)`` rows: one
+    ``dataset`` row, one ``class`` row per ``rdf:type`` object, one
+    ``property`` row per predicate."""
+    dataset = triples.agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subj").alias("n_distinct_subjects"),
+    ).select(
+        F.lit("dataset").alias("kind"),
+        F.lit("").alias("key"),
+        "n_triples",
+        "n_distinct_subjects",
+    )
+    classes = (
+        triples.filter(F.col("pred") == RDF_TYPE)
+        .groupBy(F.col("obj_lex").alias("key"))
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("subj").alias("n_distinct_subjects"),
+        )
+        .select(F.lit("class").alias("kind"), "key", "n_triples", "n_distinct_subjects")
+    )
+    properties = (
+        triples.groupBy(F.col("pred").alias("key"))
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("subj").alias("n_distinct_subjects"),
+        )
+        .select(
+            F.lit("property").alias("kind"), "key", "n_triples", "n_distinct_subjects"
+        )
+    )
+    return dataset.unionByName(classes).unionByName(properties)
