@@ -686,3 +686,46 @@ def test_bfs_levels_multi_seed_and_cap(spark):
     capped = {r.node: r.dist for r in bfs_levels(
         edges, spark.createDataFrame([("A",)], ["node"]), max_iters=1).collect()}
     assert capped == {"A": 0, "B": 1}
+
+
+def test_wav_decode_real_parse(spark):
+    """Hand-built 16-bit PCM WAV (non-uniform samples) through the REAL
+    stdlib-wave decoder: header fields and sample aggregates must match
+    the numpy ground truth."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import decode_wav_features
+
+    samples = np.array([0, 5, -3, -3, 7, -7, 2], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    df = spark.createDataFrame(
+        [("m1", bytearray(buf.getvalue()))], "media_id string, payload binary")
+    r = decode_wav_features(df).collect()[0]
+    assert (r.n_channels, r.sample_rate, r.n_samples) == (1, 16000, 7)
+    assert r.peak == 7 and r.sum_abs == 27 and r.n_transitions == 5
+
+
+def test_ppm_decode_gradient(spark):
+    """Non-constant 2x3 PPM through the REAL decoder: per-channel sums
+    must equal the numpy ground truth (catches stride/layout bugs a
+    solid image cannot)."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import decode_ppm_features
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(3, 2, 3)  # h=3, w=2
+    payload = b"P6\n2 3\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [("img", bytearray(payload))], "media_id string, payload binary")
+    r = decode_ppm_features(df).collect()[0]
+    sums = px.astype(int).sum(axis=(0, 1))
+    assert (r.width, r.height) == (2, 3)
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
