@@ -2785,6 +2785,60 @@ def rdf_graph_stats(spark, sf_dir):
 
 
 @q(
+    "rdf_graph_diff",
+    TRIPLES_CTE
+    + """SELECT 'added' AS change,
+         'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'http://kg.example.org/status' AS pred, 2::TINYINT AS obj_kind,
+         'S' || CAST(n_nationkey % 3 AS VARCHAR) AS obj_lex,
+         CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+       FROM nation
+       UNION ALL
+       SELECT 'removed',
+         'http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         'http://kg.example.org/name', 2::TINYINT, c_name,
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       FROM customer WHERE c_custkey % 100 = 0""",
+)
+def rdf_graph_diff(spark, sf_dir):
+    """Snapshot diff between two graph versions (beyond-reference CDC
+    primitive — the change feed a graph-table maintenance job publishes
+    between snapshots): two null-safe anti-joins over deduplicated
+    sides (``graph.py::RdfGraph.diff``). The new snapshot drops every
+    100th customer's name triple and adds a status triple per nation;
+    both perturbations regenerate in SQL."""
+    old = RdfGraph(_triples(spark, sf_dir))
+    nation = _t(spark, sf_dir, "nation")
+    status = nation.select(
+        F.concat(
+            F.lit("http://kg.example.org/nation/"),
+            F.col("n_nationkey").cast("string"),
+        ).alias("subj"),
+        F.lit("http://kg.example.org/status").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit("S"), (F.col("n_nationkey") % 3).cast("string")).alias(
+            "obj_lex"
+        ),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    new = (
+        old.df.filter(
+            ~(
+                (F.col("pred") == "http://kg.example.org/name")
+                & F.col("subj").startswith("http://kg.example.org/customer/")
+                & (
+                    F.substring_index(F.col("subj"), "/", -1).cast("long") % 100
+                    == 0
+                )
+            )
+        )
+        .unionByName(status)
+    )
+    return old.diff(new)
+
+
+@q(
     "rdf_void_description",
     TRIPLES_CTE
     + f"""SELECT 'dataset' AS kind, '' AS key, count(*) AS n_triples,
@@ -3634,9 +3688,9 @@ _VERIFY_FIRST = [
     "docs_stratified_sample",
     "ann_ivf_seeded_topk",
     "streaming_batch_body",
-    # changed this round
+    # changed this round (ann_ivf_topk rotated OUT: rows-only check,
+    # r1∪r2 evidence stands; its value gate is ann_ivf_seeded_topk)
     "kg_pipeline_e2e",
-    "ann_ivf_topk",
     "kg_graph_pr_gate",
     "rdf_bgp_join",
     "rdf_bgp_optional",
@@ -3675,6 +3729,7 @@ _VERIFY_FIRST = [
     "rdf_void_description",
     "multimodal_wav_decode",
     "multimodal_ppm_decode",
+    "rdf_graph_diff",
 ]
 
 

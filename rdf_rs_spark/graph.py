@@ -98,6 +98,28 @@ class RdfGraph:
     def deduplicate(self) -> "RdfGraph":
         return RdfGraph(self.df.dropDuplicates(TRIPLE_COLS), self.base_uri, self.namespaces)
 
+    def diff(self, other: DataFrame) -> DataFrame:
+        """Snapshot diff (set semantics; beyond-reference CDC primitive
+        for graph-table maintenance): triples only in ``other`` tagged
+        ``added``, triples only in this graph tagged ``removed`` — two
+        null-safe anti-joins over deduplicated sides. At scale both
+        sides shuffle once on the full triple key; on a bucketed graph
+        table the anti-joins co-locate for free."""
+        mine = self.df.dropDuplicates(TRIPLE_COLS)
+        theirs = other.select(*TRIPLE_COLS).dropDuplicates(TRIPLE_COLS)
+
+        def _anti(a: DataFrame, b: DataFrame) -> DataFrame:
+            cond = [a[c].eqNullSafe(b[c]) for c in TRIPLE_COLS]
+            return a.join(b, cond, "left_anti")
+
+        added = _anti(theirs, mine).select(
+            F.lit("added").alias("change"), *TRIPLE_COLS
+        )
+        removed = _anti(mine, theirs).select(
+            F.lit("removed").alias("change"), *TRIPLE_COLS
+        )
+        return added.unionByName(removed)
+
     # -- cardinality ---------------------------------------------------------
 
     def count(self) -> int:
