@@ -1106,3 +1106,23 @@ def test_nquads_roundtrip_fuzz(spark):
     want = Counter(map(tuple, quads.collect()))
     assert sum(got.values()) == sum(want.values())
     assert got == want
+
+
+def test_nps_composes_in_sequence_path(spark, triples):
+    """§9.1 NPS as a step inside a sequence path: one hop over any
+    predicate except name/type, then a name hop — customer → nation →
+    name and nation → region → name chains survive; the blank address
+    hop dies (addresses have no name)."""
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?s ?n WHERE {
+             ?s !(ex:name|<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>)/ex:name ?n
+           }""",
+    )
+    rows = out.collect()
+    # every customer (150 at sf0.001) reaches its nation's name; every
+    # nation (25) its region's name; the blank address hop dies
+    assert len(rows) == 150 + 25
+    names = {r.n for r in rows}
+    assert "AFRICA" in names and any(n.startswith("NATION_") for n in names)
