@@ -704,6 +704,28 @@ _DD_MINHASH_CTES = f"""docs AS (
     )"""
 
 
+@q(
+    "dedup_containment_pairs",
+    f"""WITH {_DD_MINHASH_CTES}
+    SELECT id_a, id_b,
+      (1000 * len(list_intersect(sh_a, sh_b))) // least(len(sh_a), len(sh_b))
+        AS containment_e3
+    FROM pairs
+    WHERE (1000 * len(list_intersect(sh_a, sh_b))) // least(len(sh_a), len(sh_b)) >= 600""",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup / quote detection: shingle containment
+    ``|A∩B| / min(|A|,|B|)`` in integer milli-units over the same
+    MinHash band candidates as the Jaccard path
+    (``dedup.py::containment_pairs``) — catches a smaller document
+    substantially contained in a larger one, which Jaccard under-scores
+    when sizes differ."""
+    from .operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, F.col("text"), threshold_e3=600)
+
+
 @q("dedup_minhash_pairs", f"WITH {_DD_MINHASH_CTES}\n    SELECT id_a, id_b FROM verified")
 def dedup_minhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -3699,7 +3721,6 @@ _VERIFY_FIRST = [
     "sparql_union_exec",
     "sparql_filter_regex",
     "sparql_order_limit",
-    "sparql_select_star",
     "sparql_ask",
     "sparql_construct",
     "sparql_describe",
@@ -3730,6 +3751,7 @@ _VERIFY_FIRST = [
     "multimodal_wav_decode",
     "multimodal_ppm_decode",
     "rdf_graph_diff",
+    "dedup_containment_pairs",
 ]
 
 

@@ -246,6 +246,21 @@ def dedup_minhash_lsh(
     pair distinct, and the two verification joins back to the shingle
     sets — candidate pairs only, never the O(n²) cross product.
     """
+    verified = _minhash_candidate_pairs(df, text, id_col, shingle_k)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        verified.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def _minhash_candidate_pairs(
+    df: DataFrame, text: Column, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id_a, id_b, sh_a, sh_b) candidate pairs from the band self-join —
+    the shared front half of the Jaccard and containment verifiers."""
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(text, shingle_k).alias("shingles")
     ).filter(F.size("shingles") > 0)
@@ -262,13 +277,37 @@ def dedup_minhash_lsh(
     )
     a = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text: Column,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_e3: int = 600,
+) -> DataFrame:
+    """ASYMMETRIC near-dup (quote / partial-copy detection): pairs with
+    shingle containment ``|A∩B| / min(|A|,|B|) ≥ τ`` — the smaller
+    document substantially contained in the larger, which Jaccard
+    misses when sizes differ. Integer milli-units (``DIV``) keep the
+    score float-free and engine-exact.
+
+    Candidates come from the same MinHash band self-join as the Jaccard
+    path, so RECALL follows resemblance: a tiny quote inside a huge
+    document may not band-collide — true high-asymmetry containment
+    search is the decontamination operator's broadcast gram probe
+    (``corpus.py::decontaminate``). This operator covers the near-dup
+    regime (comparable sizes, partial overlap)."""
+    verified = _minhash_candidate_pairs(df, text, id_col, shingle_k)
     return (
-        verified.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b")
+        verified.withColumn(
+            "__inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn("__small", F.least(F.size("sh_a"), F.size("sh_b")).cast("long"))
+        .withColumn("containment_e3", F.expr("(1000 * __inter) DIV __small"))
+        .filter(F.col("containment_e3") >= threshold_e3)
+        .select("id_a", "id_b", "containment_e3")
     )
 
 
