@@ -21,7 +21,8 @@ FILTER [NOT] EXISTS (§8.1.1, as top-level filters over plain
 triple-pattern groups), subqueries (§12), and the §17.4 function
 library over string-encoded bindings: STR / STRLEN / UCASE / LCASE /
 SUBSTR / CONCAT / REPLACE / STRBEFORE / STRAFTER / ABS / ROUND /
-FLOOR / CEIL / COALESCE / IF in value positions, CONTAINS /
+FLOOR / CEIL / COALESCE / IF and the §17.4.4 hash functions
+MD5 / SHA1 / SHA256 / SHA512 in value positions, CONTAINS /
 STRSTARTS / STRENDS / isBlank / BOUND / ``IN`` in boolean positions,
 and GROUP_CONCAT / SAMPLE aggregates. LANG() / DATATYPE() / isIRI /
 isLiteral are deliberately absent: solution bindings carry the
@@ -578,6 +579,8 @@ class _Parser:
         "SUBSTR": (2, 3), "CONCAT": (-1,), "REPLACE": (3,),
         "STRBEFORE": (2,), "STRAFTER": (2,), "ABS": (1,), "ROUND": (1,),
         "FLOOR": (1,), "CEIL": (1,), "COALESCE": (-1,), "IF": (3,),
+        # §17.4.4 hash functions — hex digests of the UTF-8 lexical form
+        "MD5": (1,), "SHA1": (1,), "SHA256": (1,), "SHA512": (1,),
     }
 
     def _at_fn(self, names) -> bool:
@@ -842,6 +845,14 @@ def _fn_column(name: str, args: List[tuple], df: DataFrame):
         return F.ceil(cols[0])
     if name == "COALESCE":
         return F.coalesce(*cols)
+    if name == "MD5":
+        return F.md5(cols[0].cast("string"))
+    if name == "SHA1":
+        return F.sha1(cols[0].cast("string"))
+    if name == "SHA256":
+        return F.sha2(cols[0].cast("string"), 256)
+    if name == "SHA512":
+        return F.sha2(cols[0].cast("string"), 512)
     raise ValueError(f"unsupported function {name}")
 
 

@@ -1126,3 +1126,24 @@ def test_nps_composes_in_sequence_path(spark, triples):
     assert len(rows) == 150 + 25
     names = {r.n for r in rows}
     assert "AFRICA" in names and any(n.startswith("NATION_") for n in names)
+
+
+def test_hash_functions_in_bind(spark, triples):
+    """§17.4.4 hash functions over the lexical form — verified against
+    Python hashlib on the same UTF-8 bytes."""
+    import hashlib
+
+    out = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?rn ?m ?s1 ?s256 WHERE {
+             ?r a ex:Region . ?r ex:name ?rn . FILTER (?rn = "ASIA")
+             BIND(MD5(?rn) AS ?m)
+             BIND(SHA1(?rn) AS ?s1)
+             BIND(SHA256(?rn) AS ?s256)
+           }""",
+    )
+    r = out.collect()[0]
+    assert r.m == hashlib.md5(b"ASIA").hexdigest()
+    assert r.s1 == hashlib.sha1(b"ASIA").hexdigest()
+    assert r.s256 == hashlib.sha256(b"ASIA").hexdigest()
