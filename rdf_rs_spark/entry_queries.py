@@ -3364,6 +3364,85 @@ def _kg_e2e_oracle(n: int) -> str:
     FROM allt"""
 
 
+def _jsonld_oracle(n: int) -> str:
+    """Closed-form replay of the expanded-form JSON-LD parse over the
+    index-synthesized documents: every triple is a pure function of i."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    allt AS (
+      SELECT 'http://kg.example.org/page' || i AS subj,
+             '{RDF_TYPE}' AS pred, 0::TINYINT AS obj_kind,
+             'http://kg.example.org/Article' AS obj_lex,
+             CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+             'd' || i AS src_url
+      FROM p
+      UNION ALL SELECT 'http://kg.example.org/page' || i,
+             'http://kg.example.org/topic', 2::TINYINT, 'topic' || (i % 13),
+             NULL, NULL, 'd' || i FROM p
+      UNION ALL SELECT 'http://kg.example.org/page' || i,
+             'http://kg.example.org/rank', 2::TINYINT, (i % 7)::VARCHAR,
+             'http://www.w3.org/2001/XMLSchema#integer', NULL, 'd' || i FROM p
+      UNION ALL SELECT 'http://kg.example.org/page' || i,
+             'http://kg.example.org/author', 0::TINYINT,
+             'http://kg.example.org/person/' || (i % 50), NULL, NULL, 'd' || i FROM p
+      UNION ALL SELECT 'http://kg.example.org/page' || i,
+             'http://kg.example.org/meta', 1::TINYINT, 'b0',
+             NULL, NULL, 'd' || i FROM p WHERE i % 4 = 0
+      UNION ALL SELECT '_:b0', 'http://kg.example.org/k', 2::TINYINT,
+             'v' || i, NULL, NULL, 'd' || i FROM p WHERE i % 4 = 0
+      UNION ALL SELECT 'http://kg.example.org/page' || i,
+             'http://kg.example.org/label', 2::TINYINT, 'l' || i,
+             NULL, 'en', 'd' || i FROM p WHERE i % 5 = 0)
+    SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, src_url FROM allt"""
+
+
+@q("rdf_jsonld_parse", _jsonld_oracle(2000))
+def rdf_jsonld_parse(spark, sf_dir):
+    """Expanded-form JSON-LD parse (beyond-reference codec #4 —
+    ``sources/jsonld.py``, document-per-row mapInPandas like the Turtle
+    reader): @id/@type nodes, plain / typed / language-tagged value
+    objects, IRI references, and nested blank node objects, all over
+    index-synthesized documents whose triples are closed forms of i."""
+    from .sources.jsonld import parse_jsonld_docs
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    i = F.col("id")
+    content = F.concat(
+        F.lit('{"@id": "http://kg.example.org/page'), i.cast("string"),
+        F.lit('", "@type": "http://kg.example.org/Article"'),
+        F.lit(', "http://kg.example.org/topic": "topic'),
+        (i % 13).cast("string"), F.lit('"'),
+        F.lit(', "http://kg.example.org/rank": {"@value": "'),
+        (i % 7).cast("string"),
+        F.lit('", "@type": "http://www.w3.org/2001/XMLSchema#integer"}'),
+        F.lit(', "http://kg.example.org/author": {"@id": '),
+        F.lit('"http://kg.example.org/person/'), (i % 50).cast("string"), F.lit('"}'),
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit(', "http://kg.example.org/meta": {"http://kg.example.org/k": "v'),
+                i.cast("string"), F.lit('"}'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit(', "http://kg.example.org/label": {"@value": "l'),
+                i.cast("string"), F.lit('", "@language": "en"}'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    docs = spark.range(n).select(
+        F.concat(F.lit("d"), i.cast("string")).alias("doc_id"),
+        content.alias("content"),
+    )
+    return parse_jsonld_docs(docs)
+
+
 def _wav_oracle(n: int) -> str:
     """Ground truth for the REAL WAV decode: every feature of the
     synthesized square wave is a closed form of the row index — if the
@@ -3723,7 +3802,6 @@ _VERIFY_FIRST = [
     "sparql_order_limit",
     "sparql_ask",
     "sparql_construct",
-    "sparql_describe",
     # new SPARQL 1.1 executed extensions (round 3)
     "sparql_filter_bool",
     "sparql_values_exec",
@@ -3752,6 +3830,7 @@ _VERIFY_FIRST = [
     "multimodal_ppm_decode",
     "rdf_graph_diff",
     "dedup_containment_pairs",
+    "rdf_jsonld_parse",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Distributed JSON-LD source (expanded-form subset).
+
+Beyond-reference codec #4 (after N-Triples, Turtle, N-Quads): large
+structured-data crawls (e.g. Common Crawl's WAT sidecars, schema.org
+extractions) ship JSON-LD. This reader covers the EXPANDED form's
+core: ``@id``, ``@type`` (string or list), property values that are
+plain strings (plain literals), ``{"@value": …, "@language": …}``
+(language-tagged), ``{"@value": …, "@type": …}`` (typed literals),
+``{"@id": …}`` (IRI objects), lists of any of those (one triple per
+element), and nested objects without ``@id`` (document-scoped blank
+nodes ``_:b0``, ``_:b1``, … in traversal order — the same
+doc-local-label convention as the Turtle reader, made global by the
+pipeline's content-addressed skolemization).
+
+NOT covered (documented subset): ``@context`` compaction, ``@graph``,
+``@list`` ordering, ``@reverse``, ``@index`` — a production deployment
+would expand with a JSON-LD processor first; the expanded form is the
+stable wire format.
+
+Execution shape: document-per-row ``mapInPandas`` (JSON is a
+document-granular grammar, exactly like Turtle) — Arrow-batched,
+narrow, payloads never shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..schema import TRIPLES_WITH_SRC_SCHEMA
+from ..terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, RDF_TYPE
+
+
+class JsonLdError(ValueError):
+    pass
+
+
+def jsonld_doc_triples(doc: dict) -> List[Tuple]:
+    """One expanded-form JSON-LD node object → triple rows
+    (subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang)."""
+    out: List[Tuple] = []
+    counter = [0]
+
+    def node(obj: dict) -> Tuple[str, int]:
+        if "@id" in obj:
+            iid = obj["@id"]
+            if iid.startswith("_:"):
+                return iid, KIND_BLANK
+            return iid, KIND_IRI
+        label = f"_:b{counter[0]}"
+        counter[0] += 1
+        return label, KIND_BLANK
+
+    def emit(subj_text: str, obj: dict) -> None:
+        types = obj.get("@type", [])
+        if isinstance(types, str):
+            types = [types]
+        for t in types:
+            out.append((subj_text, RDF_TYPE, KIND_IRI, t, None, None))
+        for pred, values in obj.items():
+            if pred.startswith("@"):
+                continue
+            if not isinstance(values, list):
+                values = [values]
+            for v in values:
+                out.append((subj_text, pred) + value_term(v))
+
+    def value_term(v) -> Tuple[int, str, Optional[str], Optional[str]]:
+        if isinstance(v, str):
+            return (KIND_LITERAL, v, None, None)
+        if not isinstance(v, dict):
+            raise JsonLdError(f"unsupported value {v!r} (expanded form expects"
+                              " strings or node/value objects)")
+        if "@value" in v:
+            lex = v["@value"]
+            if not isinstance(lex, str):
+                raise JsonLdError("@value must be a string lexical form in"
+                                  " this subset (pre-serialize numbers)")
+            return (KIND_LITERAL, lex, v.get("@type"), v.get("@language"))
+        if "@id" in v and len([k for k in v if not k.startswith("@")]) == 0:
+            iid = v["@id"]
+            if iid.startswith("_:"):
+                return (KIND_BLANK, iid[2:], None, None)
+            return (KIND_IRI, iid, None, None)
+        # nested node object without @id → blank node, recurse
+        label, kind = node(v)
+        emit(label, v)
+        return (KIND_BLANK, label[2:] if label.startswith("_:") else label, None, None)
+
+    subj, _ = node(doc)
+    emit(subj, doc)
+    return out
+
+
+def parse_jsonld_docs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    errors: str = "skip",
+) -> DataFrame:
+    """documents DataFrame → triples DataFrame (+ ``src_url``
+    provenance), one expanded-form JSON-LD node object per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                content = getattr(r, content_col)
+                if content is None:
+                    continue
+                try:
+                    doc = json.loads(content)
+                    if not isinstance(doc, dict):
+                        raise JsonLdError("top level must be a node object")
+                    triples = jsonld_doc_triples(doc)
+                except (ValueError, KeyError) as e:
+                    if errors == "raise":
+                        raise JsonLdError(str(e)) from e
+                    continue
+                sid = str(getattr(r, id_col))
+                rows.extend(t + (sid,) for t in triples)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=TRIPLES_WITH_SRC_SCHEMA)

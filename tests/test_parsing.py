@@ -296,3 +296,62 @@ def test_comma_after_semicolon_attaches_to_latest_predicate():
         ("p2", "o2"),
         ("p2", "o3"),
     ]
+
+
+# ------------------------------------------------------------ JSON-LD -----
+
+
+def test_jsonld_expanded_node_object():
+    from rdf_rs_spark.sources.jsonld import jsonld_doc_triples
+
+    doc = {
+        "@id": "http://e.org/s",
+        "@type": ["http://e.org/T1", "http://e.org/T2"],
+        "http://e.org/p": ["a", {"@value": "b", "@language": "de"},
+                            {"@id": "http://e.org/o"}],
+        "http://e.org/q": {"@value": "7",
+                            "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+    }
+    rows = set(jsonld_doc_triples(doc))
+    assert rows == {
+        ("http://e.org/s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         0, "http://e.org/T1", None, None),
+        ("http://e.org/s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         0, "http://e.org/T2", None, None),
+        ("http://e.org/s", "http://e.org/p", 2, "a", None, None),
+        ("http://e.org/s", "http://e.org/p", 2, "b", None, "de"),
+        ("http://e.org/s", "http://e.org/p", 0, "http://e.org/o", None, None),
+        ("http://e.org/s", "http://e.org/q", 2, "7",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    }
+
+
+def test_jsonld_nested_blank_nodes_allocate_in_order():
+    from rdf_rs_spark.sources.jsonld import jsonld_doc_triples
+
+    doc = {
+        "@id": "http://e.org/s",
+        "http://e.org/a": {"http://e.org/x": "1"},
+        "http://e.org/b": {"http://e.org/y": {"@id": "_:z"}},
+    }
+    rows = set(jsonld_doc_triples(doc))
+    assert ("http://e.org/s", "http://e.org/a", 1, "b0", None, None) in rows
+    assert ("_:b0", "http://e.org/x", 2, "1", None, None) in rows
+    assert ("http://e.org/s", "http://e.org/b", 1, "b1", None, None) in rows
+    assert ("_:b1", "http://e.org/y", 1, "z", None, None) in rows
+
+
+def test_jsonld_rejects_and_skips(spark):
+    from rdf_rs_spark.sources.jsonld import JsonLdError, jsonld_doc_triples, parse_jsonld_docs
+
+    with pytest.raises(JsonLdError, match="lexical form"):
+        jsonld_doc_triples({"@id": "http://e.org/s",
+                            "http://e.org/p": {"@value": 7}})
+    docs = spark.createDataFrame(
+        [("d1", '{"@id": "http://e.org/s", "http://e.org/p": "ok"}'),
+         ("d2", "not json at all"),
+         ("d3", '["top-level array"]')],
+        "doc_id string, content string")
+    out = parse_jsonld_docs(docs).collect()  # skip mode drops d2/d3
+    assert [(r.subj, r.obj_lex, r.src_url) for r in out] == [
+        ("http://e.org/s", "ok", "d1")]
