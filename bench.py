@@ -68,12 +68,12 @@ def _calibrate() -> dict:
     import multiprocessing as mp
 
     solo = _burn(0)
-    with mp.Pool(8) as p:
-        worst = max(p.map(_burn, range(8)))
-    return {
-        "burn_solo_sec": round(solo, 2),
-        "effective_cores_at_8": round(8 * solo / worst, 1),
-    }
+    out = {"burn_solo_sec": round(solo, 2)}
+    for n in (8, 32):
+        with mp.Pool(n) as p:
+            worst = max(p.map(_burn, range(n)))
+        out[f"effective_cores_at_{n}"] = round(n * solo / worst, 1)
+    return out
 
 
 def main() -> None:
