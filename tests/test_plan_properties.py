@@ -439,3 +439,21 @@ def test_sparql_boolean_filters_push_below_join(spark):
     # of a post-join one by checking a Filter on seg exists that also
     # carries the pattern's predicate equality (scan-side shape)
     assert "Contains" in plan and "StartsWith" in plan
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Registry-wide scale lint: NO entry's physical plan may contain a
+    CartesianProduct — at 100 TB an accidental cross join (e.g. a
+    dropped join key after a refactor) is the difference between a job
+    and an outage. Broadcast nested-loop joins (bounded small side) are
+    allowed; the unbounded cartesian is not. Builds every plan, executes
+    nothing beyond the entries' own eager steps."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = explain_str(fn(spark, SF), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        spark.catalog.clearCache()
+    assert not offenders, offenders
