@@ -1147,3 +1147,25 @@ def test_hash_functions_in_bind(spark, triples):
     assert r.m == hashlib.md5(b"ASIA").hexdigest()
     assert r.s1 == hashlib.sha1(b"ASIA").hexdigest()
     assert r.s256 == hashlib.sha256(b"ASIA").hexdigest()
+
+
+def test_order_by_aggregate_alias_and_multivar_group(spark, triples):
+    """ORDER BY over an aggregate alias, and GROUP BY on multiple
+    variables, both execute (the alias is a post-aggregation column)."""
+    out = execute_sparql(
+        triples,
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
+        " ORDER BY DESC(?n) LIMIT 3",
+    )
+    ns = [r.n for r in out.collect()]
+    assert ns == sorted(ns, reverse=True) and len(ns) == 3
+    multi = execute_sparql(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?p ?k (COUNT(*) AS ?n) WHERE { ?s ?p ?o . ?s a ?k }
+           GROUP BY ?p ?k ORDER BY ?p ?k""",
+    )
+    rows = multi.collect()
+    assert len(rows) >= 6
+    by = {(r.p, r.k): r.n for r in rows}
+    assert by[("http://kg.example.org/inRegion", "http://kg.example.org/Nation")] == 25
