@@ -115,6 +115,11 @@ _NT_FAST_RE = re.compile(
 _PUNCT_TOK = {",": ("comma",), ";": ("semi",), "(": ("lparen",), ")": ("rparen",),
               "[": ("lbracket",), "]": ("rbracket",)}
 
+# TriG's case-insensitive GRAPH keyword. The lookahead set is exactly the
+# characters a graph label or block can start with, so QNames whose prefix
+# merely starts with "graph" (graph:x, graphics:y) never match.
+_GRAPH_KW_RE = re.compile(r"(?i)graph(?=[ \n\r<_{])")
+
 
 class ParseError(ValueError):
     pass
@@ -182,6 +187,11 @@ class TurtleScanner:
         if self._peeked is None:
             self._peeked = self.next_token()
         return self._peeked
+
+    def unread(self, tok: tuple) -> None:
+        """Push one token back (TriG: '}' may close an undotted statement)."""
+        assert self._peeked is None, "unread with a token already peeked"
+        self._peeked = tok
 
     def next_token(self) -> tuple:
         if self._peeked is not None:
@@ -260,6 +270,20 @@ class TurtleScanner:
         if c == "]":
             self.pos += 1
             return ("rbracket",)
+        if c == "{":
+            self.pos += 1
+            return ("lbrace",)
+        if c == "}":
+            self.pos += 1
+            return ("rbrace",)
+        if c in "Gg":
+            # TriG's GRAPH keyword — only when followed by a delimiter a
+            # graph label can start with, so QNames like graph:x or
+            # graphics:y still reach the QName rule below
+            m2 = _GRAPH_KW_RE.match(t, self.pos)
+            if m2 is not None:
+                self.pos = m2.end()
+                return ("graphkw",)
         if c in "PBpb":
             tok = self._try_directive()
             if tok is not None:
@@ -435,6 +459,9 @@ class TurtleParser:
 
     __slots__ = ("scanner", "doc")
 
+    #: TriG overrides: '}' may terminate an undotted statement in a block
+    _brace_ends_statement = False
+
     def __init__(self, text: str):
         self.scanner = TurtleScanner(text)
         self.doc = TurtleDocument()
@@ -511,6 +538,12 @@ class TurtleParser:
             tok = self.scanner.next_token()
             tag = tok[0]
             if tag in ("dot", "rbracket"):
+                break
+            if tag == "rbrace" and self._brace_ends_statement:
+                # TriG: the final '.' inside a graph block is optional —
+                # '}' closes the statement but still closes the block, so
+                # push it back for the block loop
+                self.scanner.unread(tok)
                 break
             if tag == "semi":
                 predicate, obj = self._read_predicate_with_object()
@@ -607,6 +640,122 @@ class TurtleParser:
 
 def parse_turtle(text: str) -> TurtleDocument:
     return TurtleParser(text).parse()
+
+
+# --------------------------------------------------------------------------
+# TriG document parser (W3C TriG: Turtle + named-graph blocks)
+# --------------------------------------------------------------------------
+
+
+class TrigParser(TurtleParser):
+    """Recursive-descent TriG parser — Turtle plus graph blocks.
+
+    Beyond-reference codec #5 (the reference store is triples-only,
+    ``src/triple.rs``); TriG is the block form of the quad model the
+    N-Quads source (``sources/nquads.py``) already reads line-wise, so
+    both emit the same quad encoding: ``graphs[i]`` is the graph label
+    of ``doc.triples[i]`` in subject encoding (IRI text or ``_:label``),
+    ``None`` = default graph. Supported block forms::
+
+        GRAPH <g> { ... }    GRAPH _:b { ... }     (keyword form)
+        <g> { ... }          pre:g { ... }         (label form)
+        { ... }                                    (default graph block)
+        <s> <p> <o> .                              (top-level triples)
+
+    The final ``.`` inside a block is optional (``_brace_ends_statement``).
+    ANON graph labels (``[] { ... }``) are not supported.
+    """
+
+    __slots__ = ("graphs",)
+
+    _brace_ends_statement = True
+
+    def __init__(self, text: str):
+        super().__init__(text)
+        self.graphs: List[Optional[str]] = []
+
+    def parse(self) -> TurtleDocument:
+        while True:
+            try:
+                tok = self.scanner.peek_token()
+            except _EndOfInput:
+                break
+            tag = tok[0]
+            if tag == "comment":
+                self.scanner.next_token()
+            elif tag == "eof":
+                break
+            elif tag == "base":
+                self.scanner.next_token()
+                self._expect_dot("base directive")
+                self.doc.base_uri = tok[1]
+            elif tag == "prefix":
+                self.scanner.next_token()
+                self._expect_dot("prefix directive")
+                self.doc.namespaces[tok[1]] = tok[2]
+            elif tag == "graphkw":
+                self.scanner.next_token()
+                label = self._read_graph_label()
+                self._read_wrapped_graph(label)
+            elif tag == "lbrace":
+                self._read_wrapped_graph(None)
+            elif tag in ("uri", "qname", "blank"):
+                # triplesOrGraph ambiguity: a label followed by '{' opens
+                # a named block, anything else starts a default-graph
+                # statement with the term as its subject
+                subject = self._read_subject()
+                if self.scanner.peek_token()[0] == "lbrace":
+                    self._read_wrapped_graph(term_to_subj_col(subject))
+                else:
+                    self._read_statement_into(None, subject)
+            elif tag in ("lparen", "lbracket"):
+                self._read_statement_into(None)
+            else:
+                raise ParseError("unexpected TriG token %r" % (tok,))
+        assert len(self.graphs) == len(self.doc.triples)
+        return self.doc
+
+    # ------------------------------------------------------------------
+
+    def _read_graph_label(self) -> str:
+        tok = self.scanner.peek_token()
+        if tok[0] not in ("uri", "qname", "blank"):
+            raise ParseError("GRAPH label must be an IRI or blank node, got %r" % (tok,))
+        return term_to_subj_col(self._read_subject())
+
+    def _read_statement_into(self, graph: Optional[str], subject: Optional[Term] = None) -> None:
+        # nested [ … ] / ( … ) triples append directly to doc.triples, so
+        # the graph assignment covers everything past the pre-statement mark
+        mark = len(self.doc.triples)
+        if subject is None:
+            subject = self._read_subject()
+        rows = self._read_predicate_object_list(subject)
+        self.doc.triples.extend(rows)
+        self.graphs.extend([graph] * (len(self.doc.triples) - mark))
+
+    def _read_wrapped_graph(self, graph: Optional[str]) -> None:
+        tok = self.scanner.next_token()
+        if tok[0] != "lbrace":
+            raise ParseError("expected '{' opening a graph block, got %r" % (tok,))
+        while True:
+            tok = self.scanner.peek_token()
+            tag = tok[0]
+            if tag == "comment":
+                self.scanner.next_token()
+                continue
+            if tag == "rbrace":
+                self.scanner.next_token()
+                return
+            if tag == "eof":
+                raise ParseError("unterminated graph block")
+            self._read_statement_into(graph)
+
+
+def parse_trig(text: str) -> Tuple[TurtleDocument, List[Optional[str]]]:
+    """Parse a TriG document → (document, per-triple graph labels)."""
+    p = TrigParser(text)
+    doc = p.parse()
+    return doc, p.graphs
 
 
 # --------------------------------------------------------------------------

@@ -355,3 +355,83 @@ def test_jsonld_rejects_and_skips(spark):
     out = parse_jsonld_docs(docs).collect()  # skip mode drops d2/d3
     assert [(r.subj, r.obj_lex, r.src_url) for r in out] == [
         ("http://e.org/s", "ok", "d1")]
+
+
+# ---------------------------------------------------------------- TriG ----
+
+
+def test_trig_graph_keyword_and_label_forms():
+    from rdf_rs_spark.parsing import parse_trig
+
+    doc, graphs = parse_trig(
+        "@prefix ex: <http://ex.org/> .\n"
+        "GRAPH <http://g1> { <http://s1> ex:p \"v\" ; ex:q 5 }\n"
+        "ex:g2 { <http://s2> a ex:T . }\n"
+        "_:bg { <http://s3> ex:p \"w\" }\n"
+        "{ <http://s4> ex:p \"in-default-block\" }\n"
+        "<http://s5> ex:p \"top-level\" .\n"
+    )
+    rows = [(g, t.subj, t.pred, t.obj_lex) for t, g in zip(doc.triples, graphs)]
+    assert rows == [
+        ("http://g1", "http://s1", "http://ex.org/p", "v"),
+        ("http://g1", "http://s1", "http://ex.org/q", "5"),
+        ("http://ex.org/g2", "http://s2",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex.org/T"),
+        ("_:bg", "http://s3", "http://ex.org/p", "w"),
+        (None, "http://s4", "http://ex.org/p", "in-default-block"),
+        (None, "http://s5", "http://ex.org/p", "top-level"),
+    ]
+
+
+def test_trig_keyword_is_case_insensitive_and_qname_prefixes_survive():
+    from rdf_rs_spark.parsing import parse_trig
+
+    doc, graphs = parse_trig(
+        "@prefix graph: <http://gp/> .\n"
+        "graph <http://g> { graph:x graph:y graph:z . }\n"
+    )
+    assert graphs == ["http://g"]
+    assert doc.triples[0].subj == "http://gp/x"
+    assert doc.triples[0].pred == "http://gp/y"
+
+
+def test_trig_nested_structures_inherit_block_graph():
+    from rdf_rs_spark.parsing import parse_trig
+
+    doc, graphs = parse_trig(
+        "@prefix ex: <http://ex.org/> .\n"
+        "GRAPH ex:g { <http://s> ex:p [ ex:k \"v\" ] ; ex:r ( 1 2 ) . }\n"
+    )
+    # every triple from the nested [ ... ] and collection desugar carries
+    # the enclosing block's graph
+    assert set(graphs) == {"http://ex.org/g"}
+    assert len(doc.triples) == 7  # 2 outer + 1 bnode prop + 4 collection
+
+
+def test_trig_empty_block_and_errors():
+    import pytest
+
+    from rdf_rs_spark.parsing import ParseError, parse_trig, parse_turtle
+
+    doc, graphs = parse_trig("GRAPH <http://g> { }")
+    assert doc.triples == [] and graphs == []
+    with pytest.raises(ParseError, match="unterminated graph block"):
+        parse_trig("GRAPH <http://g> { <http://s> <http://p> <http://o> .")
+    with pytest.raises(ParseError, match="GRAPH label"):
+        parse_trig("GRAPH \"lit\" { }")
+    # plain Turtle still rejects TriG blocks
+    with pytest.raises(ParseError, match="unexpected token"):
+        parse_turtle("{ <http://s> <http://p> <http://o> }")
+
+
+def test_trig_source_skips_malformed_docs(spark):
+    from rdf_rs_spark.sources.trig import parse_trig_docs
+
+    docs = spark.createDataFrame(
+        [("d1", "GRAPH <http://g> { <http://s> <http://p> \"ok\" }"),
+         ("d2", "GRAPH <http://g> { <http://s> <http://p>"),
+         ("d3", None)],
+        "doc_id string, content string")
+    out = parse_trig_docs(docs).collect()
+    assert [(r.graph, r.subj, r.obj_lex, r.src_url) for r in out] == [
+        ("http://g", "http://s", "ok", "d1")]
