@@ -1485,6 +1485,49 @@ def sparql_union_exec(spark, sf_dir):
 
 
 @q(
+    "sparql_update_exec",
+    TRIPLES_CTE
+    + """SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang FROM triples
+       WHERE pred NOT IN ('http://kg.example.org/address',
+                          'http://kg.example.org/inNation')
+       UNION ALL SELECT 'http://kg.example.org/meta',
+         'http://kg.example.org/version', CAST(2 AS TINYINT), '2',
+         'http://www.w3.org/2001/XMLSchema#integer', CAST(NULL AS VARCHAR)
+       UNION ALL SELECT 'http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         'http://kg.example.org/locatedIn', CAST(0 AS TINYINT),
+         'http://kg.example.org/nation/' || CAST(c_nationkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM customer
+       UNION ALL SELECT 'http://kg.example.org/nation/' || CAST(c_nationkey AS VARCHAR),
+         'http://kg.example.org/hosts', CAST(0 AS TINYINT),
+         'http://kg.example.org/customer/' || CAST(c_custkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM customer""",
+)
+def sparql_update_exec(spark, sf_dir):
+    """SPARQL 1.1 Update (§3.1; beyond-reference — the reference rejects
+    non-SELECT, ``sparql_parser.rs:69-88``) compiled onto the reference's
+    own mutation operators (``sparql_update.py``): a 4-operation sequence
+    exercising INSERT DATA (typed-literal fidelity), DELETE DATA,
+    DELETE WHERE (pattern match → remove-all-copies anti-join), and the
+    DELETE/INSERT-WHERE modify form (inNation edges rewritten to
+    locatedIn + inverse hosts edges, both instantiated from bindings).
+    The oracle replays the same set algebra over the regenerated KG."""
+    from .sparql_update import execute_update
+
+    return execute_update(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           DELETE WHERE { ?s ex:address ?o } ;
+           INSERT DATA { ex:meta ex:version
+               "2"^^<http://www.w3.org/2001/XMLSchema#integer> } ;
+           DELETE DATA { ex:meta ex:version
+               "3"^^<http://www.w3.org/2001/XMLSchema#integer> } ;
+           DELETE { ?c ex:inNation ?n }
+           INSERT { ?c ex:locatedIn ?n . ?n ex:hosts ?c }
+           WHERE { ?c ex:inNation ?n }""",
+    )
+
+
+@q(
     "sparql_filter_regex",
     TRIPLES_CTE
     + """SELECT obj_lex AS name FROM triples
@@ -3875,7 +3918,9 @@ _VERIFY_FIRST = [
     "rdf_bgp_optional",
     "sparql_select_exec",
     "sparql_two_optionals",
-    "sparql_union_exec",
+    # sparql_union_exec displaced (r2-green; its round-3 change is the
+    # shared BGP-ordering path, represented by rdf_bgp_join) for UPDATE
+    "sparql_update_exec",
     "sparql_filter_regex",
     "sparql_order_limit",
     # sparql_ask displaced (r2-green; its round-3 change is the shared

@@ -1,0 +1,353 @@
+"""SPARQL 1.1 Update (W3C §3.1) executed as DataFrame set algebra.
+
+The reference parses SPARQL SELECT only and has no update surface at
+all (``src/reader/sparql_parser.rs:69-88`` rejects non-SELECT; the
+store mutates through ``add_triple``/``remove_triples``,
+``src/graph.rs``) — this module is the beyond-reference bridge between
+the two: the update grammar compiles onto exactly the graph-mutation
+operators the reference does have (M1–M3 in SURVEY.md §2.3), so every
+form is a union / left-anti join over the triples table, never a
+driver-side loop.
+
+Executed subset::
+
+    INSERT DATA { ground triples }          → bag union (M1/M2 add semantics)
+    DELETE DATA { ground triples }          → remove ALL copies (M3, left-anti)
+    DELETE WHERE { patterns }               → match + remove all copies
+    DELETE { tmpl } INSERT { tmpl } WHERE { patterns }   (either part optional)
+    op ; op ; …                             → sequential application
+
+Semantics notes (all deliberate, shared with :mod:`.sparql`):
+
+- Solution bindings are subject-encoded strings, so DELETE matching
+  joins the store on each template position's encoding (literals match
+  by lexical form — the module-wide encoding caveat). INSERT templates
+  with a VARIABLE in object position insert the binding as a resource
+  (``_:`` → blank, else IRI); literal objects in INSERT templates must
+  be constants, which keep full datatype/language fidelity.
+- Within one operation DELETE and INSERT both evaluate against the
+  PRE-operation store (W3C §3.1.3); operations in a ``;`` sequence see
+  each predecessor's result.
+- The store is a BAG (reference add_triples keeps duplicates); DELETE
+  removes every copy of a matched triple, mirroring M3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .operators.bgp import TriplePattern, _is_var, _subject_text, bgp_join
+from .sparql import SparqlQuery, _Parser
+from .terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, Term
+
+
+@dataclass
+class UpdateOp:
+    kind: str  # insert_data | delete_data | delete_where | modify
+    data: List[TriplePattern] = field(default_factory=list)  # ground triples
+    delete_templates: List[TriplePattern] = field(default_factory=list)
+    insert_templates: List[TriplePattern] = field(default_factory=list)
+    where: List[TriplePattern] = field(default_factory=list)
+
+
+def _blank_query(prefixes, base) -> SparqlQuery:
+    """Prologue carrier for the shared ``_Parser._term`` machinery."""
+    return SparqlQuery(
+        variables=None, distinct=False, patterns=[], optional=[],
+        union_groups=[], filters=[], order_by=[], limit=None, offset=None,
+        prefixes=prefixes, base=base,
+    )
+
+
+class _UpdateParser(_Parser):
+    """Update-request grammar over the shared SPARQL token stream.
+
+    INSERT / DELETE / DATA are not reserved in the query tokenizer and
+    lex as plain identifiers — matched case-insensitively here.
+    """
+
+    def _ident(self, *names: str) -> Optional[str]:
+        k, v = self.peek()
+        if k == "ident" and v.upper() in names:
+            self.next()
+            return v.upper()
+        return None
+
+    def parse_update(self) -> List[UpdateOp]:
+        prefixes, base = {}, None
+        while self.peek()[0] == "kw" and self.peek()[1].upper() in ("PREFIX", "BASE"):
+            kw = self.next()[1].upper()
+            if kw == "PREFIX":
+                _, name = self.next()
+                _, iri = self.next()
+                prefixes[name.rstrip(":")] = iri[1:-1]
+            else:
+                _, iri = self.next()
+                base = iri[1:-1]
+        q = _blank_query(prefixes, base)
+        ops: List[UpdateOp] = []
+        while True:
+            k, v = self.peek()
+            if k == "eof":
+                break
+            if v == ";":
+                self.next()
+                continue
+            if self._ident("INSERT"):
+                if self._ident("DATA"):
+                    ops.append(UpdateOp("insert_data", data=self._group(q)))
+                else:
+                    ins = self._group(q)
+                    self._expect_where()
+                    ops.append(UpdateOp("modify", insert_templates=ins,
+                                        where=self._group(q)))
+            elif self._ident("DELETE"):
+                if self._ident("DATA"):
+                    ops.append(UpdateOp("delete_data", data=self._group(q)))
+                elif self.peek()[0] == "kw" and self.peek()[1].upper() == "WHERE":
+                    self.next()
+                    ops.append(UpdateOp("delete_where", where=self._group(q)))
+                else:
+                    dele = self._group(q)
+                    ins: List[TriplePattern] = []
+                    if self._ident("INSERT"):
+                        ins = self._group(q)
+                    self._expect_where()
+                    ops.append(UpdateOp("modify", delete_templates=dele,
+                                        insert_templates=ins, where=self._group(q)))
+            else:
+                raise ValueError(f"expected INSERT or DELETE, got {v!r}")
+        return ops
+
+    def _expect_where(self) -> None:
+        k, v = self.next()
+        if not (k == "kw" and v.upper() == "WHERE"):
+            raise ValueError(f"expected WHERE, got {v!r}")
+
+    def _group(self, q: SparqlQuery) -> List[TriplePattern]:
+        self.expect_punct("{")
+        return self._parse_plain_group(q)
+
+
+def parse_update(text: str) -> List[UpdateOp]:
+    return _UpdateParser(text).parse_update()
+
+
+# --------------------------------------------------------------------------
+# execution
+# --------------------------------------------------------------------------
+
+
+def _require_ground(patterns: List[TriplePattern], what: str) -> None:
+    for p in patterns:
+        if p.variables():
+            raise ValueError(f"{what} requires ground triples, got variables in {p}")
+
+
+def _ground_rows(patterns: List[TriplePattern]):
+    """Ground patterns → triple rows with full term fidelity."""
+    rows = []
+    for p in patterns:
+        obj = p.object
+        if isinstance(obj, Term) and obj.kind == KIND_LITERAL:
+            o = (KIND_LITERAL, obj.lex, obj.datatype, obj.lang)
+        else:
+            text = _subject_text(obj)
+            o = ((KIND_BLANK, text[2:], None, None) if text.startswith("_:")
+                 else (KIND_IRI, text, None, None))
+        rows.append((_subject_text(p.subject), _subject_text(p.predicate)) + o)
+    return rows
+
+
+def _rows_df(spark, rows) -> DataFrame:
+    from .schema import TRIPLES_SCHEMA
+
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+
+def _obj_as_subj() -> Column:
+    return F.when(
+        F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+    ).otherwise(F.col("obj_lex"))
+
+
+def _template_matches(
+    store: DataFrame, pat: TriplePattern, solutions: DataFrame
+) -> DataFrame:
+    """Store rows a DELETE template selects under the given bindings:
+    fixed terms filter the scan (Catalyst pushdown), variable positions
+    semi-join the store's subject-encoded key columns against the
+    DISTINCT projection of the bindings — all copies of a matched
+    triple survive into the deletion set (M3 remove-all-copies)."""
+    df = store
+    keys: dict = {}
+
+    def bind(term, expr: Column) -> None:
+        nonlocal df
+        if term is None:
+            return
+        if _is_var(term):
+            name = term[1:]
+            if name in keys:
+                df = df.filter(keys[name] == expr)
+            else:
+                keys[name] = expr
+        elif isinstance(term, Term) and term.kind == KIND_LITERAL:
+            df = df.filter(
+                (F.col("obj_kind") == KIND_LITERAL)
+                & (F.col("obj_lex") == term.lex)
+                & F.col("obj_datatype").eqNullSafe(F.lit(term.datatype))
+                & F.col("obj_lang").eqNullSafe(F.lit(term.lang))
+            )
+        else:
+            df = df.filter(expr == _subject_text(term))
+
+    if "graph" in store.columns:
+        if pat.graph is None:
+            df = df.filter(F.col("graph").isNull())
+        else:
+            bind(pat.graph, F.col("graph"))
+    bind(pat.subject, F.col("subj"))
+    bind(pat.predicate, F.col("pred"))
+    bind(pat.object, _obj_as_subj())
+    used = [v for v in keys if v in solutions.columns]
+    if not used:
+        # template fully ground (or its variables unbound by WHERE —
+        # then it matches nothing unless WHERE produced any solution)
+        unbound = [v for v in keys if v not in solutions.columns]
+        if unbound:
+            return df.filter(F.lit(False))
+        return df if solutions.head(1) else df.filter(F.lit(False))
+    sol = solutions.select(
+        *[F.col(v).alias(f"__k_{v}") for v in used]
+    ).dropDuplicates()
+    cond = None
+    for v in used:
+        c = keys[v] == F.col(f"__k_{v}")
+        cond = c if cond is None else cond & c
+    return df.join(sol, on=cond, how="left_semi")
+
+
+def _instantiate_inserts(
+    patterns: List[TriplePattern], solutions: DataFrame
+) -> Optional[DataFrame]:
+    """INSERT templates → new triple rows, one per (solution, template).
+
+    Constants keep full fidelity; a variable in object position inserts
+    the binding under resource encoding (``_:`` → blank, else IRI — the
+    documented subject-encoding caveat)."""
+    if not patterns:
+        return None
+    sol = solutions.dropDuplicates()
+    outs = []
+    for p in patterns:
+        needed = [v for v in p.variables()]
+        missing = [v for v in needed if v not in sol.columns]
+        if missing:
+            raise ValueError(
+                f"INSERT template references variables unbound in WHERE: {missing}"
+            )
+
+        def pos(term) -> Column:
+            if _is_var(term):
+                return F.col(term[1:])
+            return F.lit(_subject_text(term))
+
+        if isinstance(p.object, Term) and p.object.kind == KIND_LITERAL:
+            obj_cols = [
+                F.lit(KIND_LITERAL).cast("tinyint").alias("obj_kind"),
+                F.lit(p.object.lex).alias("obj_lex"),
+                F.lit(p.object.datatype).cast("string").alias("obj_datatype"),
+                F.lit(p.object.lang).cast("string").alias("obj_lang"),
+            ]
+        else:
+            enc = pos(p.object)
+            obj_cols = [
+                F.when(enc.startswith("_:"), F.lit(KIND_BLANK))
+                .otherwise(F.lit(KIND_IRI)).cast("tinyint").alias("obj_kind"),
+                F.when(enc.startswith("_:"), enc.substr(F.lit(3), F.length(enc)))
+                .otherwise(enc).alias("obj_lex"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+            ]
+        outs.append(
+            sol.select(
+                pos(p.subject).alias("subj"), pos(p.predicate).alias("pred"), *obj_cols
+            ).dropDuplicates()
+        )
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def _remove_all_copies(store: DataFrame, deleted: DataFrame) -> DataFrame:
+    """Left-anti on the triple columns (null-safe) — M3 semantics."""
+    cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang"]
+    if "graph" in store.columns and "graph" in deleted.columns:
+        cols.append("graph")
+    d = deleted.select(*[F.col(c).alias(f"__d_{c}") for c in cols]).dropDuplicates()
+    cond = None
+    for c in cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+        cond = eq if cond is None else cond & eq
+    return store.join(d, on=cond, how="left_anti")
+
+
+def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
+    spark = store.sparkSession
+    extra = [c for c in store.columns
+             if c not in ("subj", "pred", "obj_kind", "obj_lex",
+                          "obj_datatype", "obj_lang")]
+    if op.kind == "insert_data":
+        _require_ground(op.data, "INSERT DATA")
+        ins = _rows_df(spark, _ground_rows(op.data))
+        for c in extra:
+            ins = ins.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
+        return store.unionByName(ins)
+    if op.kind == "delete_data":
+        _require_ground(op.data, "DELETE DATA")
+        return _remove_all_copies(store, _rows_df(spark, _ground_rows(op.data)))
+    # pattern-driven forms share one WHERE evaluation
+    solutions = bgp_join(store, op.where).dropDuplicates()
+    if op.kind == "delete_where":
+        templates = op.where
+        inserts = None
+    else:
+        templates = op.delete_templates
+        inserts = _instantiate_inserts(op.insert_templates, solutions)
+    out = store
+    if templates:
+        deleted = _template_matches(store, templates[0], solutions)
+        for p in templates[1:]:
+            deleted = deleted.unionByName(_template_matches(store, p, solutions))
+        out = _remove_all_copies(out, deleted)
+    if inserts is not None:
+        for c in extra:
+            inserts = inserts.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
+        out = out.unionByName(inserts)
+    return out
+
+
+def execute_update(store: DataFrame, text: str) -> DataFrame:
+    """Parse and apply an update request (``;``-sequence) to the store.
+
+    Each operation scans its input store several times (WHERE solve,
+    template match, anti-join left side), so chaining ops WITHOUT a
+    materialization barrier multiplies leaf scans exponentially (op N
+    re-plans op N-1's whole tree per scan). ``localCheckpoint`` per
+    operation truncates the lineage — the same per-round barrier the
+    iterative operators use (``operators/components.py``,
+    ``operators/pagerank.py``). At warehouse scale each operation
+    commits to the bucketed graph table instead, which is the same
+    barrier with durability."""
+    ops = parse_update(text)
+    out = store
+    for i, op in enumerate(ops):
+        out = apply_update(out, op)
+        if i < len(ops) - 1:
+            out = out.localCheckpoint(eager=False)
+    return out

@@ -1169,3 +1169,81 @@ def test_order_by_aggregate_alias_and_multivar_group(spark, triples):
     assert len(rows) >= 6
     by = {(r.p, r.k): r.n for r in rows}
     assert by[("http://kg.example.org/inRegion", "http://kg.example.org/Nation")] == 25
+
+
+# ------------------------------------------------------------- UPDATE ----
+
+
+def test_update_insert_and_delete_data(spark):
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.sparql_update import execute_update
+
+    store = spark.createDataFrame(
+        [("http://e/s", "http://e/p", 2, "v", None, None),
+         ("http://e/s", "http://e/p", 2, "v", None, None)],  # bag: 2 copies
+        TRIPLES_SCHEMA)
+    out = execute_update(
+        store,
+        """PREFIX ex: <http://e/>
+           INSERT DATA { ex:s ex:q "w"@en . ex:s ex:r
+               "1"^^<http://www.w3.org/2001/XMLSchema#integer> } ;
+           DELETE DATA { ex:s ex:p "v" }""",
+    ).collect()
+    rows = sorted((r.pred, r.obj_lex, r.obj_datatype, r.obj_lang) for r in out)
+    # DELETE DATA removes BOTH copies (M3 remove-all-copies semantics);
+    # inserted literals keep language / datatype fidelity
+    assert rows == [
+        ("http://e/q", "w", None, "en"),
+        ("http://e/r", "1", "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+
+
+def test_update_delete_where_and_modify(spark, triples):
+    from rdf_rs_spark.sparql_update import execute_update
+
+    out = execute_update(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           DELETE WHERE { ?s ex:address ?o } ;
+           DELETE { ?c ex:inNation ?n }
+           INSERT { ?n ex:hosts ?c } WHERE { ?c ex:inNation ?n }""",
+    ).cache()
+    assert out.filter("pred = 'http://kg.example.org/address'").count() == 0
+    assert out.filter("pred = 'http://kg.example.org/inNation'").count() == 0
+    hosts = out.filter("pred = 'http://kg.example.org/hosts'")
+    n_customers = triples.filter(
+        "pred = 'http://kg.example.org/inNation'").count()
+    assert hosts.count() == n_customers
+    # inserted objects adopt resource encoding: customers are IRIs
+    assert hosts.filter("obj_kind != 0").count() == 0
+    # the blank-subject segment triples survive (only address was deleted)
+    assert out.filter("subj LIKE '_:%'").count() > 0
+    out.unpersist()
+
+
+def test_update_ground_and_unbound_template_guards(spark, triples):
+    import pytest
+
+    from rdf_rs_spark.sparql_update import execute_update, parse_update
+
+    with pytest.raises(ValueError, match="ground"):
+        execute_update(
+            triples, "INSERT DATA { ?v <http://e/p> <http://e/o> }")
+    with pytest.raises(ValueError, match="unbound in WHERE"):
+        execute_update(
+            triples,
+            """PREFIX ex: <http://kg.example.org/>
+               INSERT { ?c ex:x ?missing } WHERE { ?c ex:inNation ?n }""",
+        )
+    # a DELETE template whose variable is unbound by WHERE deletes nothing
+    out = execute_update(
+        triples,
+        """PREFIX ex: <http://kg.example.org/>
+           DELETE { ?other ex:name ?v } INSERT { }
+           WHERE { ?c ex:inNation ?n }""",
+    )
+    assert out.count() == triples.count()
+    ops = parse_update(
+        "DELETE { } INSERT { <http://e/s> <http://e/p> <http://e/o> } "
+        "WHERE { ?s <http://e/q> ?o }")
+    assert ops[0].kind == "modify" and not ops[0].delete_templates
