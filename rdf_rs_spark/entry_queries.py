@@ -623,6 +623,34 @@ def docs_repetition_score(spark, sf_dir):
 
 
 @q(
+    "docs_dup_shingle_stats",
+    f"""WITH g AS (SELECT doc_id, unnest({_DD_SHINGLES}) AS sh FROM documents),
+    h AS (SELECT doc_id, ('0x' || substring(md5(sh), 1, 15))::BIGINT AS hv FROM g),
+    hot AS (SELECT hv FROM h GROUP BY hv HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, count(*) AS dup_shingles
+            FROM h WHERE hv IN (SELECT hv FROM hot) GROUP BY doc_id),
+    tot AS (SELECT doc_id, len({_DD_SHINGLES})::BIGINT AS n_shingles FROM documents)
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(d.dup_shingles, 0)::BIGINT AS dup_shingles,
+           (CASE WHEN t.n_shingles = 0 THEN 0
+                 ELSE (COALESCE(d.dup_shingles, 0) * 10000) // t.n_shingles
+            END)::BIGINT AS dup_frac_e4
+    FROM tot t LEFT JOIN dup d USING (doc_id)""",
+)
+def docs_dup_shingle_stats(spark, sf_dir):
+    """Exact sequence-level duplication (Lee et al. 2107.06499 at
+    shingle granularity): per document, its distinct 3-gram shingles
+    whose corpus-wide document frequency is >= 2, as a count and an
+    integer-e4 fraction. Shingles ship through the shuffle as 60-bit
+    md5-prefix bigints (`conv(substring(md5,1,15),16,10)` ≡ DuckDB
+    `('0x'||…)::BIGINT`), so the oracle replays collisions exactly."""
+    from .operators.corpus import dup_shingle_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_shingle_stats(d, F.col("text"), k=3, min_df=2)
+
+
+@q(
     "docs_decontaminate",
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
     g AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks) - 3, 0)),
@@ -3917,7 +3945,9 @@ _VERIFY_FIRST = [
     "rdf_bgp_join",
     "rdf_bgp_optional",
     "sparql_select_exec",
-    "sparql_two_optionals",
+    # sparql_two_optionals displaced (r2-green; the multi-OPTIONAL left-
+    # join path is unchanged this round) for the new dup-shingle op
+    "docs_dup_shingle_stats",
     # sparql_union_exec displaced (r2-green; its round-3 change is the
     # shared BGP-ordering path, represented by rdf_bgp_join) for UPDATE
     "sparql_update_exec",

@@ -316,3 +316,63 @@ def inverted_index(
             ",",
         ).alias("postings_head"),
     )
+
+
+def dup_shingle_stats(
+    df: DataFrame,
+    text: Column,
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact sequence-level duplication measurement: per document, how
+    many of its distinct word k-gram shingles occur in >= ``min_df``
+    documents corpus-wide, and that count as an integer-e4 fraction —
+    the "duplicated span" signal of Lee et al., Deduplicating Training
+    Data Makes Language Models Better (2107.06499), at shingle
+    granularity. Complements MinHash near-dup (whole-doc similarity):
+    this catches boilerplate/quotation spans inside otherwise-unique
+    documents.
+
+    Shape at 100 TB: shingles ship through the shuffle as 60-bit md5
+    prefixes (bigint), never strings — the doc-frequency aggregate
+    combines map-side, duplicated hashes (df >= min_df, usually a small
+    fraction) semi-join back against the shingle stream on the
+    co-partitioned hash key, and the per-doc rollup is one more
+    map-side-combining count. Collisions replay identically in the
+    DuckDB oracle (same md5), so the gate is exact.
+    """
+    from ..functions.text import word_shingles
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text, k)).alias("sh"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("hv"),
+    )
+    hot = grams.groupBy("hv").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    dup = (
+        grams.join(hot.select("hv"), on="hv", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_shingles"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_shingles(text, k)).cast("bigint").alias("n_shingles"),
+    )
+    out = totals.join(dup, on="doc_id", how="left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("dup_shingles"), F.lit(0)).cast("bigint").alias("dup_shingles"),
+    )
+    # integer DIV, not float '/': Spark DIV ≡ DuckDB // (bit-stable
+    # cross-engine; float division could round the boundary cases)
+    return out.withColumn(
+        "dup_frac_e4",
+        F.when(F.col("n_shingles") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.expr("(dup_shingles * 10000) DIV n_shingles")
+        ),
+    )

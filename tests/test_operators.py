@@ -729,3 +729,24 @@ def test_ppm_decode_gradient(spark):
     sums = px.astype(int).sum(axis=(0, 1))
     assert (r.width, r.height) == (2, 3)
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+
+
+def test_dup_shingle_stats(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import dup_shingle_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # shingles: abc bcd cde
+         (2, "a b c x y"),        # shares 'a b c' with doc 1
+         (3, "a b c d q"),        # shares 'a b c' + 'b c d' with doc 1
+         (4, "zz yy"),            # < 3 tokens: no shingles
+         (5, "")],                # empty
+        "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_shingles, r.dup_shingles, r.dup_frac_e4)
+           for r in dup_shingle_stats(docs, F.col("text"), k=3).collect()}
+    assert out[1] == (3, 2, 6666)   # abc (df=3) + bcd (df=2) of 3
+    assert out[2] == (3, 1, 3333)
+    assert out[3] == (3, 2, 6666)
+    assert out[4] == (0, 0, 0)
+    assert out[5] == (0, 0, 0)
