@@ -1,0 +1,117 @@
+"""Distributed TriG sink (the block form of the quad model).
+
+Pairs with :mod:`rdf_rs_spark.sources.trig` the way the Turtle writer
+pairs with the Turtle source, and with :func:`..writers.ntriples.
+nq_lines` the way the grouped Turtle writer pairs with the flat NT
+writer. The reference has no quad surface at all (``src/triple.rs``);
+the per-subject block emitter is shared verbatim with the Turtle
+writer (``writers/turtle.py::_subject_block`` — reference
+``src/writer/turtle_writer.rs:54-167`` semantics), so predicate
+grouping, ``;``/``,`` folding, and alignment indentation are identical
+inside and outside GRAPH blocks.
+
+TriG permits repeating a graph label across blocks (the graph is the
+union), so the distributed shape keeps the Turtle writer's bounded
+unit of work: one ``applyInPandas`` group per (graph, subject) — a
+100 TB named graph never becomes one task; the full-document string
+API assembles blocks per graph on the driver (inherent to a
+return-one-string contract, same note as the Turtle writer).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..serializing import write_turtle_string
+from ..terms import TripleRow
+from .turtle import _subject_block
+
+_TRIG_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("graph", T.StringType()),
+        T.StructField("sort_rank", T.IntegerType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("block", T.StringType()),
+    ]
+)
+
+
+def trig_blocks(
+    df: DataFrame, namespaces: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """quads DataFrame → one TriG block row per (graph, subject).
+
+    Output columns: ``graph`` (NULL = default graph), ``sort_rank``/
+    ``subj`` (assembly order), ``block`` (the subject's Turtle block,
+    no terminator). A missing ``graph`` column is treated as the
+    default graph throughout (a triples table is a TriG default graph).
+    """
+    ns_items = dict(namespaces or {})
+    if "graph" not in df.columns:
+        df = df.withColumn("graph", F.lit(None).cast("string"))
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [
+            TripleRow(
+                r.subj, r.pred, r.obj_kind, r.obj_lex,
+                None if pd.isna(r.obj_datatype) else r.obj_datatype,
+                None if pd.isna(r.obj_lang) else r.obj_lang,
+            )
+            for r in pdf.itertuples()
+        ]
+        g = pdf["graph"].iloc[0]
+        g = None if (g is None or (isinstance(g, float) and pd.isna(g))) else g
+        subj = rows[0].subj
+        rank = 2 if subj.startswith("_:") else 0
+        return pd.DataFrame(
+            [(g, rank, subj, _subject_block(rows, ns_items))],
+            columns=["graph", "sort_rank", "subj", "block"],
+        )
+
+    return df.groupBy("graph", "subj").applyInPandas(emit, schema=_TRIG_BLOCK_SCHEMA)
+
+
+def _subj_order(col_rank, col_subj):
+    return F.when(col_rank == 2, F.expr("substring(subj, 3)")).otherwise(col_subj)
+
+
+def write_trig_string_distributed(
+    df: DataFrame,
+    base_uri: Optional[str] = None,
+    namespaces: Optional[Dict[str, str]] = None,
+) -> str:
+    """Serialize a (small-result) quads DataFrame to one TriG string:
+    default-graph statements first, then one ``GRAPH <label> { … }``
+    block per named graph in label order (blank-label graphs last,
+    sorted by label), subjects ordered like the Turtle writer within
+    each graph."""
+    namespaces = namespaces or {}
+    rows = (
+        trig_blocks(df, namespaces)
+        .orderBy(
+            F.col("graph").isNotNull(),  # default graph first
+            F.when(F.col("graph").startswith("_:"), 1).otherwise(0),
+            "graph",
+            "sort_rank",
+            _subj_order(F.col("sort_rank"), F.col("subj")),
+        )
+        .collect()
+    )
+    header = write_turtle_string([], base_uri=base_uri, namespaces=namespaces)
+    out: List[str] = [header]
+    open_graph: Optional[str] = None
+    for r in rows:
+        if r.graph != open_graph:
+            if open_graph is not None:
+                out.append("}\n")
+            if r.graph is not None:
+                label = r.graph if r.graph.startswith("_:") else f"<{r.graph}>"
+                out.append(f"GRAPH {label} {{\n")
+            open_graph = r.graph
+        out.append(r.block + " .\n")
+    if open_graph is not None:
+        out.append("}\n")
+    return "".join(out)

@@ -258,3 +258,34 @@ def test_roundtrip_parse_write_parse():
     ttl = write_turtle_string(rows)
     back = parse_turtle(ttl).triples
     assert set(back) == set(rows)
+
+
+def test_trig_writer_round_trip(spark):
+    from rdf_rs_spark.parsing import parse_trig
+    from rdf_rs_spark.sources.trig import parse_trig_docs
+    from rdf_rs_spark.writers.trig import write_trig_string_distributed
+
+    doc = (
+        '@prefix ex: <http://ex.org/> .\n'
+        'GRAPH <http://g1> { <http://s1> ex:p "v1" ; ex:q "v2"@en .'
+        ' <http://s0> ex:p "z" }\n'
+        '_:bg { <http://s3> ex:p'
+        ' "7"^^<http://www.w3.org/2001/XMLSchema#integer> }\n'
+        '{ <http://s4> ex:p "d" }\n'
+        '<http://s5> ex:p "t" .\n'
+    )
+    docs = spark.createDataFrame([("d1", doc)], "doc_id string, content string")
+    out = write_trig_string_distributed(parse_trig_docs(docs).drop("src_url"))
+    # default-graph statements first, then GRAPH blocks in label order
+    assert out.index("<http://s4>") < out.index("GRAPH <http://g1>")
+    assert out.index("GRAPH <http://g1>") < out.index("GRAPH _:bg")
+
+    def norm(pairs):
+        return sorted(
+            tuple("" if x is None else str(x) for x in (g,) + tuple(t))
+            for t, g in pairs
+        )
+
+    reparsed, rg = parse_trig(out)
+    orig, og = parse_trig(doc)
+    assert norm(zip(reparsed.triples, rg)) == norm(zip(orig.triples, og))
