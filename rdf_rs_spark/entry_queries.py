@@ -1607,6 +1607,63 @@ def sparql_update_exec(spark, sf_dir):
 
 
 @q(
+    "sparql_update_quads_exec",
+    """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'http://kg.example.org/inRegion' AS pred, CAST(0 AS TINYINT) AS obj_kind,
+         'http://kg.example.org/region/' || CAST(n_regionkey AS VARCHAR) AS obj_lex,
+         CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+         CASE WHEN n_nationkey % 3 = 0 THEN 'http://kg.example.org/merged'
+              ELSE 'http://kg.example.org/g/' || CAST(n_nationkey % 3 AS VARCHAR)
+         END AS graph
+       FROM nation
+       UNION ALL SELECT 'http://kg.example.org/meta', 'http://kg.example.org/v',
+         CAST(2 AS TINYINT), 'done', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         'http://kg.example.org/metagraph'""",
+)
+def sparql_update_quads_exec(spark, sf_dir):
+    """SPARQL 1.1 Update over a QUAD store: WITH <g> scoping (templates
+    and WHERE default to the named graph), a GRAPH-wrapped INSERT
+    template (bindings re-homed into another graph), GRAPH blocks in
+    INSERT DATA, and a DELETE WHERE whose pattern carries a GRAPH
+    variable (matches every named graph). The oracle regenerates the
+    final quad multiset from the nation table."""
+    from .sparql_update import execute_update
+
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    subj = F.concat(F.lit(EX + "nation/"), key.cast("string"))
+    g = F.concat(F.lit(EX + "g/"), (key % 3).cast("string"))
+    quads = n.select(
+        subj.alias("subj"), F.lit(EX + "inRegion").alias("pred"),
+        F.lit(0).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        g.alias("graph"),
+    ).unionByName(
+        n.select(
+            subj.alias("subj"), F.lit(EX + "name").alias("pred"),
+            F.lit(2).cast("tinyint").alias("obj_kind"),
+            F.col("n_name").alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            g.alias("graph"),
+        )
+    )
+    return execute_update(
+        quads,
+        """PREFIX ex: <http://kg.example.org/>
+           WITH <http://kg.example.org/g/0>
+           DELETE { ?s ex:inRegion ?r }
+           INSERT { GRAPH <http://kg.example.org/merged> { ?s ex:inRegion ?r } }
+           WHERE { ?s ex:inRegion ?r } ;
+           INSERT DATA { GRAPH <http://kg.example.org/metagraph> {
+               ex:meta ex:v "done" } } ;
+           DELETE WHERE { GRAPH ?g { ?s ex:name ?n } }""",
+    )
+
+
+@q(
     "sparql_filter_regex",
     TRIPLES_CTE
     + """SELECT obj_lex AS name FROM triples
@@ -3994,7 +4051,9 @@ _VERIFY_FIRST = [
     "kg_pipeline_e2e",
     "kg_graph_pr_gate",
     "rdf_bgp_join",
-    "rdf_bgp_optional",
+    # rdf_bgp_optional displaced (r1-green; the OPTIONAL left-join path
+    # is unchanged and rdf_bgp_join anchors the BGP-ordering change)
+    "sparql_update_quads_exec",
     "sparql_select_exec",
     # sparql_two_optionals displaced (r2-green; the multi-OPTIONAL left-
     # join path is unchanged this round) for the new dup-shingle op

@@ -96,28 +96,37 @@ class _UpdateParser(_Parser):
             if v == ";":
                 self.next()
                 continue
+            # WITH <g> scopes the modify form's templates AND its WHERE
+            # group (W3C §3.1.3) — quads without an explicit GRAPH land
+            # in / match against that named graph
+            wg = None
+            if self._ident("WITH"):
+                wg = self._term(q)
+                if _is_var(wg):
+                    raise ValueError("WITH requires a fixed graph IRI")
             if self._ident("INSERT"):
-                if self._ident("DATA"):
+                if wg is None and self._ident("DATA"):
                     ops.append(UpdateOp("insert_data", data=self._group(q)))
                 else:
-                    ins = self._group(q)
+                    ins = self._group(q, wg)
                     self._expect_where()
                     ops.append(UpdateOp("modify", insert_templates=ins,
-                                        where=self._group(q)))
+                                        where=self._group(q, wg)))
             elif self._ident("DELETE"):
-                if self._ident("DATA"):
+                if wg is None and self._ident("DATA"):
                     ops.append(UpdateOp("delete_data", data=self._group(q)))
                 elif self.peek()[0] == "kw" and self.peek()[1].upper() == "WHERE":
                     self.next()
-                    ops.append(UpdateOp("delete_where", where=self._group(q)))
+                    ops.append(UpdateOp("delete_where", where=self._group(q, wg)))
                 else:
-                    dele = self._group(q)
+                    dele = self._group(q, wg)
                     ins: List[TriplePattern] = []
                     if self._ident("INSERT"):
-                        ins = self._group(q)
+                        ins = self._group(q, wg)
                     self._expect_where()
                     ops.append(UpdateOp("modify", delete_templates=dele,
-                                        insert_templates=ins, where=self._group(q)))
+                                        insert_templates=ins,
+                                        where=self._group(q, wg)))
             else:
                 raise ValueError(f"expected INSERT or DELETE, got {v!r}")
         return ops
@@ -127,9 +136,34 @@ class _UpdateParser(_Parser):
         if not (k == "kw" and v.upper() == "WHERE"):
             raise ValueError(f"expected WHERE, got {v!r}")
 
-    def _group(self, q: SparqlQuery) -> List[TriplePattern]:
+    def _group(self, q: SparqlQuery, graph=None) -> List[TriplePattern]:
+        """A ``{ … }`` quad group: plain triple blocks (assigned to
+        ``graph`` — the WITH graph, or the default graph when None)
+        and nested ``GRAPH <g> { … }`` sub-blocks."""
         self.expect_punct("{")
-        return self._parse_plain_group(q)
+        sink: List[TriplePattern] = []
+        while True:
+            k, v = self.peek()
+            if v == "}":
+                self.next()
+                return sink
+            if k == "kw" and v.upper() == "GRAPH":
+                self.next()
+                label = self._term(q)
+                if isinstance(label, Term) and label.kind == KIND_LITERAL:
+                    raise ValueError("GRAPH label must be an IRI, blank, or variable")
+                inner = self._group(q)  # nested GRAPH is not allowed inside
+                for p in inner:
+                    if p.graph is not None:
+                        raise ValueError("nested GRAPH blocks are not allowed")
+                    p.graph = label
+                sink.extend(inner)
+                if self.peek()[1] == ".":  # quads := … (quadsNotTriples '.'? …)*
+                    self.next()
+                continue
+            if k == "kw" and v.upper() in ("OPTIONAL", "FILTER", "MINUS", "BIND", "VALUES"):
+                raise ValueError(f"{v.upper()} is not supported in update groups")
+            self._parse_triple_block(q, sink, graph)
 
 
 def parse_update(text: str) -> List[UpdateOp]:
@@ -147,8 +181,8 @@ def _require_ground(patterns: List[TriplePattern], what: str) -> None:
             raise ValueError(f"{what} requires ground triples, got variables in {p}")
 
 
-def _ground_rows(patterns: List[TriplePattern]):
-    """Ground patterns → triple rows with full term fidelity."""
+def _ground_rows(patterns: List[TriplePattern], with_graph: bool):
+    """Ground patterns → triple/quad rows with full term fidelity."""
     rows = []
     for p in patterns:
         obj = p.object
@@ -158,14 +192,24 @@ def _ground_rows(patterns: List[TriplePattern]):
             text = _subject_text(obj)
             o = ((KIND_BLANK, text[2:], None, None) if text.startswith("_:")
                  else (KIND_IRI, text, None, None))
-        rows.append((_subject_text(p.subject), _subject_text(p.predicate)) + o)
+        row = (_subject_text(p.subject), _subject_text(p.predicate)) + o
+        if p.graph is not None and not with_graph:
+            raise ValueError("GRAPH data requires a quad store (graph column)")
+        if with_graph:
+            row = row + (None if p.graph is None else _subject_text(p.graph),)
+        rows.append(row)
     return rows
 
 
-def _rows_df(spark, rows) -> DataFrame:
-    from .schema import TRIPLES_SCHEMA
+def _rows_df(spark, rows, with_graph: bool) -> DataFrame:
+    from pyspark.sql import types as T
 
-    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    from .schema import TRIPLE_FIELDS, TRIPLES_SCHEMA
+
+    if not with_graph:
+        return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    schema = T.StructType(TRIPLE_FIELDS + [T.StructField("graph", T.StringType(), True)])
+    return spark.createDataFrame(rows, schema)
 
 
 def _obj_as_subj() -> Column:
@@ -232,7 +276,7 @@ def _template_matches(
 
 
 def _instantiate_inserts(
-    patterns: List[TriplePattern], solutions: DataFrame
+    patterns: List[TriplePattern], solutions: DataFrame, with_graph: bool = False
 ) -> Optional[DataFrame]:
     """INSERT templates → new triple rows, one per (solution, template).
 
@@ -273,11 +317,14 @@ def _instantiate_inserts(
                 F.lit(None).cast("string").alias("obj_datatype"),
                 F.lit(None).cast("string").alias("obj_lang"),
             ]
-        outs.append(
-            sol.select(
-                pos(p.subject).alias("subj"), pos(p.predicate).alias("pred"), *obj_cols
-            ).dropDuplicates()
-        )
+        cols = [pos(p.subject).alias("subj"), pos(p.predicate).alias("pred"), *obj_cols]
+        if p.graph is not None and not with_graph:
+            raise ValueError("GRAPH templates require a quad store (graph column)")
+        if with_graph:
+            g = (F.lit(None).cast("string") if p.graph is None
+                 else pos(p.graph).cast("string"))
+            cols.append(g.alias("graph"))
+        outs.append(sol.select(*cols).dropDuplicates())
     df = outs[0]
     for o in outs[1:]:
         df = df.unionByName(o)
@@ -299,18 +346,25 @@ def _remove_all_copies(store: DataFrame, deleted: DataFrame) -> DataFrame:
 
 def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
     spark = store.sparkSession
+    with_graph = "graph" in store.columns
     extra = [c for c in store.columns
              if c not in ("subj", "pred", "obj_kind", "obj_lex",
-                          "obj_datatype", "obj_lang")]
+                          "obj_datatype", "obj_lang", "graph")]
+
+    def fill_extras(df: DataFrame) -> DataFrame:
+        for c in extra:
+            df = df.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
+        return df
+
     if op.kind == "insert_data":
         _require_ground(op.data, "INSERT DATA")
-        ins = _rows_df(spark, _ground_rows(op.data))
-        for c in extra:
-            ins = ins.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
-        return store.unionByName(ins)
+        ins = _rows_df(spark, _ground_rows(op.data, with_graph), with_graph)
+        return store.unionByName(fill_extras(ins))
     if op.kind == "delete_data":
         _require_ground(op.data, "DELETE DATA")
-        return _remove_all_copies(store, _rows_df(spark, _ground_rows(op.data)))
+        return _remove_all_copies(
+            store, _rows_df(spark, _ground_rows(op.data, with_graph), with_graph)
+        )
     # pattern-driven forms share one WHERE evaluation
     solutions = bgp_join(store, op.where).dropDuplicates()
     if op.kind == "delete_where":
@@ -318,7 +372,7 @@ def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
         inserts = None
     else:
         templates = op.delete_templates
-        inserts = _instantiate_inserts(op.insert_templates, solutions)
+        inserts = _instantiate_inserts(op.insert_templates, solutions, with_graph)
     out = store
     if templates:
         deleted = _template_matches(store, templates[0], solutions)
@@ -326,9 +380,7 @@ def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
             deleted = deleted.unionByName(_template_matches(store, p, solutions))
         out = _remove_all_copies(out, deleted)
     if inserts is not None:
-        for c in extra:
-            inserts = inserts.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
-        out = out.unionByName(inserts)
+        out = out.unionByName(fill_extras(inserts))
     return out
 
 

@@ -1247,3 +1247,65 @@ def test_update_ground_and_unbound_template_guards(spark, triples):
         "DELETE { } INSERT { <http://e/s> <http://e/p> <http://e/o> } "
         "WHERE { ?s <http://e/q> ?o }")
     assert ops[0].kind == "modify" and not ops[0].delete_templates
+
+
+def test_update_quads_with_graph_scoping(spark):
+    from pyspark.sql import types as T
+
+    from rdf_rs_spark.schema import TRIPLE_FIELDS
+    from rdf_rs_spark.sparql_update import execute_update
+
+    schema = T.StructType(
+        TRIPLE_FIELDS + [T.StructField("graph", T.StringType(), True)])
+    store = spark.createDataFrame(
+        [("http://e/s1", "http://e/name", 2, "v1", None, None, "http://e/g0"),
+         ("http://e/s2", "http://e/name", 2, "v2", None, None, "http://e/g1"),
+         ("http://e/s3", "http://e/name", 2, "v3", None, None, None)],
+        schema)
+    out = execute_update(
+        store,
+        """PREFIX ex: <http://e/>
+           INSERT DATA { GRAPH <http://e/gm> { ex:meta ex:v "1" } .
+                         ex:top ex:v "2" } ;
+           WITH <http://e/g0>
+           DELETE { ?s ex:name ?n }
+           INSERT { GRAPH <http://e/renamed> { ?s ex:label ?n } }
+           WHERE { ?s ex:name ?n }""",
+    ).collect()
+    rows = sorted((r.graph, r.subj, r.pred, r.obj_lex) for r in out
+                  if r.graph is not None)
+    # WITH scopes WHERE + DELETE to g0 only; explicit GRAPH re-homes the
+    # insert; g1 untouched
+    assert rows == [
+        ("http://e/g1", "http://e/s2", "http://e/name", "v2"),
+        ("http://e/gm", "http://e/meta", "http://e/v", "1"),
+        ("http://e/renamed", "http://e/s1", "http://e/label", "v1"),
+    ]
+    default = sorted((r.subj, r.obj_lex) for r in out if r.graph is None)
+    assert default == [("http://e/s3", "v3"), ("http://e/top", "2")]
+
+
+def test_update_graph_variable_delete_where(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    from rdf_rs_spark.schema import TRIPLE_FIELDS
+    from rdf_rs_spark.sparql_update import execute_update
+
+    schema = T.StructType(
+        TRIPLE_FIELDS + [T.StructField("graph", T.StringType(), True)])
+    store = spark.createDataFrame(
+        [("http://e/s1", "http://e/p", 2, "a", None, None, "http://e/g0"),
+         ("http://e/s2", "http://e/p", 2, "b", None, None, "http://e/g1"),
+         ("http://e/s3", "http://e/p", 2, "c", None, None, None)],
+        schema)
+    out = execute_update(
+        store, "DELETE WHERE { GRAPH ?g { ?s <http://e/p> ?o } }").collect()
+    # a GRAPH variable matches every NAMED graph; the default graph survives
+    assert [(r.subj, r.graph) for r in out] == [("http://e/s3", None)]
+    # GRAPH data against a triples-only store is rejected loudly
+    plain = store.drop("graph")
+    with pytest.raises(ValueError, match="quad store"):
+        execute_update(
+            plain,
+            'INSERT DATA { GRAPH <http://e/g> { <http://e/s> <http://e/p> "x" } }')
