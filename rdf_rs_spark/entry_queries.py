@@ -1606,6 +1606,33 @@ def sparql_update_exec(spark, sf_dir):
     )
 
 
+def _nation_quads(spark, sf_dir, name_graph=None):
+    """Nation-derived quad store: inRegion edges in graph ``g/<key%3>``,
+    name literals in ``name_graph`` (a Column; default = same g/<key%3>)."""
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    subj = F.concat(F.lit(EX + "nation/"), key.cast("string"))
+    g = F.concat(F.lit(EX + "g/"), (key % 3).cast("string"))
+    ng = g if name_graph is None else name_graph
+    return n.select(
+        subj.alias("subj"), F.lit(EX + "inRegion").alias("pred"),
+        F.lit(0).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        g.alias("graph"),
+    ).unionByName(
+        n.select(
+            subj.alias("subj"), F.lit(EX + "name").alias("pred"),
+            F.lit(2).cast("tinyint").alias("obj_kind"),
+            F.col("n_name").alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            ng.cast("string").alias("graph"),
+        )
+    )
+
+
 @q(
     "sparql_update_quads_exec",
     """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
@@ -1629,29 +1656,8 @@ def sparql_update_quads_exec(spark, sf_dir):
     final quad multiset from the nation table."""
     from .sparql_update import execute_update
 
-    n = _t(spark, sf_dir, "nation")
-    key = F.col("n_nationkey")
-    subj = F.concat(F.lit(EX + "nation/"), key.cast("string"))
-    g = F.concat(F.lit(EX + "g/"), (key % 3).cast("string"))
-    quads = n.select(
-        subj.alias("subj"), F.lit(EX + "inRegion").alias("pred"),
-        F.lit(0).cast("tinyint").alias("obj_kind"),
-        F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string")).alias("obj_lex"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-        F.lit(None).cast("string").alias("obj_lang"),
-        g.alias("graph"),
-    ).unionByName(
-        n.select(
-            subj.alias("subj"), F.lit(EX + "name").alias("pred"),
-            F.lit(2).cast("tinyint").alias("obj_kind"),
-            F.col("n_name").alias("obj_lex"),
-            F.lit(None).cast("string").alias("obj_datatype"),
-            F.lit(None).cast("string").alias("obj_lang"),
-            g.alias("graph"),
-        )
-    )
     return execute_update(
-        quads,
+        _nation_quads(spark, sf_dir),
         """PREFIX ex: <http://kg.example.org/>
            WITH <http://kg.example.org/g/0>
            DELETE { ?s ex:inRegion ?r }
@@ -1660,6 +1666,42 @@ def sparql_update_quads_exec(spark, sf_dir):
            INSERT DATA { GRAPH <http://kg.example.org/metagraph> {
                ex:meta ex:v "done" } } ;
            DELETE WHERE { GRAPH ?g { ?s ex:name ?n } }""",
+    )
+
+
+_GM_INREGION = """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+         'http://kg.example.org/inRegion' AS pred, CAST(0 AS TINYINT) AS obj_kind,
+         'http://kg.example.org/region/' || CAST(n_regionkey AS VARCHAR) AS obj_lex,
+         CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang"""
+
+
+@q(
+    "sparql_update_graph_mgmt",
+    f"""{_GM_INREGION}, 'http://kg.example.org/g/1' AS graph
+       FROM nation WHERE n_nationkey % 3 = 1
+       UNION ALL {_GM_INREGION}, 'http://kg.example.org/g/2'
+       FROM nation WHERE n_nationkey % 3 = 1
+       UNION ALL {_GM_INREGION}, 'http://kg.example.org/g/2'
+       FROM nation WHERE n_nationkey % 3 = 2
+       UNION ALL {_GM_INREGION}, 'http://kg.example.org/archive'
+       FROM nation WHERE n_nationkey % 3 = 0""",
+)
+def sparql_update_graph_mgmt(spark, sf_dir):
+    """SPARQL 1.1 Update §3.2 Graph Management (beyond-reference):
+    ADD (source kept, duplicates into the target), MOVE (target
+    replaced, source emptied), and CLEAR DEFAULT, all pure
+    filters/unions over the quads table — no shuffle at any scale.
+    Store: inRegion edges in g/<key%3>, name literals in the default
+    graph (cleared by the last op)."""
+    from .sparql_update import execute_update
+
+    quads = _nation_quads(spark, sf_dir, name_graph=F.lit(None))
+    return execute_update(
+        quads,
+        """ADD <http://kg.example.org/g/1> TO <http://kg.example.org/g/2> ;
+           MOVE GRAPH <http://kg.example.org/g/0>
+             TO GRAPH <http://kg.example.org/archive> ;
+           CLEAR DEFAULT""",
     )
 
 
@@ -4069,7 +4111,9 @@ _VERIFY_FIRST = [
     # BGP-ordering path, still represented in-window by rdf_bgp_join /
     # sparql_select_exec / sparql_construct) for the new TriG codec
     "rdf_trig_parse",
-    "sparql_construct",
+    # sparql_construct displaced (r2-green; template construction
+    # unchanged, BGP-ordering change anchored by rdf_bgp_join)
+    "sparql_update_graph_mgmt",
     # new SPARQL 1.1 executed extensions (round 3)
     "sparql_filter_bool",
     "sparql_values_exec",

@@ -47,10 +47,16 @@ from .terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, Term
 @dataclass
 class UpdateOp:
     kind: str  # insert_data | delete_data | delete_where | modify
+    #        | clear | create | add | copy | move          (§3.2)
     data: List[TriplePattern] = field(default_factory=list)  # ground triples
     delete_templates: List[TriplePattern] = field(default_factory=list)
     insert_templates: List[TriplePattern] = field(default_factory=list)
     where: List[TriplePattern] = field(default_factory=list)
+    #: clear: "default" | "named" | "all" | ("graph", iri)
+    target: object = None
+    #: add/copy/move endpoints: None = DEFAULT, str = named graph IRI
+    src: Optional[str] = None
+    dst: Optional[str] = None
 
 
 def _blank_query(prefixes, base) -> SparqlQuery:
@@ -104,7 +110,25 @@ class _UpdateParser(_Parser):
                 wg = self._term(q)
                 if _is_var(wg):
                     raise ValueError("WITH requires a fixed graph IRI")
-            if self._ident("INSERT"):
+            if wg is None and self._ident("CLEAR", "DROP"):
+                # DROP ≡ CLEAR here: graphs have no existence apart from
+                # their quads (no empty-graph bookkeeping), same reason
+                # CREATE is a validated no-op
+                self._ident("SILENT")
+                ops.append(UpdateOp("clear", target=self._graph_target(q)))
+            elif wg is None and self._ident("CREATE"):
+                self._ident("SILENT")
+                t = self._graph_target(q)
+                if not isinstance(t, tuple):
+                    raise ValueError("CREATE requires GRAPH <iri>")
+                ops.append(UpdateOp("create", target=t))
+            elif wg is None and (mv := self._ident("ADD", "COPY", "MOVE")):
+                self._ident("SILENT")
+                src = self._graph_endpoint(q)
+                if not self._ident("TO"):
+                    raise ValueError("expected TO")
+                ops.append(UpdateOp(mv.lower(), src=src, dst=self._graph_endpoint(q)))
+            elif self._ident("INSERT"):
                 if wg is None and self._ident("DATA"):
                     ops.append(UpdateOp("insert_data", data=self._group(q)))
                 else:
@@ -130,6 +154,39 @@ class _UpdateParser(_Parser):
             else:
                 raise ValueError(f"expected INSERT or DELETE, got {v!r}")
         return ops
+
+    def _fixed_graph(self, q: SparqlQuery) -> str:
+        g = self._term(q)
+        if _is_var(g) or (isinstance(g, Term) and g.kind == KIND_LITERAL):
+            raise ValueError("graph-management targets must be fixed IRIs")
+        return _subject_text(g)
+
+    def _graph_target(self, q: SparqlQuery):
+        """CLEAR/DROP target: GRAPH <iri> | DEFAULT | NAMED | ALL."""
+        k, v = self.peek()
+        if k == "kw" and v.upper() == "GRAPH":
+            self.next()
+            return ("graph", self._fixed_graph(q))
+        if k == "kw" and v.upper() == "NAMED":
+            self.next()
+            return "named"
+        if self._ident("DEFAULT"):
+            return "default"
+        if self._ident("ALL"):
+            return "all"
+        raise ValueError(f"expected GRAPH/DEFAULT/NAMED/ALL, got {v!r}")
+
+    def _graph_endpoint(self, q: SparqlQuery) -> Optional[str]:
+        """ADD/COPY/MOVE endpoint: DEFAULT | GRAPH? <iri> (None = default)."""
+        k, v = self.peek()
+        if k == "kw" and v.upper() == "GRAPH":
+            self.next()
+            return self._fixed_graph(q)
+        if k in ("iri", "qname"):
+            return self._fixed_graph(q)
+        if self._ident("DEFAULT"):
+            return None
+        raise ValueError(f"expected DEFAULT or GRAPH <iri>, got {v!r}")
 
     def _expect_where(self) -> None:
         k, v = self.next()
@@ -356,6 +413,8 @@ def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
             df = df.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
         return df
 
+    if op.kind in ("clear", "create", "add", "copy", "move"):
+        return _apply_graph_management(store, op, with_graph)
     if op.kind == "insert_data":
         _require_ground(op.data, "INSERT DATA")
         ins = _rows_df(spark, _ground_rows(op.data, with_graph), with_graph)
@@ -382,6 +441,48 @@ def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
     if inserts is not None:
         out = out.unionByName(fill_extras(inserts))
     return out
+
+
+def _graph_is(g: Optional[str]) -> Column:
+    return F.col("graph").isNull() if g is None else F.col("graph").eqNullSafe(g)
+
+
+def _apply_graph_management(
+    store: DataFrame, op: UpdateOp, with_graph: bool
+) -> DataFrame:
+    """§3.2 Graph Management as filters/unions over the quads table.
+
+    A plain triples table IS a default graph: CLEAR DEFAULT / CLEAR ALL
+    work on it; anything naming a graph requires the quad store. CREATE
+    is a validated no-op (graphs have no existence apart from quads)."""
+    if op.kind == "create":
+        return store
+    if op.kind == "clear":
+        if op.target in ("default", "all") and not with_graph:
+            return store.filter(F.lit(False))
+        if not with_graph:
+            raise ValueError("graph-management targets require a quad store")
+        if op.target == "all":
+            return store.filter(F.lit(False))
+        if op.target == "default":
+            return store.filter(F.col("graph").isNotNull())
+        if op.target == "named":
+            return store.filter(F.col("graph").isNull())
+        return store.filter(~F.col("graph").eqNullSafe(op.target[1]))
+    # ADD / COPY / MOVE
+    if not with_graph:
+        raise ValueError("graph-management targets require a quad store")
+    if op.src == op.dst:
+        return store  # spec: same-graph ADD/COPY/MOVE is a no-op
+    moved = store.filter(_graph_is(op.src)).withColumn(
+        "graph", F.lit(op.dst).cast("string")
+    )
+    out = store
+    if op.kind in ("copy", "move"):
+        out = out.filter(~_graph_is(op.dst))
+    if op.kind == "move":
+        out = out.filter(~_graph_is(op.src))
+    return out.unionByName(moved)
 
 
 def execute_update(store: DataFrame, text: str) -> DataFrame:

@@ -1309,3 +1309,41 @@ def test_update_graph_variable_delete_where(spark):
         execute_update(
             plain,
             'INSERT DATA { GRAPH <http://e/g> { <http://e/s> <http://e/p> "x" } }')
+
+
+def test_update_graph_management(spark):
+    from pyspark.sql import types as T
+
+    from rdf_rs_spark.schema import TRIPLE_FIELDS
+    from rdf_rs_spark.sparql_update import execute_update
+
+    schema = T.StructType(
+        TRIPLE_FIELDS + [T.StructField("graph", T.StringType(), True)])
+    store = spark.createDataFrame(
+        [("http://e/s0", "http://e/p", 2, "d", None, None, None),
+         ("http://e/s1", "http://e/p", 2, "a", None, None, "http://e/g1"),
+         ("http://e/s2", "http://e/p", 2, "b", None, None, "http://e/g2")],
+        schema)
+
+    def run(upd):
+        return sorted(
+            ((r.subj, r.graph) for r in execute_update(store, upd).collect()),
+            key=lambda t: (t[0], t[1] or ""),
+        )
+
+    assert run("CLEAR GRAPH <http://e/g1>") == [
+        ("http://e/s0", None), ("http://e/s2", "http://e/g2")]
+    assert run("CLEAR DEFAULT") == [
+        ("http://e/s1", "http://e/g1"), ("http://e/s2", "http://e/g2")]
+    assert run("CLEAR NAMED") == [("http://e/s0", None)]
+    assert run("DROP SILENT ALL") == []
+    assert run("CREATE GRAPH <http://e/gx>") == run(
+        "MOVE GRAPH <http://e/g1> TO GRAPH <http://e/g1>")  # both no-ops
+    assert run("ADD <http://e/g1> TO DEFAULT") == [
+        ("http://e/s0", None), ("http://e/s1", None),
+        ("http://e/s1", "http://e/g1"), ("http://e/s2", "http://e/g2")]
+    assert run("COPY DEFAULT TO GRAPH <http://e/g2>") == [
+        ("http://e/s0", None), ("http://e/s0", "http://e/g2"),
+        ("http://e/s1", "http://e/g1")]
+    assert run("MOVE GRAPH <http://e/g1> TO GRAPH <http://e/g2>") == [
+        ("http://e/s0", None), ("http://e/s1", "http://e/g2")]
