@@ -108,7 +108,7 @@ class _UpdateParser(_Parser):
             wg = None
             if self._ident("WITH"):
                 wg = self._term(q)
-                if _is_var(wg):
+                if _is_var(wg) or (isinstance(wg, Term) and wg.kind == KIND_LITERAL):
                     raise ValueError("WITH requires a fixed graph IRI")
             if wg is None and self._ident("CLEAR", "DROP"):
                 # DROP ≡ CLEAR here: graphs have no existence apart from
