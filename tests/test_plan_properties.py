@@ -457,3 +457,63 @@ def test_no_cartesian_product_in_any_registered_query(spark):
             offenders.append(name)
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_graph_management_is_narrow(spark):
+    """SPARQL Update §3.2 (CLEAR/ADD/COPY/MOVE) must stay pure
+    filters/unions — ZERO exchanges at any scale; a shuffle here would
+    make a trivial graph rename a cluster-wide event."""
+    from rdf_rs_spark.sparql_update import apply_update, parse_update
+
+    quads = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("subj"),
+            F.lit("http://e/p").alias("pred"),
+            F.lit(2).cast("tinyint").alias("obj_kind"),
+            F.col("lang").alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.col("source").alias("graph"),
+        )
+    )
+    ops = parse_update(
+        "ADD <http://e/a> TO <http://e/b> ; CLEAR DEFAULT ;"
+        " MOVE <http://e/a> TO DEFAULT ; DROP NAMED"
+    )
+    assert [op.kind for op in ops] == ["add", "clear", "move", "clear"]
+    for op in ops:
+        assert count_exchanges(apply_update(quads, op)) == 0
+
+
+def test_trig_blocks_single_shuffle(spark):
+    """The TriG sink is ONE exchange: the (graph, subject) groupBy that
+    co-locates each block's rows — same contract as the Turtle writer."""
+    from rdf_rs_spark.writers.trig import trig_blocks
+
+    quads = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("subj"),
+            F.lit("http://e/p").alias("pred"),
+            F.lit(2).cast("tinyint").alias("obj_kind"),
+            F.col("lang").alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.col("source").alias("graph"),
+        )
+    )
+    assert count_exchanges(trig_blocks(quads)) == 1
+
+
+def test_dup_shingle_stats_bounded_exchanges(spark):
+    """Global duplicate detection inherently shuffles the shingle
+    stream, but only as 60-bit hash bigints and only a bounded number
+    of times: the df aggregate + the per-doc rollup (the hot-set
+    semi-join and the totals join reuse partitionings / broadcast).
+    Measured 2 exchanges; pin a small bound so an accidental
+    string-keyed or re-shuffled variant fails loudly."""
+    from rdf_rs_spark.operators.corpus import dup_shingle_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert count_exchanges(dup_shingle_stats(docs, F.col("text"))) <= 4

@@ -289,3 +289,60 @@ def test_trig_writer_round_trip(spark):
     reparsed, rg = parse_trig(out)
     orig, og = parse_trig(doc)
     assert norm(zip(reparsed.triples, rg)) == norm(zip(orig.triples, og))
+
+
+def test_trig_roundtrip_fuzz(spark):
+    """Seeded random quads — unicode, lang tags, typed/bare literals,
+    blank subjects/objects, named/blank/default graphs — must survive
+    TriG write → parse exactly (codec-#5 symmetry at fuzz depth; the
+    N-Quads twin is tests/test_sparql.py::test_nquads_roundtrip_fuzz).
+    Same clean-lexical-space domain note as the NQ fuzz: literal
+    lexical forms are kept verbatim by both sides, so quote/backslash/
+    control characters (escape_debug territory, pinned byte-exactly in
+    the conformance suite) are out of domain."""
+    import random
+    from collections import Counter
+
+    from rdf_rs_spark.parsing import parse_trig
+    from rdf_rs_spark.writers.trig import write_trig_string_distributed
+
+    rng = random.Random(20260818)
+    lits = ["v", "", "two words", "uni‑çödé ☃", "it4", "end.",
+            "a,b;c", "x  y", "<angle>", "100%", "q?=p&r"]
+    rows = []
+    for i in range(300):
+        subj = rng.choice(
+            [f"http://s.org/{rng.randrange(30)}", f"_:b{rng.randrange(9)}"])
+        pred = f"http://p.org/{rng.randrange(12)}"
+        r = rng.random()
+        if r < 0.35:
+            kind, lex, dt, lang = 0, f"http://o.org/{rng.randrange(30)}", None, None
+        elif r < 0.5:
+            kind, lex, dt, lang = 1, f"o{rng.randrange(9)}", None, None
+        elif r < 0.7:
+            kind, lex, dt, lang = 2, rng.choice(lits), None, None
+        elif r < 0.85:
+            kind, lex, dt, lang = 2, rng.choice(lits), None, rng.choice(["en", "de-AT"])
+        else:
+            # bare-literal path: the Turtle block writer emits xsd:integer
+            # literals unquoted (W7) and the parser types them back
+            kind, lex, dt, lang = (
+                2, str(rng.randrange(1000)),
+                "http://www.w3.org/2001/XMLSchema#integer", None)
+        graph = rng.choice(
+            [None, f"http://g.org/{rng.randrange(4)}", f"_:g{rng.randrange(3)}"])
+        rows.append((subj, pred, kind, lex, dt, lang, graph))
+    quads = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    text = write_trig_string_distributed(quads)
+    doc, graphs = parse_trig(text)
+    got = Counter(
+        (t.subj, t.pred, t.obj_kind, t.obj_lex, t.obj_datatype, t.obj_lang, g)
+        for t, g in zip(doc.triples, graphs)
+    )
+    want = Counter(rows)
+    assert sum(got.values()) == sum(want.values())
+    assert got == want
