@@ -57,6 +57,9 @@ class UpdateOp:
     #: add/copy/move endpoints: None = DEFAULT, str = named graph IRI
     src: Optional[str] = None
     dst: Optional[str] = None
+    #: load: source document IRI (file: or plain path) + SILENT flag
+    source: Optional[str] = None
+    silent: bool = False
 
 
 def _blank_query(prefixes, base) -> SparqlQuery:
@@ -110,7 +113,20 @@ class _UpdateParser(_Parser):
                 wg = self._term(q)
                 if _is_var(wg) or (isinstance(wg, Term) and wg.kind == KIND_LITERAL):
                     raise ValueError("WITH requires a fixed graph IRI")
-            if wg is None and self._ident("CLEAR", "DROP"):
+            if wg is None and self._ident("LOAD"):
+                silent = self._ident("SILENT") is not None
+                k2, v2 = self.next()
+                if k2 != "iri":
+                    raise ValueError(f"LOAD requires a document IRI, got {v2!r}")
+                dst = None
+                if self._ident("INTO"):
+                    k3, v3 = self.peek()
+                    if not (k3 == "kw" and v3.upper() == "GRAPH"):
+                        raise ValueError("expected GRAPH after INTO")
+                    self.next()
+                    dst = self._fixed_graph(q)
+                ops.append(UpdateOp("load", source=v2[1:-1], dst=dst, silent=silent))
+            elif wg is None and self._ident("CLEAR", "DROP"):
                 # DROP ≡ CLEAR here: graphs have no existence apart from
                 # their quads (no empty-graph bookkeeping), same reason
                 # CREATE is a validated no-op
@@ -413,6 +429,8 @@ def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
             df = df.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
         return df
 
+    if op.kind == "load":
+        return _apply_load(store, op, with_graph, fill_extras)
     if op.kind in ("clear", "create", "add", "copy", "move"):
         return _apply_graph_management(store, op, with_graph)
     if op.kind == "insert_data":
@@ -441,6 +459,67 @@ def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
     if inserts is not None:
         out = out.unionByName(fill_extras(inserts))
     return out
+
+
+def _apply_load(store: DataFrame, op: UpdateOp, with_graph: bool, fill_extras):
+    """§3.1.4 LOAD: read an RDF document (``file:`` IRI or plain path;
+    format by extension — .nt, .nq, .ttl/.turtle, .trig) and add its
+    triples to the destination graph (bag union, M1 semantics). On a
+    quad store, .nq/.trig keep their own graph labels unless INTO
+    GRAPH overrides everything into one graph (W3C: the destination
+    graph receives the input's triples). SILENT turns read/parse
+    failures into a no-op instead of an error."""
+    spark = store.sparkSession
+    path = op.source
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    try:
+        lower = path.lower()
+        if lower.endswith(".nt"):
+            from .sources.ntriples import read_ntriples
+
+            loaded = read_ntriples(spark, path)
+        elif lower.endswith(".nq"):
+            from .sources.nquads import read_nquads
+
+            loaded = read_nquads(spark, path)
+        elif lower.endswith((".ttl", ".turtle")):
+            from .sources.turtle import parse_turtle_docs
+
+            docs = spark.read.text(path, wholetext=True).select(
+                F.lit(path).alias("doc_id"), F.col("value").alias("content")
+            )
+            loaded = parse_turtle_docs(docs, errors="raise").drop("src_url")
+        elif lower.endswith(".trig"):
+            from .sources.trig import parse_trig_docs
+
+            docs = spark.read.text(path, wholetext=True).select(
+                F.lit(path).alias("doc_id"), F.col("value").alias("content")
+            )
+            loaded = parse_trig_docs(docs, errors="raise").drop("src_url")
+        else:
+            raise ValueError(f"LOAD cannot infer a format from {op.source!r}")
+        # errors='raise' paths fail at ACTION time inside the Arrow kernel;
+        # for SILENT the parse must be validated eagerly so the no-op
+        # applies now, not mid-collect downstream (full count: a later
+        # partition's parse error must also turn into the no-op)
+        if op.silent:
+            loaded.count()
+    except Exception:
+        if op.silent:
+            return store
+        raise
+    if op.dst is not None and not with_graph:
+        raise ValueError("LOAD INTO GRAPH requires a quad store (graph column)")
+    if with_graph:
+        if op.dst is not None:
+            loaded = (loaded.drop("graph") if "graph" in loaded.columns else loaded
+                      ).withColumn("graph", F.lit(op.dst))
+        elif "graph" not in loaded.columns:
+            loaded = loaded.withColumn("graph", F.lit(None).cast("string"))
+    elif "graph" in loaded.columns:
+        raise ValueError("cannot LOAD a quad document into a triples-only store")
+    return store.unionByName(fill_extras(loaded))
 
 
 def _graph_is(g: Optional[str]) -> Column:

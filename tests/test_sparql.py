@@ -1347,3 +1347,48 @@ def test_update_graph_management(spark):
         ("http://e/s1", "http://e/g1")]
     assert run("MOVE GRAPH <http://e/g1> TO GRAPH <http://e/g2>") == [
         ("http://e/s0", None), ("http://e/s1", "http://e/g2")]
+
+
+def test_update_load(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from rdf_rs_spark.schema import TRIPLE_FIELDS, TRIPLES_SCHEMA
+    from rdf_rs_spark.sparql_update import execute_update
+
+    nt = tmp_path / "data.nt"
+    nt.write_text('<http://e/s> <http://e/p> "loaded" .\n'
+                  '<http://e/s> <http://e/p> <http://e/o> .\n')
+    ttl = tmp_path / "data.ttl"
+    ttl.write_text('@prefix ex: <http://e/> .\nex:t ex:q "ttl" ; ex:r 5 .\n')
+
+    store = spark.createDataFrame(
+        [("http://e/base", "http://e/p", 2, "b", None, None)], TRIPLES_SCHEMA)
+    out = execute_update(
+        store, f"LOAD <file://{nt}> ; LOAD <{ttl}>").collect()
+    assert len(out) == 5
+    assert sorted(r.obj_lex for r in out) == [
+        "5", "b", "http://e/o", "loaded", "ttl"]
+
+    # INTO GRAPH on a quad store rehomes the loaded triples
+    qschema = T.StructType(
+        TRIPLE_FIELDS + [T.StructField("graph", T.StringType(), True)])
+    qstore = spark.createDataFrame(
+        [("http://e/base", "http://e/p", 2, "b", None, None, None)], qschema)
+    out2 = execute_update(
+        qstore, f"LOAD <file://{nt}> INTO GRAPH <http://e/g>").collect()
+    assert sorted((str(r.graph), r.obj_lex) for r in out2) == [
+        ("None", "b"), ("http://e/g", "http://e/o"), ("http://e/g", "loaded")]
+
+    # SILENT failures are a no-op; loud ones raise
+    assert len(execute_update(
+        store, "LOAD SILENT <file:///nonexistent/x.nt>").collect()) == 1
+    import pytest
+
+    with pytest.raises(Exception):
+        execute_update(store, "LOAD <file:///nonexistent/x.nt>").collect()
+    # a malformed Turtle doc under SILENT is also a no-op (parse errors
+    # surface at validation time, not mid-collect downstream)
+    bad = tmp_path / "bad.ttl"
+    bad.write_text("@prefix broken")
+    assert len(execute_update(
+        store, f"LOAD SILENT <{bad}>").collect()) == 1
