@@ -1645,15 +1645,31 @@ def _nation_quads(spark, sf_dir, name_graph=None):
        FROM nation
        UNION ALL SELECT 'http://kg.example.org/meta', 'http://kg.example.org/v',
          CAST(2 AS TINYINT), 'done', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-         'http://kg.example.org/metagraph'""",
+         'http://kg.example.org/metagraph'
+       UNION ALL SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/audited', CAST(0 AS TINYINT),
+         'http://kg.example.org/region/' || CAST(n_regionkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         'http://kg.example.org/audit'
+       FROM nation WHERE n_nationkey % 3 = 0
+       UNION ALL SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/fromGraph', CAST(0 AS TINYINT),
+         'http://kg.example.org/g/1',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         'http://kg.example.org/home'
+       FROM nation WHERE n_nationkey % 3 = 1""",
 )
 def sparql_update_quads_exec(spark, sf_dir):
     """SPARQL 1.1 Update over a QUAD store: WITH <g> scoping (templates
     and WHERE default to the named graph), a GRAPH-wrapped INSERT
     template (bindings re-homed into another graph), GRAPH blocks in
-    INSERT DATA, and a DELETE WHERE whose pattern carries a GRAPH
-    variable (matches every named graph). The oracle regenerates the
-    final quad multiset from the nation table."""
+    INSERT DATA, a DELETE WHERE whose pattern carries a GRAPH
+    variable (matches every named graph), and the §3.1.3 USING /
+    USING NAMED dataset clauses: USING re-bases the WHERE's default
+    graph onto the listed graph(s), USING NAMED restricts GRAPH ?g to
+    the listed graphs while WITH still homes the templates, and a
+    GRAPH variable is inserted as a resource binding. The oracle
+    regenerates the final quad multiset from the nation table."""
     from .sparql_update import execute_update
 
     return execute_update(
@@ -1665,7 +1681,14 @@ def sparql_update_quads_exec(spark, sf_dir):
            WHERE { ?s ex:inRegion ?r } ;
            INSERT DATA { GRAPH <http://kg.example.org/metagraph> {
                ex:meta ex:v "done" } } ;
-           DELETE WHERE { GRAPH ?g { ?s ex:name ?n } }""",
+           DELETE WHERE { GRAPH ?g { ?s ex:name ?n } } ;
+           INSERT { GRAPH <http://kg.example.org/audit> { ?s ex:audited ?r } }
+           USING <http://kg.example.org/merged>
+           WHERE { ?s ex:inRegion ?r } ;
+           WITH <http://kg.example.org/home>
+           INSERT { ?s ex:fromGraph ?g }
+           USING NAMED <http://kg.example.org/g/1>
+           WHERE { GRAPH ?g { ?s ex:inRegion ?r } }""",
     )
 
 
@@ -4059,6 +4082,196 @@ def streaming_batch_body(spark, sf_dir):
     return spark.read.parquet(f"{out}/batch=7").select(
         "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"
     )
+
+
+# ---- RDFS materialization + owl:sameAs resolution (beyond-reference) ------
+
+
+def _rdfs_store(spark, sf_dir):
+    """Instance triples from nation + a constant 10-triple ontology."""
+    from .schema import TRIPLES_SCHEMA
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    subj = F.concat(F.lit(EX + "nation/"), k)
+    reg = F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string"))
+
+    def row(s, p, kind, o):
+        return [
+            s.alias("subj"), F.lit(p).alias("pred"),
+            F.lit(kind).cast("tinyint").alias("obj_kind"), o.alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        ]
+
+    inst = (
+        n.select(*row(subj, RDF_TYPE, 0, F.lit(EX + "Nation")))
+        .unionByName(n.select(*row(subj, EX + "inRegion", 0, reg)))
+        .unionByName(n.select(*row(subj, EX + "name", 2, F.col("n_name"))))
+    )
+    from .operators.inference import (
+        RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+    )
+
+    schema_rows = [
+        (EX + "Nation", RDFS_SUBCLASS, 0, EX + "Place", None, None),
+        (EX + "Place", RDFS_SUBCLASS, 0, EX + "Entity", None, None),
+        (EX + "Region", RDFS_SUBCLASS, 0, EX + "Place", None, None),
+        (EX + "inRegion", RDFS_SUBPROP, 0, EX + "locatedIn", None, None),
+        (EX + "locatedIn", RDFS_SUBPROP, 0, EX + "related", None, None),
+        (EX + "locatedIn", RDFS_DOMAIN, 0, EX + "LocatedThing", None, None),
+        (EX + "inRegion", RDFS_RANGE, 0, EX + "Region", None, None),
+    ]
+    return inst.unionByName(spark.createDataFrame(schema_rows, TRIPLES_SCHEMA))
+
+
+_RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+
+
+@q(
+    "kg_rdfs_closure",
+    f"""WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation),
+  regs AS (SELECT DISTINCT n_regionkey AS r FROM nation)
+SELECT '{EX}nation/' || CAST(k AS VARCHAR) AS subj, '{RDF_TYPE}' AS pred,
+       CAST(0 AS TINYINT) AS obj_kind, '{EX}' || cls AS obj_lex,
+       CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+FROM nat CROSS JOIN (VALUES ('Nation'), ('Place'), ('Entity'), ('LocatedThing')) t(cls)
+UNION ALL
+SELECT '{EX}nation/' || CAST(k AS VARCHAR), '{EX}' || p, CAST(0 AS TINYINT),
+       '{EX}region/' || CAST(r AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM nat CROSS JOIN (VALUES ('inRegion'), ('locatedIn'), ('related')) t(p)
+UNION ALL
+SELECT '{EX}nation/' || CAST(k AS VARCHAR), '{EX}name', CAST(2 AS TINYINT), nm,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM nat
+UNION ALL
+SELECT '{EX}region/' || CAST(r AS VARCHAR), '{RDF_TYPE}', CAST(0 AS TINYINT),
+       '{EX}' || cls, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM regs CROSS JOIN (VALUES ('Region'), ('Place'), ('Entity')) t(cls)
+UNION ALL
+SELECT '{EX}' || s, p, CAST(0 AS TINYINT), '{EX}' || o,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM (VALUES
+  ('Nation', '{_RDFS_NS}subClassOf', 'Place'),
+  ('Place', '{_RDFS_NS}subClassOf', 'Entity'),
+  ('Nation', '{_RDFS_NS}subClassOf', 'Entity'),
+  ('Region', '{_RDFS_NS}subClassOf', 'Place'),
+  ('Region', '{_RDFS_NS}subClassOf', 'Entity'),
+  ('inRegion', '{_RDFS_NS}subPropertyOf', 'locatedIn'),
+  ('locatedIn', '{_RDFS_NS}subPropertyOf', 'related'),
+  ('inRegion', '{_RDFS_NS}subPropertyOf', 'related'),
+  ('locatedIn', '{_RDFS_NS}domain', 'LocatedThing'),
+  ('inRegion', '{_RDFS_NS}range', 'Region')) t(s, p, o)""",
+)
+def kg_rdfs_closure(spark, sf_dir):
+    """RDFS forward-chaining materialization (beyond-reference — the
+    reference does no schema reasoning): rdfs2/3/5/7/9/11 over a
+    nation-derived instance graph plus a constant 10-triple ontology.
+    The ontology is closed DRIVER-side (it is bounded and tiny at any
+    corpus scale) and every rule is a broadcast join — the instance
+    stream is only shuffled once, by the final set-normalizing
+    dropDuplicates. The oracle is CLOSED-FORM: it enumerates the
+    entailments of the fixed ontology independently, checking the
+    closure engine rather than mirroring it."""
+    from .operators.inference import rdfs_closure
+
+    return rdfs_closure(_rdfs_store(spark, sf_dir))
+
+
+@q(
+    "kg_sameas_canonical",
+    f"""WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation)
+SELECT '{EX}alias/' || CAST(k AS VARCHAR) AS subj, '{EX}inRegion' AS pred,
+       CAST(0 AS TINYINT) AS obj_kind, '{EX}region/' || CAST(r AS VARCHAR) AS obj_lex,
+       CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+FROM nat
+UNION ALL
+SELECT '{EX}alias/' || CAST(k AS VARCHAR), '{EX}name', CAST(2 AS TINYINT), nm,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM nat
+UNION ALL
+SELECT '{EX}region/' || CAST(r AS VARCHAR), '{EX}has', CAST(0 AS TINYINT),
+       '{EX}alias/' || CAST(k AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM nat""",
+)
+def kg_sameas_canonical(spark, sf_dir):
+    """owl:sameAs entity resolution (beyond-reference): each nation
+    carries a 3-IRI identity cluster (n/<k> ~ alias/<k> ~ alt/<k>,
+    canonical = lexicographic min = alias/<k>); subjects AND
+    IRI-objects rewrite to the canonical via two broadcast joins over
+    the scale-adaptive connected-components identity map, and the
+    sameAs triples themselves are dropped. The oracle regenerates the
+    canonicalized graph closed-form from nation."""
+    from .operators.inference import OWL_SAME_AS, same_as_canonicalize
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    n_iri = F.concat(F.lit(EX + "n/"), k)
+    alias_iri = F.concat(F.lit(EX + "alias/"), k)
+    alt_iri = F.concat(F.lit(EX + "alt/"), k)
+    reg = F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string"))
+
+    def row(s, p, kind, o):
+        return [
+            s.alias("subj"), F.lit(p).alias("pred"),
+            F.lit(kind).cast("tinyint").alias("obj_kind"), o.alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        ]
+
+    store = (
+        n.select(*row(n_iri, OWL_SAME_AS, 0, alias_iri))
+        .unionByName(n.select(*row(alias_iri, OWL_SAME_AS, 0, alt_iri)))
+        .unionByName(n.select(*row(n_iri, EX + "inRegion", 0, reg)))
+        .unionByName(n.select(*row(alt_iri, EX + "name", 2, F.col("n_name"))))
+        .unionByName(n.select(*row(reg, EX + "has", 0, n_iri)))
+    )
+    return same_as_canonicalize(store)
+
+
+@q(
+    "kg_shacl_report",
+    f"""SELECT '{EX}customer/' || CAST(c_custkey AS VARCHAR) AS focus,
+       'CustomerShape' AS shape_id, '{EX}inNation' AS path,
+       'class' AS constraint, '{EX}nation/' || CAST(c_nationkey AS VARCHAR) AS value
+FROM customer
+UNION ALL
+SELECT '{EX}customer/' || CAST(c_custkey AS VARCHAR), 'CustomerShape',
+       '{EX}address', 'minCount', '0'
+FROM customer WHERE c_custkey % 2 = 1
+UNION ALL
+SELECT '{EX}region/' || CAST(r_regionkey AS VARCHAR), 'RegionShape',
+       '{EX}inRegion', 'minCount', '0'
+FROM region""",
+)
+def kg_shacl_report(spark, sf_dir):
+    """SHACL-lite validation report (beyond-reference — the reference
+    has no data-quality surface): three core constraints over the star
+    schema graph. ``sh:class`` on inNation fails for every customer
+    (nations are not Regions — a deliberate modeling error the gate
+    must catch), ``sh:minCount`` on address fails for the odd custkeys
+    (the graph only materializes even-key addresses), and RegionShape's
+    minCount(inRegion) fails for all regions. Each constraint is one
+    predicate-filtered pass: counts aggregate map-side per focus node,
+    the class check is an anti-join against the (tiny) type slice. The
+    oracle derives every violation CLOSED-FORM from the base tables."""
+    from .operators.shacl import NodeShape, PropertyShape, shacl_validate
+
+    shapes = [
+        NodeShape(
+            "CustomerShape",
+            EX + "Customer",
+            [
+                PropertyShape(EX + "inNation", class_=EX + "Region"),
+                PropertyShape(EX + "address", min_count=1),
+                PropertyShape(EX + "name", min_count=1, node_kind="Literal"),
+            ],
+        ),
+        NodeShape(
+            "RegionShape",
+            EX + "Region",
+            [PropertyShape(EX + "inRegion", min_count=1)],
+        ),
+    ]
+    return shacl_validate(_triples(spark, sf_dir), shapes)
 
 
 # --------------------------------------------------------------------------

@@ -60,6 +60,8 @@ class UpdateOp:
     #: load: source document IRI (file: or plain path) + SILENT flag
     source: Optional[str] = None
     silent: bool = False
+    #: modify: USING / USING NAMED dataset for WHERE (overrides WITH)
+    dataset: Optional[tuple] = None
 
 
 def _blank_query(prefixes, base) -> SparqlQuery:
@@ -149,9 +151,11 @@ class _UpdateParser(_Parser):
                     ops.append(UpdateOp("insert_data", data=self._group(q)))
                 else:
                     ins = self._group(q, wg)
+                    ds, where_wg = self._using_clauses(q, wg)
                     self._expect_where()
                     ops.append(UpdateOp("modify", insert_templates=ins,
-                                        where=self._group(q, wg)))
+                                        where=self._group(q, where_wg),
+                                        dataset=ds))
             elif self._ident("DELETE"):
                 if wg is None and self._ident("DATA"):
                     ops.append(UpdateOp("delete_data", data=self._group(q)))
@@ -163,13 +167,33 @@ class _UpdateParser(_Parser):
                     ins: List[TriplePattern] = []
                     if self._ident("INSERT"):
                         ins = self._group(q, wg)
+                    ds, where_wg = self._using_clauses(q, wg)
                     self._expect_where()
                     ops.append(UpdateOp("modify", delete_templates=dele,
                                         insert_templates=ins,
-                                        where=self._group(q, wg)))
+                                        where=self._group(q, where_wg),
+                                        dataset=ds))
             else:
                 raise ValueError(f"expected INSERT or DELETE, got {v!r}")
         return ops
+
+    def _using_clauses(self, q: SparqlQuery, wg):
+        """USING / USING NAMED before WHERE (W3C §3.1.3): when present,
+        the WHERE group evaluates against THAT dataset and the WITH
+        graph no longer scopes it (templates keep WITH). Returns
+        (dataset-or-None, graph-for-where-patterns)."""
+        using: List[str] = []
+        named: List[str] = []
+        while self._ident("USING"):
+            k, v = self.peek()
+            if k == "kw" and v.upper() == "NAMED":
+                self.next()
+                named.append(self._fixed_graph(q))
+            else:
+                using.append(self._fixed_graph(q))
+        if not (using or named):
+            return None, wg
+        return (using, named), None
 
     def _fixed_graph(self, q: SparqlQuery) -> str:
         g = self._term(q)
@@ -443,7 +467,9 @@ def apply_update(store: DataFrame, op: UpdateOp) -> DataFrame:
             store, _rows_df(spark, _ground_rows(op.data, with_graph), with_graph)
         )
     # pattern-driven forms share one WHERE evaluation
-    solutions = bgp_join(store, op.where).dropDuplicates()
+    if op.dataset is not None and not with_graph:
+        raise ValueError("USING / USING NAMED requires a quad store (graph column)")
+    solutions = bgp_join(store, op.where, dataset=op.dataset).dropDuplicates()
     if op.kind == "delete_where":
         templates = op.where
         inserts = None

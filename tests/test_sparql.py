@@ -1392,3 +1392,48 @@ def test_update_load(spark, tmp_path):
     bad.write_text("@prefix broken")
     assert len(execute_update(
         store, f"LOAD SILENT <{bad}>").collect()) == 1
+
+
+def test_update_using_dataset(spark):
+    from pyspark.sql import types as T
+
+    from rdf_rs_spark.schema import TRIPLE_FIELDS
+    from rdf_rs_spark.sparql_update import execute_update
+
+    schema = T.StructType(
+        TRIPLE_FIELDS + [T.StructField("graph", T.StringType(), True)])
+    store = spark.createDataFrame(
+        [("http://e/s1", "http://e/p", 2, "a", None, None, "http://e/g1"),
+         ("http://e/s2", "http://e/p", 2, "b", None, None, "http://e/g2"),
+         ("http://e/s3", "http://e/p", 2, "c", None, None, None)],
+        schema)
+    # USING merges g1+g2 into the WHERE's default graph; the insert
+    # lands in the (real) default graph. s3 (default) is NOT matched.
+    out = execute_update(
+        store,
+        """INSERT { ?s <http://e/seen> ?o }
+           USING <http://e/g1> USING <http://e/g2>
+           WHERE { ?s <http://e/p> ?o }""",
+    ).collect()
+    seen = sorted((r.subj, str(r.graph)) for r in out
+                  if r.pred == "http://e/seen")
+    assert seen == [("http://e/s1", "None"), ("http://e/s2", "None")]
+    # USING NAMED scopes GRAPH ?g to exactly the named list; WITH is
+    # overridden for WHERE but still homes the templates
+    out2 = execute_update(
+        store,
+        """WITH <http://e/home>
+           INSERT { ?s <http://e/seen2> ?o }
+           USING NAMED <http://e/g2>
+           WHERE { GRAPH ?g { ?s <http://e/p> ?o } }""",
+    ).collect()
+    seen2 = [(r.subj, r.graph) for r in out2 if r.pred == "http://e/seen2"]
+    assert seen2 == [("http://e/s2", "http://e/home")]
+    # triples-only store: USING names a graph that cannot exist → error
+    triples = store.drop("graph")
+    with pytest.raises(ValueError, match="USING"):
+        execute_update(
+            triples,
+            """INSERT { ?s <http://e/seen> ?o }
+               USING <http://e/g1> WHERE { ?s <http://e/p> ?o }""",
+        )
