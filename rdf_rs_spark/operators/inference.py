@@ -1,0 +1,254 @@
+"""RDFS forward-chaining materialization (beyond-reference operator).
+
+The reference engine (scholtzan/rdf-rs) parses and stores triples but
+does no schema reasoning; a KG-construction pipeline at corpus scale
+needs the standard RDFS entailments materialized so downstream SPARQL
+(and the training-data extractors built on it) can query by super-class
+/ super-property without per-query closure joins.
+
+Scale design — the ontology/instance asymmetry IS the plan: schema
+triples (``rdfs:subClassOf`` / ``subPropertyOf`` / ``domain`` /
+``range``) are a bounded, tiny fraction of any real graph (DBpedia:
+~10^3 schema vs ~10^9 instance triples), so the transitive closures are
+computed driver-side over the collected schema (with a hard cap that
+RAISES rather than silently collecting a runaway "ontology") and shipped
+back as broadcast joins. The instance stream is therefore never
+shuffled by the rules themselves — each rule is one broadcast hash join
+— and the single shuffle in the whole operator is the final
+``dropDuplicates`` that set-normalizes the materialized graph (RDF
+graphs are sets; derivations arrive via many paths). At 100 TB this is
+the only viable shape: an iterative distributed fixpoint over the
+instance data would re-shuffle the full corpus O(depth) times to derive
+what the 10 kB ontology already determines.
+
+Rules implemented (RDFS entailment, W3C RDF 1.1 Semantics §9.2.1):
+  rdfs5/11  subPropertyOf / subClassOf transitivity (schema closure)
+  rdfs7     (x P y), (P sp* Q)            => (x Q y)
+  rdfs2     (x P y), (P sp* Q), (Q dom C) => (x type C)
+  rdfs3     (x P y), (P sp* Q), (Q rng C) => (y type C)  [y a resource]
+  rdfs9     (x type C), (C sc* D)         => (x type D)
+Axiomatic container/literal rules (rdfs1/4/6/8/10/12/13) produce the
+reflexive and rdfs:Resource noise real materializers skip; like Jena's
+"RDFS simple" profile we omit them deliberately.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Set, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..terms import KIND_BLANK, KIND_IRI, RDF_TYPE
+
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_SUBCLASS = RDFS_NS + "subClassOf"
+RDFS_SUBPROP = RDFS_NS + "subPropertyOf"
+RDFS_DOMAIN = RDFS_NS + "domain"
+RDFS_RANGE = RDFS_NS + "range"
+
+_SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
+
+
+def _strict_closure(edges: List[Tuple[str, str]]) -> Set[Tuple[str, str]]:
+    """Transitive closure of ``edges`` WITHOUT the reflexive pairs —
+    unless a node sits on a cycle, in which case (n, n) is a genuine
+    entailment and is kept. Plain BFS per source; the schema cap keeps
+    this O(|V|·|E|) driver work trivial."""
+    adj: Dict[str, Set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    out: Set[Tuple[str, str]] = set()
+    for start in adj:
+        seen: Set[str] = set()
+        frontier = list(adj[start])
+        while frontier:
+            nxt: List[str] = []
+            for n in frontier:
+                if n in seen:
+                    continue
+                seen.add(n)
+                nxt.extend(adj.get(n, ()))
+            frontier = nxt
+        # BFS starts from the successors, so ``start in seen`` iff start
+        # is reachable from itself (self-loop or cycle) — exactly when
+        # (start, start) is a genuine entailment; plain reflexive pairs
+        # never enter
+        out.update((start, n) for n in seen)
+    return out
+
+
+def _type_row(subj_col, cls_col):
+    return [
+        subj_col.alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
+        cls_col.alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    ]
+
+
+def rdfs_closure(
+    triples: DataFrame,
+    schema_threshold: int = 2_000_000,
+    include_schema_closure: bool = True,
+) -> DataFrame:
+    """Materialize the RDFS closure of ``triples`` (six-column layout,
+    `schema.TRIPLE_FIELDS`). Returns the SET-semantics closure:
+    ``dropDuplicates`` over original ∪ derived — the one shuffle in the
+    operator; every rule itself is a broadcast join against the
+    driver-closed ontology.
+
+    Raises if the schema slice exceeds ``schema_threshold`` rows — a
+    graph whose "ontology" doesn't fit on the driver needs a different
+    (iterative) materializer, and silently collecting it is worse than
+    failing."""
+    spark = triples.sparkSession
+    schema_df = triples.filter(
+        F.col("pred").isin(list(_SCHEMA_PREDS)) & (F.col("obj_kind") == KIND_IRI)
+    ).select("subj", "pred", "obj_lex")
+    rows = schema_df.limit(schema_threshold + 1).collect()
+    if len(rows) > schema_threshold:
+        raise ValueError(
+            f"schema slice exceeds {schema_threshold} rows; "
+            "driver-side closure refused (raise schema_threshold "
+            "only if the driver can hold the ontology)"
+        )
+
+    sc_edges = [(r.subj, r.obj_lex) for r in rows if r.pred == RDFS_SUBCLASS]
+    sp_edges = [(r.subj, r.obj_lex) for r in rows if r.pred == RDFS_SUBPROP]
+    sc_pairs = _strict_closure(sc_edges)
+    sp_pairs = _strict_closure(sp_edges)
+    # reflexive-extended subproperty map: domain/range of a SUPER-property
+    # constrain instances of the sub-property too (rdfs2/3 after rdfs7)
+    sp_reflexive = set(sp_pairs)
+    for a, b in sp_edges:
+        sp_reflexive.add((a, a))
+        sp_reflexive.add((b, b))
+    dom = [(r.subj, r.obj_lex) for r in rows if r.pred == RDFS_DOMAIN]
+    rng = [(r.subj, r.obj_lex) for r in rows if r.pred == RDFS_RANGE]
+    for p, _c in dom + rng:
+        sp_reflexive.add((p, p))
+    dom_exp = sorted({(p, c) for (p, q) in sp_reflexive for (q2, c) in dom if q == q2})
+    rng_exp = sorted({(p, c) for (p, q) in sp_reflexive for (q2, c) in rng if q == q2})
+
+    pair = "a string, b string"
+    parts: List[DataFrame] = [triples.select(*TRIPLE_COLS)]
+    if sp_pairs:
+        sp_df = F.broadcast(spark.createDataFrame(sorted(sp_pairs), pair))
+        parts.append(
+            triples.join(sp_df, triples["pred"] == sp_df["a"])
+            .select(
+                "subj",
+                F.col("b").alias("pred"),
+                "obj_kind", "obj_lex", "obj_datatype", "obj_lang",
+            )
+        )
+    if dom_exp:
+        dom_df = F.broadcast(spark.createDataFrame(dom_exp, pair))
+        parts.append(
+            triples.join(dom_df, triples["pred"] == dom_df["a"])
+            .select(*_type_row(F.col("subj"), F.col("b")))
+        )
+    if rng_exp:
+        rng_df = F.broadcast(spark.createDataFrame(rng_exp, pair))
+        obj_as_subj = F.when(
+            F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+        ).otherwise(F.col("obj_lex"))
+        parts.append(
+            triples.filter(F.col("obj_kind").isin(KIND_IRI, KIND_BLANK))
+            .join(rng_df, triples["pred"] == rng_df["a"])
+            .select(*_type_row(obj_as_subj, F.col("b")))
+        )
+    types = _unions(parts).filter(F.col("pred") == RDF_TYPE)
+    if sc_pairs:
+        sc_df = F.broadcast(spark.createDataFrame(sorted(sc_pairs), pair))
+        parts.append(
+            types.join(sc_df, types["obj_lex"] == sc_df["a"])
+            .select(*_type_row(F.col("subj"), F.col("b")))
+        )
+        if include_schema_closure:
+            parts.append(
+                sc_df.select(
+                    F.col("a").alias("subj"),
+                    F.lit(RDFS_SUBCLASS).alias("pred"),
+                    F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
+                    F.col("b").alias("obj_lex"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                )
+            )
+    if sp_pairs and include_schema_closure:
+        parts.append(
+            spark.createDataFrame(sorted(sp_pairs), pair).select(
+                F.col("a").alias("subj"),
+                F.lit(RDFS_SUBPROP).alias("pred"),
+                F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
+                F.col("b").alias("obj_lex"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+            )
+        )
+    return _unions(parts).dropDuplicates()
+
+
+TRIPLE_COLS = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang"]
+
+
+def _unions(parts: List[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def same_as_canonicalize(
+    triples: DataFrame,
+    same_as_pred: str = OWL_SAME_AS,
+    keep_same_as: bool = False,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """owl:sameAs entity resolution: connected components over the
+    (undirected) sameAs edge set pick one canonical IRI per identity
+    cluster (the lexicographically smallest — deterministic across
+    engines), then every subject and IRI-object is rewritten to its
+    canonical. The sameAs triples themselves are dropped unless
+    ``keep_same_as`` (they are all (canon, sameAs, canon) after rewrite
+    — pure noise).
+
+    Scale: the identity map has one row per ALIASED node — orders of
+    magnitude smaller than the triple stream — so both rewrites are
+    broadcast joins; the component step reuses the scale-adaptive
+    min-label fixpoint (`components.connected_components`). The corpus
+    is never shuffled. Output keeps bag semantics (no dedup): callers
+    wanting the set graph compose with ``dropDuplicates``."""
+    from .components import connected_components
+
+    edges = triples.filter(
+        (F.col("pred") == same_as_pred) & (F.col("obj_kind") == KIND_IRI)
+    ).select(F.col("subj").alias("id_a"), F.col("obj_lex").alias("id_b"))
+    canon = connected_components(
+        edges, driver_threshold=driver_threshold
+    ).withColumnRenamed("component", "canon")
+    base = triples if keep_same_as else triples.filter(F.col("pred") != same_as_pred)
+    s_map = F.broadcast(canon.select(F.col("id").alias("_s"), F.col("canon").alias("_sc")))
+    o_map = F.broadcast(canon.select(F.col("id").alias("_o"), F.col("canon").alias("_oc")))
+    return (
+        base.join(s_map, F.col("subj") == F.col("_s"), "left")
+        .join(
+            o_map,
+            (F.col("obj_kind") == KIND_IRI) & (F.col("obj_lex") == F.col("_o")),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("_sc"), F.col("subj")).alias("subj"),
+            "pred",
+            "obj_kind",
+            F.coalesce(F.col("_oc"), F.col("obj_lex")).alias("obj_lex"),
+            "obj_datatype",
+            "obj_lang",
+        )
+    )

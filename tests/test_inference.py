@@ -1,0 +1,144 @@
+"""RDFS materialization + owl:sameAs canonicalization (beyond-reference;
+the reference engine does no schema reasoning — see
+``operators/inference.py`` module docstring for the rule set)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.inference import (
+    OWL_SAME_AS,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+    _strict_closure,
+    rdfs_closure,
+    same_as_canonicalize,
+)
+from rdf_rs_spark.schema import TRIPLES_SCHEMA
+from rdf_rs_spark.terms import RDF_TYPE
+
+E = "http://e/"
+
+
+def _iri(s, p, o):
+    return (s, p, 0, o, None, None)
+
+
+def _lit(s, p, o):
+    return (s, p, 2, o, None, None)
+
+
+def _blank(s, p, label):
+    return (s, p, 1, label, None, None)
+
+
+def _set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_strict_closure_chain_and_cycle():
+    assert _strict_closure([("A", "B"), ("B", "C")]) == {
+        ("A", "B"), ("B", "C"), ("A", "C")
+    }
+    # a 2-cycle entails every pair INCLUDING the reflexive ones
+    assert _strict_closure([("A", "B"), ("B", "A")]) == {
+        ("A", "B"), ("B", "A"), ("A", "A"), ("B", "B")
+    }
+    # no reflexive noise on acyclic graphs
+    assert ("A", "A") not in _strict_closure([("A", "B")])
+
+
+def test_rdfs_closure_types_and_properties(spark):
+    rows = [
+        _iri(E + "Nation", RDFS_SUBCLASS, E + "Place"),
+        _iri(E + "Place", RDFS_SUBCLASS, E + "Entity"),
+        _iri(E + "inRegion", RDFS_SUBPROP, E + "locatedIn"),
+        _iri(E + "locatedIn", RDFS_DOMAIN, E + "Located"),
+        _iri(E + "inRegion", RDFS_RANGE, E + "Region"),
+        _iri(E + "n1", RDF_TYPE, E + "Nation"),
+        _iri(E + "n1", E + "inRegion", E + "r1"),
+        _lit(E + "n1", E + "inRegion", "not a resource"),
+    ]
+    out = _set(rdfs_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA)))
+    # rdfs9: type chain up the subclass closure
+    assert _iri(E + "n1", RDF_TYPE, E + "Place") in out
+    assert _iri(E + "n1", RDF_TYPE, E + "Entity") in out
+    # rdfs7: super-property materialized (both object kinds)
+    assert _iri(E + "n1", E + "locatedIn", E + "r1") in out
+    assert _lit(E + "n1", E + "locatedIn", "not a resource") in out
+    # rdfs2 via the sub-property: domain of locatedIn applies to inRegion
+    assert _iri(E + "n1", RDF_TYPE, E + "Located") in out
+    # rdfs3: range types the RESOURCE object only, never the literal
+    assert _iri(E + "r1", RDF_TYPE, E + "Region") in out
+    assert not any(
+        r[0] == "not a resource" or (r[1] == RDF_TYPE and r[0].startswith("not"))
+        for r in out
+    )
+    # rdfs11: the closed subClassOf pair is itself materialized
+    assert _iri(E + "Nation", RDFS_SUBCLASS, E + "Entity") in out
+    # set semantics: no duplicate rows
+    df = rdfs_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA))
+    assert df.count() == df.dropDuplicates().count()
+
+
+def test_rdfs_closure_blank_range_and_cycle(spark):
+    rows = [
+        _iri(E + "A", RDFS_SUBCLASS, E + "B"),
+        _iri(E + "B", RDFS_SUBCLASS, E + "A"),
+        _iri(E + "p", RDFS_RANGE, E + "R"),
+        _iri(E + "x", RDF_TYPE, E + "A"),
+        _blank(E + "x", E + "p", "b0"),
+    ]
+    out = _set(rdfs_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA)))
+    assert _iri(E + "x", RDF_TYPE, E + "B") in out
+    # blank object becomes a subject under its subject-encoding
+    assert _iri("_:b0", RDF_TYPE, E + "R") in out
+    # cycle: A subClassOf A entailed, closure terminates
+    assert _iri(E + "A", RDFS_SUBCLASS, E + "A") in out
+
+
+def test_rdfs_closure_schema_cap(spark):
+    rows = [_iri(E + f"c{i}", RDFS_SUBCLASS, E + f"c{i + 1}") for i in range(30)]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    with pytest.raises(ValueError, match="schema slice"):
+        rdfs_closure(df, schema_threshold=10)
+
+
+def test_same_as_canonicalize(spark):
+    rows = [
+        _iri(E + "b", OWL_SAME_AS, E + "a"),
+        _iri(E + "c", OWL_SAME_AS, E + "b"),
+        _iri(E + "c", E + "knows", E + "z"),
+        _iri(E + "z", E + "knows", E + "b"),
+        _lit(E + "c", E + "name", "cee"),
+        # duplicate row: bag semantics preserved
+        _lit(E + "c", E + "name", "cee"),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    out = same_as_canonicalize(df).collect()
+    assert sorted(tuple(r) for r in out) == sorted(
+        [
+            _iri(E + "a", E + "knows", E + "z"),
+            _iri(E + "z", E + "knows", E + "a"),
+            _lit(E + "a", E + "name", "cee"),
+            _lit(E + "a", E + "name", "cee"),
+        ]
+    )
+    kept = same_as_canonicalize(df, keep_same_as=True)
+    sa = kept.filter(F.col("pred") == OWL_SAME_AS)
+    assert {tuple(r) for r in sa.collect()} == {_iri(E + "a", OWL_SAME_AS, E + "a")}
+
+
+def test_same_as_distributed_path_matches_driver(spark):
+    rows = []
+    for i in range(40):
+        rows.append(_iri(E + f"n{i:02d}", OWL_SAME_AS, E + f"n{(i + 1) % 40:02d}"))
+        rows.append(_iri(E + f"n{i:02d}", E + "v", str(i)))
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    a = sorted(tuple(r) for r in same_as_canonicalize(df).collect())
+    b = sorted(
+        tuple(r) for r in same_as_canonicalize(df, driver_threshold=0).collect()
+    )
+    assert a == b
+    assert all(r[0] == E + "n00" for r in a)
