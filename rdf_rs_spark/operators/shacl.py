@@ -1,0 +1,185 @@
+"""SHACL-lite shape validation (beyond-reference operator).
+
+KG construction at corpus scale needs a *data quality gate* between the
+extractor and the downstream consumers: the W3C SHACL core constraints
+cover the checks that matter (cardinality, node kind, datatype, regex,
+closed value sets, class membership). The reference engine has no
+validation surface; this module implements the SHACL-core subset that
+compiles to pure DataFrame algebra — shapes are declared as small
+Python dataclasses (the 10-shape ontology case, not the shapes-as-RDF
+meta-case) and validation emits a VIOLATION REPORT DataFrame, one row
+per (focus node, shape, constraint) failure, mirroring SHACL's
+``sh:ValidationResult`` essentials.
+
+Scale design: every constraint is one pass over the predicate-filtered
+triple stream. Cardinality constraints aggregate counts per focus node
+(map-side combine, one shuffle on ``subj``); value constraints are
+narrow filters; ``sh:class`` is a broadcast-able semi-join against the
+type slice. Focus targeting is a filter + semi-join — no constraint
+ever materializes a cross product, and shapes are unioned into ONE
+plan so the triple scan is shared (Spark reuses the cached/columnar
+scan across the union branches)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, RDF_TYPE
+
+_NODE_KINDS = {"IRI": KIND_IRI, "BlankNode": KIND_BLANK, "Literal": KIND_LITERAL}
+
+
+@dataclass(frozen=True)
+class PropertyShape:
+    """One ``sh:property`` block: constraints on the values of ``path``
+    at each focus node. ``None`` fields are unconstrained."""
+
+    path: str
+    min_count: Optional[int] = None
+    max_count: Optional[int] = None
+    node_kind: Optional[str] = None        # 'IRI' | 'BlankNode' | 'Literal'
+    datatype: Optional[str] = None         # required obj_datatype IRI
+    pattern: Optional[str] = None          # regex over obj_lex (Java syntax)
+    in_values: Optional[Sequence[str]] = None   # allowed obj_lex values
+    class_: Optional[str] = None           # required rdf:type of IRI objects
+
+
+@dataclass(frozen=True)
+class NodeShape:
+    shape_id: str
+    target_class: str
+    properties: List[PropertyShape] = field(default_factory=list)
+
+
+_REPORT_COLS = ("focus", "shape_id", "path", "constraint", "value")
+
+
+def _report(focus, shape_id: str, path: str, constraint: str, value):
+    return [
+        focus.alias("focus"),
+        F.lit(shape_id).alias("shape_id"),
+        F.lit(path).alias("path"),
+        F.lit(constraint).alias("constraint"),
+        value.cast("string").alias("value"),
+    ]
+
+
+def shacl_validate(triples: DataFrame, shapes: Sequence[NodeShape]) -> DataFrame:
+    """Validate ``triples`` (six-column layout) against ``shapes``;
+    returns the violation report ``(focus, shape_id, path, constraint,
+    value)`` — empty iff the graph conforms. ``value`` is the offending
+    object's lexical form, or the actual count for cardinality
+    violations."""
+    reports: List[DataFrame] = []
+    subj_of = F.col("subj")
+    for shape in shapes:
+        focus = (
+            triples.filter(
+                (F.col("pred") == RDF_TYPE)
+                & (F.col("obj_kind") == KIND_IRI)
+                & (F.col("obj_lex") == shape.target_class)
+            )
+            .select(subj_of.alias("focus_node"))
+            .distinct()
+        )
+        for ps in shape.properties:
+            values = triples.filter(F.col("pred") == ps.path).join(
+                focus, F.col("subj") == F.col("focus_node"), "semi"
+            )
+            if ps.min_count is not None or ps.max_count is not None:
+                counts = (
+                    focus.join(
+                        values.groupBy("subj").agg(F.count("*").alias("n")),
+                        F.col("focus_node") == F.col("subj"),
+                        "left",
+                    )
+                    .select("focus_node", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+                )
+                if ps.min_count is not None:
+                    reports.append(
+                        counts.filter(F.col("n") < ps.min_count).select(
+                            *_report(F.col("focus_node"), shape.shape_id,
+                                     ps.path, "minCount", F.col("n"))
+                        )
+                    )
+                if ps.max_count is not None:
+                    reports.append(
+                        counts.filter(F.col("n") > ps.max_count).select(
+                            *_report(F.col("focus_node"), shape.shape_id,
+                                     ps.path, "maxCount", F.col("n"))
+                        )
+                    )
+            if ps.node_kind is not None:
+                want = _NODE_KINDS[ps.node_kind]
+                reports.append(
+                    values.filter(F.col("obj_kind") != want).select(
+                        *_report(subj_of, shape.shape_id, ps.path,
+                                 "nodeKind", F.col("obj_lex"))
+                    )
+                )
+            if ps.datatype is not None:
+                bad = (F.col("obj_kind") != KIND_LITERAL) | ~F.col(
+                    "obj_datatype"
+                ).eqNullSafe(ps.datatype)
+                reports.append(
+                    values.filter(bad).select(
+                        *_report(subj_of, shape.shape_id, ps.path,
+                                 "datatype", F.col("obj_lex"))
+                    )
+                )
+            if ps.pattern is not None:
+                reports.append(
+                    values.filter(~F.col("obj_lex").rlike(ps.pattern)).select(
+                        *_report(subj_of, shape.shape_id, ps.path,
+                                 "pattern", F.col("obj_lex"))
+                    )
+                )
+            if ps.in_values is not None:
+                reports.append(
+                    values.filter(~F.col("obj_lex").isin(list(ps.in_values))).select(
+                        *_report(subj_of, shape.shape_id, ps.path,
+                                 "in", F.col("obj_lex"))
+                    )
+                )
+            if ps.class_ is not None:
+                typed = (
+                    triples.filter(
+                        (F.col("pred") == RDF_TYPE)
+                        & (F.col("obj_kind") == KIND_IRI)
+                        & (F.col("obj_lex") == ps.class_)
+                    )
+                    .select(F.col("subj").alias("typed_node"))
+                    .distinct()
+                )
+                # blank objects join under their subject-encoding
+                obj_node = F.when(
+                    F.col("obj_kind") == KIND_BLANK,
+                    F.concat(F.lit("_:"), F.col("obj_lex")),
+                ).otherwise(F.col("obj_lex"))
+                reports.append(
+                    values.filter(F.col("obj_kind") != KIND_LITERAL)
+                    .withColumn("_node", obj_node)
+                    .join(typed, F.col("_node") == F.col("typed_node"), "anti")
+                    .select(
+                        *_report(subj_of, shape.shape_id, ps.path,
+                                 "class", F.col("obj_lex"))
+                    )
+                )
+                reports.append(
+                    values.filter(F.col("obj_kind") == KIND_LITERAL).select(
+                        *_report(subj_of, shape.shape_id, ps.path,
+                                 "class", F.col("obj_lex"))
+                    )
+                )
+    if not reports:
+        return triples.sparkSession.createDataFrame(
+            [], "focus string, shape_id string, path string, "
+                "constraint string, value string"
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

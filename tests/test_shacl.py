@@ -1,0 +1,89 @@
+"""SHACL-lite validation report (beyond-reference; see
+``operators/shacl.py``)."""
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.shacl import NodeShape, PropertyShape, shacl_validate
+from rdf_rs_spark.schema import TRIPLES_SCHEMA
+from rdf_rs_spark.terms import RDF_TYPE
+
+E = "http://e/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def _graph(spark):
+    rows = [
+        (E + "p1", RDF_TYPE, 0, E + "Person", None, None),
+        (E + "p1", E + "name", 2, "Ada", None, None),
+        (E + "p1", E + "age", 2, "36", XSD_INT, None),
+        (E + "p1", E + "knows", 0, E + "p2", None, None),
+        (E + "p2", RDF_TYPE, 0, E + "Person", None, None),
+        (E + "p2", E + "name", 2, "bob", None, None),
+        (E + "p2", E + "name", 2, "Bobby", None, None),
+        (E + "p2", E + "age", 2, "not-a-number", None, None),
+        (E + "p2", E + "knows", 0, E + "rock", None, None),
+        (E + "p2", E + "knows", 2, "a literal friend", None, None),
+        (E + "rock", RDF_TYPE, 0, E + "Thing", None, None),
+        # non-Person: never a focus node, constraints don't apply
+        (E + "x", E + "age", 2, "zzz", None, None),
+    ]
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+
+PERSON = NodeShape(
+    "PersonShape",
+    E + "Person",
+    [
+        PropertyShape(E + "name", min_count=1, max_count=1,
+                      node_kind="Literal", pattern="^[A-Z]"),
+        PropertyShape(E + "age", min_count=1, datatype=XSD_INT),
+        PropertyShape(E + "knows", class_=E + "Person"),
+        PropertyShape(E + "email", min_count=1),
+    ],
+)
+
+
+def test_shacl_violations(spark):
+    got = {
+        (r.focus, r.shape_id, r.path, r.constraint, r.value)
+        for r in shacl_validate(_graph(spark), [PERSON]).collect()
+    }
+    assert got == {
+        # p1 conforms except the missing email
+        (E + "p1", "PersonShape", E + "email", "minCount", "0"),
+        (E + "p2", "PersonShape", E + "email", "minCount", "0"),
+        (E + "p2", "PersonShape", E + "name", "maxCount", "2"),
+        (E + "p2", "PersonShape", E + "name", "pattern", "bob"),
+        (E + "p2", "PersonShape", E + "age", "datatype", "not-a-number"),
+        (E + "p2", "PersonShape", E + "knows", "class", E + "rock"),
+        (E + "p2", "PersonShape", E + "knows", "class", "a literal friend"),
+    }
+
+
+def test_shacl_conforming_graph_is_empty(spark):
+    shape = NodeShape(
+        "T", E + "Thing", [PropertyShape(E + "name", max_count=0)]
+    )
+    report = shacl_validate(_graph(spark), [shape])
+    assert report.count() == 0
+    assert report.columns == ["focus", "shape_id", "path", "constraint", "value"]
+
+
+def test_shacl_in_and_nodekind(spark):
+    shape = NodeShape(
+        "P", E + "Person",
+        [PropertyShape(E + "knows", node_kind="IRI", in_values=[E + "p2"])],
+    )
+    got = {
+        (r.focus, r.constraint, r.value)
+        for r in shacl_validate(_graph(spark), [shape]).collect()
+    }
+    assert got == {
+        (E + "p2", "nodeKind", "a literal friend"),
+        (E + "p2", "in", E + "rock"),
+        (E + "p2", "in", "a literal friend"),
+    }
+
+
+def test_shacl_no_shapes(spark):
+    assert shacl_validate(_graph(spark), []).count() == 0
