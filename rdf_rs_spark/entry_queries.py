@@ -4274,6 +4274,115 @@ def kg_shacl_report(spark, sf_dir):
     return shacl_validate(_triples(spark, sf_dir), shapes)
 
 
+# ---- RDF/XML codec (beyond-reference codec #6) -----------------------------
+
+RDF_NS_SQL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _rdfxml_oracle(n: int) -> str:
+    """Closed-form replay of the RDF/XML parse over index-synthesized
+    documents: every triple is a pure function of i."""
+    return f"""WITH p AS (
+      SELECT i, 'http://kg.example.org/page' || i AS pg, 'd' || i AS d
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)),
+    allt AS (
+      SELECT pg AS subj, '{RDF_TYPE}' AS pred, 0::TINYINT AS obj_kind,
+             'http://kg.example.org/Article' AS obj_lex,
+             CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+             d AS src_url
+      FROM p
+      UNION ALL SELECT pg, 'http://kg.example.org/code', 2::TINYINT,
+             'c' || (i % 13), NULL, NULL, d FROM p
+      UNION ALL SELECT pg, 'http://kg.example.org/topic', 2::TINYINT,
+             'topic' || (i % 13), NULL, 'en', d FROM p
+      UNION ALL SELECT pg, 'http://kg.example.org/rank', 2::TINYINT,
+             (i % 7)::VARCHAR, 'http://www.w3.org/2001/XMLSchema#integer', NULL, d FROM p
+      UNION ALL SELECT pg, 'http://kg.example.org/site', 0::TINYINT,
+             'http://kg.example.org/site/' || (i % 10), NULL, NULL, d FROM p
+      UNION ALL SELECT pg, '{RDF_NS_SQL}_1', 2::TINYINT,
+             'x' || i, NULL, NULL, d FROM p
+      UNION ALL SELECT pg, 'http://kg.example.org/author', 1::TINYINT,
+             'auto0', NULL, NULL, d FROM p WHERE i % 3 = 0
+      UNION ALL SELECT '_:auto0', '{RDF_TYPE}', 0::TINYINT,
+             'http://kg.example.org/Person', NULL, NULL, d FROM p WHERE i % 3 = 0
+      UNION ALL SELECT '_:auto0', 'http://kg.example.org/pname', 2::TINYINT,
+             'a' || (i % 5), NULL, NULL, d FROM p WHERE i % 3 = 0)
+    SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, src_url
+    FROM allt"""
+
+
+@q("rdf_rdfxml_parse", _rdfxml_oracle(2000))
+def rdf_rdfxml_parse(spark, sf_dir):
+    """RDF/XML parse (beyond-reference codec #6 — ``sources/rdfxml.py``,
+    document-per-row mapInPandas like the Turtle/TriG/JSON-LD readers):
+    exercises a typed node element (implicit rdf:type), a property
+    attribute, xml:lang inheritance onto a text literal, rdf:datatype,
+    rdf:resource, rdf:li numbering, and a nested anonymous node element
+    (deterministic ``auto0`` blank) — every triple a closed form of i."""
+    from .sources.rdfxml import parse_rdfxml_docs
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    i = F.col("id")
+    author = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit("<ex:author><ex:Person><ex:pname>a"), (i % 5).cast("string"),
+            F.lit("</ex:pname></ex:Person></ex:author>"),
+        ),
+    ).otherwise(F.lit(""))
+    content = F.concat(
+        F.lit('<?xml version="1.0"?>\n<rdf:RDF xmlns:rdf="' + RDF_NS_SQL
+              + '" xmlns:ex="' + EX + '">\n'),
+        F.lit('<ex:Article rdf:about="' + EX + "page"), i.cast("string"),
+        F.lit('" ex:code="c'), (i % 13).cast("string"), F.lit('">'),
+        F.lit('<ex:topic xml:lang="en">topic'), (i % 13).cast("string"),
+        F.lit("</ex:topic>"),
+        F.lit('<ex:rank rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">'),
+        (i % 7).cast("string"), F.lit("</ex:rank>"),
+        F.lit('<ex:site rdf:resource="' + EX + "site/"), (i % 10).cast("string"),
+        F.lit('"/>'),
+        F.lit("<rdf:li>x"), i.cast("string"), F.lit("</rdf:li>"),
+        author,
+        F.lit("</ex:Article>\n</rdf:RDF>"),
+    )
+    docs = spark.range(n).select(
+        F.concat(F.lit("d"), i.cast("string")).alias("doc_id"),
+        content.alias("content"),
+    )
+    return parse_rdfxml_docs(docs)
+
+
+@q(
+    "rdf_rdfxml_format",
+    f"""SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+       '  <rdf:Description rdf:about="{EX}nation/' || CAST(n_nationkey AS VARCHAR)
+       || '">' || chr(10)
+       || '    <n:inRegion xmlns:n="{EX}" rdf:resource="{EX}region/'
+       || CAST(n_regionkey AS VARCHAR) || '"/>' || chr(10)
+       || '    <n:name xmlns:n="{EX}">'
+       || replace(replace(replace(n_name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+       || '</n:name>' || chr(10) || '  </rdf:Description>' AS block
+FROM nation""",
+)
+def rdf_rdfxml_format(spark, sf_dir):
+    """RDF/XML sink (``writers/rdfxml.py``): one ``rdf:Description``
+    block per subject, property elements as pure column expressions
+    (self-declared ``xmlns:n`` — no driver-side prefix table), sorted
+    within the block. The oracle rebuilds the exact block text —
+    including the XML escaping chain — from the nation table."""
+    from .writers.rdfxml import rdfxml_blocks
+
+    t = _triples(spark, sf_dir).filter(
+        F.col("pred").isin(EX + "inRegion", EX + "name")
+        & F.col("subj").startswith(EX + "nation/")
+    )
+    return rdfxml_blocks(t)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -1,0 +1,261 @@
+"""Distributed RDF/XML source (beyond-reference codec #6).
+
+RDF/XML (W3C REC) is the oldest RDF serialization and still the one
+institutional datasets ship (library/government linked data, older
+ontology releases), so a KG-construction engine that ingests the wild
+web needs it alongside N-Triples/Turtle/N-Quads/TriG/JSON-LD. The
+reference engine is NT/Turtle-only (``src/parser/``); this codec is
+beyond-reference, mirroring the Turtle source's execution shape: the
+format is document-scoped (namespace declarations, inherited
+``xml:lang``), so the unit of parallelism is one document per row,
+parsed inside an Arrow-batched ``mapInPandas`` that explodes documents
+into triple rows. The XML work itself is ``xml.etree.ElementTree``
+(C-accelerated expat) per document — CPU-parallel across Arrow batches,
+no driver involvement, no shuffle.
+
+Supported surface (the subset real exports use):
+- ``rdf:RDF`` roots and bare node-element roots
+- node elements: ``rdf:Description`` and typed node elements
+  (``<ex:Person …>`` emits the ``rdf:type`` triple)
+- ``rdf:about`` / ``rdf:nodeID`` / anonymous nodes; ``rdf:ID``
+  against ``xml:base``
+- property elements with ``rdf:resource`` / ``rdf:nodeID`` /
+  nested node elements / text literals (``rdf:datatype``, inherited
+  ``xml:lang``)
+- ``rdf:parseType="Resource"`` (implicit blank), ``"Collection"``
+  (first/rest/nil list, same shape as the Turtle collection desugar),
+  ``"Literal"`` (``rdf:XMLLiteral``)
+- ``rdf:li`` → ``rdf:_1``, ``rdf:_2``, … per node element
+- property attributes on node elements (plain-literal shorthand)
+
+Blank allocation follows the reference's per-document convention
+(``src/graph.rs:268-276`` via ``parsing.py``): ``rdf:nodeID`` labels
+keep their label, generated blanks are ``auto0``, ``auto1``, … in
+document order.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..parsing import ParseError
+from ..schema import TRIPLES_WITH_SRC_SCHEMA
+from ..terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, RDF_FIRST, RDF_NIL, RDF_NS, RDF_REST, RDF_TYPE
+
+_RDF = "{" + RDF_NS + "}"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+_XML_LANG = "{" + _XML_NS + "}lang"
+_XML_BASE = "{" + _XML_NS + "}base"
+_XML_LITERAL = RDF_NS + "XMLLiteral"
+
+#: rdf:* attributes that are NOT property attributes
+_SYNTAX_ATTRS = {
+    _RDF + a
+    for a in ("about", "ID", "nodeID", "resource", "datatype", "parseType", "li")
+}
+
+_TAG = re.compile(r"^\{([^}]*)\}(.+)$")
+
+
+def _split_tag(tag: str) -> Tuple[str, str]:
+    m = _TAG.match(tag)
+    if not m:
+        raise ParseError(f"unnamespaced XML element {tag!r} has no IRI")
+    return m.group(1), m.group(2)
+
+
+def _iri_of(tag: str) -> str:
+    ns, local = _split_tag(tag)
+    return ns + local
+
+
+class _DocParser:
+    """One RDF/XML document → triple rows (deterministic blank order)."""
+
+    def __init__(self, base: Optional[str]):
+        self.base = base
+        self.out: List[Tuple] = []
+        self._next_blank = 0
+
+    def fresh_blank(self) -> str:
+        label = "auto%d" % self._next_blank
+        self._next_blank += 1
+        return label
+
+    def emit(self, subj, pred, kind, lex, dt=None, lang=None):
+        self.out.append((subj, pred, kind, lex, dt, lang))
+
+    # -- node elements ----------------------------------------------------
+
+    def node_subject(self, el: ET.Element) -> Tuple[str, int]:
+        about = el.get(_RDF + "about")
+        node_id = el.get(_RDF + "nodeID")
+        rid = el.get(_RDF + "ID")
+        if sum(x is not None for x in (about, node_id, rid)) > 1:
+            raise ParseError("rdf:about / rdf:nodeID / rdf:ID are exclusive")
+        if about is not None:
+            return about, KIND_IRI
+        if node_id is not None:
+            return node_id, KIND_BLANK
+        if rid is not None:
+            if not self.base:
+                raise ParseError("rdf:ID requires xml:base")
+            return self.base + "#" + rid, KIND_IRI
+        return self.fresh_blank(), KIND_BLANK
+
+    def node_element(self, el: ET.Element, lang: Optional[str]) -> Tuple[str, int]:
+        lang = el.get(_XML_LANG, lang)
+        subj, kind = self.node_subject(el)
+        subj_text = subj if kind == KIND_IRI else "_:" + subj
+        tag_iri = _iri_of(el.tag)
+        if tag_iri != RDF_NS + "Description":
+            self.emit(subj_text, RDF_TYPE, KIND_IRI, tag_iri)
+        for attr, value in el.attrib.items():
+            if attr in _SYNTAX_ATTRS or attr.startswith("{" + _XML_NS + "}"):
+                continue
+            ns, local = _split_tag(attr)
+            if ns == RDF_NS:
+                if local == "type":
+                    self.emit(subj_text, RDF_TYPE, KIND_IRI, value)
+                else:
+                    # aboutEach/bagID/… — withdrawn 1999 syntax, not a
+                    # property attribute; silently literal-izing it
+                    # would corrupt the graph
+                    raise ParseError(f"unsupported rdf:{local} attribute")
+            else:
+                self.emit(subj_text, ns + local, KIND_LITERAL, value,
+                          None, lang)
+        li_counter = 0
+        for prop in el:
+            li_counter = self.property_element(subj_text, prop, lang, li_counter)
+        return subj, kind
+
+    # -- property elements -------------------------------------------------
+
+    def property_element(
+        self, subj_text: str, prop: ET.Element, lang: Optional[str], li_counter: int
+    ) -> int:
+        lang = prop.get(_XML_LANG, lang)
+        ns, local = _split_tag(prop.tag)
+        if ns == RDF_NS and local == "li":
+            li_counter += 1
+            pred = RDF_NS + "_%d" % li_counter
+        else:
+            pred = ns + local
+        parse_type = prop.get(_RDF + "parseType")
+        resource = prop.get(_RDF + "resource")
+        node_id = prop.get(_RDF + "nodeID")
+        datatype = prop.get(_RDF + "datatype")
+        children = list(prop)
+
+        if parse_type == "Resource":
+            blank = self.fresh_blank()
+            self.emit(subj_text, pred, KIND_BLANK, blank)
+            inner_li = 0
+            for child in children:
+                inner_li = self.property_element("_:" + blank, child, lang, inner_li)
+            return li_counter
+        if parse_type == "Collection":
+            # first/rest/nil desugar in document order — the same node
+            # shape the Turtle source emits (parsing.py collection path)
+            items = [self.node_element(c, lang) for c in children]
+            if not items:
+                self.emit(subj_text, pred, KIND_IRI, RDF_NIL)
+                return li_counter
+            cells = [self.fresh_blank() for _ in items]
+            self.emit(subj_text, pred, KIND_BLANK, cells[0])
+            for i, ((ref, kind), cell) in enumerate(zip(items, cells)):
+                self.emit("_:" + cell, RDF_FIRST, kind, ref)
+                if i + 1 < len(cells):
+                    self.emit("_:" + cell, RDF_REST, KIND_BLANK, cells[i + 1])
+                else:
+                    self.emit("_:" + cell, RDF_REST, KIND_IRI, RDF_NIL)
+            return li_counter
+        if parse_type == "Literal":
+            xml_text = "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            self.emit(subj_text, pred, KIND_LITERAL,
+                      (prop.text or "") + xml_text, _XML_LITERAL, None)
+            return li_counter
+        if parse_type is not None:
+            raise ParseError(f"unsupported rdf:parseType {parse_type!r}")
+
+        if resource is not None or node_id is not None:
+            if resource is not None and node_id is not None:
+                raise ParseError("rdf:resource and rdf:nodeID are exclusive")
+            if children or (prop.text or "").strip():
+                raise ParseError("resource property element must be empty")
+            if resource is not None:
+                self.emit(subj_text, pred, KIND_IRI, resource)
+            else:
+                self.emit(subj_text, pred, KIND_BLANK, node_id)
+            return li_counter
+        if children:
+            if len(children) != 1 or (prop.text or "").strip():
+                raise ParseError(
+                    "property element must contain exactly one node element"
+                )
+            ref, kind = self.node_element(children[0], lang)
+            self.emit(subj_text, pred, kind, ref)
+            return li_counter
+        # text literal (possibly empty)
+        text = prop.text or ""
+        if datatype is not None:
+            self.emit(subj_text, pred, KIND_LITERAL, text, datatype, None)
+        else:
+            self.emit(subj_text, pred, KIND_LITERAL, text, None, lang)
+        return li_counter
+
+
+def rdfxml_doc_triples(content: str) -> List[Tuple]:
+    """Parse ONE RDF/XML document into 6-tuples (deterministic order)."""
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as e:
+        raise ParseError(f"malformed XML: {e}") from e
+    parser = _DocParser(base=root.get(_XML_BASE))
+    lang = root.get(_XML_LANG)
+    if _iri_of(root.tag) == RDF_NS + "RDF":
+        for el in root:
+            parser.node_element(el, lang)
+    else:
+        parser.node_element(root, lang)
+    return parser.out
+
+
+def parse_rdfxml_docs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: Optional[str] = "doc_id",
+    errors: str = "skip",
+) -> DataFrame:
+    """documents DataFrame → triples DataFrame (+ ``src_url``), the same
+    contract as the Turtle/TriG/JSON-LD sources (``errors='skip'`` drops
+    malformed documents; ``'raise'`` propagates)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype",
+                "obj_lang", "src_url"]
+        for pdf in batches:
+            out = []
+            ids = pdf[id_col] if id_col and id_col in pdf.columns else [None] * len(pdf)
+            for doc_id, content in zip(ids, pdf[content_col]):
+                if content is None:
+                    continue
+                try:
+                    rows = rdfxml_doc_triples(content)
+                except ParseError:
+                    if errors == "raise":
+                        raise
+                    continue
+                sid = None if doc_id is None else str(doc_id)
+                out.extend(r + (sid,) for r in rows)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.mapInPandas(run, schema=TRIPLES_WITH_SRC_SCHEMA)

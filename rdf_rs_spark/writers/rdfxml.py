@@ -1,0 +1,168 @@
+"""Distributed RDF/XML sink (pairs with ``sources/rdfxml.py``).
+
+Each triple renders to ONE property element as a pure column expression
+(JVM-side, whole-stage codegen — same design as the N-Triples sink,
+``writers/ntriples.py``); a per-subject ``groupBy`` + sorted
+``collect_list`` folds the elements into an ``<rdf:Description>`` block.
+That one shuffle (on ``subj``) is the entire distributed cost, identical
+to the Turtle sink's grouping. Namespace handling needs no global
+prefix table: every property element carries its own ``xmlns:n``
+declaration (legal XML, and the reason the sink stays embarrassingly
+parallel — no driver-side namespace negotiation at any scale).
+
+Write validation extends the shared reference rules
+(``_reject_reason`` — blank predicate, lang+datatype) with the
+XML-specific ones: a predicate IRI must split into namespace + NCName
+local part after its last ``/`` or ``#`` (RDF/XML cannot serialize e.g.
+``http://e/p%20q`` or an all-punctuation tail), blank labels must be
+NCNames (they become ``rdf:nodeID`` attributes), and XML 1.0 cannot
+encode C0 control characters at all (no character reference exists) —
+each such row surfaces in :func:`rdfxml_rejects` with its reason, and
+the ``error``/``drop`` modes mirror the NT sink contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..terms import KIND_BLANK, KIND_IRI, RDF_NS
+from .ntriples import _reject_reason
+
+_NCNAME = r"[A-Za-z_][A-Za-z0-9_.\-]*"
+#: chars XML 1.0 cannot represent even as character references
+_XML_FORBIDDEN = "[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def _esc(col: Column, attr: bool = False) -> Column:
+    """XML-escape a string column. Attribute values additionally encode
+    the whitespace XML parsers would normalize away (tab/newline) and
+    the quote; ``\\r`` is encoded in BOTH contexts (line-end
+    normalization rewrites a raw CR before the parser sees it)."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    c = F.replace(c, F.lit("\r"), F.lit("&#13;"))
+    if attr:
+        c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+        c = F.replace(c, F.lit("\n"), F.lit("&#10;"))
+        c = F.replace(c, F.lit("\t"), F.lit("&#9;"))
+    return c
+
+
+def rdfxml_reject_reason() -> Column:
+    pred, lex = F.col("pred"), F.col("obj_lex")
+    local = F.regexp_extract(pred, r"^.*[/#](" + _NCNAME + r")$", 1)
+    blank_label_ok = F.regexp_like(lex, F.lit("^" + _NCNAME + "$"))
+    subj_label_ok = ~F.col("subj").startswith("_:") | F.regexp_like(
+        F.col("subj"), F.lit("^_:" + _NCNAME + "$")
+    )
+    forbidden = (
+        F.regexp_like(F.col("subj"), F.lit(_XML_FORBIDDEN))
+        | F.regexp_like(pred, F.lit(_XML_FORBIDDEN))
+        | F.regexp_like(lex, F.lit(_XML_FORBIDDEN))
+        | F.regexp_like(F.coalesce(F.col("obj_datatype"), F.lit("")), F.lit(_XML_FORBIDDEN))
+        | F.regexp_like(F.coalesce(F.col("obj_lang"), F.lit("")), F.lit(_XML_FORBIDDEN))
+    )
+    return (
+        _reject_reason()
+        .when(~pred.startswith("_:") & (F.length(local) == 0), F.lit("pred_not_qname"))
+        .when(
+            (F.col("obj_kind") == KIND_BLANK) & ~blank_label_ok,
+            F.lit("invalid_blank_label"),
+        )
+        .when(~subj_label_ok, F.lit("invalid_blank_label"))
+        .when(forbidden, F.lit("xml_unencodable"))
+    )
+
+
+def rdfxml_rejects(df: DataFrame) -> DataFrame:
+    """Dead-letter view: rows this sink cannot serialize, with reasons
+    (superset of the reference's write validation — see module doc)."""
+    return df.withColumn("reason", rdfxml_reject_reason()).filter(
+        F.col("reason").isNotNull()
+    )
+
+
+def _property_element() -> Column:
+    pred = F.col("pred")
+    ns = F.regexp_extract(pred, r"^(.*[/#])" + _NCNAME + "$", 1)
+    local = F.regexp_extract(pred, r"^.*[/#](" + _NCNAME + r")$", 1)
+    open_tag = F.concat(
+        F.lit("    <n:"), local, F.lit(' xmlns:n="'), _esc(ns, attr=True), F.lit('"')
+    )
+    obj_kind = F.col("obj_kind")
+    lex = F.col("obj_lex")
+    literal_attrs = F.when(
+        F.col("obj_datatype").isNotNull(),
+        F.concat(F.lit(' rdf:datatype="'), _esc(F.col("obj_datatype"), attr=True), F.lit('"')),
+    ).when(
+        F.col("obj_lang").isNotNull(),
+        F.concat(F.lit(' xml:lang="'), _esc(F.col("obj_lang"), attr=True), F.lit('"')),
+    ).otherwise(F.lit(""))
+    return (
+        F.when(
+            obj_kind == KIND_IRI,
+            F.concat(open_tag, F.lit(' rdf:resource="'), _esc(lex, attr=True), F.lit('"/>')),
+        )
+        .when(
+            obj_kind == KIND_BLANK,
+            F.concat(open_tag, F.lit(' rdf:nodeID="'), lex, F.lit('"/>')),
+        )
+        .otherwise(
+            F.concat(
+                open_tag, literal_attrs, F.lit(">"), _esc(lex),
+                F.lit("</n:"), local, F.lit(">"),
+            )
+        )
+    )
+
+
+def rdfxml_blocks(df: DataFrame, on_invalid: str = "error") -> DataFrame:
+    """triples → one ``<rdf:Description>`` block per subject
+    (``(subj, block)`` rows; property elements sorted within the block,
+    so the output is deterministic under any input order)."""
+    reason = rdfxml_reject_reason()
+    element = _property_element()
+    if on_invalid == "drop":
+        df = df.filter(reason.isNull())
+    else:
+        # the guard must wrap the EMITTED expression — a free-standing
+        # validation column would be pruned by the optimizer and never
+        # evaluate
+        element = F.when(
+            reason.isNotNull(),
+            F.raise_error(
+                F.concat(F.lit("invalid triple for RDF/XML serialization: "), reason)
+            ),
+        ).otherwise(element)
+    subj = F.col("subj")
+    subj_attr = F.when(
+        subj.startswith("_:"),
+        F.concat(F.lit('rdf:nodeID="'), F.substring(subj, 3, 2**30), F.lit('"')),
+    ).otherwise(F.concat(F.lit('rdf:about="'), _esc(subj, attr=True), F.lit('"')))
+    return (
+        df.select(subj.alias("subj"), subj_attr.alias("_sattr"), element.alias("_el"))
+        .groupBy("subj", "_sattr")
+        .agg(F.array_sort(F.collect_list("_el")).alias("_els"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit("  <rdf:Description "), F.col("_sattr"), F.lit(">\n"),
+                F.array_join(F.col("_els"), "\n"),
+                F.lit("\n  </rdf:Description>"),
+            ).alias("block"),
+        )
+    )
+
+
+_HEADER = '<?xml version="1.0" encoding="UTF-8"?>\n<rdf:RDF xmlns:rdf="' + RDF_NS + '">\n'
+_FOOTER = "\n</rdf:RDF>\n"
+
+
+def write_rdfxml_string(df: DataFrame, on_invalid: str = "error") -> str:
+    """Assemble the one-document serialization (driver-side join of the
+    distributed per-subject blocks in subject order — the same contract
+    as ``write_turtle_string``; use :func:`rdfxml_blocks` directly for
+    a sharded sink)."""
+    blocks = [r.block for r in rdfxml_blocks(df, on_invalid).orderBy("subj").collect()]
+    return _HEADER + "\n".join(blocks) + _FOOTER

@@ -1,0 +1,184 @@
+"""RDF/XML codec (beyond-reference codec #6): document parser units,
+the distributed source, the sink's validation surface, and a
+hypothesis write→parse round-trip over the clean lexical space."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.parsing import ParseError
+from rdf_rs_spark.schema import TRIPLES_SCHEMA
+from rdf_rs_spark.sources.rdfxml import parse_rdfxml_docs, rdfxml_doc_triples
+from rdf_rs_spark.terms import RDF_FIRST, RDF_NIL, RDF_NS, RDF_REST, RDF_TYPE
+from rdf_rs_spark.writers.rdfxml import (
+    rdfxml_rejects,
+    write_rdfxml_string,
+)
+
+E = "http://e/"
+RDF_XMLNS = f'xmlns:rdf="{RDF_NS}" xmlns:ex="{E}"'
+
+
+def test_parse_basic_forms():
+    doc = f"""<?xml version="1.0"?>
+    <rdf:RDF {RDF_XMLNS}>
+      <ex:Person rdf:about="http://e/p1" ex:nick="Ada">
+        <ex:name xml:lang="en">Ada Lovelace</ex:name>
+        <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">36</ex:age>
+        <ex:knows rdf:resource="http://e/p2"/>
+        <ex:address rdf:nodeID="addr1"/>
+      </ex:Person>
+      <rdf:Description rdf:nodeID="addr1">
+        <ex:city>London</ex:city>
+      </rdf:Description>
+    </rdf:RDF>"""
+    rows = rdfxml_doc_triples(doc)
+    assert (E + "p1", RDF_TYPE, 0, E + "Person", None, None) in rows
+    assert (E + "p1", E + "nick", 2, "Ada", None, None) in rows
+    assert (E + "p1", E + "name", 2, "Ada Lovelace", None, "en") in rows
+    assert (
+        E + "p1", E + "age", 2, "36",
+        "http://www.w3.org/2001/XMLSchema#integer", None,
+    ) in rows
+    assert (E + "p1", E + "knows", 0, E + "p2", None, None) in rows
+    assert (E + "p1", E + "address", 1, "addr1", None, None) in rows
+    assert ("_:addr1", E + "city", 2, "London", None, None) in rows
+    assert len(rows) == 7
+
+
+def test_parse_nested_anon_and_parsetype_resource():
+    doc = f"""<rdf:RDF {RDF_XMLNS}>
+      <rdf:Description rdf:about="http://e/s">
+        <ex:a><ex:Thing><ex:v>1</ex:v></ex:Thing></ex:a>
+        <ex:b rdf:parseType="Resource"><ex:v>2</ex:v></ex:b>
+      </rdf:Description>
+    </rdf:RDF>"""
+    rows = rdfxml_doc_triples(doc)
+    # anonymous typed node gets auto0, parseType=Resource blank gets auto1
+    assert (E + "s", E + "a", 1, "auto0", None, None) in rows
+    assert ("_:auto0", RDF_TYPE, 0, E + "Thing", None, None) in rows
+    assert ("_:auto0", E + "v", 2, "1", None, None) in rows
+    assert (E + "s", E + "b", 1, "auto1", None, None) in rows
+    assert ("_:auto1", E + "v", 2, "2", None, None) in rows
+
+
+def test_parse_collection_and_li():
+    doc = f"""<rdf:RDF {RDF_XMLNS}>
+      <rdf:Description rdf:about="http://e/s">
+        <ex:list rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://e/i1"/>
+          <rdf:Description rdf:about="http://e/i2"/>
+        </ex:list>
+        <rdf:li>x</rdf:li>
+        <rdf:li>y</rdf:li>
+      </rdf:Description>
+    </rdf:RDF>"""
+    rows = rdfxml_doc_triples(doc)
+    cells = [r for r in rows if r[1] == RDF_FIRST]
+    assert [(c[0], c[3]) for c in cells] == [
+        ("_:auto0", E + "i1"), ("_:auto1", E + "i2")]
+    rests = [r for r in rows if r[1] == RDF_REST]
+    assert ("_:auto0", RDF_REST, 1, "auto1", None, None) in rests
+    assert ("_:auto1", RDF_REST, 0, RDF_NIL, None, None) in rests
+    assert (E + "s", RDF_NS + "_1", 2, "x", None, None) in rows
+    assert (E + "s", RDF_NS + "_2", 2, "y", None, None) in rows
+
+
+def test_parse_base_id_and_errors():
+    doc = f"""<rdf:RDF {RDF_XMLNS} xml:base="http://b/doc">
+      <rdf:Description rdf:ID="frag"><ex:v>1</ex:v></rdf:Description>
+    </rdf:RDF>"""
+    assert rdfxml_doc_triples(doc)[0][0] == "http://b/doc#frag"
+    with pytest.raises(ParseError, match="xml:base"):
+        rdfxml_doc_triples(
+            f'<rdf:RDF {RDF_XMLNS}><rdf:Description rdf:ID="f"/></rdf:RDF>')
+    with pytest.raises(ParseError, match="malformed XML"):
+        rdfxml_doc_triples("<rdf:RDF")
+    with pytest.raises(ParseError, match="exclusive"):
+        rdfxml_doc_triples(
+            f'<rdf:RDF {RDF_XMLNS}>'
+            '<rdf:Description rdf:about="http://e/a" rdf:nodeID="b"/></rdf:RDF>')
+    with pytest.raises(ParseError, match="aboutEach"):
+        rdfxml_doc_triples(
+            f'<rdf:RDF {RDF_XMLNS}>'
+            '<rdf:Description rdf:aboutEach="#x"/></rdf:RDF>')
+
+
+def test_distributed_source_skip_vs_raise(spark):
+    docs = spark.createDataFrame(
+        [
+            ("d1", f'<rdf:RDF {RDF_XMLNS}><rdf:Description rdf:about="http://e/s">'
+                   '<ex:v>ok</ex:v></rdf:Description></rdf:RDF>'),
+            ("d2", "<broken"),
+        ],
+        "doc_id string, content string",
+    )
+    got = parse_rdfxml_docs(docs).collect()
+    assert [(r.subj, r.obj_lex, r.src_url) for r in got] == [(E + "s", "ok", "d1")]
+    with pytest.raises(Exception):
+        parse_rdfxml_docs(docs, errors="raise").collect()
+
+
+def test_writer_rejects_and_roundtrip_basics(spark):
+    rows = [
+        (E + "s", E + "p q", 2, "bad pred tail", None, None),   # not a QName
+        (E + "s", E + "p", 1, "bad label!", None, None),        # not an NCName
+        (E + "s", E + "p", 2, "ctrl\x07char", None, None),      # unencodable
+        ("_:b", E + "p", 2, "ok", None, "en"),
+        (E + "s", E + "p", 2, 'w <&> "quotes"\r\n', None, None),
+        (E + "s", E + "p#x", 0, E + "o", None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    reasons = {r.reason for r in rdfxml_rejects(df).collect()}
+    assert reasons == {"pred_not_qname", "invalid_blank_label", "xml_unencodable"}
+    doc = write_rdfxml_string(df, on_invalid="drop")
+    parsed = sorted(rdfxml_doc_triples(doc))
+    assert parsed == sorted(
+        [
+            ("_:b", E + "p", 2, "ok", None, "en"),
+            (E + "s", E + "p", 2, 'w <&> "quotes"\r\n', None, None),
+            (E + "s", E + "p#x", 0, E + "o", None, None),
+        ]
+    )
+    with pytest.raises(Exception, match="RDF/XML"):
+        write_rdfxml_string(df, on_invalid="error")
+
+
+# ---- fuzz: write → parse is the identity on the clean space ---------------
+
+_iri = st.from_regex(r"http://f/[A-Za-z0-9_.~-]{1,12}", fullmatch=True)
+_pred = st.from_regex(r"http://f/(v/)?[A-Za-z_][A-Za-z0-9_.-]{0,10}", fullmatch=True)
+_label = st.from_regex(r"[A-Za-z_][A-Za-z0-9_.-]{0,8}", fullmatch=True)
+_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FFF), max_size=40
+)
+_lang = st.from_regex(r"[a-z]{2}(-[a-z0-9]{1,4})?", fullmatch=True)
+
+
+@st.composite
+def _triple(draw):
+    subj = draw(st.one_of(_iri, _label.map(lambda l: "_:" + l)))
+    pred = draw(_pred)
+    kind = draw(st.sampled_from([0, 1, 2]))
+    if kind == 0:
+        return (subj, pred, 0, draw(_iri), None, None)
+    if kind == 1:
+        return (subj, pred, 1, draw(_label), None, None)
+    dt, lang = draw(
+        st.one_of(
+            st.tuples(st.none(), st.none()),
+            st.tuples(_iri, st.none()),
+            st.tuples(st.none(), _lang),
+        )
+    )
+    return (subj, pred, 2, draw(_text), dt, lang)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_triple(), min_size=1, max_size=12, unique=True))
+def test_fuzz_rdfxml_roundtrip(spark, triples):
+    df = spark.createDataFrame(triples, TRIPLES_SCHEMA)
+    doc = write_rdfxml_string(df)
+    assert sorted(rdfxml_doc_triples(doc)) == sorted(set(triples))
