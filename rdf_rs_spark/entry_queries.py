@@ -4418,14 +4418,21 @@ _VERIFY_FIRST = [
     # rdf_bgp_optional displaced (r1-green; the OPTIONAL left-join path
     # is unchanged and rdf_bgp_join anchors the BGP-ordering change)
     "sparql_update_quads_exec",
-    "sparql_select_exec",
+    # sparql_select_exec displaced (r1-green; the BGP-ordering change is
+    # anchored by rdf_bgp_join + the new sparql_* path/filter entries)
+    # for the RDFS materialization module's anchor entry
+    "kg_rdfs_closure",
     # sparql_two_optionals displaced (r2-green; the multi-OPTIONAL left-
     # join path is unchanged this round) for the new dup-shingle op
     "docs_dup_shingle_stats",
     # sparql_union_exec displaced (r2-green; its round-3 change is the
     # shared BGP-ordering path, represented by rdf_bgp_join) for UPDATE
     "sparql_update_exec",
-    "sparql_filter_regex",
+    # sparql_filter_regex displaced (r2-green; the r3 FILTER compiler is
+    # anchored in-window by sparql_filter_bool/sparql_bound_filter/
+    # sparql_boolfn_in, and the regex branch stays under the local
+    # mirror gate) for the RDF/XML codec's anchor entry
+    "rdf_rdfxml_parse",
     # sparql_order_limit displaced (r2-green; ORDER/LIMIT modifiers are
     # unchanged this round) for the new TriG writer
     "rdf_trig_format",
