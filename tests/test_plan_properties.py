@@ -517,3 +517,79 @@ def test_dup_shingle_stats_bounded_exchanges(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     assert count_exchanges(dup_shingle_stats(docs, F.col("text"))) <= 4
+
+
+def test_rdfs_closure_rules_are_broadcast_joins(spark):
+    """Every RDFS rule must probe the driver-closed ontology via
+    broadcast — a single hash-partitioned join here would shuffle the
+    full instance stream once PER RULE at 100 TB. The one allowed
+    exchange is the final set-normalizing dropDuplicates."""
+    from rdf_rs_spark.operators.inference import rdfs_closure
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.terms import RDF_TYPE
+
+    rows = [
+        ("http://e/Nation", "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+         0, "http://e/Place", None, None),
+        ("http://e/inRegion", "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+         0, "http://e/locatedIn", None, None),
+        ("http://e/inRegion", "http://www.w3.org/2000/01/rdf-schema#range",
+         0, "http://e/Region", None, None),
+        ("http://e/n1", RDF_TYPE, 0, "http://e/Nation", None, None),
+        ("http://e/n1", "http://e/inRegion", 0, "http://e/r1", None, None),
+    ]
+    out = rdfs_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA))
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # instance-side exchanges: only the final dedup repartition
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_sameas_rewrite_is_broadcast_only(spark):
+    """The canonical-map rewrite must never shuffle the triple stream:
+    both the subject and the object rewrite are broadcast left joins
+    (the identity map is orders of magnitude smaller than the corpus)."""
+    from rdf_rs_spark.operators.inference import OWL_SAME_AS, same_as_canonicalize
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+
+    rows = [
+        ("http://e/a", OWL_SAME_AS, 0, "http://e/b", None, None),
+        ("http://e/a", "http://e/p", 0, "http://e/b", None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    out = same_as_canonicalize(df)
+    plan = explain_str(out, "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_shacl_cardinality_is_partial_aggregate(spark):
+    """minCount/maxCount counts must combine map-side (partial_count
+    before the exchange) — at 10^12 focus nodes the count shuffle
+    carries one row per node, never one per triple."""
+    from rdf_rs_spark.operators.shacl import NodeShape, PropertyShape, shacl_validate
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.terms import RDF_TYPE
+
+    rows = [("http://e/x", RDF_TYPE, 0, "http://e/T", None, None),
+            ("http://e/x", "http://e/p", 2, "v", None, None)]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    out = shacl_validate(
+        df, [NodeShape("S", "http://e/T", [PropertyShape("http://e/p", min_count=1)])]
+    )
+    plan = explain_str(out, "formatted")
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_rdfxml_blocks_single_shuffle(spark):
+    """The RDF/XML sink's only wide dependency is the per-subject
+    grouping; property-element rendering is pure column expressions
+    (no Python, no extra exchange)."""
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.writers.rdfxml import rdfxml_blocks
+
+    rows = [("http://e/s", "http://e/p", 2, "v", None, None)]
+    out = rdfxml_blocks(spark.createDataFrame(rows, TRIPLES_SCHEMA))
+    assert count_exchanges(out) == 1
+    assert "mapInPandas" not in explain_str(out, "simple")
