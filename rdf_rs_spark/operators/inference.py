@@ -202,7 +202,108 @@ def _unions(parts: List[DataFrame]) -> DataFrame:
     return out
 
 
-OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+OWL_SAME_AS = OWL_NS + "sameAs"
+OWL_INVERSE_OF = OWL_NS + "inverseOf"
+OWL_SYMMETRIC = OWL_NS + "SymmetricProperty"
+OWL_TRANSITIVE = OWL_NS + "TransitiveProperty"
+
+
+def _inverse_pass(triples: DataFrame, inv_pairs: List[Tuple[str, str]]) -> DataFrame:
+    """prp-inv1/2 + prp-symp as ONE broadcast swap-join: ``inv_pairs``
+    holds (p, q) meaning (x p y) ⇒ (y q x) — a symmetric property is
+    simply (p, p). Literal objects cannot become subjects and are
+    skipped (OWL 2 RL's well-formedness condition)."""
+    spark = triples.sparkSession
+    inv_df = F.broadcast(spark.createDataFrame(sorted(set(inv_pairs)), "a string, b string"))
+    swappable = triples.filter(F.col("obj_kind") != 2)
+    new_subj = F.when(
+        F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+    ).otherwise(F.col("obj_lex"))
+    old_subj_kind = F.when(
+        F.col("subj").startswith("_:"), F.lit(KIND_BLANK)
+    ).otherwise(F.lit(KIND_IRI)).cast("tinyint")
+    old_subj_lex = F.when(
+        F.col("subj").startswith("_:"), F.expr("substring(subj, 3)")
+    ).otherwise(F.col("subj"))
+    return swappable.join(inv_df, swappable["pred"] == inv_df["a"]).select(
+        new_subj.alias("subj"),
+        F.col("b").alias("pred"),
+        old_subj_kind.alias("obj_kind"),
+        old_subj_lex.alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+
+
+def owl_property_closure(
+    triples: DataFrame, schema_threshold: int = 2_000_000
+) -> DataFrame:
+    """OWL 2 RL property rules prp-inv1/2 (``owl:inverseOf``), prp-symp
+    (``owl:SymmetricProperty``), prp-trp (``owl:TransitiveProperty``)
+    materialized over a six-column triples table; returns the
+    set-semantics closure (original ∪ derived, ``dropDuplicates``).
+
+    Same scale shape as :func:`rdfs_closure`: the property schema is a
+    bounded slice collected to the driver (capped, raises beyond
+    ``schema_threshold``); inverse/symmetric are ONE broadcast swap-join
+    over the instance stream; each declared transitive property runs the
+    shared semi-naive closure (`paths.predicate_closure` — per-round
+    shuffle ∝ the property's edge set, never the full corpus). The
+    three-pass schedule inverse → transitive → inverse reaches the RL
+    fixpoint for this rule subset: symmetric edges land before the
+    closure, and inverses OF closure pairs land after it (the closure
+    of a symmetric relation is already symmetric, so no further
+    alternation can derive anything new)."""
+    schema_df = triples.filter(
+        (F.col("pred").isin(OWL_INVERSE_OF, RDF_TYPE))
+        & (F.col("obj_kind") == KIND_IRI)
+    ).select("subj", "pred", "obj_lex")
+    rows = schema_df.limit(schema_threshold + 1).collect()
+    if len(rows) > schema_threshold:
+        raise ValueError(
+            f"property-schema slice exceeds {schema_threshold} rows; "
+            "driver-side closure refused"
+        )
+    inv_pairs: List[Tuple[str, str]] = []
+    trans: List[str] = []
+    for r in rows:
+        if r.pred == OWL_INVERSE_OF:
+            inv_pairs.append((r.subj, r.obj_lex))
+            inv_pairs.append((r.obj_lex, r.subj))
+        elif r.obj_lex == OWL_SYMMETRIC:
+            inv_pairs.append((r.subj, r.subj))
+        elif r.obj_lex == OWL_TRANSITIVE:
+            trans.append(r.subj)
+
+    parts = [triples.select(*TRIPLE_COLS)]
+    if inv_pairs:
+        parts.append(_inverse_pass(triples, inv_pairs))
+    # transitive properties are OBJECT properties (OWL DL): literal
+    # objects don't participate in the closure — including them would
+    # re-emit literals stripped of datatype/lang as spurious new rows
+    pre = _unions(parts).filter(F.col("obj_kind") != 2)
+    for p in sorted(set(trans)):
+        from .paths import predicate_closure
+
+        pairs = predicate_closure(pre, p)
+        parts.append(
+            pairs.select(
+                F.col("src").alias("subj"),
+                F.lit(p).alias("pred"),
+                F.when(F.col("dst").startswith("_:"), F.lit(KIND_BLANK))
+                .otherwise(F.lit(KIND_IRI)).cast("tinyint").alias("obj_kind"),
+                F.when(
+                    F.col("dst").startswith("_:"), F.expr("substring(dst, 3)")
+                ).otherwise(F.col("dst")).alias("obj_lex"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit(None).cast("string").alias("obj_lang"),
+            )
+        )
+    if inv_pairs and trans:
+        # inverses of the newly-closed pairs (prp-inv after prp-trp)
+        parts.append(_inverse_pass(_unions(parts[1:]), inv_pairs))
+    return _unions(parts).dropDuplicates()
 
 
 def same_as_canonicalize(

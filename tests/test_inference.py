@@ -142,3 +142,61 @@ def test_same_as_distributed_path_matches_driver(spark):
     )
     assert a == b
     assert all(r[0] == E + "n00" for r in a)
+
+
+def test_owl_inverse_and_symmetric(spark):
+    from rdf_rs_spark.operators.inference import (
+        OWL_INVERSE_OF,
+        OWL_SYMMETRIC,
+        owl_property_closure,
+    )
+    from rdf_rs_spark.terms import RDF_TYPE as _T
+
+    rows = [
+        _iri(E + "contains", OWL_INVERSE_OF, E + "within"),
+        _iri(E + "adj", _T, OWL_SYMMETRIC),
+        _iri(E + "a", E + "within", E + "b"),
+        _iri(E + "b", E + "contains", E + "c"),
+        _iri(E + "x", E + "adj", E + "y"),
+        _blank(E + "x", E + "adj", "bn"),
+        _lit(E + "x", E + "adj", "literal stays put"),
+    ]
+    out = _set(owl_property_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA)))
+    # prp-inv both directions
+    assert _iri(E + "b", E + "contains", E + "a") in out
+    assert _iri(E + "c", E + "within", E + "b") in out
+    # prp-symp, incl. a blank object becoming the subject
+    assert _iri(E + "y", E + "adj", E + "x") in out
+    assert ("_:bn", E + "adj", 0, E + "x", None, None) in out
+    # literal objects are never swapped into subjects
+    assert not any(r[0] == "literal stays put" for r in out)
+    assert _lit(E + "x", E + "adj", "literal stays put") in out
+
+
+def test_owl_transitive_and_interaction(spark):
+    from rdf_rs_spark.operators.inference import (
+        OWL_INVERSE_OF,
+        OWL_TRANSITIVE,
+        owl_property_closure,
+    )
+    from rdf_rs_spark.terms import RDF_TYPE as _T
+
+    rows = [
+        _iri(E + "reach", _T, OWL_TRANSITIVE),
+        _iri(E + "reach", OWL_INVERSE_OF, E + "reachedBy"),
+        _iri(E + "a", E + "reach", E + "b"),
+        _iri(E + "b", E + "reach", E + "c"),
+        # an inverse edge that must join the closure BEFORE it runs
+        _iri(E + "d", E + "reachedBy", E + "c"),
+    ]
+    out = _set(owl_property_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA)))
+    assert _iri(E + "a", E + "reach", E + "c") in out
+    # c reach d came from the inverse pass; closure extends through it
+    assert _iri(E + "c", E + "reach", E + "d") in out
+    assert _iri(E + "a", E + "reach", E + "d") in out
+    assert _iri(E + "b", E + "reach", E + "d") in out
+    # inverses OF closure pairs (prp-inv after prp-trp)
+    assert _iri(E + "d", E + "reachedBy", E + "a") in out
+    assert _iri(E + "c", E + "reachedBy", E + "a") in out
+    df = owl_property_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA))
+    assert df.count() == df.dropDuplicates().count()
