@@ -38,11 +38,13 @@ class JsonLdError(ValueError):
     pass
 
 
-def jsonld_doc_triples(doc: dict) -> List[Tuple]:
+def jsonld_doc_triples(doc: dict, counter: Optional[list] = None) -> List[Tuple]:
     """One expanded-form JSON-LD node object → triple rows
-    (subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang)."""
+    (subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang).
+    ``counter`` shares blank-label allocation across the node objects
+    of one document (expanded form is an array)."""
     out: List[Tuple] = []
-    counter = [0]
+    counter = [0] if counter is None else counter
 
     def node(obj: dict) -> Tuple[str, int]:
         if "@id" in obj:
@@ -114,9 +116,15 @@ def parse_jsonld_docs(
                     continue
                 try:
                     doc = json.loads(content)
-                    if not isinstance(doc, dict):
-                        raise JsonLdError("top level must be a node object")
-                    triples = jsonld_doc_triples(doc)
+                    # canonical expanded form is an ARRAY of node
+                    # objects; a bare node object is the 1-element case
+                    nodes = doc if isinstance(doc, list) else [doc]
+                    triples = []
+                    blank_counter = [0]
+                    for nd in nodes:
+                        if not isinstance(nd, dict):
+                            raise JsonLdError("top level must be node objects")
+                        triples.extend(jsonld_doc_triples(nd, blank_counter))
                 except (ValueError, KeyError) as e:
                     if errors == "raise":
                         raise JsonLdError(str(e)) from e

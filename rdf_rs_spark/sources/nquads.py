@@ -31,8 +31,13 @@ def _g(line: Column, idx: int) -> Column:
     return F.regexp_extract(line, NQ_LINE_PATTERN, idx)
 
 
-def parse_nquads_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
-    """lines DataFrame → quads DataFrame (triples schema + ``graph``)."""
+def parse_nquads_lines(
+    df: DataFrame, line_col: str = "value", keep_cols: tuple = ()
+) -> DataFrame:
+    """lines DataFrame → quads DataFrame (triples schema + ``graph``).
+
+    ``keep_cols`` names pass-through columns (e.g. a provenance
+    ``src_url``) appended after the quad columns."""
     line = F.col(line_col)
     matched = line.rlike(NQ_LINE_PATTERN)
     is_comment = F.trim(line).startswith("#") | (F.trim(line) == "")
@@ -50,7 +55,8 @@ def parse_nquads_lines(df: DataFrame, line_col: str = "value") -> DataFrame:
         .withColumn("__st", _g(line, 1))
         .withColumn("__ot", _g(line, 3))
         .withColumn("__gt", _g(line, 4))
-        .select(*term_columns(lambda i: _g(line, i)), graph)
+        .select(*term_columns(lambda i: _g(line, i)), graph,
+                *[F.col(c) for c in keep_cols])
     )
 
 

@@ -1,0 +1,108 @@
+"""Unified RDF ingestion: one reader over a MIXED-format document
+corpus (the realistic web-dump shape — a crawl's RDF sidecars arrive as
+N-Triples, N-Quads, Turtle, TriG, JSON-LD and RDF/XML all at once).
+
+Format detection is a pure COLUMN expression (`rdf_format_col`), so the
+sniff costs one whole-stage-codegen pass — no Python, no extra scan.
+The corpus then routes per format through the existing distributed
+sources, and everything unions into the quads-with-provenance table
+(triple-only codecs land in the default graph, ``graph`` NULL):
+
+- ``{`` / ``[`` head            → JSON-LD (`sources/jsonld.py`)
+- ``<?xml`` / xmlns-bearing tag → RDF/XML (`sources/rdfxml.py`)
+- any explicit-graph N-Quads line → N-Quads (`sources/nquads.py`,
+  line-splittable single-regexp JVM parse)
+- everything else               → the TriG parser, which is a strict
+  superset of Turtle and (for well-formed documents) of N-Triples, so
+  Turtle-family misclassification is harmless by construction.
+
+The sniff is shape-based, not a validator: a pathological document —
+e.g. a Turtle multiline literal whose content embeds an N-Quads-shaped
+line — can misroute. For adversarial inputs pass ``fmt=`` explicitly;
+for the formats' own grammars the rules above are exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .ntriples import NT_TERMS_PATTERN
+
+#: a line whose graph label is EXPLICIT (4 terms) — the one shape the
+#: Turtle family cannot contain
+NQ_EXPLICIT_GRAPH = (
+    "(?m)" + NT_TERMS_PATTERN + r"[ \t]+(?:<[^>]*>|_:[^ \r\n.]+)[ \t]*\.[ \t]*$"
+)
+
+FORMATS = ("jsonld", "rdfxml", "nquads", "turtle")
+
+
+def rdf_format_col(content: Column) -> Column:
+    """Sniffed format as a column expression (see module doc)."""
+    head = F.ltrim(F.regexp_replace(content, "^\\uFEFF", ""))
+    return (
+        F.when(head.startswith("{") | head.startswith("["), F.lit("jsonld"))
+        .when(
+            head.startswith("<?xml")
+            | head.rlike(r"^<[A-Za-z_][A-Za-z0-9._:-]*[^>]*\bxmlns"),
+            F.lit("rdfxml"),
+        )
+        .when(content.rlike(NQ_EXPLICIT_GRAPH), F.lit("nquads"))
+        .otherwise(F.lit("turtle"))
+    )
+
+
+def read_rdf_docs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    errors: str = "skip",
+    fmt: Optional[str] = None,
+) -> DataFrame:
+    """Mixed-format documents → quads-with-provenance DataFrame
+    (``subj pred obj_kind obj_lex obj_datatype obj_lang graph src_url``).
+
+    ``fmt`` forces one codec for the whole frame; default sniffs per
+    document. ``errors`` follows the document sources' contract
+    ('skip' drops malformed documents; 'raise' propagates — note the
+    N-Quads branch is line-granular by design and drops malformed
+    LINES silently in either mode, same as reading a .nq file)."""
+    from .jsonld import parse_jsonld_docs
+    from .nquads import parse_nquads_lines
+    from .rdfxml import parse_rdfxml_docs
+    from .trig import parse_trig_docs
+
+    tagged = df.withColumn(
+        "__fmt", F.lit(fmt) if fmt else rdf_format_col(F.col(content_col))
+    )
+
+    def branch(name: str) -> DataFrame:
+        return tagged.filter(F.col("__fmt") == name).drop("__fmt")
+
+    null_graph = F.lit(None).cast("string").alias("graph")
+    out_cols = [
+        "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang",
+        "graph", "src_url",
+    ]
+    jsonld = parse_jsonld_docs(
+        branch("jsonld"), content_col=content_col, id_col=id_col, errors=errors
+    ).withColumn("graph", null_graph)
+    rdfxml = parse_rdfxml_docs(
+        branch("rdfxml"), content_col=content_col, id_col=id_col, errors=errors
+    ).withColumn("graph", null_graph)
+    nq_lines = branch("nquads").select(
+        F.col(id_col).cast("string").alias("src_url"),
+        F.explode(F.split(F.col(content_col), "\r?\n")).alias("value"),
+    )
+    nquads = parse_nquads_lines(nq_lines, keep_cols=("src_url",))
+    turtle = parse_trig_docs(
+        branch("turtle"), content_col=content_col, id_col=id_col, errors=errors
+    )
+    return (
+        jsonld.select(*out_cols)
+        .unionByName(rdfxml.select(*out_cols))
+        .unionByName(nquads.select(*out_cols))
+        .unionByName(turtle.select(*out_cols))
+    )

@@ -1,0 +1,77 @@
+"""Unified mixed-format RDF ingestion (``sources/read_rdf.py``)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.sources.read_rdf import read_rdf_docs, rdf_format_col
+
+E = "http://e/"
+
+DOCS = {
+    "nt": f"<{E}s1> <{E}p> <{E}o1> .\n# comment\n<{E}s1> <{E}p> \"lit\" .",
+    "nq": f"<{E}s2> <{E}p> <{E}o2> <{E}g1> .\n<{E}s2> <{E}p> \"x\" .",
+    "turtle": f"@prefix ex: <{E}> .\nex:s3 ex:p ex:o3 ; ex:q \"v\" .",
+    "trig": f"@prefix ex: <{E}> .\nex:g2 {{ ex:s4 ex:p ex:o4 }}",
+    "jsonld": f'[{{"@id": "{E}s5", "{E}p": [{{"@id": "{E}o5"}}]}}]',
+    "rdfxml": (
+        f'<?xml version="1.0"?><rdf:RDF '
+        f'xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="{E}">'
+        f'<rdf:Description rdf:about="{E}s6"><ex:p rdf:resource="{E}o6"/>'
+        f"</rdf:Description></rdf:RDF>"
+    ),
+}
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [(k, v) for k, v in DOCS.items()], "doc_id string, content string"
+    )
+
+
+def test_format_sniffing(spark):
+    got = {
+        r.doc_id: r.fmt
+        for r in _docs_df(spark)
+        .select("doc_id", rdf_format_col(F.col("content")).alias("fmt"))
+        .collect()
+    }
+    assert got == {
+        "nt": "turtle",      # NT ⊂ Turtle: deliberate, harmless
+        "nq": "nquads",
+        "turtle": "turtle",
+        "trig": "turtle",    # TriG parser handles both
+        "jsonld": "jsonld",
+        "rdfxml": "rdfxml",
+    }
+
+
+def test_mixed_corpus_reads_every_format(spark):
+    rows = {
+        (r.subj, r.pred, r.obj_kind, r.obj_lex, r.graph, r.src_url)
+        for r in read_rdf_docs(_docs_df(spark)).collect()
+    }
+    assert (E + "s1", E + "p", 0, E + "o1", None, "nt") in rows
+    assert (E + "s1", E + "p", 2, "lit", None, "nt") in rows
+    assert (E + "s2", E + "p", 0, E + "o2", E + "g1", "nq") in rows
+    assert (E + "s2", E + "p", 2, "x", None, "nq") in rows
+    assert (E + "s3", E + "p", 0, E + "o3", None, "turtle") in rows
+    assert (E + "s3", E + "q", 2, "v", None, "turtle") in rows
+    assert (E + "s4", E + "p", 0, E + "o4", E + "g2", "trig") in rows
+    assert (E + "s5", E + "p", 0, E + "o5", None, "jsonld") in rows
+    assert (E + "s6", E + "p", 0, E + "o6", None, "rdfxml") in rows
+    assert len(rows) == 9
+
+
+def test_forced_format_and_error_modes(spark):
+    # NB "@prefix broken" would NOT do here: truncation mid-directive is
+    # a benign EOF in the reference (turtle_parser.rs:75) and parses as
+    # an empty document; an undefined prefix is a real error
+    docs = spark.createDataFrame(
+        [("good", DOCS["turtle"]), ("bad", "ex:s ex:p ex:o .")],
+        "doc_id string, content string",
+    )
+    assert read_rdf_docs(docs).count() == 2  # bad doc skipped
+    with pytest.raises(Exception):
+        read_rdf_docs(docs, errors="raise").collect()
+    # forcing jsonld sends the turtle doc down the wrong codec -> skipped
+    assert read_rdf_docs(docs, fmt="jsonld").count() == 0
