@@ -376,3 +376,58 @@ def dup_shingle_stats(
             F.expr("(dup_shingles * 10000) DIV n_shingles")
         ),
     )
+
+
+def dedup_spans_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style global boilerplate removal: any span (delimiter-split
+    segment — line, sentence, paragraph) appearing in ``min_docs`` or
+    more DISTINCT documents is removed from every document (navbars,
+    cookie banners, license footers — the spans that survive per-doc
+    dedup because each copy lives in a different page).
+
+    Returns ``(id_col, text, n_spans, n_removed)`` with ``text``
+    rebuilt from the surviving spans in original order.
+
+    Scale shape: explode → one map-side-combining distinct-doc count
+    per span → the hot-span anti-join REUSES the span hash
+    partitioning (no extra exchange) → one groupBy(doc) rebuild.
+    The hot-span set is never collected or broadcast — at 100 TB the
+    boilerplate table is itself huge, so both sides stay distributed
+    and co-partitioned on the span key."""
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "span"),
+    )
+    hot = (
+        spans.groupBy("span")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    kept = spans.join(hot, "span", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            delim,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("n_spans"),
+            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        )
+    )

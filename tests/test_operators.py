@@ -750,3 +750,31 @@ def test_dup_shingle_stats(spark):
     assert out[3] == (3, 2, 6666)
     assert out[4] == (0, 0, 0)
     assert out[5] == (0, 0, 0)
+
+
+def test_dedup_spans_global(spark):
+    """C4-style boilerplate removal: spans in >= min_docs DISTINCT docs
+    vanish everywhere; per-doc order is preserved; a doc repeating its
+    own span keeps it (distinct-doc support, not occurrences)."""
+    from rdf_rs_spark.operators.corpus import dedup_spans_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nfooter\nself\nself"),
+            (2, "footer\nunique two"),
+            (3, "unique three"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_spans, r.n_removed)
+           for r in dedup_spans_global(docs).collect()}
+    assert got[1] == ("unique one\nself\nself", 4, 1)
+    assert got[2] == ("unique two", 2, 1)
+    assert got[3] == ("unique three", 1, 0)
+    # the empty doc's single empty span survives (support 1)
+    assert got[4] == ("", 1, 0)
+    # raising the threshold keeps the footer
+    kept = {r.doc_id: r.n_removed
+            for r in dedup_spans_global(docs, min_docs=3).collect()}
+    assert kept == {1: 0, 2: 0, 3: 0, 4: 0}

@@ -593,3 +593,17 @@ def test_rdfxml_blocks_single_shuffle(spark):
     out = rdfxml_blocks(spark.createDataFrame(rows, TRIPLES_SCHEMA))
     assert count_exchanges(out) == 1
     assert "mapInPandas" not in explain_str(out, "simple")
+
+
+def test_span_dedup_bounded_exchanges(spark):
+    """Global boilerplate removal: the span stream pays a bounded,
+    constant number of hash exchanges (count / anti-join / rebuild +
+    the per-doc totals) — no broadcast of the hot-span set (it is
+    corpus-sized at scale) and no cartesian anywhere."""
+    from rdf_rs_spark.operators.corpus import dedup_spans_global
+
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id int, text string")
+    out = dedup_spans_global(docs)
+    assert count_exchanges(out) <= 6
+    plan = explain_str(out, "simple")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
