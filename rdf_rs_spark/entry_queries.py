@@ -4274,6 +4274,95 @@ def kg_shacl_report(spark, sf_dir):
     return shacl_validate(_triples(spark, sf_dir), shapes)
 
 
+_OWL = "http://www.w3.org/2002/07/owl#"
+
+
+@q(
+    "kg_owl_property_closure",
+    f"""WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+  ranked AS (SELECT r, dense_rank() OVER (ORDER BY r) AS rk
+             FROM (SELECT DISTINCT n_regionkey AS r FROM nation)),
+  raw AS (
+    SELECT '{EX}contains' AS subj, '{_OWL}inverseOf' AS pred,
+           CAST(0 AS TINYINT) AS obj_kind, '{EX}inRegion' AS obj_lex,
+           CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+    UNION ALL SELECT '{EX}adjacentTo', '{RDF_TYPE}', CAST(0 AS TINYINT),
+           '{_OWL}SymmetricProperty', NULL, NULL
+    UNION ALL SELECT '{EX}reach', '{RDF_TYPE}', CAST(0 AS TINYINT),
+           '{_OWL}TransitiveProperty', NULL, NULL
+    UNION ALL SELECT '{EX}nation/' || CAST(k AS VARCHAR), '{EX}inRegion',
+           CAST(0 AS TINYINT), '{EX}region/' || CAST(r AS VARCHAR), NULL, NULL FROM nat
+    UNION ALL SELECT '{EX}region/' || CAST(r AS VARCHAR), '{EX}contains',
+           CAST(0 AS TINYINT), '{EX}nation/' || CAST(k AS VARCHAR), NULL, NULL FROM nat
+    UNION ALL SELECT '{EX}nation/' || CAST(k AS VARCHAR), '{EX}adjacentTo',
+           CAST(0 AS TINYINT), '{EX}nation/' || CAST(k % 7 AS VARCHAR), NULL, NULL FROM nat
+    UNION ALL SELECT '{EX}nation/' || CAST(k % 7 AS VARCHAR), '{EX}adjacentTo',
+           CAST(0 AS TINYINT), '{EX}nation/' || CAST(k AS VARCHAR), NULL, NULL FROM nat
+    UNION ALL SELECT '{EX}region/' || CAST(a.r AS VARCHAR), '{EX}reach',
+           CAST(0 AS TINYINT), '{EX}region/' || CAST(b.r AS VARCHAR), NULL, NULL
+    FROM ranked a JOIN ranked b ON b.rk > a.rk)
+SELECT DISTINCT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang FROM raw""",
+)
+def kg_owl_property_closure(spark, sf_dir):
+    """OWL 2 RL property rules (beyond-reference): prp-inv over the
+    inRegion/contains pair, prp-symp over adjacentTo (incl. the k<7
+    self-loop dedup), prp-trp over a region rank-chain — the semi-naive
+    closure of rank_i → rank_{i+1} must produce exactly the rank_i <
+    rank_j pairs, which the oracle derives CLOSED-FORM from a windowed
+    dense_rank rather than mirroring the fixpoint."""
+    from pyspark.sql import Window
+
+    from .operators.inference import OWL_INVERSE_OF, OWL_SYMMETRIC, OWL_TRANSITIVE, owl_property_closure
+    from .schema import TRIPLES_SCHEMA
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    nation_iri = F.concat(F.lit(EX + "nation/"), k)
+    reg_iri = F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string"))
+
+    def row(s, p, o):
+        return [
+            s.alias("subj"), F.lit(p).alias("pred"),
+            F.lit(0).cast("tinyint").alias("obj_kind"), o.alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        ]
+
+    schema_rows = [
+        (EX + "contains", OWL_INVERSE_OF, 0, EX + "inRegion", None, None),
+        (EX + "adjacentTo", RDF_TYPE, 0, OWL_SYMMETRIC, None, None),
+        (EX + "reach", RDF_TYPE, 0, OWL_TRANSITIVE, None, None),
+    ]
+    ranked = (
+        n.select(F.col("n_regionkey").alias("r")).distinct()
+        .withColumn("rk", F.dense_rank().over(Window.orderBy("r")))
+    )
+    chain = ranked.alias("a").join(
+        ranked.alias("b"), F.col("b.rk") == F.col("a.rk") + 1
+    ).select(
+        *row(
+            F.concat(F.lit(EX + "region/"), F.col("a.r").cast("string")),
+            EX + "reach",
+            F.concat(F.lit(EX + "region/"), F.col("b.r").cast("string")),
+        )
+    )
+    store = (
+        spark.createDataFrame(schema_rows, TRIPLES_SCHEMA)
+        .unionByName(n.select(*row(nation_iri, EX + "inRegion", reg_iri)))
+        .unionByName(
+            n.select(
+                *row(
+                    nation_iri, EX + "adjacentTo",
+                    F.concat(F.lit(EX + "nation/"),
+                             (F.col("n_nationkey") % 7).cast("string")),
+                )
+            )
+        )
+        .unionByName(chain)
+    )
+    return owl_property_closure(store)
+
+
 # ---- RDF/XML codec (beyond-reference codec #6) -----------------------------
 
 RDF_NS_SQL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -4381,6 +4470,100 @@ def rdf_rdfxml_format(spark, sf_dir):
         & F.col("subj").startswith(EX + "nation/")
     )
     return rdfxml_blocks(t)
+
+
+@q(
+    "rdf_mixed_corpus_parse",
+    f"""SELECT '{EX}page' || i AS subj, '{EX}topic' AS pred,
+       CAST(2 AS TINYINT) AS obj_kind, 't' || (i % 13) AS obj_lex,
+       CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+       CASE WHEN i % 4 = 1 THEN '{EX}g/' || (i % 5) END AS graph,
+       'd' || i AS src_url
+FROM (SELECT unnest(generate_series(0, 1999)) AS i)""",
+)
+def rdf_mixed_corpus_parse(spark, sf_dir):
+    """Unified mixed-format ingestion (``sources/read_rdf.py``): one
+    corpus interleaving Turtle, explicit-graph N-Quads, expanded
+    JSON-LD and RDF/XML documents (format = i % 4), sniffed by the
+    pure-column-expression detector and routed through each codec's
+    distributed source. Every document must contribute exactly its one
+    closed-form triple — a single misrouted document breaks the
+    row-count, a mis-parsed one breaks the value hash."""
+    from .sources.read_rdf import read_rdf_docs
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    i = F.col("id")
+    t = F.concat(F.lit("t"), (i % 13).cast("string"))
+    pg = F.concat(F.lit(EX + "page"), i.cast("string"))
+    turtle = F.concat(
+        F.lit("@prefix ex: <" + EX + "> .\nex:page"), i.cast("string"),
+        F.lit(' ex:topic "'), t, F.lit('" .'),
+    )
+    nq = F.concat(
+        F.lit("<"), pg, F.lit("> <" + EX + 'topic> "'), t,
+        F.lit('" <' + EX + "g/"), (i % 5).cast("string"), F.lit("> ."),
+    )
+    jsonld = F.concat(
+        F.lit('[{"@id": "'), pg, F.lit('", "' + EX + 'topic": [{"@value": "'),
+        t, F.lit('"}]}]'),
+    )
+    rdfxml = F.concat(
+        F.lit('<?xml version="1.0"?><rdf:RDF xmlns:rdf="' + RDF_NS_SQL
+              + '" xmlns:ex="' + EX + '"><rdf:Description rdf:about="'),
+        pg, F.lit('"><ex:topic>'), t,
+        F.lit("</ex:topic></rdf:Description></rdf:RDF>"),
+    )
+    content = (
+        F.when(i % 4 == 0, turtle)
+        .when(i % 4 == 1, nq)
+        .when(i % 4 == 2, jsonld)
+        .otherwise(rdfxml)
+    )
+    docs = spark.range(n).select(
+        F.concat(F.lit("d"), i.cast("string")).alias("doc_id"),
+        content.alias("content"),
+    )
+    return read_rdf_docs(docs)
+
+
+@q(
+    "docs_boilerplate_removal",
+    """SELECT i AS doc_id,
+       'u' || i || ' alpha' || chr(10) || 'u' || i || ' beta'
+         || CASE WHEN i < 2 THEN chr(10) || 'u' || i || ' tail' ELSE '' END AS text,
+       (CASE WHEN i < 2 THEN 4 ELSE 3 END)::BIGINT AS n_spans,
+       CAST(1 AS BIGINT) AS n_removed
+FROM (SELECT unnest(generate_series(0, 1999)) AS i)""",
+)
+def docs_boilerplate_removal(spark, sf_dir):
+    """C4-style global boilerplate removal
+    (``operators/corpus.py::dedup_spans_global``): the shared footer
+    line (support n/3 documents) is removed from every document while
+    per-document unique lines survive in order; the i<2 docs carry an
+    extra UNIQUE tail to pin that support is counted over distinct
+    docs, not span occurrences. Hot spans stay distributed (the
+    boilerplate table is itself huge at corpus scale) — the anti-join
+    reuses the span hash partitioning."""
+    from .operators.corpus import dedup_spans_global
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    i = F.col("id")
+    s = i.cast("string")
+    text = F.concat(
+        F.lit("u"), s, F.lit(" alpha\nfooter "), (i % 3).cast("string"),
+        F.lit("\nu"), s, F.lit(" beta"),
+        F.when(i < 2, F.concat(F.lit("\nu"), s, F.lit(" tail"))).otherwise(F.lit("")),
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return dedup_spans_global(docs)
 
 
 # --------------------------------------------------------------------------
