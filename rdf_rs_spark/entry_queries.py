@@ -4566,6 +4566,32 @@ def docs_boilerplate_removal(spark, sf_dir):
     return dedup_spans_global(docs)
 
 
+@q(
+    "sparql_results_csv",
+    f"""SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) || ',' ||
+       '"' || replace(n_name || ', "zone ' || CAST(n_nationkey % 3 AS VARCHAR)
+                      || '"', '"', '""') || '"' AS value
+FROM nation""",
+)
+def sparql_results_csv(spark, sf_dir):
+    """W3C SPARQL 1.1 Results CSV sink (``writers/results.py``): RFC
+    4180 quoting as pure column expressions over a bindings frame whose
+    label column embeds BOTH a comma and quotes, forcing the quote-and-
+    double path for every row; the IRI column stays unquoted. The
+    oracle re-derives the quoting from the base table."""
+    from .writers.results import sparql_results_csv as to_csv
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    bindings = n.select(
+        F.concat(F.lit(EX + "nation/"), k.cast("string")).alias("nation"),
+        F.concat(
+            F.col("n_name"), F.lit(', "zone '), (k % 3).cast("string"), F.lit('"')
+        ).alias("label"),
+    )
+    return to_csv(bindings)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -1,0 +1,52 @@
+"""W3C SPARQL 1.1 Query Results CSV serialization (RFC 4180 quoting).
+
+The reference engine returns bindings as in-memory structs and never
+serializes them; an engine a SPARQL user can *switch to* needs the
+standard interchange sink for SELECT results (the CSV profile is the
+lossy-but-universal one: IRIs, blank labels and literal lexical forms
+all print as plain strings — W3C sparql11-results-csv-tsv §3).
+
+Pure column expressions: per-field RFC 4180 quoting (quote only when
+the value contains a comma, quote, CR or LF; embedded quotes double),
+then one ``concat_ws`` per row — whole-stage codegen end to end, no
+Python, no shuffle. The header line is a constant the caller prepends
+(`csv_header`), keeping the row stream order-independent for
+distributed writes."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _csv_field(col: Column) -> Column:
+    quoted = F.concat(
+        F.lit('"'), F.replace(col, F.lit('"'), F.lit('""')), F.lit('"')
+    )
+    needs = col.rlike('[",\r\n]')
+    return (
+        F.when(col.isNull(), F.lit(""))
+        .when(needs, quoted)
+        .otherwise(col)
+    )
+
+
+def csv_header(df: DataFrame) -> str:
+    """The header line (variable names in projection order)."""
+    return ",".join(df.columns)
+
+
+def sparql_results_csv(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
+    """Bindings DataFrame → single-column ``value`` DataFrame of CSV
+    rows (header NOT included — see :func:`csv_header`); unbound
+    variables (NULL) serialize as empty fields per the W3C profile."""
+    cols = columns or df.columns
+    fields = [_csv_field(F.col(c).cast("string")) for c in cols]
+    return df.select(F.concat_ws(",", *fields).alias("value"))
+
+
+def write_sparql_results_csv(df: DataFrame, path: str) -> None:
+    """Distributed CSV results sink (one header-less part per task —
+    concatenate with the header for the single-file interchange form)."""
+    sparql_results_csv(df).write.mode("overwrite").text(path)

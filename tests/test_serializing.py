@@ -346,3 +346,27 @@ def test_trig_roundtrip_fuzz(spark):
     want = Counter(rows)
     assert sum(got.values()) == sum(want.values())
     assert got == want
+
+
+def test_sparql_results_csv(spark):
+    """W3C Results-CSV profile: RFC 4180 quoting, NULL (unbound) as the
+    empty field, header from the projection order."""
+    from rdf_rs_spark.writers.results import csv_header, sparql_results_csv
+
+    df = spark.createDataFrame(
+        [
+            ("http://e/a", "plain", None),
+            ("http://e/b", 'say "hi"', "x,y"),
+            ("http://e/c", "line\nbreak", ""),
+        ],
+        "s string, v string, w string",
+    )
+    assert csv_header(df) == "s,v,w"
+    lines = sorted(r.value for r in sparql_results_csv(df).collect())
+    assert lines == sorted(
+        [
+            "http://e/a,plain,",
+            'http://e/b,"say ""hi""","x,y"',
+            'http://e/c,"line\nbreak",',
+        ]
+    )
