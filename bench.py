@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "tpch_q3_topk_revenue",
     "tpch_q5_local_supplier_volume",
     "events_sessionize",
+    # round-3 additions (both scale with sf: 50k docs at sf0.1)
+    "rdf_mixed_corpus_parse",
+    "docs_boilerplate_removal",
 ]
 
 
