@@ -4592,6 +4592,40 @@ def sparql_results_csv(spark, sf_dir):
     return to_csv(bindings)
 
 
+@q(
+    "kg_validate_after_inference",
+    f"""SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS focus,
+       'NationShape' AS shape_id, '{EX}inRegion' AS path,
+       'class' AS constraint,
+       '{EX}region/' || CAST(n_regionkey AS VARCHAR) AS value
+FROM nation""",
+)
+def kg_validate_after_inference(spark, sf_dir):
+    """Composition: SHACL over the RDFS-MATERIALIZED graph. The
+    ``sh:class ex:Place`` constraint on inRegion objects holds ONLY
+    because the closure derived ``region rdf:type Place`` from
+    ``Region ⊑ Place`` (pre-closure it would emit one violation per
+    nation); the ``sh:class ex:Country`` constraint keeps failing
+    either way and is the closed-form output. Demonstrates the gate a
+    real pipeline runs: materialize entailments, then validate."""
+    from .operators.inference import rdfs_closure
+    from .operators.shacl import NodeShape, PropertyShape, shacl_validate
+
+    closed = rdfs_closure(_rdfs_store(spark, sf_dir))
+    shapes = [
+        NodeShape(
+            "NationShape",
+            EX + "Nation",
+            [
+                PropertyShape(EX + "inRegion", class_=EX + "Place"),
+                PropertyShape(EX + "inRegion", class_=EX + "Country"),
+                PropertyShape(EX + "name", min_count=1, node_kind="Literal"),
+            ],
+        ),
+    ]
+    return shacl_validate(closed, shapes)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -2,3 +2,29 @@ from .ntriples import parse_ntriples_lines, read_ntriples
 from .turtle import parse_turtle_docs
 
 __all__ = ["read_ntriples", "parse_ntriples_lines", "parse_turtle_docs"]
+
+
+def __getattr__(name):
+    # heavier codecs resolve lazily so `from rdf_rs_spark.sources import
+    # read_ntriples` stays cheap on executors
+    if name in ("read_nquads", "parse_nquads_lines"):
+        from . import nquads
+
+        return getattr(nquads, name)
+    if name in ("parse_trig_docs",):
+        from .trig import parse_trig_docs
+
+        return parse_trig_docs
+    if name in ("parse_jsonld_docs",):
+        from .jsonld import parse_jsonld_docs
+
+        return parse_jsonld_docs
+    if name in ("parse_rdfxml_docs", "rdfxml_doc_triples"):
+        from . import rdfxml
+
+        return getattr(rdfxml, name)
+    if name in ("read_rdf_docs", "rdf_format_col"):
+        from . import read_rdf
+
+        return getattr(read_rdf, name)
+    raise AttributeError(name)

@@ -2,11 +2,15 @@
 corpus (the realistic web-dump shape — a crawl's RDF sidecars arrive as
 N-Triples, N-Quads, Turtle, TriG, JSON-LD and RDF/XML all at once).
 
-Format detection is a pure COLUMN expression (`rdf_format_col`), so the
-sniff costs one whole-stage-codegen pass — no Python, no extra scan.
-The corpus then routes per format through the existing distributed
-sources, and everything unions into the quads-with-provenance table
-(triple-only codecs land in the default graph, ``graph`` NULL):
+Format detection is a pure COLUMN expression (`rdf_format_col`) — no
+Python in the dispatch. The corpus routes per format through the
+existing distributed sources and unions into the quads-with-provenance
+table (triple-only codecs land in the default graph, ``graph`` NULL).
+Plan shape: the union's four branches each re-scan the source with the
+sniff predicate pushed into the scan — 4 cheap codegen scans rather
+than one materialization, the right trade at 100 TB where caching the
+tagged corpus would cost more than the re-read (persist the input
+yourself if it is small or already cached):
 
 - ``{`` / ``[`` head            → JSON-LD (`sources/jsonld.py`)
 - ``<?xml`` / xmlns-bearing tag → RDF/XML (`sources/rdfxml.py`)

@@ -87,3 +87,21 @@ def test_shacl_in_and_nodekind(spark):
 
 def test_shacl_no_shapes(spark):
     assert shacl_validate(_graph(spark), []).count() == 0
+
+
+def test_validation_changes_after_inference(spark):
+    """sh:class over inferred types: a constraint that fails on the raw
+    graph conforms on the RDFS closure (the driver entry
+    kg_validate_after_inference builds on this)."""
+    from rdf_rs_spark.operators.inference import RDFS_SUBCLASS, rdfs_closure
+
+    rows = [
+        (E + "Sub", RDFS_SUBCLASS, 0, E + "Super", None, None),
+        (E + "x", RDF_TYPE, 0, E + "T", None, None),
+        (E + "x", E + "p", 0, E + "y", None, None),
+        (E + "y", RDF_TYPE, 0, E + "Sub", None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    shape = NodeShape("S", E + "T", [PropertyShape(E + "p", class_=E + "Super")])
+    assert shacl_validate(df, [shape]).count() == 1
+    assert shacl_validate(rdfs_closure(df), [shape]).count() == 0
