@@ -255,29 +255,72 @@ def _object_filter(x: FixedOrVar) -> Column:
     return (F.col("obj_kind") == KIND_IRI) & (F.col("obj_lex") == x)
 
 
-def order_patterns(patterns: Sequence[TriplePattern]) -> List[TriplePattern]:
+def predicate_stats(triples: DataFrame) -> dict:
+    """Per-predicate row counts as a driver dict — the one statistic a
+    triples table needs for cost-based BGP ordering. One map-side-
+    combining aggregate; the result has one row per distinct predicate
+    (ontology-sized, thousands at most even on web-scale graphs), so
+    collecting it is bounded. Compute once per table version and reuse
+    across queries."""
+    return {
+        r.pred: r.n
+        for r in triples.groupBy("pred").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def _est_cardinality(p: TriplePattern, stats: Optional[dict], total: int) -> int:
+    """Estimated result rows for one pattern: the predicate's count when
+    the predicate is fixed and known, else the table total; every OTHER
+    fixed term divides by 100 (the classic constant-selectivity
+    heuristic — exactness doesn't matter, ORDER does)."""
+    if _is_var(p.predicate) or stats is None:
+        est = total
+        fixed = 0 if _is_var(p.predicate) else 1
+    else:
+        est = stats.get(_subject_text(p.predicate), total)
+        fixed = 1
+    extra = p.bound_count() - fixed
+    for _ in range(max(extra, 0)):
+        est //= 100
+    return max(est, 1)
+
+
+def order_patterns(
+    patterns: Sequence[TriplePattern], stats: Optional[dict] = None
+) -> List[TriplePattern]:
     """Greedy join order: anchor the tree with the most-CONSTANT pattern
     (selectivity proxy — every fixed term is an equality pushed into the
     scan), then repeatedly take the most-constant remaining pattern that
     shares a variable with what is already joined; only when nothing
     connects (a genuinely disconnected BGP — cartesian semantics) fall
     back to the most-constant disconnected pattern. Ties keep written
-    order, so well-ordered queries are untouched. AQE picks the join
-    ALGORITHM at runtime, but the tree shape is fixed here — a connected
-    BGP written worst-first would otherwise join two unselective
-    patterns before the selective one ever filters (VERDICT r2 #3)."""
+    order, so well-ordered queries are untouched.
+
+    With ``stats`` (``predicate_stats``), equal-constant-count ties
+    break by estimated cardinality instead — `?s :rareType ?x` anchors
+    before `?s :commonProp ?y` even though both bind one constant.
+    AQE picks the join ALGORITHM at runtime, but the tree shape is
+    fixed here — a connected BGP written worst-first would otherwise
+    join two unselective patterns before the selective one ever
+    filters (VERDICT r2 #3)."""
     remaining = list(patterns)
     if len(remaining) <= 1:
         return remaining
-    # stable: bound_count desc, written position asc
-    first = max(remaining, key=lambda p: (p.bound_count(), -remaining.index(p)))
+    total = sum(stats.values()) if stats else 1
+
+    def key(p: TriplePattern):
+        # max() picks: bound_count desc, est cardinality asc, written asc
+        return (p.bound_count(), _est_cardinality(p, stats, total) * -1,
+                -remaining.index(p))
+
+    first = max(remaining, key=key)
     ordered = [first]
     remaining.remove(first)
     bound_vars = set(first.variables())
     while remaining:
         connected = [p for p in remaining if bound_vars & set(p.variables())]
         pool = connected if connected else remaining
-        nxt = max(pool, key=lambda p: (p.bound_count(), -remaining.index(p)))
+        nxt = max(pool, key=key)
         ordered.append(nxt)
         remaining.remove(nxt)
         bound_vars.update(nxt.variables())
@@ -289,6 +332,7 @@ def bgp_join(
     patterns: Sequence[TriplePattern],
     optional: Sequence = (),
     dataset: Optional[tuple] = None,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Compile a BGP (+ OPTIONAL groups) into a join tree.
 
@@ -297,14 +341,16 @@ def bgp_join(
     within) and left-joins onto the required solutions in order, the
     standard SPARQL semantics for multiple OPTIONAL clauses.
     ``dataset`` carries the FROM / FROM NAMED clauses (see
-    :meth:`TriplePattern.compile`) down to every pattern."""
+    :meth:`TriplePattern.compile`) down to every pattern; ``stats``
+    (`predicate_stats`) upgrades the join ordering from constant-count
+    greedy to cardinality-aware."""
     if not patterns:
         raise ValueError("empty BGP")
 
     def comp(p: TriplePattern) -> DataFrame:
         return p.compile(triples, dataset=dataset)
 
-    ordered = order_patterns(patterns)
+    ordered = order_patterns(patterns, stats=stats)
     result = comp(ordered[0])
     for pat in ordered[1:]:
         right = comp(pat)

@@ -1437,3 +1437,38 @@ def test_update_using_dataset(spark):
             """INSERT { ?s <http://e/seen> ?o }
                USING <http://e/g1> WHERE { ?s <http://e/p> ?o }""",
         )
+
+
+def test_order_patterns_uses_cardinality_stats():
+    """Cost-based BGP ordering: with predicate_stats, an equal-constant
+    tie breaks toward the rarer predicate; without stats, written order
+    is kept."""
+    from rdf_rs_spark.operators.bgp import TriplePattern, order_patterns
+
+    common = TriplePattern("?s", "http://e/common", "?x")
+    rare = TriplePattern("?s", "http://e/rare", "?y")
+    assert order_patterns([common, rare]) == [common, rare]
+    stats = {"http://e/common": 1_000_000, "http://e/rare": 10}
+    assert order_patterns([common, rare], stats=stats) == [rare, common]
+    # a more-constant pattern still wins regardless of cardinality
+    anchored = TriplePattern("http://e/s0", "http://e/common", "?x")
+    assert order_patterns([common, rare, anchored], stats=stats)[0] is anchored
+    # connectivity still dominates: after the anchor, prefer a CONNECTED
+    # pattern over a disconnected rarer one
+    disconnected = TriplePattern("?a", "http://e/rare", "?b")
+    got = order_patterns([common, disconnected, anchored], stats=stats)
+    assert got[0] is anchored and got[1] is common
+
+
+def test_predicate_stats(spark):
+    from rdf_rs_spark.operators.bgp import predicate_stats
+    from rdf_rs_spark.operators.table_to_triples import star_schema_triples
+
+    t = star_schema_triples(
+        spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),
+        spark.read.parquet("/root/testdata/sf0.001/nation.parquet"),
+        spark.read.parquet("/root/testdata/sf0.001/region.parquet"),
+    )
+    stats = predicate_stats(t)
+    assert stats["http://kg.example.org/inRegion"] == 25
+    assert stats["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"] > 25
