@@ -4626,6 +4626,55 @@ def kg_validate_after_inference(spark, sf_dir):
     return shacl_validate(closed, shapes)
 
 
+@q(
+    "rdf_mixed_rejects",
+    """SELECT 'd' || i AS doc_id,
+       CASE i % 4 WHEN 0 THEN 'turtle' WHEN 1 THEN 'nquads'
+                  WHEN 2 THEN 'jsonld' ELSE 'rdfxml' END AS fmt,
+       CASE WHEN i % 4 = 1 THEN 'unparsed_lines:1' ELSE 'parse_error' END AS reason
+FROM (SELECT unnest(generate_series(0, 1999)) AS i) WHERE i % 5 <> 0""",
+)
+def rdf_mixed_rejects(spark, sf_dir):
+    """Dead-letter view of the mixed reader
+    (``sources/read_rdf.py::rdf_parse_rejects``): i%5==0 documents are
+    well-formed (no row), the rest are broken in a per-format way —
+    undefined Turtle prefix, one malformed N-Quads line (line-granular
+    ``unparsed_lines:<n>``), a non-string JSON-LD scalar, truncated
+    XML. The skip-mode reader and this view PARTITION the corpus; the
+    oracle enumerates the reject rows closed-form."""
+    from .sources.read_rdf import rdf_parse_rejects
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    i = F.col("id")
+    good = F.array(
+        F.lit("@prefix ex: <" + EX + "> . ex:a ex:b ex:c ."),
+        F.lit("<" + EX + "s> <" + EX + "p> <" + EX + "o> <" + EX + "g> ."),
+        F.lit('[{"@id": "' + EX + 's", "' + EX + 'p": [{"@value": "v"}]}]'),
+        F.lit('<?xml version="1.0"?><rdf:RDF xmlns:rdf="' + RDF_NS_SQL
+              + '" xmlns:ex="' + EX + '"><rdf:Description rdf:about="'
+              + EX + 's"><ex:p>v</ex:p></rdf:Description></rdf:RDF>'),
+    )
+    bad = F.array(
+        F.lit("ex:s ex:p ex:o ."),
+        F.lit("<" + EX + "s> <" + EX + "p> <" + EX + "o> <" + EX + "g> .\n<"
+              + EX + "s> <" + EX + "p ."),
+        F.lit('[{"@id": "x", "p": 7}]'),
+        F.lit('<?xml version="1.0"?><rdf:RDF xmlns:rdf="x"><broken>'),
+    )
+    content = F.when(i % 5 == 0, F.element_at(good, (i % 4 + 1).cast("int"))).otherwise(
+        F.element_at(bad, (i % 4 + 1).cast("int"))
+    )
+    docs = spark.range(n).select(
+        F.concat(F.lit("d"), i.cast("string")).alias("doc_id"),
+        content.alias("content"),
+    )
+    return rdf_parse_rejects(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

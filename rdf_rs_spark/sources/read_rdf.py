@@ -110,3 +110,80 @@ def read_rdf_docs(
         .unionByName(nquads.select(*out_cols))
         .unionByName(turtle.select(*out_cols))
     )
+
+
+def rdf_parse_rejects(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    fmt: Optional[str] = None,
+) -> DataFrame:
+    """Dead-letter view for the mixed reader: one row per REJECTED
+    document — ``(doc_id, fmt, reason)`` — the observable counterpart of
+    ``read_rdf_docs(errors='skip')``, mirroring the N-Triples source's
+    ``ntriples_rejects`` convention. Document codecs report the stable
+    reason code ``parse_error``; the line-granular N-Quads branch
+    reports ``unparsed_lines:<n>`` for documents with n > 0 dropped
+    data lines (it never rejects whole documents)."""
+    import pandas as pd
+
+    tagged = df.withColumn(
+        "__fmt", F.lit(fmt) if fmt else rdf_format_col(F.col(content_col))
+    )
+
+    def doc_rejects(batches):
+        from ..parsing import ParseError, parse_trig
+        from .jsonld import JsonLdError, jsonld_doc_triples
+        from .rdfxml import rdfxml_doc_triples
+
+        def check(fmt_name: str, content: str) -> bool:
+            import json as _json
+
+            if fmt_name == "jsonld":
+                doc = _json.loads(content)
+                nodes = doc if isinstance(doc, list) else [doc]
+                ctr = [0]
+                for nd in nodes:
+                    if not isinstance(nd, dict):
+                        raise JsonLdError("top level must be node objects")
+                    jsonld_doc_triples(nd, ctr)
+            elif fmt_name == "rdfxml":
+                rdfxml_doc_triples(content)
+            else:
+                parse_trig(content)
+            return True
+
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt_name, content in zip(
+                pdf[id_col], pdf["__fmt"], pdf[content_col]
+            ):
+                if content is None or fmt_name == "nquads":
+                    continue
+                try:
+                    check(fmt_name, content)
+                except (ParseError, JsonLdError, ValueError, KeyError):
+                    rows.append((str(doc_id), fmt_name, "parse_error"))
+            yield pd.DataFrame(rows, columns=["doc_id", "fmt", "reason"])
+
+    docs = tagged.filter(F.col("__fmt") != "nquads").mapInPandas(
+        doc_rejects, schema="doc_id string, fmt string, reason string"
+    )
+    lines = tagged.filter(F.col("__fmt") == "nquads").select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.split(F.col(content_col), "\r?\n")).alias("value"),
+    )
+    from .nquads import NQ_LINE_PATTERN
+
+    data_line = ~(F.trim(F.col("value")).startswith("#") | (F.trim(F.col("value")) == ""))
+    bad = (
+        lines.filter(data_line & ~F.col("value").rlike(NQ_LINE_PATTERN))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "doc_id",
+            F.lit("nquads").alias("fmt"),
+            F.concat(F.lit("unparsed_lines:"), F.col("n").cast("string")).alias("reason"),
+        )
+    )
+    return docs.unionByName(bad)

@@ -75,3 +75,33 @@ def test_forced_format_and_error_modes(spark):
         read_rdf_docs(docs, errors="raise").collect()
     # forcing jsonld sends the turtle doc down the wrong codec -> skipped
     assert read_rdf_docs(docs, fmt="jsonld").count() == 0
+
+
+def test_rdf_parse_rejects(spark):
+    from rdf_rs_spark.sources.read_rdf import rdf_parse_rejects
+
+    docs = spark.createDataFrame(
+        [
+            ("ok-turtle", DOCS["turtle"]),
+            ("bad-turtle", "ex:s ex:p ex:o ."),      # undefined prefix
+            ("bad-json", '[{"@id": "x", "p": 7}]'),  # non-string scalar value
+            ("bad-xml", "<?xml version='1.0'?><rdf:RDF xmlns:rdf='x'><broken>"),
+            # nquads doc: first line fine, second malformed, third blank
+            ("nq", f"<{E}s> <{E}p> <{E}o> <{E}g> .\n<{E}s> <{E}p .\n\n# c"),
+        ],
+        "doc_id string, content string",
+    )
+    got = {(r.doc_id, r.fmt, r.reason) for r in rdf_parse_rejects(docs).collect()}
+    assert got == {
+        ("bad-turtle", "turtle", "parse_error"),
+        ("bad-json", "jsonld", "parse_error"),
+        ("bad-xml", "rdfxml", "parse_error"),
+        ("nq", "nquads", "unparsed_lines:1"),
+    }
+    # rejects + parsed output partition the corpus: the ok doc and the
+    # nq doc's good line still come through the reader
+    from rdf_rs_spark.sources.read_rdf import read_rdf_docs
+
+    parsed = read_rdf_docs(docs)
+    assert parsed.filter(F.col("src_url") == "ok-turtle").count() == 2
+    assert parsed.filter(F.col("src_url") == "nq").count() == 1
