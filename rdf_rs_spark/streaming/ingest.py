@@ -88,3 +88,29 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rdf_directory(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Streaming MIXED-format ingestion: tail a landing directory where
+    crawl shards arrive as any of the six codecs, one whole file per
+    row, routed by the same column-expression sniff the batch reader
+    uses (``sources/read_rdf.py``). Every operator in `read_rdf_docs`
+    is stateless (mapInPandas kernels, line explode, the single-regexp
+    N-Quads parse), so the batch transformation runs unchanged inside
+    each micro-batch — batch/stream parity by construction, the same
+    property `streaming/pipeline.py` pins for the KG pipeline."""
+    from ..sources.read_rdf import read_rdf_docs
+
+    docs = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select(
+            F.input_file_name().alias("doc_id"),
+            F.col("value").alias("content"),
+        )
+    )
+    return read_rdf_docs(docs)

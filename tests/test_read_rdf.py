@@ -105,3 +105,37 @@ def test_rdf_parse_rejects(spark):
     parsed = read_rdf_docs(docs)
     assert parsed.filter(F.col("src_url") == "ok-turtle").count() == 2
     assert parsed.filter(F.col("src_url") == "nq").count() == 1
+
+
+def test_stream_rdf_directory_matches_batch(spark, tmp_path):
+    """Stream == batch over the same mixed landing directory (drained
+    with availableNow)."""
+    from rdf_rs_spark.sources.read_rdf import read_rdf_docs
+    from rdf_rs_spark.streaming.ingest import stream_rdf_directory
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    for name, content in DOCS.items():
+        (src / f"{name}.rdf").write_text(content)
+    out = tmp_path / "out"
+    q = (
+        stream_rdf_directory(spark, str(src))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.subj, r.pred, r.obj_kind, r.obj_lex, r.graph)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [(k, v) for k, v in DOCS.items()], "doc_id string, content string"
+    )
+    batch = {
+        (r.subj, r.pred, r.obj_kind, r.obj_lex, r.graph)
+        for r in read_rdf_docs(batch_docs).collect()
+    }
+    assert streamed == batch and len(batch) == 9
