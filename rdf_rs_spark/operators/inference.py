@@ -306,6 +306,75 @@ def owl_property_closure(
     return _unions(parts).dropDuplicates()
 
 
+OWL_FUNCTIONAL = OWL_NS + "FunctionalProperty"
+OWL_INVERSE_FUNCTIONAL = OWL_NS + "InverseFunctionalProperty"
+
+
+def functional_sameas_edges(
+    triples: DataFrame, schema_threshold: int = 2_000_000
+) -> DataFrame:
+    """OWL 2 RL prp-fp / prp-ifp as ENTITY-RESOLUTION edge derivation:
+    two subjects sharing a value of an ``owl:InverseFunctionalProperty``
+    (an email, a DOI, an ISBN) denote the same entity, as do two object
+    resources of one subject under an ``owl:FunctionalProperty``.
+    Returns ``(id_a, id_b)`` sameAs edges ready for
+    :func:`same_as_canonicalize` (union them in as ``owl:sameAs``
+    triples, or feed `components.connected_components` directly).
+
+    Scale shape — the naive form is a per-key self-join (quadratic in
+    the hottest key); this emits the STAR form instead: one map-side-
+    combining ``min`` per key, then one co-partitioned join back, so a
+    key shared by n entities costs n edge rows, never n². Declared
+    fp/ifp properties are a bounded schema slice (collected, capped)."""
+    schema_df = triples.filter(
+        (F.col("pred") == RDF_TYPE)
+        & (F.col("obj_kind") == KIND_IRI)
+        & F.col("obj_lex").isin(OWL_FUNCTIONAL, OWL_INVERSE_FUNCTIONAL)
+    ).select("subj", "obj_lex")
+    rows = schema_df.limit(schema_threshold + 1).collect()
+    if len(rows) > schema_threshold:
+        raise ValueError(
+            f"fp/ifp schema slice exceeds {schema_threshold} rows; "
+            "driver-side collection refused"
+        )
+    ifp = sorted({r.subj for r in rows if r.obj_lex == OWL_INVERSE_FUNCTIONAL})
+    fp = sorted({r.subj for r in rows if r.obj_lex == OWL_FUNCTIONAL})
+    spark = triples.sparkSession
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    parts = []
+    if ifp:
+        vals = triples.filter(F.col("pred").isin(ifp)).select(
+            F.col("subj").alias("node"),
+            F.struct("pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang").alias("k"),
+        )
+        canon = vals.groupBy("k").agg(F.min("node").alias("id_a"))
+        parts.append(
+            vals.join(canon, "k")
+            .filter(F.col("node") != F.col("id_a"))
+            .select("id_a", F.col("node").alias("id_b"))
+        )
+    if fp:
+        obj_node = F.when(
+            F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+        ).otherwise(F.col("obj_lex"))
+        vals = triples.filter(
+            F.col("pred").isin(fp) & (F.col("obj_kind") != 2)
+        ).select(
+            obj_node.alias("node"),
+            F.struct("subj", "pred").alias("k"),
+        )
+        canon = vals.groupBy("k").agg(F.min("node").alias("id_a"))
+        parts.append(
+            vals.join(canon, "k")
+            .filter(F.col("node") != F.col("id_a"))
+            .select("id_a", F.col("node").alias("id_b"))
+        )
+    out = empty
+    for p in parts:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
 def same_as_canonicalize(
     triples: DataFrame,
     same_as_pred: str = OWL_SAME_AS,

@@ -200,3 +200,52 @@ def test_owl_transitive_and_interaction(spark):
     assert _iri(E + "c", E + "reachedBy", E + "a") in out
     df = owl_property_closure(spark.createDataFrame(rows, TRIPLES_SCHEMA))
     assert df.count() == df.dropDuplicates().count()
+
+
+def test_functional_sameas_edges(spark):
+    from rdf_rs_spark.operators.inference import (
+        OWL_FUNCTIONAL,
+        OWL_INVERSE_FUNCTIONAL,
+        functional_sameas_edges,
+        same_as_canonicalize,
+    )
+    from rdf_rs_spark.terms import RDF_TYPE as _T
+
+    rows = [
+        _iri(E + "email", _T, OWL_INVERSE_FUNCTIONAL),
+        _iri(E + "spouse", _T, OWL_FUNCTIONAL),
+        # a, b, c share an email -> one identity cluster (star on min=a)
+        _lit(E + "a", E + "email", "x@e"),
+        _lit(E + "b", E + "email", "x@e"),
+        _lit(E + "c", E + "email", "x@e"),
+        _lit(E + "d", E + "email", "other@e"),
+        # one subject, two spouse values -> the OBJECTS merge
+        _iri(E + "s", E + "spouse", E + "p1"),
+        _iri(E + "s", E + "spouse", E + "p2"),
+        # literal objects of an fp never merge; a DIFFERENT subject's
+        # spouse does not merge with s's
+        _lit(E + "s", E + "spouse", "opaque"),
+        _iri(E + "t", E + "spouse", E + "p9"),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    edges = {(r.id_a, r.id_b) for r in functional_sameas_edges(df).collect()}
+    assert edges == {
+        (E + "a", E + "b"),
+        (E + "a", E + "c"),
+        (E + "p1", E + "p2"),
+    }
+    # full resolution: edges as sameAs triples + canonical rewrite
+    from rdf_rs_spark.operators.inference import OWL_SAME_AS
+
+    sa = functional_sameas_edges(df).select(
+        F.col("id_a").alias("subj"), F.lit(OWL_SAME_AS).alias("pred"),
+        F.lit(0).cast("tinyint").alias("obj_kind"), F.col("id_b").alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    merged = same_as_canonicalize(df.unionByName(sa))
+    emails = {(r.subj, r.obj_lex) for r in merged.collect() if r.pred == E + "email"}
+    assert emails == {(E + "a", "x@e"), (E + "d", "other@e")}
+    spouses = {(r.subj, r.obj_lex) for r in merged.collect()
+               if r.pred == E + "spouse" and r.obj_kind == 0}
+    assert spouses == {(E + "s", E + "p1"), (E + "t", E + "p9")}
