@@ -4736,6 +4736,60 @@ def kg_ifp_entity_resolution(spark, sf_dir):
     return same_as_canonicalize(store.unionByName(sa))
 
 
+@q(
+    "ann_pq_topk",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    seeds AS (SELECT vec_id, e, row_number() OVER (ORDER BY sha256(vec_id::VARCHAR)) - 1 AS cid
+              FROM (SELECT vec_id, e FROM v ORDER BY sha256(vec_id::VARCHAR) LIMIT 8)),
+    subs AS (SELECT j FROM (VALUES (0), (1), (2), (3)) t(j)),
+    cb AS (SELECT s.cid, subs.j, list_slice(s.e, subs.j*16 + 1, subs.j*16 + 16) AS c
+           FROM seeds s CROSS JOIN subs),
+    vsub AS (SELECT v.vec_id, subs.j, list_slice(v.e, subs.j*16 + 1, subs.j*16 + 16) AS sv
+             FROM v CROSS JOIN subs),
+    enc AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vs.vec_id, vs.j, cb.cid,
+          row_number() OVER (PARTITION BY vs.vec_id, vs.j
+            ORDER BY (list_dot_product(vs.sv, vs.sv) - 2*list_dot_product(vs.sv, cb.c)
+                      + list_dot_product(cb.c, cb.c)) ASC, cb.cid ASC) AS rk
+        FROM vsub vs JOIN cb ON vs.j = cb.j)
+      WHERE rk = 1),
+    qsub AS (SELECT vec_id AS query_id, subs.j,
+                    list_slice(e, subs.j*16 + 1, subs.j*16 + 16) AS qs
+             FROM v CROSS JOIN subs WHERE vec_id < 3),
+    terms AS (
+      SELECT enc.vec_id AS neighbor_id, qs.query_id, qs.j,
+        (list_dot_product(qs.qs, qs.qs) - 2*list_dot_product(qs.qs, cb.c)
+         + list_dot_product(cb.c, cb.c)) AS t
+      FROM enc JOIN cb ON enc.j = cb.j AND enc.cid = cb.cid
+      JOIN qsub qs ON qs.j = enc.j),
+    approx AS (
+      SELECT query_id, neighbor_id,
+        ((max(CASE WHEN j = 0 THEN t END) + max(CASE WHEN j = 1 THEN t END))
+          + max(CASE WHEN j = 2 THEN t END)) + max(CASE WHEN j = 3 THEN t END) AS dist
+      FROM terms WHERE neighbor_id <> query_id
+      GROUP BY query_id, neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+      FROM approx) WHERE rank <= 5""",
+)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (third scale path beside SRP-LSH and
+    IVF): seeded sub-codebooks (content-hash rows, SQL-replayable),
+    L2 encode with sequential-fold bit parity, asymmetric-distance
+    top-5 summed in fixed subspace order. At corpus scale queries scan
+    the m-int CODE column, never the raw vectors — PQ's entire point.
+    The oracle replays codebooks, encoding and ADC in DuckDB list
+    algebra."""
+    from .operators.ann import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, e.filter(F.col("vec_id") < 3), dim=64, m=4, n_codes=8, k=5
+    ).withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -516,3 +516,169 @@ def embedding_neardup(
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
 
     return v.groupBy("block").applyInPandas(per_block, out_schema)
+
+
+# ---- product quantization (third ANN scale path) ---------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[List[float]]]:
+    """Seeded PQ codebooks: subspace j's codes are the j-th sub-vectors
+    of the ``n_codes`` content-hash seed rows (smallest ``sha2(id)`` —
+    the same deterministic rule as `seeded_centroids`), RAW (PQ
+    quantizes L2 residual space; no normalization). Fully SQL-replayable
+    like the seeded IVF path; a k-means-trained codebook would be the
+    rows-only variant."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    v = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = (
+        v.withColumn("h", F.sha2(F.col("id").cast("string"), 256))
+        .orderBy("h")
+        .limit(n_codes)
+        .collect()
+    )
+    S = np.array([r.v for r in seeds], dtype=np.float64)
+    sub = dim // m
+    return [S[:, j * sub : (j + 1) * sub].tolist() for j in range(m)]
+
+
+def _fold_dot(A: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Sequential per-dimension accumulation — the bit pattern of the
+    oracle's ``list_dot_product`` (CLAUDE.md parity rule)."""
+    acc = np.zeros(len(A), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * b[d]
+    return acc
+
+
+def _fold_sq(A: "np.ndarray") -> "np.ndarray":
+    acc = np.zeros(len(A), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * A[:, d]
+    return acc
+
+
+def _scalar_sq(c: "np.ndarray") -> float:
+    acc = np.float64(0.0)
+    for d in range(len(c)):
+        acc += c[d] * c[d]
+    return acc
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the L2-nearest code —
+    ``|v|² − 2·v·c + |c|²`` with every dot a sequential fold, ties to
+    the lowest code id (numpy first-min ≡ the oracle's ``ORDER BY dist
+    ASC, cid ASC``). One narrow Arrow kernel; at 10^12 vectors the
+    stored index is m bytes-ish per vector instead of 8·dim — the scan
+    savings ARE the operator."""
+    CB = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    m = len(CB)
+    sub = CB[0].shape[1]
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vs: pd.Series) -> pd.Series:
+        M = _stack(vs)
+        if len(M) == 0:
+            return pd.Series([], dtype="object")
+        codes = np.zeros((len(M), m), dtype=np.int32)
+        for j in range(m):
+            Sj = M[:, j * sub : (j + 1) * sub]
+            vv = _fold_sq(Sj)
+            dists = np.empty((len(M), len(CB[j])), dtype=np.float64)
+            for cid in range(len(CB[j])):
+                c = CB[j][cid]
+                dists[:, cid] = vv - 2.0 * _fold_dot(Sj, c) + _scalar_sq(c)
+            codes[:, j] = np.argmin(dists, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        _enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries score CODES, not vectors —
+    per (query, subspace) an n_codes lookup table, per candidate the
+    fixed-order sum of m table entries. The corpus side of the scan is
+    the m-int code column (built by :func:`pq_encode`); raw embeddings
+    are read once at index build, never at query time — at 100 TB of
+    vectors that is the entire point. Queries broadcast (same contract
+    as `cosine_topk`); approximate ranking, ties to the lower id."""
+    cbs = pq_codebooks(corpus, dim, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    CB = [np.array(cb, dtype=np.float64) for cb in cbs]
+    sub = dim // m
+    codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+
+    @pandas_udf(T.DoubleType())
+    def _adc(code_s: pd.Series, qv_s: pd.Series) -> pd.Series:
+        if len(code_s) == 0:
+            return pd.Series([], dtype="float64")
+        codes_m = np.array(code_s.tolist(), dtype=np.int64)
+        Q = _stack(qv_s)
+        # per distinct query in the batch, the (m × n_codes) LUT
+        out = np.zeros(len(codes_m), dtype=np.float64)
+        luts: dict = {}
+        for i in range(len(codes_m)):
+            key = Q[i].tobytes()
+            lut = luts.get(key)
+            if lut is None:
+                lut = np.empty((len(CB), max(len(c) for c in CB)), dtype=np.float64)
+                for j in range(len(CB)):
+                    qj = Q[i, j * sub : (j + 1) * sub].reshape(1, -1)
+                    qq = _fold_sq(qj)[0]
+                    for cid in range(len(CB[j])):
+                        c = CB[j][cid]
+                        lut[j, cid] = (
+                            qq - 2.0 * _fold_dot(qj, c)[0] + _scalar_sq(c)
+                        )
+                luts[key] = lut
+            acc = np.float64(lut[0, codes_m[i, 0]])
+            for j in range(1, len(CB)):
+                acc = acc + lut[j, codes_m[i, j]]
+            out[i] = acc
+        return pd.Series(out)
+
+    scored = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adist", _adc(F.col("codes"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -173,3 +173,52 @@ def test_canonicalize_url_grid_vs_python_reference(spark):
     }
     bad = [(u, got[u], py_canon(u)) for u in urls if got[u] != py_canon(u)]
     assert not bad, bad[:5]
+
+
+def test_pq_topk_determinism_and_budget_monotonicity(spark):
+    """Product quantization: (a) bit-deterministic under repartitioning
+    (seeded codebooks + fold-parity kernels), (b) recall against exact
+    L2 improves as the quantization budget (m, n_codes) grows — the
+    property that makes the knob meaningful; near-random embeddings
+    concentrate distances, so absolute recall is low by nature."""
+    from collections import defaultdict
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.ann import pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = sorted(
+        tuple(r)
+        for r in pq_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pq_topk(
+            e.repartition(7), e.filter(F.col("vec_id") < 3), dim=64, k=5
+        ).collect()
+    )
+    assert a == b and len(a) == 15
+
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    ids = sorted(rows)
+    M = np.stack([rows[i] for i in ids])
+
+    def recall(m, n_codes):
+        got = pq_topk(
+            e, e.filter(F.col("vec_id") < 5), dim=64, m=m, n_codes=n_codes, k=5
+        ).collect()
+        per = defaultdict(set)
+        for r in got:
+            per[r.query_id].add(r.neighbor_id)
+        out = []
+        for qid, found in per.items():
+            d = ((M - rows[qid]) ** 2).sum(axis=1)
+            exact = [ids[i] for i in np.argsort(d) if ids[i] != qid][:5]
+            out.append(len(found & set(exact)) / 5)
+        return sum(out) / len(out)
+
+    coarse, fine = recall(4, 8), recall(16, 128)
+    assert fine > coarse
+    assert fine >= 0.4
