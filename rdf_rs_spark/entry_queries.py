@@ -4808,7 +4808,10 @@ _VERIFY_FIRST = [
     # (c) fill with round-1-only greens whose evidence is oldest.
     "rdf_write_validation_rejects",
     "rdf_nquads_parse",
-    "rdf_nquads_format",
+    # rdf_nquads_format rotated to round 4 (one-per-codec-pair: the NQ
+    # parse side anchors the shared grammar; the sink stays under the
+    # local mirror gate) for the unified mixed-format reader
+    "rdf_mixed_corpus_parse",
     "sparql_graph_exec",
     "sparql_from_exec",
     # lineitem_returnflag_pivot / customers_with_orders_semi displaced
@@ -4845,8 +4848,9 @@ _VERIFY_FIRST = [
     # mirror gate) for the RDF/XML codec's anchor entry
     "rdf_rdfxml_parse",
     # sparql_order_limit displaced (r2-green; ORDER/LIMIT modifiers are
-    # unchanged this round) for the new TriG writer
-    "rdf_trig_format",
+    # unchanged this round); rdf_trig_format rotated to round 4
+    # (one-per-codec-pair, rdf_trig_parse anchors) for the PQ ANN path
+    "ann_pq_topk",
     # sparql_ask displaced (r2-green; its round-3 change is the shared
     # BGP-ordering path, still represented in-window by rdf_bgp_join /
     # sparql_select_exec / sparql_construct) for the new TriG codec
@@ -4879,7 +4883,9 @@ _VERIFY_FIRST = [
     "kg_entity_bfs_levels",
     "rdf_void_description",
     "multimodal_wav_decode",
-    "multimodal_ppm_decode",
+    # multimodal_ppm_decode rotated to round 4 (same real-decode module,
+    # wav anchors it) for the fp/ifp entity-resolution path
+    "kg_ifp_entity_resolution",
     "rdf_graph_diff",
     "dedup_containment_pairs",
     "rdf_jsonld_parse",
