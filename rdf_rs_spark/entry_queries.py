@@ -4790,6 +4790,53 @@ def ann_pq_topk(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
+@q(
+    "kg_negative_samples",
+    f"""WITH edges AS (
+      SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS head,
+             '{EX}inRegion' AS rel,
+             '{EX}region/' || CAST(n_regionkey AS VARCHAR) AS tail
+      FROM nation),
+    vocab AS (
+      SELECT entity, row_number() OVER (ORDER BY entity) - 1 AS idx
+      FROM (SELECT head AS entity FROM edges
+            UNION SELECT tail FROM edges)),
+    n AS (SELECT count(*) AS n FROM vocab),
+    drawn AS (
+      SELECT e.head, e.rel, e.tail, c.neg_c,
+        ('0x' || substring(md5(e.head || ' ' || e.rel || ' ' || e.tail
+                               || ' ' || CAST(c.neg_c AS VARCHAR)), 1, 8))::BIGINT
+          % (SELECT n FROM n) AS neg_idx
+      FROM edges e CROSS JOIN (VALUES (1), (2)) c(neg_c))
+    SELECT d.head, d.rel, d.tail, CAST(d.neg_c AS INTEGER) AS neg_c,
+           v.entity AS neg_tail
+    FROM drawn d JOIN vocab v ON d.neg_idx = v.idx
+    WHERE v.entity <> d.tail""",
+)
+def kg_negative_samples(spark, sf_dir):
+    """KG-embedding training prep (beyond-reference,
+    ``operators/kg_training.py``): k=2 content-addressed tail
+    corruptions per inRegion edge — ``md5(h⊕r⊕t⊕c) mod |E|`` indexes a
+    deterministically-ordered entity vocabulary, so resumed or
+    re-sharded runs emit bit-identical training pairs; accidental
+    positives dropped (TransE filter). The oracle replays the draw with
+    DuckDB's hex-prefix arithmetic (the proven ``md5_shard``
+    equivalence)."""
+    from .operators.kg_training import negative_samples
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("string")
+    store = n.select(
+        F.concat(F.lit(EX + "nation/"), k).alias("subj"),
+        F.lit(EX + "inRegion").alias("pred"),
+        F.lit(0).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit(EX + "region/"), F.col("n_regionkey").cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    return negative_samples(store, k=2)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""KG-embedding training preparation (beyond-reference operator).
+
+A KG built at corpus scale feeds representation learning (TransE/
+DistMult-family), and the expensive data step is NEGATIVE SAMPLING:
+for every positive (head, relation, tail) edge, k corrupted tails
+drawn from the entity vocabulary. Done naively (RNG per row) the
+sample is irreproducible across retries/partitionings; here the draw
+is CONTENT-ADDRESSED — corruption c of a triple indexes the entity
+table at ``md5(h ⊕ r ⊕ t ⊕ c) mod |E|`` — so resumed or re-sharded
+runs emit bit-identical training data, the same reproducibility
+contract as `operators/sampling.py`.
+
+Scale shape: the entity vocabulary gets one global ``row_number`` (a
+one-off sort at prep time — the vocabulary is the DISTINCT node set,
+orders of magnitude under the edge count); corrupt indexes then
+resolve through an equi-join on the index (hash join, co-partitioned),
+never a driver-side lookup table. Accidental positives (the drawn
+tail equals the true tail) are dropped — the standard TransE filter —
+so a triple can yield fewer than k negatives; that keeps the output a
+pure function of the input rather than re-rolling (a re-roll chain
+would be unbounded and engine-divergent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..terms import KIND_BLANK, KIND_LITERAL
+
+
+def entity_vocabulary(triples: DataFrame) -> DataFrame:
+    """(entity, idx): every subject and resource object under its
+    subject encoding, deterministically dense-indexed by lexicographic
+    order (one global sort — vocabulary-sized, not edge-sized)."""
+    obj_node = F.when(
+        F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+    ).otherwise(F.col("obj_lex"))
+    nodes = (
+        triples.select(F.col("subj").alias("entity"))
+        .unionByName(
+            triples.filter(F.col("obj_kind") != KIND_LITERAL)
+            .select(obj_node.alias("entity"))
+        )
+        .distinct()
+    )
+    return nodes.withColumn(
+        "idx", F.row_number().over(Window.orderBy("entity")) - 1
+    )
+
+
+def negative_samples(triples: DataFrame, k: int = 2) -> DataFrame:
+    """(head, rel, tail, neg_c, neg_tail): k content-addressed tail
+    corruptions per resource-tailed positive edge, accidental positives
+    dropped. ``neg_c`` is the corruption ordinal (1..k)."""
+    vocab = entity_vocabulary(triples)
+    n = vocab.count()
+    obj_node = F.when(
+        F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
+    ).otherwise(F.col("obj_lex"))
+    edges = triples.filter(F.col("obj_kind") != KIND_LITERAL).select(
+        F.col("subj").alias("head"),
+        F.col("pred").alias("rel"),
+        obj_node.alias("tail"),
+    )
+    drawn = edges.withColumn(
+        "neg_c", F.explode(F.sequence(F.lit(1), F.lit(k)))
+    ).withColumn(
+        "neg_idx",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.col("head"), F.col("rel"), F.col("tail"),
+                        F.col("neg_c").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % n,
+    )
+    return (
+        drawn.join(vocab, drawn["neg_idx"] == vocab["idx"])
+        .filter(F.col("entity") != F.col("tail"))
+        .select("head", "rel", "tail", "neg_c", F.col("entity").alias("neg_tail"))
+    )

@@ -249,3 +249,50 @@ def test_functional_sameas_edges(spark):
     spouses = {(r.subj, r.obj_lex) for r in merged.collect()
                if r.pred == E + "spouse" and r.obj_kind == 0}
     assert spouses == {(E + "s", E + "p1"), (E + "t", E + "p9")}
+
+
+def test_closures_are_idempotent(spark):
+    """Fixpoint property: applying a materializer to its own output adds
+    nothing (closure ∘ closure = closure), and canonicalize is stable
+    on an already-canonical graph — the guarantees that make re-running
+    an enrichment pipeline over partially-enriched data safe."""
+    from rdf_rs_spark.operators.inference import (
+        OWL_INVERSE_OF,
+        OWL_TRANSITIVE,
+        owl_property_closure,
+        rdfs_closure,
+        same_as_canonicalize,
+    )
+
+    rows = [
+        _iri(E + "A", RDFS_SUBCLASS, E + "B"),
+        _iri(E + "B", RDFS_SUBCLASS, E + "C"),
+        _iri(E + "p", RDFS_SUBPROP, E + "q"),
+        _iri(E + "p", RDFS_RANGE, E + "R"),
+        _iri(E + "x", RDF_TYPE, E + "A"),
+        _iri(E + "x", E + "p", E + "y"),
+        _lit(E + "x", E + "p", "lit"),
+    ]
+    g = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    once = rdfs_closure(g)
+    assert _set(rdfs_closure(once)) == _set(once)
+
+    owl_rows = [
+        _iri(E + "r", RDF_TYPE, OWL_TRANSITIVE),
+        _iri(E + "r", OWL_INVERSE_OF, E + "rb"),
+        _iri(E + "a", E + "r", E + "b"),
+        _iri(E + "b", E + "r", E + "c"),
+    ]
+    og = spark.createDataFrame(owl_rows, TRIPLES_SCHEMA)
+    o_once = owl_property_closure(og)
+    assert _set(owl_property_closure(o_once)) == _set(o_once)
+
+    sa_rows = [
+        _iri(E + "b", OWL_SAME_AS, E + "a"),
+        _iri(E + "b", E + "p", E + "b"),
+    ]
+    sg = spark.createDataFrame(sa_rows, TRIPLES_SCHEMA)
+    c_once = same_as_canonicalize(sg)
+    assert sorted(map(tuple, same_as_canonicalize(c_once).collect())) == sorted(
+        map(tuple, c_once.collect())
+    )

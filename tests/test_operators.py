@@ -778,3 +778,37 @@ def test_dedup_spans_global(spark):
     kept = {r.doc_id: r.n_removed
             for r in dedup_spans_global(docs, min_docs=3).collect()}
     assert kept == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_negative_samples_deterministic_and_filtered(spark):
+    """Content-addressed corruption: identical output under
+    repartitioning, ordinals within 1..k, no accidental positives,
+    every corrupt tail from the vocabulary."""
+    from rdf_rs_spark.operators.kg_training import entity_vocabulary, negative_samples
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+
+    E = "http://e/"
+    rows = [
+        (E + "a", E + "r", 0, E + "b", None, None),
+        (E + "b", E + "r", 0, E + "c", None, None),
+        (E + "c", E + "s", 1, "bn", None, None),
+        (E + "c", E + "s", 2, "a literal tail", None, None),  # never corrupted
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    vocab = {r.entity: r.idx for r in entity_vocabulary(df).collect()}
+    assert set(vocab) == {E + "a", E + "b", E + "c", "_:bn"}
+    assert sorted(vocab.values()) == [0, 1, 2, 3]
+
+    out = negative_samples(df, k=3).collect()
+    a = sorted(map(tuple, out))
+    b = sorted(map(tuple, negative_samples(df.repartition(5), k=3).collect()))
+    assert a == b
+    assert all(1 <= r.neg_c <= 3 for r in out)
+    assert all(r.neg_tail != r.tail for r in out)
+    assert all(r.neg_tail in vocab for r in out)
+    assert not any(r.tail == "a literal tail" for r in out)
+    # k draws minus accidental positives: never more than k per edge
+    from collections import Counter
+
+    per_edge = Counter((r.head, r.rel, r.tail) for r in out)
+    assert all(v <= 3 for v in per_edge.values()) and len(per_edge) == 3
