@@ -4837,6 +4837,31 @@ def kg_negative_samples(spark, sf_dir):
     return negative_samples(store, k=2)
 
 
+@q(
+    "docs_shuffle_shards",
+    """SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY md5('epoch0' || chr(1) || CAST(doc_id AS VARCHAR))) - 1
+            AS INTEGER) AS position,
+       CAST((row_number() OVER (ORDER BY md5('epoch0' || chr(1) || CAST(doc_id AS VARCHAR))) - 1) % 8
+            AS INTEGER) AS shard
+FROM documents""",
+)
+def docs_shuffle_shards(spark, sf_dir):
+    """Reproducible global training-order shuffle
+    (``operators/sampling.py::shuffle_shards``): position = rank under
+    ``md5(salt ⊕ doc_id)``, shard = round-robin — a permutation that is
+    identical across resumes, cluster sizes and engines (the oracle
+    re-derives it from DuckDB's md5), which an RNG shuffle can never
+    guarantee. Salt per epoch gives fresh deterministic orders."""
+    from .operators.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = shuffle_shards(docs, n_shards=8)
+    return out.select(
+        "doc_id", "lang", F.col("position").cast("int").alias("position"), "shard"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------

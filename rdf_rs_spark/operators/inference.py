@@ -77,6 +77,17 @@ def _strict_closure(edges: List[Tuple[str, str]]) -> Set[Tuple[str, str]]:
     return out
 
 
+def _reject_quads(triples: DataFrame, op: str) -> None:
+    """These operators are defined over ONE RDF graph; silently
+    flattening a quad store would merge entailments across graphs.
+    Scope first (filter the graph column / a GRAPH query), then close."""
+    if "graph" in triples.columns:
+        raise ValueError(
+            f"{op} operates on a single graph; scope the quad store "
+            "(filter on the graph column) before calling it"
+        )
+
+
 def _type_row(subj_col, cls_col):
     return [
         subj_col.alias("subj"),
@@ -103,6 +114,7 @@ def rdfs_closure(
     graph whose "ontology" doesn't fit on the driver needs a different
     (iterative) materializer, and silently collecting it is worse than
     failing."""
+    _reject_quads(triples, "rdfs_closure")
     spark = triples.sparkSession
     schema_df = triples.filter(
         F.col("pred").isin(list(_SCHEMA_PREDS)) & (F.col("obj_kind") == KIND_IRI)
@@ -255,6 +267,7 @@ def owl_property_closure(
     closure, and inverses OF closure pairs land after it (the closure
     of a symmetric relation is already symmetric, so no further
     alternation can derive anything new)."""
+    _reject_quads(triples, "owl_property_closure")
     schema_df = triples.filter(
         (F.col("pred").isin(OWL_INVERSE_OF, RDF_TYPE))
         & (F.col("obj_kind") == KIND_IRI)
@@ -326,6 +339,7 @@ def functional_sameas_edges(
     combining ``min`` per key, then one co-partitioned join back, so a
     key shared by n entities costs n edge rows, never n². Declared
     fp/ifp properties are a bounded schema slice (collected, capped)."""
+    _reject_quads(triples, "functional_sameas_edges")
     schema_df = triples.filter(
         (F.col("pred") == RDF_TYPE)
         & (F.col("obj_kind") == KIND_IRI)
@@ -395,6 +409,7 @@ def same_as_canonicalize(
     min-label fixpoint (`components.connected_components`). The corpus
     is never shuffled. Output keeps bag semantics (no dedup): callers
     wanting the set graph compose with ``dropDuplicates``."""
+    _reject_quads(triples, "same_as_canonicalize")
     from .components import connected_components
 
     edges = triples.filter(

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from typing import Dict
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _HEX_DIGITS = 12  # 48 bits of the md5 prefix decide membership
 _SPACE = 16 ** _HEX_DIGITS
@@ -48,3 +48,29 @@ def stratified_sample(
         F.lit(_threshold(default_rate))
     )
     return df.filter(sample_hash_col(key) < thr)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Reproducible global training order: documents ordered by
+    ``md5(salt ⊕ id)`` (change ``salt`` per epoch for a fresh-but-
+    deterministic permutation), assigned a dense position and a
+    round-robin shard. Resumed or re-sharded runs emit the identical
+    order — the property an RNG shuffle cannot give — and the hash
+    order is cluster-size-invariant like the content-hash samplers
+    above. One global sort (rows carry only id + hash until the final
+    join back is needed — callers typically write ``shard`` as the
+    partition column and let each trainer read its shard in
+    ``position`` order)."""
+    h = F.md5(F.concat_ws("\x01", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.orderBy("h")
+    return (
+        df.withColumn("h", h)
+        .withColumn("position", F.row_number().over(w) - 1)
+        .withColumn("shard", (F.col("position") % n_shards).cast("int"))
+        .drop("h")
+    )

@@ -73,6 +73,11 @@ def shacl_validate(triples: DataFrame, shapes: Sequence[NodeShape]) -> DataFrame
     value)`` — empty iff the graph conforms. ``value`` is the offending
     object's lexical form, or the actual count for cardinality
     violations."""
+    if "graph" in triples.columns:
+        raise ValueError(
+            "shacl_validate operates on a single graph; scope the quad "
+            "store (filter on the graph column) before validating"
+        )
     reports: List[DataFrame] = []
     subj_of = F.col("subj")
     for shape in shapes:

@@ -296,3 +296,32 @@ def test_closures_are_idempotent(spark):
     assert sorted(map(tuple, same_as_canonicalize(c_once).collect())) == sorted(
         map(tuple, c_once.collect())
     )
+
+
+def test_single_graph_ops_reject_quad_stores(spark):
+    """Closure/canonicalize/validate are per-graph semantics: a quad
+    store must be scoped explicitly, never silently flattened."""
+    from pyspark.sql import types as T
+
+    from rdf_rs_spark.operators.inference import (
+        functional_sameas_edges,
+        owl_property_closure,
+        rdfs_closure,
+        same_as_canonicalize,
+    )
+    from rdf_rs_spark.operators.shacl import shacl_validate
+    from rdf_rs_spark.schema import TRIPLE_FIELDS
+
+    quads = spark.createDataFrame(
+        [(E + "s", E + "p", 0, E + "o", None, None, E + "g")],
+        T.StructType(TRIPLE_FIELDS + [T.StructField("graph", T.StringType(), True)]),
+    )
+    for fn in (rdfs_closure, owl_property_closure,
+               functional_sameas_edges, same_as_canonicalize):
+        with pytest.raises(ValueError, match="graph"):
+            fn(quads)
+    with pytest.raises(ValueError, match="graph"):
+        shacl_validate(quads, [])
+    # scoping makes them usable again
+    scoped = quads.filter(F.col("graph") == E + "g").drop("graph")
+    assert rdfs_closure(scoped).count() == 1
