@@ -437,3 +437,38 @@ def same_as_canonicalize(
             "obj_lang",
         )
     )
+
+
+def rdfs_closure_incremental(
+    closed: DataFrame, delta: DataFrame, schema_threshold: int = 2_000_000
+) -> DataFrame:
+    """Maintain an RDFS closure under ADDITIONS without recomputing it:
+    because every implemented rule derives from ONE instance triple at
+    a time (the only joins are against the driver-closed ontology —
+    see `rdfs_closure`), the closure of G ∪ Δ is exactly
+    closure(G) ∪ closure(schema(G) ∪ Δ). The micro-batch therefore
+    pays rule work proportional to |Δ|, never |G| — the property that
+    makes closure maintenance viable inside a streaming `foreachBatch`.
+
+    CAVEAT (checked loudly): this holds only while Δ adds no NEW schema
+    triples — a fresh ``rdfs:subClassOf`` axiom retroactively types the
+    EXISTING instance data, which requires the full recompute. Deletes
+    likewise (RDFS has no retraction calculus without counting)."""
+    _reject_quads(delta, "rdfs_closure_incremental")
+    new_schema = delta.filter(
+        F.col("pred").isin(list(_SCHEMA_PREDS)) & (F.col("obj_kind") == KIND_IRI)
+    )
+    if new_schema.limit(1).count():
+        raise ValueError(
+            "delta adds schema triples; incremental maintenance is "
+            "unsound for ontology changes — rerun rdfs_closure on the "
+            "full graph"
+        )
+    schema_slice = closed.filter(
+        F.col("pred").isin(list(_SCHEMA_PREDS)) & (F.col("obj_kind") == KIND_IRI)
+    )
+    delta_closed = rdfs_closure(
+        schema_slice.unionByName(delta.select(*TRIPLE_COLS)),
+        schema_threshold=schema_threshold,
+    )
+    return closed.select(*TRIPLE_COLS).unionByName(delta_closed).dropDuplicates()

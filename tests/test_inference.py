@@ -325,3 +325,34 @@ def test_single_graph_ops_reject_quad_stores(spark):
     # scoping makes them usable again
     scoped = quads.filter(F.col("graph") == E + "g").drop("graph")
     assert rdfs_closure(scoped).count() == 1
+
+
+def test_incremental_closure_equals_recompute(spark):
+    from rdf_rs_spark.operators.inference import (
+        rdfs_closure,
+        rdfs_closure_incremental,
+    )
+
+    base = [
+        _iri(E + "A", RDFS_SUBCLASS, E + "B"),
+        _iri(E + "p", RDFS_RANGE, E + "A"),
+        _iri(E + "x", RDF_TYPE, E + "A"),
+    ]
+    delta = [
+        _iri(E + "y", E + "p", E + "z"),   # range-types z -> A -> B
+        _iri(E + "w", RDF_TYPE, E + "A"),
+        _lit(E + "w", E + "name", "w"),
+    ]
+    g = spark.createDataFrame(base, TRIPLES_SCHEMA)
+    d = spark.createDataFrame(delta, TRIPLES_SCHEMA)
+    closed = rdfs_closure(g)
+    incr = _set(rdfs_closure_incremental(closed, d))
+    full = _set(rdfs_closure(g.unionByName(d)))
+    assert incr == full
+    assert _iri(E + "z", RDF_TYPE, E + "B") in incr
+    # schema-bearing deltas refuse loudly
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([_iri(E + "B", RDFS_SUBCLASS, E + "C")], TRIPLES_SCHEMA)
+    with _pytest.raises(ValueError, match="schema"):
+        rdfs_closure_incremental(closed, bad)
