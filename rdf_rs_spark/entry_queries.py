@@ -4936,7 +4936,10 @@ _VERIFY_FIRST = [
     "sparql_bind_exec",
     "sparql_group_count",
     "sparql_path_plus",
-    "sparql_path_seq",
+    # sparql_path_seq displaced (path compiler anchored in-window by
+    # plus/star/alt_inverse/nps; seq stays under the local mirror gate)
+    # for the KG-embedding negative-sampling module's anchor entry
+    "kg_negative_samples",
     "sparql_path_alt_inverse",
     "sparql_path_star",
     "sparql_minus_exec",
@@ -4944,7 +4947,11 @@ _VERIFY_FIRST = [
     "sparql_having_exec",
     "sparql_subquery_agg",
     "sparql_bound_filter",
-    "sparql_string_funcs",
+    # sparql_string_funcs displaced (FILTER expression compiler anchored
+    # in-window by filter_bool/boolfn_in/bound_filter; the string-func
+    # branch stays under the local mirror gate) for the reproducible
+    # training-order shuffle's anchor entry
+    "docs_shuffle_shards",
     "sparql_boolfn_in",
     "sparql_nps_exec",
     "sparql_group_concat",
