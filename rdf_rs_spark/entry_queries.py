@@ -4862,6 +4862,100 @@ def docs_shuffle_shards(spark, sf_dir):
     )
 
 
+def _bpe_train_ctes(n_merges: int) -> str:
+    """Shared CTE chain replaying BPE training in DuckDB: word vocab →
+    per-round (pair counts → deterministic argmax → greedy merge via
+    the \\x01-wrapped string replace), fully unrolled — the same
+    recipe as the pagerank fixpoint oracle, applied to an iterative
+    *training* op."""
+    parts = [
+        r"""toks AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END) AS word FROM documents),
+    words AS (SELECT word, count(*)::BIGINT AS freq FROM toks
+              WHERE NOT contains(word, chr(1)) GROUP BY word),
+    v0 AS (SELECT substr(regexp_replace(word, '(.)', chr(1)||chr(1)||'\1', 'g'), 2)
+                  || chr(1) AS enc, freq FROM words)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    s{r} AS (SELECT string_split(substr(enc, 2, length(enc) - 2), chr(1)||chr(1)) AS s,
+                    freq FROM v{r - 1}),
+    p{r} AS (SELECT z[1] AS lhs, z[2] AS rhs, SUM(freq)::BIGINT AS n
+         FROM (SELECT unnest(list_zip(list_slice(s, 1, len(s) - 1), list_slice(s, 2, len(s)))) AS z,
+                      freq FROM s{r})
+         GROUP BY 1, 2),
+    b{r} AS (SELECT lhs, rhs, n FROM p{r} ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+    v{r} AS (SELECT replace(enc, chr(1)||lhs||chr(1)||chr(1)||rhs||chr(1),
+                            chr(1)||lhs||rhs||chr(1)) AS enc, freq FROM v{r - 1} CROSS JOIN b{r})"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {r}::INT AS merge_rank, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"{_bpe_train_ctes(n_merges)}\n    {rows}"
+
+
+def _bpe_segment_oracle(n_merges: int) -> str:
+    enc = (
+        r"substr(replace(regexp_replace(regexp_replace(trim(text), '\s+', ' ', 'g'),"
+        r" '(.)', chr(1)||chr(1)||'\1', 'g'),"
+        " chr(1)||chr(1)||' '||chr(1)||chr(1), chr(1)||' '||chr(1)), 2) || chr(1)"
+    )
+    for r in range(1, n_merges + 1):
+        enc = (
+            f"replace({enc}, chr(1)||(SELECT lhs FROM b{r})||chr(1)||chr(1)||"
+            f"(SELECT rhs FROM b{r})||chr(1), "
+            f"chr(1)||(SELECT lhs FROM b{r})||(SELECT rhs FROM b{r})||chr(1))"
+        )
+    return f"""{_bpe_train_ctes(n_merges)}
+    SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE (length(enc) - length(replace(enc, chr(1)||chr(1), ''))) // 2
+           + len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS bpe_tokens
+    FROM (SELECT doc_id, text, {enc} AS enc FROM documents)"""
+
+
+@q("corpus_bpe_train", _bpe_train_oracle(8))
+def corpus_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training over the corpus
+    (``operators/tokenizer.py::bpe_train`` — Sennrich 1508.07909): 8
+    merge rounds, each one map-side-combined pair aggregate plus a
+    1-row argmax collect; merge application is a narrow string replace
+    over the persisted word vocabulary (the \\x01 wrapping makes plain
+    replace ≡ greedy within-word merge). The corpus is scanned ONCE —
+    training state is the distributed word vocab. The oracle unrolls
+    all 8 rounds as CTEs, so the full iterative training loop sits
+    under the value-hash gate."""
+    from .operators.tokenizer import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, F.col("text"), n_merges=8)
+
+
+@q("docs_bpe_segmented", _bpe_segment_oracle(8))
+def docs_bpe_segmented(spark, sf_dir):
+    """Apply the 8 learned BPE merges back to every document and count
+    the resulting subword tokens (``tokenizer.py::bpe_segment_count``):
+    whole-document \\x01 encoding, the 8 merges as chained narrow
+    replaces, token count recovered arithmetically (double-separator
+    pairs + word count) — zero shuffle, zero Python after the bounded
+    8-row merge-table collect."""
+    from .operators.tokenizer import bpe_segment_count, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(d, F.col("text"), n_merges=8).collect()
+    ]
+    return d.select(
+        "doc_id", bpe_segment_count(F.col("text"), merges).alias("bpe_tokens")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -4940,7 +5034,10 @@ _VERIFY_FIRST = [
     # plus/star/alt_inverse/nps; seq stays under the local mirror gate)
     # for the KG-embedding negative-sampling module's anchor entry
     "kg_negative_samples",
-    "sparql_path_alt_inverse",
+    # sparql_path_alt_inverse displaced (alt = bag union, inverse =
+    # column swap — thin compositions over the eval_path core that
+    # plus/star/nps anchor in-window) for the BPE trainer's anchor
+    "corpus_bpe_train",
     "sparql_path_star",
     "sparql_minus_exec",
     "sparql_exists_exec",
@@ -4954,7 +5051,10 @@ _VERIFY_FIRST = [
     "docs_shuffle_shards",
     "sparql_boolfn_in",
     "sparql_nps_exec",
-    "sparql_group_concat",
+    # sparql_group_concat displaced (sorted array_join/min over the
+    # aggregation path that group_count/having/subquery_agg anchor
+    # in-window) for the BPE merge-application entry
+    "docs_bpe_segmented",
     "kg_entity_pagerank",
     "docs_url_canonical",
     "corpus_inverted_index",

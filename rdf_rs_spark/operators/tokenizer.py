@@ -1,0 +1,163 @@
+"""Distributed BPE tokenizer training (beyond-reference; the
+vocabulary-construction step of an LLM training-data pipeline).
+
+Byte-pair encoding in the original Sennrich et al. 2015 (1508.07909)
+formulation: start from the character sequence of every distinct word,
+repeatedly (a) count adjacent symbol pairs weighted by word frequency,
+(b) merge the most frequent pair everywhere, greedily left-to-right
+within each word. Ties break deterministically (count desc, left symbol
+asc, right symbol asc) so the learned merge table is bit-identical
+across partitionings, resumes and engines.
+
+Scale shape (the reason this formulation distributes):
+
+- Training state is the WORD VOCABULARY ``(word, freq)`` — one
+  map-side-combining aggregate over the token stream, after which the
+  corpus itself is never touched again. At 100 TB the vocabulary is
+  orders of magnitude smaller than the corpus and stays fully
+  distributed (never collected).
+- Each merge round shuffles only the DISTINCT adjacent-pair partial
+  counts (map-side combined), and collects exactly ONE row — the
+  argmax — to the driver (the same bounded-driver-state discipline as
+  ``spherical_kmeans``'s k-row collect).
+- Merge application is a narrow ``replace`` projection over the
+  persisted vocabulary — no shuffle, no Python. The per-word symbol
+  sequence is encoded as ``\\x01 sym \\x01\\x01 sym ... \\x01`` so a
+  plain left-to-right non-overlapping string replace of
+  ``\\x01 l \\x01\\x01 r \\x01`` is EXACTLY the greedy within-word BPE
+  merge (the wrapper characters make interior false matches and
+  shared-delimiter overlap impossible), and the whole training loop
+  stays inside whole-stage codegen.
+
+The identical arithmetic replays in DuckDB (unrolled per-round CTEs:
+pair counts -> argmax -> replace), so the driver's value-hash gate
+covers the full training loop — see ``entry_queries.py::corpus_bpe_train``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Symbol-boundary byte inside encoded words. Words containing it are
+#: excluded from training on both engines (it cannot appear in clean
+#: text; this mirrors the corpus \x0B invariant pinned in tests).
+SEP = "\x01"
+
+
+def word_vocab(df: DataFrame, text: Column) -> DataFrame:
+    """Distinct-word frequency table ``(word, freq)`` — the only pass
+    over the corpus BPE training makes."""
+    from ..functions.text import tokens_col
+
+    return (
+        df.select(F.explode(tokens_col(text)).alias("word"))
+        .filter(~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def encode_word(word: Column) -> Column:
+    """``\\x01``-wrapped symbol encoding of a word's characters:
+    ``abc -> \\x01a\\x01\\x01b\\x01\\x01c\\x01``."""
+    doubled = F.regexp_replace(word, "(.)", SEP + SEP + "$1")
+    return F.concat(F.substring(doubled, 2, 2**31 - 1), F.lit(SEP))
+
+
+def _pair_counts(vocab: DataFrame, enc: Column) -> DataFrame:
+    """Frequency-weighted adjacent symbol pairs of the current vocab
+    state: one map-side-combined aggregate, rows = distinct pairs."""
+    body = F.expr("substring(enc, 2, length(enc) - 2)")
+    syms = vocab.select(enc.alias("enc"), "freq").select(
+        F.split(body, SEP + SEP).alias("s"), "freq"
+    )
+    pairs = syms.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("s", 1, F.size("s") - 1).alias("l"),
+                F.slice("s", 2, F.size("s") - 1).alias("r"),
+            )
+        ).alias("z"),
+        "freq",
+    )
+    return pairs.groupBy(
+        F.col("z.l").alias("lhs"), F.col("z.r").alias("rhs")
+    ).agg(F.sum("freq").alias("n"))
+
+
+def merge_pattern(lhs: str, rhs: str) -> tuple[str, str]:
+    """(search, replacement) strings applying one merge to an encoded
+    word; plain substring replace == greedy left-to-right merge."""
+    return SEP + lhs + SEP + SEP + rhs + SEP, SEP + lhs + rhs + SEP
+
+
+def bpe_train(df: DataFrame, text: Column, n_merges: int = 8) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over a document corpus; returns the
+    merge table ``(merge_rank int, lhs, rhs, merged, pair_count bigint)``
+    in learned order.
+
+    Raises if the vocabulary exhausts (no adjacent pair left) before
+    ``n_merges`` rounds — a loud signal, never a silent short table.
+    """
+    vocab = word_vocab(df, text).persist()
+    try:
+        enc: Column = encode_word(F.col("word"))
+        merges: list[tuple[int, str, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            best = (
+                _pair_counts(vocab, enc)
+                .orderBy(F.col("n").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                raise ValueError(
+                    f"BPE vocabulary exhausted after {rank - 1} merges "
+                    f"(n_merges={n_merges})"
+                )
+            lhs, rhs, n = best[0]["lhs"], best[0]["rhs"], best[0]["n"]
+            merges.append((rank, lhs, rhs, lhs + rhs, n))
+            pat, rep = merge_pattern(lhs, rhs)
+            # narrow replace chained over the persisted vocab; for the
+            # 8-16 merge regime the O(rounds^2) re-evaluation is cheaper
+            # than a checkpoint per round
+            enc = F.replace(enc, F.lit(pat), F.lit(rep))
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            merges, "merge_rank int, lhs string, rhs string, merged string, pair_count bigint"
+        )
+    finally:
+        vocab.unpersist()
+
+
+def encode_text(text: Column) -> Column:
+    """Whole-document symbol encoding: every word wrapped exactly as
+    ``encode_word``, words joined by a single space (merges are
+    word-local — no pattern can span the space). Pure column exprs."""
+    norm = F.regexp_replace(F.trim(text), r"\s+", " ")
+    doubled = F.regexp_replace(norm, r"(.)", SEP + SEP + "$1")
+    # "  a" runs now look like "\x01\x01 \x01\x01a"; rewrite the word
+    # boundary to "close previous word, space, open next word"
+    bounded = F.regexp_replace(doubled, SEP + SEP + " " + SEP + SEP, SEP + " " + SEP)
+    return F.concat(F.substring(bounded, 2, 2**31 - 1), F.lit(SEP))
+
+
+def bpe_segment_count(
+    text: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Per-document subword-token count after applying a learned merge
+    list in order: encode the whole document, chain the narrow replaces,
+    then count symbols arithmetically —
+    ``tokens = double-separator pairs + word count`` (each word of k
+    symbols carries k-1 double separators). Zero shuffle, zero Python."""
+    from ..functions.text import token_count
+
+    enc = encode_text(text)
+    for lhs, rhs in merges:
+        pat, rep = merge_pattern(lhs, rhs)
+        enc = F.replace(enc, F.lit(pat), F.lit(rep))
+    seps = (F.length(enc) - F.length(F.replace(enc, F.lit(SEP + SEP), F.lit("")))) / 2
+    empty = F.length(F.trim(text)) == 0
+    return F.when(empty, F.lit(0)).otherwise(
+        seps.cast("bigint") + token_count(text)
+    )

@@ -1,0 +1,86 @@
+"""Distributed BPE tokenizer training (operators/tokenizer.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.tokenizer import (
+    SEP,
+    bpe_segment_count,
+    bpe_train,
+    encode_text,
+    encode_word,
+)
+
+
+def _merges(df):
+    return [(r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"]) for r in df.collect()]
+
+
+def test_bpe_learns_sennrich_toy_merges(spark):
+    # 'low' x2, 'lower', 'lowest': (l,o)=4 ties (o,w)=4 -> lexicographic
+    # picks (l,o); then (lo,w)=4 dominates; then (low, e)=2.
+    docs = spark.createDataFrame([("low lower lowest low",)], ["text"])
+    got = _merges(bpe_train(docs, F.col("text"), n_merges=3))
+    assert got == [
+        (1, "l", "o", "lo", 4),
+        (2, "lo", "w", "low", 4),
+        (3, "low", "e", "lowe", 2),
+    ]
+
+
+def test_bpe_merge_is_greedy_left_to_right_on_repeats(spark):
+    # 'aaaa': pairs (a,a)=3; the merge must produce [aa, aa] (greedy,
+    # non-overlapping), so round 2 sees (aa,aa)=1.
+    docs = spark.createDataFrame([("aaaa",)], ["text"])
+    got = _merges(bpe_train(docs, F.col("text"), n_merges=2))
+    assert got == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)]
+
+
+def test_bpe_exhaustion_raises(spark):
+    docs = spark.createDataFrame([("a b c",)], ["text"])
+    with pytest.raises(ValueError, match="exhausted"):
+        bpe_train(docs, F.col("text"), n_merges=2)
+
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def test_bpe_merges_invariant_under_partitioning(spark):
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    a = _merges(bpe_train(docs.coalesce(1), F.col("text"), n_merges=4))
+    b = _merges(bpe_train(docs.repartition(7), F.col("text"), n_merges=4))
+    assert a == b and len(a) == 4
+
+
+def test_encode_word_and_text_agree(spark):
+    row = (
+        spark.range(1)
+        .select(
+            encode_word(F.lit("abc")).alias("w"),
+            encode_text(F.lit("  abc   de ")).alias("t"),
+        )
+        .first()
+    )
+    assert row["w"] == f"{SEP}a{SEP}{SEP}b{SEP}{SEP}c{SEP}"
+    assert row["t"] == f"{SEP}a{SEP}{SEP}b{SEP}{SEP}c{SEP} {SEP}d{SEP}{SEP}e{SEP}"
+
+
+def test_bpe_segment_count_applies_merges(spark):
+    # after merging (l,o) then (lo,w): 'low low lower' ->
+    # [low] [low] [low,e,r] = 1 + 1 + 3 tokens
+    docs = spark.createDataFrame([("low low lower",), ("",)], ["text"])
+    out = docs.select(
+        bpe_segment_count(F.col("text"), [("l", "o"), ("lo", "w")]).alias("n")
+    ).collect()
+    assert [r["n"] for r in out] == [5, 0]
+
+
+def test_corpus_contains_no_separator_byte(spark):
+    # bpe_segment_count's whole-document encoding (like the tokenize
+    # oracles' \x0B invariant) relies on clean text never containing the
+    # \x01 wrapper byte; pin that for the synthetic corpus.
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(sf + "/documents.parquet")
+        assert docs.filter(F.col("text").contains(SEP)).count() == 0, sf
