@@ -4791,6 +4791,40 @@ def ann_pq_topk(spark, sf_dir):
 
 
 @q(
+    "ann_sq_topk",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS j),
+    sc AS (SELECT j, CASE WHEN max(abs(e[j])) > 0 THEN max(abs(e[j])) ELSE 1.0 END AS s
+           FROM v CROSS JOIN dims GROUP BY j),
+    codes AS (SELECT v.vec_id, sc.j, trunc((e[sc.j] * 127.0) / sc.s)::BIGINT AS c
+              FROM v CROSS JOIN sc),
+    qcodes AS (SELECT vec_id AS query_id, j, c FROM codes WHERE vec_id < 3),
+    dots AS (SELECT q.query_id, c.vec_id AS neighbor_id, SUM(q.c * c.c)::BIGINT AS dot
+             FROM qcodes q JOIN codes c ON q.j = c.j AND c.vec_id <> q.query_id
+             GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+      FROM dots) WHERE rank <= 5""",
+)
+def ann_sq_topk(spark, sf_dir):
+    """int8 scalar-quantized ANN (fourth scale path,
+    ``operators/ann.py::sq_topk``): corpus-derived per-dimension
+    max-abs scales (dim rows to the driver), trunc-toward-zero codes —
+    pure fixed-order IEEE double ops, so DuckDB derives the identical
+    integers — then integer dot-product top-5 over broadcast quantized
+    queries; the corpus scans its CODE column and never shuffles.
+    Integer sums are order-independent, making the whole path exact
+    under the value-hash gate with no fold-parity tricks."""
+    from .operators.ann import sq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sq_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@q(
     "kg_negative_samples",
     f"""WITH edges AS (
       SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS head,
@@ -5041,7 +5075,10 @@ _VERIFY_FIRST = [
     "sparql_path_star",
     "sparql_minus_exec",
     "sparql_exists_exec",
-    "sparql_having_exec",
+    # sparql_having_exec displaced (HAVING composes the two in-window
+    # anchors: the filter_bool token-compiled booleans applied after the
+    # group_count aggregation path) for the int8-SQ ANN anchor entry
+    "ann_sq_topk",
     "sparql_subquery_agg",
     "sparql_bound_filter",
     # sparql_string_funcs displaced (FILTER expression compiler anchored

@@ -682,3 +682,95 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---- int8 scalar quantization (fourth ANN scale path) ----------------------
+
+
+def sq_scales(
+    corpus: DataFrame, dim: int, vec_col: str = "embedding"
+) -> List[float]:
+    """Per-dimension max-abs quantization scales: posexplode → a
+    map-side-combined ``max(abs(x))`` per dimension — exactly ``dim``
+    rows reach the driver (the k-means k-row-collect discipline).
+    All-zero dimensions get scale 1.0 (codes 0), never a divide-by-zero.
+    Max selection is exact, so the scales are bit-identical across
+    partitionings and engines."""
+    rows = (
+        corpus.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x")
+        )
+        .groupBy("d")
+        .agg(F.max(F.abs(F.col("x"))).alias("m"))
+        .collect()
+    )
+    m = {r["d"]: r["m"] for r in rows}
+    return [m[i] if m.get(i) else 1.0 for i in range(dim)]
+
+
+def sq_encode(vec: Column, scales: List[float]) -> Column:
+    """int8-range codes: ``trunc_toward_zero((x * 127) / scale_d)`` per
+    dimension — pure double IEEE ops in a fixed order, so Spark and
+    DuckDB produce identical integers (ANSI double→int cast truncates;
+    |x| ≤ scale_d keeps every code in [-127, 127])."""
+    lit = F.array(*[F.lit(float(s)) for s in scales])
+    return F.zip_with(
+        vec.cast("array<double>"),
+        lit,
+        lambda x, s: ((x * F.lit(127.0)) / s).cast("int"),
+    )
+
+
+def sq_pair_dot(qc: Column, cc: Column) -> Column:
+    """Integer dot product of two code arrays as one Arrow kernel —
+    int64 sums are order-independent, so plain vectorized numpy is
+    already engine-exact (no sequential fold needed)."""
+
+    @pandas_udf(T.LongType())
+    def _idot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.array(a.tolist(), dtype=np.int64)
+        B = np.array(b.tolist(), dtype=np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return _idot(qc, cc)
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by int8 scalar-quantized dot product (fourth ANN scale
+    path beside SRP-LSH, IVF and PQ): the corpus is stored as int8-range
+    CODES (4-8× smaller than float32, SIMD-friendly integer math at
+    query time) and is never shuffled — queries quantize with the same
+    corpus-derived scales and broadcast; the only exchange is the
+    per-query window rank. Returns (query_id, neighbor_id, rank),
+    self-matches excluded, ties broken by neighbor id."""
+    scales = sq_scales(corpus, dim, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq_encode(F.col(vec_col), scales).alias("cc"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        sq_encode(F.col(vec_col), scales).alias("qc"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", sq_pair_dot(F.col("qc"), F.col("cc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -557,6 +557,51 @@ def test_ivf_seeded_topk_matches_bruteforce_when_probing_all(spark, embeddings):
     assert a == b and len(a) > 0
 
 
+def test_sq_topk_exact_on_separated_vectors_and_deterministic(spark, embeddings):
+    """On axis-separated vectors int8 quantization preserves the exact
+    neighbor order; on the real corpus the ranking must be bit-stable
+    across partitionings (integer dots have no fold-order freedom)."""
+    from rdf_rs_spark.operators.ann import sq_topk
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sq_topk(vecs, vecs.filter(F.col("vec_id") == 0), dim=4, k=3).collect()
+    }
+    assert got == {(0, 1, 1), (0, 2, 2), (0, 3, 3)}
+
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    a = [tuple(r) for r in sq_topk(embeddings.coalesce(1), queries, dim=64, k=5)
+         .orderBy("query_id", "rank").collect()]
+    b = [tuple(r) for r in sq_topk(embeddings.repartition(7), queries, dim=64, k=5)
+         .orderBy("query_id", "rank").collect()]
+    assert a == b and len(a) == 15
+
+
+def test_sq_encode_bounds_and_zero_dim_guard(spark):
+    """Codes stay in [-127, 127]; an all-zero dimension quantizes to 0
+    instead of dividing by zero."""
+    from rdf_rs_spark.operators.ann import sq_encode, sq_scales
+
+    vecs = spark.createDataFrame(
+        [(0, [3.0, 0.0]), (1, [-3.0, 0.0]), (2, [1.5, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    scales = sq_scales(vecs, dim=2)
+    assert scales == [3.0, 1.0]
+    rows = vecs.select(sq_encode(F.col("embedding"), scales).alias("c")).collect()
+    got = sorted(tuple(r["c"]) for r in rows)
+    assert got == [(-127, 0), (63, 0), (127, 0)]
+
+
 # ------------------------------------------------------------ pagerank ----
 
 
