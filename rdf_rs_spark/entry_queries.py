@@ -1852,6 +1852,33 @@ def sparql_bind_exec(spark, sf_dir):
 
 
 @q(
+    "sparql_select_expr",
+    TRIPLES_CTE
+    + f"""SELECT t1.obj_lex AS name, length(t1.obj_lex)::INTEGER AS len,
+       upper(t1.obj_lex) || '-' || lower(t1.obj_lex) AS tag
+       FROM triples t1
+       JOIN triples t2 ON t1.subj = t2.subj AND t2.pred = '{RDF_TYPE}'
+         AND t2.obj_lex = 'http://kg.example.org/Nation'
+       WHERE t1.pred = 'http://kg.example.org/name'""",
+)
+def sparql_select_expr(spark, sf_dir):
+    """SELECT (expr AS ?alias) — SPARQL 1.1 §9.3 extended projection
+    (executed extension): projection expressions run through the same
+    token-compiled Column pipeline as BIND, evaluated after
+    grouping/HAVING so they can reference aggregate aliases; unbound
+    variables are rejected at compile time, never pasted into SQL."""
+    from .sparql import execute_sparql
+
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?name (STRLEN(?name) AS ?len)
+                  (CONCAT(UCASE(?name), "-", LCASE(?name)) AS ?tag)
+           WHERE { ?n a ex:Nation . ?n ex:name ?name }""",
+    )
+
+
+@q(
     "sparql_group_count",
     TRIPLES_CTE
     + """SELECT pred AS p, count(*) AS n, count(DISTINCT subj) AS subjects,
@@ -5061,7 +5088,11 @@ _VERIFY_FIRST = [
     # new SPARQL 1.1 executed extensions (round 3)
     "sparql_filter_bool",
     "sparql_values_exec",
-    "sparql_bind_exec",
+    # sparql_bind_exec displaced (select_expr drives the IDENTICAL
+    # _value_column compiler through the new §9.3 parser branch; BIND's
+    # remaining surface is a 2-line withColumn loop under the local
+    # mirror gate) for the extended-projection anchor entry
+    "sparql_select_expr",
     "sparql_group_count",
     "sparql_path_plus",
     # sparql_path_seq displaced (path compiler anchored in-window by

@@ -103,6 +103,9 @@ class SparqlQuery:
     minus_groups: List[List[TriplePattern]] = field(default_factory=list)  # MINUS { … }
     having: List[tuple] = field(default_factory=list)  # HAVING ( bool-expr )
     subqueries: List["SparqlQuery"] = field(default_factory=list)  # { SELECT … }
+    # SELECT (value-expr AS ?alias) — §9.3 extended projection;
+    # (alias, value-expr AST) in written order
+    select_exprs: List[Tuple[str, tuple]] = field(default_factory=list)
 
 
 class _Parser:
@@ -158,6 +161,7 @@ class _Parser:
             self.next()
         variables: Optional[List[str]] = None
         aggregates: List[Tuple[str, bool, Optional[str], str, Optional[str]]] = []
+        select_exprs: List[Tuple[str, tuple]] = []
         if self.peek()[1] == "*":
             self.next()
         else:
@@ -170,14 +174,31 @@ class _Parser:
                     # ( AGG ( [DISTINCT] ?v | * [; SEPARATOR "s"] ) AS ?alias )
                     # — SPARQL 1.1 §11.2 aggregates, an executed
                     # extension; GROUP_CONCAT and SAMPLE (§18.5.1.7-8)
-                    # alongside the arithmetic five
+                    # alongside the arithmetic five — or, when the head
+                    # is not an aggregate call, §9.3 extended projection
+                    # ( value-expr AS ?alias ) through the same compiler
+                    # BIND uses
                     self.next()
+                    fk, fv = self.peek()
+                    is_agg = (
+                        fk in ("kw", "ident")
+                        and fv.upper() in (
+                            "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"
+                        )
+                        and self.i + 1 < len(self.toks)
+                        and self.toks[self.i + 1][1] == "("
+                    )
+                    if not is_agg:
+                        expr = self._value_expr()
+                        if self.next()[1].upper() != "AS":
+                            raise ValueError("SELECT expression requires AS ?alias")
+                        alias = self.next()[1]
+                        self.expect_punct(")")
+                        select_exprs.append((alias[1:], expr))
+                        variables.append(alias)
+                        continue
                     fk, fv = self.next()
                     func = fv.upper()
-                    if fk not in ("kw", "ident") or func not in (
-                        "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"
-                    ):
-                        raise ValueError(f"unsupported SELECT expression {fv!r}")
                     self.expect_punct("(")
                     agg_distinct = False
                     if self.peek()[1].upper() == "DISTINCT":
@@ -215,6 +236,7 @@ class _Parser:
                     break
         q = SparqlQuery(variables, distinct, [], [], [], [], [], None, None, prefixes, base)
         q.aggregates = aggregates
+        q.select_exprs = select_exprs
         # dataset clauses (lexed-but-rejected in the reference,
         # src/specs/sparql_specs.rs:6-28) — executed here over quad stores
         while self.peek()[0] == "kw" and self.peek()[1].upper() == "FROM":
@@ -1000,6 +1022,11 @@ def _execute(triples: DataFrame, q: SparqlQuery) -> DataFrame:
         # HAVING (§11.4.1) filters the aggregated solutions; conditions
         # reference the SELECT aggregate aliases or group keys
         df = df.filter(_filter_column(cond, df))
+    for alias, expr in q.select_exprs:
+        # §9.3 extended projection: computed AFTER grouping/HAVING, so
+        # expressions may reference group keys and aggregate aliases;
+        # each sees the aliases introduced before it (like BIND chains)
+        df = df.withColumn(alias, _value_column(expr, df))
     if q.variables is not None:
         df = df.select(*[v.lstrip("?$") for v in q.variables])
     if q.distinct:

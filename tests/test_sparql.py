@@ -1472,3 +1472,47 @@ def test_predicate_stats(spark):
     stats = predicate_stats(t)
     assert stats["http://kg.example.org/inRegion"] == 25
     assert stats["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"] > 25
+
+
+def test_select_expression_projection(spark):
+    """SELECT (expr AS ?alias) — §9.3 extended projection through the
+    BIND expression compiler."""
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = _people_triples(spark)
+    got = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT ?n (?a * 2 + 1 AS ?x) (UCASE(?n) AS ?u)
+           WHERE { ?s ex:name ?n . ?s ex:age ?a }""",
+    )
+    assert got.columns == ["n", "x", "u"]
+    assert sorted((r.n, r.x, r.u) for r in got.collect()) == [
+        ("Alice", 61, "ALICE"), ("Bob", 51, "BOB"), ("Carol", 71, "CAROL")]
+
+
+def test_select_expression_after_aggregation(spark):
+    """Projection expressions run AFTER grouping, so they may reference
+    aggregate aliases (and chain like BINDs)."""
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = _people_triples(spark)
+    got = execute_sparql(
+        t,
+        """PREFIX ex: <http://e.org/>
+           SELECT (COUNT(*) AS ?n) (?n * 10 AS ?n10)
+           WHERE { ?s ex:name ?nm } GROUP BY ?s""",
+    )
+    assert sorted((r.n, r.n10) for r in got.collect()) == [(1, 10)] * 3
+
+
+def test_select_expression_unbound_variable_raises(spark):
+    from rdf_rs_spark.sparql import execute_sparql
+
+    t = _people_triples(spark)
+    with pytest.raises(ValueError, match="unbound"):
+        execute_sparql(
+            t,
+            """PREFIX ex: <http://e.org/>
+               SELECT (?missing + 1 AS ?x) WHERE { ?s ex:name ?n }""",
+        ).collect()
