@@ -4155,9 +4155,9 @@ def _rdfs_store(spark, sf_dir):
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
 
 
-@q(
-    "kg_rdfs_closure",
-    f"""WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation),
+# the full-closure entailment listing, shared by the from-scratch AND the
+# incremental entries: both must produce the identical closed graph
+_RDFS_CLOSURE_ORACLE = f"""WITH nat AS (SELECT n_nationkey AS k, n_regionkey AS r, n_name AS nm FROM nation),
   regs AS (SELECT DISTINCT n_regionkey AS r FROM nation)
 SELECT '{EX}nation/' || CAST(k AS VARCHAR) AS subj, '{RDF_TYPE}' AS pred,
        CAST(0 AS TINYINT) AS obj_kind, '{EX}' || cls AS obj_lex,
@@ -4187,8 +4187,10 @@ FROM (VALUES
   ('locatedIn', '{_RDFS_NS}subPropertyOf', 'related'),
   ('inRegion', '{_RDFS_NS}subPropertyOf', 'related'),
   ('locatedIn', '{_RDFS_NS}domain', 'LocatedThing'),
-  ('inRegion', '{_RDFS_NS}range', 'Region')) t(s, p, o)""",
-)
+  ('inRegion', '{_RDFS_NS}range', 'Region')) t(s, p, o)"""
+
+
+@q("kg_rdfs_closure", _RDFS_CLOSURE_ORACLE)
 def kg_rdfs_closure(spark, sf_dir):
     """RDFS forward-chaining materialization (beyond-reference — the
     reference does no schema reasoning): rdfs2/3/5/7/9/11 over a
@@ -4202,6 +4204,26 @@ def kg_rdfs_closure(spark, sf_dir):
     from .operators.inference import rdfs_closure
 
     return rdfs_closure(_rdfs_store(spark, sf_dir))
+
+
+@q("kg_rdfs_closure_incremental", _RDFS_CLOSURE_ORACLE)
+def kg_rdfs_closure_incremental(spark, sf_dir):
+    """Incremental closure maintenance under the SAME full-closure
+    oracle as ``kg_rdfs_closure``: close the graph WITHOUT the
+    odd-keyed nations' instance triples, then add them as a delta
+    through ``inference.py::rdfs_closure_incremental`` (rule work ∝
+    |Δ| — the property that makes closure maintenance viable inside a
+    streaming foreachBatch). Any unsoundness in the split —
+    closure(G ∪ Δ) ≠ closure(G) ∪ closure(schema ∪ Δ) — breaks the
+    value hash against the closed-form entailment listing."""
+    from .operators.inference import rdfs_closure, rdfs_closure_incremental
+
+    store = _rdfs_store(spark, sf_dir)
+    odd_nation = F.col("subj").startswith(EX + "nation/") & (
+        F.regexp_extract("subj", r"nation/(\d+)$", 1).cast("int") % 2 == 1
+    )
+    base_closed = rdfs_closure(store.filter(~odd_nation))
+    return rdfs_closure_incremental(base_closed, store.filter(odd_nation))
 
 
 @q(
@@ -5126,7 +5148,11 @@ _VERIFY_FIRST = [
     "kg_entity_pagerank",
     "docs_url_canonical",
     "corpus_inverted_index",
-    "kg_comention_triangles",
+    # kg_comention_triangles displaced (pure ordered equi-joins replayed
+    # verbatim in SQL — the lowest-risk of the graph-analytics trio;
+    # pagerank + bfs keep the iterative machinery in-window) for the
+    # incremental-closure anchor entry
+    "kg_rdfs_closure_incremental",
     "kg_entity_bfs_levels",
     "rdf_void_description",
     "multimodal_wav_decode",
