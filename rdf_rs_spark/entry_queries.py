@@ -4945,6 +4945,55 @@ def docs_shuffle_shards(spark, sf_dir):
     )
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling-round CTEs (MATERIALIZED — the edge relation is
+    referenced twice per round and must not re-inline the base scan)
+    over the part co-purchase graph; the engine peels to its fixpoint,
+    which at the driver SF is reached within ``rounds``."""
+    sql = """WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)"""
+    cur = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (SELECT src, count(*)::BIGINT AS core_degree
+                          FROM {cur} GROUP BY src),
+    keep{r} AS MATERIALIZED (SELECT src, core_degree FROM d{r} WHERE core_degree >= {k}),
+    e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {cur} e
+         JOIN keep{r} s ON e.src = s.src JOIN keep{r} t ON e.dst = t.src)"""
+        cur = f"e{r}"
+    return sql + f"\n    SELECT src AS node, core_degree FROM keep{rounds}"
+
+
+@q("kg_copurchase_kcore", _kcore_oracle(75, 6))
+def kg_copurchase_kcore(spark, sf_dir):
+    """k-core decomposition (beyond-reference graph analytics — the
+    density gate that strips low-connectivity fringe before expensive
+    entity analytics) over the part co-purchase graph (parts sharing an
+    order, symmetric distinct pairs). Iterative peeling
+    (``operators/pagerank.py::kcore``): per-round degree aggregate +
+    two semi-joins on the shrinking survivor set, localCheckpoint
+    lineage barriers, monotone node-count fixpoint proof. k=75 peels
+    through a real multi-round cascade (1949→1941→1939→1938 at sf0.01)
+    to a non-empty converged core; the oracle unrolls 6 peeling rounds
+    (two past the fixpoint — extra rounds are provable no-ops)."""
+    from .operators.pagerank import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=75)
+
+
 def _bpe_train_ctes(n_merges: int) -> str:
     """Shared CTE chain replaying BPE training in DuckDB: word vocab →
     per-round (pair counts → deterministic argmax → greedy merge via
@@ -5126,7 +5175,11 @@ _VERIFY_FIRST = [
     # plus/star/nps anchor in-window) for the BPE trainer's anchor
     "corpus_bpe_train",
     "sparql_path_star",
-    "sparql_minus_exec",
+    # sparql_minus_exec displaced (left-anti on shared variables — the
+    # same join shape sparql_exists_exec's NOT-EXISTS branch keeps
+    # in-window; MINUS adds only the disjoint-domain guard, pinned by
+    # unit test) for the k-core peeling anchor entry
+    "kg_copurchase_kcore",
     "sparql_exists_exec",
     # sparql_having_exec displaced (HAVING composes the two in-window
     # anchors: the filter_bool token-compiled booleans applied after the

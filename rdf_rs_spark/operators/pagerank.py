@@ -173,3 +173,38 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_iters: int = 20) -> DataF
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    whose (out-)degree over the surviving subgraph is below ``k`` until
+    the node set is stable; returns ``(node, core_degree)`` — the
+    within-core degrees of the maximal subgraph where every node keeps
+    ≥ k neighbors (the standard density/robustness gate for entity
+    graphs before expensive downstream analytics).
+
+    ``edges`` must be the symmetric directed form of the undirected
+    graph (both orders present), so out-degree == degree. Each round is
+    one map-side-combining degree aggregate plus two semi-joins against
+    the (shrinking) survivor set, with a ``localCheckpoint`` lineage
+    barrier — per-round shuffle ∝ the surviving edge set, never the
+    original graph. Node sets shrink monotonically, so an unchanged
+    survivor COUNT proves the fixpoint. Integer degrees make the whole
+    peeling schedule SQL-replayable (unrolled round CTEs)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    prev = -1
+    for _ in range(max_rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+        cnt = keep.count()
+        if cnt == prev:
+            return keep.select(F.col("src").alias("node"), "core_degree")
+        prev = cnt
+        survivors = keep.select("src")
+        e = (
+            e.join(survivors, "src", "left_semi")
+            .join(survivors.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    raise ValueError(f"k-core peeling did not converge in {max_rounds} rounds")

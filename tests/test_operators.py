@@ -857,3 +857,17 @@ def test_negative_samples_deterministic_and_filtered(spark):
 
     per_edge = Counter((r.head, r.rel, r.tail) for r in out)
     assert all(v <= 3 for v in per_edge.values()) and len(per_edge) == 3
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    """Triangle A-B-C with a pendant chain C-D-E: the 2-core is exactly
+    the triangle, found only after a 2-round cascade (E dies, then D)."""
+    from rdf_rs_spark.operators.pagerank import kcore
+
+    und = [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("D", "E")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {(r.node, r.core_degree) for r in kcore(edges, k=2).collect()}
+    assert got == {("A", 2), ("B", 2), ("C", 2)}
+    assert kcore(edges, k=3).count() == 0
