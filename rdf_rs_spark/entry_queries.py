@@ -4945,6 +4945,46 @@ def docs_shuffle_shards(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_bm25_topk",
+    r"""WITH dl AS (SELECT doc_id,
+      (CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS dl
+      FROM documents),
+    st AS (SELECT SUM(dl)::BIGINT AS s_total, COUNT(*)::BIGINT AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents)
+      WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+    terms AS (SELECT t.doc_id,
+      trunc((((((st.n_docs::DOUBLE) - (f.df::DOUBLE)) + 0.5) / ((f.df::DOUBLE) + 0.5))
+        * (((t.tf::DOUBLE) * 2.2)
+           / ((t.tf::DOUBLE) + 1.2 * (0.25 + 0.75 * ((d.dl::DOUBLE) / ((st.s_total::DOUBLE) / (st.n_docs::DOUBLE)))))))
+        * 1000000.0)::BIGINT AS e6
+      FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (tok) CROSS JOIN st),
+    scores AS (SELECT doc_id, SUM(e6)::BIGINT AS score_e6 FROM terms GROUP BY doc_id)
+    SELECT doc_id, score_e6, rank FROM (
+      SELECT doc_id, score_e6,
+        row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank
+      FROM scores) WHERE rank <= 10""",
+)
+def corpus_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the corpus for the query terms
+    (spark, join, window) — top-10 with integer micro-unit scores
+    (``operators/corpus.py::bm25_topk``). Rational idf (no libm log —
+    monotone-equivalent per term, cross-engine bit-exact), per-term
+    truncation BEFORE the per-doc sum (only order-free bigint adds
+    cross rows), and a literal-identical expression tree in the oracle.
+    Scale: IN-filter pushed to the token scan, broadcast df relation,
+    one-row corpus stats cross-joined, distributed TakeOrdered top-k."""
+    from .operators.corpus import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, F.col("doc_id"), F.col("text"), ["spark", "join", "window"], k=10)
+
+
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled peeling-round CTEs (MATERIALIZED — the edge relation is
     referenced twice per round and must not re-inline the base scan)
@@ -5200,7 +5240,11 @@ _VERIFY_FIRST = [
     "docs_bpe_segmented",
     "kg_entity_pagerank",
     "docs_url_canonical",
-    "corpus_inverted_index",
+    # corpus_inverted_index displaced (BM25 drives the same token →
+    # (df, tf) aggregates PLUS scoring and top-k on top; the posting
+    # HEAD column stays under the local mirror gate) for the retrieval
+    # anchor entry
+    "corpus_bm25_topk",
     # kg_comention_triangles displaced (pure ordered equi-joins replayed
     # verbatim in SQL — the lowest-risk of the graph-analytics trio;
     # pagerank + bfs keep the iterative machinery in-window) for the

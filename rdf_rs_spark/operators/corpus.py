@@ -431,3 +431,73 @@ def dedup_spans_global(
             (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    doc_id: Column,
+    text: Column,
+    terms: list,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a literal query-term list,
+    returning the global top-k ``(doc_id, score_e6, rank)``.
+
+    Deterministic by construction — the usual float-BM25 pitfalls are
+    designed out so the driver's value hash covers retrieval end-to-end:
+
+    - RATIONAL idf ``(N - df + 0.5) / (df + 0.5)`` instead of the
+      textbook log form: libm ``log`` bit-patterns differ across
+      engines, but +,-,*,/ on IEEE doubles do not. Rank ordering per
+      term is preserved (log is monotone); absolute scores differ from
+      Robertson's by the log, which is documented here, not hidden.
+    - per-(doc, term) scores truncate to integer MICRO-units BEFORE the
+      per-doc sum, so the only cross-row accumulation is order-free
+      bigint addition.
+    - the expression tree (including constant literals 2.2, 1.2, 0.25,
+      0.75) is written identically in the DuckDB oracle — 1-ulp
+      constant-folding drift (e.g. 1.2+1.0 vs literal 2.2) is a real
+      hash-breaker.
+
+    Scale shape: the query-term IN-filter is pushed to the token scan
+    (shuffle ∝ matching (doc, term) pairs, not the token stream); the
+    per-term document frequencies are a broadcast-sized relation; the
+    corpus-wide (sum(dl), N) aggregate is one row cross-joined into the
+    plan (no driver collect); the global top-k is orderBy().limit(k) —
+    a distributed TakeOrdered — with ranks assigned on the k survivors
+    only, never a single-partition window over all scores."""
+    from ..functions.text import token_count, tokens_col
+
+    docs = df.select(doc_id.alias("doc_id"), text.alias("text"))
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
+    st = dl.agg(
+        F.sum("dl").alias("s_total"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(list(terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("s_total").cast("double") / n_d
+    idf = ((n_d - df_d) + F.lit(0.5)) / (df_d + F.lit(0.5))
+    den = tf_d + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dl_d / avgdl))
+    term_e6 = ((idf * ((tf_d * F.lit(2.2)) / den)) * F.lit(1000000.0)).cast("bigint")
+    scores = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", term_e6.alias("e6"))
+        .groupBy("doc_id")
+        .agg(F.sum("e6").alias("score_e6"))
+    )
+    from pyspark.sql import Window
+
+    top = scores.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

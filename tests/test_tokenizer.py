@@ -84,3 +84,26 @@ def test_corpus_contains_no_separator_byte(spark):
     for sf in (SF_DIR, "/root/testdata/sf0.01"):
         docs = spark.read.parquet(sf + "/documents.parquet")
         assert docs.filter(F.col("text").contains(SEP)).count() == 0, sf
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """A doc packed with the query terms outranks one mentioning a
+    single term once; docs without any term never appear; empty text is
+    safe."""
+    from rdf_rs_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window spark join window spark"),
+            (2, "spark runs somewhere in this text"),
+            (3, "nothing relevant here at all"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(docs, F.col("doc_id"), F.col("text"),
+                     ["spark", "join", "window"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1 and 2 in ids and 3 not in ids and 4 not in ids
+    assert all(r["score_e6"] > 0 for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
