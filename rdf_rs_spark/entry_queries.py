@@ -4946,6 +4946,37 @@ def docs_shuffle_shards(spark, sf_dir):
 
 
 @q(
+    "corpus_mixture_order",
+    """WITH wts AS (SELECT * FROM (VALUES ('en', 4), ('de', 2), ('es', 2),
+                                          ('fr', 1), ('zh', 1)) t(lang, w)),
+    seqs AS (SELECT d.doc_id, d.lang, w.w,
+        row_number() OVER (PARTITION BY d.lang
+          ORDER BY md5('epoch0' || chr(1) || CAST(d.doc_id AS VARCHAR)), d.doc_id) - 1 AS seq
+      FROM documents d JOIN wts w USING (lang)),
+    timed AS (SELECT doc_id, lang, seq::BIGINT AS seq,
+        ((2 * seq + 1) * 1000000 // (2 * w))::BIGINT AS t FROM seqs)
+    SELECT doc_id, lang, seq, t,
+      (row_number() OVER (ORDER BY t, lang, seq) - 1)::BIGINT AS position
+    FROM timed""",
+)
+def corpus_mixture_order(spark, sf_dir):
+    """Deterministic mixture interleave
+    (``operators/sampling.py::mixture_interleave``): a global training
+    order where languages appear 4:2:2:1:1 by stride scheduling —
+    virtual emission times ``(2i+1)·1e6 DIV (2w)`` over reproducible
+    per-group shuffles, pure integer arithmetic end-to-end. Every
+    prefix of the stream holds each group's share within one document
+    of w/Σw, with no RNG anywhere — resumes, re-shards and the DuckDB
+    oracle all derive the identical schedule."""
+    from .operators.sampling import mixture_interleave
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_interleave(
+        d, "lang", {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+    ).select("doc_id", "lang", "seq", "t", "position")
+
+
+@q(
     "corpus_bm25_topk",
     r"""WITH dl AS (SELECT doc_id,
       (CASE WHEN length(trim(text)) = 0 THEN 0
@@ -5251,7 +5282,10 @@ _VERIFY_FIRST = [
     # incremental-closure anchor entry
     "kg_rdfs_closure_incremental",
     "kg_entity_bfs_levels",
-    "rdf_void_description",
+    # rdf_void_description displaced (three plain map-side aggregates
+    # over one scan — count/distinct/group-by shapes a dozen in-window
+    # entries already exercise) for the mixture-interleave anchor
+    "corpus_mixture_order",
     "multimodal_wav_decode",
     # multimodal_ppm_decode rotated to round 4 (same real-decode module,
     # wav anchors it) for the fp/ifp entity-resolution path

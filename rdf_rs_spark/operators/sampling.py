@@ -74,3 +74,51 @@ def shuffle_shards(
         .withColumn("shard", (F.col("position") % n_shards).cast("int"))
         .drop("h")
     )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic multi-source training-order interleave: a global
+    position stream in which each group appears in proportion to its
+    integer weight — the mixture-sampling step of an LLM data pipeline,
+    WITHOUT an RNG (stride scheduling, the start-time-fairness idiom).
+
+    Each group's documents get a reproducible within-group sequence
+    ``i`` (rank under ``md5(salt ⊕ id)`` — the ``shuffle_shards``
+    order), then a virtual emission time ``t = (2i+1)·1e6 DIV (2·w)``;
+    the global order sorts by ``(t, group, i)``. Every prefix of the
+    stream holds each group's share within one document of ``w/Σw`` —
+    and the whole schedule is pure integer arithmetic: identical across
+    resumes, cluster sizes and engines (the oracle replays it as two
+    window functions). Groups absent from ``weights`` are dropped —
+    scheduling an unweighted source is a silent corpus-mix bug, so the
+    caller must list every group it wants.
+
+    Scale: one rank per group (windows partitioned by group) plus the
+    final global sort — the same inherent cost as ``shuffle_shards``'s
+    single global order; shard for parallel readers via ``md5_shard``
+    or a modulo on ``position``."""
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    seq_w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws("\x01", F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    out = (
+        df.filter(F.col(group_col).isin(list(weights)))
+        .withColumn("seq", (F.row_number().over(seq_w) - 1).cast("bigint"))
+        .withColumn("w", wmap[F.col(group_col)].cast("bigint"))
+        .withColumn(
+            "t", F.expr("(2 * seq + 1) * 1000000 DIV (2 * w)")
+        )
+    )
+    pos_w = Window.orderBy("t", group_col, "seq")
+    return out.withColumn(
+        "position", (F.row_number().over(pos_w) - 1).cast("bigint")
+    ).drop("w")

@@ -107,3 +107,26 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert ids[0] == 1 and 2 in ids and 3 not in ids and 4 not in ids
     assert all(r["score_e6"] > 0 for r in rows)
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_mixture_interleave_prefix_shares_and_determinism(spark):
+    """Stride scheduling: every prefix holds each group's share within
+    one document of w/Σw; unweighted groups drop; the schedule is
+    partition-invariant."""
+    from rdf_rs_spark.operators.sampling import mixture_interleave
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)] + [(900, "c")]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_interleave(docs, "lang", {"a": 3, "b": 1}).orderBy("position")
+    sched = [(r.position, r.lang) for r in out.collect()]
+    assert len(sched) == 90  # 'c' dropped
+    for n in (4, 8, 20, 40):
+        share_a = sum(1 for p, g in sched[:n] if g == "a")
+        assert abs(share_a - n * 3 / 4) <= 1, (n, share_a)
+    again = [
+        (r.position, r.lang)
+        for r in mixture_interleave(docs.repartition(7), "lang", {"a": 3, "b": 1})
+        .orderBy("position")
+        .collect()
+    ]
+    assert again == sched
