@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     # round-3 additions (both scale with sf: 50k docs at sf0.1)
     "rdf_mixed_corpus_parse",
     "docs_boilerplate_removal",
+    # round-3 flagship training-pipeline ops (docs/lineitem scale with sf)
+    "corpus_bpe_train",
+    "corpus_bm25_topk",
+    "kg_copurchase_kcore",
 ]
 
 

@@ -184,27 +184,54 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     graphs before expensive downstream analytics).
 
     ``edges`` must be the symmetric directed form of the undirected
-    graph (both orders present), so out-degree == degree. Each round is
-    one map-side-combining degree aggregate plus two semi-joins against
-    the (shrinking) survivor set, with a ``localCheckpoint`` lineage
-    barrier — per-round shuffle ∝ the surviving edge set, never the
-    original graph. Node sets shrink monotonically, so an unchanged
-    survivor COUNT proves the fixpoint. Integer degrees make the whole
-    peeling schedule SQL-replayable (unrolled round CTEs)."""
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
-    prev = -1
-    for _ in range(max_rounds):
-        deg = e.groupBy("src").agg(F.count("*").alias("core_degree"))
-        keep = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
-        cnt = keep.count()
-        if cnt == prev:
-            return keep.select(F.col("src").alias("node"), "core_degree")
-        prev = cnt
-        survivors = keep.select("src")
-        e = (
-            e.join(survivors, "src", "left_semi")
-            .join(survivors.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
+    graph (both orders present), so out-degree == degree.
+
+    Degrees are maintained INCREMENTALLY (the delta discipline of
+    ``rdfs_closure_incremental``): the edge relation is aggregated
+    exactly once, then each round subtracts only the decrements caused
+    by the newly-peeled boundary — per-round shuffle ∝ edges incident
+    to that round's peeled set (tiny after round one), and the edge
+    relation itself is NEVER re-shuffled or rewritten (each edge
+    contributes one decrement over the whole run, when its endpoint
+    peels). ``localCheckpoint`` truncates the per-round lineage on the
+    small degree relation. Integer degrees make the whole peeling
+    schedule SQL-replayable (unrolled round CTEs recompute each round's
+    degrees from scratch — same fixpoint, independently derived)."""
+    e = edges.select("src", "dst").persist()
+    try:
+        deg = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("core_degree"))
             .localCheckpoint(eager=True)
         )
-    raise ValueError(f"k-core peeling did not converge in {max_rounds} rounds")
+        for _ in range(max_rounds):
+            peeled = (
+                deg.filter(F.col("core_degree") < k)
+                .select("src")
+                .localCheckpoint(eager=True)
+            )
+            if peeled.isEmpty():
+                return deg.select(F.col("src").alias("node"), "core_degree")
+            # the peeled boundary is a bounded set of node ids —
+            # broadcast it so the persisted edge relation is probed
+            # map-side and NEVER shuffles (a sort-merge join here would
+            # re-exchange every edge every round)
+            dec = (
+                e.join(F.broadcast(peeled.withColumnRenamed("src", "dst")), "dst")
+                .groupBy("src")
+                .agg(F.count("*").alias("dec"))
+            )
+            deg = (
+                deg.join(peeled, "src", "left_anti")
+                .join(dec, "src", "left")
+                .select(
+                    "src",
+                    (
+                        F.col("core_degree") - F.coalesce(F.col("dec"), F.lit(0))
+                    ).alias("core_degree"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        raise ValueError(f"k-core peeling did not converge in {max_rounds} rounds")
+    finally:
+        e.unpersist()
