@@ -607,3 +607,80 @@ def test_span_dedup_bounded_exchanges(spark):
     assert count_exchanges(out) <= 6
     plan = explain_str(out, "simple")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------- round-3 session ops ----
+
+
+def test_sq_topk_corpus_codes_never_shuffle_prejoin(spark):
+    """int8-SQ ANN broadcasts the quantized query side; the corpus code
+    stream reaches the scorer through narrow ops only (the exchanges in
+    the plan are the dim-row scale aggregate and the per-query window
+    over scored pairs, never the corpus pre-join)."""
+    from rdf_rs_spark.operators.ann import sq_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = sq_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus side: Scan -> Project(sq_encode) -> Join. Window ranking of
+    # the |Q|x smaller scored pairs is the only post-join exchange.
+    assert count_exchanges(df) <= 1
+
+
+def test_bm25_pushes_term_filter_and_broadcasts_df(spark):
+    """The query-term IN-filter must sit below the token aggregation
+    (shuffle ∝ matching tokens, not the token stream) and the per-term
+    document-frequency relation must broadcast."""
+    from rdf_rs_spark.operators.corpus import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = bm25_topk(docs, F.col("doc_id"), F.col("text"), ["spark", "join"], k=10)
+    plan = explain_str(df, "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert plan.index("tok#") > 0  # tokens exist in the plan
+    # the IN-list filter appears under/at the Generate (explode), before
+    # any Exchange: find the first Exchange and the tok IN filter
+    first_exchange = plan.find("Exchange")
+    tok_filter = plan.find("tok")
+    assert 0 < tok_filter < first_exchange or "PushedFilters" in plan
+
+
+def test_bpe_pair_counts_partial_aggregate_and_1row_argmax(spark):
+    """Each BPE round's pair count must map-side combine (partial then
+    final HashAggregate) and the argmax must plan as TakeOrdered over
+    ONE row, never a global sort materializing the pair table."""
+    from rdf_rs_spark.operators.tokenizer import (
+        _pair_counts,
+        encode_word,
+        word_vocab,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = word_vocab(docs, F.col("text"))
+    best = (
+        _pair_counts(vocab, encode_word(F.col("word")))
+        .orderBy(F.col("n").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+        .limit(1)
+    )
+    plan = explain_str(best, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for vocab and pairs
+
+
+def test_kcore_round_probes_edges_mapside(spark):
+    """One incremental peeling round: the decrement join against the
+    peeled boundary must be a broadcast probe of the edge relation —
+    a sort-merge join here would re-exchange every edge every round."""
+    edges = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+    )
+    peeled = spark.range(0, 5).select(F.col("id").alias("dst"))
+    dec = (
+        edges.join(F.broadcast(peeled), "dst")
+        .groupBy("src")
+        .agg(F.count("*").alias("dec"))
+    )
+    plan = explain_str(dec, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
