@@ -3078,6 +3078,87 @@ def rdf_graph_stats(spark, sf_dir):
 
 
 @q(
+    "kg_apply_changelog",
+    TRIPLES_CTE
+    + f""", snap AS (SELECT DISTINCT * FROM triples),
+    log AS (
+      SELECT 'add' AS op, 1::BIGINT AS seq,
+        '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+        '{EX}status' AS pred, 2::TINYINT AS obj_kind, 'fresh' AS obj_lex,
+        CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang
+      FROM nation WHERE n_nationkey % 3 = 0
+      UNION ALL
+      SELECT 'remove', 2::BIGINT, '{EX}nation/' || CAST(n_nationkey AS VARCHAR),
+        '{EX}status', 2::TINYINT, 'fresh', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM nation WHERE n_nationkey % 6 = 0
+      UNION ALL
+      SELECT 'remove', 1::BIGINT, '{EX}nation/' || CAST(n_nationkey AS VARCHAR),
+        '{RDF_TYPE}', 0::TINYINT, '{EX}Nation',
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM nation WHERE n_nationkey % 5 = 0
+      UNION ALL
+      SELECT 'add', 2::BIGINT, '{EX}nation/' || CAST(n_nationkey AS VARCHAR),
+        '{RDF_TYPE}', 0::TINYINT, '{EX}Nation',
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM nation WHERE n_nationkey % 10 = 0),
+    last AS (SELECT * FROM (
+      SELECT l.*, row_number() OVER (
+        PARTITION BY subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang
+        ORDER BY seq DESC, op ASC) AS rn FROM log l) WHERE rn = 1),
+    removes AS (SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang
+                FROM last WHERE op = 'remove'),
+    adds AS (SELECT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang
+             FROM last WHERE op = 'add'),
+    kept AS (SELECT s.* FROM snap s WHERE NOT EXISTS (
+      SELECT 1 FROM removes r
+      WHERE r.subj IS NOT DISTINCT FROM s.subj AND r.pred IS NOT DISTINCT FROM s.pred
+        AND r.obj_kind IS NOT DISTINCT FROM s.obj_kind
+        AND r.obj_lex IS NOT DISTINCT FROM s.obj_lex
+        AND r.obj_datatype IS NOT DISTINCT FROM s.obj_datatype
+        AND r.obj_lang IS NOT DISTINCT FROM s.obj_lang)),
+    fresh AS (SELECT a.* FROM adds a WHERE NOT EXISTS (
+      SELECT 1 FROM snap s
+      WHERE s.subj IS NOT DISTINCT FROM a.subj AND s.pred IS NOT DISTINCT FROM a.pred
+        AND s.obj_kind IS NOT DISTINCT FROM a.obj_kind
+        AND s.obj_lex IS NOT DISTINCT FROM a.obj_lex
+        AND s.obj_datatype IS NOT DISTINCT FROM a.obj_datatype
+        AND s.obj_lang IS NOT DISTINCT FROM a.obj_lang))
+    SELECT * FROM kept UNION ALL SELECT * FROM fresh""",
+)
+def kg_apply_changelog(spark, sf_dir):
+    """CDC changelog application (the inverse of ``rdf_graph_diff`` —
+    ``graph.py::RdfGraph.apply_changelog``): last op per triple key
+    wins. The nation-derived log exercises every net outcome: add
+    (k%3, status), add-then-remove (k%6 — net absent),
+    remove-then-re-add of an EXISTING triple (k%10 — net present,
+    deduplicated), plain remove (k%5 type triples). The snapshot is
+    touched by one null-safe anti-join and never re-shuffles."""
+    nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    subj = F.concat(F.lit(EX + "nation/"), k.cast("string"))
+
+    def _log(op, seq, pred, kind, lex, cond):
+        return nation.filter(cond).select(
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("bigint").alias("seq"),
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).cast("tinyint").alias("obj_kind"),
+            F.lit(lex).alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    log = (
+        _log("add", 1, EX + "status", 2, "fresh", k % 3 == 0)
+        .unionByName(_log("remove", 2, EX + "status", 2, "fresh", k % 6 == 0))
+        .unionByName(_log("remove", 1, RDF_TYPE, 0, EX + "Nation", k % 5 == 0))
+        .unionByName(_log("add", 2, RDF_TYPE, 0, EX + "Nation", k % 10 == 0))
+    )
+    return RdfGraph(_triples(spark, sf_dir)).apply_changelog(log)
+
+
+@q(
     "rdf_graph_diff",
     TRIPLES_CTE
     + """SELECT 'added' AS change,
@@ -5290,7 +5371,10 @@ _VERIFY_FIRST = [
     # multimodal_ppm_decode rotated to round 4 (same real-decode module,
     # wav anchors it) for the fp/ifp entity-resolution path
     "kg_ifp_entity_resolution",
-    "rdf_graph_diff",
+    # rdf_graph_diff rotated to round 4 (apply_changelog drives the
+    # IDENTICAL null-safe anti-join core plus the window + op-validation
+    # surface on top — one CDC-family anchor per round)
+    "kg_apply_changelog",
     "dedup_containment_pairs",
     "rdf_jsonld_parse",
 ]

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Dict, Iterable, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .parsing import parse_ntriples, parse_turtle
 from .schema import TRIPLE_COLS, TRIPLES_SCHEMA
@@ -119,6 +119,43 @@ class RdfGraph:
             F.lit("removed").alias("change"), *TRIPLE_COLS
         )
         return added.unionByName(removed)
+
+    def apply_changelog(self, changelog: DataFrame) -> DataFrame:
+        """Apply an ordered CDC changelog to this graph snapshot (set
+        semantics — the inverse of ``diff``): ``changelog`` carries
+        ``op`` ('add' | 'remove'), a total-order ``seq``, and the six
+        triple columns; the LAST op per triple key decides membership
+        (ties on ``seq`` break to 'add' < 'remove' deterministically).
+        Unknown op values raise — a typo'd op silently dropping a
+        delete is a corruption bug, not a row to skip.
+
+        Scale shape: the snapshot is only touched by ONE null-safe
+        anti-join against the (typically broadcast-sized) net-remove
+        set — it never re-shuffles; the changelog pays one window
+        shuffle over the delta, which is the CDC batch, not the graph.
+        On a subject-bucketed table the anti-join co-locates for free
+        (same property as ``diff``)."""
+        bad = changelog.filter(~F.col("op").isin("add", "remove"))
+        if bad.limit(1).count():
+            row = bad.first()
+            raise ValueError(f"unknown changelog op {row['op']!r}")
+        snap = self.df.dropDuplicates(TRIPLE_COLS)
+        w = Window.partitionBy(*TRIPLE_COLS).orderBy(
+            F.col("seq").desc(), F.col("op").asc()
+        )
+        last = (
+            changelog.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        adds = last.filter(F.col("op") == "add").select(*TRIPLE_COLS)
+        removes = last.filter(F.col("op") == "remove").select(*TRIPLE_COLS)
+
+        def _anti(a: DataFrame, b: DataFrame) -> DataFrame:
+            cond = [a[c].eqNullSafe(b[c]) for c in TRIPLE_COLS]
+            return a.join(b, cond, "left_anti")
+
+        return _anti(snap, removes).unionByName(_anti(adds, snap))
 
     # -- cardinality ---------------------------------------------------------
 

@@ -130,3 +130,46 @@ def test_mixture_interleave_prefix_shares_and_determinism(spark):
         .collect()
     ]
     assert again == sched
+
+
+def test_apply_changelog_semantics(spark):
+    """Last op per key wins; unknown ops raise; null-valued key columns
+    compare null-safely."""
+    from rdf_rs_spark.graph import RdfGraph
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+
+    snap = spark.createDataFrame(
+        [
+            ("s1", "p", 2, "keep", None, None),
+            ("s2", "p", 2, "drop", None, None),
+            ("s3", "p", 2, "re-add", None, None),
+        ],
+        TRIPLES_SCHEMA,
+    )
+    log = spark.createDataFrame(
+        [
+            ("remove", 1, "s2", "p", 2, "drop", None, None),
+            ("remove", 1, "s3", "p", 2, "re-add", None, None),
+            ("add", 2, "s3", "p", 2, "re-add", None, None),
+            ("add", 1, "s4", "p", 2, "new", None, None),
+            ("add", 1, "s4", "p", 2, "new", None, None),  # dup add
+        ],
+        "op string, seq bigint, subj string, pred string, obj_kind tinyint,"
+        " obj_lex string, obj_datatype string, obj_lang string",
+    )
+    got = {tuple(r) for r in RdfGraph(snap).apply_changelog(log).collect()}
+    assert got == {
+        ("s1", "p", 2, "keep", None, None),
+        ("s3", "p", 2, "re-add", None, None),
+        ("s4", "p", 2, "new", None, None),
+    }
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [("upsert", 1, "s1", "p", 2, "x", None, None)],
+        "op string, seq bigint, subj string, pred string, obj_kind tinyint,"
+        " obj_lex string, obj_datatype string, obj_lang string",
+    )
+    with _pytest.raises(ValueError, match="unknown changelog op"):
+        RdfGraph(snap).apply_changelog(bad)
