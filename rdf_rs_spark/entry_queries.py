@@ -1510,6 +1510,52 @@ def rdf_turtle_parse_collection(spark, sf_dir):
     return parse_turtle_docs(docs, "content", "doc_id")
 
 
+@q(
+    "rdf_collection_extract",
+    """WITH n AS (SELECT n_nationkey AS k FROM nation),
+    pos AS (SELECT unnest(generate_series(0, 4)) AS i)
+    SELECT CAST(k AS VARCHAR) AS src_url, '_:auto0' AS list_head,
+           i::INTEGER AS pos, 2::TINYINT AS member_kind,
+           't' || CAST(k AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS member_lex
+    FROM n JOIN pos ON pos.i < 2 + (k % 3)""",
+)
+def rdf_collection_extract(spark, sf_dir):
+    """Ordered RDF collection re-assembly — the INVERSE of T1's
+    ``( … )`` desugaring (``operators/collections.py::extract_lists``):
+    variable-length lists (2 + k%3 members) go through the REAL Turtle
+    parser into rdf:first/rest cons cells, then the semi-naive scoped
+    walk reconstructs ``(list_head, pos, member)``; rest-chain cycles
+    or oversized chains raise. The oracle is CLOSED-FORM — it derives
+    the expected ordered members from k directly, independently
+    checking parser + extractor composed."""
+    from .operators.collections import extract_lists
+
+    k = F.col("n_nationkey").cast("string")
+
+    def elems(n):
+        parts = []
+        for i in range(n):
+            parts += [F.lit('"t'), k, F.lit(f'_{i}" ')]
+        return F.concat(*parts)
+
+    m = F.col("n_nationkey") % 3
+    body = F.when(m == 0, elems(2)).when(m == 1, elems(3)).otherwise(elems(4))
+    docs = _t(spark, sf_dir, "nation").select(
+        k.alias("doc_id"),
+        F.concat(
+            F.lit("@prefix ex: <" + EX + "> .\nex:nation:"),
+            k,
+            F.lit(" ex:tags ( "),
+            body,
+            F.lit(") ."),
+        ).alias("content"),
+    )
+    t = parse_turtle_docs(docs, "content", "doc_id")
+    return extract_lists(t).select(
+        "src_url", "list_head", "pos", "member_kind", "member_lex"
+    )
+
+
 _TTL_NAMESPACES = {"ex": EX, "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"}
 
 
@@ -5271,7 +5317,11 @@ _VERIFY_FIRST = [
     "kg_sameas_canonical",
     "kg_shacl_report",
     "docs_deterministic_sample",
-    "docs_stratified_sample",
+    # docs_stratified_sample displaced (deterministic_sample anchors the
+    # content-hash membership core in-window, and shuffle_shards +
+    # mixture_order cover the rest of sampling.py; stratified adds only
+    # the per-stratum threshold variant) for the collection extractor
+    "rdf_collection_extract",
     "ann_ivf_seeded_topk",
     "streaming_batch_body",
     # changed this round (ann_ivf_topk rotated OUT: rows-only check,

@@ -1,0 +1,82 @@
+"""RDF collection re-assembly — the INVERSE of the Turtle parser's
+``( … )`` desugaring (reference ``src/reader/turtle_parser.rs:312-369``
+emits rdf:first/rdf:rest/rdf:nil cons cells; this operator walks them
+back into ordered ``(list_head, pos, member)`` rows).
+
+SPARQL cannot express "give me the list in order" without property-path
+tricks that lose positions; a KG built from parsed Turtle is full of
+cons chains, so ordered extraction is a first-class operator.
+
+Blank labels are only unique per source document, so extraction is
+SCOPED: all joins carry the caller's scope columns (``src_url`` for
+parser output) alongside the node."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..terms import KIND_BLANK, RDF_FIRST, RDF_NIL, RDF_REST
+
+
+def extract_lists(
+    triples: DataFrame,
+    scope: Sequence[str] = ("src_url",),
+    max_len: int = 64,
+) -> DataFrame:
+    """Ordered members of every well-formed cons list in the store:
+    ``(*scope, list_head, pos, member_kind, member_lex)`` where
+    ``list_head`` is the subject-encoded first cell (``_:auto0``) and
+    ``pos`` is 0-based.
+
+    Semi-naive walk: round ``i`` joins only the frontier (cells at
+    depth ``i``) against the rdf:first / rdf:rest slices — per-round
+    shuffle ∝ the number of LIVE lists, never the store; a
+    ``localCheckpoint`` per round truncates the lineage (the
+    ``bfs_levels`` discipline). A chain longer than ``max_len`` —
+    including any rdf:rest CYCLE, which malformed data can encode —
+    raises instead of looping or silently truncating."""
+    scope = list(scope)
+    firsts = triples.filter(F.col("pred") == RDF_FIRST).select(
+        *scope,
+        F.col("subj").alias("node"),
+        F.col("obj_kind").alias("member_kind"),
+        F.col("obj_lex").alias("member_lex"),
+    )
+    rests = triples.filter(
+        (F.col("pred") == RDF_REST) & (F.col("obj_kind") == KIND_BLANK)
+    ).select(
+        *scope,
+        F.col("subj").alias("node"),
+        F.concat(F.lit("_:"), F.col("obj_lex")).alias("nxt"),
+    )
+    # heads: cells never pointed to by an rdf:rest
+    rest_targets = rests.select(*scope, F.col("nxt").alias("node"))
+    heads = firsts.select(*scope, "node").join(
+        rest_targets, on=scope + ["node"], how="left_anti"
+    )
+    frontier = heads.select(
+        *scope, F.col("node").alias("list_head"), "node",
+        F.lit(0).cast("int").alias("pos"),
+    ).localCheckpoint(eager=True)
+    acc = None
+    for _ in range(max_len):
+        members = frontier.join(firsts, on=scope + ["node"]).select(
+            *scope, "list_head", "pos", "member_kind", "member_lex"
+        )
+        acc = members if acc is None else acc.unionByName(members)
+        frontier = (
+            frontier.join(rests, on=scope + ["node"])
+            .select(
+                *scope, "list_head",
+                F.col("nxt").alias("node"),
+                (F.col("pos") + 1).cast("int").alias("pos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            return acc
+    raise ValueError(
+        f"rdf:rest chain exceeds max_len={max_len} (cycle or oversized list)"
+    )

@@ -173,3 +173,24 @@ def test_apply_changelog_semantics(spark):
     )
     with _pytest.raises(ValueError, match="unknown changelog op"):
         RdfGraph(snap).apply_changelog(bad)
+
+
+def test_extract_lists_rejects_cycles(spark):
+    """A malformed rdf:rest cycle must raise, never loop or silently
+    truncate."""
+    from rdf_rs_spark.operators.collections import extract_lists
+    from rdf_rs_spark.terms import RDF_FIRST, RDF_REST
+
+    rows = [
+        ("d", "_:a", RDF_FIRST, 2, "x", None, None),
+        ("d", "_:a", RDF_REST, 1, "b", None, None),
+        ("d", "_:b", RDF_FIRST, 2, "y", None, None),
+        ("d", "_:b", RDF_REST, 1, "b", None, None),  # self-cycle
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "src_url string, subj string, pred string, obj_kind tinyint,"
+        " obj_lex string, obj_datatype string, obj_lang string",
+    )
+    with pytest.raises(ValueError, match="cycle or oversized"):
+        extract_lists(t, max_len=8)
