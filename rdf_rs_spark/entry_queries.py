@@ -1511,6 +1511,71 @@ def rdf_turtle_parse_collection(spark, sf_dir):
 
 
 @q(
+    "kg_property_table",
+    f"""SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
+       n_name AS name,
+       '{EX}region/' || CAST(n_regionkey AS VARCHAR) AS in_region,
+       CASE WHEN n_nationkey = 3 THEN NULL
+            ELSE n_nationkey * 1000 END::BIGINT AS population,
+       (n_nationkey % 2 = 0) AS is_even
+    FROM nation""",
+)
+def kg_property_table(spark, sf_dir):
+    """Property-table projection with RDF 1.1 literal coercion
+    (``operators/table_to_triples.py::property_table`` — the inverse
+    bridge): pivot the nation slice of the KG into one typed row per
+    subject via ONE map-side-combining conditional aggregate (never the
+    naive join-per-column plan). ``population`` is an xsd:integer
+    literal coerced with try_cast — nation 3 carries the malformed
+    lexical form 'NaN' and surfaces as NULL, not a job failure;
+    ``is_even`` coerces an xsd:boolean literal."""
+    from .operators.table_to_triples import (
+        obj_iri,
+        obj_literal,
+        property_table,
+        table_to_triples,
+    )
+    from .terms import XSD_BOOLEAN
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    subj = F.concat(F.lit(EX + "nation/"), k.cast("string"))
+    extras = table_to_triples(
+        n,
+        subj,
+        [
+            (
+                EX + "population",
+                obj_literal(
+                    F.when(k == 3, F.lit("NaN")).otherwise(
+                        (k * 1000).cast("string")
+                    ),
+                    datatype=XSD_INTEGER,
+                ),
+            ),
+            (
+                EX + "isEven",
+                obj_literal(
+                    F.when(k % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+                    datatype=XSD_BOOLEAN,
+                ),
+            ),
+        ],
+    )
+    store = _triples(spark, sf_dir).unionByName(extras)
+    wide = property_table(
+        store,
+        {
+            "name": (EX + "name", None),
+            "in_region": (EX + "inRegion", None),
+            "population": (EX + "population", "bigint"),
+            "is_even": (EX + "isEven", "boolean"),
+        },
+    )
+    return wide.filter(F.col("subj").startswith(EX + "nation/"))
+
+
+@q(
     "rdf_collection_extract",
     """WITH n AS (SELECT n_nationkey AS k FROM nation),
     pos AS (SELECT unnest(generate_series(0, 4)) AS i)
@@ -5425,7 +5490,10 @@ _VERIFY_FIRST = [
     # IDENTICAL null-safe anti-join core plus the window + op-validation
     # surface on top — one CDC-family anchor per round)
     "kg_apply_changelog",
-    "dedup_containment_pairs",
+    # dedup_containment_pairs rotated to round 4 (its candidate bands
+    # are the r1-green MinHash path and its integer-e3 intersect verify
+    # mirrors the r1-green jaccard idiom) for the property-table bridge
+    "kg_property_table",
     "rdf_jsonld_parse",
 ]
 

@@ -120,3 +120,40 @@ def star_schema_triples(
         [(EX + "segment", obj_literal(F.col("c_mktsegment")))],
     )
     return n.unionByName(r).unionByName(c).unionByName(addr)
+
+
+def property_table(
+    triples: DataFrame,
+    props: "dict[str, tuple[str, str | None]]",
+    subj_col: str = "subj",
+) -> DataFrame:
+    """The INVERSE bridge of ``table_to_triples``: pivot a triple store
+    into a wide one-row-per-subject entity table — the property-table
+    projection every RDF engine grows for analytics — with RDF 1.1
+    literal coercion into typed columns.
+
+    ``props`` maps output column → (predicate IRI, Spark cast type or
+    None to keep the lexical string). Multi-valued predicates collapse
+    deterministically to ``min`` (documented single-value projection, a
+    SAMPLE in SPARQL terms). Coercion uses ``try_cast`` — a literal
+    whose lexical form does not parse under the target type becomes
+    NULL rather than poisoning the job (the dead-letter surfaces are
+    the parse/write reject views; here NULL is the queryable signal).
+
+    Scale: ONE map-side-combining aggregate over the predicate-filtered
+    slice — the predicate IN-filter prunes at the scan, and no join at
+    all (each property is a conditional aggregate, not a self-join per
+    column — the naive N-way self-join property table is the plan this
+    operator exists to avoid)."""
+    preds = [p for p, _ in props.values()]
+    filtered = triples.filter(F.col("pred").isin(preds))
+    aggs = []
+    for name, (pred, _) in props.items():
+        aggs.append(
+            F.min(F.when(F.col("pred") == pred, F.col("obj_lex"))).alias(name)
+        )
+    wide = filtered.groupBy(F.col(subj_col).alias("subj")).agg(*aggs)
+    for name, (_, cast_to) in props.items():
+        if cast_to is not None:
+            wide = wide.withColumn(name, F.col(name).try_cast(cast_to))
+    return wide
