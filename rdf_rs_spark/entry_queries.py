@@ -5031,15 +5031,19 @@ def ann_pq_topk(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
-@q(
-    "ann_sq_topk",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+# int8-SQ code derivation, shared by the top-k and group-mean oracles
+_SQ_CODES_CTE = """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     dims AS (SELECT unnest(generate_series(1, 64)) AS j),
     sc AS (SELECT j, CASE WHEN max(abs(e[j])) > 0 THEN max(abs(e[j])) ELSE 1.0 END AS s
            FROM v CROSS JOIN dims GROUP BY j),
     codes AS (SELECT v.vec_id, sc.j, trunc((e[sc.j] * 127.0) / sc.s)::BIGINT AS c
-              FROM v CROSS JOIN sc),
-    qcodes AS (SELECT vec_id AS query_id, j, c FROM codes WHERE vec_id < 3),
+              FROM v CROSS JOIN sc)"""
+
+
+@q(
+    "ann_sq_topk",
+    _SQ_CODES_CTE
+    + """, qcodes AS (SELECT vec_id AS query_id, j, c FROM codes WHERE vec_id < 3),
     dots AS (SELECT q.query_id, c.vec_id AS neighbor_id, SUM(q.c * c.c)::BIGINT AS dot
              FROM qcodes q JOIN codes c ON q.j = c.j AND c.vec_id <> q.query_id
              GROUP BY 1, 2)
@@ -5062,6 +5066,29 @@ def ann_sq_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return sq_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5).withColumn(
         "rank", F.col("rank").cast("bigint")
+    )
+
+
+@q(
+    "kg_entity_embedding_mean",
+    _SQ_CODES_CTE
+    + """ SELECT vec_id % 50 AS entity, (j - 1)::INTEGER AS dim,
+       (SUM(c) // COUNT(*))::BIGINT AS mean_code
+    FROM codes GROUP BY 1, 2""",
+)
+def kg_entity_embedding_mean(spark, sf_dir):
+    """Entity-representation bootstrap (entity vector = integer mean of
+    its mention vectors, ``operators/ann.py::sq_group_mean``): int8-SQ
+    codes averaged per entity with truncating integer division —
+    row-order- and partitioning-independent, so the oracle re-derives
+    every cell exactly (mention groups = vec_id % 50 here; in the KG
+    pipeline the group key is the linked entity IRI). One map-side-
+    combining aggregate over entity×dim cells; no float accumulation."""
+    from .operators.ann import sq_group_mean
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sq_group_mean(e, F.col("vec_id") % 50, dim=64).select(
+        F.col("grp").alias("entity"), "dim", "mean_code"
     )
 
 
@@ -5484,8 +5511,12 @@ _VERIFY_FIRST = [
     "corpus_mixture_order",
     "multimodal_wav_decode",
     # multimodal_ppm_decode rotated to round 4 (same real-decode module,
-    # wav anchors it) for the fp/ifp entity-resolution path
-    "kg_ifp_entity_resolution",
+    # wav anchors it) for the fp/ifp entity-resolution path;
+    # kg_ifp_entity_resolution then displaced in turn (its canonical-
+    # rewrite core is anchored in-window by kg_sameas_canonical; the
+    # STAR-edge derivation stays under the local mirror gate) for the
+    # entity-embedding-mean anchor
+    "kg_entity_embedding_mean",
     # rdf_graph_diff rotated to round 4 (apply_changelog drives the
     # IDENTICAL null-safe anti-join core plus the window + op-validation
     # surface on top — one CDC-family anchor per round)

@@ -774,3 +774,29 @@ def sq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def sq_group_mean(
+    corpus: DataFrame,
+    group: Column,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group integer-mean embedding over int8 codes — the
+    entity-representation bootstrap (entity vector = mean of its
+    mention vectors) made bit-deterministic: quantize with the
+    corpus-derived scales, then per-dimension ``SUM(code) DIV count``
+    (truncating integer division, identical in Spark and DuckDB even
+    for negative sums). Returns ``(grp, dim, mean_code)`` exploded to
+    scalars — one map-side-combining aggregate over group×dim cells;
+    no float accumulation anywhere, so the result is independent of
+    row order and partitioning."""
+    scales = sq_scales(corpus, dim, vec_col)
+    codes = corpus.select(
+        group.alias("grp"), sq_encode(F.col(vec_col), scales).alias("c")
+    )
+    return (
+        codes.select("grp", F.posexplode("c").alias("dim", "code"))
+        .groupBy("grp", "dim")
+        .agg(F.expr("sum(code) DIV count(*)").alias("mean_code"))
+    )
