@@ -1511,6 +1511,42 @@ def rdf_turtle_parse_collection(spark, sf_dir):
 
 
 @q(
+    "docs_rule_filter",
+    """SELECT doc_id, lang, source,
+      CASE WHEN regexp_matches(text, 'spark (shuffle|skew)') THEN 'drop'
+           WHEN regexp_matches(text, 'spark') THEN 'keep'
+           WHEN regexp_matches(text, 'window join') THEN 'drop'
+           ELSE 'keep' END AS decision,
+      CASE WHEN regexp_matches(text, 'spark (shuffle|skew)') THEN 1
+           WHEN regexp_matches(text, 'spark') THEN 2
+           WHEN regexp_matches(text, 'window join') THEN 3
+           ELSE NULL END::INTEGER AS matched_priority
+    FROM documents""",
+)
+def docs_rule_filter(spark, sf_dir):
+    """Priority rule engine (``operators/corpus.py::rule_filter`` — the
+    crawl include/exclude list as data): the bounded rule table compiles
+    into a first-match ``when`` chain, so the corpus is decided in ONE
+    narrow projection (zero joins, zero shuffles). Three content rules
+    exercise override ordering: a drop rule outranking a keep rule
+    outranking another drop, with default keep."""
+    from .operators.corpus import rule_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    rules = spark.createDataFrame(
+        [
+            (1, "spark (shuffle|skew)", "drop"),
+            (2, "spark", "keep"),
+            (3, "window join", "drop"),
+        ],
+        "priority int, pattern string, action string",
+    )
+    return rule_filter(d, F.col("text"), rules).select(
+        "doc_id", "lang", "source", "decision", "matched_priority"
+    )
+
+
+@q(
     "kg_property_table",
     f"""SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
        n_name AS name,
@@ -5448,8 +5484,12 @@ _VERIFY_FIRST = [
     # sparql_select_exec / sparql_construct) for the new TriG codec
     "rdf_trig_parse",
     # sparql_construct displaced (r2-green; template construction
-    # unchanged, BGP-ordering change anchored by rdf_bgp_join)
-    "sparql_update_graph_mgmt",
+    # unchanged, BGP-ordering change anchored by rdf_bgp_join);
+    # sparql_update_graph_mgmt then rotated to round 4 (pure
+    # filters/unions — the update MODULE is anchored in-window by the
+    # two modify-op entries, which exercise the parser and set algebra
+    # far harder) for the rule-engine anchor
+    "docs_rule_filter",
     # new SPARQL 1.1 executed extensions (round 3)
     "sparql_filter_bool",
     "sparql_values_exec",

@@ -501,3 +501,41 @@ def bm25_topk(
     top = scores.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("score_e6").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def rule_filter(
+    df: DataFrame,
+    subject: Column,
+    rules: DataFrame,
+    default_action: str = "keep",
+) -> DataFrame:
+    """Priority rule engine — the crawl-curation include/exclude list
+    (domain blocklists, content allowlists) as DATA, not code: ``rules``
+    carries ``(priority int, pattern string, action 'keep'|'drop')``;
+    the lowest-priority matching rule wins (first-match-wins in list
+    terms); unmatched rows get ``default_action``. Patterns must stay in
+    the Java∩RE2 subset (the ``redact_pattern`` contract) so the DuckDB
+    oracle matches.
+
+    Returns the input plus ``decision`` and ``matched_priority``
+    (NULL when no rule fired).
+
+    Scale: rule lists are human-curated and bounded, so they collect
+    once and compile into a first-match ``when`` chain (the ``qname_col``
+    longest-prefix precedent) — the corpus is evaluated in ONE narrow
+    projection: zero joins, zero shuffles, whatever the corpus size."""
+    collected = sorted(
+        ((r["priority"], r["pattern"], r["action"]) for r in rules.collect()),
+    )
+    for _, _, action in collected:
+        if action not in ("keep", "drop"):
+            raise ValueError(f"unknown rule action {action!r}")
+    decision = F.lit(default_action)
+    priority = F.lit(None).cast("int")
+    for prio, pattern, action in reversed(collected):
+        hit = subject.rlike(pattern)
+        decision = F.when(hit, F.lit(action)).otherwise(decision)
+        priority = F.when(hit, F.lit(prio).cast("int")).otherwise(priority)
+    return df.withColumn("decision", decision).withColumn(
+        "matched_priority", priority
+    )

@@ -194,3 +194,28 @@ def test_extract_lists_rejects_cycles(spark):
     )
     with pytest.raises(ValueError, match="cycle or oversized"):
         extract_lists(t, max_len=8)
+
+
+def test_rule_filter_priority_and_default(spark):
+    from rdf_rs_spark.operators.corpus import rule_filter
+
+    docs = spark.createDataFrame(
+        [(1, "bad spam here"), (2, "good stuff"), (3, "nothing")],
+        ["doc_id", "text"],
+    )
+    rules = spark.createDataFrame(
+        [(2, "spam", "drop"), (1, "bad", "keep"), (5, "stuff", "drop")],
+        "priority int, pattern string, action string",
+    )
+    got = {
+        r["doc_id"]: (r["decision"], r["matched_priority"])
+        for r in rule_filter(docs, F.col("text"), rules).collect()
+    }
+    # doc 1 matches both priority-1 keep and priority-2 drop -> keep wins
+    assert got == {1: ("keep", 1), 2: ("drop", 5), 3: ("keep", None)}
+
+    bad = spark.createDataFrame(
+        [(1, "x", "quarantine")], "priority int, pattern string, action string"
+    )
+    with pytest.raises(ValueError, match="unknown rule action"):
+        rule_filter(docs, F.col("text"), bad)
