@@ -1511,6 +1511,29 @@ def rdf_turtle_parse_collection(spark, sf_dir):
 
 
 @q(
+    "kg_characteristic_sets",
+    TRIPLES_CTE
+    + """SELECT cset, count(*)::BIGINT AS n_subjects, SUM(nt)::BIGINT AS n_triples
+    FROM (SELECT subj,
+            array_to_string(list_sort(list(DISTINCT pred)), ',') AS cset,
+            count(*) AS nt
+          FROM triples GROUP BY subj)
+    GROUP BY cset""",
+)
+def kg_characteristic_sets(spark, sf_dir):
+    """Characteristic sets (Neumann & Moerkotte ICDE'11 — the RDF
+    structural statistic real engines estimate star joins from;
+    ``operators/void.py::characteristic_sets``): subject → sorted
+    distinct predicate set, then shape → (subjects, triples). Two
+    map-side-combining aggregates; the star-schema KG yields the
+    nation/region/customer-with- and without-address shapes plus the
+    address blanks."""
+    from .operators.void import characteristic_sets
+
+    return characteristic_sets(_triples(spark, sf_dir))
+
+
+@q(
     "docs_rule_filter",
     """SELECT doc_id, lang, source,
       CASE WHEN regexp_matches(text, 'spark (shuffle|skew)') THEN 'drop'
@@ -5468,8 +5491,12 @@ _VERIFY_FIRST = [
     # join path is unchanged this round) for the new dup-shingle op
     "docs_dup_shingle_stats",
     # sparql_union_exec displaced (r2-green; its round-3 change is the
-    # shared BGP-ordering path, represented by rdf_bgp_join) for UPDATE
-    "sparql_update_exec",
+    # shared BGP-ordering path, represented by rdf_bgp_join) for UPDATE;
+    # sparql_update_exec then rotated to round 4 (update_quads_exec
+    # drives the same modify-op compiler over the richer quad surface;
+    # the plain-store difference is pinned by unit tests) for the
+    # characteristic-sets statistic
+    "kg_characteristic_sets",
     # sparql_filter_regex displaced (r2-green; the r3 FILTER compiler is
     # anchored in-window by sparql_filter_bool/sparql_bound_filter/
     # sparql_boolfn_in, and the regex branch stays under the local

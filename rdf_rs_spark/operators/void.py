@@ -54,3 +54,33 @@ def void_description(triples: DataFrame) -> DataFrame:
         )
     )
     return dataset.unionByName(classes).unionByName(properties)
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011) — THE
+    structural statistic of an RDF store: each subject's distinct
+    predicate set, aggregated into ``(cset, n_subjects, n_triples)``
+    where ``cset`` is the sorted comma-joined predicate list. Real
+    engines estimate star-join cardinalities from exactly this table;
+    it also doubles as a schema-discovery report (which "entity shapes"
+    exist, and how many of each).
+
+    Two map-side-combining aggregates: subject → sorted distinct
+    predicate array (plus the subject's triple count), then set →
+    counts. Shuffle ∝ subjects, then ∝ distinct shapes (ontology-sized)
+    — never the triple stream twice. Deterministic: sets are sorted, so
+    the same shape always produces the same key string."""
+    per_subj = (
+        triples.groupBy("subj")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("pred")), ",").alias("cset"),
+            F.count("*").alias("nt"),
+        )
+    )
+    return (
+        per_subj.groupBy("cset")
+        .agg(
+            F.count("*").alias("n_subjects"),
+            F.sum("nt").alias("n_triples"),
+        )
+    )
