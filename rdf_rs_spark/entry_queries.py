@@ -1511,6 +1511,39 @@ def rdf_turtle_parse_collection(spark, sf_dir):
 
 
 @q(
+    "docs_text_normalize",
+    """SELECT n_nationkey AS k,
+       nfc_normalize(n_name || ' cafe' || chr(769) || ' A' || chr(778)
+                     || chr(101) || chr(807) || chr(769)) AS nfc,
+       strip_accents(n_name || ' cafe' || chr(769) || ' A' || chr(778)
+                     || chr(101) || chr(807) || chr(769)) AS folded,
+       length(nfc_normalize(n_name || ' cafe' || chr(769) || ' A' || chr(778)
+                            || chr(101) || chr(807) || chr(769)))::INTEGER AS nfc_len
+    FROM nation""",
+)
+def docs_text_normalize(spark, sf_dir):
+    """Unicode canonicalization (``functions/text.py::nfc_col`` /
+    ``strip_accents_col``) — the pre-hashing normalization every dedup
+    and fingerprint pass needs, since composed and decomposed 'café'
+    must collide. Arrow kernels over stdlib unicodedata; the oracle
+    replays through DuckDB's utf8proc, pinning that BOTH engines apply
+    the same Unicode tables (combining acute, ring-above, and the
+    multi-mark cedilla+acute case are all exercised)."""
+    from .functions.text import nfc_col, strip_accents_col
+
+    raw = F.concat(
+        F.col("n_name"),
+        F.lit(" cafe\u0301 A\u030ae\u0327\u0301"),
+    )
+    return _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        nfc_col(raw).alias("nfc"),
+        strip_accents_col(raw).alias("folded"),
+        F.length(nfc_col(raw)).alias("nfc_len"),
+    )
+
+
+@q(
     "kg_characteristic_sets",
     TRIPLES_CTE
     + """SELECT cset, count(*)::BIGINT AS n_subjects, SUM(nt)::BIGINT AS n_triples

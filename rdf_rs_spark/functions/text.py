@@ -9,6 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+try:  # pandas/Arrow only needed by the normalization kernels below
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+except ImportError:  # pragma: no cover
+    pd = None
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 #: marker character classes for the n-gram/charclass language heuristic
@@ -107,3 +114,42 @@ def word_grams(text: Column, k: int = 3) -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingles as an array<string> (distinct, for Jaccard)."""
     return F.array_distinct(word_grams(text, k))
+
+
+def nfc_col(text: Column) -> Column:
+    """Unicode NFC normalization as an Arrow kernel (stdlib
+    ``unicodedata`` implements the same Unicode standard tables as
+    DuckDB's utf8proc — parity pinned by the oracle): the
+    pre-hashing/pre-dedup canonicalization step, since a composed and a
+    decomposed 'café' must fingerprint identically."""
+    import unicodedata
+
+    @pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if t is None else unicodedata.normalize("NFC", t) for t in s]
+        )
+
+    return _nfc(text)
+
+
+def strip_accents_col(text: Column) -> Column:
+    """Accent folding: NFD then drop combining marks (the utf8proc
+    ``strip_accents`` semantic — ß and ligatures survive; only marks
+    are removed). Arrow kernel, zero shuffle."""
+    import unicodedata
+
+    @pandas_udf(T.StringType())
+    def _strip(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if not unicodedata.combining(c)
+            )
+
+        return pd.Series([one(t) for t in s])
+
+    return _strip(text)

@@ -219,3 +219,26 @@ def test_rule_filter_priority_and_default(spark):
     )
     with pytest.raises(ValueError, match="unknown rule action"):
         rule_filter(docs, F.col("text"), bad)
+
+
+def test_unicode_normalization_kernels(spark):
+    """Composed and decomposed forms collide after NFC; accent folding
+    strips marks only (ß survives); NULL passes through."""
+    from rdf_rs_spark.functions.text import nfc_col, strip_accents_col
+
+    rows = [
+        (1, "café"),   # decomposed
+        (2, "café"),    # composed
+        (3, "straße"),  # ß is not a mark
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: (r["n"], r["f"])
+        for r in df.select(
+            "i", nfc_col(F.col("t")).alias("n"), strip_accents_col(F.col("t")).alias("f")
+        ).collect()
+    }
+    assert got[1] == ("café", "cafe") and got[2] == ("café", "cafe")
+    assert got[3] == ("straße", "straße")
+    assert got[4] == (None, None)
