@@ -684,3 +684,44 @@ def test_kcore_round_probes_edges_mapside(spark):
     plan = explain_str(dec, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_property_table_is_one_aggregate_no_join(spark):
+    """The property-table pivot must plan as ONE hash aggregate over the
+    predicate-filtered scan (partial + final) — never the naive
+    join-per-column plan (N self-joins), and never a join at all."""
+    from rdf_rs_spark.operators.table_to_triples import (
+        property_table,
+        star_schema_triples,
+    )
+
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    region = spark.read.parquet(f"{SF}/region.parquet")
+    t = star_schema_triples(customer, nation, region)
+    wide = property_table(
+        t,
+        {
+            "name": ("http://kg.example.org/name", None),
+            "in_region": ("http://kg.example.org/inRegion", None),
+        },
+    )
+    plan = explain_str(wide, "simple")
+    assert "Join" not in plan
+    assert count_exchanges(wide) == 1  # the single groupBy(subj)
+
+
+def test_rule_filter_is_zero_shuffle(spark):
+    """A compiled rule chain decides the corpus in one narrow
+    projection: no exchange, no join, whatever the corpus size."""
+    from rdf_rs_spark.operators.corpus import rule_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rules = spark.createDataFrame(
+        [(1, "spark", "keep"), (2, "join", "drop")],
+        "priority int, pattern string, action string",
+    )
+    out = rule_filter(docs, F.col("text"), rules)
+    plan = explain_str(out, "simple")
+    assert count_exchanges(out) == 0
+    assert "Join" not in plan
