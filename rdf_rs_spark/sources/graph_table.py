@@ -44,3 +44,52 @@ def triples_for_subject(
         (F.col("src_bucket") == subject_bucket(F.lit(subject), n_buckets))
         & (F.col("subj") == subject)
     )
+
+
+def write_graph_table(
+    triples: DataFrame,
+    target: str,
+    n_buckets: int = 64,
+    mode: str = "append",
+) -> None:
+    """Materialize triples to the subject-hash-bucketed graph table.
+
+    Two targets, one layout contract:
+
+    - ``catalog.db.table`` (no slash): an Iceberg V2 table via
+      ``writeTo(...).partitionedBy(bucket(n, subj))`` — the
+      bucket(subj) transform the north-star names; requires the
+      deployment's catalog to be configured
+      (``spark.sql.catalog.<name>`` + the iceberg-spark-runtime jar on
+      the cluster). This sandbox ships no Iceberg jar, so the path is
+      VALIDATED (clear error naming the missing conf) but exercised
+      only on a real deployment.
+    - a filesystem path: plain parquet partitioned by the identical
+      ``src_bucket = pmod(xxhash64(subj), n)`` column — the stand-in
+      layout every local test and bench reads back with planning-time
+      partition pruning (pinned in tests/test_plan_properties.py).
+
+    Either way the reader-side contract (``subject_bucket`` lockstep)
+    is unchanged — a query written against one target runs against the
+    other."""
+    if "/" not in target:
+        catalog = target.split(".", 1)[0]
+        spark = triples.sparkSession
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            raise RuntimeError(
+                f"catalog {catalog!r} is not configured "
+                f"(set spark.sql.catalog.{catalog} and ship the "
+                "iceberg-spark-runtime jar); for a filesystem stand-in "
+                "pass a path instead"
+            )
+        writer = triples.writeTo(target).partitionedBy(
+            F.bucket(n_buckets, F.col("subj"))
+        )
+        (writer.createOrReplace() if mode == "overwrite" else writer.append())
+        return
+    (
+        triples.withColumn("src_bucket", subject_bucket(F.col("subj"), n_buckets))
+        .write.mode(mode)
+        .partitionBy("src_bucket")
+        .parquet(target)
+    )

@@ -242,3 +242,29 @@ def test_unicode_normalization_kernels(spark):
     assert got[1] == ("café", "cafe") and got[2] == ("café", "cafe")
     assert got[3] == ("straße", "straße")
     assert got[4] == (None, None)
+
+
+def test_write_graph_table_dispatch(spark, tmp_path):
+    """Path targets write the bucketed parquet layout the reader prunes;
+    catalog targets validate the Iceberg catalog conf loudly (no jar in
+    this sandbox)."""
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.sources.graph_table import (
+        read_triples,
+        triples_for_subject,
+        write_graph_table,
+    )
+
+    t = spark.createDataFrame(
+        [(f"http://e.org/s{i}", "http://e.org/p", 2, f"v{i}", None, None) for i in range(20)],
+        TRIPLES_SCHEMA,
+    )
+    out = str(tmp_path / "graph")
+    write_graph_table(t, out, n_buckets=4, mode="overwrite")
+    back = read_triples(spark, out)
+    assert back.count() == 20 and "src_bucket" in back.columns
+    hit = triples_for_subject(back, "http://e.org/s7", n_buckets=4)
+    assert [r.obj_lex for r in hit.collect()] == ["v7"]
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        write_graph_table(t, "lake.kg.triples", n_buckets=4)
