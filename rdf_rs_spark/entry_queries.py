@@ -4328,6 +4328,57 @@ def kg_comention_triangles(spark, sf_dir):
     return triangle_count(comention_edges(links))
 
 
+def _walks_oracle(n: int, walk_len: int) -> str:
+    """DuckDB replay of the deterministic walks over the regenerated
+    co-mention graph: per step, rank-1 window over md5(walk ⊕ step ⊕
+    neighbor) — the same argmin the engine's min-struct computes."""
+    sql = f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    f0 AS (SELECT src || '#0' AS walk_id, src AS node, 0 AS step
+           FROM (SELECT DISTINCT src FROM edges))"""
+    prev = "f0"
+    for i in range(1, walk_len + 1):
+        sql += f""",
+    c{i} AS (SELECT walk_id, dst AS node, {i} AS step FROM (
+        SELECT f.walk_id, e.dst,
+          row_number() OVER (PARTITION BY f.walk_id
+            ORDER BY md5(f.walk_id || chr(1) || '{i}' || chr(1) || e.dst), e.dst) AS rk
+        FROM {prev} f JOIN edges e ON e.src = f.node) WHERE rk = 1)"""
+        prev = f"c{i}"
+    union = " UNION ALL ".join(
+        ["SELECT * FROM f0"] + [f"SELECT * FROM c{i}" for i in range(1, walk_len + 1)]
+    )
+    return sql + f"\n    SELECT walk_id, step::INTEGER AS step, node FROM ({union})"
+
+
+@q("kg_random_walks", _walks_oracle(2000, 4))
+def kg_random_walks(spark, sf_dir):
+    """DeepWalk corpus generation over the co-mention graph
+    (``operators/kg_training.py::random_walks``): 4-step walks from
+    every entity where each step moves to the neighbor minimizing
+    ``md5(walk ⊕ step ⊕ neighbor)`` — content-addressed pseudo-random
+    choice, so resumes, re-shards and the DuckDB oracle all emit the
+    identical walk corpus (the reproducibility an RNG walk cannot
+    give). Per step: frontier×edges equi-join + map-side min-struct
+    argmin, localCheckpoint barrier."""
+    from .linking import link_mentions
+    from .operators.kg_training import random_walks
+    from .operators.pagerank import comention_edges
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for key, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + key):
+            n = v
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return random_walks(comention_edges(links), walk_len=4, walks_per_node=1)
+
+
 @q("kg_entity_pagerank", _pagerank_oracle(2000))
 def kg_entity_pagerank(spark, sf_dir):
     """Entity-salience PageRank over the KG's co-mention graph
@@ -5552,7 +5603,10 @@ _VERIFY_FIRST = [
     "docs_rule_filter",
     # new SPARQL 1.1 executed extensions (round 3)
     "sparql_filter_bool",
-    "sparql_values_exec",
+    # sparql_values_exec rotated to round 4 (a createDataFrame literal
+    # relation + shared-var inner join — thin plumbing next to the
+    # compiler anchors that stay in-window) for the walk-corpus anchor
+    "kg_random_walks",
     # sparql_bind_exec displaced (select_expr drives the IDENTICAL
     # _value_column compiler through the new §9.3 parser branch; BIND's
     # remaining surface is a 2-line withColumn loop under the local

@@ -84,3 +84,68 @@ def negative_samples(triples: DataFrame, k: int = 2) -> DataFrame:
         .filter(F.col("entity") != F.col("tail"))
         .select("head", "rel", "tail", "neg_c", F.col("entity").alias("neg_tail"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+) -> DataFrame:
+    """DeepWalk-style walk corpus over ``(src, dst)`` edges — the
+    skip-gram data-prep step of node-embedding training — with the same
+    reproducibility contract as ``negative_samples``: each step is
+    CONTENT-ADDRESSED, not RNG'd. Walker w standing on node u at step i
+    moves to the neighbor v minimizing ``md5(w ⊕ i ⊕ v)`` — a
+    deterministic pseudo-random choice that is identical across
+    retries, partitionings and engines (the oracle replays it as a
+    per-walker rank-1 window).
+
+    Returns ``(walk_id, step, node)``; step 0 is the start node. A
+    walker on a node with no outgoing edge simply stops (its walk is
+    shorter — recorded, never padded or re-rolled).
+
+    Scale shape: one starts-relation ∝ nodes×walks_per_node; each step
+    is an equi-join of the CURRENT frontier against the edge relation
+    (shuffle ∝ frontier×avg-degree, the inherent neighbor enumeration)
+    followed by a map-side-combining min-struct argmin per walker, with
+    a ``localCheckpoint`` lineage barrier per step."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    starts = nodes.crossJoin(
+        F.broadcast(
+            nodes.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("w")
+            )
+        )
+    ).select(
+        F.concat_ws("#", "node", "w").alias("walk_id"), "node"
+    )
+    frontier = starts.withColumn("step", F.lit(0).cast("int")).localCheckpoint(
+        eager=True
+    )
+    acc = frontier
+    for i in range(1, walk_len + 1):
+        choice = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                "walk_id",
+                F.struct(
+                    F.md5(
+                        F.concat_ws("\x01", F.col("walk_id"), F.lit(str(i)), F.col("dst"))
+                    ).alias("h"),
+                    F.col("dst"),
+                ).alias("cand"),
+            )
+            .groupBy("walk_id")
+            .agg(F.min("cand").alias("best"))
+            .select(
+                "walk_id",
+                F.col("best.dst").alias("node"),
+                F.lit(i).cast("int").alias("step"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if choice.isEmpty():
+            break
+        acc = acc.unionByName(choice)
+        frontier = choice
+    return acc.select("walk_id", "step", "node")
