@@ -86,6 +86,17 @@ def test_corpus_contains_no_separator_byte(spark):
         assert docs.filter(F.col("text").contains(SEP)).count() == 0, sf
 
 
+def test_corpus_is_bmp_only(spark):
+    # the per-character '(.)' encodings (BPE, segment counting) match
+    # one UTF-16 code unit in Java but one codepoint in RE2 — astral
+    # characters (emoji) would split differently across engines. Pin
+    # the corpus invariant the oracles rely on, like the \x0B pin.
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(sf + "/documents.parquet")
+        n = docs.filter(F.col("text").rlike("[\\x{10000}-\\x{10FFFF}]")).count()
+        assert n == 0, f"{sf}: {n} documents contain astral codepoints"
+
+
 def test_bm25_ranks_term_dense_docs_first(spark):
     """A doc packed with the query terms outranks one mentioning a
     single term once; docs without any term never appear; empty text is
