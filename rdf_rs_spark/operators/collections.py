@@ -17,7 +17,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..terms import KIND_BLANK, RDF_FIRST, RDF_NIL, RDF_REST
+from ..terms import KIND_BLANK, RDF_FIRST, RDF_REST
 
 
 def extract_lists(
