@@ -4328,10 +4328,11 @@ def kg_comention_triangles(spark, sf_dir):
     return triangle_count(comention_edges(links))
 
 
-def _walks_oracle(n: int, walk_len: int) -> str:
-    """DuckDB replay of the deterministic walks over the regenerated
+def _walks_ctes(n: int, walk_len: int) -> str:
+    """CTE chain replaying the deterministic walks over the regenerated
     co-mention graph: per step, rank-1 window over md5(walk ⊕ step ⊕
-    neighbor) — the same argmin the engine's min-struct computes."""
+    neighbor) — the same argmin the engine's min-struct computes. Ends
+    with a ``walks`` CTE holding (walk_id, step, node)."""
     sql = f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
     m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
           UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
@@ -4352,7 +4353,14 @@ def _walks_oracle(n: int, walk_len: int) -> str:
     union = " UNION ALL ".join(
         ["SELECT * FROM f0"] + [f"SELECT * FROM c{i}" for i in range(1, walk_len + 1)]
     )
-    return sql + f"\n    SELECT walk_id, step::INTEGER AS step, node FROM ({union})"
+    return sql + f",\n    walks AS ({union})"
+
+
+def _walks_oracle(n: int, walk_len: int) -> str:
+    return (
+        _walks_ctes(n, walk_len)
+        + "\n    SELECT walk_id, step::INTEGER AS step, node FROM walks"
+    )
 
 
 @q("kg_random_walks", _walks_oracle(2000, 4))
@@ -4377,6 +4385,42 @@ def kg_random_walks(spark, sf_dir):
     pages = synthesize_web_pages(spark, n)
     links = link_mentions(pages, synthesize_alias_dict(spark))
     return random_walks(comention_edges(links), walk_len=4, walks_per_node=1)
+
+
+@q(
+    "kg_skipgram_pairs",
+    _walks_ctes(2000, 4)
+    + """
+    SELECT center, context, "offset"::INTEGER AS "offset", count(*)::BIGINT AS n
+    FROM (
+      SELECT a.node AS center, b.node AS context, b.step - a.step AS "offset"
+      FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+      WHERE a.step <> b.step AND abs(b.step - a.step) <= 2)
+    GROUP BY 1, 2, 3""",
+)
+def kg_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, offset) frequencies over the walk
+    corpus (``operators/kg_training.py::skipgram_pairs``) — the
+    word2vec-family training relation that completes the DeepWalk prep
+    path (walks → pairs → negatives all content-addressed). One
+    self-equi-join on walk_id with a bounded band filter."""
+    from .linking import link_mentions
+    from .operators.kg_training import random_walks, skipgram_pairs
+    from .operators.pagerank import comention_edges
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for key, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + key):
+            n = v
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    walks = random_walks(comention_edges(links), walk_len=4, walks_per_node=1)
+    return (
+        skipgram_pairs(walks, window=2)
+        .groupBy("center", "context", "offset")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 @q("kg_entity_pagerank", _pagerank_oracle(2000))

@@ -149,3 +149,29 @@ def random_walks(
         acc = acc.unionByName(choice)
         frontier = choice
     return acc.select("walk_id", "step", "node")
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus: for every walk
+    position, the (center, context) node pairs within ``window`` steps
+    — the input relation of word2vec-family node-embedding training.
+
+    One self-equi-join on ``walk_id`` with the step-distance band
+    applied as a post-join filter (walks are short — ``walk_len`` rows
+    per id — so the band filter prunes a bounded fan-out, never an
+    unbounded range explosion). Returns
+    ``(center, context, offset)`` with offset = context_step −
+    center_step ∈ [−window, window] \\ {0}; counts, not distinct —
+    skip-gram training wants pair FREQUENCY."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("cs"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("xs"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .withColumn("offset", (F.col("xs") - F.col("cs")).cast("int"))
+        .filter((F.col("offset") != 0) & (F.abs("offset") <= window))
+        .select("center", "context", "offset")
+    )
