@@ -1,0 +1,81 @@
+"""Property tests pinning the \\x01-replace BPE trick against a
+straightforward pure-Python Sennrich reference (positional pair counts,
+greedy left-to-right merge, count-desc/lhs-asc/rhs-asc tie-break) —
+the same equivalence discipline as tests/test_scanner_fastpath.py."""
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.tokenizer import bpe_segment_count, bpe_train
+
+
+def _py_merge(syms: tuple, pair: tuple) -> tuple:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _py_bpe(corpus: str, n_merges: int):
+    """Reference Sennrich trainer over a whitespace-tokenized corpus;
+    returns (merges, final word->symbols map), stopping early when the
+    vocabulary exhausts."""
+    freqs = Counter(corpus.split())
+    vocab = {tuple(w): f for w, f in freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0][0], best[0][1], best[1]))
+        vocab = {_py_merge(s, best[0]): f for s, f in vocab.items()}
+    return merges, vocab
+
+
+# short words over a tiny alphabet force heavy pair collisions,
+# overlapping repeats (aaa/aaaa) and tie-breaks — the hard cases
+_word = st.text(alphabet="ab", min_size=1, max_size=5)
+_corpus = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus)
+def test_bpe_train_matches_pure_python_reference(spark, corpus):
+    n = 3
+    py_merges, _ = _py_bpe(corpus, n)
+    if len(py_merges) < n:
+        return  # engine raises on exhaustion (pinned elsewhere)
+    docs = spark.createDataFrame([(corpus,)], ["text"])
+    got = [
+        (r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, F.col("text"), n_merges=n).collect()
+    ]
+    assert got == py_merges
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpus)
+def test_bpe_segment_count_matches_pure_python_apply(spark, corpus):
+    py_merges, _ = _py_bpe(corpus, 2)
+    pairs = [(lhs, rhs) for lhs, rhs, _ in py_merges]
+    # reference application: merge each word greedily, in merge order
+    total = 0
+    for w in corpus.split():
+        syms = tuple(w)
+        for p in pairs:
+            syms = _py_merge(syms, p)
+        total += len(syms)
+    docs = spark.createDataFrame([(corpus,)], ["text"])
+    got = docs.select(bpe_segment_count(F.col("text"), pairs).alias("n")).first()["n"]
+    assert got == total
