@@ -79,3 +79,38 @@ def test_bpe_segment_count_matches_pure_python_apply(spark, corpus):
     docs = spark.createDataFrame([(corpus,)], ["text"])
     got = docs.select(bpe_segment_count(F.col("text"), pairs).alias("n")).first()["n"]
     assert got == total
+
+
+def _py_kcore(edges, k):
+    """Reference peeling over a symmetric edge set."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    nodes = set(adj)
+    while True:
+        weak = {u for u in nodes if len(adj[u] & nodes) < k}
+        if not weak:
+            break
+        nodes -= weak
+    return {u: len(adj[u] & nodes) for u in nodes}
+
+
+_edge = st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1])
+_graph = st.lists(_edge, min_size=1, max_size=24)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_graph, st.integers(1, 3))
+def test_kcore_incremental_matches_pure_python_peeling(spark, und, k):
+    """The incremental-decrement peeling must equal a from-scratch
+    reference on adversarial little graphs (self-loops excluded,
+    symmetry enforced)."""
+    from rdf_rs_spark.operators.pagerank import kcore
+
+    sym = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    want = _py_kcore(sym, k)
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=k).collect()}
+    assert got == want
