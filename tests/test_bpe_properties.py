@@ -114,3 +114,52 @@ def test_kcore_incremental_matches_pure_python_peeling(spark, und, k):
     edges = spark.createDataFrame(sym, ["src", "dst"])
     got = {r["node"]: r["core_degree"] for r in kcore(edges, k=k).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.sampled_from("xyz")), min_size=1, max_size=8),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["add", "remove"]),
+            st.integers(1, 4),
+            st.integers(0, 5),
+            st.sampled_from("xyz"),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_apply_changelog_matches_reference_replay(spark, snap_rows, log_rows):
+    """Last-op-wins CDC application must equal a brute-force replay:
+    sort the log by (seq, op) per key and apply the final op to the
+    snapshot set."""
+    from rdf_rs_spark.graph import RdfGraph
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+
+    snap_set = {(f"s{s}", "p", 2, v, None, None) for s, v in snap_rows}
+    # reference replay: winner = highest seq, ties break to 'add' (ASC)
+    last = {}
+    for op, seq, s, v in log_rows:
+        key = (f"s{s}", "p", 2, v, None, None)
+        cur = last.get(key)
+        if cur is None or seq > cur[0] or (seq == cur[0] and op < cur[1]):
+            last[key] = (seq, op)
+    want = set(snap_set)
+    for key, (_, op) in last.items():
+        if op == "add":
+            want.add(key)
+        else:
+            want.discard(key)
+
+    snap_df = spark.createDataFrame(sorted(snap_set), TRIPLES_SCHEMA)
+    log_df = spark.createDataFrame(
+        [
+            (op, seq, f"s{s}", "p", 2, v, None, None)
+            for op, seq, s, v in log_rows
+        ],
+        "op string, seq bigint, subj string, pred string, obj_kind tinyint,"
+        " obj_lex string, obj_datatype string, obj_lang string",
+    )
+    got = {tuple(r) for r in RdfGraph(snap_df).apply_changelog(log_df).collect()}
+    assert got == want
