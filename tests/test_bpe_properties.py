@@ -163,3 +163,40 @@ def test_apply_changelog_matches_reference_replay(spark, snap_rows, log_rows):
     )
     got = {tuple(r) for r in RdfGraph(snap_df).apply_changelog(log_df).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.sampled_from("pqr")), min_size=1, max_size=20),
+    st.fixed_dictionaries({"p": st.integers(1, 4), "q": st.integers(1, 4)}),
+)
+def test_mixture_interleave_matches_reference_schedule(spark, rows, weights):
+    """The stride schedule must equal a pure-Python replay: per-group
+    md5 shuffle ranks, emission times (2i+1)*1e6 // (2w), global sort by
+    (t, group, seq). Group 'r' is unweighted and must drop."""
+    import hashlib
+
+    from rdf_rs_spark.operators.sampling import mixture_interleave
+
+    rows = list({(i, g) for i, g in rows})  # doc_id unique per group pairing
+    seen, uniq = set(), []
+    for i, g in rows:
+        if i not in seen:
+            seen.add(i)
+            uniq.append((i, g))
+    expected = []
+    for g in weights:
+        members = [i for i, gg in uniq if gg == g]
+        members.sort(key=lambda i: (hashlib.md5(f"epoch0\x01{i}".encode()).hexdigest(), i))
+        for seq, i in enumerate(members):
+            t = (2 * seq + 1) * 1_000_000 // (2 * weights[g])
+            expected.append((t, g, seq, i))
+    expected.sort()
+    want = [(i, pos) for pos, (_, _, _, i) in enumerate(expected)]
+
+    docs = spark.createDataFrame(uniq, ["doc_id", "lang"])
+    got = [
+        (r["doc_id"], r["position"])
+        for r in mixture_interleave(docs, "lang", weights).orderBy("position").collect()
+    ]
+    assert got == want
