@@ -200,3 +200,40 @@ def test_mixture_interleave_matches_reference_schedule(spark, rows, weights):
         for r in mixture_interleave(docs, "lang", weights).orderBy("position").collect()
     ]
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # per (doc, list): member values, 1..4 lists across 1..3 docs
+        st.tuples(st.integers(0, 2), st.lists(st.text("mn", min_size=1, max_size=2), min_size=1, max_size=4)),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_extract_lists_matches_reference_walk(spark, specs):
+    """Random well-formed cons forests (several lists per doc, shared
+    blank-label space per doc) must re-assemble exactly."""
+    from rdf_rs_spark.operators.collections import extract_lists
+    from rdf_rs_spark.terms import RDF_FIRST, RDF_NIL, RDF_REST
+
+    rows, want = [], set()
+    counters = {}
+    for doc_i, members in specs:
+        doc = f"d{doc_i}"
+        base = counters.get(doc, 0)
+        counters[doc] = base + len(members)
+        cells = [f"_:auto{base + j}" for j in range(len(members))]
+        for j, m in enumerate(members):
+            rows.append((doc, cells[j], RDF_FIRST, 2, m, None, None))
+            if j + 1 < len(members):
+                rows.append((doc, cells[j], RDF_REST, 1, cells[j + 1][2:], None, None))
+            else:
+                rows.append((doc, cells[j], RDF_REST, 0, RDF_NIL, None, None))
+            want.add((doc, cells[0], j, 2, m))
+    t = spark.createDataFrame(
+        rows,
+        "src_url string, subj string, pred string, obj_kind tinyint,"
+        " obj_lex string, obj_datatype string, obj_lang string",
+    )
+    got = {tuple(r) for r in extract_lists(t).collect()}
+    assert got == want
