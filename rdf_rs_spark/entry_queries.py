@@ -2674,9 +2674,9 @@ def corpus_sampling_weights(spark, sf_dir):
     )
 
 
-@q(
-    "corpus_curation_pipeline",
-    f"""WITH RECURSIVE {_DD_MINHASH_CTES},
+# the curation stages' CTE chain (near-dup droplist, repetition,
+# quality/lang base), shared by the survivors entry and the rejects audit
+_CURATION_CTES = f"""WITH RECURSIVE {_DD_MINHASH_CTES},
     edges AS (
       SELECT id_a AS s, id_b AS d FROM verified
       UNION SELECT id_b, id_a FROM verified
@@ -2707,7 +2707,13 @@ def corpus_sampling_weights(spark, sf_dir):
              ELSE 0.0 END))::BIGINT AS quality_e3
        FROM (SELECT doc_id, lang, text,
              CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-             FROM documents))
+             FROM documents))"""
+
+
+@q(
+    "corpus_curation_pipeline",
+    _CURATION_CTES
+    + """
     SELECT b.doc_id, b.n_tokens, b.quality_e3
     FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
     WHERE b.lang = 'en' AND b.quality_e3 >= 450 AND coalesce(r.rep_e3, 0) <= 150
@@ -2747,6 +2753,55 @@ def corpus_curation_pipeline(spark, sf_dir):
         .filter(F.coalesce(F.col("rep_e3"), F.lit(0)) <= 150)
         .join(drop, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "quality_e3")
+    )
+
+
+@q(
+    "corpus_curation_rejects",
+    _CURATION_CTES
+    + """
+    SELECT b.doc_id,
+      CASE WHEN b.lang <> 'en' THEN 'lang'
+           WHEN b.quality_e3 < 450 THEN 'quality'
+           WHEN coalesce(r.rep_e3, 0) > 150 THEN 'repetition'
+           ELSE 'near_dup' END AS reason
+    FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+    WHERE NOT (b.lang = 'en' AND b.quality_e3 >= 450
+               AND coalesce(r.rep_e3, 0) <= 150
+               AND b.doc_id NOT IN (SELECT doc_id FROM droplist))""",
+)
+def corpus_curation_rejects(spark, sf_dir):
+    """The curation pass's DEAD-LETTER audit (the same discipline as the
+    codec reject views): every dropped document with its FIRST failing
+    stage in pipeline order — lang → quality → repetition → near_dup.
+    Rejects and survivors PARTITION the corpus (pinned by test), so a
+    drop is never silent. Same narrow per-doc scores as the pipeline;
+    the only join is the broadcast-sized drop-list membership."""
+    from .operators.components import neardup_clusters
+    from .operators.corpus import repetition_e3_col
+    from .operators.dedup import dedup_minhash_lsh as _mh
+
+    d = _t(spark, sf_dir, "documents")
+    drop = (
+        neardup_clusters(_mh(d, F.col("text"), jaccard_threshold=0.5))
+        .filter(~F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("_nd", F.lit(True))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score_e3(F.col("text")).alias("quality_e3"),
+        repetition_e3_col(F.col("text"), k=2).alias("rep_e3"),
+    ).join(drop, "doc_id", "left")
+    reason = (
+        F.when(F.col("lang") != "en", "lang")
+        .when(F.col("quality_e3") < 450, "quality")
+        .when(F.coalesce(F.col("rep_e3"), F.lit(0)) > 150, "repetition")
+        .when(F.col("_nd"), "near_dup")
+    )
+    return scored.select("doc_id", reason.alias("reason")).filter(
+        F.col("reason").isNotNull()
     )
 
 

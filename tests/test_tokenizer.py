@@ -279,3 +279,20 @@ def test_write_graph_table_dispatch(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         write_graph_table(t, "lake.kg.triples", n_buckets=4)
+
+
+def test_curation_rejects_partition_the_corpus(spark):
+    """Survivors ∪ rejects == the corpus, disjoint — a curation drop is
+    never silent (the codec dead-letter discipline)."""
+    import __spark_entry__ as entry_mod
+
+    sf = SF_DIR
+    qs = entry_mod.queries()
+    kept = {r["doc_id"] for r in qs["corpus_curation_pipeline"](spark, sf).collect()}
+    rejected = {r["doc_id"] for r in qs["corpus_curation_rejects"](spark, sf).collect()}
+    all_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(sf + "/documents.parquet").select("doc_id").collect()
+    }
+    assert kept | rejected == all_ids
+    assert not (kept & rejected)
