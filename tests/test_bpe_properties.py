@@ -237,3 +237,34 @@ def test_extract_lists_matches_reference_walk(spark, specs):
     )
     got = {tuple(r) for r in extract_lists(t).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(_graph)
+def test_random_walks_match_reference_replay(spark, und):
+    """Content-addressed walks must equal a pure-Python replay: at each
+    step the neighbor minimizing (md5(walk\\x01step\\x01v), v)."""
+    import hashlib
+
+    from rdf_rs_spark.operators.kg_training import random_walks
+
+    sym = sorted({(str(a), str(b)) for a, b in und} | {(str(b), str(a)) for a, b in und})
+    adj = {}
+    for s, d in sym:
+        adj.setdefault(s, []).append(d)
+    want = set()
+    for start in sorted(adj):
+        wid, node = f"{start}#0", start
+        want.add((wid, 0, node))
+        for step in (1, 2, 3):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            node = min(
+                nbrs,
+                key=lambda v: (hashlib.md5(f"{wid}\x01{step}\x01{v}".encode()).hexdigest(), v),
+            )
+            want.add((wid, step, node))
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    got = {tuple(r) for r in random_walks(edges, walk_len=3).collect()}
+    assert got == want
