@@ -437,7 +437,10 @@ def construct(
                     F.when(col.startswith("_:"), F.lit(int(KIND_BLANK)))
                     .otherwise(F.lit(int(KIND_IRI)))
                     .cast("tinyint"),
-                    F.when(col.startswith("_:"), F.expr(f"substring({x[1:]}, 3)")).otherwise(col),
+                    F.when(
+                        col.startswith("_:"),
+                        col.substr(F.lit(3), F.length(col)),
+                    ).otherwise(col),
                     F.lit(None).cast("string"),
                     F.lit(None).cast("string"),
                 ]

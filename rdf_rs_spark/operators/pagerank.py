@@ -75,12 +75,21 @@ def pagerank_e6(
         )
         ranks = (
             nodes.join(incoming, "node", "left")
+            # two-step projection keeps the damping product integer end
+            # to end (long × long, then integer DIV — never a double,
+            # which would lose bits past 2^53 on web-scale rank sums)
             .select(
                 "node",
                 (
-                    F.lit(base_e6)
-                    + F.expr(f"({damping_e2} * coalesce(inc, 0L)) DIV 100")
-                ).cast("long").alias("rank_e6"),
+                    F.lit(damping_e2).cast("long")
+                    * F.coalesce(F.col("inc"), F.lit(0).cast("long"))
+                ).alias("scaled_inc"),
+            )
+            .select(
+                "node",
+                (F.lit(base_e6) + F.expr("scaled_inc DIV 100"))
+                .cast("long")
+                .alias("rank_e6"),
             )
             .localCheckpoint(eager=True)
         )
@@ -175,7 +184,12 @@ def bfs_levels(edges: DataFrame, seeds: DataFrame, max_iters: int = 20) -> DataF
     return visited
 
 
-def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 30,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop nodes
     whose (out-)degree over the surviving subgraph is below ``k`` until
     the node set is stable; returns ``(node, core_degree)`` — the
@@ -196,7 +210,19 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
     peels). ``localCheckpoint`` truncates the per-round lineage on the
     small degree relation. Integer degrees make the whole peeling
     schedule SQL-replayable (unrolled round CTEs recompute each round's
-    degrees from scratch — same fixpoint, independently derived)."""
+    degrees from scratch — same fixpoint, independently derived).
+
+    Scale-ADAPTIVE per round, the ``connected_components`` discipline:
+    the peeled boundary is broadcast only while it stays under
+    ``broadcast_threshold`` rows (cheap map-side probe of the persisted
+    edge relation, zero edge shuffle). On a power-law graph with ``k``
+    above the modal degree, round one peels the MAJORITY of nodes — an
+    unconditional broadcast of O(|V|) ids would blow the broadcast
+    limit / driver memory at web scale, so above the threshold the
+    round falls back to a plain shuffle join on ``dst`` (one exchange
+    of the boundary + the incident edges, still never rewriting the
+    edge relation). Both paths are pinned equal by
+    ``tests/test_plan_properties.py``."""
     e = edges.select("src", "dst").persist()
     try:
         deg = (
@@ -210,14 +236,18 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
                 .select("src")
                 .localCheckpoint(eager=True)
             )
-            if peeled.isEmpty():
+            n_peeled = peeled.count()
+            if n_peeled == 0:
                 return deg.select(F.col("src").alias("node"), "core_degree")
-            # the peeled boundary is a bounded set of node ids —
-            # broadcast it so the persisted edge relation is probed
-            # map-side and NEVER shuffles (a sort-merge join here would
-            # re-exchange every edge every round)
+            boundary = peeled.withColumnRenamed("src", "dst")
+            if n_peeled <= broadcast_threshold:
+                # small boundary: broadcast it so the persisted edge
+                # relation is probed map-side and NEVER shuffles (a
+                # sort-merge join here would re-exchange every edge
+                # every round)
+                boundary = F.broadcast(boundary)
             dec = (
-                e.join(F.broadcast(peeled.withColumnRenamed("src", "dst")), "dst")
+                e.join(boundary, "dst")
                 .groupBy("src")
                 .agg(F.count("*").alias("dec"))
             )

@@ -1010,9 +1010,18 @@ def _execute(triples: DataFrame, q: SparqlQuery) -> DataFrame:
                 # seeded-IVF / GROUP_CONCAT determinism pins)
                 col = F.min(F.col(target))
             elif adistinct:
-                # the lexer guarantees `target` is a plain identifier, so
-                # this is a fixed-shape expression, not pasted user text
-                col = F.expr(f"{func.lower()}(DISTINCT {target})")
+                # compiled via the typed Column API (no token text ever
+                # reaches SQL); MIN/MAX(DISTINCT) ≡ MIN/MAX, and
+                # AVG(DISTINCT) = SUM(DISTINCT)/COUNT(DISTINCT) per
+                # SPARQL §18.5.1 set semantics
+                c = F.col(target)
+                col = {
+                    "COUNT": lambda: F.count_distinct(c),
+                    "SUM": lambda: F.sum_distinct(c),
+                    "MIN": lambda: F.min(c),
+                    "MAX": lambda: F.max(c),
+                    "AVG": lambda: F.sum_distinct(c) / F.count_distinct(c),
+                }[func]()
             else:
                 col = {"COUNT": F.count, "SUM": F.sum, "MIN": F.min,
                        "MAX": F.max, "AVG": F.avg}[func](F.col(target))

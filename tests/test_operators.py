@@ -871,3 +871,25 @@ def test_kcore_peels_tail_and_keeps_clique(spark):
     got = {(r.node, r.core_degree) for r in kcore(edges, k=2).collect()}
     assert got == {("A", 2), ("B", 2), ("C", 2)}
     assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_shuffle_path_matches_broadcast_path(spark):
+    """Scale-adaptive peeling: forcing the large-boundary shuffle join
+    (broadcast_threshold=0) must produce the identical core as the
+    default broadcast probe — same fixpoint, different physical round."""
+    from rdf_rs_spark.operators.pagerank import kcore
+
+    und = (
+        [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)]  # 6-cycle (2-core)
+        + [("n0", "n2"), ("n3", "n5")]  # chords
+        + [(f"t{i}", f"n{i % 6}") for i in range(8)]  # pendant tails
+    )
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    small = {(r.node, r.core_degree) for r in kcore(edges, k=2).collect()}
+    large = {
+        (r.node, r.core_degree)
+        for r in kcore(edges, k=2, broadcast_threshold=0).collect()
+    }
+    assert small == large and small  # both non-empty and identical
