@@ -15,6 +15,8 @@ try:  # pandas/Arrow only needed by the normalization kernels below
     from pyspark.sql.functions import pandas_udf
 except ImportError:  # pragma: no cover
     pd = None
+    T = None
+    pandas_udf = None
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -122,6 +124,8 @@ def nfc_col(text: Column) -> Column:
     DuckDB's utf8proc — parity pinned by the oracle): the
     pre-hashing/pre-dedup canonicalization step, since a composed and a
     decomposed 'café' must fingerprint identically."""
+    if pd is None:  # pragma: no cover
+        raise ImportError("nfc_col requires pandas (Arrow kernel)")
     import unicodedata
 
     @pandas_udf(T.StringType())
@@ -137,6 +141,8 @@ def strip_accents_col(text: Column) -> Column:
     """Accent folding: NFD then drop combining marks (the utf8proc
     ``strip_accents`` semantic — ß and ligatures survive; only marks
     are removed). Arrow kernel, zero shuffle."""
+    if pd is None:  # pragma: no cover
+        raise ImportError("strip_accents_col requires pandas (Arrow kernel)")
     import unicodedata
 
     @pandas_udf(T.StringType())

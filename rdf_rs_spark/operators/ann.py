@@ -711,13 +711,19 @@ def sq_scales(
 def sq_encode(vec: Column, scales: List[float]) -> Column:
     """int8-range codes: ``trunc_toward_zero((x * 127) / scale_d)`` per
     dimension — pure double IEEE ops in a fixed order, so Spark and
-    DuckDB produce identical integers (ANSI double→int cast truncates;
-    |x| ≤ scale_d keeps every code in [-127, 127])."""
+    DuckDB produce identical integers (ANSI double→int cast truncates).
+    Components are clamped to [-127, 127] BEFORE the cast: for corpus
+    vectors the clamp is a no-op (scales are the corpus max-abs, so
+    |x| ≤ scale_d), but an external query exceeding the corpus
+    magnitude envelope saturates instead of emitting out-of-range codes
+    or overflowing the ANSI double→int cast into a job failure."""
     lit = F.array(*[F.lit(float(s)) for s in scales])
     return F.zip_with(
         vec.cast("array<double>"),
         lit,
-        lambda x, s: ((x * F.lit(127.0)) / s).cast("int"),
+        lambda x, s: F.least(
+            F.lit(127.0), F.greatest(F.lit(-127.0), (x * F.lit(127.0)) / s)
+        ).cast("int"),
     )
 
 

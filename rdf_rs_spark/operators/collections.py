@@ -35,8 +35,12 @@ def extract_lists(
     shuffle ∝ the number of LIVE lists, never the store; a
     ``localCheckpoint`` per round truncates the lineage (the
     ``bfs_levels`` discipline). A chain longer than ``max_len`` —
-    including any rdf:rest CYCLE, which malformed data can encode —
-    raises instead of looping or silently truncating."""
+    including any HEAD-REACHABLE rdf:rest cycle, which malformed data
+    can encode — raises instead of looping or silently truncating.
+    DETACHED cycles (every cell is an rdf:rest target, so the walk
+    never enters them) are caught by a coverage check at the end: any
+    cons cell carrying an rdf:first that no extracted list visited
+    raises too — malformed data is never silently dropped."""
     scope = list(scope)
     firsts = triples.filter(F.col("pred") == RDF_FIRST).select(
         *scope,
@@ -63,7 +67,7 @@ def extract_lists(
     acc = None
     for _ in range(max_len):
         members = frontier.join(firsts, on=scope + ["node"]).select(
-            *scope, "list_head", "pos", "member_kind", "member_lex"
+            *scope, "node", "list_head", "pos", "member_kind", "member_lex"
         )
         acc = members if acc is None else acc.unionByName(members)
         frontier = (
@@ -76,7 +80,21 @@ def extract_lists(
             .localCheckpoint(eager=True)
         )
         if frontier.isEmpty():
-            return acc
+            # coverage: a cell the walk never visited means a DETACHED
+            # rdf:rest cycle (no head exists to enter it) — one
+            # anti-join over the narrow rdf:first slice, not the store
+            orphans = (
+                firsts.select(*scope, "node")
+                .join(acc.select(*scope, "node"), on=scope + ["node"],
+                      how="left_anti")
+                .count()
+            )
+            if orphans:
+                raise ValueError(
+                    f"{orphans} cons cell(s) unreachable from any list "
+                    "head (detached rdf:rest cycle in malformed data)"
+                )
+            return acc.drop("node")
     raise ValueError(
         f"rdf:rest chain exceeds max_len={max_len} (cycle or oversized list)"
     )

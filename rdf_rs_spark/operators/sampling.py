@@ -50,6 +50,50 @@ def stratified_sample(
     return df.filter(sample_hash_col(key) < thr)
 
 
+def _global_positions(df: DataFrame, sort_cols, n_parts: int | None = None) -> DataFrame:
+    """0-based dense global rank under ``sort_cols`` (must be a unique
+    total order) WITHOUT funneling the corpus through one window
+    partition — the zipWithIndex idiom in pure DataFrame ops:
+
+    1. ``repartitionByRange`` on the sort key + ``sortWithinPartitions``
+       (one balanced range exchange; boundary sampling only moves WHERE
+       partition edges fall, never a row's global rank, because the key
+       is unique and partitions stay range-contiguous),
+    2. per-partition row counts → broadcast cumulative offsets (one
+       tiny n_parts-row relation, windowed on the driver-sized side),
+    3. ``position = offset(pid) + local rank`` via a window partitioned
+       by the materialized partition id (one balanced hash exchange).
+
+    Two balanced exchanges instead of one single-task global sort — the
+    fix for the bottleneck a ``Window.orderBy`` with no partitionBy
+    hits long before 100 TB."""
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32") or 32
+        )
+    ranked = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).cast("bigint").alias("_off"),
+    )
+    local_w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "position",
+            (F.col("_off") + F.row_number().over(local_w) - 1).cast("bigint"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -62,15 +106,14 @@ def shuffle_shards(
     round-robin shard. Resumed or re-sharded runs emit the identical
     order — the property an RNG shuffle cannot give — and the hash
     order is cluster-size-invariant like the content-hash samplers
-    above. One global sort (rows carry only id + hash until the final
-    join back is needed — callers typically write ``shard`` as the
-    partition column and let each trainer read its shard in
-    ``position`` order)."""
+    above. Positions come from the range-partitioned rank helper
+    (``_global_positions``) rather than a single-task global window;
+    callers typically write ``shard`` as the partition column and let
+    each trainer read its shard in ``position`` order."""
     h = F.md5(F.concat_ws("\x01", F.lit(salt), F.col(id_col).cast("string")))
-    w = Window.orderBy("h")
     return (
-        df.withColumn("h", h)
-        .withColumn("position", F.row_number().over(w) - 1)
+        _global_positions(df.withColumn("h", h), ["h", id_col])
+        .withColumn("position", F.col("position").cast("int"))
         .withColumn("shard", (F.col("position") % n_shards).cast("int"))
         .drop("h")
     )
@@ -99,10 +142,11 @@ def mixture_interleave(
     scheduling an unweighted source is a silent corpus-mix bug, so the
     caller must list every group it wants.
 
-    Scale: one rank per group (windows partitioned by group) plus the
-    final global sort — the same inherent cost as ``shuffle_shards``'s
-    single global order; shard for parallel readers via ``md5_shard``
-    or a modulo on ``position``."""
+    Scale: one rank per group (windows partitioned by group), then the
+    global position comes from the range-partitioned rank helper
+    (``_global_positions``) — never a single-task global window; shard
+    for parallel readers via ``md5_shard`` or a modulo on
+    ``position``."""
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
@@ -118,7 +162,4 @@ def mixture_interleave(
             "t", F.expr("(2 * seq + 1) * 1000000 DIV (2 * w)")
         )
     )
-    pos_w = Window.orderBy("t", group_col, "seq")
-    return out.withColumn(
-        "position", (F.row_number().over(pos_w) - 1).cast("bigint")
-    ).drop("w")
+    return _global_positions(out, ["t", group_col, "seq"]).drop("w")

@@ -73,6 +73,13 @@ def write_graph_table(
     is unchanged — a query written against one target runs against the
     other."""
     if "/" not in target:
+        if mode not in ("overwrite", "append"):
+            # the V2 writer has no ignore/error semantics — falling
+            # through to append() would silently duplicate data
+            raise ValueError(
+                f"unsupported mode {mode!r} for an Iceberg target "
+                "(use 'overwrite' or 'append')"
+            )
         catalog = target.split(".", 1)[0]
         spark = triples.sparkSession
         if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
@@ -85,7 +92,12 @@ def write_graph_table(
         writer = triples.writeTo(target).partitionedBy(
             F.bucket(n_buckets, F.col("subj"))
         )
-        (writer.createOrReplace() if mode == "overwrite" else writer.append())
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif spark.catalog.tableExists(target):
+            writer.append()
+        else:  # first append creates the table with the bucket layout
+            writer.create()
         return
     (
         triples.withColumn("src_bucket", subject_bucket(F.col("subj"), n_buckets))

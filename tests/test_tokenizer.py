@@ -207,6 +207,32 @@ def test_extract_lists_rejects_cycles(spark):
         extract_lists(t, max_len=8)
 
 
+def test_extract_lists_rejects_detached_cycles(spark):
+    """A DETACHED rdf:rest cycle (every cell is a rest target, so no
+    head exists and the walk never enters it) must raise via the
+    coverage check — never be silently dropped."""
+    from rdf_rs_spark.operators.collections import extract_lists
+    from rdf_rs_spark.terms import RDF_FIRST, RDF_REST, RDF_NIL
+
+    rows = [
+        # a well-formed 1-element list, so the walk itself terminates
+        ("d", "_:ok", RDF_FIRST, 2, "x", None, None),
+        ("d", "_:ok", RDF_REST, 0, RDF_NIL, None, None),
+        # a 2-cell cycle with no head: c -> e -> c (both are rest targets)
+        ("d", "_:c", RDF_FIRST, 2, "y", None, None),
+        ("d", "_:c", RDF_REST, 1, "e", None, None),
+        ("d", "_:e", RDF_FIRST, 2, "z", None, None),
+        ("d", "_:e", RDF_REST, 1, "c", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "src_url string, subj string, pred string, obj_kind tinyint,"
+        " obj_lex string, obj_datatype string, obj_lang string",
+    )
+    with pytest.raises(ValueError, match="detached rdf:rest cycle"):
+        extract_lists(t, max_len=8).collect()
+
+
 def test_rule_filter_priority_and_default(spark):
     from rdf_rs_spark.operators.corpus import rule_filter
 
@@ -279,6 +305,23 @@ def test_write_graph_table_dispatch(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         write_graph_table(t, "lake.kg.triples", n_buckets=4)
+
+    # unsupported modes on the Iceberg path raise up front (ignore/error
+    # have no V2-writer semantics — falling through to append would
+    # silently duplicate data)
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_graph_table(t, "lake.kg.triples", n_buckets=4, mode="ignore")
+
+
+def test_sq_encode_clamps_out_of_envelope_queries(spark):
+    """Query components beyond the corpus max-abs envelope saturate to
+    ±127 instead of emitting out-of-range codes or overflowing the ANSI
+    double→int cast."""
+    from rdf_rs_spark.operators.ann import sq_encode
+
+    df = spark.createDataFrame([(1, [2.0, -3.0e300, 0.25])], ["i", "v"])
+    codes = df.select(sq_encode(F.col("v"), [1.0, 1.0, 1.0]).alias("c")).first()["c"]
+    assert codes == [127, -127, 31]
 
 
 def test_curation_rejects_partition_the_corpus(spark):
