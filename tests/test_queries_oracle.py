@@ -119,3 +119,32 @@ def test_rows_only_queries_run(spark):
             continue
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_verify_window_and_deferred_partition_the_registry():
+    """Registry hygiene (VERDICT r3 #9): the driver checks only the first
+    50 dict entries, so every @q registration must either sit in the
+    _VERIFY_FIRST head window or carry a written adjudication in
+    DEFERRED. A new entry that lands in neither fails here instead of
+    silently sitting outside the check window forever."""
+    from rdf_rs_spark.entry_queries import DEFERRED, QUERIES, _VERIFY_FIRST
+
+    window = list(_VERIFY_FIRST)
+    assert len(window) == 50, f"window must be exactly 50, got {len(window)}"
+    assert len(set(window)) == 50, "duplicate names in _VERIFY_FIRST"
+    overlap = set(window) & set(DEFERRED)
+    assert not overlap, f"entries both in window and DEFERRED: {sorted(overlap)}"
+    names = set(QUERIES)
+    stranded = names - set(window) - set(DEFERRED)
+    assert not stranded, (
+        f"queries neither in _VERIFY_FIRST nor adjudicated in DEFERRED: "
+        f"{sorted(stranded)}"
+    )
+    ghosts = (set(window) | set(DEFERRED)) - names
+    assert not ghosts, f"window/DEFERRED names not in the registry: {sorted(ghosts)}"
+    for name, reason in DEFERRED.items():
+        assert isinstance(reason, str) and len(reason) >= 15, (
+            f"DEFERRED[{name!r}] needs a real reason string"
+        )
+    # the registry dict must actually lead with the window, in order
+    assert list(QUERIES)[:50] == window
