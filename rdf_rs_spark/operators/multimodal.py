@@ -3,10 +3,12 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
 
-Two decode paths are REAL (stdlib + numpy only, driver-oracled):
-PCM WAV (:func:`decode_wav_features`) and binary PPM
-(:func:`decode_ppm_features`). The general codec step for compressed
-formats (JPEG/MP3/H.264) remains STUBBED — no PIL/ffmpeg in this
+Three decode paths are REAL (stdlib + numpy only, driver-oracled):
+PCM WAV (:func:`decode_wav_features`), binary PPM
+(:func:`decode_ppm_features`), and 24-bit BMP
+(:func:`decode_bmp_features` — stride padding, BGR order, bottom-up
+flip). The codec step for genuinely COMPRESSED formats
+(JPEG/MP3/H.264) remains STUBBED — no PIL/ffmpeg in this
 container: ``decode_stub=True`` produces deterministic fake features
 (a seeded digest of the bytes), while the Spark-side plumbing — schema,
 batch shape, partitioning, UDF signature — is real and tested. Swap
@@ -220,6 +222,115 @@ def decode_ppm_features(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("rowsum_b", T.LongType(), False),
+    ]
+)
+
+
+def decode_bmp_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL image decode (24-bit uncompressed BMP, BITMAPINFOHEADER):
+    parses the 14-byte file header (pixel-array offset), the 40-byte
+    info header (dimensions, bit depth, BI_RGB compression), honors the
+    4-byte row-stride padding and the on-disk B,G,R channel order, and
+    flips the bottom-up row order (negative height = top-down, also
+    handled). Aggregates per-channel pixel sums plus ``rowsum_b`` =
+    Σ (row_from_top + 1) · B over all pixels — a feature that is WRONG
+    unless the row flip and stride are both right, so the oracle checks
+    real decode behavior, not just payload length. Arrow-batched and
+    narrow; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        cols = ["media_id", "width", "height", "sum_r", "sum_g", "sum_b", "rowsum_b"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                b = bytes(getattr(rec, payload_col))
+                assert b[:2] == b"BM", "not a BMP payload"
+                (off,) = struct.unpack_from("<I", b, 10)
+                w, h_signed = struct.unpack_from("<ii", b, 18)
+                (bits,) = struct.unpack_from("<H", b, 28)
+                (comp,) = struct.unpack_from("<I", b, 30)
+                assert bits == 24 and comp == 0, "decoder expects 24-bit BI_RGB"
+                h = abs(h_signed)
+                stride = (w * 3 + 3) // 4 * 4
+                px = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+                px = px.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                if h_signed > 0:  # bottom-up storage → flip to top-down
+                    px = px[::-1]
+                px = px.astype(np.int64)
+                sums = px.sum(axis=(0, 1))  # on-disk order: B, G, R
+                rw = np.arange(1, h + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        getattr(rec, id_col),
+                        w,
+                        h,
+                        int(sums[2]),
+                        int(sums[1]),
+                        int(sums[0]),
+                        int((rw @ px[:, :, 0].sum(axis=1))),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=BMP_FEATURES_SCHEMA)
+
+
+def synthesize_bmp_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic 24-bit BMP payloads from a row index: width
+    ``(i%7)+1`` (covers all four row-padding widths), height
+    ``(i%4)+2``, and per-ROW channel values ``B=(i+r)%256``,
+    ``G=(7i+r)%256``, ``R=(13i+r)%256`` where ``r`` is the row index
+    FROM THE TOP — written bottom-up with proper stride padding, so
+    every decoded feature (incl. the row-order-weighted ``rowsum_b``)
+    is a closed form of ``i`` that a SQL oracle derives independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                i = int(getattr(rec, id_col))
+                w, h = (i % 7) + 1, (i % 4) + 2
+                stride = (w * 3 + 3) // 4 * 4
+                body = bytearray()
+                for k in range(h):  # bottom-up: last top-row first... no —
+                    r = h - 1 - k  # row written k-th from the bottom is top-row r
+                    px = bytes(
+                        ((i + r) % 256, (7 * i + r) % 256, (13 * i + r) % 256)
+                    ) * w
+                    body += px + b"\x00" * (stride - 3 * w)
+                off = 14 + 40
+                header = struct.pack(
+                    "<2sIHHI", b"BM", off + len(body), 0, 0, off
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+                )
+                rows.append((f"bmp:{i}", bytes(header) + bytes(body)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
 
 
 def synthesize_wav_media(df: DataFrame, id_col: str = "id") -> DataFrame:

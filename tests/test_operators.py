@@ -776,6 +776,49 @@ def test_ppm_decode_gradient(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
+def test_bmp_decode_handwritten_and_topdown(spark):
+    """A hand-assembled 2x2 24-bit BMP (stride 8, so 2 pad bytes/row,
+    bottom-up) through the REAL decoder — pixel-exact ground truth for
+    BGR order, padding skip, and the row flip — plus the same pixels in
+    a negative-height (top-down) container, which must decode
+    identically except for the flip."""
+    import struct
+
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import decode_bmp_features
+
+    # top-down pixel grid (h=2, w=2), channels [B, G, R]
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+
+    def bmp(h_signed: int, rows) -> bytes:
+        body = b"".join(bytes(r) + b"\x00\x00" for r in rows)  # stride 8
+        off = 54
+        return (
+            struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, 2, h_signed, 1, 24, 0,
+                          len(body), 0, 0, 0, 0)
+            + body
+        )
+
+    bottom_up = bmp(2, [px[1].ravel(), px[0].ravel()])   # stored bottom row first
+    top_down = bmp(-2, [px[0].ravel(), px[1].ravel()])
+    df = spark.createDataFrame(
+        [("up", bytearray(bottom_up)), ("down", bytearray(top_down))],
+        "media_id string, payload binary",
+    )
+    got = {r.media_id: r for r in decode_bmp_features(df).collect()}
+    p = px.astype(int)
+    for r in got.values():
+        assert (r.width, r.height) == (2, 2)
+        assert (r.sum_b, r.sum_g, r.sum_r) == tuple(p.sum(axis=(0, 1)))
+        # rowsum_b weights rows FROM THE TOP: 1*(10+40) + 2*(70+100)
+        assert r.rowsum_b == 1 * (10 + 40) + 2 * (70 + 100) == 390
+
+
 def test_dup_shingle_stats(spark):
     from pyspark.sql import functions as F
 
