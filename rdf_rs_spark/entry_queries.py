@@ -4699,6 +4699,21 @@ def kg_rdfs_closure(spark, sf_dir):
     return rdfs_closure(_rdfs_store(spark, sf_dir))
 
 
+@q("kg_rdfs_closure_distributed", _RDFS_CLOSURE_ORACLE)
+def kg_rdfs_closure_distributed(spark, sf_dir):
+    """The schema-heavy fallback path (VERDICT r3 #7) under the SAME
+    closed-form entailment oracle as ``kg_rdfs_closure``: forcing
+    ``schema_threshold=1`` makes the ontology "too big for the driver",
+    so the subclass/subproperty fixpoints run as distributed semi-naive
+    closures (``inference.py::_distributed_schema_relations``) and the
+    rule joins go through AQE instead of explicit broadcasts. Equality
+    with the driver path is additionally pinned row-for-row in
+    ``tests/test_inference.py``."""
+    from .operators.inference import rdfs_closure
+
+    return rdfs_closure(_rdfs_store(spark, sf_dir), schema_threshold=1)
+
+
 @q("kg_rdfs_closure_incremental", _RDFS_CLOSURE_ORACLE)
 def kg_rdfs_closure_incremental(spark, sf_dir):
     """Incremental closure maintenance under the SAME full-closure
@@ -5755,11 +5770,11 @@ _VERIFY_FIRST = [
     "dedup_minhash_pairs",
     "ann_cosine_topk",
     "docs_quality_score",
-    "events_asof_last_signup",
-    # new this round (displaced the dedup_neardup_clusters and
-    # rdf_skolemize fills)
+    # new this round (displaced the dedup_neardup_clusters,
+    # rdf_skolemize, and events_asof_last_signup fills)
     "multimodal_bmp_decode",
     "ann_ivf_invariants",
+    "kg_rdfs_closure_distributed",
 ]
 
 # Every registered query is either in the 50-slot head window above or
@@ -5849,6 +5864,7 @@ DEFERRED = {
     "sparql_select_exec": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_sql_text_query": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_skolemize": "green r1 under the driver hash gate; r4 fill slot ceded to ann_ivf_invariants",
+    "events_asof_last_signup": "green r1 under the driver hash gate; r4 fill slot ceded to kg_rdfs_closure_distributed",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",

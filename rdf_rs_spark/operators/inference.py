@@ -10,16 +10,21 @@ Scale design — the ontology/instance asymmetry IS the plan: schema
 triples (``rdfs:subClassOf`` / ``subPropertyOf`` / ``domain`` /
 ``range``) are a bounded, tiny fraction of any real graph (DBpedia:
 ~10^3 schema vs ~10^9 instance triples), so the transitive closures are
-computed driver-side over the collected schema (with a hard cap that
-RAISES rather than silently collecting a runaway "ontology") and shipped
-back as broadcast joins. The instance stream is therefore never
-shuffled by the rules themselves — each rule is one broadcast hash join
-— and the single shuffle in the whole operator is the final
-``dropDuplicates`` that set-normalizes the materialized graph (RDF
-graphs are sets; derivations arrive via many paths). At 100 TB this is
-the only viable shape: an iterative distributed fixpoint over the
-instance data would re-shuffle the full corpus O(depth) times to derive
-what the 10 kB ontology already determines.
+computed driver-side over the collected schema (behind a hard cap that
+is never silently exceeded) and shipped back as broadcast joins. The
+instance stream is therefore never shuffled by the rules themselves —
+each rule is one broadcast hash join — and the single shuffle in the
+whole operator is the final ``dropDuplicates`` that set-normalizes the
+materialized graph (RDF graphs are sets; derivations arrive via many
+paths). At 100 TB this is the only viable shape: an iterative
+distributed fixpoint over the INSTANCE data would re-shuffle the full
+corpus O(depth) times to derive what the 10 kB ontology already
+determines. Above the cap (a schema-heavy graph — e.g. large OWL
+ontologies swept up in crawl data) the SCHEMA closure itself goes
+distributed: semi-naive fixpoints over only the schema slice
+(``_distributed_schema_relations``), then the identical rule joins with
+the broadcast decision left to AQE — the instance stream still sees
+exactly one rule join per rule plus the final dropDuplicates.
 
 Rules implemented (RDFS entailment, W3C RDF 1.1 Semantics §9.2.1):
   rdfs5/11  subPropertyOf / subClassOf transitivity (schema closure)
@@ -99,6 +104,61 @@ def _type_row(subj_col, cls_col):
     ]
 
 
+def _distributed_schema_relations(schema_df: DataFrame, max_iters: int = 30):
+    """The four rule relations as DataFrames, computed WITHOUT ever
+    collecting the schema: semi-naive transitive closures (one
+    edge-join + left-anti per round, ``localCheckpoint`` lineage
+    truncation — the ``paths.transitive_closure`` discipline) for
+    rdfs5/11, then the reflexive-extended subproperty map joined onto
+    domain/range for the rdfs2/3 expansion. This is the fallback for
+    graphs whose "ontology" does NOT fit on the driver (e.g. large OWL
+    ontologies swept up in crawl data); it mirrors the driver-side
+    ``_strict_closure`` semantics exactly — reflexive pairs only for
+    nodes on genuine cycles."""
+    from .paths import transitive_closure
+
+    def closure(pred: str) -> DataFrame:
+        e = schema_df.filter(F.col("pred") == pred).select(
+            F.col("subj").alias("src"),
+            F.col("obj_lex").alias("dst"),
+            F.lit(True).alias("dst_is_node"),
+        )
+        return transitive_closure(e, max_iters=max_iters).select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+
+    sc_df = closure(RDFS_SUBCLASS)
+    sp_df = closure(RDFS_SUBPROP)
+    sp_edges = schema_df.filter(F.col("pred") == RDFS_SUBPROP)
+    dom = schema_df.filter(F.col("pred") == RDFS_DOMAIN).select(
+        F.col("subj").alias("p"), F.col("obj_lex").alias("c")
+    )
+    rng = schema_df.filter(F.col("pred") == RDFS_RANGE).select(
+        F.col("subj").alias("p"), F.col("obj_lex").alias("c")
+    )
+    refl_nodes = (
+        sp_edges.select(F.col("subj").alias("n"))
+        .unionByName(sp_edges.select(F.col("obj_lex").alias("n")))
+        .unionByName(dom.select(F.col("p").alias("n")))
+        .unionByName(rng.select(F.col("p").alias("n")))
+        .distinct()
+    )
+    sp_reflexive = sp_df.unionByName(
+        refl_nodes.select(F.col("n").alias("a"), F.col("n").alias("b"))
+    ).distinct()
+    dom_exp = (
+        sp_reflexive.join(dom, sp_reflexive["b"] == dom["p"])
+        .select(F.col("a"), F.col("c").alias("b"))
+        .distinct()
+    )
+    rng_exp = (
+        sp_reflexive.join(rng, sp_reflexive["b"] == rng["p"])
+        .select(F.col("a"), F.col("c").alias("b"))
+        .distinct()
+    )
+    return sp_df, dom_exp, rng_exp, sc_df
+
+
 def rdfs_closure(
     triples: DataFrame,
     schema_threshold: int = 2_000_000,
@@ -107,13 +167,15 @@ def rdfs_closure(
     """Materialize the RDFS closure of ``triples`` (six-column layout,
     `schema.TRIPLE_FIELDS`). Returns the SET-semantics closure:
     ``dropDuplicates`` over original ∪ derived — the one shuffle in the
-    operator; every rule itself is a broadcast join against the
-    driver-closed ontology.
+    operator when the ontology is driver-sized; every rule itself is a
+    broadcast join against the driver-closed schema.
 
-    Raises if the schema slice exceeds ``schema_threshold`` rows — a
-    graph whose "ontology" doesn't fit on the driver needs a different
-    (iterative) materializer, and silently collecting it is worse than
-    failing."""
+    A schema slice above ``schema_threshold`` rows is NOT collected —
+    the operator falls back to a fully distributed materializer
+    (``_distributed_schema_relations``): semi-naive schema closures and
+    the same rule joins with the broadcast decision left to
+    Catalyst/AQE. Both paths are pinned equal by
+    ``tests/test_inference.py``."""
     _reject_quads(triples, "rdfs_closure")
     spark = triples.sparkSession
     schema_df = triples.filter(
@@ -121,10 +183,15 @@ def rdfs_closure(
     ).select("subj", "pred", "obj_lex")
     rows = schema_df.limit(schema_threshold + 1).collect()
     if len(rows) > schema_threshold:
-        raise ValueError(
-            f"schema slice exceeds {schema_threshold} rows; "
-            "driver-side closure refused (raise schema_threshold "
-            "only if the driver can hold the ontology)"
+        sp_rel, dom_rel, rng_rel, sc_rel = _distributed_schema_relations(schema_df)
+        return _apply_rdfs_rules(
+            triples,
+            sp_df=None if sp_rel.isEmpty() else sp_rel,
+            dom_df=None if dom_rel.isEmpty() else dom_rel,
+            rng_df=None if rng_rel.isEmpty() else rng_rel,
+            sc_df=None if sc_rel.isEmpty() else sc_rel,
+            include_schema_closure=include_schema_closure,
+            hint=lambda df: df,  # relation size unknown: let AQE pick the join
         )
 
     sc_edges = [(r.subj, r.obj_lex) for r in rows if r.pred == RDFS_SUBCLASS]
@@ -145,62 +212,80 @@ def rdfs_closure(
     rng_exp = sorted({(p, c) for (p, q) in sp_reflexive for (q2, c) in rng if q == q2})
 
     pair = "a string, b string"
+    mk = lambda pairs: spark.createDataFrame(sorted(pairs), pair) if pairs else None
+    return _apply_rdfs_rules(
+        triples,
+        sp_df=mk(sp_pairs),
+        dom_df=mk(dom_exp),
+        rng_df=mk(rng_exp),
+        sc_df=mk(sc_pairs),
+        include_schema_closure=include_schema_closure,
+        hint=F.broadcast,
+    )
+
+
+def _apply_rdfs_rules(
+    triples: DataFrame,
+    sp_df,
+    dom_df,
+    rng_df,
+    sc_df,
+    include_schema_closure: bool,
+    hint,
+) -> DataFrame:
+    """The shared rule body over (a, b) relation DataFrames (None =
+    empty relation). ``hint`` wraps the relation side of each join —
+    ``F.broadcast`` when the caller closed the schema driver-side and
+    knows it is tiny, identity for the distributed path where AQE picks
+    the strategy from runtime sizes."""
+    def schema_triples(rel: DataFrame, pred_iri: str) -> DataFrame:
+        return rel.select(
+            F.col("a").alias("subj"),
+            F.lit(pred_iri).alias("pred"),
+            F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
+            F.col("b").alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
     parts: List[DataFrame] = [triples.select(*TRIPLE_COLS)]
-    if sp_pairs:
-        sp_df = F.broadcast(spark.createDataFrame(sorted(sp_pairs), pair))
+    if sp_df is not None:
+        sp_rel = hint(sp_df)
         parts.append(
-            triples.join(sp_df, triples["pred"] == sp_df["a"])
+            triples.join(sp_rel, triples["pred"] == sp_rel["a"])
             .select(
                 "subj",
                 F.col("b").alias("pred"),
                 "obj_kind", "obj_lex", "obj_datatype", "obj_lang",
             )
         )
-    if dom_exp:
-        dom_df = F.broadcast(spark.createDataFrame(dom_exp, pair))
+    if dom_df is not None:
+        dom_rel = hint(dom_df)
         parts.append(
-            triples.join(dom_df, triples["pred"] == dom_df["a"])
+            triples.join(dom_rel, triples["pred"] == dom_rel["a"])
             .select(*_type_row(F.col("subj"), F.col("b")))
         )
-    if rng_exp:
-        rng_df = F.broadcast(spark.createDataFrame(rng_exp, pair))
+    if rng_df is not None:
+        rng_rel = hint(rng_df)
         obj_as_subj = F.when(
             F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
         ).otherwise(F.col("obj_lex"))
         parts.append(
             triples.filter(F.col("obj_kind").isin(KIND_IRI, KIND_BLANK))
-            .join(rng_df, triples["pred"] == rng_df["a"])
+            .join(rng_rel, triples["pred"] == rng_rel["a"])
             .select(*_type_row(obj_as_subj, F.col("b")))
         )
     types = _unions(parts).filter(F.col("pred") == RDF_TYPE)
-    if sc_pairs:
-        sc_df = F.broadcast(spark.createDataFrame(sorted(sc_pairs), pair))
+    if sc_df is not None:
+        sc_rel = hint(sc_df)
         parts.append(
-            types.join(sc_df, types["obj_lex"] == sc_df["a"])
+            types.join(sc_rel, types["obj_lex"] == sc_rel["a"])
             .select(*_type_row(F.col("subj"), F.col("b")))
         )
         if include_schema_closure:
-            parts.append(
-                sc_df.select(
-                    F.col("a").alias("subj"),
-                    F.lit(RDFS_SUBCLASS).alias("pred"),
-                    F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
-                    F.col("b").alias("obj_lex"),
-                    F.lit(None).cast("string").alias("obj_datatype"),
-                    F.lit(None).cast("string").alias("obj_lang"),
-                )
-            )
-    if sp_pairs and include_schema_closure:
-        parts.append(
-            spark.createDataFrame(sorted(sp_pairs), pair).select(
-                F.col("a").alias("subj"),
-                F.lit(RDFS_SUBPROP).alias("pred"),
-                F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
-                F.col("b").alias("obj_lex"),
-                F.lit(None).cast("string").alias("obj_datatype"),
-                F.lit(None).cast("string").alias("obj_lang"),
-            )
-        )
+            parts.append(schema_triples(sc_df, RDFS_SUBCLASS))
+    if sp_df is not None and include_schema_closure:
+        parts.append(schema_triples(sp_df, RDFS_SUBPROP))
     return _unions(parts).dropDuplicates()
 
 

@@ -98,11 +98,38 @@ def test_rdfs_closure_blank_range_and_cycle(spark):
     assert _iri(E + "A", RDFS_SUBCLASS, E + "A") in out
 
 
-def test_rdfs_closure_schema_cap(spark):
-    rows = [_iri(E + f"c{i}", RDFS_SUBCLASS, E + f"c{i + 1}") for i in range(30)]
+def test_rdfs_closure_distributed_path_matches_driver(spark):
+    """Above the schema cap the closure no longer raises: the schema
+    fixpoints go distributed (semi-naive, never collected). Pin the two
+    paths row-for-row equal on a graph exercising every rule — chained
+    subclasses, chained subproperties, domain/range through the
+    subproperty closure, a subclass CYCLE (reflexive entailment), blank
+    range objects, and a literal that must stay untyped."""
+    rows = [
+        _iri(E + "Nation", RDFS_SUBCLASS, E + "Place"),
+        _iri(E + "Place", RDFS_SUBCLASS, E + "Entity"),
+        _iri(E + "A", RDFS_SUBCLASS, E + "B"),
+        _iri(E + "B", RDFS_SUBCLASS, E + "A"),
+        _iri(E + "inRegion", RDFS_SUBPROP, E + "locatedIn"),
+        _iri(E + "locatedIn", RDFS_SUBPROP, E + "related"),
+        _iri(E + "locatedIn", RDFS_DOMAIN, E + "Located"),
+        _iri(E + "inRegion", RDFS_RANGE, E + "Region"),
+        _iri(E + "n1", RDF_TYPE, E + "Nation"),
+        _iri(E + "x", RDF_TYPE, E + "A"),
+        _iri(E + "n1", E + "inRegion", E + "r1"),
+        _blank(E + "n1", E + "inRegion", "b0"),
+        _lit(E + "n1", E + "inRegion", "not a resource"),
+    ]
     df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
-    with pytest.raises(ValueError, match="schema slice"):
-        rdfs_closure(df, schema_threshold=10)
+    driver = _set(rdfs_closure(df))
+    distributed = _set(rdfs_closure(df, schema_threshold=1))
+    assert distributed == driver
+    # sanity: the fixture actually entailed through every rule family
+    assert _iri(E + "n1", RDF_TYPE, E + "Entity") in driver          # rdfs9 chain
+    assert _iri(E + "n1", E + "related", E + "r1") in driver         # rdfs7 chain
+    assert _iri(E + "n1", RDF_TYPE, E + "Located") in driver         # rdfs2 via sp
+    assert _iri(E + "r1", RDF_TYPE, E + "Region") in driver          # rdfs3
+    assert _iri(E + "A", RDFS_SUBCLASS, E + "A") in driver           # cycle
 
 
 def test_same_as_canonicalize(spark):
