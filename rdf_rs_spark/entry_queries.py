@@ -2874,6 +2874,49 @@ def ann_ivf_seeded_topk(spark, sf_dir):
 
 
 @q(
+    "dedup_semantic_drops",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY sha256(vec_id::VARCHAR)) - 1 AS cid,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS c
+      FROM (SELECT vec_id, e FROM v ORDER BY sha256(vec_id::VARCHAR) LIMIT 8)),
+    assign AS (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.e, c.c) DESC, c.cid ASC) AS rk
+      FROM v CROSS JOIN cents c),
+    corpus AS (
+      SELECT a.vec_id AS id, a.cid AS cluster, v.e
+      FROM assign a JOIN v ON a.vec_id = v.vec_id WHERE a.rk = 1),
+    pairs AS (
+      SELECT x.id AS id_a,
+             list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
+      FROM corpus x JOIN corpus y ON x.cluster = y.cluster AND y.id < x.id),
+    drops AS (SELECT DISTINCT id_a AS id FROM pairs WHERE cos >= 0.25)
+    SELECT c.id AS vec_id, c.cluster::INTEGER AS cluster,
+           (CASE WHEN d.id IS NULL THEN 0 ELSE 1 END)::INTEGER AS dropped
+    FROM corpus c LEFT JOIN drops d ON c.id = d.id""",
+)
+def dedup_semantic_drops(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023) under the full
+    value-hash gate: seeded content-hash centroids partition the
+    embedding space, and within each cluster every vector with a
+    lower-id neighbor at cosine ≥ 0.25 is dropped — one representative
+    per semantic-duplicate group. The whole path (seeding,
+    normalization, assignment, per-cluster pair scoring, drop rule)
+    replays in the oracle via ``list_dot_product`` bit-for-bit; 0.25 is
+    exactly representable so the threshold cannot split engines.
+    Quadratic work is bounded per cluster — never an all-pairs join."""
+    from .operators.ann import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_clusters=8, threshold=0.25).select(
+        F.col("id").alias("vec_id"), "cluster", "dropped"
+    )
+
+
+@q(
     "ann_ivf_invariants",
     """SELECT 16::BIGINT AS n_centroids,
        (SELECT count(*) FROM embeddings)::BIGINT AS n_rows,
@@ -5768,11 +5811,11 @@ _VERIFY_FIRST = [
     "rdf_turtle_parse",
     "kg_triples_materialize",
     "dedup_minhash_pairs",
-    "ann_cosine_topk",
     "docs_quality_score",
     # new this round (displaced the dedup_neardup_clusters,
-    # rdf_skolemize, and events_asof_last_signup fills)
+    # rdf_skolemize, events_asof_last_signup, and ann_cosine_topk fills)
     "multimodal_bmp_decode",
+    "dedup_semantic_drops",
     "ann_ivf_invariants",
     "kg_rdfs_closure_distributed",
 ]
@@ -5865,6 +5908,7 @@ DEFERRED = {
     "rdf_sql_text_query": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_skolemize": "green r1 under the driver hash gate; r4 fill slot ceded to ann_ivf_invariants",
     "events_asof_last_signup": "green r1 under the driver hash gate; r4 fill slot ceded to kg_rdfs_closure_distributed",
+    "ann_cosine_topk": "green r1 under the driver hash gate; r4 fill slot ceded to dedup_semantic_drops (and ann_ivf_invariants re-exercises cosine_topk as its brute-force yardstick)",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",

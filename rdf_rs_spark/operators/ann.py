@@ -542,6 +542,69 @@ def ivf_seeded_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then WITHIN each cluster drop every document that has a
+    lower-id neighbor with cosine ≥ ``threshold`` — keeping exactly one
+    representative (the lowest id) per semantic-duplicate group while
+    docs without a close lower-id neighbor all survive. Returns one row
+    per input: (``id``, ``cluster``, ``dropped``).
+
+    Scale: the quadratic term is confined to per-cluster equi-join
+    pairs (data-adaptive blocks, like ``embedding_neardup``) — never an
+    all-pairs join; norms are hoisted per-row before the join; the
+    assigned relation feeds both sides of the self-join so it is
+    persisted once. Content-hash seeded centroids + sequential-fold
+    scoring keep the WHOLE path ANSI-SQL-replayable (the
+    ``ivf_seeded_topk`` discipline); ``threshold`` should be exactly
+    representable in binary (0.25 = 2^-2) so the ≥ comparison cannot
+    split across engines."""
+    cents = seeded_centroids(corpus, n_clusters, id_col=id_col, vec_col=vec_col)
+    v = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("cluster", F.element_at(ivf_assign_seq(F.col("v"), cents, 1), 1))
+        .withColumn("n", norm(F.col("v")))
+        .persist()
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), "cluster",
+        F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), "cluster",
+        F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .withColumn(
+            "cos", pair_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        v.select("id", "cluster")
+        .join(dropped, "id", "left")
+        .select(
+            "id", "cluster",
+            F.coalesce(F.col("dropped"), F.lit(0)).cast("int").alias("dropped"),
+        )
+    )
+
+
 def embedding_neardup(
     df: DataFrame,
     block: Column,

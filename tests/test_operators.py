@@ -776,6 +776,22 @@ def test_ppm_decode_gradient(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
+def test_semantic_dedup_keeps_one_representative(spark):
+    """SemDeDup drop rule: identical vectors always share a cluster, so
+    every copy except the LOWEST id is dropped; an orthogonal vector
+    (cosine 0 to everything) survives wherever it lands."""
+    from rdf_rs_spark.operators.ann import semantic_dedup
+
+    rows = [(i, [1.0, 0.0]) for i in (1, 2, 3, 4)] + [(5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.id: r for r in semantic_dedup(df, n_clusters=2, threshold=0.25).collect()}
+    assert len(out) == 5
+    assert out[1].dropped == 0          # lowest id of the dup group survives
+    assert all(out[i].dropped == 1 for i in (2, 3, 4))
+    assert out[5].dropped == 0          # no close lower-id neighbor
+    assert len({out[i].cluster for i in (1, 2, 3, 4)}) == 1
+
+
 def test_bmp_decode_handwritten_and_topdown(spark):
     """A hand-assembled 2x2 24-bit BMP (stride 8, so 2 pad bytes/row,
     bottom-up) through the REAL decoder — pixel-exact ground truth for
