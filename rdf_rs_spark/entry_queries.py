@@ -530,6 +530,44 @@ def docs_bpe_token_count(spark, sf_dir):
 
 
 @q(
+    "docs_lm_fluency",
+    """WITH t AS (SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+       FROM documents),
+    bg AS (SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2 FROM t),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM t)),
+    p AS (SELECT c2.w1, c2.w2,
+            trunc(1000000.0 * ((n2 + 1)::DOUBLE / (n1 + v)::DOUBLE))::BIGINT AS p_e6
+          FROM c2 JOIN c1 ON c2.w1 = c1.w1 CROSS JOIN vocab),
+    d AS (SELECT doc_id, count(*) AS n_bigrams, sum(p_e6) AS s
+          FROM bg JOIN p ON bg.w1 = p.w1 AND bg.w2 = p.w2 GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(d.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(d.s // d.n_bigrams, 0)::BIGINT AS fluency_e6
+    FROM t LEFT JOIN d ON t.doc_id = d.doc_id""",
+)
+def docs_lm_fluency(spark, sf_dir):
+    """Perplexity-style quality signal without libm: a bigram LM
+    trained on the corpus's own transition counts scores each doc by
+    mean ADD-ONE-SMOOTHED transition probability in integer micro-units
+    (``corpus.py::bigram_lm_fluency`` — smoothing is what stops
+    never-repeated gibberish transitions from scoring a perfect 1.0).
+    Per-bigram probabilities truncate to bigint BEFORE the per-doc sum
+    (the BM25 discipline: fixed-order IEEE ``/``·``*`` are cross-engine
+    exact, cross-row double sums are not), so the whole
+    training+scoring path replays under the value-hash gate."""
+    from .operators.corpus import bigram_lm_fluency
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_fluency(d, F.col("doc_id"), F.col("text"))
+
+
+@q(
     "docs_quality_score",
     f"""SELECT doc_id, floor(1000 * (
          0.5 * least(len(toks), 100) / 100.0
@@ -5811,10 +5849,11 @@ _VERIFY_FIRST = [
     "rdf_turtle_parse",
     "kg_triples_materialize",
     "dedup_minhash_pairs",
-    "docs_quality_score",
     # new this round (displaced the dedup_neardup_clusters,
-    # rdf_skolemize, events_asof_last_signup, and ann_cosine_topk fills)
+    # rdf_skolemize, events_asof_last_signup, ann_cosine_topk, and
+    # docs_quality_score fills)
     "multimodal_bmp_decode",
+    "docs_lm_fluency",
     "dedup_semantic_drops",
     "ann_ivf_invariants",
     "kg_rdfs_closure_distributed",
@@ -5909,6 +5948,7 @@ DEFERRED = {
     "rdf_skolemize": "green r1 under the driver hash gate; r4 fill slot ceded to ann_ivf_invariants",
     "events_asof_last_signup": "green r1 under the driver hash gate; r4 fill slot ceded to kg_rdfs_closure_distributed",
     "ann_cosine_topk": "green r1 under the driver hash gate; r4 fill slot ceded to dedup_semantic_drops (and ann_ivf_invariants re-exercises cosine_topk as its brute-force yardstick)",
+    "docs_quality_score": "green r1 under the driver hash gate; r4 fill slot ceded to docs_lm_fluency (same quality family, new corpus-LM scorer)",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",

@@ -539,3 +539,80 @@ def rule_filter(
     return df.withColumn("decision", decision).withColumn(
         "matched_priority", priority
     )
+
+
+def bigram_lm_fluency(
+    df: DataFrame,
+    doc_id: Column,
+    text: Column,
+) -> DataFrame:
+    """Corpus-level bigram-LM fluency score per document: train token
+    transition frequencies on the WHOLE corpus, then score each doc by
+    its mean ADD-ONE-SMOOTHED transition probability in integer
+    micro-units — ``fluency_e6 = (Σ floor(1e6 · (c(w1,w2)+1) /
+    (c(w1,·)+V))) DIV n_bigrams`` with ``V`` the corpus vocabulary
+    size. Smoothing is load-bearing, not decoration: without the ``+V``
+    denominator a document of NEVER-REPEATED transitions scores a
+    perfect 1.0 (c2/c1 = 1/1 per singleton context), i.e. unsmoothed
+    bigram "fluency" ranks gibberish HIGHEST; add-one discounts rare
+    contexts toward 1/V. This is the scoring signal behind
+    perplexity-style quality filters, in the log-free rational form
+    this repo uses for BM25 — libm drifts across engines, fixed-order
+    IEEE ``/`` and ``*`` do not, and the per-bigram trunc to bigint
+    makes the only cross-row accumulation order-free integer addition.
+
+    Scale shape: the token stream is shuffled ONCE for the bigram count
+    and once for the vocab distinct (both map-side combined); the
+    unigram-context counts derive from the bigram RELATION
+    (vocab²-bounded, ≪ stream), never from a second stream shuffle; V
+    is a 1-row relation cross-joined into the plan (no driver collect);
+    the probability relation joins back to the stream as a plain
+    equi-join (AQE broadcasts it when small, skew-splits hot bigrams
+    when not); the per-doc reduce is map-side combined. Returns
+    (doc_id, n_bigrams, fluency_e6) for every input doc — docs with
+    <2 tokens score (0, 0)."""
+    from ..functions.text import tokens_col
+
+    docs = df.select(doc_id.alias("doc_id"), tokens_col(text).alias("toks"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    vocab = docs.select(F.explode("toks").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    p = c2.join(c1, "w1").crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        (
+            F.lit(1000000.0)
+            * (
+                (F.col("n2") + F.lit(1)).cast("double")
+                / (F.col("n1") + F.col("v")).cast("double")
+            )
+        ).cast("bigint").alias("p_e6"),
+    )
+    scored = (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("p_e6").alias("s"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(
+                F.expr("s DIV n_bigrams"), F.lit(0)
+            ).cast("bigint").alias("fluency_e6"),
+        )
+    )

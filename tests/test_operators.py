@@ -776,6 +776,41 @@ def test_ppm_decode_gradient(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
+def test_bigram_lm_fluency_ranks_gibberish_low(spark):
+    """The corpus-trained bigram LM scores documents made of common
+    transitions above a doc of never-repeated ones; <2-token docs score
+    (0, 0). Hand-checkable corpus: 'a b' appears in 3 docs, so p(b|a)
+    is high; the gibberish doc's transitions are all unique."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import bigram_lm_fluency
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "a b a c"),
+            (4, "x y z w"),   # every transition unique in the corpus
+            (5, "solo"),       # one token: no bigrams
+            (6, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_lm_fluency(docs, F.col("doc_id"), F.col("text")).collect()
+    }
+    assert len(out) == 6
+    assert out[5].n_bigrams == 0 and out[5].fluency_e6 == 0
+    assert out[6].n_bigrams == 0 and out[6].fluency_e6 == 0
+    assert out[2].fluency_e6 > out[4].fluency_e6  # common vs unique transitions
+    # hand replay with add-one smoothing, V = |{a,b,c,x,y,z,w,solo}| = 8:
+    # doc 4: each transition (1+1)/(1+8) -> floor(1e6*2/9) = 222222
+    assert out[4].fluency_e6 == 222222
+    # doc 2: single bigram (a,b): c2=4, c(a,.)=5 -> floor(1e6*5/13) = 384615
+    assert out[2].fluency_e6 == 384615
+
+
 def test_semantic_dedup_keeps_one_representative(spark):
     """SemDeDup drop rule: identical vectors always share a cluster, so
     every copy except the LOWEST id is dropped; an orthogonal vector
