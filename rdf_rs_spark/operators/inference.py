@@ -183,15 +183,36 @@ def rdfs_closure(
     ).select("subj", "pred", "obj_lex")
     rows = schema_df.limit(schema_threshold + 1).collect()
     if len(rows) > schema_threshold:
-        sp_rel, dom_rel, rng_rel, sc_rel = _distributed_schema_relations(schema_df)
+        # one executor-side materialization of the schema slice: the two
+        # closure fixpoints and the dom/rng/reflexive derivations below
+        # otherwise re-run the upstream scan/filter (or a whole synthesis
+        # pipeline) half a dozen times. localCheckpoint is distributed
+        # disk, NOT a driver collect — fine for a slice too big to collect
+        schema_df = schema_df.localCheckpoint(eager=True)
+        rels = [
+            r.localCheckpoint(eager=True)  # one materialization each: the
+            # count below and every rule join read the checkpoint, never
+            # re-run the closure lineage
+            for r in _distributed_schema_relations(schema_df)
+        ]
+        # the relations exceeded the driver-COLLECT budget as Python rows,
+        # but as JVM broadcast tables they usually still fit — broadcast
+        # explicitly when they do (the instance stream then never
+        # shuffles, same as the driver path); fall back to shuffle joins
+        # only for relations too big even for that
+        counts = [r.count() for r in rels]
+        fits = max(counts) <= 5_000_000
+        sp_rel, dom_rel, rng_rel, sc_rel = (
+            None if n == 0 else r for r, n in zip(rels, counts)
+        )
         return _apply_rdfs_rules(
             triples,
-            sp_df=None if sp_rel.isEmpty() else sp_rel,
-            dom_df=None if dom_rel.isEmpty() else dom_rel,
-            rng_df=None if rng_rel.isEmpty() else rng_rel,
-            sc_df=None if sc_rel.isEmpty() else sc_rel,
+            sp_df=sp_rel,
+            dom_df=dom_rel,
+            rng_df=rng_rel,
+            sc_df=sc_rel,
             include_schema_closure=include_schema_closure,
-            hint=lambda df: df,  # relation size unknown: let AQE pick the join
+            hint=F.broadcast if fits else (lambda df: df),
         )
 
     sc_edges = [(r.subj, r.obj_lex) for r in rows if r.pred == RDFS_SUBCLASS]

@@ -35,7 +35,11 @@ def transitive_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
     per round keeps every round a single shuffle)."""
     closure = edges.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
     frontier = closure
-    hop = edges.select(
+    # hop over the CHECKPOINTED distinct edges, not the raw input —
+    # multiplicity cannot change reachability, and deriving hop from the
+    # input would re-run the (possibly expensive) upstream scan/filter
+    # every round instead of reading the materialized checkpoint
+    hop = closure.select(
         F.col("src").alias("mid"), F.col("dst"), F.col("dst_is_node")
     )
     for _ in range(max_iters):
