@@ -530,6 +530,33 @@ def docs_bpe_token_count(spark, sf_dir):
 
 
 @q(
+    "docs_chunk_windows",
+    """WITH t AS (SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+       FROM documents),
+    s AS (SELECT doc_id, toks,
+            unnest(generate_series(1, greatest(len(toks) - 16, 1), 112)) AS start
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, ((start - 1) // 112)::INTEGER AS chunk_idx,
+           len(toks[start:least(start + 127, len(toks))])::BIGINT AS n_chunk_tokens,
+           array_to_string(toks[start:least(start + 127, len(toks))], ' ') AS chunk_text
+    FROM s""",
+)
+def docs_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking for retrieval/embedding pre-processing
+    (``corpus.py::chunk_documents``): 128-token windows, 16-token
+    overlap across every cut, chunk starts at ``1 + k·112`` up to the
+    last position contributing new tokens. Pure column math (zero
+    shuffle); the oracle re-derives every chunk's token slice and text
+    independently."""
+    from .operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, F.col("text"), max_tokens=128, overlap=16)
+
+
+@q(
     "docs_lm_fluency",
     """WITH t AS (SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN []
@@ -5848,12 +5875,12 @@ _VERIFY_FIRST = [
     "rdf_ntriples_parse",
     "rdf_turtle_parse",
     "kg_triples_materialize",
-    "dedup_minhash_pairs",
     # new this round (displaced the dedup_neardup_clusters,
     # rdf_skolemize, events_asof_last_signup, ann_cosine_topk, and
-    # docs_quality_score fills)
+    # docs_quality_score, and dedup_minhash_pairs fills)
     "multimodal_bmp_decode",
     "docs_lm_fluency",
+    "docs_chunk_windows",
     "dedup_semantic_drops",
     "ann_ivf_invariants",
     "kg_rdfs_closure_distributed",
@@ -5949,6 +5976,7 @@ DEFERRED = {
     "events_asof_last_signup": "green r1 under the driver hash gate; r4 fill slot ceded to kg_rdfs_closure_distributed",
     "ann_cosine_topk": "green r1 under the driver hash gate; r4 fill slot ceded to dedup_semantic_drops (and ann_ivf_invariants re-exercises cosine_topk as its brute-force yardstick)",
     "docs_quality_score": "green r1 under the driver hash gate; r4 fill slot ceded to docs_lm_fluency (same quality family, new corpus-LM scorer)",
+    "dedup_minhash_pairs": "green r1 under the driver hash gate; r4 fill slot ceded to docs_chunk_windows",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",

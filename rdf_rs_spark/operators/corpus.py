@@ -201,6 +201,54 @@ def pack_token_stream(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text: Column,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding
+    pre-processing counterpart of :func:`pack_token_stream`: each doc's
+    token stream is cut into ``max_tokens`` windows with ``overlap``
+    tokens of context carried across every cut (so no boundary loses
+    its surroundings). Emits one row per chunk:
+    ``(doc_id, chunk_idx, n_chunk_tokens, chunk_text)``.
+
+    Chunk starts are ``1, 1+step, …`` (``step = max_tokens − overlap``)
+    up to the last position that still contributes NEW tokens, so a doc
+    of ≤ ``max_tokens`` tokens yields exactly one chunk and empty docs
+    none. Zero shuffle, zero Python — explode of a start-offset
+    sequence (top-level generator) followed by a pure slice/join
+    projection, so it composes into any scan at any corpus size."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    from ..functions.text import tokens_col
+
+    d = df.select(F.col(id_col).alias("doc_id"), tokens_col(text).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    exploded = d.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks") - overlap, F.lit(1)),
+                F.lit(step),
+            )
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), max_tokens)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 #: cross-engine regex subset (Java ∩ RE2): char classes + bounded
 #: quantifiers only — no lookaround, no backrefs
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

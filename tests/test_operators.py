@@ -776,6 +776,35 @@ def test_ppm_decode_gradient(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    """Sliding-window chunking: ≤max_tokens docs give one chunk; longer
+    docs carry exactly `overlap` tokens across each cut; a doc whose
+    tail would add no new tokens gets no trailing chunk; empty docs
+    vanish."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import chunk_documents
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [(1, toks(5)), (2, toks(10)), (3, toks(13)), (4, "")],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(docs, F.col("text"), max_tokens=10, overlap=3)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2, 3}
+    assert rows[(1, 0)].n_chunk_tokens == 5
+    # exactly max_tokens -> single chunk (start upper bound = n-overlap=7, step 7 -> starts {1})
+    assert [k for k in rows if k[0] == 2] == [(2, 0)]
+    # 13 tokens: chunks [t0..t9] and [t7..t12] — 3-token overlap at the cut
+    assert rows[(3, 0)].chunk_text.split()[-3:] == ["t7", "t8", "t9"]
+    assert rows[(3, 1)].chunk_text.split()[:3] == ["t7", "t8", "t9"]
+    assert rows[(3, 1)].n_chunk_tokens == 6
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, F.col("text"), max_tokens=10, overlap=10)
+
+
 def test_bigram_lm_fluency_ranks_gibberish_low(spark):
     """The corpus-trained bigram LM scores documents made of common
     transitions above a doc of never-repeated ones; <2-token docs score
