@@ -1174,6 +1174,51 @@ def events_sessionize(spark, sf_dir):
 
 
 @q(
+    "events_funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS stage1_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS stage2_ts FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.stage1_ts
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS stage3_ts FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.stage2_ts
+           GROUP BY e.user_id)
+    SELECT s1.user_id,
+           floor(epoch(s1.stage1_ts))::BIGINT AS stage1_epoch,
+           floor(epoch(s2.stage2_ts))::BIGINT AS stage2_epoch,
+           floor(epoch(s3.stage3_ts))::BIGINT AS stage3_epoch,
+           (CASE WHEN s3.stage3_ts IS NOT NULL THEN 3
+                 WHEN s2.stage2_ts IS NOT NULL THEN 2
+                 ELSE 1 END)::INTEGER AS furthest_stage
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel
+    (``operators/events.py::funnel_stages``): per user, the earliest
+    event of each stage strictly after the previous stage's time, plus
+    the furthest stage reached. Per stage one filtered map-side
+    aggregate + one user-key equi-join — never a window over the raw
+    log, never a self-join of the stream."""
+    from .operators.events import funnel_stages
+
+    e = _t(spark, sf_dir, "events")
+    out = funnel_stages(e, ["view", "click", "purchase"])
+    # repo convention for timestamp outputs under the hash gate:
+    # unix_timestamp→bigint ↔ floor(epoch(...))::BIGINT in the oracle
+    return out.select(
+        "user_id",
+        *[
+            F.unix_timestamp(f"stage{i}_ts").cast("bigint").alias(f"stage{i}_epoch")
+            for i in (1, 2, 3)
+        ],
+        "furthest_stage",
+    )
+
+
+@q(
     "sparql_select_exec",
     TRIPLES_CTE
     + """SELECT t2.obj_lex AS cname, t4.obj_lex AS rname
@@ -5874,13 +5919,14 @@ _VERIFY_FIRST = [
     # (c) fills — r1-only greens, oldest evidence first
     "rdf_ntriples_parse",
     "rdf_turtle_parse",
-    "kg_triples_materialize",
     # new this round (displaced the dedup_neardup_clusters,
     # rdf_skolemize, events_asof_last_signup, ann_cosine_topk, and
-    # docs_quality_score, and dedup_minhash_pairs fills)
+    # docs_quality_score, dedup_minhash_pairs, and kg_triples_materialize
+    # fills)
     "multimodal_bmp_decode",
     "docs_lm_fluency",
     "docs_chunk_windows",
+    "events_funnel",
     "dedup_semantic_drops",
     "ann_ivf_invariants",
     "kg_rdfs_closure_distributed",
@@ -5977,6 +6023,7 @@ DEFERRED = {
     "ann_cosine_topk": "green r1 under the driver hash gate; r4 fill slot ceded to dedup_semantic_drops (and ann_ivf_invariants re-exercises cosine_topk as its brute-force yardstick)",
     "docs_quality_score": "green r1 under the driver hash gate; r4 fill slot ceded to docs_lm_fluency (same quality family, new corpus-LM scorer)",
     "dedup_minhash_pairs": "green r1 under the driver hash gate; r4 fill slot ceded to docs_chunk_windows",
+    "kg_triples_materialize": "green r1 under the driver hash gate; r4 fill slot ceded to events_funnel",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",

@@ -1,0 +1,65 @@
+"""Event-sequence analytics over the ``events`` table.
+
+Beyond-reference operators (the reference engine has no event model);
+companions to the sessionize / as-of / range-join entries in
+``entry_queries.py``. Everything here is built from map-side-combining
+aggregates and user-key equi-joins — no per-user windows over the raw
+stream — so the shapes hold when the event log is the biggest table in
+the lake.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: List[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time each
+    ``steps[i]`` event occurred STRICTLY AFTER their stage-``i-1`` time
+    (the classic view→click→purchase funnel). Returns one row per user
+    who reached stage 1: ``(user_id, stage1_ts, …, stageK_ts,
+    furthest_stage)`` with NULL timestamps past the furthest stage.
+
+    Determinism: each stage is a ``min(ts)`` — no tie-break needed; the
+    strict ``>`` means same-timestamp events do not chain (documented
+    choice, mirrored in the oracle).
+
+    Scale: per stage ONE filtered map-side-combining aggregate over the
+    slice of events of that type plus ONE equi-join on the user key
+    against the (users-sized, ≪ events) previous-stage relation — never
+    a window over the raw stream, never a self-join of the log. K
+    stages = K aggregates + K−1 user-key joins."""
+    if not steps:
+        raise ValueError("need at least one funnel step")
+    out = None
+    for i, step in enumerate(steps, start=1):
+        sliced = events.filter(F.col(type_col) == step)
+        if out is None:
+            out = sliced.groupBy(F.col(user_col).alias("user_id")).agg(
+                F.min(ts_col).alias(f"stage{i}_ts")
+            )
+            continue
+        nxt = (
+            sliced.select(
+                F.col(user_col).alias("user_id"), F.col(ts_col).alias("_ts")
+            )
+            .join(out.select("user_id", f"stage{i - 1}_ts"), "user_id")
+            .filter(F.col("_ts") > F.col(f"stage{i - 1}_ts"))
+            .groupBy("user_id")
+            .agg(F.min("_ts").alias(f"stage{i}_ts"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    furthest: Column = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        furthest = F.when(F.col(f"stage{i}_ts").isNotNull(), F.lit(i)).otherwise(
+            furthest
+        )
+    return out.withColumn("furthest_stage", furthest.cast("int"))

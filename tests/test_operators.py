@@ -776,6 +776,34 @@ def test_ppm_decode_gradient(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
+def test_funnel_stages_ordering_and_strictness(spark):
+    """Funnel semantics: stages must occur strictly AFTER the previous
+    stage's earliest time — a click before the first view doesn't
+    count, a same-timestamp event doesn't chain, and users without
+    stage 1 don't appear."""
+    import datetime as dt
+
+    from rdf_rs_spark.operators.events import funnel_stages
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full funnel in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE the view -> stuck at stage 1
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3: click at the SAME ts as the view -> strict > blocks it
+        (3, t(7), "view"), (3, t(7), "click"),
+        # u4: never views -> absent
+        (4, t(9), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    out = {r.user_id: r for r in funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].furthest_stage == 3
+    assert out[2].furthest_stage == 1 and out[2].stage2_ts is None
+    assert out[3].furthest_stage == 1
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     """Sliding-window chunking: ≤max_tokens docs give one chunk; longer
     docs carry exactly `overlap` tokens across each cut; a doc whose
