@@ -725,3 +725,51 @@ def test_rule_filter_is_zero_shuffle(spark):
     plan = explain_str(out, "simple")
     assert count_exchanges(out) == 0
     assert "Join" not in plan
+
+
+def test_chunk_documents_is_narrow(spark):
+    """Chunking composes into any scan: explode + slice/join projection,
+    ZERO exchanges whatever the corpus size."""
+    from rdf_rs_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert count_exchanges(chunk_documents(docs, F.col("text"))) == 0
+
+
+def test_bigram_lm_fluency_bounded_exchanges(spark):
+    """The LM trains and scores with a bounded number of shuffles: the
+    bigram count, the vocab distinct, the stream-to-probability join and
+    the per-doc reduce — the context counts must derive from the bigram
+    RELATION, never a second shuffle of the raw stream. Measured 5
+    (incl. the c1-from-c2 rollup, which is vocab-sized); pin a bound so
+    a stream-keyed reformulation fails loudly."""
+    from rdf_rs_spark.operators.corpus import bigram_lm_fluency
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = count_exchanges(bigram_lm_fluency(docs, F.col("doc_id"), F.col("text")))
+    assert n <= 7, n
+
+
+def test_funnel_is_aggregates_plus_user_joins(spark):
+    """The funnel never windows the raw log: per stage one map-side
+    aggregate + one user-key join. 3 stages -> a handful of exchanges
+    over users-sized relations; no cartesian, no Window over events."""
+    from rdf_rs_spark.operators.events import funnel_stages
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = explain_str(funnel_stages(ev, ["view", "click", "purchase"]))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_semantic_dedup_pairs_are_cluster_equijoin(spark):
+    """SemDeDup's quadratic term must be confined to per-cluster
+    equi-join pairs — a cartesian pair generation here is the
+    100TB-killer. (The registered entry is also covered by the global
+    no-cartesian sweep; this pins the operator directly.)"""
+    from rdf_rs_spark.operators.ann import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain_str(semantic_dedup(emb, n_clusters=4))
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
