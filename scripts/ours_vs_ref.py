@@ -1,0 +1,122 @@
+"""Head-to-head codec-stage throughput vs the measured reference.
+
+Generates the SAME 4 Turtle island payload shapes as
+``scripts/refbench/bench.rs`` (which imports the reference crate and
+times its single-threaded TurtleParser / NTriplesWriter /
+NTriplesParser on identical data), then times this engine's
+corresponding stages at local[$SPARK_GRAFT_CPUS]: doc-per-row Turtle
+parse, N-Triples formatting, and the N-Triples line parse. Median of 5
+trials after one full-size warm-up, every stage forced end-to-end with
+a noop write. Prints one JSON line.
+
+Run the reference side (see scripts/refbench/README.md):
+
+    cp -r /root/reference /tmp/refbench && mkdir -p /tmp/refbench/src/bin
+    cp scripts/refbench/bench.rs /tmp/refbench/src/bin/bench.rs
+    (cd /tmp/refbench && cargo build --release)
+    /tmp/refbench/target/release/bench 400000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from rdf_rs_spark.session import get_spark  # noqa: E402
+
+
+def payload_docs(spark, n: int):
+    """The 4 island shapes of refbench/bench.rs, as (doc_id, content)."""
+    i = F.col("id")
+    shapes = [
+        F.format_string(
+            '@prefix ex: <http://kg.example.org/> . ex:page%s ex:topic "topic%s" ; ex:rank %s .',
+            i, (i % 13).cast("string"), (i % 7).cast("string"),
+        ),
+        F.format_string(
+            "@prefix ex: <http://kg.example.org/> . ex:page%s a ex:Article . _:a0 ex:about ex:page%s .",
+            i, i,
+        ),
+        F.format_string(
+            "@base <http://kg.example.org/pages> . <#p%s> a <http://kg.example.org/Section> .",
+            i,
+        ),
+        F.format_string(
+            '@prefix ex: <http://kg.example.org/> . ex:page%s ex:tags ( "t1" "t2" ) .',
+            i,
+        ),
+    ]
+    content = shapes[3]
+    for k in (2, 1, 0):
+        content = F.when(i % 4 == k, shapes[k]).otherwise(content)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), content.alias("content")
+    )
+
+
+def median5(fn) -> float:
+    fn()  # warm-up
+    walls = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fn()
+        walls.append(time.perf_counter() - t0)
+    return sorted(walls)[2], walls  # type: ignore[return-value]
+
+
+def main() -> None:
+    n = int(os.environ.get("SPARK_GRAFT_H2H_DOCS", "400000"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("ours_vs_ref", cpus=cpus)
+
+    from rdf_rs_spark.sources.ntriples import parse_ntriples_lines
+    from rdf_rs_spark.sources.turtle import parse_turtle_docs
+    from rdf_rs_spark.writers.ntriples import nt_lines
+
+    docs = payload_docs(spark, n).localCheckpoint(eager=True)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    triples = parse_turtle_docs(docs)
+    n_triples = triples.count()
+    parse_med, parse_walls = median5(lambda: force(parse_turtle_docs(docs)))
+
+    mat = triples.select(
+        "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang"
+    ).localCheckpoint(eager=True)
+    write_med, write_walls = median5(lambda: force(nt_lines(mat)))
+
+    lines = nt_lines(mat).localCheckpoint(eager=True)  # column: value
+    ntp_med, ntp_walls = median5(lambda: force(parse_ntriples_lines(lines)))
+
+    print(
+        json.dumps(
+            {
+                "docs": n,
+                "triples": n_triples,
+                "cpus": cpus,
+                "turtle_parse_sec": round(parse_med, 3),
+                "turtle_docs_per_sec": round(n / parse_med),
+                "turtle_triples_per_sec": round(n_triples / parse_med),
+                "turtle_walls": [round(w, 2) for w in parse_walls],
+                "nt_write_sec": round(write_med, 3),
+                "nt_write_triples_per_sec": round(n_triples / write_med),
+                "nt_write_walls": [round(w, 2) for w in write_walls],
+                "nt_parse_sec": round(ntp_med, 3),
+                "nt_parse_triples_per_sec": round(n_triples / ntp_med),
+                "nt_parse_walls": [round(w, 2) for w in ntp_walls],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,62 @@ def test_nt_sql_engine_typed_literal_and_comments(spark):
     }
 
 
+def test_nt_sql_fast_extraction_edges(spark):
+    """The decomposed fast extraction must agree with the master
+    pattern on its known sharp edges: tab INSIDE a blank label (the
+    one case where master-pattern backtracking picks a shorter label
+    than the anchored greedy match — re-routed through the master
+    pattern), empty IRIs, IRIs containing spaces, literals with
+    spaces/@/^^ text, and malformed spacing."""
+    import re
+
+    from rdf_rs_spark.sources.ntriples import NT_LINE_PATTERN
+
+    cases = [
+        "_:a\t<p>\t<http://o> .",            # tab pathology: subj _:a, pred p
+        "_:a\tx <http://p> <http://o> .",    # tab INSIDE the label, unambiguous
+        "<> <http://p> <> .",                  # empty IRIs everywhere
+        "<http://a b> <http://p c> \"x y\" .",  # spaces inside IRIs
+        '<http://s> <http://p> "a @b ^^c" .',   # literal text that looks like suffixes
+        '<http://s> <http://p> "x"@en-US .',
+        '<http://s> <http://p> "x"^^<http://dt d> .',
+        "\t <http://s> <http://p> _:o\t. ",     # leading ws; tab in object label+term
+        "<http://s> <http://p><http://o> .",    # missing separator: must reject
+        "<http://s> <http://p> <http://o>",     # missing terminator: must reject
+        "_:s _:p <http://o> .",                  # blank predicate: must reject
+    ]
+    got = {
+        tuple(r)
+        for r in parse_ntriples_lines(
+            _lines_df(spark, "\n".join(cases))
+        ).collect()
+    }
+    # independent expectation: replay the master pattern in Python
+    pat = re.compile(NT_LINE_PATTERN)
+    expected = set()
+    for line in cases:
+        m = pat.match(line)
+        if not m:
+            continue
+        st, pred, ot = m.group(1), m.group(2), m.group(3)
+        subj = st[1:-1] if st.startswith("<") else st
+        if ot.startswith("<"):
+            row = (subj, pred, 0, ot[1:-1], None, None)
+        elif ot.startswith("_"):
+            row = (subj, pred, 1, ot[2:], None, None)
+        else:
+            body = re.match(r'^"([^"]*)"', ot).group(1)
+            dt = re.match(r'^"[^"]*"\^\^<(.*)>$', ot)
+            lang = re.match(r'^"[^"]*"@(.*)$', ot)
+            row = (subj, pred, 2, body,
+                   dt.group(1) if dt else None,
+                   lang.group(1) if lang else None)
+        expected.add(row)
+    assert got == expected
+    # and the tab-pathology line specifically must have parsed as _:a / p
+    assert ("_:a", "p", 0, "http://o", None, None) in got
+
+
 TTL_DOC = """@base <http://example.org/> .
 @prefix foaf: <http://xmlns.com/foaf/0.1/> .
 <http://d/> a foaf:Document ;
