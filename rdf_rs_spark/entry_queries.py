@@ -4595,6 +4595,54 @@ def kg_comention_triangles(spark, sf_dir):
     return triangle_count(comention_edges(links))
 
 
+def _clustering_oracle(n: int) -> str:
+    """Extends the triangle replay with degrees and the integer-micro
+    coefficient: C_v = 2·T_v / (d_v·(d_v−1)), DIV-truncated."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    deg AS (SELECT src AS node, count(*) AS degree FROM edges GROUP BY src),
+    eo AS (SELECT src, dst FROM edges WHERE src < dst),
+    tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+            FROM eo ab
+            JOIN eo bc ON ab.dst = bc.src
+            JOIN eo ac ON ac.src = ab.src AND ac.dst = bc.dst),
+    corners AS (SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri),
+    t AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node)
+    SELECT d.node, d.degree::BIGINT AS degree,
+           coalesce(t.triangles, 0)::BIGINT AS triangles,
+           (CASE WHEN d.degree >= 2
+                 THEN (1000000 * 2 * coalesce(t.triangles, 0)) // (d.degree * (d.degree - 1))
+                 ELSE 0 END)::BIGINT AS coeff_e6
+    FROM deg d LEFT JOIN t ON d.node = t.node"""
+
+
+@q("kg_clustering_coefficient", _clustering_oracle(2000))
+def kg_clustering_coefficient(spark, sf_dir):
+    """Per-entity local clustering coefficient over the co-mention
+    graph (``operators/pagerank.py::clustering_coefficient``) — the
+    clique-vs-hub separator on top of the triangle machinery. One
+    map-side degree aggregate + the ordered triangle equi-join + a
+    node-key assembly join; integer micro-unit coefficient, fully
+    replayed by the oracle."""
+    from .linking import link_mentions
+    from .operators.pagerank import clustering_coefficient, comention_edges
+
+    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
+    n = 1000
+    for k, v in scale.items():
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            n = v
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return clustering_coefficient(comention_edges(links))
+
+
 def _walks_ctes(n: int, walk_len: int) -> str:
     """CTE chain replaying the deterministic walks over the regenerated
     co-mention graph: per step, rank-1 window over md5(walk ⊕ step ⊕

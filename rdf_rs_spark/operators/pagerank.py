@@ -148,6 +148,42 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected graph
+    given as a directed both-ways edge relation (the
+    :func:`comention_edges` contract): ``C_v = 2·T_v / (d_v·(d_v−1))``
+    with ``T_v`` the node's triangle count and ``d_v`` its degree —
+    the clique-vs-hub separator (a hub has many wedges and few closed
+    ones). Emits ``(node, degree, triangles, coeff_e6)`` with the
+    coefficient in integer micro-units (``DIV``, so order-free and
+    SQL-replayable); degree-<2 nodes score 0.
+
+    Scale: degrees are ONE map-side-combining aggregate over the edge
+    relation; triangles reuse :func:`triangle_count`'s ordered 3-way
+    equi-join; the final assembly is a node-key left join of two
+    node-sized relations."""
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    tri = triangle_count(edges)
+    wedges = F.col("degree") * (F.col("degree") - 1)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("(1000000 * 2 * coalesce(triangles, 0)) DIV (degree * (degree - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("coeff_e6"),
+        )
+    )
+
+
 def bfs_levels(edges: DataFrame, seeds: DataFrame, max_iters: int = 20) -> DataFrame:
     """Breadth-first distance labels from a seed set: ``(node, dist)``
     for every node reachable from ``seeds`` (a one-column DataFrame),
