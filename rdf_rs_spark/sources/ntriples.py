@@ -73,8 +73,12 @@ def term_columns(extract) -> list:
         .when(ot_first == "_", F.expr("substring(__ot, 3)"))
         .otherwise(F.regexp_extract(ot, r'^"([^"]*)"', 1))
         .alias("obj_lex"),
+        # presence must be STRUCTURAL (does a ^^< suffix exist), not
+        # emptiness of the capture — `"v"^^<>` carries the legal EMPTY
+        # datatype IRI, which the reference/python engine emits as ''
+        # (caught by the sql-vs-python differential fuzz)
         F.when(
-            F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1) != "",
+            ot.rlike(r'^"[^"]*"\^\^<'),
             F.regexp_extract(ot, r'^"[^"]*"\^\^<(.*)>$', 1),
         ).alias("obj_datatype"),
         F.when(

@@ -101,6 +101,54 @@ def test_nt_sql_fast_extraction_edges(spark):
     assert ("_:a", "p", 0, "http://o", None, None) in got
 
 
+def test_nt_sql_vs_python_engine_differential(spark):
+    """Seeded differential fuzz between the two NT engines over
+    structurally valid lines with adversarial token CONTENT (tabs
+    inside blank labels, spaces/tabs inside IRIs, literals that look
+    like @lang/^^dt suffixes, empty IRIs, comment/blank interleave):
+    every line the strict python engine parses must come out of the
+    SQL engine with the identical row."""
+    import random
+
+    rng = random.Random(20260818)
+    iri_pool = ["", "http://s", "a b", "x\ty", "a#b", "http://o.org/1"]
+    label_pool = ["b0", "a", "a<p>", "a\tb"]
+    lit_pool = ["", "v", "two words", "a @b", "x ^^y", "it's"]
+    lines = []
+    for _ in range(300):
+        subj = (
+            f"<{rng.choice(iri_pool)}>"
+            if rng.random() < 0.6
+            else f"_:{rng.choice(label_pool)}"
+        )
+        pred = f"<{rng.choice(iri_pool)}>"
+        r = rng.random()
+        if r < 0.35:
+            obj = f"<{rng.choice(iri_pool)}>"
+        elif r < 0.5:
+            obj = f"_:{rng.choice(label_pool)}"
+        elif r < 0.7:
+            obj = f'"{rng.choice(lit_pool)}"'
+        elif r < 0.85:
+            obj = f'"{rng.choice(lit_pool)}"@{rng.choice(["en", "de-AT"])}'
+        else:
+            obj = f'"{rng.choice(lit_pool)}"^^<{rng.choice(iri_pool)}>'
+        lines.append(f"{subj} {pred} {obj} .")
+        if rng.random() < 0.1:
+            lines.append(rng.choice(["# comment", "", "   "]))
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    key = lambda t: tuple("\0" if v is None else str(v) for v in t)
+    sql_rows = sorted(
+        (tuple(r) for r in parse_ntriples_lines(df, engine="sql").collect()),
+        key=key,
+    )
+    py_rows = sorted(
+        (tuple(r) for r in parse_ntriples_lines(df, engine="python").collect()),
+        key=key,
+    )
+    assert sql_rows == py_rows
+
+
 TTL_DOC = """@base <http://example.org/> .
 @prefix foaf: <http://xmlns.com/foaf/0.1/> .
 <http://d/> a foaf:Document ;
