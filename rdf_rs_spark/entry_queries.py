@@ -5975,7 +5975,8 @@ _VERIFY_FIRST = [
     "corpus_mixture_order",     # range-partitioned _global_positions
     "rdf_collection_extract",   # detached-cycle coverage anti-join
     "ann_sq_topk",              # sq_encode clamp (no-op in-envelope)
-    # (c) fills — r1-only greens, oldest evidence first
+    # (b, late) the r4 NT-engine datatype fix (empty ^^<> no longer
+    # NULLed) touched parse_ntriples_lines — this slot re-verifies it
     "rdf_ntriples_parse",
     # new this round (displaced the dedup_neardup_clusters,
     # rdf_skolemize, events_asof_last_signup, ann_cosine_topk, and

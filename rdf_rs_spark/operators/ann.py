@@ -559,9 +559,13 @@ def semantic_dedup(
 
     Scale: the quadratic term is confined to per-cluster equi-join
     pairs (data-adaptive blocks, like ``embedding_neardup``) — never an
-    all-pairs join; norms are hoisted per-row before the join; the
-    assigned relation feeds both sides of the self-join so it is
-    persisted once. Content-hash seeded centroids + sequential-fold
+    all-pairs join — which means ``n_clusters`` MUST scale with the
+    corpus: SemDeDup itself uses ~10^5 cells at web scale, and a fixed
+    small k over 10^12 vectors would make each cell quadratically
+    explosive. The registered entry's k=8 fits its 500-vector table;
+    production callers size k ≈ corpus/expected-cell-size. Norms are
+    hoisted per-row before the join; the assigned relation feeds both
+    sides of the self-join so it is persisted once. Content-hash seeded centroids + sequential-fold
     scoring keep the WHOLE path ANSI-SQL-replayable (the
     ``ivf_seeded_topk`` discipline); ``threshold`` should be exactly
     representable in binary (0.25 = 2^-2) so the ≥ comparison cannot
