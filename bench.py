@@ -130,7 +130,7 @@ def main() -> None:
     # records nothing at all.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "560"))
     bench_t0 = time.perf_counter()
-    timings, medians, spreads = {}, {}, {}
+    timings, medians, spreads, trial_counts = {}, {}, {}, {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         trials = []
@@ -143,7 +143,12 @@ def main() -> None:
             spark.catalog.clearCache()  # drop per-query persists (MinHash etc.)
         timings[name] = round(min(trials), 3)
         medians[name] = round(sorted(trials)[len(trials) // 2], 3)
-        spreads[name] = round(max(trials) / min(trials), 2)
+        # a budget-truncated single cold trial must not masquerade as a
+        # tight stable median: spread=None marks it unreplicated
+        spreads[name] = (
+            round(max(trials) / min(trials), 2) if len(trials) > 1 else None
+        )
+        trial_counts[name] = len(trials)
 
     n_triples = QUERIES["kg_pipeline_e2e"](spark, sf_dir).count()
 
@@ -175,6 +180,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "queries_spread": spreads,
+                "queries_trials": trial_counts,
                 "sf": sf,
                 "cpus": cpus,
                 "kg_pipeline_triples": n_triples,

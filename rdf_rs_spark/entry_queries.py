@@ -42,6 +42,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scale_n(sf_dir: str, default: int = 1000) -> int:
+    """Synthetic-corpus size for the entries that scale with sf (one
+    definition — 19 copy-pasted blocks desynchronizing an entry's n
+    from its fixed-n oracle was a real review finding)."""
+    for k, v in (("0.001", 200), ("0.01", 2000), ("0.1", 50000)):
+        if sf_dir.rstrip("/").endswith("sf" + k):
+            return v
+    return default
+
+
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_schema_triples(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
@@ -379,18 +389,46 @@ FROM nation
     """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS subj,
        'http://kg.example.org/name' AS pred, CAST(2 AS TINYINT) AS obj_kind,
        n_name AS obj_lex, CAST(NULL AS VARCHAR) AS obj_datatype,
-       CAST('en' AS VARCHAR) AS obj_lang FROM nation""",
+       CAST('en' AS VARCHAR) AS obj_lang FROM nation
+    UNION ALL
+    SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+       'http://kg.example.org/key', CAST(2 AS TINYINT),
+       CAST(n_nationkey AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer', CAST(NULL AS VARCHAR)
+    FROM nation
+    UNION ALL
+    SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+       'http://kg.example.org/tag', CAST(2 AS TINYINT), n_name,
+       '', CAST(NULL AS VARCHAR) FROM nation""",
 )
 def rdf_ntriples_parse(spark, sf_dir):
-    lines = _t(spark, sf_dir, "nation").select(
+    """NT SQL-engine anchor: lang-tagged, ^^-typed, AND empty-datatype
+    (``^^<>``) literals per nation row — the last case pins the r4 fix
+    where datatype presence is structural, not capture-emptiness (an
+    empty datatype IRI must surface as '' not NULL)."""
+    subj = F.concat(
+        F.lit("<" + EX + "nation/"), F.col("n_nationkey").cast("string"), F.lit(">")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    l_lang = nation.select(
         F.concat(
-            F.lit("<" + EX + "nation/"),
-            F.col("n_nationkey").cast("string"),
-            F.lit("> <" + EX + 'name> "'),
-            F.col("n_name"),
-            F.lit('"@en .'),
+            subj, F.lit(" <" + EX + 'name> "'), F.col("n_name"), F.lit('"@en .')
         ).alias("value")
     )
+    l_typed = nation.select(
+        F.concat(
+            subj,
+            F.lit(" <" + EX + 'key> "'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+        ).alias("value")
+    )
+    l_empty_dt = nation.select(
+        F.concat(
+            subj, F.lit(" <" + EX + 'tag> "'), F.col("n_name"), F.lit('"^^<> .')
+        ).alias("value")
+    )
+    lines = l_lang.unionByName(l_typed).unionByName(l_empty_dt)
     return parse_ntriples_lines(lines, "value", engine="sql")
 
 
@@ -4190,11 +4228,7 @@ def rdf_jsonld_parse(spark, sf_dir):
     index-synthesized documents whose triples are closed forms of i."""
     from .sources.jsonld import parse_jsonld_docs
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     i = F.col("id")
     content = F.concat(
         F.lit('{"@id": "http://kg.example.org/page'), i.cast("string"),
@@ -4269,11 +4303,7 @@ def rdf_trig_parse(spark, sf_dir):
     language-tagged default-graph block — each quad a closed form of i."""
     from .sources.trig import parse_trig_docs
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     i = F.col("id")
     pg = F.concat(F.lit("<http://kg.example.org/page"), i.cast("string"), F.lit(">"))
     content = F.concat(
@@ -4332,11 +4362,7 @@ def multimodal_wav_decode(spark, sf_dir):
     against its closed form."""
     from .operators.multimodal import decode_wav_features, synthesize_wav_media
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     return decode_wav_features(synthesize_wav_media(spark.range(n)))
 
 
@@ -4358,11 +4384,7 @@ def multimodal_ppm_decode(spark, sf_dir):
     numpy per-channel pixel sums), verify against closed forms."""
     from .operators.multimodal import decode_ppm_features, synthesize_ppm_media
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     return decode_ppm_features(synthesize_ppm_media(spark.range(n)))
 
 
@@ -4394,11 +4416,7 @@ def multimodal_bmp_decode(spark, sf_dir):
     flip-sensitive ``rowsum_b`` — against the independent derivation."""
     from .operators.multimodal import decode_bmp_features, synthesize_bmp_media
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     return decode_bmp_features(synthesize_bmp_media(spark.range(n)))
 
 
@@ -4438,11 +4456,7 @@ def docs_url_canonical(spark, sf_dir):
     the canonicalizer against independent ground truth."""
     from .functions.urls import canonicalize_url
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     i = F.col("id")
     raw = F.concat(
         F.when(i % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
@@ -4540,11 +4554,7 @@ def kg_entity_bfs_levels(spark, sf_dir):
     from .linking import link_mentions
     from .operators.pagerank import bfs_levels, comention_edges
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     pages = synthesize_web_pages(spark, n)
     links = link_mentions(pages, synthesize_alias_dict(spark))
     seeds = spark.createDataFrame(
@@ -4585,11 +4595,7 @@ def kg_comention_triangles(spark, sf_dir):
     from .linking import link_mentions
     from .operators.pagerank import comention_edges, triangle_count
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     pages = synthesize_web_pages(spark, n)
     links = link_mentions(pages, synthesize_alias_dict(spark))
     return triangle_count(comention_edges(links))
@@ -4633,11 +4639,7 @@ def kg_clustering_coefficient(spark, sf_dir):
     from .linking import link_mentions
     from .operators.pagerank import clustering_coefficient, comention_edges
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     pages = synthesize_web_pages(spark, n)
     links = link_mentions(pages, synthesize_alias_dict(spark))
     return clustering_coefficient(comention_edges(links))
@@ -4692,11 +4694,7 @@ def kg_random_walks(spark, sf_dir):
     from .operators.kg_training import random_walks
     from .operators.pagerank import comention_edges
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for key, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + key):
-            n = v
+    n = _scale_n(sf_dir)
     pages = synthesize_web_pages(spark, n)
     links = link_mentions(pages, synthesize_alias_dict(spark))
     return random_walks(comention_edges(links), walk_len=4, walks_per_node=1)
@@ -4723,11 +4721,7 @@ def kg_skipgram_pairs(spark, sf_dir):
     from .operators.kg_training import random_walks, skipgram_pairs
     from .operators.pagerank import comention_edges
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for key, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + key):
-            n = v
+    n = _scale_n(sf_dir)
     pages = synthesize_web_pages(spark, n)
     links = link_mentions(pages, synthesize_alias_dict(spark))
     walks = random_walks(comention_edges(links), walk_len=4, walks_per_node=1)
@@ -4750,11 +4744,7 @@ def kg_entity_pagerank(spark, sf_dir):
     from .linking import link_mentions
     from .operators.pagerank import comention_edges, pagerank_e6
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     pages = synthesize_web_pages(spark, n)
     links = link_mentions(pages, synthesize_alias_dict(spark))
     ranks = pagerank_e6(comention_edges(links), iters=5)
@@ -4768,11 +4758,7 @@ def kg_pipeline_e2e(spark, sf_dir):
     (mapInPandas) → broadcast entity linking → content-addressed
     skolemization → salted single-shuffle dedup, compared triple-by-
     triple against the SQL regeneration of the deterministic corpus."""
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     pages = synthesize_web_pages(spark, n)
     aliases = synthesize_alias_dict(spark)
     return page_triples(pages, aliases)
@@ -5179,11 +5165,7 @@ def rdf_rdfxml_parse(spark, sf_dir):
     (deterministic ``auto0`` blank) — every triple a closed form of i."""
     from .sources.rdfxml import parse_rdfxml_docs
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     i = F.col("id")
     author = F.when(
         i % 3 == 0,
@@ -5260,11 +5242,7 @@ def rdf_mixed_corpus_parse(spark, sf_dir):
     row-count, a mis-parsed one breaks the value hash."""
     from .sources.read_rdf import read_rdf_docs
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     i = F.col("id")
     t = F.concat(F.lit("t"), (i % 13).cast("string"))
     pg = F.concat(F.lit(EX + "page"), i.cast("string"))
@@ -5319,11 +5297,7 @@ def docs_boilerplate_removal(spark, sf_dir):
     reuses the span hash partitioning."""
     from .operators.corpus import dedup_spans_global
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     i = F.col("id")
     s = i.cast("string")
     text = F.concat(
@@ -5413,11 +5387,7 @@ def rdf_mixed_rejects(spark, sf_dir):
     oracle enumerates the reject rows closed-form."""
     from .sources.read_rdf import rdf_parse_rejects
 
-    scale = {"0.001": 200, "0.01": 2000, "0.1": 50000}
-    n = 1000
-    for k, v in scale.items():
-        if sf_dir.rstrip("/").endswith("sf" + k):
-            n = v
+    n = _scale_n(sf_dir)
     i = F.col("id")
     good = F.array(
         F.lit("@prefix ex: <" + EX + "> . ex:a ex:b ex:c ."),

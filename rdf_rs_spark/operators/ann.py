@@ -327,15 +327,20 @@ def ivf_cosine_topk(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "List[List[float]] | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: spherical-k-means coarse quantizer, corpus
     vectors indexed by nearest centroid, queries probe their ``nprobe``
     nearest clusters and re-rank exactly within the candidates.
+    ``centroids`` lets a caller that probes the same index several ways
+    (``ivf_invariants``) train once and reuse.
 
     At 10^12 vectors the cluster equi-join replaces the cross product
     with an ``nprobe/n_clusters``-selective probe, and (unlike SRP-LSH)
     the partition is data-adaptive — cells follow the corpus density."""
-    cents = spherical_kmeans(corpus, dim, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col)
+    cents = centroids if centroids is not None else spherical_kmeans(
+        corpus, dim, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -398,7 +403,7 @@ def ivf_invariants(
     """
     cents = spherical_kmeans(
         corpus, dim, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    )  # trained ONCE; both probe variants below reuse it
     assigned = corpus.select(
         F.element_at(
             ivf_assign(F.col(vec_col).cast("array<double>"), cents, nprobe=1), 1
@@ -411,10 +416,13 @@ def ivf_invariants(
         ).alias("n_assigned_valid"),
         (F.count_distinct("c") >= n_clusters // 2).cast("bigint").alias("live_ok"),
     )
-    bf = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    # bf feeds the intersect AND both sides of the symmetric difference,
+    # full feeds both exceptAll sides — persist so the |C|x|Q| pair_cosine
+    # kernel and the window rank run once each (CLAUDE.md self-join rule)
+    bf = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col).persist()
     ivf = ivf_cosine_topk(
         corpus, queries, dim=dim, k=k, n_clusters=n_clusters, nprobe=nprobe,
-        iters=iters, id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, centroids=cents,
     )
     recall = (
         ivf.select("query_id", "neighbor_id")
@@ -423,8 +431,8 @@ def ivf_invariants(
     )
     full = ivf_cosine_topk(
         corpus, queries, dim=dim, k=k, n_clusters=n_clusters, nprobe=n_clusters,
-        iters=iters, id_col=id_col, vec_col=vec_col,
-    )
+        id_col=id_col, vec_col=vec_col, centroids=cents,
+    ).persist()
     sym_diff = full.exceptAll(bf).unionAll(bf.exceptAll(full))
     exact = sym_diff.agg((F.count("*") == 0).cast("bigint").alias("full_probe_exact"))
     return (

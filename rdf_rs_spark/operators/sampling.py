@@ -55,10 +55,13 @@ def _global_positions(df: DataFrame, sort_cols, n_parts: int | None = None) -> D
     total order) WITHOUT funneling the corpus through one window
     partition — the zipWithIndex idiom in pure DataFrame ops:
 
-    1. ``repartitionByRange`` on the sort key + ``sortWithinPartitions``
-       (one balanced range exchange; boundary sampling only moves WHERE
-       partition edges fall, never a row's global rank, because the key
-       is unique and partitions stay range-contiguous),
+    1. ``repartitionByRange`` on the sort key (one balanced range
+       exchange; boundary sampling only moves WHERE partition edges
+       fall, never a row's global rank, because the key is unique and
+       partitions stay range-contiguous) — no sortWithinPartitions: the
+       rank window below plans its own sort, so a pre-sort would be a
+       wasted O(n log n) pass whose order the _pid hash exchange
+       destroys anyway,
     2. per-partition row counts → broadcast cumulative offsets (one
        tiny n_parts-row relation, windowed on the driver-sized side),
     3. ``position = offset(pid) + local rank`` via a window partitioned
@@ -73,7 +76,6 @@ def _global_positions(df: DataFrame, sort_cols, n_parts: int | None = None) -> D
         )
     ranked = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
-        .sortWithinPartitions(*sort_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
