@@ -3246,6 +3246,43 @@ def docs_stratified_sample(spark, sf_dir):
 
 
 @q(
+    "docs_mixture_resample",
+    """WITH cnt AS (SELECT lang, count(*)::BIGINT AS c FROM documents
+           WHERE lang IN ('en', 'de', 'fr') GROUP BY lang),
+    tt AS (SELECT min(c::DOUBLE /
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.25 END) AS T
+           FROM cnt),
+    thr AS (SELECT lang,
+              (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.25 END)
+                * T / c::DOUBLE AS f
+            FROM cnt CROSS JOIN tt)
+    SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE CASE WHEN trunc(f * 281474976710656.0)::BIGINT >= 281474976710656
+               THEN TRUE
+               ELSE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)
+                    < lpad(lower(to_hex(greatest(
+                        trunc(f * 281474976710656.0)::BIGINT, 0))), 12, '0')
+          END""",
+)
+def docs_mixture_resample(spark, sf_dir):
+    """Reweighting-by-subsampling to a target domain mixture
+    (``sampling.py::mixture_resample``, the DoReMi-style schedule step):
+    keep en/de/fr at 50/25/25 of the surviving corpus — the binding
+    group keeps 100%, the rest thin by content hash; unweighted
+    languages drop. The oracle re-derives the data-dependent per-group
+    thresholds with the identical fixed-order IEEE expression
+    (c/t → min → t·T/c → trunc into the 48-bit hash space), so the
+    driver's hash gate covers the threshold DERIVATION, not just the
+    filter."""
+    from .operators.sampling import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_resample(
+        d, F.col("lang"), {"en": 0.5, "de": 0.25, "fr": 0.25}, F.col("doc_id")
+    ).select("doc_id", "lang")
+
+
+@q(
     "lineitem_quantity_percentiles",
     """SELECT l_returnflag,
        CAST(floor(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_e2,
@@ -5937,7 +5974,6 @@ _VERIFY_FIRST = [
     # (b) impl changed after the r3 driver check
     "kg_copurchase_kcore",      # scale-adaptive peeled-set broadcast
     "sparql_group_count",       # DISTINCT aggregates via typed Column API
-    "sparql_subquery_agg",      # COUNT(DISTINCT) in subquery, same compile
     "kg_entity_pagerank",       # two-step integer damping projection
     "rdf_bgp_join",             # bgp.py cost-ordering touch-up
     "sparql_construct",         # blank-label substring via Column API
@@ -5961,6 +5997,7 @@ _VERIFY_FIRST = [
     "dedup_semantic_drops",
     "ann_ivf_invariants",
     "kg_rdfs_closure_distributed",
+    "docs_mixture_resample",
 ]
 
 # Every registered query is either in the 50-slot head window above or
@@ -6056,6 +6093,7 @@ DEFERRED = {
     "dedup_minhash_pairs": "green r1 under the driver hash gate; r4 fill slot ceded to docs_chunk_windows",
     "kg_triples_materialize": "green r1 under the driver hash gate; r4 fill slot ceded to events_funnel",
     "rdf_turtle_parse": "green r1 under the driver hash gate; r4 fill slot ceded to kg_clustering_coefficient (S2 anchored in-window by rdf_mixed_corpus_parse)",
+    "sparql_subquery_agg": "green r2; the r4 DISTINCT-aggregate recompile it shares is anchored in-window by sparql_group_count (the subquery wrapper itself is unchanged); slot ceded to docs_mixture_resample",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",

@@ -165,3 +165,57 @@ def mixture_interleave(
         )
     )
     return _global_positions(out, ["t", group_col, "seq"]).drop("w")
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: Column,
+    targets: Dict[str, float],
+    key: Column,
+) -> DataFrame:
+    """Subsample each group so the SURVIVING corpus matches the target
+    mixture proportions — the reweighting-by-subsampling step a
+    DoReMi-style domain schedule needs, without upsampling: the total
+    kept size is the largest ``T`` with ``t_g·T ≤ c_g`` for every
+    group (``T = min_g c_g / t_g``), so exactly one group keeps 100%
+    and every other is thinned to proportion. Membership is the same
+    content-hash rule as the samplers above — cluster-size-invariant,
+    resume-stable, and replayable in ANSI SQL because the per-group
+    thresholds are fixed-order IEEE doubles truncated into the 48-bit
+    hash space. Groups not named in ``targets`` are DROPPED (an
+    unweighted source silently surviving is the same corpus-mix bug
+    ``mixture_interleave`` guards against).
+
+    Scale: ONE map-side-combining count aggregate over the grouped
+    corpus, a bounded driver collect (one row per group — human-curated
+    mixture lists are small), then a narrow hash filter that composes
+    into the scan. The corpus never shuffles."""
+    if abs(sum(targets.values()) - 1.0) > 1e-9:
+        raise ValueError("target proportions must sum to 1")
+    counts = {
+        r["g"]: r["c"]
+        for r in df.groupBy(group_col.alias("g")).agg(F.count("*").alias("c")).collect()
+        if r["g"] in targets
+    }
+    missing = sorted(set(targets) - set(counts))
+    if missing:
+        raise ValueError(f"target groups absent from the corpus: {missing}")
+    # largest total under every group's supply, then per-group keep rates;
+    # plain Python floats ARE IEEE doubles, so an oracle re-deriving these
+    # with the same expression order gets bit-identical thresholds
+    total = min(counts[g] / t for g, t in targets.items())
+    keep = F.lit(False)
+    h = sample_hash_col(key)
+    for g in sorted(targets, reverse=True):
+        f_g = targets[g] * total / counts[g]
+        ti = max(int(f_g * _SPACE), 0)
+        # a keep-everything group cannot go through the hex compare:
+        # format(16^12) is 13 chars and the lexicographic '<' against a
+        # 12-char hash would silently keep only ~1/16 of the group
+        rule = (
+            F.lit(True)
+            if ti >= _SPACE
+            else h < F.lit(format(ti, f"0{_HEX_DIGITS}x"))
+        )
+        keep = F.when(group_col == g, rule).otherwise(keep)
+    return df.filter(keep)

@@ -776,6 +776,36 @@ def test_ppm_decode_gradient(spark):
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
 
 
+def test_mixture_resample_targets_and_binding_group(spark):
+    """The binding group (largest c/t deficit) keeps 100% — NOT the
+    ~1/16 a naive 13-hex-char threshold would silently keep — other
+    groups thin toward proportion, unweighted groups drop, and bad
+    target specs raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.sampling import mixture_resample
+
+    rows = (
+        [(f"a{i}", "en") for i in range(400)]
+        + [(f"b{i}", "de") for i in range(50)]
+        + [(f"c{i}", "zz") for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = mixture_resample(
+        df, F.col("lang"), {"en": 0.5, "de": 0.5}, F.col("doc_id")
+    )
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert "zz" not in by                      # unweighted source dropped
+    assert by["de"] == 50                      # binding group keeps ALL
+    assert 30 <= by["en"] <= 70                # ~50 expected (hash variance)
+    with _pytest.raises(ValueError, match="sum to 1"):
+        mixture_resample(df, F.col("lang"), {"en": 0.5}, F.col("doc_id"))
+    with _pytest.raises(ValueError, match="absent"):
+        mixture_resample(df, F.col("lang"), {"en": 0.5, "xx": 0.5}, F.col("doc_id"))
+
+
 def test_funnel_stages_ordering_and_strictness(spark):
     """Funnel semantics: stages must occur strictly AFTER the previous
     stage's earliest time — a click before the first view doesn't
