@@ -4682,6 +4682,96 @@ def kg_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(comention_edges(links))
 
 
+def _assoc_oracle(n: int) -> str:
+    """DuckDB replay of the co-mention association weights: identical
+    (doc, entity) support dedup, ordered-pair co-occurrence counts,
+    and the same all-integer jaccard/lift `//` truncations."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    ec AS (SELECT e, count(*) AS c FROM m GROUP BY e),
+    nd AS (SELECT count(DISTINCT i) AS n_docs FROM m),
+    pr AS (SELECT a.e AS src, b.e AS dst, count(*) AS cooc
+           FROM m a JOIN m b ON a.i = b.i AND a.e < b.e
+           GROUP BY a.e, b.e)
+    SELECT pr.src, pr.dst, pr.cooc::BIGINT AS cooc,
+           ((1000000 * pr.cooc) // (cs.c + cd.c - pr.cooc))::BIGINT AS jaccard_e6,
+           ((1000000 * nd.n_docs * pr.cooc) // (cs.c * cd.c))::BIGINT AS lift_e6
+    FROM pr
+    JOIN ec cs ON cs.e = pr.src
+    JOIN ec cd ON cd.e = pr.dst
+    CROSS JOIN nd"""
+
+
+@q("kg_comention_weights", _assoc_oracle(2000))
+def kg_comention_weights(spark, sf_dir):
+    """Association-weighted co-mention pairs (document support +
+    integer Jaccard + PMI-without-log lift) — the KB-population edge
+    weighting that separates ubiquitous hub entities from genuinely
+    associated pairs (``operators/pagerank.py::comention_association``).
+    All-integer DIV arithmetic under the full value-hash gate; the
+    oracle re-derives supports, counts, and both ratios independently."""
+    from .linking import link_mentions
+    from .operators.pagerank import comention_association
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return comention_association(links)
+
+
+def _lpa_oracle(n: int, iters: int = 4) -> str:
+    """Unrolled-round replay of synchronous label propagation: each
+    round CTE recomputes the identical (node, label) vote counts
+    (in-neighbor labels + self-vote) and takes ``row_number() ORDER BY
+    cnt DESC, community ASC`` = 1 — the same winner the engine's
+    ``min(struct(−cnt, community))`` argmin picks. Round CTEs are
+    MATERIALIZED (each is referenced twice by the next round — the
+    k-core re-inlining lesson)."""
+    sql = f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS MATERIALIZED (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    l0 AS MATERIALIZED (SELECT node, node AS community FROM nodes)"""
+    for r in range(1, iters + 1):
+        sql += f""",
+    v{r} AS (SELECT e.dst AS node, l.community
+             FROM edges e JOIN l{r - 1} l ON l.node = e.src
+             UNION ALL SELECT node, community FROM l{r - 1}),
+    c{r} AS (SELECT node, community, count(*) AS cnt
+             FROM v{r} GROUP BY node, community),
+    l{r} AS MATERIALIZED (SELECT node, community FROM (
+        SELECT node, community,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, community ASC) AS rn
+        FROM c{r}) WHERE rn = 1)"""
+    sql += f"""
+    SELECT node, community FROM l{iters}"""
+    return sql
+
+
+@q("kg_label_propagation", _lpa_oracle(2000))
+def kg_label_propagation(spark, sf_dir):
+    """Community detection over the co-mention graph by fixed-round
+    synchronous label propagation with a total tie order
+    (``operators/pagerank.py::label_propagation``) — the entity-graph
+    partitioner that groups co-mentioned entities before per-community
+    curation. Deterministic by construction (integer votes, min-label
+    ties, synchronous rounds), so the full 4-round schedule replays
+    under the value-hash gate."""
+    from .linking import link_mentions
+    from .operators.pagerank import comention_edges, label_propagation
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return label_propagation(comention_edges(links), iters=4)
+
+
 def _walks_ctes(n: int, walk_len: int) -> str:
     """CTE chain replaying the deterministic walks over the regenerated
     co-mention graph: per step, rank-1 window over md5(walk ⊕ step ⊕
@@ -6135,6 +6225,8 @@ DEFERRED = {
     "rdf_turtle_parse_inline_bnode": "green r2 under the driver hash gate; impl unchanged since",
     "kg_entity_linking_fuzzy": "green r2 under the driver hash gate; impl unchanged since",
     "kg_entity_linking": "green r2 under the driver hash gate; impl unchanged since",
+    "kg_comention_weights": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_label_propagation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

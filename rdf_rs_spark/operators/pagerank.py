@@ -301,3 +301,139 @@ def kcore(
         raise ValueError(f"k-core peeling did not converge in {max_rounds} rounds")
     finally:
         e.unpersist()
+
+
+def comention_association(
+    links: DataFrame,
+    id_col: str = "url",
+    entity_col: str = "entity_iri",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Association-weighted co-mention edges: for every unordered
+    entity pair mentioned together in ≥1 document, emit
+    ``(src, dst, cooc, jaccard_e6, lift_e6)`` with ``src < dst`` —
+    the statistical edge weighting step of KB population (separating
+    "appear together because both are everywhere" hubs from genuinely
+    associated pairs before the pair graph feeds clustering / link
+    prediction; beyond-reference analytics — the reference's
+    ``src/graph.rs`` stores triples and stops there).
+
+    - ``cooc``       = documents mentioning both (document support)
+    - ``jaccard_e6`` = ``scale·cooc DIV (c_src + c_dst − cooc)``
+    - ``lift_e6``    = ``scale·N·cooc DIV (c_src·c_dst)`` — the
+      PMI-without-log association ratio (>scale ⇔ positively
+      associated), on the same no-libm discipline as BM25's rational
+      idf.
+
+    All-integer arithmetic (counts → products → ``DIV``), so values
+    are order-independent and SQL-replayable under the value-hash
+    gate. Overflow envelope: ``lift_e6``'s numerator is
+    ``scale·N·cooc`` in one signed 64-bit product, so it requires
+    ``N·cooc < 2^63/scale`` (~9.2e12 doc-pairs at the default scale) —
+    at a 10^10-document corpus prefer ``jaccard_e6`` (numerator
+    ``scale·cooc``, safe to 2^43 documents) or drop ``scale``.
+
+    Scale shape: the (doc, entity) support relation is deduplicated
+    once and persisted (it feeds both sides of the pair self-join plus
+    two count aggregates — the SimHash-signature lesson); the per-doc
+    self-join fans out by mentions-per-document, never all-pairs;
+    entity counts and the 1-row corpus count attach by equi-join /
+    broadcast, hoisted before the pair join (per-pair work stays a
+    pure projection).
+    """
+    m = (
+        links.select(F.col(id_col).alias("d"), F.col(entity_col).alias("e"))
+        .distinct()
+        .persist()
+    )
+    ecnt = m.groupBy("e").agg(F.count("*").alias("c"))
+    ndocs = m.select(F.count_distinct("d").alias("n_docs"))
+    pairs = (
+        m.alias("a")
+        .join(m.alias("b"), F.col("a.d") == F.col("b.d"))
+        .filter(F.col("a.e") < F.col("b.e"))
+        .groupBy(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
+        .agg(F.count("*").alias("cooc"))
+    )
+    scale_l = F.lit(scale).cast("long")
+    return (
+        pairs.join(ecnt.select(F.col("e").alias("src"), F.col("c").alias("c_src")), "src")
+        .join(ecnt.select(F.col("e").alias("dst"), F.col("c").alias("c_dst")), "dst")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "src",
+            "dst",
+            F.col("cooc").cast("bigint").alias("cooc"),
+            (scale_l * F.col("cooc")).alias("jn"),
+            (F.col("c_src") + F.col("c_dst") - F.col("cooc")).alias("jd"),
+            (scale_l * F.col("n_docs") * F.col("cooc")).alias("ln"),
+            (F.col("c_src") * F.col("c_dst")).alias("ld"),
+        )
+        .select(
+            "src",
+            "dst",
+            "cooc",
+            F.expr("jn DIV jd").cast("bigint").alias("jaccard_e6"),
+            F.expr("ln DIV ld").cast("bigint").alias("lift_e6"),
+        )
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected graph given as a symmetric directed edge relation (the
+    :func:`comention_edges` contract): every node starts in its own
+    community (label = its own id) and each round adopts the most
+    frequent label among its neighbors plus itself, ties broken by
+    SMALLEST label — returns ``(node, community)`` after ``iters``
+    fixed rounds.
+
+    Fixed-round synchronous LPA with a total tie order is fully
+    deterministic (no float scores, no random visit order — the
+    asynchronous variant in Raghavan et al. is neither), so the whole
+    schedule is SQL-replayable: the oracle unrolls each round as a CTE
+    computing identical (node, label) vote counts and taking
+    ``row_number() ORDER BY cnt DESC, label ASC`` = 1 — the same
+    winner the Spark side picks via ``min(struct(−cnt, label))``
+    (an aggregate argmin, no window shuffle). The self-vote damps the
+    two-cycle oscillation synchronous LPA is prone to on bipartite-ish
+    regions.
+
+    Scale shape: the classic two-exchange Pregel round — the edge
+    relation is hash-partitioned on ``src`` once and persisted; each
+    round shuffles only the 2-column label relation onto that layout
+    and the vote stream onto ``node``; ``localCheckpoint`` per round
+    truncates the iterative lineage (the connected-components lesson).
+    """
+    e = edges.select("src", "dst").repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("community"))
+    for _ in range(iters):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "community")
+            .unionByName(labels)
+            .groupBy("node", "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg_cnt"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.community").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return labels

@@ -1074,3 +1074,45 @@ def test_kcore_shuffle_path_matches_broadcast_path(spark):
         for r in kcore(edges, k=2, broadcast_threshold=0).collect()
     }
     assert small == large and small  # both non-empty and identical
+
+
+def test_comention_association_hand_computed(spark):
+    """3 docs: d1={A,B,C}, d2={A,B}, d3={A} -> c_A=3, c_B=2, c_C=1,
+    N=3. (A,B): cooc 2, jaccard 2/3, lift 3*2/(3*2)=1. (A,C): cooc 1,
+    jaccard 1/3, lift 1. (B,C): cooc 1, jaccard 1/2, lift 3/2."""
+    from rdf_rs_spark.operators.pagerank import comention_association
+
+    links = spark.createDataFrame(
+        [("d1", "A"), ("d1", "B"), ("d1", "C"),
+         ("d2", "A"), ("d2", "B"), ("d3", "A"),
+         # duplicate mention in the same doc must not inflate support
+         ("d1", "A")],
+        ["url", "entity_iri"],
+    )
+    rows = {
+        (r.src, r.dst): (r.cooc, r.jaccard_e6, r.lift_e6)
+        for r in comention_association(links).collect()
+    }
+    assert rows == {
+        ("A", "B"): (2, 666666, 1000000),
+        ("A", "C"): (1, 333333, 1000000),
+        ("B", "C"): (1, 500000, 1500000),
+    }
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two K4 cliques bridged by one edge settle into two communities
+    labeled by each clique's min node; the bridge does not merge them
+    (each endpoint's in-clique votes outnumber the single cross vote)."""
+    from rdf_rs_spark.operators.pagerank import label_propagation
+
+    c1, c2 = ["a", "b", "c", "d"], ["w", "x", "y", "z"]
+    und = (
+        [(u, v) for u in c1 for v in c1 if u < v]
+        + [(u, v) for u in c2 for v in c2 if u < v]
+        + [("d", "w")]
+    )
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    out = {r.node: r.community for r in label_propagation(edges, iters=4).collect()}
+    assert out == {n: "a" for n in c1} | {n: "w" for n in c2}
