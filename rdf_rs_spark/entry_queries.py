@@ -4425,6 +4425,40 @@ def multimodal_ppm_decode(spark, sf_dir):
     return decode_ppm_features(synthesize_ppm_media(spark.range(n)))
 
 
+def _mulaw_oracle(n: int) -> str:
+    """Closed-form ground truth for the mu-law decode: amplitudes are
+    chosen EXACTLY mu-law-representable (``((8m+132)<<e)−132`` over
+    every mantissa/exponent), so compress→expand is lossless and every
+    feature is a closed form of ``i`` — a wrong LUT entry, chunk walk,
+    or companding formula breaks the hash. ``amp = 0`` ⇔ ``i%16 = 0``
+    (silent signal → zero transitions)."""
+    return f"""SELECT 'ulaw:' || i AS media_id, 1::INTEGER AS n_channels,
+      8000::INTEGER AS sample_rate,
+      (120 + (i % 40) * 8)::BIGINT AS n_samples,
+      amp::BIGINT AS peak,
+      ((120 + (i % 40) * 8)::BIGINT * amp::BIGINT) AS sum_abs,
+      (CASE WHEN amp = 0 THEN 0
+            ELSE ((120 + (i % 40) * 8) - 1) // ((i % 7) + 1) END)::BIGINT
+        AS n_transitions
+    FROM (SELECT i, ((8 * (i % 16) + 132) * (1 << (i % 8))) - 132 AS amp
+          FROM (SELECT unnest(generate_series(0, {n - 1})) AS i))"""
+
+
+@q("multimodal_mulaw_decode", _mulaw_oracle(2000))
+def multimodal_mulaw_decode(spark, sf_dir):
+    """REAL compressed-audio decode under the full value-hash gate:
+    G.711 mu-law WAV (companded 2:1 — the telephony codec; stdlib
+    ``wave`` is PCM-only, so both the RIFF assembly and the chunk-walk
+    + table expansion are hand-rolled in
+    ``operators/multimodal.py::decode_mulaw_features``). Amplitudes
+    are exactly representable, so the closed-form oracle checks the
+    real compress→expand round trip."""
+    from .operators.multimodal import decode_mulaw_features, synthesize_mulaw_media
+
+    n = _scale_n(sf_dir)
+    return decode_mulaw_features(synthesize_mulaw_media(spark.range(n)))
+
+
 def _bmp_oracle(n: int) -> str:
     """Closed-form ground truth for the BMP decoder: per-ROW channel
     values are functions of (i, row-from-top r), so the oracle derives
@@ -6227,6 +6261,7 @@ DEFERRED = {
     "kg_entity_linking": "green r2 under the driver hash gate; impl unchanged since",
     "kg_comention_weights": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_label_propagation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -3,11 +3,13 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
 
-Three decode paths are REAL (stdlib + numpy only, driver-oracled):
+Four decode paths are REAL (stdlib + numpy only, driver-oracled):
 PCM WAV (:func:`decode_wav_features`), binary PPM
-(:func:`decode_ppm_features`), and 24-bit BMP
+(:func:`decode_ppm_features`), 24-bit BMP
 (:func:`decode_bmp_features` — stride padding, BGR order, bottom-up
-flip). The codec step for genuinely COMPRESSED formats
+flip), and G.711 mu-law WAV (:func:`decode_mulaw_features` — a real
+COMPRESSED/companded codec: hand-walked RIFF chunks + table
+expansion). The codec step for TRANSFORM-CODED formats
 (JPEG/MP3/H.264) remains STUBBED — no PIL/ffmpeg in this
 container: ``decode_stub=True`` produces deterministic fake features
 (a seeded digest of the bytes), while the Spark-side plumbing — schema,
@@ -388,6 +390,141 @@ def synthesize_ppm_media(df: DataFrame, id_col: str = "id") -> DataFrame:
                 )
                 header = f"P6\n{w} {h}\n255\n".encode("ascii")
                 rows.append((f"ppm:{i}", header + rgb.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---- G.711 mu-law (companded audio — a REAL compressed codec) -------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def _ulaw_decode_lut() -> np.ndarray:
+    """256-entry mu-law→linear table from the ITU G.711 expansion
+    formula (table-driven, as production decoders are): invert the
+    byte, split sign/exponent/mantissa, expand, un-bias."""
+    lut = np.empty(256, dtype=np.int64)
+    for b in range(256):
+        u = (~b) & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+        x = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+        lut[b] = -x if sign else x
+    return lut
+
+
+_ULAW_LUT = _ulaw_decode_lut()
+
+
+def _ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 mu-law compression of int 16-bit linear
+    samples (used by the synthesizer so the decode entry exercises a
+    real compressed payload, not a pre-cooked byte string)."""
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    m = np.minimum(np.abs(x), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = MSB position - 7 (m >= 0x84 so bit_length >= 8);
+    # frexp on an exactly-represented int gives bit_length directly
+    # (no libm log2, whose rounding is not guaranteed at powers of 2)
+    exp = np.frexp(m.astype(np.float64))[1].astype(np.int64) - 8
+    mant = (m >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def decode_mulaw_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL compressed-audio decode: G.711 mu-law WAV (RIFF format
+    code 7 — companded 2:1, the telephony codec). No stdlib module
+    reads it (``wave`` is PCM-only), so this walks the RIFF chunk list
+    by hand (fmt/data, word-aligned skips), validates the format
+    fields, and expands every byte through the table decoder; emits
+    the same sample-level aggregates as :func:`decode_wav_features`,
+    so a wrong LUT entry, a missed chunk, or an un-inverted byte
+    breaks the value hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "n_channels", "sample_rate", "n_samples",
+            "peak", "sum_abs", "n_transitions",
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                p = bytes(getattr(r, payload_col))
+                assert p[0:4] == b"RIFF" and p[8:12] == b"WAVE", "not a WAV"
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(p):
+                    cid = p[pos : pos + 4]
+                    sz = int.from_bytes(p[pos + 4 : pos + 8], "little")
+                    body = p[pos + 8 : pos + 8 + sz]
+                    if cid == b"fmt ":
+                        fmt = body
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+                assert fmt is not None and data is not None, "missing chunk"
+                code = int.from_bytes(fmt[0:2], "little")
+                nch = int.from_bytes(fmt[2:4], "little")
+                rate = int.from_bytes(fmt[4:8], "little")
+                bits = int.from_bytes(fmt[14:16], "little")
+                assert code == 7 and bits == 8, "decoder expects 8-bit mu-law"
+                arr = _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+                rows.append(
+                    (
+                        getattr(r, id_col),
+                        nch,
+                        rate,
+                        len(arr),
+                        int(np.abs(arr).max(initial=0)),
+                        int(np.abs(arr).sum()),
+                        int(np.count_nonzero(arr[1:] != arr[:-1])),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
+
+
+def synthesize_mulaw_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic mu-law WAV payloads from a row index: a square
+    wave with EXACTLY mu-law-representable amplitude
+    ``A = ((8·(i%16) + 132) << (i%8)) − 132`` (every mantissa and
+    exponent segment covered), length ``N = 120 + (i%40)·8``,
+    half-period ``P = (i%7)+1`` — compress→expand is lossless on these
+    values, so every decoded feature stays a closed form of ``i`` and
+    the SQL oracle checks the REAL companding round trip. The RIFF
+    container (18-byte fmt chunk, format code 7) is hand-assembled —
+    stdlib ``wave`` cannot write non-PCM."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                n = 120 + (i % 40) * 8
+                amp = ((8 * (i % 16) + 132) << (i % 8)) - 132
+                half = (i % 7) + 1
+                t = np.arange(n, dtype=np.int64)
+                samples = np.where((t // half) % 2 == 0, amp, -amp)
+                data = _ulaw_encode(samples).tobytes()
+                fmt = struct.pack("<4sIHHIIHHH", b"fmt ", 18, 7, 1, 8000, 8000, 1, 8, 0)
+                hdr = struct.pack(
+                    "<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data) + (len(data) & 1), b"WAVE"
+                )
+                payload = hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+                if len(data) & 1:
+                    payload += b"\x00"  # RIFF word alignment pad
+                rows.append((f"ulaw:{i}", payload))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     schema = T.StructType(

@@ -1116,3 +1116,70 @@ def test_label_propagation_two_cliques_with_bridge(spark):
         und + [(b, a) for a, b in und], ["src", "dst"])
     out = {r.node: r.community for r in label_propagation(edges, iters=4).collect()}
     assert out == {n: "a" for n in c1} | {n: "w" for n in c2}
+
+
+def test_mulaw_lut_matches_published_g711_extremes():
+    """Spot-check the expansion table against the published G.711
+    values: encode(0)=0xFF decodes to 0; 0x80 (max negative byte
+    pattern inverted) expands to the table maximum 32124; sign
+    symmetry holds across the whole table."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _ULAW_LUT, _ulaw_encode
+
+    assert _ULAW_LUT[0xFF] == 0
+    assert _ULAW_LUT[0x80] == 32124 and _ULAW_LUT[0x00] == -32124
+    assert (_ULAW_LUT[:128] == -_ULAW_LUT[128:]).all()
+    assert _ulaw_encode(np.array([0], dtype=np.int64))[0] == 0xFF
+    # clip: out-of-range input saturates to the table max, not overflow
+    assert _ULAW_LUT[_ulaw_encode(np.array([32767], dtype=np.int64))[0]] == 32124
+
+
+def test_mulaw_decode_hand_built_payload(spark):
+    """Hand-companded square wave through the REAL RIFF walk + LUT
+    expansion; features must match the representable amplitude exactly
+    (lossless round trip on representable values)."""
+    import struct
+
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _ulaw_encode, decode_mulaw_features
+
+    amp = ((8 * 5 + 132) << 2) - 132  # mantissa 5, exponent 2 -> representable
+    samples = np.array([amp, amp, -amp, 0, -amp], dtype=np.int64)
+    data = _ulaw_encode(samples).tobytes()
+    fmt = struct.pack("<4sIHHIIHHH", b"fmt ", 18, 7, 1, 8000, 8000, 1, 8, 0)
+    payload = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data) + 1, b"WAVE")
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+        + b"\x00"  # odd data size -> word-alignment pad must be skipped
+    )
+    df = spark.createDataFrame(
+        [("u1", bytearray(payload))], "media_id string, payload binary")
+    r = decode_mulaw_features(df).collect()[0]
+    assert (r.n_channels, r.sample_rate, r.n_samples) == (1, 8000, 5)
+    assert r.peak == amp and r.sum_abs == 4 * amp and r.n_transitions == 3
+
+
+def test_mulaw_decode_rejects_pcm_payload(spark):
+    """A PCM WAV (format code 1) must fail loudly, not mis-expand."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from rdf_rs_spark.operators.multimodal import decode_mulaw_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(4, dtype="<i2").tobytes())
+    df = spark.createDataFrame(
+        [("p1", bytearray(buf.getvalue()))], "media_id string, payload binary")
+    with pytest.raises(Exception, match="mu-law|PythonException"):
+        decode_mulaw_features(df).collect()
