@@ -4806,6 +4806,51 @@ def kg_label_propagation(spark, sf_dir):
     return label_propagation(comention_edges(links), iters=4)
 
 
+def _linkpred_oracle(n: int) -> str:
+    """DuckDB replay of the neighborhood link-prediction scores over
+    the regenerated co-mention graph: same wedge enumeration, same
+    known-edge anti-join, same integer DIV Jaccard."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS MATERIALIZED (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+    cn AS (SELECT am.src AS a, mb.dst AS b, count(*) AS common_neighbors
+           FROM edges am JOIN edges mb ON am.dst = mb.src AND am.src < mb.dst
+           GROUP BY am.src, mb.dst),
+    cand AS (SELECT cn.* FROM cn
+             WHERE NOT EXISTS (SELECT 1 FROM edges e
+                               WHERE e.src = cn.a AND e.dst = cn.b))
+    SELECT c.a AS src, c.b AS dst,
+           c.common_neighbors::BIGINT AS common_neighbors,
+           ((1000000 * c.common_neighbors)
+              // (da.deg + db.deg - c.common_neighbors))::BIGINT AS jaccard_e6,
+           (da.deg * db.deg)::BIGINT AS pref_attachment
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b"""
+
+
+@q("kg_link_prediction", _linkpred_oracle(2000))
+def kg_link_prediction(spark, sf_dir):
+    """Neighborhood-heuristic candidate edges over the co-mention
+    graph (``operators/pagerank.py::link_prediction``) — common
+    neighbors, integer Jaccard, preferential attachment for every
+    non-adjacent pair sharing a neighbor: the KB-completion proposer
+    that feeds human review / downstream ranking. Wedge equi-join +
+    known-edge anti-join + hoisted degree joins; all-integer DIV
+    arithmetic under the full value-hash gate."""
+    from .linking import link_mentions
+    from .operators.pagerank import comention_edges, link_prediction
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return link_prediction(comention_edges(links))
+
+
 def _walks_ctes(n: int, walk_len: int) -> str:
     """CTE chain replaying the deterministic walks over the regenerated
     co-mention graph: per step, rank-1 window over md5(walk ⊕ step ⊕
@@ -6262,6 +6307,7 @@ DEFERRED = {
     "kg_comention_weights": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_label_propagation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1183,3 +1183,26 @@ def test_mulaw_decode_rejects_pcm_payload(spark):
         [("p1", bytearray(buf.getvalue()))], "media_id string, payload binary")
     with pytest.raises(Exception, match="mu-law|PythonException"):
         decode_mulaw_features(df).collect()
+
+
+def test_link_prediction_hand_computed(spark):
+    """Path A-B-C plus square C-D-E-F-C: (A,C) share {B}; adjacency is
+    excluded; Jaccard uses the exact union size for non-adjacent
+    pairs."""
+    from rdf_rs_spark.operators.pagerank import link_prediction
+
+    und = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("E", "F"), ("C", "F")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    rows = {
+        (r.src, r.dst): (r.common_neighbors, r.jaccard_e6, r.pref_attachment)
+        for r in link_prediction(edges).collect()
+    }
+    # deg: A1 B2 C3 D2 E2 F2
+    assert rows == {
+        ("A", "C"): (1, 333333, 3),   # {B}; 1e6*1//(1+3-1)
+        ("B", "D"): (1, 333333, 4),   # {C}; 1e6*1//(2+2-1)
+        ("B", "F"): (1, 333333, 4),   # {C}
+        ("C", "E"): (2, 666666, 6),   # {D,F}; 1e6*2//(3+2-2)
+        ("D", "F"): (2, 1000000, 4),  # {C,E}; union size exactly 2
+    }
