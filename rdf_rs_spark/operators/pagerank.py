@@ -21,9 +21,19 @@ PageRank would tie the value hash to summation order; _e6 units keep
 
 Scale shape (100 TB / 10^9-node graphs): the edge relation is the big
 side. It is hash-partitioned on ``src`` ONCE and persisted; each round
-shuffles only the rank vector (2 narrow columns) onto that layout and
-the contribution stream onto ``dst`` — the classic two-exchange Pregel
-round. Per-round ``localCheckpoint`` truncates the growing lineage
+joins the rank vector (2 narrow columns) against that layout and
+shuffles the contribution stream onto ``dst`` — the classic Pregel
+round. Honest caveat (measured, Spark 4.1): an AQE-wrapped cached
+plan reports ``UnknownPartitioning`` (the ResultQueryStage does not
+forward the repartition's hash layout), so the STATIC plan re-
+exchanges the cached edge partitions each round instead of zero-copy
+reusing them — the shuffle reads hit the local in-memory partitions
+(cheap, no recompute), and at runtime AQE replaces the join with a
+broadcast whenever the rank side fits, but a cluster-scale run where
+both sides are large pays |E| re-partitioning per round. Eliminating
+it needs a bucketed edge TABLE (see ``sources/graph_table.py``'s
+zero-exchange bucketed join), which an in-memory iterative loop
+cannot create per run. Per-round ``localCheckpoint`` truncates the growing lineage
 (the iterative-DataFrame lesson from connected components /
 k-means). Dangling nodes (outdeg 0) contribute no mass — documented
 simplification, mirrored exactly by the oracle.
@@ -399,11 +409,14 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     two-cycle oscillation synchronous LPA is prone to on bipartite-ish
     regions.
 
-    Scale shape: the classic two-exchange Pregel round — the edge
-    relation is hash-partitioned on ``src`` once and persisted; each
-    round shuffles only the 2-column label relation onto that layout
-    and the vote stream onto ``node``; ``localCheckpoint`` per round
-    truncates the iterative lineage (the connected-components lesson).
+    Scale shape: the classic Pregel round — the edge relation is
+    hash-partitioned on ``src`` once and persisted; each round joins
+    the 2-column label relation against it and shuffles the vote
+    stream onto ``node``; ``localCheckpoint`` per round truncates the
+    iterative lineage (the connected-components lesson). The
+    module-docstring AQE caveat applies: the static plan re-exchanges
+    the cached edge partitions per round (local in-memory reads;
+    AQE broadcasts the label side at runtime when it fits).
     """
     e = edges.select("src", "dst").repartition("src").persist()
     nodes = (
@@ -414,29 +427,36 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     )
     labels = nodes.select("node", F.col("node").alias("community"))
     for _ in range(iters):
-        votes = (
-            e.join(labels.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), "community")
-            .unionByName(labels)
-            .groupBy("node", "community")
-            .agg(F.count("*").alias("cnt"))
-        )
-        labels = (
-            votes.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("neg_cnt"),
-                        F.col("community").alias("community"),
-                    )
-                ).alias("w")
-            )
-            .select("node", F.col("w.community").alias("community"))
-            .localCheckpoint(eager=True)
-        )
+        labels = _lpa_round(e, labels).localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
     return labels
+
+
+def _lpa_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: neighbor votes + self-vote → count →
+    deterministic argmin winner (``min(struct(−cnt, community))`` —
+    an aggregate, never a window shuffle). Split out so the plan test
+    can pin the pre-checkpoint round shape."""
+    votes = (
+        e.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(F.col("dst").alias("node"), "community")
+        .unionByName(labels)
+        .groupBy("node", "community")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        votes.groupBy("node")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("community").alias("community"),
+                )
+            ).alias("w")
+        )
+        .select("node", F.col("w.community").alias("community"))
+    )
 
 
 def link_prediction(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:

@@ -773,3 +773,71 @@ def test_semantic_dedup_pairs_are_cluster_equijoin(spark):
     plan = explain_str(semantic_dedup(emb, n_clusters=4))
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------- round-4 session ops (2) ----
+
+
+def test_comention_association_single_one_row_broadcast(spark):
+    """The corpus-size scalar must attach as a 1-row broadcast (the
+    only nested-loop join in the plan); everything else is equi-join /
+    hash-agg — no pair-table cartesian."""
+    from rdf_rs_spark.operators.pagerank import comention_association
+
+    links = spark.createDataFrame(
+        [("d1", "A"), ("d1", "B"), ("d2", "A")], ["url", "entity_iri"])
+    plan = explain_str(comention_association(links), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row n_docs
+    spark.catalog.clearCache()
+
+
+def test_lpa_round_shuffles_labels_never_edges(spark):
+    """One LPA round over a src-partitioned persisted edge relation:
+    edges come from the in-memory cache (never recomputed) and the
+    winner is an aggregate argmin, never a Window shuffle. The bound
+    is 5, not 4: Spark 4.1's AQE-wrapped cache reports
+    UnknownPartitioning, so the static plan re-exchanges the cached
+    edge partitions (documented in the module docstring; at runtime
+    AQE broadcasts the small label side instead)."""
+    from rdf_rs_spark.operators.pagerank import _lpa_round
+
+    e = (
+        spark.createDataFrame([("A", "B"), ("B", "A")], ["src", "dst"])
+        .repartition("src")
+        .persist()
+    )
+    labels = spark.createDataFrame([("A", "A"), ("B", "B")], ["node", "community"])
+    out = _lpa_round(e, labels)
+    plan = explain_str(out, "simple")
+    assert "InMemoryTableScan" in plan  # edges probed from the persisted cache
+    assert "Window" not in plan
+    # labels->src, edges re-exchange (AQE cache caveat), vote agg, winner agg
+    assert count_exchanges(out) <= 5
+    e.unpersist()
+
+
+def test_link_prediction_equijoins_only(spark):
+    """Wedge enumeration, known-edge anti-join, and degree assembly
+    are all equi-joins — a cartesian or nested-loop pair generation
+    here is the 100TB-killer."""
+    from rdf_rs_spark.operators.pagerank import link_prediction
+
+    und = [("A", "B"), ("B", "C")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    plan = explain_str(link_prediction(edges), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mulaw_decode_is_narrow(spark):
+    """Compressed-audio decode stays a zero-shuffle Arrow map — the
+    payload bytes never move."""
+    from rdf_rs_spark.operators.multimodal import (
+        decode_mulaw_features,
+        synthesize_mulaw_media,
+    )
+
+    out = decode_mulaw_features(synthesize_mulaw_media(spark.range(4)))
+    assert count_exchanges(out) == 0
