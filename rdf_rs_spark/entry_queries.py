@@ -4459,6 +4459,40 @@ def multimodal_mulaw_decode(spark, sf_dir):
     return decode_mulaw_features(synthesize_mulaw_media(spark.range(n)))
 
 
+def _gif_oracle(n: int) -> str:
+    """Decoder-independent ground truth for the GIF/LZW decode: the
+    synthesized pixel ``j`` of image ``i`` is ``(i+j) % 128`` and the
+    palette rows are closed forms of the index, so per-channel sums
+    derive straight from ``(i, j)`` — neither the LZW emitter nor the
+    expander is replayed, they are independently CHECKED."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    dims AS (SELECT i, (i % 6) + 4 AS w, (i % 5) + 4 AS h FROM p),
+    px AS (SELECT d.i, d.w, d.h, (d.i + t.j) % 128 AS k
+           FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) t)
+    SELECT 'gif:' || i AS media_id, w::INTEGER AS width, h::INTEGER AS height,
+      sum((2 * k) % 256)::BIGINT AS sum_r,
+      sum((3 * k + 5) % 256)::BIGINT AS sum_g,
+      sum(255 - k)::BIGINT AS sum_b
+    FROM px GROUP BY i, w, h"""
+
+
+@q("multimodal_gif_decode", _gif_oracle(2000))
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL dictionary-coded image decode under the full value-hash
+    gate: GIF89a with variable-width LZW
+    (``operators/multimodal.py::decode_gif_features`` — container
+    walk, extension skip, global color table, bit-level LSB-first code
+    stream, dictionary growth). The oracle derives every channel sum
+    from the pixel/palette closed forms without replaying either codec
+    side, so it independently checks the whole compress→decompress
+    path."""
+    from .operators.multimodal import decode_gif_features, synthesize_gif_media
+
+    n = _scale_n(sf_dir)
+    return decode_gif_features(synthesize_gif_media(spark.range(n)))
+
+
 def _bmp_oracle(n: int) -> str:
     """Closed-form ground truth for the BMP decoder: per-ROW channel
     values are functions of (i, row-from-top r), so the oracle derives
@@ -6308,6 +6342,7 @@ DEFERRED = {
     "kg_label_propagation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_gif_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

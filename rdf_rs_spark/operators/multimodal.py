@@ -3,13 +3,15 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
 
-Four decode paths are REAL (stdlib + numpy only, driver-oracled):
+Five decode paths are REAL (stdlib + numpy only, driver-oracled):
 PCM WAV (:func:`decode_wav_features`), binary PPM
 (:func:`decode_ppm_features`), 24-bit BMP
 (:func:`decode_bmp_features` — stride padding, BGR order, bottom-up
-flip), and G.711 mu-law WAV (:func:`decode_mulaw_features` — a real
+flip), G.711 mu-law WAV (:func:`decode_mulaw_features` — a real
 COMPRESSED/companded codec: hand-walked RIFF chunks + table
-expansion). The codec step for TRANSFORM-CODED formats
+expansion), and GIF89a (:func:`decode_gif_features` — a real
+DICTIONARY-CODED codec: variable-width LSB-first LZW). The codec
+step for TRANSFORM-CODED formats
 (JPEG/MP3/H.264) remains STUBBED — no PIL/ffmpeg in this
 container: ``decode_stub=True`` produces deterministic fake features
 (a seeded digest of the bytes), while the Spark-side plumbing — schema,
@@ -525,6 +527,217 @@ def synthesize_mulaw_media(df: DataFrame, id_col: str = "id") -> DataFrame:
                 if len(data) & 1:
                     payload += b"\x00"  # RIFF word alignment pad
                 rows.append((f"ulaw:{i}", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---- GIF / LZW (dictionary-coded image — a REAL compressed codec) ---------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """Standard GIF variable-width LZW expansion: clear/EOI codes,
+    dictionary growth to 4096, width bump at ``next_code == 2^width``,
+    and the KwKwK (``code == next_code``) case. The bitstream is
+    LSB-first within each byte (the GIF packing order)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    weights = 1 << np.arange(13, dtype=np.int64)
+    pos, width = 0, min_code_size + 1
+    table: dict[int, list[int]] = {}
+    next_code, prev = eoi + 1, None
+    out: list[int] = []
+    while pos + width <= len(bits):
+        code = int(bits[pos : pos + width].astype(np.int64) @ weights[:width])
+        pos += width
+        if code == clear:
+            table = {c: [c] for c in range(clear)}
+            next_code, width, prev = eoi + 1, min_code_size + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return np.asarray(out, dtype=np.int64)
+
+
+def _lzw_encode_literals(pixels: np.ndarray, min_code_size: int) -> bytes:
+    """Literal-only LZW stream (valid, deliberately uncompressive —
+    the synthesizer's job is a correct container, not ratio): every
+    pixel is emitted as its literal code, while the emitter tracks the
+    dictionary growth a decoder performs so each code is written at
+    the width the decoder will read it with; clears when the table
+    would fill."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    bits: list[int] = []
+
+    def emit(code: int, w: int) -> None:
+        for b in range(w):
+            bits.append((code >> b) & 1)
+
+    width, next_code, first = min_code_size + 1, eoi + 1, True
+    emit(clear, width)
+    for p in pixels:
+        if next_code >= 4095:
+            emit(clear, width)
+            width, next_code, first = min_code_size + 1, eoi + 1, True
+        emit(int(p), width)
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    emit(eoi, width)
+    arr = np.array(bits, dtype=np.uint8)
+    return np.packbits(arr, bitorder="little").tobytes()
+
+
+_GIF_PALETTE_SIZE = 128  # min code size 7
+
+
+def _gif_palette() -> np.ndarray:
+    """Index-derived 128-entry RGB palette (closed forms of k)."""
+    k = np.arange(_GIF_PALETTE_SIZE, dtype=np.int64)
+    return np.stack([(2 * k) % 256, (3 * k + 5) % 256, 255 - k], axis=1)
+
+
+def decode_gif_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL compressed-image decode: GIF (LZW dictionary coding). Full
+    container walk — header, logical screen descriptor, global color
+    table, extension-block skips, image descriptor — then the
+    variable-width LZW expansion of :func:`_lzw_decode` and palette
+    lookup; emits the PPM-shaped per-channel pixel sums, so a wrong
+    dictionary entry, bit order, or palette row breaks the value
+    hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                p = bytes(getattr(r, payload_col))
+                assert p[0:6] in (b"GIF87a", b"GIF89a"), "not a GIF"
+                flags = p[10]
+                pos = 13
+                gct = None
+                if flags & 0x80:
+                    n_ent = 2 << (flags & 0x07)
+                    gct = (
+                        np.frombuffer(p[pos : pos + 3 * n_ent], dtype=np.uint8)
+                        .reshape(n_ent, 3)
+                        .astype(np.int64)
+                    )
+                    pos += 3 * n_ent
+                pixels = w = h = None
+                while pos < len(p):
+                    block = p[pos]
+                    pos += 1
+                    if block == 0x3B:  # trailer
+                        break
+                    if block == 0x21:  # extension: label + sub-blocks
+                        pos += 1
+                        while p[pos] != 0:
+                            pos += 1 + p[pos]
+                        pos += 1
+                        continue
+                    assert block == 0x2C, f"unexpected block 0x{block:02x}"
+                    w = int.from_bytes(p[pos + 4 : pos + 6], "little")
+                    h = int.from_bytes(p[pos + 6 : pos + 8], "little")
+                    ifl = p[pos + 8]
+                    pos += 9
+                    assert not (ifl & 0x40), "interlaced GIF unsupported"
+                    if ifl & 0x80:  # local color table overrides
+                        n_ent = 2 << (ifl & 0x07)
+                        gct = (
+                            np.frombuffer(p[pos : pos + 3 * n_ent], dtype=np.uint8)
+                            .reshape(n_ent, 3)
+                            .astype(np.int64)
+                        )
+                        pos += 3 * n_ent
+                    mcs = p[pos]
+                    pos += 1
+                    chunks = []
+                    while p[pos] != 0:
+                        ln = p[pos]
+                        chunks.append(p[pos + 1 : pos + 1 + ln])
+                        pos += 1 + ln
+                    pos += 1
+                    pixels = _lzw_decode(b"".join(chunks), mcs)
+                    break  # first frame only
+                assert pixels is not None and gct is not None, "no image data"
+                assert len(pixels) == w * h, "pixel count mismatch"
+                rgb = gct[pixels]
+                rows.append(
+                    (
+                        getattr(r, id_col),
+                        w,
+                        h,
+                        int(rgb[:, 0].sum()),
+                        int(rgb[:, 1].sum()),
+                        int(rgb[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+def synthesize_gif_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic GIF89a payloads from a row index: a
+    ``(i%6)+4 × (i%5)+4`` image whose row-major pixel ``j`` is
+    ``(i+j) % 128`` over the index-derived palette of
+    :func:`_gif_palette`, with a graphic-control extension block the
+    decoder must skip. Channel sums are closed forms of ``(i, j)`` —
+    the oracle derives them without touching either codec side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        pal = _gif_palette().astype(np.uint8).tobytes()
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                w, h = (i % 6) + 4, (i % 5) + 4
+                pixels = (i + np.arange(w * h, dtype=np.int64)) % _GIF_PALETTE_SIZE
+                lzw = _lzw_encode_literals(pixels, 7)
+                parts = [
+                    b"GIF89a",
+                    # GCT present, 128 entries (size bits = 6)
+                    struct.pack("<HHBBB", w, h, 0x80 | 0x70 | 0x06, 0, 0),
+                    pal,
+                    # graphic-control extension the decoder must skip
+                    b"\x21\xf9\x04\x00\x00\x00\x00\x00",
+                    struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0),
+                    bytes([7]),  # LZW min code size
+                ]
+                for off in range(0, len(lzw), 255):
+                    chunk = lzw[off : off + 255]
+                    parts.append(bytes([len(chunk)]) + chunk)
+                parts.append(b"\x00\x3b")
+                rows.append((f"gif:{i}", b"".join(parts)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     schema = T.StructType(

@@ -1206,3 +1206,53 @@ def test_link_prediction_hand_computed(spark):
         ("C", "E"): (2, 666666, 6),   # {D,F}; 1e6*2//(3+2-2)
         ("D", "F"): (2, 1000000, 4),  # {C,E}; union size exactly 2
     }
+
+
+def test_lzw_decode_dictionary_hits_and_kwkwk():
+    """Hand-packed TRUE LZW stream for pixels 1,2,1,2,1,2,1 at min
+    code size 2: codes CLEAR,1,2,6,8,EOI where 6 is a dictionary hit
+    and 8 is the KwKwK (code == next_code) case read AFTER a width
+    bump 3→4 — the paths a literal-only stream never exercises."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _lzw_decode
+
+    bits = []
+    for code, w in [(4, 3), (1, 3), (2, 3), (6, 3), (8, 4), (5, 4)]:
+        bits.extend((code >> b) & 1 for b in range(w))
+    data = np.packbits(np.array(bits, dtype=np.uint8), bitorder="little").tobytes()
+    assert _lzw_decode(data, 2).tolist() == [1, 2, 1, 2, 1, 2, 1]
+
+
+def test_lzw_literal_roundtrip_width_growth_and_reset():
+    """Literal-stream roundtrips across the width-8→9 growth boundary
+    and across a mid-stream dictionary-full clear/reset (>3965
+    codes)."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _lzw_decode, _lzw_encode_literals
+
+    for n in (1, 125, 126, 127, 500, 5000):
+        px = (np.arange(n, dtype=np.int64) * 37 + 11) % 128
+        data = _lzw_encode_literals(px, 7)
+        assert (_lzw_decode(data, 7) == px).all(), n
+
+
+def test_gif_decode_matches_numpy_ground_truth(spark):
+    """Full container path (header, GCT, extension skip, LZW) for one
+    synthesized image vs independently computed palette sums."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import (
+        _gif_palette,
+        decode_gif_features,
+        synthesize_gif_media,
+    )
+
+    i = 9
+    r = decode_gif_features(synthesize_gif_media(spark.range(i, i + 1))).collect()[0]
+    w, h = (i % 6) + 4, (i % 5) + 4
+    px = (i + np.arange(w * h)) % 128
+    rgb = _gif_palette()[px]
+    assert (r.width, r.height) == (w, h)
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(rgb[:, c].sum()) for c in range(3))
