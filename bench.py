@@ -55,6 +55,14 @@ BENCH_QUERIES = [
     # real BMP decode (50k synthesized images at sf0.1)
     "kg_rdfs_closure_distributed",
     "multimodal_bmp_decode",
+    # round-4 session-2 additions: neighborhood link prediction (wedge
+    # join + anti-join) and the real LZW expansion (50k synthesized
+    # GIFs at sf0.1 — per-payload Python dict walk). LPA is left out:
+    # 4 Pregel rounds over the 50k-page mention pipeline would be the
+    # costliest bench query while measuring mostly fixed round
+    # overhead the kcore entry already represents.
+    "kg_link_prediction",
+    "multimodal_gif_decode",
 ]
 
 
