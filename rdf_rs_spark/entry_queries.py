@@ -4885,6 +4885,59 @@ def kg_link_prediction(spark, sf_dir):
     return link_prediction(comention_edges(links))
 
 
+def _hits_oracle(n: int, iters: int = 2) -> str:
+    """Unrolled replay of integer HITS: per half-step a sum aggregate,
+    a 1-row max, and the same ``//`` normalization — every value
+    integer, every round a CTE (the PageRank discipline). Score CTEs
+    are MATERIALIZED (each feeds the next half-step's join and the
+    final assembly)."""
+    sql = f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS MATERIALIZED (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT node, 1000000::BIGINT AS s FROM nodes)"""
+    prev_h = "h0"
+    for r in range(1, iters + 1):
+        sql += f""",
+    a{r}r AS (SELECT e.dst AS node, sum(h.s) AS raw
+              FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst),
+    a{r} AS MATERIALIZED (SELECT node, (1000000 * raw) // (SELECT max(raw) FROM a{r}r) AS s
+              FROM a{r}r),
+    h{r}r AS (SELECT e.src AS node, sum(a.s) AS raw
+              FROM edges e JOIN a{r} a ON a.node = e.dst GROUP BY e.src),
+    h{r} AS MATERIALIZED (SELECT node, (1000000 * raw) // (SELECT max(raw) FROM h{r}r) AS s
+              FROM h{r}r)"""
+        prev_h = f"h{r}"
+    sql += f"""
+    SELECT n.node, coalesce(a{iters}.s, 0)::BIGINT AS authority_e6,
+           coalesce(h{iters}.s, 0)::BIGINT AS hub_e6
+    FROM nodes n
+    LEFT JOIN a{iters} ON a{iters}.node = n.node
+    LEFT JOIN h{iters} ON h{iters}.node = n.node"""
+    return sql
+
+
+@q("kg_hits_scores", _hits_oracle(2000))
+def kg_hits_scores(spark, sf_dir):
+    """Integer-scaled HITS hubs/authorities over the co-mention graph
+    (``operators/pagerank.py::hits_e6``) — the second classic
+    centrality beside PageRank (hub lags authority by one half-step,
+    so even on this symmetric relation the two columns differ — a
+    useful tie-breaking pair). Max-normalized with integer DIV instead
+    of a float L2 norm, so the 2-round schedule unrolls under the full
+    value-hash gate."""
+    from .linking import link_mentions
+    from .operators.pagerank import comention_edges, hits_e6
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    return hits_e6(comention_edges(links), iters=2)
+
+
 def _walks_ctes(n: int, walk_len: int) -> str:
     """CTE chain replaying the deterministic walks over the regenerated
     co-mention graph: per step, rank-1 window over md5(walk ⊕ step ⊕
@@ -6343,6 +6396,7 @@ DEFERRED = {
     "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_gif_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_hits_scores": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -517,3 +517,69 @@ def link_prediction(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
             "pref_attachment",
         )
     )
+
+
+def hits_e6(edges: DataFrame, iters: int = 2, scale: int = 1_000_000) -> DataFrame:
+    """Integer-scaled HITS (Kleinberg hubs/authorities) over a directed
+    edge relation: ``iters`` rounds of
+
+        auth_raw(v) = Σ_{u→v} hub(u);   auth = scale·auth_raw DIV max(auth_raw)
+        hub_raw(u)  = Σ_{u→v} auth(v);  hub  = scale·hub_raw  DIV max(hub_raw)
+
+    returning ``(node, authority_e6, hub_e6)`` for every node (sinks /
+    sources score 0 on the side they lack). Max-normalization with
+    integer ``DIV`` replaces the float L2 norm: order statistics are
+    preserved, every value is order-independent, and the whole
+    schedule unrolls into round CTEs for the value-hash gate (the
+    PageRank discipline — a float norm would tie the hash to
+    summation order). ``edges`` must be non-empty (the max is then
+    ≥ 1, so the DIV is well-defined).
+
+    Scale shape: per half-step one equi-join of the 2-column score
+    vector against the persisted edge relation + one map-combined sum
+    + a 1-row max attached by broadcast cross join — never a driver
+    collect; ``localCheckpoint`` per round truncates lineage. Score
+    sums stay within int64 (≤ scale · max-degree).
+    """
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def _half_step(score: DataFrame, join_on: str, out_key: str) -> DataFrame:
+        raw = (
+            e.join(score.withColumnRenamed("node", join_on), join_on)
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                (F.lit(scale).cast("long") * F.col("raw")).alias("num"),
+                "mx",
+            )
+            .select("node", F.expr("num DIV mx").alias("s"))
+        )
+
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("s"))
+    auth = None
+    for _ in range(iters):
+        auth = _half_step(hub, "src", "dst").localCheckpoint(eager=True)
+        hub = _half_step(auth, "dst", "src").localCheckpoint(eager=True)
+    out = (
+        nodes.join(auth.withColumnRenamed("s", "authority_e6"), "node", "left")
+        .join(hub.withColumnRenamed("s", "hub_e6"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("authority_e6"), F.lit(0)).cast("bigint").alias("authority_e6"),
+            F.coalesce(F.col("hub_e6"), F.lit(0)).cast("bigint").alias("hub_e6"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -1256,3 +1256,21 @@ def test_gif_decode_matches_numpy_ground_truth(spark):
     rgb = _gif_palette()[px]
     assert (r.width, r.height) == (w, h)
     assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(rgb[:, c].sum()) for c in range(3))
+
+
+def test_hits_hand_computed(spark):
+    """Directed star u1,u2 -> v plus u1 -> w: after round 1,
+    authority(v)=scale (max), authority(w)=scale/2; hubs then score by
+    the authorities they point at: hub(u1)=scale (v+w), hub(u2)
+    =2/3·scale (v only). Sinks have hub 0; sources authority 0."""
+    from rdf_rs_spark.operators.pagerank import hits_e6
+
+    edges = spark.createDataFrame(
+        [("u1", "v"), ("u2", "v"), ("u1", "w")], ["src", "dst"])
+    out = {r.node: (r.authority_e6, r.hub_e6) for r in hits_e6(edges, iters=1).collect()}
+    assert out == {
+        "v": (1_000_000, 0),
+        "w": (500_000, 0),
+        "u1": (0, 1_000_000),
+        "u2": (0, 666_666),
+    }
