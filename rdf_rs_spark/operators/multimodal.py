@@ -571,10 +571,14 @@ def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
                 entry = prev + [prev[0]]
             else:
                 raise ValueError(f"bad LZW code {code}")
-            table[next_code] = prev + [entry[0]]
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
+            if next_code < 4096:
+                # table freezes at 4096 (GIF "deferred clear": the
+                # stream continues with 12-bit codes and a frozen
+                # dictionary until an explicit clear code)
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
         out.extend(entry)
         prev = entry
     return np.asarray(out, dtype=np.int64)

@@ -1274,3 +1274,33 @@ def test_hits_hand_computed(spark):
         "u1": (0, 1_000_000),
         "u2": (0, 666_666),
     }
+
+
+def test_lzw_decode_deferred_clear_frozen_table():
+    """A stream that keeps emitting 12-bit literal codes past the
+    4096-entry table limit WITHOUT a clear code (GIF deferred clear):
+    the decoder must freeze the dictionary, keep the width at 12, and
+    still resolve literals."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _lzw_decode
+
+    px = ((np.arange(4500, dtype=np.int64) * 53) + 7) % 128
+    bits = []
+
+    def emit(code, w):
+        bits.extend((int(code) >> b) & 1 for b in range(w))
+
+    width, next_code, first = 8, 130, True
+    emit(128, width)  # clear
+    for p in px:
+        emit(p, width)
+        if first:
+            first = False
+        elif next_code < 4096:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    emit(129, width)  # EOI
+    data = np.packbits(np.array(bits, dtype=np.uint8), bitorder="little").tobytes()
+    assert (_lzw_decode(data, 7) == px).all()
