@@ -268,3 +268,106 @@ def test_random_walks_match_reference_replay(spark, und):
     edges = spark.createDataFrame(sym, ["src", "dst"])
     got = {tuple(r) for r in random_walks(edges, walk_len=3).collect()}
     assert got == want
+
+
+def _py_lpa(sym_edges, iters):
+    """Reference synchronous LPA: most-frequent neighbor+self label,
+    ties to the smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in sym_edges:
+        adj[s].add(d)
+    lab = {u: u for u in adj}
+    for _ in range(iters):
+        new = {}
+        for u in adj:
+            cnt = Counter([lab[v] for v in adj[u]] + [lab[u]])
+            new[u] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+@settings(max_examples=6, deadline=None)
+@given(_graph, st.integers(1, 3))
+def test_label_propagation_matches_pure_python(spark, und, iters):
+    from rdf_rs_spark.operators.pagerank import label_propagation
+
+    sym = sorted({(str(a), str(b)) for a, b in und} | {(str(b), str(a)) for a, b in und})
+    want = _py_lpa(sym, iters)
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    got = {r["node"]: r["community"] for r in label_propagation(edges, iters=iters).collect()}
+    assert got == want
+
+
+def _py_linkpred(sym_edges):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in sym_edges:
+        adj[s].add(d)
+    out = {}
+    for a in adj:
+        for b in adj:
+            if a < b and b not in adj[a]:
+                cn = len(adj[a] & adj[b])
+                if cn >= 1:
+                    out[(a, b)] = (
+                        cn,
+                        10**6 * cn // (len(adj[a]) + len(adj[b]) - cn),
+                        len(adj[a]) * len(adj[b]),
+                    )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_graph)
+def test_link_prediction_matches_bruteforce(spark, und):
+    from rdf_rs_spark.operators.pagerank import link_prediction
+
+    sym = sorted({(str(a), str(b)) for a, b in und} | {(str(b), str(a)) for a, b in und})
+    want = _py_linkpred(sym)
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    got = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["jaccard_e6"], r["pref_attachment"])
+        for r in link_prediction(edges).collect()
+    }
+    assert got == want
+
+
+def _py_hits(edges, iters):
+    from collections import defaultdict
+
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    h = {u: 10**6 for u in nodes}
+    a = {}
+    for _ in range(iters):
+        raw = defaultdict(int)
+        for s, d in edges:
+            raw[d] += h.get(s, 0)
+        mx = max(raw.values())
+        a = {u: 10**6 * raw[u] // mx for u in raw}
+        raw2 = defaultdict(int)
+        for s, d in edges:
+            raw2[s] += a[d]
+        mx2 = max(raw2.values())
+        h = {u: 10**6 * raw2[u] // mx2 for u in raw2}
+    return {u: (a.get(u, 0), h.get(u, 0)) for u in nodes}
+
+
+@settings(max_examples=6, deadline=None)
+@given(_graph, st.integers(1, 2))
+def test_hits_matches_pure_python(spark, und, iters):
+    """DIRECTED graphs (no symmetrization): normalization, the
+    half-step lag, and missing-side zeros must all match the
+    reference."""
+    from rdf_rs_spark.operators.pagerank import hits_e6
+
+    e = sorted({(str(a), str(b)) for a, b in und})
+    want = _py_hits(e, iters)
+    edges = spark.createDataFrame(e, ["src", "dst"])
+    got = {
+        r["node"]: (r["authority_e6"], r["hub_e6"])
+        for r in hits_e6(edges, iters=iters).collect()
+    }
+    assert got == want

@@ -222,3 +222,23 @@ def test_pq_topk_determinism_and_budget_monotonicity(spark):
     coarse, fine = recall(4, 8), recall(16, 128)
     assert fine > coarse
     assert fine >= 0.4
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(2, 8).flatmap(
+        lambda m: st.tuples(
+            st.just(m), st.lists(st.integers(0, 2**m - 1), max_size=300)
+        )
+    )
+)
+def test_lzw_literal_roundtrip_any_code_size(args):
+    """encode(literals) → decode is the identity for every min code
+    size and pixel alphabet (incl. the empty stream)."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _lzw_decode, _lzw_encode_literals
+
+    mcs, px = args
+    arr = np.asarray(px, dtype=np.int64)
+    assert _lzw_decode(_lzw_encode_literals(arr, mcs), mcs).tolist() == px
