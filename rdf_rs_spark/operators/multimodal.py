@@ -550,7 +550,9 @@ def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
     weights = 1 << np.arange(13, dtype=np.int64)
     pos, width = 0, min_code_size + 1
-    table: dict[int, list[int]] = {}
+    # pre-initialize the literal table: the spec only SHOULD-requires a
+    # leading clear code, so a stream may open with a literal
+    table: dict[int, list[int]] = {c: [c] for c in range(clear)}
     next_code, prev = eoi + 1, None
     out: list[int] = []
     while pos + width <= len(bits):

@@ -419,17 +419,18 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
     AQE broadcasts the label side at runtime when it fits).
     """
     e = edges.select("src", "dst").repartition("src").persist()
+    # nodes needs no persist: its only consumer is the initial label
+    # relation, whose two round-1 references share the distinct's
+    # exchange (ReusedExchange) before the first checkpoint cuts it off
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     labels = nodes.select("node", F.col("node").alias("community"))
     for _ in range(iters):
         labels = _lpa_round(e, labels).localCheckpoint(eager=True)
     e.unpersist()
-    nodes.unpersist()
     return labels
 
 
@@ -481,9 +482,11 @@ def link_prediction(edges: DataFrame, scale: int = 1_000_000) -> DataFrame:
     (``a→m→b`` keyed on the middle node, fan-out bounded by degree —
     at power-law scale orient by (degree, id) to cap hub fan-out);
     known edges drop out via one equi-anti-join; degrees are one
-    map-side aggregate hoisted before the pair join.
+    map-side aggregate hoisted before the pair join. The edge relation
+    feeds FOUR plan branches (both wedge sides, the anti-join, the
+    degree aggregate), so it persists — the self-join lesson.
     """
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst").persist()
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     am = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     mb = e.select(F.col("src").alias("m"), F.col("dst").alias("b"))
@@ -541,12 +544,18 @@ def hits_e6(edges: DataFrame, iters: int = 2, scale: int = 1_000_000) -> DataFra
     collect; ``localCheckpoint`` per round truncates lineage. Score
     sums stay within int64 (≤ scale · max-degree).
     """
+    if iters < 1:
+        raise ValueError("hits_e6 needs iters >= 1")
     e = edges.select("src", "dst").persist()
+    # checkpoint (not persist) the node set: the final assembly join
+    # executes AFTER this function returns (queries() execution is
+    # deferred), so an unpersisted-by-then cache would silently re-run
+    # the whole upstream synthesis pipeline at action time
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def _half_step(score: DataFrame, join_on: str, out_key: str) -> DataFrame:
@@ -580,6 +589,7 @@ def hits_e6(edges: DataFrame, iters: int = 2, scale: int = 1_000_000) -> DataFra
             F.coalesce(F.col("hub_e6"), F.lit(0)).cast("bigint").alias("hub_e6"),
         )
     )
+    # e only fed the already-checkpointed half-steps; nodes is a
+    # checkpoint, so the deferred final join stays cache-independent
     e.unpersist()
-    nodes.unpersist()
     return out

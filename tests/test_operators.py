@@ -1304,3 +1304,27 @@ def test_lzw_decode_deferred_clear_frozen_table():
     emit(129, width)  # EOI
     data = np.packbits(np.array(bits, dtype=np.uint8), bitorder="little").tobytes()
     assert (_lzw_decode(data, 7) == px).all()
+
+
+def test_lzw_decode_stream_without_leading_clear():
+    """The spec only SHOULD-requires an initial clear code: a stream
+    opening with a literal must decode (pre-initialized table)."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _lzw_decode
+
+    bits = []
+    for code, w in [(1, 3), (2, 3), (6, 3), (5, 4)]:  # no leading clear
+        bits.extend((code >> b) & 1 for b in range(w))
+    data = np.packbits(np.array(bits, dtype=np.uint8), bitorder="little").tobytes()
+    assert _lzw_decode(data, 2).tolist() == [1, 2, 1, 2]
+
+
+def test_hits_rejects_zero_iters(spark):
+    import pytest
+
+    from rdf_rs_spark.operators.pagerank import hits_e6
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters"):
+        hits_e6(edges, iters=0)
