@@ -5861,6 +5861,30 @@ def ann_sq_topk(spark, sf_dir):
 
 
 @q(
+    "ann_sq_moments",
+    _SQ_CODES_CTE
+    + """
+    SELECT a.j::BIGINT AS d1, b.j::BIGINT AS d2,
+           count(*)::BIGINT AS n,
+           sum(a.c)::BIGINT AS sum_a, sum(b.c)::BIGINT AS sum_b,
+           sum(a.c * b.c)::BIGINT AS sum_ab
+    FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND a.j <= b.j
+    GROUP BY a.j, b.j""",
+)
+def ann_sq_moments(spark, sf_dir):
+    """Integer second-moment matrix over the int8-quantized embedding
+    corpus (``operators/ann.py::sq_moment_matrix``) — the whitening /
+    PCA-prep statistic, made exact and order-free by quantizing before
+    summing (a float covariance would tie the value hash to summation
+    order). Per-Arrow-batch Gram partials, vector stream read once and
+    never shuffled; the oracle re-derives scales, codes, and all pair
+    sums from the raw embeddings."""
+    from .operators.ann import sq_moment_matrix
+
+    return sq_moment_matrix(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@q(
     "kg_entity_embedding_mean",
     _SQ_CODES_CTE
     + """ SELECT vec_id % 50 AS entity, (j - 1)::INTEGER AS dim,
@@ -6397,6 +6421,7 @@ DEFERRED = {
     "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_gif_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_hits_scores": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

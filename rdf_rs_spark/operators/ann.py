@@ -961,3 +961,64 @@ def sq_group_mean(
         .groupBy("grp", "dim")
         .agg(F.expr("sum(code) DIV count(*)").alias("mean_code"))
     )
+
+
+def sq_moment_matrix(
+    corpus: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Integer second-moment statistics over int8 SQ codes — the
+    whitening / PCA-prep aggregate of the embedding pipeline (mean
+    vector and covariance derive from these sums downstream): for
+    every dimension pair ``1 ≤ d1 ≤ d2 ≤ dim`` returns
+    ``(d1, d2, n, sum_a, sum_b, sum_ab)`` with
+    ``sum_ab = Σ_v code[d1]·code[d2]``.
+
+    Quantizing first makes the statistic EXACT and order-free (int64
+    sums commute), so it sits under the value-hash gate where a float
+    covariance would tie the hash to summation order. Overflow:
+    ``|sum_ab| ≤ 127²·n`` — safe to ~5·10¹⁴ vectors in i64.
+
+    Scale shape (the k-means-partials discipline): each Arrow batch
+    reduces its vectors to one ``Cᵀ C`` Gram matrix (exact int64
+    matmul), column sums, and a count — ``dim(dim+1)/2`` partial rows
+    per batch — and one map-combined aggregate sums the partials. The
+    vector stream itself never shuffles and is read once."""
+    scales = sq_scales(corpus, dim, vec_col)
+    codes = corpus.select(sq_encode(F.col(vec_col), scales).alias("c"))
+    iu0, iu1 = np.triu_indices(dim)
+    out_schema = T.StructType(
+        [
+            T.StructField("d1", T.LongType(), False),
+            T.StructField("d2", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sum_a", T.LongType(), False),
+            T.StructField("sum_b", T.LongType(), False),
+            T.StructField("sum_ab", T.LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf["c"].tolist(), dtype=np.int64)
+            G = C.T @ C
+            s = C.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "d1": iu0 + 1,
+                    "d2": iu1 + 1,
+                    "n": len(C),
+                    "sum_a": s[iu0],
+                    "sum_b": s[iu1],
+                    "sum_ab": G[iu0, iu1],
+                }
+            )
+
+    partials = codes.mapInPandas(run, out_schema)
+    return partials.groupBy("d1", "d2").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_a").cast("bigint").alias("sum_a"),
+        F.sum("sum_b").cast("bigint").alias("sum_b"),
+        F.sum("sum_ab").cast("bigint").alias("sum_ab"),
+    )

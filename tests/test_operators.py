@@ -1328,3 +1328,23 @@ def test_hits_rejects_zero_iters(spark):
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError, match="iters"):
         hits_e6(edges, iters=0)
+
+
+def test_sq_moment_matrix_hand_computed(spark):
+    """Two 2-d vectors with max-abs scales 2 and 4: codes are exact
+    (components hit the scale or half of it), so every pair sum is
+    hand-checkable; n covers both vectors for every pair."""
+    from rdf_rs_spark.operators.ann import sq_moment_matrix
+
+    df = spark.createDataFrame(
+        [(1, [2.0, -4.0]), (2, [-1.0, 2.0])], "vec_id int, embedding array<float>")
+    # scales: d1=2, d2=4 -> codes v1=(127,-127), v2=(-63,63)
+    out = {
+        (r.d1, r.d2): (r.n, r.sum_a, r.sum_b, r.sum_ab)
+        for r in sq_moment_matrix(df, dim=2).collect()
+    }
+    assert out == {
+        (1, 1): (2, 64, 64, 127 * 127 + 63 * 63),
+        (1, 2): (2, 64, -64, 127 * -127 + -63 * 63),
+        (2, 2): (2, -64, -64, 127 * 127 + 63 * 63),
+    }

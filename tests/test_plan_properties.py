@@ -841,3 +841,15 @@ def test_mulaw_decode_is_narrow(spark):
 
     out = decode_mulaw_features(synthesize_mulaw_media(spark.range(4)))
     assert count_exchanges(out) == 0
+
+
+def test_sq_moments_single_exchange_partials(spark):
+    """The Gram computation must reduce per Arrow batch (vector stream
+    read once, never shuffled); the only exchange is the pair-keyed
+    partial-sum aggregate."""
+    from rdf_rs_spark.operators.ann import sq_moment_matrix
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = sq_moment_matrix(e, dim=64)
+    assert count_exchanges(out) <= 1
+    assert "Window" not in explain_str(out, "simple")
