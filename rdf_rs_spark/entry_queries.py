@@ -5885,6 +5885,29 @@ def ann_sq_moments(spark, sf_dir):
 
 
 @q(
+    "docs_hll_registers",
+    """WITH h AS (SELECT md5(text) AS h FROM documents),
+    r AS (SELECT ('0x' || substring(h, 1, 2))::BIGINT % 256 AS bucket,
+                 ('0x' || substring(h, 3, 15))::BIGINT AS w FROM h)
+    SELECT bucket::BIGINT AS bucket,
+           max(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END)::BIGINT AS max_rho
+    FROM r GROUP BY bucket""",
+)
+def docs_hll_registers(spark, sf_dir):
+    """Deterministic HyperLogLog register table over document text
+    (``operators/sketches.py::hll_registers``) — the mergeable
+    distinct-count sketch a 100 TB pipeline keeps per split/day:
+    registers are a pure function of the value set (md5-derived bucket
+    + first-set-bit rank), so the sketch is identical across
+    partitionings, engines, and reruns, and per-bucket ``max`` is the
+    associative merge. JVM-side column algebra only; the float
+    harmonic-mean estimate stays downstream of the oracled path."""
+    from .operators.sketches import hll_registers
+
+    return hll_registers(_t(spark, sf_dir, "documents"), F.col("text"))
+
+
+@q(
     "kg_entity_embedding_mean",
     _SQ_CODES_CTE
     + """ SELECT vec_id % 50 AS entity, (j - 1)::INTEGER AS dim,
@@ -6422,6 +6445,7 @@ DEFERRED = {
     "multimodal_gif_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_hits_scores": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "docs_hll_registers": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

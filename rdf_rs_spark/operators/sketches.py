@@ -1,0 +1,76 @@
+"""Mergeable distinct-count sketches: deterministic HyperLogLog
+registers (beyond-reference analytics — the reference has no
+aggregation surface at all; a 100 TB curation pipeline needs
+cardinality sketches whose partial states MERGE, so per-split
+register tables combine associatively across files, days, and
+reruns).
+
+Spark's built-in ``approx_count_distinct`` keeps its HLL++ state
+opaque and engine-specific; this operator materializes the REGISTER
+TABLE itself from a fixed hash (md5), which makes the sketch
+
+- **deterministic**: registers are a pure function of the value set —
+  identical across partitionings, retries, cluster sizes, and engines
+  (the project's content-hash discipline), so it sits under the
+  value-hash gate (the estimate's float harmonic mean is downstream
+  arithmetic the caller applies; emitting registers keeps the oracled
+  path libm-free);
+- **mergeable**: ``max`` per bucket is associative/commutative — the
+  map-side-combining aggregate IS the merge operator, so daily
+  sketches union + re-aggregate without touching raw data.
+
+Everything is JVM-side column algebra (md5 → hex slice → conv →
+bin-length), no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: bits of the md5 tail used for the rank (15 hex digits)
+_W_BITS = 60
+
+
+def hll_registers(df: DataFrame, key: Column, n_buckets: int = 256) -> DataFrame:
+    """Build the HLL register table for the distinct values of ``key``:
+    ``(bucket, max_rho)`` where ``bucket`` is the first byte of
+    ``md5(key)`` (mod ``n_buckets``) and ``rho`` is the 1-based
+    position of the first set bit in the next 60 hash bits —
+    ``max_rho`` per bucket is the classic Flajolet register.
+
+    ``length(bin(w))`` gives the MSB position without libm
+    (cross-engine exact: both Spark and DuckDB print minimal binary),
+    so ``rho = 61 − length(bin(w))``, and ``w = 0`` → 61. Estimate
+    downstream: ``alpha·m²/Σ 2^{−max_rho}`` with +0-register linear
+    counting — floats, deliberately outside the oracled path.
+
+    One map-side-combining aggregate over ≤ ``n_buckets`` groups; at
+    100 TB each task reduces its split to ≤ ``n_buckets`` rows before
+    the (tiny) exchange — the mergeable-sketch shape.
+    """
+    h = F.md5(key.cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_buckets).alias(
+        "bucket"
+    )
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(_W_BITS + 1))
+        .otherwise(F.lit(_W_BITS + 1) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("rho")
+    )
+    return (
+        df.select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("bigint").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables from independent sketches (days, splits,
+    reruns): union + per-bucket max — the associative merge that makes
+    the sketch reusable without rescanning raw data."""
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("max_rho").cast("bigint").alias("max_rho"))

@@ -1348,3 +1348,45 @@ def test_sq_moment_matrix_hand_computed(spark):
         (1, 2): (2, 64, -64, 127 * -127 + -63 * 63),
         (2, 2): (2, -64, -64, 127 * 127 + 63 * 63),
     }
+
+
+def test_hll_registers_match_hashlib_model(spark):
+    """Registers must equal a pure-Python md5 model (bucket = first
+    hash byte, rho = 1-based first set bit of the next 60 bits), and
+    duplicates must not move any register (distinct semantics)."""
+    import hashlib
+
+    from rdf_rs_spark.operators.sketches import hll_registers
+
+    keys = [f"doc-{i}" for i in range(40)]
+    want = {}
+    for s in keys:
+        h = hashlib.md5(s.encode()).hexdigest()
+        b = int(h[:2], 16) % 256
+        w = int(h[2:17], 16)
+        rho = 61 if w == 0 else 61 - w.bit_length()
+        want[b] = max(want.get(b, 0), rho)
+    df = spark.createDataFrame([(k,) for k in keys + keys[:10]], ["k"])
+    got = {r.bucket: r.max_rho for r in hll_registers(df, F.col("k")).collect()}
+    assert got == want
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """Merging per-split register tables must equal sketching the
+    concatenated data — the associativity that makes sketches
+    reusable."""
+    from rdf_rs_spark.operators.sketches import hll_merge, hll_registers
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(30)], ["k"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(30)], ["k"])
+    merged = {
+        r.bucket: r.max_rho
+        for r in hll_merge(
+            hll_registers(a, F.col("k")), hll_registers(b, F.col("k"))
+        ).collect()
+    }
+    single = {
+        r.bucket: r.max_rho
+        for r in hll_registers(a.unionByName(b), F.col("k")).collect()
+    }
+    assert merged == single

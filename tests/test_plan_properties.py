@@ -853,3 +853,17 @@ def test_sq_moments_single_exchange_partials(spark):
     out = sq_moment_matrix(e, dim=64)
     assert count_exchanges(out) <= 1
     assert "Window" not in explain_str(out, "simple")
+
+
+def test_hll_registers_single_tiny_exchange(spark):
+    """The sketch must map-side combine to <= n_buckets rows per task
+    before its one exchange — the mergeable-sketch shape. No UDFs: the
+    whole rho derivation is JVM column algebra."""
+    from rdf_rs_spark.operators.sketches import hll_registers
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = hll_registers(d, F.col("text"))
+    assert count_exchanges(out) == 1
+    plan = explain_str(out, "simple")
+    assert "partial_max" in plan  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
