@@ -5908,6 +5908,36 @@ def docs_hll_registers(spark, sf_dir):
 
 
 @q(
+    "corpus_cm_sketch",
+    r"""WITH dt AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+                FROM documents),
+    rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+    cells AS (SELECT rws.r,
+                     ('0x' || substring(md5('cm' || rws.r || ':' || dt.tok), 1, 8))::BIGINT
+                       % 1024 AS c
+              FROM dt CROSS JOIN rws)
+    SELECT r::BIGINT AS row_idx, c::BIGINT AS col_idx, count(*)::BIGINT AS count
+    FROM cells GROUP BY r, c""",
+)
+def corpus_cm_sketch(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream
+    (``operators/sketches.py::cm_sketch``) — the heavy-hitter /
+    frequency counterpart to the HLL sketch: however large the stream,
+    each task map-side combines to ≤ depth·width cells before one tiny
+    exchange (counting 100 TB of tokens costs a sketch-sized shuffle,
+    not a distinct-token-sized one), and per-cell SUM merges per-split
+    sketches without rescanning. Deterministic row-seeded md5 cells,
+    replayed exactly by the oracle."""
+    from .functions.text import tokens_col
+    from .operators.sketches import cm_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    return cm_sketch(toks, F.col("tok"))
+
+
+@q(
     "kg_entity_embedding_mean",
     _SQ_CODES_CTE
     + """ SELECT vec_id % 50 AS entity, (j - 1)::INTEGER AS dim,
@@ -6446,6 +6476,7 @@ DEFERRED = {
     "kg_hits_scores": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_hll_registers": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -74,3 +74,54 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     for t in register_tables[1:]:
         out = out.unionByName(t)
     return out.groupBy("bucket").agg(F.max("max_rho").cast("bigint").alias("max_rho"))
+
+
+def cm_sketch(
+    df: DataFrame, key: Column, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch cells for the multiset of ``key`` values:
+    ``(row_idx, col_idx, count)`` with ``col = md5("cm<row>:" || key) % width``
+    — the frequency/heavy-hitter counterpart to :func:`hll_registers`
+    (point estimate downstream: ``min_r count[r, h_r(x)]``,
+    integer-exact; merge: union + per-cell SUM — counts are
+    associative, so per-split sketches combine without rescanning).
+
+    The sketch's scale property: however large the key stream, each
+    task map-side combines to ≤ ``depth·width`` cells before the one
+    (tiny) exchange — counting token frequencies over 100 TB costs a
+    sketch-sized shuffle instead of a distinct-token-sized one.
+    Deterministic row-seeded md5 hashing keeps the cells a pure
+    function of the multiset (engine- and partitioning-independent).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("row_idx"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"cm{i}:"), key.cast("string"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("col_idx"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select(F.col("c.row_idx").alias("row_idx"), F.col("c.col_idx").alias("col_idx"))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").cast("bigint").alias("count"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min cell tables: union + per-cell sum."""
+    out = sketches[0]
+    for t in sketches[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row_idx", "col_idx").agg(F.sum("count").cast("bigint").alias("count"))

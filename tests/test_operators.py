@@ -1390,3 +1390,32 @@ def test_hll_merge_equals_single_pass(spark):
         for r in hll_registers(a.unionByName(b), F.col("k")).collect()
     }
     assert merged == single
+
+
+def test_cm_sketch_point_estimate_and_merge(spark):
+    """Point estimate (min over rows of the keyed cells) must upper-
+    bound and here exactly recover the true counts on a tiny stream;
+    merging per-split sketches must equal the single-pass sketch."""
+    import hashlib
+
+    from rdf_rs_spark.operators.sketches import cm_merge, cm_sketch
+
+    stream = ["a"] * 5 + ["b"] * 3 + ["c"]
+    df = spark.createDataFrame([(s,) for s in stream], ["k"])
+    cells = {
+        (r.row_idx, r.col_idx): r["count"] for r in cm_sketch(df, F.col("k")).collect()
+    }
+
+    def estimate(key):
+        vals = []
+        for i in range(4):
+            h = hashlib.md5(f"cm{i}:{key}".encode()).hexdigest()
+            vals.append(cells.get((i, int(h[:8], 16) % 1024), 0))
+        return min(vals)
+
+    assert estimate("a") == 5 and estimate("b") == 3 and estimate("c") == 1
+    assert estimate("zzz-absent") == 0
+    half1 = cm_sketch(spark.createDataFrame([(s,) for s in stream[:4]], ["k"]), F.col("k"))
+    half2 = cm_sketch(spark.createDataFrame([(s,) for s in stream[4:]], ["k"]), F.col("k"))
+    merged = {(r.row_idx, r.col_idx): r["count"] for r in cm_merge(half1, half2).collect()}
+    assert merged == cells

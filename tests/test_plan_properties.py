@@ -867,3 +867,19 @@ def test_hll_registers_single_tiny_exchange(spark):
     plan = explain_str(out, "simple")
     assert "partial_max" in plan  # map-side combine
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cm_sketch_single_sketch_sized_exchange(spark):
+    """The token stream must map-side combine to <= depth*width cells
+    per task before the one exchange — the whole point of sketching
+    over exact histograms at 100 TB. JVM column algebra only."""
+    from rdf_rs_spark.functions.text import tokens_col
+    from rdf_rs_spark.operators.sketches import cm_sketch
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    out = cm_sketch(toks, F.col("tok"))
+    assert count_exchanges(out) == 1
+    plan = explain_str(out, "simple")
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
