@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     # overhead the kcore entry already represents.
     "kg_link_prediction",
     "multimodal_gif_decode",
+    # mergeable sketches: sub-second, but the map-side-combine shape
+    # under measurement is exactly what matters at 100 TB
+    "docs_hll_registers",
+    "corpus_cm_sketch",
 ]
 
 

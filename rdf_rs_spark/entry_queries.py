@@ -5908,6 +5908,35 @@ def docs_hll_registers(spark, sf_dir):
 
 
 @q(
+    "kg_hard_negatives",
+    _SQ_CODES_CTE
+    + """, qcodes AS (SELECT vec_id AS query_id, vec_id % 50 AS q_grp, j, c
+                      FROM codes WHERE vec_id < 3),
+    dots AS (SELECT q.query_id, c.vec_id AS neighbor_id, SUM(q.c * c.c)::BIGINT AS dot
+             FROM qcodes q JOIN codes c ON q.j = c.j AND c.vec_id % 50 <> q.q_grp
+             GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+      FROM dots) WHERE rank <= 5""",
+)
+def kg_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training
+    (``operators/ann.py::hard_negatives``): top-k most-similar vectors
+    EXCLUDING the query's own positive group (vec_id % 50 — the
+    entity-mean grouping the embedding bootstrap uses) — similar but
+    wrong, the standard negative recipe. SQ integer dots, broadcast
+    quantized queries, group exclusion on the join filter; fully
+    replayed by the oracle."""
+    from .operators.ann import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        e, e.filter(F.col("vec_id") < 3), F.col("vec_id") % 50, dim=64, k=5
+    )
+
+
+@q(
     "corpus_cm_sketch",
     r"""WITH dt AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
                   ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
@@ -6477,6 +6506,7 @@ DEFERRED = {
     "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_hll_registers": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

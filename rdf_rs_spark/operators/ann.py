@@ -1022,3 +1022,49 @@ def sq_moment_matrix(
         F.sum("sum_b").cast("bigint").alias("sum_b"),
         F.sum("sum_ab").cast("bigint").alias("sum_ab"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    group: Column,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query, the top-k most-similar corpus vectors EXCLUDING its
+    own positive group (``group`` labels positives — same entity, same
+    document, same near-dup cluster) — the standard recipe for
+    negatives that are hard (similar) but wrong (different group).
+
+    Same scale shape as :func:`sq_topk` (int8 codes, broadcast
+    quantized queries, corpus never shuffles, one window rank on the
+    scored pairs); the group-exclusion predicate rides the join
+    filter, so excluded positives never reach the scorer.
+    """
+    scales = sq_scales(corpus, dim, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        group.alias("n_grp"),
+        sq_encode(F.col(vec_col), scales).alias("cc"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        group.alias("q_grp"),
+        sq_encode(F.col(vec_col), scales).alias("qc"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("n_grp") != F.col("q_grp"))
+        .withColumn("dot", sq_pair_dot(F.col("qc"), F.col("cc")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+    )

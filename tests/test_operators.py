@@ -1419,3 +1419,25 @@ def test_cm_sketch_point_estimate_and_merge(spark):
     half2 = cm_sketch(spark.createDataFrame([(s,) for s in stream[4:]], ["k"]), F.col("k"))
     merged = {(r.row_idx, r.col_idx): r["count"] for r in cm_merge(half1, half2).collect()}
     assert merged == cells
+
+
+def test_hard_negatives_excludes_positive_group(spark, embeddings):
+    """Mined negatives must (a) never share the query's group, (b) be
+    exactly the SQ top-k after removing in-group neighbors."""
+    from rdf_rs_spark.operators.ann import hard_negatives, sq_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3)
+    grp = F.col("vec_id") % 50
+    neg = hard_negatives(embeddings, q, grp, dim=64, k=5).collect()
+    assert len(neg) == 15
+    assert all(r.neighbor_id % 50 != r.query_id % 50 for r in neg)
+    # cross-check against the plain SQ ranking with in-group rows dropped
+    full = sq_topk(embeddings, q, dim=64, k=embeddings.count()).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
+        if r.neighbor_id % 50 != r.query_id % 50:
+            want.setdefault(r.query_id, []).append(r.neighbor_id)
+    got = {}
+    for r in sorted(neg, key=lambda r: (r.query_id, r.rank)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == {qid: ids[:5] for qid, ids in want.items()}
