@@ -5967,6 +5967,36 @@ def corpus_cm_sketch(spark, sf_dir):
 
 
 @q(
+    "docs_bloom_probe",
+    """WITH hpos AS (SELECT unnest(generate_series(0, 2)) AS i),
+    bits AS (SELECT DISTINCT
+               ('0x' || substring(md5('bf' || h.i || ':' || s.text), 1, 8))::BIGINT
+                 % 8192 AS bit
+             FROM documents s CROSS JOIN hpos h WHERE s.doc_id % 7 = 0),
+    cand AS (SELECT d.doc_id,
+               ('0x' || substring(md5('bf' || h.i || ':' || d.text), 1, 8))::BIGINT
+                 % 8192 AS bit
+             FROM documents d CROSS JOIN hpos h),
+    hits AS (SELECT c.doc_id, count(*) AS k
+             FROM cand c JOIN bits b ON b.bit = c.bit GROUP BY c.doc_id)
+    SELECT doc_id::BIGINT AS doc_id FROM hits WHERE k = 3""",
+)
+def docs_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership pass (``operators/sketches.py``):
+    build the bit set from the 'seen' subset (doc_id % 7 = 0), probe
+    the whole corpus, keep possible members — the shippable form of a
+    seen-before / decontamination set (≤ m_bits rows travel instead
+    of the raw keys; false positives are deterministic because the
+    hash is, so BOTH engines compute the identical member set and the
+    entry sits under the full value-hash gate)."""
+    from .operators.sketches import bloom_bits, bloom_probe
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bits = bloom_bits(d.filter(F.col("doc_id") % 7 == 0), F.col("text"))
+    return bloom_probe(d, F.col("text"), bits).select("doc_id")
+
+
+@q(
     "kg_entity_embedding_mean",
     _SQ_CODES_CTE
     + """ SELECT vec_id % 50 AS entity, (j - 1)::INTEGER AS dim,
@@ -6507,6 +6537,7 @@ DEFERRED = {
     "docs_hll_registers": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "docs_bloom_probe": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1,9 +1,8 @@
-"""Mergeable distinct-count sketches: deterministic HyperLogLog
-registers (beyond-reference analytics — the reference has no
-aggregation surface at all; a 100 TB curation pipeline needs
-cardinality sketches whose partial states MERGE, so per-split
-register tables combine associatively across files, days, and
-reruns).
+"""Mergeable sketches (beyond-reference analytics — the reference has
+no aggregation surface at all): the trio a 100 TB curation pipeline
+keeps per split/day — HyperLogLog registers (cardinality), Count-Min
+cells (frequency), Bloom bit sets (membership) — all with partial
+states that MERGE associatively across files, days, and reruns.
 
 Spark's built-in ``approx_count_distinct`` keeps its HLL++ state
 opaque and engine-specific; this operator materializes the REGISTER
@@ -125,3 +124,74 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
     for t in sketches[1:]:
         out = out.unionByName(t)
     return out.groupBy("row_idx", "col_idx").agg(F.sum("count").cast("bigint").alias("count"))
+
+
+def bloom_bits(
+    df: DataFrame, key: Column, m_bits: int = 8192, k_hashes: int = 3
+) -> DataFrame:
+    """Bloom-filter bit set for the distinct values of ``key``: the
+    sorted distinct positions ``md5("bf<i>:" || key) % m_bits`` for
+    ``i < k_hashes`` — the membership member of the sketch trio
+    (HLL = cardinality, CM = frequency). Deterministic md5 positions
+    make the bit set a pure function of the value set; merge = union
+    (set OR); probe = all ``k_hashes`` positions present.
+
+    At scale this is the shippable form of a decontamination /
+    seen-before set: ≤ ``m_bits`` rows travel instead of the raw key
+    stream, and per-split filters OR together without rescanning.
+    One map-side-combining distinct over ≤ ``m_bits`` groups.
+    """
+    pos = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    return (
+        df.select(F.explode(pos).alias("bit"))
+        .distinct()
+        .select(F.col("bit").cast("bigint").alias("bit"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, key: Column, bits: DataFrame, m_bits: int = 8192, k_hashes: int = 3
+) -> DataFrame:
+    """Membership probe against a :func:`bloom_bits` set: keeps the
+    rows whose ``k_hashes`` positions are ALL set (possible members —
+    the false-positive side of a Bloom filter; definite non-members
+    are dropped exactly). The bit set broadcasts (≤ m_bits rows);
+    the probed stream never shuffles — count-match per row via one
+    equi-join on the exploded positions."""
+    pos = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    probed = df.withColumn("__pos", pos).withColumn("__k", F.lit(k_hashes))
+    hits = (
+        probed.select("*", F.explode("__pos").alias("bit"))
+        .join(F.broadcast(bits), "bit")
+        .groupBy(*[F.col(c) for c in probed.columns])
+        .agg(F.count("*").alias("__hits"))
+    )
+    return hits.filter(F.col("__hits") == F.col("__k")).drop("__pos", "__k", "__hits")

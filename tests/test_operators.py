@@ -1441,3 +1441,30 @@ def test_hard_negatives_excludes_positive_group(spark, embeddings):
     for r in sorted(neg, key=lambda r: (r.query_id, r.rank)):
         got.setdefault(r.query_id, []).append(r.neighbor_id)
     assert got == {qid: ids[:5] for qid, ids in want.items()}
+
+
+def test_bloom_probe_matches_hashlib_model(spark):
+    """Probe results must equal the exact hashlib model: every seen
+    key kept (no false negatives), and the false-positive set —
+    deterministic because the hash is — reproduced bit for bit."""
+    import hashlib
+
+    from rdf_rs_spark.operators.sketches import bloom_bits, bloom_probe
+
+    keys = [f"key-{i}" for i in range(60)]
+    seen = keys[::3]
+
+    def positions(s):
+        return {
+            int(hashlib.md5(f"bf{i}:{s}".encode()).hexdigest()[:8], 16) % 8192
+            for i in range(3)
+        }
+
+    bitset = set().union(*(positions(s) for s in seen))
+    want = {k for k in keys if positions(k) <= bitset}
+    assert set(seen) <= want  # membership guarantee
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    bits = bloom_bits(df.filter(F.col("k").isin(seen)), F.col("k"))
+    got = {r.k for r in bloom_probe(df, F.col("k"), bits).collect()}
+    assert got == want
