@@ -5025,6 +5025,62 @@ def kg_skipgram_pairs(spark, sf_dir):
     )
 
 
+def _ppr_oracle(n: int, seed: str = "http://kg.example.org/entity/E0") -> str:
+    """Seed-restricted replay of the 5-round integer PageRank: same
+    CTE unrolling as ``_pagerank_oracle`` with the init and teleport
+    mass gated on seed membership."""
+    rounds = ""
+    prev = "r0"
+    for k in range(1, 6):
+        rounds += f""",
+    r{k} AS (
+      SELECT nd.node,
+             ((CASE WHEN nd.node = '{seed}' THEN 150000 ELSE 0 END)
+              + (85 * COALESCE(s.inc, 0)) // 100)::BIGINT AS rank_e6
+      FROM nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_e6 // o.d) AS inc
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN outd o ON o.src = e.src
+        GROUP BY e.dst) s ON s.node = nd.node)"""
+        prev = f"r{k}"
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    m AS (SELECT i, 'http://kg.example.org/entity/E' || (i % 100) AS e FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E' || ((i + 7) % 100) FROM p
+          UNION SELECT i, 'http://kg.example.org/entity/E0' FROM p WHERE i % 20 = 0),
+    edges AS (SELECT DISTINCT a.e AS src, b.e AS dst
+              FROM m a JOIN m b ON a.i = b.i AND a.e <> b.e),
+    outd AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nd AS (SELECT DISTINCT src AS node FROM edges
+           UNION SELECT DISTINCT dst FROM edges),
+    r0 AS (SELECT node,
+                  (CASE WHEN node = '{seed}' THEN 1000000 ELSE 0 END)::BIGINT
+                    AS rank_e6 FROM nd){rounds}
+    SELECT node, rank_e6 FROM r5"""
+
+
+@q("kg_entity_ppr", _ppr_oracle(2000))
+def kg_entity_ppr(spark, sf_dir):
+    """Personalized PageRank from the hot entity
+    (``operators/pagerank.py::personalized_pagerank_e6``) — teleport
+    mass restricted to the seed, so rank concentrates around its
+    neighborhood: the entity-centric relevance ranking for
+    related-entity suggestion and seed-biased crawl priority. Same
+    integer damping discipline as the global walk; the 5-round
+    schedule unrolls with a seed CASE under the full value-hash
+    gate."""
+    from .linking import link_mentions
+    from .operators.pagerank import comention_edges, personalized_pagerank_e6
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_web_pages(spark, n)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    seeds = spark.createDataFrame(
+        [("http://kg.example.org/entity/E0",)], ["node"]
+    )
+    return personalized_pagerank_e6(comention_edges(links), seeds)
+
+
 @q("kg_entity_pagerank", _pagerank_oracle(2000))
 def kg_entity_pagerank(spark, sf_dir):
     """Entity-salience PageRank over the KG's co-mention graph
@@ -6538,6 +6594,7 @@ DEFERRED = {
     "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_bloom_probe": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_entity_ppr": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -593,3 +593,82 @@ def hits_e6(edges: DataFrame, iters: int = 2, scale: int = 1_000_000) -> DataFra
     # checkpoint, so the deferred final join stays cache-independent
     e.unpersist()
     return out
+
+
+def personalized_pagerank_e6(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping_e2: int = 85,
+    base_e6: int = 150_000,
+    init_e6: int = 1_000_000,
+) -> DataFrame:
+    """Personalized PageRank: the :func:`pagerank_e6` iteration with
+    the teleport/base mass restricted to ``seeds`` (a one-column node
+    DataFrame) — rank concentrates around the seed neighborhood, the
+    standard entity-centric relevance ranking (expand-from-entity for
+    related-entity suggestion, seed-biased crawl priority). Seeds also
+    start at ``init_e6``; non-seeds at 0.
+
+    Same integer discipline and plan shape as the global walk (the
+    damping product stays long→DIV end to end; per-round
+    ``localCheckpoint``), so the whole schedule unrolls into round
+    CTEs with a CASE on seed membership. The seed relation attaches
+    by broadcast left join — at web scale seeds are a handful of
+    entities, never a shuffle of the node set.
+    """
+    e = edges.select("src", "dst")
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "is_seed", F.lit(True)
+    )
+    edeg = e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+    edeg = edeg.repartition("src").persist()
+    edeg.count()
+    nodes = (
+        nodes.join(F.broadcast(sd), "node", "left")
+        .select("node", F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(init_e6)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_e6"),
+    )
+    for _ in range(iters):
+        incoming = (
+            edeg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e6 DIV outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.lit(damping_e2).cast("long")
+                    * F.coalesce(F.col("inc"), F.lit(0).cast("long"))
+                ).alias("scaled_inc"),
+            )
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base_e6)).otherwise(F.lit(0))
+                    + F.expr("scaled_inc DIV 100")
+                )
+                .cast("long")
+                .alias("rank_e6"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edeg.unpersist()
+    return ranks
