@@ -169,29 +169,23 @@ def bloom_probe(
     """Membership probe against a :func:`bloom_bits` set: keeps the
     rows whose ``k_hashes`` positions are ALL set (possible members —
     the false-positive side of a Bloom filter; definite non-members
-    are dropped exactly). The bit set broadcasts (≤ m_bits rows);
-    the probed stream never shuffles — count-match per row via one
-    equi-join on the exploded positions."""
-    pos = F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % m_bits
-            )
-            for i in range(k_hashes)
-        ]
-    )
-    probed = df.withColumn("__pos", pos).withColumn("__k", F.lit(k_hashes))
-    hits = (
-        probed.select("*", F.explode("__pos").alias("bit"))
-        .join(F.broadcast(bits), "bit")
-        .groupBy(*[F.col(c) for c in probed.columns])
-        .agg(F.count("*").alias("__hits"))
-    )
-    return hits.filter(F.col("__hits") == F.col("__k")).drop("__pos", "__k", "__hits")
+    are dropped exactly). ``k_hashes`` chained LEFT SEMI joins against
+    the broadcast bit set (≤ m_bits rows) — the probed stream NEVER
+    shuffles (an explode → per-row count-match would re-shuffle the
+    matched stream to regroup it; semi joins keep every step
+    map-side)."""
+    b = F.broadcast(bits.select(F.col("bit").cast("long").alias("bit")))
+    out = df
+    for i in range(k_hashes):
+        p = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        out = out.join(b, p == F.col("bit"), "left_semi")
+    return out

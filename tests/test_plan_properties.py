@@ -883,3 +883,21 @@ def test_cm_sketch_single_sketch_sized_exchange(spark):
     plan = explain_str(out, "simple")
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_stream_never_shuffles(spark):
+    """The probe must be k broadcast semi-joins: the probed stream
+    reaches the result with ZERO exchanges of its own (the only
+    exchange in the plan is the bit-set build inside the broadcast)."""
+    from rdf_rs_spark.operators.sketches import bloom_bits, bloom_probe
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bits = bloom_bits(d.filter(F.col("doc_id") % 7 == 0), F.col("text"))
+    out = bloom_probe(d, F.col("text"), bits)
+    plan = explain_str(out, "simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "LeftSemi" in plan
+    # exchanges only inside the (tiny) broadcast bit-set build
+    import re
+    top = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in top
