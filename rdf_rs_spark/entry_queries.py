@@ -4493,6 +4493,40 @@ def multimodal_gif_decode(spark, sf_dir):
     return decode_gif_features(synthesize_gif_media(spark.range(n)))
 
 
+def _tga_oracle(n: int) -> str:
+    """Decoder-independent ground truth for the TGA RLE decode: pixel
+    ``j`` of image ``i`` is ``v = (i + j DIV 4) % 256`` per channel
+    closed form — neither the RLE packetizer nor the expander is
+    replayed, both are independently CHECKED (an off-by-one run
+    length or a literal/run mix-up shifts some plateau and breaks the
+    sums)."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    dims AS (SELECT i, (i % 6) + 4 AS w, (i % 5) + 4 AS h FROM p),
+    px AS (SELECT d.i, d.w, d.h, (d.i + t.j // 4) % 256 AS v
+           FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) t)
+    SELECT 'tga:' || i AS media_id, w::INTEGER AS width, h::INTEGER AS height,
+      sum((3 * v + 11) % 256)::BIGINT AS sum_r,
+      sum((2 * v + 5) % 256)::BIGINT AS sum_g,
+      sum(v)::BIGINT AS sum_b
+    FROM px GROUP BY i, w, h"""
+
+
+@q("multimodal_tga_decode", _tga_oracle(2000))
+def multimodal_tga_decode(spark, sf_dir):
+    """REAL run-length-coded image decode under the full value-hash
+    gate: TGA type 10 (RLE truecolor) — the third compression family
+    beside mu-law (companding) and GIF (dictionary coding)
+    (``operators/multimodal.py::decode_tga_features``). Every payload
+    mixes RUN and LITERAL packets (4-pixel plateaus, every third
+    written literally); the oracle derives channel sums from the pixel
+    closed forms without replaying either codec side."""
+    from .operators.multimodal import decode_tga_features, synthesize_tga_media
+
+    n = _scale_n(sf_dir)
+    return decode_tga_features(synthesize_tga_media(spark.range(n)))
+
+
 def _bmp_oracle(n: int) -> str:
     """Closed-form ground truth for the BMP decoder: per-ROW channel
     values are functions of (i, row-from-top r), so the oracle derives
@@ -6595,6 +6629,7 @@ DEFERRED = {
     "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_bloom_probe": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_entity_ppr": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_tga_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -3,14 +3,16 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
 
-Five decode paths are REAL (stdlib + numpy only, driver-oracled):
+Six decode paths are REAL (stdlib + numpy only, driver-oracled):
 PCM WAV (:func:`decode_wav_features`), binary PPM
 (:func:`decode_ppm_features`), 24-bit BMP
 (:func:`decode_bmp_features` — stride padding, BGR order, bottom-up
 flip), G.711 mu-law WAV (:func:`decode_mulaw_features` — a real
 COMPRESSED/companded codec: hand-walked RIFF chunks + table
 expansion), and GIF89a (:func:`decode_gif_features` — a real
-DICTIONARY-CODED codec: variable-width LSB-first LZW). The codec
+DICTIONARY-CODED codec: variable-width LSB-first LZW), and TGA
+type 10 (:func:`decode_tga_features` — a real RUN-LENGTH-CODED
+codec: run/literal packet walk). The codec
 step for TRANSFORM-CODED formats
 (JPEG/MP3/H.264) remains STUBBED — no PIL/ffmpeg in this
 container: ``decode_stub=True`` produces deterministic fake features
@@ -744,6 +746,124 @@ def synthesize_gif_media(df: DataFrame, id_col: str = "id") -> DataFrame:
                     parts.append(bytes([len(chunk)]) + chunk)
                 parts.append(b"\x00\x3b")
                 rows.append((f"gif:{i}", b"".join(parts)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---- TGA RLE (run-length-coded image — a REAL compressed codec) -----------
+
+
+def decode_tga_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL run-length-coded image decode: TGA type 10 (RLE truecolor,
+    24-bit) — the third compression family beside mu-law (companding)
+    and GIF (dictionary coding). Walks the 18-byte header, then the
+    packet stream: control byte ``c`` ⇒ a run of ``(c&0x7F)+1`` copies
+    of one BGR pixel when the high bit is set, else ``c+1`` literal
+    BGR pixels. Emits the PPM-shaped per-channel sums, so a swapped
+    channel order, an off-by-one run length, or a mis-advanced cursor
+    breaks the value hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                p = bytes(getattr(r, payload_col))
+                id_len, cmap_type, img_type = p[0], p[1], p[2]
+                assert img_type == 10 and cmap_type == 0, "expects RLE truecolor"
+                w = int.from_bytes(p[12:14], "little")
+                h = int.from_bytes(p[14:16], "little")
+                bpp = p[16]
+                assert bpp == 24, "expects 24-bit pixels"
+                assert p[17] & 0x20, "expects top-down origin"
+                pos = 18 + id_len
+                out = np.empty((w * h, 3), dtype=np.int64)
+                filled = 0
+                while filled < w * h:
+                    c = p[pos]
+                    pos += 1
+                    n = (c & 0x7F) + 1
+                    if c & 0x80:  # run packet: one pixel repeated
+                        px = np.frombuffer(p[pos : pos + 3], dtype=np.uint8)
+                        out[filled : filled + n] = px
+                        pos += 3
+                    else:  # literal packet: n raw pixels
+                        out[filled : filled + n] = np.frombuffer(
+                            p[pos : pos + 3 * n], dtype=np.uint8
+                        ).reshape(n, 3)
+                        pos += 3 * n
+                    filled += n
+                assert filled == w * h, "packet overrun"
+                rows.append(
+                    (
+                        getattr(r, id_col),
+                        w,
+                        h,
+                        int(out[:, 2].sum()),  # pixels are BGR
+                        int(out[:, 1].sum()),
+                        int(out[:, 0].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+def synthesize_tga_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic RLE TGA payloads from a row index: a
+    ``(i%6)+4 × (i%5)+4`` top-down image whose row-major pixel ``j``
+    has value ``v = (i + j DIV 4) % 256`` per channel
+    (``B=v, G=(2v+5)%256, R=(3v+11)%256``) — 4-pixel plateaus, so the
+    encoder emits RUN packets, with every third plateau written as a
+    LITERAL packet instead (both packet types exercised in every
+    payload). Channel sums stay closed forms of ``(i, j)``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                w, h = (i % 6) + 4, (i % 5) + 4
+                n = w * h
+                j = np.arange(n, dtype=np.int64)
+                v = (i + j // 4) % 256
+                bgr = np.stack([v, (2 * v + 5) % 256, (3 * v + 11) % 256], axis=1).astype(
+                    np.uint8
+                )
+                data = bytearray()
+                pos = 0
+                plateau = 0
+                while pos < n:
+                    run_len = 1
+                    while (
+                        pos + run_len < n
+                        and run_len < 128
+                        and (bgr[pos + run_len] == bgr[pos]).all()
+                    ):
+                        run_len += 1
+                    if plateau % 3 == 2:  # literal packet
+                        data.append(run_len - 1)
+                        data.extend(bgr[pos : pos + run_len].tobytes())
+                    else:  # run packet
+                        data.append(0x80 | (run_len - 1))
+                        data.extend(bgr[pos].tobytes())
+                    pos += run_len
+                    plateau += 1
+                hdr = struct.pack(
+                    "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0x20
+                )
+                rows.append((f"tga:{i}", bytes(hdr) + bytes(data)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     schema = T.StructType(

@@ -1508,3 +1508,33 @@ def test_personalized_pagerank_concentrates_on_seed(spark):
         for r in personalized_pagerank_e6(edges, seeds, iters=5).collect()
     }
     assert r5 == rank
+
+
+def test_tga_decode_matches_numpy_ground_truth(spark):
+    """Full RLE path (run + literal packets) for one synthesized image
+    vs independently computed channel sums, plus a reject of
+    uncompressed type-2 payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from rdf_rs_spark.operators.multimodal import (
+        decode_tga_features,
+        synthesize_tga_media,
+    )
+
+    i = 7
+    r = decode_tga_features(synthesize_tga_media(spark.range(i, i + 1))).collect()[0]
+    w, h = (i % 6) + 4, (i % 5) + 4
+    v = (i + np.arange(w * h) // 4) % 256
+    assert (r.width, r.height) == (w, h)
+    assert r.sum_b == int(v.sum())
+    assert r.sum_g == int(((2 * v + 5) % 256).sum())
+    assert r.sum_r == int(((3 * v + 11) % 256).sum())
+
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 1, 1, 24, 0x20)
+    df = spark.createDataFrame(
+        [("t1", bytearray(hdr + b"\x00\x00\x00"))], "media_id string, payload binary")
+    with pytest.raises(Exception, match="RLE|PythonException"):
+        decode_tga_features(df).collect()
