@@ -4493,6 +4493,38 @@ def multimodal_gif_decode(spark, sf_dir):
     return decode_gif_features(synthesize_gif_media(spark.range(n)))
 
 
+def _morton_oracle() -> str:
+    """Bit-identical replay of the Z-order interleave: the same
+    ``((x >> b) & 1) << (2b+i)`` terms summed in SQL."""
+    terms = []
+    for i, col in enumerate(("l_orderkey", "l_partkey")):
+        for b in range(16):
+            terms.append(f"((({col} >> {b}) & 1) * {1 << (b * 2 + i)})")
+    expr = " + ".join(terms)
+    return (
+        f"SELECT l_orderkey, l_partkey, ({expr})::BIGINT AS zkey FROM lineitem"
+    )
+
+
+@q("lineitem_zorder_keys", _morton_oracle())
+def lineitem_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) layout keys over (l_orderkey, l_partkey)
+    (``functions/layout.py::morton_key``) — the multi-dimensional
+    clustering key a 100 TB table sorts by before writing, so parquet
+    min/max stats prune on several filter columns at once
+    (``repartitionByRange(zkey).sortWithinPartitions(zkey)`` is the
+    write-side recipe; this entry verifies the key itself). Pure
+    integer bit algebra, one codegen projection, zero shuffle."""
+    from .functions.layout import morton_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        morton_key([F.col("l_orderkey"), F.col("l_partkey")]).alias("zkey"),
+    )
+
+
 def _tga_oracle(n: int) -> str:
     """Decoder-independent ground truth for the TGA RLE decode: pixel
     ``j`` of image ``i`` is ``v = (i + j DIV 4) % 256`` per channel
@@ -6630,6 +6662,7 @@ DEFERRED = {
     "docs_bloom_probe": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_entity_ppr": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_tga_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "lineitem_zorder_keys": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1,0 +1,46 @@
+"""Data-layout keys: Z-order (Morton) interleave for multi-dimensional
+clustering (beyond-reference — the reference stores triples in memory;
+a 100 TB table wants its files SORTED so parquet min/max stats prune
+on several columns at once, and a range-partition + sort on the
+Morton key of the filter columns is the standard Spark recipe for
+that: `repartitionByRange(zkey).sortWithinPartitions(zkey)` before
+the write).
+
+The key is pure integer arithmetic (``(x DIV 2^b) % 2`` terms summed
+into interleaved bit positions), so it is one whole-stage-codegen
+projection — zero shuffle, engine-exact, and SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, functions as F
+
+
+def morton_key(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each column (non-negative
+    integers; values are taken mod ``2^bits``) into one BIGINT Z-order
+    key: column ``i``'s bit ``b`` lands at position ``b·n + i``.
+    ``n·bits`` must fit in 63 bits.
+
+    Locality property: rows close in every dimension get close keys,
+    so a key-sorted file layout gives min/max pruning on ANY prefix of
+    the dimensions — the multi-column analogue of sorting by one
+    column.
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed 64-bit key")
+    terms = []
+    for i, c in enumerate(cols):
+        x = c.cast("long")
+        for b in range(bits):
+            # ((x >> b) & 1) << (b*n + i), integer ops only (no double
+            # division anywhere — the key must be bit-exact)
+            bit = F.shiftright(x, b).bitwiseAND(F.lit(1).cast("long"))
+            terms.append(bit * F.lit(1 << (b * n + i)).cast("long"))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("bigint")

@@ -1538,3 +1538,27 @@ def test_tga_decode_matches_numpy_ground_truth(spark):
         [("t1", bytearray(hdr + b"\x00\x00\x00"))], "media_id string, payload binary")
     with pytest.raises(Exception, match="RLE|PythonException"):
         decode_tga_features(df).collect()
+
+
+def test_morton_key_hand_computed_and_locality(spark):
+    """3=011 and 5=101 interleave to 39 (x bits at even positions);
+    dimension cap >63 bits rejected; key-sorted order groups the
+    quadrants of a 4x4 grid (the pruning-locality property)."""
+    import pytest
+
+    from rdf_rs_spark.functions.layout import morton_key
+
+    df = spark.createDataFrame([(3, 5)], ["x", "y"])
+    row = df.select(morton_key([F.col("x"), F.col("y")], bits=3).alias("z")).first()
+    assert row.z == 39
+    with pytest.raises(ValueError, match="64-bit"):
+        morton_key([F.col("x")] * 4, bits=16)
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], ["x", "y"])
+    rows = (
+        grid.select("x", "y", morton_key([F.col("x"), F.col("y")], bits=2).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    # first four keys are exactly the 2x2 low quadrant
+    assert {(r.x, r.y) for r in rows[:4]} == {(0, 0), (1, 0), (0, 1), (1, 1)}

@@ -901,3 +901,15 @@ def test_bloom_probe_stream_never_shuffles(spark):
     import re
     top = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in top
+
+
+def test_morton_key_is_zero_shuffle_codegen(spark):
+    """The layout key is one whole-stage-codegen projection — no
+    exchange, no Python eval."""
+    from rdf_rs_spark.functions.layout import morton_key
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = li.select(morton_key([F.col("l_orderkey"), F.col("l_partkey")]).alias("z"))
+    assert count_exchanges(out) == 0
+    plan = explain_str(out, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
