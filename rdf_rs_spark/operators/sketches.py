@@ -174,7 +174,9 @@ def bloom_probe(
     shuffles (an explode → per-row count-match would re-shuffle the
     matched stream to regroup it; semi joins keep every step
     map-side)."""
-    b = F.broadcast(bits.select(F.col("bit").cast("long").alias("bit")))
+    # private join-key name so a probed df with its own `bit` column
+    # cannot shadow the broadcast side
+    b = F.broadcast(bits.select(F.col("bit").cast("long").alias("__bloom_bit")))
     out = df
     for i in range(k_hashes):
         p = (
@@ -187,5 +189,5 @@ def bloom_probe(
             ).cast("long")
             % m_bits
         )
-        out = out.join(b, p == F.col("bit"), "left_semi")
+        out = out.join(b, p == F.col("__bloom_bit"), "left_semi")
     return out
