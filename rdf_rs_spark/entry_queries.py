@@ -6089,6 +6089,36 @@ def corpus_cm_sketch(spark, sf_dir):
 
 
 @q(
+    "corpus_domain_hll",
+    r"""WITH dt AS (SELECT source, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+    r AS (SELECT source AS grp,
+                 ('0x' || substring(md5(tok), 1, 2))::BIGINT % 256 AS bucket,
+                 ('0x' || substring(md5(tok), 3, 15))::BIGINT AS w
+          FROM dt)
+    SELECT grp, bucket::BIGINT AS bucket,
+           max(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END)::BIGINT
+             AS max_rho
+    FROM r GROUP BY grp, bucket""",
+)
+def corpus_domain_hll(spark, sf_dir):
+    """Per-domain HLL register tables over the token stream
+    (``operators/sketches.py::hll_registers_by``) — the production
+    shape of cardinality accounting (distinct tokens per source):
+    ONE map-side-combining aggregate over groups × buckets cells,
+    each group's registers independently mergeable across splits.
+    Fully replayed by the oracle."""
+    from .functions.text import tokens_col
+    from .operators.sketches import hll_registers_by
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    return hll_registers_by(toks, F.col("source"), F.col("tok"))
+
+
+@q(
     "docs_bloom_probe",
     """WITH hpos AS (SELECT unnest(generate_series(0, 2)) AS i),
     bits AS (SELECT DISTINCT
@@ -6663,6 +6693,7 @@ DEFERRED = {
     "kg_entity_ppr": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_tga_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "lineitem_zorder_keys": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "corpus_domain_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

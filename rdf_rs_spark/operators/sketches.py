@@ -191,3 +191,30 @@ def bloom_probe(
         )
         out = out.join(b, p == F.col("__bloom_bit"), "left_semi")
     return out
+
+
+def hll_registers_by(
+    df: DataFrame, group: Column, key: Column, n_buckets: int = 256
+) -> DataFrame:
+    """Per-group HLL register tables — ``(grp, bucket, max_rho)`` —
+    the production shape of cardinality accounting (distinct tokens
+    per domain, distinct URLs per day): one map-side-combining
+    aggregate over ``groups × n_buckets`` cells; each group's
+    registers merge independently across splits by the same
+    per-bucket max."""
+    h = F.md5(key.cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_buckets).alias(
+        "bucket"
+    )
+    w = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rho = (
+        F.when(w == 0, F.lit(_W_BITS + 1))
+        .otherwise(F.lit(_W_BITS + 1) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("rho")
+    )
+    return (
+        df.select(group.alias("grp"), bucket, rho)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").cast("bigint").alias("max_rho"))
+    )

@@ -1562,3 +1562,22 @@ def test_morton_key_hand_computed_and_locality(spark):
     )
     # first four keys are exactly the 2x2 low quadrant
     assert {(r.x, r.y) for r in rows[:4]} == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+def test_hll_registers_by_partitions_the_plain_sketch(spark):
+    """Per-group registers restricted to one group must equal the
+    plain sketch over that group's rows."""
+    from rdf_rs_spark.operators.sketches import hll_registers, hll_registers_by
+
+    rows = [("a", f"x{i}") for i in range(20)] + [("b", f"y{i}") for i in range(25)]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    per = {
+        (r.grp, r.bucket): r.max_rho
+        for r in hll_registers_by(df, F.col("g"), F.col("k")).collect()
+    }
+    for g in ("a", "b"):
+        plain = {
+            r.bucket: r.max_rho
+            for r in hll_registers(df.filter(F.col("g") == g), F.col("k")).collect()
+        }
+        assert {b: v for (gg, b), v in per.items() if gg == g} == plain
