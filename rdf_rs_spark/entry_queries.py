@@ -6457,6 +6457,97 @@ def docs_bpe_segmented(spark, sf_dir):
     )
 
 
+@q(
+    "docs_length_quantiles",
+    """WITH h AS (
+      SELECT least(63, greatest(0, trunc((length(text) * 64) / 4096)))::BIGINT AS bin_idx,
+             count(*)::BIGINT AS cnt
+      FROM documents GROUP BY 1),
+    tot AS (SELECT sum(cnt)::BIGINT AS total FROM h),
+    cum AS (SELECT bin_idx, sum(cnt) OVER (ORDER BY bin_idx)::BIGINT AS cum FROM h),
+    qs AS (SELECT unnest([500, 900, 990]) AS q_e3)
+    SELECT q_e3::BIGINT AS q_e3, min(bin_idx)::BIGINT AS bin_idx,
+           ((min(bin_idx) + 1) * 64)::BIGINT AS upper_edge
+    FROM cum, tot, qs WHERE cum * 1000 >= q_e3 * total GROUP BY q_e3""",
+)
+def docs_length_quantiles(spark, sf_dir):
+    """Histogram-quantile sketch over document lengths
+    (``operators/sketches.py::value_histogram`` +
+    ``histogram_quantiles``) — the distribution member of the
+    mergeable-sketch family (HLL/CM/Bloom/histogram): p50/p90/p99
+    length read-outs, the numbers behind length-filter thresholds and
+    packing budgets. The corpus reduces map-side to ≤64 bins before
+    one tiny exchange; the quantile extraction runs on the bin table
+    only (ordered window over ≤64 rows, 1-row total broadcast-joined
+    on a constant key — no cartesian). Integer binning replays exactly
+    in DuckDB (lengths ≥ 0, so trunc ≡ floor ≡ DIV)."""
+    from .operators.sketches import histogram_quantiles, value_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    hist = value_histogram(d, F.length(F.col("text")), lo=0, hi=4096, n_bins=64)
+    return histogram_quantiles(hist, [500, 900, 990], lo=0, hi=4096, n_bins=64)
+
+
+@q(
+    "docs_per_domain_cap",
+    """SELECT source, doc_id, rk::BIGINT AS sample_rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) WHERE rk <= 5""",
+)
+def docs_per_domain_cap(spark, sf_dir):
+    """Per-domain reservoir cap
+    (``operators/sampling.py::reservoir_per_key``): keep ≤5 docs per
+    source, selected by content-hash rank — the domain-balancing step
+    that stops a hot host from dominating the training mix. Unlike an
+    RNG reservoir the surviving set is identical on any cluster size /
+    rerun (the repo's hash-membership discipline), and the hash order
+    makes each domain's keep a uniform sample, not a prefix. One
+    window shuffle on the domain key; replayed exactly by the
+    oracle."""
+    from .operators.sampling import reservoir_per_key
+
+    d = _t(spark, sf_dir, "documents")
+    return reservoir_per_key(d, F.col("source"), F.col("doc_id"), k=5).select(
+        "source", "doc_id", "sample_rank"
+    )
+
+
+@q(
+    "layout_compaction_bins",
+    """WITH f AS (SELECT doc_id, length(text)::BIGINT AS sz FROM documents),
+    c AS (SELECT sz, coalesce(sum(sz) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bytes_before
+          FROM f)
+    SELECT (bytes_before // 65536)::BIGINT AS bin_idx,
+           count(*)::BIGINT AS n_files, sum(sz)::BIGINT AS bin_bytes
+    FROM c GROUP BY 1""",
+)
+def layout_compaction_bins(spark, sf_dir):
+    """Small-files compaction planner
+    (``functions/layout.py::compaction_bins``): assign byte-sized
+    items contiguous under the table's sort key to ~64 KiB bins
+    (``bin = bytes_before DIV target``) — the deterministic core of
+    the rewrite job a streaming-accreted 100 TB table needs. The
+    global running byte total uses the range-partitioned rank idiom
+    (balanced range exchange + broadcast per-partition byte offsets +
+    per-partition cumulative window), never a single-task global
+    window; output here is the per-bin summary (file count, bytes).
+    Integer-only, replayed exactly (DuckDB ``//`` ≡ Spark ``DIV`` on
+    non-negative bytes)."""
+    from .functions.layout import compaction_bins
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.col("text")).cast("long").alias("sz")
+    )
+    binned = compaction_bins(d, F.col("sz"), ["doc_id"], target_bytes=65536)
+    return binned.groupBy("bin_idx").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("sz").cast("bigint").alias("bin_bytes"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -6694,6 +6785,9 @@ DEFERRED = {
     "multimodal_tga_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "lineitem_zorder_keys": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_domain_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "docs_length_quantiles": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "docs_per_domain_cap": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "layout_compaction_bins": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

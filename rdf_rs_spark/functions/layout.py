@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def morton_key(cols: Sequence[Column], bits: int = 16) -> Column:
@@ -44,3 +44,63 @@ def morton_key(cols: Sequence[Column], bits: int = 16) -> Column:
     for t in terms[1:]:
         out = out + t
     return out.cast("bigint")
+
+
+def compaction_bins(
+    df: DataFrame,
+    size: Column,
+    order_cols: Sequence[str],
+    target_bytes: int,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Compaction planner for the small-files problem: assign each file
+    (row, with ``size`` bytes) to a bin so that files CONTIGUOUS under
+    ``order_cols`` (a unique total order — keep it the table's sort
+    key so compaction preserves clustering) accumulate into
+    ~``target_bytes`` outputs: ``bin = bytes_before DIV target``. A
+    100 TB table accreted by streaming micro-batches is thousands of
+    tiny parquet files per partition; planning the rewrite is a
+    metadata-sized job and this is its deterministic core.
+
+    The running byte total uses the range-partitioned rank idiom, not
+    a single-task global window: one balanced range exchange on the
+    order key, per-partition byte sums → broadcast cumulative offsets
+    (an ``n_parts``-row relation), then a per-partition cumulative
+    window — two balanced exchanges for an exact global running sum at
+    any scale. Integer-only (``DIV``), so the plan replays exactly in
+    any ANSI engine. Appends ``bin_idx``.
+    """
+    if n_parts is None:
+        n_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32") or 32
+        )
+    sized = (
+        df.withColumn("__cb_sz", size.cast("long"))
+        .repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("__cb_pid", F.spark_partition_id())
+        .persist()
+    )
+    part_bytes = sized.groupBy("__cb_pid").agg(F.sum("__cb_sz").alias("__cb_n"))
+    off_w = Window.orderBy("__cb_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_bytes.select(
+        "__cb_pid",
+        F.coalesce(F.sum("__cb_n").over(off_w), F.lit(0))
+        .cast("long")
+        .alias("__cb_off"),
+    )
+    local_w = (
+        Window.partitionBy("__cb_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.join(F.broadcast(offsets), "__cb_pid")
+        .withColumn(
+            "__cb_before",
+            F.col("__cb_off") + F.coalesce(F.sum("__cb_sz").over(local_w), F.lit(0)),
+        )
+        .withColumn(
+            "bin_idx", F.expr(f"__cb_before DIV {int(target_bytes)}").cast("bigint")
+        )
+        .drop("__cb_pid", "__cb_off", "__cb_before", "__cb_sz")
+    )

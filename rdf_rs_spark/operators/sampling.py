@@ -50,6 +50,33 @@ def stratified_sample(
     return df.filter(sample_hash_col(key) < thr)
 
 
+def reservoir_per_key(
+    df: DataFrame, key: Column, id_col: Column, k: int
+) -> DataFrame:
+    """Deterministic per-key reservoir: keep exactly ``min(k, n)`` rows
+    per ``key``, selected by content-hash rank (``md5(id)``, id as the
+    tie-break for a unique total order) — the domain-balancing cap a
+    web corpus needs (no single host dominating the training mix), in
+    the hash-membership discipline of the samplers above: the SAME
+    rows survive on any cluster size, any partitioning, any rerun,
+    unlike an RNG reservoir.
+
+    One window shuffle on the key (map-side nothing to combine — the
+    rank needs the key's rows together); at 100 TB that is the same
+    single exchange a per-domain groupBy costs, and the hash order
+    means a hot domain's reservoir is a uniform sample of it, not a
+    prefix. Appends ``sample_rank`` (1-based within the key)."""
+    d = df.withColumn("__rs_h", F.md5(id_col.cast("string"))).withColumn(
+        "__rs_key", key
+    )
+    w = Window.partitionBy("__rs_key").orderBy(F.col("__rs_h"), id_col)
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__rs_h", "__rs_key")
+    )
+
+
 def _global_positions(df: DataFrame, sort_cols, n_parts: int | None = None) -> DataFrame:
     """0-based dense global rank under ``sort_cols`` (must be a unique
     total order) WITHOUT funneling the corpus through one window

@@ -24,7 +24,7 @@ bin-length), no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: bits of the md5 tail used for the rank (15 hex digits)
 _W_BITS = 60
@@ -191,6 +191,90 @@ def bloom_probe(
         )
         out = out.join(b, p == F.col("__bloom_bit"), "left_semi")
     return out
+
+
+def value_histogram(
+    df: DataFrame, value: Column, lo: int, hi: int, n_bins: int = 64
+) -> DataFrame:
+    """Equi-width histogram sketch for an integer ``value`` column:
+    ``(bin_idx, count)`` over ``n_bins`` bins spanning ``[lo, hi)``,
+    values clamped into the edge bins — the distribution/quantile
+    member of the mergeable-sketch family (HLL = cardinality, CM =
+    frequency, Bloom = membership). Merge = union + per-bin SUM, so
+    per-split histograms combine without rescanning raw data.
+
+    Binning is ``(v − lo)·n_bins / (hi − lo)`` truncated to long —
+    the double intermediate is exact while ``|v − lo|·n_bins < 2^53``
+    (any realistic byte/length domain), and out-of-range values land
+    in the clamped edge bins under truncation and floor alike — so the
+    sketch is a pure function of the multiset and sits under the
+    cross-engine value-hash gate. One map-side-combining
+    aggregate to ≤ ``n_bins`` rows before the (tiny) exchange —
+    length-profiling 100 TB of documents costs a histogram-sized
+    shuffle, not a document-sized one.
+    """
+    v = value.cast("long")
+    raw = ((v - F.lit(lo)) * n_bins / F.lit(hi - lo)).cast("long")
+    bin_idx = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).alias("bin_idx")
+    return (
+        df.select(bin_idx)
+        .groupBy("bin_idx")
+        .agg(F.count("*").cast("bigint").alias("count"))
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Merge :func:`value_histogram` tables: union + per-bin sum."""
+    out = hists[0]
+    for t in hists[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bin_idx").agg(F.sum("count").cast("bigint").alias("count"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs_e3, lo: int, hi: int, n_bins: int = 64
+) -> DataFrame:
+    """Quantile read-out from a :func:`value_histogram` sketch:
+    for each requested quantile ``q`` (permille, e.g. 500/900/990)
+    the smallest bin whose cumulative count covers ``q`` of the total,
+    reported as ``(q_e3, bin_idx, upper_edge)`` where ``upper_edge``
+    is the bin's exclusive upper value bound — the standard
+    histogram-quantile estimate (length-filter thresholds, packing
+    budgets), integer-exact.
+
+    Runs entirely on the ≤ ``n_bins``-row sketch: one ordered window
+    for the running sum (bounded input — never the raw stream), a
+    1-row total joined on a constant key (broadcast hash join, no
+    cartesian), then a per-quantile min over the covering bins.
+    """
+    spark = hist.sparkSession
+    qs = spark.createDataFrame(
+        [(int(q),) for q in qs_e3], "q_e3 long"
+    ).withColumn("__k", F.lit(1))
+    w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin_idx",
+        F.sum("count").over(w).cast("long").alias("cum"),
+        F.lit(1).alias("__k"),
+    )
+    total = hist.agg(F.sum("count").cast("long").alias("total")).withColumn(
+        "__k", F.lit(1)
+    )
+    width = (hi - lo) // n_bins
+    covering = (
+        cum.join(F.broadcast(total), "__k")
+        .join(F.broadcast(qs), "__k")
+        .filter(F.col("cum") * 1000 >= F.col("q_e3") * F.col("total"))
+    )
+    return (
+        covering.groupBy("q_e3")
+        .agg(F.min("bin_idx").cast("bigint").alias("bin_idx"))
+        .select(
+            F.col("q_e3").cast("bigint").alias("q_e3"),
+            "bin_idx",
+            (F.lit(lo) + (F.col("bin_idx") + 1) * width).cast("bigint").alias("upper_edge"),
+        )
+    )
 
 
 def hll_registers_by(

@@ -1581,3 +1581,98 @@ def test_hll_registers_by_partitions_the_plain_sketch(spark):
             for r in hll_registers(df.filter(F.col("g") == g), F.col("k")).collect()
         }
         assert {b: v for (gg, b), v in per.items() if gg == g} == plain
+
+
+def test_value_histogram_matches_model_and_merges(spark):
+    """Bin assignment must equal the clamped integer model, including
+    out-of-range values landing in the edge bins; merging per-split
+    histograms must equal the single-pass sketch."""
+    from rdf_rs_spark.operators.sketches import histogram_merge, value_histogram
+
+    vals = [-5, 0, 1, 63, 64, 65, 4095, 4096, 9999] + [100] * 5
+    want = {}
+    for v in vals:
+        b = min(63, max(0, (v - 0) * 64 // 4096))
+        want[b] = want.get(b, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = {
+        r.bin_idx: r["count"]
+        for r in value_histogram(df, F.col("v"), lo=0, hi=4096).collect()
+    }
+    assert got == want
+    a = spark.createDataFrame([(v,) for v in vals[:5]], ["v"])
+    b = spark.createDataFrame([(v,) for v in vals[5:]], ["v"])
+    merged = {
+        r.bin_idx: r["count"]
+        for r in histogram_merge(
+            value_histogram(a, F.col("v"), lo=0, hi=4096),
+            value_histogram(b, F.col("v"), lo=0, hi=4096),
+        ).collect()
+    }
+    assert merged == want
+
+
+def test_histogram_quantiles_hand_computed(spark):
+    """Quantile read-out on a known skewed distribution: the covering
+    bin is the smallest one whose cumulative count reaches q permille
+    of the total, and upper_edge is its exclusive bound."""
+    from rdf_rs_spark.operators.sketches import histogram_quantiles, value_histogram
+
+    # 90 values in [0,64) -> bin 0; 9 in [64,128) -> bin 1; 1 in bin 63
+    vals = [10] * 90 + [100] * 9 + [4000]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    hist = value_histogram(df, F.col("v"), lo=0, hi=4096)
+    got = {
+        r.q_e3: (r.bin_idx, r.upper_edge)
+        for r in histogram_quantiles(hist, [500, 900, 990], lo=0, hi=4096).collect()
+    }
+    assert got == {500: (0, 64), 900: (0, 64), 990: (1, 128)}
+
+
+def test_reservoir_per_key_deterministic_uniform_and_one_exchange(spark):
+    """Survivors must equal the pure-Python md5-rank model (first k per
+    key under (md5(id), id)), be identical under any input
+    partitioning, keep all rows of under-full keys, and cost exactly
+    one exchange."""
+    import hashlib
+
+    from rdf_rs_spark.operators.sampling import reservoir_per_key
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    rows = [("hot", i) for i in range(40)] + [("cold", 1000 + i) for i in range(2)]
+    want = set()
+    for key in ("hot", "cold"):
+        ids = sorted(
+            (i for k, i in rows if k == key),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        want |= {(key, i, r + 1) for r, i in enumerate(ids[:5])}
+    df = spark.createDataFrame(rows, ["src", "id"])
+    out = reservoir_per_key(df, F.col("src"), F.col("id"), k=5)
+    # pin the plan BEFORE executing: post-collect AQE explain repeats
+    # the exchange in both the Final and Initial plan sections
+    assert count_exchanges(out) == 1
+    got = {(r.src, r.id, r.sample_rank) for r in out.collect()}
+    assert got == want
+    reparted = reservoir_per_key(
+        df.repartition(7, "id"), F.col("src"), F.col("id"), k=5
+    )
+    assert {(r.src, r.id, r.sample_rank) for r in reparted.collect()} == want
+
+
+def test_compaction_bins_matches_running_sum_any_parallelism(spark):
+    """bin_idx must equal the driver model (cumulative bytes-before
+    under the sort key, DIV target) and be invariant to n_parts — the
+    range-partitioned running sum is exact, not approximate."""
+    from rdf_rs_spark.functions.layout import compaction_bins
+
+    sizes = [(i, 10 + (i * 37) % 90) for i in range(50)]
+    want, before = {}, 0
+    for i, sz in sizes:
+        want[i] = before // 200
+        before += sz
+    df = spark.createDataFrame(sizes, ["id", "sz"])
+    for n_parts in (2, 7):
+        out = compaction_bins(df, F.col("sz"), ["id"], target_bytes=200, n_parts=n_parts)
+        got = {r.id: r.bin_idx for r in out.collect()}
+        assert got == want
