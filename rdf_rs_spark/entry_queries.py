@@ -6548,6 +6548,163 @@ def layout_compaction_bins(spark, sf_dir):
     )
 
 
+def _zorder_zonemap_oracle() -> str:
+    """Zone maps over contiguous z-ranges: the morton interleave replayed
+    bit-identically, files = ``zkey >> 12``, then per-file min/max plus
+    the disjoint-range skip test for the box l_orderkey ∈ [1, 1000)."""
+    terms = []
+    for i, col in enumerate(("l_orderkey", "l_partkey")):
+        for b in range(16):
+            terms.append(f"((({col} >> {b}) & 1) * {1 << (b * 2 + i)})")
+    zexpr = " + ".join(terms)
+    return f"""WITH z AS (SELECT l_orderkey, l_partkey, ({zexpr}) AS zkey FROM lineitem),
+    f AS (SELECT l_orderkey, l_partkey, (zkey >> 12)::BIGINT AS file_id FROM z)
+    SELECT file_id, count(*)::BIGINT AS n_rows,
+      min(l_orderkey)::BIGINT AS min_l_orderkey,
+      max(l_orderkey)::BIGINT AS max_l_orderkey,
+      min(l_partkey)::BIGINT AS min_l_partkey,
+      max(l_partkey)::BIGINT AS max_l_partkey,
+      (CASE WHEN max(l_orderkey) < 1 OR min(l_orderkey) >= 1000
+            THEN 1 ELSE 0 END)::BIGINT AS skip_box
+    FROM f GROUP BY file_id"""
+
+
+@q("lineitem_zorder_zonemaps", _zorder_zonemap_oracle())
+def lineitem_zorder_zonemaps(spark, sf_dir):
+    """Zone maps over the Z-order layout
+    (``functions/layout.py::zone_maps`` + ``zone_skippable``): files =
+    contiguous z-ranges (``zkey >> 12``, what a
+    repartitionByRange(zkey)+sortWithinPartitions writer produces),
+    per-file min/max of both clustered dimensions, and the
+    disjoint-range skip verdict for the box ``l_orderkey ∈ [1, 1000)``
+    — closing the loop on ``lineitem_zorder_keys`` by MEASURING that
+    the candidate clustering actually prunes, before any rewrite job
+    runs. One map-side-combining aggregate to a metadata-sized output;
+    integer-only (shift + min/max + CASE), replayed bit-identically."""
+    from .functions.layout import morton_key, zone_maps, zone_skippable
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        morton_key([F.col("l_orderkey"), F.col("l_partkey")]).alias("zkey"),
+    )
+    files = li.withColumn("file_id", F.shiftright(F.col("zkey"), 12))
+    zm = zone_maps(files, F.col("file_id"), ["l_orderkey", "l_partkey"])
+    return zm.withColumn(
+        "skip_box",
+        F.when(zone_skippable("l_orderkey", 1, 1000), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+
+
+_ANCHOR_INJECT_SQL = """SELECT doc_id,
+      text || ' <a href="https://kg.example.org/e/E' || (doc_id % 50)
+           || '">aLias ' || (doc_id % 100) || '</a>'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' <a href="https://kg.example.org/e/E' || ((doc_id + 3) % 50)
+                        || '">Alias' || ((doc_id * 7) % 100) || '</a>'
+                   ELSE '' END AS h
+    FROM documents"""
+
+
+@q(
+    "docs_anchor_aliases",
+    f"""WITH e AS ({_ANCHOR_INJECT_SQL}),
+    t AS (SELECT doc_id,
+            unnest(regexp_extract_all(h, '<a href="([^"]+)">([^<]*)</a>', 0)) AS tag
+          FROM e),
+    p AS (SELECT doc_id,
+            regexp_extract(tag, '<a href="([^"]+)">([^<]*)</a>', 1) AS target,
+            lower(trim(regexp_extract(tag, '<a href="([^"]+)">([^<]*)</a>', 2))) AS alias
+          FROM t)
+    SELECT target, alias, count(*)::BIGINT AS n_mentions,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM p WHERE alias <> '' GROUP BY target, alias""",
+)
+def docs_anchor_aliases(spark, sf_dir):
+    """Anchor-text alias mining
+    (``operators/corpus.py::anchor_text_aliases``): the surface forms
+    the web uses to link each target, aggregated to (target, alias,
+    n_mentions, n_docs) — how the linking stage's broadcast alias
+    dictionary (``linking.py``, the north-star pipeline) GROWS from the
+    crawl itself instead of being hand-maintained. Deterministic
+    anchors are injected per doc (two per even doc, mixed-case to
+    exercise the lower/trim normalization) since the synthetic text has
+    none. Extract → top-level explode → one combining aggregate; the
+    exact distinct-doc count plans the standard expand+final pair."""
+    from .operators.corpus import anchor_text_aliases
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(' <a href="https://kg.example.org/e/E'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('">aLias '),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(' <a href="https://kg.example.org/e/E'),
+                    ((F.col("doc_id") + 3) % 50).cast("string"),
+                    F.lit('">Alias'),
+                    ((F.col("doc_id") * 7) % 100).cast("string"),
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("h"),
+    )
+    return anchor_text_aliases(d, F.col("h"))
+
+
+@q(
+    "corpus_host_graph",
+    f"""WITH e AS (SELECT source,
+      text || CASE WHEN doc_id % 2 = 0
+                   THEN ' see https://' || source || '.example.org/p/' || (doc_id % 7)
+                        || ' and https://hub.example.net/x'
+                   ELSE '' END AS s
+    FROM documents),
+    l AS (SELECT source, unnest(regexp_extract_all(s, '{_URL_RX}')) AS u FROM e),
+    d AS (SELECT source AS src_host,
+                 regexp_extract(u, '^https?://([^/]+)', 1) AS dst_host
+          FROM l)
+    SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+    FROM d WHERE dst_host <> '' GROUP BY src_host, dst_host""",
+)
+def corpus_host_graph(spark, sf_dir):
+    """Host-level link graph (``operators/corpus.py::host_link_edges``):
+    (src_host, dst_host, n_links) edges from URL mentions — the
+    crawl-graph aggregate that feeds PageRank / frontier scheduling
+    (``kg_entity_pagerank`` consumes exactly this shape). Same
+    deterministic link injection as ``docs_outlink_stats`` (the
+    synthetic text has no URLs of its own). Extract → top-level explode
+    → ONE map-side-combining aggregate on the edge key; hot hosts skew
+    downstream joins, never this combine."""
+    from .operators.corpus import host_link_edges
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" see https://"),
+                    F.col("source"),
+                    F.lit(".example.org/p/"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(" and https://hub.example.net/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("s"),
+    )
+    return host_link_edges(d, F.col("source"), F.col("s"))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -6788,6 +6945,9 @@ DEFERRED = {
     "docs_length_quantiles": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_per_domain_cap": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "layout_compaction_bins": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "lineitem_zorder_zonemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "docs_anchor_aliases": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "corpus_host_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -104,3 +104,31 @@ def compaction_bins(
         )
         .drop("__cb_pid", "__cb_off", "__cb_before", "__cb_sz")
     )
+
+
+def zone_maps(
+    df: DataFrame, file_id: Column, stat_cols: Sequence[str]
+) -> DataFrame:
+    """Per-file zone maps: ``(file_id, n_rows, min_<c>, max_<c> …)`` —
+    the min/max statistics a parquet/Iceberg writer records per file,
+    computed as a relation so layout decisions are testable BEFORE the
+    rewrite job runs: pair with :func:`morton_key` (file = contiguous
+    z-range) and :func:`zone_skippable` to measure how many files a
+    given predicate prunes under a candidate clustering. One
+    map-side-combining aggregate; at 100 TB the output is
+    metadata-sized (one row per file)."""
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).cast("bigint").alias(f"min_{c}"))
+        aggs.append(F.max(c).cast("bigint").alias(f"max_{c}"))
+    return df.groupBy(file_id.cast("bigint").alias("file_id")).agg(*aggs)
+
+
+def zone_skippable(col_name: str, lo: int, hi: int) -> Column:
+    """Predicate over a :func:`zone_maps` row: True when the file's
+    ``[min, max]`` range is disjoint from the query range ``[lo, hi)``
+    — exactly the file-skipping test a scan planner applies to zone
+    maps / parquet row-group stats."""
+    return (F.col(f"max_{col_name}") < F.lit(lo)) | (
+        F.col(f"min_{col_name}") >= F.lit(hi)
+    )

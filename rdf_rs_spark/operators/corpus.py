@@ -664,3 +664,72 @@ def bigram_lm_fluency(
             ).cast("bigint").alias("fluency_e6"),
         )
     )
+
+
+#: <a href="...">anchor</a> — the minimal anchor-tag shape the synthetic
+#: corpus and the oracle share (a real crawl would widen the attribute
+#: grammar inside the same extract→explode→aggregate plan)
+ANCHOR_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def anchor_text_aliases(
+    df: DataFrame, html: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Anchor-text alias mining: aggregate the surface forms the web
+    uses to link to each target URL — ``(target, alias, n_mentions,
+    n_docs)``. This is how a web-scale KG pipeline GROWS its alias
+    dictionary (the broadcast dict the linking stage consumes, cf.
+    ``linking.py``): anchor text is the highest-precision surface-form
+    signal in a crawl. Re-expresses the reference's term/IRI pairing
+    (reference `src/graph.rs` namespace handling) as a corpus-derived
+    relation rather than a hand-maintained one.
+
+    Plan shape at 100 TB: per-row regexp extract (narrow, codegen) →
+    top-level explode (the only row growth, bounded by anchors/doc) →
+    ONE map-side-combining aggregate on (target, alias). The exact
+    distinct-doc count beside n_mentions plans the standard expand +
+    final pair (two exchanges, pinned — the price of an exact
+    dictionary-quality signal; swap in approx_count_distinct at the
+    scale where ±2% is fine). Anchors are lower(trim())-normalized;
+    empty anchors are dropped.
+    """
+    tags = df.select(
+        F.col(id_col).alias("__at_doc"),
+        F.explode(F.regexp_extract_all(html, F.lit(ANCHOR_RE), F.lit(0))).alias(
+            "__at_tag"
+        ),
+    )
+    pairs = tags.select(
+        "__at_doc",
+        F.regexp_extract("__at_tag", ANCHOR_RE, 1).alias("target"),
+        F.lower(F.trim(F.regexp_extract("__at_tag", ANCHOR_RE, 2))).alias("alias"),
+    ).filter(F.col("alias") != "")
+    return pairs.groupBy("target", "alias").agg(
+        F.count("*").cast("bigint").alias("n_mentions"),
+        F.count_distinct(F.col("__at_doc")).cast("bigint").alias("n_docs"),
+    )
+
+
+def host_link_edges(
+    df: DataFrame, src_host: Column, text: Column
+) -> DataFrame:
+    """Host-level link graph: ``(src_host, dst_host, n_links)`` edges
+    from URL mentions — the crawl-graph aggregate that feeds PageRank /
+    frontier scheduling (``operators/pagerank.py`` consumes exactly this
+    shape). Per-row extract → top-level explode → one map-side-combining
+    aggregate on the edge key; hot hosts (every crawl has them) are the
+    canonical AQE-skew-join / salting case downstream, but the edge
+    aggregation itself combines map-side so the shuffle carries one row
+    per (task, edge), not per mention. Self-links are kept — a host
+    linking to itself is real signal for boilerplate nav detection."""
+    links = df.select(
+        src_host.alias("src_host"),
+        F.explode(F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))).alias("__hl_u"),
+    )
+    edges = links.select(
+        "src_host",
+        F.regexp_extract("__hl_u", r"^https?://([^/]+)", 1).alias("dst_host"),
+    ).filter(F.col("dst_host") != "")
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("bigint").alias("n_links")
+    )

@@ -1676,3 +1676,66 @@ def test_compaction_bins_matches_running_sum_any_parallelism(spark):
         out = compaction_bins(df, F.col("sz"), ["id"], target_bytes=200, n_parts=n_parts)
         got = {r.id: r.bin_idx for r in out.collect()}
         assert got == want
+
+
+def test_anchor_text_aliases_hand_computed(spark):
+    """Normalization (lower+trim), empty-anchor drop, exact per-target
+    mention and distinct-doc counts on hand-built HTML."""
+    from rdf_rs_spark.operators.corpus import anchor_text_aliases
+
+    rows = [
+        (1, '<a href="http://t/a">  Foo </a> x <a href="http://t/a">foo</a>'),
+        (2, '<a href="http://t/a">FOO</a> <a href="http://t/b"></a>'),
+        (3, '<a href="http://t/b">bar</a> no anchors here'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "h"])
+    got = {
+        (r.target, r.alias): (r.n_mentions, r.n_docs)
+        for r in anchor_text_aliases(df, F.col("h")).collect()
+    }
+    assert got == {
+        ("http://t/a", "foo"): (3, 2),
+        ("http://t/b", "bar"): (1, 1),
+    }
+
+
+def test_host_link_edges_hand_computed_one_combine(spark):
+    """Edge weights must count every mention (self-links kept, dups
+    kept); the aggregate is the plan's only exchange."""
+    from rdf_rs_spark.operators.corpus import host_link_edges
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    rows = [
+        ("h1", "see https://h2.org/x and https://h2.org/y plus https://h1.org/self"),
+        ("h1", "again https://h2.org/z"),
+        ("h2", "none"),
+    ]
+    df = spark.createDataFrame(rows, ["src", "text"])
+    out = host_link_edges(df, F.col("src"), F.col("text"))
+    assert count_exchanges(out) == 1
+    got = {(r.src_host, r.dst_host): r.n_links for r in out.collect()}
+    assert got == {("h1", "h2.org"): 3, ("h1", "h1.org"): 1}
+
+
+def test_zone_maps_and_skippable_truth_table(spark):
+    """Per-file min/max/count must match the model; zone_skippable is
+    the exact disjoint-range test ([min,max] vs [lo,hi))."""
+    from rdf_rs_spark.functions.layout import zone_maps, zone_skippable
+
+    # files: 0 -> v in [0,9], 1 -> v in [10,19], 2 -> v in [20,29]
+    df = spark.createDataFrame([(i, i // 10, i) for i in range(30)], ["id", "f", "v"])
+    zm = zone_maps(df, F.col("f"), ["v"])
+    got = {r.file_id: (r.n_rows, r.min_v, r.max_v) for r in zm.collect()}
+    assert got == {0: (10, 0, 9), 1: (10, 10, 19), 2: (10, 20, 29)}
+    skipped = {
+        r.file_id
+        for r in zm.withColumn("s", zone_skippable("v", 10, 20)).collect()
+        if r.s
+    }
+    assert skipped == {0, 2}  # [10,20) overlaps only file 1
+    # boundary: hi is exclusive, lo is inclusive
+    assert {
+        r.file_id
+        for r in zm.withColumn("s", zone_skippable("v", 9, 10)).collect()
+        if r.s
+    } == {1, 2}
