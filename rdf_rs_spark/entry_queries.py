@@ -6548,6 +6548,44 @@ def layout_compaction_bins(spark, sf_dir):
     )
 
 
+def _qoi_oracle(n: int) -> str:
+    """Decoder-independent ground truth for the QOI decode: pixel ``j``
+    of image ``i`` is a closed form (8-value plateau cycle with a
+    spike every 29th pixel) — neither the reference encoder nor the
+    chunk-walk decoder is replayed, both are independently CHECKED (a
+    mis-biased LUMA delta, a stale index slot, or an off-by-one run
+    shifts some plateau and breaks the channel sums)."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    dims AS (SELECT i, (i % 6) + 4 AS w, (i % 5) + 4 AS h FROM p),
+    px AS (SELECT d.i, d.w, d.h,
+             CASE WHEN t.j % 29 = 0 THEN (7 * d.i + 31 * t.j + 13) % 256
+                  ELSE (d.i + (t.j // 4) % 8) % 256 END AS v
+           FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) t)
+    SELECT 'qoi:' || i AS media_id, w::INTEGER AS width, h::INTEGER AS height,
+      sum((v + 7) % 256)::BIGINT AS sum_r,
+      sum((v + 50) % 256)::BIGINT AS sum_g,
+      sum(v)::BIGINT AS sum_b
+    FROM px GROUP BY i, w, h"""
+
+
+@q("multimodal_qoi_decode", _qoi_oracle(2000))
+def multimodal_qoi_decode(spark, sf_dir):
+    """REAL QOI decode (qoiformat.org public-domain spec) under the
+    full value-hash gate — one codec combining FOUR coding families:
+    run-length, rolling hash-indexed color, wrapping delta coding
+    (DIFF/LUMA), and literal escape; every synthesized payload
+    exercises all of them (op-coverage pinned in tests). Payloads are
+    built and decoded by Arrow ``mapInPandas`` kernels; binary bytes
+    never shuffle (the narrow feature rows do). The oracle is the
+    closed-form pixel stream — it checks the codec, never replays
+    it."""
+    from .operators.multimodal import decode_qoi_features, synthesize_qoi_media
+
+    n = _scale_n(sf_dir)
+    return decode_qoi_features(synthesize_qoi_media(spark.range(n)))
+
+
 def _zorder_zonemap_oracle() -> str:
     """Zone maps over contiguous z-ranges: the morton interleave replayed
     bit-identically, files = ``zkey >> 12``, then per-file min/max plus
@@ -6948,6 +6986,7 @@ DEFERRED = {
     "lineitem_zorder_zonemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_anchor_aliases": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_host_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_qoi_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -3,16 +3,19 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
 
-Six decode paths are REAL (stdlib + numpy only, driver-oracled):
+Seven decode paths are REAL (stdlib + numpy only, driver-oracled):
 PCM WAV (:func:`decode_wav_features`), binary PPM
 (:func:`decode_ppm_features`), 24-bit BMP
 (:func:`decode_bmp_features` — stride padding, BGR order, bottom-up
 flip), G.711 mu-law WAV (:func:`decode_mulaw_features` — a real
 COMPRESSED/companded codec: hand-walked RIFF chunks + table
-expansion), and GIF89a (:func:`decode_gif_features` — a real
-DICTIONARY-CODED codec: variable-width LSB-first LZW), and TGA
+expansion), GIF89a (:func:`decode_gif_features` — a real
+DICTIONARY-CODED codec: variable-width LSB-first LZW), TGA
 type 10 (:func:`decode_tga_features` — a real RUN-LENGTH-CODED
-codec: run/literal packet walk). The codec
+codec: run/literal packet walk), and QOI
+(:func:`decode_qoi_features` — run-length + hash-indexed color +
+wrapping delta coding + literal escape in one public-domain
+format). The codec
 step for TRANSFORM-CODED formats
 (JPEG/MP3/H.264) remains STUBBED — no PIL/ffmpeg in this
 container: ``decode_stub=True`` produces deterministic fake features
@@ -864,6 +867,181 @@ def synthesize_tga_media(df: DataFrame, id_col: str = "id") -> DataFrame:
                     "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0x20
                 )
                 rows.append((f"tga:{i}", bytes(hdr) + bytes(data)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int = 255) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def decode_qoi_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL QOI decode (qoiformat.org, public-domain spec) — one codec
+    that combines FOUR coding families: run-length (QOI_OP_RUN),
+    indexed color via the rolling 64-slot hash table (QOI_OP_INDEX),
+    delta coding against the previous pixel (QOI_OP_DIFF /
+    QOI_OP_LUMA, wrapping signed diffs), and literal escape
+    (QOI_OP_RGB). Walks the 14-byte header (magic ``qoif``, big-endian
+    dims) then the chunk stream, maintaining the exact decoder state
+    the spec prescribes (prev pixel, hash-indexed table updated on
+    every non-run chunk). Emits the PPM-shaped per-channel sums, so a
+    mis-biased delta, a stale index slot, or an off-by-one run length
+    breaks the value hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                p = bytes(getattr(rec, payload_col))
+                assert p[:4] == b"qoif", "not a QOI payload"
+                w = int.from_bytes(p[4:8], "big")
+                h = int.from_bytes(p[8:12], "big")
+                assert p[12] == 3, "expects 3-channel RGB"
+                n = w * h
+                out = np.empty((n, 3), dtype=np.int64)
+                index = [(0, 0, 0, 255)] * 64
+                px = (0, 0, 0, 255)
+                pos, filled = 14, 0
+                while filled < n:
+                    b0 = p[pos]
+                    pos += 1
+                    if b0 == 0xFE:  # QOI_OP_RGB
+                        px = (p[pos], p[pos + 1], p[pos + 2], px[3])
+                        pos += 3
+                    elif b0 == 0xFF:  # QOI_OP_RGBA
+                        px = (p[pos], p[pos + 1], p[pos + 2], p[pos + 3])
+                        pos += 4
+                    elif b0 >> 6 == 0:  # QOI_OP_INDEX
+                        px = index[b0]
+                    elif b0 >> 6 == 1:  # QOI_OP_DIFF (bias 2, wrapping)
+                        px = (
+                            (px[0] + ((b0 >> 4) & 3) - 2) % 256,
+                            (px[1] + ((b0 >> 2) & 3) - 2) % 256,
+                            (px[2] + (b0 & 3) - 2) % 256,
+                            px[3],
+                        )
+                    elif b0 >> 6 == 2:  # QOI_OP_LUMA (dg bias 32, dr/db bias 8)
+                        dg = (b0 & 0x3F) - 32
+                        b1 = p[pos]
+                        pos += 1
+                        px = (
+                            (px[0] + dg + ((b1 >> 4) & 0xF) - 8) % 256,
+                            (px[1] + dg) % 256,
+                            (px[2] + dg + (b1 & 0xF) - 8) % 256,
+                            px[3],
+                        )
+                    else:  # QOI_OP_RUN (bias -1): repeat prev pixel
+                        run_len = (b0 & 0x3F) + 1
+                        out[filled : filled + run_len] = px[:3]
+                        filled += run_len
+                        continue
+                    index[_qoi_hash(*px)] = px
+                    out[filled] = px[:3]
+                    filled += 1
+                assert filled == n, "chunk overrun"
+                assert p[pos : pos + 8] == b"\x00" * 7 + b"\x01", "bad end marker"
+                rows.append(
+                    (
+                        getattr(rec, id_col),
+                        w,
+                        h,
+                        int(out[:, 0].sum()),
+                        int(out[:, 1].sum()),
+                        int(out[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+def _qoi_encode(pixels: np.ndarray) -> bytes:
+    """Reference QOI encode (spec order: run → index → diff → luma →
+    rgb), RGB-only. ``pixels`` is (n, 3) uint8."""
+    data = bytearray()
+    index = [(0, 0, 0, 255)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for r, g, b in pixels.tolist():
+        px = (int(r), int(g), int(b), 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                data.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            data.append(0xC0 | (run - 1))
+            run = 0
+        h = _qoi_hash(*px)
+        if index[h] == px:
+            data.append(h)
+        else:
+            index[h] = px
+            dr = ((px[0] - prev[0] + 128) % 256) - 128
+            dg = ((px[1] - prev[1] + 128) % 256) - 128
+            db = ((px[2] - prev[2] + 128) % 256) - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                data.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                data.append(0x80 | (dg + 32))
+                data.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                data.extend((0xFE, px[0], px[1], px[2]))
+        prev = px
+    if run:
+        data.append(0xC0 | (run - 1))
+    return bytes(data)
+
+
+def _qoi_pixels(i: int, n: int) -> np.ndarray:
+    """Closed-form pixel stream for image ``i``: plateau value
+    ``v = (i + (j DIV 4) % 8) % 256`` (4-pixel runs cycling through 8
+    values → RUN chunks, then INDEX hits on revisits, LUMA on the
+    cycle wrap, DIFF on +1 steps) with a spike ``v = (7i + 31j + 13) %
+    256`` every 29th pixel (→ RGB escapes). Channels
+    ``(v+7, v+50, v) % 256`` keep unit steps inside QOI_OP_DIFF
+    range. Sums stay closed forms of ``(i, j)`` — the oracle checks
+    the codec, it never replays it."""
+    j = np.arange(n, dtype=np.int64)
+    v = (i + (j // 4) % 8) % 256
+    spike = j % 29 == 0
+    v = np.where(spike, (7 * i + 31 * j + 13) % 256, v)
+    return np.stack([(v + 7) % 256, (v + 50) % 256, v], axis=1).astype(np.uint8)
+
+
+def synthesize_qoi_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic QOI payloads from a row index: a ``(i%6)+4 ×
+    (i%5)+4`` image of :func:`_qoi_pixels`, encoded by the reference
+    algorithm — every payload exercises RUN, DIFF/LUMA, INDEX, and RGB
+    chunks (pinned by the op-coverage test)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                i = int(getattr(rec, id_col))
+                w, h = (i % 6) + 4, (i % 5) + 4
+                hdr = (
+                    b"qoif"
+                    + w.to_bytes(4, "big")
+                    + h.to_bytes(4, "big")
+                    + bytes((3, 0))
+                )
+                body = _qoi_encode(_qoi_pixels(i, w * h))
+                rows.append(
+                    (f"qoi:{i}", hdr + body + b"\x00" * 7 + b"\x01")
+                )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     schema = T.StructType(

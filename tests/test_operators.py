@@ -1739,3 +1739,56 @@ def test_zone_maps_and_skippable_truth_table(spark):
         for r in zm.withColumn("s", zone_skippable("v", 9, 10)).collect()
         if r.s
     } == {1, 2}
+
+
+def test_qoi_decode_matches_numpy_ground_truth_and_op_coverage(spark):
+    """Spark decode vs the independently computed closed-form channel
+    sums; the synthesized payload must exercise ALL FIVE op families
+    (RUN/INDEX/DIFF/LUMA/RGB), and a bad magic must reject."""
+    import numpy as np
+    import pytest
+
+    from rdf_rs_spark.operators.multimodal import (
+        _qoi_encode,
+        _qoi_pixels,
+        decode_qoi_features,
+        synthesize_qoi_media,
+    )
+
+    i = 11
+    r = decode_qoi_features(synthesize_qoi_media(spark.range(i, i + 1))).collect()[0]
+    w, h = (i % 6) + 4, (i % 5) + 4
+    j = np.arange(w * h)
+    v = (i + (j // 4) % 8) % 256
+    v = np.where(j % 29 == 0, (7 * i + 31 * j + 13) % 256, v)
+    assert (r.width, r.height) == (w, h)
+    assert r.sum_r == int(((v + 7) % 256).sum())
+    assert r.sum_g == int(((v + 50) % 256).sum())
+    assert r.sum_b == int(v.sum())
+
+    # op coverage over the corpus prefix: every family must appear
+    ops = set()
+    for i in range(40):
+        w, h = (i % 6) + 4, (i % 5) + 4
+        enc = _qoi_encode(_qoi_pixels(i, w * h))
+        pos = 0
+        while pos < len(enc):
+            b0 = enc[pos]
+            if b0 == 0xFE:
+                ops.add("RGB"); pos += 4
+            elif b0 >> 6 == 0:
+                ops.add("INDEX"); pos += 1
+            elif b0 >> 6 == 1:
+                ops.add("DIFF"); pos += 1
+            elif b0 >> 6 == 2:
+                ops.add("LUMA"); pos += 2
+            else:
+                ops.add("RUN"); pos += 1
+    assert ops == {"RGB", "INDEX", "DIFF", "LUMA", "RUN"}
+
+    df = spark.createDataFrame(
+        [("q1", bytearray(b"nope" + b"\x00" * 20))],
+        "media_id string, payload binary",
+    )
+    with pytest.raises(Exception, match="QOI|PythonException"):
+        decode_qoi_features(df).collect()
