@@ -6548,6 +6548,52 @@ def layout_compaction_bins(spark, sf_dir):
     )
 
 
+def _warc_oracle(n_files: int) -> str:
+    """Regeneration oracle for the WARC parser: every record field is a
+    closed form of (file i, record k) — URI, type, unix date, block
+    text, and the Content-Length the parser must SLICE by (an
+    off-by-one cursor or an order-sensitive header read desyncs the
+    walk and every later record breaks)."""
+    crlf = "chr(13) || chr(10)"
+    return f"""WITH f AS (SELECT unnest(generate_series(0, {n_files - 1})) AS i),
+    r AS (SELECT i, unnest(generate_series(0, 4)) AS k FROM f),
+    b AS (SELECT i, k,
+      CASE WHEN k % 5 = 4
+        THEN 'GET /p/' || i || '/' || k || ' HTTP/1.1' || {crlf}
+             || 'Host: h' || {crlf} || {crlf}
+        ELSE 'HTTP/1.1 200 OK' || {crlf} || 'Content-Type: text/html'
+             || {crlf} || {crlf} || '<html>doc ' || i || ' rec ' || k || ' '
+             || repeat('x', (i + k) % 7) || '</html>'
+      END AS block FROM r)
+    SELECT i::BIGINT AS file_id, k::BIGINT AS rec_idx,
+      CASE WHEN k % 5 = 4 THEN 'request' ELSE 'response' END AS warc_type,
+      'https://ex' || ((i * 5 + k) % 97) || '.example.org/p/' || i || '/' || k
+        AS target_uri,
+      (1735689600 + i * 5 + k)::BIGINT AS warc_date_unix,
+      length(block)::BIGINT AS content_length,
+      block
+    FROM b"""
+
+
+@q("warc_records_parse", _warc_oracle(2000))
+def warc_records_parse(spark, sf_dir):
+    """REAL WARC (ISO 28500) record parsing
+    (``sources/warc.py::parse_warc_records``) — the Common-Crawl
+    container walk upstream of the web-pages table the whole KG
+    pipeline consumes. The Arrow kernel splits each file's bytes into
+    records by header-block parse + Content-Length slice (never by
+    scanning for the next magic); odd records permute header order so
+    a byte-offset "parser" fails. Payload bytes never shuffle — one
+    task per file batch, only the narrow record relation moves. The
+    oracle regenerates every field as a closed form of (file, record)
+    and independently recomputes the Content-Length the parser sliced
+    by."""
+    from .sources.warc import parse_warc_records, synthesize_warc_files
+
+    n = _scale_n(sf_dir)
+    return parse_warc_records(synthesize_warc_files(spark.range(n)))
+
+
 def _qoi_oracle(n: int) -> str:
     """Decoder-independent ground truth for the QOI decode: pixel ``j``
     of image ``i`` is a closed form (8-value plateau cycle with a
@@ -6987,6 +7033,7 @@ DEFERRED = {
     "docs_anchor_aliases": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_host_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_qoi_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "warc_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1,0 +1,167 @@
+"""WARC (ISO 28500) record parsing — the container format Common-Crawl
+ships, i.e. the ingest step directly upstream of the web-pages table the
+KG pipeline consumes (BASELINE.json input_hint; cf. reference
+`src/input.rs` which reads line-oriented files — the same "split a
+byte stream into records" role, re-expressed for the crawl container).
+
+A WARC file is a concatenation of records::
+
+    WARC/1.0\\r\\n
+    <header-name>: <value>\\r\\n ...          (order NOT fixed by the spec)
+    \\r\\n
+    <Content-Length bytes of block>
+    \\r\\n\\r\\n                                 (record separator)
+
+The parser is a REAL header-block walk (split on the blank line, parse
+name:value pairs case-insensitively, slice the block by Content-Length
+— never by guessing at the next magic), run as an Arrow-batched
+``mapInPandas`` kernel: one input row per (file, payload), output rows
+per record. Payload bytes never shuffle; at 100 TB each task parses its
+own files and only the narrow record relation moves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+WARC_RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("rec_idx", T.LongType(), False),
+        T.StructField("warc_type", T.StringType(), False),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date_unix", T.LongType(), True),
+        T.StructField("content_length", T.LongType(), False),
+        T.StructField("block", T.StringType(), False),
+    ]
+)
+
+
+def _parse_warc_payload(file_id: int, payload: bytes):
+    """Walk one WARC file's bytes; yields one tuple per record.
+    Raises on a malformed version line, a missing Content-Length, or a
+    truncated block — ingest corruption must be loud, not silent."""
+    import datetime as dt
+
+    pos, rec_idx, n = 0, 0, len(payload)
+    out = []
+    while pos < n:
+        hdr_end = payload.index(b"\r\n\r\n", pos)
+        lines = payload[pos:hdr_end].split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line at byte {pos}")
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        length = int(headers["content-length"])
+        block_start = hdr_end + 4
+        block = payload[block_start : block_start + length]
+        if len(block) != length:
+            raise ValueError(f"truncated block in record {rec_idx}")
+        date_unix = None
+        if "warc-date" in headers:
+            date_unix = int(
+                dt.datetime.fromisoformat(
+                    headers["warc-date"].replace("Z", "+00:00")
+                ).timestamp()
+            )
+        out.append(
+            (
+                file_id,
+                rec_idx,
+                headers.get("warc-type", ""),
+                headers.get("warc-target-uri"),
+                date_unix,
+                length,
+                block.decode("utf-8", "replace"),
+            )
+        )
+        pos = block_start + length
+        if payload[pos : pos + 4] == b"\r\n\r\n":
+            pos += 4
+        rec_idx += 1
+    return out
+
+
+def parse_warc_records(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "file_id"
+) -> DataFrame:
+    """(file_id, payload:binary) → one row per WARC record: type,
+    target URI, date (unix seconds — the engine's timestamp discipline),
+    declared Content-Length, and the block text."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORDS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _parse_warc_payload(
+                        int(getattr(r, id_col)), bytes(getattr(r, payload_col))
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=WARC_RECORDS_SCHEMA)
+
+
+def synthesize_warc_files(
+    df: DataFrame, records_per_file: int = 5, id_col: str = "id"
+) -> DataFrame:
+    """Deterministic WARC files from a row index. File ``i`` holds
+    ``records_per_file`` records: ``k % 5 == 4`` is a *request* record
+    (no HTML), the rest are *responses* whose block is an HTTP envelope
+    + a closed-form body. Odd records permute the header order — the
+    parser must read header NAMES, not byte offsets. Dates step one
+    second per (i, k) from 2025-01-01T00:00:00Z."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        epoch = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                parts = []
+                for k in range(records_per_file):
+                    uri = f"https://ex{(i * records_per_file + k) % 97}.example.org/p/{i}/{k}"
+                    ts = epoch + dt.timedelta(seconds=i * records_per_file + k)
+                    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                    if k % 5 == 4:
+                        wtype = "request"
+                        block = f"GET /p/{i}/{k} HTTP/1.1\r\nHost: h\r\n\r\n"
+                    else:
+                        wtype = "response"
+                        body = f"<html>doc {i} rec {k} " + "x" * ((i + k) % 7) + "</html>"
+                        block = (
+                            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                            + body
+                        )
+                    hdrs = [
+                        f"WARC-Type: {wtype}",
+                        f"WARC-Target-URI: {uri}",
+                        f"WARC-Date: {date}",
+                        f"Content-Length: {len(block.encode())}",
+                    ]
+                    if k % 2 == 1:  # permuted header order
+                        hdrs = hdrs[::-1]
+                    parts.append(
+                        "WARC/1.0\r\n" + "\r\n".join(hdrs) + "\r\n\r\n" + block + "\r\n\r\n"
+                    )
+                rows.append((i, "".join(parts).encode()))
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -1792,3 +1792,50 @@ def test_qoi_decode_matches_numpy_ground_truth_and_op_coverage(spark):
     )
     with pytest.raises(Exception, match="QOI|PythonException"):
         decode_qoi_features(df).collect()
+
+
+def test_warc_parse_hand_built_and_rejects(spark):
+    """Header-order independence (the parser reads names, not offsets),
+    exact Content-Length slicing (block may CONTAIN blank lines), loud
+    rejects on truncation and a bad version line."""
+    import pytest
+
+    from rdf_rs_spark.sources.warc import parse_warc_records
+
+    body = "HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+    rec1 = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://a.org/1\r\n"
+        "WARC-Date: 2025-01-01T00:00:05Z\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n" + body + "\r\n\r\n"
+    )
+    # permuted header order + extra unknown header
+    rec2 = (
+        "WARC/1.0\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "X-Extra: ignored\r\n"
+        "WARC-Date: 2025-01-01T00:00:06Z\r\n"
+        "WARC-Type: request\r\n"
+        "WARC-Target-URI: https://a.org/2\r\n\r\n" + body + "\r\n\r\n"
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray((rec1 + rec2).encode()))], "file_id long, payload binary"
+    )
+    rows = sorted(parse_warc_records(df).collect(), key=lambda r: r.rec_idx)
+    assert [(r.rec_idx, r.warc_type, r.target_uri, r.warc_date_unix) for r in rows] == [
+        (0, "response", "https://a.org/1", 1735689605),
+        (1, "request", "https://a.org/2", 1735689606),
+    ]
+    assert all(r.block == body and r.content_length == len(body) for r in rows)
+
+    truncated = rec1[:-10]  # separator and block tail cut off
+    df_bad = spark.createDataFrame(
+        [(1, bytearray(truncated.encode()))], "file_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated|PythonException"):
+        parse_warc_records(df_bad).collect()
+    df_magic = spark.createDataFrame(
+        [(1, bytearray(b"HTTP/1.1 200\r\n\r\nnope"))], "file_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="version|PythonException"):
+        parse_warc_records(df_magic).collect()
