@@ -6548,6 +6548,71 @@ def layout_compaction_bins(spark, sf_dir):
     )
 
 
+@q(
+    "crawl_robots_frontier",
+    """SELECT 'https://h' || (doc_id % 7) || '.example.org'
+        || CASE doc_id % 5
+             WHEN 0 THEN '/private/x'   WHEN 1 THEN '/private/ok/y'
+             WHEN 2 THEN '/tmp/z'       WHEN 3 THEN '/public/w'
+             ELSE '/a' END || doc_id AS url,
+      (CASE WHEN (doc_id % 7) % 3 = 0 THEN (doc_id % 5 <> 2)
+            WHEN (doc_id % 7) % 3 = 1 THEN TRUE
+            ELSE (doc_id % 5 = 3) END)::BIGINT AS allowed
+    FROM documents""",
+)
+def crawl_robots_frontier(spark, sf_dir):
+    """robots.txt politeness (``operators/crawl.py``): parse each
+    host's robots into a rule relation (group walk: consecutive
+    User-agent lines share rules, empty Disallow = allow-all), then
+    decide per frontier URL whether agent ``kgbot`` may fetch it — REP
+    longest-match precedence, Allow winning length ties, a specific
+    agent group REPLACING ``*``. Hosts cycle three templates
+    (prefix rules + a kgbot group / open / deny-all with an Allow
+    carve-out); the oracle states the expected DECISION closed-form
+    per (host template, path kind) — parser and matcher are both
+    independently checked, neither is replayed. Rules broadcast; the
+    frontier pays one combining aggregate."""
+    from .operators.crawl import frontier_allowed, parse_robots
+
+    templates = [
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n\n"
+        "User-agent: kgbot\nDisallow: /tmp/\n",
+        "# open house\nUser-agent: *\nDisallow:\nCrawl-delay: 5\n",
+        "User-agent: *\nDisallow: /\nAllow: /public/\n",
+    ]
+    robots = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        F.element_at(
+            F.array(*[F.lit(t) for t in templates]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots)
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org"),
+            F.element_at(
+                F.array(
+                    F.lit("/private/x"),
+                    F.lit("/private/ok/y"),
+                    F.lit("/tmp/z"),
+                    F.lit("/public/w"),
+                    F.lit("/a"),
+                ),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    out = frontier_allowed(urls, rules, "kgbot")
+    return out.select(
+        "url", F.when(F.col("allowed"), 1).otherwise(0).cast("bigint").alias("allowed")
+    )
+
+
 def _warc_oracle(n_files: int) -> str:
     """Regeneration oracle for the WARC parser: every record field is a
     closed form of (file i, record k) — URI, type, unix date, block
@@ -7034,6 +7099,7 @@ DEFERRED = {
     "corpus_host_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_qoi_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_robots_frontier": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

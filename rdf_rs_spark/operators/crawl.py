@@ -1,0 +1,149 @@
+"""Crawl politeness: robots.txt parsing + frontier filtering.
+
+The crawl side of the web-pages ingest (upstream of
+``sources/webpages.py``; same pipeline position as the reference's
+input stage, `src/input.rs`): parse each host's robots.txt into a rule
+relation, then decide per frontier URL whether the configured agent may
+fetch it — original REP semantics with the de-facto extensions every
+major crawler applies (longest-match precedence, Allow wins a
+length tie, specific user-agent group overrides ``*``).
+
+Scale shape: robots data is host-sized (tiny next to the frontier), so
+the rule relation BROADCASTS; the frontier equi-joins on host, applies
+the prefix test as a post-filter, and picks each URL's winning rule
+with one map-side-combining min over a packed specificity struct — the
+frontier pays exactly one aggregate shuffle on the URL key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+ROBOTS_RULES_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("agent", T.StringType(), False),
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("path", T.StringType(), False),
+    ]
+)
+
+
+def _parse_robots_text(host: str, text: str):
+    """Line-walk one robots.txt: consecutive ``User-agent`` lines open a
+    group; ``Allow``/``Disallow`` lines attach to every agent of the
+    current group. Unknown directives and comments are skipped; an
+    empty Disallow value means allow-everything and yields no rule (the
+    absence of a match IS allow)."""
+    rules = []
+    agents: list[str] = []
+    group_open = True  # True while consuming consecutive User-agent lines
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not group_open:
+                agents = []
+                group_open = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            group_open = False
+            if val:
+                for a in agents:
+                    rules.append((host, a, key == "allow", val))
+        else:
+            group_open = False
+    return rules
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → one row per (host, agent, allow, path)
+    rule. Arrow-batched kernel — robots parsing is a per-host string
+    walk, never a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ROBOTS_RULES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _parse_robots_text(getattr(r, host_col), getattr(r, text_col))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=ROBOTS_RULES_SCHEMA)
+
+
+def frontier_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per frontier URL (one row per distinct URL): may ``agent`` fetch
+    it? REP decision semantics:
+
+    - the specific agent's groups apply when the host has any;
+      otherwise the ``*`` groups;
+    - among matching rules (rule path is a prefix of the URL path) the
+      LONGEST path wins; on a length tie Allow wins;
+    - no matching rule (or no robots at all) → allowed.
+
+    Returns ``(url, allowed)``. The applicable-rule relation is
+    host-sized: the agent-precedence window runs on the broadcastable
+    rule side, never the frontier; the frontier pays one broadcast
+    equi-join on host plus one map-side-combining min on the URL key."""
+    a = agent.lower()
+    # per-host agent precedence, computed on the (tiny) rule side
+    applicable = (
+        rules.filter(F.col("agent").isin(a, "*"))
+        .withColumn(
+            "__ra_spec",
+            F.max(F.when(F.col("agent") == a, 1).otherwise(0)).over(
+                Window.partitionBy("host")
+            ),
+        )
+        .filter((F.col("agent") == a) == (F.col("__ra_spec") == 1))
+        .select("host", "allow", "path")
+    )
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1).alias("__fa_host"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ).alias("__fa_path"),
+    )
+    matched = u.join(
+        F.broadcast(applicable),
+        (u["__fa_host"] == applicable["host"])
+        & u["__fa_path"].startswith(applicable["path"]),
+        "left",
+    ).withColumn(
+        # winner = min over (-path_len, deny) → longest path first,
+        # Allow beating Disallow on a length tie
+        "__fa_key",
+        F.when(
+            F.col("path").isNotNull(),
+            F.struct(
+                (-F.length("path")).alias("neg_len"),
+                F.when(F.col("allow"), F.lit(0)).otherwise(F.lit(1)).alias("deny"),
+            ),
+        ),
+    )
+    return matched.groupBy("url").agg(
+        F.coalesce(F.min("__fa_key").getField("deny") == 0, F.lit(True)).alias(
+            "allowed"
+        )
+    )

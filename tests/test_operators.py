@@ -1839,3 +1839,52 @@ def test_warc_parse_hand_built_and_rejects(spark):
     )
     with pytest.raises(Exception, match="version|PythonException"):
         parse_warc_records(df_magic).collect()
+
+
+def test_robots_parse_groups_and_frontier_semantics(spark):
+    """Group semantics (consecutive User-agent lines share rules, empty
+    Disallow yields none, comments skipped), then the REP decision
+    table: longest match wins, Allow wins a length tie, a specific
+    agent group REPLACES *, and a no-robots host is allowed."""
+    from rdf_rs_spark.operators.crawl import frontier_allowed, parse_robots
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.org",
+                "User-agent: foo\nUser-agent: bar\nDisallow: /x/\n"
+                "# comment\nUser-agent: *\nDisallow: /y\nAllow: /y\n",
+            ),
+            ("b.org", "User-agent: *\nDisallow:\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    rules = parse_robots(robots)
+    got = {(r.host, r.agent, r.allow, r.path) for r in rules.collect()}
+    assert got == {
+        ("a.org", "foo", False, "/x/"),
+        ("a.org", "bar", False, "/x/"),
+        ("a.org", "*", False, "/y"),
+        ("a.org", "*", True, "/y"),
+    }
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.org/x/1",),  # foo group replaces * -> denied
+            ("https://a.org/y",),    # via * for baz: tie on /y -> Allow wins
+            ("https://b.org/any",),  # empty Disallow -> no rules -> allowed
+            ("https://c.org/q",),    # no robots at all -> allowed
+            ("https://a.org",),      # bare host -> path '/' -> no match -> allowed
+        ],
+        ["url"],
+    )
+    for agent, want in [
+        ("foo", {"https://a.org/x/1": False, "https://a.org/y": True}),
+        ("baz", {"https://a.org/x/1": True, "https://a.org/y": True}),
+    ]:
+        got = {
+            r.url: r.allowed for r in frontier_allowed(urls, rules, agent).collect()
+        }
+        assert got["https://b.org/any"] and got["https://c.org/q"] and got["https://a.org"]
+        for u, w in want.items():
+            assert got[u] == w, (agent, u)
