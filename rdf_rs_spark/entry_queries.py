@@ -6659,6 +6659,37 @@ def warc_records_parse(spark, sf_dir):
     return parse_warc_records(synthesize_warc_files(spark.range(n)))
 
 
+@q(
+    "warc_http_pages",
+    """WITH f AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (SELECT i, unnest(generate_series(0, 4)) AS k FROM f)
+    SELECT i::BIGINT AS file_id, k::BIGINT AS rec_idx,
+      200::BIGINT AS status, 'text/html' AS content_type,
+      '<html>doc ' || i || ' rec ' || k || ' ' || repeat('x', (i + k) % 7)
+        || '</html>' AS body
+    FROM r WHERE k % 5 <> 4""",
+)
+def warc_http_pages(spark, sf_dir):
+    """The full ingest chain: WARC container walk → response filter →
+    HTTP envelope parse (``sources/warc.py::parse_http_responses``) —
+    status, Content-Type, and the html body that feeds the web-pages
+    table. The envelope step is pure column algebra (regexp + split-
+    limit-2 inside whole-stage codegen, zero Python after the container
+    kernel); the oracle regenerates the expected page relation closed-
+    form, so a cursor slip in the container walk OR a greedy body split
+    (a body may contain blank lines) breaks the hash."""
+    from .sources.warc import (
+        parse_http_responses,
+        parse_warc_records,
+        synthesize_warc_files,
+    )
+
+    n = _scale_n(sf_dir)
+    recs = parse_warc_records(synthesize_warc_files(spark.range(n)))
+    pages = parse_http_responses(recs.filter(F.col("warc_type") == "response"))
+    return pages.select("file_id", "rec_idx", "status", "content_type", "body")
+
+
 def _qoi_oracle(n: int) -> str:
     """Decoder-independent ground truth for the QOI decode: pixel ``j``
     of image ``i`` is a closed form (8-value plateau cycle with a
@@ -7100,6 +7131,7 @@ DEFERRED = {
     "multimodal_qoi_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_robots_frontier": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "warc_http_pages": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

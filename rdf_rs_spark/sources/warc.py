@@ -165,3 +165,33 @@ def synthesize_warc_files(
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+def parse_http_responses(df: DataFrame, block_col: str = "block") -> DataFrame:
+    """HTTP response envelope → ``(status, content_type, body)``
+    columns appended. Unlike the container walk above (stateful cursor
+    → Arrow kernel), the envelope is plain column algebra: status from
+    the first line, a case-insensitive header probe for Content-Type,
+    body = everything after the first blank line — all JVM-side
+    regexp/split inside whole-stage codegen, zero Python. A malformed
+    status line yields status NULL (filter or dead-letter downstream),
+    mirroring the engine's rejects-view discipline."""
+    from pyspark.sql import functions as F
+
+    block = F.col(block_col)
+    status = F.nullif(
+        F.regexp_extract(block, r"^HTTP/[0-9.]+ (\d{3})", 1), F.lit("")
+    ).cast("long")
+    ctype = F.nullif(
+        F.trim(
+            F.regexp_extract(block, r"(?i)(?:^|\r\n)content-type:\s*([^\r\n]+)", 1)
+        ),
+        F.lit(""),
+    )
+    # limit=2: the body may itself contain blank lines; try_element_at:
+    # a block with NO blank line (malformed) yields NULL, not an ANSI
+    # index error
+    body = F.try_element_at(F.split(block, r"\r\n\r\n", 2), F.lit(2))
+    return df.withColumn("status", status).withColumn(
+        "content_type", ctype
+    ).withColumn("body", body)

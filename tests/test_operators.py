@@ -1888,3 +1888,19 @@ def test_robots_parse_groups_and_frontier_semantics(spark):
         assert got["https://b.org/any"] and got["https://c.org/q"] and got["https://a.org"]
         for u, w in want.items():
             assert got[u] == w, (agent, u)
+
+
+def test_http_envelope_parse_body_with_blank_lines(spark):
+    """split-limit-2 must keep a body that CONTAINS blank lines intact;
+    case-insensitive Content-Type; malformed status -> NULL."""
+    from rdf_rs_spark.sources.warc import parse_http_responses
+
+    body = "line1\r\n\r\nline2\r\n\r\nline3"
+    good = f"HTTP/1.1 301 Moved\r\ncontent-TYPE:  text/plain \r\n\r\n{body}"
+    bad = "not-http at all"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "block"])
+    rows = {r.id: r for r in parse_http_responses(df).collect()}
+    assert rows[1].status == 301
+    assert rows[1].content_type == "text/plain"
+    assert rows[1].body == body
+    assert rows[2].status is None and rows[2].content_type is None
