@@ -6660,6 +6660,67 @@ def warc_records_parse(spark, sf_dir):
 
 
 @q(
+    "crawl_fetch_schedule",
+    """WITH u AS (SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+             'h' || (doc_id % 7) || '.example.org' AS host, (doc_id % 7) AS j
+           FROM documents),
+    r AS (SELECT url, host, j,
+            row_number() OVER (PARTITION BY host ORDER BY md5(url), url) - 1 AS rk
+          FROM u)
+    SELECT url, host,
+      (rk * CASE WHEN j = 6 THEN 1
+                 WHEN j % 2 = 0 THEN j % 5 + 2
+                 ELSE j % 3 + 1 END)::BIGINT AS fetch_slot_s
+    FROM r""",
+)
+def crawl_fetch_schedule(spark, sf_dir):
+    """Politeness scheduling (``operators/crawl.py::parse_crawl_delays``
+    + ``fetch_schedule``): per-host fetch slots at Crawl-delay spacing,
+    ordered by md5 rank (identical schedule on any cluster size —
+    content-hash discipline — and a hot host's early slots are a
+    uniform sample, not a lexicographic prefix). Even hosts carry a
+    kgbot-specific delay that must BEAT their ``*`` delay, odd hosts
+    only ``*``, one host has no robots at all (default). Delay
+    relation broadcasts; the frontier pays the one per-host window
+    shuffle."""
+    from .operators.crawl import fetch_schedule, parse_crawl_delays
+
+    robots = spark.range(6).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit("User-agent: kgbot\nCrawl-delay: "),
+                (F.col("id") % 5 + 2).cast("string"),
+                F.lit("\nUser-agent: *\nCrawl-delay: "),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit("\n"),
+            )
+        )
+        .alias("robots_txt"),
+    )
+    delays = parse_crawl_delays(robots)
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return fetch_schedule(urls, delays, "kgbot")
+
+
+@q(
     "warc_http_pages",
     """WITH f AS (SELECT unnest(generate_series(0, 1999)) AS i),
     r AS (SELECT i, unnest(generate_series(0, 4)) AS k FROM f)
@@ -7132,6 +7193,7 @@ DEFERRED = {
     "warc_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_robots_frontier": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_http_pages": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_fetch_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

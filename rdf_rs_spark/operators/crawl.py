@@ -38,7 +38,15 @@ def _parse_robots_text(host: str, text: str):
     current group. Unknown directives and comments are skipped; an
     empty Disallow value means allow-everything and yields no rule (the
     absence of a match IS allow)."""
-    rules = []
+    return _walk_robots(host, text)[0]
+
+
+def _walk_robots(host: str, text: str):
+    """Shared group walk; returns ``(rules, delays)`` where delays is
+    one ``(host, agent, delay_s)`` per Crawl-delay directive (the
+    de-facto extension most crawlers honor), attached to the current
+    group like Allow/Disallow."""
+    rules, delays = [], []
     agents: list[str] = []
     group_open = True  # True while consuming consecutive User-agent lines
     for raw in text.splitlines():
@@ -57,9 +65,17 @@ def _parse_robots_text(host: str, text: str):
             if val:
                 for a in agents:
                     rules.append((host, a, key == "allow", val))
+        elif key == "crawl-delay":
+            group_open = False
+            try:
+                d = int(val)
+            except ValueError:
+                continue
+            for a in agents:
+                delays.append((host, a, d))
         else:
             group_open = False
-    return rules
+    return rules, delays
 
 
 def parse_robots(
@@ -146,4 +162,80 @@ def frontier_allowed(
         F.coalesce(F.min("__fa_key").getField("deny") == 0, F.lit(True)).alias(
             "allowed"
         )
+    )
+
+
+CRAWL_DELAYS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("agent", T.StringType(), False),
+        T.StructField("delay_s", T.LongType(), False),
+    ]
+)
+
+
+def parse_crawl_delays(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → one row per (host, agent, delay_s)
+    Crawl-delay directive — same group walk as :func:`parse_robots`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CRAWL_DELAYS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _walk_robots(getattr(r, host_col), getattr(r, text_col))[1]
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=CRAWL_DELAYS_SCHEMA)
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    agent: str,
+    default_delay_s: int = 1,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness scheduling: assign each frontier URL a fetch slot
+    (seconds from its host's crawl start) so one host is never hit
+    faster than its Crawl-delay — ``slot_s = rank_within_host ×
+    delay``. The within-host order is the md5 rank (the engine's
+    deterministic-sampling discipline: the schedule is identical on any
+    cluster size / rerun, and a hot host's early slots are a uniform
+    sample of its URLs, not a lexicographic prefix). Agent precedence
+    as in :func:`frontier_allowed`: a host's specific-agent delay beats
+    ``*``, missing entirely → ``default_delay_s``.
+
+    One window shuffle on the host key (the same single exchange a
+    per-host groupBy costs); the delay relation broadcasts."""
+    a = agent.lower()
+    d = (
+        delays.filter(F.col("agent").isin(a, "*"))
+        .groupBy("host")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("agent") == a, F.col("delay_s"))),
+                F.min(F.when(F.col("agent") == "*", F.col("delay_s"))),
+            ).alias("__fs_delay")
+        )
+    )
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1).alias("host"),
+    ).withColumn("__fs_h", F.md5(F.col("url")))
+    w = Window.partitionBy("host").orderBy(F.col("__fs_h"), F.col("url"))
+    return (
+        u.join(F.broadcast(d), "host", "left")
+        .withColumn(
+            "fetch_slot_s",
+            (
+                (F.row_number().over(w) - 1)
+                * F.coalesce(F.col("__fs_delay"), F.lit(default_delay_s))
+            ).cast("bigint"),
+        )
+        .select("url", "host", "fetch_slot_s")
     )

@@ -1904,3 +1904,37 @@ def test_http_envelope_parse_body_with_blank_lines(spark):
     assert rows[1].content_type == "text/plain"
     assert rows[1].body == body
     assert rows[2].status is None and rows[2].content_type is None
+
+
+def test_crawl_delays_and_fetch_schedule(spark):
+    """Crawl-delay group attachment (specific beats *), default for a
+    robots-less host, md5-rank spacing, and partitioning invariance."""
+    import hashlib
+
+    from rdf_rs_spark.operators.crawl import fetch_schedule, parse_crawl_delays
+
+    robots = spark.createDataFrame(
+        [
+            ("a.org", "User-agent: kgbot\nCrawl-delay: 5\nUser-agent: *\nCrawl-delay: 2\n"),
+            ("b.org", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: oops\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    delays = parse_crawl_delays(robots)
+    got = {(r.host, r.agent): r.delay_s for r in delays.collect()}
+    assert got == {("a.org", "kgbot"): 5, ("a.org", "*"): 2, ("b.org", "*"): 3}
+
+    urls = [f"https://a.org/{i}" for i in range(4)] + [
+        "https://b.org/x",
+        "https://c.org/y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    out = {r.url: r.fetch_slot_s for r in fetch_schedule(df, delays, "kgbot").collect()}
+    a_urls = sorted(urls[:4], key=lambda u: (hashlib.md5(u.encode()).hexdigest(), u))
+    assert [out[u] for u in a_urls] == [0, 5, 10, 15]  # kgbot delay beats *
+    assert out["https://b.org/x"] == 0 and out["https://c.org/y"] == 0
+    reparted = {
+        r.url: r.fetch_slot_s
+        for r in fetch_schedule(df.repartition(5), delays, "kgbot").collect()
+    }
+    assert reparted == out
