@@ -242,3 +242,62 @@ def test_lzw_literal_roundtrip_any_code_size(args):
     mcs, px = args
     arr = np.asarray(px, dtype=np.int64)
     assert _lzw_decode(_lzw_encode_literals(arr, mcs), mcs).tolist() == px
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_qoi_encode_decode_roundtrip_any_pixels(pixels):
+    """The QOI pair must roundtrip ARBITRARY RGB streams bit-exactly —
+    not just the entry's closed-form corpus. Hypothesis shrinks toward
+    the op-boundary cases (long runs, index collisions, deltas at the
+    DIFF/LUMA bias edges, wrap-around diffs)."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import _qoi_encode, _qoi_hash
+
+    arr = np.array(pixels, dtype=np.uint8)
+    enc = _qoi_encode(arr)
+
+    # inline reference decoder (mirrors the spec, independent of the
+    # Spark kernel's numpy bulk writes)
+    out, index, px, pos = [], [(0, 0, 0, 255)] * 64, (0, 0, 0, 255), 0
+    while len(out) < len(pixels):
+        b0 = enc[pos]
+        pos += 1
+        if b0 == 0xFE:
+            px = (enc[pos], enc[pos + 1], enc[pos + 2], px[3])
+            pos += 3
+        elif b0 >> 6 == 0:
+            px = index[b0]
+        elif b0 >> 6 == 1:
+            px = (
+                (px[0] + ((b0 >> 4) & 3) - 2) % 256,
+                (px[1] + ((b0 >> 2) & 3) - 2) % 256,
+                (px[2] + (b0 & 3) - 2) % 256,
+                px[3],
+            )
+        elif b0 >> 6 == 2:
+            dg = (b0 & 0x3F) - 32
+            b1 = enc[pos]
+            pos += 1
+            px = (
+                (px[0] + dg + ((b1 >> 4) & 0xF) - 8) % 256,
+                (px[1] + dg) % 256,
+                (px[2] + dg + (b1 & 0xF) - 8) % 256,
+                px[3],
+            )
+        else:
+            out.extend([px[:3]] * ((b0 & 0x3F) + 1))
+            continue
+        index[_qoi_hash(*px)] = px
+        out.append(px[:3])
+    assert pos == len(enc)
+    assert out == [tuple(p) for p in pixels]
