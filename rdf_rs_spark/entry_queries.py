@@ -6720,6 +6720,46 @@ def crawl_fetch_schedule(spark, sf_dir):
     return fetch_schedule(urls, delays, "kgbot")
 
 
+def _sitemap_oracle(n: int) -> str:
+    """Regeneration oracle for the sitemap parser: every entry field is
+    a closed form of (doc i, entry k) — including which docs are
+    <sitemapindex> pointers, which urls omit the optional fields, and
+    the e3 priority scaling."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    idx AS (SELECT i, unnest(generate_series(0, 1)) AS k FROM p WHERE i % 10 = 9),
+    urls AS (SELECT i, unnest(generate_series(0, i % 4)) AS k FROM p WHERE i % 10 <> 9)
+    SELECT i::BIGINT AS doc_id, 'sitemap' AS kind,
+      'https://h' || (i % 50) || '.example.org/sm/' || k || '.xml' AS loc,
+      (1735689600 + i + k)::BIGINT AS lastmod_unix,
+      NULL::VARCHAR AS changefreq, NULL::BIGINT AS priority_e3
+    FROM idx
+    UNION ALL
+    SELECT i::BIGINT, 'url',
+      'https://h' || (i % 50) || '.example.org/p/' || i || '/' || k,
+      (CASE WHEN k % 3 = 2 THEN NULL ELSE 1735689600 + i + k END)::BIGINT,
+      CASE WHEN k % 3 = 2 THEN NULL
+           ELSE (['daily', 'weekly', 'monthly'])[(i + k) % 3 + 1] END,
+      (CASE WHEN k % 3 = 2 THEN NULL ELSE ((i + k) % 10) * 100 END)::BIGINT
+    FROM urls"""
+
+
+@q("crawl_sitemap_entries", _sitemap_oracle(2000))
+def crawl_sitemap_entries(spark, sf_dir):
+    """Sitemap discovery (``sources/sitemaps.py``): parse
+    sitemaps.org XML — both <urlset> leaf pages and <sitemapindex>
+    pointers — into the frontier-seed relation (loc, lastmod as unix
+    bigint, changefreq, priority as an e3 integer; optional fields
+    NULL when absent). One document per row through the same
+    Arrow/expat shape as the RDF/XML source; XML bytes never shuffle.
+    The oracle regenerates every field closed-form, so a dropped
+    namespace, a mis-scaled priority, or a date-only lastmod
+    mishandled breaks the hash."""
+    from .sources.sitemaps import parse_sitemaps, synthesize_sitemaps
+
+    n = _scale_n(sf_dir)
+    return parse_sitemaps(synthesize_sitemaps(spark.range(n)))
+
+
 @q(
     "warc_http_pages",
     """WITH f AS (SELECT unnest(generate_series(0, 1999)) AS i),
@@ -7194,6 +7234,7 @@ DEFERRED = {
     "crawl_robots_frontier": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_http_pages": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_fetch_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_sitemap_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

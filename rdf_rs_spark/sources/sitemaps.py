@@ -1,0 +1,159 @@
+"""Sitemap (sitemaps.org XML) source — the crawl-discovery side of the
+politeness pair (robots.txt points at sitemaps via its ``Sitemap:``
+directive; ``operators/crawl.py`` consumes the URL relation this
+emits as frontier seed material).
+
+Document-scoped XML (namespace, nested ``<url>``/``<sitemap>``
+entries), so the execution shape mirrors the RDF/XML source: one
+document per row, parsed by C-accelerated ``xml.etree.ElementTree``
+inside an Arrow-batched ``mapInPandas`` — CPU-parallel across batches,
+XML bytes never shuffle, only the narrow URL relation moves. Both
+``<urlset>`` (leaf pages) and ``<sitemapindex>`` (pointers to child
+sitemaps, i.e. more fetch work) are handled; timestamps leave as unix
+bigints and priority as an e3 integer per the engine's float-free
+output discipline.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+SITEMAP_ENTRIES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # url | sitemap
+        T.StructField("loc", T.StringType(), False),
+        T.StructField("lastmod_unix", T.LongType(), True),
+        T.StructField("changefreq", T.StringType(), True),
+        T.StructField("priority_e3", T.LongType(), True),
+    ]
+)
+
+
+def _parse_sitemap_doc(doc_id: int, xml: str):
+    """One sitemap document → entry tuples. Raises on a root that is
+    neither urlset nor sitemapindex — discovery corruption is loud."""
+    import datetime as dt
+
+    root = ET.fromstring(xml)
+    if root.tag == _NS + "urlset":
+        child_tag, kind = _NS + "url", "url"
+    elif root.tag == _NS + "sitemapindex":
+        child_tag, kind = _NS + "sitemap", "sitemap"
+    else:
+        raise ValueError(f"not a sitemap root: {root.tag}")
+    out = []
+    for el in root.findall(child_tag):
+        loc = el.findtext(_NS + "loc")
+        if loc is None or not loc.strip():
+            continue  # spec: <loc> is required; skip malformed entries
+        lastmod = el.findtext(_NS + "lastmod")
+        lastmod_unix = None
+        if lastmod:
+            s = lastmod.strip().replace("Z", "+00:00")
+            if "T" not in s:
+                s += "T00:00:00+00:00"  # date-only form per W3C datetime
+            lastmod_unix = int(dt.datetime.fromisoformat(s).timestamp())
+        prio = el.findtext(_NS + "priority")
+        prio_e3 = None
+        if prio:
+            # e3 integer without float parsing: '0.85' -> 850
+            whole, _, frac = prio.strip().partition(".")
+            prio_e3 = int(whole) * 1000 + int((frac + "000")[:3] or 0)
+        out.append(
+            (
+                doc_id,
+                kind,
+                loc.strip(),
+                lastmod_unix,
+                (el.findtext(_NS + "changefreq") or "").strip() or None,
+                prio_e3,
+            )
+        )
+    return out
+
+
+def parse_sitemaps(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, xml) → one row per sitemap entry."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SITEMAP_ENTRIES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _parse_sitemap_doc(
+                        int(getattr(r, id_col)), getattr(r, xml_col)
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=SITEMAP_ENTRIES_SCHEMA)
+
+
+def synthesize_sitemaps(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic sitemap documents from a row index: every 10th doc
+    is a <sitemapindex> of 2 child sitemaps; the rest are <urlset>s of
+    ``(i % 4) + 1`` urls with closed-form loc/lastmod/changefreq/
+    priority (every third url omits the optional fields)."""
+    from pyspark.sql import functions as F  # noqa: F401  (kept local: pure kernel below)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import datetime as dt
+
+        epoch = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        freqs = ["daily", "weekly", "monthly"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                if i % 10 == 9:
+                    entries = "".join(
+                        f"<sitemap><loc>https://h{i % 50}.example.org/sm/{k}.xml</loc>"
+                        f"<lastmod>{(epoch + dt.timedelta(seconds=i + k)).strftime('%Y-%m-%dT%H:%M:%SZ')}</lastmod>"
+                        "</sitemap>"
+                        for k in range(2)
+                    )
+                    xml = (
+                        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                        + entries
+                        + "</sitemapindex>"
+                    )
+                else:
+                    parts = []
+                    for k in range((i % 4) + 1):
+                        loc = f"https://h{i % 50}.example.org/p/{i}/{k}"
+                        if k % 3 == 2:  # optional fields omitted
+                            parts.append(f"<url><loc>{loc}</loc></url>")
+                        else:
+                            ts = (epoch + dt.timedelta(seconds=i + k)).strftime(
+                                "%Y-%m-%dT%H:%M:%SZ"
+                            )
+                            parts.append(
+                                f"<url><loc>{loc}</loc><lastmod>{ts}</lastmod>"
+                                f"<changefreq>{freqs[(i + k) % 3]}</changefreq>"
+                                f"<priority>0.{(i + k) % 10}</priority></url>"
+                            )
+                    xml = (
+                        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                        + "".join(parts)
+                        + "</urlset>"
+                    )
+                rows.append((i, xml))
+            yield pd.DataFrame(rows, columns=["doc_id", "xml"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("xml", T.StringType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

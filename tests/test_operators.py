@@ -1938,3 +1938,43 @@ def test_crawl_delays_and_fetch_schedule(spark):
         for r in fetch_schedule(df.repartition(5), delays, "kgbot").collect()
     }
     assert reparted == out
+
+
+def test_sitemap_parse_hand_built(spark):
+    """urlset vs sitemapindex roots, optional-field NULLs, date-only
+    lastmod, e3 priority scaling, skipped loc-less entries, and a loud
+    reject on a non-sitemap root."""
+    import pytest
+
+    from rdf_rs_spark.sources.sitemaps import parse_sitemaps
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (
+        f"<urlset {ns}>"
+        "<url><loc> https://a.org/1 </loc><lastmod>2025-06-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.85</priority></url>"
+        "<url><loc>https://a.org/2</loc></url>"
+        "<url><changefreq>never</changefreq></url>"  # no loc: skipped
+        "</urlset>"
+    )
+    index = (
+        f"<sitemapindex {ns}>"
+        "<sitemap><loc>https://a.org/sm1.xml</loc>"
+        "<lastmod>2025-06-01T12:00:00Z</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([(1, urlset), (2, index)], ["doc_id", "xml"])
+    rows = sorted(parse_sitemaps(df).collect(), key=lambda r: (r.doc_id, r.loc))
+    assert [(r.doc_id, r.kind, r.loc) for r in rows] == [
+        (1, "url", "https://a.org/1"),
+        (1, "url", "https://a.org/2"),
+        (2, "sitemap", "https://a.org/sm1.xml"),
+    ]
+    assert rows[0].lastmod_unix == 1748736000  # 2025-06-01T00:00:00Z
+    assert rows[0].priority_e3 == 850 and rows[0].changefreq == "daily"
+    assert rows[1].lastmod_unix is None and rows[1].priority_e3 is None
+    assert rows[2].lastmod_unix == 1748779200
+
+    bad = spark.createDataFrame([(3, "<html></html>")], ["doc_id", "xml"])
+    with pytest.raises(Exception, match="sitemap root|PythonException"):
+        parse_sitemaps(bad).collect()
