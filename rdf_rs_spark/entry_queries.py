@@ -6941,6 +6941,86 @@ def docs_anchor_aliases(spark, sf_dir):
 
 
 @q(
+    "kg_alias_dict_growth",
+    f"""WITH e AS ({_ANCHOR_INJECT_SQL}),
+    t AS (SELECT doc_id,
+            unnest(regexp_extract_all(h, '<a href="([^"]+)">([^<]*)</a>', 0)) AS tag
+          FROM e),
+    p AS (SELECT doc_id,
+            regexp_extract(tag, '<a href="([^"]+)">([^<]*)</a>', 1) AS target,
+            lower(trim(regexp_extract(tag, '<a href="([^"]+)">([^<]*)</a>', 2))) AS alias
+          FROM t),
+    agg AS (SELECT target, alias, count(DISTINCT doc_id) AS n_docs
+            FROM p WHERE alias <> '' GROUP BY target, alias),
+    novel AS (SELECT * FROM agg WHERE alias NOT IN
+                (SELECT 'alias' || x FROM (SELECT unnest(generate_series(0, 99)) AS x))),
+    win AS (SELECT alias, target, n_docs,
+              row_number() OVER (PARTITION BY alias
+                ORDER BY n_docs DESC, target ASC) AS rn
+            FROM novel)
+    SELECT alias,
+      replace(target, 'https://kg.example.org/e/', 'http://kg.example.org/entity/')
+        AS entity_iri,
+      n_docs::BIGINT AS n_docs
+    FROM win WHERE rn = 1""",
+)
+def kg_alias_dict_growth(spark, sf_dir):
+    """The alias dictionary GROWING itself (the loop
+    ``docs_anchor_aliases`` opens): mined surface forms anti-joined
+    against the broadcast base dictionary (``synthesize_alias_dict`` —
+    known forms need no update), then one deterministic argmax per new
+    alias (most supporting docs, target as the tie-break —
+    ``min(struct(-n_docs, target))`` ≡ the oracle's row_number) picks
+    its entity; anchor target URLs rewrite to entity IRIs. Next crawl
+    round links mentions the hand-built dict would have missed. All
+    relations after the anchor aggregate are dictionary-sized; the
+    anti-join broadcasts."""
+    from .operators.corpus import anchor_text_aliases
+    from .sources.webpages import synthesize_alias_dict
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(' <a href="https://kg.example.org/e/E'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('">aLias '),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(' <a href="https://kg.example.org/e/E'),
+                    ((F.col("doc_id") + 3) % 50).cast("string"),
+                    F.lit('">Alias'),
+                    ((F.col("doc_id") * 7) % 100).cast("string"),
+                    F.lit("</a>"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("h"),
+    )
+    mined = anchor_text_aliases(d, F.col("h"))
+    base = synthesize_alias_dict(spark).select("alias").distinct()
+    novel = mined.join(F.broadcast(base), "alias", "left_anti")
+    win = novel.groupBy("alias").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_docs")).alias("neg"), F.col("target").alias("t")
+            )
+        ).alias("w")
+    )
+    return win.select(
+        "alias",
+        F.replace(
+            F.col("w.t"),
+            F.lit("https://kg.example.org/e/"),
+            F.lit("http://kg.example.org/entity/"),
+        ).alias("entity_iri"),
+        (-F.col("w.neg")).cast("bigint").alias("n_docs"),
+    )
+
+
+@q(
     "corpus_host_graph",
     f"""WITH e AS (SELECT source,
       text || CASE WHEN doc_id % 2 = 0
@@ -7235,6 +7315,7 @@ DEFERRED = {
     "warc_http_pages": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_fetch_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_sitemap_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_alias_dict_growth": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 
