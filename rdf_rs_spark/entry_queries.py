@@ -6640,6 +6640,22 @@ def _warc_oracle(n_files: int) -> str:
     FROM b"""
 
 
+@q("warc_gz_records_parse", _warc_oracle(2000))
+def warc_gz_records_parse(spark, sf_dir):
+    """The .warc.gz layout Common-Crawl actually ships: ONE gzip member
+    per record (member boundaries are the container's random-access
+    index). ``sources/warc.py::parse_warc_gz_records`` splits members
+    by zlib's member-end accounting (``decompressobj.eof`` +
+    ``unused_data`` — never a magic-byte scan, \\x1f\\x8b occurs inside
+    compressed data), then runs the identical header-block walk; the
+    oracle is the SAME regeneration as ``warc_records_parse``, so the
+    compressed path must match the plain path bit-for-bit."""
+    from .sources.warc import parse_warc_gz_records, synthesize_warc_gz_files
+
+    n = _scale_n(sf_dir)
+    return parse_warc_gz_records(synthesize_warc_gz_files(spark.range(n)))
+
+
 @q("warc_records_parse", _warc_oracle(2000))
 def warc_records_parse(spark, sf_dir):
     """REAL WARC (ISO 28500) record parsing
@@ -7316,6 +7332,7 @@ DEFERRED = {
     "crawl_fetch_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_sitemap_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_alias_dict_growth": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

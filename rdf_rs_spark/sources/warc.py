@@ -111,6 +111,39 @@ def parse_warc_records(
     return df.mapInPandas(run, schema=WARC_RECORDS_SCHEMA)
 
 
+def _warc_record_strings(i: int, records_per_file: int) -> list[str]:
+    """The closed-form record texts for file ``i`` (shared by the plain
+    and the .warc.gz synthesizers so both entries verify against the
+    SAME regeneration oracle)."""
+    import datetime as dt
+
+    epoch = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    parts = []
+    for k in range(records_per_file):
+        uri = f"https://ex{(i * records_per_file + k) % 97}.example.org/p/{i}/{k}"
+        ts = epoch + dt.timedelta(seconds=i * records_per_file + k)
+        date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        if k % 5 == 4:
+            wtype = "request"
+            block = f"GET /p/{i}/{k} HTTP/1.1\r\nHost: h\r\n\r\n"
+        else:
+            wtype = "response"
+            body = f"<html>doc {i} rec {k} " + "x" * ((i + k) % 7) + "</html>"
+            block = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        hdrs = [
+            f"WARC-Type: {wtype}",
+            f"WARC-Target-URI: {uri}",
+            f"WARC-Date: {date}",
+            f"Content-Length: {len(block.encode())}",
+        ]
+        if k % 2 == 1:  # permuted header order
+            hdrs = hdrs[::-1]
+        parts.append(
+            "WARC/1.0\r\n" + "\r\n".join(hdrs) + "\r\n\r\n" + block + "\r\n\r\n"
+        )
+    return parts
+
+
 def synthesize_warc_files(
     df: DataFrame, records_per_file: int = 5, id_col: str = "id"
 ) -> DataFrame:
@@ -122,40 +155,13 @@ def synthesize_warc_files(
     second per (i, k) from 2025-01-01T00:00:00Z."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import datetime as dt
-
-        epoch = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 i = int(getattr(r, id_col))
-                parts = []
-                for k in range(records_per_file):
-                    uri = f"https://ex{(i * records_per_file + k) % 97}.example.org/p/{i}/{k}"
-                    ts = epoch + dt.timedelta(seconds=i * records_per_file + k)
-                    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
-                    if k % 5 == 4:
-                        wtype = "request"
-                        block = f"GET /p/{i}/{k} HTTP/1.1\r\nHost: h\r\n\r\n"
-                    else:
-                        wtype = "response"
-                        body = f"<html>doc {i} rec {k} " + "x" * ((i + k) % 7) + "</html>"
-                        block = (
-                            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                            + body
-                        )
-                    hdrs = [
-                        f"WARC-Type: {wtype}",
-                        f"WARC-Target-URI: {uri}",
-                        f"WARC-Date: {date}",
-                        f"Content-Length: {len(block.encode())}",
-                    ]
-                    if k % 2 == 1:  # permuted header order
-                        hdrs = hdrs[::-1]
-                    parts.append(
-                        "WARC/1.0\r\n" + "\r\n".join(hdrs) + "\r\n\r\n" + block + "\r\n\r\n"
-                    )
-                rows.append((i, "".join(parts).encode()))
+                rows.append(
+                    (i, "".join(_warc_record_strings(i, records_per_file)).encode())
+                )
             yield pd.DataFrame(rows, columns=["file_id", "payload"])
 
     schema = T.StructType(
@@ -195,3 +201,84 @@ def parse_http_responses(df: DataFrame, block_col: str = "block") -> DataFrame:
     return df.withColumn("status", status).withColumn(
         "content_type", ctype
     ).withColumn("body", body)
+
+
+def _gzip_members(payload: bytes):
+    """Split a multi-member gzip stream: yields the decompressed bytes
+    of each member. Common-Crawl .warc.gz files put ONE member per
+    record — member boundaries are what make the container randomly
+    accessible, so the splitter follows zlib's member-end accounting
+    (``decompressobj.eof`` + ``unused_data``), never a magic-byte scan
+    (``\\x1f\\x8b`` can occur inside compressed data)."""
+    import zlib
+
+    pos, n = 0, len(payload)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        out = d.decompress(payload[pos:])
+        while not d.eof:
+            chunk = d.decompress(b"")
+            if not chunk:
+                raise ValueError(f"truncated gzip member at byte {pos}")
+            out += chunk
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError(f"empty gzip member at byte {pos}")
+        yield out
+        pos += consumed
+
+
+def parse_warc_gz_records(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "file_id"
+) -> DataFrame:
+    """(file_id, payload:binary of a .warc.gz) → the same record
+    relation as :func:`parse_warc_records`: members are decompressed in
+    sequence (one record per member, the Common-Crawl layout) and the
+    concatenated stream goes through the identical header-block walk —
+    record numbering and every field match the uncompressed parse
+    bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORDS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                raw = b"".join(
+                    _gzip_members(bytes(getattr(r, payload_col)))
+                )
+                rows.extend(_parse_warc_payload(int(getattr(r, id_col)), raw))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=WARC_RECORDS_SCHEMA)
+
+
+def synthesize_warc_gz_files(
+    df: DataFrame, records_per_file: int = 5, id_col: str = "id"
+) -> DataFrame:
+    """The same closed-form records as :func:`synthesize_warc_files`,
+    but gzip-compressed ONE MEMBER PER RECORD (the Common-Crawl
+    random-access layout). ``zlib.compressobj(wbits=31)`` writes a
+    deterministic gzip header (mtime 0), so payloads are byte-stable
+    across runs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                members = []
+                for rec in _warc_record_strings(i, records_per_file):
+                    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    members.append(c.compress(rec.encode()) + c.flush())
+                rows.append((i, b"".join(members)))
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -1978,3 +1978,38 @@ def test_sitemap_parse_hand_built(spark):
     bad = spark.createDataFrame([(3, "<html></html>")], ["doc_id", "xml"])
     with pytest.raises(Exception, match="sitemap root|PythonException"):
         parse_sitemaps(bad).collect()
+
+
+def test_warc_gz_members_match_plain_parse(spark):
+    """One-gzip-member-per-record splitting must yield exactly the
+    plain parse (Spark-level), and a truncated member must reject."""
+    import zlib
+
+    import pytest
+
+    from rdf_rs_spark.sources.warc import (
+        parse_warc_gz_records,
+        parse_warc_records,
+        synthesize_warc_files,
+        synthesize_warc_gz_files,
+    )
+
+    rng = spark.range(4)
+    plain = sorted(
+        parse_warc_records(synthesize_warc_files(rng)).collect(),
+        key=lambda r: (r.file_id, r.rec_idx),
+    )
+    gz = sorted(
+        parse_warc_gz_records(synthesize_warc_gz_files(rng)).collect(),
+        key=lambda r: (r.file_id, r.rec_idx),
+    )
+    assert plain == gz
+    assert len(plain) == 20
+
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    member = c.compress(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n") + c.flush()
+    df_bad = spark.createDataFrame(
+        [(1, bytearray(member[:-5]))], "file_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated|PythonException|Error"):
+        parse_warc_gz_records(df_bad).collect()
