@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     # under measurement is exactly what matters at 100 TB
     "docs_hll_registers",
     "corpus_cm_sketch",
+    # crawl-container ingest (r4): per-member gunzip + header walk over
+    # 50k files / 250k records at sf0.1 — the byte-level work a real
+    # Common-Crawl read front-loads before any of the above
+    "warc_gz_records_parse",
+    # real compressed-image decode with all five QOI op families
+    "multimodal_qoi_decode",
 ]
 
 
