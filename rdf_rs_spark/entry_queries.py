@@ -6640,6 +6640,35 @@ def _warc_oracle(n_files: int) -> str:
     FROM b"""
 
 
+@q(
+    "crawl_charset_decode",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
+                 WHEN 2 THEN 'utf-16-le' ELSE 'iso-8859-1' END AS charset,
+      CASE i % 4
+        WHEN 0 THEN 'doc ' || i || ' naïve αβγ'
+        WHEN 1 THEN 'doc ' || i || ' résumé'
+        WHEN 2 THEN 'doc ' || i || ' utf16 ©'
+        ELSE '<meta charset="iso-8859-1"><p>doc ' || i || ' café</p>'
+      END AS text
+    FROM p""",
+)
+def crawl_charset_decode(spark, sf_dir):
+    """Charset detection + transcoding (``sources/charset.py``): a
+    10^12-doc crawl is not all UTF-8 — BOMs (UTF-8/UTF-16), meta-tag
+    declarations, strict-UTF-8 trial decode, and the total Latin-1
+    fallback, in browser priority order. The Latin-1 branch's bytes are
+    INVALID UTF-8 (lone 0xE9 for é), so a detector that skips the meta
+    probe and trial-decodes everything mangles it and breaks the hash.
+    Arrow kernel; payload bytes never shuffle; output is the unified
+    UTF-8 text column every downstream operator assumes."""
+    from .sources.charset import decode_text_auto, synthesize_encoded_docs
+
+    n = _scale_n(sf_dir)
+    return decode_text_auto(synthesize_encoded_docs(spark.range(n)))
+
+
 @q("warc_gz_records_parse", _warc_oracle(2000))
 def warc_gz_records_parse(spark, sf_dir):
     """The .warc.gz layout Common-Crawl actually ships: ONE gzip member
@@ -7333,6 +7362,7 @@ DEFERRED = {
     "crawl_sitemap_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_alias_dict_growth": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_charset_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

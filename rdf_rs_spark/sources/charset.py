@@ -1,0 +1,120 @@
+"""Charset detection + transcoding — the encoding step of web ingest.
+
+A 10^12-document crawl is NOT all UTF-8: real responses arrive as
+UTF-16 with BOMs, legacy Latin-1, or HTML whose only encoding signal is
+its own ``<meta charset=…>`` tag. This module normalizes raw response
+bytes into the one UTF-8 ``text`` column every downstream operator
+(extraction, dedup, tokenization) assumes, with the detector priority
+real browsers/crawlers use:
+
+1. byte-order mark (UTF-8 BOM / UTF-16 LE / UTF-16 BE),
+2. an in-document ``<meta charset>`` / ``http-equiv`` declaration
+   (probed on an ASCII view of the prefix — safe for any ASCII-compatible
+   encoding, which is what meta declarations are for),
+3. strict UTF-8 trial decode,
+4. Latin-1 fallback (never fails; every byte maps).
+
+Arrow-batched ``mapInPandas`` — payload bytes never shuffle, only the
+decoded text moves. Stdlib codecs only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+DECODED_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("charset", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+_META_RX = None  # compiled lazily inside the kernel
+
+
+def detect_and_decode(payload: bytes):
+    """One document's bytes → (charset_label, text). Deterministic,
+    total (the Latin-1 fallback decodes anything)."""
+    import re
+
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig", payload[3:].decode("utf-8")
+    if payload.startswith(b"\xff\xfe"):
+        return "utf-16-le", payload[2:].decode("utf-16-le")
+    if payload.startswith(b"\xfe\xff"):
+        return "utf-16-be", payload[2:].decode("utf-16-be")
+    head = payload[:1024].decode("ascii", "ignore")
+    m = re.search(
+        r'<meta\s+charset=["\']?([A-Za-z0-9_-]+)'
+        r'|<meta[^>]*content=["\'][^"\']*charset=([A-Za-z0-9_-]+)',
+        head,
+        re.I,
+    )
+    if m:
+        name = (m.group(1) or m.group(2)).lower()
+        try:
+            return name, payload.decode(name)
+        except (LookupError, UnicodeDecodeError):
+            pass  # lying/unknown meta tag: fall through to trial decode
+    try:
+        return "utf-8", payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return "iso-8859-1", payload.decode("iso-8859-1")
+
+
+def decode_text_auto(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload:binary) → (doc_id, charset, text:UTF-8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DECODED_TEXT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                cs, text = detect_and_decode(bytes(getattr(r, payload_col)))
+                rows.append((int(getattr(r, id_col)), cs, text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=DECODED_TEXT_SCHEMA)
+
+
+def synthesize_encoded_docs(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic mixed-encoding corpus from a row index, cycling the
+    four detector branches: plain UTF-8 (with non-ASCII), UTF-8 BOM,
+    UTF-16 LE BOM, and Latin-1 declared only by its own meta tag (the
+    bytes are invalid UTF-8 — é is a lone 0xE9 — so trial decode alone
+    would misread it)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                k = i % 4
+                if k == 0:
+                    payload = f"doc {i} naïve αβγ".encode("utf-8")
+                elif k == 1:
+                    payload = b"\xef\xbb\xbf" + f"doc {i} résumé".encode("utf-8")
+                elif k == 2:
+                    payload = b"\xff\xfe" + f"doc {i} utf16 ©".encode("utf-16-le")
+                else:
+                    payload = (
+                        f'<meta charset="iso-8859-1"><p>doc {i} café</p>'.encode(
+                            "iso-8859-1"
+                        )
+                    )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -2013,3 +2013,36 @@ def test_warc_gz_members_match_plain_parse(spark):
     )
     with pytest.raises(Exception, match="truncated|PythonException|Error"):
         parse_warc_gz_records(df_bad).collect()
+
+
+def test_charset_detect_priority_and_fallbacks():
+    """Pure-kernel decision table: BOMs beat meta, meta beats trial
+    decode, a LYING meta falls through, invalid UTF-8 lands in the
+    total Latin-1 fallback."""
+    from rdf_rs_spark.sources.charset import detect_and_decode
+
+    assert detect_and_decode("hi αβ".encode()) == ("utf-8", "hi αβ")
+    assert detect_and_decode(b"\xef\xbb\xbfhey") == ("utf-8-sig", "hey")
+    assert detect_and_decode(b"\xff\xfe" + "x©".encode("utf-16-le")) == (
+        "utf-16-le",
+        "x©",
+    )
+    assert detect_and_decode(b"\xfe\xff" + "x©".encode("utf-16-be")) == (
+        "utf-16-be",
+        "x©",
+    )
+    meta = b'<meta charset="iso-8859-1">caf\xe9'
+    assert detect_and_decode(meta) == ("iso-8859-1", '<meta charset="iso-8859-1">café')
+    http_equiv = (
+        b'<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+        b"\xe9"
+    )
+    cs, text = detect_and_decode(http_equiv)
+    assert cs == "iso-8859-1" and text.endswith("é")
+    # lying meta: declared utf-8 but bytes are not -> falls to latin-1
+    lying = b'<meta charset="utf-8">\xe9'
+    assert detect_and_decode(lying) == ("iso-8859-1", '<meta charset="utf-8">é')
+    # unknown codec name in meta: skipped
+    unknown = b'<meta charset="not-a-codec">ok'
+    assert detect_and_decode(unknown) == ("utf-8", '<meta charset="not-a-codec">ok')
+    assert detect_and_decode(b"\xe9\xff") == ("iso-8859-1", "éÿ")
