@@ -27,4 +27,22 @@ def __getattr__(name):
         from . import read_rdf
 
         return getattr(read_rdf, name)
+    if name in (
+        "parse_warc_records",
+        "parse_warc_gz_records",
+        "parse_http_responses",
+        "synthesize_warc_files",
+        "synthesize_warc_gz_files",
+    ):
+        from . import warc
+
+        return getattr(warc, name)
+    if name in ("parse_sitemaps", "synthesize_sitemaps"):
+        from . import sitemaps
+
+        return getattr(sitemaps, name)
+    if name in ("decode_text_auto", "detect_and_decode", "synthesize_encoded_docs"):
+        from . import charset
+
+        return getattr(charset, name)
     raise AttributeError(name)
