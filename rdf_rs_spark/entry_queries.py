@@ -6641,6 +6641,40 @@ def _warc_oracle(n_files: int) -> str:
 
 
 @q(
+    "crawl_budget_allocation",
+    """WITH w AS (SELECT source AS host, count(*)::BIGINT AS weight
+                  FROM documents GROUP BY source),
+    t AS (SELECT sum(weight)::BIGINT AS tot FROM w),
+    b AS (SELECT host, weight, (1000 * weight) // tot AS fl,
+                 (1000 * weight) % tot AS rem FROM w, t),
+    l AS (SELECT 1000 - sum(fl) AS seats FROM b),
+    r AS (SELECT host, weight, fl,
+            row_number() OVER (ORDER BY rem DESC, host ASC) AS rk FROM b)
+    SELECT host, weight,
+      (fl + CASE WHEN rk <= (SELECT seats FROM l) THEN 1 ELSE 0 END)::BIGINT
+        AS alloc
+    FROM r""",
+)
+def crawl_budget_allocation(spark, sf_dir):
+    """Proportional-fair crawl budget
+    (``operators/crawl.py::budget_allocation``, largest-remainder /
+    Hamilton method): 1000 fetches split across hosts ∝ page count,
+    integer per host, global total EXACT — floors by ``DIV``, leftover
+    seats to the largest remainders, ties to the smaller host. The
+    same op allocates sampling quotas and shard sizes. The allocated
+    relation is host-sized metadata (the one unpartitioned window is
+    documented as such); all arithmetic int64, engine-exact."""
+    from .operators.crawl import budget_allocation
+
+    w = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("host"))
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+    return budget_allocation(w, 1000).select("host", "weight", "alloc")
+
+
+@q(
     "crawl_charset_decode",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -7363,6 +7397,7 @@ DEFERRED = {
     "kg_alias_dict_growth": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_charset_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_budget_allocation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

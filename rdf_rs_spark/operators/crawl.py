@@ -239,3 +239,50 @@ def fetch_schedule(
         )
         .select("url", "host", "fetch_slot_s")
     )
+
+
+def budget_allocation(
+    weights: DataFrame,
+    total: int,
+    key_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Proportional-fair integer allocation (largest-remainder /
+    Hamilton method): split a global crawl budget of ``total`` fetches
+    across hosts in proportion to ``weight`` (frontier size, PageRank
+    mass, …) with an integer per host and the EXACT global total —
+    floors first (``total·w DIV Σw``), then the remaining
+    ``total − Σfloors`` seats go to the largest remainders
+    (``total·w MOD Σw``), ties to the smaller key. The same method
+    allocates sampling quotas or shard sizes; everything is int64, so
+    the allocation is engine- and cluster-size-exact.
+
+    Plan: one 1-row total (broadcast cross join), one ordered window
+    over the host relation for the remainder ranks — the relation being
+    allocated is host-sized metadata, never the frontier itself.
+    Appends ``alloc``."""
+    w = weights.withColumn("__ba_w", F.col(weight_col).cast("long"))
+    tot = w.agg(F.sum("__ba_w").cast("long").alias("__ba_tot")).withColumn(
+        "__ba_k", F.lit(1)
+    )
+    base = (
+        w.withColumn("__ba_k", F.lit(1))
+        .join(F.broadcast(tot), "__ba_k")
+        .withColumn("__ba_floor", F.expr(f"({int(total)} * __ba_w) DIV __ba_tot"))
+        .withColumn("__ba_rem", F.expr(f"({int(total)} * __ba_w) % __ba_tot"))
+    )
+    rank_w = Window.orderBy(F.col("__ba_rem").desc(), F.col(key_col).asc())
+    leftover = F.lit(total) - F.sum("__ba_floor").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        base.withColumn("__ba_rank", F.row_number().over(rank_w))
+        .withColumn(
+            "alloc",
+            (
+                F.col("__ba_floor")
+                + F.when(F.col("__ba_rank") <= leftover, 1).otherwise(0)
+            ).cast("bigint"),
+        )
+        .drop("__ba_k", "__ba_tot", "__ba_w", "__ba_floor", "__ba_rem", "__ba_rank")
+    )

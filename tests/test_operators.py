@@ -2046,3 +2046,21 @@ def test_charset_detect_priority_and_fallbacks():
     unknown = b'<meta charset="not-a-codec">ok'
     assert detect_and_decode(unknown) == ("utf-8", '<meta charset="not-a-codec">ok')
     assert detect_and_decode(b"\xe9\xff") == ("iso-8859-1", "éÿ")
+
+
+def test_budget_allocation_hamilton_exact(spark):
+    """Floors + largest-remainder seats: per-host integers, EXACT
+    global total, remainder ties to the smaller key; a zero-weight host
+    gets nothing."""
+    from rdf_rs_spark.operators.crawl import budget_allocation
+
+    rows = [("a", 5), ("b", 5), ("c", 3), ("d", 0)]
+    # total=10, sum_w=13: floors 3,3,2,0 (sum 8); remainders 11,11,4,0
+    # -> 2 seats to a,b (tie on remainder, both get one before c)
+    df = spark.createDataFrame(rows, ["host", "weight"])
+    got = {r.host: r.alloc for r in budget_allocation(df, 10).collect()}
+    assert got == {"a": 4, "b": 4, "c": 2, "d": 0}
+    assert sum(got.values()) == 10
+    # exactness holds for an awkward total too
+    got7 = {r.host: r.alloc for r in budget_allocation(df, 7).collect()}
+    assert sum(got7.values()) == 7
