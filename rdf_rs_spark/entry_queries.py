@@ -6641,6 +6641,47 @@ def _warc_oracle(n_files: int) -> str:
 
 
 @q(
+    "docs_main_content",
+    """SELECT doc_id,
+      'Main paragraph ' || doc_id || ' with enough real content'
+        || CASE WHEN doc_id % 30 >= 14
+                THEN chr(10) || 'extra ' || repeat('y', doc_id % 30)
+                ELSE '' END AS main_text,
+      (1 + CASE WHEN doc_id % 30 >= 14 THEN 1 ELSE 0 END)::BIGINT AS n_blocks
+    FROM documents""",
+)
+def docs_main_content(spark, sf_dir):
+    """Readability-style main-content extraction
+    (``operators/corpus.py::extract_main_blocks``): tag-stack walk,
+    blocks dropped by POSITION (nav/aside/footer), by length
+    (< 20 chars), or by link density (> 300‰ anchor text); script
+    subtrees vanish wholesale. The synthesized page carries one
+    always-kept paragraph, one length-gated paragraph (kept iff
+    ``i%30 ≥ 14``), a link farm, and boilerplate chrome — the oracle
+    states WHICH blocks survive closed-form, checking the extractor
+    without replaying it. The within-document complement to the
+    cross-document C4 span removal (``docs_boilerplate_removal``)."""
+    from .operators.corpus import extract_main_blocks
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><nav>site menu home navigation</nav><div><p>"),
+            F.lit("Main paragraph "),
+            F.col("doc_id").cast("string"),
+            F.lit(" with enough real content</p><p>extra "),
+            F.repeat(F.lit("y"), (F.col("doc_id") % 30).cast("int")),
+            F.lit('</p></div><aside><p>promo paragraph long enough to pass</p>'),
+            F.lit('</aside><div>see <a href="u">link one</a> and <a>link two</a>'),
+            F.lit(" ok</div><script>var x = 1;</script><footer>(c) "),
+            F.col("doc_id").cast("string"),
+            F.lit("</footer></body></html>"),
+        ).alias("h"),
+    )
+    return extract_main_blocks(d, F.col("h"))
+
+
+@q(
     "crawl_budget_allocation",
     """WITH w AS (SELECT source AS host, count(*)::BIGINT AS weight
                   FROM documents GROUP BY source),
@@ -7398,6 +7439,7 @@ DEFERRED = {
     "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_charset_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_budget_allocation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

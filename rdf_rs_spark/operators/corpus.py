@@ -733,3 +733,111 @@ def host_link_edges(
     return edges.groupBy("src_host", "dst_host").agg(
         F.count("*").cast("bigint").alias("n_links")
     )
+
+
+#: block-level elements that open a scoring block; inline tags (a, b,
+#: span, …) accumulate into the enclosing block
+_BLOCK_TAGS = frozenset(
+    "p div nav footer header aside article section main ul ol li h1 h2 h3 h4 h5 h6 body".split()
+)
+#: blocks under these (or that ARE these) are boilerplate by position
+_BOILER_TAGS = frozenset("nav footer header aside".split())
+
+
+def _main_content_of(html: str, min_text_len: int, max_link_permille: int):
+    """Tag-stack walk over one document: text attributes to the
+    innermost open block; a block survives when it is not positioned
+    under nav/footer/header/aside, carries at least ``min_text_len``
+    text chars, and its anchor-text share stays ≤
+    ``max_link_permille`` (the text/link-density heuristic every
+    readability-style extractor is built on). Script/style subtrees are
+    dropped wholesale. Returns (main_text, n_kept)."""
+    import re
+
+    kept = []
+    stack = []  # (tag, [text_chunks], link_chars[1], boiler_depth_flag)
+    boiler_depth = 0
+    link_depth = 0
+    pos = 0
+    skip_until = None  # closing tag of an open script/style
+    for m in re.finditer(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)[^>]*>", html):
+        text = html[pos : m.start()]
+        pos = m.end()
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+        if skip_until is not None:
+            if closing and tag == skip_until:
+                skip_until = None
+            continue
+        if text and stack:
+            stack[-1][1].append(text)
+            if link_depth:
+                stack[-1][2][0] += len(text)
+        if tag in ("script", "style"):
+            if not closing:
+                skip_until = tag
+            continue
+        if tag == "a":
+            link_depth = max(0, link_depth + (-1 if closing else 1))
+            continue
+        if tag not in _BLOCK_TAGS:
+            continue
+        if not closing:
+            if tag in _BOILER_TAGS:
+                boiler_depth += 1
+            stack.append((tag, [], [0], boiler_depth > 0))
+        else:
+            # close the innermost matching block (regex walk, not a
+            # validator: unbalanced tags close the top block)
+            if stack:
+                btag, chunks, link_chars, boiler = stack.pop()
+                text_all = "".join(chunks).strip()
+                if (
+                    not boiler
+                    and len(text_all) >= min_text_len
+                    and link_chars[0] * 1000 <= max_link_permille * len(text_all)
+                ):
+                    kept.append(text_all)
+            if tag in _BOILER_TAGS:
+                boiler_depth = max(0, boiler_depth - 1)
+    return "\n".join(kept), len(kept)
+
+
+def extract_main_blocks(
+    df: DataFrame,
+    html: Column,
+    id_col: str = "doc_id",
+    min_text_len: int = 20,
+    max_link_permille: int = 300,
+) -> DataFrame:
+    """Readability-style main-content extraction: per-document block
+    scoring by POSITION (nav/footer/header/aside dropped), text length,
+    and link density — the within-document complement to the
+    cross-document C4 span removal (``dedup_spans_global``). Arrow
+    kernel, html bytes never shuffle; emits ``(id, main_text,
+    n_blocks)``."""
+    from pyspark.sql import types as T
+
+    id_name = id_col
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                text, n = _main_content_of(
+                    getattr(r, "emb_html"), min_text_len, max_link_permille
+                )
+                rows.append((getattr(r, id_name), text, n))
+            yield pd.DataFrame(rows, columns=[id_name, "main_text", "n_blocks"])
+
+    schema = T.StructType(
+        [
+            T.StructField(id_name, T.LongType(), False),
+            T.StructField("main_text", T.StringType(), False),
+            T.StructField("n_blocks", T.LongType(), False),
+        ]
+    )
+    return df.select(F.col(id_col), html.alias("emb_html")).mapInPandas(
+        run, schema=schema
+    )

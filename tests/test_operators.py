@@ -2064,3 +2064,29 @@ def test_budget_allocation_hamilton_exact(spark):
     # exactness holds for an awkward total too
     got7 = {r.host: r.alloc for r in budget_allocation(df, 7).collect()}
     assert sum(got7.values()) == 7
+
+
+def test_main_content_block_scoring(spark):
+    """Position (nav/aside/footer), length, link-density, and script
+    stripping — each drop reason exercised; nested blocks attribute
+    text to the innermost element."""
+    from rdf_rs_spark.operators.corpus import extract_main_blocks
+
+    html = (
+        "<html><body><header>brand bar with long text</header>"
+        "<div>outer text long enough to keep alone"
+        "<p>inner paragraph also long enough to keep</p></div>"
+        '<div><a href="x">all of this text is one link</a></div>'
+        "<style>.c { color: red }</style>"
+        "<p>short</p>"
+        "<aside><p>long promo that positional filtering removes</p></aside>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "h"])
+    r = extract_main_blocks(df, F.col("h")).collect()[0]
+    # inner p closes first, then outer div (its own direct text)
+    assert r.main_text == (
+        "inner paragraph also long enough to keep\n"
+        "outer text long enough to keep alone"
+    )
+    assert r.n_blocks == 2
