@@ -5179,6 +5179,45 @@ def kg_pipeline_e2e(spark, sf_dir):
     return page_triples(pages, aliases)
 
 
+@q("kg_pipeline_from_warc", _kg_e2e_oracle(2000))
+def kg_pipeline_from_warc(spark, sf_dir):
+    """The FULL Common-Crawl-shaped ingest under the value-hash gate:
+    ``.warc.gz`` container bytes (one gzip member per record, the CC
+    layout) → WARC header-block walk → HTTP envelope parse (status /
+    Content-Type / Content-Language / body, pure column algebra) →
+    reconstructed ``(url, warc_ts, html, lang)`` pages table → the same
+    ``page_triples`` batch pipeline (Turtle-island parse → broadcast
+    linking → skolemize → salted dedup). The synthesized container
+    wraps EXACTLY the deterministic web corpus
+    (``sources/warc.py::synthesize_warc_gz_page_files``), so the whole
+    chain shares ``_kg_e2e_oracle`` with the batch and streaming
+    entries — one oracle, three ingest fronts. Request records and
+    header-order permutations are present and must be filtered /
+    survived. Payload bytes never shuffle: each task decompresses and
+    parses its own files, only the narrow page relation moves."""
+    from .sources.warc import (
+        http_header,
+        parse_http_responses,
+        parse_warc_gz_records,
+        synthesize_warc_gz_page_files,
+    )
+
+    n = _scale_n(sf_dir)
+    ppf = 5
+    files = synthesize_warc_gz_page_files(spark.range(n // ppf), pages_per_file=ppf)
+    recs = parse_warc_gz_records(files).filter(F.col("warc_type") == "response")
+    http = parse_http_responses(recs)
+    pages = http.filter(
+        (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.timestamp_seconds(F.col("warc_date_unix")).alias("warc_ts"),
+        F.encode(F.col("body"), "UTF-8").alias("html"),
+        http_header(F.col("block"), "Content-Language").alias("lang"),
+    )
+    return page_triples(pages, synthesize_alias_dict(spark))
+
+
 @q("streaming_batch_body", _kg_e2e_oracle(500))
 def streaming_batch_body(spark, sf_dir):
     """The streaming write path's SEMANTICS under the driver gate
@@ -7270,7 +7309,9 @@ _VERIFY_FIRST = [
     "dedup_semantic_drops",
     "ann_ivf_invariants",
     "kg_rdfs_closure_distributed",
-    "docs_mixture_resample",
+    # the session-4 flagship: .warc.gz container → HTTP parse → pages →
+    # page_triples, sharing _kg_e2e_oracle with the batch/stream fronts
+    "kg_pipeline_from_warc",
 ]
 
 # Every registered query is either in the 50-slot head window above or
@@ -7366,7 +7407,8 @@ DEFERRED = {
     "dedup_minhash_pairs": "green r1 under the driver hash gate; r4 fill slot ceded to docs_chunk_windows",
     "kg_triples_materialize": "green r1 under the driver hash gate; r4 fill slot ceded to events_funnel",
     "rdf_turtle_parse": "green r1 under the driver hash gate; r4 fill slot ceded to kg_clustering_coefficient (S2 anchored in-window by rdf_mixed_corpus_parse)",
-    "sparql_subquery_agg": "green r2; the r4 DISTINCT-aggregate recompile it shares is anchored in-window by sparql_group_count (the subquery wrapper itself is unchanged); slot ceded to docs_mixture_resample",
+    "sparql_subquery_agg": "green r2; the r4 DISTINCT-aggregate recompile it shares is anchored in-window by sparql_group_count (the subquery wrapper itself is unchanged); slot ceded to docs_mixture_resample, then to kg_pipeline_from_warc",
+    "docs_mixture_resample": "registered r4; green under the local mirror gate; slot ceded to kg_pipeline_from_warc (the session-4 container-to-KG flagship) — rotate into the r5 head window",
     "rdf_turtle_write_blocks": "green r1 under the driver hash gate; impl unchanged since",
     "events_tumbling_window": "green r2 under the driver hash gate; impl unchanged since",
     "events_sliding_window": "green r2 under the driver hash gate; impl unchanged since",

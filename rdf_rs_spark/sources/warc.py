@@ -173,6 +173,87 @@ def synthesize_warc_files(
     return df.mapInPandas(run, schema=schema)
 
 
+def _page_record_strings(i: int, pages_per_file: int) -> list[str]:
+    """WARC record texts for file ``i`` of the PAGE-corpus container:
+    ``pages_per_file`` response records whose bodies are exactly rows
+    ``i*ppf .. i*ppf+ppf-1`` of the deterministic web corpus
+    (`sources/webpages.py::page_fields`), plus one trailing *request*
+    record the pipeline must filter out. Headers carry the page lang as
+    ``Content-Language`` (the HTTP-native channel for the corpus ``lang``
+    column); odd pages permute the WARC header order."""
+    import datetime as dt
+
+    from .webpages import page_fields
+
+    parts = []
+    recs = []
+    for k in range(pages_per_file):
+        p = i * pages_per_file + k
+        url, unix, html, lang = page_fields(p)
+        date = dt.datetime.fromtimestamp(unix, dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        block = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            f"Content-Language: {lang}\r\n\r\n" + html
+        )
+        recs.append(("response", url, date, block, p % 2 == 1))
+    first_url, first_unix, _, _ = page_fields(i * pages_per_file)
+    first_date = dt.datetime.fromtimestamp(first_unix, dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    recs.append(
+        ("request", first_url, first_date, "GET / HTTP/1.1\r\nHost: h\r\n\r\n", False)
+    )
+    for wtype, uri, date, block, permute in recs:
+        hdrs = [
+            f"WARC-Type: {wtype}",
+            f"WARC-Target-URI: {uri}",
+            f"WARC-Date: {date}",
+            f"Content-Length: {len(block.encode())}",
+        ]
+        if permute:
+            hdrs = hdrs[::-1]
+        parts.append(
+            "WARC/1.0\r\n" + "\r\n".join(hdrs) + "\r\n\r\n" + block + "\r\n\r\n"
+        )
+    return parts
+
+
+def synthesize_warc_gz_page_files(
+    df: DataFrame, pages_per_file: int = 5, id_col: str = "id"
+) -> DataFrame:
+    """Deterministic ``.warc.gz`` files (one gzip member per record, the
+    Common-Crawl random-access layout) whose response bodies ARE the
+    deterministic web corpus — file ``i`` carries pages ``i*ppf ..
+    i*ppf+ppf-1``. Feeding these through ``parse_warc_gz_records`` →
+    ``parse_http_responses`` reconstructs ``synthesize_web_pages`` rows
+    byte-for-byte, so the full container-to-KG pipeline verifies against
+    the same regeneration oracle as the batch path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                members = []
+                for rec in _page_record_strings(i, pages_per_file):
+                    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    members.append(c.compress(rec.encode()) + c.flush())
+                rows.append((i, b"".join(members)))
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
 def parse_http_responses(df: DataFrame, block_col: str = "block") -> DataFrame:
     """HTTP response envelope → ``(status, content_type, body)``
     columns appended. Unlike the container walk above (stateful cursor
@@ -201,6 +282,26 @@ def parse_http_responses(df: DataFrame, block_col: str = "block") -> DataFrame:
     return df.withColumn("status", status).withColumn(
         "content_type", ctype
     ).withColumn("body", body)
+
+
+def http_header(block, name: str):
+    """Case-insensitive probe for one HTTP header value in an envelope
+    block (NULL when absent) — same JVM-side regexp idiom as the
+    Content-Type probe in :func:`parse_http_responses`, parameterized
+    for callers that need additional headers (e.g. Content-Language →
+    the pages table's ``lang`` column) without widening that schema."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    return F.nullif(
+        F.trim(
+            F.regexp_extract(
+                block, r"(?i)(?:^|\r\n)" + re.escape(name) + r":\s*([^\r\n]+)", 1
+            )
+        ),
+        F.lit(""),
+    )
 
 
 def _gzip_members(payload: bytes):

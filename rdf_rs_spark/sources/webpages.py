@@ -81,6 +81,37 @@ def synthesize_web_pages(spark: SparkSession, n_rows: int, n_hosts: int = 1000) 
     )
 
 
+def page_fields(i: int, n_hosts: int = 1000) -> tuple[str, int, str, str]:
+    """Pure-Python closed form of row ``i`` of :func:`synthesize_web_pages`:
+    ``(url, warc_unix_seconds, html, lang)``. The WARC container
+    synthesizer (`sources/warc.py::synthesize_warc_gz_page_files`) wraps
+    these pages in HTTP envelopes + gzip members, so the container →
+    records → pages chain reconstructs the corpus BYTE-IDENTICALLY and
+    the whole ingest stack shares one regeneration oracle
+    (``_kg_e2e_oracle``). Kept in lockstep with the column builder above
+    by ``tests/test_crawl_ingest.py::test_page_fields_match_spark_corpus``."""
+    url = f"https://ex{i % n_hosts}.example.org/page/{i}"
+    unix = 1735689600 + i
+    lang = LANGS[i % 4]
+    k, k2 = i % N_ENTITIES, (i + 7) % N_ENTITIES
+    hot = " plus the famous alias0" if i % HOT_ENTITY_EVERY == 0 else ""
+    body = f"Article {i} discusses alias{k} and also alias{k2}{hot} in depth."
+    ttl = (
+        TTL_PAYLOADS[i % len(TTL_PAYLOADS)]
+        .replace("{i}", str(i))
+        .replace("{t}", str(i % 13))
+        .replace("{r}", str(i % 7))
+    )
+    html = (
+        f"<html><head><title>Page {i}</title></head><body>"
+        "<nav>site nav boilerplate</nav>"
+        f"<article>{body}</article>"
+        f'<script type="text/turtle">{ttl}</script>'
+        "<footer>copyright boilerplate</footer></body></html>"
+    )
+    return url, unix, html, lang
+
+
 def html_string(html: Column) -> Column:
     return F.decode(html, "UTF-8")
 

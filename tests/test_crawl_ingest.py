@@ -1,0 +1,89 @@
+"""Crawl-container ingest: the .warc.gz → HTTP → pages front must
+reconstruct the deterministic web corpus byte-identically, so the whole
+container-to-KG chain (`kg_pipeline_from_warc`) can share the batch
+pipeline's regeneration oracle (`_kg_e2e_oracle`)."""
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.sources.warc import (
+    http_header,
+    parse_http_responses,
+    parse_warc_gz_records,
+    synthesize_warc_gz_page_files,
+)
+from rdf_rs_spark.sources.webpages import page_fields, synthesize_web_pages
+
+N_PAGES = 60
+PAGES_PER_FILE = 5
+
+
+def test_page_fields_match_spark_corpus(spark):
+    """The pure-Python closed form stays in lockstep with the Spark
+    column builder — url, warc_ts epoch, html bytes, lang, all rows."""
+    rows = (
+        synthesize_web_pages(spark, N_PAGES)
+        .select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("unix"),
+            "html",
+            "lang",
+        )
+        .collect()
+    )
+    by_url = {r["url"]: r for r in rows}
+    assert len(by_url) == N_PAGES
+    for i in range(N_PAGES):
+        url, unix, html, lang = page_fields(i)
+        r = by_url[url]
+        assert r["unix"] == unix
+        assert bytes(r["html"]) == html.encode()
+        assert r["lang"] == lang
+
+
+def test_warc_gz_pages_reconstruct_corpus(spark):
+    """Container → WARC walk → HTTP envelope parse rebuilds the corpus
+    pages byte-for-byte, drops request records, and reads lang from the
+    Content-Language header."""
+    files = synthesize_warc_gz_page_files(
+        spark.range(N_PAGES // PAGES_PER_FILE), pages_per_file=PAGES_PER_FILE
+    )
+    recs = parse_warc_gz_records(files)
+    # one request record per file must be present and filterable
+    kinds = {r["warc_type"]: r["n"] for r in recs.groupBy("warc_type").agg(F.count("*").alias("n")).collect()}
+    assert kinds == {
+        "response": N_PAGES,
+        "request": N_PAGES // PAGES_PER_FILE,
+    }
+    http = parse_http_responses(recs.filter(F.col("warc_type") == "response"))
+    pages = http.filter(
+        (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.col("warc_date_unix").alias("unix"),
+        F.encode(F.col("body"), "UTF-8").alias("html"),
+        http_header(F.col("block"), "Content-Language").alias("lang"),
+    )
+    got = {r["url"]: r for r in pages.collect()}
+    assert len(got) == N_PAGES
+    for i in range(N_PAGES):
+        url, unix, html, lang = page_fields(i)
+        r = got[url]
+        assert r["unix"] == unix
+        assert bytes(r["html"]) == html.encode()
+        assert r["lang"] == lang
+
+
+def test_http_header_probe_case_insensitive_and_absent(spark):
+    df = spark.createDataFrame(
+        [
+            ("HTTP/1.1 200 OK\r\ncontent-language: de\r\n\r\nx",),
+            ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx",),
+        ],
+        ["block"],
+    )
+    vals = [
+        r["v"]
+        for r in df.select(http_header(F.col("block"), "Content-Language").alias("v"))
+        .collect()
+    ]
+    assert sorted(vals, key=lambda v: (v is None, v)) == ["de", None]
