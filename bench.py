@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "warc_gz_records_parse",
     # real compressed-image decode with all five QOI op families
     "multimodal_qoi_decode",
+    # the session-4 flagship: the FULL Common-Crawl-shaped ingest —
+    # .warc.gz members -> WARC walk -> HTTP parse -> pages -> Turtle
+    # islands -> linking -> skolemize -> salted dedup, one plan
+    "kg_pipeline_from_warc",
 ]
 
 
