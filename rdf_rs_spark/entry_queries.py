@@ -4158,6 +4158,65 @@ def kg_entity_linking(spark, sf_dir):
     )
 
 
+@q(
+    "kg_fusion_majority",
+    """WITH p AS (
+      SELECT i,
+        'https://ex' || (i % 1000) || '.example.org/page/' || i AS url,
+        (['en','en-US','de','fr'])[(i % 4) + 1] AS lang
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)),
+    claims AS (
+      SELECT DISTINCT url, lang,
+             'http://kg.example.org/entity/E' || k AS entity_iri
+      FROM (SELECT url, lang, i % 100 AS k FROM p
+            UNION ALL SELECT url, lang, (i + 7) % 100 FROM p
+            UNION ALL SELECT url, lang, 0 FROM p WHERE i % 20 = 0)),
+    counts AS (
+      SELECT entity_iri, lang, COUNT(*)::BIGINT AS n_src
+      FROM claims GROUP BY 1, 2),
+    fused AS (
+      SELECT entity_iri, lang, n_src,
+             ROW_NUMBER() OVER (PARTITION BY entity_iri
+                                ORDER BY n_src DESC, lang ASC) AS rn,
+             SUM(n_src) OVER (PARTITION BY entity_iri) AS n_claims,
+             COUNT(*) OVER (PARTITION BY entity_iri) AS n_values
+      FROM counts)
+    SELECT entity_iri, 'http://kg.example.org/lang' AS pred,
+           lang AS fused_val, n_src,
+           n_claims::BIGINT AS n_claims, n_values::BIGINT AS n_values
+    FROM fused WHERE rn = 1""",
+)
+def kg_fusion_majority(spark, sf_dir):
+    """Knowledge fusion (Knowledge-Vault-style conflict resolution) over
+    the REAL linking path: every page claims its own ``lang`` for each
+    entity it mentions, so entities mentioned across residue classes
+    collect genuinely conflicting language claims; ``fuse_claims``
+    resolves each entity to the majority value with source counts for
+    the audit trail (n_values > 1 = real conflict). The claim stream is
+    (url, entity) distinct by construction — primary/secondary/hot
+    mentions of one entity on one page collapse in mention detection —
+    so the oracle regenerates it closed-form and replays the argmax via
+    the row_number recipe. Two map-side-combining shuffles, zero joins
+    after the broadcast link probe (reference `src/graph.rs` stores the
+    conflicting bag; fusion is the at-scale resolution the reference
+    leaves to the caller)."""
+    from .linking import link_mentions
+    from .operators.fusion import fuse_claims
+
+    pages = synthesize_web_pages(spark, 2000)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    claims = links.join(pages.select("url", "lang"), "url").select(
+        F.col("entity_iri"),
+        F.lit("http://kg.example.org/lang").alias("pred"),
+        F.col("lang").alias("val"),
+        F.col("url").alias("src_url"),
+    )
+    fused = fuse_claims(claims, subj="entity_iri", pred="pred", val="val")
+    return fused.select(
+        "entity_iri", "pred", "fused_val", "n_src", "n_claims", "n_values"
+    )
+
+
 # ---- end-to-end KG pipeline, fully oracled ----------------------------------
 #
 # The synthetic corpus is a pure function of the row index, so the WHOLE
@@ -6755,6 +6814,53 @@ def crawl_budget_allocation(spark, sf_dir):
 
 
 @q(
+    "crawl_recrawl_delta",
+    """WITH a AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    b AS (SELECT unnest(generate_series(0, 2199)) AS i),
+    alls AS (
+      SELECT i, CASE
+        WHEN i >= 2000 THEN 'new'
+        WHEN i % 11 = 3 THEN 'gone'
+        WHEN i % 5 = 0 THEN 'changed'
+        ELSE 'unchanged' END AS status
+      FROM b)
+    SELECT 'https://ex' || (i % 1000) || '.example.org/page/' || i AS url,
+           status
+    FROM alls""",
+)
+def crawl_recrawl_delta(spark, sf_dir):
+    """Re-crawl snapshot diff (``operators/crawl.py::recrawl_delta``):
+    snapshot A = the 2000-page corpus; snapshot B = a later crawl where
+    every 11th-residue-3 url vanished (gone), every 5th page's html
+    gained a revision marker (changed), and 200 fresh urls appeared
+    (new) — the i-classes are disjoint by construction (no i%11==3 row
+    survives into B to also be 'changed'). Each side reduces to
+    (url, md5) before the full-outer join, so html bytes never move;
+    the oracle states the expected DECISION closed-form per index
+    class, checking the differ without replaying the hash. This is the
+    front of incremental KG maintenance: changed/new feed
+    `rdfs_closure_incremental`-style Δ re-extraction, gone feeds
+    `apply_changelog` retractions."""
+    from .operators.crawl import recrawl_delta
+
+    idx = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("bigint")
+    old = synthesize_web_pages(spark, 2000)
+    new = (
+        synthesize_web_pages(spark, 2200)
+        .withColumn("__i", idx)
+        .filter((F.col("__i") >= 2000) | (F.col("__i") % 11 != 3))
+        .withColumn(
+            "html",
+            F.when(
+                (F.col("__i") < 2000) & (F.col("__i") % 5 == 0),
+                F.concat(F.col("html"), F.encode(F.lit("<!--rev2-->"), "UTF-8")),
+            ).otherwise(F.col("html")),
+        )
+    )
+    return recrawl_delta(old, new)
+
+
+@q(
     "crawl_charset_decode",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -7481,6 +7587,8 @@ DEFERRED = {
     "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_charset_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_budget_allocation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_fusion_majority": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_recrawl_delta": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 

@@ -286,3 +286,42 @@ def budget_allocation(
         )
         .drop("__ba_k", "__ba_tot", "__ba_w", "__ba_floor", "__ba_rem", "__ba_rank")
     )
+
+
+def recrawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    content_col: str = "html",
+) -> DataFrame:
+    """Snapshot diff between two crawls: classify every url as
+    ``new`` / ``gone`` / ``changed`` / ``unchanged`` by content hash.
+
+    This is the incremental-update front of a continuous crawl→KG
+    system: ``changed`` + ``new`` urls feed re-extraction (and the
+    Δ-only `rdfs_closure_incremental` path), ``gone`` urls feed
+    retraction changelogs (`graph.apply_changelog`), ``unchanged``
+    urls are skipped entirely — at a 10^12-page scale the whole point
+    is that a re-crawl touches the delta, not the corpus.
+
+    Plan: each side reduces to a narrow ``(url, md5)`` relation
+    BEFORE the full-outer join, so payload bytes never shuffle; the
+    join keys on the url (unique per side — no skew). Snapshots
+    bucketed by url make it co-located (zero exchange), the same
+    layout the triples table already uses.
+    """
+    h_old = old.select(
+        F.col(key_col).alias("__rd_key"), F.md5(F.col(content_col)).alias("__rd_old")
+    )
+    h_new = new.select(
+        F.col(key_col).alias("__rd_key"), F.md5(F.col(content_col)).alias("__rd_new")
+    )
+    status = (
+        F.when(F.col("__rd_old").isNull(), F.lit("new"))
+        .when(F.col("__rd_new").isNull(), F.lit("gone"))
+        .when(F.col("__rd_old") == F.col("__rd_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return h_old.join(h_new, "__rd_key", "full_outer").select(
+        F.col("__rd_key").alias(key_col), status.alias("status")
+    )

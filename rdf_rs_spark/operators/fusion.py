@@ -1,0 +1,68 @@
+"""Knowledge fusion: conflict resolution over multi-source claims.
+
+KG construction from a crawl yields CONFLICTING assertions — different
+pages claim different objects for the same (subject, predicate). The
+reference stores every triple it parses (bag semantics, `Graph::add`,
+reference `src/graph.rs`); at web scale the construction pipeline must
+additionally RESOLVE: pick one value per (subject, predicate) with an
+auditable confidence, Knowledge-Vault style (source-count voting).
+
+Spark-first shape — two map-side-combining aggregates, zero joins:
+
+    claims (subj, pred, val, src)           one row per source assertion
+      -> groupBy(subj, pred, val) count     per-value support
+      -> groupBy(subj, pred) argmax         deterministic winner +
+                                            n_claims / n_values audit
+
+The deterministic argmax is the repo's standard recipe:
+``min(struct(-support, val))`` = highest support, value-ASC tiebreak
+(same as LPA winners / alias-dict growth), which DuckDB replays as
+``row_number() OVER (ORDER BY support DESC, val ASC) = 1``.
+
+At 100 TB: both shuffles key on (subj, pred[, val]) and combine
+map-side, so the wire carries per-value counts, never the claim
+stream; hot entities (5% of pages mention E0) collapse in the
+combiner exactly like the salted-dedup path upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def fuse_claims(
+    claims: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    val: str = "val",
+) -> DataFrame:
+    """Resolve one value per (subj, pred) by majority vote.
+
+    ``claims`` must be distinct per (subj, pred, val, source) — one row
+    per source assertion (the linking path's (url, alias) output is
+    already distinct, so no pre-dedup shuffle is spent here). Returns
+    ``(subj, pred, fused_val, n_src, n_claims, n_values)`` where
+    ``n_src`` is the winner's support, ``n_claims`` the total
+    assertions and ``n_values`` the number of distinct candidate
+    values (n_values > 1 marks a genuine conflict for the audit
+    trail). Ties break to the smallest value string — deterministic on
+    any cluster size / retry schedule.
+    """
+    counts = claims.groupBy(subj, pred, val).agg(F.count("*").alias("n_src"))
+    win = F.min(F.struct((-F.col("n_src")).alias("neg"), F.col(val).alias("v")))
+    return (
+        counts.groupBy(subj, pred)
+        .agg(
+            win.alias("_w"),
+            F.sum("n_src").alias("n_claims"),
+            F.count("*").alias("n_values"),
+        )
+        .select(
+            subj,
+            pred,
+            F.col("_w.v").alias("fused_val"),
+            (-F.col("_w.neg")).alias("n_src"),
+            "n_claims",
+            "n_values",
+        )
+    )

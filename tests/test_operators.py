@@ -2090,3 +2090,58 @@ def test_main_content_block_scoring(spark):
         "outer text long enough to keep alone"
     )
     assert r.n_blocks == 2
+
+
+def test_fuse_claims_majority_ties_and_audit(spark):
+    """Deterministic majority: highest support wins, ties to the
+    smallest value string; n_claims/n_values report the full conflict."""
+    from rdf_rs_spark.operators.fusion import fuse_claims
+
+    rows = [
+        # e1: de x2 beats en x1
+        ("e1", "lang", "de", "u1"), ("e1", "lang", "de", "u2"),
+        ("e1", "lang", "en", "u3"),
+        # e2: 1-1 tie -> 'a' (value ASC)
+        ("e2", "lang", "b", "u1"), ("e2", "lang", "a", "u2"),
+        # e3: no conflict
+        ("e3", "lang", "fr", "u9"),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "val", "src"])
+    got = {r.subj: r for r in fuse_claims(df).collect()}
+    assert (got["e1"].fused_val, got["e1"].n_src, got["e1"].n_claims,
+            got["e1"].n_values) == ("de", 2, 3, 2)
+    assert (got["e2"].fused_val, got["e2"].n_src, got["e2"].n_values) == ("a", 1, 2)
+    assert (got["e3"].fused_val, got["e3"].n_values) == ("fr", 1)
+
+
+def test_fuse_claims_plan_two_combining_aggregates(spark):
+    """Fusion is two map-side-combining shuffles and ZERO joins — the
+    claim stream itself never moves twice."""
+    from rdf_rs_spark.operators.fusion import fuse_claims
+    from rdf_rs_spark.sources.webpages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, 100).select(
+        F.col("url").alias("subj"), F.lit("p").alias("pred"),
+        F.col("lang").alias("val"), F.col("url").alias("src"),
+    )
+    plan = fuse_claims(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "partial_" in plan.lower() or "partial" in plan
+    assert "Join" not in plan
+
+
+def test_recrawl_delta_all_four_classes(spark):
+    """new / gone / changed / unchanged by content hash; payloads
+    reduce to (url, md5) before the join."""
+    from rdf_rs_spark.operators.crawl import recrawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", bytearray(b"aaa")), ("u2", bytearray(b"bbb")), ("u3", bytearray(b"ccc"))],
+        ["url", "html"],
+    )
+    new = spark.createDataFrame(
+        [("u1", bytearray(b"aaa")), ("u2", bytearray(b"BBB")), ("u4", bytearray(b"ddd"))],
+        ["url", "html"],
+    )
+    got = {r.url: r.status for r in recrawl_delta(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new"}
