@@ -5277,6 +5277,53 @@ def kg_pipeline_from_warc(spark, sf_dir):
     return page_triples(pages, synthesize_alias_dict(spark))
 
 
+@q(
+    "kg_incremental_from_recrawl",
+    f"""WITH base AS ({_kg_e2e_oracle(2200)}),
+    cls AS (
+      SELECT *, regexp_extract(src_url, '/page/(\\d+)$', 1)::BIGINT AS i
+      FROM base)
+    SELECT CASE WHEN i >= 2000 THEN 'add' ELSE 'remove' END AS op,
+           subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, src_url
+    FROM cls
+    WHERE i >= 2000 OR i % 11 = 3""",
+)
+def kg_incremental_from_recrawl(spark, sf_dir):
+    """Incremental KG maintenance, end-to-end: a re-crawl arrives,
+    ``recrawl_delta`` classifies urls, and ONLY the delta re-enters the
+    extraction pipeline — gone pages' triples become ``remove`` ops,
+    new pages' triples become ``add`` ops, unchanged pages are never
+    parsed again. The changelog feeds ``Graph.apply_changelog``
+    directly. Content-addressed skolemization makes Δ-extraction sound:
+    a page's triples depend only on (url, warc_ts, html), so parsing
+    the delta alone emits byte-identical triples to a full re-run
+    restricted to those pages (pinned equal to the naive
+    full-snapshot ``Graph.diff`` in tests/test_crawl_ingest.py). The
+    oracle wraps the shared e2e regeneration over all 2200 indices and
+    states each row's op closed-form from its index class. At 10^12
+    pages this is THE reason the delta op exists: work ∝ |Δ|, not
+    |corpus|."""
+    from .operators.crawl import recrawl_delta
+
+    idx = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("bigint")
+    all_pages = synthesize_web_pages(spark, 2200)
+    old = all_pages.filter(idx < 2000)
+    new_snap = all_pages.filter((idx >= 2000) | (idx % 11 != 3))
+    delta = recrawl_delta(old, new_snap)
+    aliases = synthesize_alias_dict(spark)
+    gone_pages = old.join(
+        delta.filter(F.col("status") == "gone").select("url"), "url", "left_semi"
+    )
+    new_pages = new_snap.join(
+        delta.filter(F.col("status") == "new").select("url"), "url", "left_semi"
+    )
+    removed = page_triples(gone_pages, aliases).select(
+        F.lit("remove").alias("op"), "*"
+    )
+    added = page_triples(new_pages, aliases).select(F.lit("add").alias("op"), "*")
+    return removed.unionByName(added)
+
+
 @q("streaming_batch_body", _kg_e2e_oracle(500))
 def streaming_batch_body(spark, sf_dir):
     """The streaming write path's SEMANTICS under the driver gate
@@ -7589,6 +7636,7 @@ DEFERRED = {
     "crawl_budget_allocation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_fusion_majority": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_recrawl_delta": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_incremental_from_recrawl": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 

@@ -87,3 +87,39 @@ def test_http_header_probe_case_insensitive_and_absent(spark):
         .collect()
     ]
     assert sorted(vals, key=lambda v: (v is None, v)) == ["de", None]
+
+
+def test_incremental_changelog_equals_naive_diff(spark):
+    """Δ-only re-extraction (parse gone+new pages only) emits the SAME
+    changelog as the naive full-snapshot Graph.diff — sound here
+    because every subject is url-keyed (page IRIs, url subjects,
+    (url, warc_ts)-skolemized blanks), so no two pages ever assert the
+    same triple and a gone page's removals can't collide with a
+    survivor's assertions."""
+    from rdf_rs_spark.graph import RdfGraph
+    from rdf_rs_spark.operators.crawl import recrawl_delta
+    from rdf_rs_spark.pipeline import page_triples
+    from rdf_rs_spark.schema import TRIPLE_COLS
+    from rdf_rs_spark.sources.webpages import synthesize_alias_dict
+
+    idx = F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1).cast("bigint")
+    all_pages = synthesize_web_pages(spark, 48)
+    old = all_pages.filter(idx < 40)
+    new_snap = all_pages.filter((idx >= 40) | (idx % 11 != 3))
+    aliases = synthesize_alias_dict(spark)
+
+    # naive: extract BOTH snapshots in full, set-diff
+    naive = RdfGraph(page_triples(old, aliases)).diff(page_triples(new_snap, aliases))
+
+    # Δ path: classify, re-extract only the delta
+    delta = recrawl_delta(old, new_snap)
+    gone = old.join(delta.filter(F.col("status") == "gone").select("url"), "url", "left_semi")
+    new_pages = new_snap.join(delta.filter(F.col("status") == "new").select("url"), "url", "left_semi")
+    eff = page_triples(gone, aliases).select(F.lit("removed").alias("change"), *TRIPLE_COLS).unionByName(
+        page_triples(new_pages, aliases).select(F.lit("added").alias("change"), *TRIPLE_COLS)
+    )
+
+    key = lambda r: tuple("\x00" if v is None else str(v) for v in r)
+    a = sorted(key(r) for r in naive.collect())
+    b = sorted(key(r) for r in eff.collect())
+    assert a == b and len(a) > 0
