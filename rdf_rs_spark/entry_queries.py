@@ -5274,7 +5274,14 @@ def kg_pipeline_from_warc(spark, sf_dir):
         F.encode(F.col("body"), "UTF-8").alias("html"),
         http_header(F.col("block"), "Content-Language").alias("lang"),
     )
-    return page_triples(pages, synthesize_alias_dict(spark))
+    # page_triples consumes the page relation three times (text/meta,
+    # islands, linking); without a persist each consumer re-gunzips and
+    # re-walks every container (7 MapInPandas nodes in the plan).
+    # Interleaved A/B at sf0.1: ~2.8s -> ~2.2s. In production the WARC
+    # front lands pages in a table and downstream scans parquet — this
+    # persist is that materialization boundary. Bench/long sessions
+    # reclaim via spark.catalog.clearCache() (repo convention).
+    return page_triples(pages.persist(), synthesize_alias_dict(spark))
 
 
 @q(
