@@ -123,3 +123,42 @@ def test_incremental_changelog_equals_naive_diff(spark):
     a = sorted(key(r) for r in naive.collect())
     b = sorted(key(r) for r in eff.collect())
     assert a == b and len(a) > 0
+
+
+def test_run_pipeline_resumes_over_warc_front(spark, tmp_path):
+    """The lineage/resume pipeline composes with the container front:
+    pages reconstructed from .warc.gz feed run_pipeline unchanged, a
+    mid-run kill resumes from committed buckets, and the triples equal
+    a batch run over the plain corpus (same regeneration identity the
+    driver gate checks)."""
+    import pytest as _pytest
+
+    from rdf_rs_spark.pipeline import page_triples, run_pipeline
+    from rdf_rs_spark.sources.webpages import synthesize_alias_dict
+
+    files = synthesize_warc_gz_page_files(
+        spark.range(N_PAGES // PAGES_PER_FILE), pages_per_file=PAGES_PER_FILE
+    )
+    recs = parse_warc_gz_records(files).filter(F.col("warc_type") == "response")
+    http = parse_http_responses(recs)
+    pages = http.filter(
+        (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.timestamp_seconds(F.col("warc_date_unix")).alias("warc_ts"),
+        F.encode(F.col("body"), "UTF-8").alias("html"),
+        http_header(F.col("block"), "Content-Language").alias("lang"),
+    ).persist()
+    aliases = synthesize_alias_dict(spark)
+
+    out = str(tmp_path / "warc_resume")
+    with _pytest.raises(RuntimeError):
+        run_pipeline(spark, pages, aliases, out, n_buckets=4, fail_after_buckets=2)
+    res = run_pipeline(spark, pages, aliases, out, n_buckets=4)
+    assert res.buckets_processed == 2  # the other 2 were committed pre-kill
+    got = spark.read.parquet(f"{out}/triples")
+    cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
+    expected = page_triples(synthesize_web_pages(spark, N_PAGES), aliases)
+    assert {tuple(r) for r in got.select(*cols).collect()} == {
+        tuple(r) for r in expected.select(*cols).collect()
+    }
