@@ -4217,6 +4217,115 @@ def kg_fusion_majority(spark, sf_dir):
     )
 
 
+@q(
+    "kg_fusion_weighted",
+    """WITH p AS (
+      SELECT i,
+        'https://ex' || (i % 1000) || '.example.org/page/' || i AS url,
+        (['en','en-US','de','fr'])[(i % 4) + 1] AS lang,
+        ((i % 1000) % 3 + 1)::BIGINT AS w
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)),
+    claims AS (
+      SELECT DISTINCT url, lang, w,
+             'http://kg.example.org/entity/E' || k AS entity_iri
+      FROM (SELECT url, lang, w, i % 100 AS k FROM p
+            UNION ALL SELECT url, lang, w, (i + 7) % 100 FROM p
+            UNION ALL SELECT url, lang, w, 0 FROM p WHERE i % 20 = 0)),
+    counts AS (
+      SELECT entity_iri, lang, SUM(w)::BIGINT AS support
+      FROM claims GROUP BY 1, 2),
+    fused AS (
+      SELECT entity_iri, lang, support,
+             ROW_NUMBER() OVER (PARTITION BY entity_iri
+                                ORDER BY support DESC, lang ASC) AS rn,
+             SUM(support) OVER (PARTITION BY entity_iri) AS n_claims,
+             COUNT(*) OVER (PARTITION BY entity_iri) AS n_values
+      FROM counts)
+    SELECT entity_iri, lang AS fused_val, support,
+           n_claims::BIGINT AS n_claims, n_values::BIGINT AS n_values
+    FROM fused WHERE rn = 1""",
+)
+def kg_fusion_weighted(spark, sf_dir):
+    """Authority-weighted fusion (`operators/fusion.py::
+    fuse_claims_weighted`): each source votes with an integer authority
+    score — here a closed-form per-host tier ((host % 3) + 1), standing
+    in for host PageRank mass — so high-authority hosts outvote count
+    majorities. Same claim stream as `kg_fusion_majority`, same
+    two-combining-aggregate shape, SUM(w) replacing COUNT(*); integer
+    weights keep the vote engine-exact under the hash gate."""
+    from .linking import link_mentions
+    from .operators.fusion import fuse_claims_weighted
+
+    pages = synthesize_web_pages(spark, 2000)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    host_tier = (
+        F.regexp_extract(F.col("url"), r"https://ex(\d+)\.", 1).cast("bigint") % 3 + 1
+    )
+    claims = links.join(pages.select("url", "lang"), "url").select(
+        F.col("entity_iri"),
+        F.lit("http://kg.example.org/lang").alias("pred"),
+        F.col("lang").alias("val"),
+        host_tier.alias("weight"),
+    )
+    fused = fuse_claims_weighted(
+        claims, subj="entity_iri", pred="pred", val="val", weight="weight"
+    )
+    return fused.select("entity_iri", "fused_val", "support", "n_claims", "n_values")
+
+
+@q(
+    "kg_fusion_latest",
+    """WITH p AS (
+      SELECT i,
+        'https://ex' || (i % 1000) || '.example.org/page/' || i AS url,
+        (['en','en-US','de','fr'])[(i % 4) + 1] AS lang,
+        (1735689600 + i)::BIGINT AS ts
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i)),
+    claims AS (
+      SELECT DISTINCT url, lang, ts,
+             'http://kg.example.org/entity/E' || k AS entity_iri
+      FROM (SELECT url, lang, ts, i % 100 AS k FROM p
+            UNION ALL SELECT url, lang, ts, (i + 7) % 100 FROM p
+            UNION ALL SELECT url, lang, ts, 0 FROM p WHERE i % 20 = 0)),
+    fused AS (
+      SELECT entity_iri, lang, ts,
+             ROW_NUMBER() OVER (PARTITION BY entity_iri
+                                ORDER BY ts DESC, lang ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY entity_iri) AS n_claims,
+             MIN(ts) OVER (PARTITION BY entity_iri) AS first_ts
+      FROM claims)
+    SELECT entity_iri, lang AS fused_val, ts AS latest_ts,
+           n_claims::BIGINT AS n_claims, first_ts
+    FROM fused WHERE rn = 1""",
+)
+def kg_fusion_latest(spark, sf_dir):
+    """Recency fusion (`operators/fusion.py::fuse_latest`): the most
+    recent crawl's claim wins per entity — the temporal-KG policy for
+    facts that supersede rather than vote. Claims carry the page's
+    warc_ts as unix seconds (driver-gate-safe integers); ONE
+    map-side-combining aggregate resolves winner + audit columns in the
+    same combine. The oracle replays the argmax via row_number over
+    (ts DESC, val ASC)."""
+    from .linking import link_mentions
+    from .operators.fusion import fuse_latest
+
+    pages = synthesize_web_pages(spark, 2000)
+    links = link_mentions(pages, synthesize_alias_dict(spark))
+    claims = links.join(
+        pages.select("url", "lang", F.unix_timestamp("warc_ts").alias("ts_unix")),
+        "url",
+    ).select(
+        F.col("entity_iri"),
+        F.lit("http://kg.example.org/lang").alias("pred"),
+        F.col("lang").alias("val"),
+        F.col("ts_unix"),
+    )
+    fused = fuse_latest(claims, subj="entity_iri", pred="pred", val="val")
+    return fused.select(
+        "entity_iri", "fused_val", "latest_ts", "n_claims", "first_ts"
+    )
+
+
 # ---- end-to-end KG pipeline, fully oracled ----------------------------------
 #
 # The synthetic corpus is a pure function of the row index, so the WHOLE
@@ -7644,6 +7753,8 @@ DEFERRED = {
     "kg_fusion_majority": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_recrawl_delta": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_incremental_from_recrawl": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_fusion_weighted": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_fusion_latest": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 

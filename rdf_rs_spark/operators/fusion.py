@@ -66,3 +66,72 @@ def fuse_claims(
             "n_values",
         )
     )
+
+
+def fuse_claims_weighted(
+    claims: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    val: str = "val",
+    weight: str = "weight",
+) -> DataFrame:
+    """Authority-weighted fusion: like :func:`fuse_claims` but each
+    source votes with an integer ``weight`` (host PageRank mass, crawl
+    tier, …) instead of 1 — the Knowledge-Vault move of trusting
+    sources unequally. Same two-combining-aggregate shape; ``support``
+    is the winner's summed weight, ``n_claims`` the total weight.
+    Weights must be int64 so the vote is engine- and cluster-size
+    exact (float weights would make ties platform-dependent)."""
+    counts = claims.groupBy(subj, pred, val).agg(
+        F.sum(F.col(weight).cast("long")).alias("support")
+    )
+    win = F.min(F.struct((-F.col("support")).alias("neg"), F.col(val).alias("v")))
+    return (
+        counts.groupBy(subj, pred)
+        .agg(
+            win.alias("_w"),
+            F.sum("support").alias("n_claims"),
+            F.count("*").alias("n_values"),
+        )
+        .select(
+            subj,
+            pred,
+            F.col("_w.v").alias("fused_val"),
+            (-F.col("_w.neg")).alias("support"),
+            "n_claims",
+            "n_values",
+        )
+    )
+
+
+def fuse_latest(
+    claims: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    val: str = "val",
+    ts: str = "ts_unix",
+) -> DataFrame:
+    """Recency fusion: the most recent claim wins per (subj, pred) —
+    the temporal-KG policy for facts that supersede (current title,
+    redirect target, price). Ties on the timestamp break to the
+    smallest value string. ONE map-side-combining aggregate: the
+    winner is ``min(struct(-ts, val))``, and the audit columns
+    (n_claims, latest/earliest ts) ride the same combine — the claim
+    stream shuffles once, already reduced to per-group partials."""
+    win = F.min(F.struct((-F.col(ts)).alias("neg"), F.col(val).alias("v")))
+    return (
+        claims.groupBy(subj, pred)
+        .agg(
+            win.alias("_w"),
+            F.count("*").alias("n_claims"),
+            F.min(ts).alias("first_ts"),
+        )
+        .select(
+            subj,
+            pred,
+            F.col("_w.v").alias("fused_val"),
+            (-F.col("_w.neg")).alias("latest_ts"),
+            "n_claims",
+            "first_ts",
+        )
+    )

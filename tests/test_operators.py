@@ -2145,3 +2145,35 @@ def test_recrawl_delta_all_four_classes(spark):
     )
     got = {r.url: r.status for r in recrawl_delta(old, new).collect()}
     assert got == {"u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new"}
+
+
+def test_fuse_weighted_authority_beats_count(spark):
+    """A weight-3 source outvotes two weight-1 sources; audit sums are
+    the weighted totals."""
+    from rdf_rs_spark.operators.fusion import fuse_claims_weighted
+
+    rows = [
+        ("e1", "p", "en", 1), ("e1", "p", "en", 1),  # count 2, weight 2
+        ("e1", "p", "de", 3),                        # count 1, weight 3 -> wins
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "val", "weight"])
+    r = fuse_claims_weighted(df).collect()[0]
+    assert (r.fused_val, r.support, r.n_claims, r.n_values) == ("de", 3, 5, 2)
+
+
+def test_fuse_latest_recency_and_ties(spark):
+    """Max timestamp wins; equal timestamps break to the smaller value;
+    ONE combining aggregate (no window, no join)."""
+    from rdf_rs_spark.operators.fusion import fuse_latest
+
+    rows = [
+        ("e1", "p", "old", 100), ("e1", "p", "newer", 200),
+        ("e2", "p", "b", 50), ("e2", "p", "a", 50),  # ts tie -> 'a'
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "val", "ts_unix"])
+    got = {r.subj: r for r in fuse_latest(df).collect()}
+    assert (got["e1"].fused_val, got["e1"].latest_ts, got["e1"].n_claims,
+            got["e1"].first_ts) == ("newer", 200, 2, 100)
+    assert (got["e2"].fused_val, got["e2"].latest_ts) == ("a", 50)
+    plan = fuse_latest(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1 and "Join" not in plan
