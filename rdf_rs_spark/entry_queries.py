@@ -7257,6 +7257,44 @@ def multimodal_qoi_decode(spark, sf_dir):
     return decode_qoi_features(synthesize_qoi_media(spark.range(n)))
 
 
+def _jpeg_oracle(n: int) -> str:
+    """Decoder-independent ground truth for the baseline-JPEG decode:
+    image ``i`` is 16 wide, ``8*((i%2)+1)`` tall, built of solid 8x8
+    blocks whose gray level is ``(7i + 16b) % 256`` — with the all-ones
+    quant table a flat block is DC-only and reconstructs EXACTLY, so
+    the pixel sum is ``64 * sum(v)`` closed-form. A wrong Huffman
+    table, zigzag cell, dequant step, DC predictor, or IDCT scaling
+    breaks the hash; neither codec side is replayed."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    blk AS (SELECT p.i, (7 * p.i + 16 * t.b) % 256 AS v
+            FROM p, LATERAL (SELECT unnest(generate_series(0,
+                     2 * ((p.i % 2) + 1) - 1)) AS b) t)
+    SELECT 'jpeg:' || i AS media_id, 16::INTEGER AS width,
+      (8 * ((i % 2) + 1))::INTEGER AS height,
+      (64 * sum(v))::BIGINT AS sum_r,
+      (64 * sum(v))::BIGINT AS sum_g,
+      (64 * sum(v))::BIGINT AS sum_b
+    FROM blk GROUP BY i"""
+
+
+@q("multimodal_jpeg_decode", _jpeg_oracle(2000))
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL transform-coded image decode under the full value-hash
+    gate: baseline grayscale JPEG (ITU-T T.81) — segment walk, canonical
+    Huffman tables built FROM the DHT segment, DC-diff categories + AC
+    run/size with EOB/ZRL, 0xFF00 unstuffing, dequant, de-zigzag, and
+    a separable IDCT. Closes the fourth compression family (transform
+    coding) beside companding/dictionary/RLE; only motion and
+    psychoacoustic codecs (H.264/MP3) remain stubbed. DC-only payloads
+    make the decode integer-exact for the gate; the AC/ZRL paths are
+    pinned by unit tests against an independent IDCT. Payload bytes
+    never shuffle — Arrow kernels both sides."""
+    from .operators.multimodal import decode_jpeg_features, synthesize_jpeg_media
+
+    n = _scale_n(sf_dir)
+    return decode_jpeg_features(synthesize_jpeg_media(spark.range(n)))
+
+
 def _zorder_zonemap_oracle() -> str:
     """Zone maps over contiguous z-ranges: the morton interleave replayed
     bit-identically, files = ``zkey >> 12``, then per-file min/max plus
@@ -7755,6 +7793,7 @@ DEFERRED = {
     "kg_incremental_from_recrawl": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_fusion_weighted": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_fusion_latest": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_jpeg_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 

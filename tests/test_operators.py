@@ -2177,3 +2177,98 @@ def test_fuse_latest_recency_and_ties(spark):
     assert (got["e2"].fused_val, got["e2"].latest_ts) == ("a", 50)
     plan = fuse_latest(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1 and "Join" not in plan
+
+
+def test_jpeg_dc_only_roundtrip_exact():
+    """Flat blocks with the all-ones quant table reconstruct EXACTLY
+    (DC-only IDCT is flat at v); DC diffs cross blocks in both signs."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+        _jpeg_encode_blocks,
+    )
+
+    vals = [(7 * 5 + 16 * b) % 256 for b in range(4)]
+    blocks = []
+    for v in vals:
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = 8 * (v - 128)
+        blocks.append(blk)
+    px = _jpeg_decode_pixels(_jpeg_encode_blocks(blocks, 16, 16))
+    assert px.shape == (16, 16)
+    for (by, bx), v in zip([(0, 0), (0, 1), (1, 0), (1, 1)], vals):
+        assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+
+
+def test_jpeg_ac_runs_zrl_match_independent_idct():
+    """AC run/size symbols, a ZRL (16-zero run), and EOB decode to the
+    same pixels as an independently computed dequant+dezigzag+IDCT."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+        _jpeg_encode_blocks,
+        _jpeg_idct_matrix,
+        _jpeg_zigzag,
+    )
+
+    blk = np.zeros(64, dtype=np.int64)
+    blk[0] = 40
+    blk[1] = 3    # run0 size2
+    blk[2] = -1   # run0 size1
+    blk[4] = 1    # run1 size1
+    blk[7] = -1   # run2 size1
+    blk[11] = 1   # run3 size1
+    blk[29] = 1   # ZRL + run1 size1
+    px = _jpeg_decode_pixels(_jpeg_encode_blocks([blk], 8, 8))
+    zz, m = _jpeg_zigzag(), _jpeg_idct_matrix()
+    sq = np.zeros(64)
+    sq[zz] = blk
+    exp = np.clip(np.round(m @ sq.reshape(8, 8) @ m.T + 128), 0, 255).astype(np.uint8)
+    assert (px == exp).all()
+
+
+def test_jpeg_byte_stuffing_and_rejects():
+    """Index 0 of the synthesized corpus produces an 0xFF byte in the
+    entropy stream (verified stuffed); the decoder unstuffs it and
+    still reconstructs exactly. Truncated/foreign bytes reject."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rdf_rs_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+        _jpeg_encode_blocks,
+    )
+
+    vals = [(16 * b) % 256 for b in range(2)]  # i = 0 in the corpus
+    blocks = []
+    for v in vals:
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = 8 * (v - 128)
+        blocks.append(blk)
+    pay = _jpeg_encode_blocks(blocks, 16, 8)
+    assert b"\xff\x00" in pay  # stuffing genuinely exercised
+    px = _jpeg_decode_pixels(pay)
+    assert (px[:, :8] == vals[0]).all() and (px[:, 8:] == vals[1]).all()
+    with _pytest.raises(AssertionError):
+        _jpeg_decode_pixels(b"\x89PNG" + pay[4:])
+
+
+def test_jpeg_decode_features_spark_matches_closed_form(spark):
+    """The Spark kernel pair agrees with the oracle's closed form over
+    60 synthesized payloads."""
+    from rdf_rs_spark.operators.multimodal import (
+        decode_jpeg_features,
+        synthesize_jpeg_media,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in decode_jpeg_features(synthesize_jpeg_media(spark.range(60))).collect()
+    }
+    for i in range(60):
+        nblk = 2 * ((i % 2) + 1)
+        exp = 64 * sum((7 * i + 16 * b) % 256 for b in range(nblk))
+        r = got[f"jpeg:{i}"]
+        assert (r["width"], r["height"], r["sum_r"]) == (16, 8 * ((i % 2) + 1), exp)
