@@ -301,3 +301,29 @@ def test_qoi_encode_decode_roundtrip_any_pixels(pixels):
         out.append(px[:3])
     assert pos == len(enc)
     assert out == [tuple(p) for p in pixels]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=8))
+def test_jpeg_dc_only_roundtrip_any_gray_levels(levels):
+    """DC-only baseline JPEG must reconstruct ANY flat-block sequence
+    exactly (all-ones quant table): the DC predictor crosses arbitrary
+    diffs in both signs and every Huffman category 0..11, and the
+    1-filled pad bits + 0xFF stuffing land wherever the stream puts
+    them."""
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+        _jpeg_encode_blocks,
+    )
+
+    blocks = []
+    for v in levels:
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = 8 * (v - 128)
+        blocks.append(blk)
+    px = _jpeg_decode_pixels(_jpeg_encode_blocks(blocks, 8 * len(levels), 8))
+    assert px.shape == (8, 8 * len(levels))
+    for b, v in enumerate(levels):
+        assert (px[:, b * 8 : b * 8 + 8] == v).all()
