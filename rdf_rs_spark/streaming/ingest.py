@@ -114,3 +114,49 @@ def stream_rdf_directory(
         )
     )
     return read_rdf_docs(docs)
+
+
+def stream_warc_gz_pages(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Streaming pages from a landing directory of ``.warc.gz``
+    containers — the continuous-crawl front of the KG pipeline: crawler
+    workers drop container files, this source turns each into the
+    ``(url, warc_ts, html, lang)`` page relation via the SAME Arrow
+    kernels as the batch flagship (`kg_pipeline_from_warc`), and
+    `pipeline.stream_pages_to_graph` appends triples idempotently.
+    ``binaryFile`` tracks processed files in the checkpoint, so a
+    restart never re-ingests a committed container; payload bytes are
+    decompressed and parsed inside the task that read them — nothing
+    binary ever shuffles."""
+    from ..sources.warc import (
+        http_header,
+        parse_http_responses,
+        parse_warc_gz_records,
+    )
+
+    # binaryFile's schema is fixed by the format, but the streaming
+    # source requires it stated explicitly
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select(
+            F.xxhash64(F.col("path")).alias("file_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    recs = parse_warc_gz_records(files).filter(F.col("warc_type") == "response")
+    http = parse_http_responses(recs)
+    return http.filter(
+        (F.col("status") == 200) & F.col("content_type").startswith("text/html")
+    ).select(
+        F.col("target_uri").alias("url"),
+        F.timestamp_seconds(F.col("warc_date_unix")).alias("warc_ts"),
+        F.encode(F.col("body"), "UTF-8").alias("html"),
+        http_header(F.col("block"), "Content-Language").alias("lang"),
+    )

@@ -162,3 +162,57 @@ def test_run_pipeline_resumes_over_warc_front(spark, tmp_path):
     assert {tuple(r) for r in got.select(*cols).collect()} == {
         tuple(r) for r in expected.select(*cols).collect()
     }
+
+
+def test_streaming_warc_landing_equals_batch(spark, tmp_path):
+    """The continuous-crawl front: .warc.gz containers land in a
+    directory, the streaming source turns them into pages, and the
+    foreachBatch writer appends triples — drained output equals the
+    batch pipeline over the same corpus (stream == batch), and the
+    checkpoint prevents re-ingesting committed containers."""
+    from rdf_rs_spark.pipeline import page_triples
+    from rdf_rs_spark.sources.webpages import synthesize_alias_dict
+    from rdf_rs_spark.streaming.ingest import stream_warc_gz_pages
+    from rdf_rs_spark.streaming.pipeline import stream_pages_to_graph
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    payloads = (
+        synthesize_warc_gz_page_files(
+            spark.range(N_PAGES // PAGES_PER_FILE), pages_per_file=PAGES_PER_FILE
+        )
+        .collect()
+    )
+    for r in payloads:
+        (landing / f"f{r['file_id']:05d}.warc.gz").write_bytes(bytes(r["payload"]))
+
+    aliases = synthesize_alias_dict(spark)
+    out = str(tmp_path / "graph")
+    pages = stream_warc_gz_pages(spark, str(landing), max_files_per_trigger=4)
+    q = stream_pages_to_graph(
+        pages, aliases, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
+    got = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+    expected = {
+        tuple(r)
+        for r in page_triples(synthesize_web_pages(spark, N_PAGES), aliases)
+        .select(*cols)
+        .collect()
+    }
+    assert got == expected
+
+    # drained again with the same checkpoint: no files re-ingested,
+    # table unchanged
+    q2 = stream_pages_to_graph(
+        stream_warc_gz_pages(spark, str(landing), max_files_per_trigger=4),
+        aliases,
+        out,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    got2 = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+    assert got2 == expected
