@@ -1715,6 +1715,33 @@ def kg_characteristic_sets(spark, sf_dir):
 
 
 @q(
+    "kg_summary_graph",
+    TRIPLES_CTE
+    + """SELECT s.cset AS src_cset, t.pred, d.cset AS dst_cset,
+           count(*)::BIGINT AS n_triples
+    FROM triples t
+    JOIN (SELECT subj, array_to_string(list_sort(list(DISTINCT pred)), ',')
+            AS cset FROM triples GROUP BY subj) s ON t.subj = s.subj
+    JOIN (SELECT subj, array_to_string(list_sort(list(DISTINCT pred)), ',')
+            AS cset FROM triples GROUP BY subj) d ON t.obj_lex = d.subj
+    WHERE t.obj_kind = 0
+    GROUP BY 1, 2, 3""",
+)
+def kg_summary_graph(spark, sf_dir):
+    """Quotient summary graph (`operators/void.py::summary_graph`) —
+    the structure index on top of characteristic sets: subjects map to
+    their predicate-signature class, IRI-object triples whose object is
+    itself a classed subject become class-level edges with counts. At
+    10^12 triples the summary is ontology-sized, so exploration and
+    join planning run on IT, not the store. Deterministic class keys
+    (sorted signature strings) make it cluster-size-invariant under the
+    hash gate."""
+    from .operators.void import summary_graph
+
+    return summary_graph(_triples(spark, sf_dir))
+
+
+@q(
     "docs_rule_filter",
     """SELECT doc_id, lang, source,
       CASE WHEN regexp_matches(text, 'spark (shuffle|skew)') THEN 'drop'
@@ -7794,6 +7821,7 @@ DEFERRED = {
     "kg_fusion_weighted": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_fusion_latest": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_jpeg_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_summary_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 

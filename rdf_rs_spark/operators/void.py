@@ -84,3 +84,38 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
             F.sum("nt").alias("n_triples"),
         )
     )
+
+
+def summary_graph(triples: DataFrame) -> DataFrame:
+    """Quotient summary graph over characteristic-set classes — the
+    structure index query optimizers and KG explorers build on top of
+    :func:`characteristic_sets`: every subject maps to its
+    predicate-signature class, and each IRI-object triple whose object
+    is itself a classed subject becomes a class-level edge
+    ``(src_cset, pred, dst_cset, n_triples)``. At 10^12 triples the
+    summary is ontology-sized (thousands of shapes), so downstream
+    planning/exploration queries run on it instead of the store.
+
+    Plan: one combining aggregate to the (subject -> cset) map, then
+    the edge relation joins that map on subj and on obj_lex — on a
+    subject-bucketed graph table the subj-side join co-locates; the
+    obj-side is the honest shuffle — and ONE final combining aggregate
+    on the class-edge key. Classes are deterministic (sorted signature
+    strings), so the summary is cluster-size-invariant."""
+    classes = (
+        triples.groupBy("subj")
+        .agg(F.array_join(F.array_sort(F.collect_set("pred")), ",").alias("cset"))
+    )
+    iri_edges = triples.filter(F.col("obj_kind") == 0).select(
+        "subj", "pred", F.col("obj_lex").alias("obj")
+    )
+    src = classes.select(F.col("subj"), F.col("cset").alias("src_cset"))
+    dst = classes.select(
+        F.col("subj").alias("obj"), F.col("cset").alias("dst_cset")
+    )
+    return (
+        iri_edges.join(src, "subj")
+        .join(dst, "obj")
+        .groupBy("src_cset", "pred", "dst_cset")
+        .agg(F.count("*").alias("n_triples"))
+    )

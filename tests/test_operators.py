@@ -2272,3 +2272,33 @@ def test_jpeg_decode_features_spark_matches_closed_form(spark):
         exp = 64 * sum((7 * i + 16 * b) % 256 for b in range(nblk))
         r = got[f"jpeg:{i}"]
         assert (r["width"], r["height"], r["sum_r"]) == (16, 8 * ((i % 2) + 1), exp)
+
+
+def test_summary_graph_quotient_classes(spark):
+    """Hand-built store: two entity shapes linked by one predicate —
+    the summary collapses instances into class-level edges with counts;
+    literal-object triples contribute no edges."""
+    from rdf_rs_spark.operators.void import summary_graph
+
+    t = [
+        # two 'article' subjects: {type, about}; one 'person': {type}
+        ("a1", "type", 0, "Article", None, None),
+        ("a1", "about", 0, "p1", None, None),
+        ("a2", "type", 0, "Article", None, None),
+        ("a2", "about", 0, "p1", None, None),
+        ("p1", "type", 0, "Person", None, None),
+        # literal object: classed subject but no summary edge
+        ("a1", "title", 2, "t", None, None),
+    ]
+    df = spark.createDataFrame(
+        t, "subj string, pred string, obj_kind int, obj_lex string, obj_datatype string, obj_lang string"
+    )
+    got = {
+        (r.src_cset, r.pred, r.dst_cset): r.n_triples
+        for r in summary_graph(df).collect()
+    }
+    # a1 has shape about,title,type; a2 about,type; p1 type
+    assert got == {
+        ("about,title,type", "about", "type"): 1,
+        ("about,type", "about", "type"): 1,
+    }
