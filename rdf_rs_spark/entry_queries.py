@@ -7051,6 +7051,61 @@ def crawl_recrawl_delta(spark, sf_dir):
 
 
 @q(
+    "crawl_url_templates",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    u AS (SELECT i, CASE i % 4
+      WHEN 0 THEN 'https://ex' || (i % 50) || '.example.org/page/' || i
+      WHEN 1 THEN 'https://ex' || (i % 50) || '.example.org/item/' || i || '/view'
+      WHEN 2 THEN 'https://shop' || (i % 7) || '.example.org/search?q=w'
+                  || (i % 5) || '&page=' || (i % 9)
+      ELSE 'https://ex' || (i % 50) || '.example.org/s/' || md5(i::VARCHAR)
+      END AS url FROM p),
+    t AS (SELECT url,
+      regexp_replace(regexp_replace(url, '[0-9a-fA-F]{16,}', '{h}', 'g'),
+                     '[0-9]+', '{n}', 'g') AS template,
+      lower(split_part(split_part(url, '://', 2), '/', 1)) AS host
+      FROM u)
+    SELECT template, count(DISTINCT url)::BIGINT AS n_urls,
+           count(DISTINCT host)::BIGINT AS n_hosts
+    FROM t GROUP BY template""",
+)
+def crawl_url_templates(spark, sf_dir):
+    """URL template mining (`functions/urls.py::url_template_stats`) —
+    the spider-trap detector: digit runs collapse to ``{n}``, 16+-char
+    hex runs (session ids, hashes) to ``{h}``, so urls generated by one
+    handler share a key and a crawler trap shows up as one template
+    with an unbounded url count. Four synthesized handler classes
+    (plain page, nested path, faceted search with repeating
+    querystrings, md5 session segments); ONE combining aggregate on the
+    template key, exact distinct url/host counts."""
+    from .functions.urls import url_template_stats
+
+    i = F.col("id")
+    host = F.concat(F.lit("https://ex"), (i % 50).cast("string"), F.lit(".example.org"))
+    url = (
+        F.when(i % 4 == 0, F.concat(host, F.lit("/page/"), i.cast("string")))
+        .when(
+            i % 4 == 1,
+            F.concat(host, F.lit("/item/"), i.cast("string"), F.lit("/view")),
+        )
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit("https://shop"),
+                (i % 7).cast("string"),
+                F.lit(".example.org/search?q=w"),
+                (i % 5).cast("string"),
+                F.lit("&page="),
+                (i % 9).cast("string"),
+            ),
+        )
+        .otherwise(F.concat(host, F.lit("/s/"), F.md5(i.cast("string"))))
+    )
+    urls = spark.range(2000).select(url.alias("url"))
+    return url_template_stats(urls)
+
+
+@q(
     "crawl_charset_decode",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -7822,6 +7877,7 @@ DEFERRED = {
     "kg_fusion_latest": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_jpeg_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_summary_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_url_templates": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 

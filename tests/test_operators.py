@@ -2302,3 +2302,28 @@ def test_summary_graph_quotient_classes(spark):
         ("about,title,type", "about", "type"): 1,
         ("about,type", "about", "type"): 1,
     }
+
+
+def test_url_template_trap_signal(spark):
+    """Digit and long-hex runs collapse; a faceted-search trap shows as
+    one template with many urls on one host."""
+    from rdf_rs_spark.functions.urls import url_template_stats
+
+    urls = [
+        ("https://a.org/page/1",),
+        ("https://a.org/page/22",),
+        ("https://a.org/s/deadbeefdeadbeefdeadbeef",),   # 24 hex -> {h}
+        ("https://a.org/s/cafebabecafebabecafebabe",),
+        ("https://trap.org/cal?y=2024&m=1",),
+        ("https://trap.org/cal?y=2024&m=2",),
+        ("https://trap.org/cal?y=2025&m=1",),
+    ]
+    got = {
+        r.template: (r.n_urls, r.n_hosts)
+        for r in url_template_stats(spark.createDataFrame(urls, ["url"])).collect()
+    }
+    assert got == {
+        "https://a.org/page/{n}": (2, 1),
+        "https://a.org/s/{h}": (2, 1),
+        "https://trap.org/cal?y={n}&m={n}": (3, 1),
+    }
