@@ -7377,6 +7377,44 @@ def multimodal_jpeg_decode(spark, sf_dir):
     return decode_jpeg_features(synthesize_jpeg_media(spark.range(n)))
 
 
+def _png_oracle(n: int) -> str:
+    """Decoder-independent ground truth for the PNG decode: pixel ``j``
+    of image ``i`` has base value ``v = (i + j) % 256`` with channels
+    ``(v, 2v+7, 5v+3) % 256`` — a closed form of the row index, so the
+    oracle CHECKS the chunk walk / CRC / inflate / scanline-filter
+    reconstruction instead of replaying any of it (a wrong Paeth
+    tie-break, an Average carry bug, or a dropped second IDAT shifts
+    some reconstructed row and breaks the channel sums)."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    dims AS (SELECT i, (i % 6) + 4 AS w, (i % 5) + 4 AS h FROM p),
+    px AS (SELECT d.i, d.w, d.h, (d.i + t.j) % 256 AS v
+           FROM dims d,
+           LATERAL (SELECT unnest(generate_series(0, d.w * d.h - 1)) AS j) t)
+    SELECT 'png:' || i AS media_id, w::INTEGER AS width, h::INTEGER AS height,
+      sum(v)::BIGINT AS sum_r,
+      sum((2 * v + 7) % 256)::BIGINT AS sum_g,
+      sum((5 * v + 3) % 256)::BIGINT AS sum_b
+    FROM px GROUP BY i, w, h"""
+
+
+@q("multimodal_png_decode", _png_oracle(2000))
+def multimodal_png_decode(spark, sf_dir):
+    """REAL PNG decode (RFC 2083) under the full value-hash gate:
+    signature check, big-endian chunk walk with CRC-32 verification on
+    EVERY chunk, IHDR parse, multi-IDAT concatenation, stdlib-zlib
+    inflate, and per-scanline reconstruction of all five predictive
+    filters (None/Sub/Up/Average/Paeth). Completes the lossless
+    coding-family set beside QOI (delta+index), GIF (dictionary), TGA
+    (RLE), mu-law (companding) and JPEG (transform): PNG is
+    prediction + DEFLATE. Every synthesized image mixes filter types
+    by row and every third payload splits its stream across two IDAT
+    chunks. Arrow kernels both sides; payload bytes never shuffle."""
+    from .operators.multimodal import decode_png_features, synthesize_png_media
+
+    n = _scale_n(sf_dir)
+    return decode_png_features(synthesize_png_media(spark.range(n)))
+
+
 def _zorder_zonemap_oracle() -> str:
     """Zone maps over contiguous z-ranges: the morton interleave replayed
     bit-identically, files = ``zkey >> 12``, then per-file min/max plus
@@ -7879,6 +7917,7 @@ DEFERRED = {
     "kg_summary_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_url_templates": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_png_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1378,3 +1378,222 @@ def synthesize_jpeg_media(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# PNG (RFC 2083): the TRANSFORM-free but genuinely COMPRESSED format —
+# DEFLATE-coded scanlines under the five per-row predictive filters
+# (None/Sub/Up/Average/Paeth). stdlib zlib does the entropy layer; the
+# chunk walk, CRC-32 verification, and filter reconstruction are
+# hand-rolled here, so together with GIF (dictionary), TGA (RLE),
+# mu-law (companding), QOI (delta+index) and JPEG (DCT) every major
+# lossless coding family has a REAL decode path.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + zlib.crc32(tag + body).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """RFC 2083 §6.6 predictor: nearest of left/up/up-left to a+b-c,
+    ties broken left → up → up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    """Encode-side filter: ``filtered[x] = raw[x] - pred(x) (mod 256)``."""
+    out = bytearray(len(raw))
+    for x in range(len(raw)):
+        left = raw[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        ul = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        else:
+            pred = _paeth(left, up, ul)
+        out[x] = (raw[x] - pred) % 256
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt: bytes, prior: bytes, bpp: int = 3) -> bytes:
+    """Decode-side reconstruction: ``recon[x] = filt[x] + pred(x)`` where
+    pred reads already-RECONSTRUCTED left neighbors — the inverse is
+    sequential within a scanline for Sub/Average/Paeth by design."""
+    out = bytearray(len(filt))
+    for x in range(len(filt)):
+        left = out[x - bpp] if x >= bpp else 0
+        up = prior[x]
+        ul = prior[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[x] = (filt[x] + pred) % 256
+    return bytes(out)
+
+
+def decode_png_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL PNG decode (signature check, big-endian chunk walk with
+    CRC-32 verification on EVERY chunk, IHDR parse, multi-IDAT
+    concatenation, zlib inflate, and per-scanline reconstruction of
+    all five RFC 2083 filters). 8-bit truecolor (color type 2) only —
+    the synthesized corpus shape. Emits the PPM-shaped per-channel
+    sums: a wrong Paeth tie-break, a dropped second IDAT, or an
+    Average carry bug shifts some reconstructed row and breaks the
+    value hash."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                p = bytes(getattr(rec, payload_col))
+                assert p[:8] == _PNG_SIG, "not a PNG payload"
+                pos, w = 8, None
+                idat = bytearray()
+                while pos < len(p):
+                    ln = int.from_bytes(p[pos : pos + 4], "big")
+                    tag = p[pos + 4 : pos + 8]
+                    body = p[pos + 8 : pos + 8 + ln]
+                    crc = int.from_bytes(p[pos + 8 + ln : pos + 12 + ln], "big")
+                    assert zlib.crc32(tag + body) == crc, f"CRC mismatch in {tag!r}"
+                    if tag == b"IHDR":
+                        w = int.from_bytes(body[0:4], "big")
+                        h = int.from_bytes(body[4:8], "big")
+                        assert body[8] == 8 and body[9] == 2, (
+                            "expects 8-bit truecolor"
+                        )
+                        assert body[10:13] == b"\x00\x00\x00", (
+                            "expects default compression/filter/interlace"
+                        )
+                    elif tag == b"IDAT":
+                        idat.extend(body)
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                assert w is not None, "missing IHDR"
+                raw = zlib.decompress(bytes(idat))
+                stride = w * 3
+                assert len(raw) == h * (stride + 1), "bad scanline payload size"
+                prior = bytes(stride)
+                px = np.empty((h, stride), dtype=np.int64)
+                for y in range(h):
+                    line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+                    recon = _png_unfilter_row(line[0], line[1:], prior)
+                    px[y] = np.frombuffer(recon, dtype=np.uint8)
+                    prior = recon
+                flat = px.reshape(-1, 3)
+                rows.append(
+                    (
+                        getattr(rec, id_col),
+                        w,
+                        h,
+                        int(flat[:, 0].sum()),
+                        int(flat[:, 1].sum()),
+                        int(flat[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PPM_FEATURES_SCHEMA)
+
+
+def _png_pixels(i: int, n: int) -> np.ndarray:
+    """Closed-form pixel stream for image ``i``: base value
+    ``v = (i + j) % 256`` with channels ``(v, 2v+7, 5v+3) % 256`` —
+    every feature sum derives straight from ``(i, j)``, so the oracle
+    CHECKS the filter/inflate path instead of replaying it."""
+    j = np.arange(n, dtype=np.int64)
+    v = (i + j) % 256
+    return np.stack(
+        [v, (2 * v + 7) % 256, (5 * v + 3) % 256], axis=1
+    ).astype(np.uint8)
+
+
+def synthesize_png_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic PNG payloads from a row index: a ``(i%6)+4 ×
+    (i%5)+4`` truecolor image of :func:`_png_pixels`, scanline ``y``
+    filtered with type ``(i + y) % 5`` (every image mixes filter
+    types; across the corpus every type hits every row position,
+    including the ``prior = 0`` first-row edge for Up/Average/Paeth),
+    deflated at a fixed level (zlib streams carry no timestamp — the
+    payloads are byte-stable), and split into TWO IDAT chunks when
+    ``i % 3 == 0`` to exercise multi-IDAT concatenation."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                i = int(getattr(rec, id_col))
+                w, h = (i % 6) + 4, (i % 5) + 4
+                px = _png_pixels(i, w * h).reshape(h, w * 3)
+                scan = bytearray()
+                prior = bytes(w * 3)
+                for y in range(h):
+                    ftype = (i + y) % 5
+                    raw = px[y].tobytes()
+                    scan.append(ftype)
+                    scan.extend(_png_filter_row(ftype, raw, prior))
+                    prior = raw
+                ihdr = (
+                    w.to_bytes(4, "big")
+                    + h.to_bytes(4, "big")
+                    + bytes((8, 2, 0, 0, 0))
+                )
+                z = zlib.compress(bytes(scan), 6)
+                if i % 3 == 0 and len(z) > 1:
+                    mid = len(z) // 2
+                    idat = _png_chunk(b"IDAT", z[:mid]) + _png_chunk(
+                        b"IDAT", z[mid:]
+                    )
+                else:
+                    idat = _png_chunk(b"IDAT", z)
+                payload = (
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + idat
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows.append((f"png:{i}", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

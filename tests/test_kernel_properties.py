@@ -6,7 +6,7 @@ the oracle and parity tests)."""
 import hashlib
 import math
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, given, settings, strategies as st
 
 from rdf_rs_spark.operators.corpus import repetition_of, winnow_of
 from rdf_rs_spark.operators.dedup import _seeded_bands_of, simhash_of
@@ -301,6 +301,36 @@ def test_qoi_encode_decode_roundtrip_any_pixels(pixels):
         out.append(px[:3])
     assert pos == len(enc)
     assert out == [tuple(p) for p in pixels]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 255), min_size=6, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(0, 4),
+)
+def test_png_filter_unfilter_roundtrip_any_rows(rows, first_ftype):
+    """The PNG filter pair must roundtrip ARBITRARY RGB scanline
+    stacks bit-exactly for every filter type, including the prior=0
+    first row and the x<bpp left edge — Hypothesis shrinks toward the
+    Paeth tie-break and Average floor-carry boundaries."""
+    from rdf_rs_spark.operators.multimodal import (
+        _png_filter_row,
+        _png_unfilter_row,
+    )
+
+    width = min(len(r) for r in rows) // 3 * 3
+    assume(width >= 3)
+    prior = bytes(width)
+    for y, r in enumerate(rows):
+        raw = bytes(r[:width])
+        ftype = (first_ftype + y) % 5
+        filt = _png_filter_row(ftype, raw, prior)
+        assert _png_unfilter_row(ftype, filt, prior) == raw
+        prior = raw
 
 
 @settings(max_examples=150, deadline=None)

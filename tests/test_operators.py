@@ -2274,6 +2274,57 @@ def test_jpeg_decode_features_spark_matches_closed_form(spark):
         assert (r["width"], r["height"], r["sum_r"]) == (16, 8 * ((i % 2) + 1), exp)
 
 
+def test_png_decode_features_spark_matches_closed_form(spark):
+    """The Spark kernel pair agrees with the oracle's closed form over
+    60 synthesized payloads (mixed filter types per image; every third
+    payload split across two IDAT chunks)."""
+    from rdf_rs_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_media,
+    )
+
+    got = {
+        r["media_id"]: r
+        for r in decode_png_features(synthesize_png_media(spark.range(60))).collect()
+    }
+    for i in range(60):
+        w, h = (i % 6) + 4, (i % 5) + 4
+        vs = [(i + j) % 256 for j in range(w * h)]
+        r = got[f"png:{i}"]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["sum_r"] == sum(vs)
+        assert r["sum_g"] == sum((2 * v + 7) % 256 for v in vs)
+        assert r["sum_b"] == sum((5 * v + 3) % 256 for v in vs)
+
+
+def test_png_decode_rejects_corrupt_crc_and_wrong_sig(spark):
+    """A flipped byte inside a chunk body must fail the CRC-32 check,
+    and a non-PNG payload must fail the signature assert — corrupt
+    crawl media surfaces loudly, never as silent wrong sums."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from rdf_rs_spark.operators.multimodal import (
+        decode_png_features,
+        synthesize_png_media,
+    )
+
+    payload = bytearray(
+        synthesize_png_media(spark.range(1)).collect()[0]["payload"]
+    )
+    payload[20] ^= 0xFF  # inside the IHDR body
+    bad = spark.createDataFrame(
+        [("png:bad", bytes(payload))], "media_id string, payload binary"
+    )
+    with pytest.raises(Exception, match="CRC mismatch"):
+        decode_png_features(bad).collect()
+    notpng = spark.createDataFrame(
+        [("x", b"BM123456")], "media_id string, payload binary"
+    )
+    with pytest.raises(Exception, match="not a PNG payload"):
+        decode_png_features(notpng).collect()
+
+
 def test_summary_graph_quotient_classes(spark):
     """Hand-built store: two entity shapes linked by one predicate —
     the summary collapses instances into class-level edges with counts;
