@@ -4495,6 +4495,134 @@ def rdf_jsonld_parse(spark, sf_dir):
     return parse_jsonld_docs(docs)
 
 
+# ---- embedded structured data (the Web Data Commons trio) -----------------
+#
+# `synthesize_sd_pages` embeds a JSON-LD <script> block (every row), a
+# Microdata Person card (even rows; nested blank PostalAddress `_:m0`),
+# and an RDFa Lite Article (rows with i % 3 != 2) — every triple a pure
+# function of the row index, so each extractor (and their union) oracles
+# by REGENERATION, the `_kg_e2e_oracle` convention.
+
+_SD_T7 = "subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, src_url"
+
+
+def _sd_oracle(n: int, *parts: str) -> str:
+    p = (
+        f"SELECT i, 'https://sd' || (i % 500) || '.example.org/item/' || i AS u"
+        f" FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)"
+    )
+    bodies = {
+        "jsonld": f"""
+      SELECT 'http://kg.example.org/prod/' || i AS subj, '{RDF_TYPE}' AS pred,
+             0::TINYINT AS obj_kind, 'http://schema.org/Product' AS obj_lex,
+             CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+             u AS src_url FROM p
+      UNION ALL SELECT 'http://kg.example.org/prod/' || i, 'http://schema.org/name',
+             2::TINYINT, 'Product ' || i, NULL, NULL, u FROM p
+      UNION ALL SELECT 'http://kg.example.org/prod/' || i, 'http://schema.org/sku',
+             2::TINYINT, (i % 97)::VARCHAR,
+             'http://www.w3.org/2001/XMLSchema#integer', NULL, u FROM p
+      UNION ALL SELECT 'http://kg.example.org/prod/' || i, 'http://schema.org/brand',
+             0::TINYINT, 'http://kg.example.org/brand/' || (i % 30), NULL, NULL, u FROM p""",
+        "micro": f"""
+      SELECT 'http://kg.example.org/person/' || (i % 40) AS subj, '{RDF_TYPE}' AS pred,
+             0::TINYINT AS obj_kind, 'http://schema.org/Person' AS obj_lex,
+             CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+             u AS src_url FROM p WHERE i % 2 = 0
+      UNION ALL SELECT 'http://kg.example.org/person/' || (i % 40),
+             'http://schema.org/name', 2::TINYINT, 'Person ' || (i % 40),
+             NULL, NULL, u FROM p WHERE i % 2 = 0
+      UNION ALL SELECT 'http://kg.example.org/person/' || (i % 40),
+             'http://schema.org/knows', 0::TINYINT,
+             'http://kg.example.org/person/' || ((i + 1) % 40),
+             NULL, NULL, u FROM p WHERE i % 2 = 0
+      UNION ALL SELECT 'http://kg.example.org/person/' || (i % 40),
+             'http://schema.org/age', 2::TINYINT, (i % 90)::VARCHAR,
+             NULL, NULL, u FROM p WHERE i % 2 = 0
+      UNION ALL SELECT 'http://kg.example.org/person/' || (i % 40),
+             'http://schema.org/address', 1::TINYINT, 'm0',
+             NULL, NULL, u FROM p WHERE i % 2 = 0
+      UNION ALL SELECT '_:m0', '{RDF_TYPE}', 0::TINYINT,
+             'http://schema.org/PostalAddress', NULL, NULL, u FROM p WHERE i % 2 = 0
+      UNION ALL SELECT '_:m0', 'http://schema.org/postalCode', 2::TINYINT,
+             'Z' || (i % 100), NULL, NULL, u FROM p WHERE i % 2 = 0""",
+        "rdfa": f"""
+      SELECT 'http://kg.example.org/art/' || i AS subj, '{RDF_TYPE}' AS pred,
+             0::TINYINT AS obj_kind, 'http://schema.org/Article' AS obj_lex,
+             CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+             u AS src_url FROM p WHERE i % 3 != 2
+      UNION ALL SELECT 'http://kg.example.org/art/' || i, 'http://schema.org/headline',
+             2::TINYINT, 'Headline ' || i, NULL, NULL, u FROM p WHERE i % 3 != 2
+      UNION ALL SELECT 'http://kg.example.org/art/' || i, 'http://schema.org/author',
+             0::TINYINT, 'http://kg.example.org/person/' || (i % 40),
+             NULL, NULL, u FROM p WHERE i % 3 != 2
+      UNION ALL SELECT 'http://kg.example.org/art/' || i, 'http://schema.org/wordCount',
+             2::TINYINT, (100 + (i % 900))::VARCHAR, NULL, NULL, u FROM p WHERE i % 3 != 2""",
+    }
+    body = "\n      UNION ALL".join(bodies[k] for k in parts)
+    distinct = "DISTINCT " if len(parts) > 1 else ""
+    return f"WITH p AS ({p})\nSELECT {distinct}{_SD_T7} FROM ({body}) t"
+
+
+@q("html_jsonld_triples", _sd_oracle(2000, "jsonld"))
+def html_jsonld_triples(spark, sf_dir):
+    """Embedded JSON-LD <script> extraction (Web Data Commons format #1,
+    beyond-reference — the reference reads standalone RDF docs only).
+    Block extraction is pure column algebra (regexp_extract_all +
+    explode, JVM-side); payloads reuse the expanded-form JSON-LD
+    reader's Arrow kernel. `sources/structured_data.py`."""
+    from .sources.structured_data import parse_jsonld_pages, synthesize_sd_pages
+
+    return parse_jsonld_pages(synthesize_sd_pages(spark, _scale_n(sf_dir)))
+
+
+@q("html_microdata_triples", _sd_oracle(2000, "micro"))
+def html_microdata_triples(spark, sf_dir):
+    """Microdata extraction (WDC format #2): itemscope/itemtype/itemid/
+    itemprop tag-stack walk with vocabulary-resolved plain prop names,
+    content/href/text value precedence, and nested items as doc-local
+    blanks — one Arrow-batched mapInPandas kernel, payloads never
+    shuffle. `sources/structured_data.py::microdata_doc_triples`."""
+    from .sources.structured_data import parse_microdata_pages, synthesize_sd_pages
+
+    return parse_microdata_pages(synthesize_sd_pages(spark, _scale_n(sf_dir)))
+
+
+@q("html_rdfa_triples", _sd_oracle(2000, "rdfa"))
+def html_rdfa_triples(spark, sf_dir):
+    """RDFa Lite extraction (WDC format #3): vocab/about/typeof/property/
+    resource/href/content with property+typeof blank-node chaining —
+    same document-granular Arrow kernel shape as Microdata.
+    `sources/structured_data.py::rdfa_doc_triples`."""
+    from .sources.structured_data import parse_rdfa_pages, synthesize_sd_pages
+
+    return parse_rdfa_pages(synthesize_sd_pages(spark, _scale_n(sf_dir)))
+
+
+@q("kg_web_data_commons", _sd_oracle(2000, "jsonld", "micro", "rdfa"))
+def kg_web_data_commons(spark, sf_dir):
+    """The full WDC extraction step: all three embedded-format extractors
+    over ONE page corpus, unioned into the engine's six-column triple
+    schema + provenance, set-deduped. The pages relation is range-
+    generated column algebra (no I/O, no decode), so the three scans
+    re-derive it for free — no persist needed (contrast: the WARC
+    gunzip boundary, which IS persisted)."""
+    from .sources.structured_data import (
+        parse_jsonld_pages,
+        parse_microdata_pages,
+        parse_rdfa_pages,
+        synthesize_sd_pages,
+    )
+
+    pages = synthesize_sd_pages(spark, _scale_n(sf_dir))
+    return (
+        parse_jsonld_pages(pages)
+        .unionByName(parse_microdata_pages(pages))
+        .unionByName(parse_rdfa_pages(pages))
+        .dropDuplicates()
+    )
+
+
 def _trig_oracle(n: int) -> str:
     """Closed-form replay of the TriG parse over the index-synthesized
     documents: every quad (triple + graph label) is a pure function of i."""
@@ -7918,6 +8046,10 @@ DEFERRED = {
     "crawl_url_templates": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_png_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "html_jsonld_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "html_microdata_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "html_rdfa_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_web_data_commons": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1,0 +1,443 @@
+"""Embedded structured data in HTML: the Web Data Commons trio.
+
+The reference parses standalone RDF documents (``src/reader/
+turtle_parser.rs``, ``ntriples_parser.rs``); at web scale the dominant
+KG-construction inputs are the three formats *embedded in HTML pages*
+that Web Data Commons mines from Common Crawl: JSON-LD ``<script>``
+blocks, Microdata (``itemscope``/``itemprop`` attributes), and RDFa
+Lite (``vocab``/``typeof``/``property`` attributes). This module adds
+all three as beyond-reference sources over the same six-column triples
+schema the rest of the engine speaks.
+
+Execution shapes (Spark-first):
+
+* **JSON-LD scripts** — block extraction is pure column algebra
+  (``regexp_extract_all`` + ``explode``, JVM-side); the payloads then
+  reuse the existing document-granular expanded-form reader
+  (:mod:`.jsonld`), so the only Python work is the same Arrow-batched
+  parse every other doc format pays.
+* **Microdata / RDFa** — attribute semantics need a tag-stack walk, a
+  document-granular grammar exactly like Turtle: one ``mapInPandas``
+  kernel per format, Arrow-batched, payloads never shuffle. Both
+  walkers share one tag tokenizer and skip ``<script>`` bodies.
+
+Subset contracts (documented like the JSON-LD reader's):
+
+* Microdata: ``itemscope``/``itemtype``/``itemid``/``itemprop`` with
+  plain-name props resolved against the item type's vocabulary
+  (``http://schema.org/Person`` → ``http://schema.org/`` + name, the
+  microdata-to-RDF vocabulary rule), space-separated multi-valued
+  ``itemtype``/``itemprop``, value precedence ``content`` attr (meta) →
+  ``href``/``src`` (a/link/img/…, IRI objects) → descendant text
+  (plain literal), nested ``itemscope`` as the property value (blank
+  ``_:m0``, ``_:m1``, … in document order when no ``itemid``). NOT
+  covered: ``itemref``, time/data value elements, entity decoding.
+* RDFa Lite: ``vocab`` (inherited), ``about``, ``typeof``,
+  ``property``, ``resource``, ``href``, ``content``; property/typeof
+  chaining (``property`` + ``typeof`` without ``about`` hangs a blank
+  ``_:r0``, ``_:r1``, … off the parent subject). NOT covered:
+  ``prefix`` CURIE maps, ``datatype``, ``inlist``, ``rel``/``rev``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import TRIPLES_WITH_SRC_SCHEMA
+from ..terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, RDF_TYPE
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|[^>\"])*)>")
+_ATTR_RE = re.compile(r"([a-zA-Z_][-a-zA-Z0-9_:.]*)(?:\s*=\s*\"([^\"]*)\")?")
+#: HTML void elements — never pushed on the open-element stack
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+#: elements whose structured-data value is a URL attribute (IRI object)
+_URL_ATTR = {
+    "a": "href", "area": "href", "link": "href",
+    "img": "src", "audio": "src", "video": "src", "embed": "src",
+    "iframe": "src", "source": "src", "track": "src", "object": "data",
+}
+
+JSONLD_SCRIPT_PATTERN = r'<script type="application/ld\+json">(.*?)</script>'
+
+Triple = Tuple[str, str, int, str, Optional[str], Optional[str]]
+
+
+def _attrs(raw: str) -> dict:
+    out = {}
+    for m in _ATTR_RE.finditer(raw):
+        out[m.group(1).lower()] = m.group(2) if m.group(2) is not None else ""
+    return out
+
+
+def _vocab_of(type_iri: Optional[str]) -> str:
+    """Vocabulary base of an item type IRI: up to (and including) the
+    last '#' or '/'. Plain microdata prop names resolve against it."""
+    if not type_iri:
+        return "http://schema.org/"
+    cut = max(type_iri.rfind("#"), type_iri.rfind("/"))
+    return type_iri[: cut + 1] if cut >= 0 else type_iri
+
+
+def _resolve(name: str, vocab: str) -> str:
+    """Absolute IRIs (anything scheme-/CURIE-like) pass through; bare
+    terms resolve against the vocabulary base."""
+    if ":" in name:
+        return name
+    return vocab + name
+
+
+def _skip_script(html: str, pos: int) -> int:
+    end = html.find("</script>", pos)
+    return len(html) if end < 0 else end + len("</script>")
+
+
+class _Walk:
+    """Shared tag-stream walk: subclasses react to open/close tags.
+
+    ``frames`` is the open-element stack; a frame may carry a text
+    capture buffer (all character data in its subtree) plus a list of
+    (subject, predicate) pairs to emit as plain literals on close —
+    that one mechanism covers text-valued microdata props AND RDFa
+    properties without ``content``/``href``.
+    """
+
+    def __init__(self) -> None:
+        self.out: List[Triple] = []
+        self.frames: List[dict] = []
+        self.captures: List[list] = []
+
+    def walk(self, html: str) -> List[Triple]:
+        pos = 0
+        while True:
+            m = _TAG_RE.search(html, pos)
+            if not m:
+                break
+            text = html[pos : m.start()]
+            if text:
+                for buf in self.captures:
+                    buf.append(text)
+            pos = m.end()
+            closing, tag, raw = m.group(1), m.group(2).lower(), m.group(3)
+            if closing:
+                self._close_to(tag)
+                continue
+            if tag == "script":
+                pos = _skip_script(html, pos)
+                continue
+            a = _attrs(raw)
+            self_close = raw.rstrip().endswith("/") or tag in _VOID
+            self.on_open(tag, a, self_close)
+        tail = html[pos:]
+        if tail:
+            for buf in self.captures:
+                buf.append(tail)
+        while self.frames:
+            self._pop()
+        return self.out
+
+    def push(self, tag: str, *, capture_for: Optional[list] = None, **extra) -> None:
+        frame = {"tag": tag, "buf": None, "lits": capture_for or [], **extra}
+        if capture_for:
+            frame["buf"] = []
+            self.captures.append(frame["buf"])
+        self.frames.append(frame)
+
+    def _pop(self) -> None:
+        frame = self.frames.pop()
+        if frame["buf"] is not None:
+            self.captures.remove(frame["buf"])
+            lex = "".join(frame["buf"])
+            for subj, prop in frame["lits"]:
+                self.out.append((subj, prop, KIND_LITERAL, lex, None, None))
+        self.on_pop(frame)
+
+    def _close_to(self, tag: str) -> None:
+        # lenient: pop through mismatched opens to the matching tag
+        if not any(f["tag"] == tag for f in self.frames):
+            return
+        while self.frames:
+            top = self.frames[-1]["tag"]
+            self._pop()
+            if top == tag:
+                break
+
+    def on_open(self, tag: str, a: dict, self_close: bool) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def on_pop(self, frame: dict) -> None:
+        pass
+
+
+class _MicrodataWalk(_Walk):
+    def __init__(self) -> None:
+        super().__init__()
+        self.items: List[Tuple[str, str]] = []  # (subject_text, vocab)
+        self.blank_n = 0
+
+    def on_open(self, tag: str, a: dict, self_close: bool) -> None:
+        cur = self.items[-1] if self.items else None
+        props = a.get("itemprop", "").split()
+
+        if "itemscope" in a:
+            itemid = a.get("itemid")
+            if itemid:
+                subj_text, kind, lex = itemid, KIND_IRI, itemid
+            else:
+                label = f"m{self.blank_n}"
+                self.blank_n += 1
+                subj_text, kind, lex = "_:" + label, KIND_BLANK, label
+            vocab = "http://schema.org/"
+            types = a.get("itemtype", "").split()
+            if types:
+                vocab = _vocab_of(types[0])
+                for t in types:
+                    self.out.append((subj_text, RDF_TYPE, KIND_IRI, t, None, None))
+            if props and cur is not None:
+                for p in props:
+                    self.out.append((cur[0], _resolve(p, cur[1]), kind, lex, None, None))
+            self.items.append((subj_text, vocab))
+            if self_close:
+                self.items.pop()
+            else:
+                self.push(tag, pops_item=True)
+            return
+
+        if props and cur is not None:
+            url_attr = _URL_ATTR.get(tag)
+            if tag == "meta" and "content" in a:
+                for p in props:
+                    self.out.append(
+                        (cur[0], _resolve(p, cur[1]), KIND_LITERAL, a["content"], None, None)
+                    )
+            elif url_attr and url_attr in a:
+                for p in props:
+                    self.out.append(
+                        (cur[0], _resolve(p, cur[1]), KIND_IRI, a[url_attr], None, None)
+                    )
+            elif not self_close:
+                self.push(tag, capture_for=[(cur[0], _resolve(p, cur[1])) for p in props])
+            return
+
+        if not self_close:
+            self.push(tag)
+
+    def on_pop(self, frame: dict) -> None:
+        if frame.get("pops_item"):
+            self.items.pop()
+
+
+class _RdfaWalk(_Walk):
+    def __init__(self) -> None:
+        super().__init__()
+        # context stack mirrors frames: (subject or None, vocab)
+        self.ctx: List[Tuple[Optional[str], str]] = [(None, "http://schema.org/")]
+        self.blank_n = 0
+
+    def on_open(self, tag: str, a: dict, self_close: bool) -> None:
+        parent_subj, vocab = self.ctx[-1]
+        vocab = a.get("vocab", vocab) or vocab
+        about = a.get("about")
+        typeof = a.get("typeof", "").split()
+        prop_names = a.get("property", "").split()
+        resource = a.get("resource")
+        href = a.get("href") or a.get("src")
+        content = a.get("content")
+
+        subj: Optional[str] = about if about else None
+        capture: List[Tuple[str, str]] = []
+
+        if prop_names and parent_subj is not None and not about:
+            preds = [_resolve(p, vocab) for p in prop_names]
+            if typeof:
+                # chaining: object is a fresh node (resource IRI or blank)
+                if resource:
+                    obj_kind, obj_lex, subj = KIND_IRI, resource, resource
+                else:
+                    label = f"r{self.blank_n}"
+                    self.blank_n += 1
+                    obj_kind, obj_lex, subj = KIND_BLANK, label, "_:" + label
+                for p in preds:
+                    self.out.append((parent_subj, p, obj_kind, obj_lex, None, None))
+            elif content is not None:
+                for p in preds:
+                    self.out.append((parent_subj, p, KIND_LITERAL, content, None, None))
+            elif resource or href:
+                iri = resource or href
+                for p in preds:
+                    self.out.append((parent_subj, p, KIND_IRI, iri, None, None))
+            else:
+                capture = [(parent_subj, p) for p in preds]
+        elif prop_names and about and parent_subj is not None:
+            # explicit about on a property element: link parent → about
+            for p in prop_names:
+                self.out.append(
+                    (parent_subj, _resolve(p, vocab), KIND_IRI, about, None, None)
+                )
+
+        if typeof and subj is None:
+            label = f"r{self.blank_n}"
+            self.blank_n += 1
+            subj = "_:" + label
+        if typeof and subj is not None:
+            for t in typeof:
+                self.out.append(
+                    (subj, RDF_TYPE, KIND_IRI, _resolve(t, vocab), None, None)
+                )
+        if subj is None and resource and not prop_names:
+            subj = resource
+
+        new_ctx = (subj if subj is not None else parent_subj, vocab)
+        if not self_close:
+            self.push(tag, capture_for=capture, ctx=True)
+            self.ctx.append(new_ctx)
+        elif capture:
+            # void element with a text property captures nothing → empty literal
+            for s, p in capture:
+                self.out.append((s, p, KIND_LITERAL, "", None, None))
+
+    def on_pop(self, frame: dict) -> None:
+        if frame.get("ctx"):
+            self.ctx.pop()
+
+
+def microdata_doc_triples(html: str) -> List[Triple]:
+    """One HTML document → Microdata triples (doc-local blank labels
+    ``_:m0``, ``_:m1``, … in document order, globalized downstream by
+    the pipeline's content-addressed skolemization)."""
+    return _MicrodataWalk().walk(html)
+
+
+def rdfa_doc_triples(html: str) -> List[Triple]:
+    """One HTML document → RDFa Lite triples (doc-local blank labels
+    ``_:r0``, ``_:r1``, …)."""
+    return _RdfaWalk().walk(html)
+
+
+def _doc_kernel(parse_fn, content_col: str, url_col: str):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
+        for pdf in batches:
+            rows = []
+            for html, url in zip(pdf[content_col], pdf[url_col]):
+                if html is None:
+                    continue
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                rows.extend(t + (url,) for t in parse_fn(html))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return run
+
+
+def parse_microdata_pages(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """pages → Microdata triples (+ ``src_url``), Arrow-batched
+    document-per-row like the Turtle/JSON-LD readers."""
+    return df.select(url_col, html_col).mapInPandas(
+        _doc_kernel(microdata_doc_triples, html_col, url_col),
+        schema=TRIPLES_WITH_SRC_SCHEMA,
+    )
+
+
+def parse_rdfa_pages(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """pages → RDFa Lite triples (+ ``src_url``)."""
+    return df.select(url_col, html_col).mapInPandas(
+        _doc_kernel(rdfa_doc_triples, html_col, url_col),
+        schema=TRIPLES_WITH_SRC_SCHEMA,
+    )
+
+
+def extract_jsonld_scripts(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """pages → one row per embedded JSON-LD script block
+    (``url``, ``content``). Pure column algebra: the regexp runs
+    JVM-side and pages with no blocks drop before any Python work."""
+    html = F.col(html_col)
+    # binary html decodes transparently; string passes through
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+    blocks = F.regexp_extract_all(html, F.lit(JSONLD_SCRIPT_PATTERN), 1)
+    return (
+        df.select(F.col(url_col).alias("url"), blocks.alias("blocks"))
+        .filter(F.size("blocks") > 0)
+        .select("url", F.explode("blocks").alias("content"))
+    )
+
+
+def synthesize_sd_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Deterministic HTML corpus embedding the Web Data Commons trio —
+    every page carries a JSON-LD ``<script>`` block; even rows add a
+    Microdata Person card (with a nested blank PostalAddress); rows with
+    ``i % 3 != 2`` add an RDFa Lite Article. Every emitted triple is a
+    closed form of the row index, so all three extractors (and their
+    union) regenerate in ANSI SQL — the same oracle convention as
+    ``synthesize_web_pages``. Built with ``spark.range`` + column
+    expressions: generates distributed at any row count."""
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(F.lit("https://sd"), s(i % 500), F.lit(".example.org/item/"), s(i))
+
+    jsonld = F.concat(
+        F.lit('{"@id": "http://kg.example.org/prod/'), s(i),
+        F.lit('", "@type": "http://schema.org/Product"'),
+        F.lit(', "http://schema.org/name": "Product '), s(i), F.lit('"'),
+        F.lit(', "http://schema.org/sku": {"@value": "'), s(i % 97),
+        F.lit('", "@type": "http://www.w3.org/2001/XMLSchema#integer"}'),
+        F.lit(', "http://schema.org/brand": {"@id": "http://kg.example.org/brand/'),
+        s(i % 30), F.lit('"}}'),
+    )
+    microdata = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('<div itemscope itemtype="http://schema.org/Person"'
+                  ' itemid="http://kg.example.org/person/'), s(i % 40), F.lit('">'),
+            F.lit('<span itemprop="name">Person '), s(i % 40), F.lit("</span>"),
+            F.lit('<a itemprop="knows" href="http://kg.example.org/person/'),
+            s((i + 1) % 40), F.lit('">peer</a>'),
+            F.lit('<meta itemprop="age" content="'), s(i % 90), F.lit('">'),
+            F.lit('<div itemprop="address" itemscope'
+                  ' itemtype="http://schema.org/PostalAddress">'),
+            F.lit('<span itemprop="postalCode">Z'), s(i % 100), F.lit("</span>"),
+            F.lit("</div></div>"),
+        ),
+    ).otherwise(F.lit(""))
+    rdfa = F.when(
+        i % 3 != 2,
+        F.concat(
+            F.lit('<div vocab="http://schema.org/" typeof="Article"'
+                  ' about="http://kg.example.org/art/'), s(i), F.lit('">'),
+            F.lit('<h1 property="headline">Headline '), s(i), F.lit("</h1>"),
+            F.lit('<a property="author" href="http://kg.example.org/person/'),
+            s(i % 40), F.lit('">by</a>'),
+            F.lit('<meta property="wordCount" content="'), s(100 + (i % 900)),
+            F.lit('"></div>'),
+        ),
+    ).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><head><title>SD "), s(i), F.lit("</title>"),
+        F.lit('<script type="application/ld+json">'), jsonld, F.lit("</script>"),
+        F.lit("</head><body>"), microdata, rdfa, F.lit("</body></html>"),
+    )
+    return spark.range(n_rows).select(url.alias("url"), html.alias("html"))
+
+
+def parse_jsonld_pages(
+    df: DataFrame, html_col: str = "html", url_col: str = "url", errors: str = "skip"
+) -> DataFrame:
+    """pages → triples from every embedded JSON-LD ``<script>`` block,
+    reusing the expanded-form reader in :mod:`.jsonld`."""
+    from .jsonld import parse_jsonld_docs
+
+    scripts = extract_jsonld_scripts(df, html_col, url_col)
+    return parse_jsonld_docs(scripts, content_col="content", id_col="url", errors=errors)

@@ -1,0 +1,215 @@
+"""Embedded structured data (Web Data Commons trio) — walker semantics
+beyond the synthesized corpus: multi-valued attributes, vocabulary
+resolution, value precedence, blank allocation order, chaining, and
+script-body robustness. The corpus-level regeneration oracles live in
+the `html_*_triples` / `kg_web_data_commons` driver entries."""
+
+import pandas as pd
+import pytest
+
+from rdf_rs_spark.sources.structured_data import (
+    extract_jsonld_scripts,
+    microdata_doc_triples,
+    parse_jsonld_pages,
+    rdfa_doc_triples,
+    synthesize_sd_pages,
+)
+from rdf_rs_spark.terms import KIND_BLANK, KIND_IRI, KIND_LITERAL, RDF_TYPE
+
+SCHEMA = "http://schema.org/"
+
+
+def md(html):
+    return set(microdata_doc_triples(html))
+
+
+def ra(html):
+    return set(rdfa_doc_triples(html))
+
+
+# ---------------------------------------------------------------- microdata
+
+
+def test_microdata_plain_names_resolve_against_itemtype_vocab():
+    html = ('<div itemscope itemtype="http://example.org/vocab#Thing" itemid="http://x/1">'
+            '<span itemprop="size">big</span></div>')
+    assert ("http://x/1", "http://example.org/vocab#size", KIND_LITERAL,
+            "big", None, None) in md(html)
+
+
+def test_microdata_absolute_itemprop_passes_through():
+    html = ('<div itemscope itemid="http://x/1">'
+            '<span itemprop="http://purl.org/dc/terms/title">T</span></div>')
+    assert ("http://x/1", "http://purl.org/dc/terms/title", KIND_LITERAL,
+            "T", None, None) in md(html)
+
+
+def test_microdata_no_itemtype_defaults_to_schema_org():
+    html = '<div itemscope itemid="http://x/1"><span itemprop="name">N</span></div>'
+    assert ("http://x/1", SCHEMA + "name", KIND_LITERAL, "N", None, None) in md(html)
+
+
+def test_microdata_multivalued_itemprop_and_itemtype():
+    html = ('<div itemscope itemtype="http://schema.org/Book http://schema.org/CreativeWork"'
+            ' itemid="http://x/b"><span itemprop="name alternateName">AN</span></div>')
+    got = md(html)
+    assert ("http://x/b", RDF_TYPE, KIND_IRI, SCHEMA + "Book", None, None) in got
+    assert ("http://x/b", RDF_TYPE, KIND_IRI, SCHEMA + "CreativeWork", None, None) in got
+    assert ("http://x/b", SCHEMA + "name", KIND_LITERAL, "AN", None, None) in got
+    assert ("http://x/b", SCHEMA + "alternateName", KIND_LITERAL, "AN", None, None) in got
+
+
+def test_microdata_text_capture_strips_nested_markup():
+    html = ('<div itemscope itemid="http://x/1">'
+            '<span itemprop="name">A <b>B</b> C</span></div>')
+    assert ("http://x/1", SCHEMA + "name", KIND_LITERAL, "A B C", None, None) in md(html)
+
+
+def test_microdata_img_src_is_iri_object():
+    html = ('<div itemscope itemid="http://x/1">'
+            '<img itemprop="image" src="http://x/i.png"></div>')
+    assert ("http://x/1", SCHEMA + "image", KIND_IRI, "http://x/i.png", None, None) in md(html)
+
+
+def test_microdata_blank_labels_allocate_in_document_order():
+    html = ('<div itemscope><span itemprop="name">first</span></div>'
+            '<div itemscope><span itemprop="name">second</span></div>')
+    got = md(html)
+    assert ("_:m0", SCHEMA + "name", KIND_LITERAL, "first", None, None) in got
+    assert ("_:m1", SCHEMA + "name", KIND_LITERAL, "second", None, None) in got
+
+
+def test_microdata_nested_item_is_property_value():
+    html = ('<div itemscope itemid="http://x/p">'
+            '<div itemprop="address" itemscope itemid="http://x/a">'
+            '<span itemprop="postalCode">Z</span></div></div>')
+    got = md(html)
+    assert ("http://x/p", SCHEMA + "address", KIND_IRI, "http://x/a", None, None) in got
+    assert ("http://x/a", SCHEMA + "postalCode", KIND_LITERAL, "Z", None, None) in got
+
+
+def test_microdata_meta_without_content_emits_nothing():
+    html = '<div itemscope itemid="http://x/1"><meta itemprop="age"></div>'
+    assert md(html) == set()
+
+
+def test_microdata_orphan_itemprop_outside_item_is_dropped():
+    assert md('<span itemprop="name">loose</span>') == set()
+
+
+def test_microdata_script_bodies_are_skipped():
+    html = ('<div itemscope itemid="http://x/1">'
+            '<script>var a = "<span itemprop=\\"name\\">no</span>";</script>'
+            '<span itemprop="name">yes</span></div>')
+    got = md(html)
+    assert ("http://x/1", SCHEMA + "name", KIND_LITERAL, "yes", None, None) in got
+    assert len([t for t in got if t[1] == SCHEMA + "name"]) == 1
+
+
+def test_microdata_unclosed_property_flushes_at_eof():
+    html = '<div itemscope itemid="http://x/1"><span itemprop="name">tail'
+    assert ("http://x/1", SCHEMA + "name", KIND_LITERAL, "tail", None, None) in md(html)
+
+
+# ------------------------------------------------------------------- rdfa
+
+
+def test_rdfa_vocab_inherits_to_descendants():
+    html = ('<div vocab="http://example.org/v/"><div about="http://x/1">'
+            '<span property="p">v</span></div></div>')
+    assert ("http://x/1", "http://example.org/v/p", KIND_LITERAL, "v", None, None) in ra(html)
+
+
+def test_rdfa_content_beats_text():
+    html = ('<div vocab="http://schema.org/" about="http://x/1">'
+            '<span property="name" content="attr">text</span></div>')
+    got = ra(html)
+    assert ("http://x/1", SCHEMA + "name", KIND_LITERAL, "attr", None, None) in got
+    assert not any(t[3] == "text" for t in got)
+
+
+def test_rdfa_resource_is_iri_object():
+    html = ('<div vocab="http://schema.org/" about="http://x/1">'
+            '<span property="author" resource="http://x/a">A</span></div>')
+    assert ("http://x/1", SCHEMA + "author", KIND_IRI, "http://x/a", None, None) in ra(html)
+
+
+def test_rdfa_property_typeof_chains_via_blank():
+    html = ('<div vocab="http://schema.org/" about="http://x/1">'
+            '<div property="author" typeof="Person">'
+            '<span property="name">Ada</span></div></div>')
+    got = ra(html)
+    assert ("http://x/1", SCHEMA + "author", KIND_BLANK, "r0", None, None) in got
+    assert ("_:r0", RDF_TYPE, KIND_IRI, SCHEMA + "Person", None, None) in got
+    assert ("_:r0", SCHEMA + "name", KIND_LITERAL, "Ada", None, None) in got
+
+
+def test_rdfa_typeof_without_about_is_blank_subject():
+    html = ('<div vocab="http://schema.org/" typeof="Person">'
+            '<span property="name">B</span></div>')
+    got = ra(html)
+    assert ("_:r0", RDF_TYPE, KIND_IRI, SCHEMA + "Person", None, None) in got
+    assert ("_:r0", SCHEMA + "name", KIND_LITERAL, "B", None, None) in got
+
+
+def test_rdfa_property_with_about_links_parent_to_about():
+    html = ('<div vocab="http://schema.org/" about="http://x/1">'
+            '<div property="publisher" about="http://x/org">'
+            '<span property="name">Org</span></div></div>')
+    got = ra(html)
+    assert ("http://x/1", SCHEMA + "publisher", KIND_IRI, "http://x/org", None, None) in got
+    assert ("http://x/org", SCHEMA + "name", KIND_LITERAL, "Org", None, None) in got
+
+
+def test_rdfa_orphan_property_without_subject_is_dropped():
+    assert ra('<span property="name">x</span>') == set()
+
+
+def test_rdfa_absolute_property_passes_through():
+    html = ('<div about="http://x/1">'
+            '<span property="http://purl.org/dc/terms/title">T</span></div>')
+    assert ("http://x/1", "http://purl.org/dc/terms/title", KIND_LITERAL,
+            "T", None, None) in ra(html)
+
+
+# ------------------------------------------------------- jsonld extraction
+
+
+def test_extract_multiple_jsonld_scripts_per_page(spark):
+    html = ('<html><head>'
+            '<script type="application/ld+json">{"@id": "http://x/1", "@type": "http://s/T"}</script>'
+            '<script type="text/javascript">var x = 1;</script>'
+            '<script type="application/ld+json">{"@id": "http://x/2", "@type": "http://s/T"}</script>'
+            '</head><body></body></html>')
+    df = spark.createDataFrame([("u0", html), ("u1", "<html><body>none</body></html>")],
+                               "url string, html string")
+    blocks = extract_jsonld_scripts(df).collect()
+    assert len(blocks) == 2 and all(r["url"] == "u0" for r in blocks)
+    triples = parse_jsonld_pages(df).collect()
+    assert {(r["subj"], r["src_url"]) for r in triples} == {("http://x/1", "u0"),
+                                                            ("http://x/2", "u0")}
+
+
+def test_parse_jsonld_pages_skips_malformed_blocks(spark):
+    html = ('<script type="application/ld+json">{not json</script>'
+            '<script type="application/ld+json">{"@id": "http://x/ok", "@type": "http://s/T"}</script>')
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    rows = parse_jsonld_pages(df).collect()
+    assert [r["subj"] for r in rows] == ["http://x/ok"]
+
+
+def test_extract_jsonld_accepts_binary_html(spark):
+    html = '<script type="application/ld+json">{"@id": "http://x/1", "@type": "http://s/T"}</script>'
+    df = spark.createDataFrame([("u", bytearray(html.encode()))], "url string, html binary")
+    assert [r["content"] for r in extract_jsonld_scripts(df).collect()] == [
+        '{"@id": "http://x/1", "@type": "http://s/T"}'
+    ]
+
+
+def test_sd_corpus_block_presence_classes(spark):
+    rows = synthesize_sd_pages(spark, 6).collect()
+    for r in rows:
+        i = int(r["url"].rsplit("/", 1)[1])
+        assert ('itemscope' in r["html"]) == (i % 2 == 0)
+        assert ('typeof=' in r["html"]) == (i % 3 != 2)
+        assert 'application/ld+json' in r["html"]
