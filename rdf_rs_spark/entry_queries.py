@@ -4623,6 +4623,68 @@ def kg_web_data_commons(spark, sf_dir):
     )
 
 
+def _og_oracle(n: int) -> str:
+    return f"""WITH p AS (
+      SELECT i, 'https://sd' || (i % 500) || '.example.org/item/' || i AS u
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i))
+    SELECT u AS subj, 'og:title' AS pred, 2::TINYINT AS obj_kind,
+           'SD ' || i AS obj_lex, CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang, u AS src_url FROM p
+    UNION ALL SELECT u, 'og:type', 2::TINYINT, 'article', NULL, NULL, u FROM p
+    UNION ALL SELECT u, 'og:url', 2::TINYINT, u, NULL, NULL, u FROM p"""
+
+
+@q("html_opengraph_triples", _og_oracle(2000))
+def html_opengraph_triples(spark, sf_dir):
+    """OpenGraph extraction: head-level <meta property="og:…"> tags ARE
+    RDFa with the document IRI as subject — the same walker runs with
+    url_as_base=True (RDFa's document-IRI initial subject) and the og:
+    CURIEs filter JVM-side. `sources/structured_data.py`."""
+    from .sources.structured_data import parse_rdfa_pages, synthesize_sd_pages
+
+    pages = synthesize_sd_pages(spark, _scale_n(sf_dir))
+    return parse_rdfa_pages(pages, url_as_base=True).filter(
+        F.col("pred").startswith("og:")
+    )
+
+
+def _synd_oracle(n: int) -> str:
+    """Regeneration over the syndication corpus: one surviving triple set
+    per canonical group c ∈ {0, 5, …} with mirror-0 provenance."""
+    assert n % 5 == 0
+    return f"""WITH c AS (
+      SELECT unnest(generate_series(0, {n - 5}, 5)) AS c),
+    g AS (SELECT c, 'http://kg.example.org/prod/' || c AS prod,
+                 'https://m0.example.org/item/' || c AS canon FROM c)
+    SELECT prod AS subj, '{RDF_TYPE}' AS pred, 0::TINYINT AS obj_kind,
+           'http://schema.org/Product' AS obj_lex,
+           CAST(NULL AS VARCHAR) AS obj_datatype, CAST(NULL AS VARCHAR) AS obj_lang,
+           canon AS src_url FROM g
+    UNION ALL SELECT prod, 'http://schema.org/name', 2::TINYINT,
+           'Product ' || c, NULL, NULL, canon FROM g
+    UNION ALL SELECT prod, 'http://schema.org/sku', 2::TINYINT,
+           (c % 97)::VARCHAR, NULL, NULL, canon FROM g"""
+
+
+@q("kg_wdc_canonical_dedup", _synd_oracle(2000))
+def kg_wdc_canonical_dedup(spark, sf_dir):
+    """Syndication collapse — the web-scale dedup step after WDC
+    extraction: every page's rel=canonical target is computed JVM-side
+    IN THE SAME ROW (`canonical_url`), so provenance rewrite is a free
+    projection in the extraction scan (no url-keyed join), and the
+    mirrors' identical extractions collapse in ONE set-dedup shuffle.
+    The corpus synthesizes 5 mirrors per article on different hosts."""
+    from .sources.structured_data import (
+        canonical_url,
+        parse_microdata_pages,
+        synthesize_syndicated_pages,
+    )
+
+    pages = synthesize_syndicated_pages(spark, _scale_n(sf_dir))
+    canonical = pages.select(canonical_url(pages).alias("url"), "html")
+    return parse_microdata_pages(canonical).dropDuplicates()
+
+
 def _trig_oracle(n: int) -> str:
     """Closed-form replay of the TriG parse over the index-synthesized
     documents: every quad (triple + graph label) is a pure function of i."""
@@ -8050,6 +8112,8 @@ DEFERRED = {
     "html_microdata_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "html_rdfa_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_web_data_commons": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "html_opengraph_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_wdc_canonical_dedup": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

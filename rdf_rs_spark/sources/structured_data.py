@@ -233,10 +233,13 @@ class _MicrodataWalk(_Walk):
 
 
 class _RdfaWalk(_Walk):
-    def __init__(self) -> None:
+    def __init__(self, base: Optional[str] = None) -> None:
         super().__init__()
-        # context stack mirrors frames: (subject or None, vocab)
-        self.ctx: List[Tuple[Optional[str], str]] = [(None, "http://schema.org/")]
+        # context stack mirrors frames: (subject or None, vocab). RDFa
+        # proper makes the document IRI the initial subject; the default
+        # None keeps head-level strays out unless the caller opts in
+        # (the OpenGraph path passes base=url).
+        self.ctx: List[Tuple[Optional[str], str]] = [(base, "http://schema.org/")]
         self.blank_n = 0
 
     def on_open(self, tag: str, a: dict, self_close: bool) -> None:
@@ -313,13 +316,16 @@ def microdata_doc_triples(html: str) -> List[Triple]:
     return _MicrodataWalk().walk(html)
 
 
-def rdfa_doc_triples(html: str) -> List[Triple]:
+def rdfa_doc_triples(html: str, base: Optional[str] = None) -> List[Triple]:
     """One HTML document → RDFa Lite triples (doc-local blank labels
-    ``_:r0``, ``_:r1``, …)."""
-    return _RdfaWalk().walk(html)
+    ``_:r0``, ``_:r1``, …). ``base`` is the initial subject (the
+    document IRI per RDFa; None drops subject-less properties)."""
+    return _RdfaWalk(base).walk(html)
 
 
 def _doc_kernel(parse_fn, content_col: str, url_col: str):
+    """``parse_fn(html, url) -> triples`` over Arrow batches."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
         for pdf in batches:
@@ -329,7 +335,7 @@ def _doc_kernel(parse_fn, content_col: str, url_col: str):
                     continue
                 if isinstance(html, (bytes, bytearray)):
                     html = bytes(html).decode("utf-8", errors="replace")
-                rows.extend(t + (url,) for t in parse_fn(html))
+                rows.extend(t + (url,) for t in parse_fn(html, url))
             yield pd.DataFrame(rows, columns=cols)
 
     return run
@@ -341,19 +347,65 @@ def parse_microdata_pages(
     """pages → Microdata triples (+ ``src_url``), Arrow-batched
     document-per-row like the Turtle/JSON-LD readers."""
     return df.select(url_col, html_col).mapInPandas(
-        _doc_kernel(microdata_doc_triples, html_col, url_col),
+        _doc_kernel(lambda h, u: microdata_doc_triples(h), html_col, url_col),
         schema=TRIPLES_WITH_SRC_SCHEMA,
     )
 
 
 def parse_rdfa_pages(
-    df: DataFrame, html_col: str = "html", url_col: str = "url"
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    url_as_base: bool = False,
 ) -> DataFrame:
-    """pages → RDFa Lite triples (+ ``src_url``)."""
-    return df.select(url_col, html_col).mapInPandas(
-        _doc_kernel(rdfa_doc_triples, html_col, url_col),
-        schema=TRIPLES_WITH_SRC_SCHEMA,
+    """pages → RDFa Lite triples (+ ``src_url``). With ``url_as_base``
+    the page url becomes the initial subject (RDFa's document-IRI rule),
+    which is what binds head-level ``<meta property="og:…">`` OpenGraph
+    tags to the page."""
+    fn = (lambda h, u: rdfa_doc_triples(h, base=u)) if url_as_base else (
+        lambda h, u: rdfa_doc_triples(h)
     )
+    return df.select(url_col, html_col).mapInPandas(
+        _doc_kernel(fn, html_col, url_col), schema=TRIPLES_WITH_SRC_SCHEMA
+    )
+
+
+CANONICAL_LINK_PATTERN = r'<link rel="canonical" href="(.*?)">'
+
+
+def canonical_url(df: DataFrame, html_col: str = "html", url_col: str = "url"):
+    """``rel=canonical`` target of each page (the page's own url when
+    absent) — pure JVM column algebra. Because the canonical comes from
+    the SAME page row, provenance rewrite is a zero-cost projection in
+    the extraction scan: no url-keyed join ever materializes."""
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+    canon = F.regexp_extract(html, CANONICAL_LINK_PATTERN, 1)
+    return F.when(canon == "", F.col(url_col)).otherwise(canon)
+
+
+def synthesize_syndicated_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Syndication corpus: every 5 consecutive rows are MIRRORS of one
+    article — same embedded Microdata (keyed by the canonical index
+    ``c = i - i % 5``), different host + boilerplate, and every mirror
+    carries ``<link rel="canonical">`` to mirror 0. The WDC extraction
+    with canonical provenance must collapse the group to ONE copy."""
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    c = i - (i % 5)
+    url = F.concat(F.lit("https://m"), s(i % 5), F.lit(".example.org/item/"), s(c))
+    canon = F.concat(F.lit("https://m0.example.org/item/"), s(c))
+    html = F.concat(
+        F.lit('<html><head><link rel="canonical" href="'), canon, F.lit('">'),
+        F.lit("</head><body><p>mirror "), s(i % 5), F.lit(" banner</p>"),
+        F.lit('<div itemscope itemtype="http://schema.org/Product"'
+              ' itemid="http://kg.example.org/prod/'), s(c), F.lit('">'),
+        F.lit('<span itemprop="name">Product '), s(c), F.lit("</span>"),
+        F.lit('<meta itemprop="sku" content="'), s(c % 97), F.lit('">'),
+        F.lit("</div></body></html>"),
+    )
+    return spark.range(n_rows).select(url.alias("url"), html.alias("html"))
 
 
 def extract_jsonld_scripts(
@@ -424,8 +476,13 @@ def synthesize_sd_pages(spark: SparkSession, n_rows: int) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
 
+    og = F.concat(
+        F.lit('<meta property="og:title" content="SD '), s(i), F.lit('">'),
+        F.lit('<meta property="og:type" content="article">'),
+        F.lit('<meta property="og:url" content="'), url, F.lit('">'),
+    )
     html = F.concat(
-        F.lit("<html><head><title>SD "), s(i), F.lit("</title>"),
+        F.lit("<html><head><title>SD "), s(i), F.lit("</title>"), og,
         F.lit('<script type="application/ld+json">'), jsonld, F.lit("</script>"),
         F.lit("</head><body>"), microdata, rdfa, F.lit("</body></html>"),
     )

@@ -206,6 +206,51 @@ def test_extract_jsonld_accepts_binary_html(spark):
     ]
 
 
+def test_rdfa_base_subject_binds_head_metas():
+    html = ('<html><head><meta property="og:title" content="T">'
+            '<meta property="og:url" content="http://x/1"></head></html>')
+    got = set(rdfa_doc_triples(html, base="http://x/1"))
+    assert ("http://x/1", "og:title", KIND_LITERAL, "T", None, None) in got
+    assert ("http://x/1", "og:url", KIND_LITERAL, "http://x/1", None, None) in got
+    # default walker (no base) drops the same subject-less metas
+    assert rdfa_doc_triples(html) == []
+
+
+def test_rdfa_about_still_overrides_base():
+    html = ('<div about="http://x/a"><span property="name" '
+            'content="A"></span></div>')
+    got = set(rdfa_doc_triples(html, base="http://x/doc"))
+    assert ("http://x/a", SCHEMA + "name", KIND_LITERAL, "A", None, None) in got
+    assert not any(t[0] == "http://x/doc" for t in got)
+
+
+def test_canonical_url_falls_back_to_page_url(spark):
+    from rdf_rs_spark.sources.structured_data import canonical_url
+
+    df = spark.createDataFrame(
+        [("u1", '<link rel="canonical" href="http://c/1">'), ("u2", "<html></html>")],
+        "url string, html string",
+    )
+    got = {r["url"]: r["c"] for r in df.select("url", canonical_url(df).alias("c")).collect()}
+    assert got == {"u1": "http://c/1", "u2": "u2"}
+
+
+def test_syndicated_mirrors_collapse_to_one_copy(spark):
+    from rdf_rs_spark.sources.structured_data import (
+        canonical_url,
+        parse_microdata_pages,
+        synthesize_syndicated_pages,
+    )
+
+    pages = synthesize_syndicated_pages(spark, 20)  # 4 canonical groups × 5 mirrors
+    canonical = pages.select(canonical_url(pages).alias("url"), "html")
+    rows = parse_microdata_pages(canonical).dropDuplicates().collect()
+    assert len(rows) == 4 * 3  # type, name, sku per group
+    assert {r["src_url"] for r in rows} == {
+        f"https://m0.example.org/item/{c}" for c in (0, 5, 10, 15)
+    }
+
+
 def test_sd_corpus_block_presence_classes(spark):
     rows = synthesize_sd_pages(spark, 6).collect()
     for r in rows:
