@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     # .warc.gz members -> WARC walk -> HTTP parse -> pages -> Turtle
     # islands -> linking -> skolemize -> salted dedup, one plan
     "kg_pipeline_from_warc",
+    # session-5: the Web Data Commons trio over one page corpus —
+    # embedded JSON-LD + Microdata + RDFa extraction unioned (50k
+    # pages at sf0.1; three Arrow walks + one set-dedup shuffle)
+    "kg_web_data_commons",
 ]
 
 
