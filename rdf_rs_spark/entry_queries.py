@@ -633,6 +633,36 @@ def docs_lm_fluency(spark, sf_dir):
 
 
 @q(
+    "docs_hashclf_quality",
+    """WITH s AS (SELECT doc_id,
+         (list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            t -> ((('0x' || substring(md5(t), 1, 8))::BIGINT % 65536) % 41 - 20))))::BIGINT
+           AS clf_score
+       FROM documents)
+    SELECT doc_id, clf_score,
+           (CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM s""",
+)
+def docs_hashclf_quality(spark, sf_dir):
+    """Model-based quality filtering (the CCNet/fastText curation
+    stage): a frozen hashed linear classifier scores every document in
+    ONE narrow JVM projection — per-token md5 bucket → integer weight →
+    higher-order aggregate, no explode, no Python, zero exchanges
+    (`corpus.py::hashclf_score`). Integer weights keep the dot product
+    engine-exact; the md5-prefix bucket is the repo's standard
+    cross-engine hash int (`md5_shard` recipe)."""
+    from .operators.corpus import hashclf_score
+
+    d = _t(spark, sf_dir, "documents")
+    score = hashclf_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        score.alias("clf_score"),
+        F.when(score >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
+@q(
     "docs_quality_score",
     f"""SELECT doc_id, floor(1000 * (
          0.5 * least(len(toks), 100) / 100.0
@@ -8114,6 +8144,7 @@ DEFERRED = {
     "kg_web_data_commons": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "html_opengraph_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_wdc_canonical_dedup": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "docs_hashclf_quality": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -589,6 +589,32 @@ def rule_filter(
     )
 
 
+def hashclf_score(text: Column, n_buckets: int = 1 << 16) -> Column:
+    """FastText/CCNet-style hashed linear classifier score — the
+    model-based quality filter web-text curation runs after the rule
+    stage (beyond-reference; the reference has no text ops). The frozen
+    model is the hashing-trick linear form those classifiers ship:
+    token → bucket ``b = md5-prefix % n_buckets`` → integer weight
+    ``w(b) = b % 41 - 20``; the document score is ``Σ w``. Integer
+    weights make the score engine-exact (no float dot product), and the
+    weight table being a pure function of the bucket id stands in for a
+    shipped weight array without burying 64Ki literals in the plan.
+
+    Scale: ONE narrow projection — the per-token hash runs inside a
+    higher-order ``transform``/``aggregate`` (JVM, no Python, no
+    explode→groupBy shuffle of the token stream; the per-row-statistic
+    rule from `repetition_score_e3` applies). Zero exchanges, composes
+    into any scan."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    weights = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n_buckets
+        ) % 41 - 20,
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def bigram_lm_fluency(
     df: DataFrame,
     doc_id: Column,

@@ -77,6 +77,33 @@ def test_repetition_score_is_narrow(spark):
     assert count_exchanges(df) == 0
 
 
+def test_hashclf_score_is_narrow_and_matches_python(spark):
+    """The hashed linear classifier is a per-document statistic: ONE
+    narrow JVM projection (higher-order transform/aggregate), zero
+    exchanges, zero Python stages — and its integer score matches an
+    independent hashlib replication of the frozen model."""
+    import hashlib
+
+    from rdf_rs_spark.operators.corpus import hashclf_score
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = d.select("doc_id", hashclf_score(F.col("text")).alias("s"))
+    assert count_exchanges(df) == 0
+    plan = explain_str(df, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def py_score(text):
+        total = 0
+        for t in text.strip().lower().split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % (1 << 16)
+            total += b % 41 - 20
+        return total
+
+    got = {r["doc_id"]: r["s"] for r in df.limit(50).collect()}
+    texts = {r["doc_id"]: r["text"] for r in d.filter(F.col("doc_id").isin(*got)).collect()}
+    assert got == {i: py_score(t) for i, t in texts.items()}
+
+
 def test_repetition_tokenizer_matches_column_expr(spark):
     """The Arrow kernel's ASCII \\S+ tokenization must agree with
     tokens_col (trim + Java \\s+ split) on the corpus — a boundary
