@@ -4653,6 +4653,69 @@ def kg_web_data_commons(spark, sf_dir):
     )
 
 
+def _tables_oracle(n: int) -> str:
+    """Regeneration over `synthesize_table_pages`: product table (header
+    row names the columns, 3 data rows) + headerless layout table on
+    odd pages — every cell a closed form of (page index, data row)."""
+    return f"""WITH p AS (
+      SELECT i, 'https://t' || (i % 200) || '.example.org/tab/' || i AS u
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)),
+    k AS (SELECT unnest(generate_series(0, 2)) AS k)
+    SELECT u AS src_url, 0::INTEGER AS table_idx, k::INTEGER AS row_idx,
+           'name' AS col_name, 'item' || ((i + k) % 50) AS cell
+    FROM p CROSS JOIN k
+    UNION ALL SELECT u, 0::INTEGER, k::INTEGER, 'qty',
+           ((i * 7 + k) % 100)::VARCHAR FROM p CROSS JOIN k
+    UNION ALL SELECT u, 0::INTEGER, k::INTEGER, 'price',
+           ((i + k) % 13) || '.99' FROM p CROSS JOIN k
+    UNION ALL SELECT u, 1::INTEGER, 0::INTEGER, 'c0', 'nav' || (i % 5)
+    FROM p WHERE i % 2 = 1
+    UNION ALL SELECT u, 1::INTEGER, 0::INTEGER, 'c1', 'ad'
+    FROM p WHERE i % 2 = 1"""
+
+
+@q("html_web_tables", _tables_oracle(2000))
+def html_web_tables(spark, sf_dir):
+    """WDC-Web-Tables relational extraction: every <table> → rows of
+    (table_idx, row_idx, col_name, cell); an all-<th> first row names
+    the columns, headerless layout tables fall back to c<j> — the
+    semi-structured training-data channel next to the RDF trio. One
+    document-granular Arrow kernel; html bytes never shuffle
+    (`sources/structured_data.py::html_table_rows`)."""
+    from .sources.structured_data import parse_web_tables, synthesize_table_pages
+
+    return parse_web_tables(synthesize_table_pages(spark, _scale_n(sf_dir)))
+
+
+@q(
+    "web_table_schemas",
+    """SELECT 'name|price|qty' AS schema_sig, 2000::BIGINT AS n_tables,
+              6000::BIGINT AS total_rows
+    UNION ALL SELECT 'c0|c1', 1000::BIGINT, 1000::BIGINT""",
+)
+def web_table_schemas(spark, sf_dir):
+    """Schema induction over the extracted web-table corpus: tables
+    group by their sorted column-name signature into table CLASSES with
+    table/row counts — the characteristic-sets idea applied to the WDC
+    Web Tables channel (class discovery is what T2K-style KG matching
+    runs on). Two map-side-combining aggregates; output is
+    vocabulary-sized. Oracle is the closed form of the synthesized
+    corpus (every page ships one product table, odd pages one layout
+    table)."""
+    from .sources.structured_data import parse_web_tables, synthesize_table_pages
+
+    n = _scale_n(sf_dir)
+    tables = parse_web_tables(synthesize_table_pages(spark, n))
+    sig = tables.groupBy("src_url", "table_idx").agg(
+        F.array_join(F.array_sort(F.collect_set("col_name")), "|").alias("schema_sig"),
+        (F.max("row_idx") + 1).alias("n_rows"),
+    )
+    return sig.groupBy("schema_sig").agg(
+        F.count(F.lit(1)).alias("n_tables"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+
+
 def _og_oracle(n: int) -> str:
     return f"""WITH p AS (
       SELECT i, 'https://sd' || (i % 500) || '.example.org/item/' || i AS u
@@ -8145,6 +8208,8 @@ DEFERRED = {
     "html_opengraph_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_wdc_canonical_dedup": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_hashclf_quality": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "html_web_tables": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "web_table_schemas": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -309,6 +309,140 @@ class _RdfaWalk(_Walk):
             self.ctx.pop()
 
 
+class _TableWalk(_Walk):
+    """WDC-Web-Tables-style relational extraction: every ``<table>``
+    becomes rows of (table_idx, row_idx, col_name, cell). The first row
+    whose cells are all ``<th>`` is the header; its texts name the
+    columns (bare ``c<j>`` when a column has no header). Subset: no
+    colspan/rowspan arithmetic; ``td``/``th``/``tr`` must be explicitly
+    closed (no HTML5 implicit end tags); nested tables are walked as
+    separate tables AND their text also appears in the containing
+    cell's capture (the descendant-text rule, same as Microdata)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.tables: List[dict] = []  # open-table stack
+        self.n_tables = 0
+        self.rows: List[Tuple[int, int, str, str]] = []
+
+    def on_open(self, tag: str, a: dict, self_close: bool) -> None:
+        if tag == "table":
+            t = {"idx": self.n_tables, "rows": [], "cur": None}
+            self.n_tables += 1
+            self.tables.append(t)
+            if not self_close:
+                self.push(tag, table=t)
+            else:
+                self._finish(self.tables.pop())
+            return
+        t = self.tables[-1] if self.tables else None
+        if t is not None and tag == "tr":
+            t["cur"] = {"cells": []}
+            t["rows"].append(t["cur"])
+            if not self_close:
+                self.push(tag)
+            return
+        if t is not None and tag in ("td", "th") and t["cur"] is not None:
+            cell = {"tag": tag, "buf": None}
+            t["cur"]["cells"].append(cell)
+            if not self_close:
+                self.push(tag, cell=cell, capture_for=[])
+                # reuse the frame's capture buffer for the cell text
+                self.frames[-1]["buf"] = []
+                self.captures.append(self.frames[-1]["buf"])
+                cell["buf"] = self.frames[-1]["buf"]
+            else:
+                cell["buf"] = []
+            return
+        if not self_close:
+            self.push(tag)
+
+    def on_pop(self, frame: dict) -> None:
+        if "table" in frame:
+            self._finish(self.tables.pop())
+
+    def _finish(self, t: dict) -> None:
+        rows = [[("".join(c["buf"] or ""), c["tag"]) for c in r["cells"]]
+                for r in t["rows"] if r["cells"]]
+        if not rows:
+            return
+        header: List[str] = []
+        if all(tag == "th" for _, tag in rows[0]):
+            header = [text for text, _ in rows[0]]
+            rows = rows[1:]
+        for ri, cells in enumerate(rows):
+            for ci, (text, _) in enumerate(cells):
+                name = header[ci] if ci < len(header) and header[ci] else f"c{ci}"
+                self.rows.append((t["idx"], ri, name, text))
+
+
+def html_table_rows(html: str) -> List[Tuple[int, int, str, str]]:
+    """One HTML document → WDC-Web-Tables rows
+    ``(table_idx, row_idx, col_name, cell)``."""
+    w = _TableWalk()
+    w.walk(html)
+    return w.rows
+
+
+WEB_TABLE_SCHEMA = (
+    "src_url string, table_idx int, row_idx int, col_name string, cell string"
+)
+
+
+def parse_web_tables(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """pages → relational web-table rows (+ ``src_url``), the WDC Web
+    Tables extraction: document-granular Arrow kernel, html never
+    shuffles, only the narrow cell relation moves."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["src_url", "table_idx", "row_idx", "col_name", "cell"]
+        for pdf in batches:
+            rows = []
+            for html, url in zip(pdf[html_col], pdf[url_col]):
+                if html is None:
+                    continue
+                if isinstance(html, (bytes, bytearray)):
+                    html = bytes(html).decode("utf-8", errors="replace")
+                rows.extend((url,) + t for t in html_table_rows(html))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(url_col, html_col).mapInPandas(run, schema=WEB_TABLE_SCHEMA)
+
+
+def synthesize_table_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Pages with one product table each (header row + 3 data rows, all
+    closed forms of the page index) plus a headerless 1×2 layout table
+    on odd pages — regeneration-oracle convention."""
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(F.lit("https://t"), s(i % 200), F.lit(".example.org/tab/"), s(i))
+
+    def data_row(k: int):
+        return F.concat(
+            F.lit("<tr><td>item"), s((i + k) % 50), F.lit("</td><td>"),
+            s((i * 7 + k) % 100), F.lit("</td><td>"), s((i + k) % 13),
+            F.lit(".99</td></tr>"),
+        )
+
+    table = F.concat(
+        F.lit('<table><tr><th>name</th><th>qty</th><th>price</th></tr>'),
+        data_row(0), data_row(1), data_row(2), F.lit("</table>"),
+    )
+    layout = F.when(
+        i % 2 == 1,
+        F.concat(
+            F.lit("<table><tr><td>nav"), s(i % 5), F.lit("</td><td>ad</td></tr></table>")
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><h1>Catalog "), s(i), F.lit("</h1>"),
+        table, layout, F.lit("</body></html>"),
+    )
+    return spark.range(n_rows).select(url.alias("url"), html.alias("html"))
+
+
 def microdata_doc_triples(html: str) -> List[Triple]:
     """One HTML document → Microdata triples (doc-local blank labels
     ``_:m0``, ``_:m1``, … in document order, globalized downstream by

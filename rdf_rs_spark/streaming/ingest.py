@@ -116,6 +116,33 @@ def stream_rdf_directory(
     return read_rdf_docs(docs)
 
 
+def stream_html_pages(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Streaming pages from a landing directory of raw ``.html`` dumps —
+    the second continuous-crawl front (next to `.warc.gz` containers):
+    one whole file per row, the page's canonical url recovered from its
+    OWN ``og:url`` meta (self-describing pages; the file path is the
+    fallback). The WDC extractors (`sources/structured_data.py`) are
+    stateless document kernels, so the batch transformation runs
+    unchanged inside each micro-batch — batch/stream parity by
+    construction, pinned in `tests/test_structured_data.py`."""
+    docs = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", "*.html")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    og = F.regexp_extract(
+        F.col("value"), r'<meta property="og:url" content="(.*?)">', 1
+    )
+    return docs.select(
+        F.when(og == "", F.input_file_name()).otherwise(og).alias("url"),
+        F.col("value").alias("html"),
+    )
+
+
 def stream_warc_gz_pages(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:

@@ -251,6 +251,115 @@ def test_syndicated_mirrors_collapse_to_one_copy(spark):
     }
 
 
+# -------------------------------------------------------------- web tables
+
+
+def test_web_table_header_row_names_columns():
+    from rdf_rs_spark.sources.structured_data import html_table_rows
+
+    rows = html_table_rows(
+        "<table><tr><th>a</th><th>b</th></tr>"
+        "<tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></table>"
+    )
+    assert rows == [(0, 0, "a", "1"), (0, 0, "b", "2"), (0, 1, "a", "3"), (0, 1, "b", "4")]
+
+
+def test_web_table_mixed_first_row_is_data_not_header():
+    from rdf_rs_spark.sources.structured_data import html_table_rows
+
+    rows = html_table_rows("<table><tr><th>h</th><td>x</td></tr></table>")
+    assert rows == [(0, 0, "c0", "h"), (0, 0, "c1", "x")]
+
+
+def test_web_table_ragged_rows_and_missing_headers():
+    from rdf_rs_spark.sources.structured_data import html_table_rows
+
+    rows = html_table_rows(
+        "<table><tr><th>a</th><th></th></tr>"
+        "<tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    )
+    # empty header -> positional name; extra cell beyond header -> positional
+    assert rows == [(0, 0, "a", "1"), (0, 0, "c1", "2"), (0, 0, "c2", "3")]
+
+
+def test_web_table_nested_table_is_separate_and_text_shared():
+    from rdf_rs_spark.sources.structured_data import html_table_rows
+
+    rows = set(html_table_rows(
+        "<table><tr><td>out<table><tr><td>in</td></tr></table>er</td></tr></table>"
+    ))
+    assert (1, 0, "c0", "in") in rows        # nested table walked on its own
+    assert (0, 0, "c0", "outiner") in rows   # descendant text stays in the outer cell
+
+
+def test_web_table_empty_and_orphan_fragments():
+    from rdf_rs_spark.sources.structured_data import html_table_rows
+
+    assert html_table_rows("<table></table>") == []
+    assert html_table_rows("<td>orphan</td><tr><td>x</td></tr>") == []
+
+
+def test_parse_web_tables_spark_shape(spark):
+    from rdf_rs_spark.sources.structured_data import parse_web_tables, synthesize_table_pages
+
+    df = parse_web_tables(synthesize_table_pages(spark, 4))
+    rows = df.collect()
+    # 4 pages × 9 product cells + 2 odd pages × 2 layout cells
+    assert len(rows) == 4 * 9 + 2 * 2
+    assert df.columns == ["src_url", "table_idx", "row_idx", "col_name", "cell"]
+    assert {r["col_name"] for r in rows} == {"name", "qty", "price", "c0", "c1"}
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_streaming_html_landing_equals_batch(spark, tmp_path):
+    """Raw-.html landing dir: the WDC union extraction over the stream
+    (url recovered from each page's own og:url meta) must equal the
+    batch extraction over the original page relation — stream==batch,
+    the same pin the .warc.gz front carries."""
+    from rdf_rs_spark.sources.structured_data import (
+        parse_jsonld_pages,
+        parse_microdata_pages,
+        parse_rdfa_pages,
+        synthesize_sd_pages,
+    )
+    from rdf_rs_spark.streaming.ingest import stream_html_pages
+
+    def wdc(pages):
+        return (
+            parse_jsonld_pages(pages)
+            .unionByName(parse_microdata_pages(pages))
+            .unionByName(parse_rdfa_pages(pages))
+        )
+
+    pages = synthesize_sd_pages(spark, 12)
+    land = tmp_path / "landing"
+    land.mkdir()
+    for k, r in enumerate(pages.collect()):
+        (land / f"shard{k}.html").write_text(r["html"])
+
+    got_batches = []
+    q = (
+        wdc(stream_html_pages(spark, str(land), max_files_per_trigger=5))
+        .writeStream.foreachBatch(lambda df, _bid: got_batches.append(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def multiset(rows):
+        out = {}
+        for r in rows:
+            out[tuple(r)] = out.get(tuple(r), 0) + 1
+        return out
+
+    streamed = [r for b in got_batches for r in b]
+    assert len(got_batches) >= 2  # maxFilesPerTrigger actually split the drain
+    assert multiset(streamed) == multiset(wdc(pages).collect())
+
+
 def test_sd_corpus_block_presence_classes(spark):
     rows = synthesize_sd_pages(spark, 6).collect()
     for r in rows:
