@@ -7553,6 +7553,37 @@ def crawl_sitemap_entries(spark, sf_dir):
     return parse_sitemaps(synthesize_sitemaps(spark.range(n)))
 
 
+def _feeds_oracle(n: int) -> str:
+    """Regeneration over `synthesize_feeds`: even docs RSS, odd Atom,
+    (i % 3) + 1 items each; (i + k) % 5 == 4 omits the timestamp."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    it AS (SELECT i, unnest(generate_series(0, i % 3)) AS k FROM p)
+    SELECT i::BIGINT AS doc_id,
+           CASE WHEN i % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+           k::BIGINT AS item_idx,
+           'Post ' || i || '-' || k AS title,
+           'https://h' || (i % 50) || '.example.org/post/' || i || '/' || k AS link,
+           (CASE WHEN i % 2 = 0 THEN 'urn:rss:' ELSE 'urn:atom:' END)
+             || i || ':' || k AS guid,
+           (CASE WHEN (i + k) % 5 = 4 THEN NULL
+                 ELSE 1735689600 + i * 60 + k END)::BIGINT AS pub_unix
+    FROM it"""
+
+
+@q("crawl_feed_entries", _feeds_oracle(2000))
+def crawl_feed_entries(spark, sf_dir):
+    """Feed discovery (``sources/feeds.py``): RSS 2.0 <item>s and Atom
+    <entry>s into one frontier-update relation (link, guid for dedup,
+    pub time as unix bigint — RFC 822 pubDate vs RFC 3339 updated both
+    normalize). Third discovery channel next to robots and sitemaps;
+    same Arrow/expat document shape, feed bytes never shuffle. Items
+    with the timestamp omitted (legal per both specs) leave NULL."""
+    from .sources.feeds import parse_feeds, synthesize_feeds
+
+    n = _scale_n(sf_dir)
+    return parse_feeds(synthesize_feeds(spark.range(n)))
+
+
 @q(
     "warc_http_pages",
     """WITH f AS (SELECT unnest(generate_series(0, 1999)) AS i),
@@ -8210,6 +8241,7 @@ DEFERRED = {
     "docs_hashclf_quality": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "html_web_tables": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "web_table_schemas": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_feed_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1,0 +1,175 @@
+"""RSS 2.0 / Atom feed source — the third crawl-discovery channel
+(robots.txt → sitemaps → feeds): news/blog hosts publish update streams
+as feeds, and a continuous crawl tails them for fresh URLs long before
+the next full sitemap fetch. Emits one row per item/entry with the
+fields frontier scheduling needs (link, guid for dedup, pub time).
+
+Execution shape mirrors the sitemap source: document-scoped XML, one
+doc per row, C-accelerated ``xml.etree.ElementTree`` inside an
+Arrow-batched ``mapInPandas`` — feed bytes never shuffle, only the
+narrow item relation moves. Timestamps leave as unix bigints (RFC 822
+``pubDate`` for RSS, RFC 3339 ``updated`` for Atom) per the engine's
+float-free output discipline.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import email.utils
+import xml.etree.ElementTree as ET
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+_ATOM = "{http://www.w3.org/2005/Atom}"
+
+FEED_ENTRIES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # rss | atom
+        T.StructField("item_idx", T.LongType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("link", T.StringType(), True),
+        T.StructField("guid", T.StringType(), True),
+        T.StructField("pub_unix", T.LongType(), True),
+    ]
+)
+
+
+def _rfc822_unix(s: Optional[str]) -> Optional[int]:
+    if not s or not s.strip():
+        return None
+    return int(email.utils.parsedate_to_datetime(s.strip()).timestamp())
+
+
+def _rfc3339_unix(s: Optional[str]) -> Optional[int]:
+    if not s or not s.strip():
+        return None
+    return int(dt.datetime.fromisoformat(s.strip().replace("Z", "+00:00")).timestamp())
+
+
+def _parse_feed_doc(doc_id: int, xml: str) -> List[Tuple]:
+    """One feed document → item tuples. Raises on a root that is neither
+    ``<rss>`` nor Atom ``<feed>`` — a discovery channel serving junk
+    should fail loudly, same contract as the sitemap source."""
+    root = ET.fromstring(xml)
+    out: List[Tuple] = []
+    if root.tag == "rss":
+        channel = root.find("channel")
+        if channel is None:
+            raise ValueError("rss feed without <channel>")
+        for idx, item in enumerate(channel.findall("item")):
+            out.append(
+                (
+                    doc_id,
+                    "rss",
+                    idx,
+                    item.findtext("title"),
+                    item.findtext("link"),
+                    item.findtext("guid"),
+                    _rfc822_unix(item.findtext("pubDate")),
+                )
+            )
+    elif root.tag == _ATOM + "feed":
+        for idx, entry in enumerate(root.findall(_ATOM + "entry")):
+            link_el = entry.find(_ATOM + "link")
+            out.append(
+                (
+                    doc_id,
+                    "atom",
+                    idx,
+                    entry.findtext(_ATOM + "title"),
+                    link_el.get("href") if link_el is not None else None,
+                    entry.findtext(_ATOM + "id"),
+                    _rfc3339_unix(entry.findtext(_ATOM + "updated")),
+                )
+            )
+    else:
+        raise ValueError(f"not a feed root: {root.tag}")
+    return out
+
+
+def parse_feeds(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, xml) → one row per feed item/entry."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEED_ENTRIES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _parse_feed_doc(int(getattr(r, id_col)), getattr(r, xml_col))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=FEED_ENTRIES_SCHEMA)
+
+
+def synthesize_feeds(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic feed documents from a row index: even docs are RSS
+    2.0, odd docs Atom, ``(i % 3) + 1`` items each with closed-form
+    title/link/guid; items with ``(i + k) % 5 == 4`` omit the timestamp
+    (optional per both specs). Every field is a pure function of
+    (doc index, item index), so the parse oracles by regeneration."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        epoch = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                items = []
+                for k in range((i % 3) + 1):
+                    title = f"Post {i}-{k}"
+                    link = f"https://h{i % 50}.example.org/post/{i}/{k}"
+                    when = epoch + dt.timedelta(seconds=i * 60 + k)
+                    has_ts = (i + k) % 5 != 4
+                    if i % 2 == 0:
+                        pub = (
+                            f"<pubDate>{email.utils.format_datetime(when)}</pubDate>"
+                            if has_ts
+                            else ""
+                        )
+                        items.append(
+                            f"<item><title>{title}</title><link>{link}</link>"
+                            f"<guid>urn:rss:{i}:{k}</guid>{pub}</item>"
+                        )
+                    else:
+                        upd = (
+                            f"<updated>{when.strftime('%Y-%m-%dT%H:%M:%SZ')}</updated>"
+                            if has_ts
+                            else ""
+                        )
+                        items.append(
+                            f'<entry><title>{title}</title><link href="{link}"/>'
+                            f"<id>urn:atom:{i}:{k}</id>{upd}</entry>"
+                        )
+                if i % 2 == 0:
+                    xml = (
+                        '<rss version="2.0"><channel><title>Feed '
+                        + str(i)
+                        + "</title>"
+                        + "".join(items)
+                        + "</channel></rss>"
+                    )
+                else:
+                    xml = (
+                        '<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed '
+                        + str(i)
+                        + "</title>"
+                        + "".join(items)
+                        + "</feed>"
+                    )
+                rows.append((i, xml))
+            yield pd.DataFrame(rows, columns=["doc_id", "xml"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("xml", T.StringType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

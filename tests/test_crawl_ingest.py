@@ -216,3 +216,58 @@ def test_streaming_warc_landing_equals_batch(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
     assert got2 == expected
+
+
+# ------------------------------------------------------------------ feeds
+
+
+def test_feed_rss_rfc822_timezone_offsets_normalize():
+    from rdf_rs_spark.sources.feeds import _parse_feed_doc
+
+    xml = ('<rss version="2.0"><channel><title>t</title>'
+           '<item><title>a</title><link>http://x/1</link><guid>g1</guid>'
+           '<pubDate>Wed, 01 Jan 2025 00:00:00 -0500</pubDate></item>'
+           '<item><title>b</title><link>http://x/2</link><guid>g2</guid>'
+           '<pubDate>Wed, 01 Jan 2025 05:00:00 GMT</pubDate></item>'
+           '</channel></rss>')
+    rows = _parse_feed_doc(7, xml)
+    # -0500 and GMT forms denote the same instant
+    assert rows[0][6] == rows[1][6] == 1735707600
+    assert [r[2] for r in rows] == [0, 1]
+
+
+def test_feed_atom_missing_link_and_updated_are_null():
+    from rdf_rs_spark.sources.feeds import _parse_feed_doc
+
+    xml = ('<feed xmlns="http://www.w3.org/2005/Atom"><title>t</title>'
+           '<entry><title>a</title><id>i1</id></entry></feed>')
+    rows = _parse_feed_doc(1, xml)
+    assert rows == [(1, "atom", 0, "a", None, "i1", None)]
+
+
+def test_feed_non_feed_root_raises():
+    import pytest as _pytest
+
+    from rdf_rs_spark.sources.feeds import _parse_feed_doc
+
+    with _pytest.raises(ValueError, match="not a feed root"):
+        _parse_feed_doc(0, "<html></html>")
+    with _pytest.raises(ValueError, match="without <channel>"):
+        _parse_feed_doc(0, '<rss version="2.0"></rss>')
+
+
+def test_feed_synthesizer_round_trips_through_parser(spark):
+    from rdf_rs_spark.sources.feeds import parse_feeds, synthesize_feeds
+
+    rows = parse_feeds(synthesize_feeds(spark.range(10))).collect()
+    # sum over i in 0..9 of (i % 3) + 1 items
+    assert len(rows) == sum(i % 3 + 1 for i in range(10))
+    by_kind = {r["kind"] for r in rows}
+    assert by_kind == {"rss", "atom"}
+    for r in rows:
+        i, k = r["doc_id"], r["item_idx"]
+        assert r["title"] == f"Post {i}-{k}"
+        if (i + k) % 5 == 4:
+            assert r["pub_unix"] is None
+        else:
+            assert r["pub_unix"] == 1735689600 + i * 60 + k
