@@ -4741,6 +4741,55 @@ def html_opengraph_triples(spark, sf_dir):
     )
 
 
+@q(
+    "html_image_alt_pairs",
+    """WITH p AS (
+      SELECT i, 'https://sd' || (i % 500) || '.example.org/item/' || i AS u
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i))
+    SELECT u AS src_url,
+           'https://img.example.org/im/' || (i % 64) || '.jpg' AS img_url,
+           'Image of product ' || i AS alt_text
+    FROM p""",
+)
+def html_image_alt_pairs(spark, sf_dir):
+    """Image-text pair mining (the LAION-shaped multimodal training-data
+    front): <img> tags with BOTH src and non-empty alt become
+    (src_url, img_url, alt_text) rows — pure JVM column algebra, no
+    Python anywhere (`sources/structured_data.py::image_alt_pairs`).
+    The corpus plants one captioned image per page plus an uncaptioned
+    one on odd pages that must NOT survive the completeness filter."""
+    from .sources.structured_data import image_alt_pairs, synthesize_sd_pages
+
+    return image_alt_pairs(synthesize_sd_pages(spark, _scale_n(sf_dir)))
+
+
+def _bitext_oracle(n: int) -> str:
+    """Regeneration over `synthesize_hreflang_pages`: n pages → n/2
+    en-de families, 3 aligned sentence pairs each except every 5th
+    family where the ragged de tail drops pair j=2."""
+    assert n % 2 == 0
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {n // 2 - 1})) AS g),
+    j AS (SELECT g, unnest(generate_series(0, 2)) AS j FROM g)
+    SELECT 'https://b.example.org/en/' || g AS group_url, j::INTEGER AS sent_idx,
+           'Sentence ' || g || ' ' || j || ' english' AS src_text,
+           'Satz ' || g || ' ' || j || ' deutsch' AS tgt_text
+    FROM j WHERE NOT (g % 5 = 0 AND j = 2)"""
+
+
+@q("corpus_bitext_pairs", _bitext_oracle(2000))
+def corpus_bitext_pairs(spark, sf_dir):
+    """Parallel-corpus mining from hreflang page families — the MT
+    training-data front (`operators/bitext.py::mine_bitext`): group key
+    read from each page's OWN alternate links (same-row JVM regexp, the
+    canonical_url discipline — zero joins to form groups), ONE equi-join
+    meets the two language sides, sentences align positionally via
+    arrays_zip + posexplode with ragged tails dropped by NULL padding."""
+    from .operators.bitext import mine_bitext, synthesize_hreflang_pages
+
+    n = _scale_n(sf_dir)
+    return mine_bitext(synthesize_hreflang_pages(spark, n))
+
+
 def _synd_oracle(n: int) -> str:
     """Regeneration over the syndication corpus: one surviving triple set
     per canonical group c ∈ {0, 5, …} with mirror-0 provenance."""
@@ -8242,6 +8291,8 @@ DEFERRED = {
     "html_web_tables": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "web_table_schemas": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_feed_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "html_image_alt_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "corpus_bitext_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -504,6 +504,30 @@ def parse_rdfa_pages(
     )
 
 
+def image_alt_pairs(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """LAION-style image-text pair mining: every ``<img>`` whose tag
+    carries BOTH ``src`` and a non-empty ``alt`` yields
+    ``(src_url, img_url, alt_text)`` — the raw material of image-caption
+    training corpora. Pure JVM column algebra: tag extraction, attribute
+    extraction and the completeness filter all run inside codegen; no
+    Python, nothing but the narrow pair relation survives the scan."""
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+    tags = F.regexp_extract_all(html, F.lit(r"<img [^>]*>"), 0)
+    exploded = df.select(
+        F.col(url_col).alias("src_url"), F.explode(tags).alias("tag")
+    )
+    out = exploded.select(
+        "src_url",
+        F.regexp_extract("tag", r'src="([^"]*)"', 1).alias("img_url"),
+        F.regexp_extract("tag", r'alt="([^"]*)"', 1).alias("alt_text"),
+    )
+    return out.filter((F.col("img_url") != "") & (F.col("alt_text") != ""))
+
+
 CANONICAL_LINK_PATTERN = r'<link rel="canonical" href="(.*?)">'
 
 
@@ -615,10 +639,22 @@ def synthesize_sd_pages(spark: SparkSession, n_rows: int) -> DataFrame:
         F.lit('<meta property="og:type" content="article">'),
         F.lit('<meta property="og:url" content="'), url, F.lit('">'),
     )
+    # image-text pair material: one captioned <img> per page, plus an
+    # uncaptioned one on odd pages (must NOT mine a pair). Neither tag
+    # affects the walkers: no itemprop/property means Microdata and RDFa
+    # both ignore it.
+    imgs = F.concat(
+        F.lit('<img src="https://img.example.org/im/'), s(i % 64),
+        F.lit('.jpg" alt="Image of product '), s(i), F.lit('">'),
+        F.when(
+            i % 2 == 1,
+            F.concat(F.lit('<img src="https://img.example.org/na/'), s(i), F.lit('.jpg">')),
+        ).otherwise(F.lit("")),
+    )
     html = F.concat(
         F.lit("<html><head><title>SD "), s(i), F.lit("</title>"), og,
         F.lit('<script type="application/ld+json">'), jsonld, F.lit("</script>"),
-        F.lit("</head><body>"), microdata, rdfa, F.lit("</body></html>"),
+        F.lit("</head><body>"), microdata, rdfa, imgs, F.lit("</body></html>"),
     )
     return spark.range(n_rows).select(url.alias("url"), html.alias("html"))
 

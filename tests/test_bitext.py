@@ -1,0 +1,43 @@
+"""hreflang bitext mining — alignment semantics and plan shape."""
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.bitext import mine_bitext, synthesize_hreflang_pages
+from rdf_rs_spark.plans.inspect import explain_str
+
+
+def test_bitext_positional_alignment_and_ragged_drop(spark):
+    pages = synthesize_hreflang_pages(spark, 20)  # families 0..9
+    rows = mine_bitext(pages).collect()
+    # families 0 and 5 lose pair j=2 to the ragged de side
+    assert len(rows) == 10 * 3 - 2
+    by_key = {(r["group_url"], r["sent_idx"]): (r["src_text"], r["tgt_text"]) for r in rows}
+    assert by_key[("https://b.example.org/en/3", 1)] == (
+        "Sentence 3 1 english", "Satz 3 1 deutsch"
+    )
+    assert ("https://b.example.org/en/5", 2) not in by_key
+    # alignment is within-family only: every pair's texts share g and j
+    for (gu, j), (s, t) in by_key.items():
+        g = gu.rsplit("/", 1)[1]
+        assert s == f"Sentence {g} {j} english" and t == f"Satz {g} {j} deutsch"
+
+
+def test_bitext_pages_without_hreflang_are_excluded(spark):
+    pages = spark.createDataFrame(
+        [
+            ("u1", "en", "<html><head></head></html>", "Lonely sentence"),
+            ("u2", "de", "<html><head></head></html>", "Einsamer Satz"),
+        ],
+        "url string, lang string, html string, text string",
+    )
+    assert mine_bitext(pages).count() == 0
+
+
+def test_bitext_plan_has_single_join_and_no_python(spark):
+    """Group keys come from the page's own links (same-row regexp), so
+    the plan must contain exactly ONE join and zero Python stages."""
+    df = mine_bitext(synthesize_hreflang_pages(spark, 100))
+    plan = explain_str(df, "simple")
+    joins = sum(plan.count(k) for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
