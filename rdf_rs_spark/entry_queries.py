@@ -7602,6 +7602,42 @@ def crawl_sitemap_entries(spark, sf_dir):
     return parse_sitemaps(synthesize_sitemaps(spark.range(n)))
 
 
+@q(
+    "crawl_revisit_schedule",
+    """WITH p AS (SELECT i, 1 + (i % 4) AS p
+                  FROM (SELECT unnest(generate_series(0, 1999)) AS i))
+    SELECT 'https://ex' || (i % 100) || '.example.org/page/' || i AS url,
+           6::BIGINT AS n_snaps, (5 // p)::BIGINT AS n_changes,
+           (5 // ((5 // p) + 1))::BIGINT AS revisit_every
+    FROM p""",
+)
+def crawl_revisit_schedule(spark, sf_dir):
+    """Adaptive re-crawl scheduling (`crawl.py::revisit_schedule`): url
+    change rates observed over 6 synthesized snapshots (page i changes
+    every ``1 + i % 4`` snapshots — versions are closed forms of
+    (i, t)), smoothed into integer revisit intervals. ONE url-keyed
+    window + ONE combining aggregate; content bytes reduce to md5 in
+    the scan. The oracle derives expected change counts from the period
+    arithmetic, independently checking the lag/count pipeline."""
+    from .operators.crawl import revisit_schedule
+
+    n, k = _scale_n(sf_dir), 6
+    row = F.col("id")
+    i, t = F.floor(row / k).cast("long"), (row % k).cast("long")
+    history = spark.range(n * k).select(
+        F.concat(
+            F.lit("https://ex"), (i % 100).cast("string"),
+            F.lit(".example.org/page/"), i.cast("string"),
+        ).alias("url"),
+        t.alias("snap_t"),
+        F.concat(
+            F.lit("page "), i.cast("string"), F.lit(" v"),
+            F.floor(t / (1 + i % 4)).cast("long").cast("string"),
+        ).alias("content"),
+    )
+    return revisit_schedule(history)
+
+
 def _feeds_oracle(n: int) -> str:
     """Regeneration over `synthesize_feeds`: even docs RSS, odd Atom,
     (i % 3) + 1 items each; (i + k) % 5 == 4 omits the timestamp."""
@@ -8293,6 +8329,7 @@ DEFERRED = {
     "crawl_feed_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "html_image_alt_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_bitext_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_revisit_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

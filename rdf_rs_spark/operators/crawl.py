@@ -325,3 +325,48 @@ def recrawl_delta(
     return h_old.join(h_new, "__rd_key", "full_outer").select(
         F.col("__rd_key").alias(key_col), status.alias("status")
     )
+
+
+def revisit_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    snap_col: str = "snap_t",
+    content_col: str = "content",
+) -> DataFrame:
+    """Adaptive re-crawl scheduling from multi-snapshot change history —
+    the freshness-allocation problem (Cho & Garcia-Molina) in rational
+    arithmetic: per url, count OBSERVED content changes across its
+    snapshot sequence and set the revisit interval to
+    ``(n_snaps - 1) DIV (n_changes + 1)`` snapshot periods (0 = fetch
+    every crawl, larger = progressively colder). The +1 is add-one
+    smoothing: a never-observed-changing page still gets a finite
+    interval rather than "never again".
+
+    Plan: history reduces to the narrow ``(url, snap, md5)`` relation in
+    the scan (payload bytes never shuffle), then ONE url-keyed window
+    (per-url sequences are snapshot-count-bounded) feeds ONE map-side-
+    combining aggregate. Integer outputs keep the schedule engine- and
+    cluster-size-exact."""
+    w = Window.partitionBy(url_col).orderBy(snap_col)
+    h = history.select(
+        F.col(url_col), F.col(snap_col), F.md5(F.col(content_col)).alias("__rs_h")
+    )
+    lagged = h.withColumn("__rs_prev", F.lag("__rs_h").over(w))
+    per = lagged.groupBy(url_col).agg(
+        F.count(F.lit(1)).alias("n_snaps"),
+        F.sum(
+            F.when(
+                F.col("__rs_prev").isNotNull()
+                & (F.col("__rs_prev") != F.col("__rs_h")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_changes"),
+    )
+    return per.select(
+        url_col,
+        "n_snaps",
+        "n_changes",
+        F.floor((F.col("n_snaps") - 1) / (F.col("n_changes") + 1))
+        .cast("bigint")
+        .alias("revisit_every"),
+    )

@@ -271,3 +271,22 @@ def test_feed_synthesizer_round_trips_through_parser(spark):
             assert r["pub_unix"] is None
         else:
             assert r["pub_unix"] == 1735689600 + i * 60 + k
+
+
+def test_revisit_schedule_semantics(spark):
+    from rdf_rs_spark.operators.crawl import revisit_schedule
+
+    rows = [
+        # url appearing once: no intervals observed
+        ("a", 0, "x"),
+        # never changes over 4 snaps -> revisit every 3
+        *[("b", t, "same") for t in range(4)],
+        # changes every snap over 4 snaps -> revisit every 0
+        *[("c", t, f"v{t}") for t in range(4)],
+        # one change in 3 intervals -> (4-1) DIV (1+1) = 1
+        ("d", 0, "v0"), ("d", 1, "v0"), ("d", 2, "v1"), ("d", 3, "v1"),
+    ]
+    df = spark.createDataFrame(rows, "url string, snap_t int, content string")
+    got = {r["url"]: (r["n_snaps"], r["n_changes"], r["revisit_every"])
+           for r in revisit_schedule(df).collect()}
+    assert got == {"a": (1, 0, 0), "b": (4, 0, 3), "c": (4, 3, 0), "d": (4, 1, 1)}
