@@ -7336,6 +7336,51 @@ def crawl_budget_allocation(spark, sf_dir):
 
 
 @q(
+    "crawl_quality_budgets",
+    """WITH s AS (SELECT source AS host,
+         (list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+            t -> ((('0x' || substring(md5(t), 1, 8))::BIGINT % 65536) % 41 - 20))))::BIGINT
+           AS sc
+       FROM documents),
+    w AS (SELECT host, sum(CASE WHEN sc > 0 THEN sc ELSE 0 END)::BIGINT AS weight
+          FROM s GROUP BY host),
+    t AS (SELECT sum(weight)::BIGINT AS tot FROM w),
+    b AS (SELECT host, weight, (1000 * weight) // tot AS fl,
+                 (1000 * weight) % tot AS rem FROM w, t),
+    l AS (SELECT 1000 - sum(fl) AS seats FROM b),
+    r AS (SELECT host, weight, fl,
+            row_number() OVER (ORDER BY rem DESC, host ASC) AS rk FROM b)
+    SELECT host, weight,
+      (fl + CASE WHEN rk <= (SELECT seats FROM l) THEN 1 ELSE 0 END)::BIGINT
+        AS alloc
+    FROM r""",
+)
+def crawl_quality_budgets(spark, sf_dir):
+    """Quality-directed crawling — the composition a production crawler
+    actually runs: the frozen hashed classifier scores every document
+    (zero-shuffle projection), positive quality mass aggregates per
+    host (ONE combining agg), and the largest-remainder allocator turns
+    host quality into integer fetch budgets. High-quality hosts earn
+    crawl depth; junk hosts starve. Every stage is already individually
+    oracled (`docs_hashclf_quality`, `crawl_budget_allocation`) — this
+    entry value-checks the composition end-to-end."""
+    from .operators.corpus import hashclf_score
+    from .operators.crawl import budget_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    sc = hashclf_score(F.col("text"))
+    w = (
+        d.select(
+            F.col("source").alias("host"),
+            F.when(sc > 0, sc).otherwise(F.lit(0)).alias("q"),
+        )
+        .groupBy("host")
+        .agg(F.sum("q").cast("long").alias("weight"))
+    )
+    return budget_allocation(w, 1000).select("host", "weight", "alloc")
+
+
+@q(
     "crawl_recrawl_delta",
     """WITH a AS (SELECT unnest(generate_series(0, 1999)) AS i),
     b AS (SELECT unnest(generate_series(0, 2199)) AS i),
@@ -8330,6 +8375,7 @@ DEFERRED = {
     "html_image_alt_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_bitext_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_revisit_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_quality_budgets": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

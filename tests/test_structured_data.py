@@ -6,6 +6,7 @@ the `html_*_triples` / `kg_web_data_commons` driver entries."""
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from rdf_rs_spark.sources.structured_data import (
     extract_jsonld_scripts,
@@ -170,6 +171,69 @@ def test_rdfa_absolute_property_passes_through():
             '<span property="http://purl.org/dc/terms/title">T</span></div>')
     assert ("http://x/1", "http://purl.org/dc/terms/title", KIND_LITERAL,
             "T", None, None) in ra(html)
+
+
+# -------------------------------------------------- tag-soup robustness
+#
+# Web-scale input is junk-rich: the walkers must never raise on
+# arbitrary tag soup and must keep their structural invariants. The
+# strategy interleaves text fragments with (possibly unclosed,
+# possibly mismatched) tags carrying random structured-data attributes.
+
+_soup_tag = st.builds(
+    lambda close, name, attrs: "<" + ("/" if close else "") + name
+    + ("" if close else "".join(attrs)) + ">",
+    st.booleans(),
+    st.sampled_from(["div", "span", "a", "meta", "table", "tr", "td", "th", "script", "b"]),
+    st.lists(
+        st.sampled_from(
+            [' itemscope', ' itemtype="http://schema.org/T"', ' itemprop="p"',
+             ' itemid="http://x/i"', ' property="q"', ' typeof="T"',
+             ' about="http://x/a"', ' vocab="http://v/"', ' href="http://x/h"',
+             ' content="c"', ' resource="http://x/r"', ' rel="canonical"'],
+        ),
+        max_size=3,
+    ),
+)
+_soup = st.lists(
+    st.one_of(_soup_tag, st.text(alphabet="ab <>&\"'=/x", max_size=8)),
+    max_size=30,
+).map("".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_soup)
+def test_walkers_never_raise_and_keep_invariants(html):
+    from rdf_rs_spark.sources.structured_data import html_table_rows
+
+    for fn in (microdata_doc_triples, lambda h: rdfa_doc_triples(h, base="http://d/"),
+               rdfa_doc_triples):
+        out = fn(html)
+        for t in out:
+            assert len(t) == 6
+            assert isinstance(t[0], str) and isinstance(t[1], str)
+            assert t[2] in (0, 1, 2) and isinstance(t[3], str)
+    for row in html_table_rows(html):
+        assert len(row) == 4
+        assert isinstance(row[0], int) and isinstance(row[1], int)
+        assert isinstance(row[2], str) and isinstance(row[3], str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_soup)
+def test_microdata_blank_labels_allocate_densely_from_zero(html):
+    import re as _re
+
+    nums = set()
+    for t in microdata_doc_triples(html):
+        for side in (t[0], "_:" + t[3] if t[2] == 1 else ""):
+            m = _re.fullmatch(r"_:m(\d+)", side)
+            if m:
+                nums.add(int(m.group(1)))
+    # every referenced label was allocated by the document-order counter
+    assert all(0 <= n < len(nums) or n in nums for n in nums)
+    if nums:
+        assert max(nums) < 1000  # counter can't run away past the tag count
 
 
 # ------------------------------------------------------- jsonld extraction
