@@ -1314,6 +1314,48 @@ def sparql_select_exec(spark, sf_dir):
 
 
 @q(
+    "sparql_service_exec",
+    """SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR) AS n,
+              n_name AS name,
+              CAST(n_nationkey * 1000 + n_regionkey AS VARCHAR) AS pop
+       FROM nation""",
+)
+def sparql_service_exec(spark, sf_dir):
+    """SPARQL 1.1 Federated Query without the network: SERVICE <iri>
+    resolves against a REGISTERED DataFrame-backed store, so the
+    federated bind join is one more Catalyst join in the same plan
+    (broadcast/SMJ by stats) — the Spark-first reading of federation.
+    The main store answers the Nation BGP; the service store carries a
+    per-nation population fact (closed form of the nation keys).
+    Unknown endpoints raise — no silent empty solutions."""
+    from .sparql import execute_sparql
+
+    nation = _t(spark, sf_dir, "nation")
+    stats = nation.select(
+        F.concat(
+            F.lit("http://kg.example.org/nation/"),
+            F.col("n_nationkey").cast("string"),
+        ).alias("subj"),
+        F.lit("http://kg.example.org/population").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        (F.col("n_nationkey") * 1000 + F.col("n_regionkey"))
+        .cast("string")
+        .alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    return execute_sparql(
+        _triples(spark, sf_dir),
+        """PREFIX ex: <http://kg.example.org/>
+           SELECT ?n ?name ?pop WHERE {
+             ?n a ex:Nation ; ex:name ?name .
+             SERVICE <svc://stats> { ?n ex:population ?pop }
+           }""",
+        services={"svc://stats": stats},
+    )
+
+
+@q(
     "rdf_sql_text_query",
     TRIPLES_CTE
     + """SELECT pred, count(*) AS n_resources FROM triples
@@ -8376,6 +8418,7 @@ DEFERRED = {
     "corpus_bitext_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_revisit_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_quality_budgets": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "sparql_service_exec": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -52,7 +52,7 @@ _TOKEN_RE = re.compile(
   | (?P<var>[?$][A-Za-z_][\w]*)
   | (?P<blank>_:[\w]+)
   | (?P<num>\d+(?:\.\d+)?)
-  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG|MINUS|HAVING|EXISTS|NOT|BOUND)\b)
+  | (?P<kw>(?i:SELECT|ASK|CONSTRUCT|DESCRIBE|DISTINCT|REDUCED|WHERE|OPTIONAL|UNION|FILTER|REGEX|PREFIX|BASE|ORDER|BY|ASC|DESC|LIMIT|OFFSET|FROM|NAMED|GRAPH|BIND|AS|VALUES|GROUP|COUNT|SUM|MIN|MAX|AVG|MINUS|HAVING|EXISTS|NOT|BOUND|SERVICE)\b)
   | (?P<a>\ba\b)
   | (?P<qname>[\w-]*:[\w-]*)
   | (?P<ident>[A-Za-z_][\w]*)
@@ -103,6 +103,8 @@ class SparqlQuery:
     minus_groups: List[List[TriplePattern]] = field(default_factory=list)  # MINUS { … }
     having: List[tuple] = field(default_factory=list)  # HAVING ( bool-expr )
     subqueries: List["SparqlQuery"] = field(default_factory=list)  # { SELECT … }
+    # SERVICE <iri> { … } — §federation: (service iri, plain patterns)
+    services: List[Tuple[str, List[TriplePattern]]] = field(default_factory=list)
     # SELECT (value-expr AS ?alias) — §9.3 extended projection;
     # (alias, value-expr AST) in written order
     select_exprs: List[Tuple[str, tuple]] = field(default_factory=list)
@@ -387,6 +389,23 @@ class _Parser:
                 self.expect_punct("{")
                 self._parse_group(q, sink, gterm)
                 continue
+            if k == "kw" and v.upper() == "SERVICE":
+                # SERVICE <iri> { … } — SPARQL 1.1 Federated Query,
+                # executed extension: the group solves against the
+                # DataFrame-backed store registered under the IRI and
+                # joins the enclosing solutions on shared variables (a
+                # bind join re-expressed as a Catalyst join — no
+                # network, federation across registered tables).
+                # Sub-group restricted to plain triple patterns (the
+                # MINUS/EXISTS discipline).
+                self.next()
+                svc = self._term(q)
+                lex = svc.lex if isinstance(svc, Term) else svc
+                if not isinstance(lex, str) or lex.startswith("?"):
+                    raise ValueError("SERVICE requires a constant IRI")
+                self.expect_punct("{")
+                q.services.append((lex, self._parse_plain_group(q, graph)))
+                continue
             if v == "{":
                 self.next()
                 if self.peek()[0] == "kw" and self.peek()[1].upper() == "SELECT":
@@ -425,7 +444,7 @@ class _Parser:
             if v == "}":
                 self.next()
                 return sink
-            if k == "kw" and v.upper() in ("OPTIONAL", "FILTER", "MINUS", "GRAPH", "BIND", "VALUES"):
+            if k == "kw" and v.upper() in ("OPTIONAL", "FILTER", "MINUS", "GRAPH", "BIND", "VALUES", "SERVICE"):
                 raise ValueError(
                     f"{v.upper()} is not supported inside MINUS/EXISTS groups"
                 )
@@ -913,12 +932,21 @@ def _filter_column(ast: tuple, df: DataFrame):
     return _CMP_OPS[op](_value_column(lhs, df), _value_column(rhs, df))
 
 
-def execute_sparql(triples: DataFrame, text: str) -> DataFrame:
-    """Parse and execute a SPARQL SELECT over the triples DataFrame."""
-    return _execute(triples, parse_sparql(text))
+def execute_sparql(
+    triples: DataFrame, text: str, services: Optional[Dict[str, DataFrame]] = None
+) -> DataFrame:
+    """Parse and execute a SPARQL SELECT over the triples DataFrame.
+    ``services`` maps SERVICE IRIs to their DataFrame-backed stores
+    (SPARQL 1.1 Federated Query without the network: every endpoint is
+    a registered table, so a federated query is one Catalyst plan)."""
+    return _execute(triples, parse_sparql(text), services)
 
 
-def _execute(triples: DataFrame, q: SparqlQuery) -> DataFrame:
+def _execute(
+    triples: DataFrame,
+    q: SparqlQuery,
+    services: Optional[Dict[str, DataFrame]] = None,
+) -> DataFrame:
     # dataset is None when no FROM/FROM NAMED clause exists — the
     # distinction matters: an explicit dataset with an empty side means
     # "empty graph set", not "no restriction"
@@ -926,6 +954,17 @@ def _execute(triples: DataFrame, q: SparqlQuery) -> DataFrame:
         (q.from_graphs, q.from_named) if (q.from_graphs or q.from_named) else None
     )
     subqueries = list(q.subqueries)
+    svc_groups = list(q.services)
+
+    def _service_solutions(svc_iri: str, svc_patterns) -> DataFrame:
+        # SERVICE <iri> { … }: solve against the registered store — the
+        # bind join of a federated engine, expressed as one more
+        # Catalyst join (broadcast/SMJ as stats dictate). Unknown
+        # endpoints fail loudly (no silent empties).
+        if not services or svc_iri not in services:
+            raise ValueError(f"no registered store for SERVICE <{svc_iri}>")
+        return bgp_join(services[svc_iri], svc_patterns)
+
     if q.union_groups:
         branches = [
             bgp_join(triples, q.patterns + g, optional=q.optional, dataset=dataset)
@@ -934,16 +973,24 @@ def _execute(triples: DataFrame, q: SparqlQuery) -> DataFrame:
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b, allowMissingColumns=True)
-    elif q.patterns or not subqueries:
+    elif q.patterns or (not subqueries and not svc_groups):
         df = bgp_join(triples, q.patterns, optional=q.optional, dataset=dataset)
-    else:
+    elif subqueries:
         # a group consisting only of a subquery: its solutions ARE the
         # group's solutions
-        df = _execute(triples, subqueries.pop(0))
+        df = _execute(triples, subqueries.pop(0), services)
+    else:
+        # a group consisting only of SERVICE clauses: the first
+        # endpoint's solutions seed the join chain
+        df = _service_solutions(*svc_groups.pop(0))
     for sub in subqueries:
         # { SELECT … } (§12): evaluated bottom-up, joined on the
         # projected variables it shares with the enclosing solutions
-        sdf = _execute(triples, sub)
+        sdf = _execute(triples, sub, services)
+        shared = sorted(set(df.columns) & set(sdf.columns))
+        df = df.join(sdf, on=shared, how="inner") if shared else df.crossJoin(sdf)
+    for svc_iri, svc_patterns in svc_groups:
+        sdf = _service_solutions(svc_iri, svc_patterns)
         shared = sorted(set(df.columns) & set(sdf.columns))
         df = df.join(sdf, on=shared, how="inner") if shared else df.crossJoin(sdf)
     if q.values_clause is not None:

@@ -1516,3 +1516,72 @@ def test_select_expression_unbound_variable_raises(spark):
             """PREFIX ex: <http://e.org/>
                SELECT (?missing + 1 AS ?x) WHERE { ?s ex:name ?n }""",
         ).collect()
+
+
+# ------------------------------------------------------- SERVICE federation
+
+
+def _svc_store(spark):
+    return spark.createDataFrame(
+        [
+            ("http://x/n1", "http://x/pop", 2, "100", None, None),
+            ("http://x/n3", "http://x/pop", 2, "300", None, None),
+        ],
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+
+
+def _main_store(spark):
+    return spark.createDataFrame(
+        [
+            ("http://x/n1", RDF_TYPE, 0, "http://x/Nation", None, None),
+            ("http://x/n1", "http://x/name", 2, "ALPHA", None, None),
+            ("http://x/n2", RDF_TYPE, 0, "http://x/Nation", None, None),
+            ("http://x/n2", "http://x/name", 2, "BETA", None, None),
+        ],
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string",
+    )
+
+
+def test_service_joins_registered_store_on_shared_vars(spark):
+    q = """PREFIX ex: <http://x/>
+    SELECT ?n ?name ?pop WHERE {
+      ?n a ex:Nation ; ex:name ?name .
+      SERVICE <svc://stats> { ?n ex:pop ?pop }
+    }"""
+    rows = execute_sparql(
+        _main_store(spark), q, services={"svc://stats": _svc_store(spark)}
+    ).collect()
+    assert [tuple(r) for r in rows] == [("http://x/n1", "ALPHA", "100")]
+
+
+def test_service_unknown_endpoint_raises(spark):
+    q = "SELECT ?n WHERE { SERVICE <svc://nowhere> { ?n ?p ?o } }"
+    with pytest.raises(ValueError, match="no registered store"):
+        execute_sparql(_main_store(spark), q).collect()
+
+
+def test_service_disjoint_vars_cross_joins(spark):
+    q = """PREFIX ex: <http://x/>
+    SELECT ?name ?pop WHERE {
+      ?n a ex:Nation ; ex:name ?name .
+      SERVICE <svc://stats> { ?m ex:pop ?pop }
+    }"""
+    rows = execute_sparql(
+        _main_store(spark), q, services={"svc://stats": _svc_store(spark)}
+    ).collect()
+    assert len(rows) == 2 * 2  # 2 nations x 2 pop facts
+
+
+def test_service_requires_constant_iri():
+    with pytest.raises(ValueError, match="constant IRI"):
+        parse_sparql("SELECT ?n WHERE { SERVICE ?ep { ?n ?p ?o } }")
+
+
+def test_service_rejected_inside_minus():
+    with pytest.raises(ValueError, match="not supported inside"):
+        parse_sparql(
+            "SELECT ?n WHERE { ?n ?p ?o MINUS { SERVICE <svc://s> { ?n ?q ?x } } }"
+        )
