@@ -3767,6 +3767,65 @@ def kg_apply_changelog(spark, sf_dir):
 
 
 @q(
+    "kg_graph_as_of",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT 'http://kg.example.org/e/' || i AS subj,
+           'http://kg.example.org/v' AS pred, 2::TINYINT AS obj_kind,
+           i::VARCHAR AS obj_lex, CAST(NULL AS VARCHAR) AS obj_datatype,
+           CAST(NULL AS VARCHAR) AS obj_lang
+    FROM p WHERE (i % 3) != 0 OR (i % 6 = 0 AND i <= 1000)
+    UNION ALL
+    SELECT 'http://kg.example.org/e/' || i, 'http://kg.example.org/w',
+           2::TINYINT, i::VARCHAR, NULL, NULL
+    FROM p WHERE i % 3 = 1""",
+)
+def kg_graph_as_of(spark, sf_dir):
+    """Time travel — the AS OF read a lakehouse format offers,
+    reconstructed from snapshot + CDC log (`graph.py::RdfGraph.as_of`):
+    a predicate-pushed seq filter slices the log, then the standard
+    changelog apply runs. The synthesized log removes every 3rd base
+    triple (seq=i), adds a ?w fact on i%3==1, and RE-ADDS removed
+    triples at seq=n+i for i%6==0 — reading AS OF n + n/2 keeps exactly
+    the re-adds with i ≤ n/2, so a wrong boundary or a broken last-op
+    rule breaks the hash."""
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    subj = F.concat(F.lit(EX + "e/"), i.cast("string"))
+
+    def _triple_cols(pred):
+        return [
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.lit(2).cast("tinyint").alias("obj_kind"),
+            i.cast("string").alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        ]
+
+    base = spark.range(n).select(*_triple_cols(EX + "v"))
+    removes = (
+        spark.range(n)
+        .filter(i % 3 == 0)
+        .select(F.lit("remove").alias("op"), i.cast("bigint").alias("seq"),
+                *_triple_cols(EX + "v"))
+    )
+    adds_w = (
+        spark.range(n)
+        .filter(i % 3 == 1)
+        .select(F.lit("add").alias("op"), i.cast("bigint").alias("seq"),
+                *_triple_cols(EX + "w"))
+    )
+    readds = (
+        spark.range(n)
+        .filter(i % 6 == 0)
+        .select(F.lit("add").alias("op"), (i + n).cast("bigint").alias("seq"),
+                *_triple_cols(EX + "v"))
+    )
+    log = removes.unionByName(adds_w).unionByName(readds)
+    return RdfGraph(base).as_of(log, n + n // 2)
+
+
+@q(
     "rdf_graph_diff",
     TRIPLES_CTE
     + """SELECT 'added' AS change,
@@ -8419,6 +8478,7 @@ DEFERRED = {
     "crawl_revisit_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_quality_budgets": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "sparql_service_exec": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_graph_as_of": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -157,6 +157,15 @@ class RdfGraph:
 
         return _anti(snap, removes).unionByName(_anti(adds, snap))
 
+    def as_of(self, changelog: DataFrame, seq: int) -> DataFrame:
+        """Time travel: the graph state as of changelog position
+        ``seq`` (inclusive) — the AS OF read a lakehouse table format
+        offers, reconstructed from this snapshot + its CDC log. One
+        predicate-pushed filter slices the log, then `apply_changelog`
+        runs unchanged; the snapshot's cost is independent of how far
+        back ``seq`` lies — only the log slice pays."""
+        return self.apply_changelog(changelog.filter(F.col("seq") <= seq))
+
     # -- cardinality ---------------------------------------------------------
 
     def count(self) -> int:

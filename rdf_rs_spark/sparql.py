@@ -18,7 +18,9 @@ property paths (``+ * ? / | ^`` over fixed predicates, §9) including
 negated property sets (``!p`` / ``!(p|q)``, §9.1), MINUS (§8.3.3),
 HAVING (§11.4.1 — conditions over the SELECT aggregate aliases),
 FILTER [NOT] EXISTS (§8.1.1, as top-level filters over plain
-triple-pattern groups), subqueries (§12), and the §17.4 function
+triple-pattern groups), subqueries (§12), SERVICE federation over
+registered DataFrame stores (Federated Query spec, networkless — every
+endpoint is a table, the bind join is a Catalyst join), and the §17.4 function
 library over string-encoded bindings: STR / STRLEN / UCASE / LCASE /
 SUBSTR / CONCAT / REPLACE / STRBEFORE / STRAFTER / ABS / ROUND /
 FLOOR / CEIL / COALESCE / IF and the §17.4.4 hash functions
