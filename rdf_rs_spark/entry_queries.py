@@ -2891,6 +2891,37 @@ def corpus_pack_sequences(spark, sf_dir):
 
 
 @q(
+    "corpus_topical_pack",
+    f"""WITH {_DD_SIMHASH_CTES},
+    tk2 AS (SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens
+       FROM documents),
+    b AS (SELECT s.doc_id, n_tokens, ((sig >> 48) & 65535)::INT AS band
+          FROM sigs s JOIN tk2 USING (doc_id) WHERE n_tokens > 0),
+    c AS (SELECT doc_id, band, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY band ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       FROM b)
+    SELECT doc_id, band, (cum - n_tokens)::BIGINT AS tok_offset,
+       floor((cum - n_tokens) / 512)::BIGINT AS seq_first,
+       floor((cum - 1) / 512)::BIGINT AS seq_last
+    FROM c""",
+)
+def corpus_topical_pack(spark, sf_dir):
+    """ICLM-style topical packing (`corpus.py::topical_pack`): related
+    docs (SimHash top-band collisions) become neighbors in the token
+    stream before the standard seq_len cut — coherent long-context
+    neighborhoods instead of random concatenation. Same one-window
+    plan as `corpus_pack_sequences`; the oracle replays the SimHash
+    band + per-band running sums exactly."""
+    from .operators.corpus import topical_pack
+
+    d = _t(spark, sf_dir, "documents")
+    return topical_pack(d, F.col("text"), seq_len=512)
+
+
+@q(
     "corpus_sampling_weights",
     """SELECT source AS domain, n_docs,
        floor(1000000 * sqrt(n_docs * 1.0 / total))::BIGINT AS weight_e6
@@ -8479,6 +8510,7 @@ DEFERRED = {
     "crawl_quality_budgets": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "sparql_service_exec": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_graph_as_of": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "corpus_topical_pack": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -201,6 +201,52 @@ def pack_token_stream(
     )
 
 
+def topical_pack(
+    df: DataFrame,
+    text: Column,
+    seq_len: int = 512,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """In-context-pretraining-style packing (ICLM — order RELATED
+    documents adjacently in the token stream before the ``seq_len``
+    cut, so long-context training sees coherent neighborhoods instead
+    of random concatenation). Locality here comes from the SimHash
+    signature's top 16-bit band (shared-vocabulary docs collide); a
+    production deployment would swap an embedding-cluster id into the
+    same shape — the packing plan is identical.
+
+    Same single-window plan as `pack_token_stream` with the band as the
+    shard key: one shuffle, per-band running sums, band count (64Ki)
+    bounds window-partition skew. Emits
+    (doc_id, band, tok_offset, seq_first, seq_last)."""
+    from .dedup import simhash64
+
+    rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text).alias("n_tokens"),
+        simhash64(text).alias("sig"),
+    ).filter(F.col("n_tokens") > 0)
+    # top 16 bits; the mask makes arithmetic and logical shift agree
+    band = F.shiftright(F.col("sig"), 48).bitwiseAND(F.lit(65535)).cast("int")
+    rows = rows.withColumn("band", band).drop("sig")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = rows.withColumn("cum", F.sum("n_tokens").over(w))
+    off = F.col("cum") - F.col("n_tokens")
+    return rows.select(
+        "doc_id",
+        "band",
+        off.cast("bigint").alias("tok_offset"),
+        F.floor(off / seq_len).cast("bigint").alias("seq_first"),
+        F.floor((F.col("cum") - 1) / seq_len).cast("bigint").alias("seq_last"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text: Column,
