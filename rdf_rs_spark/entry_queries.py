@@ -3857,6 +3857,64 @@ def kg_graph_as_of(spark, sf_dir):
 
 
 @q(
+    "kg_shape_mining",
+    """WITH n AS (SELECT count(*) AS c FROM nation),
+    r AS (SELECT count(*) AS c FROM region),
+    cu AS (SELECT count(*) AS c FROM customer),
+    ce AS (SELECT count(*) AS c FROM customer WHERE c_custkey % 2 = 0)
+    SELECT 'http://kg.example.org/Nation' AS cls,
+           'http://kg.example.org/name' AS pred, c::BIGINT AS n_instances,
+           c::BIGINT AS n_with_pred, 1::BIGINT AS inferred_min,
+           1::BIGINT AS observed_max FROM n
+    UNION ALL SELECT 'http://kg.example.org/Nation',
+           'http://kg.example.org/inRegion', c, c, 1, 1 FROM n
+    UNION ALL SELECT 'http://kg.example.org/Region',
+           'http://kg.example.org/name', c, c, 1, 1 FROM r
+    UNION ALL SELECT 'http://kg.example.org/Customer',
+           'http://kg.example.org/name', c, c, 1, 1 FROM cu
+    UNION ALL SELECT 'http://kg.example.org/Customer',
+           'http://kg.example.org/inNation', c, c, 1, 1 FROM cu
+    UNION ALL SELECT 'http://kg.example.org/Customer',
+           'http://kg.example.org/address', cu.c, ce.c,
+           CASE WHEN ce.c = cu.c THEN 1 ELSE 0 END, 1 FROM cu, ce""",
+)
+def kg_shape_mining(spark, sf_dir):
+    """SHACL shape induction (`void.py::mine_shapes` — the inverse of
+    validation): per (class, predicate), how many instances carry it,
+    whether minCount 1 holds, and the observed max fan-out — schema
+    nobody hand-wrote, mined from the crawl-built KG. The oracle states
+    every expected shape row closed-form from the star-schema
+    construction (address appears on even custkeys only → inferred_min
+    0); untyped blank value nodes must stay outside every class."""
+    from .operators.void import mine_shapes
+
+    return mine_shapes(_triples(spark, sf_dir))
+
+
+@q(
+    "kg_key_discovery",
+    TRIPLES_CTE
+    + """, d AS (SELECT DISTINCT subj, pred, obj_kind, obj_lex,
+                        obj_datatype, obj_lang FROM triples),
+    po AS (SELECT pred, obj_kind, obj_lex, count(DISTINCT subj) AS n_subj
+           FROM d GROUP BY 1, 2, 3)
+    SELECT pred, count(*)::BIGINT AS n_objects,
+           max(n_subj)::BIGINT AS max_subjects_per_object,
+           (max(n_subj) = 1)::BIGINT AS is_key
+    FROM po GROUP BY pred""",
+)
+def kg_key_discovery(spark, sf_dir):
+    """Inverse-functional-property discovery (`void.py::mine_keys`):
+    mine the key predicates `kg_ifp_entity_resolution` consumes as
+    declarations — a predicate is a key candidate iff no two subjects
+    share an object value. One (pred, object) combining aggregate +
+    a predicate-sized rollup; full SQL replay."""
+    from .operators.void import mine_keys
+
+    return mine_keys(_triples(spark, sf_dir))
+
+
+@q(
     "rdf_graph_diff",
     TRIPLES_CTE
     + """SELECT 'added' AS change,
@@ -8511,6 +8569,8 @@ DEFERRED = {
     "sparql_service_exec": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_graph_as_of": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_topical_pack": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_shape_mining": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_key_discovery": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -119,3 +119,71 @@ def summary_graph(triples: DataFrame) -> DataFrame:
         .groupBy("src_cset", "pred", "dst_cset")
         .agg(F.count("*").alias("n_triples"))
     )
+
+
+def mine_shapes(triples: DataFrame) -> DataFrame:
+    """SHACL shape INDUCTION — the inverse of `shacl.py` validation:
+    infer, per (class, predicate), the cardinality constraints the data
+    actually obeys, so a crawl-built KG can publish shapes nobody hand
+    wrote. Emits ``(cls, pred, n_instances, n_with_pred, inferred_min,
+    observed_max)`` — ``inferred_min = 1`` when every instance of the
+    class carries the predicate (a sh:minCount 1 candidate),
+    ``observed_max`` is the largest per-instance fan-out (1 ⇒ a
+    sh:maxCount 1 candidate). Untyped subjects (e.g. blank value nodes)
+    are outside every class by construction.
+
+    Scale: per-(subj,pred) counts combine map-side; the subject-keyed
+    join co-locates on a bucketed graph table; the final (cls,pred)
+    aggregate and the class-count join are ontology-sized."""
+    t = triples.dropDuplicates(["subj", "pred", "obj_kind", "obj_lex",
+                                "obj_datatype", "obj_lang"])
+    types = t.filter(F.col("pred") == RDF_TYPE).select(
+        "subj", F.col("obj_lex").alias("cls")
+    )
+    cls_n = types.groupBy("cls").agg(F.count(F.lit(1)).alias("n_instances"))
+    preds = (
+        t.filter(F.col("pred") != RDF_TYPE)
+        .groupBy("subj", "pred")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    per = (
+        types.join(preds, "subj")
+        .groupBy("cls", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_pred"),
+            F.max("k").alias("observed_max"),
+        )
+    )
+    return per.join(cls_n, "cls").select(
+        "cls",
+        "pred",
+        F.col("n_instances").cast("bigint"),
+        F.col("n_with_pred").cast("bigint"),
+        F.when(F.col("n_with_pred") == F.col("n_instances"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("inferred_min"),
+        F.col("observed_max").cast("bigint"),
+    )
+
+
+def mine_keys(triples: DataFrame) -> DataFrame:
+    """Inverse-functional-property DISCOVERY — mine the key predicates
+    `kg_ifp_entity_resolution` consumes as declarations: a predicate is
+    a key candidate iff no two subjects share an object value. Emits
+    ``(pred, n_objects, max_subjects_per_object, is_key)``.
+
+    Scale: one (pred, object) combining aggregate over the store, then
+    a predicate-sized rollup — the expensive relation is the first
+    combine, which is the same shape as the VoID counts."""
+    per_obj = (
+        triples.dropDuplicates(["subj", "pred", "obj_kind", "obj_lex",
+                                "obj_datatype", "obj_lang"])
+        .groupBy("pred", "obj_kind", "obj_lex")
+        .agg(F.count_distinct("subj").alias("n_subj"))
+    )
+    return per_obj.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+        F.max("n_subj").cast("bigint").alias("max_subjects_per_object"),
+        (F.max("n_subj") == 1).cast("bigint").alias("is_key"),
+    )
