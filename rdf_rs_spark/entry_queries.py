@@ -3857,6 +3857,67 @@ def kg_graph_as_of(spark, sf_dir):
 
 
 @q(
+    "kg_edge_split",
+    """WITH e AS (SELECT 'o' || l_orderkey AS src, 's' || l_suppkey AS dst
+                  FROM lineitem),
+    t AS (SELECT src, dst,
+            (('0x' || substring(md5(src || chr(1) || dst), 1, 8))::BIGINT
+             % 1000) < 100 AS held FROM e),
+    tr AS (SELECT src, dst FROM t WHERE NOT held)
+    SELECT src, dst, 'train' AS split FROM tr
+    UNION ALL
+    SELECT t.src, t.dst,
+      CASE WHEN EXISTS (SELECT 1 FROM tr WHERE tr.src = t.src)
+            AND EXISTS (SELECT 1 FROM tr x WHERE x.dst = t.dst)
+           THEN 'test' ELSE 'test_dropped' END
+    FROM t WHERE held""",
+)
+def kg_edge_split(spark, sf_dir):
+    """Leakage-free link-prediction edge split
+    (`kg_training.py::edge_split`): content-hashed 10% holdout, and a
+    held-out edge is only ``test`` if BOTH endpoints still appear in
+    train — otherwise eval silently measures unseen-node
+    initialization. Cold-start casualties stay, labeled test_dropped
+    (auditable, no silent row loss). Split identical on any cluster
+    size/rerun; full SQL replay."""
+    from .operators.kg_training import edge_split
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return edge_split(edges, test_permille=100)
+
+
+@q(
+    "kg_neighbor_sample",
+    """WITH e AS (SELECT 'http://kg.example.org/nation/' || c_nationkey AS src,
+                         'http://kg.example.org/customer/' || c_custkey AS dst
+                  FROM customer),
+    r AS (SELECT src, dst, row_number() OVER (
+            PARTITION BY src ORDER BY md5(src || chr(1) || dst), dst) AS rk
+          FROM e)
+    SELECT src, dst, (rk - 1)::BIGINT AS sample_idx FROM r WHERE rk <= 3""",
+)
+def kg_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style degree-capped neighbor sampling
+    (`kg_training.py::neighbor_sample`): at most k=3 neighbors per
+    source by md5 rank — hub fan-out bounded BEFORE any
+    message-passing join, content-addressed so the sample survives
+    reruns and re-shards bit-identically. One source-keyed window
+    (WindowGroupLimit holds k rows per task); full SQL replay."""
+    from .operators.kg_training import neighbor_sample
+
+    cu = _t(spark, sf_dir, "customer")
+    edges = cu.select(
+        F.concat(F.lit(EX + "nation/"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string")).alias("dst"),
+    )
+    return neighbor_sample(edges, k=3)
+
+
+@q(
     "kg_shape_mining",
     """WITH n AS (SELECT count(*) AS c FROM nation),
     r AS (SELECT count(*) AS c FROM region),
@@ -8571,6 +8632,8 @@ DEFERRED = {
     "corpus_topical_pack": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_shape_mining": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_key_discovery": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_edge_split": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_neighbor_sample": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

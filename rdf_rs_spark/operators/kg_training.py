@@ -175,3 +175,72 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .filter((F.col("offset") != 0) & (F.abs("offset") <= window))
         .select("center", "context", "offset")
     )
+
+
+def edge_split(
+    edges: DataFrame,
+    test_permille: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Leakage-free train/test edge split for link-prediction training:
+    membership is CONTENT-HASHED (md5 of the edge key — identical on
+    any cluster size, rerun, or resume, the `docs_deterministic_sample`
+    discipline), and a held-out edge is only usable as ``test`` if BOTH
+    endpoints still appear somewhere in train — otherwise an embedding
+    model sees unseen nodes at eval and the metric silently measures
+    initialization. Cold-start casualties are kept, labeled
+    ``test_dropped``, so the split is auditable (no silent row loss).
+
+    Scale: the hash is a narrow projection; the endpoint-visibility
+    check is two semi-join-shaped joins against train endpoint sets
+    (node-sized, orders of magnitude under the edge count)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x01", F.col(src_col), F.col(dst_col))), 1, 8),
+        16, 10,
+    ).cast("long") % 1000
+    tagged = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        (h < test_permille).alias("__held"),
+    )
+    train = tagged.filter(~F.col("__held"))
+    train_src = train.select(F.col("src").alias("k")).distinct()
+    train_dst = train.select(F.col("dst").alias("k")).distinct()
+    held = (
+        tagged.filter(F.col("__held"))
+        .join(train_src.withColumnRenamed("k", "src").withColumn("__s", F.lit(1)),
+              "src", "left")
+        .join(train_dst.withColumnRenamed("k", "dst").withColumn("__d", F.lit(1)),
+              "dst", "left")
+        .select(
+            "src", "dst",
+            F.when(F.col("__s").isNotNull() & F.col("__d").isNotNull(),
+                   F.lit("test")).otherwise(F.lit("test_dropped")).alias("split"),
+        )
+    )
+    return train.select("src", "dst", F.lit("train").alias("split")).unionByName(held)
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """GraphSAGE-style degree-capped neighbor sampling: keep at most
+    ``k`` neighbors per source, chosen by md5 rank over the edge key —
+    hub fan-out is bounded BEFORE any message-passing join, and the
+    sample is identical across cluster sizes/reruns (content-addressed,
+    like the random-walk steps). One window shuffle on the source key;
+    WindowGroupLimit keeps the per-task state at k rows."""
+    w = Window.partitionBy(src_col).orderBy(
+        F.md5(F.concat_ws("\x01", F.col(src_col), F.col(dst_col))), F.col(dst_col)
+    )
+    return (
+        edges.withColumn("__ns_rank", F.row_number().over(w))
+        .filter(F.col("__ns_rank") <= k)
+        .select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            (F.col("__ns_rank") - 1).cast("bigint").alias("sample_idx"),
+        )
+    )
