@@ -5181,6 +5181,30 @@ def multimodal_wav_decode(spark, sf_dir):
     return decode_wav_features(synthesize_wav_media(spark.range(n)))
 
 
+def _exif_oracle(n: int) -> str:
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+    SELECT 'm' || i AS media_id, 256::INTEGER AS tag_id, 3::INTEGER AS dtype,
+           1::BIGINT AS n_values, (64 + i % 192)::BIGINT AS value FROM p
+    UNION ALL SELECT 'm' || i, 257, 3, 1, (48 + i % 144) FROM p
+    UNION ALL SELECT 'm' || i, 274, 3, 1, (1 + i % 8) FROM p
+    UNION ALL SELECT 'm' || i, 282, 5, 1, NULL FROM p"""
+
+
+@q("multimodal_exif_ifd", _exif_oracle(2000))
+def multimodal_exif_ifd(spark, sf_dir):
+    """REAL typed-metadata parse (TIFF/EXIF IFD walk — byte-order
+    header, magic 42, 12-byte entries; inline SHORT/LONG values
+    decoded, offset-stored RATIONALs left NULL): the camera/image
+    attribute side of the multimodal columns, no pixel decode needed.
+    The corpus alternates little- and big-endian headers per row, so a
+    single-endianness parser breaks the hash
+    (`operators/multimodal.py::_tiff_ifd_entries`)."""
+    from .operators.multimodal import decode_tiff_ifd, synthesize_tiff_media
+
+    n = _scale_n(sf_dir)
+    return decode_tiff_ifd(synthesize_tiff_media(spark.range(n)))
+
+
 def _ppm_oracle(n: int) -> str:
     return f"""SELECT 'ppm:' || i AS media_id,
       ((i % 8) + 1)::INTEGER AS width, ((i % 5) + 1)::INTEGER AS height,
@@ -8634,6 +8658,7 @@ DEFERRED = {
     "kg_key_discovery": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_edge_split": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_neighbor_sample": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_exif_ifd": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -1597,3 +1597,111 @@ def synthesize_png_media(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+TIFF_IFD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("tag_id", T.IntegerType(), False),
+        T.StructField("dtype", T.IntegerType(), False),
+        T.StructField("n_values", T.LongType(), False),
+        T.StructField("value", T.LongType(), True),
+    ]
+)
+
+
+def _tiff_ifd_entries(payload: bytes):
+    """REAL TIFF/EXIF metadata walk: byte-order header (``II``/``MM`` +
+    magic 42), then the first IFD's 12-byte entries — (tag, type,
+    count), with the value decoded inline for count-1 SHORT/LONG and
+    left None for offset-stored types (RATIONAL etc.). Both endiannesses
+    are exercised by the synthesized corpus."""
+    import struct
+
+    bo = payload[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF header")
+    magic, off = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n,) = struct.unpack(e + "H", payload[off : off + 2])
+    out = []
+    for k in range(n):
+        base = off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[base : base + 8])
+        val = None
+        if cnt == 1 and typ == 3:  # SHORT
+            (val,) = struct.unpack(e + "H", payload[base + 8 : base + 10])
+        elif cnt == 1 and typ == 4:  # LONG
+            (val,) = struct.unpack(e + "I", payload[base + 8 : base + 12])
+        out.append((tag, typ, cnt, val))
+    return out
+
+
+def decode_tiff_ifd(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """payloads → one row per IFD entry (the typed-metadata side of the
+    multimodal columns: camera/image attributes without decoding
+    pixels). Arrow-batched, payload bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "tag_id", "dtype", "n_values", "value"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mid = getattr(r, id_col)
+                for tag, typ, cnt, val in _tiff_ifd_entries(
+                    bytes(getattr(r, payload_col))
+                ):
+                    rows.append((mid, tag, typ, cnt, val))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=TIFF_IFD_SCHEMA)
+
+
+def synthesize_tiff_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic TIFF headers from a row index: little-endian on
+    even rows, big-endian on odd; four ascending-tag IFD entries —
+    ImageWidth/ImageLength/Orientation as inline SHORTs (closed forms
+    of i) and XResolution as an offset-stored RATIONAL (the NULL-value
+    path)."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                e = "<" if i % 2 == 0 else ">"
+                bo = b"II" if i % 2 == 0 else b"MM"
+                # header(8) + count(2) + 4 entries(48) + next-IFD(4) = 62
+                rational_off = 62
+                entries = b""
+                for tag, typ, val in (
+                    (256, 3, 64 + i % 192),
+                    (257, 3, 48 + i % 144),
+                    (274, 3, 1 + i % 8),
+                ):
+                    entries += struct.pack(e + "HHIHH", tag, typ, 1, val, 0)
+                entries += struct.pack(e + "HHII", 282, 5, 1, rational_off)
+                payload = (
+                    bo + struct.pack(e + "HI", 42, 8)
+                    + struct.pack(e + "H", 4) + entries
+                    + struct.pack(e + "I", 0)
+                    + struct.pack(e + "II", 72, 1)  # the rational 72/1
+                )
+                rows.append((f"m{i}", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
