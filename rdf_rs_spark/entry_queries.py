@@ -8381,6 +8381,26 @@ def corpus_host_graph(spark, sf_dir):
 # already green in CORRECTNESS_r01 rotate to the back. Every entry stays
 # registered — this only changes dict iteration order.
 
+# ---- round-5 window plan (written at the end of round 4) ------------------
+# 63 entries registered after the r4 window froze sit in DEFERRED with
+# "registered r4 AFTER …" reasons — more than one 50-slot window. The r5
+# rotation should prioritize:
+#   (a) compositions/flagships whose value-hash covers many components at
+#       once: kg_web_data_commons, kg_wdc_canonical_dedup,
+#       crawl_quality_budgets, kg_incremental_from_recrawl, kg_graph_as_of,
+#       corpus_bitext_pairs, sparql_service_exec, kg_pipeline_from_warc
+#       re-verify if its inputs changed;
+#   (b) entries with NOVEL oracle shapes the driver has never exercised:
+#       html_microdata_triples / html_rdfa_triples / html_web_tables
+#       (tag-stack walkers), multimodal_{jpeg,png,exif_ifd} (codec
+#       families), kg_{hits,label_propagation,entity_ppr} (iterative),
+#       docs_hashclf_quality + corpus_topical_pack (replayed models);
+#   (c) fill remaining slots from the rest of the r4-late list; whatever
+#       misses the r5 window stays DEFERRED with its reason updated —
+#       NEVER displace a (a)/(b) pick for a fill.
+# Everything in-window below that comes back green in CORRECTNESS_r04 and
+# is impl-unchanged rotates OUT to DEFERRED ("green r4 …").
+
 _VERIFY_FIRST = [
     # round 4 head window — exactly 50 names. Priority (VERDICT r3 #1):
     # (a) the ENTIRE 31-entry never-driver-checked backlog (every local
