@@ -3918,6 +3918,67 @@ def kg_neighbor_sample(spark, sf_dir):
 
 
 @q(
+    "warc_wet_roundtrip",
+    """WITH p AS (
+      SELECT i,
+        'https://ex' || (i % 1000) || '.example.org/page/' || i AS url,
+        'Article ' || i || ' discusses alias' || (i % 100) || ' and also alias'
+          || ((i + 7) % 100)
+          || (CASE WHEN i % 20 = 0 THEN ' plus the famous alias0' ELSE '' END)
+          || ' in depth.' AS body
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i))
+    SELECT i::BIGINT AS file_id, 0::BIGINT AS rec_idx,
+           'conversion' AS warc_type, url AS target_uri,
+           (1735689600 + i)::BIGINT AS warc_date_unix,
+           length(body)::BIGINT AS content_length, body AS block
+    FROM p""",
+)
+def warc_wet_roundtrip(spark, sf_dir):
+    """WET sidecar round-trip: the extracted-text derivative Common
+    Crawl publishes — `wet_conversion_records` (pure column-expression
+    WRITER, octet-correct Content-Length) → bytes → the REAL WARC
+    record parser reads them back. The oracle regenerates every record
+    field incl. the Content-Length the parser sliced by, so a writer
+    that miscounts, mis-dates, or drops CRLF framing breaks the hash —
+    same discipline as the .warc.gz container entries."""
+    from .sources.warc import parse_warc_records, wet_conversion_records
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_web_pages(spark, n)
+    wet = wet_conversion_records(pages)
+    files = wet.select(
+        F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long").alias("file_id"),
+        F.encode("wet", "UTF-8").alias("payload"),
+    )
+    return parse_warc_records(files)
+
+
+@q(
+    "kg_entity_summary",
+    TRIPLES_CTE
+    + """, pc AS (SELECT pred, count(*) AS pred_count FROM triples GROUP BY pred),
+    r AS (SELECT t.subj, t.pred, t.obj_lex, pc.pred_count,
+            row_number() OVER (PARTITION BY t.subj
+              ORDER BY pc.pred_count ASC, t.pred ASC, t.obj_lex ASC,
+                       t.obj_kind ASC) AS rank
+          FROM triples t JOIN pc ON t.pred = pc.pred)
+    SELECT subj, pred, obj_lex, pred_count::BIGINT AS pred_count,
+           rank::BIGINT AS rank
+    FROM r WHERE rank <= 2""",
+)
+def kg_entity_summary(spark, sf_dir):
+    """Entity cards (`void.py::entity_summary`): the k=2 most salient
+    facts per subject, salience = predicate rarity (KG-level idf).
+    Deterministic tie order makes the card set identical on any
+    cluster size — what RAG context assembly needs. One vocabulary-
+    sized predicate-count combine broadcast back + one subject window;
+    full SQL replay."""
+    from .operators.void import entity_summary
+
+    return entity_summary(_triples(spark, sf_dir), k=2)
+
+
+@q(
     "kg_shape_mining",
     """WITH n AS (SELECT count(*) AS c FROM nation),
     r AS (SELECT count(*) AS c FROM region),
@@ -8679,6 +8740,8 @@ DEFERRED = {
     "kg_edge_split": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_neighbor_sample": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_exif_ifd": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_entity_summary": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "warc_wet_roundtrip": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

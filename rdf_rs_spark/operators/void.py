@@ -187,3 +187,33 @@ def mine_keys(triples: DataFrame) -> DataFrame:
         F.max("n_subj").cast("bigint").alias("max_subjects_per_object"),
         (F.max("n_subj") == 1).cast("bigint").alias("is_key"),
     )
+
+
+def entity_summary(triples: DataFrame, k: int = 2) -> DataFrame:
+    """Entity cards: the ``k`` most SALIENT facts per subject, where
+    salience is predicate rarity (the idf idea at the KG level — a rare
+    predicate says more about an entity than a ubiquitous one). Ties
+    break (pred, obj_lex, obj_kind) ascending, so the card set is deterministic
+    on any cluster size — the property RAG context assembly needs.
+
+    Scale: ONE combining predicate-count aggregate (vocabulary-sized,
+    broadcast back onto the store) + ONE subject-keyed window with
+    WindowGroupLimit holding k rows per task. Emits
+    ``(subj, pred, obj_lex, pred_count, rank)``."""
+    from pyspark.sql import Window
+
+    pc = triples.groupBy("pred").agg(F.count(F.lit(1)).alias("pred_count"))
+    t = triples.join(F.broadcast(pc), "pred")
+    w = Window.partitionBy("subj").orderBy(
+        F.col("pred_count").asc(), F.col("pred").asc(), F.col("obj_lex").asc(),
+        F.col("obj_kind").asc(),
+    )
+    return (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "subj", "pred", "obj_lex",
+            F.col("pred_count").cast("bigint"),
+            F.col("rank").cast("bigint"),
+        )
+    )

@@ -383,3 +383,32 @@ def synthesize_warc_gz_files(
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+def wet_conversion_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """WET sidecar WRITER: one WARC ``conversion`` record per page —
+    the extracted-text derivative Common Crawl ships next to its raw
+    containers (wet.paths). Pure column algebra (whole-stage codegen),
+    so the sink composes into any scan. Content-Length counts UTF-8
+    OCTETS per ISO 28500, not characters — ``octet_length(encode(…))``,
+    the distinction a non-ASCII page corpus would expose. Emits
+    ``(url, wet)`` with the record text ready for per-shard
+    concatenation + gzip at write time."""
+    from pyspark.sql import functions as F
+
+    text = F.col(text_col)
+    date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "), date,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(F.encode(text, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"), text, F.lit("\r\n\r\n"),
+    )
+    return pages.select(F.col(url_col).alias("url"), rec.alias("wet"))
