@@ -5251,6 +5251,52 @@ def _exif_oracle(n: int) -> str:
     UNION ALL SELECT 'm' || i, 282, 5, 1, NULL FROM p"""
 
 
+@q(
+    "multimodal_sniff_route",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS media_id,
+      (['png','gif','jpeg','tiff','wav','qoi','bmp','ppm','unknown'])[(i % 9) + 1]
+        AS fmt
+    FROM p""",
+)
+def multimodal_sniff_route(spark, sf_dir):
+    """Magic-byte media dispatch (`multimodal.py::sniff_media_format`):
+    pure JVM hex-prefix routing in front of the codec family — PNG,
+    GIF, JPEG, TIFF (both endiannesses via i DIV 9 parity), RIFF/WAVE
+    (two-field check), QOI, BMP, binary PPM, and an unknown class that
+    must NOT route to a guessed decoder. Payload prefixes are built
+    from the real magics + index-derived filler, so a sniffer keying on
+    the wrong offset or a single TIFF endianness breaks the hash."""
+    from .operators.multimodal import sniff_media_format
+
+    i = F.col("id")
+    magics = F.array(
+        F.lit("89504E470D0A1A0A"),  # png
+        F.lit("474946383961"),  # gif
+        F.lit("FFD8FFE0"),  # jpeg
+        F.when((i / 9).cast("long") % 2 == 0, F.lit("49492A00")).otherwise(
+            F.lit("4D4D002A")
+        ),  # tiff, alternating endianness
+        F.lit("52494646AABBCCDD57415645"),  # riff....wave
+        F.lit("716F6966"),  # qoi
+        F.lit("424D"),  # bmp
+        F.lit("50360A"),  # ppm
+        F.lit("00FF00FF"),  # unknown
+    )
+    payload = F.unhex(
+        F.concat(
+            F.element_at(magics, (i % 9 + 1).cast("int")),
+            F.lpad(F.hex(i % 256), 2, "0"),
+        )
+    )
+    df = spark.range(_scale_n(sf_dir)).select(
+        i.alias("media_id"), payload.alias("payload")
+    )
+    return df.select(
+        "media_id", sniff_media_format(F.col("payload")).alias("fmt")
+    )
+
+
 @q("multimodal_exif_ifd", _exif_oracle(2000))
 def multimodal_exif_ifd(spark, sf_dir):
     """REAL typed-metadata parse (TIFF/EXIF IFD walk — byte-order
@@ -8742,6 +8788,7 @@ DEFERRED = {
     "multimodal_exif_ifd": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_entity_summary": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_wet_roundtrip": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_sniff_route": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

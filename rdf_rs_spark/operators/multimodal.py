@@ -1705,3 +1705,30 @@ def synthesize_tiff_media(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+def sniff_media_format(payload) -> "F.Column":
+    """Magic-byte container sniffing — the dispatch step in front of the
+    codec family (the binary-media analogue of `read_rdf`'s column-
+    expression format sniff): pure JVM hex-prefix comparison, zero
+    Python, composes into any scan. Recognizes the formats this module
+    decodes (PNG, GIF, JPEG, TIFF both endiannesses, RIFF/WAVE, QOI,
+    BMP, binary PPM); anything else routes to 'unknown' rather than a
+    guessed decoder."""
+    from pyspark.sql import functions as F
+
+    h8 = F.hex(F.substring(payload, 1, 8))
+    riff = (F.hex(F.substring(payload, 1, 4)) == "52494646") & (
+        F.hex(F.substring(payload, 9, 4)) == "57415645"
+    )
+    return (
+        F.when(h8.startswith("89504E47"), F.lit("png"))
+        .when(h8.startswith("47494638"), F.lit("gif"))
+        .when(h8.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(h8.startswith("49492A00") | h8.startswith("4D4D002A"), F.lit("tiff"))
+        .when(riff, F.lit("wav"))
+        .when(h8.startswith("716F6966"), F.lit("qoi"))
+        .when(h8.startswith("424D"), F.lit("bmp"))
+        .when(h8.startswith("5036"), F.lit("ppm"))
+        .otherwise(F.lit("unknown"))
+    )
