@@ -86,3 +86,74 @@ def first_seen_triples(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_SESSION_OUT = T.StructType(
+    [
+        T.StructField("user", T.StringType(), False),
+        T.StructField("session_start", T.LongType(), False),
+        T.StructField("session_end", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.LongType(), False),
+        T.StructField("last", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_s: int = 300,
+    user_col: str = "user",
+    ts_col: str = "ts_unix",
+) -> DataFrame:
+    """Stateful streaming sessionization (the second canonical
+    GroupState pattern next to `first_seen_triples`): per user, an open
+    session lives in GroupState across micro-batches; an event more
+    than ``gap_s`` after the last one CLOSES the open session (emitted
+    immediately, append mode) and starts a new one. A session split
+    across micro-batches therefore merges — the property the
+    batch/stream parity test pins — and only closed sessions are ever
+    emitted (the open tail is state, not output).
+
+    State per user is THREE integers (start, last, n) regardless of
+    session length — unlike collecting events, this never grows, the
+    discipline a 10^12-event stream requires."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        ts = []
+        for pdf in pdf_iter:
+            ts.extend(int(t) for t in pdf[ts_col])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        out = []
+        for t in ts:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_s:
+                out.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if last is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            out, columns=["user", "session_start", "session_end", "n_events"]
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

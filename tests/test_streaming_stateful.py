@@ -186,3 +186,42 @@ def test_streaming_replay_is_idempotent(spark, tmp_path):
     write(pages, 0)  # the replay
     rows_after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert rows_after == rows_before and len(rows_after) > 0
+
+
+def test_sessionize_stream_merges_across_batches_and_closes_on_gap(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    # batch 1: user A at t=0,100 (open session); user B at t=50
+    (src / "a.csv").write_text("A,0\nA,100\nB,50\n")
+    # batch 2: A at t=150 extends the SAME session across the batch
+    # boundary; A at t=10000 exceeds the gap -> closes (0..150, n=3)
+    (src / "b.csv").write_text("A,150\nA,10000\n")
+
+    events = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(
+            F.split("value", ",")[0].alias("user"),
+            F.split("value", ",")[1].cast("long").alias("ts_unix"),
+        )
+    )
+    q = (
+        sessionize_stream(events, gap_s=300)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user, session_start, session_end, n_events from sessions_test"
+    ).collect()
+    # ONLY the gap-closed session is emitted; open tails (A@10000, B@50)
+    # stay in state — and A's first session merged across the two batches
+    assert sorted(tuple(r) for r in rows) == [("A", 0, 150, 3)]
