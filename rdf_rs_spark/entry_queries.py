@@ -3954,6 +3954,47 @@ def warc_wet_roundtrip(spark, sf_dir):
 
 
 @q(
+    "kg_neighborhood_hll",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    ball AS (
+      SELECT i AS node, i AS m FROM p
+      UNION SELECT i, (i + 1) % 2000 FROM p
+      UNION SELECT i, (2 * i) % 2000 FROM p
+      UNION SELECT i, (i + 2) % 2000 FROM p
+      UNION SELECT i, (2 * (i + 1)) % 2000 FROM p
+      UNION SELECT i, (2 * i + 1) % 2000 FROM p
+      UNION SELECT i, (4 * i) % 2000 FROM p),
+    r AS (SELECT node, md5('n' || m) AS h FROM ball),
+    c AS (SELECT node,
+            ('0x' || substring(h, 1, 2))::BIGINT % 16 AS bucket,
+            ('0x' || substring(h, 3, 15))::BIGINT AS w FROM r)
+    SELECT 'n' || node AS node, bucket::BIGINT AS bucket,
+           max(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END)::BIGINT
+             AS max_rho
+    FROM c GROUP BY node, bucket""",
+)
+def kg_neighborhood_hll(spark, sf_dir):
+    """HyperBall neighborhood sketching
+    (`pagerank.py::neighborhood_registers`): per-node HLL registers of
+    the 2-hop out-ball — ball sizes for 10^12 nodes without ever
+    materializing a reachability set, because HLL merge (per-bucket
+    max) commutes with the ball recurrence. The synthetic graph
+    (i → i+1, i → 2i mod n) has a closed-form 7-member 2-ball, so the
+    oracle derives every register independently of the iteration."""
+    from .operators.pagerank import neighborhood_registers
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+
+    def node(c):
+        return F.concat(F.lit("n"), c.cast("string"))
+
+    e1 = spark.range(n).select(node(i).alias("src"), node((i + 1) % n).alias("dst"))
+    e2 = spark.range(n).select(node(i).alias("src"), node((i * 2) % n).alias("dst"))
+    return neighborhood_registers(e1.union(e2), rounds=2, n_buckets=16)
+
+
+@q(
     "kg_entity_summary",
     TRIPLES_CTE
     + """, pc AS (SELECT pred, count(*) AS pred_count FROM triples GROUP BY pred),
@@ -8789,6 +8830,7 @@ DEFERRED = {
     "kg_entity_summary": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_wet_roundtrip": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_sniff_route": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_neighborhood_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -672,3 +672,54 @@ def personalized_pagerank_e6(
         )
     edeg.unpersist()
     return ranks
+
+
+def neighborhood_registers(
+    edges: DataFrame,
+    rounds: int = 2,
+    n_buckets: int = 16,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna): per-node HLL registers of the r-hop
+    OUT-ball, the sketch behind web-scale neighborhood-function /
+    harmonic-centrality estimation — ball sizes for 10^12 nodes without
+    materializing a single reachability set. Ball recurrence
+    ``B_r(u) = {u} ∪ ⋃_{(u,v)∈E} B_{r-1}(v)`` runs directly on the
+    registers because HLL merge is per-bucket max.
+
+    Per round: ONE join (neighbor registers onto the persisted edge
+    relation) + ONE combining (node, bucket) max — shuffle ∝ occupied
+    register cells (≤ nodes × n_buckets), never reachability sets;
+    `localCheckpoint` per round keeps the iterative lineage flat (the
+    connected-components discipline). Registers use the repo's
+    deterministic HLL recipe (`sketches.py::hll_registers`), so the
+    output is engine-exact and the float estimate stays downstream."""
+    e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
+    nodes = (
+        e.select("node").union(e.select(F.col("nbr").alias("node"))).distinct()
+    )
+    h = F.md5(F.col("node"))
+    reg = nodes.select(
+        "node",
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_buckets).alias("bucket"),
+        F.when(F.conv(F.substring(h, 3, 15), 16, 10).cast("long") == 0, F.lit(61))
+        .otherwise(
+            F.lit(61)
+            - F.length(F.bin(F.conv(F.substring(h, 3, 15), 16, 10).cast("long")))
+        )
+        .cast("long")
+        .alias("max_rho"),
+    )
+    e = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nbr_regs = e.join(
+            reg.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "bucket", "max_rho")
+        reg = (
+            reg.unionByName(nbr_regs)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").cast("bigint").alias("max_rho"))
+            .localCheckpoint(eager=True)
+        )
+    return reg
