@@ -3863,12 +3863,13 @@ def kg_graph_as_of(spark, sf_dir):
     t AS (SELECT src, dst,
             (('0x' || substring(md5(src || chr(1) || dst), 1, 8))::BIGINT
              % 1000) < 100 AS held FROM e),
-    tr AS (SELECT src, dst FROM t WHERE NOT held)
+    tr AS (SELECT src, dst FROM t WHERE NOT held),
+    tn AS (SELECT src AS k FROM tr UNION SELECT dst FROM tr)
     SELECT src, dst, 'train' AS split FROM tr
     UNION ALL
     SELECT t.src, t.dst,
-      CASE WHEN EXISTS (SELECT 1 FROM tr WHERE tr.src = t.src)
-            AND EXISTS (SELECT 1 FROM tr x WHERE x.dst = t.dst)
+      CASE WHEN EXISTS (SELECT 1 FROM tn WHERE tn.k = t.src)
+            AND EXISTS (SELECT 1 FROM tn x WHERE x.k = t.dst)
            THEN 'test' ELSE 'test_dropped' END
     FROM t WHERE held""",
 )

@@ -202,15 +202,20 @@ def edge_split(
     tagged = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         (h < test_permille).alias("__held"),
-    )
+    ).persist()  # four consumers below — never re-scan/re-hash the edges
     train = tagged.filter(~F.col("__held"))
-    train_src = train.select(F.col("src").alias("k")).distinct()
-    train_dst = train.select(F.col("dst").alias("k")).distinct()
+    # "appears in train" means EITHER role: an entity trained as a dst
+    # is still a trained entity when it shows up as a test src
+    train_nodes = (
+        train.select(F.col("src").alias("k"))
+        .union(train.select(F.col("dst").alias("k")))
+        .distinct()
+    )
     held = (
         tagged.filter(F.col("__held"))
-        .join(train_src.withColumnRenamed("k", "src").withColumn("__s", F.lit(1)),
+        .join(train_nodes.withColumnRenamed("k", "src").withColumn("__s", F.lit(1)),
               "src", "left")
-        .join(train_dst.withColumnRenamed("k", "dst").withColumn("__d", F.lit(1)),
+        .join(train_nodes.withColumnRenamed("k", "dst").withColumn("__d", F.lit(1)),
               "dst", "left")
         .select(
             "src", "dst",

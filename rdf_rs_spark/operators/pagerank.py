@@ -695,22 +695,18 @@ def neighborhood_registers(
     connected-components discipline). Registers use the repo's
     deterministic HLL recipe (`sketches.py::hll_registers`), so the
     output is engine-exact and the float estimate stays downstream."""
+    from .sketches import hll_registers_by
+
     e = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("nbr"))
     nodes = (
         e.select("node").union(e.select(F.col("nbr").alias("node"))).distinct()
     )
-    h = F.md5(F.col("node"))
-    reg = nodes.select(
-        "node",
-        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_buckets).alias("bucket"),
-        F.when(F.conv(F.substring(h, 3, 15), 16, 10).cast("long") == 0, F.lit(61))
-        .otherwise(
-            F.lit(61)
-            - F.length(F.bin(F.conv(F.substring(h, 3, 15), 16, 10).cast("long")))
-        )
-        .cast("long")
-        .alias("max_rho"),
-    )
+    # seed: each node's registers for the singleton set {node} — the
+    # ONE sketch recipe (sketches.py), so these registers stay
+    # merge-compatible with every other HLL table in the repo
+    reg = hll_registers_by(
+        nodes, F.col("node"), F.col("node"), n_buckets=n_buckets
+    ).withColumnRenamed("grp", "node")
     e = e.localCheckpoint(eager=True)
     for _ in range(rounds):
         nbr_regs = e.join(

@@ -40,7 +40,13 @@ FEED_ENTRIES_SCHEMA = T.StructType(
 def _rfc822_unix(s: Optional[str]) -> Optional[int]:
     if not s or not s.strip():
         return None
-    return int(email.utils.parsedate_to_datetime(s.strip()).timestamp())
+    d = email.utils.parsedate_to_datetime(s.strip())
+    if d.tzinfo is None:
+        # RFC 822 '-0000' (zone unknown) parses NAIVE; a naive
+        # .timestamp() would use the machine timezone — cluster-variant
+        # output. The spec's reading of -0000 is UTC wall time.
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return int(d.timestamp())
 
 
 def _rfc3339_unix(s: Optional[str]) -> Optional[int]:

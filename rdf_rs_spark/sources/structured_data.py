@@ -63,7 +63,11 @@ _URL_ATTR = {
     "iframe": "src", "source": "src", "track": "src", "object": "data",
 }
 
-JSONLD_SCRIPT_PATTERN = r'<script type="application/ld\+json">(.*?)</script>'
+# (?s): pretty-printed (multi-line) JSON-LD is the dominant real-world
+# form — without DOTALL the block silently fails to match and the page
+# drops with no error. Attribute quoting stays double-quote-only (the
+# documented subset, like the walkers').
+JSONLD_SCRIPT_PATTERN = r'(?s)<script type="application/ld\+json">(.*?)</script>'
 
 Triple = Tuple[str, str, int, str, Optional[str], Optional[str]]
 
@@ -516,7 +520,7 @@ def image_alt_pairs(
     html = F.col(html_col)
     if dict(df.dtypes).get(html_col) == "binary":
         html = F.decode(html, "UTF-8")
-    tags = F.regexp_extract_all(html, F.lit(r"<img [^>]*>"), 0)
+    tags = F.regexp_extract_all(html, F.lit(r"<img\b[^>]*>"), 0)
     exploded = df.select(
         F.col(url_col).alias("src_url"), F.explode(tags).alias("tag")
     )
@@ -528,7 +532,10 @@ def image_alt_pairs(
     return out.filter((F.col("img_url") != "") & (F.col("alt_text") != ""))
 
 
-CANONICAL_LINK_PATTERN = r'<link rel="canonical" href="(.*?)">'
+# attribute-order-independent: <link href=… rel="canonical"> is as
+# common in the wild as the rel-first form (double-quote subset only,
+# like every pattern in this module)
+CANONICAL_LINK_PATTERN = r'<link\b(?=[^>]*rel="canonical")[^>]*href="([^"]*)"'
 
 
 def canonical_url(df: DataFrame, html_col: str = "html", url_col: str = "url"):

@@ -398,11 +398,31 @@ def wet_conversion_records(
     OCTETS per ISO 28500, not characters — ``octet_length(encode(…))``,
     the distinction a non-ASCII page corpus would expose. Emits
     ``(url, wet)`` with the record text ready for per-shard
-    concatenation + gzip at write time."""
+    concatenation + gzip at write time.
+
+    The WARC-Date is rendered from epoch ARITHMETIC, not
+    ``date_format`` — a timestamp formats in the session timezone, and
+    a library caller without the UTC pin would write a non-UTC wall
+    time under a hard-coded 'Z'. Date/time fields from integer
+    division are session-config-independent by construction."""
     from pyspark.sql import functions as F
 
     text = F.col(text_col)
-    date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    unix = F.unix_timestamp(F.col(ts_col))
+    days = F.floor(unix / 86400)
+    secs = (unix - days * 86400).cast("long")
+
+    def _p2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    date = F.concat(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int")), "yyyy-MM-dd"
+        ),
+        F.lit("T"), _p2(F.floor(secs / 3600)),
+        F.lit(":"), _p2(F.floor(secs / 60) % 60),
+        F.lit(":"), _p2(secs % 60), F.lit("Z"),
+    )
     rec = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
         F.col(url_col),

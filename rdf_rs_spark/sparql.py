@@ -406,7 +406,11 @@ class _Parser:
                 if not isinstance(lex, str) or lex.startswith("?"):
                     raise ValueError("SERVICE requires a constant IRI")
                 self.expect_punct("{")
-                q.services.append((lex, self._parse_plain_group(q, graph)))
+                # SERVICE evaluates against the REMOTE dataset: an
+                # enclosing GRAPH term scopes the local store only and
+                # must not stamp the service patterns (whose store has
+                # no graph column)
+                q.services.append((lex, self._parse_plain_group(q, None)))
                 continue
             if v == "{":
                 self.next()

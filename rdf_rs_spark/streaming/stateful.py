@@ -143,7 +143,11 @@ def sessionize_stream(
                 out.append((key[0], start, last, n))
                 start, last, n = t, t, 1
             else:
-                last, n = t, n + 1
+                # a cross-batch LATE event (t < last) joins the open
+                # session but must not move its end backwards — a
+                # regressed `last` would split the session on the next
+                # in-order event
+                last, n = max(last, t), n + 1
         if last is not None:
             state.update((start, last, n))
         yield pd.DataFrame(

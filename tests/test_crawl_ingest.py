@@ -290,3 +290,45 @@ def test_revisit_schedule_semantics(spark):
     got = {r["url"]: (r["n_snaps"], r["n_changes"], r["revisit_every"])
            for r in revisit_schedule(df).collect()}
     assert got == {"a": (1, 0, 0), "b": (4, 0, 3), "c": (4, 3, 0), "d": (4, 1, 1)}
+
+
+def test_edge_split_cross_role_endpoints_count_as_trained(spark):
+    from rdf_rs_spark.operators.kg_training import edge_split
+
+    # md5 buckets (precomputed): (F,A)=69 — held at permille 100;
+    # (B,F)=749 and (A,C)=963 stay train. The held edge's src F appears
+    # in train ONLY as a dst, its dst A ONLY as a src — both entities
+    # are trained, so the edge must be 'test', not 'test_dropped' (the
+    # role-restricted endpoint check was a real review finding).
+    edges = spark.createDataFrame(
+        [("F", "A"), ("B", "F"), ("A", "C")], "src string, dst string"
+    )
+    got = {(r["src"], r["dst"]): r["split"]
+           for r in edge_split(edges, test_permille=100).collect()}
+    assert got == {("F", "A"): "test", ("B", "F"): "train", ("A", "C"): "train"}
+
+
+def test_feed_rfc822_minus_0000_is_utc():
+    from rdf_rs_spark.sources.feeds import _rfc822_unix
+
+    # '-0000' (zone unknown) parses naive; it must be pinned to UTC, not
+    # the machine timezone
+    assert _rfc822_unix("Wed, 01 Jan 2025 00:00:00 -0000") == 1735689600
+    assert _rfc822_unix("Wed, 01 Jan 2025 00:00:00 GMT") == 1735689600
+
+
+def test_wet_records_are_session_timezone_independent(spark):
+    from rdf_rs_spark.sources.warc import wet_conversion_records
+    from rdf_rs_spark.sources.webpages import synthesize_web_pages
+
+    pages = synthesize_web_pages(spark, 3)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = {r["url"]: r["wet"] for r in wet_conversion_records(pages).collect()}
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = {r["url"]: r["wet"] for r in wet_conversion_records(pages).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert shifted == utc
+    assert "WARC-Date: 2025-01-01T00:00:01Z" in utc["https://ex1.example.org/page/1"]

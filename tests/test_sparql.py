@@ -1585,3 +1585,20 @@ def test_service_rejected_inside_minus():
         parse_sparql(
             "SELECT ?n WHERE { ?n ?p ?o MINUS { SERVICE <svc://s> { ?n ?q ?x } } }"
         )
+
+
+def test_service_inside_graph_does_not_inherit_graph_scope(spark):
+    # the remote store has no graph column; an enclosing GRAPH term must
+    # scope the LOCAL patterns only
+    quads = spark.createDataFrame(
+        [("http://x/n1", RDF_TYPE, 0, "http://x/Nation", None, None, "http://g/1")],
+        "subj string, pred string, obj_kind tinyint, obj_lex string,"
+        " obj_datatype string, obj_lang string, graph string",
+    )
+    q = """PREFIX ex: <http://x/>
+    SELECT ?n ?pop WHERE {
+      GRAPH <http://g/1> { ?n a ex:Nation }
+      SERVICE <svc://stats> { ?n ex:pop ?pop }
+    }"""
+    rows = execute_sparql(quads, q, services={"svc://stats": _svc_store(spark)}).collect()
+    assert [tuple(r) for r in rows] == [("http://x/n1", "100")]

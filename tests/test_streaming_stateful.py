@@ -225,3 +225,32 @@ def test_sessionize_stream_merges_across_batches_and_closes_on_gap(spark, tmp_pa
     # ONLY the gap-closed session is emitted; open tails (A@10000, B@50)
     # stay in state — and A's first session merged across the two batches
     assert sorted(tuple(r) for r in rows) == [("A", 0, 150, 3)]
+
+
+def test_sessionize_late_event_does_not_regress_session_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "late"
+    src.mkdir()
+    (src / "a.csv").write_text("A,0\nA,400\n")
+    # batch 2: a LATE event (t=250 < state.last=400) must join the open
+    # session WITHOUT moving its end backwards — a regressed last=250
+    # would make t=780 look 530s away (> gap 500) and spuriously split;
+    # against the true last=400 it is 380s away and extends the session
+    (src / "b.csv").write_text("A,250\nA,780\nA,99999\n")
+    events = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(F.split("value", ",")[0].alias("user"),
+                F.split("value", ",")[1].cast("long").alias("ts_unix"))
+    )
+    q = (
+        sessionize_stream(events, gap_s=500)
+        .writeStream.format("memory").queryName("late_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_sessions").collect()
+    assert sorted(tuple(r) for r in rows) == [("A", 0, 780, 4)]

@@ -221,7 +221,7 @@ def test_walkers_never_raise_and_keep_invariants(html):
 
 @settings(max_examples=60, deadline=None)
 @given(_soup)
-def test_microdata_blank_labels_allocate_densely_from_zero(html):
+def test_microdata_blank_labels_come_from_the_bounded_counter(html):
     import re as _re
 
     nums = set()
@@ -230,10 +230,12 @@ def test_microdata_blank_labels_allocate_densely_from_zero(html):
             m = _re.fullmatch(r"_:m(\d+)", side)
             if m:
                 nums.add(int(m.group(1)))
-    # every referenced label was allocated by the document-order counter
-    assert all(0 <= n < len(nums) or n in nums for n in nums)
-    if nums:
-        assert max(nums) < 1000  # counter can't run away past the tag count
+    # every referenced label was allocated by the per-document counter:
+    # one allocation per itemscope-without-itemid, so no referenced
+    # number can reach the itemscope tag count. (NOT dense-from-zero:
+    # an empty <div itemscope> legitimately allocates a label that
+    # never appears in any output row.)
+    assert all(0 <= n < html.count("itemscope") for n in nums)
 
 
 # ------------------------------------------------------- jsonld extraction
@@ -431,3 +433,24 @@ def test_sd_corpus_block_presence_classes(spark):
         assert ('itemscope' in r["html"]) == (i % 2 == 0)
         assert ('typeof=' in r["html"]) == (i % 3 != 2)
         assert 'application/ld+json' in r["html"]
+
+
+def test_jsonld_multiline_pretty_printed_block_extracts(spark):
+    html = ('<script type="application/ld+json">\n{\n  "@id": "http://x/1",\n'
+            '  "@type": "http://s/T"\n}\n</script>')
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    rows = parse_jsonld_pages(df).collect()
+    assert [r["subj"] for r in rows] == ["http://x/1"]
+
+
+def test_canonical_link_attribute_order_is_irrelevant(spark):
+    from rdf_rs_spark.sources.structured_data import canonical_url
+
+    df = spark.createDataFrame(
+        [("u1", '<link rel="canonical" href="http://c/1">'),
+         ("u2", '<link href="http://c/2" rel="canonical">'),
+         ("u3", '<link type="x" href="http://c/3" rel="canonical" media="all">')],
+        "url string, html string",
+    )
+    got = {r["url"]: r["c"] for r in df.select("url", canonical_url(df).alias("c")).collect()}
+    assert got == {"u1": "http://c/1", "u2": "http://c/2", "u3": "http://c/3"}
