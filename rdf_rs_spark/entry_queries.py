@@ -7805,6 +7805,54 @@ def crawl_quality_budgets(spark, sf_dir):
 
 
 @q(
+    "crawl_frontier_expansion",
+    """WITH f AS (
+      SELECT 'https://' || source || '.example.org/p/' || (doc_id % 7)
+               || '?a=1' AS url
+      FROM documents WHERE doc_id % 2 = 0 AND (doc_id % 7) >= 4)
+    SELECT url, count(*)::BIGINT AS n_refs FROM f GROUP BY url
+    UNION ALL
+    SELECT 'https://hub.example.net/x',
+      (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)::BIGINT""",
+)
+def crawl_frontier_expansion(spark, sf_dir):
+    """The crawl loop closes (`crawl.py::frontier_expansion`): outlinks
+    mined from this crawl's pages, canonicalized (the injected links
+    carry :80/:443 default ports, an utm_source param, a fragment, and
+    an uppercase host — ALL of which must normalize away for the seen
+    anti-join to hit), demand-counted, and anti-joined against the
+    already-crawled set (paths 0-3 per host). The oracle states the
+    surviving frontier closed-form: paths 4-6 per host plus the hub —
+    a canonicalizer missing any rule leaves decorated urls that either
+    escape the seen set or fragment the demand counts."""
+    from .operators.crawl import frontier_expansion
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" see https://"), F.col("source"),
+                F.lit(".example.org:80/p/"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("?utm_source=x&a=1#f and https://HUB.example.net:443/x"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    seen = (
+        d.select("source").distinct()
+        .crossJoin(spark.range(4))
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+                F.col("id").cast("string"), F.lit("?a=1"),
+            ).alias("url")
+        )
+    )
+    return frontier_expansion(d.select(s.alias("s")), F.col("s"), seen)
+
+
+@q(
     "crawl_recrawl_delta",
     """WITH a AS (SELECT unnest(generate_series(0, 1999)) AS i),
     b AS (SELECT unnest(generate_series(0, 2199)) AS i),
@@ -8832,6 +8880,7 @@ DEFERRED = {
     "warc_wet_roundtrip": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_sniff_route": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_neighborhood_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_frontier_expansion": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

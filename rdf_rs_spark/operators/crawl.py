@@ -370,3 +370,41 @@ def revisit_schedule(
         .cast("bigint")
         .alias("revisit_every"),
     )
+
+
+#: outlink pattern for frontier mining — unlike corpus.URL_RE (plain
+#: paths), frontier urls carry ports, queries, and fragments that the
+#: canonicalizer must then normalize away
+FRONTIER_URL_RE = r"https?://[A-Za-z0-9._:/?&=#-]+"
+
+
+def frontier_expansion(
+    docs: DataFrame, text, seen: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """The crawl-loop step between this crawl's pages and the next
+    fetch plan: extract outlinks, CANONICALIZE (tracking params
+    dropped, params sorted, default ports and fragments stripped, host
+    lowercased — `functions/urls.py::canonicalize_url`, so the same
+    page reached via utm-decorated links collapses), aggregate demand
+    per url, and anti-join the already-crawled set. Emits
+    ``(url, n_refs)`` — the demand count feeds `budget_allocation` /
+    `fetch_schedule` downstream.
+
+    Scale: extraction is a narrow projection + top-level explode; ONE
+    map-side-combining url aggregate; the anti-join runs on the
+    ALREADY-AGGREGATED frontier (distinct urls, not the mention
+    stream) against the crawled set — co-located for free when both
+    sides bucket by url."""
+    from ..functions.urls import canonicalize_url
+
+    links = docs.select(
+        F.explode(
+            F.regexp_extract_all(text, F.lit(FRONTIER_URL_RE), F.lit(0))
+        ).alias("u")
+    )
+    frontier = (
+        links.select(canonicalize_url(F.col("u")).alias("url"))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_refs"))
+    )
+    return frontier.join(seen.select(F.col(url_col).alias("url")), "url", "left_anti")
