@@ -7805,6 +7805,50 @@ def crawl_quality_budgets(spark, sf_dir):
 
 
 @q(
+    "crawl_robots_sitemaps",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    j AS (SELECT i, unnest(generate_series(0, i % 2)) AS j FROM p)
+    SELECT 'h' || i AS host,
+           'https://h' || i || '.example.org/sm/' || j || '.xml' AS sitemap_url
+    FROM j""",
+)
+def crawl_robots_sitemaps(spark, sf_dir):
+    """The link that CLOSES the discovery chain (robots → sitemaps →
+    feeds): ``Sitemap:`` directives mined from robots.txt
+    (`crawl.py::robots_sitemaps`) feed `sources/sitemaps.py` directly.
+    Group-INDEPENDENT per the sitemaps.org protocol — the synthesized
+    files interleave the directives between user-agent groups so a
+    group-scoped implementation would mis-attach or drop them; the
+    full-colon-value split (the url's own '://' must survive
+    partition(':')) is also under the hash."""
+    from .operators.crawl import robots_sitemaps
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    sm1 = F.concat(
+        F.lit("Sitemap: https://h"), i.cast("string"), F.lit(".example.org/sm/0.xml\n")
+    )
+    sm2 = F.when(
+        i % 2 == 1,
+        F.concat(
+            F.lit("Sitemap: https://h"), i.cast("string"),
+            F.lit(".example.org/sm/1.xml\n"),
+        ),
+    ).otherwise(F.lit(""))
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        sm1,
+        F.lit("User-agent: bot\nAllow: /\n"),
+        sm2,
+    )
+    docs = spark.range(n).select(
+        F.concat(F.lit("h"), i.cast("string")).alias("host"),
+        robots.alias("robots_txt"),
+    )
+    return robots_sitemaps(docs)
+
+
+@q(
     "crawl_frontier_expansion",
     """WITH f AS (
       SELECT 'https://' || source || '.example.org/p/' || (doc_id % 7)
@@ -8881,6 +8925,7 @@ DEFERRED = {
     "multimodal_sniff_route": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_neighborhood_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_frontier_expansion": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_robots_sitemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

@@ -42,11 +42,13 @@ def _parse_robots_text(host: str, text: str):
 
 
 def _walk_robots(host: str, text: str):
-    """Shared group walk; returns ``(rules, delays)`` where delays is
-    one ``(host, agent, delay_s)`` per Crawl-delay directive (the
-    de-facto extension most crawlers honor), attached to the current
-    group like Allow/Disallow."""
-    rules, delays = [], []
+    """Shared group walk; returns ``(rules, delays, sitemaps)`` where
+    delays is one ``(host, agent, delay_s)`` per Crawl-delay directive
+    (the de-facto extension most crawlers honor), attached to the
+    current group like Allow/Disallow, and sitemaps is one
+    ``(host, url)`` per ``Sitemap:`` directive — GROUP-INDEPENDENT per
+    the sitemaps.org protocol (it neither opens nor closes a group)."""
+    rules, delays, sitemaps = [], [], []
     agents: list[str] = []
     group_open = True  # True while consuming consecutive User-agent lines
     for raw in text.splitlines():
@@ -73,9 +75,14 @@ def _walk_robots(host: str, text: str):
                 continue
             for a in agents:
                 delays.append((host, a, d))
+        elif key == "sitemap":
+            # partition(":") split at the FIRST colon only, so val
+            # still carries the full "https://…" URL
+            if val:
+                sitemaps.append((host, val))
         else:
             group_open = False
-    return rules, delays
+    return rules, delays, sitemaps
 
 
 def parse_robots(
@@ -408,3 +415,29 @@ def frontier_expansion(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_refs"))
     )
     return frontier.join(seen.select(F.col(url_col).alias("url")), "url", "left_anti")
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → one ``(host, sitemap_url)`` row per
+    ``Sitemap:`` directive — the link that closes the discovery chain
+    (robots → sitemaps → feeds): these urls feed `sources/sitemaps.py`
+    directly. Same Arrow kernel shape as `parse_robots`."""
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType(), False),
+            T.StructField("sitemap_url", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _walk_robots(getattr(r, host_col), getattr(r, text_col))[2]
+                )
+            yield pd.DataFrame(rows, columns=["host", "sitemap_url"])
+
+    return df.mapInPandas(run, schema=schema)
