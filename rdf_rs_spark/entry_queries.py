@@ -5339,6 +5339,26 @@ def multimodal_sniff_route(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_id3_frames",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT 'a' || i AS media_id, 'TIT2' AS frame_id, 'Track ' || i AS value FROM p
+    UNION ALL SELECT 'a' || i, 'TPE1', 'Artist ' || (i % 40) FROM p
+    UNION ALL SELECT 'a' || i, 'TALB', 'Album ' || (i % 7) FROM p WHERE i % 2 = 1""",
+)
+def multimodal_id3_frames(spark, sf_dir):
+    """REAL audio metadata parse (ID3v2.3 — the audio-side EXIF):
+    syncsafe tag size (7 bits/byte), 10-byte frame walk, Latin-1 AND
+    UTF-16-with-BOM text encodings, non-text frames skipped by size,
+    padding terminates. Tag sizes in the corpus exceed 127 bytes so a
+    parser doing plain base-256 size math breaks the hash
+    (`operators/multimodal.py::_id3v2_text_frames`)."""
+    from .operators.multimodal import decode_id3_frames, synthesize_id3_media
+
+    n = _scale_n(sf_dir)
+    return decode_id3_frames(synthesize_id3_media(spark.range(n)))
+
+
 @q("multimodal_exif_ifd", _exif_oracle(2000))
 def multimodal_exif_ifd(spark, sf_dir):
     """REAL typed-metadata parse (TIFF/EXIF IFD walk — byte-order
@@ -8926,6 +8946,7 @@ DEFERRED = {
     "kg_neighborhood_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_frontier_expansion": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_robots_sitemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_id3_frames": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
 }
 
 

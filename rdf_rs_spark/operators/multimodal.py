@@ -1732,3 +1732,109 @@ def sniff_media_format(payload) -> "F.Column":
         .when(h8.startswith("5036"), F.lit("ppm"))
         .otherwise(F.lit("unknown"))
     )
+
+
+ID3_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_id", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+    ]
+)
+
+
+def _id3v2_text_frames(payload: bytes):
+    """REAL ID3v2.3 metadata walk (the audio-side EXIF): 'ID3' magic,
+    version, SYNCSAFE tag size (7 bits per byte — the detail naive
+    parsers get wrong), then 10-byte frame headers; text frames
+    (``T…``) carry an encoding byte (0 = Latin-1, 1 = UTF-16 with BOM)
+    plus the value. Non-text frames are skipped by declared size;
+    padding (a zero byte where a frame id should start) ends the walk."""
+    import struct
+
+    if payload[:3] != b"ID3":
+        raise ValueError("not an ID3v2 tag")
+    size_bytes = payload[6:10]
+    tag_size = 0
+    for b in size_bytes:
+        if b & 0x80:
+            raise ValueError("non-syncsafe ID3 size byte")
+        tag_size = (tag_size << 7) | b
+    pos, end = 10, 10 + tag_size
+    out = []
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid[0] == 0:
+            break  # padding
+        (fsize,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 10 : pos + 10 + fsize]
+        if fid.startswith(b"T") and fsize >= 1:
+            enc, raw = body[0], body[1:]
+            if enc == 0:
+                val = raw.decode("latin-1")
+            elif enc == 1:
+                val = raw.decode("utf-16")
+            else:
+                val = raw.decode("utf-8", "replace")
+            out.append((fid.decode("ascii"), val.rstrip("\x00")))
+        pos += 10 + fsize
+    return out
+
+
+def decode_id3_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """payloads → one row per ID3v2 text frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mid = getattr(r, id_col)
+                for fid, val in _id3v2_text_frames(bytes(getattr(r, payload_col))):
+                    rows.append((mid, fid, val))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_id", "value"])
+
+    return df.mapInPandas(run, schema=ID3_FRAMES_SCHEMA)
+
+
+def synthesize_id3_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic ID3v2.3 tags: TIT2/TPE1 Latin-1 frames (closed
+    forms of i), a UTF-16 TALB frame on odd rows (BOM + both encodings
+    exercised), a skipped non-text PRIV frame, trailing padding, and a
+    tag size crafted to need real syncsafe math (≥ 128 bytes)."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+
+                def frame(fid: bytes, body: bytes) -> bytes:
+                    return fid + struct.pack(">I", len(body)) + b"\x00\x00" + body
+
+                frames = frame(b"TIT2", b"\x00" + f"Track {i}".encode("latin-1"))
+                frames += frame(b"TPE1", b"\x00" + f"Artist {i % 40}".encode("latin-1"))
+                if i % 2 == 1:
+                    frames += frame(
+                        b"TALB", b"\x01" + f"Album {i % 7}".encode("utf-16")
+                    )
+                frames += frame(b"PRIV", b"owner\x00binary")
+                body = frames + b"\x00" * 64  # padding pushes size past 127
+                size = len(body)
+                syncsafe = bytes(
+                    [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                     (size >> 7) & 0x7F, size & 0x7F]
+                )
+                payload = b"ID3\x03\x00\x00" + syncsafe + body
+                rows.append((f"a{i}", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
