@@ -7917,6 +7917,64 @@ def crawl_frontier_expansion(spark, sf_dir):
 
 
 @q(
+    "crawl_redirect_resolve",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    u AS (SELECT i, i % 10 AS cls,
+                 'https://h' || (i % 50) || '.example.org/r/' || i AS url
+          FROM p)
+    SELECT url,
+           CASE WHEN cls IN (8, 9) THEN NULL
+                WHEN cls IN (1, 2, 3) THEN
+                  'https://h' || ((i - cls) % 50) || '.example.org/r/'
+                    || (i - cls)
+                ELSE url END AS final_url,
+           CASE WHEN cls IN (8, 9) THEN NULL
+                WHEN cls IN (1, 2, 3) THEN cls
+                ELSE 0 END::BIGINT AS hops,
+           (cls NOT IN (8, 9))::BIGINT AS resolved
+    FROM u""",
+)
+def crawl_redirect_resolve(spark, sf_dir):
+    """HTTP 3xx chain resolution (`crawl.py::resolve_redirects`): the
+    fetch-log → canonical-url map every crawler computes before the
+    page table exists — POINTER JUMPING (ceil(log2(max_hops)) bounded
+    self-joins over the redirect slice only), never a per-hop walk of
+    the page table. Synthesized fetch log: urls with i%10 in 1..3
+    redirect to i-1 (chains of length 1-3 ending on the i%10==0
+    terminal), i%10 in {8,9} form a 2-cycle (8→9→8), everything else
+    answered 200. The oracle states the expected DECISION closed-form
+    per index class — final target, true hop count, and the
+    loop-flagged NULL rows — so neither the jumping nor the cycle
+    detection is replayed, both are checked (the MATCHER/DECISION
+    recipe). max_hops=8 is curl's --max-redirs contract."""
+    from .operators.crawl import resolve_redirects
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    cls = i % 10
+
+    def _url(idx):
+        return F.concat(
+            F.lit("https://h"), (idx % 50).cast("string"),
+            F.lit(".example.org/r/"), idx.cast("string"),
+        )
+
+    urls = spark.range(n).select(_url(i).alias("url"))
+    redirects = (
+        spark.range(n)
+        .where(cls.isin(1, 2, 3, 8, 9))
+        .select(
+            _url(i).alias("src_url"),
+            F.when(cls == 8, _url(i + 1))
+            .when(cls == 9, _url(i - 1))
+            .otherwise(_url(i - 1))
+            .alias("dst_url"),
+        )
+    )
+    return resolve_redirects(redirects, urls=urls, max_hops=8)
+
+
+@q(
     "crawl_recrawl_delta",
     """WITH a AS (SELECT unnest(generate_series(0, 1999)) AS i),
     b AS (SELECT unnest(generate_series(0, 2199)) AS i),
@@ -8947,6 +9005,7 @@ DEFERRED = {
     "crawl_frontier_expansion": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_robots_sitemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_id3_frames": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_redirect_resolve": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window (novel shape: pointer-jumping + cycle detection under a decision oracle)",
 }
 
 

@@ -332,3 +332,72 @@ def test_wet_records_are_session_timezone_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert shifted == utc
     assert "WARC-Date: 2025-01-01T00:00:01Z" in utc["https://ex1.example.org/page/1"]
+
+
+def test_redirect_resolve_chains_cycles_and_limit(spark):
+    """Pointer jumping resolves chains with true hop counts; cycles,
+    self-loops, and chains longer than max_hops are flagged unresolved
+    (curl --max-redirs semantics)."""
+    from rdf_rs_spark.operators.crawl import resolve_redirects
+
+    edges = [
+        # chain of 3: a3 -> a2 -> a1 -> a0 (terminal)
+        ("a3", "a2"), ("a2", "a1"), ("a1", "a0"),
+        # 2-cycle
+        ("c0", "c1"), ("c1", "c0"),
+        # self-loop
+        ("s0", "s0"),
+    ]
+    # chain of length 10 > max_hops=8: l9 -> l8 -> ... -> l0 -> t
+    edges += [(f"l{i}", f"l{i-1}") for i in range(1, 10)] + [("l0", "t")]
+    redirects = spark.createDataFrame(edges, "src_url string, dst_url string")
+    out = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in resolve_redirects(redirects, max_hops=8).collect()
+    }
+    assert out["a3"] == ("a0", 3, 1)
+    assert out["a2"] == ("a0", 2, 1)
+    assert out["a1"] == ("a0", 1, 1)
+    assert out["c0"] == (None, None, 0)
+    assert out["c1"] == (None, None, 0)
+    assert out["s0"] == (None, None, 0)
+    # within the limit: l7 is 8 hops from t -> resolved at exactly 8
+    assert out["l7"] == ("t", 8, 1)
+    # over the limit: l8/l9 are 9/10 hops -> flagged even though the
+    # pointer may have reached a terminal
+    assert out["l8"] == (None, None, 0)
+    assert out["l9"] == (None, None, 0)
+
+
+def test_redirect_resolve_non_power_of_two_limit(spark):
+    """max_hops=5: rounds=3 advance pointers up to 8 steps, so the
+    hops<=max_hops guard (not pointer state) must flag 6-8 hop chains."""
+    from rdf_rs_spark.operators.crawl import resolve_redirects
+
+    edges = [(f"m{i}", f"m{i-1}") for i in range(1, 8)] + [("m0", "t")]
+    redirects = spark.createDataFrame(edges, "src_url string, dst_url string")
+    out = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in resolve_redirects(redirects, max_hops=5).collect()
+    }
+    assert out["m4"] == ("t", 5, 1)
+    assert out["m5"] == (None, None, 0)
+    assert out["m7"] == (None, None, 0)
+
+
+def test_redirect_resolve_terminal_urls_union(spark):
+    from rdf_rs_spark.operators.crawl import resolve_redirects
+
+    redirects = spark.createDataFrame(
+        [("r0", "p0")], "src_url string, dst_url string"
+    )
+    urls = spark.createDataFrame([("r0",), ("p0",), ("p1",)], "url string")
+    out = {
+        r["url"]: (r["final_url"], r["hops"], r["resolved"])
+        for r in resolve_redirects(redirects, urls=urls).collect()
+    }
+    assert out == {
+        "r0": ("p0", 1, 1),
+        "p0": ("p0", 0, 1),
+        "p1": ("p1", 0, 1),
+    }
