@@ -8690,6 +8690,178 @@ def corpus_host_graph(spark, sf_dir):
     return host_link_edges(d, F.col("source"), F.col("s"))
 
 
+# ---- WL graph canonicalization (isomorphism-invariant labels + hash) ------
+
+
+def _canon_triples(spark, sf_dir):
+    """Per-customer blank island for the canonicalization entries: an
+    IRI anchor → blank `a` → blank `b` chain with a literal on each
+    blank (lang/datatype/plain by c_custkey % 3) and an IRI-object leaf
+    — exercises every `_obj_sig` branch and both blank roles."""
+    c = _t(spark, sf_dir, "customer")
+    doc = F.concat(F.lit("d"), F.col("c_custkey").cast("string")).alias("doc")
+    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+    null_s = F.lit(None).cast("string")
+
+    def tri(subj, pred, kind, lex, dt=None, lang=None):
+        return c.select(
+            doc,
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).cast("int").alias("obj_kind"),
+            lex.alias("obj_lex"),
+            (dt if dt is not None else null_s).alias("obj_datatype"),
+            (lang if lang is not None else null_s).alias("obj_lang"),
+        )
+
+    cust_iri = F.concat(F.lit(EX + "customer/"), F.col("c_custkey").cast("string"))
+    mod3 = F.col("c_custkey") % 3
+    return (
+        tri(cust_iri, EX + "address", 1, F.lit("a"))
+        .unionByName(tri(F.lit("_:a"), EX + "segment", 2, F.col("c_mktsegment")))
+        .unionByName(tri(F.lit("_:a"), EX + "next", 1, F.lit("b")))
+        .unionByName(
+            tri(
+                F.lit("_:b"),
+                EX + "name",
+                2,
+                F.col("c_name"),
+                dt=F.when(mod3 == 1, F.lit(xsd_string)),
+                lang=F.when(mod3 == 0, F.lit("en")),
+            )
+        )
+        .unionByName(tri(F.lit("_:b"), RDF_TYPE, 0, F.lit(EX + "Address")))
+    )
+
+
+# DuckDB replay of the same islands AND the 2-round WL chain from
+# operators/canonicalize.py (signature spec pinned by
+# tests/test_canonicalize.py::test_hand_computed_wl_chain): round-0
+# signatures use '*' for blank neighbors, each round md5's the chr(1)-
+# joined SORTED incident entries `role<chr31>pred<chr31>other`, and the
+# graph hash md5's the chr(2)-joined sorted triple renderings with
+# blanks replaced by their final signatures. CTE sig0 = the loop's
+# round 1 (every neighbor still '*'), sig1 = round 2 = the FINAL
+# signature at the default rounds=2 (off-by-one here was a real bug:
+# an extra sig2 CTE replayed a 3rd round the Python side never runs).
+_CANON_CTES = f"""
+WITH tr AS (
+  SELECT 'd' || CAST(c_custkey AS VARCHAR) AS doc,
+         '{EX}customer/' || CAST(c_custkey AS VARCHAR) AS subj,
+         '{EX}address' AS pred, 1 AS kind, 'a' AS lex,
+         CAST(NULL AS VARCHAR) AS dt, CAST(NULL AS VARCHAR) AS lang
+  FROM customer
+  UNION ALL
+  SELECT 'd' || CAST(c_custkey AS VARCHAR), '_:a', '{EX}segment', 2,
+         c_mktsegment, NULL, NULL FROM customer
+  UNION ALL
+  SELECT 'd' || CAST(c_custkey AS VARCHAR), '_:a', '{EX}next', 1, 'b',
+         NULL, NULL FROM customer
+  UNION ALL
+  SELECT 'd' || CAST(c_custkey AS VARCHAR), '_:b', '{EX}name', 2, c_name,
+         CASE WHEN c_custkey % 3 = 1
+              THEN 'http://www.w3.org/2001/XMLSchema#string' END,
+         CASE WHEN c_custkey % 3 = 0 THEN 'en' END FROM customer
+  UNION ALL
+  SELECT 'd' || CAST(c_custkey AS VARCHAR), '_:b', '{RDF_TYPE}', 0,
+         '{EX}Address', NULL, NULL FROM customer
+),
+rend AS (
+  SELECT *, CASE WHEN kind = 0 THEN '<' || lex || '>'
+                 ELSE '"' || lex || '"' ||
+                      CASE WHEN lang IS NOT NULL THEN '@' || lang
+                           WHEN dt IS NOT NULL THEN '^^<' || dt || '>'
+                           ELSE '' END END AS obj_rend
+  FROM tr),
+inc AS (
+  SELECT doc, substring(subj, 3) AS b, 'S' AS role, pred,
+         CASE WHEN kind = 1 THEN 'b' ELSE 'g' END AS okind,
+         CASE WHEN kind = 1 THEN lex ELSE obj_rend END AS oval
+  FROM rend WHERE substring(subj, 1, 2) = '_:'
+  UNION ALL
+  SELECT doc, lex, 'O', pred,
+         CASE WHEN substring(subj, 1, 2) = '_:' THEN 'b' ELSE 'g' END,
+         CASE WHEN substring(subj, 1, 2) = '_:' THEN substring(subj, 3)
+              ELSE '<' || subj || '>' END
+  FROM rend WHERE kind = 1),
+sig0 AS (
+  SELECT doc, b, md5(string_agg(
+           role || chr(31) || pred || chr(31) ||
+           CASE WHEN okind = 'b' THEN '*' ELSE oval END, chr(1)
+           ORDER BY role || chr(31) || pred || chr(31) ||
+                    CASE WHEN okind = 'b' THEN '*' ELSE oval END)) AS sig
+  FROM inc GROUP BY doc, b),
+sig1 AS (
+  SELECT i.doc, i.b, md5(string_agg(
+           i.role || chr(31) || i.pred || chr(31) ||
+           CASE WHEN i.okind = 'b' THEN s.sig ELSE i.oval END, chr(1)
+           ORDER BY i.role || chr(31) || i.pred || chr(31) ||
+                    CASE WHEN i.okind = 'b' THEN s.sig ELSE i.oval END)) AS sig
+  FROM inc i LEFT JOIN sig0 s
+    ON i.okind = 'b' AND s.doc = i.doc AND s.b = i.oval
+  GROUP BY i.doc, i.b)
+"""
+
+
+@q(
+    "kg_canonical_labels",
+    _CANON_CTES
+    + """
+    SELECT doc, b AS orig_label,
+           'c' || CAST(row_number() OVER (PARTITION BY doc ORDER BY sig, b) - 1
+                       AS VARCHAR) AS canon_label
+    FROM sig1""",
+)
+def kg_canonical_labels(spark, sf_dir):
+    """Isomorphism-invariant blank-node relabeling
+    (`operators/canonicalize.py::canonical_blank_labels`, the RDFC-1.0
+    problem over the reference's parse-order labels `src/node.rs:16`):
+    2-round Weisfeiler-Lehman signature refinement per document island,
+    labels `c<rank>` by final-signature order. ONE hash shuffle on doc,
+    then embarrassingly parallel per-island Python — signatures never
+    cross documents, so the op scales with island count, not graph
+    size. The oracle replays the md5 chain round by round in SQL."""
+    from .operators.canonicalize import canonical_blank_labels
+
+    return canonical_blank_labels(_canon_triples(spark, sf_dir), doc_col="doc")
+
+
+@q(
+    "kg_canonical_graph_hash",
+    _CANON_CTES
+    + """,
+    lines AS (
+      SELECT r.doc,
+             COALESCE(sb.sig, '<' || r.subj || '>') || chr(31) || r.pred
+               || chr(31)
+               || CASE WHEN r.kind = 1 THEN so.sig ELSE r.obj_rend END AS line
+      FROM rend r
+      LEFT JOIN sig1 sb ON substring(r.subj, 1, 2) = '_:'
+         AND sb.doc = r.doc AND sb.b = substring(r.subj, 3)
+      LEFT JOIN sig1 so ON r.kind = 1 AND so.doc = r.doc AND so.b = r.lex),
+    nb AS (SELECT doc, count(*) AS n FROM sig1 GROUP BY doc)
+    SELECT l.doc,
+           md5(string_agg(l.line, chr(2) ORDER BY l.line)) AS graph_hash,
+           any_value(nb.n)::BIGINT AS n_blanks,
+           count(*)::BIGINT AS n_triples
+    FROM lines l JOIN nb ON nb.doc = l.doc
+    GROUP BY l.doc""",
+)
+def kg_canonical_graph_hash(spark, sf_dir):
+    """Canonical graph hash (`canonicalize.py::canonical_graph_hash`):
+    md5 over the sorted triple renderings with blanks replaced by their
+    final WL signatures — isomorphic islands hash EQUAL across
+    relabelings and statement reorderings (including automorphic
+    orbits, where rank-based labels can't be invariant but the
+    signature multiset is). THE dedup key for KG fragments mined from
+    different serializations of the same content; groupBy(graph_hash)
+    collapses them. Same one-shuffle applyInPandas plan as
+    `kg_canonical_labels`."""
+    from .operators.canonicalize import canonical_graph_hash
+
+    return canonical_graph_hash(_canon_triples(spark, sf_dir), doc_col="doc")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -8806,6 +8978,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_canonical_labels": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (round-unrolled WL md5-chain replay)",
+    "kg_canonical_graph_hash": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (a)+(b): the isomorphism-dedup key entry, same WL replay oracle",
     "rdf_write_validation_rejects": "green r3 under the driver hash gate; impl unchanged since",
     "rdf_nquads_parse": "green r3 under the driver hash gate; impl unchanged since",
     "rdf_mixed_corpus_parse": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",

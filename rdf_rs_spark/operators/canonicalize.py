@@ -1,0 +1,177 @@
+"""RDF graph canonicalization: isomorphism-invariant blank-node labels.
+
+The reference allocates blank labels by parse order (`src/node.rs:16`,
+`src/graph.rs` blank-allocation tests), so the SAME graph parsed from
+two serializations — different label names, different statement order —
+carries different labels. Canonicalization (the RDFC-1.0 / URDNA2015
+problem) assigns labels derived only from graph STRUCTURE, which is
+what turns "dedup KG fragments mined from different pages" from a
+heuristic into an equality test: two isomorphic blank-node islands get
+byte-identical canonical quads and one `graph_hash`.
+
+Algorithm: iterative Weisfeiler-Lehman signature refinement —
+
+- ``tsig`` of a ground term is its NT-ish rendering (``<iri>``,
+  ``"lex"`` with ``@lang`` / ``^^<dt>`` suffixes); every blank starts
+  as ``*``;
+- round r signature of blank b = md5 of the chr(1)-joined SORTED list
+  of its incident-edge entries ``{S|O} <US> pred <US> other``, where a
+  blank ``other`` contributes its round r-1 signature (``*`` at round
+  0) and <US> is chr(31);
+- canonical label = ``c<rank>`` by final-signature order (ties broken
+  by original label — deterministic for a given input, and ties only
+  arise on automorphic orbits, where NO label choice is
+  isomorphism-invariant without URDNA's permutation exploration;
+  documented contract, see `canonical_blank_labels`);
+- ``graph_hash`` = md5 of the chr(2)-joined sorted triple renderings
+  with each blank replaced by its final SIGNATURE (not its rank), so
+  the hash stays isomorphism-invariant even across automorphic ties.
+
+Scale: graphs are per-document islands (bounded — the e2e pipeline's
+blank structures are collection cells + inline bnodes per page), so
+this is `applyInPandas` grouped on the doc key: ONE hash-partition
+shuffle on doc_id, then embarrassingly parallel pure-Python WL on each
+tiny group; signatures never cross documents. ``rounds`` must reach
+the blank-subgraph diameter for full discrimination (default 2 covers
+chains of 3 blanks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_US = "\x1f"  # field separator inside an incident-edge entry
+_FS = "\x01"  # entry separator inside a signature preimage
+_LS = "\x02"  # line separator inside the graph-hash preimage
+
+TRIPLE_COLS = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang"]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _obj_sig(kind: int, lex: str, dt, lang) -> str:
+    if kind == 0:
+        return f"<{lex}>"
+    out = f'"{lex}"'
+    # Arrow nulls surface as None (object dtype) — isinstance guards
+    # against any NaN-typed null leaking in as a truthy float
+    if isinstance(lang, str) and lang:
+        out += f"@{lang}"
+    elif isinstance(dt, str) and dt:
+        out += f"^^<{dt}>"
+    return out
+
+
+def _wl_signatures(rows: Iterable[tuple], rounds: int) -> dict[str, str]:
+    """rows = (subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang);
+    returns {bare blank label: final signature hex}."""
+    # incidence: per blank, list of (role, pred, other) where other is
+    # ("b", label) for a blank neighbor or ("g", rendered ground term)
+    inc: dict[str, list[tuple[str, str, tuple[str, str]]]] = {}
+
+    def touch(b):
+        return inc.setdefault(b, [])
+
+    for subj, pred, kind, lex, dt, lang in rows:
+        sb = subj[2:] if subj.startswith("_:") else None
+        ob = lex if kind == 1 else None
+        if sb is not None:
+            other = ("b", ob) if ob is not None else ("g", _obj_sig(kind, lex, dt, lang))
+            touch(sb).append(("S", pred, other))
+        if ob is not None:
+            other = ("b", sb) if sb is not None else ("g", f"<{subj}>")
+            touch(ob).append(("O", pred, other))
+    sig = {b: "*" for b in inc}
+    for _ in range(rounds):
+        sig = {
+            b: _md5(
+                _FS.join(
+                    sorted(
+                        f"{role}{_US}{pred}{_US}"
+                        + (sig[other[1]] if other[0] == "b" else other[1])
+                        for role, pred, other in entries
+                    )
+                )
+            )
+            for b, entries in inc.items()
+        }
+    return sig
+
+
+def _group_rows(pdf: pd.DataFrame):
+    return zip(
+        pdf["subj"], pdf["pred"], pdf["obj_kind"], pdf["obj_lex"],
+        pdf["obj_datatype"], pdf["obj_lang"],
+    )
+
+
+def canonical_blank_labels(
+    triples: DataFrame, doc_col: str = "doc", rounds: int = 2
+) -> DataFrame:
+    """Per document: ``(doc, orig_label, canon_label)`` — canon labels
+    are ``c0, c1, …`` by final-WL-signature order. Isomorphism-invariant
+    whenever WL refinement fully discriminates the blanks (every
+    non-automorphic graph); on automorphic orbits the tie breaks by
+    original label, which is deterministic for a given serialization
+    but NOT invariant across relabelings of the orbit (the URDNA2015
+    permutation step this deliberately omits — `graph_hash` stays
+    invariant regardless, see `canonical_graph_hash`)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.StringType(), False),
+            T.StructField("orig_label", T.StringType(), False),
+            T.StructField("canon_label", T.StringType(), False),
+        ]
+    )
+
+    def fn(key, pdf):
+        sig = _wl_signatures(_group_rows(pdf), rounds)
+        ranked = sorted(sig, key=lambda b: (sig[b], b))
+        return pd.DataFrame(
+            [(key[0], b, f"c{r}") for r, b in enumerate(ranked)],
+            columns=["doc", "orig_label", "canon_label"],
+        )
+
+    return triples.groupBy(doc_col).applyInPandas(fn, schema=schema)
+
+
+def canonical_graph_hash(
+    triples: DataFrame, doc_col: str = "doc", rounds: int = 2
+) -> DataFrame:
+    """Per document: ``(doc, graph_hash, n_blanks, n_triples)`` —
+    ``graph_hash`` = md5 over the sorted triple renderings with blanks
+    replaced by their final WL signatures, so isomorphic graphs hash
+    equal (including across automorphic-orbit relabelings, since orbit
+    members share a signature and the rendering multiset is preserved).
+    THE dedup key for structured islands: groupBy(graph_hash) collapses
+    every re-serialization of the same fragment."""
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.StringType(), False),
+            T.StructField("graph_hash", T.StringType(), False),
+            T.StructField("n_blanks", T.LongType(), False),
+            T.StructField("n_triples", T.LongType(), False),
+        ]
+    )
+
+    def fn(key, pdf):
+        rows = list(_group_rows(pdf))
+        sig = _wl_signatures(rows, rounds)
+        lines = []
+        for subj, pred, kind, lex, dt, lang in rows:
+            tsub = sig[subj[2:]] if subj.startswith("_:") else f"<{subj}>"
+            tobj = sig[lex] if kind == 1 else _obj_sig(kind, lex, dt, lang)
+            lines.append(f"{tsub}{_US}{pred}{_US}{tobj}")
+        h = _md5(_LS.join(sorted(lines)))
+        return pd.DataFrame(
+            [(key[0], h, len(sig), len(lines))],
+            columns=["doc", "graph_hash", "n_blanks", "n_triples"],
+        )
+
+    return triples.groupBy(doc_col).applyInPandas(fn, schema=schema)

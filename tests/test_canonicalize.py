@@ -1,0 +1,127 @@
+"""WL canonicalization: isomorphism invariance, automorphic-orbit
+behavior, and a hand-computed hash pinning the signature spec (the
+DuckDB oracle replays the same chain — this test is the drift guard)."""
+
+import hashlib
+
+from rdf_rs_spark.operators.canonicalize import (
+    canonical_blank_labels,
+    canonical_graph_hash,
+)
+
+SCHEMA = (
+    "doc string, subj string, pred string, obj_kind int, obj_lex string, "
+    "obj_datatype string, obj_lang string"
+)
+P = "http://ex.org/p/"
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _rows(doc, triples):
+    return [(doc, s, p, k, lex, dt, lang) for s, p, k, lex, dt, lang in triples]
+
+
+def test_isomorphic_relabelings_hash_equal(spark):
+    # x -> y chain with a literal leaf; copy b renames x,y -> q7,q3 and
+    # reverses statement order
+    a = _rows(
+        "a",
+        [
+            ("_:x", P + "a", 1, "y", None, None),
+            ("_:y", P + "b", 2, "v", None, None),
+        ],
+    )
+    b = _rows(
+        "b",
+        [
+            ("_:q3", P + "b", 2, "v", None, None),
+            ("_:q7", P + "a", 1, "q3", None, None),
+        ],
+    )
+    df = spark.createDataFrame(a + b, SCHEMA)
+    hashes = {r["doc"]: (r["graph_hash"], r["n_blanks"], r["n_triples"])
+              for r in canonical_graph_hash(df).collect()}
+    assert hashes["a"] == hashes["b"]
+    assert hashes["a"][1:] == (2, 2)
+    # canonical labels agree structurally: x and q7 (the chain head)
+    # share a canon label, likewise y and q3
+    labels = {(r["doc"], r["orig_label"]): r["canon_label"]
+              for r in canonical_blank_labels(df).collect()}
+    assert labels[("a", "x")] == labels[("b", "q7")]
+    assert labels[("a", "y")] == labels[("b", "q3")]
+    assert sorted(v for (d, _), v in labels.items() if d == "a") == ["c0", "c1"]
+
+
+def test_non_isomorphic_near_twins_differ(spark):
+    a = _rows("a", [("_:x", P + "a", 1, "y", None, None),
+                    ("_:y", P + "b", 2, "v", None, None)])
+    # same shape, different literal
+    b = _rows("b", [("_:x", P + "a", 1, "y", None, None),
+                    ("_:y", P + "b", 2, "w", None, None)])
+    # same terms, edge direction flipped
+    c = _rows("c", [("_:y", P + "a", 1, "x", None, None),
+                    ("_:y", P + "b", 2, "v", None, None)])
+    df = spark.createDataFrame(a + b + c, SCHEMA)
+    hashes = {r["doc"]: r["graph_hash"] for r in canonical_graph_hash(df).collect()}
+    assert len(set(hashes.values())) == 3
+
+
+def test_automorphic_orbit_hash_invariant_labels_deterministic(spark):
+    # s -> x, s -> y: x and y are swappable (one automorphic orbit)
+    a = _rows("a", [("http://ex.org/s", P + "a", 1, "x", None, None),
+                    ("http://ex.org/s", P + "a", 1, "y", None, None)])
+    b = _rows("b", [("http://ex.org/s", P + "a", 1, "m", None, None),
+                    ("http://ex.org/s", P + "a", 1, "n", None, None)])
+    df = spark.createDataFrame(a + b, SCHEMA)
+    hashes = {r["doc"]: r["graph_hash"] for r in canonical_graph_hash(df).collect()}
+    assert hashes["a"] == hashes["b"]
+    labels = {(r["doc"], r["orig_label"]): r["canon_label"]
+              for r in canonical_blank_labels(df).collect()}
+    # ties break by original label: deterministic c0/c1 per doc
+    assert labels[("a", "x")] == "c0" and labels[("a", "y")] == "c1"
+    assert labels[("b", "m")] == "c0" and labels[("b", "n")] == "c1"
+
+
+def test_ground_only_graph(spark):
+    a = _rows("a", [("http://ex.org/s", P + "a", 2, "v", None, None)])
+    df = spark.createDataFrame(a, SCHEMA)
+    [r] = canonical_graph_hash(df).collect()
+    assert (r["n_blanks"], r["n_triples"]) == (0, 1)
+    assert r["graph_hash"] == _md5("<http://ex.org/s>\x1f" + P + "a\x1f" + '"v"')
+
+
+def test_hand_computed_wl_chain(spark):
+    """Pins the exact signature chain the DuckDB oracle replays:
+    sig0 uses '*' for blank neighbors, sig1 substitutes sig0, entries
+    sort before joining with chr(1), fields join with chr(31)."""
+    a = _rows("a", [("_:x", P + "a", 1, "y", None, None),
+                    ("_:y", P + "b", 2, "v", None, None)])
+    df = spark.createDataFrame(a, SCHEMA)
+
+    s0x = _md5("S\x1f" + P + "a\x1f*")
+    s0y = _md5("\x01".join(sorted(["O\x1f" + P + "a\x1f*",
+                                   "S\x1f" + P + "b\x1f" + '"v"'])))
+    s1x = _md5("S\x1f" + P + "a\x1f" + s0y)
+    s1y = _md5("\x01".join(sorted(["O\x1f" + P + "a\x1f" + s0x,
+                                   "S\x1f" + P + "b\x1f" + '"v"'])))
+    lines = sorted([s1x + "\x1f" + P + "a\x1f" + s1y,
+                    s1y + "\x1f" + P + "b\x1f" + '"v"'])
+    expected = _md5("\x02".join(lines))
+
+    [r] = canonical_graph_hash(df).collect()
+    assert r["graph_hash"] == expected
+    labels = {r["orig_label"]: r["canon_label"]
+              for r in canonical_blank_labels(df).collect()}
+    assert labels == ({"x": "c0", "y": "c1"} if s1x < s1y else {"x": "c1", "y": "c0"})
+
+
+def test_literal_datatype_and_lang_in_signature(spark):
+    a = _rows("a", [("_:x", P + "a", 2, "5", "http://www.w3.org/2001/XMLSchema#integer", None)])
+    b = _rows("b", [("_:x", P + "a", 2, "5", None, "en")])
+    c = _rows("c", [("_:x", P + "a", 2, "5", None, None)])
+    df = spark.createDataFrame(a + b + c, SCHEMA)
+    hashes = {r["doc"]: r["graph_hash"] for r in canonical_graph_hash(df).collect()}
+    assert len(set(hashes.values())) == 3
