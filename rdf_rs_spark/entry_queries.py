@@ -8140,6 +8140,69 @@ def warc_records_parse(spark, sf_dir):
     return parse_warc_records(synthesize_warc_files(spark.range(n)))
 
 
+def _cdx_oracle(n_files: int) -> str:
+    """Regeneration oracle for the CDX index: rebuilds every record
+    STRING (canonical header order — the odd-record permutation changes
+    order, never length) and derives offset as the cumulative sum of
+    preceding record lengths, so the parser's byte-cursor accounting is
+    checked independently, not replayed."""
+    crlf = "chr(13) || chr(10)"
+    return f"""WITH f AS (SELECT unnest(generate_series(0, {n_files - 1})) AS i),
+    r AS (SELECT i, unnest(generate_series(0, 4)) AS k FROM f),
+    b AS (SELECT i, k,
+      CASE WHEN k % 5 = 4
+        THEN 'GET /p/' || i || '/' || k || ' HTTP/1.1' || {crlf}
+             || 'Host: h' || {crlf} || {crlf}
+        ELSE 'HTTP/1.1 200 OK' || {crlf} || 'Content-Type: text/html'
+             || {crlf} || {crlf} || '<html>doc ' || i || ' rec ' || k || ' '
+             || repeat('x', (i + k) % 7) || '</html>'
+      END AS block,
+      'https://ex' || ((i * 5 + k) % 97) || '.example.org/p/' || i || '/' || k
+        AS uri,
+      strftime(make_timestamp((1735689600 + i * 5 + k) * 1000000),
+               '%Y-%m-%dT%H:%M:%SZ') AS date20,
+      CASE WHEN k % 5 = 4 THEN 'request' ELSE 'response' END AS wtype
+      FROM r),
+    recs AS (SELECT *, 'WARC/1.0' || {crlf}
+        || 'WARC-Type: ' || wtype || {crlf}
+        || 'WARC-Target-URI: ' || uri || {crlf}
+        || 'WARC-Date: ' || date20 || {crlf}
+        || 'Content-Length: ' || length(block) || {crlf} || {crlf}
+        || block || {crlf} || {crlf} AS rec
+      FROM b)
+    SELECT
+      'org,example,ex' || ((i * 5 + k) % 97) || ')/p/' || i || '/' || k
+        AS surt_key,
+      strftime(make_timestamp((1735689600 + i * 5 + k) * 1000000),
+               '%Y%m%d%H%M%S') AS ts14,
+      uri AS target_uri, wtype AS warc_type,
+      (CASE WHEN k % 5 = 4 THEN NULL ELSE 200 END)::BIGINT AS status,
+      CASE WHEN k % 5 = 4 THEN NULL ELSE 'text/html' END AS mime,
+      md5(block) AS digest, i::BIGINT AS file_id,
+      COALESCE(SUM(length(rec)) OVER (PARTITION BY i ORDER BY k
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset,
+      length(rec)::BIGINT AS rec_length
+    FROM recs"""
+
+
+@q("warc_cdx_index", _cdx_oracle(2000))
+def warc_cdx_index(spark, sf_dir):
+    """CDX(J) capture index (``sources/warc.py::warc_cdx_index``) — the
+    random-access structure a 100 TB archive is addressed through
+    (Common Crawl's cc-index / pywb cdxj): SURT sort key, 14-digit UTC
+    timestamp, byte offset + record length into the container, HTTP
+    status/mime envelope probe, md5 content digest. Offsets come from
+    the parser's actual byte cursor; the oracle re-derives them as a
+    window cumulative sum over regenerated record lengths — a desynced
+    cursor breaks every later offset in the file. Payloads never
+    shuffle; the narrow index is what moves (and range-partitions by
+    surt_key for serving)."""
+    from .sources.warc import synthesize_warc_files, warc_cdx_index as cdx
+
+    n = _scale_n(sf_dir)
+    return cdx(synthesize_warc_files(spark.range(n)))
+
+
 @q(
     "crawl_fetch_schedule",
     """WITH u AS (SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
@@ -8978,6 +9041,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "warc_cdx_index": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (byte-offset accounting via window cumulative sum over regenerated record lengths)",
     "kg_canonical_labels": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (round-unrolled WL md5-chain replay)",
     "kg_canonical_graph_hash": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (a)+(b): the isomorphism-dedup key entry, same WL replay oracle",
     "rdf_write_validation_rejects": "green r3 under the driver hash gate; impl unchanged since",

@@ -40,15 +40,16 @@ WARC_RECORDS_SCHEMA = T.StructType(
 )
 
 
-def _parse_warc_payload(file_id: int, payload: bytes):
-    """Walk one WARC file's bytes; yields one tuple per record.
-    Raises on a malformed version line, a missing Content-Length, or a
-    truncated block — ingest corruption must be loud, not silent."""
-    import datetime as dt
-
+def _walk_warc_records(payload: bytes):
+    """The shared container cursor: yields ``(offset, rec_len, headers,
+    block_bytes)`` per record, where ``offset`` is the record's first
+    byte and ``rec_len`` spans version line through trailing separator
+    — the byte accounting a CDX index addresses records by. Raises on a
+    malformed version line, a missing Content-Length, or a truncated
+    block — ingest corruption must be loud, not silent."""
     pos, rec_idx, n = 0, 0, len(payload)
-    out = []
     while pos < n:
+        start = pos
         hdr_end = payload.index(b"\r\n\r\n", pos)
         lines = payload[pos:hdr_end].split(b"\r\n")
         if not lines[0].startswith(b"WARC/"):
@@ -64,28 +65,41 @@ def _parse_warc_payload(file_id: int, payload: bytes):
         block = payload[block_start : block_start + length]
         if len(block) != length:
             raise ValueError(f"truncated block in record {rec_idx}")
-        date_unix = None
-        if "warc-date" in headers:
-            date_unix = int(
-                dt.datetime.fromisoformat(
-                    headers["warc-date"].replace("Z", "+00:00")
-                ).timestamp()
-            )
+        pos = block_start + length
+        if payload[pos : pos + 4] == b"\r\n\r\n":
+            pos += 4
+        yield start, pos - start, headers, block
+        rec_idx += 1
+
+
+def _warc_date_unix(headers: dict) -> int | None:
+    import datetime as dt
+
+    if "warc-date" not in headers:
+        return None
+    return int(
+        dt.datetime.fromisoformat(
+            headers["warc-date"].replace("Z", "+00:00")
+        ).timestamp()
+    )
+
+
+def _parse_warc_payload(file_id: int, payload: bytes):
+    """Walk one WARC file's bytes; one tuple per record (the
+    ``WARC_RECORDS_SCHEMA`` projection of :func:`_walk_warc_records`)."""
+    out = []
+    for rec_idx, (_, _, headers, block) in enumerate(_walk_warc_records(payload)):
         out.append(
             (
                 file_id,
                 rec_idx,
                 headers.get("warc-type", ""),
                 headers.get("warc-target-uri"),
-                date_unix,
-                length,
+                _warc_date_unix(headers),
+                int(headers["content-length"]),
                 block.decode("utf-8", "replace"),
             )
         )
-        pos = block_start + length
-        if payload[pos : pos + 4] == b"\r\n\r\n":
-            pos += 4
-        rec_idx += 1
     return out
 
 
@@ -383,6 +397,112 @@ def synthesize_warc_gz_files(
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("surt_key", T.StringType(), False),
+        T.StructField("ts14", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), False),
+        T.StructField("status", T.LongType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("rec_length", T.LongType(), False),
+    ]
+)
+
+
+def _surt(uri: str | None) -> str:
+    """SURT canonical key (the sort key CDX servers range-scan):
+    scheme dropped, host lowercased and label-REVERSED (org,example,www)
+    so one host's records are contiguous under lexicographic order,
+    path appended after ')'. Query-param sorting and port/www folding —
+    the rest of the full SURT spec — are out of scope for this corpus
+    (the synthetic URLs carry neither)."""
+    if not uri:
+        return ""
+    rest = uri.split("://", 1)[1] if "://" in uri else uri
+    host, slash, path = rest.partition("/")
+    return ",".join(reversed(host.lower().split("."))) + ")" + slash + path
+
+
+_STATUS_RX = None
+
+
+def _http_probe(block: bytes):
+    """(status, mime) from an HTTP response envelope block, or
+    (None, None) when the block is not an HTTP message."""
+    import re
+
+    global _STATUS_RX
+    if _STATUS_RX is None:
+        _STATUS_RX = (
+            re.compile(rb"^HTTP/[0-9.]+ (\d{3})"),
+            re.compile(rb"(?i)(?:^|\r\n)content-type:\s*([^\r\n;]+)"),
+        )
+    m = _STATUS_RX[0].match(block)
+    if not m:
+        return None, None
+    c = _STATUS_RX[1].search(block.split(b"\r\n\r\n", 1)[0])
+    return int(m.group(1)), (c.group(1).strip().decode("ascii", "replace") if c else None)
+
+
+def warc_cdx_index(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "file_id"
+) -> DataFrame:
+    """CDX(J) capture index over WARC container files — the lookup
+    structure that makes a 100 TB crawl randomly accessible (Common
+    Crawl ships one per segment; cf. pywb/OpenWayback cdxj). One output
+    row per record: SURT sort key, 14-digit UTC timestamp, byte
+    ``offset``/``rec_length`` into the container (the fields a replay
+    fetches a single record by, without scanning the file), HTTP status
+    + mime probed from response envelopes, and an md5 content digest
+    (the dedup handle across captures of one URL).
+
+    Same mapInPandas shape as the parser: payload bytes never shuffle;
+    the narrow index relation is what moves. A serving layout is one
+    ``repartitionByRange(surt_key).sortWithinPartitions(surt_key,
+    ts14)`` away — range-partitioned on the key CDX queries scan."""
+    import datetime as dt
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CDX_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                fid = int(getattr(r, id_col))
+                payload = bytes(getattr(r, payload_col))
+                for off, rlen, headers, block in _walk_warc_records(payload):
+                    unix = _warc_date_unix(headers)
+                    ts14 = (
+                        dt.datetime.fromtimestamp(unix, dt.timezone.utc).strftime(
+                            "%Y%m%d%H%M%S"
+                        )
+                        if unix is not None
+                        else None
+                    )
+                    status, mime = _http_probe(block)
+                    rows.append(
+                        (
+                            _surt(headers.get("warc-target-uri")),
+                            ts14,
+                            headers.get("warc-target-uri"),
+                            headers.get("warc-type", ""),
+                            status,
+                            mime,
+                            hashlib.md5(block).hexdigest(),
+                            fid,
+                            off,
+                            rlen,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=CDX_SCHEMA)
 
 
 def wet_conversion_records(
