@@ -8925,6 +8925,69 @@ def kg_canonical_graph_hash(spark, sf_dir):
     return canonical_graph_hash(_canon_triples(spark, sf_dir), doc_col="doc")
 
 
+def _idn_oracle(n: int) -> str:
+    """Decoder-independent ground truth for the IDN entry: the corpus
+    is synthesized by the STDLIB punycode ENCODER, the operator decodes
+    with OUR RFC 3492 implementation, and this oracle regenerates both
+    the ACE host and the expected Unicode host in closed form from the
+    row index — the encoded tail of ``label + digits`` depends only on
+    the DIGIT COUNT (digits are basic code points; only their count
+    changes the output length the bias adaptation sees), so a CASE over
+    ``length(i::VARCHAR)`` with stdlib-encoded literal tails states the
+    input without replaying either codec side."""
+
+    def enc(s: str) -> str:
+        return s.encode("punycode").decode("ascii")
+
+    max_d = len(str(n - 1))
+
+    def tail_case(label: str) -> str:
+        whens = " ".join(
+            f"WHEN {d} THEN '{enc(label + '9' * d).rsplit('-', 1)[1]}'"
+            for d in range(1, max_d + 1)
+        )
+        return f"CASE length(CAST(i AS VARCHAR)) {whens} END"
+
+    enc3 = enc("ドメイン")
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+    SELECT i AS doc_id,
+      CASE i % 4
+        WHEN 0 THEN 'shop' || i || '.example.com'
+        WHEN 1 THEN 'xn--mnchen' || i || '-' || {tail_case('münchen')} || '.de'
+        WHEN 2 THEN 'xn--pple' || i || '-' || {tail_case('аpple')} || '.com'
+        ELSE 'w' || i || '.xn--{enc3}.jp' END AS host,
+      CASE i % 4
+        WHEN 0 THEN 'shop' || i || '.example.com'
+        WHEN 1 THEN 'münchen' || i || '.de'
+        WHEN 2 THEN 'аpple' || i || '.com'
+        ELSE 'w' || i || '.ドメイン.jp' END AS unicode_host,
+      (CASE WHEN i % 4 = 0 THEN 0 ELSE 1 END)::BIGINT AS is_idn,
+      CASE i % 4
+        WHEN 0 THEN 'shop' || i || '.example.com'
+        WHEN 1 THEN 'münchen' || i || '.de'
+        WHEN 2 THEN 'apple' || i || '.com'
+        ELSE 'w' || i || '.ドメイン.jp' END AS skeleton,
+      (CASE WHEN i % 4 = 2 THEN 1 ELSE 0 END)::BIGINT AS spoof_risk
+    FROM p"""
+
+
+@q("docs_idn_hosts", _idn_oracle(2000))
+def docs_idn_hosts(spark, sf_dir):
+    """IDN host decoding + homograph-skeleton spoof flags (beyond-
+    reference URL canonicalization front; the reference stops at IRIs,
+    `src/uri.rs`): punycoded ``xn--`` labels are decoded by OUR
+    RFC 3492 §6.2 implementation (`functions/idn.py::punycode_decode`)
+    and lookalike hosts are flagged via a UTS #39-style confusable
+    skeleton. Corpus classes exercise mixed basic+nonbasic labels, a
+    Cyrillic spoof, and the no-delimiter all-nonbasic path. Narrow
+    Arrow kernel, zero shuffle; the synthesizer encodes with the STDLIB
+    codec so the gate checks two independent implementations."""
+    from .functions.idn import idn_host_features, synthesize_idn_hosts
+
+    n = _scale_n(sf_dir)
+    return idn_host_features(synthesize_idn_hosts(spark.range(n)))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9041,6 +9104,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_idn_hosts": "registered r4s7 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (independent-implementation codec check: stdlib punycode encoder synthesizes, OUR RFC 3492 decoder is checked against digit-count-closed-form ACE literals)",
     "warc_cdx_index": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (byte-offset accounting via window cumulative sum over regenerated record lengths)",
     "kg_canonical_labels": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (round-unrolled WL md5-chain replay)",
     "kg_canonical_graph_hash": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (a)+(b): the isomorphism-dedup key entry, same WL replay oracle",

@@ -1,0 +1,87 @@
+"""IDN/punycode host decoding (functions/idn.py).
+
+The decoder is OUR RFC 3492 implementation; every test that needs a
+reference encodes with the STDLIB punycode codec, so decode∘encode
+round-trips check two independent implementations against each other.
+"""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from rdf_rs_spark.functions.idn import (
+    decode_idn_host,
+    idn_host_features,
+    punycode_decode,
+    skeleton,
+    synthesize_idn_hosts,
+)
+
+
+def _enc(s: str) -> str:
+    return s.encode("punycode").decode("ascii")
+
+
+def test_known_vectors_roundtrip_vs_stdlib():
+    for label in ["münchen", "аpple1", "ドメイン", "bücher", "mañana", "abc", "ünicode-dash"]:
+        assert punycode_decode(_enc(label)) == label
+
+
+def test_uppercase_digits_decode_case_insensitively():
+    enc = _enc("münchen")  # 'mnchen-3ya'
+    head, tail = enc.rsplit("-", 1)
+    assert punycode_decode(f"{head}-{tail.upper()}") == "münchen"
+
+
+def test_pure_basic_label_with_trailing_delimiter():
+    assert punycode_decode("abc-") == "abc"
+
+
+def test_malformed_raises_and_host_decode_is_lenient():
+    with pytest.raises(ValueError):
+        punycode_decode("abc-!!!")
+    with pytest.raises(ValueError):
+        punycode_decode("abc-zzzzzzzzzzzzzz")  # code point overflow
+    uni, any_idn = decode_idn_host("xn--!!!.example.com")
+    assert uni == "xn--!!!.example.com" and not any_idn
+
+
+def test_host_decode_multi_label_and_no_delimiter():
+    host = f"w7.xn--{_enc('ドメイン')}.jp"
+    uni, any_idn = decode_idn_host(host)
+    assert uni == "w7.ドメイン.jp" and any_idn
+
+
+def test_skeleton_maps_cyrillic_lookalikes():
+    assert skeleton("аpple.com") == "apple.com"  # Cyrillic а
+    assert skeleton("münchen.de") == "münchen.de"  # ü is not confusable
+
+
+# label alphabet: ASCII letters/digits/hyphen plus Latin-1, Greek,
+# Cyrillic and Katakana BMP letters — realistic host-label material.
+_label_chars = st.one_of(
+    st.sampled_from("abcdefghijklmnopqrstuvwxyz0123456789-"),
+    st.characters(min_codepoint=0xC0, max_codepoint=0x24F),
+    st.characters(min_codepoint=0x370, max_codepoint=0x4FF),
+    st.characters(min_codepoint=0x30A0, max_codepoint=0x30FF),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=_label_chars, min_size=1, max_size=16))
+def test_decode_inverts_stdlib_encode(label):
+    assert punycode_decode(_enc(label)) == label
+
+
+def test_spark_idn_features_end_to_end(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in idn_host_features(synthesize_idn_hosts(spark.range(8))).collect()
+    }
+    assert rows[0]["host"] == "shop0.example.com"
+    assert rows[0]["is_idn"] == 0 and rows[0]["spoof_risk"] == 0
+    assert rows[1]["unicode_host"] == "münchen1.de"
+    assert rows[1]["is_idn"] == 1 and rows[1]["spoof_risk"] == 0
+    assert rows[2]["unicode_host"] == "аpple2.com"
+    assert rows[2]["skeleton"] == "apple2.com" and rows[2]["spoof_risk"] == 1
+    assert rows[3]["unicode_host"] == "w3.ドメイン.jp"
+    assert rows[3]["is_idn"] == 1 and rows[3]["spoof_risk"] == 0
