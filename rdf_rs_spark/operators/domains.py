@@ -1,0 +1,135 @@
+"""Registered-domain extraction (public-suffix longest-match).
+
+Beyond-reference crawl-pipeline front: host-level grouping (site-level
+dedup, per-site crawl budgets, provenance rollups) needs the
+*registered domain* — one label below the public suffix — computed by
+the publicsuffix.org algorithm (public spec): among the rules whose
+labels are a suffix of the host's labels (``*`` matches exactly one
+label), an exception rule prevails, else the rule with the most
+labels, else the implicit ``*`` default; the registered domain is the
+public suffix plus one more host label.
+
+Spark-first shape (pure JVM, no Python anywhere):
+
+1. one projection derives the host's label array, a second builds the
+   bounded candidate-suffix array (each dotted suffix up to 8 labels,
+   plus its ``*.``-wildcarded form) — the explode stays a TOP-LEVEL
+   select item (UNSUPPORTED_GENERATOR lesson), and the label array is
+   materialized as a real column first so the higher-order lambdas
+   reference a plain attribute (interpreted-lambda lesson);
+2. candidates equi-join the BROADCAST rule table (the full public
+   suffix list is ~10k rows ≈ nothing) — the 100 TB host stream never
+   shuffles for the join;
+3. one map-side-combinable ``max(struct(is_exception, rule_labels,
+   is_wildcard))`` argmax per host picks the prevailing rule — the
+   single shuffle in the plan, ≤ 17 candidate rows per host combining
+   down to 1 before the exchange.
+
+The reference has no counterpart (its `src/uri.rs` treats hosts as
+opaque IRI text); rule semantics follow the public algorithm spec.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: documented mini rule set — algorithm-complete (normal, multi-label,
+#: wildcard, and exception rules); a deployment swaps in the full
+#: publicsuffix.org list, same schema.
+PSL_MINI = [
+    "com",
+    "org",
+    "net",
+    "io",
+    "de",
+    "jp",
+    "co.jp",
+    "uk",
+    "co.uk",
+    "gov.uk",
+    "*.ck",
+    "!www.ck",
+]
+
+_MAX_RULE_LABELS = 8
+
+
+def suffix_rules(spark: SparkSession, rules: Optional[Iterable[str]] = None) -> DataFrame:
+    """Parse a public-suffix rule list into the joinable rule table:
+    (rule_key, rule_labels, is_exception, is_wildcard). The exception
+    marker ``!`` is stripped into a flag; wildcard rules keep their
+    literal ``*.`` prefix so they equi-join the wildcarded candidate."""
+    rows = []
+    for r in PSL_MINI if rules is None else rules:
+        ex = r.startswith("!")
+        key = r[1:] if ex else r
+        rows.append((key, len(key.split(".")), 1 if ex else 0, 1 if key.startswith("*.") else 0))
+    return spark.createDataFrame(
+        rows, "rule_key string, rule_labels int, is_exception int, is_wildcard int"
+    )
+
+
+def registered_domain(
+    df: DataFrame,
+    rules_df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, host) → (id, host, public_suffix, registered_domain,
+    rule_kind) per the public-suffix algorithm. One broadcast join +
+    one combinable argmax shuffle; ``registered_domain`` is NULL when
+    the host IS a public suffix."""
+    labels = F.col("_labels")
+    n = F.col("_n")
+    base = (
+        df.select(F.col(id_col), F.col(host_col))
+        .withColumn("_labels", F.split(F.col(host_col), r"\."))
+        .withColumn("_n", F.size("_labels"))
+    )
+    ks = F.sequence(F.lit(1), F.least(n, F.lit(_MAX_RULE_LABELS)))
+    plain = F.transform(ks, lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."))
+    wild = F.filter(
+        F.transform(
+            ks,
+            lambda k: F.when(
+                k >= 2,
+                F.concat(F.lit("*."), F.array_join(F.slice(labels, n - k + 2, k - 1), ".")),
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+    cand = base.select(
+        id_col, host_col, F.explode(F.concat(plain, wild)).alias("_cand")
+    )
+    joined = cand.join(
+        F.broadcast(rules_df), cand["_cand"] == rules_df["rule_key"], "left"
+    )
+    prio = F.struct(
+        F.coalesce("is_exception", F.lit(0)).alias("ex"),
+        F.coalesce("rule_labels", F.lit(0)).alias("nl"),
+        F.coalesce("is_wildcard", F.lit(0)).alias("wc"),
+    )
+    won = joined.groupBy(id_col, host_col).agg(F.max(prio).alias("_w"))
+    labels2 = F.split(F.col(host_col), r"\.")
+    n2 = F.size(labels2)
+    ps_labels = F.when(F.col("_w.nl") == 0, F.lit(1)).otherwise(
+        F.col("_w.nl") - F.col("_w.ex")
+    )
+    return won.select(
+        id_col,
+        host_col,
+        F.array_join(F.slice(labels2, n2 - ps_labels + 1, ps_labels), ".").alias(
+            "public_suffix"
+        ),
+        F.when(
+            n2 > ps_labels,
+            F.array_join(F.slice(labels2, n2 - ps_labels, ps_labels + 1), "."),
+        ).alias("registered_domain"),
+        F.when(F.col("_w.nl") == 0, F.lit("default"))
+        .when(F.col("_w.ex") == 1, F.lit("exception"))
+        .when(F.col("_w.wc") == 1, F.lit("wildcard"))
+        .otherwise(F.lit("normal"))
+        .alias("rule_kind"),
+    )

@@ -1,0 +1,70 @@
+"""Public-suffix registered-domain extraction (operators/domains.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.domains import PSL_MINI, registered_domain, suffix_rules
+from rdf_rs_spark.plans import count_exchanges, explain_str
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    return suffix_rules(spark)
+
+
+def _run(spark, rules, hosts):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id bigint, host string"
+    )
+    return {
+        r["host"]: (r["public_suffix"], r["registered_domain"], r["rule_kind"])
+        for r in registered_domain(df, rules).collect()
+    }
+
+
+def test_algorithm_cases(spark, rules):
+    got = _run(
+        spark,
+        rules,
+        [
+            "www.shop.com",          # normal 1-label rule
+            "w.shop.co.uk",          # longest rule wins over 'uk'
+            "a.foo.ck",              # wildcard *.ck consumes one host label
+            "b.www.ck",              # exception !www.ck beats *.ck
+            "c.example.xyz",         # no rule -> implicit '*' default
+            "co.uk",                 # host IS a public suffix -> NULL rd
+            "localhost",             # single label, default rule -> NULL rd
+        ],
+    )
+    assert got["www.shop.com"] == ("com", "shop.com", "normal")
+    assert got["w.shop.co.uk"] == ("co.uk", "shop.co.uk", "normal")
+    assert got["a.foo.ck"] == ("foo.ck", "a.foo.ck", "wildcard")
+    assert got["b.www.ck"] == ("ck", "www.ck", "exception")
+    assert got["c.example.xyz"] == ("xyz", "example.xyz", "default")
+    assert got["co.uk"] == ("co.uk", None, "normal")
+    assert got["localhost"] == ("localhost", None, "default")
+
+
+def test_plan_is_broadcast_join_one_shuffle_no_python(spark, rules):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.col("id").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+    )
+    out = registered_domain(df, rules)
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the single argmax groupBy exchange (rules-side broadcast excluded
+    # from count_exchanges by its BroadcastExchange node type)
+    assert count_exchanges(out) <= 1
+
+
+def test_rule_table_shape(spark, rules):
+    rows = {r["rule_key"]: r for r in rules.collect()}
+    assert rows["www.ck"]["is_exception"] == 1
+    assert rows["*.ck"]["is_wildcard"] == 1
+    assert rows["co.uk"]["rule_labels"] == 2
+    assert len(rows) == len(PSL_MINI)
