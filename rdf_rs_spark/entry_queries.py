@@ -9048,6 +9048,73 @@ def docs_registered_domain(spark, sf_dir):
     return registered_domain(df, suffix_rules(spark))
 
 
+def _mp4_oracle(n: int) -> str:
+    """Regeneration oracle for the ISO-BMFF walk: every box the
+    synthesizer emits is restated with its path, RESOLVED size, and
+    typed header fields as closed forms of ``i`` — including the
+    ``size == 1`` largesize skip box, the ``size == 0`` to-EOF mdat,
+    and the mvhd v0/v1 size difference (108 vs 120), so a parser that
+    mishandles any of the three size encodings or either fullbox
+    version breaks the hash."""
+    sel = "NULL, NULL, NULL, NULL, NULL, NULL"  # track_id … handler
+    return f"""WITH d AS (
+      SELECT i, (i % 60) + 1 AS dur_s,
+             CASE WHEN i % 5 = 0 THEN 120 ELSE 108 END AS mvhd_sz
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i))
+    SELECT 'mp4:' || i AS media_id, 'ftyp' AS box_path, 24::BIGINT AS box_size,
+           NULL::INTEGER AS track_id, NULL::BIGINT AS timescale,
+           NULL::BIGINT AS duration, NULL::INTEGER AS width,
+           NULL::INTEGER AS height, NULL::VARCHAR AS handler,
+           'isom' AS brand FROM d
+    UNION ALL SELECT 'mp4:' || i, 'free', (8 + i % 17)::BIGINT, {sel}, NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'skip', (16 + i % 5)::BIGINT, {sel}, NULL
+      FROM d WHERE i % 3 = 0
+    UNION ALL SELECT 'mp4:' || i, 'moov',
+      (8 + mvhd_sz + 185 * (CASE WHEN i % 2 = 1 THEN 2 ELSE 1 END))::BIGINT,
+      {sel}, NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'moov/mvhd', mvhd_sz::BIGINT,
+      NULL, 1000::BIGINT, (1000 * dur_s)::BIGINT, NULL, NULL, NULL, NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak', 185::BIGINT, {sel}, NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak', 185::BIGINT, {sel}, NULL
+      FROM d WHERE i % 2 = 1
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/tkhd', 92::BIGINT, 1::INTEGER,
+      NULL, NULL, (16 * ((i % 40) + 1))::INTEGER,
+      (16 * ((i % 30) + 1))::INTEGER, NULL, NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/tkhd', 92::BIGINT, 2::INTEGER,
+      NULL, NULL, 0::INTEGER, 0::INTEGER, NULL, NULL FROM d WHERE i % 2 = 1
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/mdia', 85::BIGINT, {sel}, NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/mdia', 85::BIGINT, {sel}, NULL
+      FROM d WHERE i % 2 = 1
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/mdia/mdhd', 32::BIGINT,
+      NULL, 90000::BIGINT, (90000 * dur_s)::BIGINT, NULL, NULL, NULL, NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/mdia/mdhd', 32::BIGINT,
+      NULL, 48000::BIGINT, (48000 * dur_s)::BIGINT, NULL, NULL, NULL, NULL
+      FROM d WHERE i % 2 = 1
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/mdia/hdlr', 45::BIGINT,
+      NULL, NULL, NULL, NULL, NULL, 'vide', NULL FROM d
+    UNION ALL SELECT 'mp4:' || i, 'moov/trak/mdia/hdlr', 45::BIGINT,
+      NULL, NULL, NULL, NULL, NULL, 'soun', NULL FROM d WHERE i % 2 = 1
+    UNION ALL SELECT 'mp4:' || i, 'mdat', (9 + i % 29)::BIGINT, {sel}, NULL FROM d"""
+
+
+@q("multimodal_mp4_boxes", _mp4_oracle(2000))
+def multimodal_mp4_boxes(spark, sf_dir):
+    """REAL video-container structure parse (ISO-BMFF/MP4 box walk —
+    the video-side sibling of the TIFF-IFD and ID3 metadata fronts):
+    compact, largesize (``size == 1``), and to-EOF (``size == 0``)
+    encodings, recursive container boxes, version-0 AND version-1
+    fullbox headers, 16.16 fixed-point track dimensions. Child order
+    inside ``moov`` is permuted on odd rows so a fixed-offset reader
+    breaks the hash (`operators/multimodal.py::_mp4_boxes`). Pixel
+    data stays opaque — structure/metadata is the real, library-free
+    surface (reference scope: rdf-rs has no media path; this is the
+    training-pipeline extension axis)."""
+    from .operators.multimodal import decode_mp4_boxes, synthesize_mp4_media
+
+    n = _scale_n(sf_dir)
+    return decode_mp4_boxes(synthesize_mp4_media(spark.range(n)))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9164,6 +9231,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "multimodal_mp4_boxes": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (three ISO-BMFF size encodings + both fullbox versions restated as closed forms; first video-container front)",
     "docs_registered_domain": "registered r4s7 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (algorithm-spec decision oracle over every public-suffix rule kind incl. the exception-beats-wildcard case)",
     "docs_idn_hosts": "registered r4s7 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (independent-implementation codec check: stdlib punycode encoder synthesizes, OUR RFC 3492 decoder is checked against digit-count-closed-form ACE literals)",
     "warc_cdx_index": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (byte-offset accounting via window cumulative sum over regenerated record lengths)",

@@ -1838,3 +1838,233 @@ def synthesize_id3_media(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# ISO-BMFF (MP4) box-structure parse — the VIDEO-side container front
+# --------------------------------------------------------------------------
+
+MP4_BOXES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("box_path", T.StringType(), False),
+        T.StructField("box_size", T.LongType(), False),
+        T.StructField("track_id", T.IntegerType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("duration", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("handler", T.StringType(), True),
+        T.StructField("brand", T.StringType(), True),
+    ]
+)
+
+#: boxes whose body is a sequence of child boxes (recursed, not decoded)
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta"}
+
+
+def _mp4_boxes(payload: bytes):
+    """REAL ISO-BMFF (MP4/MOV) structure walk — the video-container
+    analogue of the TIFF IFD / ID3 fronts. Handles the three size
+    encodings naive parsers miss: 32-bit compact size, ``size == 1`` →
+    64-bit largesize header, and ``size == 0`` → box extends to the end
+    of its enclosing scope (classic trailing ``mdat``). Container boxes
+    recurse; typed headers decode version-0 AND version-1 layouts
+    (``mvhd``/``tkhd``/``mdhd`` grew 64-bit times in v1), ``tkhd``
+    width/height are 16.16 fixed-point (integer part reported). Returns
+    ``(path, resolved_size, attrs)`` per box in walk order."""
+    import struct
+
+    out = []
+
+    def walk(start: int, end: int, path: str) -> None:
+        pos = start
+        while pos < end:
+            if end - pos < 8:
+                raise ValueError("truncated box header")
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            btype = payload[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if end - pos < 16:
+                    raise ValueError("truncated largesize header")
+                (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # to the end of the enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"bad box size {size} for {btype!r}")
+            t = btype.decode("ascii")
+            p = f"{path}/{t}" if path else t
+            body = payload[pos + hdr : pos + size]
+            attrs: dict = {}
+            if btype == b"ftyp":
+                attrs["brand"] = body[:4].decode("ascii")
+            elif btype == b"mvhd" or btype == b"mdhd":
+                ver = body[0]
+                if ver == 0:
+                    ts, dur = struct.unpack(">II", body[12:20])
+                else:  # v1: 64-bit creation/modification/duration
+                    (ts,) = struct.unpack(">I", body[20:24])
+                    (dur,) = struct.unpack(">Q", body[24:32])
+                attrs["timescale"], attrs["duration"] = ts, dur
+            elif btype == b"tkhd":
+                ver = body[0]
+                off = 12 if ver == 0 else 20
+                (tid,) = struct.unpack(">I", body[off : off + 4])
+                w, h = struct.unpack(">II", body[-8:])
+                attrs["track_id"] = tid
+                attrs["width"], attrs["height"] = w >> 16, h >> 16
+            elif btype == b"hdlr":
+                attrs["handler"] = body[8:12].decode("ascii")
+            out.append((p, size, attrs))
+            if btype in _MP4_CONTAINERS:
+                walk(pos + hdr, pos + size, p)
+            pos += size
+
+    walk(0, len(payload), "")
+    return out
+
+
+def decode_mp4_boxes(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """payloads → one row per ISO-BMFF box (path, resolved size, typed
+    header fields where the box carries them). Arrow-batched and narrow:
+    container bytes never shuffle, so 10^9 videos fan out with
+    batch-bounded executor memory."""
+
+    cols = [
+        "media_id", "box_path", "box_size", "track_id",
+        "timescale", "duration", "width", "height", "handler", "brand",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mid = getattr(r, id_col)
+                for p, size, a in _mp4_boxes(bytes(getattr(r, payload_col))):
+                    rows.append(
+                        (
+                            mid, p, size,
+                            a.get("track_id"), a.get("timescale"),
+                            a.get("duration"), a.get("width"),
+                            a.get("height"), a.get("handler"), a.get("brand"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=MP4_BOXES_SCHEMA)
+
+
+def synthesize_mp4_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic ISO-BMFF containers from a row index, exercising
+    every size encoding and both fullbox versions:
+
+    - ``ftyp`` (isom) + a ``free`` box with index-varying filler;
+    - on ``i % 3 == 0`` a ``skip`` box written with the 64-bit
+      LARGESIZE header (``size == 1`` path);
+    - ``moov`` with ``mvhd`` VERSION 1 on ``i % 5 == 0`` (64-bit
+      times), version 0 otherwise; one video trak, plus an audio trak
+      on odd rows — child order PERMUTED on odd rows so a
+      fixed-offset "parser" breaks the hash;
+    - trailing ``mdat`` declared with ``size == 0`` (to-EOF).
+    """
+    import struct
+
+    def box(t: bytes, body: bytes, large: bool = False, zero: bool = False) -> bytes:
+        if large:
+            return struct.pack(">I", 1) + t + struct.pack(">Q", 16 + len(body)) + body
+        if zero:
+            return struct.pack(">I", 0) + t + body
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def full(ver: int) -> bytes:
+        return bytes([ver, 0, 0, 0])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                dur_s = (i % 60) + 1
+                if i % 5 == 0:  # mvhd v1: 64-bit creation/mod/duration
+                    mvhd_body = (
+                        full(1)
+                        + struct.pack(">QQIQ", 0, 0, 1000, 1000 * dur_s)
+                        + struct.pack(">i", 0x00010000)  # rate
+                        + struct.pack(">h", 0x0100)  # volume
+                        + b"\x00" * 10
+                        + _MP4_IDENTITY_MATRIX
+                        + b"\x00" * 24
+                        + struct.pack(">I", 3)
+                    )
+                else:
+                    mvhd_body = (
+                        full(0)
+                        + struct.pack(">IIII", 0, 0, 1000, 1000 * dur_s)
+                        + struct.pack(">i", 0x00010000)
+                        + struct.pack(">h", 0x0100)
+                        + b"\x00" * 10
+                        + _MP4_IDENTITY_MATRIX
+                        + b"\x00" * 24
+                        + struct.pack(">I", 3)
+                    )
+                mvhd = box(b"mvhd", mvhd_body)
+
+                def trak(tid: int, w: int, h: int, ts: int, handler: bytes, name: bytes) -> bytes:
+                    tkhd = box(
+                        b"tkhd",
+                        full(0)
+                        + struct.pack(">IIIII", 0, 0, tid, 0, 1000 * dur_s)
+                        + b"\x00" * 8
+                        + struct.pack(">hhhh", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+                        + _MP4_IDENTITY_MATRIX
+                        + struct.pack(">II", w << 16, h << 16),
+                    )
+                    mdhd = box(
+                        b"mdhd",
+                        full(0)
+                        + struct.pack(">IIII", 0, 0, ts, ts * dur_s)
+                        + struct.pack(">HH", 0x55C4, 0),  # 'und' packed
+                    )
+                    hdlr = box(
+                        b"hdlr",
+                        full(0) + b"\x00" * 4 + handler + b"\x00" * 12 + name + b"\x00",
+                    )
+                    return box(b"trak", tkhd + box(b"mdia", mdhd + hdlr))
+
+                vtrak = trak(
+                    1, 16 * ((i % 40) + 1), 16 * ((i % 30) + 1),
+                    90000, b"vide", b"VideoHandler",
+                )
+                if i % 2 == 1:
+                    atrak = trak(2, 0, 0, 48000, b"soun", b"SoundHandler")
+                    moov = box(b"moov", atrak + mvhd + vtrak)  # permuted order
+                else:
+                    moov = box(b"moov", mvhd + vtrak)
+
+                payload = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"iso2mp41")
+                payload += box(b"free", b"\x00" * (i % 17))
+                if i % 3 == 0:
+                    payload += box(b"skip", b"\x00" * (i % 5), large=True)
+                payload += moov
+                payload += box(b"mdat", bytes([(i + k) % 256 for k in range((i % 29) + 1)]), zero=True)
+                rows.append((f"mp4:{i}", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+_MP4_IDENTITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 4 * 2
+    + b"\x00" * 4 + b"\x00\x01\x00\x00" + b"\x00" * 4
+    + b"\x00" * 4 * 2 + b"\x40\x00\x00\x00"
+)

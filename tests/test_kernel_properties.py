@@ -357,3 +357,112 @@ def test_jpeg_dc_only_roundtrip_any_gray_levels(levels):
     assert px.shape == (8, 8 * len(levels))
     for b, v in enumerate(levels):
         assert (px[:, b * 8 : b * 8 + 8] == v).all()
+
+
+# --------------------------------------------------------------------------
+# ISO-BMFF box walk (operators/multimodal.py::_mp4_boxes)
+# --------------------------------------------------------------------------
+
+import struct
+
+import pytest
+
+from rdf_rs_spark.operators.multimodal import _mp4_boxes
+
+
+def _leaf(t: bytes, body: bytes, enc: str) -> bytes:
+    if enc == "large":
+        return struct.pack(">I", 1) + t + struct.pack(">Q", 16 + len(body)) + body
+    if enc == "zero":
+        return struct.pack(">I", 0) + t + body
+    return struct.pack(">I", 8 + len(body)) + t + body
+
+
+_box_types = st.sampled_from([b"free", b"skip", b"wide", b"mdat"])
+
+# a box tree: leaves are (type, body_len, encoding); 'zero' encoding is
+# only legal for the LAST box in a scope, enforced below by moving any
+# zero-encoded leaf to the tail and dropping the rest after it.
+_leaves = st.lists(
+    st.tuples(
+        _box_types,
+        st.integers(min_value=0, max_value=23),
+        st.sampled_from(["compact", "large", "compact", "compact"]),
+    ),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_leaves, st.booleans(), st.integers(min_value=0, max_value=23))
+def test_mp4_walk_matches_constructed_tree(leaves, tail_zero, zero_len):
+    """Encode an arbitrary flat run of leaf boxes (optionally wrapped in
+    a udta container, optionally ending in a size==0 to-EOF box) and
+    check the walk returns exactly the constructed (path, size) list."""
+    payload = b""
+    expect = []
+    for t, blen, enc in leaves:
+        payload += _leaf(t, bytes(blen), enc)
+        expect.append((t.decode(), (16 if enc == "large" else 8) + blen))
+    wrapped = struct.pack(">I", 8 + len(payload)) + b"udta" + payload
+    expect_wrapped = [("udta", 8 + len(payload))] + [
+        ("udta/" + p, s) for p, s in expect
+    ]
+    if tail_zero:
+        wrapped += _leaf(b"mdat", bytes(zero_len), "zero")
+        expect_wrapped.append(("mdat", 8 + zero_len))
+    got = [(p, s) for p, s, _ in _mp4_boxes(wrapped)]
+    assert got == expect_wrapped
+
+
+def test_mp4_walk_v1_tkhd_mdhd_and_nested_zero():
+    """Version-1 tkhd/mdhd layouts decode (64-bit times shift the
+    field offsets); a size==0 box INSIDE a container extends to the end
+    of that container, not the file."""
+    ident = bytes(36)
+    tkhd1 = _leaf(
+        b"tkhd",
+        bytes([1, 0, 0, 0])
+        + struct.pack(">QQI", 0, 0, 7)  # creation, modification, track_id
+        + struct.pack(">IQ", 0, 500)  # reserved, 64-bit duration
+        + bytes(8)
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + ident
+        + struct.pack(">II", 640 << 16, 360 << 16),
+        "compact",
+    )
+    mdhd1 = _leaf(
+        b"mdhd",
+        bytes([1, 0, 0, 0])
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000)
+        + struct.pack(">Q", 450000)
+        + struct.pack(">HH", 0x55C4, 0),
+        "compact",
+    )
+    # trailing size==0 free box inside the trak container
+    inner_zero = _leaf(b"free", bytes(5), "zero")
+    trak = _leaf(b"trak", tkhd1 + mdhd1 + inner_zero, "compact")
+    after = _leaf(b"wide", b"", "compact")
+    boxes = {p: (s, a) for p, s, a in _mp4_boxes(trak + after)}
+    assert boxes["trak/tkhd"][1]["track_id"] == 7
+    assert boxes["trak/tkhd"][1]["width"] == 640
+    assert boxes["trak/tkhd"][1]["height"] == 360
+    assert boxes["trak/mdhd"][1] == {"timescale": 90000, "duration": 450000}
+    assert boxes["trak/free"][0] == 13  # to end of trak, not of file
+    assert boxes["wide"][0] == 8
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"\x00\x00\x00\x07free",  # size < header
+        b"\x00\x00\x00\x20freeXX",  # size beyond scope
+        b"\x00\x00\x00\x01free\x00\x00",  # truncated largesize
+        b"\x00\x00\x00",  # truncated header
+    ],
+)
+def test_mp4_walk_rejects_malformed(payload):
+    with pytest.raises(ValueError):
+        _mp4_boxes(payload)
