@@ -9097,6 +9097,42 @@ def _mp4_oracle(n: int) -> str:
     UNION ALL SELECT 'mp4:' || i, 'mdat', (9 + i % 29)::BIGINT, {sel}, NULL FROM d"""
 
 
+def _mp3_oracle(n: int) -> str:
+    """Closed-form ground truth for the MP3 framing walk: bitrate /
+    sample-rate table lookups via DuckDB list-literal indexing and the
+    Layer III length formula restated per (i, j) — the walker's table,
+    formula, padding bit, AND its syncsafe ID3 skip (rows i%3==0 carry
+    a tag; a byte-offset walk desyncs) are all checked, none replayed."""
+    return f"""WITH f AS (
+      SELECT i, j,
+        ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[((i + j) % 14) + 1] AS br,
+        ([44100,48000,32000])[((i + j) % 3) + 1] AS sr,
+        (i + j) % 2 AS pad
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i),
+           (SELECT unnest(generate_series(0, 6)) AS j)
+      WHERE j <= i % 7)
+    SELECT 'mp3:' || i AS media_id, j::INTEGER AS frame_idx,
+      br::INTEGER AS bitrate_kbps, sr::INTEGER AS sample_rate,
+      ((144000 * br) // sr + pad)::INTEGER AS frame_bytes,
+      (['stereo','joint_stereo','dual_channel','mono'])[(i % 4) + 1] AS channel_mode
+    FROM f"""
+
+
+@q("multimodal_mp3_frames", _mp3_oracle(2000))
+def multimodal_mp3_frames(spark, sf_dir):
+    """REAL compressed-audio FRAMING parse (MPEG-1 Layer III): sync +
+    version/layer validation, bitrate/sample-rate table lookups, the
+    144*bitrate/rate+padding frame-length walk, and a syncsafe ID3v2
+    skip — everything an audio-curation pass needs (duration, bitrate
+    histograms, corruption detection) without the psychoacoustic
+    sample decode, which stays behind the documented transform-codec
+    stub (`operators/multimodal.py::_mp3_frames`)."""
+    from .operators.multimodal import decode_mp3_frames, synthesize_mp3_media
+
+    n = _scale_n(sf_dir)
+    return decode_mp3_frames(synthesize_mp3_media(spark.range(n)))
+
+
 @q("multimodal_mp4_boxes", _mp4_oracle(2000))
 def multimodal_mp4_boxes(spark, sf_dir):
     """REAL video-container structure parse (ISO-BMFF/MP4 box walk —
@@ -9231,6 +9267,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "multimodal_mp3_frames": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): compressed-audio framing (table+formula walk under a stated closed form; narrows the transform-codec stub to the sample decode alone)",
     "multimodal_mp4_boxes": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (three ISO-BMFF size encodings + both fullbox versions restated as closed forms; first video-container front)",
     "docs_registered_domain": "registered r4s7 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (algorithm-spec decision oracle over every public-suffix rule kind incl. the exception-beats-wildcard case)",
     "docs_idn_hosts": "registered r4s7 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (independent-implementation codec check: stdlib punycode encoder synthesizes, OUR RFC 3492 decoder is checked against digit-count-closed-form ACE literals)",

@@ -2068,3 +2068,145 @@ _MP4_IDENTITY_MATRIX = (
     + b"\x00" * 4 + b"\x00\x01\x00\x00" + b"\x00" * 4
     + b"\x00" * 4 * 2 + b"\x40\x00\x00\x00"
 )
+
+
+# --------------------------------------------------------------------------
+# MPEG-1 Layer III frame-header walk — compressed-audio FRAMING (real),
+# psychoacoustic sample decode stays behind the documented stub
+# --------------------------------------------------------------------------
+
+MP3_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("bitrate_kbps", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.IntegerType(), False),
+        T.StructField("channel_mode", T.StringType(), False),
+    ]
+)
+
+#: MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free, 15 = bad)
+_MP3_BITRATES = [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+_MP3_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+
+def _mp3_frames(payload: bytes):
+    """REAL MPEG-1 Layer III framing walk: optional leading ID3v2 tag
+    skipped by its SYNCSAFE size, then back-to-back sync frames —
+    11-bit sync, version/layer bits validated, bitrate + sample-rate
+    table lookups, and the Layer III frame-length formula
+    ``144 * bitrate / sample_rate + padding`` that advances the walk.
+    The Huffman/IMDCT sample decode is NOT attempted (the documented
+    transform-codec stub); framing is the real, library-free surface a
+    100 TB audio-curation pass needs (duration, bitrate histograms,
+    corruption detection)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        tag = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                raise ValueError("non-syncsafe ID3 size byte")
+            tag = (tag << 7) | b
+        pos = 10 + tag
+    out = []
+    idx = 0
+    while pos < len(payload):
+        if len(payload) - pos < 4:
+            raise ValueError("truncated frame header")
+        b1, b2, b3, b4 = payload[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError(f"lost sync at {pos}")
+        if (b2 >> 3) & 0x3 != 0x3 or (b2 >> 1) & 0x3 != 0x1:
+            raise ValueError("not MPEG-1 Layer III")
+        br_idx = (b3 >> 4) & 0xF
+        sr_idx = (b3 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free/bad bitrate or reserved sample rate")
+        padding = (b3 >> 1) & 0x1
+        bitrate = _MP3_BITRATES[br_idx - 1]
+        rate = _MP3_RATES[sr_idx]
+        flen = (144000 * bitrate) // rate + padding
+        if pos + flen > len(payload):
+            raise ValueError("truncated final frame")
+        out.append((idx, bitrate, rate, flen, _MP3_MODES[(b4 >> 6) & 0x3]))
+        idx += 1
+        pos += flen
+    return out
+
+
+def decode_mp3_frames(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """payloads → one row per MP3 frame (framing metadata only).
+    Arrow-batched and narrow: audio bytes never shuffle."""
+
+    cols = [
+        "media_id", "frame_idx", "bitrate_kbps",
+        "sample_rate", "frame_bytes", "channel_mode",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                mid = getattr(r, id_col)
+                for f in _mp3_frames(bytes(getattr(r, payload_col))):
+                    rows.append((mid,) + f)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=MP3_FRAMES_SCHEMA)
+
+
+def synthesize_mp3_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic variable-bitrate MP3 streams from a row index:
+    ``(i % 7) + 1`` frames, frame ``j`` cycling bitrate index
+    ``((i + j) % 14) + 1``, sample-rate index ``(i + j) % 3`` and
+    padding bit ``(i + j) % 2`` (so every frame length needs the real
+    table + formula), channel mode ``i % 4``; rows with ``i % 3 == 0``
+    get a leading padding-only ID3v2 tag the walker must skip
+    syncsafe-correctly."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                payload = b""
+                if i % 3 == 0:
+                    body = b"\x00" * (130 + i % 9)  # > 127: real syncsafe math
+                    size = len(body)
+                    payload = (
+                        b"ID3\x03\x00\x00"
+                        + bytes(
+                            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                             (size >> 7) & 0x7F, size & 0x7F]
+                        )
+                        + body
+                    )
+                for j in range((i % 7) + 1):
+                    br_idx = ((i + j) % 14) + 1
+                    sr_idx = (i + j) % 3
+                    pad = (i + j) % 2
+                    flen = (144000 * _MP3_BITRATES[br_idx - 1]) // _MP3_RATES[sr_idx] + pad
+                    hdr = bytes(
+                        [
+                            0xFF,
+                            0xFB,  # MPEG-1, Layer III, no CRC
+                            (br_idx << 4) | (sr_idx << 2) | (pad << 1),
+                            ((i % 4) << 6),
+                        ]
+                    )
+                    payload += hdr + bytes((flen - 4) * [j % 256])
+                rows.append((f"mp3:{i}", payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

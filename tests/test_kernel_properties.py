@@ -466,3 +466,69 @@ def test_mp4_walk_v1_tkhd_mdhd_and_nested_zero():
 def test_mp4_walk_rejects_malformed(payload):
     with pytest.raises(ValueError):
         _mp4_boxes(payload)
+
+
+# --------------------------------------------------------------------------
+# MPEG-1 Layer III framing walk (operators/multimodal.py::_mp3_frames)
+# --------------------------------------------------------------------------
+
+from rdf_rs_spark.operators.multimodal import (
+    _MP3_BITRATES,
+    _MP3_MODES,
+    _MP3_RATES,
+    _mp3_frames,
+)
+
+
+def _mp3_frame(br_idx: int, sr_idx: int, pad: int, mode: int, fill: int = 0) -> bytes:
+    flen = (144000 * _MP3_BITRATES[br_idx - 1]) // _MP3_RATES[sr_idx] + pad
+    return bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), mode << 6]) + bytes(
+        (flen - 4) * [fill]
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=14),
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_mp3_walk_matches_constructed_frames(frames, with_tag):
+    payload = b""
+    if with_tag:
+        body = bytes(200)
+        payload = b"ID3\x03\x00\x00" + bytes([0, 0, 1, 72]) + body  # 200 syncsafe
+    for br, sr, pad, mode in frames:
+        payload += _mp3_frame(br, sr, pad, mode)
+    got = _mp3_frames(payload)
+    assert [(g[1], g[2], g[4]) for g in got] == [
+        (_MP3_BITRATES[br - 1], _MP3_RATES[sr], _MP3_MODES[mode])
+        for br, sr, pad, mode in frames
+    ]
+    assert [g[0] for g in got] == list(range(len(frames)))
+    assert sum(g[3] for g in got) + (210 if with_tag else 0) == len(payload)
+
+
+@pytest.mark.parametrize(
+    "payload,err",
+    [
+        (b"\xff\xfb", "truncated frame header"),
+        (b"ABCD" + bytes(100), "lost sync"),
+        (bytes([0xFF, 0xF3, 0x10, 0]) + bytes(100), "not MPEG-1"),  # MPEG-2 bits
+        (bytes([0xFF, 0xFB, 0x00, 0]) + bytes(100), "free/bad"),  # free bitrate
+        (bytes([0xFF, 0xFB, 0x1C, 0]) + bytes(100), "reserved sample rate"),
+        (_mp3_frame(14, 0, 0, 0)[:-1], "truncated final frame"),
+        (b"ID3\x03\x00\x00\x00\x00\x81\x00", "non-syncsafe"),
+    ],
+)
+def test_mp3_walk_rejects_malformed(payload, err):
+    with pytest.raises(ValueError, match=err):
+        _mp3_frames(payload)
