@@ -9097,6 +9097,55 @@ def _mp4_oracle(n: int) -> str:
     UNION ALL SELECT 'mp4:' || i, 'mdat', (9 + i % 29)::BIGINT, {sel}, NULL FROM d"""
 
 
+def _surt_oracle(n: int) -> str:
+    """Decision oracle for the SURT key: one URL class per spec rule
+    (case fold, default-port fold, explicit port kept, wwwN fold,
+    fragment drop, empty-path slash, query sort, scheme-less input),
+    each with the EXPECTED key stated literally — the transform is
+    checked against the spec, not replayed."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i)
+    SELECT i AS doc_id,
+      CASE i % 8
+        WHEN 0 THEN 'com,example' || i || ')/path/' || i
+        WHEN 1 THEN 'com,example' || i || ')/a?a=1&b=' || i
+        WHEN 2 THEN 'com,example' || i || ':8080)/x'
+        WHEN 3 THEN 'uk,co,shop' || i || ',sub)/p/q'
+        WHEN 4 THEN 'org,news' || i || ')/'
+        WHEN 5 THEN 'net,example' || i || ',b,a)/?x=1&y=' || i || '&z=2'
+        WHEN 6 THEN 'com,example' || i || ')/bare/' || i
+        ELSE 'com,example' || i || ',m)/up' END AS surt
+    FROM p"""
+
+
+@q("docs_surt_keys", _surt_oracle(2000))
+def docs_surt_keys(spark, sf_dir):
+    """Full SURT canonical keys (`functions/urls.py::surt_key`) — the
+    sort key that makes a 100 TB CDX/crawl index range-scannable: host
+    labels reversed so a registrable domain's captures are contiguous,
+    default ports and wwwN folded, queries sorted. Pure JVM narrow
+    projection (zero shuffle — pinned in test_plan_properties). URL
+    classes exercise every spec rule incl. the explicit-port and
+    scheme-less edges; the oracle states each class's expected key."""
+    from .functions.urls import surt_key
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    url = (
+        F.when(i % 8 == 0, F.concat(F.lit("HTTP://WWW.Example"), s, F.lit(".COM/Path/"), s))
+        .when(i % 8 == 1, F.concat(F.lit("https://example"), s, F.lit(".com:443/a?b="), s, F.lit("&a=1")))
+        .when(i % 8 == 2, F.concat(F.lit("http://example"), s, F.lit(".com:8080/x")))
+        .when(i % 8 == 3, F.concat(F.lit("https://sub.shop"), s, F.lit(".co.uk/p/q#frag")))
+        .when(i % 8 == 4, F.concat(F.lit("http://www2.news"), s, F.lit(".org")))
+        .when(i % 8 == 5, F.concat(F.lit("http://a.b.example"), s, F.lit(".net/?z=2&y="), s, F.lit("&x=1")))
+        .when(i % 8 == 6, F.concat(F.lit("example"), s, F.lit(".com/bare/"), s))
+        .otherwise(F.concat(F.lit("http://m.example"), s, F.lit(".com/UP")))
+    )
+    return spark.range(n).select(
+        i.alias("doc_id"), surt_key(url).alias("surt")
+    )
+
+
 def _mp3_oracle(n: int) -> str:
     """Closed-form ground truth for the MP3 framing walk: bitrate /
     sample-rate table lookups via DuckDB list-literal indexing and the
@@ -9267,6 +9316,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_surt_keys": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): spec-decision oracle over every SURT rule class (the CDX range-scan sort key, zero-shuffle JVM projection)",
     "multimodal_mp3_frames": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): compressed-audio framing (table+formula walk under a stated closed form; narrows the transform-codec stub to the sample decode alone)",
     "multimodal_mp4_boxes": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (three ISO-BMFF size encodings + both fullbox versions restated as closed forms; first video-container front)",
     "docs_registered_domain": "registered r4s7 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (algorithm-spec decision oracle over every public-suffix rule kind incl. the exception-beats-wildcard case)",

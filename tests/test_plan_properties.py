@@ -940,3 +940,20 @@ def test_morton_key_is_zero_shuffle_codegen(spark):
     assert count_exchanges(out) == 0
     plan = explain_str(out, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_surt_key_is_zero_shuffle_codegen(spark):
+    """The SURT sort key is a pure narrow projection: no exchange, no
+    Python eval node — it must ride the scan inside whole-stage
+    codegen so a 100 TB CDX keying pass is shuffle-free."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["docs_surt_keys"](spark, SF)
+    assert count_exchanges(df) == 0
+    plan = explain_str(df, "formatted")
+    assert "EvalPython" not in plan
+    # the query-sort array_sort comparator is CodegenFallback, so the
+    # projection itself sits outside a WholeStageCodegen span — still
+    # JVM expression eval, still narrow; only the scan must codegen
+    assert "codegen" in plan.lower()
+    assert "Exchange" not in plan
