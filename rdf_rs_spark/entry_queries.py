@@ -9097,6 +9097,47 @@ def _mp4_oracle(n: int) -> str:
     UNION ALL SELECT 'mp4:' || i, 'mdat', (9 + i % 29)::BIGINT, {sel}, NULL FROM d"""
 
 
+def _chunked_oracle(n: int) -> str:
+    """Regeneration oracle for the chunked-transfer decode: whatever
+    the wire encoding (identity on even rows; chunked with varying
+    chunk counts, uppercase hex, chunk extensions, and trailers on odd
+    rows), the DECODED body is the same closed form of ``i`` — the
+    dechunker is checked against the construction, not replayed."""
+    return f"""SELECT 'h:' || i AS doc_id, 200::BIGINT AS status,
+      (2 * ((i % 30) + 3))::INTEGER AS body_len,
+      repeat('ab', (i % 30) + 3) AS body
+    FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)"""
+
+
+@q("crawl_chunked_decode", _chunked_oracle(2000))
+def crawl_chunked_decode(spark, sf_dir):
+    """HTTP/1.1 chunked transfer-encoding decode on the WARC/HTTP
+    ingest path (`sources/warc.py::_dechunk`): hex chunk-size walk
+    (case-insensitive), chunk extensions ignored, trailer headers
+    discarded — archived responses frequently keep their wire framing,
+    so a crawl-scale text pipeline must dechunk before any content
+    hash/dedup. Envelope stays JVM column algebra; only the bounded
+    body dechunk is an Arrow kernel (narrow, zero shuffle — body bytes
+    never move)."""
+    from .sources.warc import (
+        dechunk_http_bodies,
+        http_header,
+        parse_http_responses,
+        synthesize_chunked_http,
+    )
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_chunked_http(spark.range(n))
+    parsed = parse_http_responses(pages, "block").withColumn(
+        "te", http_header(F.col("block"), "Transfer-Encoding")
+    )
+    slim = parsed.select("doc_id", "status", "te", "body")
+    out = dechunk_http_bodies(slim, "body", "te")
+    return out.select(
+        "doc_id", "status", F.length("body").alias("body_len"), "body"
+    )
+
+
 def _surt_oracle(n: int) -> str:
     """Decision oracle for the SURT key: one URL class per spec rule
     (case fold, default-port fold, explicit port kept, wwwN fold,
@@ -9316,6 +9357,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_chunked_decode": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): wire-framing decode under a regeneration oracle (uppercase hex, extensions, trailers all exercised; decoded body a closed form)",
     "docs_surt_keys": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): spec-decision oracle over every SURT rule class (the CDX range-scan sort key, zero-shuffle JVM projection)",
     "multimodal_mp3_frames": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): compressed-audio framing (table+formula walk under a stated closed form; narrows the transform-codec stub to the sample decode alone)",
     "multimodal_mp4_boxes": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (three ISO-BMFF size encodings + both fullbox versions restated as closed forms; first video-container front)",

@@ -552,3 +552,110 @@ def wet_conversion_records(
         F.lit("\r\n\r\n"), text, F.lit("\r\n\r\n"),
     )
     return pages.select(F.col(url_col).alias("url"), rec.alias("wet"))
+
+
+# --------------------------------------------------------------------------
+# HTTP/1.1 chunked transfer-encoding decode
+# --------------------------------------------------------------------------
+
+def _dechunk(s: str) -> str:
+    """Decode one HTTP/1.1 chunked body: hex chunk-size line (chunk
+    EXTENSIONS after ``;`` ignored, case-insensitive hex), chunk data,
+    CRLF, … until the 0-size terminator; trailer headers after the
+    terminator are discarded. Raises on a missing CRLF or size line —
+    the rejects-view discipline, not silent truncation."""
+    pos, out = 0, []
+    while True:
+        nl = s.find("\r\n", pos)
+        if nl < 0:
+            raise ValueError("missing chunk-size line")
+        size = int(s[pos:nl].split(";", 1)[0].strip(), 16)
+        pos = nl + 2
+        if size == 0:
+            return "".join(out)  # trailers (if any) ignored
+        if pos + size > len(s):
+            raise ValueError("chunk data truncated")
+        out.append(s[pos : pos + size])
+        pos += size
+        if s[pos : pos + 2] != "\r\n":
+            raise ValueError("missing chunk-data CRLF")
+        pos += 2
+
+
+def dechunk_http_bodies(
+    df: DataFrame, body_col: str = "body", te_col: str = "transfer_encoding"
+) -> DataFrame:
+    """Replace ``body_col`` with its decoded form wherever ``te_col``
+    says ``chunked`` (identity bodies pass through untouched, NULL
+    bodies stay NULL). Arrow-batched narrow kernel — zero shuffle; the
+    kernel receives PLAIN column attributes (the ExpressionProxy
+    hazard: callers must materialize computed body/te columns into the
+    DataFrame before calling, never pass fresh expressions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def run(bodies: pd.Series, tes: pd.Series) -> pd.Series:
+        out = []
+        for b, te in zip(bodies, tes):
+            if b is not None and te is not None and te.strip().lower() == "chunked":
+                out.append(_dechunk(b))
+            else:
+                out.append(b)
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(body_col, run(F.col(body_col), F.col(te_col)))
+
+
+def synthesize_chunked_http(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic HTTP/1.1 response blocks: even rows identity-
+    encoded, odd rows CHUNKED with ``(i % 3) + 1`` chunks — uppercase
+    hex sizes on ``i % 7 == 0``, a chunk extension (``;q=1``) on
+    ``i % 5 == 0``, and a trailer header after the terminator on
+    ``i % 4 == 1`` — every syntax corner a naive dechunker misses. The
+    decoded body is always ``'ab' * ((i % 30) + 3)``, so the oracle is
+    a closed form."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                body = "ab" * ((i % 30) + 3)
+                if i % 2 == 1:
+                    n_c = (i % 3) + 1
+                    base, rem = divmod(len(body), n_c)
+                    sizes = [base] * (n_c - 1) + [base + rem]
+                    fmt = "{:X}" if i % 7 == 0 else "{:x}"
+                    enc, pos = [], 0
+                    for k, sz in enumerate(sizes):
+                        line = fmt.format(sz)
+                        if k == 0 and i % 5 == 0:
+                            line += ";q=1"
+                        enc.append(line + "\r\n" + body[pos : pos + sz] + "\r\n")
+                        pos += sz
+                    tail = (
+                        "0\r\nX-Checksum: deadbeef\r\n\r\n"
+                        if i % 4 == 1
+                        else "0\r\n\r\n"
+                    )
+                    wire = "".join(enc) + tail
+                    te = "Transfer-Encoding: chunked\r\n"
+                else:
+                    wire, te = body, ""
+                block = (
+                    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + te
+                    + "\r\n"
+                    + wire
+                )
+                rows.append((f"h:{i}", block))
+            yield pd.DataFrame(rows, columns=["doc_id", "block"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("block", T.StringType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

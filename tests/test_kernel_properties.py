@@ -532,3 +532,51 @@ def test_mp3_walk_matches_constructed_frames(frames, with_tag):
 def test_mp3_walk_rejects_malformed(payload, err):
     with pytest.raises(ValueError, match=err):
         _mp3_frames(payload)
+
+
+# --------------------------------------------------------------------------
+# HTTP/1.1 chunked transfer decode (sources/warc.py::_dechunk)
+# --------------------------------------------------------------------------
+
+from rdf_rs_spark.sources.warc import _dechunk
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet=st.characters(blacklist_characters="\r\n"), max_size=60),
+    st.lists(st.integers(min_value=1, max_value=12), max_size=8),
+    st.booleans(),
+    st.booleans(),
+)
+def test_dechunk_roundtrips_any_chunking(body, cuts, upper, trailer):
+    """Chunk an arbitrary body at arbitrary boundaries (uppercase or
+    lowercase hex, with or without trailers) — decode must return the
+    body byte-for-byte."""
+    pos, wire = 0, []
+    for c in cuts:
+        if pos >= len(body):
+            break
+        piece = body[pos : pos + c]
+        size = format(len(piece), "X" if upper else "x")
+        wire.append(size + "\r\n" + piece + "\r\n")
+        pos += len(piece)
+    rest = body[pos:]
+    if rest:
+        wire.append(format(len(rest), "x") + ";ext=1\r\n" + rest + "\r\n")
+    wire.append("0\r\nX-Trailer: t\r\n\r\n" if trailer else "0\r\n\r\n")
+    assert _dechunk("".join(wire)) == body
+
+
+@pytest.mark.parametrize(
+    "wire",
+    [
+        "3\r\nab",  # chunk data truncated
+        "3\r\nabcX",  # missing chunk-data CRLF
+        "zz\r\nabc\r\n0\r\n\r\n",  # non-hex size
+        "",  # no size line at all
+        "3\r\nabc\r\n",  # missing terminator
+    ],
+)
+def test_dechunk_rejects_malformed(wire):
+    with pytest.raises(ValueError):
+        _dechunk(wire)
