@@ -9097,6 +9097,69 @@ def _mp4_oracle(n: int) -> str:
     UNION ALL SELECT 'mp4:' || i, 'mdat', (9 + i % 29)::BIGINT, {sel}, NULL FROM d"""
 
 
+def _mirror_oracle(n: int) -> str:
+    """Decision oracle for host-mirror detection: the corpus builds
+    sites of 5 hosts (exact mirror, subset mirror at J=0.9, partial at
+    J=0.33, disjoint), so the verified pair set and every integer
+    Jaccard are CLOSED FORMS per site — banding recall on the subset
+    classes is guaranteed (a subset host's bin-min equals its
+    superset's wherever the superset's min is a shared path), and the
+    J=0.33 class must be band-caught-then-THRESHOLD-dropped or absent,
+    either way out of the output."""
+    sites = n // 20 // 5
+    return f"""WITH s AS (SELECT unnest(generate_series(0, {sites - 1})) AS st),
+    h AS (SELECT st, (5 * st) AS k0 FROM s)
+    SELECT 'h' || lpad((k0)::VARCHAR, 6, '0') || '.example' AS host_a,
+           'h' || lpad((k0 + 1)::VARCHAR, 6, '0') || '.example' AS host_b,
+           20::BIGINT AS n_inter, 20::BIGINT AS n_union,
+           100::BIGINT AS jaccard_e2 FROM h
+    UNION ALL
+    SELECT 'h' || lpad((k0)::VARCHAR, 6, '0') || '.example',
+           'h' || lpad((k0 + 2)::VARCHAR, 6, '0') || '.example',
+           18::BIGINT, 20::BIGINT, 90::BIGINT FROM h
+    UNION ALL
+    SELECT 'h' || lpad((k0 + 1)::VARCHAR, 6, '0') || '.example',
+           'h' || lpad((k0 + 2)::VARCHAR, 6, '0') || '.example',
+           18::BIGINT, 20::BIGINT, 90::BIGINT FROM h"""
+
+
+@q("crawl_mirror_hosts", _mirror_oracle(2000))
+def crawl_mirror_hosts(spark, sf_dir):
+    """Host-mirror detection (`operators/crawl.py::mirror_hosts`) —
+    whole-HOST dedup, the cheapest cut a 100 TB crawl can make: per-host
+    one-permutation MinHash over path md5s (ONE combinable shuffle of
+    (host, bin, bigint) — paths never move), banded signature self-join
+    for candidates (persisted: feeds both sides), exact integer-Jaccard
+    verify on candidates only. Site classes: exact mirror, 18/20 subset
+    mirror (J=0.9), 10/30 partial (J=0.33, dropped by threshold), and
+    disjoint hosts."""
+    from .operators.crawl import mirror_hosts
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = (i / 20).cast("long")
+    t = i % 20
+    site = (k / 5).cast("long").cast("string")
+    cls = k % 5
+    shared = F.concat(F.lit("/s"), site, F.lit("/p/"), t.cast("string"))
+    host = F.concat(F.lit("h"), F.lpad(k.cast("string"), 6, "0"), F.lit(".example"))
+    path = (
+        F.when(cls <= 2, shared)
+        .when(cls == 3, F.when(t < 10, shared).otherwise(
+            F.concat(F.lit("/s"), site, F.lit("/x/"), k.cast("string"),
+                     F.lit("/"), t.cast("string"))))
+        .otherwise(
+            F.concat(F.lit("/s"), site, F.lit("/y/"), k.cast("string"),
+                     F.lit("/"), t.cast("string")))
+    )
+    pages = (
+        spark.range(n)
+        .where(~((cls == 2) & (t >= 18)))  # subset-mirror host: 18 paths
+        .select(host.alias("host"), path.alias("path"))
+    )
+    return mirror_hosts(pages)
+
+
 def _chunked_oracle(n: int) -> str:
     """Regeneration oracle for the chunked-transfer decode: whatever
     the wire encoding (identity on even rows; chunked with varying
@@ -9357,6 +9420,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_mirror_hosts": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (a)+(b): whole-host dedup flagship (banded host MinHash + exact integer-Jaccard verify under a per-site closed-form decision oracle)",
     "crawl_chunked_decode": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): wire-framing decode under a regeneration oracle (uppercase hex, extensions, trailers all exercised; decoded body a closed form)",
     "docs_surt_keys": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): spec-decision oracle over every SURT rule class (the CDX range-scan sort key, zero-shuffle JVM projection)",
     "multimodal_mp3_frames": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): compressed-audio framing (table+formula walk under a stated closed form; narrows the transform-codec stub to the sample decode alone)",

@@ -516,3 +516,97 @@ def resolve_redirects(
         )
         out = out.unionByName(terminals)
     return out
+
+
+# --------------------------------------------------------------------------
+# Host-mirror detection: same site under multiple hostnames
+# --------------------------------------------------------------------------
+
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    jaccard_e2_min: int = 80,
+) -> DataFrame:
+    """Detect mirror HOSTS — the same site served under several
+    hostnames (www/CDN/vanity aliases, scraped re-hosts). At 100 TB
+    dropping a whole mirrored host is the cheapest dedup there is: one
+    decision removes millions of pages before any per-page work.
+
+    Spark-first shape (the banded-never-all-pairs discipline of
+    `operators/dedup.py`, lifted from documents to hosts):
+
+    1. per-host ONE-PERMUTATION MinHash over ``md5(path)``, binned by
+       the leading hex nibble → a 16-slot signature via one map-side-
+       combining ``groupBy(host, bin).min`` — the only full-data
+       shuffle, and it moves (host, bin, bigint), never paths;
+    2. candidate pairs from a band EQUI-join on ``(bin, min_hash)``
+       (signatures persisted — they feed both sides of the self-join);
+       a band matches when two hosts' cheapest shared-path hash wins
+       the same bin, so true mirrors collide in almost every bin and
+       a subset-host collides wherever its superset's min is shared;
+    3. EXACT verify on candidates only: path equi-join restricted to
+       candidate hosts → intersection counts; union from per-host
+       distinct-path counts; keep pairs with
+       ``100 * |∩| // |∪| >= jaccard_e2_min`` (integer Jaccard — the
+       float-free gate discipline).
+    """
+    h = F.md5(F.col(path_col))
+    keyed = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("bin"),
+        F.conv(F.substring(h, 2, 15), 16, 10).cast("bigint").alias("hval"),
+    )
+    sigs = keyed.groupBy("host", "bin").agg(F.min("hval").alias("mh")).persist()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(b, on=["bin", "mh"])
+        .where(F.col("a.host") < F.col("b.host"))
+        .select(
+            F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b")
+        )
+        .distinct()
+    )
+    counts = keyed.groupBy("host").agg(F.count_distinct("path").alias("n_paths"))
+    cand_hosts = (
+        cands.select(F.col("host_a").alias("host"))
+        .unionByName(cands.select(F.col("host_b").alias("host")))
+        .distinct()
+    )
+    cpaths = keyed.select("host", "path").join(cand_hosts, "host").distinct()
+    pa, pb = cpaths.alias("pa"), cpaths.alias("pb")
+    inter = (
+        pa.join(pb, on="path")
+        .where(F.col("pa.host") < F.col("pb.host"))
+        .groupBy(
+            F.col("pa.host").alias("host_a"), F.col("pb.host").alias("host_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    verified = (
+        cands.join(inter, on=["host_a", "host_b"])
+        .join(
+            counts.select(
+                F.col("host").alias("host_a"), F.col("n_paths").alias("na")
+            ),
+            on="host_a",
+        )
+        .join(
+            counts.select(
+                F.col("host").alias("host_b"), F.col("n_paths").alias("nb")
+            ),
+            on="host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr("100 * n_inter DIV (na + nb - n_inter)").alias("jaccard_e2"),
+        )
+        .where(F.col("jaccard_e2") >= jaccard_e2_min)
+    )
+    return verified

@@ -957,3 +957,20 @@ def test_surt_key_is_zero_shuffle_codegen(spark):
     # JVM expression eval, still narrow; only the scan must codegen
     assert "codegen" in plan.lower()
     assert "Exchange" not in plan
+
+
+def test_mirror_hosts_banded_never_all_pairs(spark):
+    """Host-mirror detection must follow the banded discipline: the
+    signature build is a map-side-combining min aggregate, candidates
+    come from an EQUI-join on (bin, min_hash) — no cartesian/nested-
+    loop anywhere — and the persisted signature relation feeds both
+    sides of the self-join (InMemoryRelation in the plan)."""
+    from rdf_rs_spark.entry_queries import QUERIES
+
+    df = QUERIES["crawl_mirror_hosts"](spark, SF)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # map-side combine on the signature agg
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    spark.catalog.clearCache()
