@@ -9304,6 +9304,39 @@ def multimodal_mp4_boxes(spark, sf_dir):
     return decode_mp4_boxes(synthesize_mp4_media(spark.range(n)))
 
 
+@q(
+    "docs_pdf_extract",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    pg AS (SELECT i, unnest(generate_series(1, (i % 2) + 1)) AS pno FROM p)
+    SELECT i::BIGINT AS doc_id, pno::BIGINT AS page_no,
+      CASE WHEN i % 2 = 0 THEN 'FlateDecode' ELSE 'none' END AS stream_filter,
+      (CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS length_indirect,
+      1::BIGINT AS xref_ok,
+      'Doc ' || i || ' page ' || pno || chr(10) ||
+      CASE i % 4 WHEN 0 THEN 'plain ' || i
+                 WHEN 1 THEN 'esc ( ' || i || ' ) \\ A'
+                 WHEN 2 THEN 'kern pair ' || i
+                 ELSE 'hex ' || i END AS text
+    FROM pg""",
+)
+def docs_pdf_extract(spark, sf_dir):
+    """PDF text extraction (``sources/pdf.py``) — the document-format
+    ingest front beyond HTML. REAL container parse: sequential
+    ``N 0 obj`` walk with /Length-sliced stream bodies (direct AND
+    indirect ``N 0 R`` lengths), startxref→xref-table offset
+    validation (``xref_ok``), /Kids page-tree order, FlateDecode
+    inflate, and a BT/ET content-stream tokenizer covering literal
+    strings (octal/paren/backslash escapes), hex strings, TJ kerning
+    arrays, and Td/T*/'/" line breaks. The oracle REGENERATES every
+    page's text as a closed form of the row index, so parser, inflate,
+    escape handling and page order are all under the hash — nothing is
+    replayed. Arrow kernel; payloads never shuffle."""
+    from .sources.pdf import extract_pdf_text, synthesize_pdf_docs
+
+    n = _scale_n(sf_dir)
+    return extract_pdf_text(synthesize_pdf_docs(spark.range(n)), id_col="doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9420,6 +9453,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_pdf_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (container walk + xref validation + content-stream tokenizer all under one regeneration closed form; first non-HTML document-format front)",
     "crawl_mirror_hosts": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (a)+(b): whole-host dedup flagship (banded host MinHash + exact integer-Jaccard verify under a per-site closed-form decision oracle)",
     "crawl_chunked_decode": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): wire-framing decode under a regeneration oracle (uppercase hex, extensions, trailers all exercised; decoded body a closed form)",
     "docs_surt_keys": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): spec-decision oracle over every SURT rule class (the CDX range-scan sort key, zero-shuffle JVM projection)",

@@ -1,0 +1,488 @@
+"""PDF text extraction — the document-format front beyond HTML.
+
+A web-scale crawl is not all ``text/html``: PDFs carry a long tail of
+high-quality text (papers, reports, manuals) that KG construction and
+LLM-corpus curation both want. This module implements a REAL minimal
+PDF reader over binary payload columns (reference parallel: the same
+ingest-front role as `scholtzan/rdf-rs`'s reader layer, src/reader.rs —
+bytes in, structured records out), Spark-first:
+
+* **container walk, never a byte scan**: objects are walked
+  sequentially by ``N 0 obj`` headers with balanced ``<< >>`` dict
+  parsing, and stream bodies are sliced by their ``/Length`` entry
+  (direct int or indirect ``N 0 R`` reference) — the same
+  length-sliced discipline as the WARC parser (``sources/warc.py``),
+  because compressed stream bytes can contain any keyword.
+* **xref validation**: the trailer's ``startxref`` offset is followed
+  to the cross-reference table and every in-use entry is checked to
+  point at the matching ``N 0 obj`` header (``xref_ok``) — a
+  corrupted/truncated PDF is flagged, not mis-parsed.
+* **page tree order**: pages are emitted in ``/Kids`` array order from
+  the ``/Type /Pages`` node, not file order.
+* **FlateDecode**: ``/Filter /FlateDecode`` content streams inflate via
+  zlib; unfiltered streams pass through.
+* **content-stream text model**: inside ``BT … ET`` blocks, literal
+  strings ``( … )`` (balanced unescaped parens, ``\\(`` ``\\)`` ``\\\\``
+  octal ``\\ddd`` and backslash-newline escapes) and hex strings
+  ``< … >`` are shown by ``Tj`` / ``'`` / ``"`` / ``TJ`` (array
+  elements concatenated, kerning numbers ignored); ``Td``/``TD``/``T*``
+  and the ``'``/``"`` operators start a new line.
+
+Arrow-batched ``mapInPandas``: payload bytes never shuffle; only the
+extracted text moves. Stdlib (zlib/struct/re) only.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("page_no", T.LongType(), False),
+        T.StructField("stream_filter", T.StringType(), False),
+        T.StructField("length_indirect", T.LongType(), False),
+        T.StructField("xref_ok", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+_OBJ_RX = re.compile(rb"(\d+)\s+0\s+obj\b")
+_REF_RX = re.compile(rb"(\d+)\s+0\s+R\b")
+_INT_RX = re.compile(rb"^\s*(\d+)\s*$")
+
+
+def _parse_dict_span(b: bytes, pos: int) -> tuple[int, int]:
+    """``pos`` points at ``<<``; return (start, end_exclusive) of the
+    balanced dictionary, counting ``<<``/``>>`` pairs only."""
+    depth = 0
+    i = pos
+    n = len(b)
+    while i < n - 1:
+        two = b[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return pos, i
+        else:
+            i += 1
+    raise ValueError("unterminated PDF dictionary")
+
+
+def _walk_objects(b: bytes) -> dict[int, dict]:
+    """Sequential object walk. Returns num -> {offset, dict_bytes,
+    stream (bytes|None), length_indirect (bool)}. Stream bodies are
+    sliced by /Length (direct, or indirect via an already-seen or
+    later-resolved plain-integer object); a stream whose length cannot
+    be resolved falls back to an ``endstream`` search (documented
+    last-resort — synthetic/valid files never hit it)."""
+    objects: dict[int, dict] = {}
+    ints: dict[int, int] = {}
+    pending: list[tuple[int, int, int]] = []  # (num, body_start, ref)
+    pos = 0
+    while True:
+        m = _OBJ_RX.search(b, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        body_start = m.end()
+        # skip whitespace
+        j = body_start
+        while j < len(b) and b[j : j + 1] in b" \r\n\t":
+            j += 1
+        entry: dict = {
+            "offset": m.start(),
+            "dict": b"",
+            "stream": None,
+            "length_indirect": False,
+        }
+        if b[j : j + 2] == b"<<":
+            ds, de = _parse_dict_span(b, j)
+            entry["dict"] = b[ds:de]
+            k = de
+            while k < len(b) and b[k : k + 1] in b" \r\n\t":
+                k += 1
+            if b[k : k + 6] == b"stream":
+                k += 6
+                if b[k : k + 2] == b"\r\n":
+                    k += 2
+                elif b[k : k + 1] == b"\n":
+                    k += 1
+                lm = re.search(rb"/Length\s+(\d+)(\s+0\s+R)?", entry["dict"])
+                if lm and not lm.group(2):
+                    ln = int(lm.group(1))
+                elif lm:
+                    ref = int(lm.group(1))
+                    entry["length_indirect"] = True
+                    if ref in ints:
+                        ln = ints[ref]
+                    else:
+                        pending.append((num, k, ref))
+                        ln = None
+                else:
+                    ln = None
+                if ln is None and not entry["length_indirect"]:
+                    es = b.find(b"endstream", k)
+                    ln = es - k
+                if ln is not None:
+                    entry["stream"] = b[k : k + ln]
+                    pos = k + ln
+                else:
+                    pos = k
+            else:
+                pos = de
+        else:
+            # non-dict object: try plain integer (indirect /Length target)
+            eo = b.find(b"endobj", j)
+            body = b[j:eo]
+            im = _INT_RX.match(body)
+            if im:
+                ints[num] = int(im.group(1))
+            pos = eo if eo >= 0 else len(b)
+        objects[num] = entry
+        eo = b.find(b"endobj", pos)
+        pos = eo + 6 if eo >= 0 else len(b)
+    for num, k, ref in pending:
+        ln = ints.get(ref)
+        if ln is None:
+            es = b.find(b"endstream", k)
+            ln = es - k
+        objects[num]["stream"] = b[k : k + ln]
+    return objects
+
+
+def _check_xref(b: bytes, objects: dict[int, dict]) -> int:
+    """Follow startxref to the table; 1 iff every in-use entry's offset
+    points at the matching ``N 0 obj`` header, else 0."""
+    tail = b[-256:]
+    sm = re.search(rb"startxref\s+(\d+)\s+%%EOF", tail)
+    if not sm:
+        return 0
+    xoff = int(sm.group(1))
+    if b[xoff : xoff + 4] != b"xref":
+        return 0
+    hm = re.match(rb"xref\s+(\d+)\s+(\d+)\s*\n", b[xoff:])
+    if not hm:
+        return 0
+    first, count = int(hm.group(1)), int(hm.group(2))
+    p = xoff + hm.end()
+    for idx in range(count):
+        line = b[p : p + 20]
+        p += 20
+        em = re.match(rb"(\d{10}) (\d{5}) ([nf])", line)
+        if not em:
+            return 0
+        if em.group(3) == b"n":
+            num = first + idx
+            off = int(em.group(1))
+            if num not in objects or objects[num]["offset"] != off:
+                return 0
+    return 1
+
+
+def _unescape_literal(raw: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        e = raw[i : i + 1]
+        simple = {
+            b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
+        }
+        if e in simple:
+            out += simple[e]
+            i += 1
+        elif e == b"\n":
+            i += 1  # line continuation
+        elif e == b"\r":
+            i += 2 if raw[i + 1 : i + 2] == b"\n" else 1
+        elif e.isdigit():
+            j = i
+            while j < n and j < i + 3 and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        else:
+            out += e
+            i += 1
+    return bytes(out)
+
+
+def _content_text(content: bytes) -> str:
+    """Tokenize text-showing operators inside BT/ET blocks."""
+    lines: list[str] = []
+    cur: list[str] = []
+    operands: list[str] = []  # decoded strings pending an operator
+    i, n = 0, len(content)
+    in_bt = False
+
+    def newline():
+        lines.append("".join(cur))
+        cur.clear()
+
+    while i < n:
+        c = content[i : i + 1]
+        if c in b" \r\n\t":
+            i += 1
+            continue
+        if c == b"(":
+            depth, j = 1, i + 1
+            buf = bytearray()
+            while j < n and depth:
+                ch = content[j]
+                if ch == 0x5C:
+                    buf += content[j : j + 2]
+                    j += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                buf.append(ch)
+                j += 1
+            operands.append(_unescape_literal(bytes(buf)).decode("latin-1"))
+            i = j
+            continue
+        if c == b"<" and content[i : i + 2] != b"<<":
+            j = content.find(b">", i)
+            hx = re.sub(rb"\s", b"", content[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            operands.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            i = j + 1
+            continue
+        if c == b"<":  # inline dict (e.g. BDC): skip balanced
+            _, de = _parse_dict_span(content, i)
+            i = de
+            continue
+        if c in b"[]":
+            i += 1
+            continue
+        m = re.match(rb"[^\s()<>\[\]/]+|/[^\s()<>\[\]/]*", content[i:])
+        tok = m.group(0)
+        i += len(tok)
+        op = tok.decode("latin-1")
+        if op == "BT":
+            in_bt = True
+            operands.clear()
+            continue
+        if op == "ET":
+            in_bt = False
+            operands.clear()
+            continue
+        if not in_bt:
+            if op[0] not in "+-.0123456789":
+                operands.clear()
+            continue
+        if op in ("Td", "TD", "T*"):
+            if cur or lines:
+                newline()
+            operands.clear()
+        elif op == "Tj" or op == "TJ":
+            cur.extend(operands)
+            operands.clear()
+        elif op in ("'", '"'):
+            if cur or lines:
+                newline()
+            cur.extend(operands)
+            operands.clear()
+        elif op[0] not in "+-.0123456789":
+            operands.clear()  # any other operator consumes its operands
+    if cur:
+        newline()
+    return "\n".join(lines)
+
+
+def _extract_one(b: bytes) -> list[tuple[int, str, int, int, str]]:
+    """One PDF → [(page_no, filter, length_indirect, xref_ok, text)]."""
+    objects = _walk_objects(b)
+    xref_ok = _check_xref(b, objects)
+    pages_node = None
+    for num, o in objects.items():
+        if b"/Type /Pages" in o["dict"] or b"/Type/Pages" in o["dict"]:
+            pages_node = o
+            break
+    page_nums: list[int] = []
+    if pages_node is not None:
+        km = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_node["dict"])
+        if km:
+            page_nums = [int(r.group(1)) for r in _REF_RX.finditer(km.group(1))]
+    out = []
+    for pno, pnum in enumerate(page_nums, start=1):
+        pg = objects.get(pnum)
+        if pg is None:
+            continue
+        cm = re.search(rb"/Contents\s+((\d+\s+0\s+R\s*)+|\[[^\]]*\])", pg["dict"])
+        refs = [int(r.group(1)) for r in _REF_RX.finditer(cm.group(1))] if cm else []
+        texts, filt, indir = [], "none", 0
+        for ref in refs:
+            co = objects.get(ref)
+            if co is None or co["stream"] is None:
+                continue
+            data = co["stream"]
+            if b"/FlateDecode" in co["dict"]:
+                data = zlib.decompress(data)
+                filt = "FlateDecode"
+            indir = indir or int(co["length_indirect"])
+            texts.append(_content_text(data))
+        out.append((pno, filt, indir, xref_ok, "\n".join(texts)))
+    return out
+
+
+def extract_pdf_text(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Binary PDF payloads → one row per page with extracted text plus
+    container-health columns (``xref_ok``, ``stream_filter``,
+    ``length_indirect``). Narrow Arrow kernel; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_TEXT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                did = int(getattr(rec, id_col))
+                for pno, filt, indir, xok, text in _extract_one(
+                    bytes(getattr(rec, payload_col))
+                ):
+                    rows.append((did, pno, filt, indir, xok, text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PDF_TEXT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# deterministic synthesis
+# --------------------------------------------------------------------------
+
+
+def _synth_pdf_bytes(i: int) -> bytes:
+    """Index-derived minimal PDF. Closed forms the oracle re-states:
+    pages = (i % 2) + 1; page text line 1 = ``Doc {i} page {p}``; line
+    2 by class ``i % 4``: 0 → ``plain {i}``; 1 → ``esc ( {i} ) \\ A``
+    (literal-string escapes incl. octal \\101); 2 → ``kern pair {i}``
+    (TJ array with kerning numbers); 3 → ``hex {i}`` (hex string).
+    Content streams FlateDecode when ``i`` is even, raw when odd;
+    ``/Length`` is an indirect reference when ``i % 5 == 0``."""
+    n_pages = (i % 2) + 1
+
+    def content(p: int) -> bytes:
+        cls = i % 4
+        first = f"BT /F1 12 Tf 72 720 Td (Doc {i} page {p}) Tj"
+        if cls == 0:
+            second = f"0 -14 Td (plain {i}) Tj"
+        elif cls == 1:
+            second = rf"0 -14 Td (esc \( {i} \) \\ \101) Tj"
+        elif cls == 2:
+            second = f"0 -14 Td [(kern ) -120 (pair {i})] TJ"
+        else:
+            hx = f"hex {i}".encode("latin-1").hex()
+            second = f"0 -14 Td <{hx}> Tj"
+        return f"{first} {second} ET".encode("latin-1")
+
+    objs: dict[int, bytes] = {}
+    # object numbering: 1 catalog, 2 pages, 3 font,
+    # per page p (1-based): page obj = 3 + 2p - 1, content obj = 3 + 2p,
+    # indirect-length int objects come after.
+    next_extra = 3 + 2 * n_pages + 1
+    kid_refs = " ".join(f"{3 + 2 * p - 1} 0 R" for p in range(1, n_pages + 1))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kid_refs}] /Count {n_pages} >>".encode()
+    )
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    extra_ints: dict[int, int] = {}
+    streams: dict[int, tuple[bytes, bytes]] = {}  # num -> (dict, body)
+    for p in range(1, n_pages + 1):
+        pg, ct = 3 + 2 * p - 1, 3 + 2 * p
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {ct} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>".encode()
+        )
+        body = content(p)
+        filt = b""
+        if i % 2 == 0:
+            body = zlib.compress(body, 6)
+            filt = b" /Filter /FlateDecode"
+        if i % 5 == 0:
+            ln_obj = next_extra
+            next_extra += 1
+            extra_ints[ln_obj] = len(body)
+            d = b"<< /Length " + f"{ln_obj} 0 R".encode() + filt + b" >>"
+        else:
+            d = b"<< /Length " + str(len(body)).encode() + filt + b" >>"
+        streams[ct] = (d, body)
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    max_num = max(
+        list(objs) + list(streams) + (list(extra_ints) or [0])
+    )
+    # file order: indirect-length integer objects FIRST so a single
+    # sequential walk resolves /Length refs before hitting the stream
+    # (object number ≠ file position; the xref maps num → offset).
+    file_order = sorted(
+        range(1, max_num + 1), key=lambda n: (n not in extra_ints, n)
+    )
+    for num in file_order:
+        offsets[num] = len(buf)
+        if num in streams:
+            d, body = streams[num]
+            buf += f"{num} 0 obj\n".encode() + d + b"\nstream\n" + body
+            buf += b"\nendstream\nendobj\n"
+        elif num in extra_ints:
+            buf += f"{num} 0 obj\n{extra_ints[num]}\nendobj\n".encode()
+        else:
+            buf += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xoff = len(buf)
+    buf += f"xref\n0 {max_num + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        buf += f"{offsets[num]:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xoff}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
+def synthesize_pdf_docs(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id) → (doc_id, payload) deterministic PDFs; see
+    :func:`_synth_pdf_bytes` for the closed forms."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(v) for v in pdf[id_col]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_synth_pdf_bytes(i) for i in ids]}
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
