@@ -9337,6 +9337,37 @@ def docs_pdf_extract(spark, sf_dir):
     return extract_pdf_text(synthesize_pdf_docs(spark.range(n)), id_col="doc_id")
 
 
+@q(
+    "docs_docx_extract",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id, 2::BIGINT AS n_members,
+      CASE WHEN i % 2 = 0 THEN 'deflate' ELSE 'stored' END AS body_method,
+      1::BIGINT AS crc_ok,
+      'Title ' || i || chr(10) ||
+      CASE i % 3 WHEN 0 THEN 'plain ' || i
+                 WHEN 1 THEN 'A & B ' || i
+                 ELSE 'dash ' || chr(8212) || ' ' || i END AS text
+    FROM p""",
+)
+def docs_docx_extract(spark, sf_dir):
+    """ZIP container walk + DOCX text extraction (``sources/zipdoc.py``)
+    — the office-document ingest front. REAL central-directory parse
+    (EOCD located from the tail, members sliced via their LOCAL
+    header's own name/extra lengths, per-member CRC-32 verified),
+    stored + raw-deflate methods, and a WordprocessingML text model
+    (``<w:p>`` paragraphs, ``<w:t>`` run concatenation, named + numeric
+    XML entities). The synthesized corpus splits the title across two
+    runs and alternates the body member's compression by parity, so
+    run-joining, both decode paths and the CRC check are all under the
+    regeneration hash; the writer is hand-rolled (NOT stdlib zipfile —
+    an independent reader cross-check lives in the unit tests, so the
+    oracle is not a mirror). Arrow kernel; payloads never shuffle."""
+    from .sources.zipdoc import extract_docx_text, synthesize_docx_docs
+
+    n = _scale_n(sf_dir)
+    return extract_docx_text(synthesize_docx_docs(spark.range(n)), id_col="doc_id")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9453,6 +9484,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_docx_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (ZIP central-directory walk + CRC + WordprocessingML run-joining under one regeneration closed form; hand-rolled writer cross-checked against stdlib zipfile in tests)",
     "docs_pdf_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (container walk + xref validation + content-stream tokenizer all under one regeneration closed form; first non-HTML document-format front)",
     "crawl_mirror_hosts": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (a)+(b): whole-host dedup flagship (banded host MinHash + exact integer-Jaccard verify under a per-site closed-form decision oracle)",
     "crawl_chunked_decode": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): wire-framing decode under a regeneration oracle (uppercase hex, extensions, trailers all exercised; decoded body a closed form)",
