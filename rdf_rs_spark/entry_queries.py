@@ -9368,6 +9368,77 @@ def docs_docx_extract(spark, sf_dir):
     return extract_docx_text(synthesize_docx_docs(spark.range(n)), id_col="doc_id")
 
 
+@q(
+    "kg_web_bowtie",
+    """WITH RECURSIVE
+    nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
+    e AS MATERIALIZED (
+      SELECT v AS src, (v+1) % 1000 AS dst FROM nd WHERE v < 1000
+      UNION ALL SELECT v, (2*v+1) % 1000 FROM nd WHERE v < 1000
+      UNION ALL SELECT v, (5*v+3) % 1000 FROM nd WHERE v < 1000
+      UNION ALL SELECT v, (7*v) % 1000 FROM nd WHERE v >= 1000 AND v < 1200
+      UNION ALL SELECT v, v-1 FROM nd WHERE v > 1000 AND v < 1200 AND v % 2 = 1
+      UNION ALL SELECT (3*v) % 1000, v FROM nd WHERE v >= 1200 AND v < 1400
+      UNION ALL SELECT v, v+1 FROM nd WHERE v >= 1200 AND v < 1399 AND v % 2 = 0
+      UNION ALL SELECT 1000 + (v % 200), v FROM nd WHERE v >= 1400 AND v < 1500
+      UNION ALL SELECT v, 1200 + (v % 200) FROM nd WHERE v >= 1400 AND v < 1500
+      UNION ALL SELECT 1000 + (v % 200), v
+        FROM nd WHERE v >= 1500 AND v < 1600 AND v % 2 = 0
+      UNION ALL SELECT v, 1200 + (v % 200)
+        FROM nd WHERE v >= 1500 AND v < 1600 AND v % 2 = 1
+      UNION ALL SELECT v, v+1 FROM nd WHERE v >= 1600 AND v % 2 = 0 AND v+1 < 2000
+      UNION ALL SELECT v, v-1 FROM nd WHERE v >= 1600 AND v % 2 = 1
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM
+      (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e) GROUP BY node),
+    piv AS (SELECT node FROM (SELECT node,
+      row_number() OVER (ORDER BY d DESC, node ASC) AS rn FROM deg) WHERE rn = 1),
+    fwd AS (SELECT node AS v FROM piv
+      UNION SELECT e.dst FROM e JOIN fwd ON e.src = fwd.v),
+    bwd AS (SELECT node AS v FROM piv
+      UNION SELECT e.src FROM e JOIN bwd ON e.dst = bwd.v),
+    scc AS MATERIALIZED (SELECT f.v FROM fwd f JOIN bwd b ON f.v = b.v),
+    inn AS MATERIALIZED (SELECT b.v FROM bwd b
+      WHERE b.v NOT IN (SELECT v FROM scc)),
+    outt AS MATERIALIZED (SELECT f.v FROM fwd f
+      WHERE f.v NOT IN (SELECT v FROM scc)),
+    e2 AS MATERIALIZED (SELECT src, dst FROM e
+      WHERE src NOT IN (SELECT v FROM scc) AND dst NOT IN (SELECT v FROM scc)),
+    fin AS (SELECT v FROM inn
+      UNION SELECT e2.dst FROM e2 JOIN fin ON e2.src = fin.v),
+    bout AS (SELECT v FROM outt
+      UNION SELECT e2.src FROM e2 JOIN bout ON e2.dst = bout.v)
+    SELECT nd.v::BIGINT AS node,
+      CASE WHEN nd.v IN (SELECT v FROM scc) THEN 'SCC'
+           WHEN nd.v IN (SELECT v FROM inn) THEN 'IN'
+           WHEN nd.v IN (SELECT v FROM outt) THEN 'OUT'
+           WHEN nd.v IN (SELECT v FROM fin)
+                AND nd.v IN (SELECT v FROM bout) THEN 'TUBE'
+           WHEN nd.v IN (SELECT v FROM fin)
+                OR nd.v IN (SELECT v FROM bout) THEN 'TENDRIL'
+           ELSE 'DISCONNECTED' END AS component
+    FROM nd""",
+)
+def kg_web_bowtie(spark, sf_dir):
+    """Web bow-tie decomposition (Broder et al. WWW 2000;
+    ``operators/webgraph.py``): SCC / IN / OUT / TUBE / TENDRIL /
+    DISCONNECTED over a synthesized host link graph. Spark side: one
+    degree argmax pivot (LPA-winner struct recipe, no node collect),
+    four frontier-proportional BFS closures (two of them on the
+    SCC-removed edge relation, filtered once and checkpointed), then
+    node-keyed flag joins. The oracle replays the SAME spec with
+    ``WITH RECURSIVE`` closures over the regenerated modular edge list
+    (integer node ids — the ``sparql_path_plus`` recipe; INTERSECT/
+    EXCEPT are rewritten as joins because DuckDB rejects other set ops
+    inside a recursive WITH). All six classes are populated by
+    construction and each boundary is exercised."""
+    from .operators.webgraph import bowtie_decomposition, synthesize_host_graph
+
+    n = _scale_n(sf_dir)
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    return bowtie_decomposition(synthesize_host_graph(spark, n), nodes)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9484,6 +9555,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_web_bowtie": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (six-way Broder decomposition replayed by four recursive closures; the heaviest iterative entry at ~12s gate wall — weigh against window budget)",
     "docs_docx_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (ZIP central-directory walk + CRC + WordprocessingML run-joining under one regeneration closed form; hand-rolled writer cross-checked against stdlib zipfile in tests)",
     "docs_pdf_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (container walk + xref validation + content-stream tokenizer all under one regeneration closed form; first non-HTML document-format front)",
     "crawl_mirror_hosts": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (a)+(b): whole-host dedup flagship (banded host MinHash + exact integer-Jaccard verify under a per-site closed-form decision oracle)",

@@ -1,0 +1,151 @@
+"""Web bow-tie decomposition (Broder et al., "Graph structure in the
+web", WWW 2000) — the canonical macro-structure analysis of a crawl's
+host link graph: SCC core, IN, OUT, TUBE, TENDRIL, DISCONNECTED.
+
+Reference scope: rdf-rs has no graph-analytics path (src/
+query_processor.rs is empty); this extends the KG-analytics axis the
+way PageRank/k-core/components do, and tells a crawl operator where a
+frontier actually sits relative to the reachable web.
+
+Spark-first design — four frontier BFS closures + set algebra:
+
+1. pivot = max-degree node (ties → min id): computed by ONE map-side-
+   combining degree aggregate and a 1-row ``min(struct(-deg, node))``
+   argmax (the LPA-winner recipe) — never a driver collect of nodes.
+2. ``fwd`` / ``bwd`` = forward/backward reachability from the pivot
+   (``components.bfs_levels`` — per-round shuffle ∝ frontier).
+3. SCC = fwd ∩ bwd; IN = bwd \\ SCC; OUT = fwd \\ SCC.
+4. Tendrils/tubes are defined on the graph WITH THE SCC REMOVED
+   (Broder §3): two more closures seeded by IN (forward) and OUT
+   (backward) over the SCC-filtered edge relation; TUBE = both,
+   TENDRIL = exactly one, DISCONNECTED = neither.
+
+At 100 TB the SCC-removal filter is two hash semi-joins over the edge
+relation (done ONCE, then persisted for both closures), every closure
+round is frontier-proportional, and classification is a chain of
+node-keyed left-semi flags — no step materializes anything larger
+than the node relation. Integer node ids keep the whole decomposition
+replayable by a DuckDB ``WITH RECURSIVE`` oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pagerank import bfs_levels
+
+
+def _flag(nodes: DataFrame, members: DataFrame, name: str) -> DataFrame:
+    """LEFT SEMI membership as a boolean column (node-keyed join)."""
+    m = members.select(F.col(members.columns[0]).alias("node")).distinct()
+    return nodes.join(
+        m.withColumn(name, F.lit(True)), "node", "left"
+    ).fillna({name: False})
+
+
+def bowtie_decomposition(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iters: int = 64,
+) -> DataFrame:
+    """``edges (src, dst)`` → ``(node, component)`` with component in
+    SCC / IN / OUT / TUBE / TENDRIL / DISCONNECTED. ``nodes`` defaults
+    to the edge endpoints — pass the full node relation so isolated
+    nodes classify as DISCONNECTED instead of vanishing."""
+    e = edges.select("src", "dst").persist()
+    endpoints = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is None:
+        nodes = endpoints.distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+
+    deg = endpoints.groupBy("node").agg(F.count("*").alias("deg"))
+    pivot = deg.agg(
+        F.min(F.struct((-F.col("deg")).alias("nd"), F.col("node").alias("node"))).alias(
+            "w"
+        )
+    ).select(F.col("w.node").alias("node"))
+
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = bfs_levels(e, pivot, max_iters).select("node")
+    bwd = bfs_levels(rev, pivot, max_iters).select("node")
+    scc = fwd.join(bwd, "node", "left_semi").localCheckpoint(eager=True)
+    in_ = bwd.join(scc, "node", "left_anti").localCheckpoint(eager=True)
+    out = fwd.join(scc, "node", "left_anti").localCheckpoint(eager=True)
+
+    # Broder tendril/tube closures run on the graph minus the SCC:
+    # filter once, persist, reuse for both directions.
+    e2 = (
+        e.join(scc.withColumnRenamed("node", "src"), "src", "left_anti")
+        .join(scc.withColumnRenamed("node", "dst"), "dst", "left_anti")
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    rev2 = e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd_in = bfs_levels(e2, in_, max_iters).select("node")
+    bwd_out = bfs_levels(rev2, out, max_iters).select("node")
+
+    flags = _flag(nodes, scc, "scc")
+    flags = _flag(flags, in_, "inn")
+    flags = _flag(flags, out, "outt")
+    flags = _flag(flags, fwd_in, "fin")
+    flags = _flag(flags, bwd_out, "bout")
+    result = flags.select(
+        "node",
+        F.when(F.col("scc"), "SCC")
+        .when(F.col("inn"), "IN")
+        .when(F.col("outt"), "OUT")
+        .when(F.col("fin") & F.col("bout"), "TUBE")
+        .when(F.col("fin") | F.col("bout"), "TENDRIL")
+        .otherwise("DISCONNECTED")
+        .alias("component"),
+    )
+    e.unpersist()
+    return result
+
+
+def synthesize_host_graph(spark: SparkSession, n: int) -> DataFrame:
+    """Deterministic host link graph with every bow-tie class present,
+    every edge a modular closed form of the node index (SQL-
+    regenerable). Regions over ``v ∈ [0, n)`` with ``C = n//2``,
+    ``I = O = n//10``, ``T = TD = n//20``:
+
+    * core ``v < C``: ring ``v→(v+1)%C`` + two multiplicative chords
+      ``v→(2v+1)%C`` and ``v→(5v+3)%C`` (strongly connected expander —
+      out/in branching 3 keeps the BFS round count ~log₃C both ways),
+    * IN ``[C, C+I)``: ``v→(7v)%C`` plus odd-``v`` chains ``v→v−1``,
+    * OUT ``[C+I, C+I+O)``: ``(3v)%C→v`` plus even-``v`` chains,
+    * TUBE ``[C+I+O, +T)``: an IN node → v → an OUT node,
+    * TENDRIL ``[+T, +TD)``: even v hang off IN, odd v feed OUT,
+    * DISCONNECTED ``v ≥ C+I+O+T+TD``: isolated 2-cycles.
+
+    Pure JVM column expressions over ``spark.range`` — synthesis never
+    touches Python."""
+    C, I = n // 2, n // 10
+    O, Tt, TD = n // 10, n // 20, n // 20
+    b_in, b_out = C, C + I
+    b_tube, b_tend = C + I + O, C + I + O + Tt
+    b_disc = C + I + O + Tt + TD
+    v = spark.range(n).select(F.col("id").alias("v"))
+
+    def part(cond, src, dst):
+        return v.where(cond).select(src.alias("src"), dst.alias("dst"))
+
+    c = F.col("v")
+    return (
+        part(c < C, c, (c + 1) % C)
+        .unionAll(part(c < C, c, (2 * c + 1) % C))
+        .unionAll(part(c < C, c, (5 * c + 3) % C))
+        .unionAll(part((c >= b_in) & (c < b_out), c, (7 * c) % C))
+        .unionAll(part((c > b_in) & (c < b_out) & (c % 2 == 1), c, c - 1))
+        .unionAll(part((c >= b_out) & (c < b_tube), (3 * c) % C, c))
+        .unionAll(part((c >= b_out) & (c < b_tube - 1) & (c % 2 == 0), c, c + 1))
+        .unionAll(part((c >= b_tube) & (c < b_tend), b_in + (c % I), c))
+        .unionAll(part((c >= b_tube) & (c < b_tend), c, b_out + (c % O)))
+        .unionAll(part((c >= b_tend) & (c < b_disc) & (c % 2 == 0), b_in + (c % I), c))
+        .unionAll(part((c >= b_tend) & (c < b_disc) & (c % 2 == 1), c, b_out + (c % O)))
+        .unionAll(part((c >= b_disc) & (c % 2 == 0) & (c + 1 < n), c, c + 1))
+        .unionAll(part((c >= b_disc) & (c % 2 == 1), c, c - 1))
+    )

@@ -1,0 +1,58 @@
+"""Bow-tie decomposition (`operators/webgraph.py`): adversarial
+hand-built graphs beyond the synthesized corpus."""
+
+import pyspark.sql.functions as F
+
+from rdf_rs_spark.operators.webgraph import bowtie_decomposition, synthesize_host_graph
+
+
+def _run(spark, edges, n_nodes):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(n_nodes).select(F.col("id").alias("node"))
+    return {
+        r["node"]: r["component"]
+        for r in bowtie_decomposition(e, nodes, max_iters=16).collect()
+    }
+
+
+def test_second_scc_not_containing_pivot_is_disconnected(spark):
+    # triangle 0-1-2 (pivot lands here: higher degree via extra chord)
+    # plus a separate 2-cycle 10-11 — relative to the pivot's bow-tie
+    # it is DISCONNECTED even though it is internally strongly
+    # connected (Broder's decomposition is pivot-component-relative).
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (10, 11), (11, 10)]
+    got = _run(spark, edges, 12)
+    assert got[0] == got[1] == got[2] == "SCC"
+    assert got[10] == got[11] == "DISCONNECTED"
+    assert got[5] == "DISCONNECTED"  # isolated node, from the node relation
+
+
+def test_in_out_tube_tendril_chain(spark):
+    # 3 -> (0 <-> 1) -> 4 ; tube 3 -> 5 -> 4 ; tendril 3 -> 6 ; 7 -> 4
+    edges = [
+        (0, 1), (1, 0), (0, 0),  # self-loop boosts pivot degree at 0
+        (3, 0), (0, 4),
+        (3, 5), (5, 4),
+        (3, 6), (7, 4),
+    ]
+    got = _run(spark, edges, 8)
+    assert got[0] == got[1] == "SCC"
+    assert got[3] == "IN" and got[4] == "OUT"
+    assert got[5] == "TUBE"
+    assert got[6] == "TENDRIL" and got[7] == "TENDRIL"
+    assert got[2] == "DISCONNECTED"
+
+
+def test_synthesized_regions_classify_exactly(spark):
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    got = {
+        r["node"]: r["component"]
+        for r in bowtie_decomposition(synthesize_host_graph(spark, n), nodes).collect()
+    }
+    C, I = n // 2, n // 10
+    bounds = [C, C + I, C + 2 * I, C + 2 * I + n // 20, C + 2 * I + n // 10]
+    names = ["SCC", "IN", "OUT", "TUBE", "TENDRIL", "DISCONNECTED"]
+    for v in range(n):
+        k = sum(v >= b for b in bounds)
+        assert got[v] == names[k], (v, got[v], names[k])
