@@ -9439,6 +9439,44 @@ def kg_web_bowtie(spark, sf_dir):
     return bowtie_decomposition(synthesize_host_graph(spark, n), nodes)
 
 
+@q(
+    "docs_inline_media_decode",
+    """WITH idx AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    ks AS (SELECT i, unnest(CASE WHEN i % 2 = 1 THEN [0, 1] ELSE [0] END) AS k
+           FROM idx),
+    px AS (SELECT i, k, i + k * 2000 AS j FROM ks),
+    e AS (SELECT i, k, j, unnest(generate_series(0, (j % 4) + 1)) AS r FROM px)
+    SELECT 'p' || i || ':' || k AS media_id,
+      ((j % 7) + 1)::INTEGER AS width, ((j % 4) + 2)::INTEGER AS height,
+      (((j % 7) + 1) * sum((13 * j + r) % 256))::BIGINT AS sum_r,
+      (((j % 7) + 1) * sum((7 * j + r) % 256))::BIGINT AS sum_g,
+      (((j % 7) + 1) * sum((j + r) % 256))::BIGINT AS sum_b,
+      (((j % 7) + 1) * sum((r + 1) * ((j + r) % 256)))::BIGINT AS rowsum_b
+    FROM e GROUP BY i, k, j""",
+)
+def docs_inline_media_decode(spark, sf_dir):
+    """Inline ``data:`` URL media extraction composed into the REAL BMP
+    decoder (``operators/multimodal.py::extract_inline_media``): HTML
+    pages carry base64 image payloads in-page; extraction is pure JVM
+    (``regexp_extract_all`` + ``posexplode`` + ``unbase64`` — html
+    never reaches Python), and the recovered binaries route through
+    ``decode_bmp_features`` exactly like fetched media. Odd pages embed
+    TWO images and keep Spark's MIME CRLF chunking inside the base64
+    run (even pages strip it), so multi-object pages and whitespace
+    tolerance are both under the hash; every decoded pixel aggregate is
+    the BMP closed form of ``j = page + slot·n`` — decoder-independent,
+    nothing replayed."""
+    from .operators.multimodal import (
+        decode_bmp_features,
+        extract_inline_media,
+        synthesize_media_pages,
+    )
+
+    n = _scale_n(sf_dir)
+    media = extract_inline_media(synthesize_media_pages(spark, n))
+    return decode_bmp_features(media, payload_col="payload", id_col="media_id")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9555,6 +9593,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_inline_media_decode": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a)+(b): composition entry (JVM data:-URL extraction feeding the real BMP codec under the decoder-independent pixel closed forms)",
     "kg_web_bowtie": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (six-way Broder decomposition replayed by four recursive closures; the heaviest iterative entry at ~12s gate wall — weigh against window budget)",
     "docs_docx_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (ZIP central-directory walk + CRC + WordprocessingML run-joining under one regeneration closed form; hand-rolled writer cross-checked against stdlib zipfile in tests)",
     "docs_pdf_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (container walk + xref validation + content-stream tokenizer all under one regeneration closed form; first non-HTML document-format front)",

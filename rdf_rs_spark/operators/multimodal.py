@@ -2210,3 +2210,93 @@ def synthesize_mp3_media(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# inline media (data: URLs) — HTML → binary payload columns
+# --------------------------------------------------------------------------
+
+_DATA_URL_RX = r"data:([a-z0-9.+-]+/[a-z0-9.+-]+);base64,([A-Za-z0-9+/=\\r\\n]+)"
+
+
+def extract_inline_media(
+    pages: DataFrame, html_col: str = "html", id_col: str = "page_id"
+) -> DataFrame:
+    """``data:`` URL extraction — the bridge from the HTML front to the
+    media codecs: inline base64 payloads (``<img src="data:mime;base64,
+    …">``) become ordinary binary columns that route through the
+    magic-byte dispatch / decoders like fetched media. Pure JVM
+    (``regexp_extract_all`` + ``unbase64``) — no Python in the path,
+    html bytes never shuffle; one row per embedded object with its
+    in-page position. Whitespace inside the base64 run is tolerated
+    (MIME-chunked encoders emit CRLF every 76 chars)."""
+    matches = pages.select(
+        F.col(id_col).alias("page_id"),
+        F.posexplode(
+            F.expr(
+                f"regexp_extract_all({html_col}, "
+                f"'{_DATA_URL_RX}', 0)"
+            )
+        ).alias("slot", "m"),
+    )
+    return matches.select(
+        F.concat(F.lit("p"), F.col("page_id"), F.lit(":"), F.col("slot")).alias(
+            "media_id"
+        ),
+        F.regexp_extract(F.col("m"), _DATA_URL_RX.replace("\\\\", "\\"), 1).alias(
+            "mime"
+        ),
+        F.unbase64(
+            F.regexp_replace(
+                F.regexp_extract(F.col("m"), _DATA_URL_RX.replace("\\\\", "\\"), 2),
+                r"\s",
+                "",
+            )
+        ).alias("payload"),
+    )
+
+
+def synthesize_media_pages(spark, n: int) -> DataFrame:
+    """Deterministic HTML pages with embedded ``data:image/bmp`` URLs:
+    page ``i`` carries the BMP for index ``i`` in slot 0, odd pages a
+    second BMP for index ``i + n`` in slot 1 — every decoded feature is
+    the :func:`synthesize_bmp_media` closed form of ``j = i + k·n``.
+    The base64 is Spark's MIME-chunked ``base64()`` with CRLF kept on
+    odd payload rows (stripped on even) so the extractor's whitespace
+    tolerance is under the oracle too."""
+    js = spark.range(2 * n).where(
+        (F.col("id") < n) | ((F.col("id") - n) % 2 == 1)
+    )
+    media = synthesize_bmp_media(js, id_col="id")
+    tagged = media.select(
+        (F.regexp_extract("media_id", r"bmp:(\d+)", 1).cast("long") % n).alias(
+            "page_id"
+        ),
+        (F.regexp_extract("media_id", r"bmp:(\d+)", 1).cast("long") / n)
+        .cast("long")
+        .alias("slot"),
+        F.base64("payload").alias("b64"),
+    ).select(
+        "page_id",
+        "slot",
+        F.concat(
+            F.lit('<img alt="x" src="data:image/bmp;base64,'),
+            F.when(
+                F.col("page_id") % 2 == 0, F.regexp_replace("b64", r"[\r\n]", "")
+            ).otherwise(F.col("b64")),
+            F.lit('">'),
+        ).alias("tag"),
+    )
+    return tagged.groupBy("page_id").agg(
+        F.concat(
+            F.lit("<html><body><p>page </p>"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("slot", "tag"))),
+                    lambda s: s["tag"],
+                ),
+                "",
+            ),
+            F.lit("</body></html>"),
+        ).alias("html")
+    )

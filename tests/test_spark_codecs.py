@@ -325,3 +325,34 @@ def test_qname_col_matches_python_formatter(spark):
     df = spark.createDataFrame([(u,) for u in iris], "uri string")
     got = [r.q for r in df.select(qname_col(F.col("uri"), ns).alias("q")).collect()]
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# inline data: URL extraction
+# --------------------------------------------------------------------------
+
+
+def test_inline_media_extraction_edges(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.multimodal import extract_inline_media
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    pages = spark.createDataFrame(
+        [
+            (1, '<img src="data:image/png;base64,QUJD"> and '
+                '<audio src="data:audio/wav;base64,AQID">'),
+            (2, "<p>no inline media here</p>"),
+            (3, '<img src="data:image/gif;base64,TU1O\r\nTw==">'),  # chunked
+        ],
+        "page_id long, html string",
+    )
+    out = extract_inline_media(pages)
+    assert count_exchanges(out) == 0  # pure narrow JVM path
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {"p1:0", "p1:1", "p3:0"}
+    assert rows["p1:0"]["mime"] == "image/png"
+    assert bytes(rows["p1:0"]["payload"]) == b"ABC"
+    assert rows["p1:1"]["mime"] == "audio/wav"
+    assert bytes(rows["p1:1"]["payload"]) == b"\x01\x02\x03"
+    assert bytes(rows["p3:0"]["payload"]) == b"MMNO"  # CRLF inside run tolerated
