@@ -913,3 +913,71 @@ def extract_main_blocks(
     return df.select(F.col(id_col), html.alias("emb_html")).mapInPandas(
         run, schema=schema
     )
+
+
+def paragraph_dedup_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Dolma/RefinedWeb-style exact paragraph dedup with KEEP-FIRST
+    semantics: across the WHOLE corpus, every paragraph (delimiter-split
+    segment) keeps only its first occurrence in global ``(doc_id,
+    position)`` order; later copies are dropped from their documents.
+    Complements :func:`dedup_spans_global` (C4 boilerplate REMOVAL —
+    which deletes common spans from *every* doc): keep-first preserves
+    one canonical copy, the policy training-data pipelines use for
+    contentful paragraphs rather than boilerplate.
+
+    Scale shape: (1) paragraphs explode with positions; (2) ONE
+    map-side-combining aggregate computes each paragraph's global
+    argmin occurrence as ``min(struct(doc_id, pos))`` keyed by the
+    64-bit paragraph hash (output ∝ distinct paragraphs — the
+    LPA-winner recipe, skew-safe because min() combines partially);
+    (3) an equi-join back on the hash marks keepers (AQE skew-join
+    covers a 10^9-copy cookie banner); (4) one doc-keyed aggregate
+    reassembles surviving paragraphs in position order. Deterministic
+    on any cluster size/partitioning: ties are impossible (doc_id,
+    pos) is unique. 60-bit md5-prefix hashes (the dup_shingle_stats
+    discipline) keep the join key narrow; the paragraph TEXT rides the
+    exploded relation only.
+    """
+    segs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "para"),
+        )
+        .withColumn(
+            "phash",
+            F.conv(F.substring(F.md5(F.col("para")), 1, 15), 16, 10).cast("bigint"),
+        )
+    )
+    firsts = segs.groupBy("phash").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept = (
+        segs.join(firsts, "phash")
+        .where((F.col("doc_id") == F.col("first.doc_id")) & (F.col("pos") == F.col("first.pos")))
+        .select("doc_id", "pos", "para")
+    )
+    n_paras = segs.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    out = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            delim,
+        ).alias("text"),
+    )
+    return (
+        n_paras.join(out, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )

@@ -2378,3 +2378,38 @@ def test_url_template_trap_signal(spark):
         "https://a.org/s/{h}": (2, 1),
         "https://trap.org/cal?y={n}&m={n}": (3, 1),
     }
+
+
+# --------------------------------------------------------------------------
+# paragraph keep-first global dedup
+# --------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_keep_first_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import paragraph_dedup_global
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, "b\nd"), (3, "a\nd\ne"), (4, "b")],
+        "doc_id long, text string",
+    )
+    out = paragraph_dedup_global(df)
+    # explode + ONE hash-keyed argmin agg + join-back + two doc-keyed
+    # rollups: 5 exchanges, none of them a window over a hot paragraph
+    assert count_exchanges(out) == 5
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["text"]) for r in out.collect()}
+    assert got[1] == (3, 3, "a\nb\nc")  # first doc keeps everything
+    assert got[2] == (2, 1, "d")  # 'b' seen in doc 1
+    assert got[3] == (3, 1, "e")  # 'a' and 'd' seen earlier
+    assert got[4] == (1, 0, "")  # fully deduplicated doc survives as a row
+
+
+def test_paragraph_dedup_position_tie_within_doc(spark):
+    from rdf_rs_spark.operators.corpus import paragraph_dedup_global
+
+    # same paragraph twice INSIDE one doc: keep-first drops the second
+    df = spark.createDataFrame([(7, "x\nx\ny")], "doc_id long, text string")
+    got = paragraph_dedup_global(df).collect()[0]
+    assert (got["n_paras"], got["n_kept"], got["text"]) == (3, 2, "x\ny")
