@@ -9524,6 +9524,33 @@ def corpus_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup_global(d)
 
 
+@q(
+    "crawl_page_directives",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS page_id,
+      (CASE WHEN i % 5 IN (0, 2, 3) THEN 1 ELSE 0 END)::BIGINT AS noindex,
+      (CASE WHEN i % 5 IN (0, 3) THEN 1 ELSE 0 END)::BIGINT AS nofollow,
+      CASE WHEN i % 3 = 0 THEN 'https://ex.com/r/' || i ELSE '' END
+        AS refresh_url
+    FROM p""",
+)
+def crawl_page_directives(spark, sf_dir):
+    """Page-level REP directives (``operators/crawl.py::
+    page_directives``) — the in-page half of robots handling beside the
+    robots.txt frontier filter: ``<meta name="robots">``,
+    ``X-Robots-Tag`` response headers, and ``http-equiv="refresh"``
+    client redirects, with REP union semantics (most restrictive source
+    wins). Decision oracle: the expected verdict is stated closed-form
+    per directive class — attribute order permutes on odd rows and
+    token case varies, so order-tolerant lookaheads and full-token
+    matching (``index, follow`` must not trip ``noindex``) are all
+    under the hash. Pure JVM regexp; zero shuffle."""
+    from .operators.crawl import page_directives, synthesize_directive_pages
+
+    n = _scale_n(sf_dir)
+    return page_directives(synthesize_directive_pages(spark.range(n)))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9640,6 +9667,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_page_directives": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): REP decision oracle at the PAGE level (meta robots + X-Robots-Tag + meta refresh under union semantics; completes the robots surface beside the host-level filter)",
     "corpus_paragraph_dedup": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a): real-table keep-first paragraph dedup (the Dolma policy beside the C4 removal policy), window-free argmin design",
     "docs_inline_media_decode": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a)+(b): composition entry (JVM data:-URL extraction feeding the real BMP codec under the decoder-independent pixel closed forms)",
     "kg_web_bowtie": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (six-way Broder decomposition replayed by four recursive closures; the heaviest iterative entry at ~12s gate wall — weigh against window budget)",

@@ -610,3 +610,90 @@ def mirror_hosts(
         .where(F.col("jaccard_e2") >= jaccard_e2_min)
     )
     return verified
+
+
+def page_directives(
+    pages: DataFrame,
+    html_col: str = "html",
+    headers_col: str = "headers",
+    id_col: str = "page_id",
+) -> DataFrame:
+    """Page-level crawl-control directives — the in-page half of the
+    Robots Exclusion Protocol beside the host-level robots.txt filter
+    (:func:`frontier_allowed`): ``<meta name="robots">``, the
+    ``X-Robots-Tag`` response header, and ``http-equiv="refresh"``
+    client redirects. Per REP, directives UNION across sources and the
+    most restrictive wins: ``noindex``/``nofollow`` are set if ANY
+    source declares them. Attribute patterns are order-tolerant
+    lookaheads and case-insensitive ((?s) for multi-line html, the two
+    r4s5 regex lessons); token tests anchor on the full token so
+    ``index, follow`` never matches ``noindex``. Pure JVM regexp
+    projections — zero shuffle, html never leaves the scan."""
+    meta_rx = (
+        r'(?si)<meta\b(?=[^>]*name\s*=\s*"robots")[^>]*'
+        r'content\s*=\s*"([^"]*)"'
+    )
+    xrt_rx = r"(?mi)^x-robots-tag:\s*([^\r\n]+)"
+    refresh_rx = (
+        r'(?si)<meta\b(?=[^>]*http-equiv\s*=\s*"refresh")[^>]*'
+        r'content\s*=\s*"\d+;\s*url=([^"]+)"'
+    )
+    tok = lambda src, t: F.lower(src).rlike(r"(^|[,\s])" + t + r"([,\s]|$)")
+    combined = F.concat_ws(
+        ",",
+        F.regexp_extract(F.col(html_col), meta_rx, 1),
+        F.regexp_extract(F.col(headers_col), xrt_rx, 1),
+    )
+    return pages.select(
+        F.col(id_col).alias("page_id"),
+        tok(combined, "noindex").cast("int").cast("bigint").alias("noindex"),
+        tok(combined, "nofollow").cast("int").cast("bigint").alias("nofollow"),
+        F.regexp_extract(F.col(html_col), refresh_rx, 1).alias("refresh_url"),
+    )
+
+
+def synthesize_directive_pages(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic pages exercising every directive class: i%5 picks
+    the robots source/content (0: meta "noindex, nofollow"; 1: meta
+    "index, follow"; 2: header-only NOINDEX; 3: meta nofollow + header
+    noindex — union; 4: none), i%3==0 adds a meta refresh, and odd i
+    permute the meta attribute order (content before name) so a
+    fixed-order pattern breaks the hash. Pure JVM."""
+    i = F.col(id_col)
+    meta_nn = F.when(
+        i % 2 == 0,
+        F.lit('<meta name="robots" content="noindex, nofollow">'),
+    ).otherwise(F.lit('<META CONTENT="NOINDEX, nofollow" NAME="robots">'))
+    meta_if = F.when(
+        i % 2 == 0, F.lit('<meta name="robots" content="index, follow">')
+    ).otherwise(F.lit('<meta content="index, follow" name="robots">'))
+    meta_nf = F.lit('<meta name="robots" content="nofollow">')
+    robots_meta = (
+        F.when(i % 5 == 0, meta_nn)
+        .when(i % 5 == 1, meta_if)
+        .when(i % 5 == 3, meta_nf)
+        .otherwise(F.lit(""))
+    )
+    refresh = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit('<meta http-equiv="refresh" content="5; url=https://ex.com/r/'),
+            i.cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    headers = F.when(
+        i % 5 == 2,
+        F.lit("HTTP/1.1 200 OK\r\nX-Robots-Tag: NOINDEX\r\nContent-Type: text/html"),
+    ).when(
+        i % 5 == 3,
+        F.lit("HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex\r\nContent-Type: text/html"),
+    ).otherwise(F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html"))
+    return df.select(
+        i.alias("page_id"),
+        F.concat(
+            F.lit("<html><head>"), robots_meta, refresh,
+            F.lit("</head><body>p</body></html>"),
+        ).alias("html"),
+        headers.alias("headers"),
+    )

@@ -401,3 +401,38 @@ def test_redirect_resolve_terminal_urls_union(spark):
         "p0": ("p0", 0, 1),
         "p1": ("p1", 0, 1),
     }
+
+
+# --------------------------------------------------------------------------
+# page-level REP directives
+# --------------------------------------------------------------------------
+
+
+def test_page_directives_edges(spark):
+    from rdf_rs_spark.operators.crawl import page_directives
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    pages = spark.createDataFrame(
+        [
+            # multiline html, single-quote-free, attribute noise between
+            (1, "<html>\n<meta data-x=\"1\" name=\"robots\" content=\"noindex\">\n</html>",
+             "HTTP/1.1 200 OK"),
+            # header-only, extra header lines around it
+            (2, "<p>x</p>", "HTTP/1.1 200 OK\r\nServer: s\r\nX-Robots-Tag: nofollow\r\nVary: *"),
+            # 'index, follow' must not trip the noindex token test
+            (3, '<meta name="robots" content="index, follow">', "HTTP/1.1 200 OK"),
+            # directive inside a comma list with odd spacing
+            (4, '<meta content="  all , NoIndex ,archive" name="robots">', "HTTP/1.1 200 OK"),
+            # refresh with path query chars
+            (5, '<meta http-equiv="refresh" content="0; url=https://e.x/a?b=1&c=2">', "HTTP/1.1 200 OK"),
+        ],
+        "page_id long, html string, headers string",
+    )
+    out = page_directives(pages)
+    assert count_exchanges(out) == 0
+    got = {r["page_id"]: (r["noindex"], r["nofollow"], r["refresh_url"]) for r in out.collect()}
+    assert got[1] == (1, 0, "")
+    assert got[2] == (0, 1, "")
+    assert got[3] == (0, 0, "")
+    assert got[4] == (1, 0, "")
+    assert got[5] == (0, 0, "https://e.x/a?b=1&c=2")
