@@ -9551,6 +9551,56 @@ def crawl_page_directives(spark, sf_dir):
     return page_directives(synthesize_directive_pages(spark.range(n)))
 
 
+@q(
+    "warc_wat_roundtrip",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    b AS (SELECT i,
+      'https://site.example/p/' || i AS url,
+      strftime(make_timestamp((1700000000 + 37*i) * 1000000),
+               '%Y-%m-%dT%H:%M:%SZ') AS date,
+      '<html><head><title>Page ' || i || '</title></head><body>'
+        || '<a href="https://ex.com/l/' || ((7*i) % 1000) || '">x</a>'
+        || CASE WHEN i % 3 >= 1 THEN '<a href="https://ex.com/l/'
+             || ((7*i+1) % 1000) || '">x</a>' ELSE '' END
+        || CASE WHEN i % 3 = 2 THEN '<a href="https://ex.com/l/'
+             || ((7*i+2) % 1000) || '">x</a>' ELSE '' END
+        || 'body text ' || i || '</body></html>' AS html,
+      list_transform(generate_series(0, i % 3),
+                     k -> 'https://ex.com/l/' || ((7*i+k) % 1000)) AS links
+      FROM p)
+    SELECT url, date, md5(html) AS digest, 'Page ' || i AS title,
+      ((i % 3) + 1)::BIGINT AS n_outlinks,
+      length('{"url":"' || url || '","date":"' || date || '","digest":"'
+        || md5(html) || '","title":"Page ' || i || '","outlinks":["'
+        || list_aggregate(links, 'string_agg', '","') || '"]}')::BIGINT
+        AS wat_len
+    FROM b""",
+)
+def warc_wat_roundtrip(spark, sf_dir):
+    """WAT metadata sidecar write→parse roundtrip (``sources/warc.py::
+    wat_metadata_records`` / ``parse_wat_records``) — the third Common
+    Crawl derivative beside the WET conversion records and the CDX
+    capture index, completing the WARC/WAT/WET sidecar triple. The
+    envelope (URL, WARC-Date, md5 payload digest, title, outlink list)
+    is pure column algebra — ``regexp_extract_all`` hrefs +
+    ``to_json(struct(...))`` — and the reader is ``from_json`` with the
+    explicit envelope schema. The oracle regenerates the html string
+    byte-identically (so the md5 digest checks the writer's input
+    fidelity), restates the WARC-Date from the same epoch integers, and
+    reconstructs the EXACT JSON text to pin ``wat_len`` — serializer,
+    extractor, date arithmetic and parser are all under one hash.
+    Dates render from epoch arithmetic, session-TZ-proof."""
+    from .sources.warc import (
+        parse_wat_records,
+        synthesize_wat_pages,
+        wat_metadata_records,
+    )
+
+    n = _scale_n(sf_dir)
+    pages = synthesize_wat_pages(spark.range(n))
+    return parse_wat_records(wat_metadata_records(pages))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -9667,6 +9717,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "warc_wat_roundtrip": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC/WAT/WET sidecar triple; exact-JSON-length + md5-digest oracle pins the serializer byte-for-byte",
     "crawl_page_directives": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): REP decision oracle at the PAGE level (meta robots + X-Robots-Tag + meta refresh under union semantics; completes the robots surface beside the host-level filter)",
     "corpus_paragraph_dedup": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a): real-table keep-first paragraph dedup (the Dolma policy beside the C4 removal policy), window-free argmin design",
     "docs_inline_media_decode": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a)+(b): composition entry (JVM data:-URL extraction feeding the real BMP codec under the decoder-independent pixel closed forms)",

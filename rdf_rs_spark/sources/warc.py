@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 WARC_RECORDS_SCHEMA = T.StructType(
     [
@@ -525,8 +525,6 @@ def wet_conversion_records(
     a library caller without the UTC pin would write a non-UTC wall
     time under a hard-coded 'Z'. Date/time fields from integer
     division are session-config-independent by construction."""
-    from pyspark.sql import functions as F
-
     text = F.col(text_col)
     unix = F.unix_timestamp(F.col(ts_col))
     days = F.floor(unix / 86400)
@@ -659,3 +657,104 @@ def synthesize_chunked_http(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# WAT metadata sidecar (the third Common Crawl derivative: WARC/WAT/WET)
+# --------------------------------------------------------------------------
+
+
+def _warc_date_from_unix(unix):
+    """ISO-8601 'Z' timestamp from an epoch-seconds column via integer
+    arithmetic only (the wet_conversion_records discipline — never
+    date_format on a timestamp, which renders in the session TZ)."""
+    days = F.floor(unix / 86400)
+    secs = (unix - days * 86400).cast("long")
+
+    def _p2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    return F.concat(
+        F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), days.cast("int")), "yyyy-MM-dd"
+        ),
+        F.lit("T"), _p2(F.floor(secs / 3600)),
+        F.lit(":"), _p2(F.floor(secs / 60) % 60),
+        F.lit(":"), _p2(secs % 60), F.lit("Z"),
+    )
+
+
+WAT_ENVELOPE_SCHEMA = (
+    "url STRING, date STRING, digest STRING, title STRING, outlinks ARRAY<STRING>"
+)
+
+
+def wat_metadata_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    unix_col: str = "fetch_unix",
+    html_col: str = "html",
+) -> DataFrame:
+    """WAT sidecar WRITER: one JSON metadata envelope per response —
+    the link/metadata derivative Common Crawl ships beside WET
+    (wat.paths). Envelope fields: target URL, WARC-Date, payload
+    digest (md5 of the raw html), ``<title>``, and the outlink list
+    (href extraction). Pure column algebra end-to-end —
+    ``regexp_extract_all`` for links, ``to_json(struct(...))`` for the
+    envelope — whole-stage codegen, html never leaves the scan."""
+    title = F.regexp_extract(F.col(html_col), r"(?s)<title>(.*?)</title>", 1)
+    outlinks = F.expr(
+        f"regexp_extract_all({html_col}, '<a\\\\b[^>]*href=\"([^\"]+)\"', 1)"
+    )
+    env = F.struct(
+        F.col(url_col).alias("url"),
+        _warc_date_from_unix(F.col(unix_col)).alias("date"),
+        F.md5(F.col(html_col)).alias("digest"),
+        title.alias("title"),
+        outlinks.alias("outlinks"),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"), F.to_json(env).alias("wat")
+    )
+
+
+def parse_wat_records(df: DataFrame, wat_col: str = "wat") -> DataFrame:
+    """WAT READER: envelope JSON → typed columns (+ n_outlinks,
+    wat_len). ``from_json`` with the explicit envelope schema — a
+    malformed envelope yields NULL fields, never a task failure."""
+    p = F.from_json(F.col(wat_col), WAT_ENVELOPE_SCHEMA)
+    return df.select(
+        p["url"].alias("url"),
+        p["date"].alias("date"),
+        p["digest"].alias("digest"),
+        p["title"].alias("title"),
+        F.size(p["outlinks"]).cast("bigint").alias("n_outlinks"),
+        F.length(F.col(wat_col)).cast("bigint").alias("wat_len"),
+    )
+
+
+def synthesize_wat_pages(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Closed-form pages for the WAT roundtrip: url, fetch time
+    1700000000 + 37·i, and html with a title and (i % 3) + 1 anchor
+    outlinks — every envelope field (including the md5 digest and the
+    exact JSON length) is a pure function of ``i`` a SQL oracle
+    restates by regenerating the identical html string. JVM-only."""
+    i = F.col(id_col)
+    link = lambda k: F.concat(
+        F.lit('<a href="https://ex.com/l/'),
+        ((i * 7 + k) % 1000).cast("string"),
+        F.lit('">x</a>'),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Page "), i.cast("string"),
+        F.lit("</title></head><body>"),
+        link(0),
+        F.when(i % 3 >= 1, link(1)).otherwise(F.lit("")),
+        F.when(i % 3 == 2, link(2)).otherwise(F.lit("")),
+        F.lit("body text "), i.cast("string"), F.lit("</body></html>"),
+    )
+    return df.select(
+        F.concat(F.lit("https://site.example/p/"), i.cast("string")).alias("url"),
+        (F.lit(1700000000) + i * 37).cast("long").alias("fetch_unix"),
+        html.alias("html"),
+    )

@@ -436,3 +436,23 @@ def test_page_directives_edges(spark):
     assert got[3] == (0, 0, "")
     assert got[4] == (1, 0, "")
     assert got[5] == (0, 0, "https://e.x/a?b=1&c=2")
+
+
+def test_wat_sidecar_is_codegen_and_null_safe(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.plans.inspect import count_exchanges
+    from rdf_rs_spark.sources.warc import parse_wat_records, wat_metadata_records
+
+    pages = spark.createDataFrame(
+        [("u1", 1700000000, "<html><head><title>T</title></head><body>no links</body></html>")],
+        "url string, fetch_unix long, html string",
+    )
+    out = parse_wat_records(wat_metadata_records(pages))
+    assert count_exchanges(out) == 0
+    r = out.collect()[0]
+    assert r["title"] == "T" and r["n_outlinks"] == 0
+    # malformed envelope -> NULL fields, never a task failure
+    bad = spark.createDataFrame([("{not json",)], "wat string")
+    rb = parse_wat_records(bad).collect()[0]
+    assert rb["url"] is None and rb["wat_len"] == 9
