@@ -5562,6 +5562,47 @@ def multimodal_bmp_decode(spark, sf_dir):
     return decode_bmp_features(synthesize_bmp_media(spark.range(n)))
 
 
+def _ico_oracle(n: int) -> str:
+    """Closed-form ground truth for the ICO favicon decoder: every
+    feature of icon ``k`` in file ``i`` is a function of ``(i, k,
+    row-from-top r)`` — channel sums, the AND-mask transparent count
+    ``sum_r (i+k+r) % (w+1)``, and the flip-sensitive visual-top-row
+    count ``(i+k) % (w+1)``. Nothing on the decode path (ICONDIR walk,
+    entry offsets, doubled biHeight, mask strides) is replayed; the
+    oracle checks the container + codec independently."""
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+      icons AS (SELECT i, unnest(generate_series(0, i % 2)) AS k FROM p),
+      dims AS (SELECT i, k, (i + k) % 6 + 1 AS w, (i + k) % 3 + 2 AS h
+               FROM icons),
+      rws AS (SELECT i, k, w, h, unnest(generate_series(0, h - 1)) AS r
+              FROM dims)
+    SELECT 'ico:' || i AS media_id, k::BIGINT AS icon_idx,
+      w::INTEGER AS width, h::INTEGER AS height,
+      sum(w * ((11 * i + k + r) % 256))::BIGINT AS sum_r,
+      sum(w * ((5 * i + k + r) % 256))::BIGINT AS sum_g,
+      sum(w * ((i + k + r) % 256))::BIGINT AS sum_b,
+      sum((i + k + r) % (w + 1))::BIGINT AS n_transparent,
+      ((i + k) % (w + 1))::BIGINT AS top_transparent
+    FROM rws GROUP BY i, k, w, h"""
+
+
+@q("multimodal_ico_decode", _ico_oracle(2000))
+def multimodal_ico_decode(spark, sf_dir):
+    """REAL multi-image container decode (ICO favicon — the web-native
+    image format beside the crawl fronts): ICONDIR directory walk with
+    random-access entry slicing, the in-ICO BMP variant (DOUBLED
+    biHeight spanning the XOR pixel block AND the 1-bit transparency
+    mask, both bottom-up with independent 4-byte strides), MSB-first
+    mask bits (``operators/multimodal.py::decode_ico_features``).
+    Variable icons-per-file (1 or 2) exercise the directory offsets;
+    the flip-sensitive ``top_transparent`` feature breaks a decoder
+    that skips the bottom-up row flip."""
+    from .operators.multimodal import decode_ico_features, synthesize_ico_media
+
+    n = _scale_n(sf_dir)
+    return decode_ico_features(synthesize_ico_media(spark.range(n)))
+
+
 def _url_canonical_oracle(n: int) -> str:
     """Closed-form ground truth for the URL canonicalization entry: the
     oracle regenerates the EXPECTED canonical straight from the row
@@ -9717,6 +9758,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "multimodal_ico_decode": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): multi-image container decode (ICONDIR walk + in-ICO BMP with doubled biHeight and 1-bit AND mask) under decoder-independent closed forms incl. the flip-sensitive top_transparent",
     "warc_wat_roundtrip": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC/WAT/WET sidecar triple; exact-JSON-length + md5-digest oracle pins the serializer byte-for-byte",
     "crawl_page_directives": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): REP decision oracle at the PAGE level (meta robots + X-Robots-Tag + meta refresh under union semantics; completes the robots surface beside the host-level filter)",
     "corpus_paragraph_dedup": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a): real-table keep-first paragraph dedup (the Dolma policy beside the C4 removal policy), window-free argmin design",

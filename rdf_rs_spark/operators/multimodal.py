@@ -2300,3 +2300,149 @@ def synthesize_media_pages(spark, n: int) -> DataFrame:
             F.lit("</body></html>"),
         ).alias("html")
     )
+
+
+# --------------------------------------------------------------------------
+# ICO favicon container (directory-of-BMPs + 1-bit AND transparency mask)
+# --------------------------------------------------------------------------
+
+ICO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("icon_idx", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("n_transparent", T.LongType(), False),
+        T.StructField("top_transparent", T.LongType(), False),
+    ]
+)
+
+
+def decode_ico_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL favicon decode: ICONDIR walk (reserved/type validation),
+    per-entry offset/size slicing (the container discipline — entry
+    payloads are random-access, never scanned), and the in-ICO BMP
+    variant: BITMAPINFOHEADER with DOUBLED biHeight covering the XOR
+    pixel block plus the 1-bit AND transparency mask, both bottom-up
+    and 4-byte-stride padded. Emits per-icon channel sums, the AND-mask
+    transparent-pixel count, and the VISUAL-top-row transparent count
+    (``top_transparent``): the sums are row-order-invariant, but the
+    top-row feature breaks unless the bottom-up flip is applied, and
+    the counts break unless the height halving and MSB-first mask bit
+    order are right. Arrow kernel; payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        cols = [f.name for f in ICO_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                b = bytes(getattr(rec, payload_col))
+                rsvd, typ, count = struct.unpack_from("<HHH", b, 0)
+                assert rsvd == 0 and typ == 1, "not an ICO payload"
+                for k in range(count):
+                    (size, off) = struct.unpack_from("<II", b, 6 + 16 * k + 8)
+                    data = b[off : off + size]
+                    hsz, w, h2, planes, bpp, comp = struct.unpack_from(
+                        "<IiiHHI", data, 0
+                    )
+                    assert hsz == 40 and bpp == 24 and comp == 0
+                    h = h2 // 2  # XOR block + AND mask share the doubled height
+                    stride = (w * 3 + 3) // 4 * 4
+                    mask_stride = ((w + 7) // 8 + 3) // 4 * 4
+                    xor_off = 40
+                    and_off = 40 + stride * h
+                    sr = sg = sb = nt = top = 0
+                    for rr in range(h):
+                        r = h - 1 - rr  # bottom-up: stored row rr is top-row r
+                        base = xor_off + rr * stride
+                        for x in range(w):
+                            px = data[base + 3 * x : base + 3 * x + 3]
+                            sb += px[0]
+                            sg += px[1]
+                            sr += px[2]
+                        mbase = and_off + rr * mask_stride
+                        row_t = 0
+                        for x in range(w):
+                            byte = data[mbase + (x // 8)]
+                            if byte >> (7 - (x % 8)) & 1:
+                                row_t += 1
+                        nt += row_t
+                        if r == 0:  # the VISUAL top row (flip-sensitive)
+                            top = row_t
+                    rows.append(
+                        (getattr(rec, id_col), k, w, h, sr, sg, sb, nt, top)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=ICO_FEATURES_SCHEMA)
+
+
+def synthesize_ico_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic ICO payloads: ``(i % 2) + 1`` icons per file; icon
+    ``k`` is ``w = (i+k)%6+1`` × ``h = (i+k)%3+2`` 24-bit with per-ROW
+    channel values ``B=(i+k+r)%256``, ``G=(5i+k+r)%256``,
+    ``R=(11i+k+r)%256`` (r = row from top, written bottom-up) and an
+    AND mask whose top-row-r prefix of ``(i+k+r) % (w+1)`` pixels is
+    transparent — every decoded feature is a closed form of (i, k, r)
+    the SQL oracle derives independently."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                i = int(getattr(rec, id_col))
+                count = (i % 2) + 1
+                images = []
+                for k in range(count):
+                    w, h = (i + k) % 6 + 1, (i + k) % 3 + 2
+                    stride = (w * 3 + 3) // 4 * 4
+                    mask_stride = ((w + 7) // 8 + 3) // 4 * 4
+                    xor = bytearray()
+                    for rr in range(h):
+                        r = h - 1 - rr
+                        px = bytes(
+                            ((i + k + r) % 256, (5 * i + k + r) % 256,
+                             (11 * i + k + r) % 256)
+                        ) * w
+                        xor += px + b"\0" * (stride - 3 * w)
+                    andm = bytearray()
+                    for rr in range(h):
+                        r = h - 1 - rr
+                        t = (i + k + r) % (w + 1)
+                        row = bytearray(mask_stride)
+                        for x in range(t):
+                            row[x // 8] |= 1 << (7 - (x % 8))
+                        andm += row
+                    hdr = struct.pack(
+                        "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0,
+                        len(xor) + len(andm), 0, 0, 0, 0,
+                    )
+                    images.append((w, h, hdr + bytes(xor) + bytes(andm)))
+                buf = bytearray(struct.pack("<HHH", 0, 1, count))
+                off = 6 + 16 * count
+                for w, h, data in images:
+                    buf += struct.pack(
+                        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(data), off
+                    )
+                    off += len(data)
+                for _w, _h, data in images:
+                    buf += data
+                rows.append((f"ico:{i}", bytes(buf)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

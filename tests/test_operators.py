@@ -1238,6 +1238,49 @@ def test_lzw_literal_roundtrip_width_growth_and_reset():
         assert (_lzw_decode(data, 7) == px).all(), n
 
 
+def test_ico_decode_two_icon_file_hand_computed(spark):
+    """Odd index -> two icons in one ICONDIR; every feature checked
+    against the (i, k, r) closed forms, including the flip-sensitive
+    top_transparent (which differs from the BOTTOM row's count for
+    this index, so an unflipped decoder would fail here)."""
+    from rdf_rs_spark.operators.multimodal import (
+        decode_ico_features,
+        synthesize_ico_media,
+    )
+
+    i = 13
+    out = {
+        r.icon_idx: r
+        for r in decode_ico_features(
+            synthesize_ico_media(spark.range(i, i + 1))
+        ).collect()
+    }
+    assert set(out) == {0, 1}
+    for k in (0, 1):
+        w, h = (i + k) % 6 + 1, (i + k) % 3 + 2
+        r = out[k]
+        assert (r.media_id, r.width, r.height) == (f"ico:{i}", w, h)
+        assert r.sum_r == sum(w * ((11 * i + k + rr) % 256) for rr in range(h))
+        assert r.sum_g == sum(w * ((5 * i + k + rr) % 256) for rr in range(h))
+        assert r.sum_b == sum(w * ((i + k + rr) % 256) for rr in range(h))
+        assert r.n_transparent == sum((i + k + rr) % (w + 1) for rr in range(h))
+        assert r.top_transparent == (i + k) % (w + 1)
+        # the check is flip-sensitive for this index
+        assert (i + k) % (w + 1) != (i + k + h - 1) % (w + 1)
+
+
+def test_ico_decode_rejects_non_ico_payload(spark):
+    """A BMP magic in the ICONDIR slot must not be silently decoded."""
+    import pytest as _pytest
+
+    from rdf_rs_spark.operators.multimodal import decode_ico_features
+
+    df = spark.createDataFrame([("x", bytearray(b"BM\0\0\0\0"))],
+                               "media_id string, payload binary")
+    with _pytest.raises(Exception):
+        decode_ico_features(df).collect()
+
+
 def test_gif_decode_matches_numpy_ground_truth(spark):
     """Full container path (header, GCT, extension skip, LZW) for one
     synthesized image vs independently computed palette sums."""
