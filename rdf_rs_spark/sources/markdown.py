@@ -1,0 +1,269 @@
+"""HTML → Markdown serialization (LLM-corpus text representation).
+
+The reference engine serializes graphs (``src/writer/*.rs``); a
+web-scale training-data pipeline additionally needs the *document*
+serialization step — turning crawled HTML into the Markdown-ish plain
+text that LLM corpora standardize on (headings, lists, links, emphasis,
+fenced code), the job trafilatura/readability + markdownify do in
+published pipelines (FineWeb, Dolma).
+
+Spark-first shape: a document-granular Arrow kernel (``mapInPandas``)
+over the pages relation — html never shuffles, only the narrow
+(url, markdown, counts) relation moves. The walker is a
+:class:`~.structured_data._Walk` subclass (the project's single HTML
+tag-stack base — never re-lex), with one extra idea: **inline
+decorations are emitted as prefix/suffix text into the open capture
+buffers** (``[`` … ``](href)``, ``**`` … ``**``), so nesting costs
+nothing and the base's append-to-every-open-buffer rule does all the
+work.
+
+Subset contract (deterministic, oracle-restatable):
+
+* Block elements ``h1``–``h6``, ``p``, ``li``, ``pre``, ``blockquote``
+  capture their subtree text; a block nested inside a capturing block
+  contributes text to the outer block instead of emitting its own,
+  with its open/close edges as whitespace boundaries
+  (``<blockquote><p>…`` is ONE ``> …`` block; a list nested in a
+  ``<li>`` flattens into the item, space-separated).
+* ``ul``/``ol`` group their items into one block joined by single
+  newlines; ``ol`` numbers items ``1.``, ``2.``, … in open order;
+  nested list items indent 2 spaces per enclosing list level.
+* Inline: ``a``→``[text](href)``, ``b``/``strong``→``**``,
+  ``i``/``em``→``*``, ``code`` (outside ``pre``)→backticks,
+  ``img``→``![alt](src)``; all apply only while some block captures.
+* ``pre`` is verbatim (entity-unescaped, newlines kept) inside a
+  ``````` fence; all other blocks entity-unescape then collapse
+  whitespace.
+* ``hr`` emits ``---``; ``<script>``/``<style>`` bodies are dropped;
+  text outside any block element (title, nav soup) is dropped.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .structured_data import _VOID, _Walk
+
+_STYLE_RE = re.compile(r"(?s)<style\b[^>]*>.*?</style>")
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_INLINE = {"b": "**", "strong": "**", "i": "*", "em": "*"}
+#: tags whose open/close edges are whitespace boundaries when they
+#: appear NESTED inside a capturing block (a renderer breaks the line
+#: there; collapse dedups the spaces)
+_BOUNDARY = frozenset(
+    list(_HEADINGS) + "p li pre blockquote ul ol div br hr table tr".split()
+)
+
+
+class _MarkdownWalk(_Walk):
+    """Markdown serialization walk — see the module contract."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.blocks: List[str] = []
+        self.block_frame: dict = None  # the one capturing block, if any
+        self.n_links = 0
+
+    # -- helpers -----------------------------------------------------
+    def _open_block(self, tag: str, **extra) -> None:
+        self.push(tag, kind="block", **extra)
+        frame = self.frames[-1]
+        frame["buf"] = []
+        self.captures.append(frame["buf"])
+        self.block_frame = frame
+
+    def _nearest_list(self):
+        for f in reversed(self.frames):
+            if f.get("kind") == "list":
+                return f
+        return None
+
+    def _emit(self, text: str) -> None:
+        if text:
+            self.blocks.append(text)
+
+    # -- tag handlers ------------------------------------------------
+    def on_open(self, tag: str, a: dict, self_close: bool) -> None:
+        capturing = self.block_frame is not None
+        if capturing and tag in _BOUNDARY:
+            for buf in self.captures:
+                buf.append(" ")
+            if tag not in _VOID and not self_close:
+                self.push(tag, kind="nblock")
+            return
+        if tag in _HEADINGS and not capturing:
+            self._open_block(tag, marker="#" * _HEADINGS[tag] + " ")
+            return
+        if tag in ("p", "blockquote") and not capturing:
+            self._open_block(tag, marker="> " if tag == "blockquote" else "")
+            return
+        if tag == "pre" and not capturing:
+            self._open_block(tag, raw=True)
+            return
+        if tag in ("ul", "ol") and not capturing:
+            self.push(tag, kind="list", ordered=tag == "ol", n=0, items=[])
+            return
+        if tag == "li" and not capturing:
+            lists = [f for f in self.frames if f.get("kind") == "list"]
+            parent = lists[-1] if lists else None
+            indent = "  " * max(len(lists) - 1, 0)
+            if parent is not None and parent["ordered"]:
+                parent["n"] += 1
+                marker = f"{parent['n']}. "
+            else:
+                marker = "- "
+            self._open_block(tag, marker=indent + marker, item_of=parent)
+            return
+        if tag == "hr":
+            if not capturing:
+                self._emit("---")
+            return
+        if tag == "img":
+            alt, src = a.get("alt") or "", a.get("src") or ""
+            for buf in self.captures:
+                buf.append(f"![{alt}]({src})")
+            return
+        # inline decorations — only while some block captures, so a
+        # suffix can never land in a buffer that missed the prefix
+        # (tag soup like <a><p>…</p></a>)
+        if tag == "a" and self.captures:
+            self.n_links += 1
+            href = a.get("href") or ""
+            for buf in self.captures:
+                buf.append("[")
+            if self_close:
+                for buf in self.captures:
+                    buf.append(f"]({href})")
+            else:
+                self.push(tag, suffix=f"]({href})")
+            return
+        if self.captures and (
+            tag in _INLINE
+            or (tag == "code" and capturing and not self.block_frame.get("raw"))
+        ):
+            mark = _INLINE.get(tag, "`")
+            for buf in self.captures:
+                buf.append(mark)
+            if self_close:
+                for buf in self.captures:
+                    buf.append(mark)
+            else:
+                self.push(tag, suffix=mark)
+            return
+        if not self_close:
+            self.push(tag)
+
+    def on_pop(self, frame: dict) -> None:
+        suffix = frame.get("suffix")
+        if suffix is not None:
+            for buf in self.captures:
+                buf.append(suffix)
+            return
+        kind = frame.get("kind")
+        if kind == "nblock":
+            for buf in self.captures:
+                buf.append(" ")
+            return
+        if kind == "block" and frame is self.block_frame:
+            self.block_frame = None
+            text = _html.unescape("".join(frame["buf"]))
+            if frame.get("raw"):
+                body = text.strip("\n")
+                if body.strip():
+                    self._emit("```\n" + body + "\n```")
+                return
+            collapsed = " ".join(text.split())
+            if not collapsed:
+                return
+            line = frame.get("marker", "") + collapsed
+            parent = frame.get("item_of")
+            if parent is not None:
+                parent["items"].append(line)
+            else:
+                self._emit(line)
+        elif kind == "list":
+            self._emit("\n".join(frame["items"]))
+
+
+def html_to_markdown(html_doc: str) -> Tuple[str, int, int]:
+    """One HTML document → ``(markdown, n_blocks, n_links)``."""
+    w = _MarkdownWalk()
+    w.walk(_STYLE_RE.sub("", html_doc))
+    return "\n\n".join(w.blocks), len(w.blocks), w.n_links
+
+
+MARKDOWN_SCHEMA = "src_url string, markdown string, n_blocks bigint, n_links bigint"
+
+
+def pages_to_markdown(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """pages → Markdown text relation: document-granular Arrow kernel,
+    html never shuffles, only (url, markdown, counts) moves."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["src_url", "markdown", "n_blocks", "n_links"]
+        for pdf in batches:
+            rows = []
+            for html_doc, url in zip(pdf[html_col], pdf[url_col]):
+                if html_doc is None:
+                    continue
+                if isinstance(html_doc, (bytes, bytearray)):
+                    html_doc = bytes(html_doc).decode("utf-8", errors="replace")
+                rows.append((url,) + html_to_markdown(html_doc))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(url_col, html_col).mapInPandas(run, schema=MARKDOWN_SCHEMA)
+
+
+def synthesize_article_pages(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Article pages exercising every Markdown rule class with
+    closed-form content: heading with an entity, a paragraph mixing
+    bold/em/link/img inline, a section heading, a variable-length
+    unordered AND ordered list, a fenced code block, a blockquote
+    wrapping a ``<p>`` (nested-block flattening), and a rule — the
+    regeneration-oracle convention (every block a closed form of i)."""
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(F.lit("https://m"), s(i % 100), F.lit(".example.org/art/"), s(i))
+    li = lambda j: F.concat(  # noqa: E731
+        F.lit("<li>item "), s(i), F.lit(" "), F.lit(str(j)), F.lit("</li>")
+    )
+    ul = F.concat(
+        F.lit("<ul>"),
+        li(0),
+        F.when(i % 3 >= 1, li(1)).otherwise(F.lit("")),
+        F.when(i % 3 == 2, li(2)).otherwise(F.lit("")),
+        F.lit("</ul>"),
+    )
+    ol = F.concat(
+        F.lit("<ol><li>step "), s(i), F.lit(" 0</li>"),
+        F.when(
+            i % 2 == 1,
+            F.concat(F.lit("<li>step "), s(i), F.lit(" 1</li>")),
+        ).otherwise(F.lit("")),
+        F.lit("</ol>"),
+    )
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style><title>drop me</title>"
+              "</head><body><h1>Title &amp; Tale "), s(i),
+        F.lit("</h1><p>Intro <b>bold"), s(i % 7),
+        F.lit("</b> and <em>ital"), s(i % 5),
+        F.lit("</em>, see <a href=\"https://ex"), s(i % 50),
+        F.lit(".example.org/p/"), s(i % 200),
+        F.lit("\">link "), s(i % 11),
+        F.lit("</a><img src=\"https://img.example.org/"), s(i % 17),
+        F.lit(".gif\" alt=\"im"), s(i % 4),
+        F.lit("\">.</p><h2>Section "), s(i % 9),
+        F.lit("</h2>"), ul, ol,
+        F.lit("<pre><code>x = "), s(i),
+        F.lit(" * 2;</code></pre><blockquote><p>quote "), s(i % 13),
+        F.lit("</p></blockquote><hr></body></html>"),
+    )
+    return spark.range(n_rows).select(url.alias("url"), html.alias("html"))

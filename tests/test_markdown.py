@@ -1,0 +1,71 @@
+"""HTML→Markdown walker unit coverage (sources/markdown.py).
+
+The driver-facing regeneration oracle (`docs_html_markdown`) checks the
+synthesized corpus end-to-end; these tests pin the rule classes the
+closed-form corpus cannot reach (nesting, soup, entities in fences).
+"""
+
+from rdf_rs_spark.sources.markdown import html_to_markdown
+
+
+def test_full_article_rule_classes():
+    md, n_blocks, n_links = html_to_markdown(
+        "<html><head><style>p{x}</style><title>drop</title></head><body>"
+        "<h1>Title &amp; Tale 5</h1>"
+        '<p>see <a href="u">link</a><img src="s" alt="a">.</p>'
+        "<ul><li>i0</li><li>i1</li></ul>"
+        "<ol><li>s0</li><li>s1</li></ol>"
+        "<pre><code>x = 1;</code></pre>"
+        "<blockquote><p>q</p></blockquote><hr></body></html>"
+    )
+    assert md == (
+        "# Title & Tale 5\n\n"
+        "see [link](u)![a](s).\n\n"
+        "- i0\n- i1\n\n"
+        "1. s0\n2. s1\n\n"
+        "```\nx = 1;\n```\n\n"
+        "> q\n\n---"
+    )
+    assert (n_blocks, n_links) == (7, 1)
+
+
+def test_nested_blocks_flatten_into_the_outer_block():
+    # list inside a list item flattens; p inside blockquote is one block
+    assert html_to_markdown("<ul><li>a<ul><li>b</li></ul></li></ul>")[0] == "- a b"
+    assert html_to_markdown("<blockquote>x<p>y</p></blockquote>")[0] == "> x y"
+
+
+def test_inline_nesting_and_mismatched_close():
+    md, _, _ = html_to_markdown("<p><b>bold <em>both</em></b> tail</p>")
+    assert md == "**bold *both*** tail"
+    # lenient close through an open inline: suffix still lands in order
+    assert html_to_markdown("<p>x<b>y</p>z")[0] == "x**y**"
+
+
+def test_code_fence_entities_and_blank_lines_kept_verbatim():
+    md, _, _ = html_to_markdown("<pre>if a &lt; b:\n\n    f(&amp;x)</pre>")
+    assert md == "```\nif a < b:\n\n    f(&x)\n```"
+    # inline code outside pre gets backticks, inside pre does not
+    assert html_to_markdown("<p>run <code>ls -l</code></p>")[0] == "run `ls -l`"
+
+
+def test_ordered_list_numbering_is_per_list():
+    md, _, _ = html_to_markdown("<ol><li>a</li></ol><ol><li>b</li></ol>")
+    assert md == "1. a\n\n1. b"
+
+
+def test_chrome_is_dropped_and_hr_ignored_while_capturing():
+    md, n_blocks, n_links = html_to_markdown(
+        "<title>t</title>nav text<script>var x='<p>no</p>';</script>"
+        "<style>p{}</style><p>keep<hr>ing</p>"
+    )
+    assert md == "keep ing" and n_blocks == 1 and n_links == 0
+
+
+def test_anchor_without_open_block_produces_no_decoration():
+    md, _, n_links = html_to_markdown('<a href="u"><p>inside</p></a>')
+    assert md == "inside" and n_links == 0
+
+
+def test_empty_blocks_are_not_emitted():
+    assert html_to_markdown("<p>  </p><h1></h1><pre>\n</pre>") == ("", 0, 0)

@@ -184,7 +184,9 @@ _soup_tag = st.builds(
     lambda close, name, attrs: "<" + ("/" if close else "") + name
     + ("" if close else "".join(attrs)) + ">",
     st.booleans(),
-    st.sampled_from(["div", "span", "a", "meta", "table", "tr", "td", "th", "script", "b"]),
+    st.sampled_from(["div", "span", "a", "meta", "table", "tr", "td", "th",
+                     "script", "b", "p", "ul", "ol", "li", "pre", "code",
+                     "h1", "h2", "blockquote", "img", "hr", "em"]),
     st.lists(
         st.sampled_from(
             [' itemscope', ' itemtype="http://schema.org/T"', ' itemprop="p"',
@@ -217,6 +219,14 @@ def test_walkers_never_raise_and_keep_invariants(html):
         assert len(row) == 4
         assert isinstance(row[0], int) and isinstance(row[1], int)
         assert isinstance(row[2], str) and isinstance(row[3], str)
+    from rdf_rs_spark.sources.markdown import html_to_markdown
+
+    md, n_blocks, n_links = html_to_markdown(html)
+    assert isinstance(md, str) and n_blocks >= 0 and n_links >= 0
+    # blocks are non-empty and blank-line-joined (pre fences aside,
+    # which this soup alphabet cannot produce)
+    if md:
+        assert all(b.strip() for b in md.split("\n\n"))
 
 
 @settings(max_examples=60, deadline=None)
