@@ -7839,6 +7839,42 @@ def docs_html_markdown(spark, sf_dir):
     return pages_to_markdown(synthesize_article_pages(spark, n))
 
 
+def _dust_oracle(n: int) -> str:
+    """Decision ground truth for the DUST miner: group ``g = i DIV 3``
+    has a sess pair iff ``3g+1 < n`` and a page pair iff ``3g+2 < n``;
+    sess pairs always agree (identical content strings hash equal in
+    ANY engine — digests are engine-computed, never replayed here) and
+    page pairs never do. The oracle states the per-(host, param)
+    verdict from that index arithmetic alone."""
+    return f"""WITH sg AS (SELECT unnest(generate_series(0, ({n} - 2) // 3)) AS g),
+      pg AS (SELECT unnest(generate_series(0, ({n} - 3) // 3)) AS g)
+    SELECT 'h' || h || '.example.org' AS host, 'sess' AS param,
+           count(*)::BIGINT AS n_pairs, count(*)::BIGINT AS n_same,
+           1::BIGINT AS irrelevant
+    FROM (SELECT g % 20 AS h FROM sg) GROUP BY h
+    UNION ALL
+    SELECT 'h' || h || '.example.org', 'page',
+           count(*)::BIGINT, 0::BIGINT, 0::BIGINT
+    FROM (SELECT g % 20 AS h FROM pg) GROUP BY h"""
+
+
+@q("crawl_dust_rules", _dust_oracle(2000))
+def crawl_dust_rules(spark, sf_dir):
+    """DUST rule mining (Bar-Yossef et al., WWW'07 — "Different URLs
+    with Similar Text"): learn per-host content-IRRELEVANT query
+    params (session ids, tracking codes) from digest agreement between
+    each URL and its one-param-stripped variant
+    (``operators/crawl.py::dust_rules``). Pure JVM param algebra, ONE
+    stripped-url equi-join + one combining agg — the URL-space
+    shrinker that runs before any crawl dedup. The oracle states the
+    (host, param) decisions closed-form from the synthesis arithmetic;
+    the engine's md5s are checked for agreement, not replayed."""
+    from .operators.crawl import dust_rules, synthesize_dust_pages
+
+    n = _scale_n(sf_dir)
+    return dust_rules(synthesize_dust_pages(spark, n))
+
+
 @q(
     "crawl_budget_allocation",
     """WITH w AS (SELECT source AS host, count(*)::BIGINT AS weight
@@ -9811,6 +9847,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_dust_rules": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): DUST param-irrelevance mining (named WWW'07 algorithm) under a pure decision oracle; digests engine-computed, verdicts stated from index arithmetic",
     "docs_html_markdown": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): the LLM-corpus text serialization front (HTML→Markdown via the shared _Walk base) under a full regeneration oracle (oracle writes the markdown, synthesizer writes the html, the walker is checked not replayed)",
     "multimodal_ico_decode": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): multi-image container decode (ICONDIR walk + in-ICO BMP with doubled biHeight and 1-bit AND mask) under decoder-independent closed forms incl. the flip-sensitive top_transparent",
     "warc_wat_roundtrip": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC/WAT/WET sidecar triple; exact-JSON-length + md5-digest oracle pins the serializer byte-for-byte",

@@ -697,3 +697,113 @@ def synthesize_directive_pages(df: DataFrame, id_col: str = "id") -> DataFrame:
         ).alias("html"),
         headers.alias("headers"),
     )
+
+
+def dust_rules(
+    pages: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_support: int = 2,
+) -> DataFrame:
+    """DUST rule mining — "Different URLs with Similar Text"
+    (Bar-Yossef et al., WWW'07): learn which query parameters are
+    content-IRRELEVANT per host by checking digest agreement between a
+    URL and its param-stripped variant, the signal crawlers use to
+    collapse session ids / tracking params without a fetched-content
+    diff. Beyond-reference crawl front (the reference ingests files,
+    `src/input.rs`; a web crawl must first shrink its URL space).
+
+    For every URL with a query string and every parameter ``k=v`` in
+    it, the stripped variant (that one param removed, others in
+    order) is equi-joined back against the crawl; a pair whose digests
+    match is evidence the param never changed content. A rule
+    ``(host, param)`` is emitted with its pair support and declared
+    ``irrelevant`` when ALL observed pairs agree and support reaches
+    ``min_support``.
+
+    Scale shape: pure JVM column algebra (split/explode/array_remove —
+    no Python, no regex per param); ONE equi-join keyed on the
+    stripped URL (pages-sized shuffle) + one map-side-combining agg on
+    (host, param). No all-pairs anywhere. Subset: a parameter
+    duplicated with an identical ``k=v`` text strips both copies
+    (array_remove semantics, documented like the walkers' subsets).
+    """
+    url = F.col(url_col)
+    parts = F.split(url, r"\?", 2)
+    base_part = F.element_at(parts, 1)
+    query = F.try_element_at(parts, F.lit(2))
+    host = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+
+    withq = pages.where(query.isNotNull() & (query != "")).select(
+        url.alias("v_url"),
+        F.col(digest_col).alias("v_digest"),
+        host.alias("host"),
+        base_part.alias("base_part"),
+        F.split(query, "&").alias("params"),
+    )
+    # explode MUST be a top-level select item; strip in a second
+    # projection (UNSUPPORTED_GENERATOR otherwise)
+    exploded = withq.select(
+        "v_url", "v_digest", "host", "base_part", "params",
+        F.explode("params").alias("param"),
+    )
+    stripped_q = F.array_join(F.array_remove(F.col("params"), F.col("param")), "&")
+    variants = exploded.select(
+        "v_url",
+        "v_digest",
+        "host",
+        F.element_at(F.split(F.col("param"), "=", 2), 1).alias("param"),
+        F.when(stripped_q == "", F.col("base_part"))
+        .otherwise(F.concat(F.col("base_part"), F.lit("?"), stripped_q))
+        .alias("stripped_url"),
+    )
+    base = pages.select(
+        F.col(url_col).alias("b_url"), F.col(digest_col).alias("b_digest")
+    )
+    pairs = variants.join(base, variants["stripped_url"] == base["b_url"])
+    agree = (F.col("v_digest") == F.col("b_digest")).cast("int")
+    return (
+        pairs.groupBy("host", "param")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(agree).cast("bigint").alias("n_same"),
+        )
+        .select(
+            "host",
+            "param",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "n_same",
+            (
+                (F.col("n_pairs") >= min_support)
+                & (F.col("n_same") == F.col("n_pairs"))
+            )
+            .cast("int")
+            .cast("bigint")
+            .alias("irrelevant"),
+        )
+    )
+
+
+def synthesize_dust_pages(spark, n_rows: int) -> DataFrame:
+    """Deterministic crawl for the DUST miner: group ``g = i DIV 3``
+    has a plain URL (c=0), a ``?sess=s<i>`` variant with IDENTICAL
+    content (c=1 — the content-irrelevant param), and a ``?page=2``
+    variant with DIFFERENT content (c=2). Hosts cycle ``g % 20``. The
+    oracle states the per-(host, param) decision closed-form; digest
+    equality is computed by the engine, never replayed."""
+    i = F.col("id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    g = (i / 3).cast("long")
+    c = i % 3
+    base_url = F.concat(
+        F.lit("https://h"), s(g % 20), F.lit(".example.org/p/"), s(g)
+    )
+    url = F.when(c == 0, base_url).when(
+        c == 1, F.concat(base_url, F.lit("?sess=s"), s(i))
+    ).otherwise(F.concat(base_url, F.lit("?page=2")))
+    content = F.when(
+        c == 2, F.concat(F.lit("doc "), s(g), F.lit(" p2"))
+    ).otherwise(F.concat(F.lit("doc "), s(g)))
+    return spark.range(n_rows).select(
+        url.alias("url"), F.md5(content).alias("digest")
+    )

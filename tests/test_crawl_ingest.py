@@ -456,3 +456,54 @@ def test_wat_sidecar_is_codegen_and_null_safe(spark):
     bad = spark.createDataFrame([("{not json",)], "wat string")
     rb = parse_wat_records(bad).collect()[0]
     assert rb["url"] is None and rb["wat_len"] == 9
+
+
+# ---------------------------------------------------------------- DUST rules
+
+
+def test_dust_strips_one_param_preserving_order(spark):
+    """a=1&sess=x&b=2 stripped of sess must join the a=1&b=2 page —
+    middle-param removal keeps the others' order and the '?' rebuild."""
+    from rdf_rs_spark.operators.crawl import dust_rules
+
+    pages = spark.createDataFrame(
+        [
+            ("https://h.example.org/p?a=1&sess=x&b=2", "D"),
+            ("https://h.example.org/p?a=1&b=2", "D"),
+            ("https://h.example.org/p2?a=1&sess=y&b=2", "D2"),
+            ("https://h.example.org/p2?a=1&b=2", "D2"),
+        ],
+        "url string, digest string",
+    )
+    out = {
+        (r.host, r.param): (r.n_pairs, r.n_same, r.irrelevant)
+        for r in dust_rules(pages).collect()
+    }
+    assert out[("h.example.org", "sess")] == (2, 2, 1)
+    # 'a' and 'b' strips never find a partner URL -> no rule rows
+    assert ("h.example.org", "a") not in out
+    assert ("h.example.org", "b") not in out
+
+
+def test_dust_min_support_and_disagreement_gate(spark):
+    from rdf_rs_spark.operators.crawl import dust_rules
+
+    pages = spark.createDataFrame(
+        [
+            # one agreeing sess pair: support 1 < min_support 2
+            ("https://h.example.org/a?sess=1", "D"),
+            ("https://h.example.org/a", "D"),
+            # two page pairs, one disagreeing -> not irrelevant
+            ("https://h.example.org/b?page=2", "E2"),
+            ("https://h.example.org/b", "E"),
+            ("https://h.example.org/c?page=2", "F"),
+            ("https://h.example.org/c", "F"),
+        ],
+        "url string, digest string",
+    )
+    out = {
+        (r.host, r.param): (r.n_pairs, r.n_same, r.irrelevant)
+        for r in dust_rules(pages, min_support=2).collect()
+    }
+    assert out[("h.example.org", "sess")] == (1, 1, 0)
+    assert out[("h.example.org", "page")] == (2, 1, 0)
