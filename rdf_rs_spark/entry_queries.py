@@ -9499,6 +9499,56 @@ def docs_docx_extract(spark, sf_dir):
 
 
 @q(
+    "docs_tar_code_stats",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    d AS (SELECT i, length(i::VARCHAR) AS nd, length((i % 50)::VARCHAR) AS nr FROM p),
+    m AS (
+      SELECT i, 'src/m' || i || '.py' AS path, 38 + 2*nd AS size,
+        'python' AS lang, 5 AS n_lines, 16 AS max_line_len,
+        (1000 * (16 + 2*nd)) // (38 + 2*nd) AS alpha_e3, 1 AS n_comment_lines
+      FROM d
+      UNION ALL
+      SELECT i, 'lib/u' || i || '.js', 19 + 2*nd,
+        'javascript', 3, 9 + nd,
+        (1000 * (8 + 2*nd)) // (19 + 2*nd), 1
+      FROM d WHERE i % 2 = 1
+      UNION ALL
+      SELECT i, 'README.md', 10 + nr,
+        'markdown', 2, 9 + nr,
+        (1000 * (6 + nr)) // (10 + nr), 1
+      FROM d
+    )
+    SELECT 'tar:' || i AS archive_id, path, size::BIGINT AS size,
+      1::BIGINT AS chksum_ok, lang, n_lines::BIGINT AS n_lines,
+      max_line_len::BIGINT AS max_line_len, alpha_e3::BIGINT AS alpha_e3,
+      n_comment_lines::BIGINT AS n_comment_lines
+    FROM m""",
+)
+def docs_tar_code_stats(spark, sf_dir):
+    """ustar container walk + StarCoder-style per-file code stats
+    (``sources/tarball.py``) — the source-code corpus ingest front
+    (The Stack / StarCoder pipelines ingest repo tarballs; reference
+    parallel: the bytes-in/records-out reader role of src/reader.rs).
+    REAL 512-byte header walk: checksum recomputed with the chksum
+    field blanked to spaces, octal size → ceil(size/512) data blocks,
+    POSIX ``prefix`` joined onto ``name`` (the long-path discipline a
+    name-only reader gets wrong; exercised by two of three members),
+    end-of-archive zero block. Stats are pure JVM column algebra (line
+    count, max line length, alphanumeric-fraction e3 via the
+    translate-erasure idiom, comment-prefix lines, extension→language
+    routing). Every stat is a digit-count closed form of the row
+    index, so the walk AND the stats columns are checked without
+    replaying either; the writer is hand-rolled — stdlib ``tarfile``
+    cross-checks both directions in the unit tests, so the oracle is
+    not a mirror. Archive bytes never shuffle; only the narrow
+    (path, stats) relation leaves the Arrow kernel."""
+    from .sources.tarball import code_file_stats, extract_tar_files, synthesize_code_tars
+
+    n = _scale_n(sf_dir)
+    return code_file_stats(extract_tar_files(synthesize_code_tars(spark.range(n))))
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -9847,6 +9897,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_tar_code_stats": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the source-code corpus ingest front (checksum-validated ustar walk + StarCoder filter-family stats as pure JVM columns, all under digit-count closed forms; hand-rolled writer cross-checked against stdlib tarfile both directions)",
     "crawl_dust_rules": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): DUST param-irrelevance mining (named WWW'07 algorithm) under a pure decision oracle; digests engine-computed, verdicts stated from index arithmetic",
     "docs_html_markdown": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): the LLM-corpus text serialization front (HTML→Markdown via the shared _Walk base) under a full regeneration oracle (oracle writes the markdown, synthesizer writes the html, the walker is checked not replayed)",
     "multimodal_ico_decode": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): multi-image container decode (ICONDIR walk + in-ICO BMP with doubled biHeight and 1-bit AND mask) under decoder-independent closed forms incl. the flip-sensitive top_transparent",

@@ -1,0 +1,83 @@
+"""tar/code-corpus front (`sources/tarball.py`): ustar header walk
+with checksum validation, prefix-field path join, block accounting,
+and the StarCoder-family per-file stats columns."""
+
+import io
+import tarfile
+
+from rdf_rs_spark.plans.inspect import count_exchanges
+from rdf_rs_spark.sources.tarball import (
+    _tar_bytes,
+    code_file_stats,
+    extract_tar_files,
+    read_tar_members,
+    synthesize_code_tars,
+)
+
+
+def test_stdlib_tarfile_reads_our_writer_and_we_read_stdlibs():
+    # our writer -> stdlib reader
+    b = _tar_bytes([("src", "m.py", "x = 1\n"), ("", "README.md", "# hi\n")])
+    tf = tarfile.open(fileobj=io.BytesIO(b))
+    got = {m.name: tf.extractfile(m).read() for m in tf.getmembers()}
+    assert got == {"src/m.py": b"x = 1\n", "README.md": b"# hi\n"}
+    # stdlib writer -> our reader (independent-implementation check)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tw:
+        for name, data in (("a/b.py", b"pass\n"), ("big.txt", b"y" * 1300)):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tw.addfile(info, io.BytesIO(data))
+    members = read_tar_members(buf.getvalue())
+    got = {path: (size, ok, data) for path, size, ok, data in members}
+    assert got["a/b.py"] == (5, 1, b"pass\n")
+    # 1300 bytes spans 3 data blocks — block accounting exercised
+    assert got["big.txt"] == (1300, 1, b"y" * 1300)
+
+
+def test_checksum_corruption_flags_not_raises():
+    b = bytearray(_tar_bytes([("", "f.txt", "abc")]))
+    b[0] ^= 0xFF  # corrupt the first name byte; stored chksum now stale
+    members = read_tar_members(bytes(b))
+    assert len(members) == 1 and members[0][2] == 0
+
+
+def test_prefix_field_joined_onto_name():
+    # a 160-char directory cannot fit in the 100-byte name field; the
+    # ustar prefix field carries it and the reader must join with '/'
+    deep = "d" * 155
+    b = _tar_bytes([(deep, "leaf.py", "z = 0\n")])
+    members = read_tar_members(b)
+    assert members[0][0] == deep + "/leaf.py"
+    # stdlib agrees on the join
+    tf = tarfile.open(fileobj=io.BytesIO(b))
+    assert tf.getmembers()[0].name == deep + "/leaf.py"
+
+
+def test_non_regular_members_walked_over():
+    b = bytearray(_tar_bytes([("", "dir/", ""), ("", "f.py", "a = 1\n")]))
+    # retype the first member as a directory (typeflag '5'); re-checksum
+    b[156] = ord("5")
+    b[148:156] = b" " * 8
+    chk = sum(b[0:512])
+    b[148:156] = f"{chk:06o}".encode() + b"\0 "
+    members = read_tar_members(bytes(b))
+    assert [m[0] for m in members] == ["f.py"]
+
+
+def test_code_stats_closed_forms(spark):
+    df = code_file_stats(extract_tar_files(synthesize_code_tars(spark.range(12))))
+    assert count_exchanges(df) == 0  # payloads and stats never shuffle
+    rows = {(r["archive_id"], r["path"]): r for r in df.collect()}
+    # archive 7 (odd): three members; archive 6: two
+    assert ("tar:7", "lib/u7.js") in rows and ("tar:6", "lib/u6.js") not in rows
+    py = rows[("tar:7", "src/m7.py")]
+    assert (py["lang"], py["size"], py["chksum_ok"]) == ("python", 40, 1)
+    assert (py["n_lines"], py["max_line_len"]) == (5, 16)
+    assert py["alpha_e3"] == (1000 * 18) // 40 and py["n_comment_lines"] == 1
+    js = rows[("tar:7", "lib/u7.js")]
+    assert (js["lang"], js["size"], js["n_lines"]) == ("javascript", 21, 3)
+    assert (js["max_line_len"], js["n_comment_lines"]) == (10, 1)
+    md = rows[("tar:11", "README.md")]  # 11 % 50 = 11 -> two digits
+    assert (md["lang"], md["size"], md["max_line_len"]) == ("markdown", 12, 11)
+    assert md["alpha_e3"] == (1000 * 8) // 12
