@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     # embedded JSON-LD + Microdata + RDFa extraction unioned (50k
     # pages at sf0.1; three Arrow walks + one set-dedup shuffle)
     "kg_web_data_commons",
+    # sessions 6-11 representative: the binary document-format front —
+    # 50k synthesized PDFs at sf0.1 through the real container walk
+    # (obj/xref/Kids), FlateDecode inflate and the BT/ET content-stream
+    # tokenizer; a workload class (binary parse + zlib per doc) none of
+    # the entries above exercise
+    "docs_pdf_extract",
 ]
 
 
