@@ -1,0 +1,340 @@
+"""mbox / MIME e-mail corpus front.
+
+Mailing-list archives are a standing LLM-corpus channel (list servers
+publish mbox files; several public corpora are mined from them), and
+the format family exercises decoders nothing else in the repo does
+(reference parallel: the bytes-in/records-out reader role of
+``src/reader.rs``). All REAL, spec-minimal implementations:
+
+* **mboxrd framing**: messages split on ``From `` at column 0; body
+  lines quoted as ``>From`` / ``>>From …`` get ONE ``>`` stripped
+  (the mboxrd rule — unquoting before MIME parse, since quoting is
+  applied to on-wire lines).
+* **RFC 2047 encoded-words** in headers: ``=?charset?Q|B?…?=`` with
+  Q-encoding ``_``→space and ``=XX`` hex, B-encoding base64, and the
+  rule every naive decoder misses — whitespace BETWEEN two adjacent
+  encoded words is dropped (folded multi-word subjects join clean).
+* **Content-Transfer-Encoding**: quoted-printable (``=XX`` +
+  soft line breaks ``=\\n``), base64, 7bit/8bit passthrough.
+* **multipart walk**: boundary from the Content-Type parameter
+  (quoted or bare), ``--b`` part delimiters, ``--b--`` terminator,
+  preamble/epilogue dropped, nested multiparts recursed; text/plain
+  leaves concatenate with a blank line, other leaves are counted but
+  skipped.
+
+Arrow-batched ``mapInPandas``; mbox bytes never shuffle — only the
+narrow per-message relation moves. The synthesizer writes ENCODED
+bytes while the oracle states the DECODED closed forms, so every
+decoder above is checked, not replayed; stdlib ``email`` cross-checks
+the synthesized corpus in the unit tests (independent implementation).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import re
+from datetime import datetime, timedelta, timezone
+from email.utils import format_datetime, parsedate_to_datetime
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+MAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("mbox_id", T.StringType(), False),
+        T.StructField("msg_idx", T.LongType(), False),
+        T.StructField("from_addr", T.StringType(), True),
+        T.StructField("subject", T.StringType(), True),
+        T.StructField("date_unix", T.LongType(), True),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("n_parts", T.LongType(), False),
+        T.StructField("enc", T.StringType(), True),
+    ]
+)
+
+_FROM_LINE = re.compile(r"^From .*$", re.M)
+_ENC_WORD = re.compile(r"=\?([^?]+)\?([QqBb])\?([^?]*)\?=")
+
+
+def split_mbox(data: str) -> List[str]:
+    """mbox → raw message strings (``From `` framing line dropped,
+    ``>From`` quoting undone — the mboxrd convention)."""
+    starts = [m.start() for m in _FROM_LINE.finditer(data)]
+    msgs = []
+    for j, s in enumerate(starts):
+        end = starts[j + 1] if j + 1 < len(starts) else len(data)
+        body = data[s:end].split("\n", 1)
+        raw = body[1] if len(body) > 1 else ""
+        msgs.append(re.sub(r"^(>+)From ", lambda m: m.group(1)[1:] + "From ", raw, flags=re.M))
+    return msgs
+
+
+def _qp_decode(s: str) -> str:
+    s = re.sub(r"=\r?\n", "", s)  # soft line breaks
+
+    def hexbyte(m: re.Match) -> bytes:
+        return bytes([int(m.group(1), 16)])
+
+    raw = re.sub(rb"=([0-9A-Fa-f]{2})", hexbyte, s.encode("utf-8"))
+    return raw.decode("utf-8", "replace")
+
+
+def decode_header_words(value: str) -> str:
+    """RFC 2047: decode every encoded word; whitespace between two
+    ADJACENT encoded words is dropped (linear whitespace elsewhere is
+    literal). Input must already be unfolded."""
+    value = re.sub(r"(\?=)[ \t]+(=\?)", r"\1\2", value)
+
+    def one(m: re.Match) -> str:
+        charset, kind, payload = m.group(1).lower(), m.group(2).upper(), m.group(3)
+        if kind == "B":
+            try:
+                raw = base64.b64decode(payload, validate=True)
+            except (binascii.Error, ValueError):
+                return m.group(0)
+            return raw.decode(charset, "replace")
+        return _qp_decode(payload.replace("_", " "))
+
+    return _ENC_WORD.sub(one, value)
+
+
+def _unfold(headers: str) -> List[Tuple[str, str]]:
+    out: List[Tuple[str, str]] = []
+    for line in headers.split("\n"):
+        if not line:
+            continue
+        if line[0] in " \t" and out:
+            out[-1] = (out[-1][0], out[-1][1] + " " + line.strip())
+        elif ":" in line:
+            name, _, val = line.partition(":")
+            out.append((name.strip().lower(), val.strip()))
+    return out
+
+
+def _header(hs: List[Tuple[str, str]], name: str) -> Optional[str]:
+    for n, v in hs:
+        if n == name:
+            return v
+    return None
+
+
+def _ct_params(ct: str) -> Tuple[str, dict]:
+    parts = [p.strip() for p in ct.split(";")]
+    params = {}
+    for p in parts[1:]:
+        if "=" in p:
+            k, _, v = p.partition("=")
+            params[k.strip().lower()] = v.strip().strip('"')
+    return parts[0].lower(), params
+
+
+def _decode_body(body: str, cte: str) -> str:
+    cte = (cte or "7bit").lower()
+    if cte == "quoted-printable":
+        return _qp_decode(body)
+    if cte == "base64":
+        try:
+            return base64.b64decode(re.sub(r"\s+", "", body)).decode("utf-8", "replace")
+        except (binascii.Error, ValueError):
+            return ""
+    return body  # 7bit / 8bit / binary
+
+
+def _walk_parts(headers: List[Tuple[str, str]], body: str, texts: List[str], encs: List[str]) -> int:
+    """Recursive MIME walk → number of LEAF parts; text/plain leaf
+    bodies append to ``texts`` (decoded, trailing newlines stripped)."""
+    ctype, params = _ct_params(_header(headers, "content-type") or "text/plain")
+    if ctype.startswith("multipart/"):
+        boundary = params.get("boundary", "")
+        if not boundary:
+            return 0
+        chunks = re.split(
+            r"(?m)^--" + re.escape(boundary) + r"(--)?[ \t]*(?:\r?\n|$)", body
+        )
+        n = 0
+        # re.split with the capturing (--) group interleaves None/'--'
+        # markers; real parts are the even-index chunks between the
+        # first delimiter and the terminator
+        seen_end = False
+        for j in range(2, len(chunks), 2):
+            if seen_end or chunks[j - 1] == "--":
+                seen_end = True
+                continue
+            part = chunks[j]
+            if part is None or not part.strip():
+                continue
+            ph, _, pb = part.partition("\n\n")
+            if "\n\n" not in part:
+                ph, pb = "", part
+            n += _walk_parts(_unfold(ph), pb, texts, encs)
+        return n
+    cte = _header(headers, "content-transfer-encoding") or "7bit"
+    if ctype == "text/plain":
+        texts.append(_decode_body(body, cte).rstrip("\n"))
+        encs.append(cte.lower())
+    return 1
+
+
+def parse_message(raw: str) -> Tuple[Optional[str], Optional[str], Optional[int], str, int, Optional[str]]:
+    """One raw RFC 5322 message → (from_addr, subject, date_unix,
+    text, n_leaf_parts, first_text_cte)."""
+    head, _, body = raw.partition("\n\n")
+    hs = _unfold(head)
+    frm = _header(hs, "from")
+    addr = None
+    if frm is not None:
+        m = re.search(r"<([^>]+)>", frm)
+        addr = m.group(1) if m else (frm if "@" in frm else None)
+    subj_raw = _header(hs, "subject")
+    subj = decode_header_words(subj_raw) if subj_raw is not None else None
+    date_unix = None
+    d = _header(hs, "date")
+    if d is not None:
+        try:
+            dt = parsedate_to_datetime(d)
+            if dt.tzinfo is None:  # '-0000' → zone unknown; pin UTC
+                dt = dt.replace(tzinfo=timezone.utc)
+            date_unix = int(dt.timestamp())
+        except (TypeError, ValueError):
+            date_unix = None
+    texts: List[str] = []
+    encs: List[str] = []
+    n = _walk_parts(hs, body, texts, encs)
+    return addr, subj, date_unix, "\n\n".join(texts), n, (encs[0] if encs else None)
+
+
+def extract_mbox_messages(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "mbox_id"
+) -> DataFrame:
+    """(mbox_id, payload bytes) → one row per message."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MAIL_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                data = bytes(getattr(rec, payload_col)).decode("utf-8", "replace")
+                for k, msg in enumerate(split_mbox(data)):
+                    addr, subj, du, text, n, enc = parse_message(msg)
+                    rows.append((getattr(rec, id_col), k, addr, subj, du, text, n, enc))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=MAIL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (closed forms of the row index)
+# ---------------------------------------------------------------------------
+
+_EPOCH = 1_700_000_000
+_IST = timezone(timedelta(hours=5, minutes=30))
+
+
+def _q_encode(s: str) -> str:
+    out = []
+    for b in s.encode("utf-8"):
+        c = chr(b)
+        if c == " ":
+            out.append("_")
+        elif c.isalnum() and b < 128:
+            out.append(c)
+        else:
+            out.append(f"={b:02X}")
+    return "".join(out)
+
+
+def _synth_mbox(i: int) -> str:
+    """Two messages per mbox; every decoded field a closed form of i."""
+    d0 = format_datetime(datetime.fromtimestamp(_EPOCH + i * 3600, tz=timezone.utc))
+    # odd i formats in +05:30 — the unix value must come out identical
+    tz = _IST if i % 2 == 1 else timezone.utc
+    d1 = format_datetime(datetime.fromtimestamp(_EPOCH + i * 3600 + 5400, tz=tz))
+
+    # message 0: singlepart quoted-printable, Q-encoded folded subject
+    m0 = (
+        "From alice Thu Jan  1 00:00:00 2026\n"
+        f"From: =?utf-8?q?{_q_encode(f'Alíce {i}')}?= <a{i}@ex.org>\n"
+        "Subject: =?utf-8?q?Caf=C3=A9_report?=\n"
+        f" =?utf-8?q?_no_{i}?=\n"
+        f"Date: {d0}\n"
+        "Content-Type: text/plain; charset=utf-8\n"
+        "Content-Transfer-Encoding: quoted-printable\n"
+        "\n"
+        f"Total =E2=82=AC{i % 100} for item=\n {i}\n"
+    )
+    subj1 = base64.b64encode(f"Msg {i} — dash".encode("utf-8")).decode("ascii")
+    if i % 2 == 0:
+        body1 = base64.b64encode(
+            f"base64 body {i}\nsecond line {i % 7}".encode("utf-8")
+        ).decode("ascii")
+        blob = base64.b64encode(bytes([i % 256]) * 8).decode("ascii")
+        m1 = (
+            "From bob Thu Jan  1 00:00:00 2026\n"
+            f"From: Bob <b{i}@ex.org>\n"
+            f"Subject: =?utf-8?b?{subj1}?=\n"
+            f"Date: {d1}\n"
+            f'Content-Type: multipart/mixed; boundary="b{i}"\n'
+            "\n"
+            "preamble is dropped\n"
+            f"--b{i}\n"
+            "Content-Type: text/plain; charset=utf-8\n"
+            "Content-Transfer-Encoding: base64\n"
+            "\n"
+            f"{body1}\n"
+            f"--b{i}\n"
+            "Content-Type: application/octet-stream\n"
+            "Content-Transfer-Encoding: base64\n"
+            "\n"
+            f"{blob}\n"
+            f"--b{i}--\n"
+            "epilogue is dropped\n"
+        )
+    else:
+        m1 = (
+            "From bob Thu Jan  1 00:00:00 2026\n"
+            f"From: Bob <b{i}@ex.org>\n"
+            f"Subject: =?utf-8?b?{subj1}?=\n"
+            f"Date: {d1}\n"
+            f'Content-Type: multipart/mixed; boundary="b{i}"\n'
+            "\n"
+            f"--b{i}\n"
+            f"Content-Type: multipart/alternative; boundary=a{i}\n"
+            "\n"
+            f"--a{i}\n"
+            "Content-Type: text/plain\n"
+            "\n"
+            f">From the field {i}\n"
+            f"plain alt {i % 5}\n"
+            f"--a{i}\n"
+            "Content-Type: text/html\n"
+            "\n"
+            f"<p>html {i}</p>\n"
+            f"--a{i}--\n"
+            f"--b{i}\n"
+            "Content-Type: text/plain; charset=utf-8\n"
+            "Content-Transfer-Encoding: quoted-printable\n"
+            "\n"
+            f"tail =3D {i % 9}\n"
+            f"--b{i}--\n"
+        )
+    return m0 + m1
+
+
+def synthesize_mbox_files(df: DataFrame, id_col: str = "id") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                i = int(getattr(rec, id_col))
+                rows.append((f"mbox:{i}", _synth_mbox(i).encode("utf-8")))
+            yield pd.DataFrame(rows, columns=["mbox_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("mbox_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,96 @@
+"""mbox/MIME front (`sources/mail.py`): mboxrd framing, RFC 2047
+header words, transfer decodes, nested multipart walk — with stdlib
+`email` as the independent implementation check."""
+
+import email
+import email.policy
+
+from rdf_rs_spark.plans.inspect import count_exchanges
+from rdf_rs_spark.sources.mail import (
+    _qp_decode,
+    _synth_mbox,
+    decode_header_words,
+    extract_mbox_messages,
+    parse_message,
+    split_mbox,
+    synthesize_mbox_files,
+)
+
+
+def test_stdlib_email_agrees_on_synthesized_corpus():
+    for i in (0, 1, 7, 42, 99, 1234):
+        for raw in split_mbox(_synth_mbox(i)):
+            addr, subj, du, text, n, _enc = parse_message(raw)
+            m = email.message_from_string(raw, policy=email.policy.default)
+            assert subj == m["subject"]
+            assert addr == m["from"].addresses[0].addr_spec
+            assert du == int(m["date"].datetime.timestamp())
+            std_texts = [
+                p.get_content().rstrip("\n")
+                for p in m.walk()
+                if p.get_content_type() == "text/plain"
+            ]
+            assert text == "\n\n".join(std_texts)
+            assert n == sum(1 for p in m.walk() if not p.is_multipart())
+
+
+def test_mboxrd_unquote_and_framing():
+    data = (
+        "From a@x Thu Jan  1 00:00:00 2026\n"
+        "Subject: one\n\n"
+        ">From quoted\n"
+        ">>From double\n"
+        "From: not a separator (has colon)\n"
+        "From b@x Thu Jan  1 00:00:00 2026\n"
+        "Subject: two\n\nbody2\n"
+    )
+    msgs = split_mbox(data)
+    assert len(msgs) == 2
+    # one '>' stripped, deeper quoting reduced by exactly one level
+    assert "From quoted" in msgs[0] and ">From double" in msgs[0]
+    assert ">>From" not in msgs[0]
+
+
+def test_rfc2047_adjacent_words_join_and_lone_space_survives():
+    v = "=?utf-8?q?Caf=C3=A9?=   =?utf-8?q?_x?="
+    assert decode_header_words(v) == "Café x"
+    # whitespace next to PLAIN text is literal
+    assert decode_header_words("a =?utf-8?q?b?= c") == "a b c"
+    # malformed base64 left verbatim
+    assert decode_header_words("=?utf-8?b?!!!?=") == "=?utf-8?b?!!!?="
+
+
+def test_qp_soft_break_and_hex():
+    assert _qp_decode("a=3Db=\nc") == "a=bc"
+    assert _qp_decode("=E2=82=AC5") == "€5"
+
+
+def test_multipart_boundary_prefix_safe():
+    raw = (
+        "Content-Type: multipart/mixed; boundary=b1\n"
+        "\n"
+        "--b1\n"
+        "Content-Type: text/plain\n"
+        "\n"
+        "--b11 is content, not a delimiter\n"
+        "--b1--\n"
+    )
+    _, _, _, text, n, _ = parse_message(raw)
+    assert n == 1 and text == "--b11 is content, not a delimiter"
+
+
+def test_date_minus_0000_pins_utc():
+    raw = "Date: Thu, 1 Jan 2026 00:00:00 -0000\nSubject: s\n\nx\n"
+    _, _, du, _, _, _ = parse_message(raw)
+    assert du == 1767225600  # machine-timezone-independent
+
+
+def test_spark_extraction_is_narrow(spark):
+    df = extract_mbox_messages(synthesize_mbox_files(spark.range(20)))
+    assert count_exchanges(df) == 0
+    rows = {(r["mbox_id"], r["msg_idx"]): r for r in df.collect()}
+    assert len(rows) == 40
+    r = rows[("mbox:3", 1)]
+    assert r["text"] == "From the field 3\nplain alt 3\n\ntail = 3"
+    assert (r["n_parts"], r["enc"]) == (3, "7bit")
+    assert rows[("mbox:4", 0)]["subject"] == "Café report no 4"
