@@ -9596,6 +9596,38 @@ def docs_mbox_extract(spark, sf_dir):
 
 
 @q(
+    "docs_mojibake_repair",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 4
+        WHEN 0 THEN 'plain text ' || i
+        WHEN 1 THEN 'r' || chr(233) || 'sum' || chr(233) || ' ' || i || ' caf' || chr(233)
+        WHEN 2 THEN 'na' || chr(239) || 've ' || i || ' ' || chr(8211) || ' ok'
+        ELSE chr(195) || ' la carte ' || i END AS text_fixed,
+      (CASE i % 4 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END)::BIGINT AS rounds
+    FROM p""",
+)
+def docs_mojibake_repair(spark, sf_dir):
+    """ftfy-style mojibake repair (``sources/charset.py``) — the
+    encoding-damage curation step real web corpora need (UTF-8 bytes
+    once mis-read as cp1252 leave 'rÃ©sumÃ©' in the text column).
+    Deterministic subset: re-encode through sloppy-cp1252 (the five
+    unmapped bytes pass through as C1 controls) and STRICT-decode
+    UTF-8, iterating up to 3 rounds for multiply mangled text; a round
+    is accepted only when every char maps back AND the bytes are valid
+    UTF-8 AND the result changes — so ASCII, CJK and the genuine
+    'Ã la carte' trap class all pass untouched. Oracle states the
+    REPAIRED closed forms per index class (clean / single-mangled /
+    double-mangled / trap) — the repair loop is checked, never
+    replayed. Arrow kernel with an isascii short-circuit; zero
+    shuffle."""
+    from .sources.charset import fix_mojibake, synthesize_mojibake_docs
+
+    n = _scale_n(sf_dir)
+    return fix_mojibake(synthesize_mojibake_docs(spark.range(n)))
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -9944,6 +9976,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_mojibake_repair": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the encoding-damage curation step (iterated sloppy-cp1252 re-encode + strict-UTF-8-decode acceptance gate) under repaired closed forms per damage class incl. the look-alike trap that must survive untouched",
     "docs_mbox_extract": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the mailing-list corpus front (mboxrd framing, RFC 2047 Q/B header words, quoted-printable + base64 transfer decode, nested multipart walk — all under decoded closed forms; stdlib email is the independent cross-check)",
     "docs_tar_code_stats": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the source-code corpus ingest front (checksum-validated ustar walk + StarCoder filter-family stats as pure JVM columns, all under digit-count closed forms; hand-rolled writer cross-checked against stdlib tarfile both directions)",
     "crawl_dust_rules": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): DUST param-irrelevance mining (named WWW'07 algorithm) under a pure decision oracle; digests engine-computed, verdicts stated from index arithmetic",

@@ -118,3 +118,107 @@ def synthesize_encoded_docs(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (ftfy-style, deterministic subset)
+# ---------------------------------------------------------------------------
+
+#: cp1252's five unmapped bytes pass through as their C1 controls (the
+#: "sloppy-windows-1252" convention mojibake repair needs: a UTF-8
+#: source byte like 0x90 otherwise has no char to come back from)
+_C1_HOLES = frozenset({0x81, 0x8D, 0x8F, 0x90, 0x9D})
+_SLOPPY_DEC = {
+    b: (chr(b) if b in _C1_HOLES else bytes([b]).decode("cp1252")) for b in range(256)
+}
+_SLOPPY_ENC = {c: b for b, c in _SLOPPY_DEC.items()}
+
+
+def fix_mojibake_text(text: str, max_rounds: int = 3):
+    """Repair UTF-8-read-as-cp1252 damage: re-encode through
+    sloppy-cp1252 and strictly decode UTF-8, iterating for multiply
+    mangled text. A repair round is accepted ONLY when every char maps
+    back to a byte AND the bytes are strict UTF-8 AND the result
+    differs — so plain ASCII, CJK, and genuine 'Ã la carte' text all
+    pass through untouched (the strict decode is the false-positive
+    gate). Returns (fixed_text, rounds_applied)."""
+    cur, rounds = text, 0
+    enc = _SLOPPY_ENC
+    for _ in range(max_rounds):
+        try:
+            raw = bytes(enc[c] for c in cur)
+        except KeyError:
+            break
+        try:
+            dec = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if dec == cur:
+            break
+        cur, rounds = dec, rounds + 1
+    return cur, rounds
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, text_fixed, rounds). Arrow kernel,
+    zero shuffle; rows whose text lacks any byte ≥ 0x80 short-circuit
+    (ASCII can't be mojibake)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text_fixed", T.StringType(), False),
+            T.StructField("rounds", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                t = getattr(r, text_col)
+                if t.isascii():
+                    rows.append((int(getattr(r, id_col)), t, 0))
+                else:
+                    fixed, n = fix_mojibake_text(t)
+                    rows.append((int(getattr(r, id_col)), fixed, n))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def _mojibake_damage(s: str) -> str:
+    """One round of the damage class being repaired (synthesis only)."""
+    return "".join(_SLOPPY_DEC[b] for b in s.encode("utf-8"))
+
+
+def synthesize_mojibake_docs(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Four index classes: clean ASCII, single-mangled, double-mangled,
+    and the 'Ã la carte' trap that LOOKS damaged but must survive
+    untouched (its cp1252 bytes are not valid UTF-8)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                k = i % 4
+                if k == 0:
+                    t = f"plain text {i}"
+                elif k == 1:
+                    t = _mojibake_damage(f"résumé {i} café")
+                elif k == 2:
+                    t = _mojibake_damage(_mojibake_damage(f"naïve {i} – ok"))
+                else:
+                    t = f"Ã la carte {i}"
+                rows.append((i, t))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,58 @@
+"""Mojibake repair (`sources/charset.py::fix_mojibake_text`): damage
+classes, the strict-decode false-positive gate, and fixpoint behavior."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rdf_rs_spark.plans.inspect import count_exchanges
+from rdf_rs_spark.sources.charset import (
+    _mojibake_damage,
+    fix_mojibake,
+    fix_mojibake_text,
+    synthesize_mojibake_docs,
+)
+
+
+def test_single_and_double_damage_recover():
+    for s in ("résumé café", "naïve – ok", "€ price — 5", "ÄÖÜ sß"):
+        assert fix_mojibake_text(_mojibake_damage(s)) == (s, 1)
+        assert fix_mojibake_text(_mojibake_damage(_mojibake_damage(s))) == (s, 2)
+
+
+def test_traps_pass_untouched():
+    for s in ("plain ascii", "Ã la carte", "漢字 text", "emoji 🎉 stays"):
+        assert fix_mojibake_text(s) == (s, 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=1, max_size=40))
+def test_fix_never_raises_and_is_fixpoint_under_cap(s):
+    fixed, n = fix_mojibake_text(s)
+    assert 0 <= n <= 3
+    if n < 3:  # fixpoint reached before the round cap -> idempotent
+        assert fix_mojibake_text(fixed) == (fixed, 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        # cp1252-representable non-ASCII mix: damage is always repairable
+        alphabet="aé è–€ñÄt ",
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_damage_then_fix_round_trips(s):
+    damaged = _mojibake_damage(s)
+    fixed, n = fix_mojibake_text(damaged)
+    assert fixed == s
+    assert n == (0 if s.isascii() and damaged == s else 1)
+
+
+def test_spark_kernel_is_narrow(spark):
+    df = fix_mojibake(synthesize_mojibake_docs(spark.range(12)))
+    assert count_exchanges(df) == 0
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[5]["text_fixed"] == "résumé 5 café" and rows[5]["rounds"] == 1
+    assert rows[6]["text_fixed"] == "naïve 6 – ok" and rows[6]["rounds"] == 2
+    assert rows[7]["text_fixed"] == "Ã la carte 7" and rows[7]["rounds"] == 0
