@@ -9628,6 +9628,53 @@ def docs_mojibake_repair(spark, sf_dir):
 
 
 @q(
+    "warc_revisit_dedup",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 400 AS c FROM p)
+    SELECT 'http://h' || (i % 3) || '.ex/p/' || (i % 1000) AS url,
+      (1700000000 + i)::BIGINT AS ts,
+      md5('content ' || c) AS digest,
+      CASE WHEN i < 400 THEN 'response' ELSE 'revisit' END AS warc_type,
+      CASE WHEN i < 400 THEN NULL
+           ELSE 'http://h' || (c % 3) || '.ex/p/' || c END AS refers_to_url,
+      (CASE WHEN i < 400 THEN NULL ELSE 1700000000 + c END)::BIGINT AS refers_to_ts,
+      (CASE WHEN i < 400 THEN 8 + length(c::VARCHAR) ELSE 0 END)::BIGINT AS stored_len,
+      (8 + length(c::VARCHAR))::BIGINT AS resolved_len
+    FROM f""",
+)
+def warc_revisit_dedup(spark, sf_dir):
+    """WARC revisit-record planning + resolution
+    (``operators/crawl.py::revisit_plan``) — the crawl-time dedup
+    mechanic real archives ship (a fetch whose payload digest was
+    stored before becomes a ``WARC-Type: revisit`` record carrying
+    ``WARC-Refers-To-*`` headers, no second payload copy); completes
+    the record-type surface beside response/request, WAT and WET.
+    Keep-first original per digest via ONE map-side-combining
+    ``min(struct(ts,url,len))`` (never a window over the capture
+    stream) + one digest-keyed join that simultaneously resolves every
+    revisit back to its payload length. Pure JVM column algebra end to
+    end (the capture log itself is synthesized as column expressions —
+    zero Python anywhere). Oracle: originals are exactly the first 400
+    indices, every revisit's reference stated closed-form; digests are
+    engine-computed md5 on both sides. Cross-url and cross-host
+    revisits exercised (mod-3 host vs mod-400 content class)."""
+    from .operators.crawl import revisit_plan
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    captures = spark.range(n).select(
+        F.concat(
+            F.lit("http://h"), (i % 3).cast("string"),
+            F.lit(".ex/p/"), (i % 1000).cast("string"),
+        ).alias("url"),
+        (i + 1700000000).cast("bigint").alias("ts"),
+        F.md5(F.concat(F.lit("content "), (i % 400).cast("string"))).alias("digest"),
+        (F.length((i % 400).cast("string")) + 8).cast("bigint").alias("body_len"),
+    )
+    return revisit_plan(captures)
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -9976,6 +10023,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "warc_revisit_dedup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC record-type surface (revisit records with Refers-To resolution) via the keep-first min(struct) + digest-join shape; zero-Python entry, closed-form decision oracle with engine-computed digests",
     "docs_mojibake_repair": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the encoding-damage curation step (iterated sloppy-cp1252 re-encode + strict-UTF-8-decode acceptance gate) under repaired closed forms per damage class incl. the look-alike trap that must survive untouched",
     "docs_mbox_extract": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the mailing-list corpus front (mboxrd framing, RFC 2047 Q/B header words, quoted-printable + base64 transfer decode, nested multipart walk — all under decoded closed forms; stdlib email is the independent cross-check)",
     "docs_tar_code_stats": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the source-code corpus ingest front (checksum-validated ustar walk + StarCoder filter-family stats as pure JVM columns, all under digit-count closed forms; hand-rolled writer cross-checked against stdlib tarfile both directions)",

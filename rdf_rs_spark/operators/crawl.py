@@ -807,3 +807,54 @@ def synthesize_dust_pages(spark, n_rows: int) -> DataFrame:
     return spark.range(n_rows).select(
         url.alias("url"), F.md5(content).alias("digest")
     )
+
+
+def revisit_plan(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    len_col: str = "body_len",
+) -> DataFrame:
+    """WARC revisit-record planning — the crawl-time dedup mechanic
+    real archives ship (Heritrix/Common Crawl: a fetch whose payload
+    digest was stored before is written as a ``WARC-Type: revisit``
+    record with ``WARC-Refers-To-*`` headers instead of a second
+    payload copy). Completes the repo's WARC record-type surface
+    beside response/request (`sources/warc.py`), metadata/WAT and
+    conversion/WET.
+
+    Keep-first policy: the original per digest is the capture with the
+    smallest (ts, url) — ONE map-side-combining ``min(struct(...))``
+    aggregate (never a window over the capture stream), then one
+    digest-keyed equi-join annotates every capture. The same join IS
+    the reader-side resolution: ``resolved_len`` recovers the payload
+    size for revisit rows, so writer planning and revisit resolution
+    are verified together.
+
+    Scale shape: pure JVM column algebra, zero Python. Shuffles: one
+    agg ∝ distinct digests + one join on digest (AQE skew-join covers
+    viral payloads duplicated across millions of captures).
+    """
+    url, ts = F.col(url_col), F.col(ts_col)
+    originals = (
+        captures.groupBy(F.col(digest_col).alias("o_digest"))
+        .agg(F.min(F.struct(F.col(ts_col), F.col(url_col), F.col(len_col))).alias("o"))
+        .select(
+            "o_digest",
+            F.col("o.*"),
+        )
+        .toDF("o_digest", "o_ts", "o_url", "o_len")
+    )
+    out = captures.join(originals, F.col(digest_col) == F.col("o_digest"), "inner")
+    is_orig = (ts == F.col("o_ts")) & (url == F.col("o_url"))
+    return out.select(
+        url_col,
+        ts_col,
+        digest_col,
+        F.when(is_orig, F.lit("response")).otherwise(F.lit("revisit")).alias("warc_type"),
+        F.when(is_orig, F.lit(None).cast("string")).otherwise(F.col("o_url")).alias("refers_to_url"),
+        F.when(is_orig, F.lit(None).cast("bigint")).otherwise(F.col("o_ts")).alias("refers_to_ts"),
+        F.when(is_orig, F.col(len_col)).otherwise(F.lit(0)).cast("bigint").alias("stored_len"),
+        F.col("o_len").cast("bigint").alias("resolved_len"),
+    )

@@ -507,3 +507,40 @@ def test_dust_min_support_and_disagreement_gate(spark):
     }
     assert out[("h.example.org", "sess")] == (1, 1, 0)
     assert out[("h.example.org", "page")] == (2, 1, 0)
+
+
+def test_revisit_plan_keep_first_and_resolution(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.crawl import revisit_plan
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    i = F.col("id")
+    caps = spark.range(30).select(
+        F.concat(
+            F.lit("http://h"), (i % 3).cast("string"),
+            F.lit(".ex/p/"), (i % 20).cast("string"),
+        ).alias("url"),
+        (i + 100).cast("bigint").alias("ts"),
+        F.md5((i % 10).cast("string")).alias("digest"),
+        (i % 10 + 5).cast("bigint").alias("body_len"),
+    )
+    out = revisit_plan(caps)
+    # ONE shuffle for the digest aggregate; the join broadcasts the
+    # original relation at this size (pin BEFORE the first action)
+    assert count_exchanges(out) <= 2
+    rows = {r["ts"] - 100: r for r in out.collect()}
+    assert len(rows) == 30
+    for k in range(30):
+        r, c = rows[k], k % 10
+        if k < 10:
+            assert r["warc_type"] == "response" and r["refers_to_url"] is None
+            assert r["stored_len"] == c + 5
+        else:
+            assert r["warc_type"] == "revisit"
+            assert r["refers_to_url"] == f"http://h{c % 3}.ex/p/{c % 20}"
+            assert r["refers_to_ts"] == 100 + c and r["stored_len"] == 0
+        assert r["resolved_len"] == c + 5
+    # dedup saving: stored bytes = one copy per distinct digest
+    total = out.agg(F.sum("stored_len")).collect()[0][0]
+    assert total == sum(c + 5 for c in range(10))
