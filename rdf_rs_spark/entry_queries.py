@@ -9675,6 +9675,61 @@ def warc_revisit_dedup(spark, sf_dir):
 
 
 @q(
+    "docs_wordpiece_segment",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    c AS (SELECT i,
+      CASE i % 4
+        WHEN 0 THEN ['low', '##est', '##' || (i % 10), 'low']
+        WHEN 1 THEN ['read', '##' || (i % 10), '##er', 'low']
+        WHEN 2 THEN ['read', '##er', (i % 10)::VARCHAR, 'low']
+        ELSE ['[UNK]', 'low'] END AS l
+      FROM p)
+    SELECT doc_id, (j - 1)::BIGINT AS piece_idx, piece FROM (
+      SELECT i::BIGINT AS doc_id,
+        unnest(generate_series(1, len(l))) AS j, unnest(l) AS piece
+      FROM c)""",
+)
+def docs_wordpiece_segment(spark, sf_dir):
+    """WordPiece segmentation (``operators/tokenizer.py::
+    wordpiece_pieces_col``) — the BERT tokenizer family beside the BPE
+    trainer: greedy longest-match-first per word, ``##`` continuation
+    prefix, whole-word ``[UNK]`` fallback on any uncoverable position.
+    The synthesized classes pin the algorithm's decision points: the
+    'reader' class has BOTH 're'+'##ader' and 'read'+'##er' covers and
+    greedy-longest must pick the latter; the 'read<d>er' class breaks
+    any shortest-first implementation; the 'zq<d>' class must collapse
+    to ONE [UNK], not per-char failures. Oracle states the pieces per
+    class — the greedy loop is checked, never replayed. Vocabulary
+    closes over the Arrow kernel (the broadcast-dict idiom); token
+    stream never shuffles; the explode is top-level."""
+    from .operators.tokenizer import wordpiece_pieces_col
+
+    vocab = (
+        ["low", "##est", "read", "##ing", "##er", "re", "##ader", "##ad"]
+        + [f"##{d}" for d in range(10)]
+        + [str(d) for d in range(10)]
+    )
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    d = (i % 10).cast("string")
+    text = (
+        F.when(i % 4 == 0, F.concat(F.lit("lowest"), d, F.lit(" low")))
+        .when(i % 4 == 1, F.concat(F.lit("read"), d, F.lit("er low")))
+        .when(i % 4 == 2, F.concat(F.lit("reader "), d, F.lit(" low")))
+        .otherwise(F.concat(F.lit("zq"), d, F.lit(" low")))
+    )
+    # materialize text as a plain attribute before the Arrow kernel
+    # (ExpressionProxy discipline — see CLAUDE.md)
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    pieces = docs.select(
+        "doc_id", wordpiece_pieces_col(F.col("text"), vocab).alias("pieces")
+    )
+    return pieces.select(
+        "doc_id", F.posexplode("pieces").alias("piece_idx", "piece")
+    ).select("doc_id", F.col("piece_idx").cast("bigint").alias("piece_idx"), "piece")
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -10023,6 +10078,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_wordpiece_segment": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the BERT tokenizer family beside the BPE trainer (greedy longest-match WordPiece with ##-continuations and whole-word [UNK]); class oracle pins the greedy decision points (longest-beats-shorter cover, shortest-first breaker, single-UNK collapse)",
     "warc_revisit_dedup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC record-type surface (revisit records with Refers-To resolution) via the keep-first min(struct) + digest-join shape; zero-Python entry, closed-form decision oracle with engine-computed digests",
     "docs_mojibake_repair": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the encoding-damage curation step (iterated sloppy-cp1252 re-encode + strict-UTF-8-decode acceptance gate) under repaired closed forms per damage class incl. the look-alike trap that must survive untouched",
     "docs_mbox_extract": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the mailing-list corpus front (mboxrd framing, RFC 2047 Q/B header words, quoted-printable + base64 transfer decode, nested multipart walk — all under decoded closed forms; stdlib email is the independent cross-check)",

@@ -36,7 +36,10 @@ covers the full training loop — see ``entry_queries.py::corpus_bpe_train``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
 
 #: Symbol-boundary byte inside encoded words. Words containing it are
 #: excluded from training on both engines (it cannot appear in clean
@@ -161,3 +164,47 @@ def bpe_segment_count(
     return F.when(empty, F.lit(0)).otherwise(
         seps.cast("bigint") + token_count(text)
     )
+
+
+WORDPIECE_UNK = "[UNK]"
+
+
+def wordpiece_pieces_col(text: Column, vocab, max_word_len: int = 64) -> Column:
+    """WordPiece INFERENCE (the BERT tokenizer family, beside the BPE
+    trainer above): greedy longest-match-first per whitespace word —
+    word-initial pieces match bare, continuations match with the
+    ``##`` prefix, and a word with any uncoverable position collapses
+    to ``[UNK]`` (whole-word fallback, the published algorithm).
+    Returns ``array<string>``.
+
+    Scale shape: the vocabulary (30-50k pieces in practice) closes
+    over an Arrow kernel as a frozenset — the Python-side equivalent
+    of a broadcast dict; the token stream never shuffles and the per-
+    word loop is O(len²) bounded by ``max_word_len``. Deterministic on
+    any partitioning (pure per-row function).
+    """
+    vocab_set = frozenset(vocab)
+
+    def seg_word(w: str):
+        if not w or len(w) > max_word_len:
+            return [WORDPIECE_UNK]
+        out, pos = [], 0
+        while pos < len(w):
+            end, piece = len(w), None
+            while end > pos:
+                cand = w[pos:end] if pos == 0 else "##" + w[pos:end]
+                if cand in vocab_set:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                return [WORDPIECE_UNK]
+            out.append(piece)
+            pos = end
+        return out
+
+    @pandas_udf(ArrayType(StringType()))
+    def k(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: [p for w in t.split() for p in seg_word(w)])
+
+    return k(text)

