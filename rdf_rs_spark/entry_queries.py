@@ -9730,6 +9730,55 @@ def docs_wordpiece_segment(spark, sf_dir):
 
 
 @q(
+    "multimodal_flac_decode",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    jj AS (SELECT unnest(generate_series(0, 479)) AS j),
+    sig AS (
+      SELECT i, j,
+        CASE i % 4
+          WHEN 0 THEN (i % 1000) - 500 + CASE WHEN j >= 240 THEN 1 ELSE 0 END
+          WHEN 1 THEN ((7*i + 13*j) % 400) - 200
+          WHEN 2 THEN (i % 50) - 25 + 3*j
+          ELSE j*j + (i % 30) END AS s,
+        CASE i % 4 WHEN 0 THEN 480 WHEN 1 THEN 96 WHEN 2 THEN 192 ELSE 128 END AS n
+      FROM p, jj
+      WHERE j < CASE i % 4 WHEN 0 THEN 480 WHEN 1 THEN 96 WHEN 2 THEN 192 ELSE 128 END
+    )
+    SELECT 'flac:' || i AS media_id,
+      (8000 + (i % 100) * 10)::BIGINT AS sample_rate,
+      16::BIGINT AS bps,
+      2::BIGINT AS n_frames,
+      count(*)::BIGINT AS n_samples,
+      CASE i % 4 WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
+                 WHEN 2 THEN 'fixed1' ELSE 'fixed2' END AS kind,
+      1::BIGINT AS crc_ok,
+      sum(s)::BIGINT AS amp_sum,
+      sum((j + 1) * s)::BIGINT AS wsum,
+      sum(CASE WHEN j = 0 THEN s ELSE 0 END)::BIGINT AS first_sample,
+      sum(CASE WHEN j = n - 1 THEN s ELSE 0 END)::BIGINT AS last_sample
+    FROM sig GROUP BY i""",
+)
+def multimodal_flac_decode(spark, sf_dir):
+    """FLAC fixed-predictor decode (``operators/multimodal.py``) —
+    predictive audio coding for real, completing the audio family the
+    way PNG closed the lossless image set: PCM (uncoded) / mu-law
+    (companded) / MP3 (framing) / FLAC (prediction + Rice entropy
+    coding). REAL subset decode: STREAMINFO bit walk, frame sync with
+    CRC-8 header + CRC-16 frame checksums, UTF-8 frame numbers, and
+    CONSTANT / VERBATIM / FIXED(0-4) subframes with partition-order-0
+    Rice residuals (unary quotient, k-bit remainder, zigzag). The
+    oracle REGENERATES the signal per (class, j) and aggregates —
+    decoder-independent; ``wsum = Σ (j+1)·s_j`` makes sample ORDER
+    observable (a shuffled or mis-predicted reconstruction passes
+    plain sums but breaks wsum). Two frames per file exercise the
+    frame walk. Arrow kernel; payloads never shuffle."""
+    from .operators.multimodal import decode_flac_features, synthesize_flac_media
+
+    n = _scale_n(sf_dir)
+    return decode_flac_features(synthesize_flac_media(spark.range(n)))
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -10078,6 +10127,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "multimodal_flac_decode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): predictive audio coding (Rice residuals + fixed predictors + frame CRCs) under a decoder-independent signal-regeneration oracle with an order-sensitive weighted sum",
     "docs_wordpiece_segment": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the BERT tokenizer family beside the BPE trainer (greedy longest-match WordPiece with ##-continuations and whole-word [UNK]); class oracle pins the greedy decision points (longest-beats-shorter cover, shortest-first breaker, single-UNK collapse)",
     "warc_revisit_dedup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC record-type surface (revisit records with Refers-To resolution) via the keep-first min(struct) + digest-join shape; zero-Python entry, closed-form decision oracle with engine-computed digests",
     "docs_mojibake_repair": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the encoding-damage curation step (iterated sloppy-cp1252 re-encode + strict-UTF-8-decode acceptance gate) under repaired closed forms per damage class incl. the look-alike trap that must survive untouched",

@@ -2446,3 +2446,349 @@ def synthesize_ico_media(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (fixed-predictor subset) — predictive audio coding, for real
+# ---------------------------------------------------------------------------
+# Completes the audio coding-family set the way PNG closed the lossless
+# image set: PCM (uncoded) / G.711 mu-law (companded) / MP3 (framing
+# walk) / FLAC (prediction + Rice entropy coding). REAL spec subset:
+# fLaC magic, STREAMINFO metadata block, per-frame sync + CRC-8 header
+# and CRC-16 frame checksums, UTF-8-coded frame numbers, and CONSTANT /
+# VERBATIM / FIXED(order 0-4) subframes with partition-order-0 Rice
+# residuals (unary quotient + k-bit remainder, zigzag mapping).
+# Subset bounds (documented like the walkers'): mono, 16-bit,
+# sample-rate-from-STREAMINFO, no LPC subframes, no wasted bits,
+# partition order 0.
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, bits: int) -> None:
+        val &= (1 << bits) - 1
+        self.acc = (self.acc << bits) | val
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _FlacBitReader:
+    def __init__(self, b: bytes, byte_pos: int = 0) -> None:
+        self.b = b
+        self.bit = byte_pos * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.bit + n
+        b0, b1 = self.bit >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.b[b0:b1], "big")
+        self.bit = end
+        return (chunk >> (b1 * 8 - end)) & ((1 << n) - 1)
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.bit = (self.bit + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.bit >> 3
+
+
+def _flac_crc8(data: bytes) -> int:  # poly 0x07, init 0
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:  # poly 0x8005, init 0
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _flac_fixed_pred(s, order: int) -> int:
+    if order == 0:
+        return 0
+    if order == 1:
+        return s[-1]
+    if order == 2:
+        return 2 * s[-1] - s[-2]
+    if order == 3:
+        return 3 * s[-1] - 3 * s[-2] + s[-3]
+    return 4 * s[-1] - 6 * s[-2] + 4 * s[-3] - s[-4]
+
+
+def _flac_streaminfo(blocksize: int, sample_rate: int, total_samples: int) -> bytes:
+    w = _FlacBitWriter()
+    w.write(blocksize, 16)
+    w.write(blocksize, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(sample_rate, 20)
+    w.write(0, 3)  # channels - 1 (mono)
+    w.write(15, 5)  # bps - 1 (16-bit)
+    w.write(total_samples, 36)
+    w.align()
+    body = bytes(w.out) + b"\x00" * 16  # MD5 unset (spec-legal)
+    return bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _flac_frame(fr: int, samples, kind: str, order: int = 0, rice_k: int = 3) -> bytes:
+    m = len(samples)
+    w = _FlacBitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(0, 1)  # fixed-blocksize stream
+    w.write(0b0111, 4)  # blocksize: 16-bit at header end
+    w.write(0b0000, 4)  # sample rate from STREAMINFO
+    w.write(0b0000, 4)  # mono
+    w.write(0b100, 3)  # 16 bps
+    w.write(0, 1)
+    w.write(fr, 8)  # UTF-8 frame number (fr < 0x80 in synthesis)
+    w.write(m - 1, 16)
+    header = bytes(w.out) + bytes([_flac_crc8(bytes(w.out))])
+
+    w2 = _FlacBitWriter()
+    w2.write(0, 1)
+    if kind == "constant":
+        w2.write(0, 6)
+        w2.write(0, 1)
+        w2.write(samples[0], 16)
+    elif kind == "verbatim":
+        w2.write(1, 6)
+        w2.write(0, 1)
+        for s in samples:
+            w2.write(s, 16)
+    else:  # fixed
+        w2.write(0b001000 | order, 6)
+        w2.write(0, 1)
+        for s in samples[:order]:
+            w2.write(s, 16)
+        w2.write(0, 2)  # Rice, 4-bit parameters
+        w2.write(0, 4)  # partition order 0
+        w2.write(rice_k, 4)
+        for j in range(order, m):
+            res = samples[j] - _flac_fixed_pred(samples[:j], order)
+            z = (res << 1) if res >= 0 else (-(res << 1) - 1)
+            for _ in range(z >> rice_k):
+                w2.write(0, 1)
+            w2.write(1, 1)
+            w2.write(z & ((1 << rice_k) - 1), rice_k)
+    w2.align()
+    frame = header + bytes(w2.out)
+    return frame + _flac_crc16(frame).to_bytes(2, "big")
+
+
+def flac_encode(frames_samples, sample_rate: int, kind: str, order: int = 0) -> bytes:
+    total = sum(len(s) for s in frames_samples)
+    out = b"fLaC" + _flac_streaminfo(len(frames_samples[0]), sample_rate, total)
+    for fr, s in enumerate(frames_samples):
+        out += _flac_frame(fr, s, kind, order)
+    return out
+
+
+def flac_decode(b: bytes):
+    """(sample_rate, bps, total_samples, [(frame_no, kind, samples)],
+    crc_ok) — raises on non-FLAC/out-of-subset streams."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos, sample_rate, bps, total_samples = 4, None, None, None
+    while True:
+        hdr, blen = b[pos], int.from_bytes(b[pos + 1 : pos + 4], "big")
+        if hdr & 0x7F == 0:  # STREAMINFO
+            r = _FlacBitReader(b, pos + 4)
+            r.read(16); r.read(16); r.read(24); r.read(24)
+            sample_rate = r.read(20)
+            if r.read(3) != 0:
+                raise ValueError("subset is mono")
+            bps = r.read(5) + 1
+            total_samples = r.read(36)
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    frames, crc_ok = [], 1
+    while pos + 2 <= len(b):
+        r = _FlacBitReader(b, pos)
+        if r.read(14) != 0x3FFE:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        r.read(2)
+        bs_code, sr_code, chan, ss_code = r.read(4), r.read(4), r.read(4), r.read(3)
+        r.read(1)
+        if chan != 0 or ss_code != 0b100 or sr_code != 0:
+            raise ValueError("frame outside subset")
+        b0 = r.read(8)  # UTF-8 frame number, 1-3 bytes decoded
+        if b0 < 0x80:
+            fr = b0
+        elif b0 >> 5 == 0b110:
+            fr = ((b0 & 0x1F) << 6) | (r.read(8) & 0x3F)
+        elif b0 >> 4 == 0b1110:
+            fr = ((b0 & 0x0F) << 12) | ((r.read(8) & 0x3F) << 6) | (r.read(8) & 0x3F)
+        else:
+            raise ValueError("frame number out of subset")
+        if bs_code == 0b0110:
+            m = r.read(8) + 1
+        elif bs_code == 0b0111:
+            m = r.read(16) + 1
+        else:
+            raise ValueError("blocksize code outside subset")
+        h_ok = _flac_crc8(b[pos : r.byte_pos()]) == r.read(8)
+        if r.read(1) != 0:
+            raise ValueError("bad subframe pad bit")
+        stype = r.read(6)
+        if r.read(1) != 0:
+            raise ValueError("wasted bits outside subset")
+        if stype == 0:
+            samples, kind = [r.read_signed(16)] * m, "constant"
+        elif stype == 1:
+            samples, kind = [r.read_signed(16) for _ in range(m)], "verbatim"
+        elif stype >> 3 == 0b001 and stype & 7 <= 4:
+            order = stype & 7
+            samples = [r.read_signed(16) for _ in range(order)]
+            r.read(2)
+            if r.read(4) != 0:
+                raise ValueError("partition order outside subset")
+            k = r.read(4)
+            for _ in range(m - order):
+                z = (r.read_unary() << k) | r.read(k)
+                res = -(z + 1 >> 1) if z & 1 else z >> 1
+                samples.append(_flac_fixed_pred(samples, order) + res)
+            kind = f"fixed{order}"
+        else:
+            raise ValueError("subframe type outside subset")
+        r.align()
+        end = r.byte_pos()
+        f_ok = _flac_crc16(b[pos:end]) == int.from_bytes(b[end : end + 2], "big")
+        crc_ok &= int(h_ok and f_ok)
+        frames.append((fr, kind, samples))
+        pos = end + 2
+    return sample_rate, bps, total_samples, frames, crc_ok
+
+
+FLAC_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("bps", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("crc_ok", T.LongType(), False),
+        T.StructField("amp_sum", T.LongType(), False),
+        T.StructField("wsum", T.LongType(), False),
+        T.StructField("first_sample", T.LongType(), False),
+        T.StructField("last_sample", T.LongType(), False),
+    ]
+)
+
+
+def decode_flac_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL FLAC decode (fixed-predictor subset) → integer features.
+    ``wsum = Σ (j+1)·s_j`` over the concatenated frames makes sample
+    ORDER observable (plain sums are permutation-blind); ``crc_ok``
+    covers every frame's CRC-8 header and CRC-16 frame checksum."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FLAC_FEATURES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                sr, bps, total, frames, ok = flac_decode(
+                    bytes(getattr(rec, payload_col))
+                )
+                sig = [s for _, _, fs in frames for s in fs]
+                assert total == len(sig), "STREAMINFO total vs decoded"
+                rows.append(
+                    (
+                        getattr(rec, id_col),
+                        sr,
+                        bps,
+                        len(frames),
+                        len(sig),
+                        frames[0][1] if frames else "empty",
+                        ok,
+                        sum(sig),
+                        sum((j + 1) * s for j, s in enumerate(sig)),
+                        sig[0] if sig else 0,
+                        sig[-1] if sig else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=FLAC_FEATURES_SCHEMA)
+
+
+def synthesize_flac_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Four index classes, each TWO frames so the frame walk and UTF-8
+    frame numbers are exercised: constant (value step across frames),
+    verbatim (modular pseudo-noise), fixed order-1 (linear ramp —
+    constant residual 3), fixed order-2 (quadratic — constant residual
+    2). Every decoded sample is a closed form of (i, j)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                i = int(getattr(rec, id_col))
+                k = i % 4
+                if k == 0:
+                    v = (i % 1000) - 500
+                    frames, kind, order = [[v] * 240, [v + 1] * 240], "constant", 0
+                elif k == 1:
+                    frames = [
+                        [((7 * i + 13 * j) % 400) - 200 for j in range(48)],
+                        [((7 * i + 13 * j) % 400) - 200 for j in range(48, 96)],
+                    ]
+                    kind, order = "verbatim", 0
+                elif k == 2:
+                    b0 = (i % 50) - 25
+                    frames = [
+                        [b0 + 3 * j for j in range(96)],
+                        [b0 + 3 * j for j in range(96, 192)],
+                    ]
+                    kind, order = "fixed", 1
+                else:
+                    c = i % 30
+                    frames = [
+                        [j * j + c for j in range(64)],
+                        [j * j + c for j in range(64, 128)],
+                    ]
+                    kind, order = "fixed", 2
+                blob = flac_encode(frames, 8000 + (i % 100) * 10, kind, order)
+                rows.append((f"flac:{i}", blob))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -356,3 +356,69 @@ def test_inline_media_extraction_edges(spark):
     assert rows["p1:1"]["mime"] == "audio/wav"
     assert bytes(rows["p1:1"]["payload"]) == b"\x01\x02\x03"
     assert bytes(rows["p3:0"]["payload"]) == b"MMNO"  # CRLF inside run tolerated
+
+
+# ---- FLAC (fixed-predictor subset) ----------------------------------------
+
+
+def test_flac_roundtrip_all_subframe_kinds():
+    from rdf_rs_spark.operators.multimodal import flac_decode, flac_encode
+
+    cases = [
+        ("constant", 0, [[7] * 30, [8] * 30]),
+        ("verbatim", 0, [[(13 * j % 50) - 25 for j in range(20)]]),
+        ("fixed", 1, [[5 + 3 * j for j in range(40)]]),
+        ("fixed", 1, [[500 - 3 * j for j in range(40)]]),  # negative residuals
+        ("fixed", 2, [[j * j - 100 for j in range(32)]]),
+        ("fixed", 3, [[j * j * j % 97 for j in range(24)]]),
+        ("fixed", 4, [[(j * j * j * j + 5 * j) % 83 for j in range(24)]]),
+    ]
+    for kind, order, frames in cases:
+        sr, bps, total, dec, ok = flac_decode(flac_encode(frames, 44100, kind, order))
+        assert (sr, bps, ok) == (44100, 16, 1)
+        assert total == sum(len(f) for f in frames)
+        for fr, (fnum, _k, s) in enumerate(dec):
+            assert fnum == fr and s == frames[fr]
+
+
+def test_flac_crc_corruption_flags_not_raises():
+    from rdf_rs_spark.operators.multimodal import flac_decode, flac_encode
+
+    blob = bytearray(flac_encode([[5] * 64], 8000, "constant"))
+    blob[-3] ^= 0x40  # flip a payload bit in the last frame
+    _, _, _, _, ok = flac_decode(bytes(blob))
+    assert ok == 0
+
+
+def test_flac_out_of_subset_raises():
+    import pytest as _pytest
+
+    from rdf_rs_spark.operators.multimodal import flac_decode, flac_encode
+
+    with _pytest.raises(ValueError):
+        flac_decode(b"RIFF not flac")
+    blob = bytearray(flac_encode([[1] * 16], 8000, "constant"))
+    blob[42] = 0x00  # first frame byte (after 4 magic + 38 STREAMINFO): sync lost
+    with _pytest.raises(ValueError):
+        flac_decode(bytes(blob))
+
+
+def test_flac_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rdf_rs_spark.operators.multimodal import flac_decode, flac_encode
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.integers(0, 4),
+        st.lists(st.integers(-40, 40), min_size=5, max_size=40),
+    )
+    def prop(order, sig):
+        frames = [sig]
+        sr, bps, total, dec, ok = flac_decode(
+            flac_encode(frames, 22050, "fixed", order)
+        )
+        assert ok == 1 and dec[0][2] == sig
+
+    prop()
