@@ -9779,6 +9779,100 @@ def multimodal_flac_decode(spark, sf_dir):
 
 
 @q(
+    "crawl_robots_wildcards",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, (i % 5) % 3 AS t, i % 4 AS k FROM p)
+    SELECT 'https://w' || (i % 5) || '.example.org' ||
+      CASE WHEN t = 0 THEN
+        CASE k WHEN 0 THEN '/private/' || i
+               WHEN 1 THEN '/private/' || i || '/ok'
+               WHEN 2 THEN '/docs/f' || i || '.pdf'
+               ELSE '/docs/f' || i || '.pdfx' END
+      WHEN t = 1 THEN
+        CASE k WHEN 0 THEN '/a' || i || 'b'
+               WHEN 1 THEN '/a' || i || 'bc'
+               WHEN 2 THEN '/b' || i
+               ELSE '/x' || i END
+      ELSE
+        CASE k WHEN 0 THEN '/%_lit' || i
+               WHEN 1 THEN '/x_lit' || i
+               WHEN 2 THEN '/%_li' || i
+               ELSE '/z' || i END
+      END AS url,
+      (CASE t WHEN 0 THEN k IN (1, 3)
+              WHEN 1 THEN k <> 0
+              ELSE k <> 0 END)::BIGINT AS allowed
+    FROM f""",
+)
+def crawl_robots_wildcards(spark, sf_dir):
+    """RFC 9309 special characters in REP rules
+    (``operators/crawl.py::frontier_allowed``): ``*`` matches any
+    character run, trailing ``$`` anchors at the path end — translated
+    to escaped SQL LIKE patterns on the broadcastable rule side, never
+    per-frontier-row Python. The three host templates pin the sharp
+    edges: an anchored Allow carve-out (`/private/*/ok$`) must OUTRANK
+    the shorter `/private*` deny; `/*.pdf$` must reject `.pdfx` (the
+    anchor); `/a*b$` exercises both specials in one rule; and a rule
+    containing LITERAL `%`/`_` (`/%_lit*`) flips decisions if the
+    LIKE translation forgets to escape — `/x_lit<i>` would match an
+    unescaped pattern and wrongly deny. DECISION oracle per
+    (template, path kind); parser, translator and matcher all checked,
+    none replayed."""
+    from .operators.crawl import frontier_allowed, parse_robots
+
+    templates = [
+        "User-agent: *\nDisallow: /private*\nAllow: /private/*/ok$\n"
+        "Disallow: /*.pdf$\n",
+        "User-agent: *\nDisallow: /a*b$\n",
+        "User-agent: *\nDisallow: /%_lit*\n",
+    ]
+    robots = spark.range(5).select(
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        F.element_at(
+            F.array(*[F.lit(t) for t in templates]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("robots_txt"),
+    )
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    t = (i % 5) % 3
+    k = i % 4
+    path = (
+        F.when(
+            t == 0,
+            F.when(k == 0, F.concat(F.lit("/private/"), s))
+            .when(k == 1, F.concat(F.lit("/private/"), s, F.lit("/ok")))
+            .when(k == 2, F.concat(F.lit("/docs/f"), s, F.lit(".pdf")))
+            .otherwise(F.concat(F.lit("/docs/f"), s, F.lit(".pdfx"))),
+        )
+        .when(
+            t == 1,
+            F.when(k == 0, F.concat(F.lit("/a"), s, F.lit("b")))
+            .when(k == 1, F.concat(F.lit("/a"), s, F.lit("bc")))
+            .when(k == 2, F.concat(F.lit("/b"), s))
+            .otherwise(F.concat(F.lit("/x"), s)),
+        )
+        .otherwise(
+            F.when(k == 0, F.concat(F.lit("/%_lit"), s))
+            .when(k == 1, F.concat(F.lit("/x_lit"), s))
+            .when(k == 2, F.concat(F.lit("/%_li"), s))
+            .otherwise(F.concat(F.lit("/z"), s)),
+        )
+    )
+    urls = spark.range(n).select(
+        F.concat(
+            F.lit("https://w"), (i % 5).cast("string"), F.lit(".example.org"), path
+        ).alias("url")
+    )
+    out = frontier_allowed(urls, parse_robots(robots), "kgbot")
+    return out.select(
+        "url", F.when(F.col("allowed"), 1).otherwise(0).cast("bigint").alias("allowed")
+    )
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -10127,6 +10221,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_robots_wildcards": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RFC 9309 special characters (* and $ via escaped-LIKE translation on the rule side) under a decision oracle whose literal-%/_ class flips if the escape is forgotten; crawl_robots_frontier re-ran green after the shared matcher change (prefix semantics preserved)",
     "multimodal_flac_decode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): predictive audio coding (Rice residuals + fixed predictors + frame CRCs) under a decoder-independent signal-regeneration oracle with an order-sensitive weighted sum",
     "docs_wordpiece_segment": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the BERT tokenizer family beside the BPE trainer (greedy longest-match WordPiece with ##-continuations and whole-word [UNK]); class oracle pins the greedy decision points (longest-beats-shorter cover, shortest-first breaker, single-UNK collapse)",
     "warc_revisit_dedup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC record-type surface (revisit records with Refers-To resolution) via the keep-first min(struct) + digest-join shape; zero-Python entry, closed-form decision oracle with engine-computed digests",

@@ -116,16 +116,31 @@ def frontier_allowed(
 
     - the specific agent's groups apply when the host has any;
       otherwise the ``*`` groups;
-    - among matching rules (rule path is a prefix of the URL path) the
-      LONGEST path wins; on a length tie Allow wins;
+    - rule paths support the RFC 9309 special characters: ``*``
+      matches any character run, a TRAILING ``$`` anchors the match at
+      the path end (elsewhere ``$`` is literal); plain paths match as
+      prefixes exactly as before;
+    - among matching rules the LONGEST rule path wins (octets of the
+      rule as written, specials included — the Googlebot-documented
+      precedence); on a length tie Allow wins;
     - no matching rule (or no robots at all) → allowed.
 
     Returns ``(url, allowed)``. The applicable-rule relation is
-    host-sized: the agent-precedence window runs on the broadcastable
-    rule side, never the frontier; the frontier pays one broadcast
-    equi-join on host plus one map-side-combining min on the URL key."""
+    host-sized: the agent-precedence window AND the pattern→LIKE
+    translation run on the broadcastable rule side, never the
+    frontier; the frontier pays one broadcast equi-join on host plus
+    one map-side-combining min on the URL key."""
     a = agent.lower()
     # per-host agent precedence, computed on the (tiny) rule side
+    # rule path → SQL LIKE: escape LIKE specials, * → %, and append a
+    # trailing % (prefix semantics) unless the rule is $-anchored
+    wild = F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"([%_\\])", r"\\$1"), r"\*", "%"
+    )
+    like_pat = F.when(
+        F.col("path").endswith("$"),
+        F.substring(wild, 1, F.length(wild) - 1),
+    ).otherwise(F.concat(wild, F.lit("%")))
     applicable = (
         rules.filter(F.col("agent").isin(a, "*"))
         .withColumn(
@@ -135,7 +150,7 @@ def frontier_allowed(
             ),
         )
         .filter((F.col("agent") == a) == (F.col("__ra_spec") == 1))
-        .select("host", "allow", "path")
+        .select("host", "allow", "path", like_pat.alias("__ra_like"))
     )
     u = urls.select(
         F.col(url_col).alias("url"),
@@ -151,7 +166,7 @@ def frontier_allowed(
     matched = u.join(
         F.broadcast(applicable),
         (u["__fa_host"] == applicable["host"])
-        & u["__fa_path"].startswith(applicable["path"]),
+        & F.like(u["__fa_path"], applicable["__ra_like"], F.lit("\\")),
         "left",
     ).withColumn(
         # winner = min over (-path_len, deny) → longest path first,

@@ -544,3 +544,45 @@ def test_revisit_plan_keep_first_and_resolution(spark):
     # dedup saving: stored bytes = one copy per distinct digest
     total = out.agg(F.sum("stored_len")).collect()[0][0]
     assert total == sum(c + 5 for c in range(10))
+
+
+def test_robots_wildcard_and_anchor_matching(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.crawl import frontier_allowed, parse_robots
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "w.ex",
+                "User-agent: *\nDisallow: /private*\nAllow: /private/*/ok$\n"
+                "Disallow: /*.pdf$\nDisallow: /%_lit*\n",
+            )
+        ],
+        ["host", "robots_txt"],
+    )
+    urls = spark.createDataFrame(
+        [(f"https://w.ex{p}",) for p in (
+            "/private/5",        # deny: /private*
+            "/private/5/ok",     # allow: anchored carve-out outranks
+            "/private/5/ok2",    # deny: $ fails
+            "/docs/a.pdf",       # deny: /*.pdf$
+            "/docs/a.pdfx",      # allow: anchor rejects suffix
+            "/%_litZ",           # deny: literal %_ prefix
+            "/x_litZ",           # allow UNLESS the LIKE escape is wrong
+            "/open/ok",          # allow: no rule
+        )],
+        ["url"],
+    )
+    out = {r["url"]: r["allowed"] for r in
+           frontier_allowed(urls, parse_robots(robots), "kgbot").collect()}
+    assert out == {
+        "https://w.ex/private/5": False,
+        "https://w.ex/private/5/ok": True,
+        "https://w.ex/private/5/ok2": False,
+        "https://w.ex/docs/a.pdf": False,
+        "https://w.ex/docs/a.pdfx": True,
+        "https://w.ex/%_litZ": False,
+        "https://w.ex/x_litZ": True,
+        "https://w.ex/open/ok": True,
+    }
