@@ -9873,6 +9873,84 @@ def crawl_robots_wildcards(spark, sf_dir):
 
 
 @q(
+    "docs_publish_dates",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 4 AS k, (i % 28) + 1 AS d, i % 24 AS h,
+                 i % 60 AS mi, i % 3 AS o FROM p)
+    SELECT i::BIGINT AS doc_id,
+      CASE k
+        WHEN 0 THEN trunc(epoch(make_timestamp(2021, 3, d, h, mi, 30)))::BIGINT
+                  - CASE o WHEN 0 THEN 0 WHEN 1 THEN 7200 ELSE -19800 END
+        WHEN 1 THEN trunc(epoch(make_date(2022, 11, d)))::BIGINT
+        WHEN 2 THEN trunc(epoch(make_date(2020, 6, d)))::BIGINT
+        ELSE NULL END AS pub_epoch,
+      CASE k WHEN 0 THEN 'meta' WHEN 1 THEN 'time'
+             WHEN 2 THEN 'url' ELSE NULL END AS src
+    FROM f""",
+)
+def docs_publish_dates(spark, sf_dir):
+    """Publish-date extraction (``operators/corpus.py::publish_date``)
+    — page dating for freshness weighting / recency fusion / temporal
+    corpus splits. Priority chain: OG ``article:published_time`` meta
+    (attribute-order-tolerant) → first ``<time datetime>`` →
+    ``/YYYY/MM/DD/`` URL segment → NULL; epochs computed by the
+    INTEGER civil-date arithmetic in ``functions/dates.py`` (Hinnant
+    days-from-civil — no session-timezone dependence anywhere), which
+    the oracle checks INDEPENDENTLY through DuckDB's own calendar
+    (``make_timestamp``/``make_date`` + ``epoch``): two unrelated
+    implementations must land on the same unix second, including
+    ±hh:mm offsets. Decoy lower-priority signals planted on the meta
+    and time classes pin the precedence. Pure JVM; zero shuffle."""
+    from .operators.corpus import publish_date
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    dd = F.lpad(((i % 28) + 1).cast("string"), 2, "0")
+    hh = F.lpad((i % 24).cast("string"), 2, "0")
+    mm2 = F.lpad((i % 60).cast("string"), 2, "0")
+    off = F.element_at(
+        F.array(F.lit("Z"), F.lit("+02:00"), F.lit("-05:30")),
+        ((i % 3) + 1).cast("int"),
+    )
+    iso = F.concat(F.lit("2021-03-"), dd, F.lit("T"), hh, F.lit(":"), mm2, F.lit(":30"), off)
+    html = (
+        F.when(
+            k == 0,
+            F.concat(
+                F.lit('<html><head><meta content="'), iso,
+                F.lit('" property="article:published_time">'
+                      '<time datetime="2022-01-01"></head><body>p</body></html>'),
+            ),
+        )
+        .when(
+            k == 1,
+            F.concat(F.lit('<html><time datetime="2022-11-'), dd,
+                     F.lit('">x</time></html>')),
+        )
+        .when(k == 2, F.lit("<p>no dates here</p>"))
+        .otherwise(F.lit("<p>none</p>"))
+    )
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://s.ex/a/"), i.cast("string")))
+        .when(k == 1, F.concat(F.lit("https://s.ex/2019/01/02/x"), i.cast("string")))
+        .when(
+            k == 2,
+            F.concat(F.lit("https://s.ex/blog/2020/06/"), dd,
+                     F.lit("/post-"), i.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("https://s.ex/x"), i.cast("string")))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), html.alias("html"), url.alias("url"))
+    pub = publish_date(F.col("html"), F.col("url"))
+    return docs.select(
+        "doc_id",
+        pub.getField("epoch").alias("pub_epoch"),
+        pub.getField("src").alias("src"),
+    )
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -10221,6 +10299,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_publish_dates": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): page dating for freshness/temporal splits; the integer civil-date arithmetic (functions/dates.py) is checked INDEPENDENTLY by DuckDB's native calendar — two unrelated epoch implementations under one hash; decoys pin the meta>time>url precedence",
     "crawl_robots_wildcards": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RFC 9309 special characters (* and $ via escaped-LIKE translation on the rule side) under a decision oracle whose literal-%/_ class flips if the escape is forgotten; crawl_robots_frontier re-ran green after the shared matcher change (prefix semantics preserved)",
     "multimodal_flac_decode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): predictive audio coding (Rice residuals + fixed predictors + frame CRCs) under a decoder-independent signal-regeneration oracle with an order-sensitive weighted sum",
     "docs_wordpiece_segment": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the BERT tokenizer family beside the BPE trainer (greedy longest-match WordPiece with ##-continuations and whole-word [UNK]); class oracle pins the greedy decision points (longest-beats-shorter cover, shortest-first breaker, single-UNK collapse)",

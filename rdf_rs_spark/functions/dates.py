@@ -1,0 +1,95 @@
+"""Timezone-free civil-date arithmetic as pure integer columns.
+
+Session-timezone-dependent date functions are banned in oracled paths
+(CLAUDE.md: a hard-coded 'Z' under ``date_format``, or a parse that
+resolves in the session zone, silently shifts boundaries vs the naive-
+UTC DuckDB oracle). These helpers compute days-since-epoch from civil
+(y, m, d) with Howard Hinnant's published ``days_from_civil`` algorithm
+— integer ``+ - * DIV`` only, so Spark and any oracle engine agree
+bit-for-bit and the session timezone never enters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _idiv(a: Column, b: int) -> Column:
+    """Floor division for NON-NEGATIVE integer columns (all uses here):
+    exact in double because the numerator is made a multiple of b."""
+    return ((a - a % b) / b).cast("long")
+
+
+def civil_days(y: Column, m: Column, d: Column) -> Column:
+    """Days since 1970-01-01 for a proleptic-Gregorian civil date
+    (valid for y >= 1; web corpora are y >= 1990)."""
+    yp = (y.cast("long") - F.when(m <= 2, 1).otherwise(0)).cast("long")
+    era = _idiv(yp, 400)
+    yoe = yp - era * 400
+    mp = (m.cast("long") + F.when(m > 2, F.lit(-3)).otherwise(F.lit(9))).cast("long")
+    doy = _idiv(F.lit(153) * mp + 2, 5) + d.cast("long") - 1
+    doe = yoe * 365 + _idiv(yoe, 4) - _idiv(yoe, 100) + doy
+    return era * 146097 + doe - 719468
+
+
+def civil_epoch(
+    y: Column,
+    m: Column,
+    d: Column,
+    hh: Column | None = None,
+    mi: Column | None = None,
+    ss: Column | None = None,
+    offset_s: Column | None = None,
+) -> Column:
+    """Unix seconds for a civil datetime with an explicit UTC offset
+    (wall time minus offset). Missing time parts mean midnight UTC."""
+    e = civil_days(y, m, d) * 86400
+    if hh is not None:
+        e = e + hh.cast("long") * 3600
+    if mi is not None:
+        e = e + mi.cast("long") * 60
+    if ss is not None:
+        e = e + ss.cast("long")
+    if offset_s is not None:
+        e = e - offset_s.cast("long")
+    return e
+
+
+def iso_offset_seconds(off: Column) -> Column:
+    """'Z' / '' / NULL → 0; '+hh:mm' / '-hh:mm' → signed seconds."""
+    sign = F.when(off.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    hh = F.regexp_extract(off, r"^[+-](\d{2}):(\d{2})$", 1)
+    mm = F.regexp_extract(off, r"^[+-](\d{2}):(\d{2})$", 2)
+    return F.when(
+        hh == "", F.lit(0).cast("long")
+    ).otherwise(sign * (hh.cast("long") * 3600 + mm.cast("long") * 60))
+
+
+def iso_epoch(iso: Column) -> Column:
+    """Unix seconds for an ISO 8601 string column — full timestamps
+    with 'Z'/±hh:mm offsets, or date-only (midnight UTC). NULL for
+    anything else. Pure regexp + integer arithmetic; fractional
+    seconds truncate."""
+    ts_rx = (
+        r"^(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})"
+        r"(?:\.\d+)?(Z|[+-]\d{2}:\d{2})?$"
+    )
+    d_rx = r"^(\d{4})-(\d{2})-(\d{2})$"
+    g = lambda i: F.regexp_extract(iso, ts_rx, i)  # noqa: E731
+    full = civil_epoch(
+        g(1).cast("long"), g(2).cast("long"), g(3).cast("long"),
+        g(4), g(5), g(6), iso_offset_seconds(g(7)),
+    )
+    dg = lambda i: F.regexp_extract(iso, d_rx, i)  # noqa: E731
+    dateonly = civil_epoch(dg(1).cast("long"), dg(2).cast("long"), dg(3).cast("long"))
+
+    def valid(m: Column, d: Column) -> Column:
+        # field-range check (month-length subtleties are not validated:
+        # Feb 31 passes — documented subset; garbage months do not)
+        return m.between("01", "12") & d.between("01", "31")
+
+    return (
+        F.when(iso.rlike(ts_rx) & valid(g(2), g(3)), full)
+        .when(iso.rlike(d_rx) & valid(dg(2), dg(3)), dateonly)
+        .otherwise(F.lit(None).cast("long"))
+    )

@@ -981,3 +981,52 @@ def paragraph_dedup_global(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+def publish_date(html: Column, url: Column) -> Column:
+    """Publish-date extraction — the corpus-metadata step that dates a
+    crawled page for freshness weighting / dedup recency / temporal
+    splits. Priority chain (the one news pipelines use):
+
+    1. ``<meta property="article:published_time" content=…>`` (the
+       Open Graph article field; order-tolerant attribute lookahead),
+    2. first ``<time datetime=…>`` element,
+    3. a ``/YYYY/MM/DD/`` (or ``/YYYY/MM/``) URL path segment →
+       midnight UTC,
+    4. otherwise NULL.
+
+    Returns ``struct(epoch bigint, src string)``. Pure JVM regexp +
+    the integer civil-date arithmetic in ``functions/dates.py`` — no
+    session-timezone dependence, zero shuffle, composes into the page
+    scan."""
+    from ..functions.dates import civil_epoch, iso_epoch
+
+    meta_iso = F.regexp_extract(
+        html,
+        r'(?si)<meta\b(?=[^>]*property\s*=\s*"article:published_time")'
+        r'[^>]*content\s*=\s*"([^"]*)"',
+        1,
+    )
+    time_iso = F.regexp_extract(html, r'(?si)<time\b[^>]*datetime\s*=\s*"([^"]*)"', 1)
+    uy = F.regexp_extract(url, r"/((19|20)\d\d)/(\d\d)(?:/(\d\d))?(?:/|$)", 1)
+    um = F.regexp_extract(url, r"/((19|20)\d\d)/(\d\d)(?:/(\d\d))?(?:/|$)", 3)
+    ud = F.regexp_extract(url, r"/((19|20)\d\d)/(\d\d)(?:/(\d\d))?(?:/|$)", 4)
+    url_epoch = civil_epoch(
+        uy.cast("long"),
+        um.cast("long"),
+        F.when(ud == "", F.lit(1)).otherwise(ud.cast("long")),
+    )
+    meta_e, time_e = iso_epoch(meta_iso), iso_epoch(time_iso)
+    epoch = (
+        F.when(meta_e.isNotNull(), meta_e)
+        .when(time_e.isNotNull(), time_e)
+        .when((uy != "") & um.between("01", "12"), url_epoch)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    src = (
+        F.when(meta_e.isNotNull(), F.lit("meta"))
+        .when(time_e.isNotNull(), F.lit("time"))
+        .when((uy != "") & um.between("01", "12"), F.lit("url"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.struct(epoch.alias("epoch"), src.alias("src"))

@@ -1,0 +1,86 @@
+"""Civil-date arithmetic (`functions/dates.py`) and publish-date
+extraction (`operators/corpus.py::publish_date`)."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.functions.dates import iso_epoch
+from rdf_rs_spark.operators.corpus import publish_date
+from rdf_rs_spark.plans.inspect import count_exchanges
+
+
+def test_iso_epoch_matches_python_calendar(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # drive MANY dates through one Spark job: hypothesis generates the
+    # set, a single createDataFrame checks them all
+    cases = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.integers(1990, 2099), st.integers(1, 12), st.integers(1, 28),
+        st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
+        st.sampled_from(["Z", "", "+02:00", "-05:30", "+13:45"]),
+    )
+    def gen(y, m, d, hh, mi, ss, off):
+        cases.append((y, m, d, hh, mi, ss, off))
+
+    gen()
+    rows = [
+        (f"{y:04d}-{m:02d}-{d:02d}T{hh:02d}:{mi:02d}:{ss:02d}{off}",)
+        for (y, m, d, hh, mi, ss, off) in cases
+    ]
+    got = {
+        r["iso"]: r["e"]
+        for r in spark.createDataFrame(rows, ["iso"])
+        .select("iso", iso_epoch(F.col("iso")).alias("e"))
+        .collect()
+    }
+    for (y, m, d, hh, mi, ss, off), (iso,) in zip(cases, rows):
+        dt = datetime(y, m, d, hh, mi, ss, tzinfo=timezone.utc)
+        exp = int(dt.timestamp())
+        if off and off != "Z":
+            sign = -1 if off[0] == "-" else 1
+            exp -= sign * (int(off[1:3]) * 3600 + int(off[4:6]) * 60)
+        assert got[iso] == exp, (iso, got[iso], exp)
+
+
+def test_iso_epoch_rejects_garbage(spark):
+    rows = [("2021-13-05",), ("20210305",), ("2021-00-10",), ("x",), ("2021-02-31",)]
+    got = [
+        r["e"]
+        for r in spark.createDataFrame(rows, ["iso"])
+        .select(iso_epoch(F.col("iso")).alias("e"))
+        .collect()
+    ]
+    # field-range garbage is NULL; Feb-31 passes the documented
+    # range-only subset (arithmetic spills into March)
+    assert got[0] is None and got[1] is None and got[2] is None and got[3] is None
+    assert got[4] is not None
+
+
+def test_publish_date_priority_and_url_month_only(spark):
+    df = spark.createDataFrame(
+        [
+            # meta wins over time and url
+            (0, '<meta content="2021-01-02T03:04:05Z" property="article:published_time">'
+                '<time datetime="1999-01-01">', "https://s/2000/01/01/a"),
+            # month-only url date -> first of month
+            (1, "<p>x</p>", "https://s/2020/06/post"),
+            # garbage meta iso falls through to time
+            (2, '<meta property="article:published_time" content="not a date">'
+                '<time datetime="2022-03-04">', "https://s/a"),
+            # month 13 in url is not a date path
+            (3, "<p>x</p>", "https://s/2020/13/05/a"),
+        ],
+        ["doc_id", "html", "url"],
+    )
+    out = df.select("doc_id", publish_date(F.col("html"), F.col("url")).alias("p"))
+    assert count_exchanges(out) == 0
+    got = {r["doc_id"]: (r["p"]["epoch"], r["p"]["src"]) for r in out.collect()}
+    assert got[0] == (int(datetime(2021, 1, 2, 3, 4, 5, tzinfo=timezone.utc).timestamp()), "meta")
+    assert got[1] == (int(datetime(2020, 6, 1, tzinfo=timezone.utc).timestamp()), "url")
+    assert got[2] == (int(datetime(2022, 3, 4, tzinfo=timezone.utc).timestamp()), "time")
+    assert got[3] == (None, None)
