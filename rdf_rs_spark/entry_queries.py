@@ -9951,6 +9951,73 @@ def docs_publish_dates(spark, sf_dir):
 
 
 @q(
+    "corpus_paginated_reassembly",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    pg AS (SELECT i, i // 3 AS a, i % 3 AS pp FROM p WHERE i % 3 <= (i // 3) % 3)
+    SELECT 'https://s.ex/art' || a || '/p0' AS article_url,
+      ((a % 3) + 1)::BIGINT AS n_pages, 1::BIGINT AS reassembled,
+      CASE a % 3
+        WHEN 0 THEN 'A' || a || ' part 0'
+        WHEN 1 THEN 'A' || a || ' part 0' || chr(10) || chr(10) || 'A' || a || ' part 1'
+        ELSE 'A' || a || ' part 0' || chr(10) || chr(10) || 'A' || a || ' part 1'
+             || chr(10) || chr(10) || 'A' || a || ' part 2' END AS full_text
+    FROM (SELECT DISTINCT a FROM pg WHERE a % 17 <> 0)
+    UNION ALL
+    SELECT 'https://s.ex/art' || a || '/p' || pp, 1::BIGINT, 0::BIGINT,
+      'A' || a || ' part ' || pp
+    FROM pg WHERE a % 17 = 0""",
+)
+def corpus_paginated_reassembly(spark, sf_dir):
+    """Multi-page article reassembly (``operators/corpus.py::
+    reassemble_paginated``) — "page 2 of 3" fragments become ONE
+    corpus document: rel=next links (attribute order alternates by
+    article parity, so only the order-tolerant lookahead survives)
+    form chains; pointer jumping over the REVERSED relation (re-using
+    ``resolve_redirects`` verbatim) hands every page its head and
+    position; position-ordered array_sort concat rebuilds the text.
+    Every 17th article closes its chain into a CYCLE and must degrade
+    to standalone pages with ``reassembled = 0`` — malformed
+    pagination degrades, never vanishes. ``full_text`` makes page
+    ORDER observable. Oracle states articles and fragments
+    closed-form; the jump and the concat are checked, not replayed."""
+    from .operators.corpus import reassemble_paginated
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    a = ((i - i % 3) / 3).cast("long")
+    pp = i % 3
+    ln = (a % 3) + 1
+    s = lambda c: c.cast("string")  # noqa: E731
+    url_of = lambda page: F.concat(  # noqa: E731
+        F.lit("https://s.ex/art"), s(a), F.lit("/p"), s(page)
+    )
+    nxt_url = F.when(pp < ln - 1, url_of(pp + 1)).when(
+        (a % 17 == 0) & (pp == ln - 1), url_of(F.lit(0))
+    )
+    html = (
+        F.when(
+            nxt_url.isNotNull() & (a % 2 == 0),
+            F.concat(F.lit('<link rel="next" href="'), nxt_url, F.lit('">')),
+        )
+        .when(
+            nxt_url.isNotNull(),
+            F.concat(F.lit('<link href="'), nxt_url, F.lit('" rel="next">')),
+        )
+        .otherwise(F.lit("<p>end</p>"))
+    )
+    pages = (
+        spark.range(n)
+        .where(pp <= a % 3)
+        .select(
+            url_of(pp).alias("url"),
+            html.alias("html"),
+            F.concat(F.lit("A"), s(a), F.lit(" part "), s(pp)).alias("text"),
+        )
+    )
+    return reassemble_paginated(pages, max_pages=4)
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -10299,6 +10366,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "corpus_paginated_reassembly": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): fragment-to-document reassembly over rel=next chains (resolve_redirects pointer jumping re-used on the reversed relation); cycle class degrades to flagged standalones; order-observable full_text",
     "docs_publish_dates": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): page dating for freshness/temporal splits; the integer civil-date arithmetic (functions/dates.py) is checked INDEPENDENTLY by DuckDB's native calendar — two unrelated epoch implementations under one hash; decoys pin the meta>time>url precedence",
     "crawl_robots_wildcards": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RFC 9309 special characters (* and $ via escaped-LIKE translation on the rule side) under a decision oracle whose literal-%/_ class flips if the escape is forgotten; crawl_robots_frontier re-ran green after the shared matcher change (prefix semantics preserved)",
     "multimodal_flac_decode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): predictive audio coding (Rice residuals + fixed predictors + frame CRCs) under a decoder-independent signal-regeneration oracle with an order-sensitive weighted sum",

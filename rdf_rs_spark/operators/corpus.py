@@ -1030,3 +1030,61 @@ def publish_date(html: Column, url: Column) -> Column:
         .otherwise(F.lit(None).cast("string"))
     )
     return F.struct(epoch.alias("epoch"), src.alias("src"))
+
+
+def reassemble_paginated(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    text_col: str = "text",
+    max_pages: int = 8,
+) -> DataFrame:
+    """Multi-page article reassembly — split articles ("page 2 of 5")
+    must enter the training corpus as ONE document or dedup/quality
+    stats see fragments. ``rel="next"`` links (same-row regexp,
+    attribute-order-tolerant — the syndication-collapse discipline)
+    define successor chains; each page finds its chain HEAD and
+    position by pointer jumping over the REVERSED link relation
+    (``crawl.py::resolve_redirects`` re-used verbatim: a next-target
+    "redirects" to its predecessor, so final_url = head and hops =
+    position). Pages in cycles or over-``max_pages`` chains fall back
+    to standalone documents with ``reassembled = 0`` — malformed
+    pagination must degrade, not vanish.
+
+    Scale: the jump relation is ∝ paginated pages (a few % of a
+    crawl), never the page table; ceil(log2(max_pages)) self-joins;
+    one final groupBy(head) with an ordered array_sort concat."""
+    from .crawl import resolve_redirects
+
+    nxt = F.regexp_extract(
+        F.col(html_col),
+        r'(?si)<link\b(?=[^>]*rel="next")[^>]*href="([^"]*)"',
+        1,
+    )
+    base = pages.select(
+        F.col(url_col).alias("url"), F.col(text_col).alias("text"),
+        nxt.alias("__rp_next"),
+    )
+    edges = base.where(F.col("__rp_next") != "").select(
+        F.col("__rp_next").alias("src_url"), F.col("url").alias("dst_url")
+    )
+    res = resolve_redirects(edges, urls=base.select("url"), max_hops=max_pages)
+    joined = base.join(res, "url", "left")
+    ok = F.col("resolved") == 1
+    rows = joined.select(
+        F.when(ok, F.col("final_url")).otherwise(F.col("url")).alias("article_url"),
+        F.when(ok, F.col("hops")).otherwise(F.lit(0)).cast("long").alias("pos"),
+        "text",
+        F.when(ok, 1).otherwise(0).cast("bigint").alias("ok"),
+    )
+    return rows.groupBy("article_url").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.min("ok").cast("bigint").alias("reassembled"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "text"))),
+                lambda x: x["text"],
+            ),
+            "\n\n",
+        ).alias("full_text"),
+    )

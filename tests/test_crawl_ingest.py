@@ -586,3 +586,23 @@ def test_robots_wildcard_and_anchor_matching(spark):
         "https://w.ex/x_litZ": True,
         "https://w.ex/open/ok": True,
     }
+
+
+def test_reassemble_paginated_chains_cycles_and_attr_order(spark):
+    from rdf_rs_spark.operators.corpus import reassemble_paginated
+
+    rows = [
+        ("u/a/0", '<link rel="next" href="u/a/1">', "A part0"),
+        ("u/a/1", '<link href="u/a/2" rel="next">', "A part1"),  # reversed attrs
+        ("u/a/2", "<p>end</p>", "A part2"),
+        ("u/b/0", "<p>end</p>", "B solo"),
+        ("u/c/0", '<link rel="next" href="u/c/1">', "C part0"),  # 2-cycle
+        ("u/c/1", '<link rel="next" href="u/c/0">', "C part1"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html", "text"])
+    out = {r["article_url"]: r for r in reassemble_paginated(df).collect()}
+    assert out["u/a/0"]["full_text"] == "A part0\n\nA part1\n\nA part2"
+    assert (out["u/a/0"]["n_pages"], out["u/a/0"]["reassembled"]) == (3, 1)
+    assert (out["u/b/0"]["n_pages"], out["u/b/0"]["reassembled"]) == (1, 1)
+    assert out["u/c/0"]["reassembled"] == 0 and out["u/c/1"]["reassembled"] == 0
+    assert len(out) == 4
