@@ -1,0 +1,109 @@
+"""Term-dictionary encoding of triple stores (the HDT / RDF-3X
+layout).
+
+At 100 TB, IRI strings dominate every shuffle: the standard fix —
+what HDT's dictionary component and RDF-3X's mapping do — is a
+one-time (term → dense int id) dictionary, after which joins, sorts
+and aggregations move 8-byte ids instead of 80-byte IRIs (reference
+parallel: the reference keeps full `Node` values everywhere,
+`src/node.rs`; this is the at-scale storage discipline layered on the
+same data model).
+
+Ids are the 0-based rank of the term under binary string order —
+deterministic on any cluster size / rerun, computed WITHOUT a
+single-partition window via ``sampling._global_positions`` (the
+zipWithIndex idiom: one balanced range exchange + broadcast offsets).
+Objects dictionary-encode through a canonical ``kind\\x01lex\\x01dt
+\\x01lang`` string so typed/tagged literals and IRIs share one id
+space, exactly like HDT's shared section.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sampling import _global_positions
+
+
+def object_term(
+    kind: Column, lex: Column, dt: Column, lang: Column
+) -> Column:
+    """Canonical object term string. IRIs (kind 0) and blank refs
+    (kind 1) map to the SAME term their subject occurrence uses — the
+    HDT shared-section property, without which s_id(X) ≠ o_id(X) and
+    id-space graph traversal breaks. Literals carry kind, lexical
+    form, datatype and language NULL-coalesced THEN joined (concat_ws
+    would silently drop a NULL slot and collide e.g. plain vs
+    empty-lang literals); a literal whose text LOOKS like an IRI still
+    differs via the kind prefix."""
+    return (
+        F.when(kind == 0, lex)
+        .when(kind == 1, F.concat(F.lit("_:"), lex))
+        .otherwise(
+            F.concat_ws(
+                "\x01",
+                kind.cast("string"),
+                lex,
+                F.coalesce(dt, F.lit("")),
+                F.coalesce(lang, F.lit("")),
+            )
+        )
+    )
+
+
+def build_term_dictionary(triples: DataFrame) -> DataFrame:
+    """Six-col triples → ``(term, term_id)``, ids dense 0-based ranks
+    under binary order. The dictionary feeds several encode/decode
+    joins downstream — persisted here once."""
+    obj = object_term(
+        F.col("obj_kind"), F.col("obj_lex"), F.col("obj_datatype"), F.col("obj_lang")
+    )
+    terms = (
+        triples.select(F.col("subj").alias("term"))
+        .unionByName(triples.select(F.col("pred").alias("term")))
+        .unionByName(triples.select(obj.alias("term")))
+        .distinct()
+    )
+    return (
+        _global_positions(terms, ["term"])
+        .select("term", F.col("position").alias("term_id"))
+        .persist()
+    )
+
+
+def encode_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Triples → ``(s_id, p_id, o_id)``. Three equi-joins on the term
+    key — the one-time cost HDT pays at build; AQE broadcasts the
+    dictionary side when it fits, and every downstream operation on
+    the encoded store moves ints, not IRIs."""
+    obj = object_term(
+        F.col("obj_kind"), F.col("obj_lex"), F.col("obj_datatype"), F.col("obj_lang")
+    )
+    t = triples.select(
+        F.col("subj"), F.col("pred"), obj.alias("__dict_obj")
+    )
+    d = dictionary
+    return (
+        t.join(d.withColumnRenamed("term_id", "s_id"), t["subj"] == d["term"])
+        .drop("term")
+        .join(
+            d.withColumnRenamed("term_id", "p_id").withColumnRenamed("term", "__tp"),
+            F.col("pred") == F.col("__tp"),
+        )
+        .drop("__tp")
+        .join(
+            d.withColumnRenamed("term_id", "o_id").withColumnRenamed("term", "__to"),
+            F.col("__dict_obj") == F.col("__to"),
+        )
+        .select("s_id", "p_id", "o_id")
+    )
+
+
+def decode_column(
+    encoded: DataFrame, dictionary: DataFrame, id_col: str, out_col: str
+) -> DataFrame:
+    """Reverse lookup: one join from an id column back to its term."""
+    d = dictionary.select(
+        F.col("term_id").alias(id_col), F.col("term").alias(out_col)
+    )
+    return encoded.join(d, id_col)

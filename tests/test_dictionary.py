@@ -1,0 +1,61 @@
+"""Term-dictionary encoding (`operators/dictionary.py`): dense ids,
+the HDT shared-section property, collision safety, roundtrip."""
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.operators.dictionary import (
+    build_term_dictionary,
+    decode_column,
+    encode_triples,
+)
+
+
+def _triples(spark):
+    rows = [
+        # IRI object == another row's subject (shared section)
+        ("http://e/a", "http://e/p", 0, "http://e/b", None, None),
+        ("http://e/b", "http://e/p", 2, "http://e/a", None, None),  # literal LOOKS like IRI
+        ("_:b0", "http://e/p", 1, "b0", None, None),                # blank both roles
+        ("http://e/a", "http://e/q", 2, "x", "http://dt", None),
+        ("http://e/a", "http://e/q", 2, "x", None, "en"),
+        ("http://e/a", "http://e/q", 2, "x", None, None),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj_kind int, obj_lex string, "
+              "obj_datatype string, obj_lang string"
+    )
+
+
+def test_shared_section_and_collision_safety(spark):
+    t = _triples(spark)
+    d = build_term_dictionary(t)
+    ids = {r["term"]: r["term_id"] for r in d.collect()}
+    # ids are dense 0..n-1 under binary order
+    assert sorted(ids.values()) == list(range(len(ids)))
+    assert ids == {k: i for i, k in enumerate(sorted(ids))}
+    enc = encode_triples(t, d).collect()
+    by = [(r["s_id"], r["p_id"], r["o_id"]) for r in enc]
+    # IRI http://e/b as object carries the SAME id as its subject row
+    assert (ids["http://e/a"], ids["http://e/p"], ids["http://e/b"]) in by
+    # blank node unifies across roles
+    assert (ids["_:b0"], ids["http://e/p"], ids["_:b0"]) in by
+    # literal "http://e/a" does NOT collide with the IRI's id
+    lit_id = ids["2\x01http://e/a\x01\x01"]
+    assert lit_id != ids["http://e/a"]
+    assert (ids["http://e/b"], ids["http://e/p"], lit_id) in by
+    # dt / lang / plain variants of the same lexical form all distinct
+    assert len({ids["2\x01x\x01http://dt\x01"], ids["2\x01x\x01\x01en"],
+                ids["2\x01x\x01\x01"]}) == 3
+
+
+def test_ids_invariant_under_partitioning_and_roundtrip(spark):
+    t = _triples(spark)
+    a = {r["term"]: r["term_id"] for r in build_term_dictionary(t.repartition(1)).collect()}
+    b = {r["term"]: r["term_id"] for r in build_term_dictionary(t.repartition(7)).collect()}
+    assert a == b
+    d = build_term_dictionary(t)
+    enc = encode_triples(t, d)
+    back = decode_column(enc, d, "s_id", "subj_decoded")
+    assert sorted(r["subj_decoded"] for r in back.collect()) == sorted(
+        r["subj"] for r in t.collect()
+    )
