@@ -10070,6 +10070,52 @@ def kg_dictionary_encode(spark, sf_dir):
 
 
 @q(
+    "docs_sentence_split",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    c AS (SELECT i,
+      CASE i % 4
+        WHEN 0 THEN ['First part ' || i || ' ends.', 'Second starts ' || i || ' now.']
+        WHEN 1 THEN ['Dr. Smith saw ' || i || ' patients.', 'He left.']
+        WHEN 2 THEN ['Really ' || i || '?!', 'Yes indeed.']
+        ELSE ['It cost ' || i || '.5 dollars.', 'Cheap.'] END AS l
+      FROM p)
+    SELECT doc_id, (j - 1)::BIGINT AS sent_idx, sentence FROM (
+      SELECT i::BIGINT AS doc_id,
+        unnest(generate_series(1, len(l))) AS j, unnest(l) AS sentence
+      FROM c)""",
+)
+def docs_sentence_split(spark, sf_dir):
+    """Rule-based sentence splitting (``functions/text.py::
+    sentence_split``) — the pre-step for sentence-level dedup, bitext
+    alignment and per-sentence quality scores. ONE codegen regexp
+    split: terminal [.!?] + whitespace + capital/digit opener, with
+    bounded-lookbehind guards for abbreviations ("Dr. Smith" must NOT
+    split) and single-capital initials; "?!" runs split once after
+    the final mark; decimals are safe by construction. The class
+    oracle states the sentences — any guard failure doubles a class's
+    row count and breaks the hash. Zero Python, zero shuffle; the
+    explode is top-level."""
+    from .functions.text import sentence_split
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    k = i % 4
+    text = (
+        F.when(k == 0, F.concat(F.lit("First part "), s, F.lit(" ends. Second starts "), s, F.lit(" now.")))
+        .when(k == 1, F.concat(F.lit("Dr. Smith saw "), s, F.lit(" patients. He left.")))
+        .when(k == 2, F.concat(F.lit("Really "), s, F.lit("?! Yes indeed.")))
+        .otherwise(F.concat(F.lit("It cost "), s, F.lit(".5 dollars. Cheap.")))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return docs.select(
+        "doc_id", F.posexplode(sentence_split(F.col("text"))).alias("sent_idx", "sentence")
+    ).select(
+        "doc_id", F.col("sent_idx").cast("bigint").alias("sent_idx"), "sentence"
+    )
+
+
+@q(
     "kg_web_bowtie",
     """WITH RECURSIVE
     nd AS (SELECT unnest(generate_series(0, 1999)) AS v),
@@ -10418,6 +10464,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_sentence_split": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): sentence boundary detection as ONE codegen regexp (abbreviation/initial lookbehind guards); class oracle states the sentences, a guard failure changes row counts",
     "kg_dictionary_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the HDT/RDF-3X dictionary layout (dense binary-rank ids via the _global_positions idiom, shared literal/IRI id space, decode riding the same hash); full row_number replay oracle",
     "corpus_paginated_reassembly": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): fragment-to-document reassembly over rel=next chains (resolve_redirects pointer jumping re-used on the reversed relation); cycle class degrades to flagged standalones; order-observable full_text",
     "docs_publish_dates": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): page dating for freshness/temporal splits; the integer civil-date arithmetic (functions/dates.py) is checked INDEPENDENTLY by DuckDB's native calendar — two unrelated epoch implementations under one hash; decoys pin the meta>time>url precedence",

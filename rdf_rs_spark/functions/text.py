@@ -159,3 +159,24 @@ def strip_accents_col(text: Column) -> Column:
         return pd.Series([one(t) for t in s])
 
     return _strip(text)
+
+
+#: rule-based sentence boundary: terminal [.!?] + whitespace + a
+#: capital/digit opener, with bounded-lookbehind guards for common
+#: abbreviations and single-capital initials. Subset tradeoff
+#: (documented): an initial also suppresses a REAL boundary right
+#: after it ("Appendix B. Done." stays one sentence) — the standard
+#: price of regex-only splitting.
+SENTENCE_BOUNDARY_RX = (
+    r"(?<!\b(?:Mr|Dr|Ms|Mrs|Prof|St|No|vs|etc|al|e\.g|i\.e)\.)"
+    r"(?<!\b[A-Z]\.)(?<=[.!?])\s+(?=[A-Z0-9])"
+)
+
+
+def sentence_split(text: Column) -> Column:
+    """array<string> of sentences — ONE whole-stage-codegen regexp
+    split, zero Python (the pre-step for sentence-level dedup, bitext
+    alignment and per-sentence quality scores). Decimals ("3.14") and
+    "?!" runs are safe by construction: a boundary needs whitespace
+    after the terminal and a capital/digit opener."""
+    return F.split(text, SENTENCE_BOUNDARY_RX)

@@ -56,3 +56,27 @@ def test_spark_kernel_is_narrow(spark):
     assert rows[5]["text_fixed"] == "résumé 5 café" and rows[5]["rounds"] == 1
     assert rows[6]["text_fixed"] == "naïve 6 – ok" and rows[6]["rounds"] == 2
     assert rows[7]["text_fixed"] == "Ã la carte 7" and rows[7]["rounds"] == 0
+
+
+# sentence splitting shares this curation-kernel test module
+
+
+def test_sentence_split_guard_classes(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.functions.text import sentence_split
+
+    rows = [
+        ("Dr. Smith saw 5 patients. He left.", 2),
+        ("See e.g. Appendix B. Done.", 1),     # e.g. + initial suppression
+        ("It cost 3.14 dollars. Cheap.", 2),   # decimal safe
+        ("Really?! Yes indeed.", 2),           # ?! run splits once
+        ("no terminal here", 1),
+        ("Ends mid. lowercase next.", 1),      # opener must be capital/digit
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["t"]).select(
+        "t", F.size(sentence_split(F.col("t"))).alias("n")
+    )
+    got = {r["t"]: r["n"] for r in df.collect()}
+    for t, n in rows:
+        assert got[t] == n, (t, got[t], n)
