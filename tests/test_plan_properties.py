@@ -974,3 +974,36 @@ def test_mirror_hosts_banded_never_all_pairs(spark):
     assert "partial_min" in plan  # map-side combine on the signature agg
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     spark.catalog.clearCache()
+
+
+def test_transe_rank_eval_is_one_codegen_projection(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.kg_training import transe_l1_score, transe_rank_eval
+    from rdf_rs_spark.plans.inspect import count_exchanges, explain_str
+
+    i = F.col("id")
+    edges = spark.range(50).select(
+        F.concat(F.lit("e"), (i % 20).cast("string")).alias("src"),
+        F.concat(F.lit("r"), (i % 3).cast("string")).alias("rel"),
+        F.concat(F.lit("e"), ((i * 3 + 1) % 20).cast("string")).alias("dst"),
+    )
+    out = transe_rank_eval(edges)
+    assert count_exchanges(out) == 0
+    plan = explain_str(out, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) == 50
+    # rank bounds + python cross-check of the frozen integer model
+    import hashlib
+
+    def emb(t, d):
+        return int(hashlib.md5(f"{t}:{d}".encode()).hexdigest()[:8], 16) % 41 - 20
+
+    for r in rows[:10]:
+        exp = sum(
+            abs(emb(r["src"], d) + emb(r["rel"], d) - emb(r["dst"], d))
+            for d in range(4)
+        )
+        assert r["true_score"] == exp
+        assert 1 <= r["rank_opt"] <= 9
