@@ -10169,6 +10169,89 @@ def kg_transe_rank_eval(spark, sf_dir):
     return transe_rank_eval(edges)
 
 
+def _luhn_oracle(n: int) -> str:
+    base = "('4539123' || lpad((i % 100000000)::VARCHAR, 8, '0'))"
+    terms = []
+    for b in range(15):
+        d = f"substring({base}, {b + 1}, 1)::BIGINT"
+        if b % 2 == 0:  # right position 15-b odd -> doubled, 9-fold
+            terms.append(f"({d} * 2 - CASE WHEN {d} >= 5 THEN 9 ELSE 0 END)")
+        else:
+            terms.append(d)
+    partial = " + ".join(terms)
+    return f"""WITH p AS (SELECT unnest(generate_series(0, {n - 1})) AS i),
+    c AS (SELECT i, i % 4 AS k,
+          {base} || ((10 - ({partial}) % 10) % 10 + CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END) % 10
+          AS pan FROM p),
+    f AS (SELECT i, k,
+          CASE WHEN i % 2 = 0 THEN pan
+               ELSE substring(pan,1,4) || '-' || substring(pan,5,4) || '-'
+                    || substring(pan,9,4) || '-' || substring(pan,13,4) END AS disp
+          FROM c)
+    SELECT i::BIGINT AS doc_id,
+      (CASE WHEN k = 0 THEN 1 ELSE 0 END)::BIGINT AS has_card,
+      CASE k
+        WHEN 0 THEN 'pay [CARD] today'
+        WHEN 1 THEN 'pay ' || disp || ' today'
+        WHEN 2 THEN 'call 555-01' || lpad((i % 10000)::VARCHAR, 4, '0') || ' soon'
+        ELSE 'no digits here ' || i END AS redacted
+    FROM f"""
+
+
+@q("docs_pii_luhn_redact", _luhn_oracle(2000))
+def docs_pii_luhn_redact(spark, sf_dir):
+    """Luhn-validated credit-card redaction (``operators/corpus.py::
+    redact_luhn_cards``) — the PII family upgraded from regex-only to
+    CHECKSUM-validated: a 16-digit candidate is redacted only when the
+    Luhn digit checks out, so phone-number/id lookalikes (and the
+    class-1 corpus, the SAME card with its check digit +1) survive
+    untouched — exactly the false-positive class a bare
+    ``redact_pattern`` over ``\\d{16}`` would destroy. Unrolled
+    16-term codegen arithmetic, literal span replace, zero shuffle.
+    Format variance (contiguous vs dashed groups) alternates by
+    parity. The oracle derives each class's card from the same
+    base-15 + check-digit arithmetic and states the DECISION."""
+    from .operators.corpus import redact_luhn_cards
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    base = F.concat(
+        F.lit("4539123"), F.lpad((i % 100000000).cast("string"), 8, "0")
+    )
+    partial = F.lit(0)
+    for b in range(15):
+        d = F.substring(base, b + 1, 1).cast("long")
+        partial = partial + (
+            d * 2 - F.when(d >= 5, 9).otherwise(0) if b % 2 == 0 else d
+        )
+    check = ((10 - partial % 10) % 10 + F.when(k == 1, 1).otherwise(0)) % 10
+    pan = F.concat(base, check.cast("string"))
+    disp = F.when(i % 2 == 0, pan).otherwise(
+        F.concat_ws(
+            "-",
+            F.substring(pan, 1, 4), F.substring(pan, 5, 4),
+            F.substring(pan, 9, 4), F.substring(pan, 13, 4),
+        )
+    )
+    text = (
+        F.when(k.isin(0, 1), F.concat(F.lit("pay "), disp, F.lit(" today")))
+        .when(
+            k == 2,
+            F.concat(F.lit("call 555-01"), F.lpad((i % 10000).cast("string"), 4, "0"),
+                     F.lit(" soon")),
+        )
+        .otherwise(F.concat(F.lit("no digits here "), i.cast("string")))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    out = redact_luhn_cards(F.col("text"))
+    return docs.select(
+        "doc_id",
+        out.getField("has_card").alias("has_card"),
+        out.getField("redacted").alias("redacted"),
+    )
+
+
 @q(
     "kg_web_bowtie",
     """WITH RECURSIVE
@@ -10518,6 +10601,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_pii_luhn_redact": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): checksum-validated PII (unrolled Luhn in codegen, literal span replace); the broken-check-digit class pins the false-positive gate a regex-only redactor lacks",
     "kg_transe_rank_eval": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the eval loop for the KG-embedding prep family (frozen integer TransE, optimistic-rank corruption protocol, one codegen projection); full integer replay oracle",
     "docs_sentence_split": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): sentence boundary detection as ONE codegen regexp (abbreviation/initial lookbehind guards); class oracle states the sentences, a guard failure changes row counts",
     "kg_dictionary_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the HDT/RDF-3X dictionary layout (dense binary-rank ids via the _global_positions idiom, shared literal/IRI id space, decode riding the same hash); full row_number replay oracle",

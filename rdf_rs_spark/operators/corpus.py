@@ -1088,3 +1088,46 @@ def reassemble_paginated(
             "\n\n",
         ).alias("full_text"),
     )
+
+
+#: 16-digit PAN candidate: 4 groups of 4, space/dash/contiguous,
+#: digit-boundary guarded so longer digit runs don't half-match
+_CARD_RX = r"(?<!\d)(\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{4})(?!\d)"
+
+
+def luhn_valid_16(digits: Column) -> Column:
+    """Luhn checksum over a 16-char digit string as UNROLLED codegen
+    arithmetic (no lambdas): from the right, every second digit
+    doubles with 9-fold. The checksum is what separates a real PAN
+    from phone-number/id lookalikes a bare regex would redact."""
+    total = F.lit(0)
+    for i in range(16):
+        d = F.substring(digits, i + 1, 1).cast("int")
+        if (15 - i) % 2 == 1:  # doubled positions (left indices 0,2,…)
+            term = d * 2 - F.when(d >= 5, 9).otherwise(0)
+        else:
+            term = d
+        total = total + term
+    return total % 10 == 0
+
+
+def redact_luhn_cards(text: Column) -> Column:
+    """struct(has_card, redacted): the FIRST 16-digit candidate is
+    Luhn-checked; only a VALID card is replaced (literal replace of
+    the matched span, not a blanket regexp — an invalid lookalike
+    stays). Subset (documented): one candidate per document is
+    validated — multi-PAN documents keep later occurrences; 13/15/19-
+    digit formats (legacy Visa, Amex) are out of scope for the column
+    path. Zero shuffle; composes with ``redact_pattern``."""
+    cand = F.regexp_extract(text, _CARD_RX, 1)
+    digits = F.translate(cand, " -", "")
+    # ANSI: substring('').cast(int) throws, and WHEN does not
+    # short-circuit codegen subexpressions — checksum a dummy PAN
+    # for rows without a 16-digit candidate
+    has16 = F.length(digits) == 16
+    safe_digits = F.when(has16, digits).otherwise(F.lit("0" * 16))
+    valid = (cand != "") & has16 & luhn_valid_16(safe_digits)
+    redacted = F.when(valid, F.replace(text, cand, F.lit("[CARD]"))).otherwise(text)
+    return F.struct(
+        valid.cast("bigint").alias("has_card"), redacted.alias("redacted")
+    )

@@ -80,3 +80,25 @@ def test_sentence_split_guard_classes(spark):
     got = {r["t"]: r["n"] for r in df.collect()}
     for t, n in rows:
         assert got[t] == n, (t, got[t], n)
+
+
+def test_luhn_redaction_classes(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import redact_luhn_cards
+
+    rows = [
+        ("pay 4539 1488 0343 6467 now", 1, "pay [CARD] now"),
+        ("pay 4539 1488 0343 6468 now", 0, None),   # broken check digit
+        ("ok 4111111111111111 done", 1, "ok [CARD] done"),
+        ("id 1234-5678-9012-3456 here", 0, None),   # Luhn-invalid lookalike
+        ("call 555-0123 soon", 0, None),
+        ("long run 12345678901234567 x", 0, None),  # 17 digits: boundary guard
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], ["t"]).select(
+        "t", redact_luhn_cards(F.col("t")).alias("r")
+    )
+    got = {r["t"]: (r["r"]["has_card"], r["r"]["redacted"]) for r in df.collect()}
+    for t, has, red in rows:
+        assert got[t][0] == has, t
+        assert got[t][1] == (red if red is not None else t), t
