@@ -10198,6 +10198,67 @@ def _luhn_oracle(n: int) -> str:
     FROM f"""
 
 
+@q(
+    "kg_dictionary_extend",
+    TRIPLES_CTE
+    + """, t AS (SELECT DISTINCT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang
+                 FROM triples),
+    terms AS (
+      SELECT DISTINCT term FROM (
+        SELECT subj AS term FROM t
+        UNION SELECT pred FROM t
+        UNION SELECT CASE WHEN obj_kind = 0 THEN obj_lex
+                          WHEN obj_kind = 1 THEN '_:' || obj_lex
+                          ELSE obj_kind::VARCHAR || chr(1) || obj_lex || chr(1)
+                               || coalesce(obj_datatype, '') || chr(1)
+                               || coalesce(obj_lang, '') END
+        FROM t)),
+    d AS (SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS id
+          FROM terms),
+    delta AS (SELECT unnest(generate_series(0, 199)) AS j),
+    dt AS (SELECT DISTINCT term FROM (
+      SELECT 'http://kg.example.org/nation/' || (j % 25) AS term FROM delta
+      UNION SELECT 'http://kg.example.org/motto' FROM delta
+      UNION SELECT '2' || chr(1) || 'motto ' || (j % 40) || chr(1) || chr(1)
+      FROM delta)),
+    newt AS (SELECT term FROM dt WHERE term NOT IN (SELECT term FROM d))
+    SELECT term, id AS term_id, 0::BIGINT AS is_new FROM d
+    UNION ALL
+    SELECT term,
+      (SELECT max(id) FROM d) + row_number() OVER (ORDER BY term),
+      1::BIGINT
+    FROM newt""",
+)
+def kg_dictionary_extend(spark, sf_dir):
+    """Incremental dictionary growth (``operators/dictionary.py::
+    extend_term_dictionary``) — the re-crawl property that makes the
+    HDT layout maintainable: base ids NEVER move (encoded stores stay
+    valid), new terms append densely after the current max (anti-join
+    + the same zipWithIndex ranks + a broadcast 1-row max, no driver
+    collect). The delta reuses existing nation subjects (must NOT get
+    new ids) and introduces a new predicate + 40 new literals (must
+    rank after every base term). Oracle replays both phases with two
+    row_numbers; id stability is additionally pinned by unit test."""
+    from .operators.dictionary import build_term_dictionary, extend_term_dictionary
+
+    base = build_term_dictionary(_triples(spark, sf_dir).dropDuplicates())
+    j = F.col("id")
+    delta = spark.range(200).select(
+        F.concat(F.lit("http://kg.example.org/nation/"), (j % 25).cast("string")).alias("subj"),
+        F.lit("http://kg.example.org/motto").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit("motto "), (j % 40).cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    ext = extend_term_dictionary(base, delta)
+    mx = base.agg(F.max("term_id").alias("__m"))
+    return ext.crossJoin(F.broadcast(mx)).select(
+        "term", "term_id",
+        (F.col("term_id") > F.col("__m")).cast("bigint").alias("is_new"),
+    )
+
+
 @q("docs_pii_luhn_redact", _luhn_oracle(2000))
 def docs_pii_luhn_redact(spark, sf_dir):
     """Luhn-validated credit-card redaction (``operators/corpus.py::
@@ -10601,6 +10662,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_dictionary_extend": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): incremental HDT maintenance (frozen base ids + dense append via anti-join + broadcast max); two-phase row_number replay oracle; stability pinned by unit test",
     "docs_pii_luhn_redact": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): checksum-validated PII (unrolled Luhn in codegen, literal span replace); the broken-check-digit class pins the false-positive gate a regex-only redactor lacks",
     "kg_transe_rank_eval": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the eval loop for the KG-embedding prep family (frozen integer TransE, optimistic-rank corruption protocol, one codegen projection); full integer replay oracle",
     "docs_sentence_split": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): sentence boundary detection as ONE codegen regexp (abbreviation/initial lookbehind guards); class oracle states the sentences, a guard failure changes row counts",

@@ -51,24 +51,53 @@ def object_term(
     )
 
 
-def build_term_dictionary(triples: DataFrame) -> DataFrame:
-    """Six-col triples → ``(term, term_id)``, ids dense 0-based ranks
-    under binary order. The dictionary feeds several encode/decode
-    joins downstream — persisted here once."""
+def _all_terms(triples: DataFrame) -> DataFrame:
     obj = object_term(
         F.col("obj_kind"), F.col("obj_lex"), F.col("obj_datatype"), F.col("obj_lang")
     )
-    terms = (
+    return (
         triples.select(F.col("subj").alias("term"))
         .unionByName(triples.select(F.col("pred").alias("term")))
         .unionByName(triples.select(obj.alias("term")))
         .distinct()
     )
+
+
+def build_term_dictionary(triples: DataFrame) -> DataFrame:
+    """Six-col triples → ``(term, term_id)``, ids dense 0-based ranks
+    under binary order. The dictionary feeds several encode/decode
+    joins downstream — persisted here once."""
     return (
-        _global_positions(terms, ["term"])
+        _global_positions(_all_terms(triples), ["term"])
         .select("term", F.col("position").alias("term_id"))
         .persist()
     )
+
+
+def extend_term_dictionary(
+    dictionary: DataFrame, new_triples: DataFrame
+) -> DataFrame:
+    """Incremental dictionary growth — the property that makes
+    re-crawl re-encodes sound: EXISTING ids never move (already-
+    encoded stores stay valid), while genuinely new terms take dense
+    ids appended after the current maximum (their binary-order ranks,
+    offset by max+1). One anti-join finds the new terms; the 1-row max
+    broadcasts (no driver collect, resume-safe); ranks come from the
+    same ``_global_positions`` idiom as the base build. Returns the
+    extended ``(term, term_id)`` dictionary."""
+    new_terms = _all_terms(new_triples).join(
+        dictionary.select("term"), "term", "left_anti"
+    )
+    base_max = dictionary.agg(F.max("term_id").alias("__dx_max"))
+    appended = (
+        _global_positions(new_terms, ["term"])
+        .crossJoin(F.broadcast(base_max))
+        .select(
+            "term",
+            (F.col("__dx_max") + 1 + F.col("position")).cast("bigint").alias("term_id"),
+        )
+    )
+    return dictionary.unionByName(appended)
 
 
 def encode_triples(triples: DataFrame, dictionary: DataFrame) -> DataFrame:

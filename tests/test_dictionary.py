@@ -59,3 +59,30 @@ def test_ids_invariant_under_partitioning_and_roundtrip(spark):
     assert sorted(r["subj_decoded"] for r in back.collect()) == sorted(
         r["subj"] for r in t.collect()
     )
+
+
+def test_extend_keeps_base_ids_frozen_and_appends_dense(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.dictionary import extend_term_dictionary
+
+    t = _triples(spark)
+    base = build_term_dictionary(t)
+    base_ids = {r["term"]: r["term_id"] for r in base.collect()}
+    delta = spark.createDataFrame(
+        [
+            ("http://e/a", "http://e/newpred", 2, "zz", None, None),  # subj exists
+            ("http://e/newsubj", "http://e/p", 0, "http://e/a", None, None),
+        ],
+        "subj string, pred string, obj_kind int, obj_lex string, "
+        "obj_datatype string, obj_lang string",
+    )
+    ext = {r["term"]: r["term_id"] for r in extend_term_dictionary(base, delta).collect()}
+    # frozen base
+    for k, v in base_ids.items():
+        assert ext[k] == v
+    # new terms densely appended after the base max, in binary order
+    new = sorted(k for k in ext if k not in base_ids)
+    assert new == sorted(["http://e/newpred", "http://e/newsubj", "2\x01zz\x01\x01"])
+    mx = max(base_ids.values())
+    assert [ext[k] for k in new] == [mx + 1, mx + 2, mx + 3]
