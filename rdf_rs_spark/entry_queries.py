@@ -10263,11 +10263,12 @@ def kg_dictionary_extend(spark, sf_dir):
 def docs_pii_luhn_redact(spark, sf_dir):
     """Luhn-validated credit-card redaction (``operators/corpus.py::
     redact_luhn_cards``) — the PII family upgraded from regex-only to
-    CHECKSUM-validated: a 16-digit candidate is redacted only when the
-    Luhn digit checks out, so phone-number/id lookalikes (and the
-    class-1 corpus, the SAME card with its check digit +1) survive
-    untouched — exactly the false-positive class a bare
-    ``redact_pattern`` over ``\\d{16}`` would destroy. Unrolled
+    CHECKSUM-validated: each of the first 4 16-digit candidates is
+    redacted only when its Luhn digit checks out, so phone-number/id
+    lookalikes (and the class-1 corpus, the SAME card with its check
+    digit +1) survive untouched — exactly the false-positive class a
+    bare ``redact_pattern`` over ``\\d{16}`` would destroy, and an
+    early lookalike cannot shield a later real PAN. Unrolled
     16-term codegen arithmetic, literal span replace, zero shuffle.
     Format variance (contiguous vs dashed groups) alternates by
     parity. The oracle derives each class's card from the same

@@ -88,8 +88,12 @@ def iso_epoch(iso: Column) -> Column:
         # Feb 31 passes — documented subset; garbage months do not)
         return m.between("01", "12") & d.between("01", "31")
 
+    def tvalid(hh: Column, mi: Column, ss: Column) -> Column:
+        # 99:99:99 must fall through, not silently shift days
+        return hh.between("00", "23") & mi.between("00", "59") & ss.between("00", "59")
+
     return (
-        F.when(iso.rlike(ts_rx) & valid(g(2), g(3)), full)
+        F.when(iso.rlike(ts_rx) & valid(g(2), g(3)) & tvalid(g(4), g(5), g(6)), full)
         .when(iso.rlike(d_rx) & valid(dg(2), dg(3)), dateonly)
         .otherwise(F.lit(None).cast("long"))
     )

@@ -1017,16 +1017,21 @@ def publish_date(html: Column, url: Column) -> Column:
         F.when(ud == "", F.lit(1)).otherwise(ud.cast("long")),
     )
     meta_e, time_e = iso_epoch(meta_iso), iso_epoch(time_iso)
+    url_ok = (
+        (uy != "")
+        & um.between("01", "12")
+        & ((ud == "") | ud.between("01", "31"))
+    )
     epoch = (
         F.when(meta_e.isNotNull(), meta_e)
         .when(time_e.isNotNull(), time_e)
-        .when((uy != "") & um.between("01", "12"), url_epoch)
+        .when(url_ok, url_epoch)
         .otherwise(F.lit(None).cast("long"))
     )
     src = (
         F.when(meta_e.isNotNull(), F.lit("meta"))
         .when(time_e.isNotNull(), F.lit("time"))
-        .when((uy != "") & um.between("01", "12"), F.lit("url"))
+        .when(url_ok, F.lit("url"))
         .otherwise(F.lit(None).cast("string"))
     )
     return F.struct(epoch.alias("epoch"), src.alias("src"))
@@ -1064,9 +1069,16 @@ def reassemble_paginated(
     base = pages.select(
         F.col(url_col).alias("url"), F.col(text_col).alias("text"),
         nxt.alias("__rp_next"),
-    )
-    edges = base.where(F.col("__rp_next") != "").select(
-        F.col("__rp_next").alias("src_url"), F.col("url").alias("dst_url")
+    ).dropDuplicates(["url"])
+    # the reversed relation must be FUNCTIONAL or the jump join fans
+    # out: when several pages claim the same next target (mirrored /
+    # near-dup pages — a normal crawl condition), the deterministic
+    # minimum predecessor wins and the losers fall back to standalone
+    # articles; one map-side-combining min, never a window
+    edges = (
+        base.where(F.col("__rp_next") != "")
+        .groupBy(F.col("__rp_next").alias("src_url"))
+        .agg(F.min("url").alias("dst_url"))
     )
     res = resolve_redirects(edges, urls=base.select("url"), max_hops=max_pages)
     joined = base.join(res, "url", "left")
@@ -1111,23 +1123,32 @@ def luhn_valid_16(digits: Column) -> Column:
     return total % 10 == 0
 
 
-def redact_luhn_cards(text: Column) -> Column:
-    """struct(has_card, redacted): the FIRST 16-digit candidate is
-    Luhn-checked; only a VALID card is replaced (literal replace of
-    the matched span, not a blanket regexp — an invalid lookalike
-    stays). Subset (documented): one candidate per document is
-    validated — multi-PAN documents keep later occurrences; 13/15/19-
-    digit formats (legacy Visa, Amex) are out of scope for the column
-    path. Zero shuffle; composes with ``redact_pattern``."""
-    cand = F.regexp_extract(text, _CARD_RX, 1)
-    digits = F.translate(cand, " -", "")
-    # ANSI: substring('').cast(int) throws, and WHEN does not
-    # short-circuit codegen subexpressions — checksum a dummy PAN
-    # for rows without a 16-digit candidate
-    has16 = F.length(digits) == 16
-    safe_digits = F.when(has16, digits).otherwise(F.lit("0" * 16))
-    valid = (cand != "") & has16 & luhn_valid_16(safe_digits)
-    redacted = F.when(valid, F.replace(text, cand, F.lit("[CARD]"))).otherwise(text)
+def redact_luhn_cards(text: Column, max_candidates: int = 4) -> Column:
+    """struct(has_card, redacted): the first ``max_candidates``
+    16-digit candidates are EACH Luhn-checked; every valid one is
+    replaced (literal replace of the matched span, not a blanket
+    regexp — invalid lookalikes stay, and an early lookalike cannot
+    shield a later real PAN, the primary-threat case a first-match
+    design leaks). Subset (documented): candidates beyond
+    ``max_candidates`` per document are not validated; 13/15/19-digit
+    formats (legacy Visa, Amex) are out of scope for the column path.
+    Zero shuffle; composes with ``redact_pattern``."""
+    cands = F.regexp_extract_all(text, F.lit(_CARD_RX), 1)
+    has_card = F.lit(False)
+    redacted = text
+    for c in range(max_candidates):
+        cand = F.coalesce(F.get(cands, c), F.lit(""))
+        digits = F.translate(cand, " -", "")
+        # ANSI: substring('').cast(int) throws, and WHEN does not
+        # short-circuit codegen subexpressions — checksum a dummy PAN
+        # for missing candidates
+        has16 = F.length(digits) == 16
+        safe_digits = F.when(has16, digits).otherwise(F.lit("0" * 16))
+        valid = (cand != "") & has16 & luhn_valid_16(safe_digits)
+        redacted = F.when(
+            valid, F.replace(redacted, cand, F.lit("[CARD]"))
+        ).otherwise(redacted)
+        has_card = has_card | valid
     return F.struct(
-        valid.cast("bigint").alias("has_card"), redacted.alias("redacted")
+        has_card.cast("bigint").alias("has_card"), redacted.alias("redacted")
     )

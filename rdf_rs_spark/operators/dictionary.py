@@ -88,7 +88,12 @@ def extend_term_dictionary(
     new_terms = _all_terms(new_triples).join(
         dictionary.select("term"), "term", "left_anti"
     )
-    base_max = dictionary.agg(F.max("term_id").alias("__dx_max"))
+    # empty base dictionary: max() is NULL and would NULL-propagate
+    # into every appended id — coalesce to -1 so bootstrap-by-extend
+    # assigns dense ids from 0
+    base_max = dictionary.agg(
+        F.coalesce(F.max("term_id"), F.lit(-1)).cast("bigint").alias("__dx_max")
+    )
     appended = (
         _global_positions(new_terms, ["term"])
         .crossJoin(F.broadcast(base_max))

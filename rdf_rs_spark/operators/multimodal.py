@@ -2487,11 +2487,14 @@ class _FlacBitReader:
     def __init__(self, b: bytes, byte_pos: int = 0) -> None:
         self.b = b
         self.bit = byte_pos * 8
+        self._end = len(b) * 8
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
         end = self.bit + n
+        if end > self._end:  # truncated payload: raise, never spin
+            raise ValueError("FLAC stream truncated mid-read")
         b0, b1 = self.bit >> 3, (end + 7) >> 3
         chunk = int.from_bytes(self.b[b0:b1], "big")
         self.bit = end

@@ -205,6 +205,8 @@ def wordpiece_pieces_col(text: Column, vocab, max_word_len: int = 64) -> Column:
 
     @pandas_udf(ArrayType(StringType()))
     def k(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: [p for w in t.split() for p in seg_word(w)])
+        # NULL text (extraction failures) -> empty piece list, not a
+        # task-killing AttributeError
+        return s.map(lambda t: [p for w in (t or "").split() for p in seg_word(w)])
 
     return k(text)

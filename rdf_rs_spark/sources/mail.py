@@ -60,7 +60,11 @@ _ENC_WORD = re.compile(r"=\?([^?]+)\?([QqBb])\?([^?]*)\?=")
 
 def split_mbox(data: str) -> List[str]:
     """mbox → raw message strings (``From `` framing line dropped,
-    ``>From`` quoting undone — the mboxrd convention)."""
+    ``>From`` quoting undone — the mboxrd convention). CRLF wire
+    framing normalizes to LF up front so the header/body blank-line
+    split sees real RFC 5322 messages (a '\\r\\n\\r\\n' divider contains
+    no contiguous '\\n\\n' — without this the whole body vanished)."""
+    data = data.replace("\r\n", "\n")
     starts = [m.start() for m in _FROM_LINE.finditer(data)]
     msgs = []
     for j, s in enumerate(starts):
@@ -94,8 +98,16 @@ def decode_header_words(value: str) -> str:
                 raw = base64.b64decode(payload, validate=True)
             except (binascii.Error, ValueError):
                 return m.group(0)
+        else:
+            raw = re.sub(
+                rb"=([0-9A-Fa-f]{2})",
+                lambda h: bytes([int(h.group(1), 16)]),
+                payload.replace("_", " ").encode("ascii", "replace"),
+            )
+        try:
             return raw.decode(charset, "replace")
-        return _qp_decode(payload.replace("_", " "))
+        except LookupError:  # unknown charset label: leave word verbatim
+            return m.group(0)
 
     return _ENC_WORD.sub(one, value)
 
@@ -179,7 +191,9 @@ def _walk_parts(headers: List[Tuple[str, str]], body: str, texts: List[str], enc
 
 def parse_message(raw: str) -> Tuple[Optional[str], Optional[str], Optional[int], str, int, Optional[str]]:
     """One raw RFC 5322 message → (from_addr, subject, date_unix,
-    text, n_leaf_parts, first_text_cte)."""
+    text, n_leaf_parts, first_text_cte). CRLF-framed input is
+    normalized (idempotent with the split_mbox normalization)."""
+    raw = raw.replace("\r\n", "\n")
     head, _, body = raw.partition("\n\n")
     hs = _unfold(head)
     frm = _header(hs, "from")

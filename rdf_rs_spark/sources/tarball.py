@@ -157,6 +157,13 @@ def _octal(v: int, width: int) -> bytes:
 
 
 def _tar_header(name: str, size: int, prefix: str = "") -> bytes:
+    # oversize fields would RESIZE the bytearray via slice assignment,
+    # silently shifting every later offset (and the checksum would
+    # bless the corrupt layout) — fail loudly like stdlib tarfile
+    if len(name.encode()) > 100:
+        raise ValueError(f"tar name exceeds 100 bytes: {name!r}")
+    if len(prefix.encode()) > 155:
+        raise ValueError(f"tar prefix exceeds 155 bytes: {prefix!r}")
     h = bytearray(512)
     h[0:100] = name.encode().ljust(100, b"\0")
     h[100:108] = _octal(0o644, 8)

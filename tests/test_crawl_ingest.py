@@ -606,3 +606,22 @@ def test_reassemble_paginated_chains_cycles_and_attr_order(spark):
     assert (out["u/b/0"]["n_pages"], out["u/b/0"]["reassembled"]) == (1, 1)
     assert out["u/c/0"]["reassembled"] == 0 and out["u/c/1"]["reassembled"] == 0
     assert len(out) == 4
+
+
+def test_reassemble_shared_next_target_does_not_fan_out(spark):
+    from rdf_rs_spark.operators.corpus import reassemble_paginated
+
+    rows = [
+        ("u/a", '<link rel="next" href="u/c">', "A text"),
+        ("u/b", '<link rel="next" href="u/c">', "B text"),  # same target
+        ("u/c", "<p>end</p>", "C text"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html", "text"])
+    out = {r["article_url"]: r for r in reassemble_paginated(df).collect()}
+    # min predecessor (u/a) wins C; u/b degrades to standalone;
+    # C's text appears exactly ONCE across all articles
+    assert out["u/a"]["full_text"] == "A text\n\nC text"
+    assert out["u/b"]["full_text"] == "B text"
+    joined = "|".join(r["full_text"] for r in out.values())
+    assert joined.count("C text") == 1
+    assert sum(r["n_pages"] for r in out.values()) == 3

@@ -84,3 +84,20 @@ def test_publish_date_priority_and_url_month_only(spark):
     assert got[1] == (int(datetime(2020, 6, 1, tzinfo=timezone.utc).timestamp()), "url")
     assert got[2] == (int(datetime(2022, 3, 4, tzinfo=timezone.utc).timestamp()), "time")
     assert got[3] == (None, None)
+
+
+def test_garbage_time_and_url_day_fall_through(spark):
+    rows = [
+        # 99-hour meta must NOT win; falls to the valid time element
+        (0, '<meta property="article:published_time" content="2021-03-05T99:00:00Z">'
+            '<time datetime="2022-03-04">', "https://s/a"),
+        # url day 00 is not a date path
+        (1, "<p>x</p>", "https://s/2020/06/00/a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "html", "url"]).select(
+        "doc_id", publish_date(F.col("html"), F.col("url")).alias("p")
+    )
+    got = {r["doc_id"]: (r["p"]["epoch"], r["p"]["src"]) for r in df.collect()}
+    assert got[0][1] == "time"
+    assert got[0][0] == int(datetime(2022, 3, 4, tzinfo=timezone.utc).timestamp())
+    assert got[1] == (None, None)

@@ -86,3 +86,13 @@ def test_extend_keeps_base_ids_frozen_and_appends_dense(spark):
     assert new == sorted(["http://e/newpred", "http://e/newsubj", "2\x01zz\x01\x01"])
     mx = max(base_ids.values())
     assert [ext[k] for k in new] == [mx + 1, mx + 2, mx + 3]
+
+
+def test_extend_from_empty_base_bootstraps_dense_ids(spark):
+    from rdf_rs_spark.operators.dictionary import extend_term_dictionary
+
+    t = _triples(spark)
+    empty = build_term_dictionary(t.limit(0))
+    ext = {r["term"]: r["term_id"] for r in extend_term_dictionary(empty, t).collect()}
+    assert sorted(ext.values()) == list(range(len(ext)))
+    assert None not in ext.values()

@@ -94,3 +94,11 @@ def test_spark_extraction_is_narrow(spark):
     assert r["text"] == "From the field 3\nplain alt 3\n\ntail = 3"
     assert (r["n_parts"], r["enc"]) == (3, "7bit")
     assert rows[("mbox:4", 0)]["subject"] == "Café report no 4"
+
+
+def test_crlf_framed_message_keeps_body_and_charset_q_words_decode():
+    raw = "Subject: =?iso-8859-1?Q?Caf=E9?=\r\nContent-Type: text/plain\r\n\r\nreal body\r\n"
+    addr, subj, du, text, n, enc = parse_message(raw)
+    assert text == "real body" and subj == "Café"
+    # unknown charset label: word left verbatim, no crash
+    assert decode_header_words("=?x-unknown?B?aGk=?=") == "=?x-unknown?B?aGk=?="

@@ -102,3 +102,24 @@ def test_luhn_redaction_classes(spark):
     for t, has, red in rows:
         assert got[t][0] == has, t
         assert got[t][1] == (red if red is not None else t), t
+
+
+def test_luhn_lookalike_does_not_shield_later_pan(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import redact_luhn_cards
+
+    rows = [
+        # invalid lookalike FIRST, real PAN second -> PAN must redact
+        ("id 1234-5678-9012-3456 then pay 4539 1488 0343 6467",
+         1, "id 1234-5678-9012-3456 then pay [CARD]"),
+        # two valid PANs -> both redact
+        ("a 4111111111111111 b 4539 1488 0343 6467 c",
+         1, "a [CARD] b [CARD] c"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], ["t"]).select(
+        "t", redact_luhn_cards(F.col("t")).alias("r")
+    )
+    got = {r["t"]: (r["r"]["has_card"], r["r"]["redacted"]) for r in df.collect()}
+    for t, has, red in rows:
+        assert got[t] == (has, red), t

@@ -422,3 +422,13 @@ def test_flac_property_roundtrip():
         assert ok == 1 and dec[0][2] == sig
 
     prop()
+
+
+def test_flac_truncated_payload_raises_not_hangs():
+    import pytest as _pytest
+
+    from rdf_rs_spark.operators.multimodal import flac_decode, flac_encode
+
+    blob = flac_encode([[5 + 3 * j for j in range(40)]], 8000, "fixed", 1)
+    with _pytest.raises(ValueError):
+        flac_decode(blob[:-6])  # cut mid-residual: must raise, never spin

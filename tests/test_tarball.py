@@ -81,3 +81,12 @@ def test_code_stats_closed_forms(spark):
     md = rows[("tar:11", "README.md")]  # 11 % 50 = 11 -> two digits
     assert (md["lang"], md["size"], md["max_line_len"]) == ("markdown", 12, 11)
     assert md["alpha_e3"] == (1000 * 8) // 12
+
+
+def test_oversize_name_or_prefix_raises_not_corrupts():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _tar_bytes([("", "x" * 120 + ".py", "hello\n")])
+    with _pytest.raises(ValueError):
+        _tar_bytes([("d" * 160, "leaf.py", "z\n")])

@@ -386,36 +386,27 @@ def test_wordpiece_greedy_decision_points(spark):
     assert got[4] == []                        # empty text -> no pieces
 
 
-def test_wordpiece_matches_independent_reference():
+def test_wordpiece_matches_independent_reference(spark):
+    # hypothesis generates the word set, ONE Spark job drives them all
+    # through the PRODUCTION kernel (not a pasted copy — review
+    # finding: a frozen copy stays green when the real kernel drifts)
     from hypothesis import given, settings
     from hypothesis import strategies as st
+    from pyspark.sql import functions as F
 
-    from rdf_rs_spark.operators.tokenizer import wordpiece_pieces_col  # noqa: F401
-    # kernel's seg loop is exercised via the module-level algorithm:
-    # rebuild it the same way the udf closure does
-    vocab = frozenset(_WP_VOCAB)
+    from rdf_rs_spark.operators.tokenizer import wordpiece_pieces_col
 
-    def seg_word(w):
-        if not w or len(w) > 64:
-            return ["[UNK]"]
-        out, pos = [], 0
-        while pos < len(w):
-            end, piece = len(w), None
-            while end > pos:
-                cand = w[pos:end] if pos == 0 else "##" + w[pos:end]
-                if cand in vocab:
-                    piece = cand
-                    break
-                end -= 1
-            if piece is None:
-                return ["[UNK]"]
-            out.append(piece)
-            pos = end
-        return out
+    words = []
 
     @settings(max_examples=300, deadline=None)
     @given(st.text(alphabet="lowestradinger0123456789zq", min_size=1, max_size=12))
-    def prop(w):
-        assert seg_word(w) == _wp_reference(w, vocab)
+    def gen(w):
+        words.append(w)
 
-    prop()
+    gen()
+    vocab = frozenset(_WP_VOCAB)
+    df = spark.createDataFrame([(w,) for w in set(words)], ["w"]).select(
+        "w", wordpiece_pieces_col(F.col("w"), _WP_VOCAB).alias("p")
+    )
+    for r in df.collect():
+        assert r["p"] == _wp_reference(r["w"], vocab), r["w"]
