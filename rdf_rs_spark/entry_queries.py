@@ -10574,6 +10574,17 @@ def warc_wat_roundtrip(spark, sf_dir):
 #   (c) fill remaining slots from the rest of the r4-late list; whatever
 #       misses the r5 window stays DEFERRED with its reason updated —
 #       NEVER displace a (a)/(b) pick for a fill.
+# r4s11 additions to weigh into (a)/(b): kg_pipeline_from_warc-style
+#   container fronts docs_{pdf,docx,tar_code,mbox} (regeneration oracles
+#   over real binary walks), multimodal_flac_decode (order-sensitive
+#   wsum), kg_dictionary_encode + kg_dictionary_extend (the HDT layout
+#   pair — one row_number replay covers both build and maintenance),
+#   crawl_robots_wildcards (decision oracle with the escape-flip class),
+#   docs_mojibake_repair / docs_publish_dates / docs_pii_luhn_redact /
+#   docs_sentence_split (curation kernels with decision oracles),
+#   corpus_paginated_reassembly + warc_revisit_dedup (keep-first/jump
+#   shapes), docs_wordpiece_segment + kg_transe_rank_eval (frozen-model
+#   class beside docs_hashclf_quality).
 # Everything in-window below that comes back green in CORRECTNESS_r04 and
 # is impl-unchanged rotates OUT to DEFERRED ("green r4 …").
 
