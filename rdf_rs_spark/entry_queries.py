@@ -10259,6 +10259,61 @@ def kg_dictionary_extend(spark, sf_dir):
     )
 
 
+_DICT_TERM_CASE = """CASE WHEN obj_kind = 0 THEN obj_lex
+                          WHEN obj_kind = 1 THEN '_:' || obj_lex
+                          ELSE obj_kind::VARCHAR || chr(1) || obj_lex || chr(1)
+                               || coalesce(obj_datatype, '') || chr(1)
+                               || coalesce(obj_lang, '') END"""
+
+
+@q(
+    "kg_pipeline_hdt_encode",
+    "WITH e2e AS ("
+    + _kg_e2e_oracle(2000)
+    + f"""),
+    t AS (SELECT DISTINCT subj, pred, {_DICT_TERM_CASE} AS ot
+          FROM e2e),
+    terms AS (
+      SELECT DISTINCT term FROM (
+        SELECT subj AS term FROM t
+        UNION SELECT pred FROM t
+        UNION SELECT ot FROM t)),
+    d AS (SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS id
+          FROM terms)
+    SELECT ds.id AS s_id, dp.id AS p_id, dobj.id AS o_id, t.subj AS subj
+    FROM t
+    JOIN d ds ON ds.term = t.subj
+    JOIN d dp ON dp.term = t.pred
+    JOIN d dobj ON dobj.term = t.ot""",
+)
+def kg_pipeline_hdt_encode(spark, sf_dir):
+    """Composition flagship: the FULL Common-Crawl-shaped pipeline
+    (Turtle-island parse → broadcast linking → skolemize → salted
+    dedup — the ``kg_pipeline_e2e`` plan) lands directly in the HDT
+    dictionary layout (``operators/dictionary.py``): one dense
+    (term → id) dictionary over the fresh KG, triples re-encoded as
+    int ids, the decoded subject riding the hash as the roundtrip
+    proof. This is the at-scale write path — downstream consumers of
+    a 10^12-page build join/sort 8-byte ids, never IRI strings. The
+    oracle nests the SHARED e2e regeneration (the one corpus closed
+    form gating batch/WARC/streaming/incremental fronts) and replays
+    the rank — skolem hashes, linking and dictionary ids all under
+    one value hash."""
+    from .operators.dictionary import (
+        build_term_dictionary,
+        decode_column,
+        encode_triples,
+    )
+
+    n = _scale_n(sf_dir)
+    triples = page_triples(
+        synthesize_web_pages(spark, n), synthesize_alias_dict(spark)
+    ).drop("src_url").dropDuplicates()
+    d = build_term_dictionary(triples)
+    enc = encode_triples(triples, d)
+    return decode_column(enc, d, "s_id", "subj").select("s_id", "p_id", "o_id", "subj")
+
+
 @q("docs_pii_luhn_redact", _luhn_oracle(2000))
 def docs_pii_luhn_redact(spark, sf_dir):
     """Luhn-validated credit-card redaction (``operators/corpus.py::
@@ -10674,6 +10729,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_pipeline_hdt_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): composition flagship (full e2e pipeline landing in the HDT dictionary layout); nests the SHARED e2e regeneration + rank replay, so one green row covers pipeline AND dictionary at once",
     "kg_dictionary_extend": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): incremental HDT maintenance (frozen base ids + dense append via anti-join + broadcast max); two-phase row_number replay oracle; stability pinned by unit test",
     "docs_pii_luhn_redact": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): checksum-validated PII (unrolled Luhn in codegen, literal span replace); the broken-check-digit class pins the false-positive gate a regex-only redactor lacks",
     "kg_transe_rank_eval": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the eval loop for the KG-embedding prep family (frozen integer TransE, optimistic-rank corruption protocol, one codegen projection); full integer replay oracle",
