@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     # tokenizer; a workload class (binary parse + zlib per doc) none of
     # the entries above exercise
     "docs_pdf_extract",
+    # session-11 flagship: the e2e pipeline landing in the HDT
+    # dictionary layout — measures the term-dictionary build (range
+    # exchange + broadcast offsets) and the three encode joins on top
+    # of the kg_pipeline_e2e plan
+    "kg_pipeline_hdt_encode",
 ]
 
 

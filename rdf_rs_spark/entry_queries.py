@@ -10314,6 +10314,61 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
     return decode_column(enc, d, "s_id", "subj").select("s_id", "p_id", "o_id", "subj")
 
 
+@q(
+    "docs_gopher_quality",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 6 AS k FROM p)
+    SELECT i::BIGINT AS doc_id,
+      ([62, 3, 69, 69, 55, 62])[k + 1]::BIGINT AS n_words,
+      (CASE WHEN k = 1 THEN 0 ELSE 1 END)::BIGINT AS pass_words,
+      1::BIGINT AS pass_mwl,
+      (CASE WHEN k = 3 THEN 0 ELSE 1 END)::BIGINT AS pass_symbol,
+      (CASE WHEN k = 2 THEN 0 ELSE 1 END)::BIGINT AS pass_bullets,
+      (CASE WHEN k = 5 THEN 0 ELSE 1 END)::BIGINT AS pass_ellipsis,
+      1::BIGINT AS pass_alpha,
+      (CASE WHEN k IN (1, 4) THEN 0 ELSE 1 END)::BIGINT AS pass_stops,
+      (CASE WHEN k = 0 THEN 1 ELSE 0 END)::BIGINT AS pass_all
+    FROM f""",
+)
+def docs_gopher_quality(spark, sf_dir):
+    """The Gopher quality-filter rule family (Rae et al. 2021 §A1.1;
+    ``operators/corpus.py::gopher_quality_flags``) — the widely-cited
+    curation gate emitted as PER-RULE flags beside the composite
+    ``quality_score_e3``: word-count bounds, mean word length,
+    symbol-to-word ratio (# and …), bullet-line and ellipsis-line
+    fractions, alpha-word fraction, ≥2 distinct stop words — all
+    cross-multiplied integers, zero shuffle. Six corpus classes each
+    violate EXACTLY one rule (or none): the oracle is a pure decision
+    table, so a single mis-thresholded rule flips its class column
+    without touching the others — nothing is replayed."""
+    from .operators.corpus import gopher_quality_flags
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 6
+    w = F.concat(F.lit("r"), F.lpad((i % 10000).cast("string"), 4, "0"))
+    B = "the data and the model have to work with care"
+    text = (
+        F.when(k == 0, F.concat(F.lit((B + " ") * 6 + "row "), w))
+        .when(k == 1, F.concat(F.lit("tiny doc "), w))
+        .when(k == 2, F.concat(F.lit("\n".join(["- " + B] * 6) + "\n- end "), w))
+        .when(k == 3, F.concat(F.lit((B + " ") * 6 + "row "), w,
+                               F.lit(" ## ## ## ## ## ## ##")))
+        .when(k == 4, F.concat(
+            F.lit("data model work care value metric score table row " * 6), w))
+        .otherwise(F.concat(F.lit((B + "...\n") * 6 + "end "), w))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    g = gopher_quality_flags(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[g.getField(c).alias(c) for c in (
+            "n_words", "pass_words", "pass_mwl", "pass_symbol", "pass_bullets",
+            "pass_ellipsis", "pass_alpha", "pass_stops", "pass_all",
+        )],
+    )
+
+
 @q("docs_pii_luhn_redact", _luhn_oracle(2000))
 def docs_pii_luhn_redact(spark, sf_dir):
     """Luhn-validated credit-card redaction (``operators/corpus.py::
@@ -10729,6 +10784,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_gopher_quality": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the named Gopher rule family as per-rule integer flags under a pure decision-table oracle (each class violates exactly one rule)",
     "kg_pipeline_hdt_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): composition flagship (full e2e pipeline landing in the HDT dictionary layout); nests the SHARED e2e regeneration + rank replay, so one green row covers pipeline AND dictionary at once",
     "kg_dictionary_extend": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): incremental HDT maintenance (frozen base ids + dense append via anti-join + broadcast max); two-phase row_number replay oracle; stability pinned by unit test",
     "docs_pii_luhn_redact": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): checksum-validated PII (unrolled Luhn in codegen, literal span replace); the broken-check-digit class pins the false-positive gate a regex-only redactor lacks",

@@ -1152,3 +1152,56 @@ def redact_luhn_cards(text: Column, max_candidates: int = 4) -> Column:
     return F.struct(
         has_card.cast("bigint").alias("has_card"), redacted.alias("redacted")
     )
+
+
+#: the Gopher rule-7 stop set (Rae et al. 2021 §A1.1)
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """The Gopher quality-filter rule family (Rae et al. 2021, §A1.1)
+    as per-rule integer flags — the widely-cited curation gate beside
+    the composite ``quality_score_e3``: word-count bounds [50, 100k],
+    mean word length [3, 10], symbol-to-word ratio (# and …) ≤ 0.1,
+    ≤ 90% bullet-started lines, ≤ 30% ellipsis-ended lines, ≥ 80%
+    words containing an alphabetic char, and ≥ 2 distinct stop words.
+    All thresholds restated as cross-multiplied integers (no floats
+    near the gate). Pure columns, zero shuffle; the two per-element
+    lambdas are trivial predicates (prefix/suffix/one-char-class)."""
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("long")
+    chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("long")
+    mwl_e3 = F.floor(F.lit(1000) * chars / n_words).cast("long")
+    hashes = (F.length(text) - F.length(F.translate(text, "#", ""))).cast("long")
+    ell = ((F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.size(
+        F.filter(lines, lambda x: F.ltrim(x).startswith("-") | F.ltrim(x).startswith("•"))
+    ).cast("long")
+    ell_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    ).cast("long")
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    stops = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    ).cast("long")
+    flags = {
+        "pass_words": (n_words >= 50) & (n_words <= 100000),
+        "pass_mwl": (mwl_e3 >= 3000) & (mwl_e3 <= 10000),
+        "pass_symbol": (hashes + ell) * 10 <= n_words,
+        "pass_bullets": bullet * 10 <= n_lines * 9,
+        "pass_ellipsis": ell_lines * 10 <= n_lines * 3,
+        "pass_alpha": alpha * 5 >= n_words * 4,
+        "pass_stops": stops >= 2,
+    }
+    pass_all = None
+    for c in flags.values():
+        pass_all = c if pass_all is None else (pass_all & c)
+    return F.struct(
+        n_words.alias("n_words"),
+        *[v.cast("bigint").alias(k) for k, v in flags.items()],
+        pass_all.cast("bigint").alias("pass_all"),
+    )

@@ -123,3 +123,25 @@ def test_luhn_lookalike_does_not_shield_later_pan(spark):
     got = {r["t"]: (r["r"]["has_card"], r["r"]["redacted"]) for r in df.collect()}
     for t, has, red in rows:
         assert got[t] == (has, red), t
+
+
+def test_gopher_flags_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import gopher_quality_flags
+
+    fifty = ("the data and the model have to work with care " * 5).strip()  # 50 words
+    rows = [
+        (0, fifty),                                  # exactly 50: pass_words
+        (1, ("w " * 49).strip()),                    # 49 words: fail
+        (2, "• dot bullet line\n- dash line"),       # both bullet markers
+        (3, "x"),                                    # 1 word, mwl 1000: fail mwl
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "t"]).select(
+        "doc_id", gopher_quality_flags(F.col("t")).alias("g")
+    )
+    got = {r["doc_id"]: r["g"] for r in df.collect()}
+    assert got[0]["n_words"] == 50 and got[0]["pass_words"] == 1
+    assert got[1]["pass_words"] == 0
+    assert got[2]["pass_bullets"] == 0  # 2/2 bullet lines > 90%
+    assert got[3]["pass_mwl"] == 0 and got[3]["pass_words"] == 0
