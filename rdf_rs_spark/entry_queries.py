@@ -10315,6 +10315,70 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "crawl_clean_params",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 4 AS k, (i % 5) % 3 AS t, i % 5 AS h FROM p)
+    SELECT 'https://w' || h || '.ex' ||
+      CASE k WHEN 0 THEN '/products/' || i || '?sid=9&color=red&ref=z'
+             WHEN 1 THEN '/blog/' || i || '?sid=5&utm_c=x'
+             WHEN 2 THEN '/products/' || i
+             ELSE '/p' || i || '?utm_c=a&sid=b' END AS url,
+      'https://w' || h || '.ex' ||
+      CASE WHEN t = 0 AND k = 0 THEN '/products/' || i || '?color=red'
+           WHEN t = 1 AND k = 1 THEN '/blog/' || i || '?sid=5'
+           WHEN t = 1 AND k = 3 THEN '/p' || i || '?sid=b'
+           ELSE CASE k WHEN 0 THEN '/products/' || i || '?sid=9&color=red&ref=z'
+                       WHEN 1 THEN '/blog/' || i || '?sid=5&utm_c=x'
+                       WHEN 2 THEN '/products/' || i
+                       ELSE '/p' || i || '?utm_c=a&sid=b' END END AS canonical_url,
+      (CASE WHEN t = 0 AND k = 0 THEN 2
+            WHEN t = 1 AND k IN (1, 3) THEN 1
+            ELSE 0 END)::BIGINT AS n_stripped
+    FROM f""",
+)
+def crawl_clean_params(spark, sf_dir):
+    """Clean-param declarations applied to the frontier
+    (``operators/crawl.py::parse_clean_params`` /
+    ``strip_declared_params``) — the site-DECLARED strip list (Yandex
+    robots extension) beside the MINED ``crawl_dust_rules``: both feed
+    the same canonicalize step, one from the publisher, one from
+    digest agreement. Parse side: group-independent directives with
+    `p1&p2 [path-prefix]` syntax in the shared robots walk. Apply
+    side: host-sized declarations broadcast, ONE prefix-matched join +
+    ONE combining collect_set per url, array-filter rebuild preserving
+    param order. Decision oracle per (host template × url class):
+    path-prefix scoping, multi-param strip, cross-host isolation and
+    untouched-query classes all stated closed-form."""
+    from .operators.crawl import parse_clean_params, strip_declared_params
+
+    templates = [
+        "User-agent: *\nDisallow: /x\nClean-param: sid&ref /products/\n",
+        "User-agent: *\nDisallow:\nClean-param: utm_c\n",
+        "User-agent: *\nDisallow:\n",
+    ]
+    robots = spark.range(5).select(
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(".ex")).alias("host"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in templates]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("robots_txt"),
+    )
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    k = i % 4
+    path = (
+        F.when(k == 0, F.concat(F.lit("/products/"), s, F.lit("?sid=9&color=red&ref=z")))
+        .when(k == 1, F.concat(F.lit("/blog/"), s, F.lit("?sid=5&utm_c=x")))
+        .when(k == 2, F.concat(F.lit("/products/"), s))
+        .otherwise(F.concat(F.lit("/p"), s, F.lit("?utm_c=a&sid=b")))
+    )
+    urls = spark.range(n).select(
+        F.concat(F.lit("https://w"), (i % 5).cast("string"), F.lit(".ex"), path).alias("url")
+    )
+    return strip_declared_params(urls, parse_clean_params(robots))
+
+
+@q(
     "docs_gopher_quality",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
     f AS (SELECT i, i % 6 AS k FROM p)
@@ -10784,6 +10848,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_clean_params": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the DECLARED strip list (Yandex Clean-param) beside the mined DUST rules; prefix-scoped decision oracle with cross-host isolation",
     "docs_gopher_quality": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the named Gopher rule family as per-rule integer flags under a pure decision-table oracle (each class violates exactly one rule)",
     "kg_pipeline_hdt_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): composition flagship (full e2e pipeline landing in the HDT dictionary layout); nests the SHARED e2e regeneration + rank replay, so one green row covers pipeline AND dictionary at once",
     "kg_dictionary_extend": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): incremental HDT maintenance (frozen base ids + dense append via anti-join + broadcast max); two-phase row_number replay oracle; stability pinned by unit test",

@@ -42,13 +42,16 @@ def _parse_robots_text(host: str, text: str):
 
 
 def _walk_robots(host: str, text: str):
-    """Shared group walk; returns ``(rules, delays, sitemaps)`` where
-    delays is one ``(host, agent, delay_s)`` per Crawl-delay directive
-    (the de-facto extension most crawlers honor), attached to the
-    current group like Allow/Disallow, and sitemaps is one
-    ``(host, url)`` per ``Sitemap:`` directive — GROUP-INDEPENDENT per
-    the sitemaps.org protocol (it neither opens nor closes a group)."""
-    rules, delays, sitemaps = [], [], []
+    """Shared group walk; returns ``(rules, delays, sitemaps,
+    cleanparams)`` where delays is one ``(host, agent, delay_s)`` per
+    Crawl-delay directive (the de-facto extension most crawlers
+    honor), attached to the current group like Allow/Disallow;
+    sitemaps is one ``(host, url)`` per ``Sitemap:`` directive —
+    GROUP-INDEPENDENT per the sitemaps.org protocol (it neither opens
+    nor closes a group); cleanparams is one ``(host, param,
+    path_prefix)`` per Clean-param declaration (Yandex extension,
+    also group-independent)."""
+    rules, delays, sitemaps, cleanparams = [], [], [], []
     agents: list[str] = []
     group_open = True  # True while consuming consecutive User-agent lines
     for raw in text.splitlines():
@@ -80,9 +83,19 @@ def _walk_robots(host: str, text: str):
             # still carries the full "https://…" URL
             if val:
                 sitemaps.append((host, val))
+        elif key == "clean-param":
+            # Yandex extension, group-independent like Sitemap:
+            # "Clean-param: p1&p2 /path-prefix" — the DECLARED
+            # counterpart to mined DUST rules
+            if val:
+                parts = val.split(None, 1)
+                prefix = parts[1] if len(parts) > 1 else "/"
+                for pname in parts[0].split("&"):
+                    if pname:
+                        cleanparams.append((host, pname, prefix))
         else:
             group_open = False
-    return rules, delays, sitemaps
+    return rules, delays, sitemaps, cleanparams
 
 
 def parse_robots(
@@ -872,4 +885,88 @@ def revisit_plan(
         F.when(is_orig, F.lit(None).cast("bigint")).otherwise(F.col("o_ts")).alias("refers_to_ts"),
         F.when(is_orig, F.col(len_col)).otherwise(F.lit(0)).cast("bigint").alias("stored_len"),
         F.col("o_len").cast("bigint").alias("resolved_len"),
+    )
+
+
+CLEAN_PARAMS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("param", T.StringType(), False),
+        T.StructField("path_prefix", T.StringType(), False),
+    ]
+)
+
+
+def parse_clean_params(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → one row per Clean-param declaration
+    ``(host, param, path_prefix)`` — the same group walk as
+    :func:`parse_robots`; group-independent per the Yandex spec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CLEAN_PARAMS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _walk_robots(getattr(r, host_col), getattr(r, text_col))[3]
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=CLEAN_PARAMS_SCHEMA)
+
+
+def strip_declared_params(
+    urls: DataFrame, clean: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Apply Clean-param declarations to a frontier: every declared
+    param whose path prefix matches is stripped (remaining params keep
+    their order) — the site-DECLARED complement to the mined
+    ``dust_rules`` strip list, feeding the same canonicalize step.
+
+    Scale shape: the declaration relation is host-sized → ONE
+    broadcast join on host + prefix; ONE combining ``collect_set`` per
+    url gathers the applicable names (never a window); the rebuild is
+    a narrow array filter. Returns (url, canonical_url, n_stripped)."""
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1).alias("__cp_host"),
+        F.regexp_extract(F.col(url_col), r"^https?://[^/?]+([^?]*)", 1).alias("__cp_path"),
+        F.element_at(F.split(F.col(url_col), r"\?", 2), 1).alias("__cp_base"),
+        F.split(
+            F.coalesce(
+                F.try_element_at(F.split(F.col(url_col), r"\?", 2), F.lit(2)),
+                F.lit(""),
+            ),
+            "&",
+        ).alias("__cp_params"),
+    )
+    joined = u.join(
+        F.broadcast(clean),
+        (u["__cp_host"] == clean["host"])
+        & F.when(u["__cp_path"] == "", F.lit("/")).otherwise(u["__cp_path"])
+        .startswith(clean["path_prefix"]),
+        "left",
+    )
+    gathered = joined.groupBy("url").agg(
+        F.first("__cp_base").alias("__cp_base"),
+        F.first("__cp_params").alias("__cp_params"),
+        F.collect_set("param").alias("__cp_strip"),
+    )
+    kept = F.filter(
+        F.col("__cp_params"),
+        lambda p: (p != "")
+        & ~F.array_contains(
+            F.col("__cp_strip"), F.element_at(F.split(p, "=", 2), 1)
+        ),
+    )
+    n_params = F.size(F.filter(F.col("__cp_params"), lambda p: p != ""))
+    canonical = F.when(F.size(kept) == 0, F.col("__cp_base")).otherwise(
+        F.concat(F.col("__cp_base"), F.lit("?"), F.array_join(kept, "&"))
+    )
+    return gathered.select(
+        "url",
+        canonical.alias("canonical_url"),
+        (n_params - F.size(kept)).cast("bigint").alias("n_stripped"),
     )

@@ -625,3 +625,35 @@ def test_reassemble_shared_next_target_does_not_fan_out(spark):
     joined = "|".join(r["full_text"] for r in out.values())
     assert joined.count("C text") == 1
     assert sum(r["n_pages"] for r in out.values()) == 3
+
+
+def test_clean_params_prefix_scope_and_order(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.crawl import parse_clean_params, strip_declared_params
+
+    robots = spark.createDataFrame(
+        [("a.ex", "Clean-param: sid&ref /products/\nClean-param: utm_c\n")],
+        ["host", "robots_txt"],
+    )
+    clean = parse_clean_params(robots)
+    assert {(r["param"], r["path_prefix"]) for r in clean.collect()} == {
+        ("sid", "/products/"), ("ref", "/products/"), ("utm_c", "/"),
+    }
+    urls = spark.createDataFrame(
+        [
+            ("https://a.ex/products/1?sid=5&color=red&ref=z&utm_c=t",),
+            ("https://a.ex/blog?ref=keepme",),   # prefix does not match
+            ("https://b.ex/products/1?sid=5",),  # undeclared host
+            ("https://a.ex/products/2",),        # no query at all
+        ],
+        ["url"],
+    )
+    got = {r["url"]: (r["canonical_url"], r["n_stripped"])
+           for r in strip_declared_params(urls, clean).collect()}
+    # order of survivors preserved; global + scoped both fire
+    assert got["https://a.ex/products/1?sid=5&color=red&ref=z&utm_c=t"] == (
+        "https://a.ex/products/1?color=red", 3)
+    assert got["https://a.ex/blog?ref=keepme"] == ("https://a.ex/blog?ref=keepme", 0)
+    assert got["https://b.ex/products/1?sid=5"] == ("https://b.ex/products/1?sid=5", 0)
+    assert got["https://a.ex/products/2"] == ("https://a.ex/products/2", 0)
