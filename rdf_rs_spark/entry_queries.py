@@ -10315,6 +10315,50 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "docs_language_mix",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      2::BIGINT AS n_sentences,
+      (CASE i % 3 WHEN 1 THEN 2 ELSE 1 END)::BIGINT AS n_langs,
+      CASE i % 3 WHEN 0 THEN 'en' ELSE 'de' END AS dominant,
+      (CASE i % 3 WHEN 1 THEN 1 ELSE 0 END)::BIGINT AS mixed
+    FROM p""",
+)
+def docs_language_mix(spark, sf_dir):
+    """Code-switching detection (``operators/corpus.py::
+    sentence_language_mix``) — the sentence splitter composed with the
+    per-sentence language heuristic as pure array algebra on the row
+    (a per-row statistic stays NARROW; explode→groupBy would shuffle
+    the sentence stream for a row-local value). Three classes: pure
+    English, mixed en+de (the en–de TIE must break to 'de', the
+    lexicographic LPA winner rule), pure German. A doc-level lang id
+    cannot distinguish class 1 from class 2 — the per-sentence
+    composition is what the oracle checks."""
+    from .operators.corpus import sentence_language_mix
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    w = F.concat(F.lit("r"), F.lpad((i % 10000).cast("string"), 4, "0"))
+    text = (
+        F.when(i % 3 == 0, F.concat(F.lit("Plain english here "), w,
+                                    F.lit(". More plain text now.")))
+        .when(i % 3 == 1, F.concat(F.lit("Plain english here "), w,
+                                   F.lit(". Das ist schön für über alle.")))
+        .otherwise(F.concat(F.lit("Überall schön täglich "), w,
+                            F.lit(". Müde wörter hier ängstlich.")))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    m = sentence_language_mix(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m.getField("n_sentences").alias("n_sentences"),
+        m.getField("n_langs").alias("n_langs"),
+        m.getField("dominant").alias("dominant"),
+        m.getField("mixed").alias("mixed"),
+    )
+
+
+@q(
     "crawl_clean_params",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
     f AS (SELECT i, i % 4 AS k, (i % 5) % 3 AS t, i % 5 AS h FROM p)
@@ -10848,6 +10892,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_language_mix": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): code-switching detection (sentence splitter × per-sentence lang id as row-local array algebra, zero shuffle); tie-break pinned to the LPA lexicographic winner",
     "crawl_clean_params": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the DECLARED strip list (Yandex Clean-param) beside the mined DUST rules; prefix-scoped decision oracle with cross-host isolation",
     "docs_gopher_quality": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the named Gopher rule family as per-rule integer flags under a pure decision-table oracle (each class violates exactly one rule)",
     "kg_pipeline_hdt_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): composition flagship (full e2e pipeline landing in the HDT dictionary layout); nests the SHARED e2e regeneration + rank replay, so one green row covers pipeline AND dictionary at once",

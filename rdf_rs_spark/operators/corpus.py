@@ -1205,3 +1205,38 @@ def gopher_quality_flags(text: Column) -> Column:
         *[v.cast("bigint").alias(k) for k, v in flags.items()],
         pass_all.cast("bigint").alias("pass_all"),
     )
+
+
+def sentence_language_mix(text: Column) -> Column:
+    """Code-switching detection — multilingual curation needs to know
+    whether a document mixes languages (bitext mining wants it,
+    monolingual corpora must drop or split it), and a DOC-level lang
+    id cannot see it. Composes the sentence splitter with the
+    char-class language heuristic PER SENTENCE, entirely as array
+    algebra on the row — a per-row statistic stays narrow (zero
+    shuffle; the explode→groupBy formulation would shuffle the
+    sentence stream to compute a row-local value). Returns
+    struct(n_sentences, n_langs, dominant, mixed); dominant ties break
+    to the lexicographically smaller code (the LPA winner recipe with
+    ``F.least`` over static structs)."""
+    from ..functions.text import _LANG_MARKERS, lang_id, sentence_split
+
+    sents = sentence_split(text)
+    langs = F.transform(sents, lang_id)
+    n_s = F.size(sents).cast("long")
+    n_langs = F.size(F.array_distinct(langs)).cast("long")
+    codes = sorted([lang for lang, _ in _LANG_MARKERS] + ["en"])
+    packed = [
+        F.struct(
+            (-F.size(F.filter(langs, lambda x: x == code))).alias("neg"),
+            F.lit(code).alias("code"),
+        )
+        for code in codes
+    ]
+    dominant = F.least(*packed).getField("code")
+    return F.struct(
+        n_s.alias("n_sentences"),
+        n_langs.alias("n_langs"),
+        dominant.alias("dominant"),
+        (n_langs > 1).cast("bigint").alias("mixed"),
+    )

@@ -145,3 +145,23 @@ def test_gopher_flags_boundaries(spark):
     assert got[1]["pass_words"] == 0
     assert got[2]["pass_bullets"] == 0  # 2/2 bullet lines > 90%
     assert got[3]["pass_mwl"] == 0 and got[3]["pass_words"] == 0
+
+
+def test_language_mix_ties_and_narrowness(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import sentence_language_mix
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    rows = [
+        (0, "Plain english here. More plain text."),
+        (1, "Voilà très étrange. Plain text here. Das ist schön."),  # 3-way tie
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"]).select(
+        "i", sentence_language_mix(F.col("t")).alias("m")
+    )
+    assert count_exchanges(df) == 0
+    got = {r["i"]: r["m"] for r in df.collect()}
+    assert (got[0]["n_langs"], got[0]["dominant"], got[0]["mixed"]) == (1, "en", 0)
+    # de/en/fr all count 1 -> lexicographic winner 'de'
+    assert (got[1]["n_langs"], got[1]["dominant"], got[1]["mixed"]) == (3, "de", 1)
