@@ -10315,6 +10315,44 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "ann_hamming_topk",
+    """WITH codes AS (
+      SELECT vec_id,
+        list_sum(list_transform(generate_series(0, 31),
+          j -> CASE WHEN embedding[j + 1] >= 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS lo,
+        list_sum(list_transform(generate_series(0, 31),
+          j -> CASE WHEN embedding[j + 33] >= 0
+                    THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS hi
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id < 3),
+    d AS (SELECT q.q_id, c.vec_id,
+            (bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi)))::BIGINT AS dist
+          FROM codes c, q)
+    SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, dist,
+           rn::BIGINT AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+          FROM d)
+    WHERE rn <= 5""",
+)
+def ann_hamming_topk(spark, sf_dir):
+    """Binary-hash ANN (``operators/ann.py::hamming_topk``) — the
+    third quantization family beside PQ and int8 SQ: sign-packed
+    64-bit codes in two 32-bit halves (the top bit never touches int64
+    sign), Hamming distance as ``bit_count(xor)`` per word — the
+    cheapest large-scale filter stage, 128× smaller than the float
+    vectors it screens for. Sign tests on the SAME stored floats are
+    engine-exact, so the whole path sits under the hash gate with no
+    float formatting anywhere. Corpus scans its two int words and
+    never shuffles; 3 broadcast queries; deterministic (dist, vec_id)
+    ties."""
+    from .operators.ann import hamming_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hamming_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5)
+
+
+@q(
     "docs_language_mix",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -10892,6 +10930,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "ann_hamming_topk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the third quantization family (binary sign codes + bit_count(xor) Hamming) over the real embeddings table; engine-exact sign tests, full replay oracle",
     "docs_language_mix": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): code-switching detection (sentence splitter × per-sentence lang id as row-local array algebra, zero shuffle); tie-break pinned to the LPA lexicographic winner",
     "crawl_clean_params": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the DECLARED strip list (Yandex Clean-param) beside the mined DUST rules; prefix-scoped decision oracle with cross-host isolation",
     "docs_gopher_quality": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the named Gopher rule family as per-rule integer flags under a pure decision-table oracle (each class violates exactly one rule)",

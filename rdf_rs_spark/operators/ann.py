@@ -1068,3 +1068,60 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def sign_pack_cols(emb, dim: int = 64):
+    """Binary (sign) quantization: bit j set iff component j ≥ 0,
+    packed into 32-bit halves (``lo``, ``hi``) so the top bit never
+    touches int64 sign. Sign tests on the SAME stored floats are
+    engine-exact — no arithmetic, no fold order, nothing to drift."""
+    assert dim == 64, "packing is specialized to the 64-dim corpus"
+
+    def word(lo_bit: int) -> "F.Column":
+        total = F.lit(0).cast("long")
+        for j in range(32):
+            total = total + F.when(
+                F.element_at(emb, lo_bit + j + 1) >= 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return total
+
+    return word(0), word(32)
+
+
+def hamming_topk(
+    corpus: "DataFrame",
+    queries: "DataFrame",
+    dim: int = 64,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "DataFrame":
+    """Binary-hash ANN (the third quantization family beside PQ and
+    int8 SQ): sign-packed 64-bit codes, Hamming distance =
+    ``bit_count(xor)`` per word — the cheapest large-scale filter
+    stage (128× smaller than float vectors; a real deployment rescores
+    survivors with exact cosine). Queries broadcast with their codes;
+    the corpus scans its two int words and NEVER shuffles; per-query
+    top-k via one window (WindowGroupLimit keeps k rows per task
+    map-side). Deterministic ties: (distance, vec_id) ascending."""
+    lo, hi = sign_pack_cols(F.col(emb_col), dim)
+    c = corpus.select(F.col(id_col).alias("vec_id"), lo.alias("__bh_lo"), hi.alias("__bh_hi"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), lo.alias("__bh_qlo"), hi.alias("__bh_qhi")
+    )
+    d = c.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("__bh_lo").bitwiseXOR(F.col("__bh_qlo")))
+            + F.bit_count(F.col("__bh_hi").bitwiseXOR(F.col("__bh_qhi")))
+        ).cast("long").alias("dist"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "dist", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -1007,3 +1007,28 @@ def test_transe_rank_eval_is_one_codegen_projection(spark):
         )
         assert r["true_score"] == exp
         assert 1 <= r["rank_opt"] <= 9
+
+
+def test_hamming_topk_corpus_never_shuffles(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.ann import hamming_topk
+    from rdf_rs_spark.plans.inspect import explain_str
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = hamming_topk(e, e.filter(F.col("vec_id") < 3), dim=64, k=5)
+    plan = explain_str(out, "simple")
+    # only the top-k window exchange on q_id; the corpus side reaches
+    # the join via broadcast of the QUERY relation, never an exchange
+    assert plan.count("Exchange hashpartitioning") <= 1
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries x k
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        # self-match is rank 1 at distance 0
+        assert rs[0]["vec_id"] == q and rs[0]["dist"] == 0
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        assert all(rs[i]["dist"] <= rs[i + 1]["dist"] for i in range(4))
