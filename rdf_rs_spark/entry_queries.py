@@ -10315,6 +10315,55 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "crawl_link_headers",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 4 WHEN 0 THEN 'https://s.ex/p/' || (i + 1)
+                 WHEN 2 THEN 'https://s.ex/n/' || i
+                 ELSE '' END AS next_url,
+      CASE i % 4 WHEN 1 THEN 'https://s.ex/p/' || i ELSE '' END AS prev_url,
+      CASE i % 4 WHEN 0 THEN 'https://c.ex/' || i ELSE '' END AS canonical_url
+    FROM p""",
+)
+def crawl_link_headers(spark, sf_dir):
+    """RFC 8288 ``Link:`` header extraction (``operators/crawl.py::
+    link_header_rel``) — the HEADER-side rel signals (CDNs/APIs send
+    pagination and canonical links here, not in the HTML), feeding the
+    SAME consumers as the element extractions: reassembly takes
+    rel=next, syndication collapse takes rel=canonical. Classes pin
+    the member grammar: quoted and BARE rel values, multi-valued
+    ``rel="prefetch next"`` lists (token match, so the ``nexttoken``
+    decoy that precedes it must NOT bind), multi-member headers with
+    interleaved foreign params. Pure JVM regexp; zero shuffle."""
+    from .operators.crawl import link_header_rel
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    k = i % 4
+    header = (
+        F.when(k == 0, F.concat(
+            F.lit("<https://s.ex/p/"), (i + 1).cast("string"),
+            F.lit('>; rel="next", <https://c.ex/'), s, F.lit('>; rel="canonical"'),
+        ))
+        .when(k == 1, F.concat(F.lit("<https://s.ex/p/"), s, F.lit(">; rel=prev")))
+        .when(k == 2, F.concat(
+            F.lit("<https://x.ex/"), s,
+            F.lit('>; rel="nexttoken", <https://s.ex/n/'), s,
+            F.lit('>; type="text/html"; rel="prefetch next"'),
+        ))
+        .otherwise(F.lit("nothing here"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), header.alias("link"))
+    return docs.select(
+        "doc_id",
+        link_header_rel(F.col("link"), "next").alias("next_url"),
+        link_header_rel(F.col("link"), "prev").alias("prev_url"),
+        link_header_rel(F.col("link"), "canonical").alias("canonical_url"),
+    )
+
+
+@q(
     "ann_hamming_topk",
     """WITH codes AS (
       SELECT vec_id,
@@ -10930,6 +10979,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_link_headers": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 8288 Link-header rel extraction (quoted/bare/multi-valued members with a token-boundary decoy class) feeding the reassembly + syndication consumers",
     "ann_hamming_topk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the third quantization family (binary sign codes + bit_count(xor) Hamming) over the real embeddings table; engine-exact sign tests, full replay oracle",
     "docs_language_mix": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): code-switching detection (sentence splitter × per-sentence lang id as row-local array algebra, zero shuffle); tie-break pinned to the LPA lexicographic winner",
     "crawl_clean_params": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the DECLARED strip list (Yandex Clean-param) beside the mined DUST rules; prefix-scoped decision oracle with cross-host isolation",

@@ -970,3 +970,20 @@ def strip_declared_params(
         canonical.alias("canonical_url"),
         (n_params - F.size(kept)).cast("bigint").alias("n_stripped"),
     )
+
+
+def link_header_rel(header: Column, rel: str) -> Column:
+    """RFC 8288 ``Link:`` header extraction — the HEADER-side
+    counterpart of the `<link rel=…>` elements (CDNs and APIs send
+    pagination/canonical signals here, not in the HTML): first target
+    whose comma-separated member carries ``rel`` (quoted or bare,
+    possibly inside a multi-valued ``rel="a b"`` list). Pure JVM
+    regexp, '' when absent — composes with the same consumers as the
+    HTML extractions (reassembly, syndication collapse)."""
+    return F.regexp_extract(
+        header,
+        r'(?i)<([^>]*)>\s*;[^,<]*\brel\s*=\s*"?(?:[A-Za-z0-9_-]+ )*'
+        + rel
+        + r'(?: [A-Za-z0-9_-]+)*"?(?:$|[;," ])',
+        1,
+    )

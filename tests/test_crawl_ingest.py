@@ -657,3 +657,24 @@ def test_clean_params_prefix_scope_and_order(spark):
     assert got["https://a.ex/blog?ref=keepme"] == ("https://a.ex/blog?ref=keepme", 0)
     assert got["https://b.ex/products/1?sid=5"] == ("https://b.ex/products/1?sid=5", 0)
     assert got["https://a.ex/products/2"] == ("https://a.ex/products/2", 0)
+
+
+def test_link_header_member_grammar(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.crawl import link_header_rel
+
+    rows = [
+        ('<https://u/2>; rel="next", <https://c>; rel="canonical"', "https://u/2"),
+        ("<https://u/2>; rel=next", "https://u/2"),
+        ('<https://u/2>; rel="prefetch next"', "https://u/2"),
+        ('<https://x>; rel="nexttoken"', ""),            # token boundary
+        ('<https://a>; type="x"; rel="prev", <https://b>; rel="next"', "https://b"),
+        ("no links", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["h"]).select(
+        "h", link_header_rel(F.col("h"), "next").alias("n")
+    )
+    got = {r["h"]: r["n"] for r in df.collect()}
+    for h, exp in rows:
+        assert got[h] == exp, (h, got[h])
