@@ -42,11 +42,18 @@ def test_fix_never_raises_and_is_fixpoint_under_cap(s):
         max_size=30,
     )
 )
-def test_damage_then_fix_round_trips(s):
-    damaged = _mojibake_damage(s)
-    fixed, n = fix_mojibake_text(damaged)
-    assert fixed == s
-    assert n == (0 if s.isascii() and damaged == s else 1)
+def test_damage_then_fix_reaches_the_same_fixpoint(s):
+    # the repair is greedy-to-fixpoint, so a string that ITSELF looks
+    # like mojibake (hypothesis found 'Ä–' ≡ damaged 'Ė') keeps
+    # repairing past the planted damage — the correct invariant is
+    # that one extra damage round lands on the SAME fixpoint, one
+    # round deeper (inherent ambiguity: a literal mojibake-looking
+    # string is indistinguishable from damage, documented tradeoff)
+    f0, n0 = fix_mojibake_text(s)
+    f1, n1 = fix_mojibake_text(_mojibake_damage(s))
+    assert f1 == f0
+    if n0 < 3:  # below the round cap
+        assert n1 == n0 + (0 if s.isascii() else 1)
 
 
 def test_spark_kernel_is_narrow(spark):
