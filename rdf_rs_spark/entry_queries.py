@@ -10315,6 +10315,37 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "crawl_sitemap_media",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id, 'https://n.ex/a/' || i AS loc, 'news' AS kind,
+      'Story ' || i AS title, 'Daily ' || (i % 9) AS publication,
+      trunc(epoch(make_timestamp(2024, 7, (i % 28) + 1, i % 24, 30, 0)))::BIGINT
+        AS pub_unix,
+      CAST(NULL AS VARCHAR) AS media_loc
+    FROM p
+    UNION ALL
+    SELECT i::BIGINT, 'https://n.ex/g/' || i, 'image', NULL, NULL, NULL,
+      'https://img.ex/' || i || '/' || s || '.jpg'
+    FROM p, (SELECT unnest(['a', 'b']) AS s)""",
+)
+def crawl_sitemap_media(spark, sf_dir):
+    """News + Image sitemap extensions (``sources/sitemaps.py::
+    parse_sitemap_media``) — the Google namespaces real publishers
+    ship beside the base urlset: per-url ``<news:news>`` blocks
+    (publication name, title, publication_date → unix) and
+    ``<image:image>`` blocks (their own ``<image:loc>``), widening the
+    discovery channel to the media-crawl inputs (news corpora,
+    image-text mining seeds). Namespace-qualified expat walk in the
+    same Arrow shape as the base parser; the plain third url per doc
+    must emit NOTHING here. Regeneration oracle; the timestamp is
+    checked against DuckDB's native calendar."""
+    from .sources.sitemaps import parse_sitemap_media, synthesize_media_sitemaps
+
+    n = _scale_n(sf_dir)
+    return parse_sitemap_media(synthesize_media_sitemaps(spark.range(n)))
+
+
+@q(
     "crawl_link_headers",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -10979,6 +11010,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_sitemap_media": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the news/image sitemap namespaces (media-crawl discovery inputs) under a regeneration oracle with a must-emit-nothing plain-url class",
     "crawl_link_headers": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 8288 Link-header rel extraction (quoted/bare/multi-valued members with a token-boundary decoy class) feeding the reassembly + syndication consumers",
     "ann_hamming_topk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the third quantization family (binary sign codes + bit_count(xor) Hamming) over the real embeddings table; engine-exact sign tests, full replay oracle",
     "docs_language_mix": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): code-switching detection (sentence splitter × per-sentence lang id as row-local array algebra, zero shuffle); tie-break pinned to the LPA lexicographic winner",

@@ -157,3 +157,119 @@ def synthesize_sitemaps(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+_NEWS_NS = "{http://www.google.com/schemas/sitemap-news/0.9}"
+_IMG_NS = "{http://www.google.com/schemas/sitemap-image/1.1}"
+
+SITEMAP_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("loc", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # news | image
+        T.StructField("title", T.StringType(), True),
+        T.StructField("publication", T.StringType(), True),
+        T.StructField("pub_unix", T.LongType(), True),
+        T.StructField("media_loc", T.StringType(), True),
+    ]
+)
+
+
+def _parse_sitemap_media(doc_id: int, xml: str):
+    """News + Image sitemap extensions (the Google namespaces real
+    publishers ship): one row per ``<news:news>`` block (publication
+    name, title, publication_date → unix) and one per
+    ``<image:image>`` (its own ``<image:loc>``). Same loud-root
+    discipline as the base parser; urls without extensions emit
+    nothing here (the base relation already carries them)."""
+    import datetime as dt
+
+    root = ET.fromstring(xml)
+    if root.tag != _NS + "urlset":
+        raise ValueError(f"not a urlset: {root.tag}")
+    out = []
+    for el in root.findall(_NS + "url"):
+        loc = (el.findtext(_NS + "loc") or "").strip()
+        if not loc:
+            continue
+        for news in el.findall(_NEWS_NS + "news"):
+            pub = news.find(_NEWS_NS + "publication")
+            name = pub.findtext(_NEWS_NS + "name") if pub is not None else None
+            pdate = news.findtext(_NEWS_NS + "publication_date")
+            pub_unix = None
+            if pdate:
+                s = pdate.strip().replace("Z", "+00:00")
+                if "T" not in s:
+                    s += "T00:00:00+00:00"
+                pub_unix = int(dt.datetime.fromisoformat(s).timestamp())
+            out.append(
+                (doc_id, loc, "news", news.findtext(_NEWS_NS + "title"),
+                 name, pub_unix, None)
+            )
+        for img in el.findall(_IMG_NS + "image"):
+            iloc = (img.findtext(_IMG_NS + "loc") or "").strip()
+            if iloc:
+                out.append((doc_id, loc, "image", None, None, None, iloc))
+    return out
+
+
+def parse_sitemap_media(
+    df: DataFrame, xml_col: str = "xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, xml) → one row per news/image extension entry."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SITEMAP_MEDIA_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rows.extend(
+                    _parse_sitemap_media(
+                        int(getattr(r, id_col)), getattr(r, xml_col)
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=SITEMAP_MEDIA_SCHEMA)
+
+
+def synthesize_media_sitemaps(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Deterministic news/image sitemap corpus: doc i holds one url
+    with a news block (title/publication/date closed forms of i), one
+    with two images, and one plain url that must emit NOTHING from the
+    media parser."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                d = (i % 28) + 1
+                xml = (
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+                    'xmlns:news="http://www.google.com/schemas/sitemap-news/0.9" '
+                    'xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">'
+                    f"<url><loc>https://n.ex/a/{i}</loc><news:news>"
+                    f"<news:publication><news:name>Daily {i % 9}</news:name>"
+                    "<news:language>en</news:language></news:publication>"
+                    f"<news:publication_date>2024-07-{d:02d}T{i % 24:02d}:30:00Z"
+                    "</news:publication_date>"
+                    f"<news:title>Story {i}</news:title></news:news></url>"
+                    f"<url><loc>https://n.ex/g/{i}</loc>"
+                    f"<image:image><image:loc>https://img.ex/{i}/a.jpg</image:loc>"
+                    "</image:image>"
+                    f"<image:image><image:loc>https://img.ex/{i}/b.jpg</image:loc>"
+                    "</image:image></url>"
+                    f"<url><loc>https://n.ex/plain/{i}</loc></url>"
+                    "</urlset>"
+                )
+                rows.append((i, xml))
+            yield pd.DataFrame(rows, columns=["doc_id", "xml"])
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("xml", T.StringType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

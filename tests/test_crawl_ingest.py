@@ -678,3 +678,29 @@ def test_link_header_member_grammar(spark):
     got = {r["h"]: r["n"] for r in df.collect()}
     for h, exp in rows:
         assert got[h] == exp, (h, got[h])
+
+
+def test_sitemap_media_namespaces_and_edges():
+    from rdf_rs_spark.sources.sitemaps import _parse_sitemap_media
+
+    import pytest as _pytest
+
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+        'xmlns:news="http://www.google.com/schemas/sitemap-news/0.9" '
+        'xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">'
+        "<url><loc>https://a</loc><news:news>"
+        "<news:publication_date>2024-01-02</news:publication_date>"  # date-only
+        "</news:news></url>"
+        "<url><loc>https://b</loc>"
+        "<image:image><image:loc> </image:loc></image:image>"  # blank loc: skip
+        "</url>"
+        "<url><loc>https://c</loc></url>"  # plain: emits nothing
+        "</urlset>"
+    )
+    rows = _parse_sitemap_media(1, xml)
+    assert len(rows) == 1
+    assert rows[0][2] == "news" and rows[0][3] is None
+    assert rows[0][5] == 1704153600  # midnight UTC, machine-TZ-independent
+    with _pytest.raises(ValueError):
+        _parse_sitemap_media(1, "<notasitemap/>")
