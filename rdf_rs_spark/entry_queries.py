@@ -10315,6 +10315,62 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "docs_page_meta",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 4 WHEN 0 THEN 'Page ' || i || ' extra'
+                 WHEN 1 THEN 'CAPS ' || i
+                 WHEN 2 THEN 'Solo ' || i ELSE '' END AS title,
+      CASE i % 4 WHEN 0 THEN 'Desc ' || i
+                 WHEN 1 THEN 'D ' || (i % 7) ELSE '' END AS description,
+      CASE i % 4 WHEN 0 THEN 'Head ' || i || ' bold' ELSE '' END AS h1,
+      CASE i % 4 WHEN 0 THEN '/f' || i || '.ico'
+                 WHEN 1 THEN '/s' || i || '.ico' ELSE '' END AS favicon
+    FROM p""",
+)
+def docs_page_meta(spark, sf_dir):
+    """Basic page-metadata projection (``operators/corpus.py::
+    page_meta``) — the (title, description, h1, favicon) fields every
+    search/RAG index and corpus data card carries. Four JVM regexps
+    under the repo's HTML disciplines: ``(?s)`` blocks (class-0 titles
+    span a newline), order-tolerant attribute lookaheads (class 0 puts
+    content BEFORE name; class 1 name-first + the `shortcut icon`
+    variant + uppercase tags), nested-tag stripping in h1, whitespace
+    run collapse (F.trim alone misses newlines). Decision oracle per
+    class incl. the all-absent class. Zero shuffle."""
+    from .operators.corpus import page_meta
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    k = i % 4
+    html = (
+        F.when(k == 0, F.concat(
+            F.lit("<html><head><title>Page "), s, F.lit("\n extra</title>"
+            '<meta content="Desc '), s, F.lit('" name="description">'
+            '<link href="/f'), s, F.lit('.ico" rel="icon"></head>'
+            "<body><h1>Head "), s, F.lit(" <b>bold</b></h1></body></html>"),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("<HTML><TITLE>CAPS "), s, F.lit("</TITLE>"
+            '<META NAME="description" CONTENT="D '), (i % 7).cast("string"),
+            F.lit('"><link rel="shortcut icon" href="/s'), s, F.lit('.ico">'),
+        ))
+        .when(k == 2, F.concat(F.lit("<title>Solo "), s, F.lit("</title>")))
+        .otherwise(F.lit("<p>bare</p>"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), html.alias("html"))
+    m = page_meta(F.col("html"))
+    return docs.select(
+        "doc_id",
+        m.getField("title").alias("title"),
+        m.getField("description").alias("description"),
+        m.getField("h1").alias("h1"),
+        m.getField("favicon").alias("favicon"),
+    )
+
+
+@q(
     "crawl_sitemap_media",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id, 'https://n.ex/a/' || i AS loc, 'news' AS kind,
@@ -11010,6 +11066,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_page_meta": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the title/description/h1/favicon projection under a per-class decision oracle (attr order variance, multi-line titles, nested-tag strip, shortcut-icon variant)",
     "crawl_sitemap_media": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the news/image sitemap namespaces (media-crawl discovery inputs) under a regeneration oracle with a must-emit-nothing plain-url class",
     "crawl_link_headers": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 8288 Link-header rel extraction (quoted/bare/multi-valued members with a token-boundary decoy class) feeding the reassembly + syndication consumers",
     "ann_hamming_topk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the third quantization family (binary sign codes + bit_count(xor) Hamming) over the real embeddings table; engine-exact sign tests, full replay oracle",

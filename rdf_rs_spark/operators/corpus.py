@@ -1240,3 +1240,41 @@ def sentence_language_mix(text: Column) -> Column:
         dominant.alias("dominant"),
         (n_langs > 1).cast("bigint").alias("mixed"),
     )
+
+
+def page_meta(html: Column) -> Column:
+    """Basic page-metadata projection — the (title, description, h1,
+    favicon) fields every search/RAG index and corpus data card wants,
+    as four JVM regexps with the repo's hard-won HTML disciplines:
+    ``(?s)`` on block patterns (JVM ``.`` excludes newlines),
+    order-tolerant attribute lookaheads on the meta/link tags, first
+    match wins. Entity decoding is NOT applied here (compose
+    ``docx``-style decode or the walkers when needed — documented).
+    Returns struct(title, description, h1, favicon); '' when absent.
+    Zero shuffle; composes into the page scan."""
+    title = F.regexp_extract(html, r"(?si)<title[^>]*>(.*?)</title>", 1)
+    desc = F.regexp_extract(
+        html,
+        r'(?si)<meta\b(?=[^>]*name\s*=\s*"description")[^>]*content\s*=\s*"([^"]*)"',
+        1,
+    )
+    h1 = F.regexp_extract(html, r"(?si)<h1[^>]*>(.*?)</h1>", 1)
+    fav = F.regexp_extract(
+        html,
+        r'(?si)<link\b(?=[^>]*rel\s*=\s*"(?:shortcut )?icon")[^>]*href\s*=\s*"([^"]*)"',
+        1,
+    )
+    def norm(c: Column) -> Column:
+        # collapse whitespace RUNS and strip edges with one regexp —
+        # F.trim removes spaces only, not newlines inside <title>
+        return F.regexp_replace(
+            F.regexp_replace(c, r"\s+", " "), r"^ | $", ""
+        )
+
+    strip_tags = lambda c: F.regexp_replace(c, r"(?s)<[^>]*>", "")  # noqa: E731
+    return F.struct(
+        norm(strip_tags(title)).alias("title"),
+        norm(desc).alias("description"),
+        norm(strip_tags(h1)).alias("h1"),
+        norm(fav).alias("favicon"),
+    )

@@ -172,3 +172,25 @@ def test_language_mix_ties_and_narrowness(spark):
     assert (got[0]["n_langs"], got[0]["dominant"], got[0]["mixed"]) == (1, "en", 0)
     # de/en/fr all count 1 -> lexicographic winner 'de'
     assert (got[1]["n_langs"], got[1]["dominant"], got[1]["mixed"]) == (3, "de", 1)
+
+
+def test_page_meta_edges(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import page_meta
+
+    rows = [
+        ('<title>\nA\nB</title>', ("A B", "", "", "")),
+        ('<meta content="C" name="description">', ("", "C", "", "")),
+        ('<h1 id="x">N<b>est</b>ed</h1>', ("", "", "Nested", "")),
+        ('<link rel="stylesheet" href="/no.css">', ("", "", "", "")),  # not icon
+        ('<link rel="icon" href="/i.ico"><link rel="icon" href="/j.ico">',
+         ("", "", "", "/i.ico")),  # first wins
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], ["h"]).select(
+        "h", page_meta(F.col("h")).alias("m")
+    )
+    got = {r["h"]: (r["m"]["title"], r["m"]["description"], r["m"]["h1"],
+                    r["m"]["favicon"]) for r in df.collect()}
+    for h, exp in rows:
+        assert got[h] == exp, (h, got[h])
