@@ -10306,9 +10306,15 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
     )
 
     n = _scale_n(sf_dir)
-    triples = page_triples(
-        synthesize_web_pages(spark, n), synthesize_alias_dict(spark)
-    ).drop("src_url").dropDuplicates()
+    # persist at the pipeline boundary: _all_terms unions THREE scans
+    # and encode adds a fourth — without this the mapInPandas parse
+    # re-executes per consumer (the WARC-boundary lesson, CLAUDE.md)
+    triples = (
+        page_triples(synthesize_web_pages(spark, n), synthesize_alias_dict(spark))
+        .drop("src_url")
+        .dropDuplicates()
+        .persist()
+    )
     d = build_term_dictionary(triples)
     enc = encode_triples(triples, d)
     return decode_column(enc, d, "s_id", "subj").select("s_id", "p_id", "o_id", "subj")
