@@ -10321,6 +10321,59 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "crawl_robots_status",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 5 AS h, i % 2 AS k FROM p)
+    SELECT 'https://v' || h || '.ex' ||
+      CASE k WHEN 0 THEN '/private/' || i ELSE '/open/' || i END AS url,
+      (CASE h % 4
+         WHEN 0 THEN CASE k WHEN 0 THEN 0 ELSE 1 END  -- 200: rules decide
+         WHEN 1 THEN 1                                 -- 404: allow all
+         WHEN 2 THEN 0                                 -- 503: disallow all
+         ELSE 0                                        -- unreachable: disallow
+       END)::BIGINT AS allowed
+    FROM f""",
+)
+def crawl_robots_status(spark, sf_dir):
+    """RFC 9309 §2.3.1 fetch-status semantics (``operators/crawl.py::
+    frontier_allowed_with_status``) — what a crawler must do when
+    robots.txt itself cannot be read: 4xx = "unavailable" → the host
+    is fully ALLOWED even where its (stale) rules would deny; 5xx or
+    an unreachable fetch (NULL status) = "unreachable" → complete
+    DISALLOW even on paths the rules would permit; 200 defers to the
+    parsed rules. The oracle is a decision table over host-status ×
+    path classes — each non-200 class must OVERRIDE the rule decision
+    in the opposite direction, so status handling and rule matching
+    cannot compensate for each other. One extra broadcast join over
+    ``frontier_allowed``."""
+    from .operators.crawl import frontier_allowed_with_status, parse_robots
+
+    robots = spark.range(5).select(
+        F.concat(F.lit("v"), F.col("id").cast("string"), F.lit(".ex")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /private/\n").alias("robots_txt"),
+    )
+    status = spark.range(5).select(
+        F.concat(F.lit("v"), F.col("id").cast("string"), F.lit(".ex")).alias("host"),
+        F.element_at(
+            F.array(F.lit(200), F.lit(404), F.lit(503), F.lit(None).cast("int")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("status"),
+    )
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    path = F.when(i % 2 == 0, F.concat(F.lit("/private/"), i.cast("string"))).otherwise(
+        F.concat(F.lit("/open/"), i.cast("string"))
+    )
+    urls = spark.range(n).select(
+        F.concat(F.lit("https://v"), (i % 5).cast("string"), F.lit(".ex"), path).alias("url")
+    )
+    out = frontier_allowed_with_status(urls, parse_robots(robots), "kgbot", status)
+    return out.select(
+        "url", F.when(F.col("allowed"), 1).otherwise(0).cast("bigint").alias("allowed")
+    )
+
+
+@q(
     "docs_page_meta",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -11072,6 +11125,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_robots_status": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 9309 §2.3.1 fetch-status semantics (4xx allow-all / 5xx+unreachable disallow-all overriding the rule decision both ways); decision-table oracle",
     "docs_page_meta": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the title/description/h1/favicon projection under a per-class decision oracle (attr order variance, multi-line titles, nested-tag strip, shortcut-icon variant)",
     "crawl_sitemap_media": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the news/image sitemap namespaces (media-crawl discovery inputs) under a regeneration oracle with a must-emit-nothing plain-url class",
     "crawl_link_headers": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 8288 Link-header rel extraction (quoted/bare/multi-valued members with a token-boundary decoy class) feeding the reassembly + syndication consumers",

@@ -987,3 +987,35 @@ def link_header_rel(header: Column, rel: str) -> Column:
         + r'(?: [A-Za-z0-9_-]+)*"?(?:$|[;," ])',
         1,
     )
+
+
+def frontier_allowed_with_status(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    robots_status: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """RFC 9309 §2.3.1 fetch-status semantics over the rule decision:
+    a host whose robots.txt fetch returned 4xx is fully ALLOWED
+    ("unavailable" — the file does not exist, no restrictions); 5xx or
+    an unreachable fetch (NULL status) is fully DISALLOWED
+    ("unreachable" — restrictions are undefined, assume complete
+    disallow); 2xx defers to the parsed rules. ``robots_status`` is
+    ``(host, status)`` — host-sized, broadcast; the per-url cost on
+    top of :func:`frontier_allowed` is one more broadcast join."""
+    base = frontier_allowed(urls, rules, agent, url_col=url_col)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    st = robots_status.select(
+        F.col("host").alias("__rs_host"), F.col("status").alias("__rs_status")
+    )
+    out = base.withColumn("__rs_h", host).join(
+        F.broadcast(st), F.col("__rs_h") == F.col("__rs_host"), "left"
+    )
+    s = F.col("__rs_status")
+    final = (
+        F.when(s.isNull() | (s >= 500), F.lit(False))
+        .when((s >= 400) & (s < 500), F.lit(True))
+        .otherwise(F.col("allowed"))
+    )
+    return out.select("url", final.alias("allowed"))
