@@ -11009,9 +11009,9 @@ def warc_wat_roundtrip(spark, sf_dir):
 # registered — this only changes dict iteration order.
 
 # ---- round-5 window plan (written at the end of round 4) ------------------
-# 63 entries registered after the r4 window froze sit in DEFERRED with
-# "registered r4 AFTER …" reasons — more than one 50-slot window. The r5
-# rotation should prioritize:
+# 114 entries registered after the r4 window froze (session-11 close) sit
+# in DEFERRED with "registered r4 AFTER …" reasons — more than two 50-slot
+# windows. The r5 rotation should prioritize:
 #   (a) compositions/flagships whose value-hash covers many components at
 #       once: kg_web_data_commons, kg_wdc_canonical_dedup,
 #       crawl_quality_budgets, kg_incremental_from_recrawl, kg_graph_as_of,
