@@ -10017,32 +10017,30 @@ def corpus_paginated_reassembly(spark, sf_dir):
     return reassemble_paginated(pages, max_pages=4)
 
 
+_DICT_TERM_CASE = """CASE WHEN obj_kind = 0 THEN obj_lex
+                          WHEN obj_kind = 1 THEN '_:' || obj_lex
+                          ELSE obj_kind::VARCHAR || chr(1) || obj_lex || chr(1)
+                               || coalesce(obj_datatype, '') || chr(1)
+                               || coalesce(obj_lang, '') END"""
+
+
 @q(
     "kg_dictionary_encode",
     TRIPLES_CTE
-    + """, t AS (SELECT DISTINCT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang
-                 FROM triples),
+    + f""", t AS (SELECT DISTINCT subj, pred, {_DICT_TERM_CASE} AS ot
+          FROM triples),
     terms AS (
       SELECT DISTINCT term FROM (
         SELECT subj AS term FROM t
         UNION SELECT pred FROM t
-        UNION SELECT CASE WHEN obj_kind = 0 THEN obj_lex
-                          WHEN obj_kind = 1 THEN '_:' || obj_lex
-                          ELSE obj_kind::VARCHAR || chr(1) || obj_lex || chr(1)
-                               || coalesce(obj_datatype, '') || chr(1)
-                               || coalesce(obj_lang, '') END
-        FROM t)),
+        UNION SELECT ot FROM t)),
     d AS (SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS id
           FROM terms)
     SELECT ds.id AS s_id, dp.id AS p_id, dobj.id AS o_id, t.subj AS subj
     FROM t
     JOIN d ds ON ds.term = t.subj
     JOIN d dp ON dp.term = t.pred
-    JOIN d dobj ON dobj.term = CASE WHEN t.obj_kind = 0 THEN t.obj_lex
-               WHEN t.obj_kind = 1 THEN '_:' || t.obj_lex
-               ELSE t.obj_kind::VARCHAR || chr(1) || t.obj_lex || chr(1)
-                    || coalesce(t.obj_datatype, '') || chr(1)
-                    || coalesce(t.obj_lang, '') END""",
+    JOIN d dobj ON dobj.term = t.ot""",
 )
 def kg_dictionary_encode(spark, sf_dir):
     """Term-dictionary encoding (``operators/dictionary.py``) — the
@@ -10201,18 +10199,13 @@ def _luhn_oracle(n: int) -> str:
 @q(
     "kg_dictionary_extend",
     TRIPLES_CTE
-    + """, t AS (SELECT DISTINCT subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang
-                 FROM triples),
+    + f""", t AS (SELECT DISTINCT subj, pred, {_DICT_TERM_CASE} AS ot
+          FROM triples),
     terms AS (
       SELECT DISTINCT term FROM (
         SELECT subj AS term FROM t
         UNION SELECT pred FROM t
-        UNION SELECT CASE WHEN obj_kind = 0 THEN obj_lex
-                          WHEN obj_kind = 1 THEN '_:' || obj_lex
-                          ELSE obj_kind::VARCHAR || chr(1) || obj_lex || chr(1)
-                               || coalesce(obj_datatype, '') || chr(1)
-                               || coalesce(obj_lang, '') END
-        FROM t)),
+        UNION SELECT ot FROM t)),
     d AS (SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS id
           FROM terms),
     delta AS (SELECT unnest(generate_series(0, 199)) AS j),
@@ -10259,11 +10252,6 @@ def kg_dictionary_extend(spark, sf_dir):
     )
 
 
-_DICT_TERM_CASE = """CASE WHEN obj_kind = 0 THEN obj_lex
-                          WHEN obj_kind = 1 THEN '_:' || obj_lex
-                          ELSE obj_kind::VARCHAR || chr(1) || obj_lex || chr(1)
-                               || coalesce(obj_datatype, '') || chr(1)
-                               || coalesce(obj_lang, '') END"""
 
 
 @q(

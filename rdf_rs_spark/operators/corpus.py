@@ -1167,20 +1167,33 @@ def gopher_quality_flags(text: Column) -> Column:
     words containing an alphabetic char, and ≥ 2 distinct stop words.
     All thresholds restated as cross-multiplied integers (no floats
     near the gate). Pure columns, zero shuffle; the two per-element
-    lambdas are trivial predicates (prefix/suffix/one-char-class)."""
-    words = F.split(F.trim(text), r"\s+")
+    lambdas are trivial predicates (prefix/suffix/one-char-class).
+    Both ASCII ``...`` and the typographic ``…`` (U+2026 — what CMS
+    pipelines actually emit) count as ellipses (review finding)."""
+    from ..functions.text import tokens_col
+
+    words = tokens_col(text)  # shared tokenizer: empty text -> [] (not [''])
     n_words = F.size(words).cast("long")
     chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("long")
-    mwl_e3 = F.floor(F.lit(1000) * chars / n_words).cast("long")
+    mwl_e3 = F.when(
+        n_words > 0, F.floor(F.lit(1000) * chars / n_words)
+    ).otherwise(F.lit(0)).cast("long")
     hashes = (F.length(text) - F.length(F.translate(text, "#", ""))).cast("long")
-    ell = ((F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3).cast("long")
+    uni_ell = (F.length(text) - F.length(F.translate(text, "…", ""))).cast("long")
+    ell = (
+        ((F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3).cast("long")
+        + uni_ell
+    )
     lines = F.split(text, "\n")
     n_lines = F.size(lines).cast("long")
     bullet = F.size(
         F.filter(lines, lambda x: F.ltrim(x).startswith("-") | F.ltrim(x).startswith("•"))
     ).cast("long")
     ell_lines = F.size(
-        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
     ).cast("long")
     alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
     stops = F.size(
@@ -1221,25 +1234,32 @@ def sentence_language_mix(text: Column) -> Column:
     ``F.least`` over static structs)."""
     from ..functions.text import _LANG_MARKERS, lang_id, sentence_split
 
-    sents = sentence_split(text)
-    langs = F.transform(sents, lang_id)
-    n_s = F.size(sents).cast("long")
-    n_langs = F.size(F.array_distinct(langs)).cast("long")
     codes = sorted([lang for lang, _ in _LANG_MARKERS] + ["en"])
-    packed = [
-        F.struct(
-            (-F.size(F.filter(langs, lambda x: x == code))).alias("neg"),
-            F.lit(code).alias("code"),
+
+    def body(langs: Column) -> Column:
+        n_langs = F.size(F.array_distinct(langs)).cast("long")
+        packed = [
+            F.struct(
+                (-F.size(F.filter(langs, lambda x: x == code))).alias("neg"),
+                F.lit(code).alias("code"),
+            )
+            for code in codes
+        ]
+        return F.struct(
+            F.size(langs).cast("long").alias("n_sentences"),
+            n_langs.alias("n_langs"),
+            F.least(*packed).getField("code").alias("dominant"),
+            (n_langs > 1).cast("bigint").alias("mixed"),
         )
-        for code in codes
-    ]
-    dominant = F.least(*packed).getField("code")
-    return F.struct(
-        n_s.alias("n_sentences"),
-        n_langs.alias("n_langs"),
-        dominant.alias("dominant"),
-        (n_langs > 1).cast("bigint").alias("mixed"),
+
+    # bind the per-sentence lang array ONCE via the 1-element-array
+    # transform idiom (HOF chains are interpreted and NOT deduped by
+    # subexpression elimination — the word_grams lesson): six
+    # consumers would otherwise re-run the rlike chain per sentence 6x
+    langs_once = F.transform(
+        F.array(F.transform(sentence_split(text), lang_id)), body
     )
+    return F.element_at(langs_once, 1)
 
 
 def page_meta(html: Column) -> Column:
@@ -1252,16 +1272,21 @@ def page_meta(html: Column) -> Column:
     ``docx``-style decode or the walkers when needed — documented).
     Returns struct(title, description, h1, favicon); '' when absent.
     Zero shuffle; composes into the page scan."""
+    # attribute values accept double OR single quotes (review finding:
+    # single-quoted templates are a large fraction of real pages);
+    # ["'] pairs may mismatch across the two ends — accepted subset
     title = F.regexp_extract(html, r"(?si)<title[^>]*>(.*?)</title>", 1)
     desc = F.regexp_extract(
         html,
-        r'(?si)<meta\b(?=[^>]*name\s*=\s*"description")[^>]*content\s*=\s*"([^"]*)"',
+        r'(?si)<meta\b(?=[^>]*name\s*=\s*["\']description["\'])'
+        r'[^>]*content\s*=\s*["\']([^"\']*)["\']',
         1,
     )
     h1 = F.regexp_extract(html, r"(?si)<h1[^>]*>(.*?)</h1>", 1)
     fav = F.regexp_extract(
         html,
-        r'(?si)<link\b(?=[^>]*rel\s*=\s*"(?:shortcut )?icon")[^>]*href\s*=\s*"([^"]*)"',
+        r'(?si)<link\b(?=[^>]*rel\s*=\s*["\'](?:shortcut )?icon["\'])'
+        r'[^>]*href\s*=\s*["\']([^"\']*)["\']',
         1,
     )
     def norm(c: Column) -> Column:

@@ -167,7 +167,7 @@ def frontier_allowed(
     )
     u = urls.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1).alias("__fa_host"),
+        F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias("__fa_host"),
         F.coalesce(
             F.nullif(
                 F.regexp_extract(F.col(url_col), r"^https?://[^/]+(/.*)$", 1),
@@ -260,7 +260,7 @@ def fetch_schedule(
     )
     u = urls.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias("host"),
     ).withColumn("__fs_h", F.md5(F.col("url")))
     w = Window.partitionBy("host").orderBy(F.col("__fs_h"), F.col("url"))
     return (
@@ -760,7 +760,7 @@ def dust_rules(
     parts = F.split(url, r"\?", 2)
     base_part = F.element_at(parts, 1)
     query = F.try_element_at(parts, F.lit(2))
-    host = F.regexp_extract(url, r"^https?://([^/]+)", 1)
+    host = F.regexp_extract(url, r"^https?://([^/?#]+)", 1)
 
     withq = pages.where(query.isNotNull() & (query != "")).select(
         url.alias("v_url"),
@@ -931,7 +931,7 @@ def strip_declared_params(
     a narrow array filter. Returns (url, canonical_url, n_stripped)."""
     u = urls.select(
         F.col(url_col).alias("url"),
-        F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1).alias("__cp_host"),
+        F.regexp_extract(F.col(url_col), r"^https?://([^/?#]+)", 1).alias("__cp_host"),
         F.regexp_extract(F.col(url_col), r"^https?://[^/?]+([^?]*)", 1).alias("__cp_path"),
         F.element_at(F.split(F.col(url_col), r"\?", 2), 1).alias("__cp_base"),
         F.split(
@@ -977,12 +977,17 @@ def link_header_rel(header: Column, rel: str) -> Column:
     counterpart of the `<link rel=…>` elements (CDNs and APIs send
     pagination/canonical signals here, not in the HTML): first target
     whose comma-separated member carries ``rel`` (quoted or bare,
-    possibly inside a multi-valued ``rel="a b"`` list). Pure JVM
-    regexp, '' when absent — composes with the same consumers as the
-    HTML extractions (reassembly, syndication collapse)."""
+    possibly inside a multi-valued ``rel="a b"`` list). ``rel=`` must
+    sit in PARAM position — directly after a ``;`` — so free text like
+    ``title="see rel=next docs"`` in an earlier member cannot bind
+    that member's target (review finding); a literal ``; rel=next``
+    INSIDE a quoted value remains the regex subset's blind spot,
+    documented. Pure JVM regexp, '' when absent — composes with the
+    same consumers as the HTML extractions (reassembly, syndication
+    collapse)."""
     return F.regexp_extract(
         header,
-        r'(?i)<([^>]*)>\s*;[^,<]*\brel\s*=\s*"?(?:[A-Za-z0-9_-]+ )*'
+        r'(?i)<([^>]*)>(?:[^,<]*)?;\s*rel\s*=\s*"?(?:[A-Za-z0-9_-]+ )*'
         + rel
         + r'(?: [A-Za-z0-9_-]+)*"?(?:$|[;," ])',
         1,
@@ -1005,7 +1010,7 @@ def frontier_allowed_with_status(
     ``(host, status)`` — host-sized, broadcast; the per-url cost on
     top of :func:`frontier_allowed` is one more broadcast join."""
     base = frontier_allowed(urls, rules, agent, url_col=url_col)
-    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1)
     st = robots_status.select(
         F.col("host").alias("__rs_host"), F.col("status").alias("__rs_status")
     )

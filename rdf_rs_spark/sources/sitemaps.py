@@ -59,7 +59,11 @@ def _parse_sitemap_doc(doc_id: int, xml: str):
             s = lastmod.strip().replace("Z", "+00:00")
             if "T" not in s:
                 s += "T00:00:00+00:00"  # date-only form per W3C datetime
-            lastmod_unix = int(dt.datetime.fromisoformat(s).timestamp())
+            parsed = dt.datetime.fromisoformat(s)
+            if parsed.tzinfo is None:  # offset-less form: pin UTC or the
+                # value is machine-timezone-dependent (CLAUDE.md r4s5)
+                parsed = parsed.replace(tzinfo=dt.timezone.utc)
+            lastmod_unix = int(parsed.timestamp())
         prio = el.findtext(_NS + "priority")
         prio_e3 = None
         if prio:
@@ -201,7 +205,10 @@ def _parse_sitemap_media(doc_id: int, xml: str):
                 s = pdate.strip().replace("Z", "+00:00")
                 if "T" not in s:
                     s += "T00:00:00+00:00"
-                pub_unix = int(dt.datetime.fromisoformat(s).timestamp())
+                parsed = dt.datetime.fromisoformat(s)
+                if parsed.tzinfo is None:  # pin UTC (see base parser)
+                    parsed = parsed.replace(tzinfo=dt.timezone.utc)
+                pub_unix = int(parsed.timestamp())
             out.append(
                 (doc_id, loc, "news", news.findtext(_NEWS_NS + "title"),
                  name, pub_unix, None)

@@ -704,3 +704,51 @@ def test_sitemap_media_namespaces_and_edges():
     assert rows[0][5] == 1704153600  # midnight UTC, machine-TZ-independent
     with _pytest.raises(ValueError):
         _parse_sitemap_media(1, "<notasitemap/>")
+
+
+def test_review_fixes_pathless_urls_and_link_decoy(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.crawl import (
+        frontier_allowed_with_status,
+        link_header_rel,
+        parse_clean_params,
+        parse_robots,
+        strip_declared_params,
+    )
+
+    # path-less URL with a query: host key must stop at '?'
+    robots = spark.createDataFrame(
+        [("a.ex", "User-agent: *\nDisallow: /x\nClean-param: utm_c\n")],
+        ["host", "robots_txt"],
+    )
+    status = spark.createDataFrame([("a.ex", 404)], ["host", "status"])
+    urls = spark.createDataFrame([("https://a.ex?utm_c=9",)], ["url"])
+    out = frontier_allowed_with_status(
+        urls, parse_robots(robots), "kgbot", status
+    ).collect()
+    assert out[0]["allowed"] is True  # 404 robots: RFC 9309 allow-all
+    got = strip_declared_params(urls, parse_clean_params(robots)).collect()[0]
+    assert got["canonical_url"] == "https://a.ex" and got["n_stripped"] == 1
+    # free text containing 'rel=next' in an earlier member must not bind
+    hdr = '<https://a>; title="see rel=next docs", <https://b>; rel="next"'
+    df = spark.createDataFrame([(hdr,)], ["h"]).select(
+        link_header_rel(F.col("h"), "next").alias("n")
+    )
+    assert df.collect()[0]["n"] == "https://b"
+
+
+def test_sitemap_offsetless_timestamps_pin_utc():
+    from rdf_rs_spark.sources.sitemaps import _parse_sitemap_doc, _parse_sitemap_media
+
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9" '
+        'xmlns:news="http://www.google.com/schemas/sitemap-news/0.9">'
+        "<url><loc>https://a</loc><lastmod>2024-07-04T10:30:00</lastmod>"
+        "<news:news><news:publication_date>2024-07-04T10:30:00"
+        "</news:publication_date></news:news></url></urlset>"
+    )
+    rows = _parse_sitemap_doc(1, xml)
+    assert rows[0][3] == 1720089000  # machine-TZ-independent
+    media = _parse_sitemap_media(1, xml)
+    assert media[0][5] == 1720089000

@@ -194,3 +194,25 @@ def test_page_meta_edges(spark):
                     r["m"]["favicon"]) for r in df.collect()}
     for h, exp in rows:
         assert got[h] == exp, (h, got[h])
+
+
+def test_review_fixes_gopher_unicode_and_page_meta_quotes(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.corpus import gopher_quality_flags, page_meta
+
+    rows = [
+        (0, "spam line one…\nspam line two…\nspam line three…"),
+        (1, ""),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"]).select(
+        "i", gopher_quality_flags(F.col("t")).alias("g")
+    )
+    got = {r["i"]: r["g"] for r in df.collect()}
+    assert got[0]["pass_ellipsis"] == 0  # U+2026 counted
+    assert got[1]["n_words"] == 0        # empty text: no phantom word
+    pm = spark.createDataFrame(
+        [("<meta name='description' content='Hi'><link rel='icon' href='/f.ico'>",)],
+        ["h"],
+    ).select(page_meta(F.col("h")).alias("m")).collect()[0]["m"]
+    assert pm["description"] == "Hi" and pm["favicon"] == "/f.ico"
