@@ -10309,6 +10309,96 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "rdf_ntriples_star_parse",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    k0 AS (SELECT i, 'http://e/s' || (i % 50) AS s, 'http://e/p' AS pr,
+                  'http://e/o' || ((i*3 + 1) % 50) AS o FROM p WHERE i % 4 = 0),
+    k1 AS (SELECT i, 'http://e/s' || (i % 50) AS s, 'http://e/q' AS pr,
+                  'http://e/o' || ((i*3 + 1) % 50) AS o FROM p WHERE i % 4 = 1),
+    k3 AS (SELECT i, '_:b' || (i % 20) AS s, 'http://e/p' AS pr,
+                  'http://e/o' || (i % 7) AS o FROM p WHERE i % 4 = 3),
+    rdfns AS (SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#' AS ns),
+    stmts AS (
+      SELECT DISTINCT s, pr, o,
+             '_:st' || md5(s || chr(1) || pr || chr(1) || o) AS sid
+      FROM (SELECT s, pr, o FROM k0 UNION ALL SELECT s, pr, o FROM k1
+            UNION ALL SELECT s, pr, o FROM k3)),
+    reif AS (
+      SELECT sid AS subj, ns || 'type' AS pred, 0 AS obj_kind,
+             ns || 'Statement' AS obj_lex FROM stmts, rdfns
+      UNION ALL
+      SELECT sid, ns || 'subject',
+             CASE WHEN s LIKE '\\_:%' ESCAPE '\\' THEN 1 ELSE 0 END,
+             CASE WHEN s LIKE '\\_:%' ESCAPE '\\' THEN substring(s, 3) ELSE s END
+      FROM stmts, rdfns
+      UNION ALL
+      SELECT sid, ns || 'predicate', 0, pr FROM stmts, rdfns
+      UNION ALL
+      SELECT sid, ns || 'object', 0, o FROM stmts, rdfns)
+    SELECT '_:st' || md5(s || chr(1) || pr || chr(1) || o) AS subj,
+      'http://e/conf' AS pred, 2::TINYINT AS obj_kind,
+      (i % 100)::VARCHAR AS obj_lex,
+      'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype,
+      CAST(NULL AS VARCHAR) AS obj_lang
+    FROM k0
+    UNION ALL
+    SELECT 'http://e/doc' || i, 'http://e/claims', 1::TINYINT,
+      'st' || md5(s || chr(1) || pr || chr(1) || o), NULL, NULL FROM k1
+    UNION ALL
+    SELECT 'http://e/x' || i, 'http://e/p', 2::TINYINT, 'lit ' || i, NULL, NULL
+    FROM p WHERE i % 4 = 2
+    UNION ALL
+    SELECT '_:st' || md5(s || chr(1) || pr || chr(1) || o),
+      'http://e/src', 2::TINYINT, 'crawl', NULL, 'en' FROM k3
+    UNION ALL
+    SELECT subj, pred, obj_kind::TINYINT, obj_lex, NULL, NULL FROM reif""",
+)
+def rdf_ntriples_star_parse(spark, sf_dir):
+    """N-Triples-star subset parse (``sources/ntriples_star.py``) —
+    RDF-star annotation ingest, THE mechanism for edge-level metadata
+    (fusion confidence, per-claim provenance) the plain data model
+    can't address. Quoted triples map to CONTENT-ADDRESSED statement
+    ids (``_:st<md5(s␁p␁o)>`` — the pipeline's skolem discipline, so
+    any executor/retry/document lands on the same id) and expand once
+    into the four classical reification rows (globally set-deduped:
+    class 0 ANNOTATES statements class 1 also REFERENCES — shared
+    statements must not double-expand). Pure column algebra: three
+    anchored regexes + one explode, zero Python; plain lines fall
+    through to the standard NT SQL engine and garbage drops. Oracle
+    regenerates every asserted row and the DISTINCT expansion set with
+    DuckDB-side md5."""
+    from .sources.ntriples_star import parse_ntriples_star
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    a = (i % 50).cast("string")
+    b = ((i * 3 + 1) % 50).cast("string")
+    k = i % 4
+    line = (
+        F.when(k == 0, F.concat(
+            F.lit("<< <http://e/s"), a, F.lit("> <http://e/p> <http://e/o"), b,
+            F.lit("> >> <http://e/conf> \""), (i % 100).cast("string"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("<http://e/doc"), s, F.lit("> <http://e/claims> << <http://e/s"),
+            a, F.lit("> <http://e/q> <http://e/o"), b, F.lit("> >> ."),
+        ))
+        .when(k == 2, F.concat(
+            F.lit("<http://e/x"), s, F.lit('> <http://e/p> "lit '), s, F.lit('" .'),
+        ))
+        .otherwise(F.concat(
+            F.lit("<< _:b"), (i % 20).cast("string"),
+            F.lit(" <http://e/p> <http://e/o"), (i % 7).cast("string"),
+            F.lit('> >> <http://e/src> "crawl"@en .'),
+        ))
+    )
+    lines = spark.range(n).select(line.alias("value"))
+    return parse_ntriples_star(lines)
+
+
+@q(
     "crawl_robots_status",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
     f AS (SELECT i, i % 5 AS h, i % 2 AS k FROM p)
@@ -11113,6 +11203,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "rdf_ntriples_star_parse": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RDF-star annotation ingest (content-addressed statement skolems + globally-deduped reification expansion, pure column algebra); regeneration oracle with DuckDB-side md5 incl. the shared-statement dedupe class",
     "crawl_robots_status": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 9309 §2.3.1 fetch-status semantics (4xx allow-all / 5xx+unreachable disallow-all overriding the rule decision both ways); decision-table oracle",
     "docs_page_meta": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the title/description/h1/favicon projection under a per-class decision oracle (attr order variance, multi-line titles, nested-tag strip, shortcut-icon variant)",
     "crawl_sitemap_media": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the news/image sitemap namespaces (media-crawl discovery inputs) under a regeneration oracle with a must-emit-nothing plain-url class",

@@ -1,0 +1,169 @@
+"""N-Triples-star subset — RDF-star annotation ingest.
+
+RDF-star (the RDF 1.2 / W3C CG extension) lets a triple be the subject
+or object of another triple — THE mechanism for edge-level metadata a
+KG-construction pipeline needs (fusion confidence, provenance weight,
+extraction source per CLAIM rather than per document). The reference
+predates RDF-star (its grammar is plain NT/Turtle, ``src/reader/``);
+this is a beyond-reference front in the same bytes-in/triples-out
+role.
+
+Subset grammar (documented): one quoting level; terms inside
+``<< … >>`` are IRIs or blank labels (no literals inside quotes — the
+annotation VALUE carries the literal); the outer object may be any NT
+term. Everything else falls through to the standard NT line parse.
+
+Semantics: a quoted triple maps to a CONTENT-ADDRESSED statement id
+``_:st<md5(s␁p␁o)>`` — the skolemization discipline of the main
+pipeline, so the same quoted triple from any document/executor/retry
+lands on the same id — and each distinct quoted triple additionally
+expands to the four classical reification rows (rdf:type
+rdf:Statement + rdf:subject/predicate/object), the mapping plain-RDF
+tooling understands. Pure column algebra end to end: three anchored
+regexes + one explode; zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+#: one quoted level, IRI/blank terms inside the quotes
+_QT = r"<<\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(<[^>]*>|_:\S+)\s*>>"
+_TERM = r"(<[^>]*>|_:\S+|\"[^\"]*\"(?:@[A-Za-z-]+|\^\^<[^>]*>)?)"
+_QS_LINE = rf"^\s*{_QT}\s+(<[^>]*>)\s+{_TERM}\s*\.\s*$"
+_QO_LINE = rf"^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+{_QT}\s*\.\s*$"
+
+
+def _strip_term(tok: Column) -> Column:
+    """IRI <x> → x; blank _:b → _:b (kept); used for quoted-triple
+    members (IRIs/blanks only by grammar)."""
+    return F.when(
+        tok.startswith("<"), tok.substr(F.lit(2), F.length(tok) - 2)
+    ).otherwise(tok)
+
+
+def _stmt_id(s: Column, p: Column, o: Column) -> Column:
+    return F.concat(F.lit("_:st"), F.md5(F.concat_ws("\x01", s, p, o)))
+
+
+def _obj_cols(tok: Column):
+    """An NT object token → (kind, lex, dt, lang) columns."""
+    is_iri = tok.startswith("<")
+    is_blank = tok.startswith("_:")
+    lex_lit = F.regexp_extract(tok, r'^"([^"]*)"', 1)
+    dt = F.regexp_extract(tok, r'\^\^<([^>]*)>$', 1)
+    lang = F.regexp_extract(tok, r'"@([A-Za-z-]+)$', 1)
+    kind = (
+        F.when(is_iri, F.lit(0)).when(is_blank, F.lit(1)).otherwise(F.lit(2))
+    ).cast("tinyint")
+    lex = (
+        F.when(is_iri, tok.substr(F.lit(2), F.length(tok) - 2))
+        .when(is_blank, tok.substr(F.lit(3), F.length(tok) - 2))
+        .otherwise(lex_lit)
+    )
+    return (
+        kind,
+        lex,
+        F.when(~is_iri & ~is_blank & (dt != ""), dt).cast("string"),
+        F.when(~is_iri & ~is_blank & (lang != ""), lang).cast("string"),
+    )
+
+
+def parse_ntriples_star(df: DataFrame, line_col: str = "value") -> DataFrame:
+    """Lines → six-col triples. Quoted triples become their skolem
+    statement ids in subject/object position, and each produces its
+    four reification rows (set-deduplicated — the same quoted triple
+    annotated twice expands once). Malformed lines are dropped
+    (dead-letter discipline of the SQL NT engine)."""
+    line = F.col(line_col)
+    qs = df.where(line.rlike(_QS_LINE))
+    qo = df.where(~line.rlike(_QS_LINE) & line.rlike(_QO_LINE))
+    plain = df.where(~line.rlike(_QS_LINE) & ~line.rlike(_QO_LINE))
+
+    # quoted-SUBJECT lines: << s p o >> PRED OBJ .
+    s1, p1, o1 = (
+        F.regexp_extract(F.col(line_col), _QS_LINE, 1),
+        F.regexp_extract(F.col(line_col), _QS_LINE, 2),
+        F.regexp_extract(F.col(line_col), _QS_LINE, 3),
+    )
+    qs_s = _strip_term(s1)
+    qs_p = p1.substr(F.lit(2), F.length(p1) - 2)
+    qs_o = _strip_term(o1)
+    qs_id = _stmt_id(qs_s, qs_p, qs_o)
+    outer_pred = F.regexp_extract(F.col(line_col), _QS_LINE, 4)
+    outer_obj = F.regexp_extract(F.col(line_col), _QS_LINE, 5)
+    k, lx, dt, lg = _obj_cols(outer_obj)
+    qs_assert = qs.select(
+        qs_id.alias("subj"),
+        outer_pred.substr(F.lit(2), F.length(outer_pred) - 2).alias("pred"),
+        k.alias("obj_kind"), lx.alias("obj_lex"),
+        dt.alias("obj_datatype"), lg.alias("obj_lang"),
+    )
+    qs_reif = _reification(qs, qs_id, qs_s, qs_p, qs_o)
+
+    # quoted-OBJECT lines: SUBJ PRED << s p o >> .
+    sub2 = F.regexp_extract(F.col(line_col), _QO_LINE, 1)
+    pred2 = F.regexp_extract(F.col(line_col), _QO_LINE, 2)
+    s2 = _strip_term(F.regexp_extract(F.col(line_col), _QO_LINE, 3))
+    p2r = F.regexp_extract(F.col(line_col), _QO_LINE, 4)
+    p2 = p2r.substr(F.lit(2), F.length(p2r) - 2)
+    o2 = _strip_term(F.regexp_extract(F.col(line_col), _QO_LINE, 5))
+    qo_id = _stmt_id(s2, p2, o2)
+    qo_assert = qo.select(
+        _strip_term(sub2).alias("subj"),
+        pred2.substr(F.lit(2), F.length(pred2) - 2).alias("pred"),
+        F.lit(1).cast("tinyint").alias("obj_kind"),
+        qo_id.substr(F.lit(3), F.length(qo_id) - 2).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    qo_reif = _reification(qo, qo_id, s2, p2, o2)
+
+    # plain NT lines reuse the standard SQL engine
+    from .ntriples import parse_ntriples_lines
+
+    plain_rows = parse_ntriples_lines(plain.select(line.alias("value")))
+
+    # GLOBAL set-dedup of the expansions: the same quoted triple may be
+    # annotated in one line and referenced in another — it expands once
+    reif = qs_reif.unionByName(qo_reif).dropDuplicates()
+    return qs_assert.unionByName(qo_assert).unionByName(reif).unionByName(plain_rows)
+
+
+def _reification(rows: DataFrame, stmt: Column, s: Column, p: Column, o: Column):
+    """Four classical reification rows per quoted triple. The quoted
+    members are IRIs or blanks by grammar; blanks keep kind 1."""
+    base = rows.select(
+        stmt.alias("__st_id"), s.alias("__st_s"), p.alias("__st_p"),
+        o.alias("__st_o"),
+    )
+
+    def member(col: str):
+        c = F.col(col)
+        blank = c.startswith("_:")
+        return (
+            F.when(blank, F.lit(1)).otherwise(F.lit(0)),
+            F.when(blank, c.substr(F.lit(3), F.length(c) - 2)).otherwise(c),
+        )
+
+    sk, sv = member("__st_s")
+    ok, ov = member("__st_o")
+    four = F.array(
+        F.struct(F.lit(_RDF + "type").alias("pr"), F.lit(0).alias("k"),
+                 F.lit(_RDF + "Statement").alias("v")),
+        F.struct(F.lit(_RDF + "subject").alias("pr"), sk.alias("k"), sv.alias("v")),
+        F.struct(F.lit(_RDF + "predicate").alias("pr"), F.lit(0).alias("k"),
+                 F.col("__st_p").alias("v")),
+        F.struct(F.lit(_RDF + "object").alias("pr"), ok.alias("k"), ov.alias("v")),
+    )
+    exploded = base.select("__st_id", F.explode(four).alias("r"))
+    return exploded.select(
+        F.col("__st_id").alias("subj"),
+        F.col("r.pr").alias("pred"),
+        F.col("r.k").cast("tinyint").alias("obj_kind"),
+        F.col("r.v").alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )

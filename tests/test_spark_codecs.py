@@ -432,3 +432,33 @@ def test_flac_truncated_payload_raises_not_hangs():
     blob = flac_encode([[5 + 3 * j for j in range(40)]], 8000, "fixed", 1)
     with _pytest.raises(ValueError):
         flac_decode(blob[:-6])  # cut mid-residual: must raise, never spin
+
+
+def test_ntriples_star_shared_statement_and_grammar(spark):
+    from rdf_rs_spark.sources.ntriples_star import parse_ntriples_star
+
+    lines = [
+        '<< <http://s1> <http://p> <http://o1> >> <http://conf> "90"^^<http://int> .',
+        "<http://who> <http://said> << <http://s1> <http://p> <http://o1> >> .",
+        '<< _:b1 <http://p> <http://o2> >> <http://src> "crawl"@en .',
+        '<http://plain> <http://p> "v" .',
+        "garbage line",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    rows = [tuple(r) for r in parse_ntriples_star(df).collect()]
+    # 3 asserted + 2 distinct statements x 4 reification rows + 1 plain;
+    # the statement shared by lines 1 AND 2 must expand exactly once
+    assert len(rows) == 12
+    import hashlib
+
+    sid = "_:st" + hashlib.md5(
+        "http://s1\x01http://p\x01http://o1".encode()
+    ).hexdigest()
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert (sid, "http://conf", 2, "90", "http://int", None) in rows
+    assert ("http://who", "http://said", 1, sid[2:], None, None) in rows
+    assert rows.count((sid, rdf + "subject", 0, "http://s1", None, None)) == 1
+    # blank member keeps kind 1 with the label stripped
+    bid = "_:st" + hashlib.md5("_:b1\x01http://p\x01http://o2".encode()).hexdigest()
+    assert (bid, rdf + "subject", 1, "b1", None, None) in rows
+    assert (bid, "http://src", 2, "crawl", None, "en") in rows
