@@ -10308,6 +10308,54 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
     return decode_column(enc, d, "s_id", "subj").select("s_id", "p_id", "o_id", "subj")
 
 
+_KG = "http://kg.example.org/"
+
+
+@q(
+    "rdf_jsonld_format",
+    f"""SELECT '{_KG}region/' || r_regionkey AS subj,
+      '{{"@id":"{_KG}region/' || r_regionkey
+      || '","@type":["{_KG}Region"],"{_KG}name":[{{"@value":"' || r_name
+      || '"}}]}}' AS json
+    FROM region
+    UNION ALL
+    SELECT '{_KG}nation/' || n_nationkey,
+      '{{"@id":"{_KG}nation/' || n_nationkey
+      || '","@type":["{_KG}Nation"],"{_KG}inRegion":[{{"@id":"{_KG}region/'
+      || n_regionkey || '"}}],"{_KG}name":[{{"@value":"' || n_name || '"}}]}}'
+    FROM nation
+    UNION ALL
+    SELECT '{_KG}customer/' || c_custkey,
+      '{{"@id":"{_KG}customer/' || c_custkey || '","@type":["{_KG}Customer"],'
+      || CASE WHEN c_custkey % 2 = 0
+              THEN '"{_KG}address":[{{"@id":"_:addr' || c_custkey || '"}}],'
+              ELSE '' END
+      || '"{_KG}inNation":[{{"@id":"{_KG}nation/' || c_nationkey
+      || '"}}],"{_KG}name":[{{"@value":"' || c_name || '"}}]}}'
+    FROM customer
+    UNION ALL
+    SELECT '_:addr' || c_custkey,
+      '{{"@id":"_:addr' || c_custkey || '","{_KG}segment":[{{"@value":"'
+      || c_mktsegment || '"}}]}}'
+    FROM customer WHERE c_custkey % 2 = 0""",
+)
+def rdf_jsonld_format(spark, sf_dir):
+    """JSON-LD expanded-form WRITER (``writers/jsonld.py``) — the sink
+    completing reader/writer symmetry with ``sources/jsonld.py``:
+    NDJSON of expanded node objects, one per subject, with canonical
+    deterministic bytes (@id, sorted @type, sorted predicates, value
+    arrays sorted by rendered form; compact separators). The oracle
+    assembles the EXACT byte strings independently from the base
+    tables — pred-sort placement of the even-customer address block
+    and blank-node ``_:`` ids are all under the hash; escape /
+    language / typed-literal rendering and a reader→writer roundtrip
+    are unit-pinned (the gate corpus is escape-free by construction).
+    One subject-key shuffle; output ∝ subjects."""
+    from .writers.jsonld import jsonld_lines
+
+    return jsonld_lines(_triples(spark, sf_dir).dropDuplicates())
+
+
 @q(
     "rdf_ntriples_star_parse",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
@@ -11203,6 +11251,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "rdf_jsonld_format": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the JSON-LD expanded-form sink (reader/writer symmetry); byte-exact closed-form oracle assembled independently from the base tables; reader roundtrip + escape/lang/typed rendering unit-pinned",
     "rdf_ntriples_star_parse": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RDF-star annotation ingest (content-addressed statement skolems + globally-deduped reification expansion, pure column algebra); regeneration oracle with DuckDB-side md5 incl. the shared-statement dedupe class",
     "crawl_robots_status": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 9309 §2.3.1 fetch-status semantics (4xx allow-all / 5xx+unreachable disallow-all overriding the rule decision both ways); decision-table oracle",
     "docs_page_meta": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the title/description/h1/favicon projection under a per-class decision oracle (attr order variance, multi-line titles, nested-tag strip, shortcut-icon variant)",

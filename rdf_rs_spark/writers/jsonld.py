@@ -1,0 +1,76 @@
+"""JSON-LD expanded-form writer — the sink completing the reader/
+writer symmetry (``sources/jsonld.py`` reads the expanded form; this
+emits it), NDJSON-style: one expanded NODE OBJECT per subject per
+line, the distributed-friendly layout (a monolithic ``[ … ]`` document
+is a trivial concat of the lines; per-subject lines shard, resume and
+diff like every other sink here).
+
+Canonical, deterministic bytes (the Turtle-writer discipline):
+``@id`` first, then ``@type`` (sorted IRIs), then predicates in
+sorted order, each with its value array sorted by rendered form;
+``json.dumps`` with compact separators and ``ensure_ascii=False``
+does the escaping. Blank nodes render as ``_:label`` ids.
+
+Execution shape: ``orderBy → groupBy(subj) → applyInPandas`` — the
+grouping writer pattern (`writers/turtle.py`); one shuffle on the
+subject key, output ∝ subjects.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..terms import RDF_TYPE
+
+JSONLD_LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("json", T.StringType(), False),
+    ]
+)
+
+
+def _node_json(subj: str, rows) -> str:
+    obj: dict = {"@id": subj}
+    types = sorted(
+        r.obj_lex for r in rows if r.pred == RDF_TYPE and r.obj_kind == 0
+    )
+    if types:
+        obj["@type"] = types
+    preds: dict = {}
+    for r in rows:
+        if r.pred == RDF_TYPE and r.obj_kind == 0:
+            continue
+        if r.obj_kind == 0:
+            v = {"@id": r.obj_lex}
+        elif r.obj_kind == 1:
+            v = {"@id": "_:" + r.obj_lex}
+        else:
+            v = {"@value": r.obj_lex}
+            if r.obj_lang:
+                v["@language"] = r.obj_lang
+            elif r.obj_datatype:
+                v["@type"] = r.obj_datatype
+        preds.setdefault(r.pred, []).append(v)
+    for p in sorted(preds):
+        obj[p] = sorted(
+            preds[p], key=lambda v: json.dumps(v, sort_keys=True)
+        )
+    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+
+
+def jsonld_lines(triples: DataFrame) -> DataFrame:
+    """Six-col triples → ``(subj, json)`` — one expanded node object
+    per subject."""
+
+    def fn(key, pdf):
+        subj = key[0]
+        return pd.DataFrame(
+            [(subj, _node_json(subj, list(pdf.itertuples())))],
+            columns=["subj", "json"],
+        )
+
+    return triples.groupBy("subj").applyInPandas(fn, schema=JSONLD_LINES_SCHEMA)

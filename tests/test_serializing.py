@@ -370,3 +370,38 @@ def test_sparql_results_csv(spark):
             'http://e/c,"line\nbreak",',
         ]
     )
+
+
+def test_jsonld_writer_roundtrips_and_escapes(spark):
+    import json
+
+    from rdf_rs_spark.sources.jsonld import jsonld_doc_triples
+    from rdf_rs_spark.writers.jsonld import jsonld_lines
+
+    rows = [
+        ("http://e/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         0, "http://e/T", None, None),
+        ("http://e/a", "http://e/name", 2, 'Ann "q" \\ x', None, None),
+        ("http://e/a", "http://e/knows", 0, "http://e/b", None, None),
+        ("http://e/a", "http://e/knows", 1, "b0", None, None),
+        ("http://e/a", "http://e/note", 2, "hé", None, "fr"),
+        ("http://e/a", "http://e/age", 2, "42", "http://int", None),
+        ("_:b0", "http://e/name", 2, "bee", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj_kind int, obj_lex string, "
+              "obj_datatype string, obj_lang string"
+    )
+    out = {r["subj"]: r["json"] for r in jsonld_lines(df).collect()}
+    # deterministic bytes: @id, @type, sorted preds, sorted value arrays
+    a = json.loads(out["http://e/a"])
+    assert list(a.keys()) == [
+        "@id", "@type", "http://e/age", "http://e/knows",
+        "http://e/name", "http://e/note",
+    ]
+    assert a["http://e/knows"] == [{"@id": "_:b0"}, {"@id": "http://e/b"}]
+    # writer -> READER roundtrip recovers the exact triple set
+    back = []
+    for s in sorted(out):
+        back += jsonld_doc_triples(json.loads(out[s]))
+    assert sorted(back) == sorted(rows)
