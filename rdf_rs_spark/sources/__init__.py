@@ -45,4 +45,36 @@ def __getattr__(name):
         from . import charset
 
         return getattr(charset, name)
+    if name in ("fix_mojibake", "fix_mojibake_text"):
+        from . import charset
+
+        return getattr(charset, name)
+    if name in ("parse_sitemap_media",):
+        from .sitemaps import parse_sitemap_media
+
+        return parse_sitemap_media
+    if name in ("extract_pdf_text",):
+        from .pdf import extract_pdf_text
+
+        return extract_pdf_text
+    if name in ("extract_docx_text", "read_zip_members"):
+        from . import zipdoc
+
+        return getattr(zipdoc, name)
+    if name in ("extract_tar_files", "code_file_stats", "read_tar_members"):
+        from . import tarball
+
+        return getattr(tarball, name)
+    if name in ("extract_mbox_messages", "parse_message", "split_mbox"):
+        from . import mail
+
+        return getattr(mail, name)
+    if name in ("parse_ntriples_star",):
+        from .ntriples_star import parse_ntriples_star
+
+        return parse_ntriples_star
+    if name in ("html_to_markdown",):
+        from .markdown import html_to_markdown
+
+        return html_to_markdown
     raise AttributeError(name)

@@ -6,4 +6,13 @@ __all__ = [
     "nt_lines",
     "write_ntriples",
     "write_turtle_string_distributed",
+    "jsonld_lines",
 ]
+
+
+def __getattr__(name):
+    if name == "jsonld_lines":
+        from .jsonld import jsonld_lines
+
+        return jsonld_lines
+    raise AttributeError(name)
