@@ -10308,6 +10308,57 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
     return decode_column(enc, d, "s_id", "subj").select("s_id", "p_id", "o_id", "subj")
 
 
+@q(
+    "docs_readability_fk",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      ([10, 9, 1])[(i % 3) + 1]::BIGINT AS n_words,
+      ([3, 1, 1])[(i % 3) + 1]::BIGINT AS n_sentences,
+      ([9, 41, 0])[(i % 3) + 1]::BIGINT AS n_syllables,
+      (CASE i % 3
+        WHEN 0 THEN (39*10) // 3 + (1180*9) // 10 - 1559
+        WHEN 1 THEN (39*9) // 1 + (1180*41) // 9 - 1559
+        ELSE 39 // 1 + 0 - 1559 END)::BIGINT AS fk_grade_e2
+    FROM p""",
+)
+def docs_readability_fk(spark, sf_dir):
+    """Flesch–Kincaid readability (``operators/corpus.py::
+    readability_fk``) — the classic grade-level curation signal
+    (grade bands pick simple-English corpora; absurd grades flag
+    word-salad spam), as a DETERMINISTIC integer rational: vowel-group
+    syllables, the shared sentence splitter, and the float formula
+    restated with per-term integer division (both engines agree
+    exactly — the oracle derives each class's grade from the SAME
+    stated arithmetic, not from observed output). Three classes:
+    simple prose (negative grade), one-sentence jargon (grade ≈ 48 —
+    the spam band), a vowel-less token (degenerate floor). Digit-
+    bearing index tokens are vowel-free by construction so counts stay
+    class-constant. Zero shuffle."""
+    from .operators.corpus import readability_fk
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    d = (i % 10).cast("string")
+    k = i % 3
+    text = (
+        F.when(k == 0, F.concat(F.lit("The cat sat. The dog ran. We go "), d,
+                                F.lit(" now.")))
+        .when(k == 1, F.concat(
+            F.lit("Extraordinarily complicated terminological considerations "
+                  "necessitate comprehensive organizational restructuring r"), d))
+        .otherwise(F.concat(F.lit("x"), d))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    r = readability_fk(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r.getField("n_words").alias("n_words"),
+        r.getField("n_sentences").alias("n_sentences"),
+        r.getField("n_syllables").alias("n_syllables"),
+        r.getField("fk_grade_e2").alias("fk_grade_e2"),
+    )
+
+
 _KG = "http://kg.example.org/"
 
 
@@ -11251,6 +11302,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_readability_fk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the FK grade signal as per-term integer division (oracle derives grades from the same stated arithmetic, never observed output); simple/jargon/degenerate classes",
     "rdf_jsonld_format": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the JSON-LD expanded-form sink (reader/writer symmetry); byte-exact closed-form oracle assembled independently from the base tables; reader roundtrip + escape/lang/typed rendering unit-pinned",
     "rdf_ntriples_star_parse": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RDF-star annotation ingest (content-addressed statement skolems + globally-deduped reification expansion, pure column algebra); regeneration oracle with DuckDB-side md5 incl. the shared-statement dedupe class",
     "crawl_robots_status": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 9309 §2.3.1 fetch-status semantics (4xx allow-all / 5xx+unreachable disallow-all overriding the rule decision both ways); decision-table oracle",

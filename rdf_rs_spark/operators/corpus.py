@@ -1303,3 +1303,34 @@ def page_meta(html: Column) -> Column:
         norm(strip_tags(h1)).alias("h1"),
         norm(fav).alias("favicon"),
     )
+
+
+def readability_fk(text: Column) -> Column:
+    """Flesch–Kincaid grade level as a DETERMINISTIC integer rational —
+    the classic readability curation signal (grade bands select
+    children's/simple-English corpora; absurd grades flag word-salad
+    spam). Syllables are approximated by vowel GROUPS (``[aeiouy]+``
+    runs, the standard regex surrogate — silent-e is not modeled,
+    documented); sentences come from the shared splitter; the float
+    formula ``0.39·w/s + 11.8·y/w − 15.59`` is scaled to e2 with
+    per-term integer division (restated as 39·w DIV s + 1180·y DIV w − 1559) — not IEEE
+    arithmetic, so both engines agree exactly. Returns
+    struct(n_words, n_sentences, n_syllables, fk_grade_e2). Zero
+    shuffle."""
+    from ..functions.text import sentence_split, tokens_col
+
+    w = F.size(tokens_col(text)).cast("long")
+    s = F.size(sentence_split(text)).cast("long")
+    y = F.size(F.regexp_extract_all(F.lower(text), F.lit("([aeiouy]+)"))).cast("long")
+    safe_w, safe_s = F.greatest(w, F.lit(1)), F.greatest(s, F.lit(1))
+    grade = (
+        F.floor(F.lit(39) * w / safe_s).cast("long")
+        + F.floor(F.lit(1180) * y / safe_w).cast("long")
+        - F.lit(1559)
+    )
+    return F.struct(
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        grade.cast("bigint").alias("fk_grade_e2"),
+    )
