@@ -10309,6 +10309,47 @@ def kg_pipeline_hdt_encode(spark, sf_dir):
 
 
 @q(
+    "multimodal_ahash_codes",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    bb AS (SELECT unnest(generate_series(0, 7)) AS bx),
+    cc AS (SELECT unnest(generate_series(0, 7)) AS by),
+    bm AS (
+      SELECT i, bx, by,
+        (((16*(2*by) + 2*bx + 3*i) % 256 + (16*(2*by) + 2*bx + 1 + 3*i) % 256
+        + (16*(2*by + 1) + 2*bx + 3*i) % 256
+        + (16*(2*by + 1) + 2*bx + 1 + 3*i) % 256) // 4) AS v
+      FROM p, bb, cc),
+    m AS (SELECT i, (sum(v) // 64)::BIGINT AS thr FROM bm GROUP BY i),
+    codes AS (
+      SELECT bm.i,
+        sum(CASE WHEN by < 4 AND v > thr
+                 THEN (1::BIGINT << (by*8 + bx)) ELSE 0 END)::BIGINT AS lo,
+        sum(CASE WHEN by >= 4 AND v > thr
+                 THEN (1::BIGINT << (by*8 + bx - 32)) ELSE 0 END)::BIGINT AS hi
+      FROM bm JOIN m ON bm.i = m.i GROUP BY bm.i)
+    SELECT 'gppm:' || i AS media_id, 16::BIGINT AS w, 16::BIGINT AS h, lo, hi
+    FROM codes""",
+)
+def multimodal_ahash_codes(spark, sf_dir):
+    """Perceptual average-hash (``operators/multimodal.py::
+    ahash64_features``) — the image-side near-dup key LAION-scale
+    multimodal pipelines run (aHash family): integer grayscale, 8×8
+    integer block-mean downsample, threshold at the integer mean of
+    the block means, 64 bits packed into the SAME two-word layout as
+    the binary-text codes — so ``hamming_topk`` applies verbatim to
+    images and the dedup machinery is shared across modalities. Every
+    bit is a closed form of (i, bx, by) over the gradient corpus; the
+    oracle replays block sums, threshold and packing with plain
+    integer arithmetic — any off-by-one in blocking, truncation or
+    bit order breaks the hash. Arrow kernel; payloads never
+    shuffle."""
+    from .operators.multimodal import ahash64_features, synthesize_gradient_ppm
+
+    n = _scale_n(sf_dir)
+    return ahash64_features(synthesize_gradient_ppm(spark.range(n)))
+
+
+@q(
     "docs_readability_fk",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -11302,6 +11343,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "multimodal_ahash_codes": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): perceptual image hashing in the shared Hamming word layout (cross-modal dedup machinery); exact integer block-mean replay oracle",
     "docs_readability_fk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the FK grade signal as per-term integer division (oracle derives grades from the same stated arithmetic, never observed output); simple/jargon/degenerate classes",
     "rdf_jsonld_format": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the JSON-LD expanded-form sink (reader/writer symmetry); byte-exact closed-form oracle assembled independently from the base tables; reader roundtrip + escape/lang/typed rendering unit-pinned",
     "rdf_ntriples_star_parse": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RDF-star annotation ingest (content-addressed statement skolems + globally-deduped reification expansion, pure column algebra); regeneration oracle with DuckDB-side md5 incl. the shared-statement dedupe class",

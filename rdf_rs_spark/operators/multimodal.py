@@ -2795,3 +2795,91 @@ def synthesize_flac_media(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual average-hash (aHash) — image near-dup for multimodal corpora
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("w", T.LongType(), False),
+        T.StructField("h", T.LongType(), False),
+        T.StructField("lo", T.LongType(), False),
+        T.StructField("hi", T.LongType(), False),
+    ]
+)
+
+
+def ahash64_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual average-hash over P6 PPM payloads — the image-side
+    near-dup key LAION-scale multimodal pipelines use (aHash/pHash
+    family): integer grayscale ``(r+g+b) DIV 3``, 8×8 block-mean
+    downsample (block sums ``DIV`` count — pure integer, so an oracle
+    replays the exact bits), threshold at the integer mean of the 64
+    block means, 64 bits packed row-major into two 32-bit halves
+    (``lo``/``hi`` — the Hamming-ANN word layout, so
+    ``operators/ann.py::hamming_topk``'s distance applies verbatim to
+    images). Subset: dimensions must be multiples of 8 (crawl
+    thumbnails are resized upstream); others raise. Arrow kernel,
+    payloads never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AHASH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                b = bytes(getattr(rec, payload_col))
+                if not b.startswith(b"P6"):
+                    raise ValueError("aHash subset expects P6 PPM")
+                parts = b.split(b"\n", 3)
+                w, h = (int(t) for t in parts[1].split())
+                if w % 8 or h % 8:
+                    raise ValueError("aHash subset needs multiple-of-8 dims")
+                rgb = np.frombuffer(parts[3], dtype=np.uint8)[: w * h * 3]
+                gray = (
+                    rgb.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+                )
+                bw, bh = w // 8, h // 8
+                blocks = (
+                    gray.reshape(8, bh, 8, bw).sum(axis=(1, 3)) // (bw * bh)
+                )
+                m = int(blocks.sum()) // 64
+                bits = (blocks > m).astype(np.int64).ravel()  # row-major
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:] << np.arange(32)).sum())
+                rows.append((getattr(rec, id_col), w, h, lo, hi))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def synthesize_gradient_ppm(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """16×16 grayscale-gradient P6 corpus: pixel (row y, col x) of
+    image i has gray ``(16*y + x + 3*i) % 256`` in all three channels
+    — every block mean, the threshold and every hash bit are closed
+    forms of (i, bx, by), so the oracle replays the exact codes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                i = int(getattr(rec, id_col))
+                g = ((16 * y + x + 3 * i) % 256).astype(np.uint8)
+                rgb = np.repeat(g[:, :, None], 3, axis=2)
+                rows.append(
+                    (f"gppm:{i}", b"P6\n16 16\n255\n" + rgb.tobytes())
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

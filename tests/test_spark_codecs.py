@@ -462,3 +462,40 @@ def test_ntriples_star_shared_statement_and_grammar(spark):
     bid = "_:st" + hashlib.md5("_:b1\x01http://p\x01http://o2".encode()).hexdigest()
     assert (bid, rdf + "subject", 1, "b1", None, None) in rows
     assert (bid, "http://src", 2, "crawl", None, "en") in rows
+
+
+def test_ahash_near_dup_images_land_close_in_hamming(spark):
+    import numpy as np
+
+    from rdf_rs_spark.operators.multimodal import ahash64_features
+
+    def ppm(g):
+        rgb = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+        return b"P6\n16 16\n255\n" + rgb.tobytes()
+
+    y, x = np.mgrid[0:16, 0:16]
+    base = (8 * y + x) % 256
+    noisy = base.copy()
+    noisy[0, 0] += 3  # tiny perturbation: same perceptual content
+    inverted = 255 - base  # different content
+    df = spark.createDataFrame(
+        [("a", ppm(base)), ("b", ppm(noisy)), ("c", ppm(inverted))],
+        "media_id string, payload binary",
+    )
+    got = {r["media_id"]: (r["lo"], r["hi"]) for r in ahash64_features(df).collect()}
+
+    def ham(p, q):
+        return bin(p[0] ^ q[0]).count("1") + bin(p[1] ^ q[1]).count("1")
+
+    assert ham(got["a"], got["b"]) <= 2       # near-dup: tiny distance
+    assert ham(got["a"], got["c"]) >= 20      # inverted: far
+    # subset guard: worker-side ValueError surfaces as PythonException
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="multiple-of-8"):
+        ahash64_features(
+            spark.createDataFrame(
+                [("x", b"P6\n10 16\n255\n" + b"\x00" * 480)],
+                "media_id string, payload binary",
+            )
+        ).collect()
