@@ -10350,6 +10350,55 @@ def multimodal_ahash_codes(spark, sf_dir):
 
 
 @q(
+    "multimodal_image_neardup",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS k),
+    bb AS (SELECT unnest(generate_series(0, 7)) AS bx),
+    cc AS (SELECT unnest(generate_series(0, 7)) AS by),
+    bm AS (
+      SELECT k, bx, by,
+        ((((16*(2*by) + 2*bx + 5*(k // 2)
+            + CASE WHEN k % 2 = 1 AND by = 0 AND bx = 0 THEN 8 ELSE 0 END) % 256)
+        + ((16*(2*by) + 2*bx + 1 + 5*(k // 2)) % 256)
+        + ((16*(2*by + 1) + 2*bx + 5*(k // 2)) % 256)
+        + ((16*(2*by + 1) + 2*bx + 1 + 5*(k // 2)) % 256)) // 4) AS v
+      FROM p, bb, cc),
+    m AS (SELECT k, (sum(v) // 64)::BIGINT AS thr FROM bm GROUP BY k),
+    codes AS (
+      SELECT bm.k, 'pp:' || bm.k AS mid,
+        sum(CASE WHEN by < 4 AND v > thr
+                 THEN (1::BIGINT << (by*8 + bx)) ELSE 0 END)::BIGINT AS lo,
+        sum(CASE WHEN by >= 4 AND v > thr
+                 THEN (1::BIGINT << (by*8 + bx - 32)) ELSE 0 END)::BIGINT AS hi
+      FROM bm JOIN m ON bm.k = m.k GROUP BY bm.k)
+    SELECT a.mid AS id_a, b.mid AS id_b,
+      (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS dist
+    FROM codes a JOIN codes b ON a.mid < b.mid
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""",
+)
+def multimodal_image_neardup(spark, sf_dir):
+    """Cross-modal near-dup pairs (``operators/multimodal.py::
+    ahash_neardup_pairs``) — perceptual aHash codes through the
+    4×16-bit PIGEONHOLE banding (the SimHash discipline): ≤3 flipped
+    bits leave one band intact, so banded equi-self-joins reach every
+    true pair with no all-pairs join. The oracle deliberately uses the
+    DIRECT pair join instead — an INDEPENDENT construction, so any
+    pair the banding would miss (or double-emit) breaks the hash. The
+    planted corpus pairs each base gradient with a one-block
+    perturbation (≤3 bits apart); aHash's brightness invariance also
+    surfaces constant-offset images as distance-0 cliques — correct
+    perceptual behavior, replayed exactly."""
+    from .operators.multimodal import (
+        ahash64_features,
+        ahash_neardup_pairs,
+        synthesize_perturbed_ppm_pairs,
+    )
+
+    n = _scale_n(sf_dir)
+    codes = ahash64_features(synthesize_perturbed_ppm_pairs(spark.range(n)))
+    return ahash_neardup_pairs(codes)
+
+
+@q(
     "docs_readability_fk",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -11343,6 +11392,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "multimodal_image_neardup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): cross-modal dedup composition (aHash → pigeonhole bands → exact verify); the oracle's DIRECT pair join independently checks the banding's completeness",
     "multimodal_ahash_codes": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): perceptual image hashing in the shared Hamming word layout (cross-modal dedup machinery); exact integer block-mean replay oracle",
     "docs_readability_fk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the FK grade signal as per-term integer division (oracle derives grades from the same stated arithmetic, never observed output); simple/jargon/degenerate classes",
     "rdf_jsonld_format": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the JSON-LD expanded-form sink (reader/writer symmetry); byte-exact closed-form oracle assembled independently from the base tables; reader roundtrip + escape/lang/typed rendering unit-pinned",

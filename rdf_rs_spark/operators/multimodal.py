@@ -2883,3 +2883,72 @@ def synthesize_gradient_ppm(df: DataFrame, id_col: str = "id") -> DataFrame:
         ]
     )
     return df.mapInPandas(run, schema=schema)
+
+
+def ahash_neardup_pairs(codes: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Image near-dup pairs over aHash codes by PIGEONHOLE banding —
+    the SimHash discipline applied cross-modal: the 64 bits split into
+    four 16-bit bands; ≤ ``max_dist`` (≤3) flipped bits leave at least
+    one band intact, so banded equi-self-joins reach every true pair
+    with NO all-pairs join; candidates verify with the exact
+    ``bit_count(xor)`` distance. Returns (id_a, id_b, dist), id_a <
+    id_b, set-deduplicated across bands."""
+    assert max_dist <= 3, "4-band pigeonhole covers distance <= 3"
+    c = codes.select(
+        F.col("media_id"), F.col("lo"), F.col("hi"),
+        (F.col("lo").bitwiseAND(F.lit(0xFFFF))).alias("b0"),
+        F.shiftright(F.col("lo"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
+        (F.col("hi").bitwiseAND(F.lit(0xFFFF))).alias("b2"),
+        F.shiftright(F.col("hi"), 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
+    ).persist()  # feeds both sides of four self-joins
+    pairs = None
+    for b in ("b0", "b1", "b2", "b3"):
+        left = c.select(
+            F.col("media_id").alias("id_a"), F.col("lo").alias("la"),
+            F.col("hi").alias("ha"), F.col(b).alias("bk"),
+        )
+        right = c.select(
+            F.col("media_id").alias("id_b"), F.col("lo").alias("lb"),
+            F.col("hi").alias("hb"), F.col(b).alias("bk"),
+        )
+        cand = left.join(right, "bk").where(F.col("id_a") < F.col("id_b"))
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    dist = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ).cast("long")
+    return (
+        pairs.withColumn("dist", dist)
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def synthesize_perturbed_ppm_pairs(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Planted near-dup image corpus: pair j = images ``2j`` (base
+    gradient ``(16y + x + 5j) % 256``) and ``2j+1`` (same, with pixel
+    (0,0) raised by 8 pre-wrap) — one block mean shifts by 2, so the
+    pair lands within Hamming ≤ 3 of each other while unrelated
+    images sit far; every code is still a closed form of (j, parity,
+    bx, by)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                k = int(getattr(rec, id_col))
+                j, odd = k // 2, k % 2
+                g = (16 * y + x + 5 * j + (8 if odd else 0) * ((y == 0) & (x == 0))) % 256
+                rgb = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+                rows.append((f"pp:{k}", b"P6\n16 16\n255\n" + rgb.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

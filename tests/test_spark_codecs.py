@@ -499,3 +499,19 @@ def test_ahash_near_dup_images_land_close_in_hamming(spark):
                 "media_id string, payload binary",
             )
         ).collect()
+
+
+def test_ahash_banding_finds_all_planted_pairs(spark):
+    from rdf_rs_spark.operators.multimodal import (
+        ahash64_features,
+        ahash_neardup_pairs,
+        synthesize_perturbed_ppm_pairs,
+    )
+
+    codes = ahash64_features(synthesize_perturbed_ppm_pairs(spark.range(40)))
+    got = {(r["id_a"], r["id_b"]) for r in ahash_neardup_pairs(codes).collect()}
+    planted = set()
+    for j in range(20):
+        a, b = f"pp:{2 * j}", f"pp:{2 * j + 1}"
+        planted.add((min(a, b), max(a, b)))
+    assert planted <= got  # pigeonhole: every <=3-bit pair is reached
