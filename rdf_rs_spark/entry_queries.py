@@ -10350,6 +10350,42 @@ def multimodal_ahash_codes(spark, sf_dir):
 
 
 @q(
+    "docs_cjk_token_count",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 4 WHEN 0 THEN 4
+                  WHEN 1 THEN (i % 6) + 2
+                  WHEN 2 THEN 5
+                  ELSE 0 END)::BIGINT AS n_tokens
+    FROM p""",
+)
+def docs_cjk_token_count(spark, sf_dir):
+    """CJK-aware token counting (``functions/text.py::
+    token_count_cjk_aware``) — whitespace counts collapse unsegmented
+    scripts to ~1 token/line, corrupting sequence packing and mixture
+    weights by ~40x on zh corpora; Han runs contribute character
+    BIGRAMS (run of n → max(1, n−1)), the standard IR fallback,
+    composed with the usual whitespace count for the rest. Classes:
+    pure English, a pure Han run of varying length (the n−1 law under
+    the hash), mixed text (both counters must fire on their own
+    segments), empty. Pure JVM; zero shuffle."""
+    from .functions.text import token_count_cjk_aware
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    text = (
+        F.when(k == 0, F.concat(F.lit("plain words row r"),
+                                F.lpad((i % 100).cast("string"), 2, "0")))
+        .when(k == 1, F.repeat(F.lit("数"), ((i % 6) + 3).cast("int")))
+        .when(k == 2, F.concat(F.lit("mix "), F.repeat(F.lit("据"), 4), F.lit(" end")))
+        .otherwise(F.lit(""))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return docs.select("doc_id", token_count_cjk_aware(F.col("text")).alias("n_tokens"))
+
+
+@q(
     "multimodal_image_neardup",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS k),
     bb AS (SELECT unnest(generate_series(0, 7)) AS bx),
@@ -11392,6 +11428,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_cjk_token_count": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): CJK bigram token accounting (the n-1 law per Han run under the hash); fixes the 40x zh undercount that corrupts packing/mixture weights",
     "multimodal_image_neardup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): cross-modal dedup composition (aHash → pigeonhole bands → exact verify); the oracle's DIRECT pair join independently checks the banding's completeness",
     "multimodal_ahash_codes": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): perceptual image hashing in the shared Hamming word layout (cross-modal dedup machinery); exact integer block-mean replay oracle",
     "docs_readability_fk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the FK grade signal as per-term integer division (oracle derives grades from the same stated arithmetic, never observed output); simple/jargon/degenerate classes",

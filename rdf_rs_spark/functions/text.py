@@ -180,3 +180,21 @@ def sentence_split(text: Column) -> Column:
     "?!" runs are safe by construction: a boundary needs whitespace
     after the terminal and a capital/digit opener."""
     return F.split(text, SENTENCE_BOUNDARY_RX)
+
+
+def token_count_cjk_aware(text: Column) -> Column:
+    """Token count that does not collapse CJK text to ~1 token/line:
+    Han runs contribute CHARACTER BIGRAMS (the standard IR fallback
+    for unsegmented scripts — run of n chars → max(1, n-1) tokens),
+    everything else contributes whitespace tokens as usual. Sequence
+    packing and per-domain token audits depend on this — a whitespace
+    count underestimates zh docs by ~40x and corrupts mixture weights.
+    Pure JVM columns, zero shuffle."""
+    runs = F.regexp_extract_all(text, F.lit("([一-鿿]+)"))
+    cjk_tokens = F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + F.greatest(F.length(r) - 1, F.lit(1)),
+    )
+    rest = F.regexp_replace(text, "[一-鿿]+", " ")
+    return (F.size(tokens_col(rest)) + cjk_tokens).cast("long")

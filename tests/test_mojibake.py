@@ -216,3 +216,23 @@ def test_review_fixes_gopher_unicode_and_page_meta_quotes(spark):
         ["h"],
     ).select(page_meta(F.col("h")).alias("m")).collect()[0]["m"]
     assert pm["description"] == "Hi" and pm["favicon"] == "/f.ico"
+
+
+def test_cjk_token_count_laws(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.functions.text import token_count_cjk_aware
+
+    rows = [
+        ("plain english words here", 4),
+        ("数据处理系统测试", 7),          # 8-char run -> 7 bigrams
+        ("mixed 数据 and 系统处理 end", 7),  # 3 ws + (2-1) + (4-1)
+        ("一", 1),                        # single-char run floors at 1
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["t"]).select(
+        "t", token_count_cjk_aware(F.col("t")).alias("n")
+    )
+    got = {r["t"]: r["n"] for r in df.collect()}
+    for t, n in rows:
+        assert got[t] == n, (t, got[t])
