@@ -10350,6 +10350,38 @@ def multimodal_ahash_codes(spark, sf_dir):
 
 
 @q(
+    "kg_encoded_bgp",
+    """SELECT 'http://kg.example.org/customer/' || c_custkey AS subj,
+      'http://kg.example.org/nation/' || c_nationkey AS o_a,
+      '2' || chr(1) || c_name || chr(1) || chr(1) AS o_b
+    FROM customer""",
+)
+def kg_encoded_bgp(spark, sf_dir):
+    """BGP execution over the ENCODED store (``operators/
+    dictionary.py::encoded_bgp_join``) — the payoff of the HDT layout
+    demonstrated end to end: ``?c <inNation> ?n . ?c <name> ?v``
+    becomes two int-keyed joins over (s_id, p_id, o_id) with constant
+    predicates resolved by one broadcast lookup; strings appear only
+    at the decode edge. The oracle states the expected bindings
+    DIRECTLY from the customer table — dictionary build, encoding,
+    id-space join and decode must all compose correctly for the
+    closed form to match (literal objects surface in their canonical
+    kind-prefixed term form)."""
+    from .operators.dictionary import (
+        build_term_dictionary,
+        encode_triples,
+        encoded_bgp_join,
+    )
+
+    triples = _triples(spark, sf_dir).dropDuplicates()
+    d = build_term_dictionary(triples)
+    enc = encode_triples(triples, d)
+    return encoded_bgp_join(
+        enc, d, "http://kg.example.org/inNation", "http://kg.example.org/name"
+    )
+
+
+@q(
     "docs_cjk_token_count",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
     SELECT i::BIGINT AS doc_id,
@@ -11428,6 +11460,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_encoded_bgp": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the HDT payoff demonstrated (id-space BGP joins, strings only at the decode edge); oracle states bindings directly from the base table so the whole encode/join/decode chain must compose",
     "docs_cjk_token_count": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): CJK bigram token accounting (the n-1 law per Han run under the hash); fixes the 40x zh undercount that corrupts packing/mixture weights",
     "multimodal_image_neardup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): cross-modal dedup composition (aHash → pigeonhole bands → exact verify); the oracle's DIRECT pair join independently checks the banding's completeness",
     "multimodal_ahash_codes": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): perceptual image hashing in the shared Hamming word layout (cross-modal dedup machinery); exact integer block-mean replay oracle",

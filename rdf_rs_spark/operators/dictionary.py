@@ -141,3 +141,38 @@ def decode_column(
         F.col("term_id").alias(id_col), F.col("term").alias(out_col)
     )
     return encoded.join(d, id_col)
+
+
+def encoded_bgp_join(
+    enc: DataFrame,
+    dictionary: DataFrame,
+    pred_a: str,
+    pred_b: str,
+) -> DataFrame:
+    """A two-pattern BGP executed ENTIRELY in id space — the reason
+    the dictionary exists: ``?s <pred_a> ?o . ?s <pred_b> ?v`` becomes
+    two int-keyed joins over (s_id, p_id, o_id); the constant
+    predicates resolve to ids through one broadcast lookup, and terms
+    are decoded only at the result edge. At 100 TB the join shuffles
+    move 24-byte rows instead of IRI strings — the whole point of the
+    HDT layout. Returns (subj, o_a, o_b) decoded."""
+    ids = dictionary.where(F.col("term").isin(pred_a, pred_b)).select(
+        "term", "term_id"
+    )
+    a_id = ids.where(F.col("term") == pred_a).select(
+        F.col("term_id").alias("p_id")
+    )
+    b_id = ids.where(F.col("term") == pred_b).select(
+        F.col("term_id").alias("p_id")
+    )
+    ta = enc.join(F.broadcast(a_id), "p_id").select(
+        F.col("s_id"), F.col("o_id").alias("oa_id")
+    )
+    tb = enc.join(F.broadcast(b_id), "p_id").select(
+        F.col("s_id"), F.col("o_id").alias("ob_id")
+    )
+    joined = ta.join(tb, "s_id")  # int-keyed: the encoded-store join
+    out = decode_column(joined, dictionary, "s_id", "subj")
+    out = decode_column(out, dictionary, "oa_id", "o_a")
+    out = decode_column(out, dictionary, "ob_id", "o_b")
+    return out.select("subj", "o_a", "o_b")
