@@ -11403,6 +11403,75 @@ def crawl_url_resolve(spark, sf_dir):
     )
 
 
+@q(
+    "crawl_http_policy",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 8 AS k, 1700000000 + 37*i AS ft FROM p)
+    SELECT i::BIGINT AS doc_id,
+      (CASE k WHEN 6 THEN 429 WHEN 7 THEN 503 ELSE 200 END)::BIGINT AS status,
+      CASE k WHEN 0 THEN 'fresh' WHEN 1 THEN 'refetch'
+             WHEN 2 THEN 'cond_etag' WHEN 3 THEN 'fresh'
+             WHEN 4 THEN 'cond_lastmod' WHEN 5 THEN 'heuristic'
+             ELSE 'backoff' END AS strategy,
+      (CASE k WHEN 0 THEN ft + 3500
+              WHEN 3 THEN CASE WHEN i % 2 = 0
+                               THEN 1798761600 ELSE 1792067445 END
+              WHEN 5 THEN ft + (ft - 816416724) // 10
+              WHEN 6 THEN ft + 120
+              WHEN 7 THEN 1798761600
+              ELSE 0 END)::BIGINT AS until
+    FROM f""",
+)
+def crawl_http_policy(spark, sf_dir):
+    """RFC 9111 freshness / RFC 9110 Retry-After decisions
+    (``operators/crawl.py::http_cache_policy``) — the recrawl
+    scheduler's OBEY-the-server side, beside the interval-MINING
+    ``crawl_revisit_schedule``. Eight response classes, one per
+    decision branch: max-age fresh (minus delivered Age), no-store,
+    no-cache + ETag (the stronger validator wins), Expires as an
+    IMF-fixdate the parser must actually read (with an ``s-maxage=5``
+    DECOY — the comma-anchored ``max-age=`` regexp must not bind a
+    foreign directive's value), max-age=0 + Last-Modified (declared
+    but instantly stale → If-Modified-Since), no explicit lifetime →
+    the §4.2.2 10%-heuristic as integer division, 429 + delta-seconds
+    Retry-After OVERRIDING a fresh max-age (decision order), and 503 +
+    HTTP-date Retry-After. The oracle states the decision table
+    closed-form per class — header parsing, date arithmetic and
+    precedence are checked, never replayed. Pure whole-stage-codegen
+    column algebra, zero shuffle."""
+    from .operators.crawl import http_cache_policy
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    k = i % 8
+    e0 = "Fri, 01 Jan 2027 00:00:00 GMT"
+    e1 = "Thu, 15 Oct 2026 12:30:45 GMT"
+    lm = "Wed, 15 Nov 1995 06:25:24 GMT"
+    responses = spark.range(n).select(
+        i.alias("doc_id"),
+        F.when(k == 6, 429).when(k == 7, 503).otherwise(200)
+        .cast("int").alias("status"),
+        F.when(k == 0, F.lit("public, max-age=3600"))
+        .when(k == 1, F.lit("no-store, private"))
+        .when(k == 2, F.lit("no-cache"))
+        .when(k == 3, F.lit("s-maxage=5"))
+        .when(k == 4, F.lit("max-age=0"))
+        .when(k == 6, F.lit("max-age=60"))
+        .otherwise(F.lit("")).alias("cache_control"),
+        F.when(k == 3, F.when(i % 2 == 0, e0).otherwise(F.lit(e1)))
+        .otherwise(F.lit("")).alias("expires"),
+        F.when(k == 2, F.concat(F.lit('"e'), s, F.lit('"')))
+        .otherwise(F.lit("")).alias("etag"),
+        F.when(k.isin(4, 5), F.lit(lm)).otherwise(F.lit("")).alias("last_modified"),
+        F.when(k == 6, F.lit("120")).when(k == 7, F.lit(e0))
+        .otherwise(F.lit("")).alias("retry_after"),
+        F.when(k == 0, 100).otherwise(0).cast("long").alias("age"),
+        (F.lit(1700000000) + i * 37).alias("fetch_ts"),
+    )
+    return http_cache_policy(responses)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -11530,6 +11599,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_http_policy": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 9111 freshness + Retry-After backoff as the recrawl scheduler's obey-the-server side; decision-table oracle with an s-maxage decoy and a backoff-overrides-fresh precedence class; exercises the new IMF-fixdate integer date parser",
     "crawl_url_resolve": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 3986 §5.2 reference resolution (the gap between href extraction and every URL-keyed consumer); decision oracle states the resolved URL per reference class, kernel pinned vs the RFC §5.4 example table + hypothesis vs stdlib urljoin",
     "kg_encoded_bgp": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the HDT payoff demonstrated (id-space BGP joins, strings only at the decode edge); oracle states bindings directly from the base table so the whole encode/join/decode chain must compose",
     "docs_cjk_token_count": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): CJK bigram token accounting (the n-1 law per Han run under the hash); fixes the 40x zh undercount that corrupts packing/mixture weights",

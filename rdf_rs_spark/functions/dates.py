@@ -97,3 +97,48 @@ def iso_epoch(iso: Column) -> Column:
         .when(iso.rlike(d_rx) & valid(dg(2), dg(3)), dateonly)
         .otherwise(F.lit(None).cast("long"))
     )
+
+
+_IMF_RX = (
+    r"^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun), (\d{2}) "
+    r"(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) (\d{4}) "
+    r"(\d{2}):(\d{2}):(\d{2}) GMT$"
+)
+
+
+def _month_number(name: Column) -> Column:
+    """Month number from its IMF-fixdate name via ONE array_position —
+    a 12-branch CASE re-inlines its operand (a regexp_extract at every
+    call site) per branch, which blows the whole-stage-codegen 64 KB
+    method limit; the array lookup evaluates the operand once. Returns
+    0 for a non-month (callers guard with the full-pattern rlike)."""
+    months = F.array(
+        *[F.lit(m) for m in ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
+    )
+    return F.array_position(months, name).cast("long")
+
+
+def imf_fixdate_epoch(s: Column) -> Column:
+    """Unix seconds for an RFC 9110 §5.6.7 IMF-fixdate column
+    (``Sun, 06 Nov 1994 08:49:37 GMT`` — the mandatory HTTP-date form
+    in Date/Expires/Last-Modified/Retry-After headers). NULL for
+    anything else, including the obsolete rfc850/asctime forms (senders
+    MUST emit IMF-fixdate; a crawler treats legacy forms as absent
+    rather than guessing a century). The leading day name is accepted
+    unvalidated — real servers get it wrong, and RFC 9110 derives the
+    date from the numeric fields alone. Pure regexp + the civil-date
+    integer arithmetic above; no session timezone anywhere."""
+    g = lambda i: F.regexp_extract(s, _IMF_RX, i)  # noqa: E731
+    full = civil_epoch(
+        g(3).cast("long"), _month_number(g(2)), g(1), g(4), g(5), g(6)
+    )
+    tvalid = (
+        g(1).between("01", "31")
+        & g(4).between("00", "23")
+        & g(5).between("00", "59")
+        & g(6).between("00", "59")
+    )
+    return F.when(s.rlike(_IMF_RX) & tvalid, full).otherwise(
+        F.lit(None).cast("long")
+    )

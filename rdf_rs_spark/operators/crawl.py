@@ -1024,3 +1024,90 @@ def frontier_allowed_with_status(
         .otherwise(F.col("allowed"))
     )
     return out.select("url", final.alias("allowed"))
+
+
+def http_cache_policy(responses: DataFrame) -> DataFrame:
+    """RFC 9111 freshness + RFC 9110 Retry-After as the recrawl
+    scheduler's per-response decision (beside the interval-mining
+    :func:`revisit_schedule`, which LEARNS intervals; this one OBEYS
+    declared ones — a polite crawler prefers the server's word).
+
+    Input columns: ``doc_id``, ``status`` (int), ``cache_control``,
+    ``expires``, ``etag``, ``last_modified``, ``retry_after`` (header
+    strings, '' = absent), ``age`` (delivered Age seconds, bigint),
+    ``fetch_ts`` (unix seconds). Decision order:
+
+    1. 429 / 5xx with ``Retry-After`` (delta-seconds or IMF-fixdate)
+       → ``backoff`` until the stated instant — overrides everything
+       (RFC 9110 §10.2.3);
+    2. ``no-store`` → ``refetch`` (response must not be reused at all);
+    3. ``no-cache`` / stale-by-arithmetic → revalidate conditionally:
+       ``cond_etag`` (If-None-Match, the stronger validator) else
+       ``cond_lastmod`` (If-Modified-Since) else ``refetch``;
+    4. fresh by ``max-age`` (wins over Expires, §4.2.1) or Expires
+       → ``fresh`` until ``fetch_ts + lifetime - age``;
+    5. no explicit lifetime but a Last-Modified → the §4.2.2 heuristic,
+       10% of the age at fetch time → ``heuristic``;
+    6. otherwise ``refetch``.
+
+    ``until`` is 0 wherever no instant applies. Pure column algebra —
+    directive regexps are COMMA-ANCHORED (`(?:^|[,\\s])max-age=` — the
+    value of a foreign directive like ``s-maxage`` must not bind, the
+    header-grammar param-position lesson) and dates parse through the
+    integer civil-date path (``functions/dates.py::imf_fixdate_epoch``),
+    so the whole decision runs in whole-stage codegen with zero
+    shuffle and replays on any SQL engine."""
+    from ..functions.dates import imf_fixdate_epoch
+
+    cc = F.lower(F.coalesce(F.col("cache_control"), F.lit("")))
+    has = lambda d: cc.rlike(r"(?:^|[,\s])" + d + r"(?:$|[,\s])")  # noqa: E731
+    max_age_s = F.regexp_extract(cc, r"(?:^|[,\s])max-age=(\d+)", 1)
+    expires_ts = imf_fixdate_epoch(F.col("expires"))
+    lm_ts = imf_fixdate_epoch(F.col("last_modified"))
+    ft = F.col("fetch_ts").cast("long")
+    cur_age = F.coalesce(F.col("age").cast("long"), F.lit(0).cast("long"))
+
+    lifetime = (
+        F.when(max_age_s != "", max_age_s.cast("long"))
+        .when(expires_ts.isNotNull(), expires_ts - ft)
+        .otherwise(F.lit(None).cast("long"))
+    )
+    fresh_until = ft + lifetime - cur_age
+
+    ra = F.col("retry_after")
+    ra_until = (
+        F.when(ra.rlike(r"^\d+$"), ft + ra.cast("long"))
+        .otherwise(imf_fixdate_epoch(ra))
+    )
+    cond = (
+        F.when(F.col("etag") != "", F.lit("cond_etag"))
+        .when(lm_ts.isNotNull(), F.lit("cond_lastmod"))
+        .otherwise(F.lit("refetch"))
+    )
+    backoff = ((F.col("status") == 429) | (F.col("status") >= 500)) & ra_until.isNotNull()
+    strategy = (
+        F.when(backoff, F.lit("backoff"))
+        .when(has("no-store"), F.lit("refetch"))
+        .when(has("no-cache"), cond)
+        .when(lifetime.isNotNull() & (fresh_until > ft), F.lit("fresh"))
+        .when(lifetime.isNotNull(), cond)  # declared but already stale
+        .when(lm_ts.isNotNull(), F.lit("heuristic"))
+        .otherwise(F.lit("refetch"))
+    )
+    until = (
+        F.when(backoff, ra_until)
+        .when(strategy == "fresh", fresh_until)
+        .when(
+            strategy == "heuristic",
+            # integer 10% (the _idiv idiom — a double intermediate would
+            # round-vs-truncate differently across engines)
+            ft + ((ft - lm_ts) - (ft - lm_ts) % 10) / 10,
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return responses.select(
+        "doc_id",
+        F.col("status").cast("long").alias("status"),
+        strategy.alias("strategy"),
+        until.cast("long").alias("until"),
+    )

@@ -101,3 +101,74 @@ def test_garbage_time_and_url_day_fall_through(spark):
     assert got[0][1] == "time"
     assert got[0][0] == int(datetime(2022, 3, 4, tzinfo=timezone.utc).timestamp())
     assert got[1] == (None, None)
+
+
+def test_imf_fixdate_matches_python_calendar(spark):
+    """RFC 9110 IMF-fixdate parse vs stdlib over a generated grid, one
+    Spark job for the whole set; legacy rfc850/asctime forms and
+    out-of-range fields must yield NULL, day names go unvalidated."""
+    from rdf_rs_spark.functions.dates import imf_fixdate_epoch
+
+    grid = []
+    for y in (1994, 1999, 2016, 2027):
+        for m in (1, 2, 6, 9, 12):
+            for d in (1, 15, 28):
+                for hms in ((0, 0, 0), (8, 49, 37), (23, 59, 59)):
+                    dt = datetime(y, m, d, *hms, tzinfo=timezone.utc)
+                    grid.append(
+                        (dt.strftime("%a, %d %b %Y %H:%M:%S GMT"),
+                         int(dt.timestamp()))
+                    )
+    # wrong day name parses anyway (numeric fields rule, RFC 9110)
+    grid.append(("Mon, 06 Nov 1994 08:49:37 GMT",
+                 int(datetime(1994, 11, 6, 8, 49, 37,
+                              tzinfo=timezone.utc).timestamp())))
+    rejects = [
+        "Sunday, 06-Nov-94 08:49:37 GMT",   # rfc850
+        "Sun Nov  6 08:49:37 1994",         # asctime
+        "Sun, 06 Nov 1994 08:49:37 UTC",    # wrong zone token
+        "Sun, 06 Nov 1994 24:00:00 GMT",    # hour out of range
+        "Sun, 32 Nov 1994 08:49:37 GMT",    # day out of range
+        "Sun, 06 Foo 1994 08:49:37 GMT",    # bad month
+        "",
+    ]
+    rows = [(s, e) for s, e in grid] + [(s, None) for s in rejects]
+    df = spark.createDataFrame(rows, ["s", "want"])
+    out = df.select("want", imf_fixdate_epoch(F.col("s")).alias("got"))
+    assert count_exchanges(out) == 0
+    for r in out.collect():
+        assert r["got"] == r["want"]
+
+
+def test_http_cache_policy_decision_edges(spark):
+    """Edge cases beyond the entry's 8 classes: Age exceeding max-age
+    (stale at arrival -> conditional), a past Expires (stale ->
+    refetch without validators), Retry-After absent on a 5xx (no
+    backoff instant -> refetch), and a 429 whose Retry-After overrides
+    a fresh max-age."""
+    from rdf_rs_spark.operators.crawl import http_cache_policy
+
+    lm = "Wed, 15 Nov 1995 06:25:24 GMT"
+    past = "Sun, 06 Nov 1994 08:49:37 GMT"
+    ft = 1700000000
+    rows = [
+        # doc_id, status, cc, expires, etag, last_modified, retry_after, age
+        (0, 200, "max-age=60", "", '"x"', "", "", 120),   # delivered stale
+        (1, 200, "", past, "", "", "", 0),                # expired, no validator
+        (2, 503, "", "", "", "", "", 0),                  # 5xx, no Retry-After
+        (3, 429, "max-age=3600", "", "", "", "30", 0),    # backoff overrides
+        (4, 200, "no-cache", "", "", lm, "", 0),          # no-cache -> lastmod
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, status int, cache_control string, expires string, "
+        "etag string, last_modified string, retry_after string, age long",
+    ).withColumn("fetch_ts", F.lit(ft).cast("long"))
+    out = http_cache_policy(df)
+    assert count_exchanges(out) == 0
+    got = {r["doc_id"]: (r["strategy"], r["until"]) for r in out.collect()}
+    assert got[0] == ("cond_etag", 0)
+    assert got[1] == ("refetch", 0)
+    assert got[2] == ("refetch", 0)
+    assert got[3] == ("backoff", ft + 30)
+    assert got[4] == ("cond_lastmod", 0)
