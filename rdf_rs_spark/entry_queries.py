@@ -11472,6 +11472,57 @@ def crawl_http_policy(spark, sf_dir):
     return http_cache_policy(responses)
 
 
+@q(
+    "docs_script_profile",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 6 AS k FROM p)
+    SELECT i::BIGINT AS doc_id,
+      (CASE WHEN k = 0 THEN 11 ELSE 1 END)::BIGINT AS n_latin,
+      (CASE WHEN k = 2 THEN 6 ELSE 0 END)::BIGINT AS n_han,
+      (CASE WHEN k = 1 THEN 9 ELSE 0 END)::BIGINT AS n_cyrillic,
+      (CASE WHEN k = 3 THEN 12 ELSE 0 END)::BIGINT AS n_arabic,
+      (CASE WHEN k = 4 THEN 11 ELSE 0 END)::BIGINT AS n_devanagari,
+      (CASE WHEN k = 5 THEN 2 ELSE 0 END)::BIGINT AS n_hangul,
+      (CASE WHEN k = 5 THEN 5 ELSE 0 END)::BIGINT AS n_kana,
+      (CASE WHEN k = 5 THEN 3 ELSE 0 END)::BIGINT AS n_greek,
+      4::BIGINT AS n_digit,
+      CASE k WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic' WHEN 2 THEN 'han'
+             WHEN 3 THEN 'arabic' WHEN 4 THEN 'devanagari'
+             ELSE 'kana' END AS dominant
+    FROM f""",
+)
+def docs_script_profile(spark, sf_dir):
+    """Writing-system histogram + dominant script (``operators/
+    corpus.py::script_profile``) — the router UPSTREAM of language id:
+    lang-id separates languages within a script family, this separates
+    the families (which tokenizer, which lang-id model, whether the
+    CJK bigram accounting applies). Six classes, one per script, each
+    a literal with hand-counted codepoints plus an index token adding
+    exactly 1 latin + 4 digits everywhere; class 5 mixes greek + kana
+    + hangul so the dominant argmax (largest count, lexicographically
+    smallest name on ties — the LPA winner rule; digits sit outside
+    it) has to beat real competition. The oracle states counts and
+    winner closed-form — the regex passes are checked, never replayed.
+    Zero shuffle, two chained codegen projections."""
+    from .operators.corpus import script_profile
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 6
+    w = F.concat(F.lit("r"), F.lpad((i % 10000).cast("string"), 4, "0"))
+    text = F.concat(
+        F.when(k == 0, F.lit("Hello world "))
+        .when(k == 1, F.lit("Привет мир "))
+        .when(k == 2, F.lit("你好世界测试 "))
+        .when(k == 3, F.lit("مرحبا بالعالم "))
+        .when(k == 4, F.lit("मुंबई समाचार "))
+        .otherwise(F.lit("αβγ こんにちは 한국 ")),
+        w,
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return script_profile(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -11599,6 +11650,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_script_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): writing-system histogram + dominant-script router upstream of lang id (which tokenizer / lang-id model / CJK accounting applies); closed-form decision oracle with a mixed-script argmax class under the LPA winner rule",
     "crawl_http_policy": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 9111 freshness + Retry-After backoff as the recrawl scheduler's obey-the-server side; decision-table oracle with an s-maxage decoy and a backoff-overrides-fresh precedence class; exercises the new IMF-fixdate integer date parser",
     "crawl_url_resolve": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 3986 §5.2 reference resolution (the gap between href extraction and every URL-keyed consumer); decision oracle states the resolved URL per reference class, kernel pinned vs the RFC §5.4 example table + hypothesis vs stdlib urljoin",
     "kg_encoded_bgp": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the HDT payoff demonstrated (id-space BGP joins, strings only at the decode edge); oracle states bindings directly from the base table so the whole encode/join/decode chain must compose",

@@ -1334,3 +1334,56 @@ def readability_fk(text: Column) -> Column:
         y.alias("n_syllables"),
         grade.cast("bigint").alias("fk_grade_e2"),
     )
+
+
+#: BMP codepoint ranges per writing system — the coarse Unicode-script
+#: classes a corpus router needs (full Script= property data would need
+#: ICU; these blocks cover the high-traffic scripts exactly).
+_SCRIPT_RANGES = [
+    ("latin", r"[A-Za-z]"),
+    ("han", "[一-鿿]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("devanagari", "[ऀ-ॿ]"),
+    ("hangul", "[가-힣]"),
+    ("kana", "[぀-ヿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("digit", "[0-9]"),
+]
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document writing-system histogram + dominant script — the
+    signal UPSTREAM of language id (`functions/text.py::lang_id_col`
+    separates languages WITHIN a script family; this separates the
+    families, which is what routes a doc to the right tokenizer /
+    lang-id model / CJK token accounting in the first place).
+
+    One codepoint count per script class via the length-difference
+    idiom (9 anchored regex passes), then the dominant script as the
+    row-local LPA-winner argmax ``least(struct(-count, name))`` —
+    largest count, lexicographically smallest name on ties; digits are
+    script-neutral and sit outside the argmax. TWO chained projections
+    on purpose: the argmax references every count column, and
+    CollapseProject keeps non-cheap expressions (the regexps) from
+    being inlined twice — counts evaluate once. Zero shuffle, whole-
+    stage codegen, no Python anywhere."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = df.select(
+        id_col,
+        *[
+            (F.length(t) - F.length(F.regexp_replace(t, rx, "")))
+            .cast("long")
+            .alias("n_" + name)
+            for name, rx in _SCRIPT_RANGES
+        ],
+    )
+    dominant = F.least(
+        *[
+            F.struct((-F.col("n_" + name)).alias("nc"), F.lit(name).alias("s"))
+            for name, _ in _SCRIPT_RANGES
+            if name != "digit"
+        ]
+    ).getField("s")
+    return counts.select("*", dominant.alias("dominant"))

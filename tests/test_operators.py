@@ -2456,3 +2456,36 @@ def test_paragraph_dedup_position_tie_within_doc(spark):
     df = spark.createDataFrame([(7, "x\nx\ny")], "doc_id long, text string")
     got = paragraph_dedup_global(df).collect()[0]
     assert (got["n_paras"], got["n_kept"], got["text"]) == (3, 2, "x\ny")
+
+
+def test_script_profile_counts_and_winner(spark):
+    """Counts vs a Python codepoint model; dominant tie-break is the
+    lexicographically smaller script; digits never win; NULL/empty
+    text is all-zero (latin wins the all-tie by name order)."""
+    from rdf_rs_spark.operators.corpus import _SCRIPT_RANGES, script_profile
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    import re as _re
+
+    rows = [
+        (0, "Hej värld 42"),          # latin + digits
+        (1, "abc абв"),               # 3-3 tie -> 'cyrillic' < 'latin'
+        (2, "12345"),                 # digits only -> scripts all 0
+        (3, None),
+        (4, ""),
+        (5, "猫と犬 and 고양이"),       # han+kana vs hangul vs latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = script_profile(df)
+    assert count_exchanges(out) == 0
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for doc_id, text in rows:
+        t = text or ""
+        for name, rx in _SCRIPT_RANGES:
+            want = len(_re.findall(rx, t))
+            assert got[doc_id]["n_" + name] == want, (doc_id, name)
+    assert got[1]["dominant"] == "cyrillic"
+    assert got[2]["dominant"] == "arabic"   # all-zero tie -> name order
+    assert got[3]["dominant"] == "arabic"
+    # hangul 고양이 (3) ties latin 'and' (3) -> 'hangul' < 'latin'
+    assert got[5]["dominant"] == "hangul"
