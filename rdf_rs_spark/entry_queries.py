@@ -11523,6 +11523,64 @@ def docs_script_profile(spark, sf_dir):
     return script_profile(docs)
 
 
+@q(
+    "corpus_pmi_phrases",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    d AS (SELECT i, CASE i % 4
+        WHEN 0 THEN 'new york city has the best bagels'
+        WHEN 1 THEN 'the quick brown fox jumps over the lazy dog'
+        WHEN 2 THEN 'new york times reports the news'
+        ELSE 'san francisco fog rolls over the bay' END
+        || ' r' || lpad((i % 10000)::VARCHAR, 4, '0') AS text FROM p),
+    tok AS (SELECT i, unnest(string_split(text, ' ')) AS w,
+                   unnest(generate_series(1, len(string_split(text, ' '))))
+                     AS pos
+            FROM d),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    n AS (SELECT sum(c)::BIGINT AS n_tokens FROM uni),
+    big AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c_xy
+            FROM tok a JOIN tok b ON a.i = b.i AND b.pos = a.pos + 1
+            GROUP BY 1, 2),
+    f AS (SELECT * FROM big WHERE c_xy >= 5)
+    SELECT f.w1, f.w2, f.c_xy::BIGINT AS c_xy,
+      ((f.c_xy * n.n_tokens * 1000000) // (u1.c * u2.c))::BIGINT
+        AS pmi_lift_e6
+    FROM f
+    JOIN uni u1 ON f.w1 = u1.w
+    JOIN uni u2 ON f.w2 = u2.w
+    CROSS JOIN n""",
+)
+def corpus_pmi_phrases(spark, sf_dir):
+    """Adjacent-bigram collocation mining (``operators/corpus.py::
+    pmi_phrases``) — the phrase-vocabulary step a tokenizer or n-gram
+    LM runs before training: exp(PMI)-monotone rational lift
+    ``c_xy·N·1e6 DIV (c_x·c_y)``, integer-exact, no libm. Four
+    sentence templates share the stop-bigram mass ('over the' spans
+    two templates, 'new york' two others — cross-template counts are
+    what the replay must get right) while the per-doc index token
+    stays below ``min_count`` and must vanish. The oracle replays the
+    whole relational pipeline in DuckDB — posexplode via the parallel
+    unnest(list)+unnest(generate_series) zip, self-join on pos+1 for
+    bigrams, the same support filter and integer lift. One shuffle
+    per count relation; tail trimmed before the vocabulary joins."""
+    from .operators.corpus import pmi_phrases
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    w = F.concat(F.lit("r"), F.lpad((i % 10000).cast("string"), 4, "0"))
+    text = F.concat(
+        F.when(k == 0, F.lit("new york city has the best bagels"))
+        .when(k == 1, F.lit("the quick brown fox jumps over the lazy dog"))
+        .when(k == 2, F.lit("new york times reports the news"))
+        .otherwise(F.lit("san francisco fog rolls over the bay")),
+        F.lit(" "),
+        w,
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return pmi_phrases(docs, min_count=5)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -11650,6 +11708,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "corpus_pmi_phrases": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): adjacent-bigram collocation mining (phrase vocabulary for tokenizers/n-gram LMs) via the integer lift recipe; full relational replay oracle incl. the posexplode zip + pos+1 self-join; cross-template counts and a sub-support index token are the trap classes",
     "docs_script_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): writing-system histogram + dominant-script router upstream of lang id (which tokenizer / lang-id model / CJK accounting applies); closed-form decision oracle with a mixed-script argmax class under the LPA winner rule",
     "crawl_http_policy": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 9111 freshness + Retry-After backoff as the recrawl scheduler's obey-the-server side; decision-table oracle with an s-maxage decoy and a backoff-overrides-fresh precedence class; exercises the new IMF-fixdate integer date parser",
     "crawl_url_resolve": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 3986 §5.2 reference resolution (the gap between href extraction and every URL-keyed consumer); decision oracle states the resolved URL per reference class, kernel pinned vs the RFC §5.4 example table + hypothesis vs stdlib urljoin",

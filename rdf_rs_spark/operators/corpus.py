@@ -1387,3 +1387,45 @@ def script_profile(df: DataFrame, text_col: str = "text",
         ]
     ).getField("s")
     return counts.select("*", dominant.alias("dominant"))
+
+
+def pmi_phrases(docs: DataFrame, text_col: str = "text",
+                min_count: int = 5, scale: int = 1_000_000) -> DataFrame:
+    """Collocation / phrase-vocabulary mining over ADJACENT token
+    bigrams — the corpus-side sibling of the co-mention lift
+    (`operators/pagerank.py::comention_weights` scores entity pairs
+    that share a document; this scores word pairs that sit next to
+    each other, which is what a tokenizer's phrase list or an n-gram
+    LM wants). Score is the exp(PMI)-monotone rational lift
+    ``c_xy · N · scale DIV (c_x · c_y)`` — integer-exact under the
+    driver gate, no libm anywhere; exact while ``c_xy·N·scale`` fits
+    int64 (corpora past ~10^11 tokens shard the counts or drop
+    ``scale`` a decade).
+
+    Scale shape: per-row bigram arrays ride `word_grams` (tokenization
+    bound once per row), so the corpus pays ONE map-side-combining
+    shuffle per relation (unigrams, bigrams) and nothing per pair; the
+    ``min_count`` support filter trims the bigram tail BEFORE the two
+    vocabulary-sized count joins (AQE broadcasts the trimmed side);
+    the 1-row token total is an explicit broadcast."""
+    from ..functions.text import tokens_col, word_grams
+
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_tok = uni.agg(F.sum("c_w").cast("long").alias("n_tokens"))
+    bi = (
+        docs.select(F.explode(word_grams(F.col(text_col), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+        .select(
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+            "c_xy",
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))
+    out = bi.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(n_tok))
+    score = F.expr(f"(c_xy * n_tokens * {int(scale)}L) DIV (c_x * c_y)")
+    return out.select("w1", "w2", "c_xy", score.alias("pmi_lift_e6"))

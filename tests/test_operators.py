@@ -2489,3 +2489,24 @@ def test_script_profile_counts_and_winner(spark):
     assert got[3]["dominant"] == "arabic"
     # hangul 고양이 (3) ties latin 'and' (3) -> 'hangul' < 'latin'
     assert got[5]["dominant"] == "hangul"
+
+
+def test_pmi_phrases_tiny_corpus_exact(spark):
+    """Hand-computed lift on a 2-doc corpus: tokens a:3 b:3 c:1 (N=7),
+    adjacent bigrams (a,b):3 (b,a):1 (b,c):1; min_count=2 keeps only
+    (a,b) with lift = 3*7*1e6 DIV 9."""
+    from rdf_rs_spark.operators.corpus import pmi_phrases
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    out = pmi_phrases(docs, min_count=2)
+    rows = out.collect()
+    assert [(r["w1"], r["w2"], r["c_xy"], r["pmi_lift_e6"]) for r in rows] == [
+        ("a", "b", 3, 21_000_000 // 9)
+    ]
+    # two count shuffles + the vocabulary joins; never a cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert count_exchanges(pmi_phrases(docs, min_count=2)) <= 6
