@@ -11581,6 +11581,49 @@ def corpus_pmi_phrases(spark, sf_dir):
     return pmi_phrases(docs, min_count=5)
 
 
+@q(
+    "kg_adjacency_gaps",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    e AS (SELECT i % 503 AS src, (i * 7) % 811 AS dst FROM p),
+    adj AS (SELECT src, list_sort(list(DISTINCT dst)) AS nbrs
+            FROM e GROUP BY src),
+    g AS (SELECT src, nbrs,
+      list_transform(generate_series(1, len(nbrs)),
+        j -> nbrs[j] - CASE WHEN j = 1 THEN 0 ELSE nbrs[j - 1] END) AS gaps
+      FROM adj)
+    SELECT src::BIGINT AS src,
+      len(nbrs)::BIGINT AS degree,
+      nbrs[1]::BIGINT AS first_dst,
+      nbrs[len(nbrs)]::BIGINT AS last_dst,
+      list_sum(list_transform(gaps,
+        x -> (length(bin(x)) + 6) // 7))::BIGINT AS encoded_bytes,
+      (len(nbrs) * 8)::BIGINT AS raw_bytes
+    FROM g""",
+)
+def kg_adjacency_gaps(spark, sf_dir):
+    """BV/WebGraph gap-encoded adjacency accounting
+    (``operators/webgraph.py::adjacency_gaps``) — the structure-side
+    compression beside the HDT term dictionary (`kg_dictionary_encode`
+    compresses the terms, this the successor lists): sorted-distinct
+    successors per source, first gap absolute + strictly-positive
+    deltas, storage cost as the unsigned-LEB128 varint byte fold via
+    the ``length(bin(g))`` MSB idiom (no libm). The synthetic graph's
+    stride-7 edge set produces duplicate (src,dst) pairs the
+    collect_set/DISTINCT must fold, successor 0 as a first element
+    (``bin(0)`` is '0', one varint byte), and multi-byte gaps (> 127)
+    beside single-byte ones. One combining shuffle; the oracle
+    replays the list algebra exactly — gaps via the indexed
+    list_transform, bytes via the same MSB fold."""
+    from .operators.webgraph import adjacency_gaps
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    edges = spark.range(n).select(
+        (i % 503).alias("src"), ((i * 7) % 811).alias("dst")
+    )
+    return adjacency_gaps(edges)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -11708,6 +11751,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_adjacency_gaps": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): BV/WebGraph gap-encoded adjacency accounting (the structure-side compression beside the HDT dictionary pair); DuckDB list-algebra replay incl. the indexed-transform gap derivation and the length(bin) varint fold",
     "corpus_pmi_phrases": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): adjacent-bigram collocation mining (phrase vocabulary for tokenizers/n-gram LMs) via the integer lift recipe; full relational replay oracle incl. the posexplode zip + pos+1 self-join; cross-template counts and a sub-support index token are the trap classes",
     "docs_script_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): writing-system histogram + dominant-script router upstream of lang id (which tokenizer / lang-id model / CJK accounting applies); closed-form decision oracle with a mixed-script argmax class under the LPA winner rule",
     "crawl_http_policy": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 9111 freshness + Retry-After backoff as the recrawl scheduler's obey-the-server side; decision-table oracle with an s-maxage decoy and a backoff-overrides-fresh precedence class; exercises the new IMF-fixdate integer date parser",

@@ -149,3 +149,48 @@ def synthesize_host_graph(spark: SparkSession, n: int) -> DataFrame:
         .unionAll(part((c >= b_disc) & (c % 2 == 0) & (c + 1 < n), c, c + 1))
         .unionAll(part((c >= b_disc) & (c % 2 == 1), c, c - 1))
     )
+
+
+def adjacency_gaps(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """BV/WebGraph-style adjacency compression accounting (Boldi &
+    Vigna, "The WebGraph framework I", WWW 2004): per source, the
+    sorted-distinct successor list delta-encodes into gaps (first gap
+    absolute, the rest strictly positive differences) and the storage
+    cost is the unsigned-LEB128 varint byte total — the layout that
+    makes a 100 TB link graph sit in RAM-adjacent storage, and the
+    graph-side sibling of the HDT term dictionary
+    (`operators/dictionary.py`: that compresses the TERMS, this
+    compresses the STRUCTURE; `kg_encoded_bgp` joins over ids, this
+    stores them).
+
+    ONE map-side-combining shuffle (the per-source ``collect_set``);
+    everything after is row-local JVM array algebra — sort, a
+    zip-with-shifted-self for gaps, and a ``length(bin(g))`` varint
+    size fold (the cross-engine MSB idiom — no libm log2). Emits
+    integer accounting columns only (degree, first/last successor,
+    encoded vs raw bytes), so the whole layout replays exactly under
+    a DuckDB list-algebra oracle."""
+    adj = edges.groupBy(F.col(src).alias("src")).agg(
+        F.array_sort(F.collect_set(F.col(dst))).alias("nbrs")
+    )
+    nbrs = F.col("nbrs")
+    shifted = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.slice(nbrs, 1, F.greatest(F.size(nbrs) - 1, F.lit(0))),
+    )
+    gaps = F.zip_with(nbrs, shifted, lambda a, b: a - b)
+    blen = F.transform(gaps, lambda g: F.length(F.bin(g)).cast("long"))
+    vbytes = F.aggregate(
+        blen,
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + (((l + 6) - (l + 6) % 7) / 7).cast("long"),
+    )
+    return adj.select(
+        "src",
+        F.size(nbrs).cast("long").alias("degree"),
+        F.element_at(nbrs, 1).cast("long").alias("first_dst"),
+        F.element_at(nbrs, -1).cast("long").alias("last_dst"),
+        vbytes.cast("long").alias("encoded_bytes"),
+        (F.size(nbrs) * 8).cast("long").alias("raw_bytes"),
+    )

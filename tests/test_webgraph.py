@@ -56,3 +56,26 @@ def test_synthesized_regions_classify_exactly(spark):
     for v in range(n):
         k = sum(v >= b for b in bounds)
         assert got[v] == names[k], (v, got[v], names[k])
+
+
+def test_adjacency_gaps_tiny_graph_exact(spark):
+    """Hand-computed layout: node 1 -> {0, 3, 200} gives gaps
+    [0, 3, 197] -> varint bytes 1+1+2; duplicates fold; a singleton
+    list is its own absolute gap."""
+    from rdf_rs_spark.operators.webgraph import adjacency_gaps
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 0), (1, 200), (1, 3), (2, 300)], "src long, dst long"
+    )
+    out = adjacency_gaps(edges)
+    assert count_exchanges(out) == 1  # the per-source combine only
+    got = {r["src"]: r.asDict() for r in out.collect()}
+    assert got[1]["degree"] == 3
+    assert got[1]["first_dst"] == 0 and got[1]["last_dst"] == 200
+    # gaps 0, 3, 197: bin lengths 1, 2, 8 -> (l+6)//7 = 1, 1, 2
+    assert got[1]["encoded_bytes"] == 4
+    assert got[1]["raw_bytes"] == 24
+    # 300 -> bin length 9 -> 2 bytes + the absolute first gap
+    assert got[2] == {"src": 2, "degree": 1, "first_dst": 300,
+                      "last_dst": 300, "encoded_bytes": 2, "raw_bytes": 8}
