@@ -11624,6 +11624,87 @@ def kg_adjacency_gaps(spark, sf_dir):
     return adjacency_gaps(edges)
 
 
+#: docs_cdc_chunks class texts — ASCII only (so DuckDB's char-based
+#: substring equals the kernel's byte slicing) with gear-hash cut
+#: positions verified offline AND pinned by
+#: tests/test_operators.py::test_cdc_entry_texts_cut_where_stated.
+_CDC_T0 = (
+    "The common crawl stores every page it fetches, and successive "
+    "snapshots of the same page differ only where the template injected "
+    "a new timestamp or advertisement into the markup."
+)  # 178 bytes, cuts after 96 and 138 -> chunks 97|42|39
+_CDC_T1 = (
+    "Chunk boundaries chosen by content rather than offset survive "
+    "insertions: the cut points downstream of an edit land on the same "
+    "bytes as before, so storage grows by one chunk, not by the whole "
+    "page."
+)  # 198 bytes, cut after 149 -> chunks 150|48
+_CDC_T2 = (
+    "A sliding gear hash ages old bytes out of the state, which anchors "
+    "every boundary decision to a short trailing window of the stream "
+    "itself."
+)  # 139 bytes, cuts after 33,40,68,100,109 -> chunks 34|7|28|32|9|29
+_CDC_T3 = "tiny doc"  # 8 bytes, no cut -> one partial chunk
+
+
+@q(
+    "docs_cdc_chunks",
+    f"""WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    u AS (SELECT '{_CDC_T0}' AS t0, '{_CDC_T1}' AS t1,
+                 '{_CDC_T2}' AS t2, '{_CDC_T3}' AS t3)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 6
+                  ELSE 1 END)::BIGINT AS n_chunks,
+      (CASE i % 4 WHEN 0 THEN 178 WHEN 1 THEN 198 WHEN 2 THEN 139
+                  ELSE 8 END)::BIGINT AS total_bytes,
+      (CASE i % 4 WHEN 0 THEN 97 WHEN 1 THEN 150 WHEN 2 THEN 34
+                  ELSE 8 END)::BIGINT AS first_len,
+      (CASE i % 4 WHEN 0 THEN 39 WHEN 1 THEN 48 WHEN 2 THEN 29
+                  ELSE 8 END)::BIGINT AS last_len,
+      CASE i % 4
+        WHEN 0 THEN md5(md5(substring(t0, 1, 97)) || '|'
+                     || md5(substring(t0, 98, 42)) || '|'
+                     || md5(substring(t0, 140, 39)))
+        WHEN 1 THEN md5(md5(substring(t1, 1, 150)) || '|'
+                     || md5(substring(t1, 151, 48)))
+        WHEN 2 THEN md5(md5(substring(t2, 1, 34)) || '|'
+                     || md5(substring(t2, 35, 7)) || '|'
+                     || md5(substring(t2, 42, 28)) || '|'
+                     || md5(substring(t2, 70, 32)) || '|'
+                     || md5(substring(t2, 102, 9)) || '|'
+                     || md5(substring(t2, 111, 29)))
+        ELSE md5(md5(t3)) END AS sig
+    FROM p, u""",
+)
+def docs_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking profile (``operators/dedup.py::
+    cdc_profile``) — the byte-level dedup layer under the
+    token/shingle family: archive snapshots differing by one insertion
+    re-synchronize at the next content-anchored cut point (the gear
+    hash's bounded byte window), so all but one chunk dedup exactly.
+    The oracle is DECODER-INDEPENDENT by STATED DECOMPOSITION: cut
+    positions for each class text were computed offline and are
+    pinned by a unit test against the pure kernel; the oracle states
+    chunk counts and byte lengths as literals and recomputes the
+    md5-of-md5s signature from SUBSTRINGS at the stated positions —
+    DuckDB never runs the gear hash, it checks that the kernel cut
+    where the constants say. Class 3 has no boundary at all (the
+    mandatory final partial chunk). One Arrow pass, zero shuffle."""
+    from .operators.dedup import cdc_profile
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    text = (
+        F.when(k == 0, F.lit(_CDC_T0))
+        .when(k == 1, F.lit(_CDC_T1))
+        .when(k == 2, F.lit(_CDC_T2))
+        .otherwise(F.lit(_CDC_T3))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return cdc_profile(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -11751,6 +11832,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_cdc_chunks": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): gear-hash content-defined chunking (byte-level archive dedup below the shingle family) under a NOVEL stated-decomposition oracle — cut positions pinned offline + by unit test, DuckDB recomputes the chunk-md5 signature from substrings at the stated positions without ever running the hash",
     "kg_adjacency_gaps": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): BV/WebGraph gap-encoded adjacency accounting (the structure-side compression beside the HDT dictionary pair); DuckDB list-algebra replay incl. the indexed-transform gap derivation and the length(bin) varint fold",
     "corpus_pmi_phrases": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): adjacent-bigram collocation mining (phrase vocabulary for tokenizers/n-gram LMs) via the integer lift recipe; full relational replay oracle incl. the posexplode zip + pos+1 self-join; cross-template counts and a sub-support index token are the trap classes",
     "docs_script_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): writing-system histogram + dominant-script router upstream of lang id (which tokenizer / lang-id model / CJK accounting applies); closed-form decision oracle with a mixed-script argmax class under the LPA winner rule",

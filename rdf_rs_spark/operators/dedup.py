@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import hashlib as _hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
@@ -446,4 +448,101 @@ def dedup_simhash(
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---- content-defined chunking ---------------------------------------------
+
+#: gear table: one 32-bit word per byte value, content-addressed from
+#: md5 so the layout is reproducible anywhere without shipping a table
+_CDC_GEAR = [
+    int(_hashlib.md5(bytes([b])).hexdigest()[:8], 16) for b in range(256)
+]
+
+#: boundary condition: six MID bits of the gear state are zero ->
+#: expected chunk length 64 bytes. The mask sits at bits 13-18 on
+#: purpose: a gear step is `h = (h << 1) + G[byte]`, carries propagate
+#: UPWARD only, so bit 13 is unreachable by bytes older than ~19
+#: positions — every cut decision is a function of a short trailing
+#: window of the stream, which is the property that makes cut points
+#: re-synchronize after an insertion (FastCDC's gear construction;
+#: Xia et al., USENIX ATC 2016).
+_CDC_MASK = 0x7E000
+
+
+def cdc_chunks_of(data: bytes) -> list:
+    """Content-defined chunk decomposition of one payload: gear hash
+    ``h = (h<<1) + G[byte] mod 2^32`` over the whole stream (never
+    reset — cuts stay purely content-anchored), a cut falls after any
+    byte where ``h & _CDC_MASK == 0``, and a non-empty remainder is
+    always emitted as a final partial chunk. Pure function — the
+    Arrow kernel maps it, tests and the stated-decomposition oracle
+    drive it directly. The first simplification attempt here (an
+    accumulator hash `h*33+b` with reset-at-cut) had NO
+    re-synchronization: the mod-2^k state difference between the
+    edited and unedited stream evolves multiplicatively and never
+    reaches zero — the resync unit test is what caught it."""
+    out = []
+    h = 0
+    start = 0
+    for j, b in enumerate(data):
+        h = ((h << 1) + _CDC_GEAR[b]) & 0xFFFFFFFF
+        if (h & _CDC_MASK) == 0:
+            out.append(data[start : j + 1])
+            start = j + 1
+    if start < len(data):
+        out.append(data[start:])
+    return out
+
+
+def cdc_profile(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document content-defined chunking profile — the BYTE-level
+    dedup layer under the token/shingle family above: two archive
+    snapshots of a page that differ by one insertion share every chunk
+    except the one containing the edit (shingle dedup shifts every
+    window after the edit; CDC cut points re-synchronize because they
+    depend only on local content). Emits integer accounting plus a
+    chunk-sequence signature (md5 over the per-chunk md5s) so the
+    whole decomposition sits under the value-hash gate; the chunk
+    RELATION for cross-doc dedup is the md5 list — grouped on the
+    chunk hash it is exact dedup over `dedup_exact_docs` machinery.
+    One Arrow pass per doc, zero shuffle."""
+    import hashlib
+
+    @pandas_udf(
+        "n_chunks long, total_bytes long, first_len long, last_len long, "
+        "sig string"
+    )
+    def _cdc(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in s:
+            data = (t or "").encode("utf-8")
+            chunks = cdc_chunks_of(data)
+            if not chunks:
+                rows.append((0, 0, 0, 0, ""))
+                continue
+            digests = [hashlib.md5(c).hexdigest() for c in chunks]
+            rows.append(
+                (
+                    len(chunks),
+                    len(data),
+                    len(chunks[0]),
+                    len(chunks[-1]),
+                    hashlib.md5("|".join(digests).encode()).hexdigest(),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n_chunks", "total_bytes", "first_len", "last_len", "sig"],
+        )
+
+    prof = _cdc(F.col(text_col))
+    return docs.select(
+        id_col,
+        prof.getField("n_chunks").alias("n_chunks"),
+        prof.getField("total_bytes").alias("total_bytes"),
+        prof.getField("first_len").alias("first_len"),
+        prof.getField("last_len").alias("last_len"),
+        prof.getField("sig").alias("sig"),
     )

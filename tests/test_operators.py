@@ -2510,3 +2510,109 @@ def test_pmi_phrases_tiny_corpus_exact(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
     assert count_exchanges(pmi_phrases(docs, min_count=2)) <= 6
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """The CDC property itself: one insertion early in a doc changes
+    only the chunk containing the edit — later cut points (and chunk
+    hashes) re-synchronize, unlike shingle windows. Also pins the
+    kernel against the pure function and hypothesis-style edge shapes:
+    empty text, NULL, and exact-boundary payloads."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.operators.dedup import cdc_chunks_of, cdc_profile
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    # varied text (a periodic pangram has only ~45 distinct gear
+    # windows and may never satisfy the cut condition at all)
+    import random
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa").split()
+    rnd = random.Random(7)
+    base = " ".join(rnd.choice(words) for _ in range(300)).encode()
+    edited = b"XX" + base
+    c0, c1 = cdc_chunks_of(base), cdc_chunks_of(edited)
+    # suffix chunks re-align: everything after the first differing cut
+    # is byte-identical between the two decompositions
+    tail_shared = 0
+    while (tail_shared < min(len(c0), len(c1))
+           and c0[-1 - tail_shared] == c1[-1 - tail_shared]):
+        tail_shared += 1
+    assert tail_shared >= 1
+    assert b"".join(c0) == base and b"".join(c1) == edited
+
+    rows = [(0, base.decode()), (1, edited.decode()), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_profile(df)
+    assert count_exchanges(out) == 0
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for doc_id, text in rows:
+        data = (text or "").encode()
+        chunks = cdc_chunks_of(data)
+        assert got[doc_id]["n_chunks"] == len(chunks)
+        assert got[doc_id]["total_bytes"] == len(data)
+        if chunks:
+            digests = [hashlib.md5(c).hexdigest() for c in chunks]
+            want = hashlib.md5("|".join(digests).encode()).hexdigest()
+            assert got[doc_id]["sig"] == want
+        else:
+            assert got[doc_id]["sig"] == ""
+
+
+def test_cdc_chunks_partition_invariants():
+    """Any payload: chunks concatenate back to the input, every
+    non-final chunk ends on the boundary condition, and no boundary
+    fires strictly inside any chunk."""
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.operators.dedup import _CDC_MASK, cdc_chunks_of
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(data):
+        _check_cdc_partition(data, _CDC_MASK, cdc_chunks_of)
+
+    check()
+
+
+def _check_cdc_partition(data, _CDC_MASK, cdc_chunks_of):
+    from rdf_rs_spark.operators.dedup import _CDC_GEAR
+
+    chunks = cdc_chunks_of(data)
+    assert b"".join(chunks) == data
+    # global gear fold (never reset): every non-final chunk end is a
+    # boundary, no boundary strictly inside a chunk; the FINAL byte may
+    # be either (data ending exactly on a cut emits no empty remainder)
+    ends = set()
+    off = 0
+    for c in chunks[:-1]:
+        off += len(c)
+        ends.add(off - 1)
+    h = 0
+    for j, b in enumerate(data):
+        h = ((h << 1) + _CDC_GEAR[b]) & 0xFFFFFFFF
+        if j == len(data) - 1:
+            if j not in ends:
+                continue
+        assert ((h & _CDC_MASK) == 0) == (j in ends)
+
+
+def test_cdc_entry_texts_cut_where_stated(spark):
+    """The oracle's stated decompositions for the driver entry's class
+    texts, pinned against the pure kernel (the offline computation the
+    SQL constants came from)."""
+    from rdf_rs_spark.entry_queries import _CDC_T0, _CDC_T1, _CDC_T2, _CDC_T3
+    from rdf_rs_spark.operators.dedup import cdc_chunks_of
+
+    want = {
+        _CDC_T0: [97, 42, 39],
+        _CDC_T1: [150, 48],
+        _CDC_T2: [34, 7, 28, 32, 9, 29],
+        _CDC_T3: [8],
+    }
+    for text, lens in want.items():
+        assert text.isascii() and "'" not in text
+        assert [len(c) for c in cdc_chunks_of(text.encode())] == lens
