@@ -1429,3 +1429,143 @@ def pmi_phrases(docs: DataFrame, text_col: str = "text",
     out = bi.join(u1, "w1").join(u2, "w2").crossJoin(F.broadcast(n_tok))
     score = F.expr(f"(c_xy * n_tokens * {int(scale)}L) DIV (c_x * c_y)")
     return out.select("w1", "w2", "c_xy", score.alias("pmi_lift_e6"))
+
+
+#: distinctive license phrases (lowercased match) — PHRASES, not names:
+#: a README that merely says "MIT License" states a name, not a grant;
+#: detectors that match names misclassify forks/documentation. Order is
+#: the match precedence.
+_LICENSE_PHRASES = [
+    ("mit", "permission is hereby granted, free of charge"),
+    ("apache-2.0", "licensed under the apache license, version 2.0"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+    ("gpl-3.0", "gnu general public license"),
+    ("mpl-2.0", "mozilla public license, v. 2.0"),
+    ("unlicense", "this is free and unencumbered software"),
+]
+
+_SPDX_IDS = ["MIT", "Apache-2.0", "BSD-3-Clause", "GPL-3.0-only",
+             "GPL-3.0-or-later", "MPL-2.0", "Unlicense"]
+
+
+def license_detect(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Code-corpus license detection — the filter a training pipeline
+    runs over repository files before anything else (beside
+    ``docs_tar_code_stats``, which walks the containers this scores):
+
+    1. an ``SPDX-License-Identifier:`` tag wins outright (the
+       machine-readable channel; GPL-3.0-only/-or-later normalize to
+       gpl-3.0);
+    2. else the FIRST distinctive license phrase in precedence order —
+       phrases, never license NAMES, so a README mentioning
+       "MIT License" without the actual grant text stays undetected;
+    3. else ``none``.
+
+    ``via`` records which channel decided (``spdx`` / ``phrase`` /
+    ``''``). Pure first-match ``when`` chain over lowercased text —
+    zero shuffle, whole-stage codegen, decision-table oracle."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    spdx_raw = F.regexp_extract(
+        F.coalesce(F.col(text_col), F.lit("")),
+        r"SPDX-License-Identifier:\s*([A-Za-z0-9.\-+]+)",
+        1,
+    )
+    spdx = F.when(
+        F.lower(spdx_raw).isin([s.lower() for s in _SPDX_IDS]),
+        F.regexp_replace(F.lower(spdx_raw), r"-(only|or-later)$", ""),
+    ).otherwise(F.lit(""))
+    phrase = F.lit("")
+    for lic, p in reversed(_LICENSE_PHRASES):
+        phrase = F.when(t.contains(p), F.lit(lic)).otherwise(phrase)
+    license_col = (
+        F.when(spdx != "", spdx)
+        .when(phrase != "", phrase)
+        .otherwise(F.lit("none"))
+    )
+    via = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(phrase != "", F.lit("phrase"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        id_col, license_col.alias("license"), via.alias("via")
+    )
+
+
+#: credential patterns in precedence order — each match replaces with
+#: [SECRET:<kind>]. Boundary guards keep prefixes-of-longer-words from
+#: binding (a 16-char AWS id inside a longer uppercase run is not a
+#: key). The PEM rule redacts the whole BEGIN..END block including the
+#: base64 body ((?s) because JVM '.' excludes newlines).
+_SECRET_RULES = [
+    ("private_key",
+     r"(?s)-----BEGIN (?:RSA |EC |OPENSSH )?PRIVATE KEY-----"
+     r".*?-----END (?:RSA |EC |OPENSSH )?PRIVATE KEY-----"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("github_token", r"\bghp_[A-Za-z0-9]{36}\b"),
+    ("slack_token", r"\bxox[baprs]-[0-9A-Za-z-]{10,}"),
+    ("hex_secret",
+     r"(?i)\b(?:api[_-]?key|secret|token)\s*[=:]\s*"
+     r"['\"][0-9a-f]{32,}['\"]"),
+]
+
+
+def secret_redact(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Credential scanning + redaction for code corpora — the
+    code-side sibling of the prose PII family (`docs_pii_redact`
+    emails/phones, `docs_pii_luhn_redact` card numbers): cloud access
+    keys, forge/chat tokens, PEM private-key blocks, and long-hex
+    config assignments each count per family and redact to a typed
+    ``[SECRET:<kind>]`` placeholder, applied in rule order (the PEM
+    block first, so its base64 body cannot also feed the generic
+    rules). ``kinds`` is the sorted distinct family list — the audit
+    column a filtering policy keys on. Pure JVM regexps, zero
+    shuffle."""
+    # one projection per rule: each stage counts + replaces on the
+    # PREVIOUS stage's attribute, so the progressive redaction never
+    # re-evaluates an earlier rule's regexp chain (CollapseProject
+    # keeps non-cheap expressions staged — the script_profile
+    # discipline)
+    staged = docs.select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias("redacted")
+    )
+    done: list = []
+    for kind, rx in _SECRET_RULES:
+        staged = staged.select(
+            id_col,
+            *done,
+            F.size(
+                F.regexp_extract_all(F.col("redacted"), F.lit("(" + rx + ")"), 1)
+            )
+            .cast("long")
+            .alias("n_" + kind),
+            F.regexp_replace(F.col("redacted"), rx, f"[SECRET:{kind}]").alias(
+                "redacted"
+            ),
+        )
+        done.append("n_" + kind)
+    n_total = sum(
+        (F.col("n_" + kind) for kind, _ in _SECRET_RULES), F.lit(0).cast("long")
+    )
+    kinds = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    *[
+                        F.when(F.col("n_" + kind) > 0, F.lit(kind))
+                        for kind, _ in _SECRET_RULES
+                    ]
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return staged.select(
+        id_col,
+        n_total.alias("n_secrets"),
+        kinds.alias("kinds"),
+        "redacted",
+    )
