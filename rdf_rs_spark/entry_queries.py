@@ -11824,6 +11824,37 @@ def docs_secret_redact(spark, sf_dir):
     return secret_redact(docs)
 
 
+@q(
+    "corpus_dataset_card",
+    """WITH t AS (SELECT source, lang,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc,
+        length(text) AS ch, md5(text) AS h
+      FROM documents),
+    g AS (SELECT source, lang, count(*) AS n_docs, sum(tc) AS n_tokens,
+                 sum(ch) AS n_chars, count(DISTINCT h) AS n_unique,
+                 min(tc) AS min_tokens, max(tc) AS max_tokens
+          FROM t GROUP BY source, lang)
+    SELECT source, lang, n_docs::BIGINT AS n_docs,
+      n_tokens::BIGINT AS n_tokens, n_chars::BIGINT AS n_chars,
+      n_unique::BIGINT AS n_unique,
+      (((n_docs - n_unique) * 10000) // n_docs)::BIGINT AS dup_e4,
+      ((n_tokens * 100) // n_docs)::BIGINT AS mean_tokens_e2,
+      min_tokens::BIGINT AS min_tokens, max_tokens::BIGINT AS max_tokens
+    FROM g""",
+)
+def corpus_dataset_card(spark, sf_dir):
+    """Dataset-card aggregates (``operators/corpus.py::dataset_card``)
+    over the REAL documents table: per (source, lang) the datasheet a
+    corpus release ships — volumes, exact-duplicate mass in basis
+    points, centi-token means, token-length envelope. One grouped
+    aggregate; the distinct-text count plans the expand+final pair;
+    duplicate keys travel as md5, never bodies. Full SQL replay."""
+    from .operators.corpus import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -11951,6 +11982,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "corpus_dataset_card": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-(source,lang) datasheet aggregates over the REAL documents table (volumes, dup mass in bp, centi-token means); one grouped aggregate, full SQL replay",
     "docs_secret_redact": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): credential scanning/redaction for code corpora (five families incl. multiline PEM blocks, sorted kinds audit column, boundary-guard decoys); closed-form decision-table oracle incl. the redacted text",
     "docs_license_detect": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): code-license filter (SPDX tag channel over grant-phrase channel, names-are-not-grants decoy, unrecognized-id fall-through); pure decision-table oracle",
     "docs_cdc_chunks": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): gear-hash content-defined chunking (byte-level archive dedup below the shingle family) under a NOVEL stated-decomposition oracle — cut positions pinned offline + by unit test, DuckDB recomputes the chunk-md5 signature from substrings at the stated positions without ever running the hash",

@@ -1569,3 +1569,51 @@ def secret_redact(docs: DataFrame, text_col: str = "text",
         kinds.alias("kinds"),
         "redacted",
     )
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text",
+                 source_col: str = "source",
+                 lang_col: str = "lang") -> DataFrame:
+    """Per-(source, lang) datasheet aggregates — the "dataset card"
+    table a corpus release ships (Gebru et al., "Datasheets for
+    datasets"): doc/token/char volumes, exact-duplicate mass, and the
+    token-length envelope, all integer (means in centi-tokens, dup
+    ratio in basis points — ``DIV``, no floats under the gate).
+
+    ONE grouped aggregate over the corpus: every measure is
+    distributive except the distinct-text count, which plans the
+    standard expand+final exchange pair (pin ``<= 2``, the
+    count-distinct lesson). Duplicate mass uses ``md5(text)`` so the
+    combine carries 32-byte keys, not document bodies."""
+    tc = F.size(
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0,
+            F.array().cast("array<string>"),
+        ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).cast("long")
+    g = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        tc.alias("__tc"),
+        F.length(F.col(text_col)).cast("long").alias("__ch"),
+        F.md5(F.col(text_col)).alias("__h"),
+    ).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tc").alias("n_tokens"),
+        F.sum("__ch").alias("n_chars"),
+        F.count_distinct(F.col("__h")).alias("n_unique"),
+        F.min("__tc").alias("min_tokens"),
+        F.max("__tc").alias("max_tokens"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.expr("((n_docs - n_unique) * 10000) DIV n_docs").alias("dup_e4"),
+        F.expr("(n_tokens * 100) DIV n_docs").alias("mean_tokens_e2"),
+        F.col("min_tokens").cast("long").alias("min_tokens"),
+        F.col("max_tokens").cast("long").alias("max_tokens"),
+    )

@@ -2674,3 +2674,25 @@ def test_secret_redact_block_body_and_nulls(spark):
     assert got[2]["kinds"] == "aws_key"
     assert got[2]["redacted"] == ("[SECRET:aws_key] [SECRET:aws_key] "
                                   "[SECRET:aws_key]")
+
+
+def test_dataset_card_dup_mass_and_plan(spark):
+    from rdf_rs_spark.operators.corpus import dataset_card
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    rows = [
+        (0, "a b c", "en", "s1"), (1, "a b c", "en", "s1"),
+        (2, "d e", "en", "s1"), (3, "x", "de", "s1"),
+        (4, "", "de", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = dataset_card(df)
+    # distinct beside other aggs: expand + final, never more
+    assert count_exchanges(out) <= 2
+    got = {(r["source"], r["lang"]): r.asDict() for r in out.collect()}
+    en = got[("s1", "en")]
+    assert (en["n_docs"], en["n_unique"], en["dup_e4"]) == (3, 2, 3333)
+    assert (en["n_tokens"], en["mean_tokens_e2"]) == (8, 266)
+    assert (en["min_tokens"], en["max_tokens"]) == (2, 3)
+    assert got[("s2", "de")]["n_tokens"] == 0
+    assert got[("s2", "de")]["min_tokens"] == 0
