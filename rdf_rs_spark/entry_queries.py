@@ -11855,6 +11855,74 @@ def corpus_dataset_card(spark, sf_dir):
     return dataset_card(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "crawl_outlink_frontier",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 4 AS k, i % 5 AS h FROM p),
+    l AS (SELECT i, k, h, unnest(generate_series(0, 1)) AS idx
+          FROM f WHERE k < 3),
+    b AS (SELECT i, k, h, idx, 'https://h' || h || '.ex' AS o FROM l)
+    SELECT i::BIGINT AS doc_id, idx::BIGINT AS link_idx,
+      CASE WHEN k = 0 AND idx = 0 THEN o || '/a/b/a/next'
+           WHEN k = 0 THEN 'https://x.ex/p?a=2&z=1'
+           WHEN k = 1 AND idx = 0 THEN o || '/a/up'
+           WHEN k = 1 THEN o || '/private/page' || i
+           WHEN k = 2 AND idx = 0
+             THEN 'https://h' || ((h + 1) % 5) || '.ex/cdn'
+           ELSE o || '/a/b/c.html' END AS target,
+      (CASE WHEN (k = 0 AND idx = 1) OR (k = 2 AND idx = 0)
+            THEN 1 ELSE 0 END)::BIGINT AS is_external,
+      (CASE WHEN k = 1 AND idx = 1 THEN 0 ELSE 1 END)::BIGINT AS allowed
+    FROM b""",
+)
+def crawl_outlink_frontier(spark, sf_dir):
+    """The href→frontier flagship composition (``operators/crawl.py::
+    outlink_frontier``): anchor extraction (both quote styles, foreign
+    attributes around ``href``) → RFC 3986 resolution against the page
+    URL → canonicalization (fragment/utm dropped, query sorted) → the
+    RFC 9309 decision for the agent, one row per anchor. Classes
+    exercise every stage at once: a relative link beside an external
+    one whose tracking params must canonicalize away; a ``../`` climb
+    beside a robots-disallowed ``/private/`` path; a protocol-relative
+    CDN link (external via the authority swap) beside a fragment-only
+    self-link that must canonicalize back to the page; and a link-free
+    page contributing ZERO rows. The oracle states the final frontier
+    relation closed-form — extraction, resolution, canonical form and
+    the REP decision are all checked, none replayed. Row-local until
+    the one distinct-target decision join."""
+    from .operators.crawl import outlink_frontier
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    h = i % 5
+    s = i.cast("string")
+    url = F.concat(F.lit("https://h"), h.cast("string"), F.lit(".ex/a/b/c.html"))
+    html = (
+        F.when(k == 0, F.concat(
+            F.lit('<p>x</p><a class="l" href="a/next">n</a> '
+                  '<a href="https://x.ex/p?utm_source=t&z=1&a=2">e</a>'),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("<a href='../up'>u</a><a href=\"/private/page"), s,
+            F.lit('">p</a>'),
+        ))
+        .when(k == 2, F.concat(
+            F.lit('<a data-x="1" href="//h'), ((h + 1) % 5).cast("string"),
+            F.lit('.ex/cdn">c</a><a href="#frag">f</a>'),
+        ))
+        .otherwise(F.lit("<p>no links</p>"))
+    )
+    pages = spark.range(n).select(i.alias("doc_id"), url.alias("url"), html.alias("html"))
+    rules = spark.range(5).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".ex")).alias("host"),
+        F.lit("*").alias("agent"),
+        F.lit(False).alias("allow"),
+        F.lit("/private/").alias("path"),
+    )
+    return outlink_frontier(pages, rules, agent="bot")
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -11982,6 +12050,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_outlink_frontier": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the href-to-frontier flagship composition (extraction -> RFC 3986 resolution -> canonicalization -> REP decision) whose closed-form oracle covers four stages at once incl. the zero-row link-free class",
     "corpus_dataset_card": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-(source,lang) datasheet aggregates over the REAL documents table (volumes, dup mass in bp, centi-token means); one grouped aggregate, full SQL replay",
     "docs_secret_redact": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): credential scanning/redaction for code corpora (five families incl. multiline PEM blocks, sorted kinds audit column, boundary-guard decoys); closed-form decision-table oracle incl. the redacted text",
     "docs_license_detect": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): code-license filter (SPDX tag channel over grant-phrase channel, names-are-not-grants decoy, unrecognized-id fall-through); pure decision-table oracle",

@@ -1111,3 +1111,69 @@ def http_cache_policy(responses: DataFrame) -> DataFrame:
         strategy.alias("strategy"),
         until.cast("long").alias("until"),
     )
+
+
+def outlink_frontier(
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """The href-to-frontier composition — everything between a fetched
+    page and new frontier candidates, in one relation:
+
+    1. anchor extraction (``(?s)`` + both quote styles — the
+       attribute-pattern lessons);
+    2. RFC 3986 resolution against the page URL
+       (`functions/urls.py::resolve_reference_col`);
+    3. canonicalization (fragment/utm dropped, query sorted) so the
+       frontier keys on the dedup identity, not the spelling;
+    4. the REP decision (`frontier_allowed`) for the configured agent.
+
+    Emits one row per anchor: (doc_id, link_idx, target, is_external,
+    allowed). Scale shape: extraction/resolution/canonicalization are
+    row-local (one Arrow pass for the resolver); the robots decision
+    is evaluated once per DISTINCT target (broadcast rule join + one
+    combining min inside `frontier_allowed`) and equi-joined back on
+    the canonical target key — one shuffle pair on the frontier key,
+    nothing per anchor."""
+    from ..functions.urls import canonicalize_url, resolve_reference_col
+
+    href_rx = r"""(?s)<a\b[^>]*\bhref=["']([^"']*)["']"""
+    links = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("__base"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(html_col), F.lit(href_rx), 1)
+        ).alias("link_idx", "__href"),
+    )
+    resolved = links.select(
+        "doc_id",
+        "__base",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        resolve_reference_col(F.col("__base"), F.col("__href")).alias("__res"),
+    )
+    host = lambda c: F.regexp_extract(c, r"^https?://([^/?#]+)", 1)  # noqa: E731
+    canon = resolved.select(
+        "doc_id",
+        "link_idx",
+        canonicalize_url(F.col("__res")).alias("target"),
+        (host(F.col("__res")) != host(F.col("__base")))
+        .cast("int")
+        .cast("bigint")
+        .alias("is_external"),
+    )
+    targets = canon.select(F.col("target").alias("url")).distinct()
+    decisions = frontier_allowed(targets, rules, agent)
+    return canon.join(
+        decisions, canon["target"] == decisions["url"], "left"
+    ).select(
+        "doc_id",
+        "link_idx",
+        "target",
+        "is_external",
+        F.coalesce(F.col("allowed").cast("int").cast("bigint"), F.lit(1))
+        .alias("allowed"),
+    )

@@ -752,3 +752,24 @@ def test_sitemap_offsetless_timestamps_pin_utc():
     assert rows[0][3] == 1720089000  # machine-TZ-independent
     media = _parse_sitemap_media(1, xml)
     assert media[0][5] == 1720089000
+
+
+def test_outlink_frontier_duplicate_targets_and_unquoted_href(spark):
+    """Two anchors resolving to one canonical target each keep their
+    own row after the distinct-decision join; an unquoted href does
+    not match the attribute grammar (documented subset)."""
+    from rdf_rs_spark.operators.crawl import outlink_frontier
+
+    pages = spark.createDataFrame(
+        [(0, "https://a.ex/base/x.html",
+          '<a href="p1">one</a><a href="./p1">two</a><a href=p2>bare</a>')],
+        "doc_id long, url string, html string",
+    )
+    rules = spark.createDataFrame([], "host string, agent string, allow boolean, path string")
+    out = outlink_frontier(pages, rules, agent="bot").collect()
+    assert len(out) == 2
+    assert {(r["link_idx"], r["target"]) for r in out} == {
+        (0, "https://a.ex/base/p1"),
+        (1, "https://a.ex/base/p1"),
+    }
+    assert all(r["allowed"] == 1 and r["is_external"] == 0 for r in out)
