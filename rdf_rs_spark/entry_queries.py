@@ -11923,6 +11923,90 @@ def crawl_outlink_frontier(spark, sf_dir):
     return outlink_frontier(pages, rules, agent="bot")
 
 
+@q(
+    "kg_degree_histogram",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    e AS (SELECT i % 503 AS src, (i * 7) % 811 AS dst FROM p),
+    o AS (SELECT src AS node, count(*) AS c FROM e GROUP BY src),
+    d AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY dst)
+    SELECT 'out' AS direction, length(bin(c))::BIGINT AS bucket,
+           count(*)::BIGINT AS n_nodes
+    FROM o GROUP BY 2
+    UNION ALL
+    SELECT 'in', length(bin(c))::BIGINT, count(*)::BIGINT
+    FROM d GROUP BY 2""",
+)
+def kg_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution per direction
+    (``operators/webgraph.py::degree_histogram``) — the pre-flight
+    skew diagnostic for any join keyed on a power-law graph: a hot
+    top bucket on the out side is the signal to salt or rely on AQE
+    skew handling before shuffling on ``src``. Bucket =
+    ``length(bin(degree))`` (floor-log2+1, the MSB idiom — no libm);
+    two combining aggregates, outputs bounded by |V| then 64 rows.
+    Full SQL replay."""
+    from .operators.webgraph import degree_histogram
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    edges = spark.range(n).select(
+        (i % 503).alias("src"), ((i * 7) % 811).alias("dst")
+    )
+    return degree_histogram(edges)
+
+
+@q(
+    "html_dom_stats",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 3 AS k FROM p)
+    SELECT i::BIGINT AS doc_id,
+      (CASE k WHEN 0 THEN 7 ELSE 5 END)::BIGINT AS n_tags,
+      (CASE k WHEN 2 THEN 3 ELSE 4 END)::BIGINT AS max_depth,
+      (CASE k WHEN 1 THEN 0 ELSE 1 END)::BIGINT AS n_links,
+      (CASE k WHEN 1 THEN 0 ELSE 2 END)::BIGINT AS n_paras,
+      (CASE k WHEN 1 THEN 1 ELSE 0 END)::BIGINT AS n_tables,
+      (CASE k WHEN 0 THEN 1 ELSE 0 END)::BIGINT AS n_imgs,
+      (CASE k WHEN 0 THEN 26 WHEN 1 THEN 4 ELSE 17 END)::BIGINT
+        AS text_chars,
+      (CASE k WHEN 0 THEN 234 WHEN 1 THEN 40 ELSE 314 END)::BIGINT
+        AS density_e3
+    FROM f""",
+)
+def html_dom_stats(spark, sf_dir):
+    """Structural page statistics (``sources/structured_data.py::
+    dom_stats`` — a `_Walk` subclass, never a re-lex): open-tag count,
+    max nesting depth, anchor/para/table/image counts, script-free
+    character data, and text density in milli-units — the layout
+    features a boilerplate/quality classifier consumes beside the
+    Gopher flags. Three classes: a normal nested page (void ``img``
+    counts but adds no depth), a table page whose ``<script>`` body
+    containing fake ``<p>`` markup must be skipped ENTIRELY (neither
+    tags nor text), and a malformed page (unclosed ``<p>`` nesting,
+    EOF flush) the lenient walker must still measure. Constants were
+    computed by the pure walker and are pinned by a unit test —
+    decision-table oracle, one Arrow pass, zero shuffle."""
+    from .sources.structured_data import dom_stats
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    html = (
+        F.when(k == 0, F.lit(
+            '<html><body><div><p>Hello world</p><p>Second para</p></div>'
+            '<img src="x.png"><a href="/l">link</a></body></html>'
+        ))
+        .when(k == 1, F.lit(
+            '<div><script>var x = "<p>ignore</p>";</script>'
+            "<table><tr><td>A1</td><td>B1</td></tr></table></div>"
+        ))
+        .otherwise(F.lit(
+            '<div><p>text one<p>text two</div><a href="a">x</a><br>'
+        ))
+    )
+    pages = spark.range(n).select(i.alias("doc_id"), html.alias("html"))
+    return dom_stats(pages)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12050,6 +12134,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "html_dom_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): structural page statistics as a _Walk subclass (script-skip, void-tag, lenient-close classes); walker-computed constants pinned by unit test, decision-table oracle",
+    "kg_degree_histogram": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): log2-bucketed degree distribution per direction (the pre-flight skew diagnostic for graph-keyed joins); full SQL replay via the MSB bucket idiom",
     "crawl_outlink_frontier": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the href-to-frontier flagship composition (extraction -> RFC 3986 resolution -> canonicalization -> REP decision) whose closed-form oracle covers four stages at once incl. the zero-row link-free class",
     "corpus_dataset_card": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-(source,lang) datasheet aggregates over the REAL documents table (volumes, dup mass in bp, centi-token means); one grouped aggregate, full SQL replay",
     "docs_secret_redact": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): credential scanning/redaction for code corpora (five families incl. multiline PEM blocks, sorted kinds audit column, boundary-guard decoys); closed-form decision-table oracle incl. the redacted text",

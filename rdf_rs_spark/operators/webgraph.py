@@ -194,3 +194,26 @@ def adjacency_gaps(edges: DataFrame, src: str = "src",
         vbytes.cast("long").alias("encoded_bytes"),
         (F.size(nbrs) * 8).cast("long").alias("raw_bytes"),
     )
+
+
+def degree_histogram(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Log2-bucketed degree distribution per direction — the skew
+    diagnostic every join plan over a power-law web graph needs
+    BEFORE it runs (a hot bucket at the top of the out-degree
+    histogram is the signal to salt or AQE-skew-join anything keyed on
+    `src`). Bucket = ``length(bin(degree))`` — floor(log2)+1 without
+    libm, the cross-engine MSB idiom. Two combining aggregates (degree
+    per node, nodes per bucket), each output-bounded: ≤|V| then ≤64
+    rows per direction."""
+    def one(col: str, name: str) -> DataFrame:
+        deg = edges.groupBy(F.col(col).alias("node")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        return deg.groupBy(
+            F.length(F.bin(F.col("degree"))).cast("long").alias("bucket")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).select(
+            F.lit(name).alias("direction"), "bucket", "n_nodes"
+        )
+
+    return one(src, "out").unionByName(one(dst, "in"))

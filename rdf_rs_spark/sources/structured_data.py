@@ -675,3 +675,73 @@ def parse_jsonld_pages(
 
     scripts = extract_jsonld_scripts(df, html_col, url_col)
     return parse_jsonld_docs(scripts, content_col="content", id_col="url", errors=errors)
+
+
+class _DomStatsWalk(_Walk):
+    """Structural page statistics over the SAME tag-stack walk the
+    extraction subclasses ride (`_Walk` — new HTML consumers subclass
+    it, never re-lex): open-tag count, maximum element nesting depth,
+    per-family counts (anchors, paragraphs, tables, images), and the
+    character-data length with script bodies excluded. These are the
+    boilerplate/layout features (text density, link density, table
+    weight) a quality classifier consumes beside the Gopher flags."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.n_tags = 0
+        self.max_depth = 0
+        self.counts = {"a": 0, "p": 0, "table": 0, "img": 0}
+        self.text_parts: list = []
+        self.captures.append(self.text_parts)
+
+    def on_open(self, tag: str, a: dict, self_close: bool) -> None:
+        self.n_tags += 1
+        if tag in self.counts:
+            self.counts[tag] += 1
+        if not self_close:
+            self.push(tag)
+            if len(self.frames) > self.max_depth:
+                self.max_depth = len(self.frames)
+
+
+def dom_stats_of(html: str) -> tuple:
+    """(n_tags, max_depth, n_links, n_paras, n_tables, n_imgs,
+    text_chars, density_e3) for one page; density is character data
+    per total length in milli-units (integer DIV, 0 for empty)."""
+    w = _DomStatsWalk()
+    w.walk(html or "")
+    text_chars = sum(len(t) for t in w.text_parts)
+    total = len(html or "")
+    density = (text_chars * 1000) // total if total else 0
+    return (
+        w.n_tags,
+        w.max_depth,
+        w.counts["a"],
+        w.counts["p"],
+        w.counts["table"],
+        w.counts["img"],
+        text_chars,
+        density,
+    )
+
+
+def dom_stats(df: DataFrame, html_col: str = "html",
+              id_col: str = "doc_id") -> DataFrame:
+    """:func:`dom_stats_of` over an html column — one Arrow pass,
+    zero shuffle."""
+    schema = (
+        f"{id_col} long, n_tags long, max_depth long, n_links long, "
+        "n_paras long, n_tables long, n_imgs long, text_chars long, "
+        "density_e3 long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split()[0] for c in schema.split(", ")]
+        for pdf in batches:
+            rows = [
+                (getattr(r, id_col), *dom_stats_of(getattr(r, html_col)))
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=schema)

@@ -464,3 +464,46 @@ def test_canonical_link_attribute_order_is_irrelevant(spark):
     )
     got = {r["url"]: r["c"] for r in df.select("url", canonical_url(df).alias("c")).collect()}
     assert got == {"u1": "http://c/1", "u2": "http://c/2", "u3": "http://c/3"}
+
+
+def test_dom_stats_entry_constants_and_edge_shapes():
+    """The oracle's stated constants for the driver entry's classes,
+    plus NULL/empty/ text-only shapes — all through the pure walker."""
+    from rdf_rs_spark.sources.structured_data import dom_stats_of
+
+    h0 = ('<html><body><div><p>Hello world</p><p>Second para</p></div>'
+          '<img src="x.png"><a href="/l">link</a></body></html>')
+    h1 = ('<div><script>var x = "<p>ignore</p>";</script>'
+          '<table><tr><td>A1</td><td>B1</td></tr></table></div>')
+    h2 = '<div><p>text one<p>text two</div><a href="a">x</a><br>'
+    assert dom_stats_of(h0) == (7, 4, 1, 2, 0, 1, 26, 234)
+    assert dom_stats_of(h1) == (5, 4, 0, 0, 1, 0, 4, 40)
+    assert dom_stats_of(h2) == (5, 3, 1, 2, 0, 0, 17, 314)
+    assert dom_stats_of(None) == (0, 0, 0, 0, 0, 0, 0, 0)
+    assert dom_stats_of("") == (0, 0, 0, 0, 0, 0, 0, 0)
+    # markup-free text: full density
+    assert dom_stats_of("just text") == (0, 0, 0, 0, 0, 0, 9, 1000)
+
+
+def test_dom_stats_walker_never_raises_on_tag_soup():
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.sources.structured_data import dom_stats_of
+
+    soup = st.lists(
+        st.sampled_from([
+            "<div>", "</div>", "<p>", "</p>", "<a href='x'>", "</a>",
+            "<br>", "<img>", "<script>", "</script>", "text", "<", ">",
+            "<table>", "</table>", "<td", "=''>",
+        ]),
+        max_size=30,
+    ).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(soup)
+    def check(html):
+        stats = dom_stats_of(html)
+        assert stats[0] >= 0 and stats[1] >= 0
+        assert 0 <= stats[7] <= 1000
+
+    check()
