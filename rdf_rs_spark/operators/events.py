@@ -63,3 +63,32 @@ def funnel_stages(
             furthest
         )
     return out.withColumn("furthest_stage", furthest.cast("int"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      bucket_s: int = 604800) -> DataFrame:
+    """Cohort retention triangle — the product-analytics table beside
+    the funnel: users grouped by FIRST-seen bucket (weeks by default),
+    counted once per bucket they return in, keyed by offset from their
+    cohort. ``unix_timestamp`` under the session-UTC pin, integer
+    ``DIV`` bucketing (the timestamp_ntz ↔ epoch lesson — no calendar
+    functions, no session-zone leak). The per-(user, bucket) DISTINCT
+    happens BEFORE the count, so the final aggregate is a plain
+    count(*) — never the count-distinct expand plan. Shuffles: one
+    user combine (cohort), one distinct, one user-keyed join, one
+    final combine — all key-bounded."""
+    wk = F.expr(f"unix_timestamp({ts_col}) DIV {int(bucket_s)}")
+    e = events.select(F.col(user_col).alias("u"), wk.alias("wk"))
+    first = e.groupBy("u").agg(F.min("wk").alias("cohort"))
+    active = e.distinct().join(first, "u")
+    return (
+        active.select("u", "cohort", (F.col("wk") - F.col("cohort")).alias("off"))
+        .groupBy("cohort", "off")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("cohort").cast("long").alias("cohort_week"),
+            F.col("off").cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )

@@ -2696,3 +2696,22 @@ def test_dataset_card_dup_mass_and_plan(spark):
     assert (en["min_tokens"], en["max_tokens"]) == (2, 3)
     assert got[("s2", "de")]["n_tokens"] == 0
     assert got[("s2", "de")]["min_tokens"] == 0
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """u1 first in week 0, returns weeks 0 (twice -> once) and 2;
+    u2 first in week 1 only; u3 shares u1's cohort, returns week 1."""
+    from rdf_rs_spark.operators.events import retention_cohorts
+
+    W = 604800
+    rows = [
+        (1, 10), (1, 20), (1, 2 * W + 5),
+        (2, W + 3),
+        (3, 50), (3, W + 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = retention_cohorts(df)
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in out.collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
