@@ -12077,6 +12077,52 @@ def lineitem_basket_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "docs_lang_id_rank",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 9 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+                 WHEN 3 THEN 'es' WHEN 4 THEN 'en' WHEN 5 THEN 'de'
+                 WHEN 6 THEN 'fr' WHEN 7 THEN 'es' ELSE '' END AS lang,
+      (CASE i % 9 WHEN 0 THEN 28234 WHEN 1 THEN 30695 WHEN 2 THEN 23315
+                  WHEN 3 THEN 29372 WHEN 4 THEN 28293 WHEN 5 THEN 30084
+                  WHEN 6 THEN 24133 WHEN 7 THEN 23859
+                  ELSE 0 END)::BIGINT AS distance
+    FROM p""",
+)
+def docs_lang_id_rank(spark, sf_dir):
+    """Rank-order n-gram language id (Cavnar & Trenkle 1994;
+    ``operators/corpus.py::rank_profile_lang_id``) — the PROFILE
+    method where the marker heuristic is blind: every class text is
+    deliberately ASCII-only (no umlauts/accents), so `_LANG_MARKERS`
+    could never separate them, while gram-rank distance against the
+    frozen seed profiles does. Eight texts (two per language, none
+    from the seeds) plus a letter-free class → ('', 0). Distances are
+    exact integers of the frozen model — the oracle pins the full
+    out-of-place arithmetic, not just the argmin (constants verified
+    by the pure-function unit test)."""
+    from .operators.corpus import rank_profile_lang_id
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    texts = [
+        "a small cat walked along the narrow street looking for something good to eat before the night came",
+        "eine kleine katze lief die schmale strasse entlang und suchte etwas gutes zu fressen bevor die nacht kam",
+        "un petit chat marchait le long de la rue etroite cherchant quelque chose de bon a manger avant la nuit",
+        "un gato pequeno caminaba por la calle estrecha buscando algo bueno para comer antes de que llegara la noche",
+        "many people believe that reading books every day makes the mind stronger and the heart more patient",
+        "viele menschen glauben dass das taegliche lesen von buechern den geist staerker und das herz geduldiger macht",
+        "beaucoup de gens croient que lire des livres chaque jour rend l esprit plus fort et le coeur plus patient",
+        "mucha gente cree que leer libros todos los dias hace la mente mas fuerte y el corazon mas paciente",
+        "12345 678 90",
+    ]
+    text = F.lit(texts[-1])
+    for j in range(len(texts) - 2, -1, -1):
+        text = F.when(i % 9 == j, F.lit(texts[j])).otherwise(text)
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return rank_profile_lang_id(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12204,6 +12250,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_lang_id_rank": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): Cavnar-Trenkle rank-profile language id over ASCII-only classes the marker heuristic cannot separate; frozen-model oracle pins the exact out-of-place distances",
     "lineitem_basket_pairs": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): market-basket association on the REAL lineitem scan reusing the co-mention integer lift machinery (generality evidence); full SQL replay with support filter",
     "events_retention_cohorts": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): cohort retention triangle over the REAL events table (first-seen-week cohorts, distinct-before-count); full SQL replay under the epoch-DIV week bucketing",
     "html_dom_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): structural page statistics as a _Walk subclass (script-skip, void-tag, lenient-close classes); walker-computed constants pinned by unit test, decision-table oracle",

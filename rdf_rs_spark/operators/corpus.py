@@ -1617,3 +1617,101 @@ def dataset_card(docs: DataFrame, text_col: str = "text",
         F.col("min_tokens").cast("long").alias("min_tokens"),
         F.col("max_tokens").cast("long").alias("max_tokens"),
     )
+
+
+#: rank-profile LID seed corpora — deliberately ASCII-only (umlauts
+#: transliterated, accents stripped): the point of the rank-order
+#: method is separating languages WITHOUT marker codepoints, which is
+#: exactly where the `_LANG_MARKERS` heuristic is blind.
+_LID_SEEDS = {
+    "en": "the quick brown fox jumps over the lazy dog and then the other "
+          "dogs follow him into the garden where they all sit down together "
+          "and watch the evening sun set behind the old wooden fence near "
+          "the river while the children play with their friends and the "
+          "birds sing in the trees above the quiet houses of the little town",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund und dann "
+          "folgen ihm die anderen hunde in den garten wo sie alle zusammen "
+          "sitzen und die abendsonne hinter dem alten holzzaun am fluss "
+          "beobachten waehrend die kinder mit ihren freunden spielen und die "
+          "voegel in den baeumen ueber den stillen haeusern der kleinen "
+          "stadt singen",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et puis "
+          "les autres chiens le suivent dans le jardin ou ils sont tous "
+          "assis ensemble et regardent le soleil du soir derriere la vieille "
+          "cloture en bois pres de la riviere pendant que les enfants jouent "
+          "avec leurs amis et que les oiseaux chantent dans les arbres au "
+          "dessus des maisons calmes de la petite ville",
+    "es": "el rapido zorro marron salta sobre el perro perezoso y luego los "
+          "otros perros lo siguen hasta el jardin donde todos se sientan "
+          "juntos y miran el sol de la tarde detras de la vieja cerca de "
+          "madera cerca del rio mientras los ninos juegan con sus amigos y "
+          "los pajaros cantan en los arboles sobre las casas tranquilas del "
+          "pueblo pequeno",
+}
+
+
+def _lid_grams(text: str, ns=(1, 2, 3)) -> dict:
+    """1-3-gram counts over space-padded lowercased words (non-letters
+    fold to separators) — the Cavnar-Trenkle gram universe."""
+    counts: dict = {}
+    for w in re.sub(r"[^a-z]+", " ", (text or "").lower()).split():
+        padded = f" {w} "
+        for n in ns:
+            for i in range(max(1, len(padded) - n + 1)):
+                g = padded[i : i + n]
+                counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+def _lid_profile(text: str, top: int = 300) -> dict:
+    """gram → 1-based rank, count-desc then gram-asc (deterministic
+    ties), truncated to the ``top`` most frequent grams."""
+    c = _lid_grams(text)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return {g: r for r, (g, _) in enumerate(ranked, 1)}
+
+
+def rank_profile_lang_of(text: str, profiles: dict, top: int = 300):
+    """Cavnar-Trenkle out-of-place classification of one document:
+    build the doc's rank profile, sum |rank_doc − rank_lang| per
+    language (grams absent from a language profile cost ``top``), and
+    take the minimum distance — ties break to the lexicographically
+    first language code. Empty/letter-free text → ('', 0)."""
+    doc = _lid_profile(text, top)
+    if not doc:
+        return "", 0
+    best = None
+    for lang in sorted(profiles):
+        prof = profiles[lang]
+        d = sum(
+            abs(r - prof[g]) if g in prof else top for g, r in doc.items()
+        )
+        if best is None or d < best[0]:
+            best = (d, lang)
+    return best[1], best[0]
+
+
+def rank_profile_lang_id(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         top: int = 300) -> DataFrame:
+    """Rank-order n-gram language id (Cavnar & Trenkle, "N-gram-based
+    text categorization", SDAIR 1994) — the PROFILE method beside the
+    marker heuristic (`functions/text.py::_LANG_MARKERS` needs
+    diacritic codepoints; this separates ASCII-only en/de/fr/es by
+    gram-rank distance). Profiles are frozen module constants trained
+    from the `_LID_SEEDS` literals, so the whole path is a pure
+    function of the text (content-addressed frozen-model class).
+    One Arrow pass, zero shuffle."""
+    profiles = {l: _lid_profile(t, top) for l, t in _LID_SEEDS.items()}
+
+    @pandas_udf("lang string, distance long")
+    def _lid(s: pd.Series) -> pd.DataFrame:
+        rows = [rank_profile_lang_of(t, profiles, top) for t in s]
+        return pd.DataFrame(rows, columns=["lang", "distance"])
+
+    out = _lid(F.col(text_col))
+    return docs.select(
+        id_col,
+        out.getField("lang").alias("lang"),
+        out.getField("distance").alias("distance"),
+    )

@@ -2715,3 +2715,32 @@ def test_retention_cohorts_hand_computed(spark):
     out = retention_cohorts(df)
     got = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in out.collect()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_rank_profile_lid_entry_constants_and_ties():
+    """The entry's pinned (lang, distance) constants through the pure
+    function, plus empty/letter-free inputs and deterministic
+    ordering."""
+    from rdf_rs_spark.operators.corpus import (
+        _LID_SEEDS, _lid_profile, rank_profile_lang_of,
+    )
+
+    profiles = {l: _lid_profile(t) for l, t in _LID_SEEDS.items()}
+    cases = [
+        ("a small cat walked along the narrow street looking for something good to eat before the night came", "en", 28234),
+        ("eine kleine katze lief die schmale strasse entlang und suchte etwas gutes zu fressen bevor die nacht kam", "de", 30695),
+        ("un petit chat marchait le long de la rue etroite cherchant quelque chose de bon a manger avant la nuit", "fr", 23315),
+        ("un gato pequeno caminaba por la calle estrecha buscando algo bueno para comer antes de que llegara la noche", "es", 29372),
+        ("many people believe that reading books every day makes the mind stronger and the heart more patient", "en", 28293),
+        ("viele menschen glauben dass das taegliche lesen von buechern den geist staerker und das herz geduldiger macht", "de", 30084),
+        ("beaucoup de gens croient que lire des livres chaque jour rend l esprit plus fort et le coeur plus patient", "fr", 24133),
+        ("mucha gente cree que leer libros todos los dias hace la mente mas fuerte y el corazon mas paciente", "es", 23859),
+    ]
+    for text, lang, dist in cases:
+        assert rank_profile_lang_of(text, profiles) == (lang, dist)
+    assert rank_profile_lang_of("", profiles) == ("", 0)
+    assert rank_profile_lang_of(None, profiles) == ("", 0)
+    assert rank_profile_lang_of("987 654", profiles) == ("", 0)
+    # seeds classify as themselves (sanity: profiles separate)
+    for lang, seed in _LID_SEEDS.items():
+        assert rank_profile_lang_of(seed, profiles)[0] == lang
