@@ -12123,6 +12123,90 @@ def docs_lang_id_rank(spark, sf_dir):
     return rank_profile_lang_id(docs)
 
 
+@q(
+    "kg_truthy_statements",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    s AS (SELECT 'e' || (i % 100) AS entity, 'p' || (i % 3) AS prop,
+                 'v' || i AS value,
+                 CASE i % 5 WHEN 1 THEN 'preferred'
+                            WHEN 3 THEN 'deprecated'
+                            ELSE 'normal' END AS rank,
+                 CASE i % 5 WHEN 1 THEN 2 WHEN 3 THEN 0 ELSE 1 END AS sc
+          FROM p),
+    b AS (SELECT entity, prop, max(sc) AS best FROM s GROUP BY 1, 2)
+    SELECT s.entity, s.prop, s.value, s.rank
+    FROM s JOIN b ON s.entity = b.entity AND s.prop = b.prop
+    WHERE s.sc = b.best AND s.sc > 0""",
+)
+def kg_truthy_statements(spark, sf_dir):
+    """Wikidata-style truthy selection (``operators/fusion.py::
+    truthy_filter``) — the rank channel beside the voting fusers: per
+    (entity, property), preferred statements shadow normal ones,
+    deprecated never serve. The modular synthesis interleaves all
+    three ranks into the same (entity, prop) groups, so the group max
+    genuinely switches behavior per group (groups with a preferred
+    row drop their normals; groups without keep them). One combining
+    group-max + equi-join back; full SQL replay."""
+    from .operators.fusion import truthy_filter
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    stmts = spark.range(n).select(
+        F.concat(F.lit("e"), (i % 100).cast("string")).alias("entity"),
+        F.concat(F.lit("p"), (i % 3).cast("string")).alias("prop"),
+        F.concat(F.lit("v"), i.cast("string")).alias("value"),
+        F.when(i % 5 == 1, "preferred")
+        .when(i % 5 == 3, "deprecated")
+        .otherwise("normal")
+        .alias("rank"),
+    )
+    return truthy_filter(stmts)
+
+
+@q(
+    "warc_arc_records_parse",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (SELECT i, unnest(generate_series(0, 3)) AS k FROM p),
+    b AS (SELECT i, k, i * 4 + k AS seq,
+      'HTTP/1.1 200 OK' || chr(13) || chr(10)
+        || 'Content-Type: text/html' || chr(13) || chr(10)
+        || chr(13) || chr(10)
+        || '<html>arc ' || i || ' ' || k || ' '
+        || repeat('y', (i + k) % 5) || '</html>'
+        || CASE WHEN k % 2 = 1
+                THEN chr(10) || 'http://fake.ex 9.9.9.9 20000101000000 '
+                     || 'text/html 99' || chr(10)
+                ELSE '' END AS body
+      FROM r)
+    SELECT i::BIGINT AS file_id, k::BIGINT AS rec_idx,
+      'http://ex' || (seq % 97) || '.example.org/a/' || i || '/' || k
+        AS src_url,
+      '10.' || (i % 256) || '.' || k || '.7' AS ip,
+      (1162598400 + seq)::BIGINT AS fetch_unix,
+      CASE WHEN k % 3 = 0 THEN 'text/plain' ELSE 'text/html' END AS mime,
+      length(body)::BIGINT AS n_bytes,
+      md5(body) AS body_md5
+    FROM b""",
+)
+def warc_arc_records_parse(spark, sf_dir):
+    """Legacy ARC v1 container parse (``sources/warc.py::
+    parse_arc_records``) — the pre-WARC Internet Archive / early
+    Common Crawl format, completing the archive-container family
+    (WARC, .warc.gz, WAT, WET, CDX, revisit). The walker slices by
+    the header's DECLARED length: odd records embed a decoy line
+    shaped exactly like an ARC header inside the body (the class that
+    breaks newline-scanning parsers), the leading ``filedesc://``
+    version record is consumed but never emitted, and truncated
+    declarations raise at the slice. The oracle REGENERATES every
+    field — byte-identical bodies (so md5 and length check the
+    walker's slicing), 14-digit UTC dates restated from the same
+    epoch integers."""
+    from .sources.warc import parse_arc_records, synthesize_arc_files
+
+    n = _scale_n(sf_dir)
+    return parse_arc_records(synthesize_arc_files(spark.range(n)))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12250,6 +12334,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "warc_arc_records_parse": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): legacy ARC v1 container (the pre-WARC Common Crawl format) under a full regeneration oracle with header-decoy bodies proving length-sliced walking",
+    "kg_truthy_statements": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Wikidata rank-model truthy selection (preferred shadows normal, deprecated never serves) with rank classes interleaved into shared groups; full SQL replay",
     "docs_lang_id_rank": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): Cavnar-Trenkle rank-profile language id over ASCII-only classes the marker heuristic cannot separate; frozen-model oracle pins the exact out-of-place distances",
     "lineitem_basket_pairs": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): market-basket association on the REAL lineitem scan reusing the co-mention integer lift machinery (generality evidence); full SQL replay with support filter",
     "events_retention_cohorts": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): cohort retention triangle over the REAL events table (first-seen-week cohorts, distinct-before-count); full SQL replay under the epoch-DIV week bucketing",

@@ -135,3 +135,40 @@ def fuse_latest(
             "first_ts",
         )
     )
+
+
+#: statement-rank scores: Wikidata's three-valued rank model
+_RANK_SCORE = {"preferred": 2, "normal": 1, "deprecated": 0}
+
+
+def truthy_filter(statements: DataFrame,
+                  entity_col: str = "entity",
+                  prop_col: str = "prop") -> DataFrame:
+    """Wikidata-style TRUTHY statement selection — the rank model every
+    Wikidata-derived KG applies before serving (the wdt: namespace of
+    the query service): per (entity, property), if any statement is
+    rank=preferred only the preferred ones are truthy; otherwise the
+    normal ones are; deprecated statements are never truthy. This is
+    the RANK-channel sibling of the support-voting fusers above — the
+    editors already adjudicated, the engine just honors it.
+
+    One map-side-combining max of the rank score per (entity, prop),
+    equi-joined back (never a row-window over the statement stream —
+    the group max is 2 narrow columns at ≤|E×P| rows). Emits the
+    surviving statements with their rank."""
+    score = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _RANK_SCORE.items() for x in kv]
+        ),
+        F.col("rank"),
+    )
+    scored = statements.withColumn("__ts", score)
+    best = (
+        scored.groupBy(entity_col, prop_col)
+        .agg(F.max("__ts").alias("__best"))
+    )
+    return (
+        scored.join(best, [entity_col, prop_col])
+        .filter((F.col("__ts") == F.col("__best")) & (F.col("__ts") > 0))
+        .drop("__ts", "__best")
+    )

@@ -758,3 +758,154 @@ def synthesize_wat_pages(df: DataFrame, id_col: str = "id") -> DataFrame:
         (F.lit(1700000000) + i * 37).cast("long").alias("fetch_unix"),
         html.alias("html"),
     )
+
+
+# ---- legacy ARC (the pre-WARC Internet Archive / early Common Crawl
+# container; WARC's ancestor — ISO 28500 Annex history) ---------------------
+
+ARC_RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("rec_idx", T.LongType(), False),
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("ip", T.StringType(), False),
+        T.StructField("fetch_unix", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("body_md5", T.StringType(), False),
+    ]
+)
+
+
+def _walk_arc(payload: bytes):
+    """Walk one ARC v1 file: 5-field space-separated header line
+    (``url ip YYYYMMDDhhmmss mime length``), then exactly ``length``
+    payload bytes, then a separating newline. The slice is BY DECLARED
+    LENGTH — bodies legally contain lines that look like ARC headers,
+    so a newline-scanning walk is wrong by design (the Content-Length
+    lesson from the WARC walker). Truncated declarations raise at the
+    slice (the bit-reader bound-check lesson); the leading
+    ``filedesc://`` version record is consumed but not yielded."""
+    import datetime as dt
+    import hashlib
+
+    pos = 0
+    idx = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 1] == b"\n":
+            pos += 1
+            continue
+        nl = payload.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError("ARC header line without newline")
+        parts = payload[pos:nl].decode("utf-8", "strict").split(" ")
+        if len(parts) != 5:
+            raise ValueError(f"ARC header needs 5 fields, got {len(parts)}")
+        url, ip, date14, mime, length_s = parts
+        length = int(length_s)
+        body_start = nl + 1
+        if body_start + length > n:
+            raise ValueError("ARC record truncated vs declared length")
+        body = payload[body_start : body_start + length]
+        pos = body_start + length
+        if not url.startswith("filedesc://"):
+            if len(date14) != 14 or not date14.isdigit():
+                raise ValueError(f"bad ARC date {date14!r}")
+            ts = dt.datetime(
+                int(date14[0:4]), int(date14[4:6]), int(date14[6:8]),
+                int(date14[8:10]), int(date14[10:12]), int(date14[12:14]),
+                tzinfo=dt.timezone.utc,  # 14-digit dates are UTC; pin it
+            )
+            yield (
+                idx,
+                url,
+                ip,
+                int(ts.timestamp()),
+                mime,
+                length,
+                hashlib.md5(body).hexdigest(),
+            )
+            idx += 1
+
+
+def parse_arc_records(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "file_id"
+) -> DataFrame:
+    """(file_id, payload:binary) → one row per ARC document record."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ARC_RECORDS_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                fid = int(getattr(r, id_col))
+                rows.extend(
+                    (fid, *rec)
+                    for rec in _walk_arc(bytes(getattr(r, payload_col)))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=ARC_RECORDS_SCHEMA)
+
+
+#: base fetch instant for the ARC synthesizer: 2006-11-04T00:00:00Z
+_ARC_EPOCH = 1162598400
+
+
+def _arc_record_strings(i: int, records_per_file: int) -> list[str]:
+    """Closed-form ARC records for file ``i``: a filedesc version
+    record, then document records whose odd-k bodies embed a DECOY
+    line shaped exactly like an ARC header — the class that breaks
+    newline-scanning parsers and proves the length slicing."""
+    import datetime as dt
+
+    out = []
+    vblock = "1 0 InternetArchive\nURL IP-address Archive-date Content-type Archive-length\n"
+    d0 = dt.datetime.fromtimestamp(_ARC_EPOCH, dt.timezone.utc)
+    out.append(
+        f"filedesc://crawl-{i}.arc 0.0.0.0 {d0:%Y%m%d%H%M%S} text/plain "
+        f"{len(vblock.encode())}\n{vblock}\n"
+    )
+    for k in range(records_per_file):
+        seq = i * records_per_file + k
+        url = f"http://ex{seq % 97}.example.org/a/{i}/{k}"
+        ip = f"10.{i % 256}.{k}.7"
+        ts = dt.datetime.fromtimestamp(_ARC_EPOCH + seq, dt.timezone.utc)
+        mime = "text/html" if k % 3 else "text/plain"
+        body = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            f"<html>arc {i} {k} " + "y" * ((i + k) % 5) + "</html>"
+        )
+        if k % 2 == 1:
+            body += "\nhttp://fake.ex 9.9.9.9 20000101000000 text/html 99\n"
+        out.append(
+            f"{url} {ip} {ts:%Y%m%d%H%M%S} {mime} {len(body.encode())}\n"
+            f"{body}\n"
+        )
+    return out
+
+
+def synthesize_arc_files(
+    df: DataFrame, records_per_file: int = 4, id_col: str = "id"
+) -> DataFrame:
+    """Deterministic ARC v1 files from a row index (format/parse are
+    different code paths, so the regeneration oracle is independent)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                i = int(getattr(r, id_col))
+                rows.append(
+                    (i, "".join(_arc_record_strings(i, records_per_file)).encode())
+                )
+            yield pd.DataFrame(rows, columns=["file_id", "payload"])
+
+    schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)

@@ -79,3 +79,22 @@ def test_cdx_serving_layout_sorts_by_surt(spark):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo
+
+
+def test_arc_walk_rejects_and_decoy_classes():
+    """Truncated declarations raise at the slice; 4-field headers and
+    bad dates raise; the odd-record decoy line is body, not a header."""
+    import pytest
+
+    from rdf_rs_spark.sources.warc import _arc_record_strings, _walk_arc
+
+    blob = "".join(_arc_record_strings(1, 4)).encode()
+    recs = list(_walk_arc(blob))
+    assert len(recs) == 4
+    assert all(r[1].startswith("http://ex") for r in recs)
+    with pytest.raises(ValueError, match="truncated"):
+        list(_walk_arc(blob[:-20]))
+    with pytest.raises(ValueError, match="5 fields"):
+        list(_walk_arc(b"http://a 1.2.3.4 20061104000000 5\nhello\n"))
+    with pytest.raises(ValueError, match="bad ARC date"):
+        list(_walk_arc(b"http://a 1.2.3.4 2006 text/html 5\nhello\n"))
