@@ -12207,6 +12207,66 @@ def warc_arc_records_parse(spark, sf_dir):
     return parse_arc_records(synthesize_arc_files(spark.range(n)))
 
 
+@q(
+    "events_markov_next",
+    """WITH s AS (SELECT event_type AS src_type,
+        lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst_type
+      FROM events),
+    c AS (SELECT src_type, dst_type, count(*) AS n FROM s
+          WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT src_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.src_type, c.dst_type, c.n::BIGINT AS n,
+      ((c.n * 10000) // t.tot)::BIGINT AS p_e4,
+      row_number() OVER (PARTITION BY c.src_type
+                         ORDER BY c.n DESC, c.dst_type)::BIGINT AS rank
+    FROM c JOIN t ON c.src_type = t.src_type""",
+)
+def events_markov_next(spark, sf_dir):
+    """First-order event-type transition matrix
+    (``operators/events.py::markov_transitions``) over the REAL
+    events table: per user stream ordered by (ts, event_id) — the
+    deterministic tiebreak — count type→type transitions, row-
+    normalize in basis points, rank successors (count desc, type
+    asc). One user window + two combining aggregates; |types|² output.
+    Full SQL replay."""
+    from .operators.events import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@q(
+    "docs_cdc_dedup_stats",
+    """SELECT 6000::BIGINT AS n_chunks,
+      12::BIGINT AS n_distinct_chunks,
+      261500::BIGINT AS bytes_total,
+      523::BIGINT AS bytes_distinct""",
+)
+def docs_cdc_dedup_stats(spark, sf_dir):
+    """Archive-dedup accounting over the CDC chunk relation
+    (``operators/dedup.py::cdc_dedup_stats``) — the payoff number
+    behind `docs_cdc_chunks`: stored bytes before vs after chunk-level
+    dedup. The corpus is 500 copies of each of the four class texts
+    (2000 docs at the gate scale), whose stated decompositions give
+    3+2+6+1 = 12 distinct chunks totalling 523 bytes against
+    500×523 = 261,500 stored — the oracle states the single rollup
+    row closed-form from the same pinned cut positions. Chunk bodies
+    never shuffle; the relation carries md5 keys + lengths."""
+    from .operators.dedup import cdc_dedup_stats
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    text = (
+        F.when(k == 0, F.lit(_CDC_T0))
+        .when(k == 1, F.lit(_CDC_T1))
+        .when(k == 2, F.lit(_CDC_T2))
+        .otherwise(F.lit(_CDC_T3))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return cdc_dedup_stats(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12334,6 +12394,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_cdc_dedup_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the chunk-level archive-dedup rollup behind docs_cdc_chunks (stored vs distinct bytes from the same pinned decompositions); closed-form single-row oracle",
+    "events_markov_next": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): first-order event-type transition matrix on the REAL events table (deterministic (ts,event_id) stream order, basis-point rows, ranked successors); full SQL replay",
     "warc_arc_records_parse": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): legacy ARC v1 container (the pre-WARC Common Crawl format) under a full regeneration oracle with header-decoy bodies proving length-sliced walking",
     "kg_truthy_statements": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Wikidata rank-model truthy selection (preferred shadows normal, deprecated never serves) with rank classes interleaved into shared groups; full SQL replay",
     "docs_lang_id_rank": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): Cavnar-Trenkle rank-profile language id over ASCII-only classes the marker heuristic cannot separate; frozen-model oracle pins the exact out-of-place distances",

@@ -546,3 +546,50 @@ def cdc_profile(docs: DataFrame, text_col: str = "text",
         prof.getField("last_len").alias("last_len"),
         prof.getField("sig").alias("sig"),
     )
+
+
+def cdc_chunk_relation(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The cross-document chunk relation under :func:`cdc_profile`:
+    one row per (doc, chunk) with the chunk's md5 and byte length —
+    grouped on ``chunk_md5`` this is exact dedup over chunk bodies,
+    which is how archive storage reclaims the shared mass between
+    snapshots. One Arrow pass; the relation is what shuffles (32-byte
+    keys + a length), never the payload bytes."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                data = (getattr(r, text_col) or "").encode("utf-8")
+                for idx, c in enumerate(cdc_chunks_of(data)):
+                    rows.append(
+                        (getattr(r, id_col), idx,
+                         _hashlib.md5(c).hexdigest(), len(c))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "chunk_md5", "chunk_len"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, chunk_idx long, chunk_md5 string, chunk_len long",
+    )
+
+
+def cdc_dedup_stats(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Global archive-dedup accounting over the chunk relation: stored
+    bytes before vs after chunk-level dedup (1 output row). The
+    distinct side groups on the md5 key — map-side combining, chunk
+    bodies never move."""
+    rel = cdc_chunk_relation(docs, text_col, id_col)
+    per_chunk = rel.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("refs"), F.min("chunk_len").alias("clen")
+    )
+    return per_chunk.agg(
+        F.sum("refs").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.sum(F.col("refs") * F.col("clen")).cast("long").alias("bytes_total"),
+        F.sum("clen").cast("long").alias("bytes_distinct"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def funnel_stages(
@@ -90,5 +90,40 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             F.col("cohort").cast("long").alias("cohort_week"),
             F.col("off").cast("long").alias("week_offset"),
             "n_users",
+        )
+    )
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id") -> DataFrame:
+    """First-order event-type transition matrix — the behavioral model
+    beside the funnel/sessionize family: per user stream (ordered by
+    timestamp with the event id as the deterministic tiebreak), count
+    (type → next type) transitions, emit row-normalized probabilities
+    in basis points and the per-source rank (count desc, type asc —
+    the standard winner order). ONE user window + two combining
+    aggregates; the matrix is |types|² rows, so everything after the
+    window is tiny."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("src_type"),
+        F.lead(type_col).over(w).alias("dst_type"),
+    ).filter(F.col("dst_type").isNotNull())
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("src_type").agg(F.sum("n").alias("tot"))
+    rw = Window.partitionBy("src_type").orderBy(
+        F.col("n").desc(), F.col("dst_type")
+    )
+    return (
+        counts.join(totals, "src_type")
+        .select(
+            "src_type",
+            "dst_type",
+            F.col("n").cast("long").alias("n"),
+            F.expr("(n * 10000) DIV tot").cast("long").alias("p_e4"),
+            F.row_number().over(rw).cast("long").alias("rank"),
         )
     )
