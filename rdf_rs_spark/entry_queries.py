@@ -12267,6 +12267,62 @@ def docs_cdc_dedup_stats(spark, sf_dir):
     return cdc_dedup_stats(docs)
 
 
+#: docs_tokenizer_fertility frozen models — tiny on purpose: the
+#: CONSTANTS below are closed forms of these lists; a unit test pins
+#: them through the real operators.
+_FERT_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+                ("an", "d"), ("in", "g")]
+_FERT_VOCAB = (
+    [chr(c) for c in range(97, 123)]
+    + ["##" + chr(c) for c in range(97, 123)]
+    + ["the", "walk", "play", "##ing", "##ed", "under", "##stand"]
+)
+
+
+@q(
+    "docs_tokenizer_fertility",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 3 WHEN 0 THEN 35 WHEN 1 THEN 38 ELSE 20 END)::BIGINT
+        AS n_chars,
+      (CASE i % 3 WHEN 0 THEN 6 WHEN 1 THEN 5 ELSE 4 END)::BIGINT AS n_ws,
+      (CASE i % 3 WHEN 0 THEN 21 WHEN 1 THEN 22 ELSE 15 END)::BIGINT
+        AS n_bpe,
+      (CASE i % 3 WHEN 0 THEN 12 WHEN 1 THEN 20 ELSE 17 END)::BIGINT
+        AS n_wp,
+      (CASE i % 3 WHEN 0 THEN 350 WHEN 1 THEN 440 ELSE 375 END)::BIGINT
+        AS bpe_fert_e2,
+      (CASE i % 3 WHEN 0 THEN 200 WHEN 1 THEN 400 ELSE 425 END)::BIGINT
+        AS wp_fert_e2
+    FROM p""",
+)
+def docs_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-efficiency comparison (``operators/tokenizer.py::
+    tokenizer_fertility``) — fertility (subwords per word) is the
+    metric that drives per-language token budgets and mixture
+    weights, and the capstone over the segmenter family: the SAME
+    text counted by whitespace, a frozen BPE merge list (column
+    replaces) and a frozen WordPiece vocabulary (greedy kernel).
+    Three classes where the two tokenizers RANK DIFFERENTLY (the
+    merge list loves 'th/ing' prose, the vocabulary loves its own
+    stems; the code-like class inverts them) — a single shared count
+    path could not produce the pinned table. Constants are closed
+    forms of the frozen models, pinned by the pure-mirror unit test.
+    Zero shuffle."""
+    from .operators.tokenizer import tokenizer_fertility
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    text = (
+        F.when(k == 0, F.lit("the walking player played the thing"))
+        .when(k == 1, F.lit("understanding thunder and their things"))
+        .otherwise(F.lit("int main return zero"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return tokenizer_fertility(docs, _FERT_MERGES, _FERT_VOCAB)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12294,6 +12350,19 @@ def docs_cdc_dedup_stats(spark, sf_dir):
 #   (c) fill remaining slots from the rest of the r4-late list; whatever
 #       misses the r5 window stays DEFERRED with its reason updated —
 #       NEVER displace a (a)/(b) pick for a fill.
+# r4s12 additions to weigh into (a)/(b): crawl_outlink_frontier (one
+#   value-hash over extraction+resolution+canonicalization+REP —
+#   highest coverage-per-slot of the session), docs_cdc_chunks +
+#   docs_cdc_dedup_stats (novel stated-decomposition oracle),
+#   docs_lang_id_rank (frozen-model distances), crawl_http_policy +
+#   crawl_url_resolve (decision tables over new RFC machinery),
+#   warc_arc_records_parse (regeneration + decoy class),
+#   kg_adjacency_gaps / kg_degree_histogram (graph-layout pair),
+#   html_dom_stats (walker constants), corpus_pmi_phrases /
+#   corpus_dataset_card / lineitem_basket_pairs /
+#   events_retention_cohorts / events_markov_next (relational
+#   replays), kg_truthy_statements, docs_license_detect /
+#   docs_secret_redact / docs_script_profile (decision tables).
 # r4s11 additions to weigh into (a)/(b): kg_pipeline_from_warc-style
 #   container fronts docs_{pdf,docx,tar_code,mbox} (regeneration oracles
 #   over real binary walks), multimodal_flac_decode (order-sensitive
@@ -12394,6 +12463,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_tokenizer_fertility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): tokenizer fertility comparison (whitespace vs frozen BPE vs frozen WordPiece on one text, classes where the tokenizers rank differently); frozen-model constants pinned by the pure-mirror test",
     "docs_cdc_dedup_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the chunk-level archive-dedup rollup behind docs_cdc_chunks (stored vs distinct bytes from the same pinned decompositions); closed-form single-row oracle",
     "events_markov_next": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): first-order event-type transition matrix on the REAL events table (deterministic (ts,event_id) stream order, basis-point rows, ranked successors); full SQL replay",
     "warc_arc_records_parse": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): legacy ARC v1 container (the pre-WARC Common Crawl format) under a full regeneration oracle with header-decoy bodies proving length-sliced walking",

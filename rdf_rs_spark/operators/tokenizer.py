@@ -210,3 +210,52 @@ def wordpiece_pieces_col(text: Column, vocab, max_word_len: int = 64) -> Column:
         return s.map(lambda t: [p for w in (t or "").split() for p in seg_word(w)])
 
     return k(text)
+
+
+def bpe_segment_count_of(text: str, merges: list) -> int:
+    """Pure-Python mirror of :func:`bpe_segment_count` (same
+    ``\\x01`` encoding, same plain-replace-per-merge semantics) — used
+    by tests and the fertility oracle constants, never in the plan."""
+    t = " ".join((text or "").split())
+    if not t:
+        return 0
+    enc = "".join(f"{SEP}{c}{SEP}" if c != " " else " " for c in t)
+    for lhs, rhs in merges:
+        pat, rep = merge_pattern(lhs, rhs)
+        enc = enc.replace(pat, rep)
+    seps = (len(enc) - len(enc.replace(SEP + SEP, ""))) // 2
+    return seps + len(t.split(" "))
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list,
+    wp_vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-efficiency comparison per document — the fertility
+    metric (subwords per whitespace word) that drives per-language
+    token budgets and mixture weights: the SAME text counted by
+    whitespace, by a frozen BPE merge list (`bpe_segment_count`,
+    pure column replaces), and by a frozen WordPiece vocabulary
+    (`wordpiece_pieces_col`, greedy longest-match kernel). All
+    integer; fertility in centi-units via ``DIV``. Zero shuffle —
+    one codegen chain + one Arrow kernel per row."""
+    from ..functions.text import token_count
+
+    ws = token_count(F.col(text_col))
+    bpe = bpe_segment_count(F.col(text_col), merges)
+    wp = F.size(wordpiece_pieces_col(F.col(text_col), wp_vocab)).cast("long")
+    out = docs.select(
+        id_col,
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        ws.alias("n_ws"),
+        bpe.alias("n_bpe"),
+        wp.alias("n_wp"),
+    )
+    return out.select(
+        "*",
+        F.expr("(n_bpe * 100) DIV n_ws").alias("bpe_fert_e2"),
+        F.expr("(n_wp * 100) DIV n_ws").alias("wp_fert_e2"),
+    )

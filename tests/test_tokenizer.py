@@ -410,3 +410,64 @@ def test_wordpiece_matches_independent_reference(spark):
     )
     for r in df.collect():
         assert r["p"] == _wp_reference(r["w"], vocab), r["w"]
+
+
+def test_bpe_segment_count_pure_mirror_equivalence(spark):
+    """`bpe_segment_count_of` (the oracle-constant generator) must
+    match the PRODUCTION column path on generated texts — one
+    createDataFrame batch drives the real kernel (hypothesis lesson:
+    never test a pasted copy)."""
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.operators.tokenizer import (
+        bpe_segment_count, bpe_segment_count_of,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
+    texts_strategy = st.lists(
+        st.sampled_from(
+            "the then thin and in an band thing tin hat h t e a".split()
+        ),
+        max_size=8,
+    ).map(" ".join)
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts_strategy)
+    def collect(t):
+        cases.append(t)
+
+    collect()
+    cases = sorted(set(cases))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i long, text string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_segment_count(F.col("text"), merges).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == bpe_segment_count_of(t, merges), repr(t)
+
+
+def test_tokenizer_fertility_entry_constants(spark):
+    from rdf_rs_spark.entry_queries import _FERT_MERGES, _FERT_VOCAB
+    from rdf_rs_spark.operators.tokenizer import tokenizer_fertility
+    from rdf_rs_spark.plans.inspect import count_exchanges
+
+    rows = [
+        (0, "the walking player played the thing", (35, 6, 21, 12, 350, 200)),
+        (1, "understanding thunder and their things", (38, 5, 22, 20, 440, 400)),
+        (2, "int main return zero", (20, 4, 15, 17, 375, 425)),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "doc_id long, text string")
+    out = tokenizer_fertility(df, _FERT_MERGES, _FERT_VOCAB)
+    assert count_exchanges(out) == 0
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for i, _, (ch, ws, bpe, wp, bf, wf) in rows:
+        assert (got[i]["n_chars"], got[i]["n_ws"], got[i]["n_bpe"],
+                got[i]["n_wp"], got[i]["bpe_fert_e2"],
+                got[i]["wp_fert_e2"]) == (ch, ws, bpe, wp, bf, wf)
