@@ -12323,6 +12323,64 @@ def docs_tokenizer_fertility(spark, sf_dir):
     return tokenizer_fertility(docs, _FERT_MERGES, _FERT_VOCAB)
 
 
+@q(
+    "rdf_literal_datatype_audit",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    x AS (SELECT i, i % 9 AS k,
+                 'http://www.w3.org/2001/XMLSchema#' AS ns FROM p)
+    SELECT i::BIGINT AS row_id,
+      CASE k WHEN 0 THEN '+007' WHEN 1 THEN '-0' WHEN 2 THEN '12a'
+             WHEN 3 THEN '1' WHEN 4 THEN 'tru' WHEN 5 THEN '2024-02-29'
+             WHEN 6 THEN '2024-13-01' WHEN 7 THEN '-0.50'
+             ELSE 'whatever' END AS obj_lex,
+      ns || CASE WHEN k <= 2 THEN 'integer'
+                 WHEN k <= 4 THEN 'boolean'
+                 WHEN k <= 6 THEN 'date'
+                 WHEN k = 7 THEN 'decimal'
+                 ELSE 'anyURI' END AS obj_datatype,
+      (CASE WHEN k = 8 THEN 0 ELSE 1 END)::BIGINT AS checked,
+      (CASE WHEN k IN (2, 4, 6) THEN 0 ELSE 1 END)::BIGINT AS valid,
+      CASE k WHEN 0 THEN '7' WHEN 1 THEN '0' WHEN 2 THEN '12a'
+             WHEN 3 THEN 'true' WHEN 4 THEN 'tru' WHEN 5 THEN '2024-02-29'
+             WHEN 6 THEN '2024-13-01' WHEN 7 THEN '-0.50'
+             ELSE 'whatever' END AS canonical_lex
+    FROM x""",
+)
+def rdf_literal_datatype_audit(spark, sf_dir):
+    """RDF 1.1 lexical-space audit (``operators/table_to_triples.py::
+    literal_datatype_audit``) — which third-party typed literals are
+    ill-typed, BEFORE inference trusts them (the construction-side
+    completion of the reference's parser-side coercion,
+    `typed_literals.rs` tests). Nine classes: integer with a folded
+    ``+007`` (canonical '7'), the signed zero (``-0`` → '0'), a
+    malformed integer, boolean '1' canonicalized to 'true', a
+    malformed boolean, a valid leap-day date, a month-13 reject, a
+    decimal that validates but passes through uncanonicalized, and an
+    UNVALIDATED datatype (checked = 0, trusted as-is). Decision-table
+    oracle; zero shuffle."""
+    from .operators.table_to_triples import literal_datatype_audit
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 9
+    ns = "http://www.w3.org/2001/XMLSchema#"
+    lex = (
+        F.when(k == 0, "+007").when(k == 1, "-0").when(k == 2, "12a")
+        .when(k == 3, "1").when(k == 4, "tru").when(k == 5, "2024-02-29")
+        .when(k == 6, "2024-13-01").when(k == 7, "-0.50")
+        .otherwise("whatever")
+    )
+    dt = F.concat(
+        F.lit(ns),
+        F.when(k <= 2, "integer").when(k <= 4, "boolean")
+        .when(k <= 6, "date").when(k == 7, "decimal").otherwise("anyURI"),
+    )
+    rows = spark.range(n).select(
+        i.alias("row_id"), lex.alias("obj_lex"), dt.alias("obj_datatype")
+    )
+    return literal_datatype_audit(rows)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12463,6 +12521,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "rdf_literal_datatype_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RDF 1.1 lexical-space audit for typed literals (integer/boolean/date/decimal validators, XSD canonical folding, unvalidated-datatype pass-through); decision-table oracle",
     "docs_tokenizer_fertility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): tokenizer fertility comparison (whitespace vs frozen BPE vs frozen WordPiece on one text, classes where the tokenizers rank differently); frozen-model constants pinned by the pure-mirror test",
     "docs_cdc_dedup_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the chunk-level archive-dedup rollup behind docs_cdc_chunks (stored vs distinct bytes from the same pinned decompositions); closed-form single-row oracle",
     "events_markov_next": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): first-order event-type transition matrix on the REAL events table (deterministic (ts,event_id) stream order, basis-point rows, ranked successors); full SQL replay",

@@ -157,3 +157,78 @@ def property_table(
         if cast_to is not None:
             wide = wide.withColumn(name, F.col(name).try_cast(cast_to))
     return wide
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def literal_datatype_audit(
+    triples: DataFrame,
+    lex_col: str = "obj_lex",
+    dt_col: str = "obj_datatype",
+) -> DataFrame:
+    """RDF 1.1 §5 lexical-space audit for typed literals — the
+    construction-quality gate between parsing and the store (the
+    reference coerces per its parser tests, `typed_literals.rs`; a
+    crawl-built KG additionally needs to KNOW which third-party
+    literals are ill-typed before inference trusts them). Per row:
+
+    - ``checked``: 1 when the datatype has a validator here
+      (xsd:integer / boolean / date / decimal), else 0;
+    - ``valid``: lexical-form membership — integer ``[+-]?digits``,
+      boolean {true,false,1,0}, date with field-range checks (the
+      same documented month-length subset as ``iso_epoch``), decimal
+      ``[+-]?(d+(.d*)?|.d+)``;
+    - ``canonical_lex``: the XSD canonical form for integer (sign
+      folded on zero, leading zeros dropped) and boolean (1/0 →
+      true/false); pass-through where canonicalization is not
+      implemented or the value is invalid.
+
+    Pure whole-stage-codegen when-chain, zero shuffle."""
+    lex = F.col(lex_col)
+    dt = F.col(dt_col)
+    digits = F.regexp_replace(lex, r"^[+-]", "")
+    stripped = F.regexp_replace(digits, r"^0+(?=\d)", "")
+    int_valid = lex.rlike(r"^[+-]?\d+$")
+    int_canon = F.when(
+        stripped == "0", F.lit("0")
+    ).otherwise(
+        F.concat(
+            F.when(lex.startswith("-"), F.lit("-")).otherwise(F.lit("")),
+            stripped,
+        )
+    )
+    bool_valid = lex.isin("true", "false", "1", "0")
+    bool_canon = (
+        F.when(lex == "1", F.lit("true"))
+        .when(lex == "0", F.lit("false"))
+        .otherwise(lex)
+    )
+    d_rx = r"^(\d{4})-(\d{2})-(\d{2})$"
+    date_valid = (
+        lex.rlike(d_rx)
+        & F.regexp_extract(lex, d_rx, 2).between("01", "12")
+        & F.regexp_extract(lex, d_rx, 3).between("01", "31")
+    )
+    dec_valid = lex.rlike(r"^[+-]?(\d+(\.\d*)?|\.\d+)$")
+    checked = dt.isin(
+        _XSD + "integer", _XSD + "boolean", _XSD + "date", _XSD + "decimal"
+    )
+    valid = (
+        F.when(dt == _XSD + "integer", int_valid)
+        .when(dt == _XSD + "boolean", bool_valid)
+        .when(dt == _XSD + "date", date_valid)
+        .when(dt == _XSD + "decimal", dec_valid)
+        .otherwise(F.lit(True))
+    )
+    canonical = (
+        F.when((dt == _XSD + "integer") & int_valid, int_canon)
+        .when((dt == _XSD + "boolean") & bool_valid, bool_canon)
+        .otherwise(lex)
+    )
+    return triples.select(
+        "*",
+        checked.cast("int").cast("bigint").alias("checked"),
+        valid.cast("int").cast("bigint").alias("valid"),
+        canonical.alias("canonical_lex"),
+    )
