@@ -12381,6 +12381,80 @@ def rdf_literal_datatype_audit(spark, sf_dir):
     return literal_datatype_audit(rows)
 
 
+@q(
+    "kg_inverse_properties",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    t AS (
+      SELECT 'c' || i AS subj, 'http://s.ex/hasParent' AS pred,
+             'g' || (i % 50) AS obj FROM p WHERE i % 4 = 0
+      UNION ALL
+      SELECT 'g' || ((i - 1) % 50), 'http://s.ex/childOf', 'c' || (i - 1)
+      FROM p WHERE i % 4 = 1
+      UNION ALL
+      SELECT 'c' || i, 'http://s.ex/likes', 'm' || (i % 30)
+      FROM p WHERE i % 4 = 2
+      UNION ALL
+      SELECT CASE WHEN i % 8 = 3 THEN 'm' || ((i - 1) % 30)
+                  ELSE 'm' || i END,
+             'http://s.ex/likedBy',
+             CASE WHEN i % 8 = 3 THEN 'c' || (i - 1) ELSE 'x' || i END
+      FROM p WHERE i % 4 = 3),
+    rel AS (SELECT DISTINCT subj, pred, obj FROM t),
+    ov AS (SELECT a.pred AS src_pred, b.pred AS dst_pred,
+                  count(*) AS overlap
+           FROM rel a JOIN rel b
+             ON a.subj = b.obj AND a.obj = b.subj AND a.pred < b.pred
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+    sz AS (SELECT pred, count(*) AS c FROM rel GROUP BY pred)
+    SELECT ov.src_pred, ov.dst_pred, ov.overlap::BIGINT AS overlap,
+      ((10000 * ov.overlap) // least(cs.c, cd.c))::BIGINT
+        AS containment_e4
+    FROM ov JOIN sz cs ON ov.src_pred = cs.pred
+            JOIN sz cd ON ov.dst_pred = cd.pred""",
+)
+def kg_inverse_properties(spark, sf_dir):
+    """Inverse-property mining (``operators/void.py::
+    inverse_property_mining``) — the schema-alignment primitive beside
+    key discovery and shape mining: predicate pairs whose instance
+    pair sets are each other's swaps, scored by integer containment.
+    The synthesis plants an EXACT inverse (hasParent/childOf,
+    containment 10000) and a HALF inverse (likes/likedBy, 5000, the
+    other half pure noise) — the miner must rank them apart, and the
+    (s,o)-keyed join must never count the noise. One distinct + one
+    pair equi-join + combining counts; full SQL replay."""
+    from .operators.void import inverse_property_mining
+    from .terms import KIND_IRI
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    base = spark.range(n)
+    s_ = lambda c: c.cast("string")  # noqa: E731
+
+    def part(cond, subj, pred, obj):
+        return base.where(cond).select(
+            subj.alias("subj"), F.lit(pred).alias("pred"),
+            F.lit(KIND_IRI).alias("obj_kind"), obj.alias("obj_lex"),
+        )
+
+    t = (
+        part(i % 4 == 0, F.concat(F.lit("c"), s_(i)),
+             "http://s.ex/hasParent", F.concat(F.lit("g"), s_(i % 50)))
+        .unionAll(part(i % 4 == 1, F.concat(F.lit("g"), s_((i - 1) % 50)),
+                       "http://s.ex/childOf", F.concat(F.lit("c"), s_(i - 1))))
+        .unionAll(part(i % 4 == 2, F.concat(F.lit("c"), s_(i)),
+                       "http://s.ex/likes", F.concat(F.lit("m"), s_(i % 30))))
+        .unionAll(part(
+            i % 4 == 3,
+            F.when(i % 8 == 3, F.concat(F.lit("m"), s_((i - 1) % 30)))
+            .otherwise(F.concat(F.lit("m"), s_(i))),
+            "http://s.ex/likedBy",
+            F.when(i % 8 == 3, F.concat(F.lit("c"), s_(i - 1)))
+            .otherwise(F.concat(F.lit("x"), s_(i))),
+        ))
+    )
+    return inverse_property_mining(t, min_overlap=5)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12521,6 +12595,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_inverse_properties": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): inverse-property mining (instance-level schema alignment; exact-inverse vs half-inverse vs noise classes scored by integer containment); full SQL replay",
     "rdf_literal_datatype_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RDF 1.1 lexical-space audit for typed literals (integer/boolean/date/decimal validators, XSD canonical folding, unvalidated-datatype pass-through); decision-table oracle",
     "docs_tokenizer_fertility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): tokenizer fertility comparison (whitespace vs frozen BPE vs frozen WordPiece on one text, classes where the tokenizers rank differently); frozen-model constants pinned by the pure-mirror test",
     "docs_cdc_dedup_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the chunk-level archive-dedup rollup behind docs_cdc_chunks (stored vs distinct bytes from the same pinned decompositions); closed-form single-row oracle",

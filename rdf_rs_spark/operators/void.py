@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..terms import RDF_TYPE
+from ..terms import KIND_IRI, RDF_TYPE
 
 
 def void_description(triples: DataFrame) -> DataFrame:
@@ -216,4 +216,59 @@ def entity_summary(triples: DataFrame, k: int = 2) -> DataFrame:
             F.col("pred_count").cast("bigint"),
             F.col("rank").cast("bigint"),
         )
+    )
+
+
+def inverse_property_mining(
+    triples: DataFrame, min_overlap: int = 5, scale: int = 10_000
+) -> DataFrame:
+    """Schema mining: discover predicate pairs that behave as
+    INVERSES (``p(s,o) ⇔ q(o,s)`` — schema:parent/schema:children,
+    partOf/hasPart) from instance data alone — the alignment
+    primitive beside key discovery (`kg_key_discovery`) and shape
+    mining, and the signal an ontology-merge step needs when two
+    crawled vocabularies describe one relation from both ends.
+
+    For each ordered predicate pair: ``overlap`` = |pairs(p) ∩
+    swap(pairs(q))| and ``containment_e4`` = ``scale·overlap DIV
+    min(|p|, |q|)`` (how completely the smaller relation is the
+    other's inverse). Resource-object triples only; one (s,o)-keyed
+    equi-join (the pair relation never fans out past true matches) +
+    one combining count; predicate sizes attach by broadcast-sized
+    join. Emits ``src_pred < dst_pred`` once per unordered pair."""
+    rel = (
+        triples.filter(F.col("obj_kind") == KIND_IRI)
+        .select("subj", "pred", F.col("obj_lex").alias("obj"))
+        .distinct()
+    )
+    a = rel.alias("a")
+    b = rel.select(
+        F.col("obj").alias("subj"), F.col("pred").alias("q"),
+        F.col("subj").alias("obj"),
+    ).alias("b")
+    overlap = (
+        a.join(b, ["subj", "obj"])
+        .filter(F.col("a.pred") < F.col("b.q"))
+        .groupBy(F.col("a.pred").alias("src_pred"), F.col("b.q").alias("dst_pred"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    sizes = rel.groupBy("pred").agg(F.count(F.lit(1)).alias("c"))
+    out = (
+        overlap.join(
+            sizes.select(F.col("pred").alias("src_pred"), F.col("c").alias("c_src")),
+            "src_pred",
+        )
+        .join(
+            sizes.select(F.col("pred").alias("dst_pred"), F.col("c").alias("c_dst")),
+            "dst_pred",
+        )
+    )
+    return out.select(
+        "src_pred",
+        "dst_pred",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.expr(f"({int(scale)} * overlap) DIV least(c_src, c_dst)")
+        .cast("long")
+        .alias("containment_e4"),
     )
