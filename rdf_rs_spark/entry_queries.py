@@ -12455,6 +12455,49 @@ def kg_inverse_properties(spark, sf_dir):
     return inverse_property_mining(t, min_overlap=5)
 
 
+@q(
+    "html_lang_declared_audit",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN ''
+                 WHEN 3 THEN 'de' ELSE 'fr' END AS declared,
+      CASE i % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'en' WHEN 2 THEN 'fr'
+                 WHEN 3 THEN 'de' ELSE '' END AS detected,
+      (CASE WHEN i % 5 = 1 THEN 0 ELSE 1 END)::BIGINT AS agree
+    FROM p""",
+)
+def html_lang_declared_audit(spark, sf_dir):
+    """Declared-vs-detected language audit (``operators/corpus.py::
+    declared_lang_audit``) — CMS templates ship the theme's ``<html
+    lang>`` verbatim, so the claim and the content disagree at host
+    scale; a mismatch is also exactly where hreflang bitext grouping
+    must not be trusted. Five classes: region subtag folded
+    (``en-US`` → en) agreeing, a German CLAIM over English text (the
+    template mislabel — the only mismatch), no claim at all (never a
+    mismatch), single-quoted ``de-AT`` with a foreign attribute
+    BEFORE ``lang`` (the order-tolerant lookahead), and a digits-only
+    page where the detector abstains (abstention never flags).
+    Composes the attribute grammar with the rank-profile detector in
+    ONE pass; decision-table oracle, zero shuffle."""
+    from .operators.corpus import declared_lang_audit
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 5
+    en = "a small cat walked along the narrow street looking for something good to eat before the night came"
+    de = "eine kleine katze lief die schmale strasse entlang und suchte etwas gutes zu fressen bevor die nacht kam"
+    fr = "un petit chat marchait le long de la rue etroite cherchant quelque chose de bon a manger avant la nuit"
+    html = (
+        F.when(k == 0, F.lit(f'<html data-x="1" lang="en-US"><body><p>{en}</p></body></html>'))
+        .when(k == 1, F.lit(f'<html lang="de"><body><p>{en}</p></body></html>'))
+        .when(k == 2, F.lit(f"<html><body><p>{fr}</p></body></html>"))
+        .when(k == 3, F.lit(f"<html class='t' lang='de-AT'><body><p>{de}</p></body></html>"))
+        .otherwise(F.lit('<html lang="fr"><body><p>24 7 365</p></body></html>'))
+    )
+    pages = spark.range(n).select(i.alias("doc_id"), html.alias("html"))
+    return declared_lang_audit(pages)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12595,6 +12638,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "html_lang_declared_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): declared-vs-detected language audit (template-mislabel signal, subtag folding, order-tolerant attr grammar, detector abstention); one-pass composition with the rank LID, decision-table oracle",
     "kg_inverse_properties": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): inverse-property mining (instance-level schema alignment; exact-inverse vs half-inverse vs noise classes scored by integer containment); full SQL replay",
     "rdf_literal_datatype_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RDF 1.1 lexical-space audit for typed literals (integer/boolean/date/decimal validators, XSD canonical folding, unvalidated-datatype pass-through); decision-table oracle",
     "docs_tokenizer_fertility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): tokenizer fertility comparison (whitespace vs frozen BPE vs frozen WordPiece on one text, classes where the tokenizers rank differently); frozen-model constants pinned by the pure-mirror test",

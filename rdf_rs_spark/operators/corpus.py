@@ -1702,6 +1702,18 @@ def rank_profile_lang_id(docs: DataFrame, text_col: str = "text",
     from the `_LID_SEEDS` literals, so the whole path is a pure
     function of the text (content-addressed frozen-model class).
     One Arrow pass, zero shuffle."""
+    out = rank_profile_lang_col(F.col(text_col), top)
+    return docs.select(
+        id_col,
+        out.getField("lang").alias("lang"),
+        out.getField("distance").alias("distance"),
+    )
+
+
+def rank_profile_lang_col(text: Column, top: int = 300) -> Column:
+    """The rank-profile classifier as a struct Column
+    ``(lang, distance)`` — composable into multi-signal scans
+    (declared-language audits, routing) without a second pass."""
     profiles = {l: _lid_profile(t, top) for l, t in _LID_SEEDS.items()}
 
     @pandas_udf("lang string, distance long")
@@ -1709,9 +1721,46 @@ def rank_profile_lang_id(docs: DataFrame, text_col: str = "text",
         rows = [rank_profile_lang_of(t, profiles, top) for t in s]
         return pd.DataFrame(rows, columns=["lang", "distance"])
 
-    out = _lid(F.col(text_col))
-    return docs.select(
-        id_col,
-        out.getField("lang").alias("lang"),
-        out.getField("distance").alias("distance"),
+    return _lid(text)
+
+
+def declared_lang_audit(pages: DataFrame, html_col: str = "html",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Declared-vs-detected language audit — the disagreement signal
+    between the page's ``<html lang>`` claim and the rank-profile
+    detector (`rank_profile_lang_id`): CMS templates ship the theme's
+    language attribute verbatim, so a crawler that trusts the claim
+    mislabels whole hosts; a mismatch row is also exactly where bitext
+    pairing should NOT trust hreflang groups. The declared attribute
+    is matched order-tolerantly (lookahead — foreign attributes may
+    precede ``lang=``) and folds to its primary subtag; detection
+    runs on the tag-stripped text. Emits (declared, detected, agree);
+    ``agree`` is NULL-safe: an absent claim never counts as a
+    mismatch (agree = 1 when nothing was declared)."""
+    declared = F.lower(
+        F.regexp_extract(
+            F.col(html_col),
+            r"""(?s)<html\b(?=[^>]*\blang=["']([A-Za-z][A-Za-z-]*)["'])""",
+            1,
+        )
+    )
+    primary = F.substring_index(declared, "-", 1)
+    text = F.regexp_replace(F.col(html_col), r"<[^>]*>", " ")
+    staged = pages.select(
+        id_col, primary.alias("declared"), text.alias("__text")
+    )
+    out = staged.select(
+        id_col, "declared",
+        rank_profile_lang_col(F.col("__text")).getField("lang")
+        .alias("detected"),
+    )
+    agree = (
+        F.when(F.col("declared") == "", 1)
+        .when(F.col("detected") == "", 1)
+        .when(F.col("declared") == F.col("detected"), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        id_col, "declared", "detected",
+        agree.cast("long").alias("agree"),
     )
