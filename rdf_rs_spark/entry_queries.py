@@ -12498,6 +12498,124 @@ def html_lang_declared_audit(spark, sf_dir):
     return declared_lang_audit(pages)
 
 
+@q(
+    "docs_srt_cues",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    c AS (SELECT i, unnest(generate_series(0, 2)) AS j FROM p),
+    b AS (SELECT i, j,
+                 (10 * (i % 500) + 3 * j) * 1000 + (i % 1000) AS start_ms
+          FROM c)
+    SELECT i::BIGINT AS doc_id, (j + 1)::BIGINT AS cue_idx,
+      start_ms::BIGINT AS start_ms,
+      (start_ms + 2500)::BIGINT AS end_ms,
+      2500::BIGINT AS dur_ms,
+      CASE j WHEN 0 THEN 'hello world ' || i
+             WHEN 1 THEN 'line one ' || i || ' line two'
+             ELSE 'bye ' || i END AS text
+    FROM b""",
+)
+def docs_srt_cues(spark, sf_dir):
+    """SubRip subtitle parsing (``sources/feeds.py::parse_srt_cues``)
+    — the video-transcript corpus front: blank-line block split +
+    posexplode + one ``(?s)`` cue regexp, timestamps as integer
+    milliseconds from grouped-field arithmetic (lpad-formatted from
+    integers on the synthesis side too — no timestamp types, no
+    session zone anywhere). Each doc carries three cues (one
+    MULTI-LINE — its payload newline must collapse to a space) and a
+    malformed block between them that must be DROPPED by grammar, not
+    offset. The oracle regenerates the cue relation closed-form."""
+    from .sources.feeds import parse_srt_cues
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+
+    def two(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    # integer -> 'HH:MM:SS,mmm' via lpad arithmetic
+    def ts(start_expr):
+        sec = (start_expr - start_expr % 1000) / 1000
+        sec = sec.cast("long")
+        return F.concat(
+            two((sec / 3600).cast("long")), F.lit(":"),
+            two(((sec / 60).cast("long")) % 60), F.lit(":"),
+            two(sec % 60), F.lit(","),
+            F.lpad((start_expr % 1000).cast("string"), 3, "0"),
+        )
+
+    s = i.cast("string")
+    blocks = []
+    for j in range(3):
+        start = ((i % 500) * 10 + 3 * j) * 1000 + (i % 1000)
+        end = start + 2500
+        text = {
+            0: F.concat(F.lit("hello world "), s),
+            1: F.concat(F.lit("line one "), s, F.lit("\nline two")),
+            2: F.concat(F.lit("bye "), s),
+        }[j]
+        blocks.append(
+            F.concat(
+                F.lit(f"{j + 1}\n"), ts(start), F.lit(" --> "), ts(end),
+                F.lit("\n"), text,
+            )
+        )
+        if j == 0:
+            blocks.append(F.lit("this block is not a cue"))
+    srt = F.concat_ws("\n\n", *blocks)
+    docs = spark.range(n).select(i.alias("doc_id"), srt.alias("srt"))
+    return parse_srt_cues(docs)
+
+
+@q(
+    "docs_span_corruption",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    d AS (SELECT i, 8 + (i % 7) AS nt FROM p),
+    tok AS (SELECT i, nt, unnest(generate_series(1, nt)) AS pos FROM d),
+    m AS (SELECT i, nt, pos,
+            CASE WHEN ('0x' || substring(md5('sc' || i || ':' || pos), 1, 8))::BIGINT
+                      % 100 < 15 THEN 1 ELSE 0 END AS f
+          FROM tok),
+    w AS (SELECT i, nt, f,
+            lag(f, 1, 0) OVER (PARTITION BY i ORDER BY pos) AS pf
+          FROM m),
+    g AS (SELECT i, max(nt) AS n_tokens, sum(f) AS n_masked,
+                 sum(CASE WHEN f = 1 AND pf = 0 THEN 1 ELSE 0 END)
+                   AS n_spans
+          FROM w GROUP BY i)
+    SELECT i::BIGINT AS doc_id, n_tokens::BIGINT AS n_tokens,
+      n_masked::BIGINT AS n_masked, n_spans::BIGINT AS n_spans,
+      (n_tokens - n_masked + n_spans)::BIGINT AS input_len,
+      (CASE WHEN n_spans > 0 THEN n_masked + n_spans + 1
+            ELSE 0 END)::BIGINT AS target_len
+    FROM g""",
+)
+def docs_span_corruption(spark, sf_dir):
+    """T5-style span-corruption planning (``operators/sampling.py::
+    span_corruption_plan``) — the denoising-objective prep numbers a
+    packing planner needs before materializing corrupted text: per
+    doc, which positions mask (content-addressed md5 per (seed, doc,
+    pos) — cluster-size-invariant like the sampling family), how runs
+    coalesce into sentinel spans (the shifted-zip span-start count),
+    and the encoder/decoder lengths. Docs vary 8-14 tokens so
+    zero-span docs occur and must emit target_len 0. Entirely
+    row-local array algebra; the oracle replays the hash and the
+    island count relationally (lag window)."""
+    from .operators.sampling import span_corruption_plan
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    nt = (i % 7) + 8
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), nt),
+            lambda j: F.concat(F.lit("w"), j.cast("string")),
+        ),
+        " ",
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return span_corruption_plan(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12638,6 +12756,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_span_corruption": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): T5 span-corruption planning (content-addressed masks, shifted-zip span starts, encoder/decoder lengths) — row-local array algebra with a relational lag-window replay oracle",
+    "docs_srt_cues": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): SubRip subtitle ingest (video-transcript corpus front) as pure column algebra; regeneration oracle with a multi-line cue and a grammar-dropped malformed block",
     "html_lang_declared_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): declared-vs-detected language audit (template-mislabel signal, subtag folding, order-tolerant attr grammar, detector abstention); one-pass composition with the rank LID, decision-table oracle",
     "kg_inverse_properties": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): inverse-property mining (instance-level schema alignment; exact-inverse vs half-inverse vs noise classes scored by integer containment); full SQL replay",
     "rdf_literal_datatype_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RDF 1.1 lexical-space audit for typed literals (integer/boolean/date/decimal validators, XSD canonical folding, unvalidated-datatype pass-through); decision-table oracle",

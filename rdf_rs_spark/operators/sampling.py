@@ -246,3 +246,60 @@ def mixture_resample(
         )
         keep = F.when(group_col == g, rule).otherwise(keep)
     return df.filter(keep)
+
+
+def span_corruption_plan(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", mask_pct: int = 15,
+                         seed: str = "sc") -> DataFrame:
+    """T5-style span-corruption accounting — the denoising-objective
+    prep step: which token positions mask, how runs coalesce into
+    sentinel spans, and the resulting encoder/decoder lengths (the
+    numbers a packing planner needs BEFORE materializing corrupted
+    text). Masking is content-addressed per (seed, doc, position)
+    through the md5→int idiom, so the plan is deterministic on any
+    partitioning/cluster size and replays exactly in SQL. Entirely
+    row-local (sequence → per-position flags → shifted-zip span
+    starts) — a per-row statistic never explodes to a shuffle; the
+    per-element lambda does only its own O(1) hash, nothing
+    outer-bound."""
+    from ..functions.text import tokens_col
+
+    # NULL text (extraction failures) plans as empty, not NULL rows
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    n_tok = F.size(toks).cast("long")
+
+    def flag(j):
+        h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"),
+                           F.lit(":"), j.cast("string")))
+        return (
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100)
+            < mask_pct
+        ).cast("long")
+
+    flags = F.transform(F.sequence(F.lit(1), n_tok), flag)
+    shifted = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.slice(flags, 1, F.greatest(F.size(flags) - 1, F.lit(0))),
+    )
+    starts = F.zip_with(
+        flags, shifted,
+        lambda a, b: ((a == 1) & (b == 0)).cast("long"),
+    )
+    zero = F.lit(0).cast("long")
+    n_masked = F.aggregate(flags, zero, lambda acc, x: acc + x)
+    n_spans = F.aggregate(starts, zero, lambda acc, x: acc + x)
+    out = docs.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+    )
+    return out.select(
+        "*",
+        (F.col("n_tokens") - F.col("n_masked") + F.col("n_spans"))
+        .alias("input_len"),
+        F.when(F.col("n_spans") > 0,
+               F.col("n_masked") + F.col("n_spans") + 1)
+        .otherwise(zero)
+        .alias("target_len"),
+    )

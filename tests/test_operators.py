@@ -2744,3 +2744,60 @@ def test_rank_profile_lid_entry_constants_and_ties():
     # seeds classify as themselves (sanity: profiles separate)
     for lang, seed in _LID_SEEDS.items():
         assert rank_profile_lang_of(seed, profiles)[0] == lang
+
+
+def test_span_corruption_invariants_and_python_model(spark):
+    """Kernel vs a Python model of the same hash, plus the length
+    identities input_len + n_masked - n_spans == n_tokens and
+    target accounting."""
+    import hashlib
+
+    from rdf_rs_spark.operators.sampling import span_corruption_plan
+
+    def model(doc_id, n_tok, pct=15, seed="sc"):
+        flags = [
+            int(hashlib.md5(f"{seed}{doc_id}:{j}".encode()).hexdigest()[:8], 16)
+            % 100 < pct
+            for j in range(1, n_tok + 1)
+        ]
+        masked = sum(flags)
+        spans = sum(
+            1 for j, f in enumerate(flags) if f and (j == 0 or not flags[j - 1])
+        )
+        return masked, spans
+
+    rows = [(d, " ".join(f"w{j}" for j in range(1, 8 + d % 7 + 1)))
+            for d in range(40)] + [(99, ""), (100, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in span_corruption_plan(df).collect()}
+    for d in range(40):
+        n_tok = 8 + d % 7
+        masked, spans = model(d, n_tok)
+        g = got[d]
+        assert (g["n_tokens"], g["n_masked"], g["n_spans"]) == (n_tok, masked, spans)
+        assert g["input_len"] + g["n_masked"] - g["n_spans"] == n_tok
+        assert g["target_len"] == (masked + spans + 1 if spans else 0)
+    assert got[99]["n_tokens"] == 0 and got[99]["target_len"] == 0
+    assert got[100]["n_tokens"] == 0
+
+
+def test_srt_cues_grammar_edges(spark):
+    """Out-of-order cue numbers are preserved as written; hour-scale
+    stamps; zero-duration cue; text-only garbage dropped."""
+    from rdf_rs_spark.sources.feeds import parse_srt_cues
+
+    srt = (
+        "7\n01:02:03,004 --> 01:02:03,004\nzero dur\n\n"
+        "garbage block\n\n"
+        "2\n10:00:00,000 --> 10:00:01,500\nlate\nnight\n"
+    )
+    df = spark.createDataFrame([(0, srt)], "doc_id long, srt string")
+    got = sorted(
+        (r["cue_idx"], r["start_ms"], r["dur_ms"], r["text"])
+        for r in parse_srt_cues(df).collect()
+    )
+    assert got == [
+        (2, 36000000, 1500, "late night"),
+        (7, 3723004, 0, "zero dur"),
+    ]
