@@ -12616,6 +12616,91 @@ def docs_span_corruption(spark, sf_dir):
     return span_corruption_plan(docs)
 
 
+@q(
+    "kg_wikitext_links",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    l AS (SELECT i, unnest(generate_series(0, 3)) AS j FROM p)
+    SELECT i::BIGINT AS doc_id, j::BIGINT AS link_idx,
+      CASE j WHEN 0 THEN 'Alpha ' || i WHEN 1 THEN 'Beta'
+             WHEN 2 THEN 'Category:Things'
+             ELSE 'File:Pic' || i || '.png' END AS target,
+      CASE j WHEN 0 THEN 'the alpha' WHEN 1 THEN 'Beta'
+             WHEN 2 THEN 'Category:Things' ELSE 'thumb' END AS anchor,
+      CASE j WHEN 2 THEN 'category' WHEN 3 THEN 'file'
+             ELSE 'link' END AS kind
+    FROM l""",
+)
+def kg_wikitext_links(spark, sf_dir):
+    """Wikitext link extraction (``sources/wikitext.py::
+    parse_wikitext_links``) — the co-mention graph + anchor
+    dictionary source inside Wikipedia dumps (the DBpedia recipe's
+    link half). Four link forms per page: piped (anchor differs from
+    target), bare (anchor = target), a Category: and a File:
+    namespace link (metadata kinds, not co-mention edges). Pure
+    column algebra; regeneration oracle."""
+    from .sources.wikitext import parse_wikitext_links
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    s = i.cast("string")
+    wt = F.concat(
+        F.lit("See [[Alpha "), s, F.lit("|the alpha]] and [[Beta]] plus "),
+        F.lit("[[Category:Things]] and [[File:Pic"), s,
+        F.lit(".png|thumb]] here."),
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), wt.alias("wikitext"))
+    return parse_wikitext_links(docs)
+
+
+@q(
+    "kg_wikitext_infobox",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 3 AS k FROM p),
+    r AS (
+      SELECT i, 'person' AS infobox_type, 'name' AS key,
+             'Ada ' || i AS value FROM f WHERE k = 0
+      UNION ALL SELECT i, 'person', 'born', 'London' FROM f WHERE k = 0
+      UNION ALL SELECT i, 'person', 'field',
+                'mathematics and computing' FROM f WHERE k = 0
+      UNION ALL SELECT i, 'settlement', 'name', 'Springfield ' || i
+                FROM f WHERE k = 1
+      UNION ALL SELECT i, 'settlement', 'population', '30000'
+                FROM f WHERE k = 1)
+    SELECT i::BIGINT AS doc_id, infobox_type, key, value FROM r""",
+)
+def kg_wikitext_infobox(spark, sf_dir):
+    """Infobox field extraction (``sources/wikitext.py::
+    parse_infobox_fields``) — the attribute half of the DBpedia
+    recipe: the lead ``{{Infobox <type>}}``'s top-level ``key=value``
+    fields, where values legally nest templates (``{{birth date|...}}``
+    drops, its surrounding text survives) and carry piped links whose
+    pipes must NOT split fields (the balanced-brace + link-depth
+    scan). Class 2 pages have no infobox and contribute zero rows.
+    Regeneration oracle over the cleaned field relation; downstream
+    `table_to_triples` turns it into KG triples."""
+    from .sources.wikitext import parse_infobox_fields
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    wt = (
+        F.when(k == 0, F.concat(
+            F.lit("Intro [[Other]].\n{{Infobox person\n| name = Ada "), s,
+            F.lit("\n| born = {{birth date|1815|12|10}} London\n"
+                  "| field = [[Mathematics|mathematics]] and [[computing]]\n"
+                  "}}\nAfter {{cite web|url=x}}."),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("{{Infobox settlement|name=Springfield "), s,
+            F.lit("|population = 30000 }} trailing text"),
+        ))
+        .otherwise(F.lit("Just an article with {{cite web|url=y}} and no box."))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), wt.alias("wikitext"))
+    return parse_infobox_fields(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12756,6 +12841,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_wikitext_links": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): wikitext link extraction (co-mention graph + anchor dictionary from Wikipedia dumps; piped/bare/namespace link forms); regeneration oracle",
+    "kg_wikitext_infobox": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): DBpedia-style infobox field extraction (balanced-brace + link-depth scan; nested templates drop, link pipes never split); regeneration oracle incl. a zero-row no-box class",
     "docs_span_corruption": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): T5 span-corruption planning (content-addressed masks, shifted-zip span starts, encoder/decoder lengths) — row-local array algebra with a relational lag-window replay oracle",
     "docs_srt_cues": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): SubRip subtitle ingest (video-transcript corpus front) as pure column algebra; regeneration oracle with a multi-line cue and a grammar-dropped malformed block",
     "html_lang_declared_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): declared-vs-detected language audit (template-mislabel signal, subtag folding, order-tolerant attr grammar, detector abstention); one-pass composition with the rank LID, decision-table oracle",

@@ -1,0 +1,171 @@
+"""MediaWiki wikitext extraction — the DBpedia recipe.
+
+Wikipedia dumps are the canonical public KG source: `[[...]]` wiki
+links carry the entity co-mention graph and anchor dictionary, and
+`{{Infobox ...}}` templates carry the attribute/value pairs DBpedia
+materializes as triples (reference scope: rdf-rs consumes RDF that
+pipelines like this one PRODUCE — `src/graph.rs` has no extraction
+side at all).
+
+Two extraction surfaces with two right tools:
+
+- links are a regular language (no nesting inside ``[[...]]``) →
+  pure JVM column algebra, zero Python;
+- infobox VALUES nest templates (``{{cite ...}}`` inside a field), so
+  the infobox walk needs a balanced-brace scan → Arrow kernel, one
+  pass per doc, payloads never shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def parse_wikitext_links(docs: DataFrame, text_col: str = "wikitext",
+                         id_col: str = "doc_id") -> DataFrame:
+    """``[[Target|anchor]]`` link extraction: one row per link with
+    its display anchor (defaults to the target), classified by
+    namespace — ``category`` / ``file`` links are metadata, plain
+    links are the co-mention/anchor-dictionary edges. Pure column
+    algebra: extract_all → posexplode → split."""
+    links = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"\[\[([^\[\]]+)\]\]"), 1
+    )
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(links).alias("link_idx", "raw"),
+    )
+    target = F.substring_index(F.col("raw"), "|", 1)
+    anchor = F.substring_index(F.col("raw"), "|", -1)
+    kind = (
+        F.when(target.startswith("Category:"), "category")
+        .when(target.startswith("File:"), "file")
+        .otherwise("link")
+    )
+    return rows.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        target.alias("target"),
+        anchor.alias("anchor"),
+        kind.alias("kind"),
+    )
+
+
+def _strip_markup(value: str) -> str:
+    """Field-value cleanup: nested templates drop entirely, wiki links
+    keep their display text, whitespace collapses."""
+    out = []
+    i, n = 0, len(value)
+    depth = 0
+    while i < n:
+        if value.startswith("{{", i):
+            depth += 1
+            i += 2
+        elif value.startswith("}}", i) and depth > 0:
+            depth -= 1
+            i += 2
+        elif depth == 0:
+            out.append(value[i])
+            i += 1
+        else:
+            i += 1
+    s = "".join(out)
+    # [[T|anchor]] -> anchor ; [[T]] -> T
+    import re
+
+    s = re.sub(r"\[\[([^\[\]|]*\|)?([^\[\]]*)\]\]", r"\2", s)
+    return " ".join(s.split())
+
+
+def infobox_fields_of(wikitext: str):
+    """Yield ``(infobox_type, key, value)`` for the FIRST
+    ``{{Infobox ...}}`` in a page (the DBpedia convention — the lead
+    infobox describes the page entity). Balanced-brace scan: nested
+    templates inside values neither open a new field nor terminate
+    the box; top-level ``|`` splits fields; ``key=value`` pairs only
+    (positional params are skipped)."""
+    t = wikitext or ""
+    start = t.find("{{Infobox")
+    if start < 0:
+        return
+    i = start + 2
+    depth = 1
+    n = len(t)
+    while i < n and depth > 0:
+        if t.startswith("{{", i):
+            depth += 1
+            i += 2
+        elif t.startswith("}}", i):
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    # unterminated box (truncated page): everything to EOF is the body
+    body = t[start + 2 : i - 2] if depth == 0 else t[start + 2 :]
+    # split on TOP-LEVEL pipes only: pipes inside nested templates
+    # AND inside [[Target|anchor]] links are part of the value
+    parts = []
+    buf = []
+    depth = 0
+    link = 0
+    j = 0
+    while j < len(body):
+        if body.startswith("{{", j):
+            depth += 1
+            buf.append("{{")
+            j += 2
+        elif body.startswith("}}", j):
+            depth -= 1
+            buf.append("}}")
+            j += 2
+        elif body.startswith("[[", j):
+            link += 1
+            buf.append("[[")
+            j += 2
+        elif body.startswith("]]", j):
+            link = max(0, link - 1)
+            buf.append("]]")
+            j += 2
+        elif body[j] == "|" and depth == 0 and link == 0:
+            parts.append("".join(buf))
+            buf = []
+            j += 1
+        else:
+            buf.append(body[j])
+            j += 1
+    parts.append("".join(buf))
+    head = parts[0].split(None, 1)
+    itype = " ".join(head[1].split()) if len(head) > 1 else ""
+    for p in parts[1:]:
+        if "=" not in p:
+            continue
+        k, _, v = p.partition("=")
+        k = k.strip()
+        v = _strip_markup(v)
+        if k:
+            yield itype, k, v
+
+
+def parse_infobox_fields(docs: DataFrame, text_col: str = "wikitext",
+                         id_col: str = "doc_id") -> DataFrame:
+    """:func:`infobox_fields_of` over a wikitext column — one Arrow
+    pass; downstream ``table_to_triples`` materializes the relation
+    as KG triples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                for itype, k, v in infobox_fields_of(getattr(r, text_col)):
+                    rows.append((getattr(r, id_col), itype, k, v))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "infobox_type", "key", "value"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, infobox_type string, key string, value string",
+    )

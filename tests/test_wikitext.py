@@ -1,0 +1,66 @@
+"""Wikitext extraction (`sources/wikitext.py`) — the DBpedia recipe's
+link and infobox halves."""
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.sources.wikitext import infobox_fields_of
+
+
+def test_infobox_nested_templates_and_link_pipes():
+    wt = ("{{Infobox person\n| name = Ada Lovelace\n"
+          "| born = {{birth date|1815|12|10}} London\n"
+          "| field = [[Mathematics|mathematics]] and [[computing]]\n"
+          "| known_for = {{plainlist|* [[Analytical Engine]]}}\n}}")
+    rows = list(infobox_fields_of(wt))
+    assert ("person", "name", "Ada Lovelace") in rows
+    assert ("person", "born", "London") in rows
+    assert ("person", "field", "mathematics and computing") in rows
+    assert ("person", "known_for", "") in rows
+
+
+def test_infobox_edges():
+    # only the FIRST infobox; positional params skipped; no box -> []
+    wt = ("{{Infobox a|x=1|positional|y=[[L]]}}"
+          "{{Infobox b|z=2}}")
+    assert list(infobox_fields_of(wt)) == [("a", "x", "1"), ("a", "y", "L")]
+    assert list(infobox_fields_of("plain text")) == []
+    assert list(infobox_fields_of(None)) == []
+    # unterminated box: scan runs to EOF, fields still emitted
+    assert list(infobox_fields_of("{{Infobox c|k=v")) == [("c", "k", "v")]
+
+
+def test_infobox_walk_never_raises_on_soup():
+    from hypothesis import given, settings, strategies as st
+
+    soup = st.lists(
+        st.sampled_from(["{{", "}}", "[[", "]]", "|", "=", "Infobox x",
+                         "text", "\n", "{{cite|a=b}}"]),
+        max_size=25,
+    ).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(soup)
+    def check(wt):
+        for itype, k, v in infobox_fields_of("{{Infobox t|" + wt + "}}"):
+            assert isinstance(k, str) and isinstance(v, str)
+
+    check()
+
+
+def test_wikitext_links_spark(spark):
+    from rdf_rs_spark.sources.wikitext import parse_wikitext_links
+
+    df = spark.createDataFrame(
+        [(0, "a [[X|y]] b [[Z]] c [[Category:Q]] [[File:F.png|t|u]]")],
+        "doc_id long, wikitext string",
+    )
+    got = [
+        (r["link_idx"], r["target"], r["anchor"], r["kind"])
+        for r in parse_wikitext_links(df).collect()
+    ]
+    # multi-pipe file link: anchor is the LAST segment (caption)
+    assert got == [
+        (0, "X", "y", "link"), (1, "Z", "Z", "link"),
+        (2, "Category:Q", "Category:Q", "category"),
+        (3, "File:F.png", "u", "file"),
+    ]
