@@ -12701,6 +12701,96 @@ def kg_wikitext_infobox(spark, sf_dir):
     return parse_infobox_fields(docs)
 
 
+@q(
+    "docs_dialogue_turns",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 3 AS k FROM p),
+    r AS (
+      SELECT i, 0 AS t, 'Alice' AS speaker,
+             'hello there ' || i AS utterance FROM f WHERE k = 0
+      UNION ALL SELECT i, 1, 'Bob Smith', 'hi ' || i FROM f WHERE k = 0
+      UNION ALL SELECT i, 2, 'Alice', 'bye' FROM f WHERE k = 0
+      UNION ALL SELECT i, 0, 'JOHN', 'Where are we' FROM f WHERE k = 1
+      UNION ALL SELECT i, 1, 'MARY J', 'Not here ' || i FROM f WHERE k = 1)
+    SELECT i::BIGINT AS doc_id, t::BIGINT AS turn_idx, speaker, utterance
+    FROM r""",
+)
+def docs_dialogue_turns(spark, sf_dir):
+    """Chat/forum-log structuring (``operators/corpus.py::
+    dialogue_turns``) — the dialogue-data front: one row per
+    ``Speaker: utterance`` line, dense turn numbering computed
+    ROW-LOCALLY (the line array filters before posexplode — a per-doc
+    window over the exploded stream would shuffle the corpus for a
+    number the array position already carries). Decoy lines pin the
+    speaker grammar: narration without a prefix, a clock time
+    ``12:30``, and a URL whose scheme colon has no following
+    whitespace — none may bind. Class 2 docs have no dialogue and
+    emit zero rows. Regeneration oracle; zero shuffle."""
+    from .operators.corpus import dialogue_turns
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    text = (
+        F.when(k == 0, F.concat(
+            F.lit("Alice: hello there "), s,
+            F.lit("\nsome narration line\nBob Smith: hi "), s,
+            F.lit("\n12:30 is the time\nVisit https://ex.io: now"
+                  "\nAlice: bye"),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("JOHN: Where are we\nMARY J: Not here "), s,
+        ))
+        .otherwise(F.concat(F.lit("just prose "), s, F.lit("\nmore prose")))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return dialogue_turns(docs)
+
+
+@q(
+    "kg_wikitext_redirects",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      'Alias ' || i AS alias,
+      CASE i % 3 WHEN 0 THEN 'Canonical Topic'
+                 ELSE 'Other Topic ' || i END AS target
+    FROM p WHERE i % 3 < 2""",
+)
+def kg_wikitext_redirects(spark, sf_dir):
+    """Redirect-page alias mining (``sources/wikitext.py::
+    parse_redirects``) — every ``#REDIRECT [[Target]]`` title is a
+    surface form of its target, the dump-side feed for the entity
+    alias dictionary (`kg_alias_dict_growth` / fuzzy linking).
+    Classes: many aliases converging on ONE canonical target
+    (lowercase ``#redirect`` — the keyword is case-insensitive), a
+    piped redirect whose display text must be ignored, and a
+    non-redirect article that merely MENTIONS a redirect in prose
+    (mid-text, must not bind — the pattern is anchored). Zero
+    shuffle; regeneration oracle."""
+    from .sources.wikitext import parse_redirects
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    wt = (
+        F.when(k == 0, F.lit("#redirect [[Canonical Topic]]"))
+        .when(k == 1, F.concat(
+            F.lit("  #REDIRECT [[Other Topic "), s, F.lit("|shown text]]")
+        ))
+        .otherwise(F.lit(
+            "An article that says use #REDIRECT [[X]] to redirect."
+        ))
+    )
+    docs = spark.range(n).select(
+        i.alias("doc_id"),
+        F.concat(F.lit("Alias "), s).alias("title"),
+        wt.alias("wikitext"),
+    )
+    return parse_redirects(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12841,6 +12931,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_wikitext_redirects": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): redirect-page alias mining (dump-side alias dictionary feed; case-insensitive keyword, piped display ignored, anchored against prose mentions); regeneration oracle",
+    "docs_dialogue_turns": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): dialogue-log structuring (row-local dense turn numbering via array filter before posexplode; clock/URL/narration decoys pin the speaker grammar); regeneration oracle",
     "kg_wikitext_links": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): wikitext link extraction (co-mention graph + anchor dictionary from Wikipedia dumps; piped/bare/namespace link forms); regeneration oracle",
     "kg_wikitext_infobox": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): DBpedia-style infobox field extraction (balanced-brace + link-depth scan; nested templates drop, link pipes never split); regeneration oracle incl. a zero-row no-box class",
     "docs_span_corruption": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): T5 span-corruption planning (content-addressed masks, shifted-zip span starts, encoder/decoder lengths) — row-local array algebra with a relational lag-window replay oracle",

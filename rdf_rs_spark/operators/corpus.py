@@ -27,7 +27,7 @@ import re
 from collections import Counter
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.text import quality_score_e3, token_count, word_shingles
@@ -1763,4 +1763,37 @@ def declared_lang_audit(pages: DataFrame, html_col: str = "html",
     return out.select(
         id_col, "declared", "detected",
         agree.cast("long").alias("agree"),
+    )
+
+
+def dialogue_turns(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Chat/forum-log structuring — the dialogue-data front (IRC
+    logs, interview transcripts, screenplay text): one row per
+    ``Speaker: utterance`` line with its position, speakers folded to
+    a canonical key (trimmed, case preserved); narration lines (no
+    speaker prefix) are skipped but keep the turn numbering dense
+    over MATCHED lines only. The speaker grammar requires the colon
+    directly after the name token — a clock time ``12:30`` or a URL
+    ``https://...`` must not bind as a speaker (the host-boundary
+    lesson applied to the name token). Pure column algebra: line
+    split + posexplode + one anchored regexp."""
+    rx = r"^([A-Z][A-Za-z0-9_ .]{0,30}?):\s+(.*)$"
+    # dense turn numbering is ROW-LOCAL: filter the line array to
+    # matched lines BEFORE posexplode (a per-doc window over the
+    # exploded stream would shuffle the corpus to number rows the
+    # array position already numbers)
+    matched = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda l: l.rlike(rx),
+    )
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(matched).alias("turn_idx", "line"),
+    )
+    return lines.select(
+        "doc_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.trim(F.regexp_extract(F.col("line"), rx, 1)).alias("speaker"),
+        F.regexp_extract(F.col("line"), rx, 2).alias("utterance"),
     )

@@ -169,3 +169,21 @@ def parse_infobox_fields(docs: DataFrame, text_col: str = "wikitext",
         run,
         schema="doc_id long, infobox_type string, key string, value string",
     )
+
+
+def parse_redirects(docs: DataFrame, title_col: str = "title",
+                    text_col: str = "wikitext",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``#REDIRECT [[Target]]`` pages → (title, target) alias pairs —
+    the dump-side feed for the entity alias dictionary
+    (`linking.py` / `kg_alias_dict_growth`): every redirect title is
+    a surface form of its target. Case-insensitive keyword per
+    MediaWiki, pipe display text ignored, non-redirect pages emit
+    nothing. Pure column algebra, zero shuffle."""
+    rx = r"(?i)^\s*#redirect\s*\[\[([^\[\]|]+)(?:\|[^\[\]]*)?\]\]"
+    target = F.regexp_extract(F.col(text_col), rx, 1)
+    return docs.filter(F.col(text_col).rlike(rx)).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(title_col).alias("alias"),
+        F.trim(target).alias("target"),
+    )
