@@ -12791,6 +12791,47 @@ def kg_wikitext_redirects(spark, sf_dir):
     return parse_redirects(docs)
 
 
+@q(
+    "kg_wikitext_abstract",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 3
+        WHEN 0 THEN 'Ada ' || i || ' was a mathematician. She wrote notes.'
+        WHEN 1 THEN 'Short article ' || i || ' with no headings at all.'
+        ELSE '' END AS abstract
+    FROM p""",
+)
+def kg_wikitext_abstract(spark, sf_dir):
+    """Lead-abstract extraction (``sources/wikitext.py::
+    parse_lead_abstracts``) — the DBpedia-abstract convention: text
+    before the first ``==`` heading, nested templates dropped, links
+    reduced to display text, whitespace collapsed — the description
+    field for entity cards and RAG context. Classes: a lead carrying
+    an infobox TEMPLATE plus piped links (both must clean away), a
+    heading-free article (whole text is the lead), and a page that
+    OPENS with a heading (empty abstract, not a dropped row).
+    Decision-table oracle; one Arrow pass."""
+    from .sources.wikitext import parse_lead_abstracts
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    wt = (
+        F.when(k == 0, F.concat(
+            F.lit("{{Infobox person|name=X}}\n[[Ada Lovelace|Ada "), s,
+            F.lit("]] was a [[mathematician]].\nShe wrote notes."
+                  "\n== Life ==\nLater text."),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("Short article "), s, F.lit(" with no headings at all."),
+        ))
+        .otherwise(F.lit("== Immediate heading ==\nbody text"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), wt.alias("wikitext"))
+    return parse_lead_abstracts(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12931,6 +12972,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_wikitext_abstract": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DBpedia-style lead-abstract extraction (templates drop, links reduce to display, empty-lead class kept as a row); decision-table oracle",
     "kg_wikitext_redirects": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): redirect-page alias mining (dump-side alias dictionary feed; case-insensitive keyword, piped display ignored, anchored against prose mentions); regeneration oracle",
     "docs_dialogue_turns": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): dialogue-log structuring (row-local dense turn numbering via array filter before posexplode; clock/URL/narration decoys pin the speaker grammar); regeneration oracle",
     "kg_wikitext_links": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): wikitext link extraction (co-mention graph + anchor dictionary from Wikipedia dumps; piped/bare/namespace link forms); regeneration oracle",

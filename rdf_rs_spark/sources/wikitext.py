@@ -187,3 +187,35 @@ def parse_redirects(docs: DataFrame, title_col: str = "title",
         F.col(title_col).alias("alias"),
         F.trim(target).alias("target"),
     )
+
+
+def lead_abstract_of(wikitext: str) -> str:
+    """The cleaned lead section (text before the first ``==`` heading
+    line): templates drop (balanced, nested), links keep display
+    text, whitespace collapses — the DBpedia-abstract convention that
+    feeds entity cards and RAG descriptions."""
+    t = wikitext or ""
+    lines = []
+    for line in t.split("\n"):
+        if line.lstrip().startswith("=="):
+            break
+        lines.append(line)
+    return _strip_markup("\n".join(lines))
+
+
+def parse_lead_abstracts(docs: DataFrame, text_col: str = "wikitext",
+                         id_col: str = "doc_id") -> DataFrame:
+    """:func:`lead_abstract_of` over a wikitext column — one Arrow
+    pass, zero shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    (getattr(r, id_col), lead_abstract_of(getattr(r, text_col)))
+                    for r in pdf.itertuples()
+                ],
+                columns=["doc_id", "abstract"],
+            )
+
+    return docs.mapInPandas(run, schema="doc_id long, abstract string")
