@@ -12832,6 +12832,88 @@ def kg_wikitext_abstract(spark, sf_dir):
     return parse_lead_abstracts(docs)
 
 
+@q(
+    "docs_measure_normalize",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 6 WHEN 0 THEN 'length' WHEN 1 THEN 'length'
+                 WHEN 2 THEN 'mass' WHEN 4 THEN 'length'
+                 ELSE '' END AS dimension,
+      (CASE i % 6 WHEN 0 THEN 1800 WHEN 1 THEN 5000000
+                  WHEN 2 THEN 79832257 WHEN 4 THEN 25
+                  ELSE 0 END)::BIGINT AS canon_milli
+    FROM p""",
+)
+def docs_measure_normalize(spark, sf_dir):
+    """Measured-quantity normalization (``functions/units.py::
+    parse_measure``) — KG literals arrive as display strings; the
+    graph needs one canonical unit per dimension, in INTEGER
+    millimetres/milligrams (values parse by string surgery to
+    milli-integers, factors are exact micro-unit products — never a
+    float). Six classes: metres with a decimal, kilometres, pounds
+    (the 453 592 370 µg exact factor), the ``5 min`` decoy that must
+    NOT bind ``mi`` (boundary guard), centimetres through the
+    10 000 µm factor, and a ``3 gb`` decoy that must not bind ``g``.
+    Decision-table oracle; zero shuffle."""
+    from .functions.units import parse_measure
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 6
+    text = (
+        F.when(k == 0, F.lit("height 1.80 m tall"))
+        .when(k == 1, F.lit("ran 5 km today"))
+        .when(k == 2, F.lit("weighs 176 lb now"))
+        .when(k == 3, F.lit("took 5 min to go"))
+        .when(k == 4, F.lit("about 2.5 cm wide"))
+        .otherwise(F.lit("download 3 gb fast"))
+    )
+    m = parse_measure(text)
+    return spark.range(n).select(
+        i.alias("doc_id"),
+        m.getField("dimension").alias("dimension"),
+        m.getField("canon_milli").alias("canon_milli"),
+    )
+
+
+@q(
+    "kg_wikitext_coordinates",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 4 WHEN 0 THEN 51507222 ELSE 51507000 END)::BIGINT
+        AS lat_e6,
+      -127500::BIGINT AS lon_e6,
+      CASE i % 4 WHEN 0 THEN 'dms' ELSE 'decimal' END AS form
+    FROM p WHERE i % 4 < 2""",
+)
+def kg_wikitext_coordinates(spark, sf_dir):
+    """``{{coord}}`` extraction to integer micro-degrees
+    (``sources/wikitext.py::parse_coordinates``) — the geographic KG
+    property in both real forms: DMS with hemisphere letters
+    (``seconds·10^6 DIV 3600``, W/S negate) and signed decimal
+    degrees (string-surgery micro parse). Class 2 pages carry no
+    coord; class 3 carries the UNSUPPORTED deg|min|hemisphere variant
+    that must emit NOTHING (the decimal guard requires a lowercase
+    named parameter or the template close after the second number —
+    without it this class misparsed as decimal degrees, which is how
+    the guard got written). Decision-table oracle; zero shuffle."""
+    from .sources.wikitext import parse_coordinates
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    wt = (
+        F.when(k == 0, F.lit(
+            "x {{coord|51|30|26|N|0|7|39|W|display=title}} y"
+        ))
+        .when(k == 1, F.lit("z {{coord|51.507|-0.1275|format=dec}} w"))
+        .when(k == 2, F.lit("an article without geography"))
+        .otherwise(F.lit("{{coord|33|52|S|151|12|E}}"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), wt.alias("wikitext"))
+    return parse_coordinates(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -12972,6 +13054,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_wikitext_coordinates": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): {{coord}} extraction to integer micro-degrees (DMS exact DIV arithmetic + decimal string surgery; the unsupported deg|min|hemisphere variant must emit nothing); decision-table oracle",
+    "docs_measure_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): measured-quantity normalization to integer canonical units (string-surgery milli parse, exact micro factors, min/gb boundary decoys); decision-table oracle",
     "kg_wikitext_abstract": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DBpedia-style lead-abstract extraction (templates drop, links reduce to display, empty-lead class kept as a row); decision-table oracle",
     "kg_wikitext_redirects": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): redirect-page alias mining (dump-side alias dictionary feed; case-insensitive keyword, piped display ignored, anchored against prose mentions); regeneration oracle",
     "docs_dialogue_turns": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): dialogue-log structuring (row-local dense turn numbering via array filter before posexplode; clock/URL/narration decoys pin the speaker grammar); regeneration oracle",

@@ -1,0 +1,71 @@
+"""Measured-quantity normalization as integer column algebra.
+
+KG literals arrive as display strings ('1.80 m', '176 lb', '5 km');
+a queryable graph needs one canonical unit per dimension. Floats are
+banned near the driver gate, so values parse as SCALED integers via
+string surgery (split on '.', right-pad the fraction to milli — the
+e3-integers lesson) and unit factors are exact integer products.
+
+Canonical units: millimetres for length, milligrams for mass.
+``canon_milli = value_e3 · factor_micro DIV 10^6`` — the factor table
+is in MICRO canonical units per source unit, where every supported
+unit is exact (ft = 304 800 µm, lb = 453 592 370 µg) except oz, which
+truncates its .125 µg tail (documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: (unit token, dimension, micro-canonical units per source unit)
+_UNITS = [
+    ("km", "length", 1_000_000_000),
+    ("mm", "length", 1_000),
+    ("cm", "length", 10_000),
+    ("mi", "length", 1_609_344_000),
+    ("ft", "length", 304_800),
+    ("m", "length", 1_000_000),
+    ("kg", "mass", 1_000_000_000),
+    ("mg", "mass", 1_000),
+    ("lb", "mass", 453_592_370),
+    ("oz", "mass", 28_349_523),
+    ("g", "mass", 1_000_000),
+]
+
+
+def _value_e3(num: Column) -> Column:
+    """'1.80' → 1800; '5' → 5000 — integer milli-value by string
+    surgery (never a float parse); fractions truncate past milli."""
+    whole = F.substring_index(num, ".", 1)
+    frac = F.when(
+        num.contains("."), F.substring_index(num, ".", -1)
+    ).otherwise(F.lit(""))
+    frac3 = F.rpad(F.substring(frac, 1, 3), 3, "0")
+    return whole.cast("long") * 1000 + frac3.cast("long")
+
+
+def parse_measure(text: Column) -> Column:
+    """First ``<number> <unit>`` mention in a string → struct
+    ``(dimension, canon_milli)``: millimetres for lengths, milligrams
+    for masses; ``('', 0)`` when nothing parses. Longer unit tokens
+    are tried first (``mm`` before ``m``) and the token is
+    boundary-guarded — ``5 min`` must not bind ``mi``, ``3 gb`` must
+    not bind ``g``."""
+    units_alt = "|".join(u for u, _, _ in _UNITS)
+    rx = r"(\d+(?:\.\d+)?)\s*(" + units_alt + r")\b"
+    num = F.regexp_extract(text, rx, 1)
+    unit = F.regexp_extract(text, rx, 2)
+    v3 = _value_e3(num)
+    dim = F.lit("")
+    milli = F.lit(0).cast("long")
+    for u, d, f_micro in _UNITS:
+        prod = v3 * f_micro
+        dim = F.when(unit == u, F.lit(d)).otherwise(dim)
+        milli = F.when(
+            unit == u, ((prod - prod % 1_000_000) / 1_000_000).cast("long")
+        ).otherwise(milli)
+    ok = num != ""
+    return F.struct(
+        F.when(ok, dim).otherwise(F.lit("")).alias("dimension"),
+        F.when(ok, milli).otherwise(F.lit(0).cast("long")).alias("canon_milli"),
+    )

@@ -219,3 +219,63 @@ def parse_lead_abstracts(docs: DataFrame, text_col: str = "wikitext",
             )
 
     return docs.mapInPandas(run, schema="doc_id long, abstract string")
+
+
+def parse_coordinates(docs: DataFrame, text_col: str = "wikitext",
+                      id_col: str = "doc_id") -> DataFrame:
+    """``{{coord}}`` template extraction → integer micro-degrees —
+    the geographic KG property (DBpedia's geo:lat/geo:long), in the
+    two forms pages actually carry: DMS with hemisphere letters
+    (``{{coord|51|30|26|N|0|7|39|W|...}}``) and signed decimal
+    degrees (``{{coord|51.507|-0.1275|...}}``). DMS converts by exact
+    integer arithmetic (``seconds·10^6 DIV 3600``); decimals parse by
+    string surgery (fraction right-padded to micro — never a float).
+    Pages without a coord emit nothing. Pure column algebra, zero
+    shuffle."""
+    t = F.col(text_col)
+    dms_rx = (
+        r"\{\{coord\|(\d+)\|(\d+)\|(\d+)\|([NS])\|"
+        r"(\d+)\|(\d+)\|(\d+)\|([EW])"
+    )
+    # the decimal form's second number must be FOLLOWED by a named
+    # (lowercase) parameter or the template close — otherwise the
+    # deg|min|hemisphere DMS variants (an unsupported subset, e.g.
+    # {{coord|33|52|S|151|12|E}}) would misparse as decimal degrees
+    dec_rx = (
+        r"\{\{coord\|(-?\d+(?:\.\d+)?)\|(-?\d+(?:\.\d+)?)"
+        r"\s*(?:\|[a-z]|\}\})"
+    )
+    g = lambda rx, i: F.regexp_extract(t, rx, i)  # noqa: E731
+
+    def dms_e6(d, m, s_, hemi, neg):
+        total = (
+            g(dms_rx, d).cast("long") * 3600
+            + g(dms_rx, m).cast("long") * 60
+            + g(dms_rx, s_).cast("long")
+        ) * 1_000_000
+        mag = ((total - total % 3600) / 3600).cast("long")
+        return F.when(g(dms_rx, hemi) == neg, -mag).otherwise(mag)
+
+    def dec_e6(i):
+        raw = g(dec_rx, i)
+        num = F.regexp_replace(raw, r"^-", "")
+        whole = F.substring_index(num, ".", 1)
+        frac = F.when(
+            num.contains("."), F.substring_index(num, ".", -1)
+        ).otherwise(F.lit(""))
+        mag = (
+            whole.cast("long") * 1_000_000
+            + F.rpad(F.substring(frac, 1, 6), 6, "0").cast("long")
+        )
+        return F.when(raw.startswith("-"), -mag).otherwise(mag)
+
+    has_dms = t.rlike(dms_rx)
+    has_dec = t.rlike(dec_rx)
+    lat = F.when(has_dms, dms_e6(1, 2, 3, 4, "S")).otherwise(dec_e6(1))
+    lon = F.when(has_dms, dms_e6(5, 6, 7, 8, "W")).otherwise(dec_e6(2))
+    return docs.filter(has_dms | has_dec).select(
+        F.col(id_col).alias("doc_id"),
+        lat.alias("lat_e6"),
+        lon.alias("lon_e6"),
+        F.when(has_dms, "dms").otherwise("decimal").alias("form"),
+    )

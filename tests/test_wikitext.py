@@ -64,3 +64,36 @@ def test_wikitext_links_spark(spark):
         (2, "Category:Q", "Category:Q", "category"),
         (3, "File:F.png", "u", "file"),
     ]
+
+
+def test_measure_and_coord_edges(spark):
+    from rdf_rs_spark.functions.units import parse_measure
+    from rdf_rs_spark.sources.wikitext import parse_coordinates
+
+    df = spark.createDataFrame(
+        [(0, "5 mg dose"), (1, "12 mm bolt"), (2, "0.5 oz packet"),
+         (3, "just 7 things"), (4, "1 ft drop")],
+        "doc_id long, text string",
+    )
+    m = parse_measure(F.col("text"))
+    got = {
+        r["doc_id"]: (r["d"], r["v"])
+        for r in df.select(
+            "doc_id", m.getField("dimension").alias("d"),
+            m.getField("canon_milli").alias("v"),
+        ).collect()
+    }
+    assert got[0] == ("mass", 5)        # mg passes through
+    assert got[1] == ("length", 12)     # mm: the longer token wins over m
+    assert got[2] == ("mass", 14174)    # 0.5 oz -> truncated mg
+    assert got[3] == ("", 0)
+    assert got[4] == ("length", 304)    # 1 ft -> 304.8 mm truncates
+
+    cdf = spark.createDataFrame(
+        [(0, "{{coord|0|0|0|N|0|0|0|E|x=y}}"),
+         (1, "{{coord|-12.5|99.000001}}")],
+        "doc_id long, wikitext string",
+    )
+    rows = {r["doc_id"]: r for r in parse_coordinates(cdf).collect()}
+    assert (rows[0]["lat_e6"], rows[0]["lon_e6"]) == (0, 0)
+    assert (rows[1]["lat_e6"], rows[1]["lon_e6"]) == (-12500000, 99000001)
