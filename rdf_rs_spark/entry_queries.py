@@ -12914,6 +12914,31 @@ def kg_wikitext_coordinates(spark, sf_dir):
     return parse_coordinates(docs)
 
 
+@q(
+    "events_inter_arrival",
+    """WITH g AS (SELECT user_id,
+        floor(epoch(ts))::BIGINT
+          - lag(floor(epoch(ts))::BIGINT)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events)
+    SELECT user_id, count(*)::BIGINT AS n_gaps,
+      min(gap_s)::BIGINT AS min_gap_s, max(gap_s)::BIGINT AS max_gap_s,
+      ((sum(gap_s) * 1000) // count(*))::BIGINT AS mean_gap_e3
+    FROM g WHERE gap_s IS NOT NULL GROUP BY user_id""",
+)
+def events_inter_arrival(spark, sf_dir):
+    """Per-user inter-arrival envelope (``operators/events.py::
+    inter_arrival_stats``) over the REAL events table — the cadence
+    profile bot-detection and sessionization thresholds calibrate
+    against. Integer-second gaps via ``unix_timestamp`` under the UTC
+    pin (↔ ``floor(epoch)``), deterministic (ts, event_id) stream
+    order, milli mean by ``DIV``; single-event users emit no rows.
+    One user window + one combining aggregate; full SQL replay."""
+    from .operators.events import inter_arrival_stats
+
+    return inter_arrival_stats(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13054,6 +13079,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "events_inter_arrival": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-user inter-arrival gap envelope on the REAL events table (cadence profile for bot-detection/session thresholds); full SQL replay",
     "kg_wikitext_coordinates": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): {{coord}} extraction to integer micro-degrees (DMS exact DIV arithmetic + decimal string surgery; the unsupported deg|min|hemisphere variant must emit nothing); decision-table oracle",
     "docs_measure_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): measured-quantity normalization to integer canonical units (string-surgery milli parse, exact micro factors, min/gb boundary decoys); decision-table oracle",
     "kg_wikitext_abstract": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DBpedia-style lead-abstract extraction (templates drop, links reduce to display, empty-lead class kept as a row); decision-table oracle",

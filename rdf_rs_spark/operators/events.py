@@ -127,3 +127,28 @@ def markov_transitions(events: DataFrame, user_col: str = "user_id",
             F.row_number().over(rw).cast("long").alias("rank"),
         )
     )
+
+
+def inter_arrival_stats(events: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        id_col: str = "event_id") -> DataFrame:
+    """Per-user inter-arrival gap envelope — the activity-cadence
+    profile bot-detection and sessionization thresholds calibrate
+    against: consecutive-event gaps in integer seconds (the
+    deterministic (ts, id) stream order), min/max and a milli-second
+    integer mean per user. One user window + one combining aggregate;
+    single-event users emit zero gaps and are dropped (no NULL
+    envelope rows)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    sec = F.unix_timestamp(F.col(ts_col))
+    gaps = events.select(
+        F.col(user_col).alias("user_id"),
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.expr("(sum(gap_s) * 1000) DIV count(1)").cast("long")
+        .alias("mean_gap_e3"),
+    )
