@@ -1032,3 +1032,89 @@ def test_hamming_topk_corpus_never_shuffles(spark):
         assert rs[0]["vec_id"] == q and rs[0]["dist"] == 0
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         assert all(rs[i]["dist"] <= rs[i + 1]["dist"] for i in range(4))
+
+
+def test_pmi_phrases_tail_trim_before_vocab_joins(spark):
+    """The bigram support filter must sit UNDER the vocabulary joins
+    (Catalyst pushes it into the aggregate side): the joined relation
+    is support-trimmed, and no cartesian appears — the only cross
+    join is the broadcast 1-row token total."""
+    from rdf_rs_spark.operators.corpus import pmi_phrases
+
+    docs = spark.createDataFrame(
+        [(i, "new york city is big") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = explain_str(pmi_phrases(docs, min_count=5))
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop node — the broadcast 1-row token total
+    # (formatted plans print each node in tree AND detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_truthy_filter_group_max_combines_mapside(spark):
+    """The rank max per (entity, prop) must plan as a partial+final
+    hash aggregate (map-side combine) — never a row window over the
+    statement stream."""
+    from rdf_rs_spark.operators.fusion import truthy_filter
+
+    stmts = spark.createDataFrame(
+        [(f"e{i%5}", "p", f"v{i}", "normal") for i in range(40)],
+        "entity string, prop string, value string, rank string",
+    )
+    plan = explain_str(truthy_filter(stmts))
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_retention_distinct_precedes_count_no_expand(spark):
+    """The per-(user, week) distinct runs BEFORE the final count, so
+    the plan never contains the count-distinct Expand operator."""
+    from rdf_rs_spark.operators.events import retention_cohorts
+
+    df = spark.createDataFrame(
+        [(i % 7, 1_700_000_000 + i * 1000) for i in range(100)],
+        "user_id long, sec long",
+    ).select("user_id", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    plan = explain_str(retention_cohorts(df))
+    assert "Expand" not in plan
+
+
+def test_span_corruption_and_script_profile_zero_shuffle(spark):
+    """Row-local statistics must stay narrow (the per-row-statistic
+    law) — and stay off the Python boundary except where declared."""
+    from rdf_rs_spark.operators.corpus import script_profile
+    from rdf_rs_spark.operators.sampling import span_corruption_plan
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sc_plan = explain_str(span_corruption_plan(docs))
+    assert count_exchanges(span_corruption_plan(docs)) == 0
+    assert "EvalPython" not in sc_plan  # pure JVM HOF algebra
+    sp = script_profile(docs)
+    assert count_exchanges(sp) == 0
+    assert "EvalPython" not in explain_str(sp)
+
+
+def test_outlink_frontier_decision_join_on_distinct_targets(spark):
+    """The REP decision must evaluate once per DISTINCT canonical
+    target: the plan aggregates targets before the rule join, and the
+    anchor stream itself never hits the broadcast rule relation."""
+    from rdf_rs_spark.operators.crawl import outlink_frontier
+
+    pages = spark.createDataFrame(
+        [(i, "https://a.ex/x.html", '<a href="p1">x</a><a href="p1">y</a>')
+         for i in range(10)],
+        "doc_id long, url string, html string",
+    )
+    rules = spark.createDataFrame(
+        [("a.ex", "*", False, "/private/")],
+        "host string, agent string, allow boolean, path string",
+    )
+    out = outlink_frontier(pages, rules, agent="bot")
+    plan = explain_str(out)
+    # distinct targets -> one aggregate pair before the decision join
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
