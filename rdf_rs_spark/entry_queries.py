@@ -12939,6 +12939,69 @@ def events_inter_arrival(spark, sf_dir):
     return inter_arrival_stats(_t(spark, sf_dir, "events"))
 
 
+@q(
+    "crawl_hreflang_reciprocity",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (
+      SELECT 'https://s.ex/en/' || i AS src, 'de' AS lang,
+             'https://s.ex/de/' || (i + 1) AS dst, 1 AS reciprocal
+      FROM p WHERE i % 3 = 0
+      UNION ALL
+      SELECT 'https://s.ex/en/' || i, 'fr', 'https://o.ex/f' || i, 0
+      FROM p WHERE i % 3 = 0
+      UNION ALL
+      SELECT 'https://s.ex/de/' || i, 'en',
+             'https://s.ex/en/' || (i - 1), 1
+      FROM p WHERE i % 3 = 1
+      UNION ALL
+      SELECT 'https://s.ex/x/' || i, 'fr', 'https://s.ex/fr/m' || i, 0
+      FROM p WHERE i % 3 = 2)
+    SELECT src, lang, dst, reciprocal::BIGINT AS reciprocal FROM r""",
+)
+def crawl_hreflang_reciprocity(spark, sf_dir):
+    """Hreflang reciprocity audit (``operators/bitext.py::
+    hreflang_reciprocity``) — the published trust rule for the
+    annotation: a declaration only counts when the target points
+    back; one-way claims are template noise and must not feed
+    `mine_bitext`. The synthesis interleaves true en↔de pairs (the
+    de side writes its attributes in a DIFFERENT order — the
+    lookahead grammar), an extra one-way fr claim on the SAME page
+    as a reciprocal one (per-declaration verdicts, not per-page),
+    and a page whose target never declares back. One (src,dst)-keyed
+    semi-join over the declaration edges; pages never shuffle.
+    Regeneration oracle."""
+    from .operators.bitext import hreflang_reciprocity
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://s.ex/en/"), s))
+        .when(k == 1, F.concat(F.lit("https://s.ex/de/"), s))
+        .otherwise(F.concat(F.lit("https://s.ex/x/"), s))
+    )
+    html = (
+        F.when(k == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="de" href="https://s.ex/de/'),
+            (i + 1).cast("string"),
+            F.lit('"><link rel="alternate" hreflang="fr" href="https://o.ex/f'),
+            s, F.lit('">'),
+        ))
+        .when(k == 1, F.concat(
+            F.lit('<link hreflang="en" href="https://s.ex/en/'),
+            (i - 1).cast("string"),
+            F.lit('" rel="alternate">'),
+        ))
+        .otherwise(F.concat(
+            F.lit('<link rel="alternate" hreflang="fr" href="https://s.ex/fr/m'),
+            s, F.lit('">'),
+        ))
+    )
+    pages = spark.range(n).select(url.alias("url"), html.alias("html"))
+    return hreflang_reciprocity(pages)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13079,6 +13142,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_hreflang_reciprocity": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): hreflang reciprocity trust audit (one-way claims are template noise and must not feed bitext mining; per-declaration verdicts, attr-order variance); regeneration oracle",
     "events_inter_arrival": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-user inter-arrival gap envelope on the REAL events table (cadence profile for bot-detection/session thresholds); full SQL replay",
     "kg_wikitext_coordinates": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): {{coord}} extraction to integer micro-degrees (DMS exact DIV arithmetic + decimal string surgery; the unsupported deg|min|hemisphere variant must emit nothing); decision-table oracle",
     "docs_measure_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): measured-quantity normalization to integer canonical units (string-surgery milli parse, exact micro factors, min/gb boundary decoys); decision-table oracle",

@@ -109,3 +109,47 @@ def synthesize_hreflang_pages(spark: SparkSession, n_rows: int) -> DataFrame:
     return spark.range(n_rows).select(
         url.alias("url"), lang.alias("lang"), html.alias("html"), text.alias("text")
     )
+
+
+def hreflang_reciprocity(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """Reciprocity audit over declared hreflang alternates — Google's
+    published trust rule for the annotation: page A's ``hreflang``
+    pointing at B only counts when B points back at A; one-way claims
+    are noise (scraped templates, misconfigured CMSs) and must not
+    feed `mine_bitext`. Extract ALL (src, lang, dst) declarations
+    per page (order-tolerant attribute lookaheads), then one
+    (src,dst)-keyed left-semi against the swapped relation — the
+    edge relation shuffles, never pages. Emits every declaration with
+    its ``reciprocal`` verdict."""
+    rx = (
+        r"""<link\b(?=[^>]*rel="alternate")"""
+        r"""(?=[^>]*hreflang="([^"]+)")(?=[^>]*href="([^"]+)")[^>]*>"""
+    )
+    decls = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(html_col), F.lit(rx), 1).alias("lang"),
+                F.regexp_extract_all(F.col(html_col), F.lit(rx), 2).alias("dst"),
+            )
+        ).alias("z"),
+    ).select("src", F.col("z.lang").alias("lang"), F.col("z.dst").alias("dst"))
+    # reciprocity = existence of a declaration (dst -> src): probe the
+    # RAW declaration set with swapped keys (pre-swapping the probe
+    # side would make every declaration match its own swap)
+    back = decls.select(
+        F.col("src").alias("b_src"), F.col("dst").alias("b_dst")
+    ).distinct()
+    flagged = decls.join(
+        back,
+        (decls["src"] == back["b_dst"]) & (decls["dst"] == back["b_src"]),
+        "left",
+    )
+    return flagged.select(
+        "src",
+        "lang",
+        "dst",
+        F.col("b_src").isNotNull().cast("int").cast("bigint")
+        .alias("reciprocal"),
+    )
