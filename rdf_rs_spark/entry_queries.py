@@ -13002,6 +13002,72 @@ def crawl_hreflang_reciprocity(spark, sf_dir):
     return hreflang_reciprocity(pages)
 
 
+@q(
+    "docs_front_matter",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (
+      SELECT i, 'title' AS key, 'Post ' || i AS value FROM p WHERE i % 3 = 0
+      UNION ALL SELECT i, 'date', '2024-03-0' || (1 + i % 9)
+        FROM p WHERE i % 3 = 0
+      UNION ALL SELECT i, 'draft', 'false' FROM p WHERE i % 3 = 0
+      UNION ALL SELECT i, 'layout', 'docs' FROM p WHERE i % 3 = 1)
+    SELECT i::BIGINT AS doc_id, key, value FROM r""",
+)
+def docs_front_matter(spark, sf_dir):
+    """YAML front-matter extraction (``sources/markdown.py::
+    parse_front_matter``) — the metadata block every static-site
+    corpus page opens with (flat ``key: value`` subset, quotes
+    stripped). Classes: a three-field block whose title is QUOTED (the
+    quotes must strip) and whose block also contains a non-matching
+    comment line (skipped, not a row); a one-field block; and a page
+    whose ``---`` ruler sits mid-BODY only (markdown, not metadata —
+    anchored, zero rows). Regeneration oracle; zero shuffle."""
+    from .sources.markdown import parse_front_matter
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    text = (
+        F.when(k == 0, F.concat(
+            F.lit('---\ntitle: "Post '), s,
+            F.lit('"\n# not a field\ndate: 2024-03-0'),
+            (1 + i % 9).cast("string"),
+            F.lit("\ndraft: false\n---\nBody text here."),
+        ))
+        .when(k == 1, F.lit("---\nlayout: docs\n---\ncontent"))
+        .otherwise(F.lit("Intro paragraph.\n\n---\n\nA ruler, not metadata."))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return parse_front_matter(docs)
+
+
+@q(
+    "events_activity_rollups",
+    """WITH e AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec
+                 FROM events),
+    d AS (SELECT DISTINCT user_id, sec // 86400 AS bucket FROM e),
+    w AS (SELECT DISTINCT user_id, sec // 604800 AS bucket FROM e),
+    m AS (SELECT DISTINCT user_id, sec // 2592000 AS bucket FROM e)
+    SELECT 'day' AS granularity, bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS n_users FROM d GROUP BY bucket
+    UNION ALL
+    SELECT 'week', bucket::BIGINT, count(*)::BIGINT FROM w GROUP BY bucket
+    UNION ALL
+    SELECT 'month30', bucket::BIGINT, count(*)::BIGINT
+    FROM m GROUP BY bucket""",
+)
+def events_activity_rollups(spark, sf_dir):
+    """DAU/WAU/MAU active-user rollups (``operators/events.py::
+    activity_rollups``) over the REAL events table: fixed 1/7/30-day
+    epoch buckets by integer ``DIV`` (calendar months would drag the
+    session zone into the gate), (user, bucket) deduped BEFORE the
+    count so no Expand plan appears. Full SQL replay."""
+    from .operators.events import activity_rollups
+
+    return activity_rollups(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13142,6 +13208,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "events_activity_rollups": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DAU/WAU/MAU rollups on the REAL events table (fixed epoch buckets, distinct-before-count); full SQL replay",
+    "docs_front_matter": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): YAML front-matter extraction for static-site corpora (anchored block, quote stripping, mid-body ruler decoy); regeneration oracle",
     "crawl_hreflang_reciprocity": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): hreflang reciprocity trust audit (one-way claims are template noise and must not feed bitext mining; per-declaration verdicts, attr-order variance); regeneration oracle",
     "events_inter_arrival": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-user inter-arrival gap envelope on the REAL events table (cadence profile for bot-detection/session thresholds); full SQL replay",
     "kg_wikitext_coordinates": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): {{coord}} extraction to integer micro-degrees (DMS exact DIV arithmetic + decimal string surgery; the unsupported deg|min|hemisphere variant must emit nothing); decision-table oracle",

@@ -152,3 +152,29 @@ def inter_arrival_stats(events: DataFrame, user_col: str = "user_id",
         F.expr("(sum(gap_s) * 1000) DIV count(1)").cast("long")
         .alias("mean_gap_e3"),
     )
+
+
+def activity_rollups(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """DAU/WAU/MAU-style active-user rollups — fixed 1/7/30-day epoch
+    buckets (integer ``DIV``; calendar months would drag date
+    functions and the session zone into the gate, and fixed windows
+    are what retention dashboards actually plot). Per granularity the
+    (user, bucket) relation dedups BEFORE counting (the distinct-
+    precedes-count discipline — no Expand plan), so each rollup is
+    two combining shuffles bounded by users × buckets."""
+    out = None
+    for name, width in (("day", 86400), ("week", 604800), ("month30", 2592000)):
+        b = (
+            events.select(
+                F.col(user_col).alias("u"),
+                F.expr(f"unix_timestamp({ts_col}) DIV {width}").alias("bucket"),
+            )
+            .distinct()
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(F.lit(name).alias("granularity"), 
+                    F.col("bucket").cast("long").alias("bucket"), "n_users")
+        )
+        out = b if out is None else out.unionByName(b)
+    return out

@@ -267,3 +267,31 @@ def synthesize_article_pages(spark: SparkSession, n_rows: int) -> DataFrame:
         F.lit("</p></blockquote><hr></body></html>"),
     )
     return spark.range(n_rows).select(url.alias("url"), html.alias("html"))
+
+
+def parse_front_matter(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """YAML front-matter extraction (the ``---`` metadata block
+    static-site corpora — blogs, documentation trees — carry at the
+    top of every page): the FLAT ``key: value`` subset (scalar
+    values, surrounding quotes stripped), which is what title / date /
+    tags / layout fields actually use; nested YAML is out of scope by
+    design. The block must start at the FIRST byte (a ``---`` ruler
+    later in the body is markdown, not metadata). Pure column
+    algebra: one anchored ``(?s)`` block extract + line explode +
+    one keyed regexp; zero Python, zero shuffle."""
+    block_rx = r"(?s)^---\n(.*?)\n---(?:\n|$)"
+    line_rx = r"^([A-Za-z_][A-Za-z0-9_-]*):\s*(.*?)\s*$"
+    block = F.regexp_extract(F.col(text_col), block_rx, 1)
+    lines = docs.filter(F.col(text_col).rlike(block_rx)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(block, "\n")).alias("line"),
+    )
+    matched = lines.filter(F.col("line").rlike(line_rx))
+    raw_val = F.regexp_extract(F.col("line"), line_rx, 2)
+    unquoted = F.regexp_replace(raw_val, "^\"(.*)\"$|^'(.*)'$", "$1$2")
+    return matched.select(
+        "doc_id",
+        F.regexp_extract(F.col("line"), line_rx, 1).alias("key"),
+        unquoted.alias("value"),
+    )
