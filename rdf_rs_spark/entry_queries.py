@@ -13068,6 +13068,68 @@ def events_activity_rollups(spark, sf_dir):
     return activity_rollups(_t(spark, sf_dir, "events"))
 
 
+@q(
+    "kg_namespace_rollup",
+    TRIPLES_CTE
+    + """, ns AS (SELECT regexp_extract(pred, '^(.*[#/])[^#/]*$', 1)
+                    AS namespace, pred
+                 FROM triples)
+    SELECT namespace, count(*)::BIGINT AS n_triples,
+           count(DISTINCT pred)::BIGINT AS n_predicates
+    FROM ns GROUP BY namespace""",
+)
+def kg_namespace_rollup(spark, sf_dir):
+    """Vocabulary-usage audit (``operators/void.py::
+    namespace_rollup``) over the star-schema KG: predicates grouped
+    by namespace (IRI up to the last ``#``/``/`` — the VoID
+    vocabulary convention) with triple + distinct-predicate counts —
+    the number that decides which extraction fronts pay for
+    themselves. One combining aggregate; count-distinct plans the
+    expand pair. Full SQL replay on the shared triples CTE."""
+    from .operators.void import namespace_rollup
+
+    return namespace_rollup(_triples(spark, sf_dir))
+
+
+@q(
+    "kg_citation_density",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 3 WHEN 0 THEN 2 ELSE 0 END)::BIGINT AS n_ref_tags,
+      (CASE i % 3 WHEN 0 THEN 2 ELSE 0 END)::BIGINT AS n_cite_templates,
+      (CASE i % 3 WHEN 0 THEN 92 WHEN 1 THEN 33 ELSE 65 END)::BIGINT
+        AS n_chars,
+      (CASE i % 3 WHEN 0 THEN 434 ELSE 0 END)::BIGINT AS refs_per_10k
+    FROM p""",
+)
+def kg_citation_density(spark, sf_dir):
+    """Citation-density signal (``sources/wikitext.py::
+    citation_density``) — the sourced-text curation gate for
+    wiki-derived corpora: ``<ref>`` tags (paired AND self-closed) plus
+    case-insensitive ``{{cite}}`` templates, with an integer
+    per-10k-chars rate. The decoy class carries ``<reform>`` and
+    ``{{citation needed}}`` — token boundaries must reject both.
+    Decision-table oracle; zero shuffle."""
+    from .sources.wikitext import citation_density
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    wt = (
+        F.when(k == 0, F.lit(
+            'Fact.<ref name="a">Book</ref> More.<ref/> Even '
+            "{{cite web|url=x}} and {{Cite book|title=y}}."
+        ))
+        .when(k == 1, F.lit("Just text without sources at all."))
+        .otherwise(F.lit(
+            "A reference to <reform> and {{citation needed}} plus "
+            "preferences."
+        ))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), wt.alias("wikitext"))
+    return citation_density(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13208,6 +13270,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_citation_density": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): citation-density curation gate for wiki corpora (ref tags + cite templates, reform/citation-needed decoys); decision-table oracle",
+    "kg_namespace_rollup": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): vocabulary-usage audit (predicates per namespace over the shared triples CTE); full SQL replay",
     "events_activity_rollups": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DAU/WAU/MAU rollups on the REAL events table (fixed epoch buckets, distinct-before-count); full SQL replay",
     "docs_front_matter": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): YAML front-matter extraction for static-site corpora (anchored block, quote stripping, mid-body ruler decoy); regeneration oracle",
     "crawl_hreflang_reciprocity": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): hreflang reciprocity trust audit (one-way claims are template noise and must not feed bitext mining; per-declaration verdicts, attr-order variance); regeneration oracle",

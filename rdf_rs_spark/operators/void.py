@@ -272,3 +272,23 @@ def inverse_property_mining(
         .cast("long")
         .alias("containment_e4"),
     )
+
+
+def namespace_rollup(triples: DataFrame) -> DataFrame:
+    """Vocabulary-usage audit: predicates grouped by namespace (the
+    IRI up to its last ``#`` or ``/`` — the VoID vocabulary
+    convention) with triple and distinct-predicate counts — which
+    ontologies a crawl-built graph ACTUALLY uses (schema.org vs
+    OpenGraph vs Dublin Core), the number that decides which
+    extraction fronts are worth their cost. One combining aggregate;
+    distinct predicates per namespace plan the standard expand pair
+    (pin <= 2)."""
+    ns = F.regexp_extract(F.col("pred"), r"^(.*[#/])[^#/]*$", 1)
+    return (
+        triples.select(ns.alias("namespace"), "pred")
+        .groupBy("namespace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.count_distinct("pred").cast("long").alias("n_predicates"),
+        )
+    )

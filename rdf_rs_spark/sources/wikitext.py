@@ -279,3 +279,33 @@ def parse_coordinates(docs: DataFrame, text_col: str = "wikitext",
         lon.alias("lon_e6"),
         F.when(has_dms, "dms").otherwise("decimal").alias("form"),
     )
+
+
+def citation_density(docs: DataFrame, text_col: str = "wikitext",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Citation-density quality signal — well-sourced encyclopedia
+    text is the curation gold-standard, and uncited pages rank below
+    cited ones in every wiki-derived corpus recipe: counts ``<ref>``
+    tags (paired and self-closed) and ``{{cite ...}}`` templates
+    (case-insensitive), plus refs per 10k characters as an integer
+    rate. Pure column algebra, zero shuffle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_ref = F.size(
+        F.regexp_extract_all(t, F.lit(r"(<ref[ >/])"), 1)
+    ).cast("long")
+    n_cite = F.size(
+        F.regexp_extract_all(t, F.lit(r"(?i)(\{\{cite[ |])"), 1)
+    ).cast("long")
+    length = F.length(t).cast("long")
+    rate = F.when(
+        length > 0,
+        (((n_ref + n_cite) * 10000) - ((n_ref + n_cite) * 10000) % length)
+        / length,
+    ).otherwise(F.lit(0)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_ref.alias("n_ref_tags"),
+        n_cite.alias("n_cite_templates"),
+        length.alias("n_chars"),
+        rate.alias("refs_per_10k"),
+    )
