@@ -13130,6 +13130,94 @@ def kg_citation_density(spark, sf_dir):
     return citation_density(docs)
 
 
+@q(
+    "docs_csv_fields",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 4 WHEN 0 THEN 'plain ' || i
+                 WHEN 1 THEN 'has, comma ' || i
+                 WHEN 2 THEN 'says "hi" ' || i
+                 ELSE '' END AS name,
+      CASE i % 4 WHEN 3 THEN 'after empty' ELSE 'tail ' || i END AS note
+    FROM p""",
+)
+def docs_csv_fields(spark, sf_dir):
+    """RFC 4180 CSV field parsing through the BUILT-IN ``from_csv``
+    (the Spark-first answer to delimited ingest — the JVM parser, not
+    a hand regex): quoted fields with embedded commas, doubled-quote
+    escapes (a doubled quote reads as one), and empty leading fields. The
+    synthesis writes the WIRE form per class and the oracle states
+    the parsed fields — writer and parser are different code paths.
+    Zero shuffle, whole-stage codegen."""
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    s = i.cast("string")
+    line = (
+        F.when(k == 0, F.concat(F.lit("plain "), s, F.lit(",tail "), s))
+        .when(k == 1, F.concat(F.lit('"has, comma '), s, F.lit('",tail '), s))
+        .when(k == 2, F.concat(F.lit('"says ""hi"" '), s, F.lit('",tail '), s))
+        .otherwise(F.lit(",after empty"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), line.alias("line"))
+    # univocity defaults to backslash escapes; RFC 4180 doubles the
+    # quote character instead
+    parsed = F.from_csv(
+        F.col("line"), "name string, note string", {"escape": '"'}
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(parsed.getField("name"), F.lit("")).alias("name"),
+        F.coalesce(parsed.getField("note"), F.lit("")).alias("note"),
+    )
+
+
+@q(
+    "rdf_tbox_abox_split",
+    TRIPLES_CTE
+    + """, c AS (SELECT pred,
+      CASE WHEN pred LIKE 'http://www.w3.org/2000/01/rdf-schema#%'
+             OR pred LIKE 'http://www.w3.org/2002/07/owl#%'
+           THEN 'tbox'
+           WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+           THEN 'typing'
+           ELSE 'abox' END AS stratum
+      FROM triples)
+    SELECT stratum, count(*)::BIGINT AS n_triples,
+           count(DISTINCT pred)::BIGINT AS n_predicates
+    FROM c GROUP BY stratum""",
+)
+def rdf_tbox_abox_split(spark, sf_dir):
+    """TBox/ABox stratification (``operators/void.py`` discipline
+    inline) — the load-planning split every reasoner makes first:
+    schema triples (RDFS/OWL namespaces) close on the driver under
+    the inference threshold, typing triples feed the class
+    partitions, everything else is bulk ABox. One combining
+    aggregate over the shared triples CTE; full SQL replay."""
+    t = _triples(spark, sf_dir)
+    stratum = (
+        F.when(
+            F.col("pred").startswith("http://www.w3.org/2000/01/rdf-schema#")
+            | F.col("pred").startswith("http://www.w3.org/2002/07/owl#"),
+            "tbox",
+        )
+        .when(
+            F.col("pred")
+            == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "typing",
+        )
+        .otherwise("abox")
+    )
+    return (
+        t.select(stratum.alias("stratum"), "pred")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.count_distinct("pred").cast("long").alias("n_predicates"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13270,6 +13358,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_csv_fields": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 4180 field parsing through the BUILT-IN from_csv (quoted commas, doubled-quote escapes, empty fields); wire-form synthesis vs stated-fields oracle",
+    "rdf_tbox_abox_split": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): TBox/typing/ABox stratification over the shared triples CTE (the reasoner load-planning split); full SQL replay",
     "kg_citation_density": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): citation-density curation gate for wiki corpora (ref tags + cite templates, reform/citation-needed decoys); decision-table oracle",
     "kg_namespace_rollup": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): vocabulary-usage audit (predicates per namespace over the shared triples CTE); full SQL replay",
     "events_activity_rollups": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DAU/WAU/MAU rollups on the REAL events table (fixed epoch buckets, distinct-before-count); full SQL replay",
