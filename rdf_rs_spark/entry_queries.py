@@ -13218,6 +13218,79 @@ def rdf_tbox_abox_split(spark, sf_dir):
     )
 
 
+@q(
+    "kg_quote_attributions",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (
+      SELECT i, 'Ada Lovelace' AS speaker,
+             'numbers can mean ' || i AS quote FROM p WHERE i % 3 = 0
+      UNION ALL
+      SELECT i, 'Grace Hopper', 'ships are safe ' || i
+      FROM p WHERE i % 3 = 1)
+    SELECT i::BIGINT AS doc_id, speaker, quote FROM r""",
+)
+def kg_quote_attributions(spark, sf_dir):
+    """Quote attribution (``operators/corpus.py::
+    quote_attributions``) — the (speaker, quote) relation extraction
+    news-derived KGs carry: both surface orders (quote-then-said and
+    name-said-colon), speakers as 1-3 capitalized tokens. The decoy
+    class quotes WITHOUT an attribution verb ('he shouted') and must
+    emit nothing — the verb anchor is the precision lever.
+    Regeneration oracle; zero shuffle."""
+    from .operators.corpus import quote_attributions
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    text = (
+        F.when(k == 0, F.concat(
+            F.lit('Intro. "numbers can mean '), s,
+            F.lit('," said Ada Lovelace at the meeting.'),
+        ))
+        .when(k == 1, F.concat(
+            F.lit('Grace Hopper said: "ships are safe '), s,
+            F.lit('" to the press.'),
+        ))
+        .otherwise(F.concat(
+            F.lit('"not attributed '), s, F.lit('" he shouted loudly.'),
+        ))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return quote_attributions(docs)
+
+
+@q(
+    "kg_acronym_definitions",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id, 'WHO' AS alias,
+           'World Health Organization' AS expansion
+    FROM p WHERE i % 3 = 0""",
+)
+def kg_acronym_definitions(spark, sf_dir):
+    """Acronym-definition mining (``operators/corpus.py::
+    acronym_definitions``, Schwartz-Hearst lite) — the high-precision
+    alias-dictionary feed: ``Full Name (ACRO)`` survives only when
+    the acronym equals the word initials (row-local array check).
+    Class 1 carries the initials-MISMATCH decoy ('Big Data (ETL)'),
+    class 2 a bare parenthetical with no preceding capitalized run —
+    both must vanish. Regeneration oracle; zero shuffle."""
+    from .operators.corpus import acronym_definitions
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    text = (
+        F.when(k == 0, F.lit(
+            "The World Health Organization (WHO) said so."
+        ))
+        .when(k == 1, F.lit("We moved the Big Data (ETL) pipeline."))
+        .otherwise(F.lit("a small note (see appendix) about nothing"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return acronym_definitions(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13358,6 +13431,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_quote_attributions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Quotebank-style (speaker, quote) relation extraction (both surface orders, verb-anchored precision, unattributed decoy); regeneration oracle",
+    "kg_acronym_definitions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Schwartz-Hearst-lite acronym mining (initials check as row-local array algebra; mismatch + bare-parenthetical decoys); regeneration oracle",
     "docs_csv_fields": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 4180 field parsing through the BUILT-IN from_csv (quoted commas, doubled-quote escapes, empty fields); wire-form synthesis vs stated-fields oracle",
     "rdf_tbox_abox_split": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): TBox/typing/ABox stratification over the shared triples CTE (the reasoner load-planning split); full SQL replay",
     "kg_citation_density": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): citation-density curation gate for wiki corpora (ref tags + cite templates, reform/citation-needed decoys); decision-table oracle",

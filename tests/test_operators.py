@@ -2801,3 +2801,37 @@ def test_srt_cues_grammar_edges(spark):
         (2, 36000000, 1500, "late night"),
         (7, 3723004, 0, "zero dur"),
     ]
+
+
+def test_quote_and_acronym_extraction_edges(spark):
+    from rdf_rs_spark.operators.corpus import (
+        acronym_definitions, quote_attributions,
+    )
+
+    qdf = spark.createDataFrame(
+        [(0, '"Two quotes here," said Bo Li. Then Al said: "and two"'),
+         (1, None)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["speaker"], r["quote"])
+        for r in quote_attributions(qdf).collect()
+    )
+    # sentence-initial capitalized adverbs join the name run — the
+    # documented precision limit of the NER-free pattern
+    assert got == [("Bo Li", "Two quotes here"), ("Then Al", "and two")]
+
+    adf = spark.createDataFrame(
+        [(0, "Join The World Health Organization (WHO) and the "
+             "European Union (EU); skip Big Data (ETL)."),
+         (1, "Never a Match (NAM2) since digits break the acro rule")],
+        "doc_id long, text string",
+    )
+    arows = sorted(
+        (r["alias"], r["expansion"])
+        for r in acronym_definitions(adf).collect()
+    )
+    assert arows == [
+        ("EU", "European Union"),
+        ("WHO", "World Health Organization"),
+    ]
