@@ -13291,6 +13291,45 @@ def kg_acronym_definitions(spark, sf_dir):
     return acronym_definitions(docs)
 
 
+@q(
+    "kg_numeric_claim_spread",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    c AS (SELECT 'e' || (i % 200) AS entity,
+                 'p' || (i % 2) AS prop,
+                 CASE WHEN i % 2 = 0 THEN 30000
+                      ELSE 30000 + (i % 10) * 3000 END AS value
+          FROM p)
+    SELECT entity, prop, count(*)::BIGINT AS n_claims,
+      count(DISTINCT value)::BIGINT AS n_values,
+      min(value)::BIGINT AS vmin, max(value)::BIGINT AS vmax,
+      (((max(value) - min(value)) * 10000)
+        // greatest(max(value), 1))::BIGINT AS spread_e4
+    FROM c GROUP BY entity, prop""",
+)
+def kg_numeric_claim_spread(spark, sf_dir):
+    """Numeric-conflict audit (``operators/fusion.py::
+    numeric_claim_spread``) — UPSTREAM of the fusers: consensus facts
+    vote, but a wide integer spread per (entity, property) means the
+    sources disagree about the ENTITY (homonyms, stale snapshots) and
+    no argmax should paper over it. The synthesis gives every entity
+    a consensus property (spread 0) and a conflicted one (spread
+    growing with the claim mix); one combining aggregate, full SQL
+    replay."""
+    from .operators.fusion import numeric_claim_spread
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    claims = spark.range(n).select(
+        F.concat(F.lit("e"), (i % 200).cast("string")).alias("entity"),
+        F.concat(F.lit("p"), (i % 2).cast("string")).alias("prop"),
+        F.when(i % 2 == 0, F.lit(30000))
+        .otherwise(F.lit(30000) + (i % 10) * 3000)
+        .cast("long")
+        .alias("value"),
+    )
+    return numeric_claim_spread(claims)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13431,6 +13470,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_numeric_claim_spread": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): numeric-conflict audit upstream of the fusers (integer spread in bp per (entity,prop); consensus-vs-conflict classes); full SQL replay",
     "kg_quote_attributions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Quotebank-style (speaker, quote) relation extraction (both surface orders, verb-anchored precision, unattributed decoy); regeneration oracle",
     "kg_acronym_definitions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Schwartz-Hearst-lite acronym mining (initials check as row-local array algebra; mismatch + bare-parenthetical decoys); regeneration oracle",
     "docs_csv_fields": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 4180 field parsing through the BUILT-IN from_csv (quoted commas, doubled-quote escapes, empty fields); wire-form synthesis vs stated-fields oracle",

@@ -172,3 +172,34 @@ def truthy_filter(statements: DataFrame,
         .filter((F.col("__ts") == F.col("__best")) & (F.col("__ts") > 0))
         .drop("__ts", "__best")
     )
+
+
+def numeric_claim_spread(claims: DataFrame,
+                         entity_col: str = "entity",
+                         prop_col: str = "prop",
+                         value_col: str = "value") -> DataFrame:
+    """Numeric-conflict audit UPSTREAM of the fusers: per (entity,
+    property), how far apart the claimed numbers sit — consensus
+    facts fuse by voting, but a 10x population spread means the
+    sources disagree about the ENTITY (homonyms, stale snapshots),
+    and no argmax should paper over it. Integer spread in basis
+    points of the larger magnitude; one map-side-combining aggregate
+    (count-distinct plans the expand pair). Non-negative values
+    assumed (guard DIV by max(vmax, 1))."""
+    return (
+        claims.groupBy(
+            F.col(entity_col).alias("entity"), F.col(prop_col).alias("prop")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_claims"),
+            F.count_distinct(F.col(value_col)).cast("long").alias("n_values"),
+            F.min(value_col).cast("long").alias("vmin"),
+            F.max(value_col).cast("long").alias("vmax"),
+        )
+        .select(
+            "*",
+            F.expr("((vmax - vmin) * 10000) DIV greatest(vmax, 1)")
+            .cast("long")
+            .alias("spread_e4"),
+        )
+    )
