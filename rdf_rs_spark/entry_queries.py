@@ -13330,6 +13330,42 @@ def kg_numeric_claim_spread(spark, sf_dir):
     return numeric_claim_spread(claims)
 
 
+@q(
+    "docs_dehyphenate",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 3
+        WHEN 0 THEN 'the international conference ' || i
+        WHEN 1 THEN 'meet Jean-Paul at noon ' || i
+        ELSE 'plain single line ' || i END AS text
+    FROM p""",
+)
+def docs_dehyphenate(spark, sf_dir):
+    """Line-break de-hyphenation (``operators/corpus.py::
+    rejoin_hyphenation``) — the PDF/column-text cleanup between
+    extraction and tokenization: ``inter-\\nnational`` rejoins (the
+    continuation is lowercase), ``Jean-\\nPaul`` keeps its hyphen
+    across the join (capitalized continuation = a true compound), and
+    remaining newlines collapse to spaces. Three classes, one per
+    rule; decision-table oracle; zero shuffle."""
+    from .operators.corpus import rejoin_hyphenation
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    raw = (
+        F.when(k == 0, F.concat(
+            F.lit("the inter-\nnational confer-\nence "), s))
+        .when(k == 1, F.concat(F.lit("meet Jean-\nPaul at noon "), s))
+        .otherwise(F.concat(F.lit("plain single line "), s))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), raw.alias("raw"))
+    return docs.select(
+        "doc_id", rejoin_hyphenation(F.col("raw")).alias("text")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13470,6 +13506,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_dehyphenate": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): PDF line-break de-hyphenation (lowercase continuations rejoin, capitalized compounds keep the hyphen); decision-table oracle",
     "kg_numeric_claim_spread": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): numeric-conflict audit upstream of the fusers (integer spread in bp per (entity,prop); consensus-vs-conflict classes); full SQL replay",
     "kg_quote_attributions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Quotebank-style (speaker, quote) relation extraction (both surface orders, verb-anchored precision, unattributed decoy); regeneration oracle",
     "kg_acronym_definitions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Schwartz-Hearst-lite acronym mining (initials check as row-local array algebra; mismatch + bare-parenthetical decoys); regeneration oracle",

@@ -1875,3 +1875,17 @@ def acronym_definitions(docs: DataFrame, text_col: str = "text",
         F.col("acro").alias("alias"),
         F.array_join(tail, " ").alias("expansion"),
     )
+
+
+def rejoin_hyphenation(text: Column) -> Column:
+    """Line-break de-hyphenation — the PDF/column-text cleanup step
+    (`docs_pdf_extract` upstream): a word split across lines as
+    ``inter-\\nnational`` rejoins ONLY when the continuation starts
+    lowercase (true compounds keep their hyphen when the next line
+    opens a new capitalized word or digit, e.g. ``state-\\nof-the-art``
+    rejoins but ``Jean-\\nPaul`` keeps its hyphen as ``Jean-Paul``);
+    remaining newlines collapse to spaces. One codegen regexp pair,
+    zero shuffle."""
+    rejoined = F.regexp_replace(text, r"-\n(?=[a-z])", "")
+    dehyph = F.regexp_replace(rejoined, r"-\n", "-")
+    return F.regexp_replace(dehyph, r"\n", " ")
