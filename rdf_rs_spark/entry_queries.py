@@ -13366,6 +13366,86 @@ def docs_dehyphenate(spark, sf_dir):
     )
 
 
+@q(
+    "docs_isbn_mentions",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (
+      SELECT i, '9780306406157' AS isbn, 'isbn13' AS kind, 1 AS valid
+      FROM p WHERE i % 4 = 0
+      UNION ALL SELECT i, '0306406152', 'isbn10', 1 FROM p WHERE i % 4 = 1
+      UNION ALL SELECT i, '080442957X', 'isbn10', 1 FROM p WHERE i % 4 = 1
+      UNION ALL SELECT i, '9780306406158', 'isbn13', 0
+      FROM p WHERE i % 4 = 2
+      UNION ALL SELECT i, '0306406152', 'isbn10', 1 FROM p WHERE i % 4 = 2)
+    SELECT i::BIGINT AS doc_id, isbn, kind, valid::BIGINT AS valid
+    FROM r""",
+)
+def docs_isbn_mentions(spark, sf_dir):
+    """ISBN extraction with checksum validation (``operators/
+    corpus.py::isbn_mentions``) — the Luhn discipline for books:
+    ISBN-13 (1/3 weights mod 10) and ISBN-10 (positional weights mod
+    11, final X = 10). Classes: a hyphen-grouped ISBN-13, a doc with
+    BOTH an ISBN-10 and an X-check-digit ISBN-10, a doc where an
+    INVALID 13 precedes a VALID 10 (the scan-past-the-first lesson —
+    the lookalike must not shield it), and a no-identifier doc.
+    Regeneration oracle; zero shuffle."""
+    from .operators.corpus import isbn_mentions
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    text = (
+        F.when(k == 0, F.lit("Cite 978-0-306-40615-7 please."))
+        .when(k == 1, F.lit("See 0-306-40615-2 and 080442957X titles."))
+        .when(k == 2, F.lit("Bad 9780306406158 then good 0306406152."))
+        .otherwise(F.lit("no books mentioned here at all"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return isbn_mentions(docs)
+
+
+@q(
+    "crawl_meta_refresh",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT 'https://h' || (i % 5) || '.ex/a/page' || i AS url,
+      (CASE i % 3 WHEN 0 THEN 0 ELSE 5 END)::BIGINT AS delay_s,
+      CASE i % 3
+        WHEN 0 THEN 'https://moved.ex/new/' || i
+        ELSE 'https://h' || (i % 5) || '.ex/a/next' || i END AS target
+    FROM p WHERE i % 3 < 2""",
+)
+def crawl_meta_refresh(spark, sf_dir):
+    """Meta-refresh redirect extraction (``operators/crawl.py::
+    meta_refresh_targets``) — the HTML-layer redirect channel the 3xx
+    resolver cannot see. Classes: an instant absolute redirect with
+    the attributes in one order, a delayed RELATIVE target (resolved
+    against the page URL — relative refresh targets are legal) with
+    attribute order REVERSED and ``URL=`` uppercased, and a plain
+    page emitting nothing. Regeneration oracle."""
+    from .operators.crawl import meta_refresh_targets
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (i % 5).cast("string"), F.lit(".ex/a/page"), s
+    )
+    html = (
+        F.when(k == 0, F.concat(
+            F.lit('<meta http-equiv="refresh" content="0;url=https://moved.ex/new/'),
+            s, F.lit('">'),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("<meta content='5; URL=next"), s,
+            F.lit("' http-equiv='refresh'>"),
+        ))
+        .otherwise(F.lit("<p>a normal page</p>"))
+    )
+    pages = spark.range(n).select(url.alias("url"), html.alias("html"))
+    return meta_refresh_targets(pages)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13506,6 +13586,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_isbn_mentions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): ISBN-10/13 extraction under checksum validation (invalid-shields-valid and X-check-digit classes); regeneration oracle",
+    "crawl_meta_refresh": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): HTML-layer meta-refresh redirects (relative targets resolved against the page URL, attr order + case variance); regeneration oracle",
     "docs_dehyphenate": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): PDF line-break de-hyphenation (lowercase continuations rejoin, capitalized compounds keep the hyphen); decision-table oracle",
     "kg_numeric_claim_spread": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): numeric-conflict audit upstream of the fusers (integer spread in bp per (entity,prop); consensus-vs-conflict classes); full SQL replay",
     "kg_quote_attributions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Quotebank-style (speaker, quote) relation extraction (both surface orders, verb-anchored precision, unattributed decoy); regeneration oracle",

@@ -1177,3 +1177,34 @@ def outlink_frontier(
         F.coalesce(F.col("allowed").cast("int").cast("bigint"), F.lit(1))
         .alias("allowed"),
     )
+
+
+def meta_refresh_targets(pages: DataFrame, html_col: str = "html",
+                         url_col: str = "url") -> DataFrame:
+    """Meta-refresh redirect extraction — the redirect channel the
+    3xx resolver (`resolve_redirects`) cannot see: ``<meta
+    http-equiv="refresh" content="N;url=...">`` pages are redirects
+    at the HTML layer (interstitials, moved pages, cloaking). Emits
+    (url, delay_s, target) with the target RESOLVED against the page
+    URL (relative refresh targets are legal); attribute order and the
+    ``URL=`` case both vary in the wild. Row-local; one Arrow pass
+    for the resolution step only."""
+    from ..functions.urls import resolve_reference_col
+
+    rx = (
+        r"""(?is)<meta\b(?=[^>]*http-equiv=["']refresh["'])"""
+        r"""[^>]*content=["'](\d+)\s*;\s*url=([^"']+)["']"""
+    )
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    delay = F.regexp_extract(h, rx, 1)
+    target = F.regexp_extract(h, rx, 2)
+    hits = pages.filter(h.rlike(rx)).select(
+        F.col(url_col).alias("url"),
+        delay.cast("long").alias("delay_s"),
+        F.trim(target).alias("__t"),
+    )
+    return hits.select(
+        "url",
+        "delay_s",
+        resolve_reference_col(F.col("url"), F.col("__t")).alias("target"),
+    )
