@@ -13446,6 +13446,94 @@ def crawl_meta_refresh(spark, sf_dir):
     return meta_refresh_targets(pages)
 
 
+@q(
+    "crawl_podcast_enclosures",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (
+      SELECT i, 0 AS idx, 'https://cdn.ex/ep' || i || '.mp3' AS url,
+             'audio/mpeg' AS mime, 1000000 + i AS n_bytes
+      FROM p WHERE i % 3 < 2
+      UNION ALL
+      SELECT i, 1, 'https://cdn.ex/ep' || i || '.m4a', 'audio/mp4',
+             2000000 + i
+      FROM p WHERE i % 3 = 1)
+    SELECT i::BIGINT AS doc_id, idx::BIGINT AS idx, url, mime,
+           n_bytes::BIGINT AS n_bytes
+    FROM r""",
+)
+def crawl_podcast_enclosures(spark, sf_dir):
+    """RSS enclosure extraction (``sources/feeds.py::
+    parse_enclosures``) — the podcast/media discovery channel speech
+    pipelines start from. Classes: a single enclosure, a TWO-episode
+    feed whose second enclosure writes its attributes in a DIFFERENT
+    order (the lookahead grammar), and an enclosure-free feed
+    emitting nothing. Regeneration oracle."""
+    from .sources.feeds import parse_enclosures
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    first = F.concat(
+        F.lit('<enclosure url="https://cdn.ex/ep'), s,
+        F.lit('.mp3" type="audio/mpeg" length="'),
+        (F.lit(1000000) + i).cast("string"), F.lit('"/>'),
+    )
+    second = F.concat(
+        F.lit('<enclosure length="'), (F.lit(2000000) + i).cast("string"),
+        F.lit('" type="audio/mp4" url="https://cdn.ex/ep'), s,
+        F.lit('.m4a"/>'),
+    )
+    xml = (
+        F.when(k == 0, F.concat(F.lit("<rss><item>"), first,
+                                F.lit("</item></rss>")))
+        .when(k == 1, F.concat(F.lit("<rss><item>"), first,
+                               F.lit("</item><item>"), second,
+                               F.lit("</item></rss>")))
+        .otherwise(F.lit("<rss><item><title>text only</title></item></rss>"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), xml.alias("xml"))
+    return parse_enclosures(docs)
+
+
+@q(
+    "docs_scholarly_ids",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (
+      SELECT i, 'doi' AS kind, '10.1000/j.x.' || i AS ident
+      FROM p WHERE i % 3 = 0
+      UNION ALL SELECT i, 'arxiv', '2403.0' || lpad((i % 10000)::VARCHAR, 4, '0') || 'v2'
+      FROM p WHERE i % 3 = 1
+      UNION ALL SELECT i, 'doi', '10.5555/alpha' || i FROM p WHERE i % 3 = 1)
+    SELECT i::BIGINT AS doc_id, kind, ident FROM r""",
+)
+def docs_scholarly_ids(spark, sf_dir):
+    """Scholarly identifiers (``operators/corpus.py::scholarly_ids``)
+    beside the ISBN family: DOIs whose trailing sentence period must
+    NOT join the suffix, and versioned arXiv ids. Class 1 docs carry
+    BOTH kinds (union order-independent under the multiset gate);
+    class 2 is identifier-free. Regeneration oracle; zero shuffle."""
+    from .operators.corpus import scholarly_ids
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    text = (
+        F.when(k == 0, F.concat(
+            F.lit("See 10.1000/j.x."), s, F.lit(". for details"),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("Paper arXiv:2403.0"),
+            F.lpad((i % 10000).cast("string"), 4, "0"),
+            F.lit("v2 cites 10.5555/alpha"), s, F.lit(" today"),
+        ))
+        .otherwise(F.lit("no identifiers in this prose"))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return scholarly_ids(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13586,6 +13674,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_podcast_enclosures": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RSS enclosure extraction (podcast/media discovery for speech pipelines; order-tolerant attr grammar); regeneration oracle",
+    "docs_scholarly_ids": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DOI + versioned-arXiv identifier extraction (trailing-punctuation boundary, both-kinds docs); regeneration oracle",
     "docs_isbn_mentions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): ISBN-10/13 extraction under checksum validation (invalid-shields-valid and X-check-digit classes); regeneration oracle",
     "crawl_meta_refresh": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): HTML-layer meta-refresh redirects (relative targets resolved against the page URL, attr order + case variance); regeneration oracle",
     "docs_dehyphenate": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): PDF line-break de-hyphenation (lowercase continuations rejoin, capitalized compounds keep the hyphen); decision-table oracle",

@@ -1931,3 +1931,25 @@ def isbn_mentions(docs: DataFrame, text_col: str = "text",
         kind.alias("kind"),
         valid.cast("int").cast("bigint").alias("valid"),
     )
+
+
+def scholarly_ids(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Scholarly-identifier extraction beside the ISBN family: DOIs
+    (``10.<registrant>/<suffix>`` — trailing sentence punctuation
+    must not join the suffix) and modern arXiv ids
+    (``arXiv:YYMM.NNNNN`` with an optional version). One row per
+    mention with its kind; both patterns run extract_all (never first
+    match only). Zero shuffle."""
+    doi_rx = r"\b(10\.\d{4,9}/[^\s\"<>]+?)[.,;]?(?=\s|$)"
+    arxiv_rx = r"\barXiv:(\d{4}\.\d{4,5}(?:v\d+)?)\b"
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    dois = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(t, F.lit(doi_rx), 1)).alias("ident"),
+    ).select("doc_id", F.lit("doi").alias("kind"), "ident")
+    arx = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(t, F.lit(arxiv_rx), 1)).alias("ident"),
+    ).select("doc_id", F.lit("arxiv").alias("kind"), "ident")
+    return dois.unionByName(arx)

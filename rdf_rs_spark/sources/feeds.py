@@ -226,3 +226,32 @@ def parse_srt_cues(docs: DataFrame, srt_col: str = "srt",
         (end - start).alias("dur_ms"),
         text.alias("text"),
     )
+
+
+def parse_enclosures(docs: DataFrame, xml_col: str = "xml",
+                     id_col: str = "doc_id") -> DataFrame:
+    """RSS ``<enclosure>`` extraction — the podcast/media discovery
+    channel (speech-data pipelines start from exactly these URLs):
+    one row per enclosure with url, declared MIME type and byte
+    length, attributes matched order-tolerantly (lookaheads — feeds
+    emit them in every order). Pure column algebra: three aligned
+    extract_all passes zipped positionally."""
+    rx_base = r"(?s)<enclosure\b"
+    look = lambda a: r"""(?=[^>]*\b""" + a + r"""=["']([^"']*)["'])"""  # noqa: E731
+    full = rx_base + look("url") + look("type") + look("length") + r"[^>]*/?>"
+    x = F.coalesce(F.col(xml_col), F.lit(""))
+    z = F.arrays_zip(
+        F.regexp_extract_all(x, F.lit(full), 1).alias("url"),
+        F.regexp_extract_all(x, F.lit(full), 2).alias("mime"),
+        F.regexp_extract_all(x, F.lit(full), 3).alias("length"),
+    )
+    rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(z).alias("idx", "e")
+    )
+    return rows.select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.col("e.url").alias("url"),
+        F.col("e.mime").alias("mime"),
+        F.col("e.length").cast("long").alias("n_bytes"),
+    )
