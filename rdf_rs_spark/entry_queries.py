@@ -13573,7 +13573,19 @@ def docs_scholarly_ids(spark, sf_dir):
 #   corpus_dataset_card / lineitem_basket_pairs /
 #   events_retention_cohorts / events_markov_next (relational
 #   replays), kg_truthy_statements, docs_license_detect /
-#   docs_secret_redact / docs_script_profile (decision tables).
+#   docs_secret_redact / docs_script_profile (decision tables);
+#   second half of s12: kg_wikitext_* (links/infobox/redirects/
+#   abstract/coordinates — the DBpedia family, one window slot can
+#   cover several via the infobox flagship), docs_lang_id_rank +
+#   html_lang_declared_audit (frozen-model pair), docs_srt_cues,
+#   docs_span_corruption, docs_dialogue_turns, docs_front_matter,
+#   events_{retention,markov,inter_arrival,activity} (real-table
+#   replays), kg_{truthy,numeric_claim_spread} (fusion audits),
+#   warc_arc_records_parse, docs_{isbn,scholarly,measure,csv,
+#   dehyphenate}, crawl_{meta_refresh,podcast_enclosures,
+#   hreflang_reciprocity}, kg_{quote,acronym,citation,namespace,
+#   inverse_properties}, rdf_{literal_datatype_audit,tbox_abox_split},
+#   docs_tokenizer_fertility.
 # r4s11 additions to weigh into (a)/(b): kg_pipeline_from_warc-style
 #   container fronts docs_{pdf,docx,tar_code,mbox} (regeneration oracles
 #   over real binary walks), multimodal_flac_decode (order-sensitive
