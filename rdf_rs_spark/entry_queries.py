@@ -13534,6 +13534,71 @@ def docs_scholarly_ids(spark, sf_dir):
     return scholarly_ids(docs)
 
 
+@q(
+    "crawl_url_depth_stats",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    u AS (SELECT 'h' || (i % 5) || '.ex' AS host,
+                 CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                            WHEN 2 THEN 1 ELSE 3 END AS depth
+          FROM p)
+    SELECT host, depth::BIGINT AS depth, count(*)::BIGINT AS n_urls
+    FROM u GROUP BY host, depth""",
+)
+def crawl_url_depth_stats(spark, sf_dir):
+    """Per-host URL depth histogram (``functions/urls.py::
+    path_depth``) — the frontier-analytics coordinate that exposes
+    calendar traps and facet explosions as unbounded-depth tails
+    BEFORE the crawler walks in. Classes: bare host (depth 0), a
+    one-segment path, the SAME depth via a trailing slash (must not
+    add a segment), and a three-deep path whose query/fragment must
+    not count. One combining aggregate; decision-derived oracle."""
+    from .functions.urls import path_depth
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    s = i.cast("string")
+    host = F.concat(F.lit("h"), (i % 5).cast("string"), F.lit(".ex"))
+    url = F.concat(
+        F.lit("https://"), host,
+        F.when(k == 0, F.lit(""))
+        .when(k == 1, F.concat(F.lit("/p"), s))
+        .when(k == 2, F.concat(F.lit("/p"), s, F.lit("/")))
+        .otherwise(F.concat(F.lit("/a/b/c"), s, F.lit("?x=1#f"))),
+    )
+    urls = spark.range(n).select(url.alias("url"), host.alias("host"))
+    return urls.select(
+        "host", path_depth(F.col("url")).alias("depth")
+    ).groupBy("host", "depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+
+
+@q(
+    "kg_literal_lang_histogram",
+    TRIPLES_CTE
+    + """, lits AS (SELECT coalesce(obj_lang, '') AS lang
+                   FROM triples WHERE obj_kind = 2)
+    SELECT lang, count(*)::BIGINT AS n_literals
+    FROM lits GROUP BY lang""",
+)
+def kg_literal_lang_histogram(spark, sf_dir):
+    """Literal language-tag histogram over the star-schema KG — the
+    VoID-style multilingual-coverage number (how much of the graph's
+    text carries which language tag, and how much is untagged) that
+    drives per-language KG exports and label-selection rules. One
+    combining aggregate; full SQL replay on the shared triples CTE."""
+    t = _triples(spark, sf_dir)
+    from .terms import KIND_LITERAL
+
+    return (
+        t.filter(F.col("obj_kind") == KIND_LITERAL)
+        .select(F.coalesce(F.col("obj_lang"), F.lit("")).alias("lang"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_literals"))
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13686,6 +13751,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "crawl_url_depth_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-host URL depth histogram (trap-detection coordinate; trailing-slash and query/fragment classes); decision-derived oracle",
+    "kg_literal_lang_histogram": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): literal language-tag histogram over the shared triples CTE (multilingual coverage for per-language exports); full SQL replay",
     "crawl_podcast_enclosures": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RSS enclosure extraction (podcast/media discovery for speech pipelines; order-tolerant attr grammar); regeneration oracle",
     "docs_scholarly_ids": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DOI + versioned-arXiv identifier extraction (trailing-punctuation boundary, both-kinds docs); regeneration oracle",
     "docs_isbn_mentions": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): ISBN-10/13 extraction under checksum validation (invalid-shields-valid and X-check-digit classes); regeneration oracle",
