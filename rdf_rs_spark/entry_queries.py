@@ -13599,6 +13599,90 @@ def kg_literal_lang_histogram(spark, sf_dir):
     )
 
 
+@q(
+    "docs_casing_profile",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 3 WHEN 0 THEN 0 WHEN 1 THEN 5 ELSE 1 END)::BIGINT
+        AS n_upper,
+      (CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 4 END)::BIGINT
+        AS n_title,
+      (CASE i % 3 WHEN 0 THEN 5 WHEN 1 THEN 0 ELSE 0 END)::BIGINT
+        AS n_lower,
+      (CASE i % 3 WHEN 0 THEN 0 WHEN 1 THEN 1000 ELSE 200 END)::BIGINT
+        AS caps_ratio_e3
+    FROM p""",
+)
+def docs_casing_profile(spark, sf_dir):
+    """Casing-shape signal (``operators/corpus.py::casing_profile``)
+    — SHOUTING spam and headline-vs-prose classification: ALL-CAPS /
+    Titlecase / lowercase word counts plus the caps share of cased
+    words in milli-units. Classes: normal prose (ratio 0), a fully
+    shouted line (1000), and a title-case headline with one acronym
+    (200 — the acronym counts as caps, mixed-case 'iPhone7'-style
+    tokens count as none). Decision-table oracle; zero shuffle."""
+    from .operators.corpus import casing_profile
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    text = (
+        F.when(k == 0, F.lit("The quick brown fox jumps today"))
+        .when(k == 1, F.lit("BUY NOW BEST DEAL EVER"))
+        .otherwise(F.lit("Breaking News About NASA Rocket iPhone7"))
+    )
+    c = casing_profile(text)
+    return spark.range(n).select(
+        i.alias("doc_id"),
+        c.getField("n_upper").alias("n_upper"),
+        c.getField("n_title").alias("n_title"),
+        c.getField("n_lower").alias("n_lower"),
+        c.getField("caps_ratio_e3").alias("caps_ratio_e3"),
+    )
+
+
+@q(
+    "docs_freshness_weights",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    d AS (SELECT i,
+                 CASE i % 4 WHEN 0 THEN 1700000000
+                            WHEN 1 THEN 1700000000 - 2592000
+                            WHEN 2 THEN 1700000000 - 6 * 2592000
+                            ELSE 1700000000 + 999 END AS ts
+          FROM p)
+    SELECT i::BIGINT AS doc_id,
+      greatest(1700000000 - ts, 0)::BIGINT AS age_s,
+      least(greatest(1700000000 - ts, 0) // 2592000, 20)::BIGINT
+        AS bucket,
+      (1000000 // (1 << least(greatest(1700000000 - ts, 0) // 2592000,
+                              20)))::BIGINT AS weight_e6
+    FROM d""",
+)
+def docs_freshness_weights(spark, sf_dir):
+    """Recency-decay sampling weights (``operators/sampling.py::
+    freshness_weights``) — the freshness prior a news/web mixture
+    applies before packing: weight halves per half-life as an integer
+    SHIFT (exact powers of two, no exp/log). Classes: published now,
+    exactly one half-life old (weight 500000), six half-lives
+    (15625), and a FUTURE timestamp (clock skew clamps to age 0).
+    Full integer replay."""
+    from .operators.sampling import freshness_weights
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    now = 1_700_000_000
+    ts = (
+        F.when(k == 0, now)
+        .when(k == 1, now - 2_592_000)
+        .when(k == 2, now - 6 * 2_592_000)
+        .otherwise(now + 999)
+        .cast("long")
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), ts.alias("publish_unix"))
+    return freshness_weights(docs, now_unix=now)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13751,6 +13835,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_casing_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): casing-shape spam signal (ALL-CAPS/title/lower counts, milli caps share); decision-table oracle",
+    "docs_freshness_weights": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): recency-decay sampling weights as integer shifts (half-life buckets, clock-skew clamp); full integer replay",
     "crawl_url_depth_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-host URL depth histogram (trap-detection coordinate; trailing-slash and query/fragment classes); decision-derived oracle",
     "kg_literal_lang_histogram": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): literal language-tag histogram over the shared triples CTE (multilingual coverage for per-language exports); full SQL replay",
     "crawl_podcast_enclosures": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RSS enclosure extraction (podcast/media discovery for speech pipelines; order-tolerant attr grammar); regeneration oracle",

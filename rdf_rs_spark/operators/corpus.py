@@ -1953,3 +1953,33 @@ def scholarly_ids(docs: DataFrame, text_col: str = "text",
         F.explode(F.regexp_extract_all(t, F.lit(arxiv_rx), 1)).alias("ident"),
     ).select("doc_id", F.lit("arxiv").alias("kind"), "ident")
     return dois.unionByName(arx)
+
+
+def casing_profile(text: Column) -> Column:
+    """Casing-shape signal — SHOUTING detection and headline-vs-prose
+    classification: counts of ALL-CAPS words (2+ letters), Titlecase
+    words, and lowercase words, plus the caps share of cased words in
+    milli-units (``DIV``). Struct column, zero shuffle; the bound-
+    array idiom keeps tokenization at one pass."""
+    def counts(tk: Column) -> Column:
+        upper = F.size(F.filter(tk, lambda w: w.rlike("^[A-Z]{2,}$")))
+        title = F.size(F.filter(tk, lambda w: w.rlike("^[A-Z][a-z]+$")))
+        lower = F.size(F.filter(tk, lambda w: w.rlike("^[a-z]+$")))
+        cased = upper + title + lower
+        ratio = F.when(
+            cased > 0,
+            ((upper * 1000) - (upper * 1000) % cased) / cased,
+        ).otherwise(F.lit(0))
+        return F.struct(
+            upper.cast("long").alias("n_upper"),
+            title.cast("long").alias("n_title"),
+            lower.cast("long").alias("n_lower"),
+            ratio.cast("long").alias("caps_ratio_e3"),
+        )
+
+    from ..functions.text import tokens_col
+
+    bound = F.transform(
+        F.array(tokens_col(F.coalesce(text, F.lit("")))), counts
+    )
+    return F.element_at(bound, 1)

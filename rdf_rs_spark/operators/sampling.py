@@ -303,3 +303,36 @@ def span_corruption_plan(docs: DataFrame, text_col: str = "text",
         .otherwise(zero)
         .alias("target_len"),
     )
+
+
+def freshness_weights(docs: DataFrame, now_unix: int,
+                      ts_col: str = "publish_unix",
+                      id_col: str = "doc_id",
+                      half_life_s: int = 2592000) -> DataFrame:
+    """Recency-decay sampling weights — the freshness prior a
+    news/web mixture applies before packing: weight halves per
+    ``half_life_s`` of age, computed as an integer SHIFT
+    (``1e6 >> age_buckets``, exact powers of two — no exp/log near
+    the gate), clamped at 20 buckets; future timestamps (clock skew)
+    clamp to age 0. Composes with `publish_date` upstream and the
+    mixture/packing planners downstream. Zero shuffle."""
+    age = F.greatest(F.lit(now_unix) - F.col(ts_col), F.lit(0))
+    bucket = F.least(
+        F.expr(f"greatest({int(now_unix)}L - {ts_col}, 0L) "
+               f"DIV {int(half_life_s)}L"),
+        F.lit(20),
+    )
+    staged = docs.select(
+        id_col,
+        age.cast("long").alias("age_s"),
+        bucket.cast("long").alias("bucket"),
+    )
+    # the shift amount is a COLUMN, so the power of two comes from
+    # shiftleft over the bucket attribute (F.shiftright only accepts a
+    # literal bit count)
+    return staged.select(
+        "*",
+        F.expr("1000000L DIV shiftleft(1L, CAST(bucket AS INT))")
+        .cast("long")
+        .alias("weight_e6"),
+    )
