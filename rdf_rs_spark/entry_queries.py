@@ -13683,6 +13683,96 @@ def docs_freshness_weights(spark, sf_dir):
     return freshness_weights(docs, now_unix=now)
 
 
+@q(
+    "kg_template_histogram",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    t AS (SELECT unnest(
+            regexp_extract_all(
+              CASE i % 2
+                WHEN 0 THEN '{{Infobox person|x=1}} uses {{cite web|u=a}} and {{cite web|u=b}}'
+                ELSE '{{Citation needed}} plus {{cite book|t=x}}'
+              END,
+              '\\{\\{([A-Za-z][^|{}]*)', 1)) AS raw
+          FROM p),
+    n AS (SELECT lower(trim(raw)) AS template FROM t)
+    SELECT template, count(*)::BIGINT AS n_uses
+    FROM n GROUP BY template""",
+)
+def kg_template_histogram(spark, sf_dir):
+    """Template-transclusion histogram — the wikitext sibling of
+    `kg_namespace_rollup`: which templates a dump actually uses, the
+    ROI number that decides which template-specific parsers (infobox,
+    coord, cite) are worth building. Extract_all of template heads,
+    case/space normalized; one combining aggregate. Full replay —
+    both engines run the same extraction on the same class texts."""
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    wt = F.when(
+        i % 2 == 0,
+        F.lit("{{Infobox person|x=1}} uses {{cite web|u=a}} and "
+              "{{cite web|u=b}}"),
+    ).otherwise(F.lit("{{Citation needed}} plus {{cite book|t=x}}"))
+    heads = spark.range(n).select(
+        F.explode(
+            F.regexp_extract_all(wt, F.lit(r"\{\{([A-Za-z][^|{}]*)"), 1)
+        ).alias("raw")
+    )
+    return (
+        heads.select(F.lower(F.trim(F.col("raw"))).alias("template"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_uses"))
+    )
+
+
+@q(
+    "kg_redirect_closure",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 4 AS k FROM p)
+    SELECT 'A' || i AS url,
+      CASE k WHEN 3 THEN NULL ELSE 'Canon' || (i - k) END AS final_url,
+      (CASE k WHEN 3 THEN NULL ELSE k + 1 END)::BIGINT AS hops,
+      (CASE WHEN k = 3 THEN 0 ELSE 1 END)::BIGINT AS resolved
+    FROM f""",
+)
+def kg_redirect_closure(spark, sf_dir):
+    """Double-redirect resolution over the wiki alias graph — the
+    MediaWiki maintenance job, run through the SAME pointer-jumping
+    machinery as HTTP 3xx chains (`operators/crawl.py::
+    resolve_redirects` — one operator, two domains, like the basket/
+    co-mention reuse): alias pages chain ``A→B→C→Canon`` and every
+    alias must resolve to the FINAL target with its true hop count;
+    class 3 is a 2-cycle that must come back unresolved (NULL final,
+    resolved 0), not loop forever. Closed-form oracle per chain
+    class."""
+    from .operators.crawl import resolve_redirects
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    s = i.cast("string")
+    # chains: k=0: A->Canon ; k=1: A->A(prev,k=0)->Canon ; k=2: three
+    # hops via k=1; k=3: 2-cycle with its own partner X
+    dst = (
+        F.when(k == 0, F.concat(F.lit("Canon"), s))
+        .when(k == 1, F.concat(F.lit("A"), (i - 1).cast("string")))
+        .when(k == 2, F.concat(F.lit("A"), (i - 1).cast("string")))
+        .otherwise(F.concat(F.lit("X"), s))
+    )
+    pairs = spark.range(n).select(
+        F.concat(F.lit("A"), s).alias("src_url"), dst.alias("dst_url")
+    )
+    cyc = spark.range(n).filter(i % 4 == 3).select(
+        F.concat(F.lit("X"), s).alias("src_url"),
+        F.concat(F.lit("A"), s).alias("dst_url"),
+    )
+    out = resolve_redirects(pairs.unionAll(cyc))
+    return out.filter(F.col("url").startswith("A")).select(
+        "url", "final_url",
+        F.col("hops").cast("long").alias("hops"),
+        F.col("resolved").cast("long").alias("resolved"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13835,6 +13925,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_template_histogram": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): template-transclusion ROI histogram (which template parsers are worth building); replay oracle",
+    "kg_redirect_closure": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): MediaWiki double-redirect resolution through the SAME pointer-jumping machinery as HTTP 3xx chains (cycle class must return unresolved); closed-form chain oracle",
     "docs_casing_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): casing-shape spam signal (ALL-CAPS/title/lower counts, milli caps share); decision-table oracle",
     "docs_freshness_weights": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): recency-decay sampling weights as integer shifts (half-life buckets, clock-skew clamp); full integer replay",
     "crawl_url_depth_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-host URL depth histogram (trap-detection coordinate; trailing-slash and query/fragment classes); decision-derived oracle",
