@@ -13773,6 +13773,80 @@ def kg_redirect_closure(spark, sf_dir):
     )
 
 
+@q(
+    "docs_scaled_numbers",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 5 WHEN 0 THEN 3200000
+                  WHEN 1 THEN 1234000
+                  WHEN 2 THEN 7500000000
+                  WHEN 3 THEN -1
+                  ELSE -1 END)::BIGINT AS value
+    FROM p""",
+)
+def docs_scaled_numbers(spark, sf_dir):
+    """Scaled-number normalization (``functions/units.py::
+    parse_scaled_number``) — '3.2 million' style magnitudes become
+    exact integers before numeric claims can be compared
+    (`kg_numeric_claim_spread` consumes these). Classes: a decimal
+    times million, a comma-grouped thousand ('1,234 thousand'), '7.5
+    billion', a 'millionaire' decoy whose word boundary must reject
+    the prefix, and no-number prose (−1 — zero is a legitimate
+    value). Decision-table oracle; zero shuffle."""
+    from .functions.units import parse_scaled_number
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 5
+    text = (
+        F.when(k == 0, F.lit("the city holds 3.2 million people"))
+        .when(k == 1, F.lit("about 1,234 thousand units shipped"))
+        .when(k == 2, F.lit("earth has 7.5 Billion inhabitants"))
+        .when(k == 3, F.lit("she became a 4 millionaire yesterday"))
+        .otherwise(F.lit("no figures in this sentence"))
+    )
+    return spark.range(n).select(
+        i.alias("doc_id"), parse_scaled_number(text).alias("value")
+    )
+
+
+@q(
+    "rdf_iri_percent_normalize",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 4
+        WHEN 0 THEN 'https://ex.org/page/A' || i
+        WHEN 1 THEN 'https://ex.org/a%2Fb/' || i
+        WHEN 2 THEN 'https://ex.org/x%3Fy=' || i
+        ELSE 'https://ex.org/plain/' || i END AS iri
+    FROM p""",
+)
+def rdf_iri_percent_normalize(spark, sf_dir):
+    """Percent-encoding normalization (``functions/urls.py::
+    normalize_percent_encoding``, RFC 3986 §6.2.2) — the IRI
+    equivalence step KG canonicalization needs: ``%41`` decodes to
+    ``A`` (unreserved), ``%2F``/``%3F`` MUST stay encoded (decoding
+    them changes the syntax) but their hex uppercases (``%2f`` →
+    ``%2F``, ``%3f`` → ``%3F``). Classes pin each rule plus a
+    no-op IRI. Decision-table oracle; one Arrow pass."""
+    from .functions.urls import normalize_percent_encoding
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 4
+    s = i.cast("string")
+    raw = (
+        F.when(k == 0, F.concat(F.lit("https://ex.org/page/%41"), s))
+        .when(k == 1, F.concat(F.lit("https://ex.org/a%2fb/"), s))
+        .when(k == 2, F.concat(F.lit("https://ex.org/x%3fy="), s))
+        .otherwise(F.concat(F.lit("https://ex.org/plain/"), s))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), raw.alias("raw"))
+    return docs.select(
+        "doc_id", normalize_percent_encoding(F.col("raw")).alias("iri")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13925,6 +13999,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_scaled_numbers": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): scaled-number magnitude normalization (comma groups, decimals, millionaire boundary decoy, -1 sentinel); decision-table oracle",
+    "rdf_iri_percent_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 3986 percent-encoding normalization for IRI equivalence (unreserved decode, reserved preserved + hex uppercased); decision-table oracle",
     "kg_template_histogram": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): template-transclusion ROI histogram (which template parsers are worth building); replay oracle",
     "kg_redirect_closure": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): MediaWiki double-redirect resolution through the SAME pointer-jumping machinery as HTTP 3xx chains (cycle class must return unresolved); closed-form chain oracle",
     "docs_casing_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): casing-shape spam signal (ALL-CAPS/title/lower counts, milli caps share); decision-table oracle",

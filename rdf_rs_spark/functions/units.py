@@ -69,3 +69,31 @@ def parse_measure(text: Column) -> Column:
         F.when(ok, dim).otherwise(F.lit("")).alias("dimension"),
         F.when(ok, milli).otherwise(F.lit(0).cast("long")).alias("canon_milli"),
     )
+
+
+_SCALE_WORDS = [
+    ("thousand", 1_000),
+    ("million", 1_000_000),
+    ("billion", 1_000_000_000),
+    ("trillion", 1_000_000_000_000),
+]
+
+
+def parse_scaled_number(text: Column) -> Column:
+    """First ``<number> <scale-word>`` mention ('3.2 million',
+    '1,234 thousand') → exact integer — the magnitude normalization
+    numeric fact extraction needs before claims can be compared
+    (`kg_numeric_claim_spread` consumes exactly these). Thousands
+    separators strip; the decimal parses by string surgery to milli
+    and multiplies by scale/1000 (every scale word is ≥ 10^3, so the
+    result stays integral). Returns -1 when nothing matches
+    (0 is a legitimate value)."""
+    words_alt = "|".join(w for w, _ in _SCALE_WORDS)
+    rx = r"(?i)(\d{1,3}(?:,\d{3})*(?:\.\d+)?|\d+(?:\.\d+)?)\s+(" + words_alt + r")\b"
+    num = F.regexp_replace(F.regexp_extract(text, rx, 1), ",", "")
+    word = F.lower(F.regexp_extract(text, rx, 2))
+    v3 = _value_e3(num)
+    out = F.lit(-1).cast("long")
+    for w, factor in _SCALE_WORDS:
+        out = F.when(word == w, v3 * (factor // 1000)).otherwise(out)
+    return F.when(num != "", out).otherwise(F.lit(-1).cast("long"))
