@@ -2835,3 +2835,35 @@ def test_quote_and_acronym_extraction_edges(spark):
         ("EU", "European Union"),
         ("WHO", "World Health Organization"),
     ]
+
+
+def test_percent_normalize_and_scaled_numbers_edges(spark):
+    from rdf_rs_spark.functions.units import parse_scaled_number
+    from rdf_rs_spark.functions.urls import normalize_percent_encoding
+
+    rows = [
+        (0, "https://e/%41%2f%GG%5"),   # mixed: decode, keep+upper, junk
+        (1, None),
+        (2, "https://e/%7e%2E"),        # ~ and . both unreserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, u string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", normalize_percent_encoding(F.col("u")).alias("n")
+    ).collect()}
+    # %GG is not hex (kept verbatim), trailing %5 is truncated (kept)
+    assert got[0] == "https://e/A%2F%GG%5"
+    assert got[1] is None
+    assert got[2] == "https://e/~."
+
+    sdf = spark.createDataFrame(
+        [(0, "0 million things"), (1, "12,34 thousand")],
+        "doc_id long, t string",
+    )
+    vals = {r["doc_id"]: r["v"] for r in sdf.select(
+        "doc_id", parse_scaled_number(F.col("t")).alias("v")
+    ).collect()}
+    assert vals[0] == 0          # zero is a value, not the sentinel
+    # malformed comma grouping: '12,' cannot satisfy the grouped form
+    # (no \s before the scale word), so the scan advances and binds
+    # '34 thousand' — never a fused '1234'
+    assert vals[1] == 34_000
