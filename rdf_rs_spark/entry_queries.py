@@ -13847,6 +13847,82 @@ def rdf_iri_percent_normalize(spark, sf_dir):
     )
 
 
+@q(
+    "docs_nfkc_normalize",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      CASE i % 3 WHEN 0 THEN 'fine ABC No5 x2 r' || i
+                 WHEN 1 THEN 'plain ascii stays r' || i
+                 ELSE 'cafe r' || i END AS text
+    FROM p""",
+)
+def docs_nfkc_normalize(spark, sf_dir):
+    """NFKC compatibility normalization (``functions/text.py::
+    nfkc_col``) — the step beyond NFC that web text actually needs:
+    fullwidth CJK-page forms (ＡＢＣ), the ﬁ ligature, the № sign and
+    superscript ² all fold to their ASCII compatibility forms, which
+    otherwise split token statistics and dedup keys. Composed with
+    the accent folder so outputs stay ASCII under the gate: class 2
+    writes the DECOMPOSED 'cafe' + combining acute, NFKC composes it
+    and the fold strips the mark — 'cafe' either way only if both
+    steps ran. Decision-table oracle, one Arrow pass."""
+    from .functions.text import nfkc_col, strip_accents_col
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    s = i.cast("string")
+    raw = (
+        F.when(k == 0, F.concat(
+            F.lit("ﬁne ＡＢＣ №""5 x² r"), s))
+        .when(k == 1, F.concat(F.lit("plain ascii stays r"), s))
+        .otherwise(F.concat(F.lit("cafe\u0301 r"), s))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), raw.alias("raw"))
+    # class 2: NFKC composes e+combining-acute to é; fold accents after
+    # so the oracle stays ASCII ('cafe')
+    return docs.select(
+        "doc_id",
+        strip_accents_col(nfkc_col(F.col("raw"))).alias("text"),
+    )
+
+
+@q(
+    "docs_compressibility",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i)
+    SELECT i::BIGINT AS doc_id,
+      (CASE i % 3 WHEN 0 THEN 122 WHEN 1 THEN 927
+                  ELSE 150 END)::BIGINT AS ratio_e3
+    FROM p""",
+)
+def docs_compressibility(spark, sf_dir):
+    """Gzip-compressibility quality proxy (``operators/corpus.py::
+    compressibility``): boilerplate farms and keyword-stuffed spam
+    compress far below prose — the cheap pre-filter before any
+    model-based score. Deterministic raw-deflate level 6 (no gzip
+    mtime header); classes are a 12x-repeated template line (122‰),
+    varied prose (927‰), and a single-char run (150‰ — deflate's
+    fixed overhead dominates). Constants computed offline from the
+    same zlib call. Zero shuffle."""
+    from .operators.corpus import compressibility
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 3
+    text = (
+        F.when(k == 0, F.lit("the same line repeats here. " * 12))
+        .when(k == 1, F.lit(
+            "Entropy varies: quick brown foxes jump over many lazy dogs "
+            "while zebras quietly examine just ivy."
+        ))
+        .otherwise(F.lit("a" * 80))
+    )
+    docs = spark.range(n).select(i.alias("doc_id"), text.alias("text"))
+    return docs.select(
+        "doc_id", compressibility(F.col("text")).alias("ratio_e3")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -13999,6 +14075,8 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "docs_nfkc_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): NFKC compatibility normalization (fullwidth/ligature/superscript folding web text needs beyond NFC), composed with accent folding for an ASCII gate; decision-table oracle",
+    "docs_compressibility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): deterministic deflate compressibility as the cheap spam/boilerplate pre-filter; offline-computed constants, zero mtime nondeterminism",
     "docs_scaled_numbers": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): scaled-number magnitude normalization (comma groups, decimals, millionaire boundary decoy, -1 sentinel); decision-table oracle",
     "rdf_iri_percent_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 3986 percent-encoding normalization for IRI equivalence (unreserved decode, reserved preserved + hex uppercased); decision-table oracle",
     "kg_template_histogram": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): template-transclusion ROI histogram (which template parsers are worth building); replay oracle",

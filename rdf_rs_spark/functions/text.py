@@ -198,3 +198,23 @@ def token_count_cjk_aware(text: Column) -> Column:
     )
     rest = F.regexp_replace(text, "[一-鿿]+", " ")
     return (F.size(tokens_col(rest)) + cjk_tokens).cast("long")
+
+
+def nfkc_col(text: Column) -> Column:
+    """Unicode NFKC COMPATIBILITY normalization — the step beyond
+    :func:`nfc_col` web text actually needs: fullwidth forms from CJK
+    pages (ＡＢＣ１２３) fold to ASCII, ligatures (ﬁ) decompose,
+    superscripts become digits — all of which otherwise split token
+    statistics and dedup keys across spellings of the same text.
+    Arrow kernel (stdlib unicodedata), zero shuffle."""
+    if pd is None:  # pragma: no cover
+        raise ImportError("nfkc_col requires pandas (Arrow kernel)")
+    import unicodedata
+
+    @pandas_udf(T.StringType())
+    def _nfkc(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if t is None else unicodedata.normalize("NFKC", t) for t in s]
+        )
+
+    return _nfkc(text)

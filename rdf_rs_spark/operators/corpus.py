@@ -1983,3 +1983,27 @@ def casing_profile(text: Column) -> Column:
         F.array(tokens_col(F.coalesce(text, F.lit("")))), counts
     )
     return F.element_at(bound, 1)
+
+
+def compressibility(text: Column) -> Column:
+    """Gzip-compressibility quality proxy: compressed/raw size in
+    milli-units at the DETERMINISTIC zlib level 6 (raw deflate via
+    ``zlib.compress`` — no gzip header, so no mtime nondeterminism;
+    the same-bytes-everywhere property the corpus synthesizers rely
+    on). Boilerplate farms and keyword-stuffed spam compress far
+    below prose — the cheap pre-filter before any model-based quality
+    score. Arrow kernel, zero shuffle; empty/NULL → 0."""
+    import zlib
+
+    @pandas_udf(T.LongType())
+    def _ratio(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            b = (t or "").encode("utf-8")
+            if not b:
+                out.append(0)
+                continue
+            out.append(len(zlib.compress(b, 6)) * 1000 // len(b))
+        return pd.Series(out)
+
+    return _ratio(text)
