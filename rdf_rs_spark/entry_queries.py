@@ -13923,6 +13923,42 @@ def docs_compressibility(spark, sf_dir):
     )
 
 
+@q(
+    "kg_wikitext_sections",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    r AS (
+      SELECT i, 0 AS sec_idx, 2 AS level, 'History ' || i AS title
+      FROM p WHERE i % 2 = 0
+      UNION ALL SELECT i, 1, 3, 'Early years' FROM p WHERE i % 2 = 0
+      UNION ALL SELECT i, 2, 2, 'Legacy' FROM p WHERE i % 2 = 0)
+    SELECT i::BIGINT AS doc_id, sec_idx::BIGINT AS sec_idx,
+           level::BIGINT AS level, title
+    FROM r""",
+)
+def kg_wikitext_sections(spark, sf_dir):
+    """Heading-outline extraction (``sources/wikitext.py::
+    parse_sections``) — the structure section-aware chunking and TOC
+    retrieval navigate by: levels from the ``=``-run length, dense
+    row-local numbering (array filter before posexplode), unbalanced
+    fences taking the opening run's level, and a decoy line where
+    ``==`` appears mid-text (must not bind — the pattern is
+    line-anchored). Heading-free pages emit zero rows. Regeneration
+    oracle; zero shuffle."""
+    from .sources.wikitext import parse_sections
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 2
+    s = i.cast("string")
+    wt = F.when(k == 0, F.concat(
+        F.lit("Lead text.\n== History "), s,
+        F.lit(" ==\nbody a == not a heading ==\n=== Early years ===\n"
+              "more body\n==Legacy===\ntail"),
+    )).otherwise(F.concat(F.lit("No headings at all "), s))
+    docs = spark.range(n).select(i.alias("doc_id"), wt.alias("wikitext"))
+    return parse_sections(docs)
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -14075,6 +14111,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "kg_wikitext_sections": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): heading-outline extraction for section-aware chunking (row-local numbering, unbalanced fences, mid-text decoy); regeneration oracle",
     "docs_nfkc_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): NFKC compatibility normalization (fullwidth/ligature/superscript folding web text needs beyond NFC), composed with accent folding for an ASCII gate; decision-table oracle",
     "docs_compressibility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): deterministic deflate compressibility as the cheap spam/boilerplate pre-filter; offline-computed constants, zero mtime nondeterminism",
     "docs_scaled_numbers": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): scaled-number magnitude normalization (comma groups, decimals, millionaire boundary decoy, -1 sentinel); decision-table oracle",

@@ -309,3 +309,30 @@ def citation_density(docs: DataFrame, text_col: str = "wikitext",
         length.alias("n_chars"),
         rate.alias("refs_per_10k"),
     )
+
+
+def parse_sections(docs: DataFrame, text_col: str = "wikitext",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Heading-outline extraction (``== Title ==`` levels 2-6) — the
+    document structure section-aware chunking and TOC-based retrieval
+    navigate by. Dense section numbering is ROW-LOCAL (the line array
+    filters before posexplode — the dialogue-turns discipline); the
+    level is the ``=``-run length, titles trim their fences. Lines
+    whose fences are unbalanced (``== Title ===``) take the OPENING
+    run's level per MediaWiki. Zero shuffle."""
+    rx = r"^\s*(={2,6})\s*(.*?)\s*=+\s*$"
+    matched = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda l: l.rlike(rx),
+    )
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(matched).alias("sec_idx", "line"),
+    )
+    return lines.select(
+        "doc_id",
+        F.col("sec_idx").cast("long").alias("sec_idx"),
+        F.length(F.regexp_extract(F.col("line"), rx, 1)).cast("long")
+        .alias("level"),
+        F.regexp_extract(F.col("line"), rx, 2).alias("title"),
+    )
