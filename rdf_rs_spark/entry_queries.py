@@ -13959,6 +13959,31 @@ def kg_wikitext_sections(spark, sf_dir):
     return parse_sections(docs)
 
 
+@q(
+    "events_weekday_profile",
+    """WITH e AS (SELECT event_type,
+        ((floor(epoch(ts))::BIGINT // 86400) + 4) % 7 AS weekday
+      FROM events)
+    SELECT event_type, weekday::BIGINT AS weekday,
+           count(*)::BIGINT AS n_events
+    FROM e GROUP BY event_type, weekday""",
+)
+def events_weekday_profile(spark, sf_dir):
+    """Weekday activity profile per event type over the REAL events
+    table — the seasonality fingerprint anomaly baselines compare
+    against. The weekday comes from PURE epoch arithmetic
+    (``(days + 4) % 7`` — 1970-01-01 was a Thursday; 0 = Monday), so
+    no calendar function and no session zone ever runs. One combining
+    aggregate, ≤ |types|×7 rows; full SQL replay."""
+    e = _t(spark, sf_dir, "events")
+    weekday = F.expr("((unix_timestamp(ts) DIV 86400) + 4) % 7")
+    return (
+        e.select(F.col("event_type"), weekday.cast("long").alias("weekday"))
+        .groupBy("event_type", "weekday")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -14111,6 +14136,7 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    "events_weekday_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): weekday seasonality fingerprint on the REAL events table via pure epoch arithmetic (no calendar functions); full SQL replay",
     "kg_wikitext_sections": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): heading-outline extraction for section-aware chunking (row-local numbering, unbalanced fences, mid-text decoy); regeneration oracle",
     "docs_nfkc_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): NFKC compatibility normalization (fullwidth/ligature/superscript folding web text needs beyond NFC), composed with accent folding for an ASCII gate; decision-table oracle",
     "docs_compressibility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): deterministic deflate compressibility as the cheap spam/boilerplate pre-filter; offline-computed constants, zero mtime nondeterminism",
