@@ -13995,9 +13995,10 @@ def events_weekday_profile(spark, sf_dir):
 # registered — this only changes dict iteration order.
 
 # ---- round-5 window plan (written at the end of round 4) ------------------
-# 114 entries registered after the r4 window froze (session-11 close) sit
-# in DEFERRED with "registered r4 AFTER …" reasons — more than two 50-slot
-# windows. The r5 rotation should prioritize:
+# 310 entries sit in DEFERRED (the r4 window froze at session-11 close;
+# sessions 11-12 registered ~175 more with "registered r4 AFTER …"
+# reasons) — six 50-slot windows of backlog. The r5 rotation should
+# prioritize:
 #   (a) compositions/flagships whose value-hash covers many components at
 #       once: kg_web_data_commons, kg_wdc_canonical_dedup,
 #       crawl_quality_budgets, kg_incremental_from_recrawl, kg_graph_as_of,
