@@ -13994,141 +13994,123 @@ def events_weekday_profile(spark, sf_dir):
 # already green in CORRECTNESS_r01 rotate to the back. Every entry stays
 # registered — this only changes dict iteration order.
 
-# ---- round-5 window plan (written at the end of round 4) ------------------
-# 310 entries sit in DEFERRED (the r4 window froze at session-11 close;
-# sessions 11-12 registered ~175 more with "registered r4 AFTER …"
-# reasons) — six 50-slot windows of backlog. The r5 rotation should
-# prioritize:
-#   (a) compositions/flagships whose value-hash covers many components at
-#       once: kg_web_data_commons, kg_wdc_canonical_dedup,
-#       crawl_quality_budgets, kg_incremental_from_recrawl, kg_graph_as_of,
-#       corpus_bitext_pairs, sparql_service_exec, kg_pipeline_from_warc
-#       re-verify if its inputs changed;
-#   (b) entries with NOVEL oracle shapes the driver has never exercised:
-#       html_microdata_triples / html_rdfa_triples / html_web_tables
-#       (tag-stack walkers), multimodal_{jpeg,png,exif_ifd} (codec
-#       families), kg_{hits,label_propagation,entity_ppr} (iterative),
-#       docs_hashclf_quality + corpus_topical_pack (replayed models);
-#   (c) fill remaining slots from the rest of the r4-late list; whatever
-#       misses the r5 window stays DEFERRED with its reason updated —
-#       NEVER displace a (a)/(b) pick for a fill.
-# r4s12 additions to weigh into (a)/(b): crawl_outlink_frontier (one
-#   value-hash over extraction+resolution+canonicalization+REP —
-#   highest coverage-per-slot of the session), docs_cdc_chunks +
-#   docs_cdc_dedup_stats (novel stated-decomposition oracle),
-#   docs_lang_id_rank (frozen-model distances), crawl_http_policy +
-#   crawl_url_resolve (decision tables over new RFC machinery),
-#   warc_arc_records_parse (regeneration + decoy class),
-#   kg_adjacency_gaps / kg_degree_histogram (graph-layout pair),
-#   html_dom_stats (walker constants), corpus_pmi_phrases /
-#   corpus_dataset_card / lineitem_basket_pairs /
-#   events_retention_cohorts / events_markov_next (relational
-#   replays), kg_truthy_statements, docs_license_detect /
-#   docs_secret_redact / docs_script_profile (decision tables);
-#   second half of s12: kg_wikitext_* (links/infobox/redirects/
-#   abstract/coordinates — the DBpedia family, one window slot can
-#   cover several via the infobox flagship), docs_lang_id_rank +
-#   html_lang_declared_audit (frozen-model pair), docs_srt_cues,
-#   docs_span_corruption, docs_dialogue_turns, docs_front_matter,
-#   events_{retention,markov,inter_arrival,activity} (real-table
-#   replays), kg_{truthy,numeric_claim_spread} (fusion audits),
-#   warc_arc_records_parse, docs_{isbn,scholarly,measure,csv,
-#   dehyphenate}, crawl_{meta_refresh,podcast_enclosures,
-#   hreflang_reciprocity}, kg_{quote,acronym,citation,namespace,
-#   inverse_properties}, rdf_{literal_datatype_audit,tbox_abox_split},
-#   docs_tokenizer_fertility.
-# r4s11 additions to weigh into (a)/(b): kg_pipeline_from_warc-style
-#   container fronts docs_{pdf,docx,tar_code,mbox} (regeneration oracles
-#   over real binary walks), multimodal_flac_decode (order-sensitive
-#   wsum), kg_dictionary_encode + kg_dictionary_extend (the HDT layout
-#   pair — one row_number replay covers both build and maintenance),
-#   crawl_robots_wildcards (decision oracle with the escape-flip class),
-#   docs_mojibake_repair / docs_publish_dates / docs_pii_luhn_redact /
-#   docs_sentence_split (curation kernels with decision oracles),
-#   corpus_paginated_reassembly + warc_revisit_dedup (keep-first/jump
-#   shapes), docs_wordpiece_segment + kg_transe_rank_eval (frozen-model
-#   class beside docs_hashclf_quality).
-# Everything in-window below that comes back green in CORRECTNESS_r04 and
-# is impl-unchanged rotates OUT to DEFERRED ("green r4 …").
+# ---- round-5 window plan: EXECUTED (r5 first commit) ----------------------
+# The plan written at the end of round 4 is applied in the window below;
+# see the r6 plan after IMPL_CHANGED for what comes next.
 
 _VERIFY_FIRST = [
-    # round 4 head window — exactly 50 names. Priority (VERDICT r3 #1):
-    # (a) the ENTIRE 31-entry never-driver-checked backlog (every local
-    #     mirror-gated registration from r2/r3), so ever-green coverage
-    #     can reach 168/169 in one round with zero new code;
-    # (b) the 10 entries whose implementation changed AFTER the r3
-    #     driver check (k-core adaptive peeling, DISTINCT-aggregate
-    #     compile, integer pagerank damping, BGP/CONSTRUCT column-API
-    #     compile, range-partitioned shuffle/mixture positions,
-    #     collection coverage check, sq clamp);
-    # (c) fill with r1-only greens (oldest evidence) — displace a fill,
-    #     never a backlog/changed entry, when registering a new query.
+    # round-5 head window — exactly 50 names, ALL never driver-checked
+    # except the two impl-changed re-verifications (VERDICT r4 #1/#3/#7).
+    # Selection: (a) composition flagships whose one value-hash covers
+    # several components; (b) oracle shapes the driver has never
+    # exercised; (c) the cross-modal dedup contract pair; (d) entries
+    # whose implementation changed after their last green check;
+    # (e) fills = container fronts + family representatives. New r5
+    # registrations displace fills corpus_dataset_card /
+    # events_retention_cohorts / kg_fusion_majority first (cheapest
+    # replays, least novel shapes) — never an (a)-(d) pick.
     #
-    # (a) never driver-checked backlog — sinks & codecs
-    "rdf_nquads_format",
-    "rdf_trig_format",
-    "rdf_rdfxml_format",
-    "sparql_results_csv",
-    "rdf_mixed_rejects",
-    "multimodal_ppm_decode",
-    # (a) SPARQL 1.1 surface
-    "sparql_bind_exec",
-    "sparql_values_exec",
-    "sparql_minus_exec",
-    "sparql_having_exec",
-    "sparql_string_funcs",
-    "sparql_group_concat",
-    "sparql_path_seq",
-    "sparql_path_alt_inverse",
-    "sparql_update_exec",
-    "sparql_update_graph_mgmt",
-    # (a) analytics / inference / CDC / KG-training
-    "kg_comention_triangles",
-    "rdf_void_description",
-    "corpus_inverted_index",
-    "rdf_graph_diff",
-    "kg_owl_property_closure",
-    "kg_ifp_entity_resolution",
-    "kg_validate_after_inference",
-    "kg_skipgram_pairs",
-    # (a) curation / sampling / TPC-H stragglers
-    "dedup_containment_pairs",
-    "docs_text_normalize",
-    "corpus_curation_rejects",
-    "docs_boilerplate_removal",
-    "docs_stratified_sample",
-    "lineitem_returnflag_pivot",
-    "customers_with_orders_semi",
-    # (b) impl changed after the r3 driver check
-    "kg_copurchase_kcore",      # scale-adaptive peeled-set broadcast
-    "sparql_group_count",       # DISTINCT aggregates via typed Column API
-    "kg_entity_pagerank",       # two-step integer damping projection
-    "rdf_bgp_join",             # bgp.py cost-ordering touch-up
-    "sparql_construct",         # blank-label substring via Column API
-    "docs_shuffle_shards",      # range-partitioned _global_positions
-    "corpus_mixture_order",     # range-partitioned _global_positions
-    "rdf_collection_extract",   # detached-cycle coverage anti-join
-    "ann_sq_topk",              # sq_encode clamp (no-op in-envelope)
-    # (b, late) the r4 NT-engine datatype fix (empty ^^<> no longer
-    # NULLed) touched parse_ntriples_lines — this slot re-verifies it
-    "rdf_ntriples_parse",
-    # new this round (displaced the dedup_neardup_clusters,
-    # rdf_skolemize, events_asof_last_signup, ann_cosine_topk, and
-    # docs_quality_score, dedup_minhash_pairs, kg_triples_materialize, and
-    # rdf_turtle_parse fills — the S2 turtle path stays anchored in-window
-    # by rdf_mixed_corpus_parse, which routes turtle docs)
-    "multimodal_bmp_decode",
-    "docs_lm_fluency",
-    "docs_chunk_windows",
-    "events_funnel",
-    "kg_clustering_coefficient",
-    "dedup_semantic_drops",
-    "ann_ivf_invariants",
-    "kg_rdfs_closure_distributed",
-    # the session-4 flagship: .warc.gz container → HTTP parse → pages →
-    # page_triples, sharing _kg_e2e_oracle with the batch/stream fronts
-    "kg_pipeline_from_warc",
+    # (a) composition flagships
+    "kg_web_data_commons",
+    "kg_wdc_canonical_dedup",
+    "crawl_quality_budgets",
+    "kg_incremental_from_recrawl",
+    "kg_graph_as_of",
+    "corpus_bitext_pairs",
+    "sparql_service_exec",
+    "kg_pipeline_hdt_encode",
+    "crawl_outlink_frontier",
+    # (b) novel oracle shapes
+    "html_microdata_triples",
+    "html_rdfa_triples",
+    "html_web_tables",
+    "multimodal_jpeg_decode",
+    "multimodal_png_decode",
+    "multimodal_flac_decode",
+    "multimodal_exif_ifd",
+    "kg_hits_scores",
+    "kg_label_propagation",
+    "kg_entity_ppr",
+    "docs_hashclf_quality",
+    "docs_cdc_chunks",
+    "kg_dictionary_encode",
+    # (c) the cross-modal dedup contract pair (shared two-word Hamming
+    # code layout — the slot-pair verifies it end-to-end)
+    "ann_hamming_topk",
+    "multimodal_image_neardup",
+    # (d) impl-changed after last green check: entity_vocabulary now
+    # ranks via the range-partitioned _global_positions idiom (the r4
+    # verdict's one scale-killer) — values identical by construction
+    # (same lexicographic dense rank), re-verified under the hash gate
+    "kg_negative_samples",
+    "kg_transe_rank_eval",
+    # (e) fills — container/ingest fronts
+    "warc_arc_records_parse",
+    "docs_pdf_extract",
+    "docs_docx_extract",
+    "docs_tar_code_stats",
+    "docs_mbox_extract",
+    "rdf_jsonld_format",
+    "rdf_ntriples_star_parse",
+    # (e) fills — wikitext / crawl / curation family representatives
+    "kg_wikitext_infobox",
+    "kg_wikitext_links",
+    "crawl_robots_wildcards",
+    "crawl_url_resolve",
+    "crawl_http_policy",
+    "docs_pii_luhn_redact",
+    "docs_mojibake_repair",
+    "docs_wordpiece_segment",
+    "docs_lang_id_rank",
+    # (e) fills — sketches, HDT pair, structured data, real-table replays
+    "docs_hll_registers",
+    "events_retention_cohorts",
+    "corpus_dataset_card",
+    "kg_dictionary_extend",
+    "kg_encoded_bgp",
+    "kg_fusion_majority",
+    "html_jsonld_triples",
+    "multimodal_sniff_route",
 ]
+
+# Already-green entries allowed in the window ONLY while listed here
+# with the implementation change that justifies re-verification —
+# tests/test_queries_oracle.py asserts window ∩ ever-driver-green ⊆
+# IMPL_CHANGED while never-checked entries remain (VERDICT r4 #1's
+# missing hygiene assertion).
+IMPL_CHANGED = {
+    "kg_negative_samples": (
+        "green r3; entity_vocabulary (operators/kg_training.py) switched "
+        "from an unpartitioned Window.orderBy to the range-partitioned "
+        "_global_positions idiom in r5 — same values, new plan"
+    ),
+}
+
+# ---- round-6 window plan (written at the start of round 5) ----------------
+# ~133 never-checked entries remain after the r5 window (plus any r5
+# registrations that miss the window). Priority for r6:
+#   (a) compositions first: crawl_mirror_hosts (whole-host dedup
+#       flagship), corpus_paginated_reassembly, kg_canonical_graph_hash
+#       (+ kg_canonical_labels via the same WL replay), docs_main_content,
+#       docs_html_markdown, warc_http_pages / warc_gz_records_parse /
+#       warc_records_parse (the WARC base pair behind the green .warc.gz
+#       flagship), kg_web_bowtie (budget-permitting: ~12s gate wall);
+#   (b) novel shapes: warc_cdx_index (byte-offset cumsum),
+#       docs_idn_hosts (punycode codec), docs_registered_domain
+#       (public-suffix decision), multimodal_{gif,tga,ico,qoi,mulaw,
+#       id3_frames,mp3_frames,mp4_boxes} (codec families not in r5),
+#       corpus_cm_sketch + corpus_domain_hll + docs_bloom_probe
+#       (sketch registers), kg_redirect_closure + crawl_redirect_resolve
+#       (pointer jumping), docs_span_corruption (shifted-zip);
+#   (c) fills from the r4s12 real-table/decision-table tail:
+#       events_{markov_next,inter_arrival,activity_rollups,
+#       weekday_profile}, docs_{license_detect,secret_redact,
+#       script_profile,sentence_split,publish_dates,casing_profile,...},
+#       kg_wikitext_{sections,redirects,abstract,coordinates},
+#       crawl_{sitemap_entries,feed_entries,meta_refresh,...},
+#       rdf_{literal_datatype_audit,tbox_abox_split,iri_percent_normalize}.
+# Windows r7-r8 drain the remainder (~33/round after r6); nothing new
+# registers without displacing a fill (VERDICT r4 #2 freeze).
 
 # Every registered query is either in the 50-slot head window above or
 # tracked here with an explicit adjudication — tests/test_queries_oracle.py
@@ -14137,6 +14119,58 @@ _VERIFY_FIRST = [
 # finding: the r2->r3 backlog grew 9->26 with each displacement locally
 # reasonable but the aggregate untracked).
 DEFERRED = {
+    # ---- rotated OUT of the r5 window (checked + green in r4) ----
+    "rdf_nquads_format": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_trig_format": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_rdfxml_format": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_results_csv": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_mixed_rejects": "green r4 under the driver hash gate; impl unchanged since",
+    "multimodal_ppm_decode": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_bind_exec": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_values_exec": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_minus_exec": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_having_exec": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_string_funcs": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_group_concat": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_path_seq": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_path_alt_inverse": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_update_exec": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_update_graph_mgmt": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_comention_triangles": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_void_description": "green r4 under the driver hash gate; impl unchanged since",
+    "corpus_inverted_index": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_graph_diff": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_owl_property_closure": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_ifp_entity_resolution": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_validate_after_inference": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_skipgram_pairs": "green r4 under the driver hash gate; impl unchanged since",
+    "dedup_containment_pairs": "green r4 under the driver hash gate; impl unchanged since",
+    "docs_text_normalize": "green r4 under the driver hash gate; impl unchanged since",
+    "corpus_curation_rejects": "green r4 under the driver hash gate; impl unchanged since",
+    "docs_boilerplate_removal": "green r4 under the driver hash gate; impl unchanged since",
+    "docs_stratified_sample": "green r4 under the driver hash gate; impl unchanged since",
+    "lineitem_returnflag_pivot": "green r4 under the driver hash gate; impl unchanged since",
+    "customers_with_orders_semi": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_copurchase_kcore": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_group_count": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_entity_pagerank": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_bgp_join": "green r4 under the driver hash gate; impl unchanged since",
+    "sparql_construct": "green r4 under the driver hash gate; impl unchanged since",
+    "docs_shuffle_shards": "green r4 under the driver hash gate; impl unchanged since",
+    "corpus_mixture_order": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_collection_extract": "green r4 under the driver hash gate; impl unchanged since",
+    "ann_sq_topk": "green r4 under the driver hash gate; impl unchanged since",
+    "rdf_ntriples_parse": "green r4 under the driver hash gate; impl unchanged since",
+    "multimodal_bmp_decode": "green r4 under the driver hash gate; impl unchanged since",
+    "docs_lm_fluency": "green r4 under the driver hash gate; impl unchanged since",
+    "docs_chunk_windows": "green r4 under the driver hash gate; impl unchanged since",
+    "events_funnel": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_clustering_coefficient": "green r4 under the driver hash gate; impl unchanged since",
+    "dedup_semantic_drops": "green r4 under the driver hash gate; impl unchanged since",
+    "ann_ivf_invariants": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
+    # ---- deferred with written reasons ----
     "events_weekday_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): weekday seasonality fingerprint on the REAL events table via pure epoch arithmetic (no calendar functions); full SQL replay",
     "kg_wikitext_sections": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): heading-outline extraction for section-aware chunking (row-local numbering, unbalanced fences, mid-text decoy); regeneration oracle",
     "docs_nfkc_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): NFKC compatibility normalization (fullwidth/ligature/superscript folding web text needs beyond NFC), composed with accent folding for an ASCII gate; decision-table oracle",
@@ -14170,8 +14204,6 @@ DEFERRED = {
     "kg_wikitext_abstract": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DBpedia-style lead-abstract extraction (templates drop, links reduce to display, empty-lead class kept as a row); decision-table oracle",
     "kg_wikitext_redirects": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): redirect-page alias mining (dump-side alias dictionary feed; case-insensitive keyword, piped display ignored, anchored against prose mentions); regeneration oracle",
     "docs_dialogue_turns": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): dialogue-log structuring (row-local dense turn numbering via array filter before posexplode; clock/URL/narration decoys pin the speaker grammar); regeneration oracle",
-    "kg_wikitext_links": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): wikitext link extraction (co-mention graph + anchor dictionary from Wikipedia dumps; piped/bare/namespace link forms); regeneration oracle",
-    "kg_wikitext_infobox": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): DBpedia-style infobox field extraction (balanced-brace + link-depth scan; nested templates drop, link pipes never split); regeneration oracle incl. a zero-row no-box class",
     "docs_span_corruption": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): T5 span-corruption planning (content-addressed masks, shifted-zip span starts, encoder/decoder lengths) — row-local array algebra with a relational lag-window replay oracle",
     "docs_srt_cues": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): SubRip subtitle ingest (video-transcript corpus front) as pure column algebra; regeneration oracle with a multi-line cue and a grammar-dropped malformed block",
     "html_lang_declared_audit": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): declared-vs-detected language audit (template-mislabel signal, subtag folding, order-tolerant attr grammar, detector abstention); one-pass composition with the rank LID, decision-table oracle",
@@ -14180,53 +14212,29 @@ DEFERRED = {
     "docs_tokenizer_fertility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): tokenizer fertility comparison (whitespace vs frozen BPE vs frozen WordPiece on one text, classes where the tokenizers rank differently); frozen-model constants pinned by the pure-mirror test",
     "docs_cdc_dedup_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the chunk-level archive-dedup rollup behind docs_cdc_chunks (stored vs distinct bytes from the same pinned decompositions); closed-form single-row oracle",
     "events_markov_next": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): first-order event-type transition matrix on the REAL events table (deterministic (ts,event_id) stream order, basis-point rows, ranked successors); full SQL replay",
-    "warc_arc_records_parse": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): legacy ARC v1 container (the pre-WARC Common Crawl format) under a full regeneration oracle with header-decoy bodies proving length-sliced walking",
     "kg_truthy_statements": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): Wikidata rank-model truthy selection (preferred shadows normal, deprecated never serves) with rank classes interleaved into shared groups; full SQL replay",
-    "docs_lang_id_rank": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): Cavnar-Trenkle rank-profile language id over ASCII-only classes the marker heuristic cannot separate; frozen-model oracle pins the exact out-of-place distances",
     "lineitem_basket_pairs": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): market-basket association on the REAL lineitem scan reusing the co-mention integer lift machinery (generality evidence); full SQL replay with support filter",
-    "events_retention_cohorts": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): cohort retention triangle over the REAL events table (first-seen-week cohorts, distinct-before-count); full SQL replay under the epoch-DIV week bucketing",
     "html_dom_stats": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): structural page statistics as a _Walk subclass (script-skip, void-tag, lenient-close classes); walker-computed constants pinned by unit test, decision-table oracle",
     "kg_degree_histogram": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): log2-bucketed degree distribution per direction (the pre-flight skew diagnostic for graph-keyed joins); full SQL replay via the MSB bucket idiom",
-    "crawl_outlink_frontier": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): the href-to-frontier flagship composition (extraction -> RFC 3986 resolution -> canonicalization -> REP decision) whose closed-form oracle covers four stages at once incl. the zero-row link-free class",
-    "corpus_dataset_card": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-(source,lang) datasheet aggregates over the REAL documents table (volumes, dup mass in bp, centi-token means); one grouped aggregate, full SQL replay",
     "docs_secret_redact": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): credential scanning/redaction for code corpora (five families incl. multiline PEM blocks, sorted kinds audit column, boundary-guard decoys); closed-form decision-table oracle incl. the redacted text",
     "docs_license_detect": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): code-license filter (SPDX tag channel over grant-phrase channel, names-are-not-grants decoy, unrecognized-id fall-through); pure decision-table oracle",
-    "docs_cdc_chunks": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): gear-hash content-defined chunking (byte-level archive dedup below the shingle family) under a NOVEL stated-decomposition oracle — cut positions pinned offline + by unit test, DuckDB recomputes the chunk-md5 signature from substrings at the stated positions without ever running the hash",
     "kg_adjacency_gaps": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): BV/WebGraph gap-encoded adjacency accounting (the structure-side compression beside the HDT dictionary pair); DuckDB list-algebra replay incl. the indexed-transform gap derivation and the length(bin) varint fold",
     "corpus_pmi_phrases": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): adjacent-bigram collocation mining (phrase vocabulary for tokenizers/n-gram LMs) via the integer lift recipe; full relational replay oracle incl. the posexplode zip + pos+1 self-join; cross-template counts and a sub-support index token are the trap classes",
     "docs_script_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): writing-system histogram + dominant-script router upstream of lang id (which tokenizer / lang-id model / CJK accounting applies); closed-form decision oracle with a mixed-script argmax class under the LPA winner rule",
-    "crawl_http_policy": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 9111 freshness + Retry-After backoff as the recrawl scheduler's obey-the-server side; decision-table oracle with an s-maxage decoy and a backoff-overrides-fresh precedence class; exercises the new IMF-fixdate integer date parser",
-    "crawl_url_resolve": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): RFC 3986 §5.2 reference resolution (the gap between href extraction and every URL-keyed consumer); decision oracle states the resolved URL per reference class, kernel pinned vs the RFC §5.4 example table + hypothesis vs stdlib urljoin",
-    "kg_encoded_bgp": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the HDT payoff demonstrated (id-space BGP joins, strings only at the decode edge); oracle states bindings directly from the base table so the whole encode/join/decode chain must compose",
     "docs_cjk_token_count": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): CJK bigram token accounting (the n-1 law per Han run under the hash); fixes the 40x zh undercount that corrupts packing/mixture weights",
-    "multimodal_image_neardup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): cross-modal dedup composition (aHash → pigeonhole bands → exact verify); the oracle's DIRECT pair join independently checks the banding's completeness",
     "multimodal_ahash_codes": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): perceptual image hashing in the shared Hamming word layout (cross-modal dedup machinery); exact integer block-mean replay oracle",
     "docs_readability_fk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the FK grade signal as per-term integer division (oracle derives grades from the same stated arithmetic, never observed output); simple/jargon/degenerate classes",
-    "rdf_jsonld_format": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the JSON-LD expanded-form sink (reader/writer symmetry); byte-exact closed-form oracle assembled independently from the base tables; reader roundtrip + escape/lang/typed rendering unit-pinned",
-    "rdf_ntriples_star_parse": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RDF-star annotation ingest (content-addressed statement skolems + globally-deduped reification expansion, pure column algebra); regeneration oracle with DuckDB-side md5 incl. the shared-statement dedupe class",
     "crawl_robots_status": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 9309 §2.3.1 fetch-status semantics (4xx allow-all / 5xx+unreachable disallow-all overriding the rule decision both ways); decision-table oracle",
     "docs_page_meta": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the title/description/h1/favicon projection under a per-class decision oracle (attr order variance, multi-line titles, nested-tag strip, shortcut-icon variant)",
     "crawl_sitemap_media": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the news/image sitemap namespaces (media-crawl discovery inputs) under a regeneration oracle with a must-emit-nothing plain-url class",
     "crawl_link_headers": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 8288 Link-header rel extraction (quoted/bare/multi-valued members with a token-boundary decoy class) feeding the reassembly + syndication consumers",
-    "ann_hamming_topk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the third quantization family (binary sign codes + bit_count(xor) Hamming) over the real embeddings table; engine-exact sign tests, full replay oracle",
     "docs_language_mix": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): code-switching detection (sentence splitter × per-sentence lang id as row-local array algebra, zero shuffle); tie-break pinned to the LPA lexicographic winner",
     "crawl_clean_params": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the DECLARED strip list (Yandex Clean-param) beside the mined DUST rules; prefix-scoped decision oracle with cross-host isolation",
     "docs_gopher_quality": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the named Gopher rule family as per-rule integer flags under a pure decision-table oracle (each class violates exactly one rule)",
-    "kg_pipeline_hdt_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): composition flagship (full e2e pipeline landing in the HDT dictionary layout); nests the SHARED e2e regeneration + rank replay, so one green row covers pipeline AND dictionary at once",
-    "kg_dictionary_extend": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): incremental HDT maintenance (frozen base ids + dense append via anti-join + broadcast max); two-phase row_number replay oracle; stability pinned by unit test",
-    "docs_pii_luhn_redact": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): checksum-validated PII (unrolled Luhn in codegen, literal span replace); the broken-check-digit class pins the false-positive gate a regex-only redactor lacks",
-    "kg_transe_rank_eval": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the eval loop for the KG-embedding prep family (frozen integer TransE, optimistic-rank corruption protocol, one codegen projection); full integer replay oracle",
     "docs_sentence_split": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): sentence boundary detection as ONE codegen regexp (abbreviation/initial lookbehind guards); class oracle states the sentences, a guard failure changes row counts",
-    "kg_dictionary_encode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the HDT/RDF-3X dictionary layout (dense binary-rank ids via the _global_positions idiom, shared literal/IRI id space, decode riding the same hash); full row_number replay oracle",
     "corpus_paginated_reassembly": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): fragment-to-document reassembly over rel=next chains (resolve_redirects pointer jumping re-used on the reversed relation); cycle class degrades to flagged standalones; order-observable full_text",
     "docs_publish_dates": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): page dating for freshness/temporal splits; the integer civil-date arithmetic (functions/dates.py) is checked INDEPENDENTLY by DuckDB's native calendar — two unrelated epoch implementations under one hash; decoys pin the meta>time>url precedence",
-    "crawl_robots_wildcards": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): RFC 9309 special characters (* and $ via escaped-LIKE translation on the rule side) under a decision oracle whose literal-%/_ class flips if the escape is forgotten; crawl_robots_frontier re-ran green after the shared matcher change (prefix semantics preserved)",
-    "multimodal_flac_decode": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): predictive audio coding (Rice residuals + fixed predictors + frame CRCs) under a decoder-independent signal-regeneration oracle with an order-sensitive weighted sum",
-    "docs_wordpiece_segment": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the BERT tokenizer family beside the BPE trainer (greedy longest-match WordPiece with ##-continuations and whole-word [UNK]); class oracle pins the greedy decision points (longest-beats-shorter cover, shortest-first breaker, single-UNK collapse)",
     "warc_revisit_dedup": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): completes the WARC record-type surface (revisit records with Refers-To resolution) via the keep-first min(struct) + digest-join shape; zero-Python entry, closed-form decision oracle with engine-computed digests",
-    "docs_mojibake_repair": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the encoding-damage curation step (iterated sloppy-cp1252 re-encode + strict-UTF-8-decode acceptance gate) under repaired closed forms per damage class incl. the look-alike trap that must survive untouched",
-    "docs_mbox_extract": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the mailing-list corpus front (mboxrd framing, RFC 2047 Q/B header words, quoted-printable + base64 transfer decode, nested multipart walk — all under decoded closed forms; stdlib email is the independent cross-check)",
-    "docs_tar_code_stats": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the source-code corpus ingest front (checksum-validated ustar walk + StarCoder filter-family stats as pure JVM columns, all under digit-count closed forms; hand-rolled writer cross-checked against stdlib tarfile both directions)",
     "crawl_dust_rules": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): DUST param-irrelevance mining (named WWW'07 algorithm) under a pure decision oracle; digests engine-computed, verdicts stated from index arithmetic",
     "docs_html_markdown": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): the LLM-corpus text serialization front (HTML→Markdown via the shared _Walk base) under a full regeneration oracle (oracle writes the markdown, synthesizer writes the html, the walker is checked not replayed)",
     "multimodal_ico_decode": "registered r4s10 AFTER the r4 window froze — r5 window candidate class (a)+(b): multi-image container decode (ICONDIR walk + in-ICO BMP with doubled biHeight and 1-bit AND mask) under decoder-independent closed forms incl. the flip-sensitive top_transparent",
@@ -14235,8 +14243,6 @@ DEFERRED = {
     "corpus_paragraph_dedup": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a): real-table keep-first paragraph dedup (the Dolma policy beside the C4 removal policy), window-free argmin design",
     "docs_inline_media_decode": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (a)+(b): composition entry (JVM data:-URL extraction feeding the real BMP codec under the decoder-independent pixel closed forms)",
     "kg_web_bowtie": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (six-way Broder decomposition replayed by four recursive closures; the heaviest iterative entry at ~12s gate wall — weigh against window budget)",
-    "docs_docx_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (ZIP central-directory walk + CRC + WordprocessingML run-joining under one regeneration closed form; hand-rolled writer cross-checked against stdlib zipfile in tests)",
-    "docs_pdf_extract": "registered r4s9 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (container walk + xref validation + content-stream tokenizer all under one regeneration closed form; first non-HTML document-format front)",
     "crawl_mirror_hosts": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (a)+(b): whole-host dedup flagship (banded host MinHash + exact integer-Jaccard verify under a per-site closed-form decision oracle)",
     "crawl_chunked_decode": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): wire-framing decode under a regeneration oracle (uppercase hex, extensions, trailers all exercised; decoded body a closed form)",
     "docs_surt_keys": "registered r4s8 AFTER the r4 window froze — r5 window candidate class (b): spec-decision oracle over every SURT rule class (the CDX range-scan sort key, zero-shuffle JVM projection)",
@@ -14271,7 +14277,6 @@ DEFERRED = {
     "kg_random_walks": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
     "sparql_select_expr": "green r3 under the driver hash gate; impl unchanged since",
     "sparql_path_plus": "green r3 under the driver hash gate; impl unchanged since",
-    "kg_negative_samples": "green r3 under the driver hash gate; impl unchanged since",
     "corpus_bpe_train": "green r3 under the driver hash gate; impl unchanged since",
     "sparql_path_star": "green r3 under the driver hash gate; impl unchanged since",
     "sparql_exists_exec": "green r3 under the driver hash gate; impl unchanged since",
@@ -14377,17 +14382,13 @@ DEFERRED = {
     "kg_entity_linking_fuzzy": "green r2 under the driver hash gate; impl unchanged since",
     "kg_entity_linking": "green r2 under the driver hash gate; impl unchanged since",
     "kg_comention_weights": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_label_propagation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_gif_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_hits_scores": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "docs_hll_registers": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_bloom_probe": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_entity_ppr": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_tga_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "lineitem_zorder_keys": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_domain_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
@@ -14407,41 +14408,24 @@ DEFERRED = {
     "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_charset_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_budget_allocation": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_fusion_majority": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_recrawl_delta": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_incremental_from_recrawl": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_fusion_weighted": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_fusion_latest": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_jpeg_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_summary_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_url_templates": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_png_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "html_jsonld_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "html_microdata_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "html_rdfa_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_web_data_commons": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "html_opengraph_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_wdc_canonical_dedup": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "docs_hashclf_quality": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "html_web_tables": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "web_table_schemas": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_feed_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "html_image_alt_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "corpus_bitext_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_revisit_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_quality_budgets": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "sparql_service_exec": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_graph_as_of": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_topical_pack": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_shape_mining": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_key_discovery": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_edge_split": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_neighbor_sample": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_exif_ifd": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_entity_summary": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_wet_roundtrip": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_sniff_route": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_neighborhood_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_frontier_expansion": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_robots_sitemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",

@@ -148,3 +148,39 @@ def test_verify_window_and_deferred_partition_the_registry():
         )
     # the registry dict must actually lead with the window, in order
     assert list(QUERIES)[:50] == window
+
+
+def test_window_spends_slots_on_never_checked_entries():
+    """VERDICT r4 #1: while never-driver-checked entries exist, the
+    50-slot window must not re-verify an already-green, unchanged entry
+    — each such slot would burn the round's only hard signal on a known
+    result. Already-green entries are allowed in-window ONLY while
+    listed in IMPL_CHANGED with the implementation change that
+    justifies re-verification."""
+    import glob
+    import json
+
+    from rdf_rs_spark.entry_queries import IMPL_CHANGED, _VERIFY_FIRST
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever_checked = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        ever_checked |= set(json.load(open(path)))
+    if not ever_checked:
+        pytest.skip("no driver correctness records present")
+    never_checked_exist = bool(
+        set(entry_mod.queries()) - ever_checked - set(_VERIFY_FIRST)
+    ) or bool(set(_VERIFY_FIRST) - ever_checked)
+    if not never_checked_exist:
+        return  # backlog drained: re-verification is the best use of slots
+    stale = set(_VERIFY_FIRST) & ever_checked - set(IMPL_CHANGED)
+    assert not stale, (
+        f"window slots wasted on already-green, unchanged entries "
+        f"(add to IMPL_CHANGED with a reason or rotate out): {sorted(stale)}"
+    )
+    for name, reason in IMPL_CHANGED.items():
+        assert isinstance(reason, str) and len(reason) >= 15, name
+        assert name in _VERIFY_FIRST, (
+            f"IMPL_CHANGED[{name!r}] is not in the window — either rotate "
+            f"it in or drop the annotation"
+        )
