@@ -26,12 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..terms import KIND_BLANK, KIND_LITERAL
+from .sampling import _global_positions
 
 
 def entity_vocabulary(triples: DataFrame) -> DataFrame:
     """(entity, idx): every subject and resource object under its
     subject encoding, deterministically dense-indexed by lexicographic
-    order (one global sort — vocabulary-sized, not edge-sized)."""
+    order via the range-partitioned ``_global_positions`` idiom
+    (``operators/dictionary.py`` uses the same shape for term ids).
+
+    The vocabulary is the DISTINCT node set of a web-scale KG — itself
+    corpus-scale (billions of entities at 10^12 pages), so an
+    unpartitioned ``Window.orderBy`` here would funnel every entity
+    through ONE task (VERDICT r4 finding). ``_global_positions`` ranks
+    with two balanced exchanges instead."""
     obj_node = F.when(
         F.col("obj_kind") == KIND_BLANK, F.concat(F.lit("_:"), F.col("obj_lex"))
     ).otherwise(F.col("obj_lex"))
@@ -43,8 +51,8 @@ def entity_vocabulary(triples: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return nodes.withColumn(
-        "idx", F.row_number().over(Window.orderBy("entity")) - 1
+    return _global_positions(nodes, ["entity"]).withColumnRenamed(
+        "position", "idx"
     )
 
 

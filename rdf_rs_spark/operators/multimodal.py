@@ -3,25 +3,38 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
 
-Seven decode paths are REAL (stdlib + numpy only, driver-oracled):
-PCM WAV (:func:`decode_wav_features`), binary PPM
-(:func:`decode_ppm_features`), 24-bit BMP
-(:func:`decode_bmp_features` — stride padding, BGR order, bottom-up
-flip), G.711 mu-law WAV (:func:`decode_mulaw_features` — a real
-COMPRESSED/companded codec: hand-walked RIFF chunks + table
-expansion), GIF89a (:func:`decode_gif_features` — a real
-DICTIONARY-CODED codec: variable-width LSB-first LZW), TGA
-type 10 (:func:`decode_tga_features` — a real RUN-LENGTH-CODED
-codec: run/literal packet walk), and QOI
-(:func:`decode_qoi_features` — run-length + hash-indexed color +
-wrapping delta coding + literal escape in one public-domain
-format). The codec
-step for TRANSFORM-CODED formats
-(JPEG/MP3/H.264) remains STUBBED — no PIL/ffmpeg in this
-container: ``decode_stub=True`` produces deterministic fake features
+FIFTEEN decode paths are REAL (stdlib + numpy only, driver-oracled),
+covering every compression family:
+
+- uncompressed: PCM WAV (:func:`decode_wav_features`), binary PPM
+  (:func:`decode_ppm_features`), 24-bit BMP
+  (:func:`decode_bmp_features` — stride padding, BGR order, bottom-up
+  flip), ICO (:func:`decode_ico_features` — ICONDIR walk + in-ICO BMP
+  with doubled biHeight and 1-bit AND mask);
+- companded: G.711 mu-law WAV (:func:`decode_mulaw_features` —
+  hand-walked RIFF chunks + table expansion);
+- dictionary-coded: GIF89a (:func:`decode_gif_features` —
+  variable-width LSB-first LZW);
+- run-length: TGA type 10 (:func:`decode_tga_features`), QOI
+  (:func:`decode_qoi_features` — run-length + hash-indexed color +
+  wrapping delta + literal escape);
+- transform-coded: baseline JPEG (:func:`decode_jpeg_features` — real
+  DHT-Huffman entropy decode, dequant, zigzag, IDCT), PNG
+  (:func:`decode_png_features` — zlib inflate + all five scanline
+  filters);
+- predictive: FLAC (:func:`decode_flac_features` — Rice residuals,
+  fixed predictors, frame CRCs);
+- framing/metadata walks: MP3 frame headers
+  (:func:`decode_mp3_frames`), MP4/ISO-BMFF boxes
+  (:func:`decode_mp4_boxes`), EXIF/TIFF IFDs (:func:`decode_tiff_ifd`),
+  ID3v2 frames (:func:`decode_id3_frames`).
+
+The ONLY remaining stub is SAMPLE decode for motion/psychoacoustic
+codecs (H.264 pictures, MP3 audio samples — no ffmpeg/mad in this
+container): ``decode_stub=True`` produces deterministic fake features
 (a seeded digest of the bytes), while the Spark-side plumbing — schema,
 batch shape, partitioning, UDF signature — is real and tested. Swap
-``_decode_image`` for a PIL/libvips call on a real cluster.
+``_decode_image`` for a PIL/libvips/ffmpeg call on a real cluster.
 """
 
 from __future__ import annotations

@@ -1118,3 +1118,41 @@ def test_outlink_frontier_decision_join_on_distinct_targets(spark):
     # distinct targets -> one aggregate pair before the decision join
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_entity_vocabulary_never_single_partition(spark):
+    """VERDICT r4: the entity vocabulary is corpus-scale (every distinct
+    subject+object of a web-scale KG), so dense ids must come from the
+    range-partitioned ``_global_positions`` idiom — never an
+    unpartitioned ``Window.orderBy`` that funnels the whole node set
+    through ONE task."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.kg_training import entity_vocabulary
+    from rdf_rs_spark.plans.inspect import explain_str
+
+    i = F.col("id")
+    triples = spark.range(100).select(
+        F.concat(F.lit("http://e/"), (i % 40).cast("string")).alias("subj"),
+        F.lit("http://e/r").alias("pred"),
+        F.lit(0).alias("obj_kind"),
+        F.concat(F.lit("http://e/"), ((i * 7) % 40).cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    vocab = entity_vocabulary(triples)
+    plan = explain_str(vocab, "simple")
+    # the corpus-side rank window is partitioned by the materialized
+    # partition id — an unpartitioned spec would read
+    # `windowspecdefinition(entity#N ASC ...)` with no partition column.
+    # (the one SinglePartition exchange left in the plan is the
+    # n_parts-row offsets relation — bounded by partition COUNT, fine.)
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(_pid" in plan, plan
+    assert "windowspecdefinition(entity" not in plan, plan
+    # dense 0-based ids under lexicographic entity order (the contract
+    # the negative-sampling index join and the oracle both rely on)
+    rows = sorted((r["idx"], r["entity"]) for r in vocab.collect())
+    assert [r[0] for r in rows] == list(range(len(rows)))
+    assert [r[1] for r in rows] == sorted(r[1] for r in rows)
+    spark.catalog.clearCache()
