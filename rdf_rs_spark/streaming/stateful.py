@@ -106,6 +106,29 @@ _SESSION_STATE = T.StructType(
 )
 
 
+def _advance_session(state, ts_sorted, gap_s):
+    """The pure per-micro-batch session state machine — ONE shared
+    implementation drives both the streaming GroupState kernel
+    (:func:`sessionize_stream`) and the batch replay harness
+    (:func:`sessionize_replay`) that puts it under the driver's hash
+    gate. ``state`` is ``(start, last, n)`` or ``None``; returns
+    ``(new_state, closed_sessions)``. A cross-batch LATE event
+    (``t < last``) joins the open session but must not move its end
+    backwards — a regressed ``last`` would split the session on the
+    next in-order event."""
+    start, last, n = state if state is not None else (None, None, 0)
+    closed = []
+    for t in ts_sorted:
+        if last is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_s:
+            closed.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = max(last, t), n + 1
+    return ((start, last, n) if last is not None else None, closed)
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_s: int = 300,
@@ -130,28 +153,13 @@ def sessionize_stream(
         for pdf in pdf_iter:
             ts.extend(int(t) for t in pdf[ts_col])
         ts.sort()
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start = last = None
-            n = 0
-        out = []
-        for t in ts:
-            if last is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_s:
-                out.append((key[0], start, last, n))
-                start, last, n = t, t, 1
-            else:
-                # a cross-batch LATE event (t < last) joins the open
-                # session but must not move its end backwards — a
-                # regressed `last` would split the session on the next
-                # in-order event
-                last, n = max(last, t), n + 1
-        if last is not None:
-            state.update((start, last, n))
+        prev = tuple(state.get) if state.exists else None
+        new_state, closed = _advance_session(prev, ts, gap_s)
+        if new_state is not None:
+            state.update(new_state)
         yield pd.DataFrame(
-            out, columns=["user", "session_start", "session_end", "n_events"]
+            [(key[0], s, e, n) for (s, e, n) in closed],
+            columns=["user", "session_start", "session_end", "n_events"],
         )
 
     return events.groupBy(user_col).applyInPandasWithState(
@@ -161,3 +169,43 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_replay(
+    events: DataFrame,
+    gap_s: int = 300,
+    user_col: str = "user",
+    ts_col: str = "ts_unix",
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """Batch REPLAY of the streaming sessionization state machine: fold
+    a static micro-batch sequence (``batch_col`` orders the batches)
+    through the SAME :func:`_advance_session` kernel the GroupState
+    path runs, per user, and emit every closed session (``is_open=0``)
+    plus the final open-tail state as a row (``is_open=1``). This is
+    what puts the stateful kernel under the driver's value-hash gate
+    (streaming sinks themselves cannot be driver queries).
+
+    Scale shape: one shuffle on the user key; per-group state is three
+    integers regardless of session length, and the kernel is O(events
+    of that user) — the replay is a gate harness, the production path
+    stays ``applyInPandasWithState``."""
+    out_cols = ["user_key", "session_start", "session_end", "n_events", "is_open"]
+    schema = T.StructType(
+        [T.StructField("user_key", T.StringType(), False)]
+        + [T.StructField(c, T.LongType(), False) for c in out_cols[1:]]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        user = pdf[user_col].iloc[0]
+        state = None
+        rows = []
+        for b in sorted(pdf[batch_col].unique()):
+            ts = sorted(int(t) for t in pdf.loc[pdf[batch_col] == b, ts_col])
+            state, closed = _advance_session(state, ts, gap_s)
+            rows.extend((str(user), s, e, n, 0) for (s, e, n) in closed)
+        if state is not None:
+            rows.append((str(user), state[0], state[1], state[2], 1))
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return events.groupBy(user_col).applyInPandas(fn, schema)

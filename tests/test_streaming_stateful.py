@@ -254,3 +254,54 @@ def test_sessionize_late_event_does_not_regress_session_end(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from late_sessions").collect()
     assert sorted(tuple(r) for r in rows) == [("A", 0, 780, 4)]
+
+
+def test_sessionize_replay_matches_stream_and_exposes_state(spark, tmp_path):
+    """The batch replay harness behind the streaming_sessionize_replay
+    gate entry folds the SAME _advance_session kernel the GroupState
+    path runs: its closed rows (is_open=0) must equal what the real
+    stream emits for the same micro-batch decomposition, and its
+    is_open=1 rows are exactly the open-tail state the stream keeps."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.streaming.stateful import sessionize_replay, sessionize_stream
+
+    src = tmp_path / "parity"
+    src.mkdir()
+    (src / "a.csv").write_text("A,0\nA,400\nB,10\n")
+    (src / "b.csv").write_text("A,250\nA,780\nA,99999\nB,2000\n")
+    events_stream = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(F.split("value", ",")[0].alias("user"),
+                F.split("value", ",")[1].cast("long").alias("ts_unix"))
+    )
+    q = (
+        sessionize_stream(events_stream, gap_s=500)
+        .writeStream.format("memory").queryName("parity_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        tuple(r) for r in spark.sql("select * from parity_sessions").collect()
+    )
+
+    rows = [("A", 0, 0), ("A", 400, 0), ("B", 10, 0),
+            ("A", 250, 1), ("A", 780, 1), ("A", 99999, 1), ("B", 2000, 1)]
+    events_batch = spark.createDataFrame(
+        rows, "user string, ts_unix long, batch_id int"
+    )
+    replayed = sessionize_replay(
+        events_batch, gap_s=500, user_col="user", ts_col="ts_unix",
+        batch_col="batch_id",
+    ).collect()
+    closed = sorted(
+        (r["user_key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in replayed if r["is_open"] == 0
+    )
+    assert closed == streamed == [("A", 0, 780, 4), ("B", 10, 10, 1)]
+    open_tails = sorted(
+        (r["user_key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in replayed if r["is_open"] == 1
+    )
+    assert open_tails == [("A", 99999, 99999, 1), ("B", 2000, 2000, 1)]
