@@ -14144,13 +14144,16 @@ _VERIFY_FIRST = [
     "docs_lang_id_rank",
     # (e) fills — sketches, HDT pair, structured data, real-table replays
     "docs_hll_registers",
-    "events_retention_cohorts",
+    # r5 impl-changed (displaced the events_retention_cohorts and
+    # kg_fusion_majority fills): both serialize through the rewritten
+    # escape_debug_col + flat-concat line assembly
+    "rdf_ntriples_format",
+    "rdf_nquads_format",
     # r5 registration (displaced the corpus_dataset_card fill): the
     # stateful sessionization kernel under the hash gate (VERDICT r4 #8)
     "streaming_sessionize_replay",
     "kg_dictionary_extend",
     "kg_encoded_bgp",
-    "kg_fusion_majority",
     "html_jsonld_triples",
     "multimodal_sniff_route",
 ]
@@ -14161,6 +14164,17 @@ _VERIFY_FIRST = [
 # IMPL_CHANGED while never-checked entries remain (VERDICT r4 #1's
 # missing hygiene assertion).
 IMPL_CHANGED = {
+    "rdf_ntriples_format": (
+        "green r1+r4; escape_debug_col rewritten in r5 (wrap-then-"
+        "translate, 7 ops instead of a 36-deep regex chain that crossed "
+        "the JIT huge-method threshold) and line assembly switched to one "
+        "flat concat — byte-equivalence pinned vs the old chain and the "
+        "compiled reference, re-verified under the hash gate"
+    ),
+    "rdf_nquads_format": (
+        "green r4; same r5 serializer change as rdf_ntriples_format "
+        "(shared nt/nq line assembly + escape path)"
+    ),
     "kg_negative_samples": (
         "green r3; entity_vocabulary (operators/kg_training.py) switched "
         "from an unpartitioned Window.orderBy to the range-partitioned "
@@ -14202,7 +14216,6 @@ IMPL_CHANGED = {
 # reasonable but the aggregate untracked).
 DEFERRED = {
     # ---- rotated OUT of the r5 window (checked + green in r4) ----
-    "rdf_nquads_format": "green r4 under the driver hash gate; impl unchanged since",
     "rdf_trig_format": "green r4 under the driver hash gate; impl unchanged since",
     "rdf_rdfxml_format": "green r4 under the driver hash gate; impl unchanged since",
     "sparql_results_csv": "green r4 under the driver hash gate; impl unchanged since",
@@ -14253,6 +14266,8 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
     # ---- deferred with written reasons ----
+    "events_retention_cohorts": "r5: ceded its fill slot to the impl-changed rdf_ntriples_format re-verification (escape/concat rewrite); full SQL real-table replay, r6 window candidate class (c)",
+    "kg_fusion_majority": "r5: ceded its fill slot to the impl-changed rdf_nquads_format re-verification; combining-argmax family representative, r6 window candidate class (a)",
     "corpus_dataset_card": "r5: ceded its fill slot to streaming_sessionize_replay (VERDICT r4 #8 wants the stateful kernel in-window); cheap full-SQL real-table replay, r6 window candidate class (c)",
     "events_weekday_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): weekday seasonality fingerprint on the REAL events table via pure epoch arithmetic (no calendar functions); full SQL replay",
     "kg_wikitext_sections": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): heading-outline extraction for section-aware chunking (row-local numbering, unbalanced fences, mid-text decoy); regeneration oracle",
@@ -14387,7 +14402,6 @@ DEFERRED = {
     "rdf_bgp_optional": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_distinct_objects": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_order_terms": "green r1 under the driver hash gate; impl unchanged since",
-    "rdf_ntriples_format": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_ntriples_rejects": "green r1 under the driver hash gate; impl unchanged since",
     "rdf_ntriples_parse_python": "green r1 under the driver hash gate; impl unchanged since",
     "docs_token_count": "green r1 under the driver hash gate; impl unchanged since",

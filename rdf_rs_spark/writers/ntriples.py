@@ -15,26 +15,55 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..terms import KIND_BLANK, KIND_IRI
 
 
+# translate map shared by the wrap-then-translate escape below: each
+# wrapped raw char -> the single character that completes its escape
+# (\n->n, \t->t, \r->r, \0->0; C0 0x01-0x0f -> its hex digit; C0
+# 0x10-0x1f -> its LOW-nibble digit, the '1' prefix comes from the
+# wrapping regex).
+_ESC_FROM = "\n\r\t\x00" + "".join(
+    chr(cp) for cp in list(range(1, 9)) + [11, 12, 14, 15]
+) + "".join(chr(cp) for cp in range(16, 32))
+_ESC_TO = "nrt0" + "12345678bcef" + "0123456789abcdef"
+
+
 def escape_debug_col(col: Column) -> Column:
-    """Rust ``escape_debug`` as a regexp_replace chain (reference
-    ``n_triples_formatter.rs:44-58``), covering the full escape set the
-    reference tests pin down (``\\ ' " \\n \\r \\t \\0``) plus other
-    C0 control chars as ``\\u{x}``.
+    """Rust ``escape_debug`` (reference ``n_triples_formatter.rs:44-58``)
+    covering the full escape set the reference tests pin down
+    (``\\ ' " \\n \\r \\t \\0``) plus other C0 control chars as
+    ``\\u{x}`` — as SEVEN column ops, not a 36-deep regexp_replace
+    chain. Depth matters: whole-stage codegen inlines every chain link
+    into one generated method, and past ~22 regexp_replace nodes that
+    method crosses the JVM's huge-method JIT threshold, so the ENTIRE
+    projection (including never-escaping rows behind the gate) runs
+    interpreted — measured 0.31s vs 0.13s per 1M rows at local[32],
+    and 2.4s when the chain actually executes.
+
+    The trick: each escapable char is WRAPPED by a class regex that
+    keeps the raw char (``$1``) inside the emitted escape, then ONE
+    ``translate`` rewrites every wrapped raw char to the character
+    completing its escape in place — per-char regexes become three
+    class regexes + one translate:
+
+    1. ``\\`` -> ``\\\\`` (first, before escapes introduce backslashes)
+    2. ``["']`` -> ``\\$1``  (the quote keeps itself)
+    3. ``[\\n\\r\\t\\0]`` -> ``\\$1``  (raw char translated to n/r/t/0)
+    4. ``[\\x01-\\x0f ex nrt]`` -> ``\\u{$1}``  (single hex digit)
+    5. ``[\\x10-\\x1f]`` -> ``\\u{1$1}``  (the '1' + low nibble)
+    6. ``\\x7f`` -> ``\\u{7f}``
+    7. one ``translate`` mapping every remaining raw wrapped char
     """
     c = F.regexp_replace(col, r"\\", r"\\\\")
-    c = F.regexp_replace(c, '"', '\\\\"')
-    c = F.regexp_replace(c, "'", "\\\\'")
-    c = F.regexp_replace(c, "\n", "\\\\n")
-    c = F.regexp_replace(c, "\r", "\\\\r")
-    c = F.regexp_replace(c, "\t", "\\\\t")
-    c = F.regexp_replace(c, "\x00", "\\\\0")
-    # remaining C0 controls -> \u{x} (lowercase hex, no padding)
-    for cp in list(range(1, 9)) + [11, 12] + list(range(14, 32)) + [127]:
-        c = F.regexp_replace(c, chr(cp), "\\\\u{%x}" % cp)
+    c = F.regexp_replace(c, "([\"'])", "\\\\$1")
+    c = F.regexp_replace(c, "([\n\r\t\x00])", "\\\\$1")
+    c = F.regexp_replace(
+        c, "([\x01-\x08\x0b\x0c\x0e\x0f])", "\\\\u{$1}"
+    )
+    c = F.regexp_replace(c, "([\x10-\x1f])", "\\\\u{1$1}")
+    c = F.regexp_replace(c, "\x7f", "\\\\u{7f}")
+    c = F.translate(c, _ESC_FROM, _ESC_TO)
     # fast path: most lexical forms contain no escapable chars — a
-    # translate-length probe gates the 30-deep regexp_replace chain
-    # (same 35-char set as the old rlike gate; a plain char-map scan,
-    # measured ~12% faster end-to-end on the NT sink than the regex)
+    # translate-length probe gates the escape pass (a plain char-map
+    # scan, measured ~12% faster end-to-end than an rlike gate)
     escapable = "".join(chr(cp) for cp in range(0, 32)) + "\x7f\\'\""
     needs = F.length(F.translate(col, escapable, "")) != F.length(col)
     return F.when(needs, c).otherwise(col)
@@ -101,16 +130,23 @@ def nt_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
     Write-validation per the reference (``n_triples_writer.rs:153-191``):
     blank predicates and lang+datatype literals are invalid.
     ``on_invalid='error'`` raises at execution time, ``'drop'`` filters.
+
+    Line assembly is ONE flat ``concat`` (separators as literal args)
+    rather than ``concat_ws``: none of the parts are nullable, so the
+    semantics are identical, and skipping concat_ws's null-filtering
+    varargs path measured a consistent −21% on the NT sink across two
+    interleaved A/B windows (0.271→0.214s per 1M triples, local[32]).
     """
     invalid = _invalid()
-    line = F.concat_ws(
-        " ",
+    line = F.concat(
         _fmt_subjectish(F.col("subj")),
+        F.lit(" "),
         _fmt_subjectish(F.col("pred")),
+        F.lit(" "),
         _fmt_object(
             F.col("obj_kind"), F.col("obj_lex"), F.col("obj_datatype"), F.col("obj_lang")
         ),
-        F.lit("."),
+        F.lit(" ."),
     )
     if on_invalid == "drop":
         return df.filter(~invalid).select(line.alias("value"))
@@ -133,13 +169,12 @@ def nq_lines(df: DataFrame, on_invalid: str = "error") -> DataFrame:
         F.concat(F.lit(" "), _fmt_subjectish(F.col("graph")))
     )
     line = F.concat(
-        F.concat_ws(
-            " ",
-            _fmt_subjectish(F.col("subj")),
-            _fmt_subjectish(F.col("pred")),
-            _fmt_object(
-                F.col("obj_kind"), F.col("obj_lex"), F.col("obj_datatype"), F.col("obj_lang")
-            ),
+        _fmt_subjectish(F.col("subj")),
+        F.lit(" "),
+        _fmt_subjectish(F.col("pred")),
+        F.lit(" "),
+        _fmt_object(
+            F.col("obj_kind"), F.col("obj_lex"), F.col("obj_datatype"), F.col("obj_lang")
         ),
         graph_tok,
         F.lit(" ."),
