@@ -12994,6 +12994,176 @@ def kg_wikitext_coordinates(spark, sf_dir):
     return parse_coordinates(docs)
 
 
+_WIKITEXT_DUMP_ORACLE = """
+WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+c0 AS (SELECT i FROM p WHERE i % 5 = 0),
+c1 AS (SELECT i FROM p WHERE i % 5 = 1),
+c2 AS (SELECT i FROM p WHERE i % 5 = 2),
+c3 AS (SELECT i FROM p WHERE i % 5 = 3),
+c4 AS (SELECT i FROM p WHERE i % 5 = 4),
+r AS (
+  SELECT i, 'infobox' AS facet, 0 AS idx, 'person:name' AS key,
+         'Ada ' || i AS value FROM c0
+  UNION ALL SELECT i, 'infobox', 0, 'person:born', 'London' FROM c0
+  UNION ALL SELECT i, 'infobox', 0, 'person:field',
+            'mathematics and computing' FROM c0
+  UNION ALL SELECT i, 'link', 0, 'link', 'Mathematics|mathematics' FROM c0
+  UNION ALL SELECT i, 'link', 1, 'link', 'computing|computing' FROM c0
+  UNION ALL SELECT i, 'link', 2, 'link', 'Ada Lovelace|Ada ' || i FROM c0
+  UNION ALL SELECT i, 'link', 3, 'link', 'mathematician|mathematician' FROM c0
+  UNION ALL SELECT i, 'link', 4, 'category',
+            'Category:People|Category:People' FROM c0
+  UNION ALL SELECT i, 'abstract', 0, '',
+            'Ada ' || i || ' was a mathematician.' FROM c0
+  UNION ALL SELECT i, 'section', 0, '2', 'Life' FROM c0
+  UNION ALL SELECT i, 'section', 1, '3', 'Childhood' FROM c0
+  UNION ALL SELECT i, 'section', 2, '2', 'Works' FROM c0
+  UNION ALL SELECT i, 'coord', 0, 'dms', '51507222,-127500' FROM c0
+  UNION ALL SELECT i, 'infobox', 0, 'settlement:name',
+            'Springfield ' || i FROM c1
+  UNION ALL SELECT i, 'infobox', 0, 'settlement:population', '30000' FROM c1
+  UNION ALL SELECT i, 'abstract', 0, '',
+            'Springfield ' || i || ' is a town.' FROM c1
+  UNION ALL SELECT i, 'section', 0, '2', 'History' FROM c1
+  UNION ALL SELECT i, 'coord', 0, 'decimal', '51507000,-127500' FROM c1
+  UNION ALL SELECT i, 'redirect', 0, 'Alias ' || i, 'Canonical Topic' FROM c2
+  UNION ALL SELECT i, 'redirect', 0, 'Alias ' || i,
+            'Other Topic ' || i FROM c3
+  UNION ALL SELECT i, 'link', 0, 'link', 'X|X' FROM c4
+  UNION ALL SELECT i, 'link', 1, 'link', 'Beta|Beta' FROM c4
+  UNION ALL SELECT i, 'link', 2, 'file',
+            'File:Pic' || i || '.png|thumb' FROM c4
+  UNION ALL SELECT i, 'abstract', 0, '', '' FROM c4
+  UNION ALL SELECT i, 'section', 0, '2', 'Immediate' FROM c4)
+SELECT i::BIGINT AS doc_id, facet, idx::BIGINT AS idx, key, value FROM r
+"""
+
+
+@q("kg_wikitext_dump", _WIKITEXT_DUMP_ORACLE)
+def kg_wikitext_dump(spark, sf_dir):
+    """The wikitext composition FLAGSHIP (VERDICT r4 #5 — one
+    regeneration hash covering the whole DBpedia-recipe family): SIX
+    extractors from ``sources/wikitext.py`` run over ONE synthesized
+    dump corpus and land in one typed facet relation
+    ``(doc_id, facet, idx, key, value)``:
+
+    - ``parse_redirects``     → facet ``redirect`` (key=alias title)
+    - ``parse_wikitext_links``→ facet ``link`` (key=kind,
+      value=``target|anchor``, idx = in-page order)
+    - ``parse_infobox_fields``→ facet ``infobox`` (key=``type:field``)
+    - ``parse_lead_abstracts``→ facet ``abstract``
+    - ``parse_sections``      → facet ``section`` (key=level)
+    - ``parse_coordinates``   → facet ``coord`` (key=form,
+      value=``lat_e6,lon_e6``)
+
+    Redirect pages are anti-joined OUT of the article facets first
+    (the real dump-pipeline split — parse_redirects' own decision
+    drives it, so the anchored-keyword semantics are load-bearing:
+    class 4's mid-prose ``#REDIRECT`` mention must stay an article).
+    Five page classes: a full biography (infobox with nested templates
+    + piped links, body links, DMS coord, 3-level section outline), a
+    settlement stub (decimal coord, unbalanced ``== History ===``
+    fences), a lowercase ``#redirect`` page, a piped ``#REDIRECT``
+    page, and a heading-first article (empty abstract row, file link,
+    the UNSUPPORTED deg|min|hemisphere coord variant that must emit
+    nothing). Standalone entries kg_wikitext_{links,infobox,redirects,
+    abstract,sections,coordinates} cover each extractor's wider decoy
+    classes and stay DEFERRED-by-reason; this one hash pins their
+    composition."""
+    from .sources.wikitext import (
+        parse_coordinates,
+        parse_infobox_fields,
+        parse_lead_abstracts,
+        parse_redirects,
+        parse_sections,
+        parse_wikitext_links,
+    )
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 5
+    s = i.cast("string")
+    wt = (
+        F.when(k == 0, F.concat(
+            F.lit("{{Infobox person\n| name = Ada "), s,
+            F.lit("\n| born = {{birth date|1815|12|10}} London\n"
+                  "| field = [[Mathematics|mathematics]] and"
+                  " [[computing]]\n}}\n[[Ada Lovelace|Ada "), s,
+            F.lit("]] was a [[mathematician]].\n"
+                  "{{coord|51|30|26|N|0|7|39|W|display=title}}\n"
+                  "== Life ==\nEarly years. [[Category:People]]\n"
+                  "=== Childhood ===\nYoung.\n== Works ==\nNotes."),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("{{Infobox settlement|name=Springfield "), s,
+            F.lit("|population = 30000 }}\nSpringfield "), s,
+            F.lit(" is a town.\n{{coord|51.507|-0.1275|format=dec}}\n"
+                  "== History ===\nOld."),
+        ))
+        .when(k == 2, F.lit("#redirect [[Canonical Topic]]"))
+        .when(k == 3, F.concat(
+            F.lit("  #REDIRECT [[Other Topic "), s, F.lit("|shown]]"),
+        ))
+        .otherwise(F.concat(
+            F.lit("== Immediate ==\nUse #REDIRECT [[X]] mid-prose"
+                  " does not bind.\nSee [[Beta]] and [[File:Pic"), s,
+            F.lit(".png|thumb]].\n{{coord|33|52|S|151|12|E}}"),
+        ))
+    )
+    title = (
+        F.when(k == 0, F.concat(F.lit("Ada "), s))
+        .when(k == 1, F.concat(F.lit("Springfield "), s))
+        .when((k == 2) | (k == 3), F.concat(F.lit("Alias "), s))
+        .otherwise(F.concat(F.lit("Misc "), s))
+    )
+    docs = spark.range(n).select(
+        i.alias("doc_id"), title.alias("title"), wt.alias("wikitext")
+    )
+    redirects = parse_redirects(docs)
+    articles = docs.join(redirects.select("doc_id"), "doc_id", "left_anti")
+
+    z = F.lit(0).cast("long").alias("idx")
+    facets = [
+        redirects.select(
+            "doc_id", F.lit("redirect").alias("facet"), z,
+            F.col("alias").alias("key"), F.col("target").alias("value"),
+        ),
+        parse_wikitext_links(articles).select(
+            "doc_id", F.lit("link").alias("facet"),
+            F.col("link_idx").alias("idx"), F.col("kind").alias("key"),
+            F.concat(F.col("target"), F.lit("|"), F.col("anchor"))
+            .alias("value"),
+        ),
+        parse_infobox_fields(articles).select(
+            "doc_id", F.lit("infobox").alias("facet"), z,
+            F.concat(F.col("infobox_type"), F.lit(":"), F.col("key"))
+            .alias("key"), F.col("value"),
+        ),
+        parse_lead_abstracts(articles).select(
+            "doc_id", F.lit("abstract").alias("facet"), z,
+            F.lit("").alias("key"), F.col("abstract").alias("value"),
+        ),
+        parse_sections(articles).select(
+            "doc_id", F.lit("section").alias("facet"),
+            F.col("sec_idx").alias("idx"),
+            F.col("level").cast("string").alias("key"),
+            F.col("title").alias("value"),
+        ),
+        parse_coordinates(articles).select(
+            "doc_id", F.lit("coord").alias("facet"), z,
+            F.col("form").alias("key"),
+            F.concat(
+                F.col("lat_e6").cast("string"), F.lit(","),
+                F.col("lon_e6").cast("string"),
+            ).alias("value"),
+        ),
+    ]
+    out = facets[0]
+    for f in facets[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 @q(
     "events_inter_arrival",
     """WITH g AS (SELECT user_id,
@@ -14133,8 +14303,11 @@ _VERIFY_FIRST = [
     "rdf_jsonld_format",
     "rdf_ntriples_star_parse",
     # (e) fills — wikitext / crawl / curation family representatives
-    "kg_wikitext_infobox",
-    "kg_wikitext_links",
+    # r5 flagship: one facet-relation hash over all six wikitext
+    # extractors (replaced the kg_wikitext_infobox + kg_wikitext_links
+    # fills, freeing a slot for the WL canonical-hash pair below)
+    "kg_wikitext_dump",
+    "kg_canonical_graph_hash",
     "crawl_robots_wildcards",
     "crawl_url_resolve",
     "crawl_http_policy",
@@ -14266,6 +14439,8 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
     # ---- deferred with written reasons ----
+    "kg_wikitext_infobox": "r5: composition covered by the kg_wikitext_dump flagship in-window (same parser, same class corpus); standalone keeps the wider decoy classes (zero-box page, cite-template-only article), r6 window candidate",
+    "kg_wikitext_links": "r5: composition covered by the kg_wikitext_dump flagship in-window (same parser); standalone keeps the four-form per-page class corpus, r6 window candidate",
     "events_retention_cohorts": "r5: ceded its fill slot to the impl-changed rdf_ntriples_format re-verification (escape/concat rewrite); full SQL real-table replay, r6 window candidate class (c)",
     "kg_fusion_majority": "r5: ceded its fill slot to the impl-changed rdf_nquads_format re-verification; combining-argmax family representative, r6 window candidate class (a)",
     "corpus_dataset_card": "r5: ceded its fill slot to streaming_sessionize_replay (VERDICT r4 #8 wants the stateful kernel in-window); cheap full-SQL real-table replay, r6 window candidate class (c)",
@@ -14350,7 +14525,6 @@ DEFERRED = {
     "docs_idn_hosts": "registered r4s7 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (independent-implementation codec check: stdlib punycode encoder synthesizes, OUR RFC 3492 decoder is checked against digit-count-closed-form ACE literals)",
     "warc_cdx_index": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (byte-offset accounting via window cumulative sum over regenerated record lengths)",
     "kg_canonical_labels": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (b): novel oracle shape (round-unrolled WL md5-chain replay)",
-    "kg_canonical_graph_hash": "registered r4s6 AFTER the r4 window froze — r5 window candidate class (a)+(b): the isomorphism-dedup key entry, same WL replay oracle",
     "rdf_write_validation_rejects": "green r3 under the driver hash gate; impl unchanged since",
     "rdf_nquads_parse": "green r3 under the driver hash gate; impl unchanged since",
     "rdf_mixed_corpus_parse": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
