@@ -12994,6 +12994,133 @@ def kg_wikitext_coordinates(spark, sf_dir):
     return parse_coordinates(docs)
 
 
+_CRAWL_POLICY_ORACLE = """
+WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+b AS (SELECT i, i // 4 AS h, (i // 4) % 5 AS c, i % 4 AS j FROM p),
+u AS (SELECT i, h, c, j, 'h' || h || '.ex' AS host,
+  'https://h' || h || '.ex' ||
+  CASE j WHEN 0 THEN '/private/1?sid=9&keep=1' WHEN 1 THEN '/private/ok'
+         WHEN 2 THEN '/page?sid=9' ELSE '/x' END AS url FROM b),
+d AS (SELECT *,
+  CASE WHEN c = 0 THEN CASE WHEN j = 0 THEN 0 ELSE 1 END
+       WHEN c = 1 THEN 1
+       WHEN c = 2 THEN 0
+       WHEN c = 3 THEN CASE WHEN j = 3 THEN 0 ELSE 1 END
+       ELSE 1 END AS allowed,
+  CASE WHEN c = 0 AND j = 0
+         THEN 'https://h' || h || '.ex/private/1?keep=1'
+       WHEN c = 0 AND j = 2 THEN 'https://h' || h || '.ex/page'
+       ELSE url END AS canonical_url,
+  CASE WHEN c = 0 AND j IN (0, 2) THEN 1 ELSE 0 END AS n_stripped,
+  CASE WHEN c = 0 THEN 2 WHEN c = 3 THEN 3 ELSE 1 END AS delay
+  FROM u),
+s AS (SELECT *, CASE WHEN allowed = 1 THEN
+    (row_number() OVER (PARTITION BY host, allowed
+                        ORDER BY md5(url), url) - 1) * delay
+  ELSE -1 END AS fetch_slot_s FROM d)
+SELECT url, host, allowed::BIGINT AS allowed, canonical_url,
+  n_stripped::BIGINT AS n_stripped, fetch_slot_s::BIGINT AS fetch_slot_s
+FROM s
+"""
+
+
+@q("crawl_policy_pipeline", _CRAWL_POLICY_ORACLE)
+def crawl_policy_pipeline(spark, sf_dir):
+    """The crawl-POLICY composition flagship (VERDICT r4 #5): one host
+    corpus drives the full obey-the-server stack from
+    ``operators/crawl.py`` and lands in one per-URL decision relation
+    ``(url, host, allowed, canonical_url, n_stripped, fetch_slot_s)``:
+
+    - ``parse_robots`` + ``frontier_allowed_with_status`` — REP group
+      walk, RFC 9309 wildcards (``/private*`` vs the LONGER anchored
+      ``Allow: /private/ok$`` that beats it), agent-specific groups
+      shadowing ``*``, and §2.3.1 fetch-status semantics (a 404 host
+      is fully allowed even though its rules say disallow-all; a 503
+      host is fully disallowed even though its rules say allow-all);
+    - ``parse_clean_params`` + ``strip_declared_params`` — the
+      Yandex-declared strip list canonicalizes tracking params;
+    - ``parse_crawl_delays`` + ``fetch_schedule`` — politeness slots
+      ``(md5-rank within host − 1) × delay`` over ALLOWED urls only,
+      specific-agent delay beating ``*``; disallowed urls get −1.
+
+    Five host classes × four URL shapes; every decision stated
+    closed-form by (class, shape) and the schedule replayed by a
+    DuckDB md5-rank window — five components under one value-hash.
+    Standalone entries (crawl_robots_wildcards' literal-%% escape-flip
+    class, crawl_clean_params' cross-host isolation, crawl_http_policy,
+    crawl_fetch_schedule) keep their wider decoy corpora DEFERRED."""
+    from .operators.crawl import (
+        fetch_schedule,
+        frontier_allowed_with_status,
+        parse_clean_params,
+        parse_crawl_delays,
+        parse_robots,
+        strip_declared_params,
+    )
+
+    n = _scale_n(sf_dir)
+    n_hosts = n // 4
+    hid = F.col("id")
+    c = hid % 5
+    robots = (
+        F.when(c == 0, F.lit(
+            "User-agent: *\nDisallow: /private*\nAllow: /private/ok$\n"
+            "Crawl-delay: 2\nClean-param: sid&utm /"
+        ))
+        .when(c == 1, F.lit("User-agent: *\nDisallow: /"))
+        .when(c == 2, F.lit("User-agent: *\nAllow: /"))
+        .when(c == 3, F.lit(
+            "User-agent: bot\nDisallow: /x$\nCrawl-delay: 3\n"
+            "User-agent: *\nDisallow: /\nCrawl-delay: 1"
+        ))
+        .otherwise(F.lit("# empty robots\n"))
+    )
+    status = (
+        F.when(c == 1, F.lit(404))
+        .when(c == 2, F.lit(503))
+        .otherwise(F.lit(200))
+    ).cast("int")
+    hosts = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".ex")).alias("host"),
+        robots.alias("robots_txt"),
+        status.alias("status"),
+    )
+    i = F.col("id")
+    j = i % 4
+    host = F.concat(F.lit("h"), F.expr("id DIV 4"), F.lit(".ex"))
+    path = (
+        F.when(j == 0, F.lit("/private/1?sid=9&keep=1"))
+        .when(j == 1, F.lit("/private/ok"))
+        .when(j == 2, F.lit("/page?sid=9"))
+        .otherwise(F.lit("/x"))
+    )
+    urls = spark.range(n).select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+    )
+    rules = parse_robots(hosts)
+    clean = parse_clean_params(hosts)
+    delays = parse_crawl_delays(hosts)
+    dec = frontier_allowed_with_status(
+        urls, rules, "bot", hosts.select("host", "status")
+    )
+    canon = strip_declared_params(urls, clean)
+    sched = fetch_schedule(dec.filter(F.col("allowed")), delays, "bot")
+    return (
+        urls.join(dec, "url")
+        .join(canon, "url")
+        .join(sched.select("url", "fetch_slot_s"), "url", "left")
+        .select(
+            "url", "host",
+            F.col("allowed").cast("bigint").alias("allowed"),
+            "canonical_url",
+            F.col("n_stripped"),
+            F.coalesce(F.col("fetch_slot_s"), F.lit(-1)).cast("bigint")
+            .alias("fetch_slot_s"),
+        )
+    )
+
+
 _WIKITEXT_DUMP_ORACLE = """
 WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
 c0 AS (SELECT i FROM p WHERE i % 5 = 0),
@@ -14308,7 +14435,10 @@ _VERIFY_FIRST = [
     # fills, freeing a slot for the WL canonical-hash pair below)
     "kg_wikitext_dump",
     "kg_canonical_graph_hash",
-    "crawl_robots_wildcards",
+    # r5 flagship (displaced the crawl_robots_wildcards fill — its
+    # wildcard/$/precedence classes ride in the flagship's class 0; the
+    # standalone keeps the literal-% escape-flip class deferred)
+    "crawl_policy_pipeline",
     "crawl_url_resolve",
     "crawl_http_policy",
     "docs_pii_luhn_redact",
@@ -14439,6 +14569,7 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
     # ---- deferred with written reasons ----
+    "crawl_robots_wildcards": "r5: ceded its fill slot to the crawl_policy_pipeline flagship (wildcard + $-anchor + longest-path precedence classes ride in the flagship's class-0 host); the standalone keeps the literal-%/_ escape-flip decoy class, r6 window candidate",
     "kg_wikitext_infobox": "r5: composition covered by the kg_wikitext_dump flagship in-window (same parser, same class corpus); standalone keeps the wider decoy classes (zero-box page, cite-template-only article), r6 window candidate",
     "kg_wikitext_links": "r5: composition covered by the kg_wikitext_dump flagship in-window (same parser); standalone keeps the four-form per-page class corpus, r6 window candidate",
     "events_retention_cohorts": "r5: ceded its fill slot to the impl-changed rdf_ntriples_format re-verification (escape/concat rewrite); full SQL real-table replay, r6 window candidate class (c)",
