@@ -14361,6 +14361,84 @@ def events_weekday_profile(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_decode_route",
+    f"""SELECT 'ppm' AS fmt, media_id, width, height, sum_r, sum_g, sum_b
+    FROM ({_ppm_oracle(500)})
+    UNION ALL
+    SELECT 'gif', media_id, width, height, sum_r, sum_g, sum_b
+    FROM ({_gif_oracle(500)})
+    UNION ALL
+    SELECT 'qoi', media_id, width, height, sum_r, sum_g, sum_b
+    FROM ({_qoi_oracle(500)})
+    UNION ALL
+    SELECT 'bmp', media_id, width, height, sum_r, sum_g, sum_b
+    FROM ({_bmp_oracle(500)})""",
+)
+def multimodal_decode_route(spark, sf_dir):
+    """The multimodal sniff-route composition FLAGSHIP (VERDICT r4 #5):
+    a MIXED media corpus (four real synthesized container formats in
+    one relation) is dispatched by ``sniff_media_format``'s magic-byte
+    decision — not by provenance — to the four REAL decoders, and the
+    per-format feature relations union into one typed output
+    ``(fmt, media_id, width, height, sum_r, sum_g, sum_b)``:
+
+    - PPM (uncompressed)    → ``decode_ppm_features``
+    - GIF89a (LZW)          → ``decode_gif_features``
+    - QOI (run/index/delta) → ``decode_qoi_features``
+    - BMP (bottom-up/stride)→ ``decode_bmp_features``
+
+    Because dispatch follows the SNIFF verdict, a payload routed to
+    the wrong family either crashes its decoder or vanishes from the
+    union — the row count and every channel sum pin the router and
+    all four codecs under ONE value-hash (each codec's standalone
+    entry keeps its wider class corpus; the routing-table entry
+    ``multimodal_sniff_route`` keeps the jpeg/tiff/wav/unknown-class
+    surface and cedes its window slot to this one)."""
+    from .operators.multimodal import (
+        decode_bmp_features,
+        decode_gif_features,
+        decode_ppm_features,
+        decode_qoi_features,
+        sniff_media_format,
+        synthesize_bmp_media,
+        synthesize_gif_media,
+        synthesize_ppm_media,
+        synthesize_qoi_media,
+    )
+
+    m = _scale_n(sf_dir) // 4
+    base = spark.range(m)
+    media = (
+        synthesize_ppm_media(base)
+        .unionByName(synthesize_gif_media(base))
+        .unionByName(synthesize_qoi_media(base))
+        .unionByName(synthesize_bmp_media(base))
+        .withColumn("fmt", sniff_media_format(F.col("payload")))
+    )
+    media = media.persist()
+    feats = [
+        decode_ppm_features(media.filter(F.col("fmt") == "ppm")).withColumn(
+            "fmt", F.lit("ppm")
+        ),
+        decode_gif_features(media.filter(F.col("fmt") == "gif")).withColumn(
+            "fmt", F.lit("gif")
+        ),
+        decode_qoi_features(media.filter(F.col("fmt") == "qoi")).withColumn(
+            "fmt", F.lit("qoi")
+        ),
+        decode_bmp_features(media.filter(F.col("fmt") == "bmp"))
+        .drop("rowsum_b")
+        .withColumn("fmt", F.lit("bmp")),
+    ]
+    out = feats[0]
+    for f in feats[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "fmt", "media_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # registry ordering
 # --------------------------------------------------------------------------
@@ -14458,7 +14536,9 @@ _VERIFY_FIRST = [
     "kg_dictionary_extend",
     "kg_encoded_bgp",
     "html_jsonld_triples",
-    "multimodal_sniff_route",
+    # r5 flagship (took multimodal_sniff_route's slot): sniff-routed
+    # dispatch to four real decoders under one hash
+    "multimodal_decode_route",
 ]
 
 # Already-green entries allowed in the window ONLY while listed here
@@ -14569,6 +14649,7 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
     # ---- deferred with written reasons ----
+    "multimodal_sniff_route": "r5: ceded its window slot to the multimodal_decode_route flagship, which pins the router's decisions END-TO-END (wrong route = broken hash) for ppm/gif/qoi/bmp; this routing-table entry keeps the jpeg/tiff/wav/unknown-class surface, r6 window candidate",
     "crawl_robots_wildcards": "r5: ceded its fill slot to the crawl_policy_pipeline flagship (wildcard + $-anchor + longest-path precedence classes ride in the flagship's class-0 host); the standalone keeps the literal-%/_ escape-flip decoy class, r6 window candidate",
     "kg_wikitext_infobox": "r5: composition covered by the kg_wikitext_dump flagship in-window (same parser, same class corpus); standalone keeps the wider decoy classes (zero-box page, cite-template-only article), r6 window candidate",
     "kg_wikitext_links": "r5: composition covered by the kg_wikitext_dump flagship in-window (same parser); standalone keeps the four-form per-page class corpus, r6 window candidate",
