@@ -92,6 +92,15 @@ BENCH_QUERIES = [
     # exchange + broadcast offsets) and the three encode joins on top
     # of the kg_pipeline_e2e plan
     "kg_pipeline_hdt_encode",
+    # round-5 composition flagships: the six-extractor wikitext dump
+    # pass (one column-algebra pass + three Arrow walks over 50k pages
+    # at sf0.1), the five-component crawl policy stack (robots walk +
+    # decision joins + md5-rank schedule window), and the sniff-routed
+    # four-codec decode (mixed media persisted at the 4-consumer
+    # boundary)
+    "kg_wikitext_dump",
+    "crawl_policy_pipeline",
+    "multimodal_decode_route",
 ]
 
 
