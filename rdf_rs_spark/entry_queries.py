@@ -14569,15 +14569,17 @@ IMPL_CHANGED = {
 # ~133 never-checked entries remain after the r5 window (plus any r5
 # registrations that miss the window). Priority for r6:
 #   (a) compositions first: crawl_mirror_hosts (whole-host dedup
-#       flagship), corpus_paginated_reassembly, kg_canonical_graph_hash
-#       (+ kg_canonical_labels via the same WL replay), docs_main_content,
+#       flagship), corpus_paginated_reassembly, kg_canonical_labels
+#       (its WL replay parent kg_canonical_graph_hash went into the r5
+#       window), docs_main_content,
 #       docs_html_markdown, warc_http_pages / warc_gz_records_parse /
 #       warc_records_parse (the WARC base pair behind the green .warc.gz
 #       flagship), kg_web_bowtie (budget-permitting: ~12s gate wall);
 #   (b) novel shapes: warc_cdx_index (byte-offset cumsum),
 #       docs_idn_hosts (punycode codec), docs_registered_domain
-#       (public-suffix decision), multimodal_{gif,tga,ico,qoi,mulaw,
-#       id3_frames,mp3_frames,mp4_boxes} (codec families not in r5),
+#       (public-suffix decision), multimodal_{tga,ico,mulaw,id3_frames,
+#       mp3_frames,mp4_boxes} (codec families not reached by r5's
+#       decode-route flagship — gif/qoi ride that flagship now),
 #       corpus_cm_sketch + corpus_domain_hll + docs_bloom_probe
 #       (sketch registers), kg_redirect_closure + crawl_redirect_resolve
 #       (pointer jumping), docs_span_corruption (shifted-zip);
@@ -14657,7 +14659,7 @@ DEFERRED = {
     "kg_fusion_majority": "r5: ceded its fill slot to the impl-changed rdf_nquads_format re-verification; combining-argmax family representative, r6 window candidate class (a)",
     "corpus_dataset_card": "r5: ceded its fill slot to streaming_sessionize_replay (VERDICT r4 #8 wants the stateful kernel in-window); cheap full-SQL real-table replay, r6 window candidate class (c)",
     "events_weekday_profile": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): weekday seasonality fingerprint on the REAL events table via pure epoch arithmetic (no calendar functions); full SQL replay",
-    "kg_wikitext_sections": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): heading-outline extraction for section-aware chunking (row-local numbering, unbalanced fences, mid-text decoy); regeneration oracle",
+    "kg_wikitext_sections": "r5: composition ALSO covered via the in-window kg_wikitext_dump flagship (section facet incl. the unbalanced-fence class); standalone keeps the mid-text decoy corpus, r6 window candidate",
     "docs_nfkc_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): NFKC compatibility normalization (fullwidth/ligature/superscript folding web text needs beyond NFC), composed with accent folding for an ASCII gate; decision-table oracle",
     "docs_compressibility": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): deterministic deflate compressibility as the cheap spam/boilerplate pre-filter; offline-computed constants, zero mtime nondeterminism",
     "docs_scaled_numbers": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): scaled-number magnitude normalization (comma groups, decimals, millionaire boundary decoy, -1 sentinel); decision-table oracle",
@@ -14684,10 +14686,10 @@ DEFERRED = {
     "docs_front_matter": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): YAML front-matter extraction for static-site corpora (anchored block, quote stripping, mid-body ruler decoy); regeneration oracle",
     "crawl_hreflang_reciprocity": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): hreflang reciprocity trust audit (one-way claims are template noise and must not feed bitext mining; per-declaration verdicts, attr-order variance); regeneration oracle",
     "events_inter_arrival": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): per-user inter-arrival gap envelope on the REAL events table (cadence profile for bot-detection/session thresholds); full SQL replay",
-    "kg_wikitext_coordinates": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): {{coord}} extraction to integer micro-degrees (DMS exact DIV arithmetic + decimal string surgery; the unsupported deg|min|hemisphere variant must emit nothing); decision-table oracle",
+    "kg_wikitext_coordinates": "r5: composition ALSO covered via the in-window kg_wikitext_dump flagship (coord facet incl. the must-emit-nothing DMS-variant class); standalone keeps the decision-table corpus, r6 window candidate",
     "docs_measure_normalize": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): measured-quantity normalization to integer canonical units (string-surgery milli parse, exact micro factors, min/gb boundary decoys); decision-table oracle",
-    "kg_wikitext_abstract": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): DBpedia-style lead-abstract extraction (templates drop, links reduce to display, empty-lead class kept as a row); decision-table oracle",
-    "kg_wikitext_redirects": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): redirect-page alias mining (dump-side alias dictionary feed; case-insensitive keyword, piped display ignored, anchored against prose mentions); regeneration oracle",
+    "kg_wikitext_abstract": "r5: composition ALSO covered via the in-window kg_wikitext_dump flagship (abstract facet incl. the empty-lead class); standalone keeps its wider class corpus, r6 window candidate",
+    "kg_wikitext_redirects": "r5: composition ALSO covered via the in-window kg_wikitext_dump flagship (redirect facet incl. the anchored prose-mention decoy); standalone keeps the converging-alias class corpus, r6 window candidate",
     "docs_dialogue_turns": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): dialogue-log structuring (row-local dense turn numbering via array filter before posexplode; clock/URL/narration decoys pin the speaker grammar); regeneration oracle",
     "docs_span_corruption": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a)+(b): T5 span-corruption planning (content-addressed masks, shifted-zip span starts, encoder/decoder lengths) — row-local array algebra with a relational lag-window replay oracle",
     "docs_srt_cues": "registered r4s12 AFTER the r4 window froze — r5 window candidate class (a): SubRip subtitle ingest (video-transcript corpus front) as pure column algebra; regeneration oracle with a multi-line cue and a grammar-dropped malformed block",
@@ -14709,12 +14711,12 @@ DEFERRED = {
     "docs_cjk_token_count": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): CJK bigram token accounting (the n-1 law per Han run under the hash); fixes the 40x zh undercount that corrupts packing/mixture weights",
     "multimodal_ahash_codes": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): perceptual image hashing in the shared Hamming word layout (cross-modal dedup machinery); exact integer block-mean replay oracle",
     "docs_readability_fk": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the FK grade signal as per-term integer division (oracle derives grades from the same stated arithmetic, never observed output); simple/jargon/degenerate classes",
-    "crawl_robots_status": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 9309 §2.3.1 fetch-status semantics (4xx allow-all / 5xx+unreachable disallow-all overriding the rule decision both ways); decision-table oracle",
+    "crawl_robots_status": "r5: composition ALSO covered via the in-window crawl_policy_pipeline flagship (404-allows-all and 503-disallows-all host classes); standalone keeps the per-status decision table, r6 window candidate",
     "docs_page_meta": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the title/description/h1/favicon projection under a per-class decision oracle (attr order variance, multi-line titles, nested-tag strip, shortcut-icon variant)",
     "crawl_sitemap_media": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the news/image sitemap namespaces (media-crawl discovery inputs) under a regeneration oracle with a must-emit-nothing plain-url class",
     "crawl_link_headers": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): RFC 8288 Link-header rel extraction (quoted/bare/multi-valued members with a token-boundary decoy class) feeding the reassembly + syndication consumers",
     "docs_language_mix": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): code-switching detection (sentence splitter × per-sentence lang id as row-local array algebra, zero shuffle); tie-break pinned to the LPA lexicographic winner",
-    "crawl_clean_params": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): the DECLARED strip list (Yandex Clean-param) beside the mined DUST rules; prefix-scoped decision oracle with cross-host isolation",
+    "crawl_clean_params": "r5: composition ALSO covered via the in-window crawl_policy_pipeline flagship (declared strip list canonicalizes the class-0 host's frontier); standalone keeps the prefix-scope + cross-host isolation classes, r6 window candidate",
     "docs_gopher_quality": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): the named Gopher rule family as per-rule integer flags under a pure decision-table oracle (each class violates exactly one rule)",
     "docs_sentence_split": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a): sentence boundary detection as ONE codegen regexp (abbreviation/initial lookbehind guards); class oracle states the sentences, a guard failure changes row counts",
     "corpus_paginated_reassembly": "registered r4s11 AFTER the r4 window froze — r5 window candidate class (a)+(b): fragment-to-document reassembly over rel=next chains (resolve_redirects pointer jumping re-used on the reversed relation); cycle class degrades to flagged standalones; order-observable full_text",
@@ -14867,7 +14869,7 @@ DEFERRED = {
     "kg_comention_weights": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_gif_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_gif_decode": "r5: composition ALSO covered via the in-window multimodal_decode_route flagship (same synthesizer + decoder under the sniff dispatch); standalone keeps the full 2000-row class corpus, r6 window candidate",
     "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
@@ -14881,11 +14883,11 @@ DEFERRED = {
     "lineitem_zorder_zonemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "docs_anchor_aliases": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "corpus_host_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_qoi_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "multimodal_qoi_decode": "r5: composition ALSO covered via the in-window multimodal_decode_route flagship; standalone keeps the full class corpus (all five QOI op families), r6 window candidate",
     "warc_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "crawl_robots_frontier": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_http_pages": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_fetch_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_fetch_schedule": "r5: composition ALSO covered via the in-window crawl_policy_pipeline flagship (md5-rank politeness slots over allowed urls); standalone keeps the agent-precedence delay corpus, r6 window candidate",
     "crawl_sitemap_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "kg_alias_dict_growth": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
     "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
