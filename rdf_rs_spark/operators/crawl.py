@@ -292,10 +292,14 @@ def budget_allocation(
     allocates sampling quotas or shard sizes; everything is int64, so
     the allocation is engine- and cluster-size-exact.
 
-    Plan: one 1-row total (broadcast cross join), one ordered window
-    over the host relation for the remainder ranks — the relation being
-    allocated is host-sized metadata, never the frontier itself.
-    Appends ``alloc``."""
+    Plan: one 1-row total (broadcast cross join); the remainder ranks
+    come from the range-partitioned ``_global_positions`` idiom
+    (``sampling.py``), NOT an unpartitioned window — the relation being
+    allocated is host-sized metadata rather than the frontier, but a
+    web-scale crawl still has 10^8+ hosts, the same single-task funnel
+    class the entity vocabulary hit (VERDICT r4). Appends ``alloc``."""
+    from .sampling import _global_positions
+
     w = weights.withColumn("__ba_w", F.col(weight_col).cast("long"))
     tot = w.agg(F.sum("__ba_w").cast("long").alias("__ba_tot")).withColumn(
         "__ba_k", F.lit(1)
@@ -306,20 +310,31 @@ def budget_allocation(
         .withColumn("__ba_floor", F.expr(f"({int(total)} * __ba_w) DIV __ba_tot"))
         .withColumn("__ba_rem", F.expr(f"({int(total)} * __ba_w) % __ba_tot"))
     )
-    rank_w = Window.orderBy(F.col("__ba_rem").desc(), F.col(key_col).asc())
-    leftover = F.lit(total) - F.sum("__ba_floor").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    # rank by (remainder desc, key asc) as an ascending unique sort key
+    ranked = _global_positions(
+        base.withColumn("__ba_neg_rem", -F.col("__ba_rem")),
+        ["__ba_neg_rem", key_col],
+    ).withColumn("__ba_rank", F.col("position") + 1)
+    # Σfloors as a broadcast 1-row aggregate — the old full-frame window
+    # (rowsBetween unbounded..unbounded, no partitionBy) was the same
+    # single-task funnel as the rank it sat next to
+    floors = base.agg(
+        F.sum("__ba_floor").cast("long").alias("__ba_floors")
+    ).withColumn("__ba_k", F.lit(1))
+    ranked = ranked.join(F.broadcast(floors), "__ba_k")
+    leftover = F.lit(total) - F.col("__ba_floors")
     return (
-        base.withColumn("__ba_rank", F.row_number().over(rank_w))
-        .withColumn(
+        ranked.withColumn(
             "alloc",
             (
                 F.col("__ba_floor")
                 + F.when(F.col("__ba_rank") <= leftover, 1).otherwise(0)
             ).cast("bigint"),
         )
-        .drop("__ba_k", "__ba_tot", "__ba_w", "__ba_floor", "__ba_rem", "__ba_rank")
+        .drop(
+            "__ba_k", "__ba_tot", "__ba_w", "__ba_floor", "__ba_rem",
+            "__ba_rank", "__ba_neg_rem", "__ba_floors", "position",
+        )
     )
 
 

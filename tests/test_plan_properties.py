@@ -1156,3 +1156,28 @@ def test_entity_vocabulary_never_single_partition(spark):
     assert [r[0] for r in rows] == list(range(len(rows)))
     assert [r[1] for r in rows] == sorted(r[1] for r in rows)
     spark.catalog.clearCache()
+
+
+def test_budget_allocation_never_single_task_rank(spark):
+    """budget_allocation's largest-remainder ranks must come from the
+    range-partitioned _global_positions idiom and its floor total from
+    a broadcast 1-row aggregate — a web-scale crawl has 10^8+ hosts,
+    so an unpartitioned rank window (or the old full-frame unbounded
+    sum) funnels the whole host relation through one task."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.crawl import budget_allocation
+    from rdf_rs_spark.plans.inspect import explain_str
+
+    w = spark.range(200).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 7 + 1).alias("weight"),
+    )
+    out = budget_allocation(w, 1000)
+    plan = explain_str(out, "simple")
+    assert "windowspecdefinition(_pid" in plan, plan
+    assert "windowspecdefinition(__ba" not in plan, plan
+    # exactness survives the idiom swap: allocations sum to the budget
+    rows = out.collect()
+    assert sum(r.alloc for r in rows) == 1000
+    spark.catalog.clearCache()
