@@ -14416,7 +14416,11 @@ def multimodal_decode_route(spark, sf_dir):
         .unionByName(synthesize_bmp_media(base))
         .withColumn("fmt", sniff_media_format(F.col("payload")))
     )
-    media = media.persist()
+    # eager materialization at the 4-consumer boundary: the four decode
+    # branches of the union otherwise race to populate a lazy cache and
+    # re-run the Python synthesizers (A/B at 12500/format, local[32]:
+    # lazy persist 4.7s, no cache 7.5s, eager localCheckpoint 3.9s)
+    media = media.localCheckpoint(eager=True)
     feats = [
         decode_ppm_features(media.filter(F.col("fmt") == "ppm")).withColumn(
             "fmt", F.lit("ppm")
