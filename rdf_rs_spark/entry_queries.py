@@ -14873,56 +14873,56 @@ DEFERRED = {
     "rdf_turtle_parse_inline_bnode": "green r2 under the driver hash gate; impl unchanged since",
     "kg_entity_linking_fuzzy": "green r2 under the driver hash gate; impl unchanged since",
     "kg_entity_linking": "green r2 under the driver hash gate; impl unchanged since",
-    "kg_comention_weights": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "kg_comention_weights": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "multimodal_mulaw_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_link_prediction": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
     "multimodal_gif_decode": "r5: composition ALSO covered via the in-window multimodal_decode_route flagship (same synthesizer + decoder under the sniff dispatch); standalone keeps the full 2000-row class corpus, r6 window candidate",
-    "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "docs_bloom_probe": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_tga_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "lineitem_zorder_keys": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "corpus_domain_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "docs_length_quantiles": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "docs_per_domain_cap": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "layout_compaction_bins": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "lineitem_zorder_zonemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "docs_anchor_aliases": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "corpus_host_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "ann_sq_moments": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "corpus_cm_sketch": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_hard_negatives": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "docs_bloom_probe": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "multimodal_tga_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "lineitem_zorder_keys": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "corpus_domain_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "docs_length_quantiles": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "docs_per_domain_cap": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "layout_compaction_bins": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "lineitem_zorder_zonemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "docs_anchor_aliases": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "corpus_host_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
     "multimodal_qoi_decode": "r5: composition ALSO covered via the in-window multimodal_decode_route flagship; standalone keeps the full class corpus (all five QOI op families), r6 window candidate",
-    "warc_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_robots_frontier": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "warc_http_pages": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "warc_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_robots_frontier": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "warc_http_pages": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
     "crawl_fetch_schedule": "r5: composition ALSO covered via the in-window crawl_policy_pipeline flagship (md5-rank politeness slots over allowed urls); standalone keeps the agent-precedence delay corpus, r6 window candidate",
-    "crawl_sitemap_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_alias_dict_growth": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_charset_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
+    "crawl_sitemap_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_alias_dict_growth": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "warc_gz_records_parse": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_charset_decode": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
     "crawl_budget_allocation": "impl changed r5 (largest-remainder rank via _global_positions + broadcast floor total, replacing two unpartitioned windows — the entity_vocabulary funnel class); re-run green under the local mirror gate + Hamilton exactness unit test; its consumer crawl_quality_budgets re-verifies the shared path in the r5 window; standalone r6 window candidate as impl-changed",
-    "crawl_recrawl_delta": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_fusion_weighted": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_fusion_latest": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_summary_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_url_templates": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "html_opengraph_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "web_table_schemas": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_feed_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "html_image_alt_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_revisit_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "corpus_topical_pack": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_shape_mining": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_key_discovery": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_edge_split": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_neighbor_sample": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_entity_summary": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "warc_wet_roundtrip": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "kg_neighborhood_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_frontier_expansion": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_robots_sitemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "multimodal_id3_frames": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window",
-    "crawl_redirect_resolve": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate this round — rotate into the r5 head window (novel shape: pointer-jumping + cycle detection under a decision oracle)",
+    "crawl_recrawl_delta": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_fusion_weighted": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_fusion_latest": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_summary_graph": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_url_templates": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "docs_main_content": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "html_opengraph_triples": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "web_table_schemas": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_feed_entries": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "html_image_alt_pairs": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_revisit_schedule": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "corpus_topical_pack": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_shape_mining": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_key_discovery": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_edge_split": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_neighbor_sample": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_entity_summary": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "warc_wet_roundtrip": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "kg_neighborhood_hll": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_frontier_expansion": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_robots_sitemaps": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "multimodal_id3_frames": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate",
+    "crawl_redirect_resolve": "registered r4 AFTER the 50-slot window froze around the never-checked backlog + impl-changed re-verifies; green under the local mirror gate in r4 and again under the r5 full-suite run — missed the 50-slot r5 window; r6 window candidate (novel shape: pointer-jumping + cycle detection under a decision oracle)",
 }
 
 
