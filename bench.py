@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "kg_wikitext_dump",
     "crawl_policy_pipeline",
     "multimodal_decode_route",
+    # the curation-audit flagship: seven zero-shuffle kernels + a
+    # seven-way union — measures the sparse-verdict fan-out shape
+    "docs_curation_audit",
 ]
 
 
