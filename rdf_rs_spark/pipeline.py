@@ -133,6 +133,7 @@ class PipelineResult:
     lineage_path: str
     buckets_processed: int
     docs_parsed: int
+    mentions_linked: int
     triples_emitted: int
 
 
@@ -169,6 +170,7 @@ def run_pipeline(
 
     done = 0
     total_docs = 0
+    total_mentions = 0
     total_triples = 0
     for b in range(n_buckets):
         bucket_pages = pages.filter(F.col("__bucket") == b).drop("__bucket")
@@ -222,6 +224,10 @@ def run_pipeline(
         ).write.mode("append").parquet(lineage_path)
         done += 1
         total_docs += docs
+        total_mentions += n_mentions
         total_triples += n_triples
 
-    return PipelineResult(triples_path, lineage_path, done, total_docs, total_triples)
+    return PipelineResult(
+        triples_path, lineage_path, done, total_docs, total_mentions,
+        total_triples,
+    )

@@ -79,6 +79,7 @@ def main() -> None:
         "run_id": args.run_id,
         "buckets_processed": res.buckets_processed,
         "docs_parsed": res.docs_parsed,
+        "mentions_linked": res.mentions_linked,
         "triples_emitted": res.triples_emitted,
         "wall_sec": wall,
         "triples_per_sec": round(res.triples_emitted / wall, 1) if wall else None,

@@ -117,6 +117,13 @@ def test_pipeline_run_and_resume(spark, pages, aliases, tmp_path):
     assert res.docs_parsed == N_PAGES
     full = spark.read.parquet(res.triples_path)
     assert full.count() == res.triples_emitted
+    # the north-star counter triple: docs parsed / mentions linked /
+    # triples emitted — mentions_linked must equal the mention-predicate
+    # rows actually written
+    from rdf_rs_spark.pipeline import EX
+
+    n_mentions = full.filter(F.col("pred") == EX + "mentions").count()
+    assert res.mentions_linked == n_mentions > 0
     # no duplicate triples post salted dedup
     cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "src_url"]
     assert full.count() == full.dropDuplicates(cols).count()
