@@ -405,3 +405,27 @@ def test_jsonld_writer_roundtrips_and_escapes(spark):
     for s in sorted(out):
         back += jsonld_doc_triples(json.loads(out[s]))
     assert sorted(back) == sorted(rows)
+
+
+def test_escape_debug_col_exhaustive_ascii_contexts(spark):
+    """The r5 wrap-then-translate escape rewrite must stay byte-equal
+    to the python escape_debug on every ASCII/DEL char (the column
+    path's contract set: C0 controls, DEL, backslash, both quotes;
+    printables pass through) — embedded in context, bare, and in
+    pathological combinations that exercise rule ordering (backslashes
+    introduced by earlier escapes must never re-escape)."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.terms import escape_debug
+    from rdf_rs_spark.writers.ntriples import escape_debug_col
+
+    cases = ["a%sb" % chr(i) for i in range(128)] + [chr(i) for i in range(128)]
+    cases += [
+        "\\n", "\\", chr(1) * 3, chr(0x1A) + chr(0x0B) + "'",
+        '"mix"' + chr(16), "", "x" + chr(0x7F) + chr(0x10) + '\\"',
+        "\t\r\n\x00", "a" * 50,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    got = [r.e for r in df.select(escape_debug_col(F.col("v")).alias("e")).collect()]
+    exp = [escape_debug(c) for c in cases]
+    assert got == exp
