@@ -6935,6 +6935,78 @@ def sparql_results_csv(spark, sf_dir):
     return to_csv(bindings)
 
 
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+@q(
+    "sparql_results_json",
+    TRIPLES_CTE + f""",
+t2 AS (
+  SELECT DISTINCT {_T6} FROM triples
+  UNION ALL
+  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/motto', CAST(2 AS TINYINT),
+         'hello nation ' || CAST(n_nationkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), 'en' FROM nation
+  UNION ALL
+  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/rank', CAST(2 AS TINYINT),
+         CAST(n_nationkey AS VARCHAR), '{_XSD_INT}',
+         CAST(NULL AS VARCHAR) FROM nation
+)
+SELECT '{{"s":'
+  || CASE WHEN subj LIKE '\\_:%' ESCAPE '\\'
+       THEN '{{"type":"bnode","value":"' || substr(subj, 3) || '"}}'
+       ELSE '{{"type":"uri","value":"' || subj || '"}}' END
+  || ',"p":{{"type":"uri","value":"' || pred || '"}}'
+  || ',"o":'
+  || CASE obj_kind
+       WHEN 0 THEN '{{"type":"uri","value":"' || obj_lex || '"}}'
+       WHEN 1 THEN '{{"type":"bnode","value":"' || obj_lex || '"}}'
+       ELSE '{{"type":"literal","value":"' || obj_lex || '"'
+            || COALESCE(',"xml:lang":"' || obj_lang || '"', '')
+            || COALESCE(',"datatype":"' || obj_datatype || '"', '')
+            || '}}' END
+  || '}}' AS value
+FROM t2""",
+)
+def sparql_results_json(spark, sf_dir):
+    """W3C SPARQL 1.1 Query Results JSON sink (``writers/results.py::
+    sparql_results_json_rows``) — the TYPED interchange format beside
+    the lossy CSV profile: one spec-shaped binding object per row with
+    ``uri`` / ``bnode`` / ``literal`` term objects, ``xml:lang`` and
+    ``datatype`` members present exactly when the term carries them
+    (to_json omits the null fields). Bindings = the shared star-schema
+    triples relation (IRI objects, blank subjects AND objects, plain
+    literals) extended with a lang-tagged and an xsd:integer-typed
+    literal per nation so every member shape serializes. The oracle
+    assembles the exact byte strings from the base tables — member
+    order, compact separators, all stated (values are JSON-safe by
+    construction; escaping is the writer's to_json and is pinned by
+    unit test for quotes/backslashes). One codegen projection, zero
+    shuffle."""
+    from .writers.results import sparql_results_json_rows
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    nsubj = F.concat(F.lit(EX + "nation/"), k.cast("string"))
+    extra = n.select(
+        nsubj.alias("subj"), F.lit(EX + "motto").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit("hello nation "), k.cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit("en").alias("obj_lang"),
+    ).unionByName(n.select(
+        nsubj.alias("subj"), F.lit(EX + "rank").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        k.cast("string").alias("obj_lex"),
+        F.lit(_XSD_INT).alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    ))
+    triples = _triples(spark, sf_dir).dropDuplicates().unionByName(extra)
+    return sparql_results_json_rows(triples)
+
+
 @q(
     "kg_validate_after_inference",
     f"""SELECT '{EX}nation/' || CAST(n_nationkey AS VARCHAR) AS focus,
@@ -14781,6 +14853,7 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
     # ---- deferred with written reasons ----
+    "sparql_results_json": "registered r5 AFTER the r5 window froze (the typed W3C Results JSON sink beside the green CSV profile; every term-object shape exercised, byte-exact assembly oracle); green under the local mirror gate; r6 window candidate class (b) — novel byte-exact JSON oracle shape",
     "docs_wordpiece_segment": "r5: ceded its fill slot to the docs_curation_audit flagship — the frozen-model oracle shape keeps three in-window representatives (docs_hashclf_quality, docs_lang_id_rank, kg_transe_rank_eval); the greedy longest-match decision classes stay pytest-green, r6 window candidate",
     "multimodal_sniff_route": "r5: ceded its window slot to the multimodal_decode_route flagship, which pins the router's decisions END-TO-END (wrong route = broken hash) for ppm/gif/qoi/bmp; this routing-table entry keeps the jpeg/tiff/wav/unknown-class surface, r6 window candidate",
     "crawl_robots_wildcards": "r5: ceded its fill slot to the crawl_policy_pipeline flagship (wildcard + $-anchor + longest-path precedence classes ride in the flagship's class-0 host); the standalone keeps the literal-%/_ escape-flip decoy class, r6 window candidate",

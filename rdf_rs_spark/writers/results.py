@@ -50,3 +50,78 @@ def write_sparql_results_csv(df: DataFrame, path: str) -> None:
     """Distributed CSV results sink (one header-less part per task —
     concatenate with the header for the single-file interchange form)."""
     sparql_results_csv(df).write.mode("overwrite").text(path)
+
+
+# ---- W3C SPARQL 1.1 Query Results JSON (sparql11-results-json) -----------
+#
+# The TYPED interchange format: each binding is
+#   {"type":"uri"|"literal"|"bnode","value":...,
+#    "xml:lang":...|"datatype":...}
+# Unlike the lossy CSV profile this needs term KINDS, which the engine's
+# SELECT bindings (plain subject-encoded strings) do not carry — so the
+# typed writer takes the six-column triples relation (CONSTRUCT output,
+# the graph store itself) where kinds are first-class. One to_json per
+# row, whole-stage codegen, zero Python, zero shuffle; null fields
+# (lang/datatype on non-literals) are omitted by to_json, so the term
+# objects come out exactly spec-shaped.
+
+
+def _subjectish_term(col: Column) -> Column:
+    """IRI-or-blank column (subject encoding) → results-JSON term
+    struct."""
+    is_blank = col.startswith("_:")
+    return F.struct(
+        F.when(is_blank, F.lit("bnode")).otherwise(F.lit("uri")).alias("type"),
+        F.when(is_blank, F.substring(col, 3, 2147483647))
+        .otherwise(col)
+        .alias("value"),
+    )
+
+
+def _object_term(kind: Column, lex: Column, datatype: Column, lang: Column) -> Column:
+    from ..terms import KIND_BLANK, KIND_IRI
+
+    return F.struct(
+        F.when(kind == KIND_IRI, F.lit("uri"))
+        .when(kind == KIND_BLANK, F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("type"),
+        lex.alias("value"),
+        F.when(kind.isin(KIND_IRI, KIND_BLANK), F.lit(None).cast("string"))
+        .otherwise(lang)
+        .alias("xml:lang"),
+        F.when(kind.isin(KIND_IRI, KIND_BLANK), F.lit(None).cast("string"))
+        .otherwise(datatype)
+        .alias("datatype"),
+    )
+
+
+def results_json_head(variables: List[str]) -> str:
+    """The document head the caller prepends around the binding rows:
+    ``{"head":{"vars":[...]},"results":{"bindings":[`` — with the rows
+    comma-joined and ``]}}`` appended, the concatenation is the
+    single-document interchange form (same assembly contract as
+    :func:`csv_header`)."""
+    import json as _json
+
+    return _json.dumps(
+        {"head": {"vars": variables}}, separators=(",", ":")
+    )[:-1] + ',"results":{"bindings":['
+
+
+def sparql_results_json_rows(triples: DataFrame) -> DataFrame:
+    """Six-column triples relation → one spec-shaped binding object per
+    row (single ``value`` column), vars ``s``/``p``/``o``:
+    ``{"s":{"type":"uri","value":...},"p":...,"o":...}``. Deterministic
+    member order (struct order), compact separators — byte-stable
+    across partitionings, so a distributed write + concatenate yields a
+    valid document."""
+    binding = F.struct(
+        _subjectish_term(F.col("subj")).alias("s"),
+        _subjectish_term(F.col("pred")).alias("p"),
+        _object_term(
+            F.col("obj_kind"), F.col("obj_lex"),
+            F.col("obj_datatype"), F.col("obj_lang"),
+        ).alias("o"),
+    )
+    return triples.select(F.to_json(binding).alias("value"))

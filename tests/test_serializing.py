@@ -429,3 +429,39 @@ def test_escape_debug_col_exhaustive_ascii_contexts(spark):
     got = [r.e for r in df.select(escape_debug_col(F.col("v")).alias("e")).collect()]
     exp = [escape_debug(c) for c in cases]
     assert got == exp
+
+
+def test_results_json_rows_escaping_and_shapes(spark):
+    """The typed Results-JSON writer must emit spec-shaped term objects
+    for every kind and let to_json handle JSON escaping (quotes,
+    backslashes, control chars) — the registered oracle keeps its
+    values JSON-safe, so the escaping contract is pinned here."""
+    import json
+
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.writers.results import (
+        results_json_head,
+        sparql_results_json_rows,
+    )
+
+    rows = [
+        ("http://e/s", "http://e/p", 2, 'has "quotes" and \\slash\\', None, None),
+        ("_:b", "http://e/p", 2, "tab\there", None, "en-GB"),
+        ("http://e/s", "http://e/p", 0, "http://e/o?x=1&y=2", None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    got = [r.value for r in sparql_results_json_rows(df).collect()]
+    parsed = [json.loads(v) for v in got]
+    by_obj = {p["o"]["value"]: p for p in parsed}
+    assert by_obj['has "quotes" and \\slash\\']["o"] == {
+        "type": "literal", "value": 'has "quotes" and \\slash\\'
+    }
+    assert by_obj["tab\there"]["s"] == {"type": "bnode", "value": "b"}
+    assert by_obj["tab\there"]["o"]["xml:lang"] == "en-GB"
+    assert by_obj["http://e/o?x=1&y=2"]["o"]["type"] == "uri"
+    # document assembly: head + comma-joined rows + tail parses as the
+    # spec's single-document form
+    doc = results_json_head(["s", "p", "o"]) + ",".join(got) + "]}}"
+    d = json.loads(doc)
+    assert d["head"]["vars"] == ["s", "p", "o"]
+    assert len(d["results"]["bindings"]) == 3
