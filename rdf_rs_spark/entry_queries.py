@@ -6987,6 +6987,15 @@ def sparql_results_json(spark, sf_dir):
     shuffle."""
     from .writers.results import sparql_results_json_rows
 
+    return sparql_results_json_rows(_typed_results_triples(spark, sf_dir))
+
+
+def _typed_results_triples(spark, sf_dir):
+    """The shared star-schema triples relation extended with a
+    lang-tagged and an xsd:integer-typed literal per nation — the
+    bindings corpus both typed results sinks (JSON + TSV) serialize,
+    so every term-object / term-syntax shape is exercised. Mirrored by
+    the ``t2`` CTE both oracles share."""
     n = _t(spark, sf_dir, "nation")
     k = F.col("n_nationkey")
     nsubj = F.concat(F.lit(EX + "nation/"), k.cast("string"))
@@ -7003,8 +7012,53 @@ def sparql_results_json(spark, sf_dir):
         F.lit(_XSD_INT).alias("obj_datatype"),
         F.lit(None).cast("string").alias("obj_lang"),
     ))
-    triples = _triples(spark, sf_dir).dropDuplicates().unionByName(extra)
-    return sparql_results_json_rows(triples)
+    return _triples(spark, sf_dir).dropDuplicates().unionByName(extra)
+
+
+_T2_CTE = TRIPLES_CTE + f""",
+t2 AS (
+  SELECT DISTINCT {_T6} FROM triples
+  UNION ALL
+  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/motto', CAST(2 AS TINYINT),
+         'hello nation ' || CAST(n_nationkey AS VARCHAR),
+         CAST(NULL AS VARCHAR), 'en' FROM nation
+  UNION ALL
+  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
+         'http://kg.example.org/rank', CAST(2 AS TINYINT),
+         CAST(n_nationkey AS VARCHAR), '{_XSD_INT}',
+         CAST(NULL AS VARCHAR) FROM nation
+)
+"""
+
+
+@q(
+    "sparql_results_tsv",
+    _T2_CTE + """
+SELECT (CASE WHEN starts_with(subj, '_:') THEN subj
+        ELSE '<' || subj || '>' END)
+  || chr(9) || '<' || pred || '>' || chr(9)
+  || (CASE obj_kind
+        WHEN 0 THEN '<' || obj_lex || '>'
+        WHEN 1 THEN '_:' || obj_lex
+        ELSE '"' || obj_lex || '"'
+             || COALESCE('@' || obj_lang, '')
+             || COALESCE('^^<' || obj_datatype || '>', '') END) AS value
+FROM t2""",
+)
+def sparql_results_tsv(spark, sf_dir):
+    """W3C SPARQL 1.1 Query Results TSV sink (``writers/results.py::
+    sparql_results_tsv_rows``) — the LOSSLESS text profile beside the
+    lossy CSV one: terms in SPARQL syntax (IRIs in ``<>``, bnode
+    labels, literals quoted with ``@lang`` / ``^^<dt>``), tab
+    separators. Same typed bindings corpus as ``sparql_results_json``
+    (shared ``t2`` CTE), so both sinks serialize identical solutions
+    in their two formats; literal escaping is the spec's five
+    sequences only (NOT the NT sink's escape_debug quirks) and is
+    pinned by unit test. One codegen projection, zero shuffle."""
+    from .writers.results import sparql_results_tsv_rows
+
+    return sparql_results_tsv_rows(_typed_results_triples(spark, sf_dir))
 
 
 @q(
@@ -14853,6 +14907,7 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
     # ---- deferred with written reasons ----
+    "sparql_results_tsv": "registered r5 AFTER the r5 window froze (the lossless W3C Results TSV profile; shares the typed bindings corpus with sparql_results_json); green under the local mirror gate; r6 window candidate — one slot can verify the results-format pair via the shared t2 corpus",
     "sparql_results_json": "registered r5 AFTER the r5 window froze (the typed W3C Results JSON sink beside the green CSV profile; every term-object shape exercised, byte-exact assembly oracle); green under the local mirror gate; r6 window candidate class (b) — novel byte-exact JSON oracle shape",
     "docs_wordpiece_segment": "r5: ceded its fill slot to the docs_curation_audit flagship — the frozen-model oracle shape keeps three in-window representatives (docs_hashclf_quality, docs_lang_id_rank, kg_transe_rank_eval); the greedy longest-match decision classes stay pytest-green, r6 window candidate",
     "multimodal_sniff_route": "r5: ceded its window slot to the multimodal_decode_route flagship, which pins the router's decisions END-TO-END (wrong route = broken hash) for ppm/gif/qoi/bmp; this routing-table entry keeps the jpeg/tiff/wav/unknown-class surface, r6 window candidate",

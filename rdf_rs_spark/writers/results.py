@@ -109,6 +109,71 @@ def results_json_head(variables: List[str]) -> str:
     )[:-1] + ',"results":{"bindings":['
 
 
+# ---- W3C SPARQL 1.1 Query Results TSV (sparql11-results-csv-tsv §4) ------
+#
+# The LOSSLESS text profile: terms serialize in SPARQL/Turtle syntax
+# (IRIs in <>, bnode labels, literals quoted with @lang / ^^<dt>), one
+# tab-separated line per solution. Literal escaping is the spec's FIVE
+# sequences only (\\ \" \t \n \r) — deliberately NOT the NT sink's
+# Rust escape_debug (whose \' and \u{x} quirks are reference fidelity,
+# not part of this spec) — via the same wrap-then-translate shape that
+# keeps the NT escape chain under the JIT method-size knee.
+
+_TSV_FROM = "\t\n\r"
+_TSV_TO = "tnr"
+
+
+def _tsv_escape(col: Column) -> Column:
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "([\t\n\r])", "\\\\$1")
+    return F.translate(c, _TSV_FROM, _TSV_TO)
+
+
+def _tsv_subjectish(col: Column) -> Column:
+    return F.when(col.startswith("_:"), col).otherwise(
+        F.concat(F.lit("<"), col, F.lit(">"))
+    )
+
+
+def _tsv_object(kind: Column, lex: Column, datatype: Column, lang: Column) -> Column:
+    from ..terms import KIND_BLANK, KIND_IRI
+
+    literal = F.concat(
+        F.lit('"'), _tsv_escape(lex), F.lit('"'),
+        F.when(lang.isNotNull(), F.concat(F.lit("@"), lang)).otherwise(F.lit("")),
+        F.when(
+            datatype.isNotNull(), F.concat(F.lit("^^<"), datatype, F.lit(">"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        F.when(kind == KIND_IRI, F.concat(F.lit("<"), lex, F.lit(">")))
+        .when(kind == KIND_BLANK, F.concat(F.lit("_:"), lex))
+        .otherwise(literal)
+    )
+
+
+def results_tsv_header(variables: List[str]) -> str:
+    """The header line (``?``-prefixed variables, tab-separated) the
+    caller prepends — same assembly contract as :func:`csv_header`."""
+    return "\t".join("?" + v for v in variables)
+
+
+def sparql_results_tsv_rows(triples: DataFrame) -> DataFrame:
+    """Six-column triples relation → one TSV solution line per row
+    (vars ``s``/``p``/``o``), terms in SPARQL syntax. One codegen
+    projection, zero Python, zero shuffle."""
+    line = F.concat(
+        _tsv_subjectish(F.col("subj")), F.lit("\t"),
+        _tsv_subjectish(F.col("pred")), F.lit("\t"),
+        _tsv_object(
+            F.col("obj_kind"), F.col("obj_lex"),
+            F.col("obj_datatype"), F.col("obj_lang"),
+        ),
+    )
+    return triples.select(line.alias("value"))
+
+
 def sparql_results_json_rows(triples: DataFrame) -> DataFrame:
     """Six-column triples relation → one spec-shaped binding object per
     row (single ``value`` column), vars ``s``/``p``/``o``:

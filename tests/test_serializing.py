@@ -465,3 +465,29 @@ def test_results_json_rows_escaping_and_shapes(spark):
     d = json.loads(doc)
     assert d["head"]["vars"] == ["s", "p", "o"]
     assert len(d["results"]["bindings"]) == 3
+
+
+def test_results_tsv_escaping_is_spec_five_only(spark):
+    """TSV literal escaping must be exactly the spec's five sequences
+    (backslash, quote, tab, newline, CR) — NOT escape_debug's \\' and
+    \\u{x} reference quirks — and IRIs/bnodes must never escape."""
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.writers.results import (
+        results_tsv_header,
+        sparql_results_tsv_rows,
+    )
+
+    rows = [
+        ("http://e/s", "http://e/p", 2, 'q"uote\\b\tt\nn\rr', None, None),
+        ("_:b", "http://e/p", 2, "it's \x01raw", None, "en"),
+        ("http://e/s", "http://e/p", 0, "http://e/o", None, None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    got = sorted(r.value for r in sparql_results_tsv_rows(df).collect())
+    assert got == sorted([
+        '<http://e/s>\t<http://e/p>\t"q\\"uote\\\\b\\tt\\nn\\rr"',
+        # the apostrophe and the raw C0 byte pass through UNescaped
+        '_:b\t<http://e/p>\t"it\'s \x01raw"@en',
+        "<http://e/s>\t<http://e/p>\t<http://e/o>",
+    ])
+    assert results_tsv_header(["s", "p", "o"]) == "?s\t?p\t?o"
