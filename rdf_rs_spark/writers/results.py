@@ -52,6 +52,97 @@ def write_sparql_results_csv(df: DataFrame, path: str) -> None:
     sparql_results_csv(df).write.mode("overwrite").text(path)
 
 
+# ---- W3C SPARQL Query Results XML (rdf-sparql-XMLres) --------------------
+#
+# The fourth standard results format: <result><binding name="v">
+# <uri>…</uri> | <bnode>label</bnode> | <literal xml:lang=… /
+# datatype=…>…</literal></binding></result> per solution. Rows are
+# order-independent <result> strings; head/tail constants complete the
+# document (same assembly contract as csv_header / results_json_head).
+
+
+def _xml_escape(col: Column) -> Column:
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    return F.replace(c, F.lit('"'), F.lit("&quot;"))
+
+
+def _xml_binding(name: str, term: Column) -> Column:
+    return F.concat(F.lit(f'<binding name="{name}">'), term, F.lit("</binding>"))
+
+
+def _xml_subjectish(col: Column) -> Column:
+    is_blank = col.startswith("_:")
+    return F.when(
+        is_blank,
+        F.concat(
+            F.lit("<bnode>"),
+            _xml_escape(F.substring(col, 3, 2147483647)),
+            F.lit("</bnode>"),
+        ),
+    ).otherwise(F.concat(F.lit("<uri>"), _xml_escape(col), F.lit("</uri>")))
+
+
+def _xml_object(kind: Column, lex: Column, datatype: Column, lang: Column) -> Column:
+    from ..terms import KIND_BLANK, KIND_IRI
+
+    open_tag = F.concat(
+        F.lit("<literal"),
+        F.when(
+            lang.isNotNull(),
+            F.concat(F.lit(' xml:lang="'), _xml_escape(lang), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.when(
+            datatype.isNotNull(),
+            F.concat(F.lit(' datatype="'), _xml_escape(datatype), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit(">"),
+    )
+    literal = F.concat(open_tag, _xml_escape(lex), F.lit("</literal>"))
+    return (
+        F.when(kind == KIND_IRI, F.concat(F.lit("<uri>"), _xml_escape(lex), F.lit("</uri>")))
+        .when(
+            kind == KIND_BLANK,
+            F.concat(F.lit("<bnode>"), _xml_escape(lex), F.lit("</bnode>")),
+        )
+        .otherwise(literal)
+    )
+
+
+def results_xml_head(variables: List[str]) -> str:
+    """Document head through ``<results>`` — append the rows and
+    :data:`RESULTS_XML_TAIL` for the full interchange document."""
+    vars_xml = "".join(f'<variable name="{v}"/>' for v in variables)
+    return (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head>{vars_xml}</head><results>"
+    )
+
+
+RESULTS_XML_TAIL = "</results></sparql>"
+
+
+def sparql_results_xml_rows(triples: DataFrame) -> DataFrame:
+    """Six-column triples relation → one ``<result>`` element per row
+    (vars ``s``/``p``/``o``). One codegen projection, zero shuffle."""
+    row = F.concat(
+        F.lit("<result>"),
+        _xml_binding("s", _xml_subjectish(F.col("subj"))),
+        _xml_binding("p", _xml_subjectish(F.col("pred"))),
+        _xml_binding(
+            "o",
+            _xml_object(
+                F.col("obj_kind"), F.col("obj_lex"),
+                F.col("obj_datatype"), F.col("obj_lang"),
+            ),
+        ),
+        F.lit("</result>"),
+    )
+    return triples.select(row.alias("value"))
+
+
 # ---- W3C SPARQL 1.1 Query Results JSON (sparql11-results-json) -----------
 #
 # The TYPED interchange format: each binding is

@@ -491,3 +491,46 @@ def test_results_tsv_escaping_is_spec_five_only(spark):
         "<http://e/s>\t<http://e/p>\t<http://e/o>",
     ])
     assert results_tsv_header(["s", "p", "o"]) == "?s\t?p\t?o"
+
+
+def test_results_xml_rows_escaping_and_document(spark):
+    """XML results escaping (& < > \" in content and attribute values)
+    plus the head/tail document assembly must parse with stdlib
+    ElementTree and reconstruct every binding."""
+    import xml.etree.ElementTree as ET
+
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.writers.results import (
+        RESULTS_XML_TAIL,
+        results_xml_head,
+        sparql_results_xml_rows,
+    )
+
+    rows = [
+        ("http://e/s?a=1&b=<2>", "http://e/p", 2, 'x < y & z > "w"', None, None),
+        ("_:b", "http://e/p", 2, "tagged", None, "en"),
+        ("http://e/s", "http://e/p", 2, "42",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+    df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    got = [r.value for r in sparql_results_xml_rows(df).collect()]
+    doc = results_xml_head(["s", "p", "o"]) + "".join(got) + RESULTS_XML_TAIL
+    root = ET.fromstring(doc)
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    results = root.findall(f"{ns}results/{ns}result")
+    assert len(results) == 3
+    flat = {}
+    for res in results:
+        for b in res.findall(f"{ns}binding"):
+            term = b[0]
+            flat.setdefault(b.get("name"), []).append(
+                (term.tag.replace(ns, ""), term.text, term.get("xml:lang")
+                 or term.get("{http://www.w3.org/XML/1998/namespace}lang"),
+                 term.get("datatype"))
+            )
+    assert ("uri", "http://e/s?a=1&b=<2>", None, None) in flat["s"]
+    assert ("bnode", "b", None, None) in flat["s"]
+    assert ("literal", 'x < y & z > "w"', None, None) in flat["o"]
+    assert ("literal", "tagged", "en", None) in flat["o"]
+    assert ("literal", "42", None,
+            "http://www.w3.org/2001/XMLSchema#integer") in flat["o"]
