@@ -305,3 +305,52 @@ def test_sessionize_replay_matches_stream_and_exposes_state(spark, tmp_path):
         for r in replayed if r["is_open"] == 1
     )
     assert open_tails == [("A", 99999, 99999, 1), ("B", 2000, 2000, 1)]
+
+
+def test_advance_session_equals_global_sessionization_on_ordered_batches(spark):
+    """Property (hypothesis drives the PRODUCTION kernel): when
+    micro-batches partition the event stream in time order (no
+    cross-batch stragglers), folding _advance_session over the batches
+    must equal one-shot global sessionization — computed here by an
+    independent split-on-gap mirror over the sorted stream."""
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.streaming.stateful import _advance_session
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=1,
+                 max_size=40),
+        st.integers(min_value=1, max_value=400),
+        st.lists(st.integers(min_value=0, max_value=3), min_size=40,
+                 max_size=40),
+    )
+    def run(ts, gap, cut_choices):
+        ts = sorted(ts)
+        # time-ordered batch decomposition: cut points along the sorted
+        # stream (possibly empty batches)
+        n = len(ts)
+        cuts = sorted(set(min(c * n // 4, n) for c in cut_choices[:3]))
+        bounds = [0] + cuts + [n]
+        state = None
+        closed = []
+        for a, b in zip(bounds, bounds[1:]):
+            state, newly = _advance_session(state, ts[a:b], gap)
+            closed.extend(newly)
+        if state is not None:
+            closed.append(state)
+        # independent mirror: split the sorted stream wherever the gap
+        # exceeds the threshold
+        expected = []
+        start = prev = ts[0]
+        count = 1
+        for t in ts[1:]:
+            if t - prev > gap:
+                expected.append((start, prev, count))
+                start, count = t, 0
+            prev = t
+            count += 1
+        expected.append((start, prev, count))
+        assert closed == expected
+
+    run()
