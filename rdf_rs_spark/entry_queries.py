@@ -14880,7 +14880,10 @@ IMPL_CHANGED = {
 #       script_profile,sentence_split,publish_dates,casing_profile,...},
 #       kg_wikitext_{sections,redirects,abstract,coordinates},
 #       crawl_{sitemap_entries,feed_entries,meta_refresh,...},
-#       rdf_{literal_datatype_audit,tbox_abox_split,iri_percent_normalize}.
+#       rdf_{literal_datatype_audit,tbox_abox_split,iri_percent_normalize};
+#       the r5-registered results-format trio sparql_results_{json,tsv,
+#       xml} shares ONE typed t2 corpus — schedule the three adjacent
+#       slots (or json alone: the other two differ only in assembly).
 # Windows r7-r8 drain the remainder (~33/round after r6); nothing new
 # registers without displacing a fill (VERDICT r4 #2 freeze).
 

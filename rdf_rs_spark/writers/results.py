@@ -281,3 +281,22 @@ def sparql_results_json_rows(triples: DataFrame) -> DataFrame:
         ).alias("o"),
     )
     return triples.select(F.to_json(binding).alias("value"))
+
+
+def write_sparql_results_tsv(df: DataFrame, path: str) -> None:
+    """Distributed TSV results sink (header-less parts — prepend
+    :func:`results_tsv_header` for the interchange form)."""
+    sparql_results_tsv_rows(df).write.mode("overwrite").text(path)
+
+
+def write_sparql_results_json(df: DataFrame, path: str) -> None:
+    """Distributed JSON results sink (binding-object rows — wrap with
+    :func:`results_json_head` + ``]}}``, comma-joining rows, for the
+    single-document form)."""
+    sparql_results_json_rows(df).write.mode("overwrite").text(path)
+
+
+def write_sparql_results_xml(df: DataFrame, path: str) -> None:
+    """Distributed XML results sink (``<result>`` rows — wrap with
+    :func:`results_xml_head` + :data:`RESULTS_XML_TAIL`)."""
+    sparql_results_xml_rows(df).write.mode("overwrite").text(path)
