@@ -1,0 +1,107 @@
+"""JSONL document-corpus ingest — the LLM-corpus interchange format.
+
+C4 / Dolma / FineWeb-class corpora ship as JSON-Lines (one document
+object per line: ``{"id":…,"text":…,"url":…,"timestamp":…,
+"metadata":{…}}``), usually gzipped. The Spark-first answer is the
+BUILT-IN JSON machinery — an explicit schema (never inference: a
+schema-inference pass over 100 TB is a full extra scan, and a skewed
+sample silently drops fields), ``from_json`` for payload columns,
+PERMISSIVE corrupt handling routed to a dead-letter view with stable
+reason codes (the `read_rdf` rejects discipline). Zero Python
+anywhere; every expression is whole-stage codegen.
+
+The reference has no corpus-ingest side at all (`src/graph.rs` — this
+engine's beyond-reference training-data surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+#: the common denominator of the public corpus releases: id/url/
+#: timestamp optional, text required, metadata an open string map
+#: (typed extraction happens downstream — keeping the map as strings
+#: avoids per-release schema drift breaking the scan).
+JSONL_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("timestamp", T.StringType(), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Directory/file of ``.jsonl``/``.jsonl.gz`` → typed documents via
+    the native JSON source (gzip decompression is the source's own;
+    ``.gz`` files are single-split, so shard corpora into many files —
+    the layout every public release already uses)."""
+    return (
+        spark.read.schema(JSONL_DOC_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def parse_jsonl_lines(
+    df: DataFrame, line_col: str = "line", id_col: str = "line_id"
+) -> DataFrame:
+    """Lines relation → one row per input line with the parsed fields
+    and an ``ok`` flag: malformed JSON yields ``ok = 0`` with null
+    fields (``from_json`` returns a NULL struct) instead of dropping
+    the line, so reject accounting stays exact and a dead-letter view
+    is one ``filter`` away. ``ts_unix`` parses the ISO-8601 timestamp
+    (``Z`` designator) under the engine's pinned-UTC discipline;
+    ``lang`` surfaces the conventional metadata key."""
+    # PERMISSIVE from_json yields a struct with NULL FIELDS for a
+    # malformed line (not a null struct) — the spec'd corrupt-record
+    # column is the reliable reject signal
+    parse_schema = T.StructType(
+        list(JSONL_DOC_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    parsed = F.from_json(
+        F.col(line_col), parse_schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    ok = parsed.getField("_corrupt_record").isNull()
+    ts = F.unix_timestamp(parsed.getField("timestamp").cast("timestamp"))
+    return df.select(
+        F.col(id_col),
+        ok.cast("long").alias("ok"),
+        parsed.getField("id").alias("doc_id"),
+        parsed.getField("text").alias("text"),
+        parsed.getField("url").alias("url"),
+        ts.cast("long").alias("ts_unix"),
+        # try_element_at: ANSI-safe map access (plain element_at throws
+        # on a missing key under the engine's pinned ANSI mode)
+        F.try_element_at(parsed.getField("metadata"), F.lit("lang")).alias("lang"),
+    )
+
+
+def jsonl_doc_line(
+    text: Column,
+    doc_id: Column | None = None,
+    url: Column | None = None,
+    timestamp: Column | None = None,
+    lang: Column | None = None,
+) -> Column:
+    """Documents → JSONL line strings (``to_json``, null members
+    omitted) — the write side of the interchange round trip."""
+    fields = []
+    if doc_id is not None:
+        fields.append(doc_id.alias("id"))
+    fields.append(text.alias("text"))
+    if url is not None:
+        fields.append(url.alias("url"))
+    if timestamp is not None:
+        fields.append(timestamp.alias("timestamp"))
+    if lang is not None:
+        fields.append(
+            F.map_from_arrays(
+                F.array(F.lit("lang")), F.array(lang)
+            ).alias("metadata")
+        )
+    return F.to_json(F.struct(*fields))

@@ -1,0 +1,57 @@
+"""JSONL document-corpus front (sources/jsonl_docs.py)."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from rdf_rs_spark.sources.jsonl_docs import (
+    jsonl_doc_line,
+    parse_jsonl_lines,
+    read_jsonl_docs,
+)
+
+
+def test_write_read_roundtrip_through_native_source(spark, tmp_path):
+    """jsonl_doc_line → .jsonl.gz files → read_jsonl_docs must round
+    trip every field, including gzip members and sharded layout."""
+    docs = spark.range(40).select(
+        jsonl_doc_line(
+            text=F.concat(F.lit("text "), F.col("id").cast("string")),
+            doc_id=F.concat(F.lit("d"), F.col("id").cast("string")),
+            url=F.concat(F.lit("https://h.ex/"), F.col("id").cast("string")),
+            timestamp=F.lit("2024-01-02T03:04:05Z"),
+            lang=F.lit("en"),
+        ).alias("value")
+    )
+    lines = [r.value for r in docs.collect()]
+    d = tmp_path / "corpus"
+    d.mkdir()
+    half = len(lines) // 2
+    (d / "part-0.jsonl").write_text("\n".join(lines[:half]) + "\n")
+    (d / "part-1.jsonl.gz").write_bytes(
+        gzip.compress(("\n".join(lines[half:]) + "\n").encode())
+    )
+    back = read_jsonl_docs(spark, str(d))
+    rows = {r.id: r for r in back.collect()}
+    assert len(rows) == 40
+    assert rows["d7"].text == "text 7"
+    assert rows["d7"].url == "https://h.ex/7"
+    assert rows["d7"].metadata == {"lang": "en"}
+
+
+def test_parse_lines_rejects_are_counted_not_dropped(spark):
+    lines = spark.createDataFrame(
+        [
+            (0, '{"text":"ok","metadata":{"lang":"fr"}}'),
+            (1, '{"text":"truncated'),
+            (2, "not json at all"),
+            (3, '{"text":"minimal"}'),
+        ],
+        "line_id long, line string",
+    )
+    out = {r.line_id: r for r in parse_jsonl_lines(lines).collect()}
+    assert len(out) == 4
+    assert out[0].ok == 1 and out[0].lang == "fr"
+    assert out[1].ok == 0 and out[1].text is None
+    assert out[2].ok == 0
+    assert out[3].ok == 1 and out[3].lang is None and out[3].doc_id is None
