@@ -14885,7 +14885,10 @@ _VERIFY_FIRST = [
     "streaming_sessionize_replay",
     "kg_dictionary_extend",
     "kg_encoded_bgp",
-    "html_jsonld_triples",
+    # r5 registration (displaced the html_jsonld_triples fill — the
+    # tag-stack walker family keeps three in-window reps): the first
+    # native-JSON-source ingest front under the gate
+    "docs_jsonl_ingest",
     # r5 flagship (took multimodal_sniff_route's slot): sniff-routed
     # dispatch to four real decoders under one hash
     "multimodal_decode_route",
@@ -15007,7 +15010,7 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
     # ---- deferred with written reasons ----
-    "docs_jsonl_ingest": "registered r5 AFTER the r5 window froze (the C4/Dolma/FineWeb JSONL corpus front via built-in from_json + explicit schema; corrupt-line dead-letter accounting); green under the local mirror gate; r6 window candidate class (a) — first native-JSON-source ingest front under the gate",
+    "html_jsonld_triples": "r5: ceded its fill slot to docs_jsonl_ingest (the _Walk tag-stack family keeps three in-window reps: html_microdata_triples, html_rdfa_triples, html_web_tables; the embedded-JSON-LD walker additionally rides the green kg_web_data_commons flagship); r6 window candidate",
     "sparql_results_xml": "registered r5 AFTER the r5 window froze (completes the four W3C results formats; shares the typed t2 bindings corpus with the JSON/TSV sinks); green under the local mirror gate; r6 window candidate — the results-format trio verifies together via the shared corpus",
     "sparql_results_tsv": "registered r5 AFTER the r5 window froze (the lossless W3C Results TSV profile; shares the typed bindings corpus with sparql_results_json); green under the local mirror gate; r6 window candidate — one slot can verify the results-format pair via the shared t2 corpus",
     "sparql_results_json": "registered r5 AFTER the r5 window froze (the typed W3C Results JSON sink beside the green CSV profile; every term-object shape exercised, byte-exact assembly oracle); green under the local mirror gate; r6 window candidate class (b) — novel byte-exact JSON oracle shape",
