@@ -55,3 +55,54 @@ def test_parse_lines_rejects_are_counted_not_dropped(spark):
     assert out[1].ok == 0 and out[1].text is None
     assert out[2].ok == 0
     assert out[3].ok == 1 and out[3].lang is None and out[3].doc_id is None
+
+
+def test_parse_lines_agrees_with_stdlib_json(spark):
+    """Property: for arbitrary well-formed document objects rendered by
+    stdlib json.dumps (ensure_ascii both ways), the production
+    from_json path must surface identical id/text/url/lang fields."""
+    import json
+
+    from hypothesis import given, settings, strategies as st
+
+    txt = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.fixed_dictionaries(
+                {},
+                optional={
+                    "id": txt,
+                    "text": txt,
+                    "url": txt,
+                    "metadata": st.dictionaries(
+                        st.sampled_from(["lang", "source", "score"]),
+                        txt,
+                        max_size=3,
+                    ),
+                },
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+    def run(objs, ascii_mode):
+        rows = [
+            (i, json.dumps(o, ensure_ascii=ascii_mode))
+            for i, o in enumerate(objs)
+        ]
+        df = spark.createDataFrame(rows, "line_id long, line string")
+        got = {r.line_id: r for r in parse_jsonl_lines(df).collect()}
+        for i, o in enumerate(objs):
+            r = got[i]
+            assert r.ok == 1
+            assert r.doc_id == o.get("id")
+            assert r.text == o.get("text")
+            assert r.url == o.get("url")
+            assert r.lang == o.get("metadata", {}).get("lang")
+
+    run()
