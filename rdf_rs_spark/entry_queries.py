@@ -15008,7 +15008,7 @@ DEFERRED = {
     "dedup_semantic_drops": "green r4 under the driver hash gate; impl unchanged since",
     "ann_ivf_invariants": "green r4 under the driver hash gate; impl unchanged since",
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
-    "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since",
+    "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since (r5 page_triples change: NULL-html rows keep their provided text — a no-op on this html corpus, when-branch only; re-run green under the local mirror gate)",
     # ---- deferred with written reasons ----
     "html_jsonld_triples": "r5: ceded its fill slot to docs_jsonl_ingest (the _Walk tag-stack family keeps three in-window reps: html_microdata_triples, html_rdfa_triples, html_web_tables; the embedded-JSON-LD walker additionally rides the green kg_web_data_commons flagship); r6 window candidate",
     "sparql_results_xml": "registered r5 AFTER the r5 window froze (completes the four W3C results formats; shares the typed t2 bindings corpus with the JSON/TSV sinks); green under the local mirror gate; r6 window candidate — the results-format trio verifies together via the shared corpus",
@@ -15112,8 +15112,8 @@ DEFERRED = {
     "kg_shacl_report": "green r3 under the driver hash gate; impl unchanged since",
     "docs_deterministic_sample": "green r3 under the driver hash gate; impl unchanged since",
     "ann_ivf_seeded_topk": "green r3 under the driver hash gate; impl unchanged since",
-    "streaming_batch_body": "green r3 under the driver hash gate; impl unchanged since",
-    "kg_pipeline_e2e": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries)",
+    "streaming_batch_body": "green r3 under the driver hash gate; impl unchanged since (r5 page_triples change: NULL-html rows keep their provided text — a no-op on this html corpus, when-branch only; re-run green under the local mirror gate)",
+    "kg_pipeline_e2e": "green r3 under the driver hash gate; impl unchanged since (r4 _scale_n refactor touched the body: mechanical, value-identical — same sf->n mapping; re-run green under the local mirror gate, and the helper is exercised in-window by 7 sibling entries) (r5 page_triples change: NULL-html rows keep their provided text — a no-op on this html corpus, when-branch only; re-run green under the local mirror gate)",
     "kg_graph_pr_gate": "green r2+r3 under the driver hash gate; impl unchanged since",
     "sparql_update_quads_exec": "green r3 under the driver hash gate; impl unchanged since",
     "kg_rdfs_closure": "green r3 under the driver hash gate; r4 change is _rdfs_store materialization only (coalesce+checkpoint — values identical, plan-level); the store is exercised in-window by kg_rdfs_closure_distributed / kg_owl_property_closure / kg_validate_after_inference and by the full local mirror gate",

@@ -66,9 +66,22 @@ def skolemize(triples: DataFrame, key_col: str = "src_url") -> DataFrame:
 
 
 def page_triples(pages: DataFrame, alias_dict: DataFrame) -> DataFrame:
-    """One bucket's pages → canonical deduped triples (+ src_url)."""
+    """One bucket's pages → canonical deduped triples (+ src_url).
+
+    Pages carrying html re-derive their text through the reference
+    extractor (the byte-identical-per-url contract); rows with NULL
+    html keep the provided ``text`` column as-is — the JSONL corpus
+    class (C4/Dolma ship extracted text, no markup), see
+    ``sources/jsonl_docs.py::jsonl_docs_as_pages``."""
+    provided_text = (
+        F.col("text") if "text" in pages.columns
+        else F.lit(None).cast("string")  # WARC-front pages carry no text col
+    )
     pages = pages.select(
-        "url", "warc_ts", "lang", extract_text(F.col("html")).alias("text"),
+        "url", "warc_ts", "lang",
+        F.when(F.col("html").isNull(), provided_text)
+        .otherwise(extract_text(F.col("html")))
+        .alias("text"),
         extract_rdf_island(F.col("html")).alias("ttl"),
     )
 

@@ -105,3 +105,25 @@ def jsonl_doc_line(
             ).alias("metadata")
         )
     return F.to_json(F.struct(*fields))
+
+
+def jsonl_docs_as_pages(docs: DataFrame) -> DataFrame:
+    """JSONL documents → the engine's ``WEB_PAGES_SCHEMA`` relation
+    (``url, warc_ts, html, text, lang``), so a C4/Dolma-style corpus
+    feeds the KG pipeline (``pipeline.run_pipeline``) directly: url
+    falls back to a content-addressed ``jsonl:`` IRI when the release
+    carries none (ids must exist — skolemization keys on them), the
+    ISO timestamp becomes ``warc_ts``, ``html`` stays NULL (these
+    corpora ship extracted text; the pipeline's extractor passes text
+    through when html is absent)."""
+    url = F.coalesce(
+        F.col("url"),
+        F.concat(F.lit("jsonl:"), F.md5(F.coalesce(F.col("text"), F.lit("")))),
+    )
+    return docs.select(
+        url.alias("url"),
+        F.col("timestamp").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.try_element_at(F.col("metadata"), F.lit("lang")).alias("lang"),
+    )

@@ -106,3 +106,33 @@ def test_parse_lines_agrees_with_stdlib_json(spark):
             assert r.lang == o.get("metadata", {}).get("lang")
 
     run()
+
+
+def test_jsonl_pages_flow_through_kg_pipeline(spark, tmp_path):
+    """A text-only JSONL corpus (NULL html) must produce mention
+    triples through page_triples — the null-html fallback keeps the
+    provided text instead of re-extracting from markup."""
+    from rdf_rs_spark.pipeline import page_triples
+    from rdf_rs_spark.sources.jsonl_docs import jsonl_docs_as_pages
+    from rdf_rs_spark.sources.webpages import synthesize_alias_dict
+
+    docs = spark.range(12).select(
+        jsonl_doc_line(
+            text=F.concat(
+                F.lit("Article about alias1 and alias2 n"),
+                F.col("id").cast("string"),
+            ),
+            timestamp=F.lit("2024-01-02T03:04:05Z"),
+            lang=F.lit("en"),
+        ).alias("value")
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "part.jsonl").write_text(
+        "\n".join(r.value for r in docs.collect()) + "\n"
+    )
+    pages = jsonl_docs_as_pages(read_jsonl_docs(spark, str(d)))
+    triples = page_triples(pages, synthesize_alias_dict(spark)).collect()
+    mentions = [t for t in triples if t.pred.endswith("/mentions")]
+    assert len(mentions) == 24  # alias1 + alias2 per doc
+    assert all(t.subj.startswith("jsonl:") for t in mentions)
