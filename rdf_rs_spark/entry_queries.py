@@ -6937,10 +6937,7 @@ def sparql_results_csv(spark, sf_dir):
 
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
-
-@q(
-    "sparql_results_json",
-    TRIPLES_CTE + f""",
+_T2_CTE = TRIPLES_CTE + f""",
 t2 AS (
   SELECT DISTINCT {_T6} FROM triples
   UNION ALL
@@ -6954,21 +6951,91 @@ t2 AS (
          CAST(n_nationkey AS VARCHAR), '{_XSD_INT}',
          CAST(NULL AS VARCHAR) FROM nation
 )
-SELECT '{{"s":'
+"""
+
+_RESULTS_JSON_VALUE = """'{"s":'
   || CASE WHEN subj LIKE '\\_:%' ESCAPE '\\'
-       THEN '{{"type":"bnode","value":"' || substr(subj, 3) || '"}}'
-       ELSE '{{"type":"uri","value":"' || subj || '"}}' END
-  || ',"p":{{"type":"uri","value":"' || pred || '"}}'
+       THEN '{"type":"bnode","value":"' || substr(subj, 3) || '"}'
+       ELSE '{"type":"uri","value":"' || subj || '"}' END
+  || ',"p":{"type":"uri","value":"' || pred || '"}'
   || ',"o":'
   || CASE obj_kind
-       WHEN 0 THEN '{{"type":"uri","value":"' || obj_lex || '"}}'
-       WHEN 1 THEN '{{"type":"bnode","value":"' || obj_lex || '"}}'
-       ELSE '{{"type":"literal","value":"' || obj_lex || '"'
+       WHEN 0 THEN '{"type":"uri","value":"' || obj_lex || '"}'
+       WHEN 1 THEN '{"type":"bnode","value":"' || obj_lex || '"}'
+       ELSE '{"type":"literal","value":"' || obj_lex || '"'
             || COALESCE(',"xml:lang":"' || obj_lang || '"', '')
             || COALESCE(',"datatype":"' || obj_datatype || '"', '')
-            || '}}' END
-  || '}}' AS value
-FROM t2""",
+            || '}' END
+  || '}'"""
+
+_RESULTS_TSV_VALUE = """(CASE WHEN starts_with(subj, '_:') THEN subj
+        ELSE '<' || subj || '>' END)
+  || chr(9) || '<' || pred || '>' || chr(9)
+  || (CASE obj_kind
+        WHEN 0 THEN '<' || obj_lex || '>'
+        WHEN 1 THEN '_:' || obj_lex
+        ELSE '"' || obj_lex || '"'
+             || COALESCE('@' || obj_lang, '')
+             || COALESCE('^^<' || obj_datatype || '>', '') END)"""
+
+_RESULTS_XML_VALUE = """'<result>'
+  || '<binding name="s">'
+  || (CASE WHEN starts_with(subj, '_:')
+        THEN '<bnode>' || substr(subj, 3) || '</bnode>'
+        ELSE '<uri>' || subj || '</uri>' END)
+  || '</binding><binding name="p"><uri>' || pred || '</uri></binding>'
+  || '<binding name="o">'
+  || (CASE obj_kind
+        WHEN 0 THEN '<uri>' || obj_lex || '</uri>'
+        WHEN 1 THEN '<bnode>' || obj_lex || '</bnode>'
+        ELSE '<literal'
+             || COALESCE(' xml:lang="' || obj_lang || '"', '')
+             || COALESCE(' datatype="' || obj_datatype || '"', '')
+             || '>' || obj_lex || '</literal>' END)
+  || '</binding></result>'"""
+
+
+
+@q(
+    "sparql_results_formats",
+    _T2_CTE + f"""
+SELECT 'json' AS fmt, {_RESULTS_JSON_VALUE} AS value FROM t2
+UNION ALL SELECT 'tsv', {_RESULTS_TSV_VALUE} FROM t2
+UNION ALL SELECT 'xml', {_RESULTS_XML_VALUE} FROM t2""",
+)
+def sparql_results_formats(spark, sf_dir):
+    """The results-format composition (one hash over the THREE typed
+    W3C sinks added in r5): the shared typed bindings corpus
+    serializes through the JSON, TSV and XML writers simultaneously
+    and the outputs union as ``(fmt, value)`` — every term shape
+    (IRI, blank subject AND object, plain / lang-tagged /
+    datatype-typed literal) must byte-match all three spec renderings
+    at once. The standalone per-format entries keep their escaping
+    unit tests; this one window slot verifies the family end-to-end
+    (the lossy CSV profile is separately green r4)."""
+    from .writers.results import (
+        sparql_results_json_rows,
+        sparql_results_tsv_rows,
+        sparql_results_xml_rows,
+    )
+
+    t = _typed_results_triples(spark, sf_dir).localCheckpoint(eager=True)
+    parts = [
+        sparql_results_json_rows(t).select(
+            F.lit("json").alias("fmt"), "value"
+        ),
+        sparql_results_tsv_rows(t).select(F.lit("tsv").alias("fmt"), "value"),
+        sparql_results_xml_rows(t).select(F.lit("xml").alias("fmt"), "value"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
+    "sparql_results_json",
+    _T2_CTE + f"SELECT {_RESULTS_JSON_VALUE} AS value FROM t2",
 )
 def sparql_results_json(spark, sf_dir):
     """W3C SPARQL 1.1 Query Results JSON sink (``writers/results.py::
@@ -7015,21 +7082,6 @@ def _typed_results_triples(spark, sf_dir):
     return _triples(spark, sf_dir).dropDuplicates().unionByName(extra)
 
 
-_T2_CTE = TRIPLES_CTE + f""",
-t2 AS (
-  SELECT DISTINCT {_T6} FROM triples
-  UNION ALL
-  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
-         'http://kg.example.org/motto', CAST(2 AS TINYINT),
-         'hello nation ' || CAST(n_nationkey AS VARCHAR),
-         CAST(NULL AS VARCHAR), 'en' FROM nation
-  UNION ALL
-  SELECT 'http://kg.example.org/nation/' || CAST(n_nationkey AS VARCHAR),
-         'http://kg.example.org/rank', CAST(2 AS TINYINT),
-         CAST(n_nationkey AS VARCHAR), '{_XSD_INT}',
-         CAST(NULL AS VARCHAR) FROM nation
-)
-"""
 
 
 @q(
@@ -7092,23 +7144,7 @@ def docs_jsonl_ingest(spark, sf_dir):
 
 @q(
     "sparql_results_xml",
-    _T2_CTE + """
-SELECT '<result>'
-  || '<binding name="s">'
-  || (CASE WHEN starts_with(subj, '_:')
-        THEN '<bnode>' || substr(subj, 3) || '</bnode>'
-        ELSE '<uri>' || subj || '</uri>' END)
-  || '</binding><binding name="p"><uri>' || pred || '</uri></binding>'
-  || '<binding name="o">'
-  || (CASE obj_kind
-        WHEN 0 THEN '<uri>' || obj_lex || '</uri>'
-        WHEN 1 THEN '<bnode>' || obj_lex || '</bnode>'
-        ELSE '<literal'
-             || COALESCE(' xml:lang="' || obj_lang || '"', '')
-             || COALESCE(' datatype="' || obj_datatype || '"', '')
-             || '>' || obj_lex || '</literal>' END)
-  || '</binding></result>' AS value
-FROM t2""",
+    _T2_CTE + f"SELECT {_RESULTS_XML_VALUE} AS value FROM t2",
 )
 def sparql_results_xml(spark, sf_dir):
     """W3C SPARQL Query Results XML sink (``writers/results.py::
@@ -7127,17 +7163,7 @@ def sparql_results_xml(spark, sf_dir):
 
 @q(
     "sparql_results_tsv",
-    _T2_CTE + """
-SELECT (CASE WHEN starts_with(subj, '_:') THEN subj
-        ELSE '<' || subj || '>' END)
-  || chr(9) || '<' || pred || '>' || chr(9)
-  || (CASE obj_kind
-        WHEN 0 THEN '<' || obj_lex || '>'
-        WHEN 1 THEN '_:' || obj_lex
-        ELSE '"' || obj_lex || '"'
-             || COALESCE('@' || obj_lang, '')
-             || COALESCE('^^<' || obj_datatype || '>', '') END) AS value
-FROM t2""",
+    _T2_CTE + f"SELECT {_RESULTS_TSV_VALUE} AS value FROM t2",
 )
 def sparql_results_tsv(spark, sf_dir):
     """W3C SPARQL 1.1 Query Results TSV sink (``writers/results.py::
@@ -14851,7 +14877,11 @@ _VERIFY_FIRST = [
     "docs_docx_extract",
     "docs_tar_code_stats",
     "docs_mbox_extract",
-    "rdf_jsonld_format",
+    # r5 composite (displaced the rdf_jsonld_format fill — the JSON-LD
+    # sink keeps its unit-pinned roundtrip and the byte-exact-JSON
+    # oracle shape now rides this one): the three typed W3C results
+    # sinks under one hash
+    "sparql_results_formats",
     "rdf_ntriples_star_parse",
     # (e) fills — wikitext / crawl / curation family representatives
     # r5 flagship: one facet-relation hash over all six wikitext
@@ -15010,10 +15040,11 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since (r5 page_triples change: NULL-html rows keep their provided text — a no-op on this html corpus, when-branch only; re-run green under the local mirror gate)",
     # ---- deferred with written reasons ----
+    "rdf_jsonld_format": "r5: ceded its fill slot to the sparql_results_formats composite (both are byte-exact structured-text sink oracles; the JSON-LD expanded-form sink keeps its reader-roundtrip + escape/lang/typed unit pins); r6 window candidate class (b)",
     "html_jsonld_triples": "r5: ceded its fill slot to docs_jsonl_ingest (the _Walk tag-stack family keeps three in-window reps: html_microdata_triples, html_rdfa_triples, html_web_tables; the embedded-JSON-LD walker additionally rides the green kg_web_data_commons flagship); r6 window candidate",
-    "sparql_results_xml": "registered r5 AFTER the r5 window froze (completes the four W3C results formats; shares the typed t2 bindings corpus with the JSON/TSV sinks); green under the local mirror gate; r6 window candidate — the results-format trio verifies together via the shared corpus",
-    "sparql_results_tsv": "registered r5 AFTER the r5 window froze (the lossless W3C Results TSV profile; shares the typed bindings corpus with sparql_results_json); green under the local mirror gate; r6 window candidate — one slot can verify the results-format pair via the shared t2 corpus",
-    "sparql_results_json": "registered r5 AFTER the r5 window froze (the typed W3C Results JSON sink beside the green CSV profile; every term-object shape exercised, byte-exact assembly oracle); green under the local mirror gate; r6 window candidate class (b) — novel byte-exact JSON oracle shape",
+    "sparql_results_xml": "composition covered via the in-window sparql_results_formats composite; registered r5 AFTER the r5 window froze (completes the four W3C results formats; shares the typed t2 bindings corpus with the JSON/TSV sinks); green under the local mirror gate; r6 window candidate — the results-format trio verifies together via the shared corpus",
+    "sparql_results_tsv": "composition covered via the in-window sparql_results_formats composite; registered r5 AFTER the r5 window froze (the lossless W3C Results TSV profile; shares the typed bindings corpus with sparql_results_json); green under the local mirror gate; r6 window candidate — one slot can verify the results-format pair via the shared t2 corpus",
+    "sparql_results_json": "composition covered via the in-window sparql_results_formats composite; registered r5 AFTER the r5 window froze (the typed W3C Results JSON sink beside the green CSV profile; every term-object shape exercised, byte-exact assembly oracle); green under the local mirror gate; r6 window candidate class (b) — novel byte-exact JSON oracle shape",
     "docs_wordpiece_segment": "r5: ceded its fill slot to the docs_curation_audit flagship — the frozen-model oracle shape keeps three in-window representatives (docs_hashclf_quality, docs_lang_id_rank, kg_transe_rank_eval); the greedy longest-match decision classes stay pytest-green, r6 window candidate",
     "multimodal_sniff_route": "r5: ceded its window slot to the multimodal_decode_route flagship, which pins the router's decisions END-TO-END (wrong route = broken hash) for ppm/gif/qoi/bmp; this routing-table entry keeps the jpeg/tiff/wav/unknown-class surface, r6 window candidate",
     "crawl_robots_wildcards": "r5: ceded its fill slot to the crawl_policy_pipeline flagship (wildcard + $-anchor + longest-path precedence classes ride in the flagship's class-0 host); the standalone keeps the literal-%/_ escape-flip decoy class, r6 window candidate",
