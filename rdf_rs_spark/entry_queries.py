@@ -7084,6 +7084,74 @@ def _typed_results_triples(spark, sf_dir):
 
 
 
+_UNIGRAM_VOCAB = {"un": 20, "der": 25, "und": 31, "er": 15,
+                  "stand": 40, "able": 35}
+
+
+@q(
+    "docs_unigram_segment",
+    """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
+    f AS (SELECT i, i % 5 AS k FROM p),
+    r AS (
+      SELECT i, 0 AS piece_idx, 'un' AS piece, 20 AS cost FROM f WHERE k = 0
+      UNION ALL SELECT i, 1, 'der', 25 FROM f WHERE k = 0
+      UNION ALL SELECT i, 2, 'stand', 40 FROM f WHERE k = 0
+      UNION ALL SELECT i, 0, 'un', 20 FROM f WHERE k = 1
+      UNION ALL SELECT i, 1, 'der', 25 FROM f WHERE k = 1
+      UNION ALL SELECT i, 2, 'stand', 40 FROM f WHERE k = 1
+      UNION ALL SELECT i, 3, 'able', 35 FROM f WHERE k = 1
+      UNION ALL SELECT i, 0, 'x', 50 FROM f WHERE k = 2
+      UNION ALL SELECT i, 1, 'q', 50 FROM f WHERE k = 2
+      UNION ALL SELECT i, 0, 'er', 15 FROM f WHERE k = 3
+      UNION ALL SELECT i, 1, 'und', 31 FROM f WHERE k = 3
+      UNION ALL SELECT i, 0, 'stand', 40 FROM f WHERE k = 4
+      UNION ALL SELECT i, 1, 'able', 35 FROM f WHERE k = 4)
+    SELECT i::BIGINT AS doc_id, piece_idx::BIGINT AS piece_idx,
+           piece, cost::BIGINT AS cost
+    FROM r""",
+)
+def docs_unigram_segment(spark, sf_dir):
+    """Unigram-LM segmentation (``operators/tokenizer.py::
+    unigram_segment_col``) — the SentencePiece family, completing the
+    three real tokenizer families beside the BPE trainer and the
+    WordPiece greedy matcher: per word, integer-cost Viterbi picks the
+    min-cost cover (min-cost ≡ max-likelihood under scaled neg-log
+    costs; float-free, so the frozen-model oracle states EXACT pieces
+    and costs). Classes: a word whose two plausible covers differ by
+    one cost unit (un+der+stand 85 beats und+er+stand 86 — a greedy
+    longest-match WordPiece-style matcher picks the WRONG side, 'und'
+    first), its ``+able`` extension, an all-unknown word degrading
+    PER CHARACTER (never whole-word [UNK] — the published difference
+    from WordPiece), a word where the longer-prefix path loses
+    (er+und), and a two-piece suffix word. Zero shuffle; one Arrow
+    kernel + posexplode."""
+    from .operators.tokenizer import unigram_segment_col
+
+    n = _scale_n(sf_dir)
+    i = F.col("id")
+    k = i % 5
+    text = (
+        F.when(k == 0, F.lit("understand"))
+        .when(k == 1, F.lit("understandable"))
+        .when(k == 2, F.lit("xq"))
+        .when(k == 3, F.lit("erund"))
+        .otherwise(F.lit("standable"))
+    )
+    docs = spark.range(n).select(
+        i.alias("doc_id"),
+        unigram_segment_col(text, _UNIGRAM_VOCAB).alias("pieces"),
+    )
+    rows = docs.select(
+        "doc_id", F.posexplode("pieces").alias("piece_idx", "pc")
+    )
+    return rows.select(
+        "doc_id",
+        F.col("piece_idx").cast("long").alias("piece_idx"),
+        F.col("pc.piece").alias("piece"),
+        F.col("pc.cost").alias("cost"),
+    )
+
+
 @q(
     "docs_jsonl_ingest",
     """WITH p AS (SELECT unnest(generate_series(0, 1999)) AS i),
@@ -15040,6 +15108,7 @@ DEFERRED = {
     "kg_rdfs_closure_distributed": "green r4 under the driver hash gate; impl unchanged since",
     "kg_pipeline_from_warc": "green r4 under the driver hash gate; impl unchanged since (r5 page_triples change: NULL-html rows keep their provided text — a no-op on this html corpus, when-branch only; re-run green under the local mirror gate)",
     # ---- deferred with written reasons ----
+    "docs_unigram_segment": "registered r5 AFTER the r5 window froze (the SentencePiece family completing the tokenizer trio; integer-cost Viterbi with a class where greedy longest-match picks the wrong cover); green under the local mirror gate; r6 window candidate class (b) — frozen-model shape with EXACT piece/cost statement",
     "rdf_jsonld_format": "r5: ceded its fill slot to the sparql_results_formats composite (both are byte-exact structured-text sink oracles; the JSON-LD expanded-form sink keeps its reader-roundtrip + escape/lang/typed unit pins); r6 window candidate class (b)",
     "html_jsonld_triples": "r5: ceded its fill slot to docs_jsonl_ingest (the _Walk tag-stack family keeps three in-window reps: html_microdata_triples, html_rdfa_triples, html_web_tables; the embedded-JSON-LD walker additionally rides the green kg_web_data_commons flagship); r6 window candidate",
     "sparql_results_xml": "composition covered via the in-window sparql_results_formats composite; registered r5 AFTER the r5 window froze (completes the four W3C results formats; shares the typed t2 bindings corpus with the JSON/TSV sinks); green under the local mirror gate; r6 window candidate — the results-format trio verifies together via the shared corpus",

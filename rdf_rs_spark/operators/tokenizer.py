@@ -39,7 +39,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 #: Symbol-boundary byte inside encoded words. Words containing it are
 #: excluded from training on both engines (it cannot appear in clean
@@ -259,3 +259,78 @@ def tokenizer_fertility(
         F.expr("(n_bpe * 100) DIV n_ws").alias("bpe_fert_e2"),
         F.expr("(n_wp * 100) DIV n_ws").alias("wp_fert_e2"),
     )
+
+
+def unigram_segment_col(
+    text: Column, vocab_costs: dict, unk_cost: int = 50, max_word_len: int = 64
+) -> Column:
+    """Unigram-LM INFERENCE (the SentencePiece family — the third real
+    tokenizer family beside the BPE trainer and the WordPiece greedy
+    matcher): per whitespace word, Viterbi over a FROZEN integer cost
+    table picks the segmentation minimizing total cost (integer costs
+    ≈ scaled negative log-probs, so min-cost ≡ max-likelihood and the
+    whole op stays float-free / oracle-stateable). Positions no piece
+    covers fall back to a per-character unknown at ``unk_cost`` —
+    unigram degrades per character, never to a whole-word [UNK] (the
+    published difference from WordPiece). Deterministic tie-break:
+    equal-cost paths prefer the LONGER last piece (the DP keeps the
+    smallest split point on ties), so output is a pure function of the
+    inputs on any partitioning.
+
+    Returns ``array<struct<piece string, cost long>>`` — the cost
+    rides along so fertility AND likelihood aggregate downstream
+    without re-running the DP.
+
+    Scale shape: the cost table (a SentencePiece model is 32-250k
+    pieces) closes over the Arrow kernel as a plain dict — the
+    Python-side equivalent of a broadcast map; per-word DP is O(len²)
+    bounded by ``max_word_len``; the token stream never shuffles."""
+    costs = dict(vocab_costs)
+    max_piece = max((len(p) for p in costs), default=1)
+
+    def seg_word(w: str):
+        n = len(w)
+        if not n or n > max_word_len:
+            return [(w, unk_cost)] if w else []
+        INF = float("inf")
+        best = [INF] * (n + 1)
+        back = [0] * (n + 1)
+        best[0] = 0
+        for i in range(1, n + 1):
+            # known pieces ending at i; smallest j wins ties (longer
+            # last piece)
+            for j in range(max(0, i - max_piece), i):
+                c = costs.get(w[j:i])
+                if c is not None and best[j] + c < best[i]:
+                    best[i] = best[j] + c
+                    back[i] = j
+            # single-char unknown fallback
+            if best[i - 1] + unk_cost < best[i]:
+                best[i] = best[i - 1] + unk_cost
+                back[i] = i - 1
+        out = []
+        i = n
+        while i > 0:
+            j = back[i]
+            p = w[j:i]
+            out.append((p, int(costs.get(p, unk_cost))))
+            i = j
+        out.reverse()
+        return out
+
+    @pandas_udf(
+        ArrayType(
+            StructType(
+                [
+                    StructField("piece", StringType()),
+                    StructField("cost", LongType()),
+                ]
+            )
+        )
+    )
+    def k(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: [p for w in (t or "").split() for p in seg_word(w)]
+        )
+
+    return k(text)

@@ -471,3 +471,55 @@ def test_tokenizer_fertility_entry_constants(spark):
         assert (got[i]["n_chars"], got[i]["n_ws"], got[i]["n_bpe"],
                 got[i]["n_wp"], got[i]["bpe_fert_e2"],
                 got[i]["wp_fert_e2"]) == (ch, ws, bpe, wp, bf, wf)
+
+
+def test_unigram_segment_viterbi_properties(spark):
+    """Unigram Viterbi: optimality vs brute force on every word of a
+    small alphabet, per-char unknown degradation, multi-word flatten,
+    and the deterministic longer-last-piece tie-break."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.tokenizer import unigram_segment_col
+
+    vocab = {"ab": 10, "a": 7, "b": 6, "ba": 9, "aba": 25}
+    UNK = 50
+
+    def brute(w):
+        best = None
+        n = len(w)
+        for cuts in itertools.product([0, 1], repeat=max(n - 1, 0)):
+            idxs = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            pieces = [w[a:b] for a, b in zip(idxs, idxs[1:])]
+            if any(p not in vocab and len(p) > 1 for p in pieces):
+                continue
+            cost = sum(vocab.get(p, UNK) for p in pieces)
+            if best is None or cost < best[0]:
+                best = (cost, pieces)
+        return best[0]
+
+    words = ["".join(t) for r in (1, 2, 3, 4)
+             for t in itertools.product("abc", repeat=r)]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i long, w string")
+    got = {
+        r.i: r.p
+        for r in df.select(
+            "i", unigram_segment_col(F.col("w"), vocab).alias("p")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        pieces = got[i]
+        assert "".join(p.piece for p in pieces) == w
+        assert sum(p.cost for p in pieces) == brute(w), w
+    # tie: 'ab' (10) == 'a'+ 'b' (13)? no — make a real tie vocab
+    tie = {"ab": 13, "a": 7, "b": 6}
+    df2 = spark.createDataFrame([(0, "ab xq")], "i long, w string")
+    pieces = df2.select(
+        unigram_segment_col(F.col("w"), tie).alias("p")
+    ).collect()[0].p
+    # equal cost 13 both ways -> the LONGER last piece wins ('ab' whole)
+    assert [p.piece for p in pieces[:1]] == ["ab"]
+    # multi-word flatten + per-char unknown
+    assert [(p.piece, p.cost) for p in pieces[1:]] == [("x", 50), ("q", 50)]
