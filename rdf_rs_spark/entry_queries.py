@@ -15017,11 +15017,12 @@ IMPL_CHANGED = {
 }
 
 # ---- round-6 window plan (written at the start of round 5) ----------------
-# 144 never-checked entries remain after the r5 window runs (191 at
-# r5 close minus the 47 never-checked window slots; ~14 of the 144 are
+# 146 never-checked entries remain after the r5 window runs (193 at
+# r5 close minus the 47 never-checked window slots; ~15 of the 146 are
 # covered-via-parent by the r5 flagships kg_wikitext_dump /
 # crawl_policy_pipeline / multimodal_decode_route / docs_curation_audit
-# once those come back green, leaving ~130 effective). Priority for r6:
+# / sparql_results_formats once those come back green, leaving ~131
+# effective). Priority for r6:
 #   (a) compositions first: crawl_mirror_hosts (whole-host dedup
 #       flagship), corpus_paginated_reassembly, kg_canonical_labels
 #       (its WL replay parent kg_canonical_graph_hash went into the r5
