@@ -534,3 +534,112 @@ def test_results_xml_rows_escaping_and_document(spark):
     assert ("literal", "tagged", "en", None) in flat["o"]
     assert ("literal", "42", None,
             "http://www.w3.org/2001/XMLSchema#integer") in flat["o"]
+
+
+def test_results_sinks_roundtrip_arbitrary_terms(spark):
+    """Property over arbitrary term rows: the JSON sink must parse back
+    (stdlib json) to exactly the input terms, and the XML document
+    (ElementTree) must agree — independent decoders, not mirrors. TSV
+    is covered by its spec-escape test (its syntax is the NT family's,
+    already byte-pinned against the compiled reference)."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.schema import TRIPLES_SCHEMA
+    from rdf_rs_spark.writers.results import (
+        RESULTS_XML_TAIL,
+        results_xml_head,
+        sparql_results_json_rows,
+        sparql_results_xml_rows,
+    )
+
+    # XML 1.0 forbids raw control chars; JSON handles them — keep the
+    # corpus in the intersection both documents can carry
+    txt = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF
+        ),
+        min_size=0, max_size=25,
+    )
+    iri = st.text(alphabet="abcdefghij:/.?&=%<>\"'", min_size=1, max_size=20)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(iri, iri.map(lambda s: "_:" + s.replace(":", ""))),
+                iri,
+                st.sampled_from([0, 1, 2]),
+                txt,
+                st.one_of(st.none(), st.sampled_from(["en", "de-AT"])),
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    def run(rows6):
+        rows = []
+        for subj, pred, kind, lex, lang in rows6:
+            dt = (
+                "http://www.w3.org/2001/XMLSchema#integer"
+                if kind == 2 and lang is None and len(lex) % 2 == 0
+                else None
+            )
+            rows.append(
+                (subj or "s", pred, kind, lex,
+                 dt if kind == 2 else None, lang if kind == 2 else None)
+            )
+        df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+        def expect_term(enc):
+            if enc.startswith("_:"):
+                return {"type": "bnode", "value": enc[2:]}
+            return {"type": "uri", "value": enc}
+
+        def expect_obj(kind, lex, dt, lang):
+            if kind == 0:
+                return {"type": "uri", "value": lex}
+            if kind == 1:
+                return {"type": "bnode", "value": lex}
+            o = {"type": "literal", "value": lex}
+            if lang:
+                o["xml:lang"] = lang
+            if dt:
+                o["datatype"] = dt
+            return o
+
+        expected = sorted(
+            json.dumps(
+                {"s": expect_term(r[0]), "p": expect_term(r[1]),
+                 "o": expect_obj(r[2], r[3], r[4], r[5])},
+                sort_keys=True,
+            )
+            for r in rows
+        )
+        got_json = sorted(
+            json.dumps(json.loads(r.value), sort_keys=True)
+            for r in sparql_results_json_rows(df).collect()
+        )
+        assert got_json == expected
+
+        xml_rows = [r.value for r in sparql_results_xml_rows(df).collect()]
+        doc = results_xml_head(["s", "p", "o"]) + "".join(xml_rows) + RESULTS_XML_TAIL
+        root = ET.fromstring(doc)
+        ns = "{http://www.w3.org/2005/sparql-results#}"
+        xml_terms = []
+        for res in root.findall(f"{ns}results/{ns}result"):
+            b = {}
+            for binding in res.findall(f"{ns}binding"):
+                t = binding[0]
+                d = {"type": t.tag.replace(ns, ""), "value": t.text or ""}
+                lang = t.get("{http://www.w3.org/XML/1998/namespace}lang") or t.get("xml:lang")
+                if lang:
+                    d["xml:lang"] = lang
+                if t.get("datatype"):
+                    d["datatype"] = t.get("datatype")
+                b[binding.get("name")] = d
+            xml_terms.append(json.dumps(b, sort_keys=True))
+        assert sorted(xml_terms) == expected
+
+    run()
