@@ -773,3 +773,59 @@ def test_outlink_frontier_duplicate_targets_and_unquoted_href(spark):
         (1, "https://a.ex/base/p1"),
     }
     assert all(r["allowed"] == 1 and r["is_external"] == 0 for r in out)
+
+
+def test_frontier_allowed_matches_independent_rep_matcher(spark):
+    """Property: the LIKE-translated REP matcher must agree with an
+    independent regex implementation of RFC 9309 semantics (prefix
+    match, * any-run, trailing $ anchor with inner $ literal,
+    longest-raw-rule-wins, Allow on length ties, no-match allows) over
+    random rule sets and paths drawn from an alphabet that includes
+    the LIKE metacharacters % and _."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.operators.crawl import frontier_allowed
+
+    def rule_matches(rule, path):
+        anchored = rule.endswith("$")
+        core = rule[:-1] if anchored else rule
+        rx = "".join(".*" if c == "*" else _re.escape(c) for c in core)
+        return _re.match("^" + rx + ("$" if anchored else ""), path) is not None
+
+    def expected(rules, path):
+        hits = [(len(r), allow, r) for (allow, r) in rules if rule_matches(r, path)]
+        if not hits:
+            return True
+        best = max(h[0] for h in hits)
+        return any(allow for (ln, allow, _) in hits if ln == best)
+
+    seg = st.text(alphabet="ab*$%_x", min_size=0, max_size=5)
+    rule_s = seg.map(lambda s: "/" + s)
+    path_s = st.text(alphabet="ab$%_x/", min_size=0, max_size=6).map(
+        lambda s: "/" + s
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.tuples(st.booleans(), rule_s), min_size=0, max_size=5),
+        st.lists(path_s, min_size=1, max_size=5),
+    )
+    def run(rules, paths):
+        rules_df = spark.createDataFrame(
+            [("h.ex", "*", allow, r) for (allow, r) in rules] or
+            [("other.ex", "*", True, "/never")],
+            "host string, agent string, allow boolean, path string",
+        )
+        urls = spark.createDataFrame(
+            [(f"https://h.ex{p}",) for p in paths], "url string"
+        )
+        got = {
+            r.url: r.allowed
+            for r in frontier_allowed(urls, rules_df, "bot").collect()
+        }
+        for p in paths:
+            assert got[f"https://h.ex{p}"] == expected(rules, p), (rules, p)
+
+    run()
