@@ -829,3 +829,60 @@ def test_frontier_allowed_matches_independent_rep_matcher(spark):
             assert got[f"https://h.ex{p}"] == expected(rules, p), (rules, p)
 
     run()
+
+
+def test_strip_declared_params_matches_urllib_mirror(spark):
+    """Property: the broadcast-join + array-filter Clean-param
+    canonicalizer must agree with an independent urllib-based
+    implementation — per-declaration path-prefix scoping, host
+    isolation, param order preservation, and the no-params/all-
+    stripped base-url collapse."""
+    from urllib.parse import urlsplit
+
+    from hypothesis import given, settings, strategies as st
+
+    from rdf_rs_spark.operators.crawl import strip_declared_params
+
+    name = st.sampled_from(["sid", "utm", "ref", "keep", "q"])
+    prefix = st.sampled_from(["/", "/a", "/a/b", "/c"])
+    host = st.sampled_from(["h1.ex", "h2.ex"])
+    decl = st.tuples(host, name, prefix)
+    param = st.tuples(name, st.sampled_from(["1", "x", ""]))
+    url = st.tuples(
+        host,
+        st.sampled_from(["/a", "/a/b", "/a/bc", "/c/d", "/"]),
+        st.lists(param, min_size=0, max_size=4),
+    )
+
+    def mirror(u_host, u_path, params, decls):
+        strip = {
+            n for (d_host, n, d_prefix) in decls
+            if d_host == u_host and u_path.startswith(d_prefix)
+        }
+        kept = [f"{n}={v}" for (n, v) in params if n not in strip]
+        base = f"https://{u_host}{u_path}"
+        return base + ("?" + "&".join(kept) if kept else "")
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(decl, min_size=0, max_size=4, unique=True),
+           st.lists(url, min_size=1, max_size=4))
+    def run(decls, urls_in):
+        urls_txt = [
+            f"https://{h}{p}" + ("?" + "&".join(f"{n}={v}" for n, v in ps)
+                                 if ps else "")
+            for (h, p, ps) in urls_in
+        ]
+        urls_df = spark.createDataFrame([(u,) for u in set(urls_txt)],
+                                        "url string")
+        clean_df = spark.createDataFrame(
+            list(decls) or [("never.ex", "zz", "/")],
+            "host string, param string, path_prefix string",
+        )
+        got = {
+            r.url: r.canonical_url
+            for r in strip_declared_params(urls_df, clean_df).collect()
+        }
+        for (h, p, ps), u in zip(urls_in, urls_txt):
+            assert got[u] == mirror(h, p, ps, decls), (u, decls)
+
+    run()
