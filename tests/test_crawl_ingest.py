@@ -886,3 +886,36 @@ def test_strip_declared_params_matches_urllib_mirror(spark):
             assert got[u] == mirror(h, p, ps, decls), (u, decls)
 
     run()
+
+
+def test_fetch_schedule_is_partitioning_invariant(spark):
+    """The politeness schedule is a pure function of the frontier: the
+    md5-rank slots must be identical under any input partitioning (the
+    engine's cluster-size-invariance contract for every sampled or
+    ranked relation)."""
+    from pyspark.sql import functions as F
+
+    from rdf_rs_spark.operators.crawl import fetch_schedule
+
+    urls = spark.range(300).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"),
+            F.lit(".ex/p/"), F.col("id").cast("string"),
+        ).alias("url")
+    )
+    delays = spark.createDataFrame(
+        [("h1.ex", "*", 3), ("h2.ex", "bot", 5), ("h2.ex", "*", 1)],
+        "host string, agent string, delay_s long",
+    )
+    a = {r.url: r.fetch_slot_s
+         for r in fetch_schedule(urls.repartition(2), delays, "bot").collect()}
+    b = {r.url: r.fetch_slot_s
+         for r in fetch_schedule(urls.repartition(11), delays, "bot").collect()}
+    assert a == b
+    # specific-agent delay beats *: h2 slots step by 5, h1 by 3, rest by 1
+    h2 = sorted(v for u, v in a.items() if "//h2." in u)
+    assert h2 == [5 * i for i in range(len(h2))]
+    h1 = sorted(v for u, v in a.items() if "//h1." in u)
+    assert h1 == [3 * i for i in range(len(h1))]
+    h3 = sorted(v for u, v in a.items() if "//h3." in u)
+    assert h3 == list(range(len(h3)))
